@@ -1,13 +1,29 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.queries.Q
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  * The query catalog lives in graft.queries.*; every entry is one operator
+  * row of SURVEY §2 (or a training-data-pipeline operator), and carries its
+  * DuckDB oracle SQL when SQL-expressible.
+  */
 object SparkEntry {
+
+  private def catalog: Seq[Q] =
+    graft.queries.CoreQueries.all ++ graft.queries.StarQueries.all
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    queries("q05_star_join")(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    catalog.map(q => q.name -> q.fn).toMap
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    * the same parquet tables. Omitted for non-SQL-expressible ops.
+    */
+  def oracleSql: Map[String, String] =
+    catalog.flatMap(q => q.oracle.map(q.name -> _)).toMap
 }

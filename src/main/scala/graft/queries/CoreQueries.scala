@@ -1,0 +1,215 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.ops.{Dedup, Normalize, Quality}
+
+/** SURVEY §2.1-§2.2, §2.5-§2.6, §2.8 operators over the driver testdata.
+  * Each query exercises one inventory row end-to-end and is oracle-checked.
+  */
+object CoreQueries {
+
+  private val Dec18 = "decimal(18,6)"
+  private val Dec38 = "decimal(38,6)"
+
+  val all: Seq[Q] = Seq(
+
+    // ---------------------------------------------------------------- q01
+    // A1/A5/A6/A7/A8 + P5: grouped hash aggregation with decimal-exact money
+    // arithmetic (the DAX measure family evaluated per filter context).
+    // Scale: partial+final HashAggregate, no row explosion; filter pushed to
+    // the parquet scan.
+    Q("q01_pricing_summary",
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS sum_base_price,
+        |  CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,6)) * CAST(1 - CAST(l_discount AS DECIMAL(18,6)) AS DECIMAL(12,6)) AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS sum_disc_price,
+        |  CAST(SUM(CAST(CAST(CAST(l_extendedprice AS DECIMAL(18,6)) * CAST(1 - CAST(l_discount AS DECIMAL(18,6)) AS DECIMAL(12,6)) AS DECIMAL(18,6)) * CAST(1 + CAST(l_tax AS DECIMAL(18,6)) AS DECIMAL(12,6)) AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS sum_charge,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) / count(*) AS avg_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) / count(*) AS avg_price,
+        |  count(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate < TIMESTAMP '1998-09-03 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus""".stripMargin) { (s, dir) =>
+      val li = Tables.load(s, dir, "lineitem")
+      val qty = col("l_quantity").cast(Dec18)
+      val ep = col("l_extendedprice").cast(Dec18)
+      val oneMinusDisc = (lit(1) - col("l_discount").cast(Dec18)).cast("decimal(12,6)")
+      val onePlusTax = (lit(1) + col("l_tax").cast(Dec18)).cast("decimal(12,6)")
+      val discPrice = (ep * oneMinusDisc).cast(Dec18)
+      li.filter(col("l_shipdate") < lit("1998-09-03 00:00:00").cast("timestamp"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(qty).cast(Dec38).as("sum_qty"),
+          sum(ep).cast(Dec38).as("sum_base_price"),
+          sum(discPrice).cast(Dec38).as("sum_disc_price"),
+          sum((discPrice * onePlusTax).cast(Dec18)).cast(Dec38).as("sum_charge"),
+          (sum(qty).cast("double") / count(lit(1))).as("avg_qty"),
+          (sum(ep).cast("double") / count(lit(1))).as("avg_price"),
+          count(lit(1)).as("count_order"))
+    },
+
+    // ---------------------------------------------------------------- q02
+    // A2: SELECT DISTINCT (2-phase hash aggregate).
+    Q("q02_distinct_dims",
+      "SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders") { (s, dir) =>
+      Tables.load(s, dir, "orders")
+        .select(col("o_orderstatus"), col("o_orderpriority"))
+        .distinct()
+    },
+
+    // ---------------------------------------------------------------- q03
+    // A4: exact DISTINCTCOUNT per group ("Securities Tracked" shape).
+    Q("q03_count_distinct",
+      """SELECT l_returnflag,
+        |  count(DISTINCT l_partkey) AS n_parts,
+        |  count(DISTINCT l_suppkey) AS n_suppliers,
+        |  count(*) AS n_rows
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin) { (s, dir) =>
+      Tables.load(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          countDistinct(col("l_partkey")).as("n_parts"),
+          countDistinct(col("l_suppkey")).as("n_suppliers"),
+          count(lit(1)).as("n_rows"))
+    },
+
+    // ---------------------------------------------------------------- q04
+    // P2-P5 + S5: incremental date filter, UPPER(TRIM()) normalization,
+    // NULL_IF tokens, TRY_TO_DECIMAL on a JSON-extracted field.
+    Q("q04_norm_parse",
+      """SELECT event_id, user_id,
+        |  CAST(ts AS DATE) AS event_date,
+        |  upper(trim(event_type)) AS event_type_norm,
+        |  TRY_CAST(regexp_extract(props, '"k": (-?\d+)', 1) AS DECIMAL(18,6)) AS k_value
+        |FROM events
+        |WHERE ts >= TIMESTAMP '2024-01-15 00:00:00' AND ts < TIMESTAMP '2024-01-16 00:00:00'""".stripMargin) { (s, dir) =>
+      val ev = Tables.load(s, dir, "events")
+      ev.filter(col("ts") >= lit("2024-01-15 00:00:00").cast("timestamp") &&
+          col("ts") < lit("2024-01-16 00:00:00").cast("timestamp"))
+        .select(
+          col("event_id"), col("user_id"),
+          to_date(col("ts")).as("event_date"),
+          Normalize.normKey(col("event_type")).as("event_type_norm"),
+          Normalize.tryTo(
+            Normalize.nullIfTokens(regexp_extract(col("props"), "\"k\": (-?\\d+)", 1)),
+            org.apache.spark.sql.types.DecimalType(18, 6)).as("k_value"))
+    },
+
+    // ---------------------------------------------------------------- q05
+    // J1/J2: star join through three broadcast-sized dimensions; revenue per
+    // region. Scale: all three dims broadcast — the fact table never shuffles.
+    Q("q05_star_join",
+      """SELECT r_name,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6)) * CAST(1 - CAST(l_discount AS DECIMAL(18,6)) AS DECIMAL(12,6))) AS DECIMAL(38,6)) AS revenue,
+        |  count(*) AS n_rows
+        |FROM lineitem
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name""".stripMargin) { (s, dir) =>
+      val li = Tables.load(s, dir, "lineitem")
+      val sup = Tables.load(s, dir, "supplier")
+      val nat = Tables.load(s, dir, "nation")
+      val reg = Tables.load(s, dir, "region")
+      val rev = col("l_extendedprice").cast(Dec18) *
+        (lit(1) - col("l_discount").cast(Dec18)).cast("decimal(12,6)")
+      li.join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(reg), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"))
+        .agg(sum(rev).cast(Dec38).as("revenue"), count(lit(1)).as("n_rows"))
+    },
+
+    // ---------------------------------------------------------------- q06
+    // D11: previous *calendar* day via self-join on date_add(d,1) — the
+    // literal DATEADD(CAL_DATE,-1,DAY) variant of Daily Change (W2's lag form
+    // is q15). Scale: both sides share the (suppkey, day) aggregation; the
+    // self-join keys match the aggregation keys so AQE reuses the exchange.
+    Q("q06_calendar_shift",
+      """WITH daily AS (
+        |  SELECT l_suppkey, CAST(l_shipdate AS DATE) AS cal_day,
+        |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS revenue
+        |  FROM lineitem GROUP BY 1, 2)
+        |SELECT c.l_suppkey, c.cal_day, c.revenue, p.prev_revenue
+        |FROM daily c LEFT JOIN (
+        |  SELECT l_suppkey, cal_day + 1 AS cal_day, revenue AS prev_revenue FROM daily) p
+        |USING (l_suppkey, cal_day)""".stripMargin) { (s, dir) =>
+      val daily = Tables.load(s, dir, "lineitem")
+        .groupBy(col("l_suppkey"), to_date(col("l_shipdate")).as("cal_day"))
+        .agg(sum(col("l_extendedprice").cast(Dec18)).cast(Dec38).as("revenue"))
+      graft.analytics.Measures.calendarShiftJoin(daily, Seq("l_suppkey"), "cal_day", "revenue")
+    },
+
+    // ---------------------------------------------------------------- q07
+    // V4 (J3/J4/J9/A1/A3): pre-merge forecast — raw rows, incoming keys,
+    // matched keys, estimated inserts/updates for the 2024-01-15 batch of
+    // events keyed (user_id, UPPER(TRIM(event_type))).
+    Q("q07_premerge_metrics",
+      """WITH raw AS (
+        |  SELECT * FROM events
+        |  WHERE ts >= TIMESTAMP '2024-01-15 00:00:00' AND ts < TIMESTAMP '2024-01-16 00:00:00'),
+        |ik AS (SELECT DISTINCT user_id, upper(trim(event_type)) AS et FROM raw),
+        |ex AS (SELECT DISTINCT user_id, upper(trim(event_type)) AS et FROM events
+        |       WHERE ts < TIMESTAMP '2024-01-15 00:00:00'),
+        |c1 AS (SELECT count(*) AS raw_rows FROM raw),
+        |c2 AS (SELECT count(*) AS key_rows FROM ik),
+        |c3 AS (SELECT count(*) AS matched_keys FROM ik JOIN ex USING (user_id, et))
+        |SELECT raw_rows, key_rows, matched_keys,
+        |  key_rows - matched_keys AS est_inserts, matched_keys AS est_updates
+        |FROM c1, c2, c3""".stripMargin) { (s, dir) =>
+      val ev = Tables.load(s, dir, "events")
+      val raw = ev.filter(col("ts") >= lit("2024-01-15 00:00:00").cast("timestamp") &&
+        col("ts") < lit("2024-01-16 00:00:00").cast("timestamp"))
+        .select(col("user_id"), Normalize.normKey(col("event_type")).as("et"))
+      val existing = ev.filter(col("ts") < lit("2024-01-15 00:00:00").cast("timestamp"))
+        .select(col("user_id"), Normalize.normKey(col("event_type")).as("et"))
+      Quality.premergeMetrics(raw, existing, Seq("user_id", "et"))
+    },
+
+    // ---------------------------------------------------------------- q08
+    // V5/J10: post-merge reconciliation — two scalar counts + parity bit.
+    Q("q08_postmerge_parity",
+      """WITH core AS (
+        |  SELECT user_id, upper(trim(event_type)) AS et, event_id FROM events
+        |  QUALIFY row_number() OVER (PARTITION BY user_id, upper(trim(event_type))
+        |                             ORDER BY ts DESC, event_id DESC) = 1),
+        |fact AS (SELECT DISTINCT user_id, upper(trim(event_type)) AS et FROM events)
+        |SELECT (SELECT count(*) FROM core) AS core_rows,
+        |       (SELECT count(*) FROM fact) AS fact_rows,
+        |       (SELECT count(*) FROM core) = (SELECT count(*) FROM fact) AS row_parity""".stripMargin) { (s, dir) =>
+      val ev = Tables.load(s, dir, "events")
+      val core = Dedup.latestBy(ev,
+        Seq(col("user_id"), Normalize.normKey(col("event_type"))),
+        Seq(col("ts"), col("event_id")))
+      val fact = ev.select(col("user_id"), Normalize.normKey(col("event_type"))).distinct()
+      Quality.postmergeParity(core, fact)
+    },
+
+    // ---------------------------------------------------------------- q09
+    // P7/V3: COUNT(*) > 0 existence gate with the incremental date predicate.
+    Q("q09_check_loaded",
+      """SELECT count(*) > 0 AS data_loaded, count(*) AS n_rows FROM events
+        |WHERE ts >= TIMESTAMP '2024-01-15 00:00:00' AND ts < TIMESTAMP '2024-01-16 00:00:00'""".stripMargin) { (s, dir) =>
+      Tables.load(s, dir, "events")
+        .filter(col("ts") >= lit("2024-01-15 00:00:00").cast("timestamp") &&
+          col("ts") < lit("2024-01-16 00:00:00").cast("timestamp"))
+        .agg((count(lit(1)) > 0).as("data_loaded"), count(lit(1)).as("n_rows"))
+    },
+
+    // ---------------------------------------------------------------- q10
+    // W1: latest-record dedup (ROW_NUMBER ... QUALIFY rn=1) with the
+    // deterministic (ts DESC, event_id DESC) tiebreaker.
+    Q("q10_dedup_latest",
+      """SELECT user_id, upper(trim(event_type)) AS event_type, event_id, value
+        |FROM events
+        |QUALIFY row_number() OVER (PARTITION BY user_id, upper(trim(event_type))
+        |                           ORDER BY ts DESC, event_id DESC) = 1""".stripMargin) { (s, dir) =>
+      val ev = Tables.load(s, dir, "events")
+      Dedup.latestBy(ev,
+        Seq(col("user_id"), Normalize.normKey(col("event_type"))),
+        Seq(col("ts"), col("event_id")))
+        .select(col("user_id"), Normalize.normKey(col("event_type")).as("event_type"),
+          col("event_id"), col("value"))
+    })
+}

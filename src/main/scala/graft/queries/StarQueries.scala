@@ -1,0 +1,208 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.analytics.Measures
+import graft.ops.{DateDim, Dedup, Normalize, SurrogateKeys, Upsert}
+
+/** SURVEY §2.3-§2.4, §2.6-§2.7, §2.9: star-schema construction (MERGE
+  * decomposition, surrogate keys, date dimension), the DAX window measures,
+  * top-k, and the tumbling-window shape of the streaming variant.
+  */
+object StarQueries {
+
+  private val Dec18 = "decimal(18,6)"
+  private val Dec38 = "decimal(38,6)"
+  private val cutoff = "2024-01-15 00:00:00"
+  private val cutoffEnd = "2024-01-16 00:00:00"
+
+  private def eventsBefore(s: org.apache.spark.sql.SparkSession, dir: String) =
+    Tables.load(s, dir, "events").filter(col("ts") < lit(cutoff).cast("timestamp"))
+
+  private def eventsBatch(s: org.apache.spark.sql.SparkSession, dir: String) =
+    Tables.load(s, dir, "events").filter(
+      col("ts") >= lit(cutoff).cast("timestamp") && col("ts") < lit(cutoffEnd).cast("timestamp"))
+
+  val all: Seq[Q] = Seq(
+
+    // ---------------------------------------------------------------- q11
+    // J5/J8: key-match MERGE decomposed into anti-join + union — source wins
+    // on collision, target survives otherwise (merge_core.sql semantics on
+    // the events stream: target = history before the cutoff date, source =
+    // the day's deduped batch). Scale: the source side is one day — Spark
+    // broadcasts it and the TB-sized target never shuffles.
+    Q("q11_upsert_merge",
+      s"""WITH tgt AS (
+        |  SELECT user_id, upper(trim(event_type)) AS event_type, event_id, value
+        |  FROM events WHERE ts < TIMESTAMP '$cutoff'
+        |  QUALIFY row_number() OVER (PARTITION BY user_id, upper(trim(event_type))
+        |                             ORDER BY ts DESC, event_id DESC) = 1),
+        |src AS (
+        |  SELECT user_id, upper(trim(event_type)) AS event_type, event_id, value
+        |  FROM events WHERE ts >= TIMESTAMP '$cutoff' AND ts < TIMESTAMP '$cutoffEnd'
+        |  QUALIFY row_number() OVER (PARTITION BY user_id, upper(trim(event_type))
+        |                             ORDER BY ts DESC, event_id DESC) = 1)
+        |SELECT t.* FROM tgt t
+        |WHERE NOT EXISTS (SELECT 1 FROM src s
+        |                  WHERE s.user_id = t.user_id AND s.event_type = t.event_type)
+        |UNION ALL
+        |SELECT * FROM src""".stripMargin) { (s, dir) =>
+      def dedup(df: org.apache.spark.sql.DataFrame) =
+        Dedup.latestBy(df, Seq(col("user_id"), Normalize.normKey(col("event_type"))),
+            Seq(col("ts"), col("event_id")))
+          .select(col("user_id"), Normalize.normKey(col("event_type")).as("event_type"),
+            col("event_id"), col("value"))
+      Upsert.merge(dedup(eventsBefore(s, dir)), dedup(eventsBatch(s, dir)),
+        Seq("user_id", "event_type"))
+    },
+
+    // ---------------------------------------------------------------- q12
+    // J6 + surrogate keys: insert-only dimension merge — existing members keep
+    // their ids, new members get max(existing)+row_number (deterministic;
+    // never monotonically_increasing_id).
+    Q("q12_dim_upsert",
+      s"""WITH existing AS (
+        |  SELECT DISTINCT user_id FROM events WHERE ts < TIMESTAMP '$cutoff'),
+        |ex_dim AS (
+        |  SELECT row_number() OVER (ORDER BY user_id) AS security_id, user_id FROM existing),
+        |fresh AS (
+        |  SELECT DISTINCT user_id FROM events
+        |  WHERE ts >= TIMESTAMP '$cutoff' AND ts < TIMESTAMP '$cutoffEnd'
+        |    AND user_id NOT IN (SELECT user_id FROM existing))
+        |SELECT security_id, user_id FROM ex_dim
+        |UNION ALL
+        |SELECT (SELECT count(*) FROM existing) + row_number() OVER (ORDER BY user_id)
+        |  AS security_id, user_id FROM fresh""".stripMargin) { (s, dir) =>
+      val existing = eventsBefore(s, dir).select(col("user_id")).distinct()
+      val exDim = SurrogateKeys.assign(existing, "security_id", 0L, Seq("user_id"))
+        .select(col("security_id"), col("user_id"))
+      val fresh = eventsBatch(s, dir).select(col("user_id")).distinct()
+        .join(existing, Seq("user_id"), "left_anti")
+      val maxId = SurrogateKeys.maxKey(exDim, "security_id")
+      exDim.unionByName(
+        SurrogateKeys.assign(fresh, "security_id", maxId, Seq("user_id"))
+          .select(col("security_id"), col("user_id")))
+    },
+
+    // ---------------------------------------------------------------- q13
+    // D1-D10: the full calendar dimension from observed order dates, with the
+    // Snowflake semantic deltas handled (Sunday=0 weekday, 3-letter names,
+    // ISO week). Pure projection after a 1-column distinct.
+    Q("q13_date_dim",
+      """SELECT CAST(strftime(d, '%Y%m%d') AS INT) AS date_sk,
+        |  d AS cal_date,
+        |  CAST(year(d) AS INT) AS year_num,
+        |  CAST(quarter(d) AS INT) AS quarter_num,
+        |  CAST(month(d) AS INT) AS month_num,
+        |  strftime(d, '%b') AS month_name,
+        |  CAST(day(d) AS INT) AS day_num,
+        |  strftime(d, '%a') AS day_name,
+        |  CAST(dayofweek(d) AS INT) AS day_of_week,
+        |  CAST(weekofyear(d) AS INT) AS week_of_year,
+        |  dayofweek(d) IN (0, 6) AS is_weekend
+        |FROM (SELECT DISTINCT CAST(o_orderdate AS DATE) AS d FROM orders)""".stripMargin) { (s, dir) =>
+      DateDim.fromDates(Tables.load(s, dir, "orders"), col("o_orderdate"))
+    },
+
+    // ---------------------------------------------------------------- q14
+    // J1/J2 + D1: fact build — events batch joined to the user dimension and
+    // the yyyymmdd date key, both through broadcast hash joins.
+    Q("q14_fact_build",
+      s"""WITH dim AS (
+        |  SELECT row_number() OVER (ORDER BY user_id) AS security_id, user_id
+        |  FROM (SELECT DISTINCT user_id FROM events))
+        |SELECT d.security_id,
+        |  CAST(strftime(CAST(e.ts AS DATE), '%Y%m%d') AS INT) AS date_sk,
+        |  e.event_id, e.value
+        |FROM events e JOIN dim d ON e.user_id = d.user_id
+        |WHERE e.ts >= TIMESTAMP '$cutoff' AND e.ts < TIMESTAMP '$cutoffEnd'""".stripMargin) { (s, dir) =>
+      val ev = Tables.load(s, dir, "events")
+      val dim = SurrogateKeys.assign(ev.select(col("user_id")).distinct(),
+        "security_id", 0L, Seq("user_id"))
+      eventsBatch(s, dir)
+        .join(broadcast(dim), Seq("user_id"))
+        .select(col("security_id"),
+          date_format(to_date(col("ts")), "yyyyMMdd").cast("int").as("date_sk"),
+          col("event_id"), col("value"))
+    },
+
+    // ---------------------------------------------------------------- q15
+    // W2: Daily Change % — lag over trading days, DIVIDE(c-p, p, 0) null/zero
+    // semantics, on per-supplier daily revenue.
+    Q("q15_daily_change",
+      """WITH daily AS (
+        |  SELECT l_suppkey, CAST(l_shipdate AS DATE) AS cal_day,
+        |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS revenue
+        |  FROM lineitem GROUP BY 1, 2)
+        |SELECT l_suppkey, cal_day, revenue,
+        |  lag(revenue) OVER w AS prev_revenue,
+        |  CASE WHEN lag(revenue) OVER w IS NULL OR CAST(lag(revenue) OVER w AS DOUBLE) = 0
+        |       THEN 0.0
+        |       ELSE (CAST(revenue AS DOUBLE) - CAST(lag(revenue) OVER w AS DOUBLE))
+        |            / CAST(lag(revenue) OVER w AS DOUBLE) END AS daily_change_pct
+        |FROM daily
+        |WINDOW w AS (PARTITION BY l_suppkey ORDER BY cal_day)""".stripMargin) { (s, dir) =>
+      val daily = Tables.load(s, dir, "lineitem")
+        .groupBy(col("l_suppkey"), to_date(col("l_shipdate")).as("cal_day"))
+        .agg(sum(col("l_extendedprice").cast(Dec18)).cast(Dec38).as("revenue"))
+      Measures.dailyChangePct(daily, Seq(col("l_suppkey")), col("cal_day"), col("revenue"))
+        .withColumnRenamed("prev_close", "prev_revenue")
+    },
+
+    // ---------------------------------------------------------------- q16
+    // W3/D12: trailing 7-day average via an integer-day RANGE frame —
+    // engine-neutral (6 PRECEDING on a day index), exact decimal window sum /
+    // window count.
+    Q("q16_trailing_window",
+      """WITH daily AS (
+        |  SELECT l_suppkey, CAST(l_shipdate AS DATE) AS cal_day,
+        |    CAST(datediff('day', DATE '1995-01-01', CAST(l_shipdate AS DATE)) AS INT) AS day_idx,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS total_qty
+        |  FROM lineitem GROUP BY 1, 2, 3)
+        |SELECT l_suppkey, cal_day, day_idx, total_qty,
+        |  CAST(SUM(total_qty) OVER w AS DOUBLE) / COUNT(total_qty) OVER w AS trailing_avg_qty
+        |FROM daily
+        |WINDOW w AS (PARTITION BY l_suppkey ORDER BY day_idx
+        |             RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)""".stripMargin) { (s, dir) =>
+      val daily = Tables.load(s, dir, "lineitem")
+        .groupBy(col("l_suppkey"), to_date(col("l_shipdate")).as("cal_day"),
+          datediff(to_date(col("l_shipdate")), lit("1995-01-01").cast("date")).as("day_idx"))
+        .agg(sum(col("l_quantity").cast(Dec18)).cast(Dec38).as("total_qty"))
+      Measures.trailingAvg(daily, Seq(col("l_suppkey")), col("day_idx"),
+        col("total_qty"), 7, "trailing_avg_qty")
+    },
+
+    // ---------------------------------------------------------------- q17
+    // §2.7: global sort + limit (top-k) with a deterministic tiebreaker.
+    // Scale: Spark plans TakeOrderedAndProject — per-partition top-k then a
+    // k-row merge on the driver, never a full sort.
+    Q("q17_topk_orders",
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10""".stripMargin) { (s, dir) =>
+      Tables.load(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        .limit(10)
+    },
+
+    // ---------------------------------------------------------------- q18
+    // §2.9: tumbling 1-day window aggregation — the batch shape of the
+    // streaming variant (same plan Structured Streaming produces per
+    // micro-batch; see graft.streaming.EventStream for the readStream form).
+    Q("q18_tumbling_window",
+      """SELECT CAST(date_trunc('day', ts) AS DATE) AS window_day,
+        |  upper(trim(event_type)) AS event_type,
+        |  count(*) AS n_events,
+        |  count(DISTINCT user_id) AS n_users,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS total_value
+        |FROM events GROUP BY 1, 2""".stripMargin) { (s, dir) =>
+      Tables.load(s, dir, "events")
+        .groupBy(window(col("ts"), "1 day").as("w"),
+          Normalize.normKey(col("event_type")).as("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          countDistinct(col("user_id")).as("n_users"),
+          sum(col("value").cast(Dec18)).cast(Dec38).as("total_value"))
+        .select(to_date(col("w.start")).as("window_day"), col("event_type"),
+          col("n_events"), col("n_users"), col("total_value"))
+    })
+}
