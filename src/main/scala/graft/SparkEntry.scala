@@ -11,7 +11,9 @@ import graft.queries.Q
 object SparkEntry {
 
   private def catalog: Seq[Q] =
-    graft.queries.CoreQueries.all ++ graft.queries.StarQueries.all
+    graft.queries.CoreQueries.all ++ graft.queries.StarQueries.all ++
+      graft.queries.DedupQueries.all ++ graft.queries.VectorQueries.all ++
+      graft.queries.TextQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

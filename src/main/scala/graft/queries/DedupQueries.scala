@@ -1,0 +1,101 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.dedup.{MinHashLSH, NgramJaccard, SimHash}
+
+/** Deduplication operator family over the `documents` corpus: exact,
+  * MinHash+LSH, SimHash, exact n-gram Jaccard. All md5-keyed so every stage
+  * is oracle-checkable.
+  */
+object DedupQueries {
+
+  val all: Seq[Q] = Seq(
+
+    // ---------------------------------------------------------------- q20
+    // Exact dedup: group on the content hash (fixed-width shuffle key — at
+    // 100 TB you never shuffle raw text), keep the min id as survivor.
+    Q("q20_dedup_exact",
+      """SELECT md5(text) AS text_hash, min(doc_id) AS doc_id, count(*) AS n_copies
+        |FROM documents GROUP BY md5(text)""".stripMargin) { (s, dir) =>
+      Tables.load(s, dir, "documents")
+        .groupBy(md5(col("text")).as("text_hash"))
+        .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_copies"))
+    },
+
+    // ---------------------------------------------------------------- q21
+    // MinHash signatures: k=8 lexicographic-min seeded md5 over distinct
+    // word-3gram shingles — one explode + one combiner-friendly aggregate.
+    Q("q21_minhash_signatures",
+      """WITH w AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, s FROM (
+        |  SELECT doc_id, unnest(list_transform(generate_series(1, greatest(len(w)-2, 1)),
+        |                                       i -> array_to_string(w[i:i+2], ' '))) AS s
+        |  FROM w))
+        |SELECT doc_id,
+        |  min(md5('0|'||s)) AS h0, min(md5('1|'||s)) AS h1,
+        |  min(md5('2|'||s)) AS h2, min(md5('3|'||s)) AS h3,
+        |  min(md5('4|'||s)) AS h4, min(md5('5|'||s)) AS h5,
+        |  min(md5('6|'||s)) AS h6, min(md5('7|'||s)) AS h7
+        |FROM sh GROUP BY doc_id""".stripMargin) { (s, dir) =>
+      MinHashLSH.signatures(
+        MinHashLSH.shingles(Tables.load(s, dir, "documents"), "doc_id", "text", 3),
+        "doc_id", 8)
+    },
+
+    // ---------------------------------------------------------------- q22
+    // LSH banding + bucket join: candidate near-dup pairs, 4 bands x 2 rows.
+    // The only join is equi on (band, band_key) — no all-pairs expansion.
+    Q("q22_lsh_candidates",
+      """WITH w AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, s FROM (
+        |  SELECT doc_id, unnest(list_transform(generate_series(1, greatest(len(w)-2, 1)),
+        |                                       i -> array_to_string(w[i:i+2], ' '))) AS s
+        |  FROM w)),
+        |sig AS (SELECT doc_id,
+        |  min(md5('0|'||s)) AS h0, min(md5('1|'||s)) AS h1,
+        |  min(md5('2|'||s)) AS h2, min(md5('3|'||s)) AS h3,
+        |  min(md5('4|'||s)) AS h4, min(md5('5|'||s)) AS h5,
+        |  min(md5('6|'||s)) AS h6, min(md5('7|'||s)) AS h7
+        |FROM sh GROUP BY doc_id),
+        |bands AS (
+        |  SELECT doc_id, 0 AS band, md5(h0||h1) AS band_key FROM sig
+        |  UNION ALL SELECT doc_id, 1, md5(h2||h3) FROM sig
+        |  UNION ALL SELECT doc_id, 2, md5(h4||h5) FROM sig
+        |  UNION ALL SELECT doc_id, 3, md5(h6||h7) FROM sig)
+        |SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        |FROM bands a JOIN bands b ON a.band = b.band AND a.band_key = b.band_key
+        |WHERE a.doc_id < b.doc_id""".stripMargin) { (s, dir) =>
+      MinHashLSH.candidates(Tables.load(s, dir, "documents"), "doc_id", "text",
+        shingleLen = 3, k = 8, numBands = 4)
+    },
+
+    // ---------------------------------------------------------------- q23
+    // SimHash 32-bit signatures (±1 bit votes over md5-nibble bits).
+    Q("q23_simhash",
+      SimHash.oracleSignatureSql("documents", "doc_id", "text")) { (s, dir) =>
+      SimHash.signatures32(Tables.load(s, dir, "documents"), "doc_id", "text")
+    },
+
+    // ---------------------------------------------------------------- q24
+    // Exact word-3gram Jaccard over source-blocked pairs sharing >= 1
+    // shingle: the verification stage after LSH candidate generation.
+    Q("q24_ngram_jaccard",
+      """WITH w AS (SELECT doc_id, source, string_split_regex(trim(text), '\s+') AS w FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, source, s AS shingle FROM (
+        |  SELECT doc_id, source, unnest(list_transform(generate_series(1, greatest(len(w)-2, 1)),
+        |                                               i -> array_to_string(w[i:i+2], ' '))) AS s
+        |  FROM w)),
+        |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+        |inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+        |  FROM sh a JOIN sh b ON a.source = b.source AND a.shingle = b.shingle
+        |  WHERE a.doc_id < b.doc_id GROUP BY 1, 2)
+        |SELECT id_a, id_b, inter, sa.n_sh AS n_a, sb.n_sh AS n_b,
+        |  CAST(inter AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - inter AS DOUBLE) AS jaccard
+        |FROM inter
+        |JOIN sizes sa ON sa.doc_id = id_a
+        |JOIN sizes sb ON sb.doc_id = id_b""".stripMargin) { (s, dir) =>
+      NgramJaccard.pairs(Tables.load(s, dir, "documents"),
+        "doc_id", "text", "source", n = 3, minJ = 0.0)
+    })
+}

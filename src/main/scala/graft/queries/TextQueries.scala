@@ -1,0 +1,110 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.multimodal.Media
+import graft.text.TextAnalysis
+
+/** Text-analysis + multimodal operators over `documents`. */
+object TextQueries {
+
+  private def profileSql(words: Seq[String]): String =
+    words.map(w => s"'$w'").mkString("(", ", ", ")")
+
+  val all: Seq[Q] = Seq(
+
+    // ---------------------------------------------------------------- q28
+    // Language-ID: stopword-profile argmax with fixed priority tie-breaking.
+    Q("q28_lang_id", {
+      val Seq(en, es, de, fr) = TextAnalysis.langProfiles.map(p => profileSql(p._2))
+      s"""WITH t AS (SELECT doc_id, lang, string_split_regex(trim(text), '\\s+') AS toks
+        |           FROM documents),
+        |s AS (SELECT doc_id, lang,
+        |  len(list_filter(toks, x -> x IN $en)) AS s_en,
+        |  len(list_filter(toks, x -> x IN $es)) AS s_es,
+        |  len(list_filter(toks, x -> x IN $de)) AS s_de,
+        |  len(list_filter(toks, x -> x IN $fr)) AS s_fr
+        |FROM t)
+        |SELECT doc_id, lang,
+        |  CASE WHEN s_en >= s_es AND s_en >= s_de AND s_en >= s_fr THEN 'en'
+        |       WHEN s_es >= s_de AND s_es >= s_fr THEN 'es'
+        |       WHEN s_de >= s_fr THEN 'de' ELSE 'fr' END AS predicted_lang,
+        |  (CASE WHEN s_en >= s_es AND s_en >= s_de AND s_en >= s_fr THEN 'en'
+        |        WHEN s_es >= s_de AND s_es >= s_fr THEN 'es'
+        |        WHEN s_de >= s_fr THEN 'de' ELSE 'fr' END) = lang AS is_correct
+        |FROM s""".stripMargin
+    }) { (s, dir) =>
+      val docs = Tables.load(s, dir, "documents")
+      val pred = TextAnalysis.langIdCol(graft.dedup.MinHashLSH.tokensCol(col("text")))
+      docs.select(col("doc_id"), col("lang"), pred.as("predicted_lang"),
+        (pred === col("lang")).as("is_correct"))
+    },
+
+    // ---------------------------------------------------------------- q29
+    // Quality scoring: length / punctuation / stopword features + clamped
+    // linear score (no transcendentals — bit-stable doubles).
+    Q("q29_quality_score", {
+      val en = profileSql(TextAnalysis.stopwordsEn)
+      s"""WITH f AS (SELECT doc_id,
+        |  length(text) AS n_chars,
+        |  len(string_split_regex(trim(text), '\\s+')) AS n_tokens,
+        |  len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS n_punct,
+        |  len(list_filter(string_split_regex(trim(text), '\\s+'), x -> x IN $en)) AS n_stop,
+        |  length(regexp_replace(text, '\\s', '', 'g')) AS n_nonspace
+        |FROM documents)
+        |SELECT doc_id, n_chars, n_tokens, n_punct, n_stop,
+        |  CAST(n_stop AS DOUBLE) / n_tokens AS stop_ratio,
+        |  CAST(n_nonspace AS DOUBLE) / n_tokens AS avg_token_len,
+        |  CAST(n_punct AS DOUBLE) / n_chars AS punct_ratio,
+        |  greatest(CAST(0 AS DOUBLE), least(CAST(1 AS DOUBLE),
+        |    0.2 + 0.5 * (CAST(n_stop AS DOUBLE) / n_tokens)
+        |        + 0.1 * (CAST(least(n_tokens, 100) AS DOUBLE) / CAST(100 AS DOUBLE))
+        |        - 2.0 * (CAST(n_punct AS DOUBLE) / n_chars))) AS quality_score
+        |FROM f""".stripMargin
+    }) { (s, dir) =>
+      TextAnalysis.qualityFeatures(Tables.load(s, dir, "documents"), "doc_id", "text")
+    },
+
+    // ---------------------------------------------------------------- q30
+    // Token counting: whitespace + BPE-ish regex segmentation + chars/4.
+    Q("q30_token_counts",
+      """SELECT doc_id,
+        |  len(string_split_regex(trim(text), '\s+')) AS n_ws_tokens,
+        |  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')) AS n_bpe_tokens,
+        |  CAST(ceil(CAST(length(text) AS DOUBLE) / 4.0) AS BIGINT) AS n_chars_div4
+        |FROM documents""".stripMargin) { (s, dir) =>
+      TextAnalysis.tokenCounts(Tables.load(s, dir, "documents"), "doc_id", "text")
+    },
+
+    // ---------------------------------------------------------------- q31
+    // Document fingerprinting (winnowing-lite): min/max rolling word-3gram
+    // hash + distinct shingle count.
+    Q("q31_fingerprint",
+      """WITH w AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, s FROM (
+        |  SELECT doc_id, unnest(list_transform(generate_series(1, greatest(len(w)-2, 1)),
+        |                                       i -> array_to_string(w[i:i+2], ' '))) AS s
+        |  FROM w))
+        |SELECT doc_id, min(md5(s)) AS fp_min, max(md5(s)) AS fp_max,
+        |  count(*) AS n_shingles
+        |FROM sh GROUP BY doc_id""".stripMargin) { (s, dir) =>
+      TextAnalysis.fingerprints(Tables.load(s, dir, "documents"), "doc_id", "text")
+    },
+
+    // ---------------------------------------------------------------- q32
+    // Multimodal plumbing: binary payload column + batched mapPartitions
+    // feature extraction (decode STUBbed — deterministic fake features; the
+    // schema/batching/encoder path is the real contract being tested).
+    Q("q32_media_features",
+      """SELECT doc_id AS media_id, 'text/plain' AS media_type,
+        |  CAST(octet_length(encode(text)) AS INT) AS n_bytes,
+        |  md5(text) AS content_hash,
+        |  CAST(n_chars % 640 AS INT) AS width,
+        |  CAST(doc_id % 480 AS INT) AS height
+        |FROM documents""".stripMargin) { (s, dir) =>
+      Media.extractFeatures(Media.fromDocuments(Tables.load(s, dir, "documents")))
+        .toDF()
+        .select(col("media_id"), col("media_type"), col("n_bytes"),
+          col("content_hash"), col("width"), col("height"))
+    })
+}

@@ -1,0 +1,79 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.similarity.Knn
+
+/** Similarity search over the `embeddings` corpus: brute-force cosine top-k
+  * (the exactness baseline), IVF cell-probed ANN (the scale path), and
+  * embedding-cosine near-dup pairs.
+  */
+object VectorQueries {
+
+  private val cosineSql =
+    "list_dot_product(%s, %s) / (sqrt(list_dot_product(%s, %s)) * sqrt(list_dot_product(%s, %s)))"
+
+  private def cos(a: String, b: String) = cosineSql.format(a, b, a, a, b, b)
+
+  val all: Seq[Q] = Seq(
+
+    // ---------------------------------------------------------------- q25
+    // Brute-force cosine top-5 for 20 query vectors: Q×N fused scan, per-
+    // query window for the top-k, double arithmetic as an in-order fold.
+    Q("q25_knn_cosine",
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+        |           FROM embeddings WHERE vec_id < 20),
+        |c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv FROM embeddings),
+        |s AS (SELECT query_id, neighbor_id, ${cos("qv", "cv")} AS cosine_sim
+        |      FROM q, c WHERE query_id <> neighbor_id)
+        |SELECT query_id, neighbor_id, cosine_sim, rank FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY query_id
+        |    ORDER BY cosine_sim DESC, neighbor_id) AS rank FROM s)
+        |WHERE rank <= 5""".stripMargin) { (s, dir) =>
+      val emb = Tables.load(s, dir, "embeddings")
+      Knn.bruteForceTopK(emb.filter(col("vec_id") < 20), emb,
+        "vec_id", "vec_id", "embedding", k = 5)
+    },
+
+    // ---------------------------------------------------------------- q26
+    // IVF ANN: label column as the coarse-quantizer cell, decimal-exact
+    // centroids, nprobe=2 — scans |probed cells| / |cells| of the corpus.
+    Q("q26_ivf_knn",
+      s"""WITH c AS (SELECT label, vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |pe AS (SELECT label, unnest(v) AS val, unnest(generate_series(1, len(v))) AS pos FROM c),
+        |comp AS (SELECT label, pos,
+        |    CAST(SUM(CAST(val AS DECIMAL(27,10))) AS DOUBLE) / COUNT(*) AS comp
+        |  FROM pe GROUP BY 1, 2),
+        |cents AS (SELECT label, list(comp ORDER BY pos) AS centroid FROM comp GROUP BY label),
+        |q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+        |      FROM embeddings WHERE vec_id < 20),
+        |probes AS (SELECT query_id, qv, label FROM (
+        |  SELECT q.query_id, q.qv, ce.label,
+        |    row_number() OVER (PARTITION BY q.query_id
+        |      ORDER BY ${cos("q.qv", "ce.centroid")} DESC, ce.label) AS pr
+        |  FROM q, cents ce) WHERE pr <= 2)
+        |SELECT query_id, probed_cell, neighbor_id, cosine_sim, rank FROM (
+        |  SELECT p.query_id, c.label AS probed_cell, c.vec_id AS neighbor_id,
+        |    ${cos("p.qv", "c.v")} AS cosine_sim,
+        |    row_number() OVER (PARTITION BY p.query_id
+        |      ORDER BY ${cos("p.qv", "c.v")} DESC, c.vec_id) AS rank
+        |  FROM c JOIN probes p USING (label) WHERE p.query_id <> c.vec_id)
+        |WHERE rank <= 5""".stripMargin) { (s, dir) =>
+      val emb = Tables.load(s, dir, "embeddings")
+      Knn.ivfTopK(emb.filter(col("vec_id") < 20), emb,
+        "vec_id", "vec_id", "embedding", cellCol = "label", k = 5, nprobe = 2)
+    },
+
+    // ---------------------------------------------------------------- q27
+    // Embedding-cosine near-duplicate pairs, blocked by label (the block
+    // bounds the quadratic expansion the way LSH bands do for text).
+    Q("q27_embedding_neardup",
+      s"""WITH c AS (SELECT label, vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+        |SELECT a.label, a.vec_id AS id_a, b.vec_id AS id_b,
+        |  ${cos("a.v", "b.v")} AS cosine_sim
+        |FROM c a JOIN c b ON a.label = b.label AND a.vec_id < b.vec_id
+        |WHERE ${cos("a.v", "b.v")} >= 0.3""".stripMargin) { (s, dir) =>
+      Knn.nearDupPairs(Tables.load(s, dir, "embeddings"),
+        "vec_id", "embedding", "label", minSim = 0.3)
+    })
+}

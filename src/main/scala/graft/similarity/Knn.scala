@@ -1,0 +1,121 @@
+package graft.similarity
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate/exact nearest-neighbor search over an embedding column
+  * (`ARRAY<FLOAT>`), plus embedding-based near-duplicate detection.
+  *
+  * Arithmetic contract: embeddings are cast to `ARRAY<DOUBLE>` and reduced
+  * with `aggregate(zip_with(a, b, *), 0d, +)` — a sequential left fold in
+  * index order, bit-identical to any engine that folds a list in order
+  * (verified against DuckDB's `list_dot_product`). No partial-aggregation
+  * reordering can perturb it because the fold happens inside one row.
+  *
+  * Scale shapes:
+  *  - [[bruteForceTopK]]: queries × corpus expansion — right answer for a
+  *    broadcast-sized query set (Q rows against N corpus = Q·N fused rows,
+  *    no shuffle of the corpus; the per-query top-k is a window over the
+  *    query id). The baseline every ANN variant is checked against.
+  *  - [[ivfTopK]]: inverted-file search — corpus pre-bucketed into cells
+  *    (here: the coarse quantizer is pluggable; the label column stands in
+  *    as the cell assignment, exactly how a k-means cell id would), queries
+  *    probe only `nprobe` nearest cells, cutting scanned rows by
+  *    |cells|/nprobe. At 100 TB the cell id becomes the partition key, so a
+  *    probe touches only matching partitions (partition pruning).
+  */
+object Knn {
+
+  /** Sequential in-order dot product of two ARRAY<DOUBLE> columns. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0d), (acc, x) => acc + x)
+
+  def norm(a: Column): Column = sqrt(aggregate(a, lit(0d), (acc, x) => acc + x * x))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Exact top-k cosine neighbors for each query vector.
+    * Output: (query_id, neighbor_id, cosine_sim, rank); ties broken by
+    * neighbor id for determinism. Self-pairs excluded.
+    */
+  def bruteForceTopK(queries: DataFrame, corpus: DataFrame, idQ: String,
+      idC: String, vecCol: String, k: Int): DataFrame = {
+    val q = queries.select(col(idQ).as("query_id"),
+      col(vecCol).cast("array<double>").as("__qv"))
+    val c = corpus.select(col(idC).as("neighbor_id"),
+      col(vecCol).cast("array<double>").as("__cv"))
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosine(col("__qv"), col("__cv")).as("cosine_sim"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine_sim").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
+  /** Positional mean of a vector column per cell — the IVF "centroid" table.
+    * Component sums are decimal-exact (order-independent under parallel
+    * aggregation) and divided once in double, so centroids are deterministic.
+    * Output: (cellCol, centroid ARRAY<DOUBLE>).
+    */
+  def centroids(corpus: DataFrame, cellCol: String, vecCol: String): DataFrame =
+    corpus
+      .select(col(cellCol), posexplode(col(vecCol).cast("array<double>")).as(Seq("__pos", "__v")))
+      .groupBy(col(cellCol), col("__pos"))
+      .agg((sum(col("__v").cast("decimal(27,10)")).cast("double") / count(lit(1))).as("__c"))
+      .groupBy(col(cellCol))
+      .agg(transform(
+        array_sort(collect_list(struct(col("__pos"), col("__c")))),
+        s => s.getField("__c")).as("centroid"))
+
+  /** IVF search: assign each query to its `nprobe` nearest cell centroids,
+    * then brute-force only within those cells. Returns the same shape as
+    * [[bruteForceTopK]] plus the probed cell. Recall < 1.0 by construction;
+    * compare against the brute-force baseline to measure it.
+    */
+  def ivfTopK(queries: DataFrame, corpus: DataFrame, idQ: String, idC: String,
+      vecCol: String, cellCol: String, k: Int, nprobe: Int): DataFrame = {
+    val cents = centroids(corpus, cellCol, vecCol)
+    val q = queries.select(col(idQ).as("query_id"),
+      col(vecCol).cast("array<double>").as("__qv"))
+    // probe assignment: nprobe nearest centroids per query (centroid table is
+    // tiny — broadcast both ways)
+    val wProbe = Window.partitionBy(col("query_id"))
+      .orderBy(col("__csim").desc, col(cellCol).asc)
+    val probes = q.crossJoin(broadcast(cents))
+      .select(col("query_id"), col("__qv"), col(cellCol),
+        cosine(col("__qv"), col("centroid")).as("__csim"))
+      .withColumn("__pr", row_number().over(wProbe))
+      .filter(col("__pr") <= nprobe)
+      .select(col("query_id"), col("__qv"), col(cellCol))
+    val c = corpus.select(col(cellCol), col(idC).as("neighbor_id"),
+      col(vecCol).cast("array<double>").as("__cv"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine_sim").desc, col("neighbor_id").asc)
+    c.join(broadcast(probes), Seq(cellCol))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col(cellCol).as("probed_cell"), col("neighbor_id"),
+        cosine(col("__qv"), col("__cv")).as("cosine_sim"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
+  /** Embedding-cosine near-duplicate pairs within a blocking column:
+    * (id_a, id_b, cosine_sim >= minSim), id_a < id_b. The block bounds the
+    * pair expansion the same way LSH bands do for text.
+    */
+  def nearDupPairs(df: DataFrame, idCol: String, vecCol: String,
+      blockCol: String, minSim: Double): DataFrame = {
+    val v = df.select(col(blockCol), col(idCol),
+      col(vecCol).cast("array<double>").as("__v"))
+    val a = v.select(col(blockCol), col(idCol).as("id_a"), col("__v").as("__va"))
+    val b = v.select(col(blockCol), col(idCol).as("id_b"), col("__v").as("__vb"))
+    a.join(b, Seq(blockCol))
+      .filter(col("id_a") < col("id_b"))
+      .select(col(blockCol), col("id_a"), col("id_b"),
+        cosine(col("__va"), col("__vb")).as("cosine_sim"))
+      .filter(col("cosine_sim") >= minSim)
+  }
+}
