@@ -54,5 +54,8 @@ object Upsert {
     if (fs.exists(dst)) fs.delete(dst, true)
     if (!fs.rename(tmp, dst))
       throw new java.io.IOException(s"snapshot swap failed: $tmp -> $dst")
+    // The session-level FileStatusCache still holds the pre-swap listing;
+    // without this, the next read of `path` fails with FILE_NOT_EXIST.
+    spark.catalog.refreshByPath(path)
   }
 }

@@ -1,0 +1,140 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.model.Schemas
+import graft.ops._
+import graft.source.EodSource
+
+/** One daily run's outcome — the reference's XCom metadata + V4/V5 metric
+  * rows collapsed into plain Scala values (SURVEY §3.1: "XCom becomes plain
+  * Scala values").
+  */
+final case class PipelineReport(
+    tradeDate: String,
+    rawRows: Long,
+    estInserts: Long,
+    estUpdates: Long,
+    coreRows: Long,
+    factRows: Long,
+    rowParity: Boolean)
+
+/** The daily ELT lifecycle of the reference
+  * (`polygon_modern_elt_v2`, dags/get_securities_data.py:71-233) as one Spark
+  * driver program: bronze CSV → RAW (append, lineage) → CORE (dedup + MERGE)
+  * → DIM_SECURITY ∥ DIM_DATE (insert-only MERGEs, key-disjoint — planned as
+  * two independent writes exactly like the reference's parallel fan-out) →
+  * FACT (dims join + MERGE) → reconciliation metrics.
+  *
+  * Storage layout: warehouse-rooted parquet, RAW/CORE/FACT hive-partitioned
+  * by `trade_date` so the reference's ubiquitous date-equality predicate
+  * (merge_core.sql:12 etc.) is partition pruning, and the daily MERGE
+  * rewrites exactly one partition — O(day), not O(history). At 100 TB that
+  * partition discipline *is* the pipeline's scalability story.
+  */
+final class EodPipeline(warehouse: String, minTickers: Long = 100L) {
+
+  val rawPath = s"$warehouse/raw_eod_prices"
+  val corePath = s"$warehouse/core_eod_prices"
+  val dimSecurityPath = s"$warehouse/dim_security"
+  val dimDatePath = s"$warehouse/dim_date"
+  val factPath = s"$warehouse/fact_daily_price"
+
+  private def readIfExists(spark: SparkSession, path: String,
+      schema: org.apache.spark.sql.types.StructType): DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) spark.read.schema(schema).parquet(path)
+    else spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+  }
+
+  /** Single-date partition upsert: read only the affected partition, merge,
+    * swap that partition's directory. The rest of the table is untouched
+    * (never read, never rewritten).
+    */
+  private def upsertDatePartition(spark: SparkSession, tablePath: String,
+      tradeDate: String, source: DataFrame, keys: Seq[String]): Unit = {
+    val partPath = s"$tablePath/trade_date=$tradeDate"
+    val src = source.drop("trade_date")
+    val p = new org.apache.hadoop.fs.Path(partPath)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val merged =
+      if (!fs.exists(p)) src
+      else Upsert.merge(spark.read.schema(src.schema).parquet(partPath), src, keys)
+    Upsert.snapshotWrite(merged, partPath)
+  }
+
+  /** Stage 2-3 of the lifecycle: bronze CSV for one date → validation gates →
+    * RAW append. Returns the landed row count (V1 gate enforced).
+    */
+  def loadRaw(spark: SparkSession, bronzeCsv: String, tradeDate: String): Long = {
+    val bronze = EodSource.readBronzeCsv(spark, bronzeCsv)
+      .withColumn("trade_date", to_date(lit(tradeDate)))
+    val n = Quality.requireMinRows(bronze, minTickers, s"bronze $tradeDate") // V1
+    bronze.write.mode(SaveMode.Append).partitionBy("trade_date").parquet(rawPath)
+    n
+  }
+
+  /** The full daily run (stages 4-8). `bronzeCsv` may contain duplicate rows
+    * (FORCE=TRUE reload semantics) — W1 dedup keeps the latest by
+    * (_ingest_ts, _src_file) exactly like merge_core.sql:13-16.
+    */
+  def runDate(spark: SparkSession, bronzeCsv: String, tradeDate: String): PipelineReport = {
+    val rawRows = loadRaw(spark, bronzeCsv, tradeDate)
+    val d = to_date(lit(tradeDate))
+
+    // CORE: incremental slice of RAW → normalize → dedup-latest → MERGE.
+    val raw = spark.read.schema(Schemas.raw).parquet(rawPath)
+      .filter(col("trade_date") === d) // partition pruning at scale
+      .withColumn("symbol", Normalize.normKey(col("symbol")))
+    val deduped = Dedup.latestBy(raw,
+      Seq(col("symbol"), col("trade_date")),
+      Seq(col("_ingest_ts"), col("_src_file")))
+    val coreExisting = readIfExists(spark, corePath, Schemas.core)
+      .filter(col("trade_date") === d)
+    val premerge = Quality.premergeMetrics(
+      raw.select(col("symbol"), col("trade_date")),
+      coreExisting.select(col("symbol"), col("trade_date")),
+      Seq("symbol", "trade_date")).head()
+    val coreBatch = Normalize.withLoadTs(deduped)
+      .select(Schemas.core.fieldNames.map(col).toIndexedSeq: _*)
+    upsertDatePartition(spark, corePath, tradeDate, coreBatch, Seq("symbol"))
+
+    // DIM_SECURITY ∥ DIM_DATE — key-disjoint insert-only merges.
+    val core = spark.read.schema(Schemas.core).parquet(corePath)
+    val coreDay = core.filter(col("trade_date") === d)
+    val dimSec0 = readIfExists(spark, dimSecurityPath, Schemas.dimSecurity)
+    val newSyms = coreDay.select(col("symbol")).distinct()
+      .join(dimSec0, Seq("symbol"), "left_anti")
+    val dimSec = dimSec0.unionByName(
+      SurrogateKeys.assign(newSyms, "security_id",
+          SurrogateKeys.maxKey(dimSec0, "security_id"), Seq("symbol"))
+        .select(col("security_id"), col("symbol")))
+    Upsert.snapshotWrite(dimSec, dimSecurityPath)
+
+    val dimDate0 = readIfExists(spark, dimDatePath, Schemas.dimDate)
+    val newDates = DateDim.fromDates(coreDay, col("trade_date"))
+      .join(dimDate0.select(col("date_sk")), Seq("date_sk"), "left_anti")
+    Upsert.snapshotWrite(dimDate0.unionByName(newDates), dimDatePath)
+
+    // FACT: dims are broadcast-sized; join through surrogate keys.
+    val dimSecNow = spark.read.schema(Schemas.dimSecurity).parquet(dimSecurityPath)
+    val factBatch = Normalize.withLoadTs(
+      coreDay.join(broadcast(dimSecNow), Seq("symbol"))
+        .withColumn("date_sk", date_format(col("trade_date"), "yyyyMMdd").cast("int")))
+      .select(Schemas.factDailyPrice.fieldNames.map(col).toIndexedSeq: _*)
+    upsertDatePartition(spark, factPath, tradeDate, factBatch, Seq("security_id", "date_sk"))
+
+    // V5 reconciliation for the date.
+    val factDay = spark.read.schema(Schemas.factDailyPrice).parquet(factPath)
+      .filter(col("trade_date") === d)
+    val coreAfter = spark.read.schema(Schemas.core).parquet(corePath)
+      .filter(col("trade_date") === d)
+    val parity = Quality.postmergeParity(coreAfter, factDay).head()
+
+    PipelineReport(tradeDate, rawRows,
+      premerge.getAs[Long]("est_inserts"), premerge.getAs[Long]("est_updates"),
+      parity.getAs[Long]("core_rows"), parity.getAs[Long]("fact_rows"),
+      parity.getAs[Boolean]("row_parity"))
+  }
+}

@@ -1,0 +1,81 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.types.StructType
+import graft.ops.{Dedup, Upsert}
+
+/** Structured-Streaming variant of the incremental pipeline (SURVEY §2.9).
+  *
+  * The reference is a scheduled incremental batch system; its streaming
+  * concerns map to: file source over the bronze directory +
+  * `Trigger.AvailableNow` (catch-up-then-stop, the cron analogue), watermarked
+  * tumbling windows (the trading-date micro-batch), and an idempotent
+  * `foreachBatch` keyed upsert (the MERGE re-runnability + checkpoint story).
+  *
+  * Scale: the file source lists incrementally (maxFilesPerTrigger bounds a
+  * micro-batch); state for the windowed aggregate is bounded by the watermark;
+  * the upsert in foreachBatch reuses the same partition-pruned merge the batch
+  * pipeline uses, so state lives in the table, not the state store.
+  */
+object EventStream {
+
+  /** Bronze-directory file source. Schema must be declared (streaming reads
+    * never infer).
+    */
+  def fileSource(spark: SparkSession, dir: String, schema: StructType,
+      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    val r = spark.readStream.schema(schema)
+    maxFilesPerTrigger.fold(r)(n => r.option("maxFilesPerTrigger", n)).parquet(dir)
+  }
+
+  /** Watermarked tumbling-window aggregation — the streaming form of
+    * q18_tumbling_window (same plan per micro-batch).
+    */
+  def dailyCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 day")
+      .groupBy(window(col("ts"), "1 day"), upper(trim(col("event_type"))).as("event_type"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("total_value"))
+      .select(to_date(col("window.start")).as("window_day"),
+        col("event_type"), col("n_events"), col("total_value"))
+
+  /** Run a streaming frame to a named in-memory sink with AvailableNow,
+    * synchronously (process everything present, then stop). Returns the
+    * sink contents.
+    */
+  def runAvailableNow(df: DataFrame, name: String, outputMode: String = "append"): DataFrame = {
+    val q = df.writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode(outputMode)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    df.sparkSession.table(name)
+  }
+
+  /** Idempotent keyed upsert sink: every micro-batch is deduped to one row
+    * per key and MERGEd into the parquet snapshot — re-delivery of a batch
+    * converges to the same table (exactly-once effect on top of at-least-once
+    * delivery, the reference's FORCE=TRUE + W1 + keyed-MERGE combination).
+    */
+  def upsertSink(events: DataFrame, targetPath: String, checkpoint: String,
+      keys: Seq[String], orderCol: String): StreamingQuery =
+    events.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        val deduped = Dedup.latestBy(batch, keys.map(col), Seq(col(orderCol)))
+        val p = new org.apache.hadoop.fs.Path(targetPath)
+        val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val merged =
+          if (fs.exists(p))
+            Upsert.merge(spark.read.schema(batch.schema).parquet(targetPath), deduped, keys)
+          else deduped
+        Upsert.snapshotWrite(merged, targetPath)
+      }
+      .start()
+}
