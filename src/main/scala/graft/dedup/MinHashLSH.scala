@@ -29,14 +29,18 @@ object MinHashLSH {
     */
   def tokensCol(text: Column): Column = split(trim(text), "\\s+")
 
-  /** Distinct word n-gram shingles: (idCol, shingle). */
-  def shingles(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
+  /** Word n-gram shingles: (idCol, shingle). `distinct = false` skips the
+    * dedup shuffle — correct whenever the consumer is insensitive to shingle
+    * multiplicity (min/max aggregation is; set intersection is not).
+    */
+  def shingles(df: DataFrame, idCol: String, textCol: String, n: Int,
+      distinct: Boolean = true): DataFrame = {
     val w = tokensCol(col(textCol))
-    df.select(col(idCol),
-        explode(transform(
-          sequence(lit(1), greatest(size(w) - (n - 1), lit(1))),
-          i => concat_ws(" ", slice(w, i, lit(n))))).as("shingle"))
-      .distinct()
+    val exploded = df.select(col(idCol),
+      explode(transform(
+        sequence(lit(1), greatest(size(w) - (n - 1), lit(1))),
+        i => concat_ws(" ", slice(w, i, lit(n))))).as("shingle"))
+    if (distinct) exploded.distinct() else exploded
   }
 
   /** k min-hashes per id: columns h0..h{k-1} (lexicographic min of the seeded
@@ -84,7 +88,9 @@ object MinHashLSH {
       shingleLen: Int = 3, k: Int = 8, numBands: Int = 4,
       maxBucketSize: Int = 0): DataFrame = {
     require(numBands > 0 && k % numBands == 0, s"k=$k must split into $numBands bands")
-    val sig = signatures(shingles(df, idCol, textCol, shingleLen), idCol, k)
+    // min() is multiplicity-insensitive: skip the distinct shuffle entirely
+    // and let map-side partial aggregation collapse duplicates.
+    val sig = signatures(shingles(df, idCol, textCol, shingleLen, distinct = false), idCol, k)
     candidatePairs(bands(sig, idCol, numBands, k / numBands), idCol, maxBucketSize)
   }
 }

@@ -1,0 +1,35 @@
+package graft.functions
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** Registers graft's native expressions with a session so they are callable
+  * from SQL as well as the Column API.
+  *
+  * Install at build time:
+  * {{{ SparkSession.builder().withExtensions(new GraftExtensions) }}}
+  * or into a live session with [[GraftExtensions.register]].
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit =
+    GraftExtensions.functions.foreach { case (ident, info, builder) =>
+      e.injectFunction((ident, info, builder))
+    }
+}
+
+object GraftExtensions {
+  private type Builder = Seq[Expression] => Expression
+
+  val functions: Seq[(FunctionIdentifier, ExpressionInfo, Builder)] = Seq(
+    (new FunctionIdentifier("dot_product"),
+      new ExpressionInfo(classOf[DotProduct].getName, "dot_product"),
+      (exprs: Seq[Expression]) => DotProduct(exprs(0), exprs(1))))
+
+  /** Idempotent registration into an already-built session. */
+  def register(spark: SparkSession): Unit =
+    functions.foreach { case (ident, _, builder) =>
+      spark.sessionState.functionRegistry
+        .createOrReplaceTempFunction(ident.funcName, builder, "scala_udf")
+    }
+}

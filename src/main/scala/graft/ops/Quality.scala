@@ -50,6 +50,30 @@ object Quality {
         col("matched_keys").as("est_updates"))
   }
 
+  /** Single-pass form of [[premergeMetrics]] for when the batch and the
+    * existing keys are time-slices of the same table: one scan and one
+    * shuffle on the keys instead of four scans and three shuffles. `isRaw` /
+    * `isExisting` are row-level predicates selecting the two slices.
+    * Identical output contract.
+    */
+  def premergeMetricsFused(df: DataFrame, keys: Seq[String],
+      isRaw: org.apache.spark.sql.Column, isExisting: org.apache.spark.sql.Column): DataFrame = {
+    val flagged = df
+      .select(keys.map(col) :+ isRaw.cast("int").as("__r") :+ isExisting.cast("int").as("__e"): _*)
+      .filter(col("__r") === 1 || col("__e") === 1)
+    flagged.groupBy(keys.map(col): _*)
+      .agg(sum(col("__r")).as("__day_rows"),
+        max(col("__r")).as("__in_raw"), max(col("__e")).as("__in_ex"))
+      .agg(
+        sum(col("__day_rows")).as("raw_rows"),
+        sum(col("__in_raw").cast("long")).as("key_rows"),
+        sum(when(col("__in_raw") === 1 && col("__in_ex") === 1, 1L).otherwise(0L))
+          .as("matched_keys"))
+      .select(col("raw_rows"), col("key_rows"), col("matched_keys"),
+        (col("key_rows") - col("matched_keys")).as("est_inserts"),
+        col("matched_keys").as("est_updates"))
+  }
+
   /** V5 / J10: post-merge reconciliation (postmerge_metrics.sql:4-10) — two
     * scalar counts side by side plus the parity bit.
     */

@@ -158,13 +158,16 @@ object CoreQueries {
         |SELECT raw_rows, key_rows, matched_keys,
         |  key_rows - matched_keys AS est_inserts, matched_keys AS est_updates
         |FROM c1, c2, c3""".stripMargin) { (s, dir) =>
+      // fused single-scan form: both "slices" come from the same table, so
+      // one pass + one shuffle replaces 4 scans + 3 shuffles (same contract
+      // as Quality.premergeMetrics, which the EOD pipeline uses across two
+      // distinct tables)
       val ev = Tables.load(s, dir, "events")
-      val raw = ev.filter(col("ts") >= lit("2024-01-15 00:00:00").cast("timestamp") &&
-        col("ts") < lit("2024-01-16 00:00:00").cast("timestamp"))
-        .select(col("user_id"), Normalize.normKey(col("event_type")).as("et"))
-      val existing = ev.filter(col("ts") < lit("2024-01-15 00:00:00").cast("timestamp"))
-        .select(col("user_id"), Normalize.normKey(col("event_type")).as("et"))
-      Quality.premergeMetrics(raw, existing, Seq("user_id", "et"))
+        .select(col("user_id"), Normalize.normKey(col("event_type")).as("et"), col("ts"))
+      Quality.premergeMetricsFused(ev, Seq("user_id", "et"),
+        isRaw = col("ts") >= lit("2024-01-15 00:00:00").cast("timestamp") &&
+          col("ts") < lit("2024-01-16 00:00:00").cast("timestamp"),
+        isExisting = col("ts") < lit("2024-01-15 00:00:00").cast("timestamp"))
     },
 
     // ---------------------------------------------------------------- q08

@@ -39,7 +39,8 @@ object DedupQueries {
         |  min(md5('6|'||s)) AS h6, min(md5('7|'||s)) AS h7
         |FROM sh GROUP BY doc_id""".stripMargin) { (s, dir) =>
       MinHashLSH.signatures(
-        MinHashLSH.shingles(Tables.load(s, dir, "documents"), "doc_id", "text", 3),
+        MinHashLSH.shingles(Tables.load(s, dir, "documents"), "doc_id", "text", 3,
+          distinct = false), // min() is multiplicity-insensitive
         "doc_id", 8)
     },
 

@@ -3,36 +3,38 @@ package graft.similarity
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.functions.DotProduct
 
 /** Approximate/exact nearest-neighbor search over an embedding column
   * (`ARRAY<FLOAT>`), plus embedding-based near-duplicate detection.
   *
-  * Arithmetic contract: embeddings are cast to `ARRAY<DOUBLE>` and reduced
-  * with `aggregate(zip_with(a, b, *), 0d, +)` — a sequential left fold in
-  * index order, bit-identical to any engine that folds a list in order
-  * (verified against DuckDB's `list_dot_product`). No partial-aggregation
-  * reordering can perturb it because the fold happens inside one row.
+  * Arithmetic contract: dot products run through the native
+  * [[graft.functions.DotProduct]] expression — a codegen'd sequential fold in
+  * index order with per-element widening to double, bit-identical to
+  * `aggregate(zip_with(cast(a as array<double>), ...))` and to DuckDB's
+  * `list_dot_product` on `DOUBLE[]`. Norms are precomputed once per vector
+  * (not once per pair): `cos = dot(a,b) / (norm_a * norm_b)` evaluates the
+  * exact same doubles as the naive per-pair form, ~3× fewer array traversals.
   *
   * Scale shapes:
   *  - [[bruteForceTopK]]: queries × corpus expansion — right answer for a
-  *    broadcast-sized query set (Q rows against N corpus = Q·N fused rows,
-  *    no shuffle of the corpus; the per-query top-k is a window over the
-  *    query id). The baseline every ANN variant is checked against.
+  *    broadcast-sized query set (the corpus never shuffles; the per-query
+  *    top-k is a window over the query id). The exactness baseline every ANN
+  *    variant is measured against.
   *  - [[ivfTopK]]: inverted-file search — corpus pre-bucketed into cells
-  *    (here: the coarse quantizer is pluggable; the label column stands in
-  *    as the cell assignment, exactly how a k-means cell id would), queries
-  *    probe only `nprobe` nearest cells, cutting scanned rows by
-  *    |cells|/nprobe. At 100 TB the cell id becomes the partition key, so a
-  *    probe touches only matching partitions (partition pruning).
+  *    (the coarse quantizer is pluggable; the label column stands in exactly
+  *    as a k-means cell id would), queries probe only `nprobe` nearest
+  *    cells. At 100 TB the cell id becomes the partition key, so a probe
+  *    touches only matching partitions (partition pruning).
   */
 object Knn {
 
-  /** Sequential in-order dot product of two ARRAY<DOUBLE> columns. */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0d), (acc, x) => acc + x)
+  /** In-order double dot product (native codegen'd expression). */
+  def dot(a: Column, b: Column): Column = DotProduct(a, b)
 
-  def norm(a: Column): Column = sqrt(aggregate(a, lit(0d), (acc, x) => acc + x * x))
+  def norm(a: Column): Column = sqrt(DotProduct(a, a))
 
+  /** Per-pair cosine; prefer the precomputed-norm form in joins. */
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
   /** Exact top-k cosine neighbors for each query vector.
@@ -41,14 +43,14 @@ object Knn {
     */
   def bruteForceTopK(queries: DataFrame, corpus: DataFrame, idQ: String,
       idC: String, vecCol: String, k: Int): DataFrame = {
-    val q = queries.select(col(idQ).as("query_id"),
-      col(vecCol).cast("array<double>").as("__qv"))
-    val c = corpus.select(col(idC).as("neighbor_id"),
-      col(vecCol).cast("array<double>").as("__cv"))
+    val q = queries.select(col(idQ).as("query_id"), col(vecCol).as("__qv"))
+      .withColumn("__qn", norm(col("__qv")))
+    val c = corpus.select(col(idC).as("neighbor_id"), col(vecCol).as("__cv"))
+      .withColumn("__cn", norm(col("__cv")))
     val scored = c.crossJoin(broadcast(q))
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
-        cosine(col("__qv"), col("__cv")).as("cosine_sim"))
+        (dot(col("__qv"), col("__cv")) / (col("__qn") * col("__cn"))).as("cosine_sim"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine_sim").desc, col("neighbor_id").asc)
     scored.withColumn("rank", row_number().over(w))
@@ -78,26 +80,27 @@ object Knn {
   def ivfTopK(queries: DataFrame, corpus: DataFrame, idQ: String, idC: String,
       vecCol: String, cellCol: String, k: Int, nprobe: Int): DataFrame = {
     val cents = centroids(corpus, cellCol, vecCol)
-    val q = queries.select(col(idQ).as("query_id"),
-      col(vecCol).cast("array<double>").as("__qv"))
+      .withColumn("__ctn", norm(col("centroid")))
+    val q = queries.select(col(idQ).as("query_id"), col(vecCol).as("__qv"))
+      .withColumn("__qn", norm(col("__qv")))
     // probe assignment: nprobe nearest centroids per query (centroid table is
     // tiny — broadcast both ways)
     val wProbe = Window.partitionBy(col("query_id"))
       .orderBy(col("__csim").desc, col(cellCol).asc)
     val probes = q.crossJoin(broadcast(cents))
-      .select(col("query_id"), col("__qv"), col(cellCol),
-        cosine(col("__qv"), col("centroid")).as("__csim"))
+      .select(col("query_id"), col("__qv"), col("__qn"), col(cellCol),
+        (dot(col("__qv"), col("centroid")) / (col("__qn") * col("__ctn"))).as("__csim"))
       .withColumn("__pr", row_number().over(wProbe))
       .filter(col("__pr") <= nprobe)
-      .select(col("query_id"), col("__qv"), col(cellCol))
-    val c = corpus.select(col(cellCol), col(idC).as("neighbor_id"),
-      col(vecCol).cast("array<double>").as("__cv"))
+      .select(col("query_id"), col("__qv"), col("__qn"), col(cellCol))
+    val c = corpus.select(col(cellCol), col(idC).as("neighbor_id"), col(vecCol).as("__cv"))
+      .withColumn("__cn", norm(col("__cv")))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine_sim").desc, col("neighbor_id").asc)
     c.join(broadcast(probes), Seq(cellCol))
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col(cellCol).as("probed_cell"), col("neighbor_id"),
-        cosine(col("__qv"), col("__cv")).as("cosine_sim"))
+        (dot(col("__qv"), col("__cv")) / (col("__qn") * col("__cn"))).as("cosine_sim"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
   }
@@ -108,14 +111,16 @@ object Knn {
     */
   def nearDupPairs(df: DataFrame, idCol: String, vecCol: String,
       blockCol: String, minSim: Double): DataFrame = {
-    val v = df.select(col(blockCol), col(idCol),
-      col(vecCol).cast("array<double>").as("__v"))
-    val a = v.select(col(blockCol), col(idCol).as("id_a"), col("__v").as("__va"))
-    val b = v.select(col(blockCol), col(idCol).as("id_b"), col("__v").as("__vb"))
+    val v = df.select(col(blockCol), col(idCol), col(vecCol).as("__v"))
+      .withColumn("__n", norm(col("__v")))
+    val a = v.select(col(blockCol), col(idCol).as("id_a"),
+      col("__v").as("__va"), col("__n").as("__na"))
+    val b = v.select(col(blockCol), col(idCol).as("id_b"),
+      col("__v").as("__vb"), col("__n").as("__nb"))
     a.join(b, Seq(blockCol))
       .filter(col("id_a") < col("id_b"))
       .select(col(blockCol), col("id_a"), col("id_b"),
-        cosine(col("__va"), col("__vb")).as("cosine_sim"))
+        (dot(col("__va"), col("__vb")) / (col("__na") * col("__nb"))).as("cosine_sim"))
       .filter(col("cosine_sim") >= minSim)
   }
 }

@@ -92,10 +92,10 @@ object TextAnalysis {
     * window selection (true winnowing) refines this with the same plumbing.
     */
   def fingerprints(df: DataFrame, idCol: String, textCol: String, n: Int = 3): DataFrame =
-    MinHashLSH.shingles(df, idCol, textCol, n)
+    MinHashLSH.shingles(df, idCol, textCol, n, distinct = false)
       .groupBy(col(idCol))
       .agg(
-        min(md5(col("shingle"))).as("fp_min"),
+        min(md5(col("shingle"))).as("fp_min"),      // multiplicity-insensitive
         max(md5(col("shingle"))).as("fp_max"),
-        count(lit(1)).as("n_shingles"))
+        countDistinct(col("shingle")).as("n_shingles"))
 }
