@@ -185,6 +185,38 @@ object StarQueries {
         .limit(10)
     },
 
+    // ---------------------------------------------------------------- q33
+    // J3: expression equi-join — the join predicate itself computes
+    // UPPER(TRIM()) on the probe side (premerge_metrics.sql:20-25 shape).
+    Q("q33_expr_join",
+      """WITH dim AS (SELECT DISTINCT upper(trim(event_type)) AS et FROM events)
+        |SELECT d.et, count(*) AS n_events
+        |FROM events e JOIN dim d ON upper(trim(e.event_type)) = d.et
+        |GROUP BY d.et""".stripMargin) { (s, dir) =>
+      val ev = Tables.load(s, dir, "events")
+      val dim = ev.select(Normalize.normKey(col("event_type")).as("et")).distinct()
+      ev.join(broadcast(dim), Normalize.normKey(col("event_type")) === col("et"))
+        .groupBy(col("et"))
+        .agg(count(lit(1)).as("n_events"))
+    },
+
+    // ---------------------------------------------------------------- q34
+    // §2.10: typed Aggregator — VWAP (SUMX(px*qty)/SUM(qty)) as a reusable
+    // named aggregate with exact decimal partial sums.
+    Q("q34_vwap",
+      """SELECT l_suppkey,
+        |  round(CAST(SUM(CAST(l_extendedprice AS DECIMAL(19,6)) * CAST(l_quantity AS DECIMAL(19,6))) AS DOUBLE)
+        |    / CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE), 6) AS vwap
+        |FROM lineitem GROUP BY l_suppkey""".stripMargin) { (s, dir) =>
+      // round(_, 6) on both sides: DuckDB's decimal->double conversion is
+      // double-rounded (int128 / 10^s) and can sit 1 ulp away from Spark's
+      // correctly-rounded BigDecimal conversion; 6-dp rounding absorbs it.
+      Tables.load(s, dir, "lineitem")
+        .groupBy(col("l_suppkey"))
+        .agg(round(
+          graft.analytics.Vwap.column(col("l_extendedprice"), col("l_quantity")), 6).as("vwap"))
+    },
+
     // ---------------------------------------------------------------- q18
     // §2.9: tumbling 1-day window aggregation — the batch shape of the
     // streaming variant (same plan Structured Streaming produces per

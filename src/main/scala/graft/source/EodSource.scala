@@ -62,6 +62,20 @@ object EodSource {
   private def typed(c: org.apache.spark.sql.Column, dt: org.apache.spark.sql.types.DataType) =
     Normalize.tryTo(Normalize.nullIfTokens(c), dt)
 
+  /** S3: bronze CSV sink — header + comma layout exactly as the reference's
+    * writer emits it (`trade_date,symbol,open,...`, eod_data_downloader.py:
+    * 153-163). Missing values serialize as empty fields (the writer's
+    * `ticker_data.get(field, "")`), which [[readBronzeCsv]]'s NULL_IF maps
+    * back to NULL — the round-trip is lossless.
+    */
+  def writeBronzeCsv(df: DataFrame, path: String): Unit =
+    df.select(
+        col("trade_date").cast("string"), col("symbol"),
+        col("open").cast("string"), col("high").cast("string"),
+        col("low").cast("string"), col("close").cast("string"),
+        col("volume").cast("string"))
+      .write.option("header", "true").option("emptyValue", "").csv(path)
+
   /** S4: idempotent sink — skip the write if the target already exists
     * (`replace=False` S3 upload, get_securities_data.py:117-132). Returns
     * true when a write happened.
