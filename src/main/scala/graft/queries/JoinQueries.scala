@@ -1,0 +1,79 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.ops.{AsOfJoin, Dedup, RangeJoin, Skew}
+
+/** Join operators beyond Spark's built-ins: as-of, range, and salted-skew —
+  * each expressed compose-first (one bounded shuffle, no nested loops).
+  */
+object JoinQueries {
+
+  val all: Seq[Q] = Seq(
+
+    // ---------------------------------------------------------------- q35
+    // As-of join: for each purchase, the most recent prior (or simultaneous)
+    // view by the same user. DuckDB's native ASOF JOIN is the oracle; the
+    // Spark side is the union+window composition (one shuffle on user_id).
+    Q("q35_asof_join",
+      """WITH v AS (
+        |  SELECT user_id, ts, event_id, value FROM events WHERE event_type = 'view'
+        |  QUALIFY row_number() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) = 1),
+        |p AS (SELECT user_id, ts, event_id FROM events WHERE event_type = 'purchase')
+        |SELECT p.event_id, p.user_id,
+        |  v.event_id AS view_event_id, v.value AS view_value
+        |FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND p.ts >= v.ts""".stripMargin) { (s, dir) =>
+      val ev = Tables.load(s, dir, "events")
+      val views = Dedup.latestBy( // unique per (user, ts): determinism contract
+        ev.filter(col("event_type") === "view")
+          .select(col("user_id"), col("ts"), col("event_id"), col("value")),
+        Seq(col("user_id"), col("ts")), Seq(col("event_id")))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("event_id"))
+      AsOfJoin.backward(purchases, views, Seq("user_id"), "ts", "ts",
+          Seq("event_id" -> "view_event_id", "value" -> "view_value"))
+        .select(col("event_id"), col("user_id"), col("view_event_id"), col("view_value"))
+    },
+
+    // ---------------------------------------------------------------- q36
+    // Range join, bucketized: clicks within the 10 minutes preceding each
+    // error, same user. Equi-join on (user, time-bucket) + exact predicate —
+    // never a nested loop.
+    Q("q36_range_join",
+      """SELECT l.event_id, count(*) AS n_recent_clicks
+        |FROM (SELECT user_id, ts, event_id FROM events WHERE event_type = 'error') l
+        |JOIN (SELECT user_id, ts FROM events WHERE event_type = 'click') r
+        |  ON l.user_id = r.user_id
+        | AND epoch_us(r.ts) >= epoch_us(l.ts) - 600000000
+        | AND epoch_us(r.ts) <= epoch_us(l.ts)
+        |GROUP BY l.event_id""".stripMargin) { (s, dir) =>
+      val ev = Tables.load(s, dir, "events")
+      val errors = ev.filter(col("event_type") === "error")
+        .select(col("user_id"), col("ts"), col("event_id"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts").as("click_ts"))
+      RangeJoin.timeWindow(errors, clicks, Seq("user_id"), "ts", "click_ts",
+          lowerUs = -600000000L, upperUs = 0L)
+        .groupBy(col("event_id"))
+        .agg(count(lit(1)).as("n_recent_clicks"))
+    },
+
+    // ---------------------------------------------------------------- q37
+    // Salted skew join: lineitem ⋈ orders with the big side salted 8 ways —
+    // result identical to the plain join (the oracle), hot keys spread over
+    // 8 tasks.
+    Q("q37_salted_join",
+      """SELECT o_orderpriority,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS revenue,
+        |  count(*) AS n_rows
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority""".stripMargin) { (s, dir) =>
+      val li = Tables.load(s, dir, "lineitem")
+      val o = Tables.load(s, dir, "orders")
+        .withColumnRenamed("o_orderkey", "l_orderkey")
+      Skew.saltedJoin(li, o, Seq("l_orderkey"), n = 8)
+        .groupBy(col("o_orderpriority"))
+        .agg(sum(col("l_extendedprice").cast("decimal(18,6)")).cast("decimal(38,6)").as("revenue"),
+          count(lit(1)).as("n_rows"))
+    })
+}

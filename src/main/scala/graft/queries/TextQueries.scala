@@ -91,6 +91,33 @@ object TextQueries {
       TextAnalysis.fingerprints(Tables.load(s, dir, "documents"), "doc_id", "text")
     },
 
+    // ---------------------------------------------------------------- q38
+    // PII-style redaction: digit runs in the JSON props replaced with a
+    // token; counts prove the rewrite (regex kept in the RE2 ∩ Java subset).
+    Q("q38_redact",
+      """SELECT event_id,
+        |  regexp_replace(props, '[0-9]+', '<NUM>', 'g') AS redacted,
+        |  len(regexp_extract_all(props, '[0-9]+')) AS n_redactions
+        |FROM events""".stripMargin) { (s, dir) =>
+      Tables.load(s, dir, "events")
+        .select(col("event_id"),
+          regexp_replace(col("props"), "[0-9]+", "<NUM>").as("redacted"),
+          size(regexp_extract_all(col("props"), lit("[0-9]+"), lit(0))).as("n_redactions"))
+    },
+
+    // ---------------------------------------------------------------- q39
+    // Document chunking: 20-token sliding windows, stride 15 — the
+    // training-data segmentation shape (narrow, shuffle-free).
+    Q("q39_chunking",
+      """WITH w AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents)
+        |SELECT doc_id, i AS chunk_start,
+        |  array_to_string(w[i:i+19], ' ') AS chunk_text,
+        |  least(len(w) - i + 1, 20) AS n_tokens
+        |FROM (SELECT doc_id, w, unnest(generate_series(1, greatest(len(w), 1), 15)) AS i FROM w)""".stripMargin) { (s, dir) =>
+      graft.text.Chunker.chunkByTokens(Tables.load(s, dir, "documents"),
+        "doc_id", "text", size = 20, stride = 15)
+    },
+
     // ---------------------------------------------------------------- q32
     // Multimodal plumbing: binary payload column + batched mapPartitions
     // feature extraction (decode STUBbed — deterministic fake features; the
