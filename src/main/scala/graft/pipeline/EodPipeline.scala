@@ -64,14 +64,26 @@ final class EodPipeline(warehouse: String, minTickers: Long = 100L) {
     Upsert.snapshotWrite(merged, partPath)
   }
 
-  /** Stage 2-3 of the lifecycle: bronze CSV for one date → validation gates →
-    * RAW append. Returns the landed row count (V1 gate enforced).
+  /** Stage 2-3 of the lifecycle: bronze CSV for one date → RAW append with
+    * the V1 row-count gate evaluated by `observe` ON the write pass (one
+    * scan, not two). A failing gate compensates by deleting the partition
+    * just written — at scale the saved re-read of the bronze batch outweighs
+    * the rare rollback delete.
     */
   def loadRaw(spark: SparkSession, bronzeCsv: String, tradeDate: String): Long = {
+    val obs = org.apache.spark.sql.Observation(s"v1-gate-$tradeDate")
     val bronze = EodSource.readBronzeCsv(spark, bronzeCsv)
       .withColumn("trade_date", to_date(lit(tradeDate)))
-    val n = Quality.requireMinRows(bronze, minTickers, s"bronze $tradeDate") // V1
+      .observe(obs, count(lit(1)).as("rows"))
     bronze.write.mode(SaveMode.Append).partitionBy("trade_date").parquet(rawPath)
+    val n = obs.get("rows").asInstanceOf[Long]
+    if (n < minTickers) { // V1 (eod_data_downloader.py:138-145), compensating
+      val p = new org.apache.hadoop.fs.Path(s"$rawPath/trade_date=$tradeDate")
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(p)) fs.delete(p, true)
+      throw new IllegalArgumentException(
+        s"bronze $tradeDate: expected >= $minTickers rows, got $n")
+    }
     n
   }
 

@@ -64,6 +64,37 @@ object VectorQueries {
         "vec_id", "vec_id", "embedding", cellCol = "label", k = 5, nprobe = 2)
     },
 
+    // ---------------------------------------------------------------- q40
+    // Sign-LSH bucketed ANN: 8 portable Rademacher hyperplanes (md5-parity,
+    // emitted as literal arrays on both engines so the projections are the
+    // same in-order double folds), bucket-collision candidates only.
+    Q("q40_lsh_knn", {
+      def planeSql(p: Int): String =
+        (0 until 64).map { d =>
+          val hex = java.security.MessageDigest.getInstance("MD5")
+            .digest(s"${p}_$d".getBytes("UTF-8"))
+          if (((hex(0) >> 4) & 0xf) % 2 == 0) "1.0" else "-1.0"
+        }.mkString("[", ",", "]::DOUBLE[]")
+      val bucketExpr = (0 until 8).map(p =>
+        s"(CASE WHEN list_dot_product(v, ${planeSql(p)}) > 0 THEN ${1 << p} ELSE 0 END)")
+        .mkString(" + ")
+      s"""WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |b AS (SELECT vec_id, v, $bucketExpr AS bucket FROM c),
+        |q AS (SELECT vec_id AS query_id, v AS qv, bucket FROM b WHERE vec_id < 20)
+        |SELECT query_id, bucket, neighbor_id, cosine_sim, rank FROM (
+        |  SELECT q.query_id, q.bucket, b.vec_id AS neighbor_id,
+        |    ${cos("q.qv", "b.v")} AS cosine_sim,
+        |    row_number() OVER (PARTITION BY q.query_id
+        |      ORDER BY ${cos("q.qv", "b.v")} DESC, b.vec_id) AS rank
+        |  FROM b JOIN q USING (bucket) WHERE q.query_id <> b.vec_id)
+        |WHERE rank <= 5""".stripMargin
+    }) { (s, dir) =>
+      val emb = Tables.load(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+      graft.similarity.SignLSH.bucketTopK(emb.filter(col("vec_id") < 20), emb,
+        "vec_id", "vec_id", "embedding", nBits = 8, dim = 64, k = 5)
+    },
+
     // ---------------------------------------------------------------- q27
     // Embedding-cosine near-duplicate pairs, blocked by label (the block
     // bounds the quadratic expansion the way LSH bands do for text).

@@ -1,0 +1,73 @@
+package graft.similarity
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.DotProduct
+
+/** Random-hyperplane (sign) LSH over embeddings — the LSH-bucketed ANN
+  * variant (Charikar '02): `nBits` Rademacher hyperplanes hash each vector
+  * to a bit signature; cosine-similar vectors collide with probability
+  * `1 - θ/π` per bit. Candidates are restricted to bucket collisions, so
+  * search cost scales with bucket occupancy, not corpus size.
+  *
+  * The hyperplanes are pseudo-random but engine-portable: plane p's
+  * component d is ±1 by the parity of the first hex nibble of
+  * `md5(p || "_" || d)` — any engine with md5 reproduces the exact planes,
+  * keeping bucket assignments oracle-checkable (the same trick the MinHash
+  * family uses).
+  *
+  * Scale: signatures are one narrow projection (nBits dot products per
+  * row); the bucket join shuffles on the bucket key only. At 100 TB the
+  * bucket key doubles as the storage partition key, so probes prune
+  * partitions. Multi-probe (flipping low-confidence bits) or multiple
+  * tables raise recall the standard way.
+  */
+object SignLSH {
+
+  /** ±1.0 Rademacher component for plane `p`, dimension `d` (deterministic,
+    * engine-portable).
+    */
+  private def planeComponent(p: Int, d: Int): Double = {
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"${p}_$d".getBytes("UTF-8"))
+    val nibble = (hex(0) >> 4) & 0xf
+    if (nibble % 2 == 0) 1.0 else -1.0
+  }
+
+  /** The plane matrix as literal arrays — resolves at plan time, so the
+    * per-row work is `nBits` codegen'd dot products against constants.
+    */
+  def planes(nBits: Int, dim: Int): Seq[Column] =
+    (0 until nBits).map(p => array((0 until dim).map(d => lit(planeComponent(p, d))): _*))
+
+  /** Append an integer `bucket` column: bit p set iff v · plane_p > 0. */
+  def withBucket(df: DataFrame, vecCol: String, nBits: Int, dim: Int): DataFrame = {
+    val bucket = planes(nBits, dim).zipWithIndex.map { case (plane, p) =>
+      when(DotProduct(col(vecCol), plane) > 0d, lit(1 << p)).otherwise(lit(0))
+    }.reduce(_ + _)
+    df.withColumn("bucket", bucket)
+  }
+
+  /** LSH-bucketed top-k cosine search: queries only scan their own bucket.
+    * Same output shape as [[Knn.bruteForceTopK]] plus the bucket; recall
+    * measured against the brute-force baseline.
+    */
+  def bucketTopK(queries: DataFrame, corpus: DataFrame, idQ: String, idC: String,
+      vecCol: String, nBits: Int, dim: Int, k: Int): DataFrame = {
+    val q = withBucket(queries, vecCol, nBits, dim)
+      .select(col(idQ).as("query_id"), col(vecCol).as("__qv"), col("bucket"))
+      .withColumn("__qn", Knn.norm(col("__qv")))
+    val c = withBucket(corpus, vecCol, nBits, dim)
+      .select(col(idC).as("neighbor_id"), col(vecCol).as("__cv"), col("bucket"))
+      .withColumn("__cn", Knn.norm(col("__cv")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine_sim").desc, col("neighbor_id").asc)
+    c.join(broadcast(q), Seq("bucket"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("bucket"), col("neighbor_id"),
+        (Knn.dot(col("__qv"), col("__cv")) / (col("__qn") * col("__cn"))).as("cosine_sim"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+}
