@@ -58,6 +58,26 @@ object JoinQueries {
         .agg(count(lit(1)).as("n_recent_clicks"))
     },
 
+    // ---------------------------------------------------------------- q41
+    // Custom whole-operator (LogicalPlan + SparkStrategy + SparkPlan):
+    // bounded-heap top-k per group — O(n log k) / fixed memory vs the window
+    // form's full per-group sort. Oracle = the QUALIFY row_number form.
+    Q("q41_topk_per_group",
+      """SELECT o_orderpriority, o_orderkey, o_custkey, o_totalprice, rank FROM (
+        |  SELECT o_orderpriority, o_orderkey, o_custkey, o_totalprice,
+        |    CAST(row_number() OVER (PARTITION BY o_orderpriority
+        |      ORDER BY o_totalprice DESC, o_orderkey) AS INT) AS rank
+        |  FROM orders)
+        |WHERE rank <= 3""".stripMargin) { (s, dir) =>
+      graft.plans.TopK.perGroup(
+        Tables.load(s, dir, "orders")
+          .select(col("o_orderpriority"), col("o_orderkey"), col("o_custkey"),
+            col("o_totalprice")),
+        groupCols = Seq("o_orderpriority"),
+        orderCols = Seq("o_totalprice" -> true, "o_orderkey" -> false),
+        k = 3)
+    },
+
     // ---------------------------------------------------------------- q37
     // Salted skew join: lineitem ⋈ orders with the big side salted 8 ways —
     // result identical to the plain join (the oracle), hot keys spread over

@@ -15,4 +15,15 @@ import org.apache.spark.sql.classic.ExpressionUtils
 package object graftcol {
   def toColumn(e: Expression): Column = ExpressionUtils.column(e)
   def toExpression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** DataFrame from a (resolved) logical plan — `Dataset.ofRows` is
+    * `private[sql]`; needed to hand custom logical operators to the planner.
+    */
+  def toDataFrame(spark: SparkSession,
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): DataFrame =
+    classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
+
+  /** The analyzed logical plan behind a DataFrame. */
+  def logicalPlan(df: DataFrame): org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
+    df.queryExecution.analyzed
 }
