@@ -29,7 +29,9 @@ object Tables {
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val df = spark.read.parquet(path)
       if (df.schema("ts").dataType == LongType)
-        df.withColumn("ts", timestamp_micros((col("ts") / 1000).cast("long")))
+        // integer division: `/` is double division and epoch-ns magnitudes
+        // exceed 2^53, which silently perturbs the low microsecond digit
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
       else df
     }
   }

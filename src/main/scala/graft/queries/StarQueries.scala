@@ -217,6 +217,45 @@ object StarQueries {
           graft.analytics.Vwap.column(col("l_extendedprice"), col("l_quantity")), 6).as("vwap"))
     },
 
+    // ---------------------------------------------------------------- q42
+    // Gap sessionization (30-min inactivity), batch form: lag + conditional
+    // running sum — one shuffle on the key. The streaming twin
+    // (flatMapGroupsWithState) is checked against this in SessionizeSpec.
+    Q("q42_sessionize",
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS us FROM events),
+        |m AS (SELECT user_id, us,
+        |  CASE WHEN lag(us) OVER w IS NULL OR us - lag(us) OVER w > 1800000000
+        |       THEN 1 ELSE 0 END AS s
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us)),
+        |sess AS (SELECT user_id, us,
+        |  CAST(SUM(s) OVER (PARTITION BY user_id ORDER BY us
+        |                    ROWS UNBOUNDED PRECEDING) AS INT) AS session_id
+        |  FROM m)
+        |SELECT user_id, session_id, count(*) AS n_events,
+        |  min(us) AS start_us, max(us) AS end_us
+        |FROM sess GROUP BY 1, 2""".stripMargin) { (s, dir) =>
+      graft.streaming.Sessionize.batchSummary(
+        Tables.load(s, dir, "events"), "user_id", "ts", gapMinutes = 30)
+    },
+
+    // ---------------------------------------------------------------- q43
+    // Exact interpolated percentiles (median, p95) — Spark `percentile` and
+    // DuckDB `quantile_cont` share the linear-interpolation definition;
+    // 6-dp rounding absorbs conversion ulps.
+    Q("q43_percentiles",
+      """SELECT o_orderpriority,
+        |  round(quantile_cont(o_totalprice, 0.5), 6) AS p50,
+        |  round(quantile_cont(o_totalprice, 0.95), 6) AS p95,
+        |  count(*) AS n
+        |FROM orders GROUP BY o_orderpriority""".stripMargin) { (s, dir) =>
+      Tables.load(s, dir, "orders")
+        .groupBy(col("o_orderpriority"))
+        .agg(
+          round(expr("percentile(o_totalprice, 0.5)"), 6).as("p50"),
+          round(expr("percentile(o_totalprice, 0.95)"), 6).as("p95"),
+          count(lit(1)).as("n"))
+    },
+
     // ---------------------------------------------------------------- q18
     // §2.9: tumbling 1-day window aggregation — the batch shape of the
     // streaming variant (same plan Structured Streaming produces per
