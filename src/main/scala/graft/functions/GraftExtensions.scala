@@ -12,10 +12,12 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   * or into a live session with [[GraftExtensions.register]].
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(e: SparkSessionExtensions): Unit =
+  override def apply(e: SparkSessionExtensions): Unit = {
     GraftExtensions.functions.foreach { case (ident, info, builder) =>
       e.injectFunction((ident, info, builder))
     }
+    e.injectPlannerStrategy(_ => graft.plans.TopKStrategy)
+  }
 }
 
 object GraftExtensions {

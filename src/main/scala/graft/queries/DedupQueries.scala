@@ -78,6 +78,45 @@ object DedupQueries {
       SimHash.signatures32(Tables.load(s, dir, "documents"), "doc_id", "text")
     },
 
+    // ---------------------------------------------------------------- q44
+    // Quality-aware dedup survivor selection: within each near-dup block
+    // (here: equal fingerprint fp_min), keep the highest-quality document —
+    // the dedup + quality-score composition a curation pipeline runs.
+    Q("q44_dedup_keep_best", {
+      val en = graft.text.TextAnalysis.stopwordsEn.map(w => s"'$w'").mkString("(", ", ", ")")
+      s"""WITH w AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, s FROM (
+        |  SELECT doc_id, unnest(list_transform(generate_series(1, greatest(len(w)-2, 1)),
+        |                                       i -> array_to_string(w[i:i+2], ' '))) AS s
+        |  FROM w)),
+        |fp AS (SELECT doc_id, min(md5(s)) AS fp_min FROM sh GROUP BY doc_id),
+        |q AS (SELECT doc_id,
+        |  len(list_filter(string_split_regex(trim(text), '\\s+'), x -> x IN $en)) AS n_stop
+        |  FROM documents)
+        |SELECT fp_min, doc_id, n_members FROM (
+        |  SELECT fp.fp_min, fp.doc_id,
+        |    count(*) OVER (PARTITION BY fp.fp_min) AS n_members,
+        |    row_number() OVER (PARTITION BY fp.fp_min
+        |      ORDER BY q.n_stop DESC, fp.doc_id) AS rn
+        |  FROM fp JOIN q USING (doc_id))
+        |WHERE rn = 1""".stripMargin
+    }) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.load(s, dir, "documents")
+      val fp = graft.text.TextAnalysis.fingerprints(docs, "doc_id", "text")
+        .select(col("doc_id"), col("fp_min"))
+      val q = docs.select(col("doc_id"),
+        graft.text.TextAnalysis.stopwordCount(
+          MinHashLSH.tokensCol(col("text")), graft.text.TextAnalysis.stopwordsEn).as("n_stop"))
+      val joined = fp.join(q, Seq("doc_id"))
+        .withColumn("n_members", count(lit(1)).over(Window.partitionBy(col("fp_min"))))
+      val w = Window.partitionBy(col("fp_min"))
+        .orderBy(col("n_stop").desc, col("doc_id").asc)
+      joined.withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1)
+        .select(col("fp_min"), col("doc_id"), col("n_members"))
+    },
+
     // ---------------------------------------------------------------- q24
     // Exact word-3gram Jaccard over source-blocked pairs sharing >= 1
     // shingle: the verification stage after LSH candidate generation.

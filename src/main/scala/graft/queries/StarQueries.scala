@@ -217,6 +217,42 @@ object StarQueries {
           graft.analytics.Vwap.column(col("l_extendedprice"), col("l_quantity")), 6).as("vwap"))
     },
 
+    // ---------------------------------------------------------------- q45
+    // Grouping sets: per-(lang,source), per-lang, per-source, and grand
+    // totals in one pass (Expand + single aggregate) — the rollup a corpus
+    // curation dashboard runs.
+    Q("q45_grouping_sets",
+      """SELECT lang, source, count(*) AS n_docs,
+        |  CAST(SUM(n_chars) AS BIGINT) AS total_chars
+        |FROM documents
+        |GROUP BY GROUPING SETS ((lang, source), (lang), (source), ())""".stripMargin) { (s, dir) =>
+      Tables.load(s, dir, "documents")
+        .groupingSets(
+          Seq(Seq(col("lang"), col("source")), Seq(col("lang")), Seq(col("source")), Seq()),
+          col("lang"), col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"))
+    },
+
+    // ---------------------------------------------------------------- q46
+    // Pivot: event counts per user across the five event types as columns —
+    // oracle spelled as conditional aggregation (engine-neutral).
+    Q("q46_pivot",
+      """SELECT user_id,
+        |  sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS click,
+        |  sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS error,
+        |  sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS purchase,
+        |  sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS signup,
+        |  sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS view
+        |FROM events GROUP BY user_id""".stripMargin) { (s, dir) =>
+      val types = Seq("click", "error", "purchase", "signup", "view")
+      val p = Tables.load(s, dir, "events")
+        .groupBy(col("user_id"))
+        .pivot("event_type", types)
+        .agg(count(lit(1)))
+      // absent (user, type) cells surface as null AFTER the pivot
+      p.select(col("user_id") +: types.map(t => coalesce(col(t), lit(0L)).as(t)): _*)
+    },
+
     // ---------------------------------------------------------------- q42
     // Gap sessionization (30-min inactivity), batch form: lag + conditional
     // running sum — one shuffle on the key. The streaming twin
