@@ -200,6 +200,25 @@ object CoreQueries {
         .agg((count(lit(1)) > 0).as("data_loaded"), count(lit(1)).as("n_rows"))
     },
 
+    // ---------------------------------------------------------------- q47
+    // §2.7 set ops beyond the reference: INTERSECT / EXCEPT as user-cohort
+    // algebra (clicked ∩ purchased, clicked ∖ purchased).
+    Q("q47_set_ops",
+      """WITH c AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'click'),
+        |p AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase')
+        |SELECT 'both' AS cohort, count(*) AS n FROM (SELECT * FROM c INTERSECT SELECT * FROM p)
+        |UNION ALL
+        |SELECT 'click_only', count(*) FROM (SELECT * FROM c EXCEPT SELECT * FROM p)""".stripMargin) { (s, dir) =>
+      val ev = Tables.load(s, dir, "events")
+      def cohort(t: String) =
+        ev.filter(col("event_type") === t).select(col("user_id")).distinct()
+      val both = cohort("click").intersect(cohort("purchase"))
+        .agg(count(lit(1)).as("n")).select(lit("both").as("cohort"), col("n"))
+      val only = cohort("click").except(cohort("purchase"))
+        .agg(count(lit(1)).as("n")).select(lit("click_only").as("cohort"), col("n"))
+      both.unionByName(only)
+    },
+
     // ---------------------------------------------------------------- q10
     // W1: latest-record dedup (ROW_NUMBER ... QUALIFY rn=1) with the
     // deterministic (ts DESC, event_id DESC) tiebreaker.

@@ -24,6 +24,36 @@ class SessionizeSpec extends AnyFunSuite {
     assert(out.map(_.getInt(2)).toSeq === Seq(1, 1, 1, 2, 1))
   }
 
+  test("state carries across micro-batches: sessions spanning a batch boundary merge") {
+    val dir = TestSpark.tmpDir("sess-multi")
+    val t0 = 1700000000000000L // µs
+    val min = 60L * 1000000L
+    // batch 1: two events 10 min apart; batch 2: one event 10 min later
+    // (same session!) then one 2 h later (closes it)
+    Seq((7L, t0), (7L, t0 + 10 * min)).toDF("key", "tsUs")
+      .coalesce(1).write.parquet(s"$dir/f1")
+    Seq((7L, t0 + 20 * min), (7L, t0 + 140 * min)).toDF("key", "tsUs")
+      .coalesce(1).write.parquet(s"$dir/f2")
+    // force file order = batch order via modification times
+    def touch(sub: String, t: Long): Unit =
+      new java.io.File(s"$dir/$sub").listFiles().foreach(_.setLastModified(t))
+    touch("f1", 1000000L); touch("f2", 2000000L)
+
+    val typed = spark.readStream
+      .schema("key LONG, tsUs LONG")
+      .option("maxFilesPerTrigger", 1)
+      .parquet(s"$dir/*")
+      .as[SessionEvent]
+    val q = Sessionize.stateful(typed, gapMinutes = 30)
+      .writeStream.format("memory").queryName("sess_multi")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val out = spark.table("sess_multi").as[SessionOut].collect()
+    assert(out.length === 1, s"exactly one closed session, got ${out.toSeq}")
+    assert(out.head.n_events === 3, "the boundary-spanning session merged 2+1 events")
+    assert(out.head.start_us === t0 && out.head.end_us === t0 + 20 * min)
+  }
+
   test("streaming flatMapGroupsWithState closed sessions == batch minus open tails") {
     val events = Tables.load(spark, "/root/testdata/sf0.001", "events")
     val dir = TestSpark.tmpDir("sess-in")
