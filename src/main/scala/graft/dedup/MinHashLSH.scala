@@ -29,17 +29,32 @@ object MinHashLSH {
     */
   def tokensCol(text: Column): Column = split(trim(text), "\\s+")
 
+  /** Re-parallelize a small-file input before CPU-heavy per-row work: a
+    * compact parquet file arrives as one split, which would serialize the
+    * shingle/hash stage on a single core. At real scale inputs carry enough
+    * splits and this is a no-op.
+    */
+  private[graft] def parallelize(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+  }
+
   /** Word n-gram shingles: (idCol, shingle). `distinct = false` skips the
     * dedup shuffle — correct whenever the consumer is insensitive to shingle
     * multiplicity (min/max aggregation is; set intersection is not).
+    *
+    * The token array is materialized in its own projection BEFORE the
+    * transform: referencing `split(...)` directly inside the HOF lambda
+    * re-evaluates the split once per shingle (O(words²) per document —
+    * measured 5× slower on the LSH pipeline).
     */
   def shingles(df: DataFrame, idCol: String, textCol: String, n: Int,
       distinct: Boolean = true): DataFrame = {
-    val w = tokensCol(col(textCol))
-    val exploded = df.select(col(idCol),
+    val pre = parallelize(df.select(col(idCol), tokensCol(col(textCol)).as("__w")))
+    val exploded = pre.select(col(idCol),
       explode(transform(
-        sequence(lit(1), greatest(size(w) - (n - 1), lit(1))),
-        i => concat_ws(" ", slice(w, i, lit(n))))).as("shingle"))
+        sequence(lit(1), greatest(size(col("__w")) - (n - 1), lit(1))),
+        i => concat_ws(" ", slice(col("__w"), i, lit(n))))).as("shingle"))
     if (distinct) exploded.distinct() else exploded
   }
 

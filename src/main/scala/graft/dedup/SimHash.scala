@@ -29,8 +29,8 @@ object SimHash {
 
   /** (idCol, simhash LONG) — 32-bit signature in the low bits. */
   def signatures32(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val tok = df.select(col(idCol),
-      explode(MinHashLSH.tokensCol(col(textCol))).as("__t"))
+    val tok = MinHashLSH.parallelize(df.select(col(idCol), col(textCol)))
+      .select(col(idCol), explode(MinHashLSH.tokensCol(col(textCol))).as("__t"))
     val hashed = tok.withColumn("__h8", substring(md5(col("__t")), 1, 8))
     val bitSums = (0 until 32).map(j => sum(bitContribution(j)).as(s"__b$j"))
     val sig = (0 until 32).map(j =>
