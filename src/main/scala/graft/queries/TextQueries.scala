@@ -118,6 +118,70 @@ object TextQueries {
         "doc_id", "text", size = 20, stride = 15)
     },
 
+    // ---------------------------------------------------------------- q48
+    // Content-addressed train/val split: the split key is a hash of the
+    // CONTENT (md5 first nibble), not a random draw — stable under
+    // re-ingestion, dedup-safe, and reproducible across engines. 13/16 ≈
+    // 81% train.
+    Q("q48_train_val_split",
+      """SELECT doc_id, lang,
+        |  CASE WHEN strpos('0123456789abcdef', substr(md5(text), 1, 1)) - 1 < 13
+        |       THEN 'train' ELSE 'val' END AS split
+        |FROM documents""".stripMargin) { (s, dir) =>
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id"), col("lang"),
+          when(expr("instr('0123456789abcdef', substring(md5(text), 1, 1)) - 1") < 13,
+            lit("train")).otherwise(lit("val")).as("split"))
+    },
+
+    // ---------------------------------------------------------------- q49
+    // Corpus term statistics (the tf/df table under TF-IDF/BM25): document
+    // frequency and total term frequency per token — one explode + one
+    // aggregate; the idf transform is a scalar on top (left in rational
+    // form: transcendentals don't cross engines bit-exactly).
+    Q("q49_term_stats",
+      """WITH tok AS (SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS term
+        |            FROM documents)
+        |SELECT term,
+        |  count(DISTINCT doc_id) AS df,
+        |  count(*) AS total_tf,
+        |  CAST((SELECT count(*) FROM documents) AS DOUBLE) / count(DISTINCT doc_id) AS inv_df
+        |FROM tok GROUP BY term""".stripMargin) { (s, dir) =>
+      val docs = Tables.load(s, dir, "documents")
+      val n = docs.count() // corpus size: one scalar, computed once
+      docs.select(col("doc_id"),
+          explode(graft.dedup.MinHashLSH.tokensCol(col("text"))).as("term"))
+        .groupBy(col("term"))
+        .agg(countDistinct(col("doc_id")).as("df"),
+          count(lit(1)).as("total_tf"),
+          (lit(n).cast("double") / countDistinct(col("doc_id"))).as("inv_df"))
+    },
+
+    // ---------------------------------------------------------------- q50
+    // Quantile outlier filter: drop events outside the per-type [p01, p99]
+    // of `value` — the numeric-cleaning pass before training aggregation.
+    Q("q50_outlier_filter",
+      """WITH b AS (SELECT event_type,
+        |    quantile_cont(value, 0.01) AS lo, quantile_cont(value, 0.99) AS hi
+        |  FROM events GROUP BY event_type)
+        |SELECT e.event_type,
+        |  count(*) AS n_kept,
+        |  round(CAST(SUM(CAST(e.value AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6) AS mean_kept
+        |FROM events e JOIN b USING (event_type)
+        |WHERE e.value >= b.lo AND e.value <= b.hi
+        |GROUP BY e.event_type""".stripMargin) { (s, dir) =>
+      val ev = Tables.load(s, dir, "events")
+      val bounds = ev.groupBy(col("event_type")).agg(
+        expr("percentile(value, 0.01)").as("lo"),
+        expr("percentile(value, 0.99)").as("hi"))
+      ev.join(broadcast(bounds), Seq("event_type"))
+        .filter(col("value") >= col("lo") && col("value") <= col("hi"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_kept"),
+          round(sum(col("value").cast("decimal(18,6)")).cast("double") / count(lit(1)), 6)
+            .as("mean_kept"))
+    },
+
     // ---------------------------------------------------------------- q32
     // Multimodal plumbing: binary payload column + batched mapPartitions
     // feature extraction (decode STUBbed — deterministic fake features; the
