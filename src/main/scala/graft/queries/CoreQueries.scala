@@ -19,12 +19,15 @@ object CoreQueries {
     // arithmetic (the DAX measure family evaluated per filter context).
     // Scale: partial+final HashAggregate, no row explosion; filter pushed to
     // the parquet scan.
+    // Numeric discipline: aggregation stays DECIMAL (exact, shuffle-order
+    // independent); the FINAL projection converts to round(DOUBLE, 6) on both
+    // sides — wide decimals canonicalize differently across engines.
     Q("q01_pricing_summary",
       """SELECT l_returnflag, l_linestatus,
-        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS sum_qty,
-        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS sum_base_price,
-        |  CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,6)) * CAST(1 - CAST(l_discount AS DECIMAL(18,6)) AS DECIMAL(12,6)) AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS sum_disc_price,
-        |  CAST(SUM(CAST(CAST(CAST(l_extendedprice AS DECIMAL(18,6)) * CAST(1 - CAST(l_discount AS DECIMAL(18,6)) AS DECIMAL(12,6)) AS DECIMAL(18,6)) * CAST(1 + CAST(l_tax AS DECIMAL(18,6)) AS DECIMAL(12,6)) AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS sum_charge,
+        |  round(CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS DOUBLE), 6) AS sum_qty,
+        |  round(CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS DOUBLE), 6) AS sum_base_price,
+        |  round(CAST(CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,6)) * CAST(1 - CAST(l_discount AS DECIMAL(18,6)) AS DECIMAL(12,6)) AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS DOUBLE), 6) AS sum_disc_price,
+        |  round(CAST(CAST(SUM(CAST(CAST(CAST(l_extendedprice AS DECIMAL(18,6)) * CAST(1 - CAST(l_discount AS DECIMAL(18,6)) AS DECIMAL(12,6)) AS DECIMAL(18,6)) * CAST(1 + CAST(l_tax AS DECIMAL(18,6)) AS DECIMAL(12,6)) AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS DOUBLE), 6) AS sum_charge,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) / count(*) AS avg_qty,
         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) / count(*) AS avg_price,
         |  count(*) AS count_order
@@ -40,10 +43,10 @@ object CoreQueries {
       li.filter(col("l_shipdate") < lit("1998-09-03 00:00:00").cast("timestamp"))
         .groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(
-          sum(qty).cast(Dec38).as("sum_qty"),
-          sum(ep).cast(Dec38).as("sum_base_price"),
-          sum(discPrice).cast(Dec38).as("sum_disc_price"),
-          sum((discPrice * onePlusTax).cast(Dec18)).cast(Dec38).as("sum_charge"),
+          round(sum(qty).cast(Dec38).cast("double"), 6).as("sum_qty"),
+          round(sum(ep).cast(Dec38).cast("double"), 6).as("sum_base_price"),
+          round(sum(discPrice).cast(Dec38).cast("double"), 6).as("sum_disc_price"),
+          round(sum((discPrice * onePlusTax).cast(Dec18)).cast(Dec38).cast("double"), 6).as("sum_charge"),
           (sum(qty).cast("double") / count(lit(1))).as("avg_qty"),
           (sum(ep).cast("double") / count(lit(1))).as("avg_price"),
           count(lit(1)).as("count_order"))
@@ -81,7 +84,7 @@ object CoreQueries {
       """SELECT event_id, user_id,
         |  CAST(ts AS DATE) AS event_date,
         |  upper(trim(event_type)) AS event_type_norm,
-        |  TRY_CAST(regexp_extract(props, '"k": (-?\d+)', 1) AS DECIMAL(18,6)) AS k_value
+        |  round(CAST(TRY_CAST(regexp_extract(props, '"k": (-?\d+)', 1) AS DECIMAL(18,6)) AS DOUBLE), 6) AS k_value
         |FROM events
         |WHERE ts >= TIMESTAMP '2024-01-15 00:00:00' AND ts < TIMESTAMP '2024-01-16 00:00:00'""".stripMargin) { (s, dir) =>
       val ev = Tables.load(s, dir, "events")
@@ -91,9 +94,9 @@ object CoreQueries {
           col("event_id"), col("user_id"),
           to_date(col("ts")).as("event_date"),
           Normalize.normKey(col("event_type")).as("event_type_norm"),
-          Normalize.tryTo(
+          round(Normalize.tryTo(
             Normalize.nullIfTokens(regexp_extract(col("props"), "\"k\": (-?\\d+)", 1)),
-            org.apache.spark.sql.types.DecimalType(18, 6)).as("k_value"))
+            org.apache.spark.sql.types.DecimalType(18, 6)).cast("double"), 6).as("k_value"))
     },
 
     // ---------------------------------------------------------------- q05
@@ -101,7 +104,7 @@ object CoreQueries {
     // region. Scale: all three dims broadcast — the fact table never shuffles.
     Q("q05_star_join",
       """SELECT r_name,
-        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6)) * CAST(1 - CAST(l_discount AS DECIMAL(18,6)) AS DECIMAL(12,6))) AS DECIMAL(38,6)) AS revenue,
+        |  round(CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6)) * CAST(1 - CAST(l_discount AS DECIMAL(18,6)) AS DECIMAL(12,6))) AS DECIMAL(38,6)) AS DOUBLE), 6) AS revenue,
         |  count(*) AS n_rows
         |FROM lineitem
         |JOIN supplier ON l_suppkey = s_suppkey
@@ -118,7 +121,8 @@ object CoreQueries {
         .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
         .join(broadcast(reg), col("n_regionkey") === col("r_regionkey"))
         .groupBy(col("r_name"))
-        .agg(sum(rev).cast(Dec38).as("revenue"), count(lit(1)).as("n_rows"))
+        .agg(round(sum(rev).cast(Dec38).cast("double"), 6).as("revenue"),
+          count(lit(1)).as("n_rows"))
     },
 
     // ---------------------------------------------------------------- q06
@@ -131,7 +135,9 @@ object CoreQueries {
         |  SELECT l_suppkey, CAST(l_shipdate AS DATE) AS cal_day,
         |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS revenue
         |  FROM lineitem GROUP BY 1, 2)
-        |SELECT c.l_suppkey, c.cal_day, c.revenue, p.prev_revenue
+        |SELECT c.l_suppkey, c.cal_day,
+        |  round(CAST(c.revenue AS DOUBLE), 6) AS revenue,
+        |  round(CAST(p.prev_revenue AS DOUBLE), 6) AS prev_revenue
         |FROM daily c LEFT JOIN (
         |  SELECT l_suppkey, cal_day + 1 AS cal_day, revenue AS prev_revenue FROM daily) p
         |USING (l_suppkey, cal_day)""".stripMargin) { (s, dir) =>
@@ -139,6 +145,9 @@ object CoreQueries {
         .groupBy(col("l_suppkey"), to_date(col("l_shipdate")).as("cal_day"))
         .agg(sum(col("l_extendedprice").cast(Dec18)).cast(Dec38).as("revenue"))
       graft.analytics.Measures.calendarShiftJoin(daily, Seq("l_suppkey"), "cal_day", "revenue")
+        .select(col("l_suppkey"), col("cal_day"),
+          round(col("revenue").cast("double"), 6).as("revenue"),
+          round(col("prev_revenue").cast("double"), 6).as("prev_revenue"))
     },
 
     // ---------------------------------------------------------------- q07

@@ -84,7 +84,7 @@ object JoinQueries {
     // 8 tasks.
     Q("q37_salted_join",
       """SELECT o_orderpriority,
-        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS revenue,
+        |  round(CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS DOUBLE), 6) AS revenue,
         |  count(*) AS n_rows
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY o_orderpriority""".stripMargin) { (s, dir) =>
@@ -93,7 +93,8 @@ object JoinQueries {
         .withColumnRenamed("o_orderkey", "l_orderkey")
       Skew.saltedJoin(li, o, Seq("l_orderkey"), n = 8)
         .groupBy(col("o_orderpriority"))
-        .agg(sum(col("l_extendedprice").cast("decimal(18,6)")).cast("decimal(38,6)").as("revenue"),
+        .agg(round(sum(col("l_extendedprice").cast("decimal(18,6)"))
+            .cast("decimal(38,6)").cast("double"), 6).as("revenue"),
           count(lit(1)).as("n_rows"))
     })
 }

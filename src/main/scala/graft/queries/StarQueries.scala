@@ -134,8 +134,9 @@ object StarQueries {
         |  SELECT l_suppkey, CAST(l_shipdate AS DATE) AS cal_day,
         |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS revenue
         |  FROM lineitem GROUP BY 1, 2)
-        |SELECT l_suppkey, cal_day, revenue,
-        |  lag(revenue) OVER w AS prev_revenue,
+        |SELECT l_suppkey, cal_day,
+        |  round(CAST(revenue AS DOUBLE), 6) AS revenue,
+        |  round(CAST(lag(revenue) OVER w AS DOUBLE), 6) AS prev_revenue,
         |  CASE WHEN lag(revenue) OVER w IS NULL OR CAST(lag(revenue) OVER w AS DOUBLE) = 0
         |       THEN 0.0
         |       ELSE (CAST(revenue AS DOUBLE) - CAST(lag(revenue) OVER w AS DOUBLE))
@@ -145,8 +146,13 @@ object StarQueries {
       val daily = Tables.load(s, dir, "lineitem")
         .groupBy(col("l_suppkey"), to_date(col("l_shipdate")).as("cal_day"))
         .agg(sum(col("l_extendedprice").cast(Dec18)).cast(Dec38).as("revenue"))
+      // pct is computed from the exact decimals; only the emitted revenue
+      // columns are retyped (round-double, both sides) for the driver hash
       Measures.dailyChangePct(daily, Seq(col("l_suppkey")), col("cal_day"), col("revenue"))
-        .withColumnRenamed("prev_close", "prev_revenue")
+        .select(col("l_suppkey"), col("cal_day"),
+          round(col("revenue").cast("double"), 6).as("revenue"),
+          round(col("prev_close").cast("double"), 6).as("prev_revenue"),
+          col("daily_change_pct"))
     },
 
     // ---------------------------------------------------------------- q16
@@ -159,7 +165,8 @@ object StarQueries {
         |    CAST(datediff('day', DATE '1995-01-01', CAST(l_shipdate AS DATE)) AS INT) AS day_idx,
         |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS total_qty
         |  FROM lineitem GROUP BY 1, 2, 3)
-        |SELECT l_suppkey, cal_day, day_idx, total_qty,
+        |SELECT l_suppkey, cal_day, day_idx,
+        |  round(CAST(total_qty AS DOUBLE), 6) AS total_qty,
         |  CAST(SUM(total_qty) OVER w AS DOUBLE) / COUNT(total_qty) OVER w AS trailing_avg_qty
         |FROM daily
         |WINDOW w AS (PARTITION BY l_suppkey ORDER BY day_idx
@@ -169,7 +176,10 @@ object StarQueries {
           datediff(to_date(col("l_shipdate")), lit("1995-01-01").cast("date")).as("day_idx"))
         .agg(sum(col("l_quantity").cast(Dec18)).cast(Dec38).as("total_qty"))
       Measures.trailingAvg(daily, Seq(col("l_suppkey")), col("day_idx"),
-        col("total_qty"), 7, "trailing_avg_qty")
+          col("total_qty"), 7, "trailing_avg_qty")
+        .select(col("l_suppkey"), col("cal_day"), col("day_idx"),
+          round(col("total_qty").cast("double"), 6).as("total_qty"),
+          col("trailing_avg_qty"))
     },
 
     // ---------------------------------------------------------------- q17
@@ -238,11 +248,11 @@ object StarQueries {
     // oracle spelled as conditional aggregation (engine-neutral).
     Q("q46_pivot",
       """SELECT user_id,
-        |  sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS click,
-        |  sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS error,
-        |  sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS purchase,
-        |  sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS signup,
-        |  sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS view
+        |  CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click,
+        |  CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error,
+        |  CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+        |  CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup,
+        |  CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view
         |FROM events GROUP BY user_id""".stripMargin) { (s, dir) =>
       val types = Seq("click", "error", "purchase", "signup", "view")
       val p = Tables.load(s, dir, "events")
@@ -301,14 +311,14 @@ object StarQueries {
         |  upper(trim(event_type)) AS event_type,
         |  count(*) AS n_events,
         |  count(DISTINCT user_id) AS n_users,
-        |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS total_value
+        |  round(CAST(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS DOUBLE), 6) AS total_value
         |FROM events GROUP BY 1, 2""".stripMargin) { (s, dir) =>
       Tables.load(s, dir, "events")
         .groupBy(window(col("ts"), "1 day").as("w"),
           Normalize.normKey(col("event_type")).as("event_type"))
         .agg(count(lit(1)).as("n_events"),
           countDistinct(col("user_id")).as("n_users"),
-          sum(col("value").cast(Dec18)).cast(Dec38).as("total_value"))
+          round(sum(col("value").cast(Dec18)).cast(Dec38).cast("double"), 6).as("total_value"))
         .select(to_date(col("w.start")).as("window_day"), col("event_type"),
           col("n_events"), col("n_users"), col("total_value"))
     })
