@@ -44,14 +44,22 @@ object SimHash {
   /** Hamming distance between two signatures. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
-  /** Near-dup pairs with Hamming distance <= maxDist, blocked on 4 8-bit
-    * bands (pigeonhole: any pair within distance 3 shares at least one exact
-    * band) so the join is equi on (band, bits), never cartesian.
+  /** Near-dup pairs with Hamming distance <= maxDist, blocked on
+    * `maxDist + 1` disjoint bit-bands (pigeonhole: a pair with at most
+    * maxDist differing bits shares at least one exact band) so the join is
+    * equi on (band, bits), never cartesian — and recall is guaranteed for
+    * whatever distance the caller asks, not just a fixed band layout.
     */
   def hammingNeighbors(sig: DataFrame, idCol: String, maxDist: Int): DataFrame = {
-    val banded = (0 until 4).map { b =>
+    require(maxDist >= 0 && maxDist < 32,
+      s"maxDist must be in [0, 32) for a 32-bit signature, got $maxDist")
+    val nBands = maxDist + 1
+    val bounds = (0 to nBands).map(b => b * 32 / nBands)
+    val banded = (0 until nBands).map { b =>
+      val start = bounds(b)
+      val width = bounds(b + 1) - start
       sig.select(col(idCol), col("simhash"), lit(b).as("band"),
-        shiftright(col("simhash"), b * 8).bitwiseAND(lit(255L)).as("band_bits"))
+        shiftright(col("simhash"), start).bitwiseAND(lit((1L << width) - 1)).as("band_bits"))
     }.reduce(_ unionByName _)
     val l = banded.select(col("band"), col("band_bits"),
       col(idCol).as("id_a"), col("simhash").as("sim_a"))

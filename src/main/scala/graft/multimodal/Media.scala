@@ -84,13 +84,14 @@ object Media {
     * without shuffling payload bytes.
     */
   def resizeMeta(media: DataFrame, maxDim: Int): DataFrame = {
+    val needsResize = col("width") > maxDim || col("height") > maxDim
     val scale = least(lit(maxDim) / greatest(col("width"), lit(1)),
       lit(maxDim) / greatest(col("height"), lit(1)))
-    media
-      .withColumn("width", when(col("width") > maxDim || col("height") > maxDim,
-        (col("width") * scale).cast("int")).otherwise(col("width")))
-      .withColumn("height", when(col("height") > maxDim || col("height") > maxDim,
-        (col("height") * scale).cast("int")).otherwise(col("height")))
+    // both dims must scale off the ORIGINAL columns (a chained withColumn
+    // would feed the rewritten width into the height branch)
+    media.withColumns(Map(
+      "width" -> when(needsResize, (col("width") * scale).cast("int")).otherwise(col("width")),
+      "height" -> when(needsResize, (col("height") * scale).cast("int")).otherwise(col("height"))))
   }
 
   /** Frame sampling for video-like payloads: keep every `stride`-th row per

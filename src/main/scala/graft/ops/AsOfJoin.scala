@@ -33,32 +33,37 @@ object AsOfJoin {
       leftTime: String, rightTime: String,
       payload: Seq[(String, String)]): DataFrame = {
     val leftCols = left.columns
+    // ALL payload columns travel in ONE struct: the window then carries the
+    // whole prevailing right row, so a NULL field of that row stays NULL
+    // instead of falling back to an older row's value (ASOF semantics —
+    // per-column last(ignoreNulls) would mix columns from different rows)
+    val payloadType = right
+      .select(payload.map { case (in, out) => col(in).as(out) }: _*).schema
     val sideL = left
       .withColumn("__t", col(leftTime))
       .withColumn("__side", lit(0))
       .select(
         (keys.map(col) :+ col("__t") :+ col("__side")) ++
-          leftCols.filterNot(keys.contains).map(c => col(c).as(s"__l_$c")) ++
-          payload.map { case (_, out) => lit(null).as(s"__r_$out") }: _*)
+          leftCols.filterNot(keys.contains).map(c => col(c).as(s"__l_$c")) :+
+          lit(null).cast(payloadType).as("__r"): _*)
     val sideR = right
       .withColumn("__t", col(rightTime))
       .withColumn("__side", lit(1))
       .select(
         (keys.map(col) :+ col("__t") :+ col("__side")) ++
-          leftCols.filterNot(keys.contains).map(c => lit(null).as(s"__l_$c")) ++
-          payload.map { case (in, out) => col(in).as(s"__r_$out") }: _*)
+          leftCols.filterNot(keys.contains).map(c => lit(null).as(s"__l_$c")) :+
+          struct(payload.map { case (in, out) => col(in).as(out) }: _*).as("__r"): _*)
     // right sorts before left at equal time (inclusive >=); the carried
     // payload is the last right row seen so far in time order
     val w = Window.partitionBy(keys.map(col): _*)
       .orderBy(col("__t").asc, col("__side").desc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val carried = payload.foldLeft(sideL.unionByName(sideR)) { case (df, (_, out)) =>
-      df.withColumn(s"__c_$out", last(col(s"__r_$out"), ignoreNulls = true).over(w))
-    }
+    val carried = sideL.unionByName(sideR)
+      .withColumn("__c", last(col("__r"), ignoreNulls = true).over(w))
     carried.filter(col("__side") === 0)
       .select(
         keys.map(col) ++
           leftCols.filterNot(keys.contains).map(c => col(s"__l_$c").as(c)) ++
-          payload.map { case (_, out) => col(s"__c_$out").as(out) }: _*)
+          payload.map { case (_, out) => col("__c").getField(out).as(out) }: _*)
   }
 }

@@ -42,14 +42,26 @@ object Upsert {
   }
 
   /** Atomic-enough snapshot rewrite: Spark cannot overwrite a path it is lazily
-    * reading, so materialize to `path + ".tmp"`, then swap directories. Callers
+    * reading, so materialize to a staging dir, then swap directories. Callers
     * pass the *merged* frame (which still reads the old snapshot lazily).
+    *
+    * The staging dir is a DOT-PREFIXED sibling (`.<name>.tmp-<uuid>`): when
+    * `path` is a hive partition dir (e.g. `table/trade_date=d`), a crash
+    * between write and rename must not leave a sibling the table's FileIndex
+    * would try to parse as a partition — dot/underscore prefixes are invisible
+    * to partition discovery. Stale staging dirs from prior crashes are swept
+    * before writing.
     */
   def snapshotWrite(df: DataFrame, path: String): Unit = {
     val spark = df.sparkSession
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val tmp = new Path(path + ".tmp")
     val dst = new Path(path)
+    val parent = dst.getParent
+    val stagePrefix = s".${dst.getName}.tmp-"
+    if (fs.exists(parent)) fs.listStatus(parent).foreach { st =>
+      if (st.getPath.getName.startsWith(stagePrefix)) fs.delete(st.getPath, true)
+    }
+    val tmp = new Path(parent, stagePrefix + java.util.UUID.randomUUID().toString)
     df.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
     if (fs.exists(dst)) fs.delete(dst, true)
     if (!fs.rename(tmp, dst))

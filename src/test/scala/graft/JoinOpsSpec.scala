@@ -34,6 +34,31 @@ class JoinOpsSpec extends AnyFunSuite {
     assert(out(4L) === Some(50.0), "keys partition the series")
   }
 
+  test("as-of backward: NULL payload field of the prevailing row stays NULL") {
+    // the latest quote has px = NULL; ASOF must return that row's NULL, not
+    // fall back to the older row's 100.0 (column-mixing across right rows)
+    val trades = Seq((1L, "A", ts("2024-01-01 10:10:00"))).toDF("trade_id", "sym", "ts")
+    val quotes = Seq(
+      ("A", ts("2024-01-01 10:00:00"), Some(100.0), 10L),
+      ("A", ts("2024-01-01 10:05:00"), None, 20L)
+    ).toDF("sym", "ts", "px", "qty")
+    val r = AsOfJoin.backward(trades, quotes, Seq("sym"), "ts", "ts",
+      Seq("px" -> "quote_px", "qty" -> "quote_qty")).head()
+    assert(r.isNullAt(r.fieldIndex("quote_px")), "prevailing row's NULL survives")
+    assert(r.getAs[Long]("quote_qty") === 20L, "payload comes from one row")
+  }
+
+  test("hamming neighbors recall holds for maxDist >= 4 (derived band count)") {
+    import graft.dedup.SimHash
+    // two signatures differing in exactly 5 bits — the old fixed 4x8 banding
+    // could miss them; maxDist+1 = 6 bands guarantees a shared band
+    val sig = Seq((1L, 0L), (2L, 0x1111100000000000L >>> 32)).toDF("doc_id", "simhash")
+    val pairs5 = SimHash.hammingNeighbors(sig, "doc_id", maxDist = 5).collect()
+    assert(pairs5.length === 1 && pairs5.head.getAs[Int]("hamming_dist") === 5)
+    assertThrows[IllegalArgumentException](
+      SimHash.hammingNeighbors(sig, "doc_id", maxDist = 32))
+  }
+
   test("range join window edges are inclusive and keyed") {
     val l = Seq((1L, 10L, ts("2024-01-01 10:10:00"))).toDF("id", "u", "ts")
     val r = Seq(

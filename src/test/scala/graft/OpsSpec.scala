@@ -62,6 +62,25 @@ class OpsSpec extends AnyFunSuite {
     assert(spark.read.parquet(path).as[(Long, String)].collect() === Array((1L, "a2")))
   }
 
+  test("snapshotWrite staging is invisible to partition discovery and self-healing") {
+    // partitioned table root: a crash-leftover staging dir must not be parsed
+    // as a partition value on full-table reads, and must be swept on rerun
+    val root = TestSpark.tmpDir("snapstage") + "/t"
+    Seq((1L, "2024-01-15", "a")).toDF("k", "d", "v")
+      .write.partitionBy("d").parquet(root)
+    val part = s"$root/d=2024-01-16"
+    Upsert.snapshotWrite(Seq((2L, "b")).toDF("k", "v"), part)
+    // simulate a crash between write and rename on a later run
+    val stale = new org.apache.hadoop.fs.Path(s"$root/.d=2024-01-16.tmp-deadbeef")
+    val fs = stale.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(stale)
+    assert(spark.read.parquet(root).count() === 2,
+      "dot-prefixed staging dir ignored by partition discovery")
+    Upsert.snapshotWrite(Seq((3L, "c")).toDF("k", "v"), part)
+    assert(!fs.exists(stale), "stale staging swept before writing")
+    assert(spark.read.parquet(root).count() === 2)
+  }
+
   test("surrogate keys: deterministic, dense, continues from max") {
     val d1 = Seq("b", "a", "c").toDF("symbol")
     val k1 = SurrogateKeys.assign(d1, "id", 0L, Seq("symbol"))

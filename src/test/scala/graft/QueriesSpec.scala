@@ -39,4 +39,21 @@ class QueriesSpec extends AnyFunSuite {
     assert(row.n_bytes === expected.getAs[String]("text").getBytes("UTF-8").length)
     assert(row.content_hash.length === 32)
   }
+
+  test("resizeMeta preserves aspect ratio when only one dimension exceeds maxDim") {
+    import graft.multimodal.Media
+    import spark.implicits._
+    val media = Seq(
+      (1L, 1000, 400), // width-only over: 640x256
+      (2L, 400, 1000), // height-only over: 256x640
+      (3L, 320, 240),  // under: untouched
+      (4L, 1280, 960)  // both over: 640x480
+    ).toDF("media_id", "width", "height")
+    val out = Media.resizeMeta(media, maxDim = 640).collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2)))).toMap
+    assert(out(1L) === ((640, 256)))
+    assert(out(2L) === ((256, 640)))
+    assert(out(3L) === ((320, 240)))
+    assert(out(4L) === ((640, 480)))
+  }
 }
