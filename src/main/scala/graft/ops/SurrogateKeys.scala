@@ -1,8 +1,8 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
 
 /** Surrogate-key assignment (SURVEY §1.3 / §7.3 hard part 2).
   *
@@ -11,22 +11,35 @@ import org.apache.spark.sql.functions._
   * merge_dim_security.sql:13-14, yet SECURITY_ID is joined on in
   * merge_facts_daily.sql:8,13). Spark has no distributed auto-increment;
   * `monotonically_increasing_id` is not stable across runs (breaks oracle
-  * comparison and any incremental reload), so we assign
-  * `max(existing) + row_number() OVER (ORDER BY orderCol)` on the insert-only
-  * delta: deterministic, dense, and only the (small) delta passes through the
-  * single-partition window — the multi-TB existing dimension contributes one
-  * scalar max.
+  * comparison and any incremental reload), so we assign dense ids in
+  * `orderCols` order starting above `max(existing)` — the multi-TB existing
+  * dimension contributes one scalar max.
   */
 object SurrogateKeys {
 
-  /** Append `keyCol` to `delta` starting above `existingMax`, ordered by
-    * `orderCols` for determinism. The global window is a single-partition
-    * sort — acceptable because deltas (new dimension members per batch) are
-    * small by construction; do NOT use this on fact-sized inputs.
+  /** Append `keyCol` to `delta` starting above `existingMax`: dense 1-based
+    * ids in global `orderCols` order — semantically
+    * `existingMax + row_number() OVER (ORDER BY orderCols)`, but DISTRIBUTED:
+    * a single-partition global window would move a hundreds-of-millions-member
+    * dimension through one task. Two passes instead: range-repartition +
+    * in-partition sort gives a global order across partitions, then
+    * `zipWithIndex` (a per-partition count job + offset add) numbers rows
+    * without ever concentrating them.
+    *
+    * Determinism contract: `orderCols` must uniquely identify rows (dimension
+    * natural keys do); equal rows could otherwise straddle a range boundary
+    * in either order.
     */
   def assign(delta: DataFrame, keyCol: String, existingMax: Long, orderCols: Seq[String]): DataFrame = {
-    val w = Window.orderBy(orderCols.map(col(_).asc): _*)
-    delta.withColumn(keyCol, lit(existingMax) + row_number().over(w).cast("long"))
+    val spark = delta.sparkSession
+    val ordered = delta
+      .repartitionByRange(orderCols.map(col(_).asc): _*)
+      .sortWithinPartitions(orderCols.map(col(_).asc): _*)
+    val schema = ordered.schema.add(keyCol, LongType, nullable = false)
+    val rows = ordered.rdd.zipWithIndex().map { case (r, i) =>
+      Row.fromSeq(r.toSeq :+ (existingMax + i + 1L))
+    }
+    spark.createDataFrame(rows, schema)
   }
 
   /** Current max key of a dimension (0 for an empty one). */
