@@ -7,10 +7,14 @@ import org.apache.spark.sql.functions._
   * (shingle → minhash → band → bucket-join), the classic large-corpus
   * text-dedup pipeline (Broder '97; MMDS ch.3).
   *
-  * Hash family: `md5(seed || "|" || shingle)` compared lexicographically —
-  * md5 hex output is engine-portable (identical in any engine with md5),
-  * which keeps the whole pipeline differential-testable against a SQL
-  * oracle, and its distribution is uniform enough for a min-hash.
+  * Hash family: ONE `md5(shingle)` per occurrence, then the k per-seed hashes
+  * are derived algebraically from two 32-bit halves of the digest —
+  * `h_i = (a + i·b) mod 2^32` (Kirsch–Mitzenmacher '06, the standard
+  * double-hashing scheme for minhash/bloom families). This pays the digest
+  * cost once instead of k times (the md5 bill dominates the pipeline), stays
+  * engine-portable (any SQL engine has md5 + integer arithmetic, so the whole
+  * pipeline remains differential-testable), and keeps minhash-grade
+  * uniformity.
   *
   * Scale shape (100 TB corpus):
   *  - shingling is a narrow projection + explode (no shuffle);
@@ -23,6 +27,15 @@ import org.apache.spark.sql.functions._
   *    quadratically; dropping them is standard practice).
   */
 object MinHashLSH {
+
+  /** Default mega-bucket cap for [[candidates]]: a band bucket larger than
+    * this is dropped before the quadratic pair expansion. Boilerplate-heavy
+    * corpora (license headers, templated pages) produce buckets of millions
+    * of near-identical docs; expanding one is O(bucket²) pairs and such pairs
+    * carry no ranking information — every member is a duplicate of the same
+    * cluster, which exact-dedup (q20) already collapses more cheaply.
+    */
+  val DefaultBucketCap = 1000
 
   /** Whitespace word tokens. Kept identical to the oracle's
     * `string_split_regex(trim(text), '\s+')`.
@@ -58,13 +71,20 @@ object MinHashLSH {
     if (distinct) exploded.distinct() else exploded
   }
 
-  /** k min-hashes per id: columns h0..h{k-1} (lexicographic min of the seeded
-    * md5 over the shingle set).
+  /** k min-hashes per id: columns h0..h{k-1} BIGINT — min over the shingle
+    * set of `h_i(s) = (a(s) + i·b(s)) mod 2^32`, where a/b are the first two
+    * 32-bit halves of md5(s). The digest and halves are materialized in their
+    * own projection so the k aggregate expressions share them (one md5 per
+    * row, not k).
     */
   def signatures(sh: DataFrame, idCol: String, k: Int): DataFrame = {
+    val d = md5(col("shingle"))
+    val halves = sh.select(col(idCol),
+      conv(substring(d, 1, 8), 16, 10).cast("long").as("__a"),
+      conv(substring(d, 9, 8), 16, 10).cast("long").as("__b"))
     val aggs = (0 until k).map(i =>
-      min(md5(concat(lit(s"$i|"), col("shingle")))).as(s"h$i"))
-    sh.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
+      min((col("__a") + lit(i.toLong) * col("__b")) % lit(1L << 32)).as(s"h$i"))
+    halves.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
   }
 
   /** LSH banding: r consecutive signature rows hashed into one band key.
@@ -72,8 +92,8 @@ object MinHashLSH {
     */
   def bands(sig: DataFrame, idCol: String, numBands: Int, r: Int): DataFrame =
     (0 until numBands).map { b =>
-      val rows = (b * r until (b + 1) * r).map(i => col(s"h$i"))
-      sig.select(col(idCol), lit(b).as("band"), md5(concat(rows: _*)).as("band_key"))
+      val rows = (b * r until (b + 1) * r).map(i => col(s"h$i").cast("string"))
+      sig.select(col(idCol), lit(b).as("band"), md5(concat_ws("|", rows: _*)).as("band_key"))
     }.reduce(_ unionByName _)
 
   /** Candidate near-duplicate pairs: ids sharing any band bucket, `id_a <
@@ -98,10 +118,13 @@ object MinHashLSH {
       .distinct()
   }
 
-  /** End-to-end convenience: documents → candidate pairs. */
+  /** End-to-end convenience: documents → candidate pairs. The bucket cap
+    * defaults ON ([[DefaultBucketCap]]); pass 0 only when the corpus is known
+    * boilerplate-free.
+    */
   def candidates(df: DataFrame, idCol: String, textCol: String,
       shingleLen: Int = 3, k: Int = 8, numBands: Int = 4,
-      maxBucketSize: Int = 0): DataFrame = {
+      maxBucketSize: Int = DefaultBucketCap): DataFrame = {
     require(numBands > 0 && k % numBands == 0, s"k=$k must split into $numBands bands")
     // min() is multiplicity-insensitive: skip the distinct shuffle entirely
     // and let map-side partial aggregation collapse duplicates.

@@ -19,8 +19,37 @@ import org.apache.spark.sql.functions._
   */
 object NgramJaccard {
 
+  /** Exact Jaccard for a GIVEN candidate pair set — the verification stage
+    * after LSH (consumes [[MinHashLSH.candidatePairs]] output instead of
+    * regenerating pairs from shingle co-occurrence, which is quadratic in the
+    * frequency of common shingles). Cost is linear in candidates: each pair
+    * expands by |A| shingles (join on id_a), intersects on (id_b, shingle),
+    * never an all-pairs product.
+    *
+    * @param cand (id_a, id_b) candidate pairs
+    * @param sh   DISTINCT (idCol, shingle) sets
+    * @return (id_a, id_b, inter, n_a, n_b, jaccard), pairs sharing >= 1 shingle
+    */
+  def verifyPairs(cand: DataFrame, sh: DataFrame, idCol: String): DataFrame = {
+    val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("n_sh"))
+    val inter = cand
+      .join(sh.select(col(idCol).as("id_a"), col("shingle")), Seq("id_a"))
+      .join(sh.select(col(idCol).as("id_b"), col("shingle")), Seq("id_b", "shingle"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select(col(idCol).as("id_a"), col("n_sh").as("n_a")), Seq("id_a"))
+      .join(sizes.select(col(idCol).as("id_b"), col("n_sh").as("n_b")), Seq("id_b"))
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("n_a") + col("n_b") - col("inter")).cast("double"))
+      .select(col("id_a"), col("id_b"), col("inter"), col("n_a"), col("n_b"), col("jaccard"))
+  }
+
   /** Pairs (id_a, id_b, inter, n_a, n_b, jaccard) within the same
     * `blockCol`, having at least one shared shingle and jaccard >= minJ.
+    * Prefer [[verifyPairs]] over LSH candidates at corpus scale: this form
+    * expands EVERY shingle co-occurrence inside a block, which a hot shingle
+    * makes quadratic.
     */
   def pairs(df: DataFrame, idCol: String, textCol: String, blockCol: String,
       n: Int, minJ: Double): DataFrame = {

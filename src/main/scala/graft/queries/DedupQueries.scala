@@ -10,6 +10,43 @@ import graft.dedup.{MinHashLSH, NgramJaccard, SimHash}
   */
 object DedupQueries {
 
+  /** The Kirsch–Mitzenmacher minhash family, DuckDB dialect: h_i = (a + i·b)
+    * mod 2^32 over two 32-bit halves of md5(shingle) — one digest per
+    * occurrence, matching [[MinHashLSH.signatures]] exactly.
+    */
+  private def sigSelect(k: Int): String =
+    (0 until k).map(i => s"  min((a + $i*b) % 4294967296) AS h$i").mkString(",\n")
+
+  /** Shared DuckDB CTE chain for the LSH pipeline: word-3gram shingle sets →
+    * one md5 per shingle → 8 derived minhashes → 4 bands × 2 rows →
+    * bucket-size pruning (`cap`) → distinct candidate pairs. Kept in one
+    * place so q19/q22/q24 stay in lockstep with the Spark pipeline.
+    */
+  private def lshCtes(cap: Int): String =
+    s"""WITH w AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM documents),
+       |sh AS (SELECT DISTINCT doc_id, s AS shingle FROM (
+       |  SELECT doc_id, unnest(list_transform(generate_series(1, greatest(len(w)-2, 1)),
+       |                                       i -> array_to_string(w[i:i+2], ' '))) AS s
+       |  FROM w)),
+       |ab AS (SELECT doc_id,
+       |  CAST('0x' || substring(md5(shingle), 1, 8) AS BIGINT) AS a,
+       |  CAST('0x' || substring(md5(shingle), 9, 8) AS BIGINT) AS b
+       |FROM sh),
+       |sig AS (SELECT doc_id,
+       |${sigSelect(8)}
+       |FROM ab GROUP BY doc_id),
+       |bands AS (
+       |  SELECT doc_id, 0 AS band, md5(h0::VARCHAR||'|'||h1::VARCHAR) AS band_key FROM sig
+       |  UNION ALL SELECT doc_id, 1, md5(h2::VARCHAR||'|'||h3::VARCHAR) FROM sig
+       |  UNION ALL SELECT doc_id, 2, md5(h4::VARCHAR||'|'||h5::VARCHAR) FROM sig
+       |  UNION ALL SELECT doc_id, 3, md5(h6::VARCHAR||'|'||h7::VARCHAR) FROM sig),
+       |bsz AS (SELECT band, band_key, count(*) AS bs FROM bands GROUP BY 1, 2),
+       |pruned AS (SELECT b.doc_id, b.band, b.band_key
+       |  FROM bands b JOIN bsz USING (band, band_key) WHERE bs <= $cap),
+       |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM pruned a JOIN pruned b ON a.band = b.band AND a.band_key = b.band_key
+       |  WHERE a.doc_id < b.doc_id)""".stripMargin
+
   val all: Seq[Q] = Seq(
 
     // ---------------------------------------------------------------- q20
@@ -24,20 +61,21 @@ object DedupQueries {
     },
 
     // ---------------------------------------------------------------- q21
-    // MinHash signatures: k=8 lexicographic-min seeded md5 over distinct
-    // word-3gram shingles — one explode + one combiner-friendly aggregate.
+    // MinHash signatures: k=8 derived minhashes (one md5 per shingle, K-M
+    // linear family) — one explode + one combiner-friendly aggregate.
     Q("q21_minhash_signatures",
-      """WITH w AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents),
-        |sh AS (SELECT DISTINCT doc_id, s FROM (
+      s"""WITH w AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, s AS shingle FROM (
         |  SELECT doc_id, unnest(list_transform(generate_series(1, greatest(len(w)-2, 1)),
         |                                       i -> array_to_string(w[i:i+2], ' '))) AS s
-        |  FROM w))
+        |  FROM w)),
+        |ab AS (SELECT doc_id,
+        |  CAST('0x' || substring(md5(shingle), 1, 8) AS BIGINT) AS a,
+        |  CAST('0x' || substring(md5(shingle), 9, 8) AS BIGINT) AS b
+        |FROM sh)
         |SELECT doc_id,
-        |  min(md5('0|'||s)) AS h0, min(md5('1|'||s)) AS h1,
-        |  min(md5('2|'||s)) AS h2, min(md5('3|'||s)) AS h3,
-        |  min(md5('4|'||s)) AS h4, min(md5('5|'||s)) AS h5,
-        |  min(md5('6|'||s)) AS h6, min(md5('7|'||s)) AS h7
-        |FROM sh GROUP BY doc_id""".stripMargin) { (s, dir) =>
+        |${sigSelect(8)}
+        |FROM ab GROUP BY doc_id""".stripMargin) { (s, dir) =>
       MinHashLSH.signatures(
         MinHashLSH.shingles(Tables.load(s, dir, "documents"), "doc_id", "text", 3,
           distinct = false), // min() is multiplicity-insensitive
@@ -46,29 +84,24 @@ object DedupQueries {
 
     // ---------------------------------------------------------------- q22
     // LSH banding + bucket join: candidate near-dup pairs, 4 bands x 2 rows.
-    // The only join is equi on (band, band_key) — no all-pairs expansion.
+    // The only join is equi on (band, band_key) — no all-pairs expansion —
+    // and the default mega-bucket cap is ON (both sides carry the same
+    // bucket-size pruning; see q19 for a cap that binds on this corpus).
     Q("q22_lsh_candidates",
-      """WITH w AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents),
-        |sh AS (SELECT DISTINCT doc_id, s FROM (
-        |  SELECT doc_id, unnest(list_transform(generate_series(1, greatest(len(w)-2, 1)),
-        |                                       i -> array_to_string(w[i:i+2], ' '))) AS s
-        |  FROM w)),
-        |sig AS (SELECT doc_id,
-        |  min(md5('0|'||s)) AS h0, min(md5('1|'||s)) AS h1,
-        |  min(md5('2|'||s)) AS h2, min(md5('3|'||s)) AS h3,
-        |  min(md5('4|'||s)) AS h4, min(md5('5|'||s)) AS h5,
-        |  min(md5('6|'||s)) AS h6, min(md5('7|'||s)) AS h7
-        |FROM sh GROUP BY doc_id),
-        |bands AS (
-        |  SELECT doc_id, 0 AS band, md5(h0||h1) AS band_key FROM sig
-        |  UNION ALL SELECT doc_id, 1, md5(h2||h3) FROM sig
-        |  UNION ALL SELECT doc_id, 2, md5(h4||h5) FROM sig
-        |  UNION ALL SELECT doc_id, 3, md5(h6||h7) FROM sig)
-        |SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-        |FROM bands a JOIN bands b ON a.band = b.band AND a.band_key = b.band_key
-        |WHERE a.doc_id < b.doc_id""".stripMargin) { (s, dir) =>
+      lshCtes(MinHashLSH.DefaultBucketCap) +
+        "\nSELECT id_a, id_b FROM cand") { (s, dir) =>
       MinHashLSH.candidates(Tables.load(s, dir, "documents"), "doc_id", "text",
         shingleLen = 3, k = 8, numBands = 4)
+    },
+
+    // ---------------------------------------------------------------- q19
+    // The mega-bucket cap path, exercised: cap = 2 provably drops buckets on
+    // this corpus (sf0.01 has 3-member buckets), proving the pruning join
+    // keeps the pair expansion bounded at boilerplate-heavy scale.
+    Q("q19_lsh_bucket_cap",
+      lshCtes(2) + "\nSELECT id_a, id_b FROM cand") { (s, dir) =>
+      MinHashLSH.candidates(Tables.load(s, dir, "documents"), "doc_id", "text",
+        shingleLen = 3, k = 8, numBands = 4, maxBucketSize = 2)
     },
 
     // ---------------------------------------------------------------- q23
@@ -118,24 +151,29 @@ object DedupQueries {
     },
 
     // ---------------------------------------------------------------- q24
-    // Exact word-3gram Jaccard over source-blocked pairs sharing >= 1
-    // shingle: the verification stage after LSH candidate generation.
+    // Exact word-3gram Jaccard VERIFICATION of the LSH candidate set (q22's
+    // output): cost is linear in candidates — never the shingle⊳⊲shingle
+    // co-occurrence expansion, which a hot shingle ("of the and") makes
+    // quadratic at corpus scale.
     Q("q24_ngram_jaccard",
-      """WITH w AS (SELECT doc_id, source, string_split_regex(trim(text), '\s+') AS w FROM documents),
-        |sh AS (SELECT DISTINCT doc_id, source, s AS shingle FROM (
-        |  SELECT doc_id, source, unnest(list_transform(generate_series(1, greatest(len(w)-2, 1)),
-        |                                               i -> array_to_string(w[i:i+2], ' '))) AS s
-        |  FROM w)),
-        |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
-        |inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
-        |  FROM sh a JOIN sh b ON a.source = b.source AND a.shingle = b.shingle
-        |  WHERE a.doc_id < b.doc_id GROUP BY 1, 2)
-        |SELECT id_a, id_b, inter, sa.n_sh AS n_a, sb.n_sh AS n_b,
-        |  CAST(inter AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - inter AS DOUBLE) AS jaccard
-        |FROM inter
-        |JOIN sizes sa ON sa.doc_id = id_a
-        |JOIN sizes sb ON sb.doc_id = id_b""".stripMargin) { (s, dir) =>
-      NgramJaccard.pairs(Tables.load(s, dir, "documents"),
-        "doc_id", "text", "source", n = 3, minJ = 0.0)
+      lshCtes(MinHashLSH.DefaultBucketCap) +
+        """
+          |, sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+          |inter AS (SELECT c.id_a, c.id_b, count(*) AS inter
+          |  FROM cand c
+          |  JOIN sh a ON a.doc_id = c.id_a
+          |  JOIN sh b ON b.doc_id = c.id_b AND b.shingle = a.shingle
+          |  GROUP BY 1, 2)
+          |SELECT id_a, id_b, inter, sa.n_sh AS n_a, sb.n_sh AS n_b,
+          |  CAST(inter AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - inter AS DOUBLE) AS jaccard
+          |FROM inter
+          |JOIN sizes sa ON sa.doc_id = id_a
+          |JOIN sizes sb ON sb.doc_id = id_b""".stripMargin) { (s, dir) =>
+      val docs = Tables.load(s, dir, "documents")
+      val sh = MinHashLSH.shingles(docs, "doc_id", "text", 3) // distinct sets
+      val cand = MinHashLSH.candidatePairs(
+        MinHashLSH.bands(MinHashLSH.signatures(sh, "doc_id", 8), "doc_id", 4, 2),
+        "doc_id", MinHashLSH.DefaultBucketCap)
+      NgramJaccard.verifyPairs(cand, sh, "doc_id")
     })
 }

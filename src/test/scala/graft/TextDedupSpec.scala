@@ -21,7 +21,7 @@ class TextDedupSpec extends AnyFunSuite {
   test("identical docs get identical minhash signatures; distinct docs differ") {
     val sig = MinHashLSH.signatures(
       MinHashLSH.shingles(docs, "doc_id", "text", 3), "doc_id", 8).collect()
-    val byId = sig.map(r => r.getLong(0) -> (1 to 8).map(r.getString)).toMap
+    val byId = sig.map(r => r.getLong(0) -> (1 to 8).map(r.getLong)).toMap
     assert(byId(1L) === byId(2L), "exact dup -> equal signature")
     assert(byId(1L) !== byId(4L), "unrelated docs -> different signature")
   }
@@ -66,6 +66,17 @@ class TextDedupSpec extends AnyFunSuite {
       "doc_id", "text", "src", n = 3, minJ = 0.0)
       .filter($"id_a" === 1 && $"id_b" === 2).head()
     assert(dup.getAs[Double]("jaccard") === 1.0)
+  }
+
+  test("verifyPairs scores exactly the given candidates, nothing else") {
+    val sh = MinHashLSH.shingles(docs, "doc_id", "text", 3)
+    val cand = Seq((1L, 2L), (1L, 3L)).toDF("id_a", "id_b") // 1-4 deliberately absent
+    val out = NgramJaccard.verifyPairs(cand, sh, "doc_id").collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")) -> r.getAs[Double]("jaccard"))
+      .toMap
+    assert(out.keySet === Set((1L, 2L), (1L, 3L)), "only candidate pairs scored")
+    assert(out((1L, 2L)) === 1.0, "exact dup")
+    assert(out((1L, 3L)) > 0 && out((1L, 3L)) < 1.0, "near dup partial overlap")
   }
 
   test("language-ID prefers the profile with most stopword hits") {
