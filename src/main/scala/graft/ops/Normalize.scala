@@ -34,6 +34,12 @@ object Normalize {
     .withColumn("_ingest_ts", current_timestamp())
 
   /** Audit timestamp column (merge_core.sql:26,32, merge_facts_daily.sql:29,37). */
-  def withLoadTs(df: DataFrame): DataFrame =
-    df.withColumn("load_ts", current_timestamp())
+  def withLoadTs(df: DataFrame): DataFrame = withLoadTs(df, current_timestamp())
+
+  /** P6 with an explicit stamp: a batch run stamps every row with the SAME
+    * load timestamp (the reference stamps per-statement, not per-row), and a
+    * pinned stamp keeps replays / differential tests deterministic.
+    */
+  def withLoadTs(df: DataFrame, ts: Column): DataFrame =
+    df.withColumn("load_ts", ts)
 }
