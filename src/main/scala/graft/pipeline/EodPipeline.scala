@@ -87,6 +87,46 @@ final class EodPipeline(warehouse: String, minTickers: Long = 100L) {
     n
   }
 
+  /** True when a bronze file exists for the date AND parses to >= 1 row —
+    * the reference's "data is None or empty" probe
+    * (eod_data_downloader.py:134-136, get_securities_data.py:109-112).
+    */
+  private def hasData(spark: SparkSession, path: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.exists(p) && Quality.nonEmpty(EodSource.readBronzeCsv(spark, path))
+  }
+
+  /** Late-data lookback (eod_data_downloader.py:22-55): probe `endDate`,
+    * `endDate-1`, … `endDate-lookbackDays` NEWEST-FIRST and run the first
+    * date whose bronze data exists and is non-empty — the reference's
+    * "holidays and weekends have no grouped-daily payload" semantics. Returns
+    * None when the whole window is empty (a market closure longer than the
+    * lookback — the caller's alerting decision, not ours).
+    *
+    * @param bronzeFor resolves a trade date to its bronze CSV path, None when
+    *                  the file never landed
+    */
+  def runWithLookback(spark: SparkSession, endDate: String, lookbackDays: Int)
+      (bronzeFor: String => Option[String]): Option[PipelineReport] = {
+    val end = java.time.LocalDate.parse(endDate)
+    (0 to lookbackDays).iterator
+      .map(off => end.minusDays(off.toLong).toString)
+      .flatMap(d => bronzeFor(d).filter(hasData(spark, _)).map(p => runDate(spark, p, d)))
+      .nextOption()
+  }
+
+  /** Backfill a date range OLDEST-FIRST (dims and facts must accumulate in
+    * causal order so surrogate keys and V4 forecasts match a day-by-day
+    * history), skipping missing/empty days with V2 semantics. Each day is one
+    * partition-scoped run — a 3-year backfill touches each partition once and
+    * never rewrites the table.
+    */
+  def runRange(spark: SparkSession, dates: Seq[String])
+      (bronzeFor: String => Option[String]): Seq[PipelineReport] =
+    dates.sorted.flatMap(d =>
+      bronzeFor(d).filter(hasData(spark, _)).map(p => runDate(spark, p, d)))
+
   /** The full daily run (stages 4-8). `bronzeCsv` may contain duplicate rows
     * (FORCE=TRUE reload semantics) — W1 dedup keeps the latest by
     * (_ingest_ts, _src_file) exactly like merge_core.sql:13-16.

@@ -78,6 +78,51 @@ class EodPipelineSpec extends AnyFunSuite {
     assert(dimDate.filter($"date_sk" === 20260810).head().getAs[Int]("day_of_week") === 1)
   }
 
+  test("lookback: newest-first, first non-empty day wins (holiday scenario)") {
+    val bronze = TestSpark.tmpDir("bronze3")
+    val wh = TestSpark.tmpDir("wh3")
+    val pipe = new EodPipeline(wh, minTickers = 1)
+    // Friday has data; Saturday's file is empty (no trading); Sunday never landed.
+    val friday = writeCsv(bronze, "2026-08-07", Seq(
+      "2026-08-07,AAPL,189.5,191.2,188.9,190.4,51234567"))
+    val saturday = writeCsv(bronze, "2026-08-08", Seq.empty)
+    val paths = Map("2026-08-07" -> friday, "2026-08-08" -> saturday)
+
+    val report = pipe.runWithLookback(spark, "2026-08-09", lookbackDays = 3)(paths.get)
+    assert(report.map(_.tradeDate) === Some("2026-08-07"),
+      "Sunday missing, Saturday empty -> Friday runs")
+    assert(spark.read.parquet(pipe.corePath).count() === 1)
+
+    val none = pipe.runWithLookback(spark, "2026-08-20", lookbackDays = 2)(paths.get)
+    assert(none.isEmpty, "whole window empty -> None, nothing written")
+  }
+
+  test("backfill: 3-day gap replayed oldest-first, empty day skipped (V2)") {
+    val bronze = TestSpark.tmpDir("bronze4")
+    val wh = TestSpark.tmpDir("wh4")
+    val pipe = new EodPipeline(wh, minTickers = 1)
+    val d1 = writeCsv(bronze, "2026-08-10", Seq(
+      "2026-08-10,AAPL,189.5,191.2,188.9,190.4,51234567",
+      "2026-08-10,MSFT,421.1,425.0,419.8,424.3,18345678"))
+    val d2 = writeCsv(bronze, "2026-08-11", Seq.empty) // holiday
+    val d3 = writeCsv(bronze, "2026-08-12", Seq(
+      "2026-08-12,AAPL,190.0,194.0,189.0,193.0,61234567",
+      "2026-08-12,GOOG,141.0,143.5,140.2,142.9,9876543"))
+    val paths = Map("2026-08-10" -> d1, "2026-08-11" -> d2, "2026-08-12" -> d3)
+
+    // dates passed out of order: runRange must still replay causally
+    val reports = pipe.runRange(spark,
+      Seq("2026-08-12", "2026-08-10", "2026-08-11"))(paths.get)
+    assert(reports.map(_.tradeDate) === Seq("2026-08-10", "2026-08-12"),
+      "oldest-first, empty day skipped")
+    assert(reports.forall(_.rowParity))
+    val dim = spark.read.parquet(pipe.dimSecurityPath)
+      .orderBy("security_id").as[(Long, String)].collect()
+    assert(dim === Array((1L, "AAPL"), (2L, "MSFT"), (3L, "GOOG")),
+      "surrogate keys reflect first-seen (causal) order")
+    assert(spark.read.parquet(pipe.factPath).count() === 4)
+  }
+
   test("V1 gate: below-threshold batch fails fast (eod_data_downloader.py:138-145)") {
     val bronze = TestSpark.tmpDir("bronze2")
     val wh = TestSpark.tmpDir("wh2")
