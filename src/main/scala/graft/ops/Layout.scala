@@ -15,12 +15,17 @@ import org.apache.spark.sql.DataFrame
   */
 object Layout {
 
-  /** Write `df` as a bucketed, sorted catalog table (overwrite). */
-  def writeBucketed(df: DataFrame, table: String, buckets: Int, keys: Seq[String]): Unit =
-    df.write
+  /** Write `df` as a bucketed, sorted catalog table (overwrite). `path`
+    * makes it an external table at that location (bucket metadata still
+    * lives in the catalog — only catalog-backed reads join exchange-free).
+    */
+  def writeBucketed(df: DataFrame, table: String, buckets: Int, keys: Seq[String],
+      path: Option[String] = None): Unit = {
+    val w = df.write
       .mode(org.apache.spark.sql.SaveMode.Overwrite)
       .bucketBy(buckets, keys.head, keys.tail: _*)
       .sortBy(keys.head, keys.tail: _*)
       .format("parquet")
-      .saveAsTable(table)
+    path.fold(w)(p => w.option("path", p)).saveAsTable(table)
+  }
 }

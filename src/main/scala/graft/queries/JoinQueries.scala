@@ -96,5 +96,39 @@ object JoinQueries {
         .agg(round(sum(col("l_extendedprice").cast("decimal(18,6)"))
             .cast("decimal(38,6)").cast("double"), 6).as("revenue"),
           count(lit(1)).as("n_rows"))
+    },
+
+    // ---------------------------------------------------------------- q59
+    // Bucketed layout: both sides stored bucketed+sorted on the join key, so
+    // the sort-merge join reads matching buckets directly — ZERO exchanges
+    // below the join. This is the 100 TB co-located-join story (CORE/FACT
+    // bucketed on their merge keys); the query fn ASSERTS the exchange-free
+    // plan at runtime, so a layout regression turns this entry red.
+    Q("q59_bucketed_join",
+      """SELECT o_orderpriority,
+        |  round(CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS DOUBLE), 6) AS revenue,
+        |  count(*) AS n_rows
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority""".stripMargin) { (s, dir) =>
+      val tag = java.security.MessageDigest.getInstance("MD5")
+        .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
+      val base = s"${sys.props("java.io.tmpdir")}/graft_q/q59_$tag"
+      val liT = s"graft_li_bkt_$tag"
+      val oT = s"graft_o_bkt_$tag"
+      graft.ops.Layout.writeBucketed(
+        Tables.load(s, dir, "lineitem").select(col("l_orderkey"), col("l_extendedprice")),
+        liT, 8, Seq("l_orderkey"), Some(s"$base/li"))
+      graft.ops.Layout.writeBucketed(
+        Tables.load(s, dir, "orders")
+          .select(col("o_orderkey").as("l_orderkey"), col("o_orderpriority")),
+        oT, 8, Seq("l_orderkey"), Some(s"$base/o"))
+      val joined = s.table(liT).hint("merge").join(s.table(oT).hint("merge"), Seq("l_orderkey"))
+      val plan = joined.queryExecution.executedPlan.toString
+      require(plan.contains("SortMergeJoin") && !plan.contains("Exchange hashpartitioning"),
+        s"bucketed join must be an exchange-free sort-merge join:\n${plan.take(1500)}")
+      joined.groupBy(col("o_orderpriority"))
+        .agg(round(sum(col("l_extendedprice").cast("decimal(18,6)"))
+            .cast("decimal(38,6)").cast("double"), 6).as("revenue"),
+          count(lit(1)).as("n_rows"))
     })
 }
