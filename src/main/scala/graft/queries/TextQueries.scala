@@ -148,13 +148,16 @@ object TextQueries {
         |  CAST((SELECT count(*) FROM documents) AS DOUBLE) / count(DISTINCT doc_id) AS inv_df
         |FROM tok GROUP BY term""".stripMargin) { (s, dir) =>
       val docs = Tables.load(s, dir, "documents")
-      val n = docs.count() // corpus size: one scalar, computed once
+      // corpus size as a broadcast 1-row frame (J9 treatment): no separate
+      // driver-side count action, no second scan of the corpus
+      val corpus = docs.agg(count(lit(1)).as("__n"))
       docs.select(col("doc_id"),
           explode(graft.dedup.MinHashLSH.tokensCol(col("text"))).as("term"))
         .groupBy(col("term"))
-        .agg(countDistinct(col("doc_id")).as("df"),
-          count(lit(1)).as("total_tf"),
-          (lit(n).cast("double") / countDistinct(col("doc_id"))).as("inv_df"))
+        .agg(countDistinct(col("doc_id")).as("df"), count(lit(1)).as("total_tf"))
+        .crossJoin(broadcast(corpus))
+        .select(col("term"), col("df"), col("total_tf"),
+          (col("__n").cast("double") / col("df")).as("inv_df"))
     },
 
     // ---------------------------------------------------------------- q50
