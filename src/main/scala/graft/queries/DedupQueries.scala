@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.dedup.{MinHashLSH, NgramJaccard, SimHash}
+import graft.dedup.{Components, MinHashLSH, NgramJaccard, SimHash}
 
 /** Deduplication operator family over the `documents` corpus: exact,
   * MinHash+LSH, SimHash, exact n-gram Jaccard. All md5-keyed so every stage
@@ -175,5 +175,43 @@ object DedupQueries {
         MinHashLSH.bands(MinHashLSH.signatures(sh, "doc_id", 8), "doc_id", 4, 2),
         "doc_id", MinHashLSH.DefaultBucketCap)
       NgramJaccard.verifyPairs(cand, sh, "doc_id")
+    },
+
+    // ---------------------------------------------------------------- q60
+    // Near-dup CLUSTERING: connected components over the verified
+    // (jaccard >= 0.5) candidate pairs — transitively similar docs share a
+    // cluster_id (= min doc id in the component), the input "keep best per
+    // group" needs. Spark: iterative min-label propagation (diameter-bounded
+    // rounds, one edge shuffle each); oracle: recursive reachability CTE.
+    Q("q60_dup_clusters",
+      "WITH RECURSIVE" + lshCtes(MinHashLSH.DefaultBucketCap).stripPrefix("WITH") +
+        """
+          |, sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+          |inter AS (SELECT c.id_a, c.id_b, count(*) AS inter
+          |  FROM cand c
+          |  JOIN sh a ON a.doc_id = c.id_a
+          |  JOIN sh b ON b.doc_id = c.id_b AND b.shingle = a.shingle
+          |  GROUP BY 1, 2),
+          |edges AS (
+          |  SELECT i.id_a, i.id_b FROM inter i
+          |  JOIN sizes sa ON sa.doc_id = i.id_a
+          |  JOIN sizes sb ON sb.doc_id = i.id_b
+          |  WHERE CAST(i.inter AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - i.inter AS DOUBLE) >= 0.5),
+          |sym AS (SELECT id_a AS src, id_b AS dst FROM edges
+          |        UNION ALL SELECT id_b, id_a FROM edges),
+          |reach(id, r) AS (
+          |  SELECT doc_id, doc_id FROM documents
+          |  UNION
+          |  SELECT s.dst, re.r FROM reach re JOIN sym s ON s.src = re.id)
+          |SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id""".stripMargin) { (s, dir) =>
+      val docs = Tables.load(s, dir, "documents")
+      val sh = MinHashLSH.shingles(docs, "doc_id", "text", 3)
+      val cand = MinHashLSH.candidatePairs(
+        MinHashLSH.bands(MinHashLSH.signatures(sh, "doc_id", 8), "doc_id", 4, 2),
+        "doc_id", MinHashLSH.DefaultBucketCap)
+      val edges = NgramJaccard.verifyPairs(cand, sh, "doc_id")
+        .filter(col("jaccard") >= 0.5)
+        .select(col("id_a"), col("id_b"))
+      Components.connectedComponents(docs.select(col("doc_id")), "doc_id", edges)
     })
 }

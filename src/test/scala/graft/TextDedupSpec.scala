@@ -68,6 +68,20 @@ class TextDedupSpec extends AnyFunSuite {
     assert(dup.getAs[Double]("jaccard") === 1.0)
   }
 
+  test("connected components: chain collapses, singleton survives, clique labels by min") {
+    import graft.dedup.Components
+    val nodes = (1L to 8L).toDF("doc_id")
+    val edges = Seq(
+      (1L, 2L), (2L, 3L), (3L, 4L), // a 4-chain (diameter forces iterations)
+      (6L, 7L), (7L, 8L), (6L, 8L)  // a triangle; 5 is a singleton
+    ).toDF("id_a", "id_b")
+    val cc = Components.connectedComponents(nodes, "doc_id", edges)
+      .as[(Long, Long)].collect().toMap
+    assert((1L to 4L).forall(cc(_) === 1L), "chain propagates the min id")
+    assert(cc(5L) === 5L, "singleton keeps its own id")
+    assert((6L to 8L).forall(cc(_) === 6L), "clique labels by min member")
+  }
+
   test("verifyPairs scores exactly the given candidates, nothing else") {
     val sh = MinHashLSH.shingles(docs, "doc_id", "text", 3)
     val cand = Seq((1L, 2L), (1L, 3L)).toDF("id_a", "id_b") // 1-4 deliberately absent
