@@ -56,6 +56,18 @@ object EventStream {
     df.sparkSession.table(name)
   }
 
+  /** Streaming exact dedup with BOUNDED state: at-least-once delivery →
+    * at-most-one row per key, where a key's dedup state is dropped once the
+    * watermark passes its event time. A plain streaming `dropDuplicates`
+    * keeps every key forever — unbounded state on an unbounded stream; the
+    * watermark variant is the only form that survives at corpus scale, and
+    * re-deliveries beyond the lateness bound are the table-side MERGE's job
+    * ([[upsertSink]]), not the state store's.
+    */
+  def dedupWithinWatermark(events: DataFrame, keys: Seq[String],
+      tsCol: String = "ts", delay: String = "1 hour"): DataFrame =
+    events.withWatermark(tsCol, delay).dropDuplicatesWithinWatermark(keys)
+
   /** Idempotent keyed upsert sink: every micro-batch is deduped to one row
     * per key and MERGEd into the parquet snapshot — re-delivery of a batch
     * converges to the same table (exactly-once effect on top of at-least-once

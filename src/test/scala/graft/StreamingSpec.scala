@@ -31,6 +31,21 @@ class StreamingSpec extends AnyFunSuite {
       "streaming AvailableNow == batch aggregation")
   }
 
+  test("watermarked streaming dedup: one row per key, equal to batch distinct") {
+    val dir = TestSpark.tmpDir("stream-dedup-in")
+    val events = Tables.load(spark, "/root/testdata/sf0.001", "events")
+      .select($"event_id", $"ts", $"user_id", $"value")
+    // two arrivals; the second RE-DELIVERS part of the first (same event_ids)
+    events.write.parquet(s"$dir/f1")
+    events.filter($"event_id" % 3 === 0).write.parquet(s"$dir/f2")
+    val stream = EventStream.fileSource(spark, s"$dir/*", events.schema)
+    val got = EventStream.runAvailableNow(
+      EventStream.dedupWithinWatermark(stream, Seq("event_id"), delay = "30 days"),
+      "dedup_wm_test")
+    assert(got.count() === events.count(), "each duplicated id kept exactly once")
+    assert(got.groupBy("event_id").count().filter($"count" > 1).isEmpty)
+  }
+
   test("foreachBatch keyed upsert converges under re-delivery") {
     val in = TestSpark.tmpDir("stream-up-in")
     val target = TestSpark.tmpDir("stream-up") + "/t"
