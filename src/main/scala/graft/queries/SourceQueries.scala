@@ -201,6 +201,30 @@ object SourceQueries {
           col("volume").cast("bigint").as("volume"))
     },
 
+    // ---------------------------------------------------------------- q62
+    // Columnar-format breadth: the same layer round-trips through ORC (the
+    // second columnar format Spark ships a vectorized reader for) with
+    // schema, date, decimal, and null fidelity — the result must be
+    // indistinguishable from the parquet-derived oracle.
+    Q("q62_orc_roundtrip",
+      """SELECT o_orderpriority, CAST(o_orderdate AS DATE) AS order_day,
+        |  count(*) AS n_orders,
+        |  round(CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS DOUBLE), 6) AS total_price
+        |FROM orders
+        |WHERE o_orderkey < 2000
+        |GROUP BY 1, 2""".stripMargin) { (s, dir) =>
+      val out = scratch(s, dir, "q62")
+      Tables.load(s, dir, "orders")
+        .filter(col("o_orderkey") < 2000)
+        .select(col("o_orderpriority"), to_date(col("o_orderdate")).as("order_day"),
+          col("o_totalprice").cast("decimal(18,6)").as("price"))
+        .write.orc(out)
+      s.read.orc(out)
+        .groupBy(col("o_orderpriority"), col("order_day"))
+        .agg(count(lit(1)).as("n_orders"),
+          round(sum(col("price")).cast("decimal(38,6)").cast("double"), 6).as("total_price"))
+    },
+
     // ---------------------------------------------------------------- q58
     // S3/S4/S7 (+S5/S6 on the read side): the bronze round-trip — write the
     // header CSV exactly as the reference's sink does, probe the idempotent

@@ -160,6 +160,40 @@ object TextQueries {
           (col("__n").cast("double") / col("df")).as("inv_df"))
     },
 
+    // ---------------------------------------------------------------- q61
+    // Top-3 characteristic terms per document by tf-idf weight, in RATIONAL
+    // form (tf·N/df: one exact integer product, one IEEE division — log-free
+    // so engines agree bit-for-bit), ranked by the custom bounded-heap
+    // TopKPerGroup operator: O(n log k) per group, fixed memory, no
+    // per-document sort — the "signature terms" pass of corpus curation.
+    Q("q61_tfidf_topk",
+      """WITH tok AS (SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS term
+        |            FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+        |df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+        |n AS (SELECT count(*) AS n FROM documents)
+        |SELECT doc_id, term, tf, weight, rank FROM (
+        |  SELECT t.doc_id, t.term, t.tf,
+        |    round(CAST(t.tf * n.n AS DOUBLE) / d.df, 6) AS weight,
+        |    CAST(row_number() OVER (PARTITION BY t.doc_id
+        |      ORDER BY round(CAST(t.tf * n.n AS DOUBLE) / d.df, 6) DESC, t.term) AS INT) AS rank
+        |  FROM tf t JOIN df d USING (term) CROSS JOIN n)
+        |WHERE rank <= 3""".stripMargin) { (s, dir) =>
+      val docs = Tables.load(s, dir, "documents")
+      val tok = docs.select(col("doc_id"),
+        explode(graft.dedup.MinHashLSH.tokensCol(col("text"))).as("term"))
+      val tf = tok.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+      val docFreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      val corpus = docs.agg(count(lit(1)).as("__n"))
+      val scored = tf.join(docFreq, Seq("term")).crossJoin(broadcast(corpus))
+        .select(col("doc_id"), col("term"), col("tf"),
+          round((col("tf") * col("__n")).cast("double") / col("df"), 6).as("weight"))
+      graft.plans.TopK.perGroup(scored,
+        groupCols = Seq("doc_id"),
+        orderCols = Seq("weight" -> true, "term" -> false),
+        k = 3)
+    },
+
     // ---------------------------------------------------------------- q50
     // Quantile outlier filter: drop events outside the per-type [p01, p99]
     // of `value` — the numeric-cleaning pass before training aggregation.
