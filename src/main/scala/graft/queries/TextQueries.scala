@@ -118,6 +118,52 @@ object TextQueries {
         "doc_id", "text", size = 20, stride = 15)
     },
 
+    // ---------------------------------------------------------------- q63
+    // Stratified subsampling: k docs per (lang, source) stratum, selected by
+    // CONTENT-HASH order (deterministic, re-ingestion-stable — the q48
+    // rationale applied to balanced-subset curation), ranked by the
+    // bounded-heap TopKPerGroup instead of a per-stratum sort.
+    Q("q63_stratified_sample",
+      """SELECT lang, source, h, doc_id, rank FROM (
+        |  SELECT lang, source, md5(text) AS h, doc_id,
+        |    CAST(row_number() OVER (PARTITION BY lang, source
+        |      ORDER BY md5(text), doc_id) AS INT) AS rank
+        |  FROM documents)
+        |WHERE rank <= 5""".stripMargin) { (s, dir) =>
+      graft.plans.TopK.perGroup(
+        Tables.load(s, dir, "documents")
+          .select(col("lang"), col("source"), md5(col("text")).as("h"), col("doc_id")),
+        groupCols = Seq("lang", "source"),
+        orderCols = Seq("h" -> false, "doc_id" -> false),
+        k = 5)
+    },
+
+    // ---------------------------------------------------------------- q64
+    // Sequence packing: contiguous chunks of each document packed into
+    // fixed-token-budget training sequences (seq_id = preceding-tokens DIV
+    // budget over a running window sum) — the batch-shaping pass between
+    // chunking and tokenized training data. One window over (doc, position),
+    // no cross-doc state.
+    Q("q64_sequence_packing",
+      """WITH w AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents),
+        |ch AS (SELECT doc_id, i AS chunk_start, least(len(w) - i + 1, 20) AS n_tokens
+        |       FROM (SELECT doc_id, w, unnest(generate_series(1, greatest(len(w), 1), 15)) AS i FROM w)),
+        |packed AS (SELECT doc_id, chunk_start, n_tokens,
+        |  CAST((SUM(n_tokens) OVER (PARTITION BY doc_id ORDER BY chunk_start
+        |        ROWS UNBOUNDED PRECEDING) - n_tokens) // 64 AS INT) AS seq_id
+        |  FROM ch)
+        |SELECT doc_id, seq_id, count(*) AS n_chunks,
+        |  CAST(SUM(n_tokens) AS BIGINT) AS seq_tokens
+        |FROM packed GROUP BY 1, 2""".stripMargin) { (s, dir) =>
+      val chunks = graft.text.Chunker.chunkByTokens(Tables.load(s, dir, "documents"),
+        "doc_id", "text", size = 20, stride = 15)
+      graft.text.Chunker.packSequences(chunks, "doc_id", "chunk_start", "n_tokens",
+          budget = 64)
+        .groupBy(col("doc_id"), col("seq_id"))
+        .agg(count(lit(1)).as("n_chunks"),
+          sum(col("n_tokens")).as("seq_tokens"))
+    },
+
     // ---------------------------------------------------------------- q48
     // Content-addressed train/val split: the split key is a hash of the
     // CONTENT (md5 first nibble), not a random draw — stable under

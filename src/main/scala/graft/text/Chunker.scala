@@ -34,5 +34,25 @@ object Chunker {
       .select(col(idCol), col("__c.chunk_start"), col("__c.chunk_text"), col("__c.n_tokens"))
   }
 
+  /** Sequence packing: assign each doc's chunks (in `orderCol` order) to
+    * fixed-token-budget training sequences — a chunk lands in the sequence
+    * indexed by `precedingTokens DIV budget`, so sequences fill contiguously
+    * and a doc never interleaves with another. One window per (doc,
+    * position): a single shuffle on the doc key, no cross-doc state —
+    * embarrassingly parallel at corpus scale.
+    */
+  def packSequences(chunks: DataFrame, docCol: String, orderCol: String,
+      tokensCol: String, budget: Int): DataFrame = {
+    require(budget > 0, "budget must be positive")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(docCol)).orderBy(col(orderCol))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    chunks
+      .withColumn("__cum", sum(col(tokensCol)).over(w))
+      .withColumn("seq_id",
+        ((col("__cum") - col(tokensCol)) / budget).cast("int")) // nonneg: trunc == floor == DIV
+      .drop("__cum")
+  }
+
   private def size_(c: org.apache.spark.sql.Column) = org.apache.spark.sql.functions.size(c)
 }

@@ -83,6 +83,21 @@ class JoinOpsSpec extends AnyFunSuite {
     assert(salted.exceptAll(plain).isEmpty && plain.exceptAll(salted).isEmpty)
   }
 
+  test("sequence packing: budget boundaries, no doc interleaving") {
+    val chunks = Seq(
+      (1L, 1, 30), (1L, 2, 30), (1L, 3, 30), (1L, 4, 10), // cum 30,60,90,100
+      (2L, 1, 64), (2L, 2, 1)                             // cum 64,65
+    ).toDF("doc_id", "chunk_start", "n_tokens")
+    val packed = Chunker.packSequences(chunks, "doc_id", "chunk_start", "n_tokens", budget = 64)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getAs[Int]("seq_id")).toMap
+    // doc 1: preceding totals 0,30,60,90 -> seqs 0,0,0,1
+    assert(packed((1L, 1)) === 0 && packed((1L, 2)) === 0)
+    assert(packed((1L, 3)) === 0, "chunk STARTING under budget joins the open sequence")
+    assert(packed((1L, 4)) === 1, "preceding 90 >= 64 -> next sequence")
+    // doc 2 restarts at seq 0: no cross-doc state
+    assert(packed((2L, 1)) === 0 && packed((2L, 2)) === 1)
+  }
+
   test("chunking: coverage, overlap, and tail behaviour") {
     val doc = Seq((1L, (1 to 35).map(i => s"w$i").mkString(" "))).toDF("doc_id", "text")
     val chunks = Chunker.chunkByTokens(doc, "doc_id", "text", size = 20, stride = 15)
