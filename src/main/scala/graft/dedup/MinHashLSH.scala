@@ -101,14 +101,19 @@ object MinHashLSH {
     * than the bound before the quadratic expansion.
     */
   def candidatePairs(bandDf: DataFrame, idCol: String, maxBucketSize: Int = 0): DataFrame = {
+    // The band frame feeds 2-3 subtrees (sizes, self-join sides) whose shapes
+    // differ, so Spark re-runs the whole shingle→signature lineage for each;
+    // materialize it ONCE (spillable executor storage). At warehouse scale
+    // the band table is a written artifact instead — same principle.
+    val bands = bandDf.localCheckpoint()
     val pruned =
-      if (maxBucketSize <= 0) bandDf
+      if (maxBucketSize <= 0) bands
       else {
-        val sizes = bandDf.groupBy(col("band"), col("band_key"))
+        val sizes = bands.groupBy(col("band"), col("band_key"))
           .agg(count(lit(1)).as("__bs"))
           .filter(col("__bs") <= maxBucketSize)
           .drop("__bs")
-        bandDf.join(sizes, Seq("band", "band_key"))
+        bands.join(sizes, Seq("band", "band_key"))
       }
     val a = pruned.select(col("band"), col("band_key"), col(idCol).as("id_a"))
     val b = pruned.select(col("band"), col("band_key"), col(idCol).as("id_b"))

@@ -170,7 +170,9 @@ object DedupQueries {
           |JOIN sizes sa ON sa.doc_id = id_a
           |JOIN sizes sb ON sb.doc_id = id_b""".stripMargin) { (s, dir) =>
       val docs = Tables.load(s, dir, "documents")
-      val sh = MinHashLSH.shingles(docs, "doc_id", "text", 3) // distinct sets
+      // the shingle SET feeds signatures + both intersection sides + sizes:
+      // materialize once instead of 4 tokenize+hash passes
+      val sh = MinHashLSH.shingles(docs, "doc_id", "text", 3).localCheckpoint()
       val cand = MinHashLSH.candidatePairs(
         MinHashLSH.bands(MinHashLSH.signatures(sh, "doc_id", 8), "doc_id", 4, 2),
         "doc_id", MinHashLSH.DefaultBucketCap)
@@ -205,7 +207,7 @@ object DedupQueries {
           |  SELECT s.dst, re.r FROM reach re JOIN sym s ON s.src = re.id)
           |SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id""".stripMargin) { (s, dir) =>
       val docs = Tables.load(s, dir, "documents")
-      val sh = MinHashLSH.shingles(docs, "doc_id", "text", 3)
+      val sh = MinHashLSH.shingles(docs, "doc_id", "text", 3).localCheckpoint()
       val cand = MinHashLSH.candidatePairs(
         MinHashLSH.bands(MinHashLSH.signatures(sh, "doc_id", 8), "doc_id", 4, 2),
         "doc_id", MinHashLSH.DefaultBucketCap)
