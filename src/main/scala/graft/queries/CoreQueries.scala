@@ -141,6 +141,9 @@ object CoreQueries {
         |FROM daily c LEFT JOIN (
         |  SELECT l_suppkey, cal_day + 1 AS cal_day, revenue AS prev_revenue FROM daily) p
         |USING (l_suppkey, cal_day)""".stripMargin) { (s, dir) =>
+      // NOTE: measured, not checkpointed — materializing the 533k-row daily
+      // aggregate costs more than letting both self-join sides recompute it
+      // (the scan+agg is cheap and the sides run concurrently)
       val daily = Tables.load(s, dir, "lineitem")
         .groupBy(col("l_suppkey"), to_date(col("l_shipdate")).as("cal_day"))
         .agg(sum(col("l_extendedprice").cast(Dec18)).cast(Dec38).as("revenue"))

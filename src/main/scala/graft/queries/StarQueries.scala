@@ -74,8 +74,11 @@ object StarQueries {
         |SELECT (SELECT count(*) FROM existing) + row_number() OVER (ORDER BY user_id)
         |  AS security_id, user_id FROM fresh""".stripMargin) { (s, dir) =>
       val existing = eventsBefore(s, dir).select(col("user_id")).distinct()
+      // exDim serves the maxKey action AND the final union: one assignment
+      // pass, not two
       val exDim = SurrogateKeys.assign(existing, "security_id", 0L, Seq("user_id"))
         .select(col("security_id"), col("user_id"))
+        .localCheckpoint()
       val fresh = eventsBatch(s, dir).select(col("user_id")).distinct()
         .join(existing, Seq("user_id"), "left_anti")
       val maxId = SurrogateKeys.maxKey(exDim, "security_id")
