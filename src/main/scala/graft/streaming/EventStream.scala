@@ -68,6 +68,32 @@ object EventStream {
       tsCol: String = "ts", delay: String = "1 hour"): DataFrame =
     events.withWatermark(tsCol, delay).dropDuplicatesWithinWatermark(keys)
 
+  /** Stream-stream interval join with watermark-bounded state — the
+    * streaming twin of [[graft.ops.RangeJoin.timeWindow]]: left rows match
+    * right rows of the same keys whose event time falls in
+    * `[leftTs + lowerUs, leftTs + upperUs]`. Both sides carry watermarks and
+    * the join condition bounds event-time distance, which is exactly what
+    * lets Spark evict state: a buffered row is dropped once the other side's
+    * watermark passes its last possible match. Without the time bound the
+    * state store grows without limit — the unbounded-stream analogue of an
+    * uncapped LSH bucket.
+    *
+    * `rightTs` must differ from `leftTs` by name (rename upstream) so the
+    * output is unambiguous.
+    */
+  def intervalJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
+      leftTs: String, rightTs: String, lowerUs: Long, upperUs: Long,
+      delay: String = "1 hour"): DataFrame = {
+    require(leftTs != rightTs, "rename one time column: output keeps both")
+    val l = left.withWatermark(leftTs, delay).alias("l")
+    val r = right.withWatermark(rightTs, delay).alias("r")
+    val keyCond = keys.map(k => col(s"l.$k") === col(s"r.$k")).reduce(_ && _)
+    val range =
+      col(s"r.$rightTs") >= col(s"l.$leftTs") + expr(s"INTERVAL $lowerUs MICROSECOND") &&
+        col(s"r.$rightTs") <= col(s"l.$leftTs") + expr(s"INTERVAL $upperUs MICROSECOND")
+    l.join(r, keyCond && range).select(col("l.*"), col(s"r.$rightTs"))
+  }
+
   /** Idempotent keyed upsert sink: every micro-batch is deduped to one row
     * per key and MERGEd into the parquet snapshot — re-delivery of a batch
     * converges to the same table (exactly-once effect on top of at-least-once

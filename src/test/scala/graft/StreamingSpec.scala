@@ -46,6 +46,31 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.groupBy("event_id").count().filter($"count" > 1).isEmpty)
   }
 
+  test("stream-stream interval join equals the batch range join") {
+    val dir = TestSpark.tmpDir("stream-ij")
+    val events = Tables.load(spark, "/root/testdata/sf0.001", "events")
+    val errors = events.filter($"event_type" === "error")
+      .select($"user_id", $"ts", $"event_id")
+    val clicks = events.filter($"event_type" === "click")
+      .select($"user_id", $"ts".as("click_ts"))
+    errors.write.parquet(s"$dir/errors")
+    clicks.write.parquet(s"$dir/clicks")
+
+    val got = EventStream.runAvailableNow(
+      EventStream.intervalJoin(
+        EventStream.fileSource(spark, s"$dir/errors", errors.schema),
+        EventStream.fileSource(spark, s"$dir/clicks", clicks.schema),
+        Seq("user_id"), "ts", "click_ts",
+        lowerUs = -600000000L, upperUs = 0L, delay = "30 days"),
+      "interval_join_test")
+    val want = graft.ops.RangeJoin.timeWindow(errors, clicks, Seq("user_id"),
+      "ts", "click_ts", lowerUs = -600000000L, upperUs = 0L)
+      .select(got.columns.map(col).toIndexedSeq: _*)
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty,
+      "streaming interval join == batch bucketized range join")
+    assert(got.count() > 0, "fixture produces matches")
+  }
+
   test("foreachBatch keyed upsert converges under re-delivery") {
     val in = TestSpark.tmpDir("stream-up-in")
     val target = TestSpark.tmpDir("stream-up") + "/t"
