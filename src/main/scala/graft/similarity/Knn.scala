@@ -51,10 +51,10 @@ object Knn {
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
         (dot(col("__qv"), col("__cv")) / (col("__qn") * col("__cn"))).as("cosine_sim"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cosine_sim").desc, col("neighbor_id").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
+    // bounded-heap top-k, O(corpus·log k) fixed memory — a window form would
+    // fully sort every query's corpus-sized score list
+    graft.plans.TopK.perGroup(scored, Seq("query_id"),
+      Seq("cosine_sim" -> true, "neighbor_id" -> false), k)
   }
 
   /** Positional mean of a vector column per cell — the IVF "centroid" table.
@@ -95,14 +95,12 @@ object Knn {
       .select(col("query_id"), col("__qv"), col("__qn"), col(cellCol))
     val c = corpus.select(col(cellCol), col(idC).as("neighbor_id"), col(vecCol).as("__cv"))
       .withColumn("__cn", norm(col("__cv")))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cosine_sim").desc, col("neighbor_id").asc)
-    c.join(broadcast(probes), Seq(cellCol))
+    val scored = c.join(broadcast(probes), Seq(cellCol))
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col(cellCol).as("probed_cell"), col("neighbor_id"),
         (dot(col("__qv"), col("__cv")) / (col("__qn") * col("__cn"))).as("cosine_sim"))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
+    graft.plans.TopK.perGroup(scored, Seq("query_id"),
+      Seq("cosine_sim" -> true, "neighbor_id" -> false), k)
   }
 
   /** Embedding-cosine near-duplicate pairs within a blocking column:

@@ -1,7 +1,6 @@
 package graft.similarity
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.DotProduct
 
@@ -61,13 +60,11 @@ object SignLSH {
     val c = withBucket(corpus, vecCol, nBits, dim)
       .select(col(idC).as("neighbor_id"), col(vecCol).as("__cv"), col("bucket"))
       .withColumn("__cn", Knn.norm(col("__cv")))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cosine_sim").desc, col("neighbor_id").asc)
-    c.join(broadcast(q), Seq("bucket"))
+    val scored = c.join(broadcast(q), Seq("bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("bucket"), col("neighbor_id"),
         (Knn.dot(col("__qv"), col("__cv")) / (col("__qn") * col("__cn"))).as("cosine_sim"))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
+    graft.plans.TopK.perGroup(scored, Seq("query_id"),
+      Seq("cosine_sim" -> true, "neighbor_id" -> false), k)
   }
 }
