@@ -265,6 +265,33 @@ object TextQueries {
             .as("mean_kept"))
     },
 
+    // ---------------------------------------------------------------- q65
+    // Multimodal metadata rewrite + frame sampling: aspect-preserving resize
+    // (pure metadata arithmetic — payload bytes untouched and never
+    // shuffled) then every-4th-frame sampling. Int casts are floor on both
+    // sides (values nonnegative; DuckDB CAST rounds, so the oracle floors
+    // explicitly).
+    Q("q65_media_resample",
+      """WITH m AS (SELECT doc_id AS media_id,
+        |    CAST(n_chars % 640 AS INT) AS width,
+        |    CAST(doc_id % 480 AS INT) AS height
+        |  FROM documents),
+        |r AS (SELECT media_id,
+        |    CASE WHEN width > 384 OR height > 384
+        |         THEN CAST(floor(width * least(384.0 / greatest(width, 1),
+        |                                       384.0 / greatest(height, 1))) AS INT)
+        |         ELSE width END AS width,
+        |    CASE WHEN width > 384 OR height > 384
+        |         THEN CAST(floor(height * least(384.0 / greatest(width, 1),
+        |                                        384.0 / greatest(height, 1))) AS INT)
+        |         ELSE height END AS height
+        |  FROM m)
+        |SELECT media_id, width, height FROM r WHERE media_id % 4 = 0""".stripMargin) { (s, dir) =>
+      val media = Media.fromDocuments(Tables.load(s, dir, "documents"))
+      Media.sampleFrames(Media.resizeMeta(media, maxDim = 384), "media_id", stride = 4)
+        .select(col("media_id"), col("width"), col("height"))
+    },
+
     // ---------------------------------------------------------------- q32
     // Multimodal plumbing: binary payload column + batched mapPartitions
     // feature extraction (decode STUBbed — deterministic fake features; the
