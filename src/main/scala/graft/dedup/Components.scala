@@ -24,6 +24,12 @@ object Components {
   /** (idCol, cluster_id) for every node: cluster_id = the min id reachable
     * through `edges` (singletons keep their own id). `edges` are undirected
     * (id_a, id_b) pairs.
+    *
+    * Scale shape: the iteration runs ONLY over nodes incident to an edge —
+    * in a near-dup graph that subgraph is orders of magnitude smaller than
+    * the corpus (duplicate density, not corpus size, bounds it). Singletons
+    * — the overwhelming majority at 100 TB — never enter the loop; they are
+    * labeled with their own id in one final broadcast-sized left join.
     */
   def connectedComponents(nodes: DataFrame, idCol: String, edges: DataFrame,
       maxIters: Int = 20): DataFrame = {
@@ -32,7 +38,7 @@ object Components {
       .unionByName(edges
         .select(col("id_b").cast("long").as("src"), col("id_a").cast("long").as("dst")))
       .localCheckpoint() // the LSH/verify lineage above is re-read every round otherwise
-    var labels = nodes.select(col(idCol).cast("long").as("id"))
+    var labels = sym.select(col("src").as("id")).distinct()
       .withColumn("lbl", col("id"))
       .localCheckpoint()
     var changed = 1L
@@ -42,16 +48,19 @@ object Components {
         .join(labels.select(col("id").as("dst"), col("lbl").as("dst_lbl")), Seq("dst"))
         .groupBy(col("src").as("id"))
         .agg(min(col("dst_lbl")).as("nbr_lbl"))
-      val next = labels.join(nbrMin, Seq("id"), "left")
-        .select(col("id"),
-          least(col("lbl"), coalesce(col("nbr_lbl"), col("lbl"))).as("lbl"))
+      // one materialized join serves BOTH the convergence test and the next
+      // labels (a projection over it) — no second change-detection join
+      val joined = labels.join(nbrMin, Seq("id"))
         .localCheckpoint()
-      changed = next
-        .join(labels.select(col("id"), col("lbl").as("prev")), Seq("id"))
-        .filter(col("lbl") < col("prev")).count()
-      labels = next
+      changed = joined.filter(col("nbr_lbl") < col("lbl")).count()
+      labels = joined.select(col("id"), least(col("lbl"), col("nbr_lbl")).as("lbl"))
       it += 1
     }
-    labels.select(col("id").as(idCol), col("lbl").as("cluster_id"))
+    // singletons (no incident edge) keep their own id; the label table is
+    // duplicate-subgraph-sized — small enough that AQE broadcasts it (no
+    // explicit hint: a pathological all-duplicate corpus should still shuffle)
+    nodes.select(col(idCol).cast("long").as("id"))
+      .join(labels, Seq("id"), "left")
+      .select(col("id").as(idCol), coalesce(col("lbl"), col("id")).as("cluster_id"))
   }
 }
