@@ -10,6 +10,7 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    graft.plans.GraftRules.register(spark)
     // Untimed warmup: JIT, codegen compilation, parquet footer caches.
     try {
       SparkEntry.queries.get("q09_check_loaded").foreach(_(spark, sfDir).count())

@@ -17,6 +17,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       e.injectFunction((ident, info, builder))
     }
     e.injectPlannerStrategy(_ => graft.plans.TopKStrategy)
+    e.injectOptimizerRule(_ => graft.plans.RankFilterToTopK)
   }
 }
 

@@ -15,6 +15,7 @@ object TestSpark {
         java.nio.file.Files.createTempDirectory("graft-wh").toString)
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
+    graft.plans.GraftRules.register(s)
     s
   }
 
