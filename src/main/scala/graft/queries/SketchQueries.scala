@@ -1,0 +1,82 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.plans.TopK
+
+/** Deterministic, engine-portable sketches — the cardinality/quantile
+  * estimators a 100 TB pipeline uses when exact answers are not worth their
+  * shuffle. Unlike HLL / t-digest (whose merge internals differ per engine
+  * and defeat a differential oracle), these are *content-addressed*: every
+  * estimate is a pure function of md5 values both engines compute
+  * identically, so the sketch itself is hash-checkable against DuckDB while
+  * keeping the scale properties (bounded state, one pass, mergeable).
+  *
+  * - KMV (k-minimum-values, Bar-Yossef et al. RANDOM'02): keep the k
+  *   smallest hash fractions per group; estimate distinct = (k-1) / kth-min.
+  *   Bottom-k per group runs on the bounded-heap TopKPerGroup operator —
+  *   O(groups·k) state, no sort, mergeable across partitions.
+  * - Hash-sampled quantiles: a deterministic ~10% Bernoulli sample keyed by
+  *   md5(orderkey) (re-ingestion-stable, like q48's train/val split), exact
+  *   interpolated quantiles over the sample. Sample size is tunable
+  *   independent of data volume; the full-data exact variant is q43.
+  */
+object SketchQueries {
+
+  /** Uniform [0,1) hash fraction from the first 8 md5 hex chars of `s`. */
+  private def hashFrac(c: org.apache.spark.sql.Column) =
+    conv(substring(md5(c.cast("string")), 1, 8), 16, 10).cast("long").cast("double") /
+      lit(4294967296.0)
+
+  private def oracleFrac(sqlExpr: String): String =
+    s"CAST(CAST('0x' || substring(md5(CAST($sqlExpr AS VARCHAR)), 1, 8) AS BIGINT) AS DOUBLE) / 4294967296.0"
+
+  val all: Seq[Q] = Seq(
+
+    // ---------------------------------------------------------------- q81
+    // KMV distinct-count estimate of parts per return flag, k = 256. Groups
+    // smaller than k fall back to their exact count (the sketch is exact
+    // below capacity). Estimate arithmetic is one double division from
+    // values both engines agree on bit-for-bit.
+    Q("q81_kmv_distinct",
+      s"""WITH d AS (SELECT DISTINCT l_returnflag, l_partkey FROM lineitem),
+        |h AS (SELECT l_returnflag, l_partkey,
+        |  ${oracleFrac("l_partkey")} AS frac FROM d),
+        |k AS (SELECT * FROM h
+        |  QUALIFY row_number() OVER (PARTITION BY l_returnflag
+        |                             ORDER BY frac, l_partkey) <= 256)
+        |SELECT l_returnflag, count(*) AS n_kept,
+        |  round(CASE WHEN count(*) < 256 THEN CAST(count(*) AS DOUBLE)
+        |        ELSE 255.0 / max(frac) END, 6) AS est_distinct
+        |FROM k GROUP BY 1""".stripMargin) { (s, dir) =>
+      val d = Tables.load(s, dir, "lineitem")
+        .select(col("l_returnflag"), col("l_partkey")).distinct()
+        .withColumn("frac", hashFrac(col("l_partkey")))
+      val kept = TopK.perGroup(d, Seq("l_returnflag"),
+        Seq(("frac", false), ("l_partkey", false)), 256)
+      kept.groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n_kept"),
+          round(when(count(lit(1)) < 256, count(lit(1)).cast("double"))
+            .otherwise(lit(255.0) / max(col("frac"))), 6).as("est_distinct"))
+    },
+
+    // ---------------------------------------------------------------- q82
+    // Quantiles over a deterministic 10% hash sample: the sample is keyed on
+    // content (md5 of the order key), so re-running — or re-ingesting — picks
+    // the same rows on any engine; the quantile is then exact over the
+    // sample. q43 is the full-data exact twin.
+    Q("q82_sampled_quantiles",
+      s"""WITH smp AS (SELECT * FROM orders
+        |  WHERE ${oracleFrac("o_orderkey")} < 0.1)
+        |SELECT o_orderpriority, count(*) AS n_sample,
+        |  round(quantile_cont(o_totalprice, 0.5), 6) AS p50,
+        |  round(quantile_cont(o_totalprice, 0.95), 6) AS p95
+        |FROM smp GROUP BY 1""".stripMargin) { (s, dir) =>
+      Tables.load(s, dir, "orders")
+        .filter(hashFrac(col("o_orderkey")) < 0.1)
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_sample"),
+          round(expr("percentile(o_totalprice, 0.5)"), 6).as("p50"),
+          round(expr("percentile(o_totalprice, 0.95)"), 6).as("p95"))
+    })
+}
