@@ -83,4 +83,24 @@ class PlanAuditSpec extends AnyFunSuite {
     val plan = executed(q("q50_outlier_filter"))
     assert(plan.contains("BroadcastHashJoin"))
   }
+
+  test("q10: the QUALIFY dedup rides the heap rewrite — no window sort in the plan") {
+    val plan = executed(q("q10_dedup_latest"))
+    assert(plan.contains("TopKPerGroup"), plan.take(600))
+    assert(!plan.contains("Window ["), "rewritten plan must not keep the sort-based window")
+  }
+
+  test("q75/q79: new analytics stay distributed — no global window, no cartesian") {
+    assert(!executed(q("q75_decile_stats")).contains("Window ["),
+      "deciles must use the distributed rank, not a global ntile window")
+    val basket = executed(q("q79_cooccurrence"))
+    assert(!basket.contains("CartesianProduct") &&
+      !basket.contains("BroadcastNestedLoopJoin Inner"),
+      "co-occurrence must join keyed on the order")
+  }
+
+  test("q71/q76: moment and share re-joins broadcast the tiny aggregate side") {
+    assert(executed(q("q71_zscore_anomaly")).contains("BroadcastHashJoin"))
+    assert(executed(q("q76_share_of_total")).contains("BroadcastHashJoin"))
+  }
 }
