@@ -270,5 +270,32 @@ object SourceQueries {
           col("volume").cast("bigint").as("volume"),
           lit(firstWrite && !secondWrite).as("idempotent_sink"),
           lit(staged.nonEmpty).as("stage_listed"))
+    },
+
+    // ---------------------------------------------------------------- q83
+    // Typed JSON field extraction with from_json (the S2 rename/extract
+    // family upgraded from regex to a schema'd parser — what the REST
+    // source does to nested payloads at scale): parse props into a struct,
+    // aggregate the typed field with exact integer sums. Codegen-native,
+    // no UDF; malformed JSON yields NULL and is filtered like TRY_TO_*.
+    Q("q83_json_extract",
+      """SELECT upper(trim(event_type)) AS event_type,
+        |  count(*) AS n,
+        |  CAST(SUM(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS sum_k,
+        |  round(CAST(SUM(CAST(json_extract_string(props, '$.k') AS INT)) AS DOUBLE)
+        |        / count(*), 6) AS avg_k
+        |FROM events WHERE json_extract_string(props, '$.k') IS NOT NULL
+        |GROUP BY 1""".stripMargin) { (s, dir) =>
+      import graft.ops.Normalize
+      val k = from_json(col("props"), org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("k", org.apache.spark.sql.types.IntegerType))))
+        .getField("k")
+      Tables.load(s, dir, "events")
+        .select(Normalize.normKey(col("event_type")).as("event_type"), k.as("k"))
+        .filter(col("k").isNotNull)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("k")).cast("bigint").as("sum_k"),
+          round(sum(col("k")).cast("double") / count(lit(1)), 6).as("avg_k"))
     })
 }

@@ -106,5 +106,45 @@ object VectorQueries {
         |WHERE ${cos("a.v", "b.v")} >= 0.3""".stripMargin) { (s, dir) =>
       Knn.nearDupPairs(Tables.load(s, dir, "embeddings"),
         "vec_id", "embedding", "label", minSim = 0.3)
+    },
+
+    // ---------------------------------------------------------------- q84
+    // Per-label embedding component moments (leading 8 dims): centroid and
+    // variance from exact decimal power sums — the k-means/update step and
+    // the feature-quality diagnostic in one distributed pass. The vector
+    // column is decomposed positionally (explode of a literal index range —
+    // narrow, no UDF), moments accumulate per (label, pos) exactly, and the
+    // statistic derives in scalar double arithmetic (q71's determinism
+    // argument, applied element-wise to vectors).
+    Q("q84_embedding_moments",
+      """WITH x AS (
+        |  SELECT label, t.pos,
+        |    CAST(CAST(embedding[t.pos + 1] AS DOUBLE) AS DECIMAL(20,10)) AS v
+        |  FROM embeddings, range(8) t(pos)),
+        |m AS (
+        |  SELECT label, pos, count(*) AS n,
+        |    CAST(SUM(v) AS DECIMAL(38,10)) AS s1,
+        |    CAST(SUM(CAST(v AS DECIMAL(18,10)) * CAST(v AS DECIMAL(18,10))) AS DECIMAL(38,20)) AS s2
+        |  FROM x GROUP BY 1, 2)
+        |SELECT label, CAST(pos AS INT) AS pos, n,
+        |  round(CAST(s1 AS DOUBLE) / n, 6) AS centroid,
+        |  round((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE)*CAST(s1 AS DOUBLE)/n) / n, 6) AS variance
+        |FROM m""".stripMargin) { (s, dir) =>
+      val x = Tables.load(s, dir, "embeddings")
+        .select(col("label"), explode(sequence(lit(0), lit(7))).as("pos"),
+          col("embedding"))
+        .select(col("label"), col("pos"),
+          element_at(col("embedding"), col("pos") + 1)
+            .cast("double").cast("decimal(20,10)").as("v"))
+      val v18 = col("v").cast("decimal(18,10)")
+      x.groupBy(col("label"), col("pos"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("v")).cast("decimal(38,10)").as("s1"),
+          sum(v18 * v18).cast("decimal(38,20)").as("s2"))
+        .select(col("label"), col("pos").cast("int").as("pos"), col("n"),
+          round(col("s1").cast("double") / col("n"), 6).as("centroid"),
+          round((col("s2").cast("double") -
+            col("s1").cast("double") * col("s1").cast("double") / col("n")) / col("n"), 6)
+            .as("variance"))
     })
 }
