@@ -1,6 +1,7 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.hadoop.fs.Path
 
 /** Physical-layout helpers: bucketing for co-located joins.
   *
@@ -27,5 +28,35 @@ object Layout {
       .sortBy(keys.head, keys.tail: _*)
       .format("parquet")
     path.fold(w)(p => w.option("path", p)).saveAsTable(table)
+  }
+
+  /** Compact a parquet directory's small files: size the output file count
+    * from the ACTUAL on-disk bytes (ceil(total / targetBytes)) and rewrite
+    * through the crash-safe snapshot swap. The small-files problem is a
+    * first-order 100 TB concern — a daily pipeline appending hundreds of
+    * kilobyte-sized files per partition turns every downstream scan into a
+    * metadata storm (one task + one footer read per file). Streaming sinks
+    * run this as housekeeping per closed partition.
+    *
+    * Returns (filesBefore, filesAfter). No-op (no rewrite) when the layout
+    * is already at or below the target count.
+    */
+  def compact(spark: SparkSession, path: String, targetBytes: Long): (Int, Int) = {
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dataFiles = fs.listStatus(new Path(path))
+      .filter(st => st.isFile && !st.getPath.getName.startsWith("_"))
+    val before = dataFiles.length
+    val totalBytes = dataFiles.map(_.getLen).sum
+    val want = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
+    if (want >= before) (before, before)
+    else {
+      // localCheckpoint cuts lineage off the old snapshot so the swap can
+      // delete it; coalesce (not repartition) keeps the rewrite shuffle-free
+      val df = spark.read.parquet(path).localCheckpoint().coalesce(want)
+      Upsert.snapshotWrite(df, path)
+      val after = fs.listStatus(new Path(path))
+        .count(st => st.isFile && !st.getPath.getName.startsWith("_"))
+      (before, after)
+    }
   }
 }

@@ -297,5 +297,32 @@ object SourceQueries {
         .agg(count(lit(1)).as("n"),
           sum(col("k")).cast("bigint").as("sum_k"),
           round(sum(col("k")).cast("double") / count(lit(1)), 6).as("avg_k"))
+    },
+
+    // ---------------------------------------------------------------- q85
+    // Small-file compaction (streaming-sink housekeeping): a 40-file layout
+    // is rewritten to a byte-sized target through the crash-safe snapshot
+    // swap; the query ASSERTS the file-count contract at runtime (a layout
+    // regression turns the entry red, q59-style) and returns the compacted
+    // data — the oracle proves the rewrite lost nothing.
+    Q("q85_compaction",
+      """SELECT o_orderpriority, count(*) AS n_orders,
+        |  CAST(SUM(o_orderkey) AS BIGINT) AS key_sum
+        |FROM orders GROUP BY 1""".stripMargin) { (s, dir) =>
+      val path = scratch(s, dir, "q85")
+      Tables.load(s, dir, "orders").repartition(40)
+        .write.mode("overwrite").parquet(path)
+      val fs = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      val bytes = fs.listStatus(new org.apache.hadoop.fs.Path(path))
+        .filter(st => st.isFile && !st.getPath.getName.startsWith("_"))
+        .map(_.getLen).sum
+      val (before, after) = graft.ops.Layout.compact(s, path, targetBytes = bytes / 4 + 1)
+      require(before == 40 && after <= 4,
+        s"compaction contract violated: $before files -> $after")
+      s.read.parquet(path)
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("o_orderkey")).cast("bigint").as("key_sum"))
     })
 }

@@ -26,4 +26,44 @@ class LayoutSpec extends AnyFunSuite {
       Seq("l_orderkey"))
     assert(joined.count() === plain.count())
   }
+
+  test("compact: small files merge to the byte-sized target, data unchanged") {
+    val sf = "/root/testdata/sf0.001"
+    val dir = TestSpark.tmpDir("compact")
+    val src = Tables.load(spark, sf, "orders")
+    src.repartition(40).write.mode("overwrite").parquet(dir)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def files() = fs.listStatus(new org.apache.hadoop.fs.Path(dir))
+      .filter(st => st.isFile && !st.getPath.getName.startsWith("_"))
+    val totalBytes = files().map(_.getLen).sum
+    val (before, after) = Layout.compact(spark, dir, targetBytes = totalBytes / 4 + 1)
+    assert(before === 40)
+    assert(after <= 4, s"expected <= 4 files, got $after")
+    // lossless: same rows
+    assert(spark.read.parquet(dir).exceptAll(src).isEmpty)
+    assert(src.exceptAll(spark.read.parquet(dir)).isEmpty)
+    // converges: re-encoded files are smaller, so a second pass may shrink
+    // further, but the layout reaches a fixpoint where compact() no-ops
+    val (_, a2) = Layout.compact(spark, dir, targetBytes = totalBytes / 4 + 1)
+    val (b3, a3) = Layout.compact(spark, dir, targetBytes = totalBytes / 4 + 1)
+    assert(a2 <= after)
+    assert(b3 === a2 && a3 === a2, "fixpoint layout must be left alone")
+  }
+
+  test("date-partitioned writes prune partitions at the scan") {
+    val sf = "/root/testdata/sf0.001"
+    val dir = TestSpark.tmpDir("parts")
+    Tables.load(spark, sf, "events")
+      .withColumn("day", to_date(col("ts")))
+      .write.mode("overwrite").partitionBy("day").parquet(dir)
+    val nDays = spark.read.parquet(dir).select("day").distinct().count()
+    assert(nDays > 5, "need a multi-partition layout for the pruning test")
+    val pruned = spark.read.parquet(dir).filter(col("day") === lit("2024-01-15"))
+    val scan = pruned.queryExecution.executedPlan.collectLeaves().head.toString
+    assert(scan.contains("PartitionFilters") && scan.contains("day"),
+      s"day predicate must prune partitions:\n${scan.take(600)}")
+    assert(pruned.count() ===
+      Tables.load(spark, sf, "events").filter(to_date(col("ts")) === lit("2024-01-15")).count())
+  }
 }

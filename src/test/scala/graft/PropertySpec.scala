@@ -109,4 +109,30 @@ class PropertySpec extends AnyFunSuite {
       }
     })
   }
+
+  test("rank rewrite: heap-planned rn <= k equals the in-memory model for random k") {
+    val gen = for {
+      evs <- genEvents
+      k <- Gen.choose(1, 5)
+    } yield (evs, k)
+    check(Prop.forAll(gen) { case (evs, k) =>
+      import org.apache.spark.sql.expressions.Window
+      // make (ts, id) total within each key: ties in the rank order would be
+      // legitimately nondeterministic under either physical plan
+      val uniq = evs.groupBy(e => (e._1, e._2, e._3, e._4)).map(_._2.head).toList
+      val df = uniq.toDF("user", "et", "ts", "id", "v")
+      val w = Window.partitionBy($"user", $"et").orderBy($"ts".desc, $"id".desc)
+      val q = df.withColumn("rn", row_number().over(w)).filter($"rn" <= k)
+      // the session has RankFilterToTopK registered: assert the plan rode it
+      val planned = q.queryExecution.executedPlan.toString.contains("TopKPerGroup")
+      val got = q.select($"user", $"et", $"ts", $"id", $"rn").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3), r.getInt(4)))
+        .toSet
+      val model = uniq.groupBy(e => (e._1, e._2)).toSeq.flatMap { case ((u, et), rows) =>
+        rows.sortBy(e => (-e._3, -e._4)).take(k)
+          .zipWithIndex.map { case (e, i) => (u, et, e._3, e._4, i + 1) }
+      }.toSet
+      planned && got == model
+    })
+  }
 }
