@@ -38,6 +38,24 @@ object AnalyticsQueries {
       .groupBy(col("l_suppkey"), to_date(col("l_shipdate")).as("cal_day"))
       .agg(sum(col("l_extendedprice").cast(Dec18)).cast(Dec18).as("rev"))
 
+  /** The q66 SCD2 pipeline (daily status → gaps-and-islands validity
+    * ranges), shared with the temporal join q86.
+    */
+  private def scd2Ranges(s: org.apache.spark.sql.SparkSession, dir: String) = {
+    val daily = Dedup.latestBy(
+        Tables.load(s, dir, "events").withColumn("day", to_date(col("ts"))),
+        Seq(col("user_id"), col("day")), Seq(col("ts"), col("event_id")))
+      .select(col("user_id"), col("day"), Normalize.normKey(col("event_type")).as("status"))
+    val byDay = Window.partitionBy(col("user_id")).orderBy(col("day"))
+    val byStatus = Window.partitionBy(col("user_id"), col("status")).orderBy(col("day"))
+    daily
+      .withColumn("grp", row_number().over(byDay) - row_number().over(byStatus))
+      .groupBy(col("user_id"), col("status"), col("grp"))
+      .agg(min(col("day")).as("valid_from"), max(col("day")).as("valid_to"),
+        count(lit(1)).as("n_days"))
+      .drop("grp")
+  }
+
   val all: Seq[Q] = Seq(
 
     // ---------------------------------------------------------------- q66
@@ -61,18 +79,47 @@ object AnalyticsQueries {
         |SELECT user_id, status, min(day) AS valid_from, max(day) AS valid_to,
         |  count(*) AS n_days
         |FROM isl GROUP BY user_id, status, grp""".stripMargin) { (s, dir) =>
-      val daily = Dedup.latestBy(
-          Tables.load(s, dir, "events").withColumn("day", to_date(col("ts"))),
-          Seq(col("user_id"), col("day")), Seq(col("ts"), col("event_id")))
-        .select(col("user_id"), col("day"), Normalize.normKey(col("event_type")).as("status"))
-      val byDay = Window.partitionBy(col("user_id")).orderBy(col("day"))
-      val byStatus = Window.partitionBy(col("user_id"), col("status")).orderBy(col("day"))
-      daily
-        .withColumn("grp", row_number().over(byDay) - row_number().over(byStatus))
-        .groupBy(col("user_id"), col("status"), col("grp"))
-        .agg(min(col("day")).as("valid_from"), max(col("day")).as("valid_to"),
-          count(lit(1)).as("n_days"))
-        .drop("grp")
+      scd2Ranges(s, dir)
+    },
+
+    // ---------------------------------------------------------------- q86
+    // Temporal (SCD2) join: facts land on the dimension row whose validity
+    // range covers the event date — the point-in-time lookup every
+    // history-keeping warehouse runs. Equi-join on the entity key carries
+    // the range predicate as a join filter; per-entity range counts are
+    // small (bounded by status changes), so the fanout is bounded and no
+    // interval index is needed.
+    Q("q86_scd2_temporal_join",
+      """WITH daily AS (
+        |  SELECT user_id, CAST(ts AS DATE) AS day, upper(trim(event_type)) AS status
+        |  FROM events
+        |  QUALIFY row_number() OVER (PARTITION BY user_id, CAST(ts AS DATE)
+        |                             ORDER BY ts DESC, event_id DESC) = 1),
+        |isl AS (
+        |  SELECT user_id, day, status,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY day)
+        |    - row_number() OVER (PARTITION BY user_id, status ORDER BY day) AS grp
+        |  FROM daily),
+        |scd AS (
+        |  SELECT user_id, status, min(day) AS valid_from, max(day) AS valid_to
+        |  FROM isl GROUP BY user_id, status, grp)
+        |SELECT s.status, count(*) AS n_events,
+        |  round(CAST(CAST(SUM(CAST(e.value AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS DOUBLE), 6) AS total_value
+        |FROM events e JOIN scd s
+        |  ON e.user_id = s.user_id
+        | AND CAST(e.ts AS DATE) BETWEEN s.valid_from AND s.valid_to
+        |GROUP BY 1""".stripMargin) { (s, dir) =>
+      val scd = scd2Ranges(s, dir)
+        .select(col("user_id"), col("status"), col("valid_from"), col("valid_to"))
+      val ev = Tables.load(s, dir, "events")
+        .select(col("user_id"), to_date(col("ts")).as("day"), col("value"))
+      ev.join(scd,
+          ev("user_id") === scd("user_id") &&
+            col("day").between(col("valid_from"), col("valid_to")))
+        .groupBy(col("status"))
+        .agg(count(lit(1)).as("n_events"),
+          round(sum(col("value").cast(Dec18)).cast(Dec38).cast("double"), 6)
+            .as("total_value"))
     },
 
     // ---------------------------------------------------------------- q67

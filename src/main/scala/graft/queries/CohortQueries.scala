@@ -154,5 +154,31 @@ object CohortQueries {
           max(col("gap")).cast("long").as("max_gap"),
           round(sum(col("gap")).cast("double") / count(lit(1)), 6).as("avg_gap"))
         .filter(col("n_gaps") >= 2)
+    },
+
+    // ---------------------------------------------------------------- q87
+    // Rolling 7-day active users (the WAU curve): an exact distinct count
+    // over a sliding window is not window-mergeable, so the scale-correct
+    // shape is a BOUNDED explode — each (user, active day) contributes to
+    // exactly 7 observation days (fanout = window length, not data volume),
+    // then one distinct count per day. State never exceeds
+    // |distinct user-days| × 7.
+    Q("q87_rolling_active",
+      """WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+        |contrib AS (SELECT user_id, day + CAST(o.off AS INT) AS obs_day
+        |            FROM ud, range(7) o(off)),
+        |days AS (SELECT DISTINCT day FROM ud)
+        |SELECT d.day, count(DISTINCT c.user_id) AS active_7d
+        |FROM days d JOIN contrib c ON c.obs_day = d.day
+        |GROUP BY 1""".stripMargin) { (s, dir) =>
+      val ud = Tables.load(s, dir, "events")
+        .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+      val contrib = ud
+        .select(col("user_id"), col("day"), explode(sequence(lit(0), lit(6))).as("off"))
+        .select(col("user_id"), date_add(col("day"), col("off")).as("obs_day"))
+      val days = ud.select(col("day")).distinct()
+      days.join(contrib, col("obs_day") === col("day"))
+        .groupBy(col("day"))
+        .agg(countDistinct(col("user_id")).as("active_7d"))
     })
 }
