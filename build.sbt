@@ -26,5 +26,10 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
+  // 8g measured best at sf0.1/local[32]: a 24g heap more than TRIPLED the
+  // 87-query bench (82s -> 294s, the tail queries 10x) — on this VM the
+  // JVM growing into a large heap costs more in page faults than the
+  // smaller heap costs in GC. Override with SPARK_DRIVER_MEM if the
+  // workload actually spills.
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )
