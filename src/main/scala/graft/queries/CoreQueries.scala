@@ -11,6 +11,8 @@ object CoreQueries {
 
   private val Dec18 = "decimal(18,6)"
   private val Dec38 = "decimal(38,6)"
+  private val cutoff = "2024-01-15 00:00:00"
+  private val cutoffEnd = "2024-01-16 00:00:00"
 
   val all: Seq[Q] = Seq(
 
@@ -229,6 +231,78 @@ object CoreQueries {
       val only = cohort("click").except(cohort("purchase"))
         .agg(count(lit(1)).as("n")).select(lit("click_only").as("cohort"), col("n"))
       both.unionByName(only)
+    },
+
+    // ---------------------------------------------------------------- q88
+    // CDC snapshot diff: the change set between two deduped states of the
+    // keyed table (yesterday's close vs today's) as insert/update/delete
+    // ops — what a downstream consumer replays instead of re-reading the
+    // table. One full-outer join on the merge keys; both snapshots are
+    // key-deduped first so the diff is row-per-key.
+    Q("q88_snapshot_diff",
+      s"""WITH a AS (
+        |  SELECT user_id, upper(trim(event_type)) AS et, event_id, value FROM events
+        |  WHERE ts < TIMESTAMP '$cutoff'
+        |  QUALIFY row_number() OVER (PARTITION BY user_id, upper(trim(event_type))
+        |                             ORDER BY ts DESC, event_id DESC) = 1),
+        |b AS (
+        |  SELECT user_id, upper(trim(event_type)) AS et, event_id, value FROM events
+        |  WHERE ts < TIMESTAMP '$cutoffEnd'
+        |  QUALIFY row_number() OVER (PARTITION BY user_id, upper(trim(event_type))
+        |                             ORDER BY ts DESC, event_id DESC) = 1)
+        |SELECT coalesce(a.user_id, b.user_id) AS user_id,
+        |  coalesce(a.et, b.et) AS et,
+        |  CASE WHEN a.user_id IS NULL THEN 'insert'
+        |       WHEN b.user_id IS NULL THEN 'delete'
+        |       WHEN a.event_id <> b.event_id THEN 'update' END AS op,
+        |  a.event_id AS old_event_id, b.event_id AS new_event_id
+        |FROM a FULL JOIN b ON a.user_id = b.user_id AND a.et = b.et
+        |WHERE CASE WHEN a.user_id IS NULL THEN 'insert'
+        |       WHEN b.user_id IS NULL THEN 'delete'
+        |       WHEN a.event_id <> b.event_id THEN 'update' END IS NOT NULL""".stripMargin) { (s, dir) =>
+      def snap(endTs: String) = Dedup.latestBy(
+          Tables.load(s, dir, "events").filter(col("ts") < lit(endTs).cast("timestamp")),
+          Seq(col("user_id"), Normalize.normKey(col("event_type"))),
+          Seq(col("ts"), col("event_id")))
+        .select(col("user_id"), Normalize.normKey(col("event_type")).as("et"),
+          col("event_id"), col("value"))
+      val a = snap(cutoff).withColumnRenamed("event_id", "old_event_id")
+      val b = snap(cutoffEnd).withColumnRenamed("event_id", "new_event_id")
+      val op = when(a("user_id").isNull, "insert")
+        .when(b("user_id").isNull, "delete")
+        .when(col("old_event_id") =!= col("new_event_id"), "update")
+      a.join(b, a("user_id") === b("user_id") && a("et") === b("et"), "full_outer")
+        .select(coalesce(a("user_id"), b("user_id")).as("user_id"),
+          coalesce(a("et"), b("et")).as("et"),
+          op.as("op"), col("old_event_id"), col("new_event_id"))
+        .filter(col("op").isNotNull)
+    },
+
+    // ---------------------------------------------------------------- q89
+    // Column profile (the ingest-quality diagnostic run before a table is
+    // admitted to the lake): row count, null count, exact distinct count
+    // per column — ONE scan producing one wide aggregate row, reshaped to a
+    // row per column. At 100 TB this is the query that decides whether a
+    // partition is admitted; one pass matters.
+    Q("q89_profile",
+      """WITH m AS (SELECT count(*) AS n,
+        |  count(o_custkey) AS nn1, count(DISTINCT o_custkey) AS nd1,
+        |  count(o_orderstatus) AS nn2, count(DISTINCT o_orderstatus) AS nd2,
+        |  count(o_totalprice) AS nn3, count(DISTINCT o_totalprice) AS nd3,
+        |  count(o_orderpriority) AS nn4, count(DISTINCT o_orderpriority) AS nd4
+        |  FROM orders)
+        |SELECT 'o_custkey' AS col_name, n AS n_rows, n - nn1 AS n_null, nd1 AS n_distinct FROM m
+        |UNION ALL SELECT 'o_orderstatus', n, n - nn2, nd2 FROM m
+        |UNION ALL SELECT 'o_totalprice', n, n - nn3, nd3 FROM m
+        |UNION ALL SELECT 'o_orderpriority', n, n - nn4, nd4 FROM m""".stripMargin) { (s, dir) =>
+      val cols = Seq("o_custkey", "o_orderstatus", "o_totalprice", "o_orderpriority")
+      val aggs = count(lit(1)).as("n") +: cols.flatMap(c => Seq(
+        count(col(c)).as(s"nn_$c"), countDistinct(col(c)).as(s"nd_$c")))
+      val m = Tables.load(s, dir, "orders").agg(aggs.head, aggs.tail: _*)
+      cols.map { c =>
+        m.select(lit(c).as("col_name"), col("n").as("n_rows"),
+          (col("n") - col(s"nn_$c")).as("n_null"), col(s"nd_$c").as("n_distinct"))
+      }.reduce(_ unionByName _)
     },
 
     // ---------------------------------------------------------------- q10
