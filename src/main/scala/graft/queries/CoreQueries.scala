@@ -305,6 +305,26 @@ object CoreQueries {
       }.reduce(_ unionByName _)
     },
 
+    // ---------------------------------------------------------------- q90
+    // Trading-date assignment in exchange time: the reference computes its
+    // batch date in America/New_York, not UTC (get_securities_data.py:14,103
+    // pendulum.timezone("America/New_York")) — a UTC-stamped event after
+    // 19:00 EST belongs to the NEXT UTC day but the SAME NY trading day.
+    // from_utc_timestamp shifts through the IANA rules (DST-correct); the
+    // oracle spells the same conversion with AT TIME ZONE.
+    Q("q90_trading_date",
+      """SELECT CAST((ts AT TIME ZONE 'UTC') AT TIME ZONE 'America/New_York' AS DATE)
+        |    AS trading_date,
+        |  count(*) AS n_events,
+        |  count(DISTINCT user_id) AS n_users
+        |FROM events GROUP BY 1""".stripMargin) { (s, dir) =>
+      Tables.load(s, dir, "events")
+        .groupBy(to_date(from_utc_timestamp(col("ts"), "America/New_York"))
+          .as("trading_date"))
+        .agg(count(lit(1)).as("n_events"),
+          countDistinct(col("user_id")).as("n_users"))
+    },
+
     // ---------------------------------------------------------------- q10
     // W1: latest-record dedup (ROW_NUMBER ... QUALIFY rn=1) with the
     // deterministic (ts DESC, event_id DESC) tiebreaker.
