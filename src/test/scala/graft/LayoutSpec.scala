@@ -51,6 +51,38 @@ class LayoutSpec extends AnyFunSuite {
     assert(b3 === a2 && a3 === a2, "fixpoint layout must be left alone")
   }
 
+  test("sort-on-write enables row-group skipping: sorted layout scans fewer rows") {
+    val sf = "/root/testdata/sf0.01"
+    // DATE sort key: INT32 stats always prune; a rewritten TIMESTAMP can
+    // land as INT96, whose row-group stats readers ignore
+    val li = Tables.load(spark, sf, "lineitem")
+      .select(col("l_orderkey"), to_date(col("l_shipdate")).as("ship_day"),
+        col("l_extendedprice"))
+    val shuffled = TestSpark.tmpDir("skip-shuffled")
+    val sorted = TestSpark.tmpDir("skip-sorted")
+    // same data, same file counts — only the row order differs; tiny row
+    // groups so min/max stats operate at sub-file granularity
+    li.repartition(2, col("l_orderkey")).write.mode("overwrite")
+      .option("parquet.block.size", 16 * 1024)
+      .parquet(shuffled)
+    li.repartitionByRange(2, col("ship_day")).sortWithinPartitions(col("ship_day"))
+      .write.mode("overwrite")
+      .option("parquet.block.size", 16 * 1024)
+      .parquet(sorted)
+    def scannedRows(path: String): Long = {
+      val df = spark.read.parquet(path).filter(
+        col("ship_day") >= lit("1996-06-01").cast("date") &&
+          col("ship_day") < lit("1996-07-01").cast("date"))
+      df.collect()
+      val scan = df.queryExecution.executedPlan.collectLeaves().head
+      scan.metrics("numOutputRows").value
+    }
+    val (a, b) = (scannedRows(shuffled), scannedRows(sorted))
+    // row-group min/max stats prune most groups in the clustered layout;
+    // the hash-ordered layout touches every group (its stats span everything)
+    assert(b < a / 2, s"sorted layout must scan far fewer rows: sorted=$b shuffled=$a")
+  }
+
   test("date-partitioned writes prune partitions at the scan") {
     val sf = "/root/testdata/sf0.001"
     val dir = TestSpark.tmpDir("parts")
