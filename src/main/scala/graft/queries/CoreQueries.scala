@@ -325,6 +325,37 @@ object CoreQueries {
           countDistinct(col("user_id")).as("n_users"))
     },
 
+    // ---------------------------------------------------------------- q91
+    // OHLC bars — the reference's core domain object (daily open/high/low/
+    // close per security, eod_data_downloader.py:152) built from ticks in
+    // ONE hash aggregate: open/close are min_by/max_by over a total
+    // (ts, id) order (encoded as a zero-padded string so both engines
+    // compare it identically), high/low plain extrema. No window, no sort —
+    // first/last_value over a window would sort every partition for what a
+    // partial-aggregable arg-extreme computes in a streaming pass.
+    Q("q91_ohlc_bars",
+      """SELECT user_id, CAST(ts AS DATE) AS day,
+        |  round(arg_min(value, lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0')
+        |    || lpad(CAST(event_id AS VARCHAR), 12, '0')), 6) AS open,
+        |  round(max(value), 6) AS high,
+        |  round(min(value), 6) AS low,
+        |  round(arg_max(value, lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0')
+        |    || lpad(CAST(event_id AS VARCHAR), 12, '0')), 6) AS close,
+        |  count(*) AS n_ticks
+        |FROM events GROUP BY 1, 2""".stripMargin) { (s, dir) =>
+      val key = concat(
+        lpad(unix_micros(col("ts")).cast("string"), 20, "0"),
+        lpad(col("event_id").cast("string"), 12, "0"))
+      Tables.load(s, dir, "events")
+        .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+        .agg(
+          round(min_by(col("value"), key), 6).as("open"),
+          round(max(col("value")), 6).as("high"),
+          round(min(col("value")), 6).as("low"),
+          round(max_by(col("value"), key), 6).as("close"),
+          count(lit(1)).as("n_ticks"))
+    },
+
     // ---------------------------------------------------------------- q10
     // W1: latest-record dedup (ROW_NUMBER ... QUALIFY rn=1) with the
     // deterministic (ts DESC, event_id DESC) tiebreaker.
