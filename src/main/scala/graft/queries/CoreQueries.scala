@@ -356,6 +356,38 @@ object CoreQueries {
           count(lit(1)).as("n_ticks"))
     },
 
+    // ---------------------------------------------------------------- q92
+    // Incremental aggregate maintenance (the rollup-refresh): the running
+    // per-user aggregate table absorbs one day's delta by MERGING partial
+    // states (counts add, exact decimal sums add) instead of recomputing
+    // history. The ORACLE is the full recompute over the combined range —
+    // the driver's hash compare proves merge(state, delta) ≡ recompute,
+    // which is the property that lets a 100 TB rollup refresh in O(day).
+    Q("q92_incremental_agg",
+      s"""SELECT user_id, count(*) AS n_events,
+        |  round(CAST(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS DOUBLE), 6)
+        |    AS total_value
+        |FROM events WHERE ts < TIMESTAMP '$cutoffEnd'
+        |GROUP BY 1""".stripMargin) { (s, dir) =>
+      def partial(from: Option[String], until: String) = {
+        val ev = Tables.load(s, dir, "events")
+          .filter(col("ts") < lit(until).cast("timestamp"))
+        from.fold(ev)(f => ev.filter(col("ts") >= lit(f).cast("timestamp")))
+          .groupBy(col("user_id"))
+          .agg(count(lit(1)).as("n"), sum(col("value").cast(Dec18)).cast(Dec38).as("sv"))
+      }
+      val state = partial(None, cutoff)           // yesterday's rollup table
+      val delta = partial(Some(cutoff), cutoffEnd) // today's increment
+      state.select(col("user_id"), col("n").as("n_a"), col("sv").as("s_a"))
+        .join(delta.select(col("user_id"), col("n").as("n_b"), col("sv").as("s_b")),
+          Seq("user_id"), "full_outer")
+        .select(col("user_id"),
+          (coalesce(col("n_a"), lit(0L)) + coalesce(col("n_b"), lit(0L))).as("n_events"),
+          round((coalesce(col("s_a"), lit(0).cast(Dec38)) +
+            coalesce(col("s_b"), lit(0).cast(Dec38))).cast(Dec38).cast("double"), 6)
+            .as("total_value"))
+    },
+
     // ---------------------------------------------------------------- q10
     // W1: latest-record dedup (ROW_NUMBER ... QUALIFY rn=1) with the
     // deterministic (ts DESC, event_id DESC) tiebreaker.

@@ -272,6 +272,48 @@ object SourceQueries {
           lit(staged.nonEmpty).as("stage_listed"))
     },
 
+    // ---------------------------------------------------------------- q93
+    // Schema evolution: two generations of a table land with different
+    // column sets (v2 adds a column); a mergeSchema read unifies them, v1
+    // rows carrying NULL for the new column — the append-only evolution
+    // story a long-lived lake table needs (the alternative is rewriting
+    // history on every schema change). The oracle recomputes the union with
+    // explicit NULLs.
+    Q("q93_schema_evolution",
+      """SELECT l_orderkey, l_linenumber,
+        |  round(CAST(l_extendedprice AS DOUBLE), 6) AS price,
+        |  CAST(NULL AS DOUBLE) AS discount, 1 AS gen
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+        |  AND l_shipdate <  TIMESTAMP '1995-02-01 00:00:00'
+        |UNION ALL
+        |SELECT l_orderkey, l_linenumber,
+        |  round(CAST(l_extendedprice AS DOUBLE), 6),
+        |  round(CAST(l_discount AS DOUBLE), 6), 2
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1995-02-01 00:00:00'
+        |  AND l_shipdate <  TIMESTAMP '1995-03-01 00:00:00'""".stripMargin) { (s, dir) =>
+      val base = scratch(s, dir, "q93")
+      val li = Tables.load(s, dir, "lineitem")
+      def month(from: String, until: String) = li.filter(
+        col("l_shipdate") >= lit(from).cast("timestamp") &&
+          col("l_shipdate") < lit(until).cast("timestamp"))
+      month("1995-01-01 00:00:00", "1995-02-01 00:00:00")
+        .select(col("l_orderkey"), col("l_linenumber"),
+          round(col("l_extendedprice").cast("double"), 6).as("price"),
+          lit(1).as("gen"))
+        .write.parquet(s"$base/gen=v1")
+      month("1995-02-01 00:00:00", "1995-03-01 00:00:00")
+        .select(col("l_orderkey"), col("l_linenumber"),
+          round(col("l_extendedprice").cast("double"), 6).as("price"),
+          round(col("l_discount").cast("double"), 6).as("discount"), // new in v2
+          lit(2).as("gen"))
+        .write.parquet(s"$base/gen=v2")
+      s.read.option("mergeSchema", "true").parquet(s"$base/gen=v1", s"$base/gen=v2")
+        .select(col("l_orderkey"), col("l_linenumber"), col("price"),
+          col("discount"), col("gen"))
+    },
+
     // ---------------------------------------------------------------- q83
     // Typed JSON field extraction with from_json (the S2 rename/extract
     // family upgraded from regex to a schema'd parser — what the REST
