@@ -342,6 +342,60 @@ object AnalyticsQueries {
           .as("pearson_r"))
     },
 
+    // ---------------------------------------------------------------- q94
+    // Correlated-subquery semantics, decorrelated by hand: orders more than
+    // 1.5× their own customer's average. The correlated form re-evaluates
+    // the subquery per row; the scale form is the same groupBy + equi-join
+    // Catalyst's decorrelation rewrites to — expressed directly so the
+    // shuffle shape is explicit (one aggregate, one keyed join).
+    Q("q94_above_customer_avg",
+      """WITH avgs AS (
+        |  SELECT o_custkey,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS s,
+        |    count(*) AS n
+        |  FROM orders GROUP BY 1)
+        |SELECT o.o_orderkey, o.o_custkey,
+        |  round(CAST(o.o_totalprice AS DOUBLE), 6) AS totalprice,
+        |  round(CAST(a.s AS DOUBLE) / a.n, 6) AS cust_avg
+        |FROM orders o JOIN avgs a ON o.o_custkey = a.o_custkey
+        |WHERE CAST(o.o_totalprice AS DOUBLE) > 1.5 * (CAST(a.s AS DOUBLE) / a.n)""".stripMargin) { (s, dir) =>
+      val ord = Tables.load(s, dir, "orders")
+      val avgs = ord.groupBy(col("o_custkey"))
+        .agg(sum(col("o_totalprice").cast(Dec18)).cast(Dec38).as("s"),
+          count(lit(1)).as("n"))
+      val custAvg = col("s").cast("double") / col("n")
+      ord.join(avgs, Seq("o_custkey"))
+        .filter(col("o_totalprice").cast("double") > lit(1.5) * custAvg)
+        .select(col("o_orderkey"), col("o_custkey"),
+          round(col("o_totalprice").cast("double"), 6).as("totalprice"),
+          round(custAvg, 6).as("cust_avg"))
+    },
+
+    // ---------------------------------------------------------------- q95
+    // Blocked fuzzy join (record linkage): candidate pairs come from an
+    // EQUI-join on a blocking key (the name minus its last character), and
+    // only those pairs pay the edit-distance evaluation — the same
+    // block-then-verify shape as LSH (q22→q24), applied to typo-distance
+    // matching. Never all-pairs: the quadratic is confined to a block.
+    Q("q95_fuzzy_blocked",
+      """WITH c AS (SELECT c_custkey, c_name,
+        |  substring(c_name, 1, length(c_name) - 1) AS blk FROM customer)
+        |SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+        |  a.c_name AS name_a, b.c_name AS name_b,
+        |  levenshtein(a.c_name, b.c_name) AS dist
+        |FROM c a JOIN c b ON a.blk = b.blk AND a.c_custkey < b.c_custkey
+        |WHERE levenshtein(a.c_name, b.c_name) <= 1""".stripMargin) { (s, dir) =>
+      val c = Tables.load(s, dir, "customer")
+        .select(col("c_custkey"), col("c_name"),
+          expr("substring(c_name, 1, length(c_name) - 1)").as("blk"))
+      val a = c.select(col("blk"), col("c_custkey").as("id_a"), col("c_name").as("name_a"))
+      val b = c.select(col("blk"), col("c_custkey").as("id_b"), col("c_name").as("name_b"))
+      a.join(b, Seq("blk")).filter(col("id_a") < col("id_b"))
+        .withColumn("dist", levenshtein(col("name_a"), col("name_b")))
+        .filter(col("dist") <= 1)
+        .select(col("id_a"), col("id_b"), col("name_a"), col("name_b"), col("dist"))
+    },
+
     // ---------------------------------------------------------------- q73
     // ROLLUP subtotals: revenue by (year, quarter) with quarter subtotals,
     // year subtotals, and the grand total in ONE Expand pass (the hierarchy
