@@ -396,6 +396,24 @@ object AnalyticsQueries {
         .select(col("id_a"), col("id_b"), col("name_a"), col("name_b"), col("dist"))
     },
 
+    // ---------------------------------------------------------------- q96
+    // Ordered array aggregation (nested output): each order's line numbers
+    // as a SORTED array — collect_list has no cross-partition order
+    // guarantee, so the deterministic form is collect + sort_array (the
+    // oracle's list(x ORDER BY x)). The array is the document/feature-list
+    // shape a training pipeline emits per example.
+    Q("q96_array_agg",
+      """SELECT l_orderkey,
+        |  list(l_linenumber ORDER BY l_linenumber) AS line_numbers,
+        |  CAST(count(*) AS BIGINT) AS n_lines
+        |FROM lineitem WHERE l_orderkey < 200 GROUP BY 1""".stripMargin) { (s, dir) =>
+      Tables.load(s, dir, "lineitem")
+        .filter(col("l_orderkey") < 200)
+        .groupBy(col("l_orderkey"))
+        .agg(sort_array(collect_list(col("l_linenumber"))).as("line_numbers"),
+          count(lit(1)).as("n_lines"))
+    },
+
     // ---------------------------------------------------------------- q73
     // ROLLUP subtotals: revenue by (year, quarter) with quarter subtotals,
     // year subtotals, and the grand total in ONE Expand pass (the hierarchy
