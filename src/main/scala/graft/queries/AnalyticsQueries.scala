@@ -42,8 +42,15 @@ object AnalyticsQueries {
     * ranges), shared with the temporal join q86.
     */
   private def scd2Ranges(s: org.apache.spark.sql.SparkSession, dir: String) = {
-    val daily = Dedup.latestBy(
-        Tables.load(s, dir, "events").withColumn("day", to_date(col("ts"))),
+    // ONE exchange for the whole pipeline: hash(user_id) satisfies the
+    // clustering of all three window/group stages — dedup on (user_id, day),
+    // islands on (user_id) and (user_id, status) — because a partitioning on
+    // a SUBSET of the clustering keys co-locates them. Without the explicit
+    // repartition, each stage inserts its own exchange.
+    val byUser = Tables.load(s, dir, "events")
+      .withColumn("day", to_date(col("ts")))
+      .repartition(col("user_id"))
+    val daily = Dedup.latestBy(byUser,
         Seq(col("user_id"), col("day")), Seq(col("ts"), col("event_id")))
       .select(col("user_id"), col("day"), Normalize.normKey(col("event_type")).as("status"))
     val byDay = Window.partitionBy(col("user_id")).orderBy(col("day"))
