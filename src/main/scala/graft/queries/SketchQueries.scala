@@ -78,5 +78,26 @@ object SketchQueries {
         .agg(count(lit(1)).as("n_sample"),
           round(expr("percentile(o_totalprice, 0.5)"), 6).as("p50"),
           round(expr("percentile(o_totalprice, 0.95)"), 6).as("p95"))
+    },
+
+    // ---------------------------------------------------------------- q97
+    // Weighted sampling without replacement (Efraimidis–Spirakis A-Res):
+    // each row's selection key is u^(1/w) with u the content-addressed hash
+    // fraction and w the weight (document length here — "sample long
+    // documents more often"); the global top-k by key IS the weighted
+    // sample. Deterministic (u comes from md5, not a RNG), distributed (the
+    // top-k plans as TakeOrderedAndProject — per-partition heaps, k-row
+    // merge), and re-ingestion-stable like q48's split.
+    Q("q97_weighted_sample",
+      s"""WITH h AS (SELECT doc_id, lang, n_chars,
+        |  pow(${oracleFrac("doc_id")}, 1.0 / n_chars) AS k
+        |  FROM documents)
+        |SELECT doc_id, lang, n_chars FROM h
+        |QUALIFY row_number() OVER (ORDER BY k DESC, doc_id) <= 20""".stripMargin) { (s, dir) =>
+      Tables.load(s, dir, "documents")
+        .withColumn("k", pow(hashFrac(col("doc_id")), lit(1.0) / col("n_chars")))
+        .orderBy(col("k").desc, col("doc_id").asc)
+        .limit(20)
+        .select(col("doc_id"), col("lang"), col("n_chars"))
     })
 }

@@ -3,6 +3,7 @@ package graft
 import org.scalatest.funsuite.AnyFunSuite
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.execution.ExplainMode
+import org.apache.spark.sql.functions.{col, count, lit}
 
 /** Physical-plan audits for the catalog's headline queries: the plans the
   * 100 TB design depends on (scan pushdown, broadcast stars, top-k without a
@@ -102,5 +103,43 @@ class PlanAuditSpec extends AnyFunSuite {
   test("q71/q76: moment and share re-joins broadcast the tiny aggregate side") {
     assert(executed(q("q71_zscore_anomaly")).contains("BroadcastHashJoin"))
     assert(executed(q("q76_share_of_total")).contains("BroadcastHashJoin"))
+  }
+
+  test("runtime bloom-filter pruning injects into a selective shuffle join") {
+    // Spark's row-level runtime filter: the selective build side plants a
+    // bloom filter on the probe side's scan, cutting shuffled bytes — the
+    // 100 TB join-pruning story with zero custom code. Assert it engages
+    // for a selective dim filter joined to the big fact over the
+    // sort-merge path.
+    val spark = TestSpark.spark
+    val saved = spark.conf.getOption("spark.sql.optimizer.runtime.bloomFilter.enabled")
+    spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+    spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "50MB")
+    // production default is 10GB of probe-side scan before the filter is
+    // worth planting; the testdata is tiny, so drop the floor to observe it
+    spark.conf.set(
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ
+    try {
+      val sf = "/root/testdata/sf0.01"
+      val li = Tables.load(spark, sf, "lineitem")
+      val ord = Tables.load(spark, sf, "orders")
+        .filter(col("o_orderpriority") === "1-URGENT" && col("o_orderkey") % 7 === 0)
+      val joined = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderpriority")).agg(count(lit(1)).as("n"))
+      val plan = joined.queryExecution.optimizedPlan.toString
+      assert(plan.contains("bloom_filter_agg") || plan.contains("BloomFilterMightContain") ||
+        plan.toLowerCase.contains("bloomfilter"),
+        s"runtime bloom filter must inject:\n${plan.take(1200)}")
+      assert(joined.count() >= 0)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10MB")
+      spark.conf.unset(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold")
+      saved match {
+        case Some(v) => spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", v)
+        case None => spark.conf.unset("spark.sql.optimizer.runtime.bloomFilter.enabled")
+      }
+    }
   }
 }
