@@ -1,0 +1,53 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Distributed prefix (running) sum — the global-scan primitive behind
+  * sweep-line algorithms (peak concurrency, inventory levels, gauge
+  * reconstruction from deltas).
+  *
+  * `sum(x) OVER (ORDER BY t)` with no partition key moves the whole table
+  * through ONE task (the WindowExec single-partition trap the surrogate-key
+  * assignment also avoids). The distributed form is the classic two-phase
+  * scan: range-repartition by the order key, per-partition local running
+  * sums, then add the exclusive prefix of per-partition totals (a
+  * driver-side array of numPartitions longs — scale-free). Same result,
+  * no single-task stage.
+  */
+object PrefixSum {
+
+  /** Append `outName` = running sum of `valueCol` (LONG) in ascending
+    * `orderCols` order. `orderCols` must be a total order for a
+    * deterministic result (pre-aggregate equal keys first).
+    */
+  def runningSum(df: DataFrame, orderCols: Seq[String], valueCol: String,
+      outName: String): DataFrame = {
+    val spark = df.sparkSession
+    val ordered = df
+      .repartitionByRange(orderCols.map(col(_).asc): _*)
+      .sortWithinPartitions(orderCols.map(col(_).asc): _*)
+      .localCheckpoint() // both phases read it; don't recompute the sort
+    val valueIdx = ordered.schema.fieldIndex(valueCol)
+    // phase 1: per-partition totals (numPartitions longs to the driver)
+    val totals = ordered.rdd
+      .mapPartitionsWithIndex { (i, it) =>
+        var s = 0L
+        it.foreach(r => s += r.getLong(valueIdx))
+        Iterator((i, s))
+      }
+      .collect().sortBy(_._1).map(_._2)
+    val offsets = totals.scanLeft(0L)(_ + _) // exclusive prefix per partition
+    // phase 2: local running sum + partition offset
+    val schema = ordered.schema.add(outName, LongType, nullable = false)
+    val rows = ordered.rdd.mapPartitionsWithIndex { (i, it) =>
+      var acc = offsets(i)
+      it.map { r =>
+        acc += r.getLong(valueIdx)
+        Row.fromSeq(r.toSeq :+ acc)
+      }
+    }
+    spark.createDataFrame(rows, schema)
+  }
+}

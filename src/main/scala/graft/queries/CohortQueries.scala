@@ -180,5 +180,113 @@ object CohortQueries {
       days.join(contrib, col("obs_day") === col("day"))
         .groupBy(col("day"))
         .agg(countDistinct(col("user_id")).as("active_7d"))
+    },
+
+    // ---------------------------------------------------------------- q98
+    // Peak concurrency (sweep line): sessions become +1/-1 boundary deltas,
+    // pre-aggregated per timestamp (total order), then a DISTRIBUTED prefix
+    // sum reconstructs the concurrency curve — sum() OVER (ORDER BY t) with
+    // no partition key would drag the whole curve through one task; the
+    // two-phase scan (range partition + local sums + offset array) never
+    // does. The oracle runs the sequential window form of the same algebra.
+    Q("q98_peak_concurrency",
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS us FROM events),
+        |m AS (SELECT user_id, us,
+        |  CASE WHEN lag(us) OVER w IS NULL OR us - lag(us) OVER w > 1800000000
+        |       THEN 1 ELSE 0 END AS s
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us)),
+        |sess AS (SELECT user_id, us,
+        |  CAST(SUM(s) OVER (PARTITION BY user_id ORDER BY us
+        |                    ROWS UNBOUNDED PRECEDING) AS INT) AS sid
+        |  FROM m),
+        |iv AS (SELECT user_id, sid, min(us) AS s, max(us) AS e FROM sess GROUP BY 1, 2),
+        |deltas AS (
+        |  SELECT s AS t, CAST(1 AS BIGINT) AS d FROM iv
+        |  UNION ALL SELECT e + 1, -1 FROM iv),
+        |agg AS (SELECT t, CAST(SUM(d) AS BIGINT) AS delta FROM deltas GROUP BY t)
+        |SELECT t, delta,
+        |  CAST(SUM(delta) OVER (ORDER BY t ROWS UNBOUNDED PRECEDING) AS BIGINT)
+        |    AS concurrency
+        |FROM agg""".stripMargin) { (s, dir) =>
+      val iv = graft.streaming.Sessionize.batchSummary(
+          Tables.load(s, dir, "events"), "user_id", "ts", gapMinutes = 30)
+        .select(col("start_us"), col("end_us"))
+      val deltas = iv.select(col("start_us").as("t"), lit(1L).as("d"))
+        .unionByName(iv.select((col("end_us") + 1).as("t"), lit(-1L).as("d")))
+        .groupBy(col("t")).agg(sum(col("d")).as("delta"))
+      graft.ops.PrefixSum.runningSum(deltas, Seq("t"), "delta", "concurrency")
+    },
+
+    // ---------------------------------------------------------------- q99
+    // Triangle counting on the co-occurrence graph (the clustering-density
+    // statistic of a similarity graph): canonical a<b edges, wedges from an
+    // edge-edge join on the shared middle vertex, closed by a third edge
+    // lookup. Every join is keyed on a vertex; no all-pairs stage — the
+    // standard distributed triangle enumeration, with the canonical
+    // ordering (a<b<c) counting each triangle exactly once.
+    Q("q99_triangles",
+      """WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |e AS (SELECT a.l_partkey AS pa, b.l_partkey AS pb
+        |      FROM op a JOIN op b
+        |        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |      GROUP BY 1, 2 HAVING count(*) >= 2)
+        |SELECT count(*) AS n_triangles,
+        |  (SELECT count(*) FROM e) AS n_edges
+        |FROM e e1 JOIN e e2 ON e1.pb = e2.pa
+        |JOIN e e3 ON e3.pa = e1.pa AND e3.pb = e2.pb""".stripMargin) { (s, dir) =>
+      val op = Tables.load(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey")).distinct()
+      val edges = op.select(col("l_orderkey"), col("l_partkey").as("pa"))
+        .join(op.select(col("l_orderkey"), col("l_partkey").as("pb")), Seq("l_orderkey"))
+        .filter(col("pa") < col("pb"))
+        .groupBy(col("pa"), col("pb")).agg(count(lit(1)).as("w"))
+        .filter(col("w") >= 2)
+        .select(col("pa"), col("pb"))
+        .localCheckpoint() // three join consumers; compute the edge list once
+      val e1 = edges.select(col("pa").as("a"), col("pb").as("b"))
+      val e2 = edges.select(col("pa").as("b"), col("pb").as("c"))
+      val e3 = edges.select(col("pa").as("a"), col("pb").as("c"))
+      val tri = e1.join(e2, Seq("b")).join(e3, Seq("a", "c"))
+        .agg(count(lit(1)).as("n_triangles"))
+      tri.crossJoin(edges.agg(count(lit(1)).as("n_edges")))
+    },
+
+    // ---------------------------------------------------------------- q100
+    // Hierarchical percent-of-parent: supplier share within nation AND
+    // nation share within region from ONE revenue aggregate — two
+    // key-partitioned window sums over nested keys (never a global window),
+    // the drill-down contribution view every BI hierarchy renders.
+    Q("q100_percent_of_parent",
+      """WITH rev AS (
+        |  SELECT r_name, n_name, s_suppkey,
+        |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS revenue
+        |  FROM lineitem
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        |  GROUP BY 1, 2, 3)
+        |SELECT r_name, n_name, s_suppkey,
+        |  round(CAST(revenue AS DOUBLE), 6) AS revenue,
+        |  round(CAST(revenue AS DOUBLE)
+        |        / CAST(SUM(revenue) OVER (PARTITION BY r_name, n_name) AS DOUBLE), 6)
+        |    AS share_in_nation,
+        |  round(CAST(SUM(revenue) OVER (PARTITION BY r_name, n_name) AS DOUBLE)
+        |        / CAST(SUM(revenue) OVER (PARTITION BY r_name) AS DOUBLE), 6)
+        |    AS nation_share_in_region
+        |FROM rev""".stripMargin) { (s, dir) =>
+      val rev = Tables.load(s, dir, "lineitem")
+        .join(broadcast(Tables.load(s, dir, "supplier")), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(Tables.load(s, dir, "nation")), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.load(s, dir, "region")), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"), col("n_name"), col("s_suppkey"))
+        .agg(sum(col("l_extendedprice").cast(Dec18)).cast(Dec38).as("revenue"))
+      val byNation = Window.partitionBy(col("r_name"), col("n_name"))
+      val byRegion = Window.partitionBy(col("r_name"))
+      rev.select(col("r_name"), col("n_name"), col("s_suppkey"),
+        round(col("revenue").cast("double"), 6).as("revenue"),
+        round(col("revenue").cast("double") /
+          sum(col("revenue")).over(byNation).cast("double"), 6).as("share_in_nation"),
+        round(sum(col("revenue")).over(byNation).cast("double") /
+          sum(col("revenue")).over(byRegion).cast("double"), 6).as("nation_share_in_region"))
     })
 }
