@@ -21,13 +21,18 @@ object PrefixSum {
   /** Append `outName` = running sum of `valueCol` (LONG) in ascending
     * `orderCols` order. `orderCols` must be a total order for a
     * deterministic result (pre-aggregate equal keys first).
+    * `numPartitions = 0` lets the session (incl. AQE coalescing) size the
+    * range exchange; pass an explicit width to pin the scan's parallelism.
     */
   def runningSum(df: DataFrame, orderCols: Seq[String], valueCol: String,
-      outName: String): DataFrame = {
+      outName: String, numPartitions: Int = 0): DataFrame = {
     val spark = df.sparkSession
-    val ordered = df
-      .repartitionByRange(orderCols.map(col(_).asc): _*)
-      .sortWithinPartitions(orderCols.map(col(_).asc): _*)
+    val orderAsc = orderCols.map(col(_).asc)
+    val ranged =
+      if (numPartitions > 0) df.repartitionByRange(numPartitions, orderAsc: _*)
+      else df.repartitionByRange(orderAsc: _*)
+    val ordered = ranged
+      .sortWithinPartitions(orderAsc: _*)
       .localCheckpoint() // both phases read it; don't recompute the sort
     val valueIdx = ordered.schema.fieldIndex(valueCol)
     // phase 1: per-partition totals (numPartitions longs to the driver)
