@@ -26,6 +26,11 @@ object PrefixSum {
     */
   def runningSum(df: DataFrame, orderCols: Seq[String], valueCol: String,
       outName: String, numPartitions: Int = 0): DataFrame = {
+    // fail fast at call time — a wrong type or a null value would otherwise
+    // surface as an executor ClassCastException/NPE after the shuffle ran
+    require(df.schema(valueCol).dataType == LongType,
+      s"$valueCol must be LONG (got ${df.schema(valueCol).dataType.simpleString}); " +
+        "cast and coalesce nulls before the scan")
     val spark = df.sparkSession
     val orderAsc = orderCols.map(col(_).asc)
     val ranged =

@@ -398,7 +398,9 @@ object AnalyticsQueries {
       val a = c.select(col("blk"), col("c_custkey").as("id_a"), col("c_name").as("name_a"))
       val b = c.select(col("blk"), col("c_custkey").as("id_b"), col("c_name").as("name_b"))
       a.join(b, Seq("blk")).filter(col("id_a") < col("id_b"))
-        .withColumn("dist", levenshtein(col("name_a"), col("name_b")))
+        // cast to long: DuckDB's levenshtein returns BIGINT, Spark's INT —
+        // align the emitted type like the count-style columns do
+        .withColumn("dist", levenshtein(col("name_a"), col("name_b")).cast("long"))
         .filter(col("dist") <= 1)
         .select(col("id_a"), col("id_b"), col("name_a"), col("name_b"), col("dist"))
     },

@@ -88,14 +88,19 @@ object SketchQueries {
     // sample. Deterministic (u comes from md5, not a RNG), distributed (the
     // top-k plans as TakeOrderedAndProject — per-partition heaps, k-row
     // merge), and re-ingestion-stable like q48's split.
+    // The selection key is quantized to 9 dp BEFORE ranking on both sides:
+    // pow() is the one transcendental in the oracle-parity surface and the
+    // engines' libm may differ by an ulp — quantization plus the doc_id
+    // tiebreak makes membership insensitive to that (a flip now needs the
+    // key within an ulp of a rounding boundary, not of a neighbor).
     Q("q97_weighted_sample",
       s"""WITH h AS (SELECT doc_id, lang, n_chars,
-        |  pow(${oracleFrac("doc_id")}, 1.0 / n_chars) AS k
+        |  round(pow(${oracleFrac("doc_id")}, 1.0 / n_chars), 9) AS k
         |  FROM documents)
         |SELECT doc_id, lang, n_chars FROM h
         |QUALIFY row_number() OVER (ORDER BY k DESC, doc_id) <= 20""".stripMargin) { (s, dir) =>
       Tables.load(s, dir, "documents")
-        .withColumn("k", pow(hashFrac(col("doc_id")), lit(1.0) / col("n_chars")))
+        .withColumn("k", round(pow(hashFrac(col("doc_id")), lit(1.0) / col("n_chars")), 9))
         .orderBy(col("k").desc, col("doc_id").asc)
         .limit(20)
         .select(col("doc_id"), col("lang"), col("n_chars"))

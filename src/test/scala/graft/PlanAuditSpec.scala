@@ -112,7 +112,13 @@ class PlanAuditSpec extends AnyFunSuite {
     // for a selective dim filter joined to the big fact over the
     // sort-merge path.
     val spark = TestSpark.spark
-    val saved = spark.conf.getOption("spark.sql.optimizer.runtime.bloomFilter.enabled")
+    // save/restore EVERY touched conf — this session is shared by the suite
+    val touched = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+      "spark.sql.autoBroadcastJoinThreshold")
+    val saved = touched.map(k => k -> spark.conf.getOption(k)).toMap
     spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
     spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "50MB")
     // production default is 10GB of probe-side scan before the filter is
@@ -133,12 +139,9 @@ class PlanAuditSpec extends AnyFunSuite {
         s"runtime bloom filter must inject:\n${plan.take(1200)}")
       assert(joined.count() >= 0)
     } finally {
-      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10MB")
-      spark.conf.unset(
-        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold")
-      saved match {
-        case Some(v) => spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", v)
-        case None => spark.conf.unset("spark.sql.optimizer.runtime.bloomFilter.enabled")
+      saved.foreach {
+        case (k, Some(v)) => spark.conf.set(k, v)
+        case (k, None) => spark.conf.unset(k)
       }
     }
   }
