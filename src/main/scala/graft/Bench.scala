@@ -11,11 +11,17 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     graft.plans.GraftRules.register(spark)
+    // Force FULL row production: a plain df.count() lets Catalyst prune
+    // every column the count doesn't need, so projection-heavy operators
+    // (regex redaction, hashing, vector math) would be measured as bare
+    // scans. Counting the executed plan's row RDD computes every emitted
+    // column without collecting rows to the driver.
+    def run(df: org.apache.spark.sql.DataFrame): Long = df.queryExecution.toRdd.count()
     // Untimed warmup: JIT, codegen compilation, parquet footer caches.
     try {
-      SparkEntry.queries.get("q09_check_loaded").foreach(_(spark, sfDir).count())
-      SparkEntry.queries.get("q28_lang_id").foreach(_(spark, sfDir).count())
-      SparkEntry.queries.get("q25_knn_cosine").foreach(_(spark, sfDir).count())
+      SparkEntry.queries.get("q09_check_loaded").foreach(f => run(f(spark, sfDir)))
+      SparkEntry.queries.get("q28_lang_id").foreach(f => run(f(spark, sfDir)))
+      SparkEntry.queries.get("q25_knn_cosine").foreach(f => run(f(spark, sfDir)))
     } catch { case _: Throwable => () }
     // Dev-only knobs (driver sets neither): restrict to name prefixes and/or
     // repeat each query, reporting the minimum — isolates plan cost from
@@ -29,7 +35,7 @@ object Bench {
       .sortBy(_._1).map { case (name, fn) =>
         val times = (1 to reps).map { _ =>
           val t0 = System.nanoTime()
-          try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+          try { run(fn(spark, sfDir)) } catch { case _: Throwable => -1L }
           (System.nanoTime() - t0) / 1e9
         }
         name -> times.min

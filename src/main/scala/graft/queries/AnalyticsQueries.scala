@@ -443,6 +443,22 @@ object AnalyticsQueries {
             .as("revenue"))
     },
 
+    // ---------------------------------------------------------------- q101
+    // CUBE: all 2^k grouping combinations over (status, priority) in one
+    // Expand pass — completes the subtotal trio with q45 (grouping sets)
+    // and q73 (rollup).
+    Q("q101_cube",
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
+        |  round(CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS DOUBLE), 6) AS revenue
+        |FROM orders
+        |GROUP BY CUBE (o_orderstatus, o_orderpriority)""".stripMargin) { (s, dir) =>
+      Tables.load(s, dir, "orders")
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders"),
+          round(sum(col("o_totalprice").cast(Dec18)).cast(Dec38).cast("double"), 6)
+            .as("revenue"))
+    },
+
     // ---------------------------------------------------------------- q74
     // Fixed-width histogram: 20 × 25k-wide bins over o_totalprice with
     // explicit literal edges (no data-dependent min/max pass), count + exact
