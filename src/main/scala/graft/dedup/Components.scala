@@ -33,10 +33,21 @@ object Components {
     */
   def connectedComponents(nodes: DataFrame, idCol: String, edges: DataFrame,
       maxIters: Int = 20): DataFrame = {
-    val sym = edges
+    // Edges are restricted to endpoints that EXIST in `nodes` before any
+    // label is seeded: a stray endpoint (edge id absent from the node set —
+    // a stale candidate pair, a filtered-out document) must neither bridge
+    // two otherwise-separate clusters nor become a cluster_id that matches
+    // no node row. Cost: one id-projected semi-join per direction; the node
+    // side is a column-pruned scan, the edge side is the (small) candidate
+    // list.
+    val nodeIds = nodes.select(col(idCol).cast("long").as("id")).distinct()
+    val raw = edges
       .select(col("id_a").cast("long").as("src"), col("id_b").cast("long").as("dst"))
       .unionByName(edges
         .select(col("id_b").cast("long").as("src"), col("id_a").cast("long").as("dst")))
+    val sym = raw
+      .join(nodeIds.withColumnRenamed("id", "src"), Seq("src"), "left_semi")
+      .join(nodeIds.withColumnRenamed("id", "dst"), Seq("dst"), "left_semi")
       .localCheckpoint() // the LSH/verify lineage above is re-read every round otherwise
     var labels = sym.select(col("src").as("id")).distinct()
       .withColumn("lbl", col("id"))

@@ -43,20 +43,35 @@ object Layout {
     */
   def compact(spark: SparkSession, path: String, targetBytes: Long): (Int, Int) = {
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val dataFiles = fs.listStatus(new Path(path))
-      .filter(st => st.isFile && !st.getPath.getName.startsWith("_"))
-    val before = dataFiles.length
-    val totalBytes = dataFiles.map(_.getLen).sum
-    val want = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
-    if (want >= before) (before, before)
-    else {
-      // localCheckpoint cuts lineage off the old snapshot so the swap can
-      // delete it; coalesce (not repartition) keeps the rewrite shuffle-free
-      val df = spark.read.parquet(path).localCheckpoint().coalesce(want)
-      Upsert.snapshotWrite(df, path)
-      val after = fs.listStatus(new Path(path))
-        .count(st => st.isFile && !st.getPath.getName.startsWith("_"))
-      (before, after)
+    val entries = fs.listStatus(new Path(path))
+      .filter(st => !st.getPath.getName.startsWith("_") && !st.getPath.getName.startsWith("."))
+    val subDirs = entries.filter(_.isDirectory)
+    val dataFiles = entries.filter(_.isFile)
+    // A Hive-partitioned directory (the layout streaming sinks produce) has
+    // its files in key=value subdirs — compact each partition independently
+    // so the rewrite never crosses partition boundaries. A hybrid layout
+    // (files AND subdirs at top level) is ambiguous: refuse rather than
+    // guess and flatten someone's partitioning.
+    if (subDirs.nonEmpty) {
+      require(dataFiles.isEmpty,
+        s"compact($path): mixed layout — ${dataFiles.length} top-level files alongside " +
+          s"${subDirs.length} subdirectories; compact partitions individually")
+      val perPart = subDirs.map(d => compact(spark, d.getPath.toString, targetBytes))
+      (perPart.map(_._1).sum, perPart.map(_._2).sum)
+    } else {
+      val before = dataFiles.length
+      val totalBytes = dataFiles.map(_.getLen).sum
+      val want = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
+      if (want >= before) (before, before)
+      else {
+        // localCheckpoint cuts lineage off the old snapshot so the swap can
+        // delete it; coalesce (not repartition) keeps the rewrite shuffle-free
+        val df = spark.read.parquet(path).localCheckpoint().coalesce(want)
+        Upsert.snapshotWrite(df, path)
+        val after = fs.listStatus(new Path(path))
+          .count(st => st.isFile && !st.getPath.getName.startsWith("_"))
+        (before, after)
+      }
     }
   }
 }

@@ -31,11 +31,20 @@ object PrefixSum {
     require(df.schema(valueCol).dataType == LongType,
       s"$valueCol must be LONG (got ${df.schema(valueCol).dataType.simpleString}); " +
         "cast and coalesce nulls before the scan")
+    // A nullable schema can't be rejected statically (every aggregate/parquet
+    // column is nullable) — instead replace the value column with a guarded
+    // form that raises a CLEAR error on the scan side of the range shuffle,
+    // not an anonymous NPE from Row.getLong deep in phase 1.
+    val guarded =
+      if (!df.schema(valueCol).nullable) df
+      else df.withColumn(valueCol,
+        when(col(valueCol).isNotNull, col(valueCol)).otherwise(raise_error(
+          lit(s"PrefixSum.runningSum: NULL in '$valueCol' — coalesce before the scan"))))
     val spark = df.sparkSession
     val orderAsc = orderCols.map(col(_).asc)
     val ranged =
-      if (numPartitions > 0) df.repartitionByRange(numPartitions, orderAsc: _*)
-      else df.repartitionByRange(orderAsc: _*)
+      if (numPartitions > 0) guarded.repartitionByRange(numPartitions, orderAsc: _*)
+      else guarded.repartitionByRange(orderAsc: _*)
     val ordered = ranged
       .sortWithinPartitions(orderAsc: _*)
       .localCheckpoint() // both phases read it; don't recompute the sort

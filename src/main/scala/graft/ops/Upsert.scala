@@ -51,6 +51,22 @@ object Upsert {
     * would try to parse as a partition — dot/underscore prefixes are invisible
     * to partition discovery. Stale staging dirs from prior crashes are swept
     * before writing.
+    *
+    * Crash safety — the swap is TWO renames, never a delete of live data
+    * before its replacement is in place:
+    *   1. `path` → `.path.old`   (live snapshot retired, still complete)
+    *   2. `.tmp-uuid` → `path`   (new snapshot goes live)
+    * A crash at ANY point leaves at least one complete snapshot on disk: a
+    * crash between the renames leaves both `.old` and the staged dir, and the
+    * next call (or [[recoverSnapshot]]) restores `.old` to `path` before
+    * proceeding. The pre-round-3 form (`delete(path)` then rename) had a
+    * window where a crash lost the table outright — the durability a
+    * 100×-scale daily MERGE needs is exactly "readers always have a complete
+    * snapshot" (the reference gets this from Snowflake's transactional MERGE,
+    * merge_core.sql:5-33). Unpartitioned whole-table snapshots should prefer
+    * [[VersionedTable]], whose pointer flip has no unavailability instant at
+    * all; this path-in-place form is for hive partition dirs that must stay
+    * scannable by a table-level FileIndex.
     */
   def snapshotWrite(df: DataFrame, path: String): Unit = {
     val spark = df.sparkSession
@@ -58,16 +74,37 @@ object Upsert {
     val dst = new Path(path)
     val parent = dst.getParent
     val stagePrefix = s".${dst.getName}.tmp-"
+    recoverSnapshot(fs, dst) // a prior crash between the two renames
     if (fs.exists(parent)) fs.listStatus(parent).foreach { st =>
       if (st.getPath.getName.startsWith(stagePrefix)) fs.delete(st.getPath, true)
     }
     val tmp = new Path(parent, stagePrefix + java.util.UUID.randomUUID().toString)
     df.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
-    if (fs.exists(dst)) fs.delete(dst, true)
-    if (!fs.rename(tmp, dst))
+    val retired = retiredPath(dst)
+    if (fs.exists(retired)) fs.delete(retired, true)
+    val hadLive = fs.exists(dst)
+    if (hadLive && !fs.rename(dst, retired))
+      throw new java.io.IOException(s"snapshot retire failed: $dst -> $retired")
+    if (!fs.rename(tmp, dst)) {
+      if (hadLive) fs.rename(retired, dst) // restore; the write is lost, the table is not
       throw new java.io.IOException(s"snapshot swap failed: $tmp -> $dst")
+    }
+    if (hadLive) fs.delete(retired, true)
     // The session-level FileStatusCache still holds the pre-swap listing;
     // without this, the next read of `path` fails with FILE_NOT_EXIST.
     spark.catalog.refreshByPath(path)
+  }
+
+  private def retiredPath(dst: Path): Path =
+    new Path(dst.getParent, s".${dst.getName}.old")
+
+  /** Restore `path` from its retired sibling if a previous swap crashed
+    * between retire and go-live (path missing, `.old` complete). Idempotent;
+    * called automatically at the head of every [[snapshotWrite]] and safe for
+    * readers to call on a missing path.
+    */
+  def recoverSnapshot(fs: org.apache.hadoop.fs.FileSystem, dst: Path): Boolean = {
+    val retired = retiredPath(dst)
+    if (!fs.exists(dst) && fs.exists(retired)) fs.rename(retired, dst) else false
   }
 }

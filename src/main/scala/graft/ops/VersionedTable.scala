@@ -1,0 +1,148 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.hadoop.fs.{FileSystem, Path}
+import java.nio.charset.StandardCharsets
+
+/** Versioned whole-table snapshots with an atomic pointer flip — the
+  * durability pattern the reference gets for free from Snowflake's
+  * transactional MERGE (dags/sql/merge_core.sql:5-33) re-expressed on plain
+  * parquet, the way Iceberg/Delta do it: data dirs are IMMUTABLE once
+  * written, and "which snapshot is live" is a tiny pointer file, so there is
+  * NO instant at which a reader can observe a missing or partial table.
+  *
+  * Layout under `dir` (all names underscore/dot-prefixed — invisible to any
+  * enclosing partition discovery):
+  * {{{
+  *   dir/_ptr            # text: zero-padded live version, e.g. "00000042"
+  *   dir/_v-00000042/    # complete parquet snapshot (has _SUCCESS)
+  *   dir/_v-00000041/    # previous version, kept until gc
+  * }}}
+  *
+  * Write protocol: stage the FULL new snapshot to `_v-(N+1)` (the parquet
+  * committer plants `_SUCCESS` last), then flip `_ptr`. A crash before the
+  * flip leaves a dangling higher version that the next write sweeps; a crash
+  * during the flip is covered by the reader fallback (highest version with
+  * `_SUCCESS`). Readers resolve the pointer and read ONE immutable dir —
+  * concurrent with any number of writes.
+  *
+  * Single-writer by design (the daily pipeline's dims/snapshots have exactly
+  * one writer); concurrent writers would race the pointer and need a
+  * compare-and-swap the object-store layer must provide (as Delta's
+  * LogStore does).
+  */
+object VersionedTable {
+
+  private val PtrName = "_ptr"
+  private val VerPrefix = "_v-"
+
+  private def fsOf(spark: SparkSession, dir: String): FileSystem =
+    new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def verDir(dir: String, v: Long): Path =
+    new Path(dir, f"$VerPrefix$v%08d")
+
+  private def listVersions(fs: FileSystem, dir: String): Seq[Long] = {
+    val d = new Path(dir)
+    if (!fs.exists(d)) Seq.empty
+    else fs.listStatus(d).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith(VerPrefix))
+      .flatMap(st => st.getPath.getName.stripPrefix(VerPrefix).toLongOption)
+      .sorted
+  }
+
+  private def readPtr(fs: FileSystem, dir: String): Option[Long] = {
+    val p = new Path(dir, PtrName)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      try {
+        val buf = new Array[Byte](64)
+        val n = in.read(buf)
+        if (n <= 0) None else new String(buf, 0, n, StandardCharsets.UTF_8).trim.toLongOption
+      } finally in.close()
+    }
+  }
+
+  private def complete(fs: FileSystem, vd: Path): Boolean =
+    fs.exists(new Path(vd, "_SUCCESS"))
+
+  /** The live version: the pointer if it names a complete snapshot, else the
+    * highest complete version on disk (covers a crash mid-pointer-flip —
+    * only a version WITH `_SUCCESS` is ever eligible, so a half-written
+    * stage dir can never be chosen).
+    */
+  def currentVersion(spark: SparkSession, dir: String): Option[Long] = {
+    val fs = fsOf(spark, dir)
+    readPtr(fs, dir).filter(v => complete(fs, verDir(dir, v)))
+      .orElse(listVersions(fs, dir).filter(v => complete(fs, verDir(dir, v))).lastOption)
+  }
+
+  def exists(spark: SparkSession, dir: String): Boolean =
+    currentVersion(spark, dir).nonEmpty
+
+  /** Read the live snapshot. Fails fast if no complete version exists. */
+  def read(spark: SparkSession, dir: String): DataFrame = {
+    val v = currentVersion(spark, dir).getOrElse(
+      sys.error(s"VersionedTable.read($dir): no complete snapshot"))
+    spark.read.parquet(verDir(dir, v).toString)
+  }
+
+  /** Like [[read]] but with a pinned schema and an empty frame when the table
+    * does not exist yet — the bootstrap read a pipeline's first run needs.
+    */
+  def readOrEmpty(spark: SparkSession, dir: String,
+      schema: org.apache.spark.sql.types.StructType): DataFrame =
+    currentVersion(spark, dir) match {
+      case Some(v) => spark.read.schema(schema).parquet(verDir(dir, v).toString)
+      case None => spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    }
+
+  /** Write `df` as the next version and flip the pointer. Returns the new
+    * version number. The input may lazily read THIS table's live version —
+    * that dir is immutable and survives until [[gc]], so the
+    * read-merge-write cycle needs no localCheckpoint.
+    */
+  def write(df: DataFrame, dir: String): Long = {
+    val spark = df.sparkSession
+    val fs = fsOf(spark, dir)
+    val cur = currentVersion(spark, dir)
+    // sweep dangling versions above the pointer — crashed writes that never
+    // flipped (or half-written stage dirs without _SUCCESS)
+    listVersions(fs, dir).filter(v => v > cur.getOrElse(-1L))
+      .foreach(v => fs.delete(verDir(dir, v), true))
+    val next = cur.getOrElse(0L) + 1L
+    val vd = verDir(dir, next)
+    df.write.mode(SaveMode.Overwrite).parquet(vd.toString)
+    require(complete(fs, vd), s"stage $vd missing _SUCCESS after write")
+    // pointer flip: stage + delete + rename (rename-over-existing is not
+    // portable across Hadoop filesystems). The instant with no pointer file
+    // is covered by the reader fallback to the highest complete version —
+    // which IS `next` at that point.
+    val ptr = new Path(dir, PtrName)
+    val ptrTmp = new Path(dir, s".$PtrName.tmp-${java.util.UUID.randomUUID()}")
+    val out = fs.create(ptrTmp, true)
+    try out.write(f"$next%08d".getBytes(StandardCharsets.UTF_8)) finally out.close()
+    if (fs.exists(ptr)) fs.delete(ptr, false)
+    if (!fs.rename(ptrTmp, ptr))
+      throw new java.io.IOException(s"pointer flip failed: $ptrTmp -> $ptr")
+    spark.catalog.refreshByPath(vd.toString)
+    next
+  }
+
+  /** Delete all but the newest `keep` complete versions at or below the live
+    * pointer (never the live one; `keep >= 1`). Time travel window = `keep`.
+    */
+  def gc(spark: SparkSession, dir: String, keep: Int = 2): Int = {
+    require(keep >= 1, "gc must keep at least the live version")
+    val fs = fsOf(spark, dir)
+    currentVersion(spark, dir) match {
+      case None => 0
+      case Some(live) =>
+        val victims = listVersions(fs, dir).filter(_ <= live).dropRight(keep)
+        victims.foreach(v => fs.delete(verDir(dir, v), true))
+        victims.length
+    }
+  }
+}

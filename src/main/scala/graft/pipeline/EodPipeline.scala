@@ -40,6 +40,14 @@ final class EodPipeline(warehouse: String, minTickers: Long = 100L) {
   val dimDatePath = s"$warehouse/dim_date"
   val factPath = s"$warehouse/fact_daily_price"
 
+  /** Dims are [[VersionedTable]]s (pointer-resolved immutable snapshots) —
+    * read them through these accessors, not `spark.read.parquet(path)`.
+    */
+  def dimSecurity(spark: SparkSession): DataFrame =
+    VersionedTable.read(spark, dimSecurityPath)
+  def dimDate(spark: SparkSession): DataFrame =
+    VersionedTable.read(spark, dimDatePath)
+
   private def readIfExists(spark: SparkSession, path: String,
       schema: org.apache.spark.sql.types.StructType): DataFrame = {
     val p = new org.apache.hadoop.fs.Path(path)
@@ -152,25 +160,33 @@ final class EodPipeline(warehouse: String, minTickers: Long = 100L) {
       .select(Schemas.core.fieldNames.map(col).toIndexedSeq: _*)
     upsertDatePartition(spark, corePath, tradeDate, coreBatch, Seq("symbol"))
 
-    // DIM_SECURITY ∥ DIM_DATE — key-disjoint insert-only merges.
+    // DIM_SECURITY ∥ DIM_DATE — key-disjoint insert-only merges. Dims are
+    // whole-table snapshots with a single writer, so they use the
+    // VersionedTable pointer flip: the merged frame lazily reads the live
+    // version dir, which is IMMUTABLE — the write lands in the next version
+    // and readers never see a missing or partial dim even if this run dies
+    // mid-write (the reference gets this from Snowflake's transactional
+    // MERGE, merge_dim_security.sql / merge_dim_date.sql).
     val core = spark.read.schema(Schemas.core).parquet(corePath)
     val coreDay = core.filter(col("trade_date") === d)
-    val dimSec0 = readIfExists(spark, dimSecurityPath, Schemas.dimSecurity)
+    val dimSec0 = VersionedTable.readOrEmpty(spark, dimSecurityPath, Schemas.dimSecurity)
     val newSyms = coreDay.select(col("symbol")).distinct()
       .join(dimSec0, Seq("symbol"), "left_anti")
     val dimSec = dimSec0.unionByName(
       SurrogateKeys.assign(newSyms, "security_id",
           SurrogateKeys.maxKey(dimSec0, "security_id"), Seq("symbol"))
         .select(col("security_id"), col("symbol")))
-    Upsert.snapshotWrite(dimSec, dimSecurityPath)
+    VersionedTable.write(dimSec, dimSecurityPath)
+    VersionedTable.gc(spark, dimSecurityPath)
 
-    val dimDate0 = readIfExists(spark, dimDatePath, Schemas.dimDate)
+    val dimDate0 = VersionedTable.readOrEmpty(spark, dimDatePath, Schemas.dimDate)
     val newDates = DateDim.fromDates(coreDay, col("trade_date"))
       .join(dimDate0.select(col("date_sk")), Seq("date_sk"), "left_anti")
-    Upsert.snapshotWrite(dimDate0.unionByName(newDates), dimDatePath)
+    VersionedTable.write(dimDate0.unionByName(newDates), dimDatePath)
+    VersionedTable.gc(spark, dimDatePath)
 
     // FACT: dims are broadcast-sized; join through surrogate keys.
-    val dimSecNow = spark.read.schema(Schemas.dimSecurity).parquet(dimSecurityPath)
+    val dimSecNow = VersionedTable.readOrEmpty(spark, dimSecurityPath, Schemas.dimSecurity)
     val factBatch = Normalize.withLoadTs(
       coreDay.join(broadcast(dimSecNow), Seq("symbol"))
         .withColumn("date_sk", date_format(col("trade_date"), "yyyyMMdd").cast("int")))

@@ -38,6 +38,18 @@ object AnalyticsQueries {
       .groupBy(col("l_suppkey"), to_date(col("l_shipdate")).as("cal_day"))
       .agg(sum(col("l_extendedprice").cast(Dec18)).cast(Dec18).as("rev"))
 
+  /** The TRUE-ARRAY form of q96 — per-order sorted line-number arrays.
+    * This is the library API (nested output a training pipeline consumes);
+    * the catalog entry canonicalizes it to a joined string only for the
+    * oracle harness. Spec-covered by AnalyticsSpec.
+    */
+  def arrayAggCore(s: org.apache.spark.sql.SparkSession, dir: String): org.apache.spark.sql.DataFrame =
+    Tables.load(s, dir, "lineitem")
+      .filter(col("l_orderkey") < 200)
+      .groupBy(col("l_orderkey"))
+      .agg(sort_array(collect_list(col("l_linenumber"))).as("line_numbers"),
+        count(lit(1)).as("n_lines"))
+
   /** The q66 SCD2 pipeline (daily status → gaps-and-islands validity
     * ranges), shared with the temporal join q86.
     */
@@ -410,17 +422,19 @@ object AnalyticsQueries {
     // as a SORTED array — collect_list has no cross-partition order
     // guarantee, so the deterministic form is collect + sort_array (the
     // oracle's list(x ORDER BY x)). The array is the document/feature-list
-    // shape a training pipeline emits per example.
+    // shape a training pipeline emits per example. The ORACLE surface
+    // final-projects the array to a canonical joined STRING on both sides:
+    // the harness's pandas hasher cannot factorize an ndarray column
+    // (same lesson as the decimal/HUGEINT retyping — emit only hashable
+    // scalars). The true-array form stays the API and is spec-tested
+    // (AnalyticsSpec "q96 array form").
     Q("q96_array_agg",
       """SELECT l_orderkey,
-        |  list(l_linenumber ORDER BY l_linenumber) AS line_numbers,
+        |  array_to_string(list(l_linenumber ORDER BY l_linenumber), ',') AS line_numbers,
         |  CAST(count(*) AS BIGINT) AS n_lines
         |FROM lineitem WHERE l_orderkey < 200 GROUP BY 1""".stripMargin) { (s, dir) =>
-      Tables.load(s, dir, "lineitem")
-        .filter(col("l_orderkey") < 200)
-        .groupBy(col("l_orderkey"))
-        .agg(sort_array(collect_list(col("l_linenumber"))).as("line_numbers"),
-          count(lit(1)).as("n_lines"))
+      arrayAggCore(s, dir)
+        .withColumn("line_numbers", array_join(col("line_numbers"), ","))
     },
 
     // ---------------------------------------------------------------- q73

@@ -23,13 +23,11 @@ import graft.plans.TopK
   */
 object SketchQueries {
 
-  /** Uniform [0,1) hash fraction from the first 8 md5 hex chars of `s`. */
-  private def hashFrac(c: org.apache.spark.sql.Column) =
-    conv(substring(md5(c.cast("string")), 1, 8), 16, 10).cast("long").cast("double") /
-      lit(4294967296.0)
-
-  private def oracleFrac(sqlExpr: String): String =
-    s"CAST(CAST('0x' || substring(md5(CAST($sqlExpr AS VARCHAR)), 1, 8) AS BIGINT) AS DOUBLE) / 4294967296.0"
+  // shared definition (graft.functions.ContentHash) — the streaming KMV twin
+  // builds the identical column, which is what makes the batch≡streaming
+  // equality proof exact rather than approximate
+  private def hashFrac(c: org.apache.spark.sql.Column) = graft.functions.ContentHash.hashFrac(c)
+  private def oracleFrac(sqlExpr: String): String = graft.functions.ContentHash.oracleFrac(sqlExpr)
 
   val all: Seq[Q] = Seq(
 

@@ -15,12 +15,12 @@ object StreamingSketch {
 
   case class KmvEstimate(key: String, n_kept: Int, est_distinct: Double)
 
-  /** Same content-addressed hash fraction the batch sketch uses: first 8 md5
-    * hex chars of the value, scaled to [0, 1).
+  /** The content-addressed hash fraction — the SHARED definition
+    * ([[graft.functions.ContentHash.hashFrac]]) the batch sketch also uses,
+    * so the streaming-equals-batch guarantee cannot drift.
     */
   def hashFrac(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-    conv(substring(md5(c.cast("string")), 1, 8), 16, 10).cast("long").cast("double") /
-      lit(4294967296.0)
+    graft.functions.ContentHash.hashFrac(c)
 
   /** Per-key KMV distinct estimate over a stream: `df` must carry a string
     * `key` column and a double `frac` column (from [[hashFrac]]). State per

@@ -149,4 +149,21 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(out.map(_.getLong(1)).sum === total)
     assert(out.forall(r => r.getInt(0) >= 0 && r.getInt(0) <= 19))
   }
+
+  test("q96 array form: true nested output is sorted and the catalog string is its canonical join") {
+    val core = queries.AnalyticsQueries.arrayAggCore(spark, sf).collect()
+    assert(core.nonEmpty)
+    core.foreach { r =>
+      val arr = r.getSeq[Int](1)
+      assert(arr == arr.sorted, s"order ${r.getLong(0)}: array must be sorted")
+      assert(arr.length.toLong === r.getLong(2), "n_lines equals array length")
+    }
+    // The catalog (oracle-facing) entry is exactly the joined-string
+    // projection of the true-array API — no information loss beyond type.
+    val joined = q("q96_array_agg").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    core.foreach { r =>
+      assert(joined(r.getLong(0)) === r.getSeq[Int](1).mkString(","))
+    }
+  }
 }

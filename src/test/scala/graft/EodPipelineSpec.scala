@@ -35,7 +35,7 @@ class EodPipelineSpec extends AnyFunSuite {
 
     val core1 = spark.read.parquet(pipe.corePath)
     assert(core1.count() === 2)
-    val dim1 = spark.read.parquet(pipe.dimSecurityPath)
+    val dim1 = pipe.dimSecurity(spark)
       .orderBy("security_id").as[(Long, String)].collect()
     assert(dim1 === Array((1L, "AAPL"), (2L, "MSFT")))
 
@@ -46,7 +46,7 @@ class EodPipelineSpec extends AnyFunSuite {
       "2026-08-11,MSFT,424.0,429.0,423.1,428.8,17345678"))
     val r2 = pipe.runDate(spark, day2, "2026-08-11")
     assert(r2.coreRows === 3 && r2.rowParity)
-    val dim2 = spark.read.parquet(pipe.dimSecurityPath)
+    val dim2 = pipe.dimSecurity(spark)
       .orderBy("security_id").as[(Long, String)].collect()
     assert(dim2 === Array((1L, "AAPL"), (2L, "MSFT"), (3L, "GOOG")),
       "existing surrogate keys stable, new member appended after max")
@@ -70,10 +70,10 @@ class EodPipelineSpec extends AnyFunSuite {
       .filter($"symbol" === "AAPL" && $"trade_date" === "2026-08-11").head()
     assert(aaplDay2.getDecimal(aaplDay2.fieldIndex("close")).toPlainString === "195.500000",
       "rerun refreshed the close")
-    assert(spark.read.parquet(pipe.dimSecurityPath).count() === 3)
+    assert(pipe.dimSecurity(spark).count() === 3)
 
     // Date dimension accumulated both dates exactly once.
-    val dimDate = spark.read.parquet(pipe.dimDatePath)
+    val dimDate = pipe.dimDate(spark)
     assert(dimDate.count() === 2)
     assert(dimDate.filter($"date_sk" === 20260810).head().getAs[Int]("day_of_week") === 1)
   }
@@ -116,7 +116,7 @@ class EodPipelineSpec extends AnyFunSuite {
     assert(reports.map(_.tradeDate) === Seq("2026-08-10", "2026-08-12"),
       "oldest-first, empty day skipped")
     assert(reports.forall(_.rowParity))
-    val dim = spark.read.parquet(pipe.dimSecurityPath)
+    val dim = pipe.dimSecurity(spark)
       .orderBy("security_id").as[(Long, String)].collect()
     assert(dim === Array((1L, "AAPL"), (2L, "MSFT"), (3L, "GOOG")),
       "surrogate keys reflect first-seen (causal) order")

@@ -81,6 +81,31 @@ class OpsSpec extends AnyFunSuite {
     assert(spark.read.parquet(root).count() === 2)
   }
 
+  test("snapshot swap crash window: writer killed between retire and go-live loses nothing") {
+    // round-2 verdict: the old delete-then-rename swap could lose the table.
+    // Reproduce the worst crash instant of the NEW two-rename protocol —
+    // live already renamed aside, replacement not yet in place — and prove
+    // both snapshots still exist and recovery restores the live one.
+    val parent = TestSpark.tmpDir("snapcrash")
+    val path = s"$parent/t"
+    Seq((1L, "v1")).toDF("k", "v").write.parquet(path)
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.rename(new org.apache.hadoop.fs.Path(path),
+      new org.apache.hadoop.fs.Path(parent, ".t.old")), "simulate rename-out, then crash")
+    fs.mkdirs(new org.apache.hadoop.fs.Path(parent, ".t.tmp-deadbeef")) // half-staged next
+    // the complete retired snapshot is still on disk; recovery restores it
+    assert(Upsert.recoverSnapshot(fs, new org.apache.hadoop.fs.Path(path)))
+    spark.catalog.refreshByPath(path)
+    assert(spark.read.parquet(path).as[(Long, String)].collect() === Array((1L, "v1")),
+      "no data loss at the crash instant")
+    // and the next write sweeps the stale staging dir and completes cleanly
+    Upsert.snapshotWrite(Seq((1L, "v2")).toDF("k", "v"), path)
+    assert(spark.read.parquet(path).as[(Long, String)].collect() === Array((1L, "v2")))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(parent, ".t.old")))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(parent, ".t.tmp-deadbeef")))
+  }
+
   test("surrogate keys: deterministic, dense, continues from max") {
     val d1 = Seq("b", "a", "c").toDF("symbol")
     val k1 = SurrogateKeys.assign(d1, "id", 0L, Seq("symbol"))

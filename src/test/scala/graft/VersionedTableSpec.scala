@@ -1,0 +1,88 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ops.VersionedTable
+import org.apache.hadoop.fs.Path
+
+/** Crash-safety contract of the versioned-snapshot table: every simulated
+  * writer death leaves readers a complete snapshot, and the next write heals
+  * the debris. The writer is "killed" by reproducing the exact on-disk state
+  * each crash instant leaves behind.
+  */
+class VersionedTableSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def fs(dir: String) =
+    new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  test("write/read round trip: versions accumulate, live version is immutable input") {
+    val dir = TestSpark.tmpDir("vt1") + "/t"
+    assert(!VersionedTable.exists(spark, dir))
+    assert(VersionedTable.write(Seq((1L, "a")).toDF("k", "v"), dir) === 1L)
+    // read-merge-write with NO checkpoint: the input lazily reads version 1,
+    // which stays on disk untouched while version 2 is staged
+    val merged = graft.ops.Upsert.merge(
+      VersionedTable.read(spark, dir), Seq((1L, "a2"), (2L, "b")).toDF("k", "v"), Seq("k"))
+    assert(VersionedTable.write(merged, dir) === 2L)
+    assert(VersionedTable.read(spark, dir).orderBy("k").as[(Long, String)].collect()
+      === Array((1L, "a2"), (2L, "b")))
+    assert(VersionedTable.currentVersion(spark, dir) === Some(2L))
+  }
+
+  test("writer killed BEFORE the pointer flip: dangling version is invisible, then swept") {
+    val dir = TestSpark.tmpDir("vt2") + "/t"
+    VersionedTable.write(Seq((1L, "live")).toDF("k", "v"), dir)
+    // crash instant: version 2 fully staged (_SUCCESS present) but _ptr never
+    // flipped — e.g. the JVM died right after the parquet commit
+    Seq((9L, "zombie")).toDF("k", "v").write.parquet(s"$dir/_v-00000002")
+    assert(VersionedTable.currentVersion(spark, dir) === Some(1L),
+      "pointer names version 1; the unflipped stage must not be chosen")
+    assert(VersionedTable.read(spark, dir).as[(Long, String)].collect()
+      === Array((1L, "live")))
+    // the next write sweeps the zombie and lands ITS version 2
+    VersionedTable.write(Seq((2L, "next")).toDF("k", "v"), dir)
+    assert(VersionedTable.read(spark, dir).as[(Long, String)].collect()
+      === Array((2L, "next")))
+  }
+
+  test("writer killed MID data write (no _SUCCESS): never eligible, swept on rerun") {
+    val dir = TestSpark.tmpDir("vt3") + "/t"
+    VersionedTable.write(Seq((1L, "live")).toDF("k", "v"), dir)
+    val half = new Path(s"$dir/_v-00000002")
+    fs(dir).mkdirs(half) // dir exists, no _SUCCESS, no data — torn write
+    assert(VersionedTable.currentVersion(spark, dir) === Some(1L))
+    assert(VersionedTable.read(spark, dir).count() === 1)
+    VersionedTable.write(Seq((2L, "next")).toDF("k", "v"), dir)
+    assert(VersionedTable.currentVersion(spark, dir) === Some(2L))
+    assert(VersionedTable.read(spark, dir).as[(Long, String)].collect()
+      === Array((2L, "next")))
+  }
+
+  test("writer killed MID pointer flip (no _ptr): reader falls back to highest complete version") {
+    val dir = TestSpark.tmpDir("vt4") + "/t"
+    VersionedTable.write(Seq((1L, "v1")).toDF("k", "v"), dir)
+    VersionedTable.write(Seq((2L, "v2")).toDF("k", "v"), dir)
+    // crash instant inside the flip: old pointer deleted, new one not yet
+    // renamed in — version 2 IS complete on disk
+    fs(dir).delete(new Path(dir, "_ptr"), false)
+    assert(VersionedTable.currentVersion(spark, dir) === Some(2L),
+      "fallback: highest complete version")
+    assert(VersionedTable.read(spark, dir).as[(Long, String)].collect()
+      === Array((2L, "v2")))
+    // next write repairs the pointer as a side effect
+    VersionedTable.write(Seq((3L, "v3")).toDF("k", "v"), dir)
+    assert(VersionedTable.currentVersion(spark, dir) === Some(3L))
+  }
+
+  test("gc keeps the newest K versions and never the live one") {
+    val dir = TestSpark.tmpDir("vt5") + "/t"
+    (1 to 5).foreach(i => VersionedTable.write(Seq((i.toLong, s"v$i")).toDF("k", "v"), dir))
+    assert(VersionedTable.gc(spark, dir, keep = 2) === 3)
+    val left = fs(dir).listStatus(new Path(dir))
+      .map(_.getPath.getName).filter(_.startsWith("_v-")).sorted
+    assert(left === Array("_v-00000004", "_v-00000005"))
+    assert(VersionedTable.read(spark, dir).as[(Long, String)].collect()
+      === Array((5L, "v5")))
+  }
+}
