@@ -30,6 +30,13 @@ import java.nio.charset.StandardCharsets
   * one writer); concurrent writers would race the pointer and need a
   * compare-and-swap the object-store layer must provide (as Delta's
   * LogStore does).
+  *
+  * The underscore prefix has a second deliberate effect: a naive
+  * `spark.read.parquet(dir)` on the TABLE root sees no data files (Spark
+  * ignores `_`/`.`-prefixed children, logging a cosmetic "All paths were
+  * ignored" warning) instead of silently unioning every retained version
+  * into duplicated rows. Reads must resolve the pointer via [[read]];
+  * explicitly-passed version dirs are exempt from the filter.
   */
 object VersionedTable {
 

@@ -135,6 +135,31 @@ final class EodPipeline(warehouse: String, minTickers: Long = 100L) {
     dates.sorted.flatMap(d =>
       bronzeFor(d).filter(hasData(spark, _)).map(p => runDate(spark, p, d)))
 
+  /** Backfill a date range through the DataSource V2 REST source: the WHOLE
+    * window is fetched in one executor-parallel scan (one input partition
+    * per trading date — the fetch parallelism a driver-side loop can't give
+    * a multi-year backfill), staged to per-date bronze CSVs (the reference's
+    * S3 landing layer), then replayed oldest-first with the usual V2
+    * empty-day skip. Days whose payload has no records (weekends/holidays)
+    * produce no bronze file and are skipped.
+    */
+  def backfillFromRest(spark: SparkSession, startDate: String, endDate: String,
+      transportClass: String, bronzeStage: String): Seq[PipelineReport] = {
+    import graft.source.{EodDsv2, EodSource}
+    // ONE parallel fetch; localCheckpoint so the per-date staging writes
+    // below re-read the fetched rows, not the REST source
+    val typed = EodDsv2.readRange(spark, startDate, endDate, transportClass)
+      .localCheckpoint()
+    val dates = typed.select(col("trade_date").cast("string")).distinct()
+      .collect().map(_.getString(0)).sorted // bounded: one row per trading day
+    dates.foreach { dt =>
+      EodSource.writeBronzeCsv(typed.filter(col("trade_date") === lit(dt)),
+        s"$bronzeStage/$dt")
+    }
+    val paths = dates.map(dt => dt -> s"$bronzeStage/$dt").toMap
+    runRange(spark, dates.toIndexedSeq)(paths.get)
+  }
+
   /** The full daily run (stages 4-8). `bronzeCsv` may contain duplicate rows
     * (FORCE=TRUE reload semantics) — W1 dedup keeps the latest by
     * (_ingest_ts, _src_file) exactly like merge_core.sql:13-16.

@@ -50,6 +50,44 @@ object SourceQueries {
 
   val all: Seq[Q] = Seq(
 
+    // ---------------------------------------------------------------- q102
+    // S1 at scale: the DataSource V2 REST source — a 12-day window fetched
+    // as one executor-parallel scan, ONE InputPartition per trading date
+    // (asserted in-query), parsed to typed rows in Catalyst. The offline
+    // transport derives every payload from the date alone, so the oracle
+    // recomputes the rows with SQL date arithmetic; weekends return an
+    // empty payload and contribute zero rows (the reference's holiday
+    // semantics, eod_data_downloader.py:125-147).
+    Q("q102_dsv2_backfill",
+      """WITH days AS (
+        |  SELECT CAST(d AS DATE) AS trade_date
+        |  FROM generate_series(DATE '2024-01-15', DATE '2024-01-26', INTERVAL 1 DAY) t(d)
+        |  WHERE datediff('day', DATE '1970-01-01', CAST(d AS DATE)) % 7 NOT IN (2, 3)
+        |),
+        |tick AS (SELECT CAST(i + 1 AS INT) AS i FROM range(20) t(i))
+        |SELECT trade_date,
+        |  'S' || CAST(i AS VARCHAR) AS symbol,
+        |  round(CAST(i + day(trade_date) AS DOUBLE), 6) AS open,
+        |  round(CAST(2 * i + day(trade_date) AS DOUBLE), 6) AS high,
+        |  round(CAST(i AS DOUBLE), 6) AS low,
+        |  round(CAST(3 * i + day(trade_date) AS DOUBLE), 6) AS close,
+        |  CAST(1000 * i + day(trade_date) AS BIGINT) AS volume
+        |FROM days CROSS JOIN tick""".stripMargin) { (s, dir) =>
+      import graft.source.{EodDsv2, SyntheticEodTransport}
+      val transport = classOf[SyntheticEodTransport].getName
+      val raw = EodDsv2.readRaw(s, "2024-01-15", "2024-01-26", transport)
+      // the layout contract that makes backfills parallel: date == partition
+      require(raw.rdd.getNumPartitions == 12,
+        s"expected 12 input partitions (one per date), got ${raw.rdd.getNumPartitions}")
+      EodDsv2.parseGroupedDaily(raw)
+        .select(col("trade_date"), col("symbol"),
+          round(col("open").cast("double"), 6).as("open"),
+          round(col("high").cast("double"), 6).as("high"),
+          round(col("low").cast("double"), 6).as("low"),
+          round(col("close").cast("double"), 6).as("close"),
+          col("volume").cast("bigint").as("volume"))
+    },
+
     // ---------------------------------------------------------------- q51
     // S6: file-metadata lineage (METADATA$FILENAME -> _SRC_FILE,
     // copy_to_raw.sql:26). The batch is written as a MULTI-file layout

@@ -1,0 +1,157 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.streaming.{EventStream, Sessionize, StreamingSketch}
+
+/** Streaming operators ON the CORRECTNESS scoreboard (SURVEY §2.9).
+  *
+  * The batch-oracle contract can't drive a stream directly, so each entry
+  * runs the REAL streaming operator in-query (file source over a scratch
+  * landing dir → AvailableNow → memory sink), `require`s the streaming
+  * result equal to its batch twin (the q85-style in-query contract
+  * assertion), and returns the STREAMING output for DuckDB to verify — the
+  * batch≡streaming equality the specs prove becomes a green CORRECTNESS
+  * row, not only a spec.
+  *
+  * Every entry re-delivers part of the input in a second file: the
+  * at-least-once arrival the bounded-state operators must absorb. Memory
+  * sinks get a fresh name per invocation (bench reps rerun the fn in one
+  * session).
+  */
+object StreamingQueries {
+
+  private def hashFrac(c: org.apache.spark.sql.Column) = graft.functions.ContentHash.hashFrac(c)
+  private def oracleFrac(sqlExpr: String): String = graft.functions.ContentHash.oracleFrac(sqlExpr)
+
+  /** Scratch landing dir per (query, sfDir), wiped before each use. */
+  private def scratch(s: org.apache.spark.sql.SparkSession, sfDir: String, name: String): String = {
+    val digest = java.security.MessageDigest.getInstance("MD5")
+      .digest(sfDir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
+    val path = s"${sys.props("java.io.tmpdir")}/graft_q/${name}_$digest"
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.delete(p, true)
+    path
+  }
+
+  private def sinkName(base: String): String =
+    base + "_" + java.util.UUID.randomUUID().toString.replace("-", "").take(8)
+
+  val all: Seq[Q] = Seq(
+
+    // ---------------------------------------------------------------- q103
+    // Streaming KMV distinct sketch (k = 64, bounded state: k doubles per
+    // key forever) over the events stream WITH re-delivery, required
+    // in-query to equal the batch KMV (identical hash family ⇒ exact
+    // equality, not approximate). The oracle recomputes the estimate from
+    // the distinct hash fractions — the same dedup the sketch state applies.
+    Q("q103_streaming_kmv",
+      s"""WITH d AS (SELECT DISTINCT event_type,
+        |  ${oracleFrac("user_id")} AS frac FROM events),
+        |k AS (SELECT * FROM d
+        |  QUALIFY row_number() OVER (PARTITION BY event_type ORDER BY frac) <= 64)
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS n_kept,
+        |  round(CASE WHEN count(*) < 64 THEN CAST(count(*) AS DOUBLE)
+        |        ELSE 63.0 / max(frac) END, 6) AS est_distinct
+        |FROM k GROUP BY 1""".stripMargin) { (s, dir) =>
+      val k = 64
+      val base = Tables.load(s, dir, "events")
+        .select(col("event_type").as("key"), hashFrac(col("user_id")).as("frac"))
+      val in = scratch(s, dir, "q103")
+      base.write.parquet(s"$in/f1")
+      base.limit(500).write.parquet(s"$in/f2") // at-least-once re-delivery
+      val stream = EventStream.fileSource(s, s"$in/*", base.schema)
+      val got = StreamingSketch.runToFinal(
+        StreamingSketch.kmvDistinct(stream, k), sinkName("q103_kmv"))
+      // batch twin: top-k smallest DISTINCT fractions per key
+      val kept = graft.plans.TopK.perGroup(base.distinct(), Seq("key"), Seq(("frac", false)), k)
+      val want = kept.groupBy(col("key"))
+        .agg(count(lit(1)).as("n_kept"),
+          when(count(lit(1)) < k, count(lit(1)).cast("double"))
+            .otherwise(lit((k - 1).toDouble) / max(col("frac"))).as("est"))
+        .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+      val gotRows = got.collect().map(r => r.getString(0) -> ((r.getInt(1).toLong, r.getDouble(2))))
+      require(gotRows.length == want.size && gotRows.forall { case (key, (n, est)) =>
+        want.get(key).exists { case (bn, best) => bn == n && math.abs(best - est) < 1e-9 }
+      }, "streaming KMV must equal the batch sketch exactly")
+      got.select(col("key").as("event_type"), col("n_kept").cast("bigint"),
+        round(col("est_distinct"), 6).as("est_distinct"))
+    },
+
+    // ---------------------------------------------------------------- q104
+    // Stateful streaming sessionization (flatMapGroupsWithState, one open
+    // session per key in state): CLOSED sessions — everything the stream
+    // emits — must equal the batch gaps-and-islands sessions minus each
+    // key's final (still-open) session. The oracle computes exactly that
+    // with the q42 window SQL plus a last-session filter.
+    Q("q104_streaming_sessions",
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS us FROM events),
+        |m AS (SELECT user_id, us,
+        |  CASE WHEN lag(us) OVER w IS NULL OR us - lag(us) OVER w > 1800000000
+        |       THEN 1 ELSE 0 END AS s
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us)),
+        |sess AS (SELECT user_id, us,
+        |  CAST(SUM(s) OVER (PARTITION BY user_id ORDER BY us
+        |                    ROWS UNBOUNDED PRECEDING) AS INT) AS session_id
+        |  FROM m),
+        |summ AS (SELECT user_id, session_id, count(*) AS n_events,
+        |  min(us) AS start_us, max(us) AS end_us
+        |  FROM sess GROUP BY 1, 2)
+        |SELECT user_id AS key, session_id, n_events, start_us, end_us FROM summ
+        |QUALIFY session_id < max(session_id) OVER (PARTITION BY user_id)""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val events = Tables.load(s, dir, "events")
+      val in = scratch(s, dir, "q104")
+      // ONE file -> one deterministic micro-batch (in-batch order is sorted
+      // by the operator; cross-batch order is a file-mtime concern)
+      events.select(col("user_id").as("key"), unix_micros(col("ts")).as("tsUs"))
+        .coalesce(1).write.parquet(s"$in/f1")
+      val stream = s.readStream.schema("key LONG, tsUs LONG").parquet(s"$in/*")
+        .as[Sessionize.SessionEvent]
+      val got = EventStream.runAvailableNow(
+        Sessionize.stateful(stream, gapMinutes = 30).toDF(), sinkName("q104_sess"))
+      // batch twin: all sessions minus each key's open tail
+      val all = Sessionize.batchSummary(events, "user_id", "ts", 30)
+        .withColumnRenamed("user_id", "key")
+      val closed = all.withColumn("__mx",
+          max(col("session_id")).over(org.apache.spark.sql.expressions.Window.partitionBy(col("key"))))
+        .filter(col("session_id") < col("__mx")).drop("__mx")
+        .select(got.columns.map(col).toIndexedSeq: _*)
+      require(got.exceptAll(closed).isEmpty && closed.exceptAll(got).isEmpty,
+        "streaming closed sessions must equal batch sessions minus open tails")
+      got
+    },
+
+    // ---------------------------------------------------------------- q105
+    // Watermarked streaming dedup (dropDuplicatesWithinWatermark — BOUNDED
+    // state, keys evicted as the watermark passes; a plain streaming
+    // dropDuplicates would hold every key forever): re-delivered events
+    // collapse to exactly one row per event_id, required in-query to match
+    // the batch table, then aggregated integer-exactly for the oracle.
+    Q("q105_streaming_dedup",
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+        |  CAST(min(event_id) AS BIGINT) AS min_id,
+        |  CAST(max(event_id) AS BIGINT) AS max_id
+        |FROM events GROUP BY 1""".stripMargin) { (s, dir) =>
+      val events = Tables.load(s, dir, "events")
+        .select(col("event_id"), col("ts"), col("user_id"), col("event_type"))
+      val in = scratch(s, dir, "q105")
+      events.write.parquet(s"$in/f1")
+      events.filter(col("event_id") % 3 === 0).write.parquet(s"$in/f2") // re-delivery
+      val stream = EventStream.fileSource(s, s"$in/*", events.schema)
+      val got = EventStream.runAvailableNow(
+        EventStream.dedupWithinWatermark(stream, Seq("event_id"), delay = "30 days"),
+        sinkName("q105_dedup"))
+      require(got.count() == events.count(),
+        "every re-delivered event_id must be kept exactly once")
+      require(got.groupBy("event_id").count().filter(col("count") > 1).isEmpty,
+        "no key may survive twice")
+      got.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          countDistinct(col("user_id")).as("n_users"),
+          min(col("event_id")).cast("bigint").as("min_id"),
+          max(col("event_id")).cast("bigint").as("max_id"))
+    })
+}
