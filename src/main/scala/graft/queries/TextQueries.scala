@@ -307,5 +307,151 @@ object TextQueries {
         .toDF()
         .select(col("media_id"), col("media_type"), col("n_bytes"),
           col("content_hash"), col("width"), col("height"))
+    },
+
+    // ---------------------------------------------------------------- q106
+    // Repetition-based quality signals (the Gopher/MassiveText family of
+    // filters): per-document distinct-word ratio, top-word fraction, and
+    // duplicate-3-gram fraction — the features a pretraining curation pass
+    // thresholds to drop boilerplate and degenerate repetition. All ratios
+    // are one exact-integer division, engine-portable. Scale shape: two
+    // narrow explode+agg passes keyed on doc_id, no joins wider than the
+    // document count.
+    Q("q106_repetition",
+      """WITH w AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents),
+        |tok AS (SELECT doc_id, unnest(w) AS term FROM w),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+        |agg AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_words,
+        |  count(*) AS n_distinct, CAST(max(tf) AS BIGINT) AS max_tf FROM tf GROUP BY 1),
+        |sh AS (SELECT doc_id,
+        |  unnest(list_transform(generate_series(1, greatest(len(w)-2, 1)),
+        |                        i -> array_to_string(w[i:i+2], ' '))) AS s FROM w),
+        |sha AS (SELECT doc_id, count(*) AS n_sh, count(DISTINCT s) AS n_sh_d FROM sh GROUP BY 1)
+        |SELECT a.doc_id, a.n_words, a.n_distinct,
+        |  round(CAST(a.n_distinct AS DOUBLE) / a.n_words, 6) AS distinct_ratio,
+        |  round(CAST(a.max_tf AS DOUBLE) / a.n_words, 6) AS top_word_frac,
+        |  round(1.0 - CAST(sha.n_sh_d AS DOUBLE) / sha.n_sh, 6) AS dup_3gram_frac
+        |FROM agg a JOIN sha ON sha.doc_id = a.doc_id""".stripMargin) { (s, dir) =>
+      val docs = Tables.load(s, dir, "documents")
+      val tf = docs
+        .select(col("doc_id"), explode(graft.dedup.MinHashLSH.tokensCol(col("text"))).as("term"))
+        .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+      val agg = tf.groupBy(col("doc_id"))
+        .agg(sum(col("tf")).cast("long").as("n_words"),
+          count(lit(1)).as("n_distinct"), max(col("tf")).cast("long").as("max_tf"))
+      val sha = graft.dedup.MinHashLSH.shingles(docs, "doc_id", "text", 3, distinct = false)
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_sh"), countDistinct(col("shingle")).as("n_sh_d"))
+      agg.join(sha, Seq("doc_id"))
+        .select(col("doc_id"), col("n_words"), col("n_distinct"),
+          round(col("n_distinct").cast("double") / col("n_words"), 6).as("distinct_ratio"),
+          round(col("max_tf").cast("double") / col("n_words"), 6).as("top_word_frac"),
+          round(lit(1.0) - col("n_sh_d").cast("double") / col("n_sh"), 6).as("dup_3gram_frac"))
+    },
+
+    // ---------------------------------------------------------------- q107
+    // Domain-mixture reweighting: per-source character share and the
+    // sampling weight that equalizes each source's character budget — the
+    // "upsample rare domains, downsample dominant ones" factor a training
+    // mixture applies before sampling. One aggregate + a broadcast 1-row
+    // totals join (J9 treatment); no second corpus scan.
+    Q("q107_mixture_weights",
+      """WITH s AS (SELECT source, count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS chars FROM documents GROUP BY 1),
+        |t AS (SELECT CAST(sum(chars) AS BIGINT) AS total_chars,
+        |  count(*) AS n_sources FROM s)
+        |SELECT source, n_docs, chars,
+        |  round(CAST(chars AS DOUBLE) / total_chars, 6) AS char_share,
+        |  round((CAST(total_chars AS DOUBLE) / n_sources) / chars, 6) AS sample_weight
+        |FROM s CROSS JOIN t""".stripMargin) { (s, dir) =>
+      val bySrc = Tables.load(s, dir, "documents")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).cast("long").as("chars"))
+      val totals = bySrc.agg(sum(col("chars")).cast("long").as("total_chars"),
+        count(lit(1)).as("n_sources"))
+      bySrc.crossJoin(broadcast(totals))
+        .select(col("source"), col("n_docs"), col("chars"),
+          round(col("chars").cast("double") / col("total_chars"), 6).as("char_share"),
+          round(col("total_chars").cast("double") / col("n_sources") / col("chars"), 6)
+            .as("sample_weight"))
+    },
+
+    // ---------------------------------------------------------------- q112
+    // Benchmark DECONTAMINATION: flag training docs sharing any word-5-gram
+    // with a held-out eval set (stand-in: doc_id % 50 = 0) — the n-gram
+    // overlap scan every serious pretraining pipeline runs before training.
+    // Scale shape: shingle equi-join keyed on the shingle — contamination
+    // cost is bounded by shared-shingle frequency, never train×eval; a hot
+    // boilerplate shingle would be capped exactly like an LSH mega-bucket.
+    Q("q112_decontamination",
+      """WITH w AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, s FROM (
+        |  SELECT doc_id, unnest(list_transform(generate_series(1, greatest(len(w)-4, 1)),
+        |                                       i -> array_to_string(w[i:i+4], ' '))) AS s
+        |  FROM w)),
+        |ev AS (SELECT doc_id AS eval_id, s FROM sh WHERE doc_id % 50 = 0),
+        |tr AS (SELECT doc_id, s FROM sh WHERE doc_id % 50 <> 0)
+        |SELECT tr.doc_id,
+        |  count(DISTINCT tr.s) AS n_shared_shingles,
+        |  count(DISTINCT ev.eval_id) AS n_eval_docs_hit
+        |FROM tr JOIN ev ON ev.s = tr.s
+        |GROUP BY 1""".stripMargin) { (s, dir) =>
+      val sh = graft.dedup.MinHashLSH.shingles(
+        Tables.load(s, dir, "documents"), "doc_id", "text", 5)
+      val ev = sh.filter(col("doc_id") % 50 === 0)
+        .select(col("doc_id").as("eval_id"), col("shingle"))
+      val tr = sh.filter(col("doc_id") % 50 =!= 0)
+      tr.join(ev, Seq("shingle"))
+        .groupBy(col("doc_id"))
+        .agg(countDistinct(col("shingle")).as("n_shared_shingles"),
+          countDistinct(col("eval_id")).as("n_eval_docs_hit"))
+    },
+
+    // ---------------------------------------------------------------- q113
+    // Token-rarity score — a perplexity PROXY in rational form: per document,
+    // n_tokens · N / Σ df(token). Log-probability scoring would sum doubles
+    // (merge-order dependent, libm-divergent across engines); the rational
+    // form accumulates exact BIGINT document frequencies and divides ONCE,
+    // so both engines agree bit-for-bit. High score = rare vocabulary.
+    Q("q113_rarity_score",
+      """WITH tok AS (SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS term
+        |            FROM documents),
+        |df AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok GROUP BY 1),
+        |n AS (SELECT count(*) AS n_docs FROM documents)
+        |SELECT tok.doc_id, count(*) AS n_tokens,
+        |  CAST(sum(df.df) AS BIGINT) AS sum_df,
+        |  round(CAST(count(*) AS DOUBLE) * max(n.n_docs) / sum(df.df), 6) AS rarity
+        |FROM tok JOIN df USING (term) CROSS JOIN n
+        |GROUP BY 1""".stripMargin) { (s, dir) =>
+      val docs = Tables.load(s, dir, "documents")
+      val tok = docs.select(col("doc_id"),
+        explode(graft.dedup.MinHashLSH.tokensCol(col("text"))).as("term"))
+      val dfreq = tok.distinct().groupBy(col("term")).agg(count(lit(1)).as("df"))
+      val corpus = docs.agg(count(lit(1)).as("n_docs"))
+      tok.join(dfreq, Seq("term"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_tokens"), sum(col("df")).cast("long").as("sum_df"))
+        .crossJoin(broadcast(corpus))
+        .select(col("doc_id"), col("n_tokens"), col("sum_df"),
+          round(col("n_tokens").cast("double") * col("n_docs") / col("sum_df"), 6)
+            .as("rarity"))
+    },
+
+    // ---------------------------------------------------------------- q111
+    // Regex token profiling: count + distinct-count of pattern matches per
+    // document (the shape of PII scans, marker-token counting, template
+    // detection). Pattern kept in the RE2 ∩ Java common subset so both
+    // engines tokenize identically.
+    Q("q111_regex_profile",
+      """SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text, '[a-z]*ar[a-z]*')) AS BIGINT) AS n_matches,
+        |  CAST(len(list_distinct(regexp_extract_all(text, '[a-z]*ar[a-z]*'))) AS BIGINT)
+        |    AS n_distinct_matches
+        |FROM documents""".stripMargin) { (s, dir) =>
+      val m = regexp_extract_all(col("text"), lit("[a-z]*ar[a-z]*"), lit(0))
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id"),
+          size(m).cast("long").as("n_matches"),
+          size(array_distinct(m)).cast("long").as("n_distinct_matches"))
     })
 }
