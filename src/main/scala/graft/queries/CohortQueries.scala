@@ -288,5 +288,66 @@ object CohortQueries {
           sum(col("revenue")).over(byNation).cast("double"), 6).as("share_in_nation"),
         round(sum(col("revenue")).over(byNation).cast("double") /
           sum(col("revenue")).over(byRegion).cast("double"), 6).as("nation_share_in_region"))
+    },
+
+    // ---------------------------------------------------------------- q115
+    // PageRank (3 unrolled iterations, damping 0.85) over the symmetric
+    // supplier↔part graph, in FIXED-POINT integer arithmetic: ranks are
+    // BIGINT multiples of 10^-12 and every step is integer div/mul/sum —
+    // exact, merge-order independent, identical on any engine (the
+    // MapReduce-era fixed-point formulation). A floating-point PageRank sums
+    // doubles per node, whose value depends on partitioning. Scale shape:
+    // one dst-keyed shuffle per iteration over the (bounded) edge list —
+    // exactly the Components loop's cost model; the degree table rides along
+    // broadcast.
+    Q("q115_pagerank",
+      """WITH le AS (SELECT DISTINCT l_suppkey AS s, l_partkey AS p
+        |            FROM lineitem WHERE l_orderkey < 2000),
+        |edges AS (SELECT s AS src, 1000000 + p AS dst FROM le
+        |          UNION ALL SELECT 1000000 + p, s FROM le),
+        |nodes AS (SELECT DISTINCT src AS id FROM edges),
+        |deg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY 1),
+        |nn AS (SELECT count(*) AS n FROM nodes),
+        |r0 AS (SELECT id, 1000000000000 // n AS r FROM nodes CROSS JOIN nn),
+        |c1 AS (SELECT e.dst AS id, CAST(sum(r0.r // d.outdeg) AS BIGINT) AS s
+        |       FROM edges e JOIN r0 ON r0.id = e.src JOIN deg d ON d.src = e.src GROUP BY 1),
+        |r1 AS (SELECT c1.id, (150000000000 // n) + (85 * c1.s) // 100 AS r
+        |       FROM c1 CROSS JOIN nn),
+        |c2 AS (SELECT e.dst AS id, CAST(sum(r1.r // d.outdeg) AS BIGINT) AS s
+        |       FROM edges e JOIN r1 ON r1.id = e.src JOIN deg d ON d.src = e.src GROUP BY 1),
+        |r2 AS (SELECT c2.id, (150000000000 // n) + (85 * c2.s) // 100 AS r
+        |       FROM c2 CROSS JOIN nn),
+        |c3 AS (SELECT e.dst AS id, CAST(sum(r2.r // d.outdeg) AS BIGINT) AS s
+        |       FROM edges e JOIN r2 ON r2.id = e.src JOIN deg d ON d.src = e.src GROUP BY 1),
+        |r3 AS (SELECT c3.id, (150000000000 // n) + (85 * c3.s) // 100 AS r
+        |       FROM c3 CROSS JOIN nn)
+        |SELECT id, CAST(r AS BIGINT) AS rank_fp,
+        |  round(CAST(r AS DOUBLE) / 1000000000000.0, 6) AS rank
+        |FROM r3""".stripMargin) { (s, dir) =>
+      val le = Tables.load(s, dir, "lineitem")
+        .filter(col("l_orderkey") < 2000)
+        .select(col("l_suppkey").as("s"), col("l_partkey").as("p")).distinct()
+      val edges = le.select(col("s").as("src"), (lit(1000000) + col("p")).as("dst"))
+        .unionByName(le.select((lit(1000000) + col("p")).as("src"), col("s").as("dst")))
+        .localCheckpoint() // 3 iterations + degree read it; don't re-derive
+      val nodes = edges.select(col("src").as("id")).distinct()
+      val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+      val nn = nodes.agg(count(lit(1)).as("n"))
+      val scale = 1000000000000L
+      var r = nodes.crossJoin(broadcast(nn))
+        .select(col("id"), expr(s"$scale div n").as("r"))
+      for (_ <- 1 to 3) {
+        val c = edges
+          .join(r.withColumnRenamed("id", "src"), Seq("src"))
+          .join(broadcast(deg), Seq("src"))
+          .groupBy(col("dst").as("id"))
+          .agg(sum(expr("r div outdeg")).cast("long").as("s"))
+        // symmetric edges: every node has in-edges, so c covers all nodes
+        r = c.crossJoin(broadcast(nn))
+          .select(col("id"), (expr(s"${150L * 1000000000L} div n") +
+            expr("(85 * s) div 100")).as("r"))
+      }
+      r.select(col("id"), col("r").cast("long").as("rank_fp"),
+        round(col("r").cast("double") / lit(1.0e12), 6).as("rank"))
     })
 }

@@ -116,6 +116,44 @@ object VectorQueries {
     // narrow, no UDF), moments accumulate per (label, pos) exactly, and the
     // statistic derives in scalar double arithmetic (q71's determinism
     // argument, applied element-wise to vectors).
+    Q("q114_quantization",
+      """WITH x AS (SELECT vec_id, t.pos, CAST(embedding[t.pos + 1] AS DOUBLE) AS v
+        |           FROM embeddings, range(64) t(pos)),
+        |st AS (SELECT pos, min(v) AS lo, max(v) AS hi FROM x GROUP BY 1),
+        |qn AS (SELECT vec_id,
+        |  least(CAST(floor((v - lo) * 255.0 / (hi - lo)) AS BIGINT), 255) AS code
+        |  FROM x JOIN st USING (pos) WHERE hi > lo)
+        |SELECT vec_id, CAST(sum(code) AS BIGINT) AS code_sum,
+        |  min(code) AS code_min, max(code) AS code_max,
+        |  CAST(sum(CASE WHEN code = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_lo_sat,
+        |  CAST(sum(CASE WHEN code = 255 THEN 1 ELSE 0 END) AS BIGINT) AS n_hi_sat
+        |FROM qn GROUP BY 1""".stripMargin) { (s, dir) =>
+      // Int8 scalar quantization — the storage half of an IVF-PQ ANN index:
+      // per-dimension [min, max] from one corpus pass (a 64-row broadcast),
+      // then code = floor((v-lo)·255/(hi-lo)) clamped. All quantizer math is
+      // IEEE double (bit-identical on any engine); the emitted columns are
+      // INTEGER ONLY (code sums, saturation counts) so the oracle comparison
+      // never touches float accumulation order. 4x memory reduction per
+      // vector at 100 TB is what makes the candidate-probe side of ANN fit
+      // in executor memory.
+      val x = Tables.load(s, dir, "embeddings")
+        .select(col("vec_id"), explode(sequence(lit(0), lit(63))).as("pos"),
+          col("embedding"))
+        .select(col("vec_id"), col("pos"),
+          element_at(col("embedding"), col("pos") + 1).cast("double").as("v"))
+      val st = x.groupBy(col("pos")).agg(min(col("v")).as("lo"), max(col("v")).as("hi"))
+      val code = least(
+        floor((col("v") - col("lo")) * lit(255.0) / (col("hi") - col("lo"))).cast("long"),
+        lit(255L))
+      x.join(broadcast(st), Seq("pos")).filter(col("hi") > col("lo"))
+        .select(col("vec_id"), code.as("code"))
+        .groupBy(col("vec_id"))
+        .agg(sum(col("code")).cast("long").as("code_sum"),
+          min(col("code")).as("code_min"), max(col("code")).as("code_max"),
+          sum(when(col("code") === 0, 1).otherwise(0)).cast("long").as("n_lo_sat"),
+          sum(when(col("code") === 255, 1).otherwise(0)).cast("long").as("n_hi_sat"))
+    },
+
     Q("q84_embedding_moments",
       """WITH x AS (
         |  SELECT label, t.pos,
