@@ -153,5 +153,46 @@ object StreamingQueries {
           countDistinct(col("user_id")).as("n_users"),
           min(col("event_id")).cast("bigint").as("min_id"),
           max(col("event_id")).cast("bigint").as("max_id"))
+    },
+
+    // ---------------------------------------------------------------- q116
+    // Stream-stream INTERVAL join (watermark-bounded state: a buffered row
+    // is evicted once the other side's watermark passes its last possible
+    // match): error events joined to the user's clicks in the preceding 10
+    // minutes, required in-query to equal the batch range join, aggregated
+    // integer-exactly for the oracle.
+    Q("q116_streaming_interval_join",
+      """WITH err AS (SELECT user_id, ts, event_id FROM events WHERE event_type = 'error'),
+        |clk AS (SELECT user_id, ts AS click_ts FROM events WHERE event_type = 'click'),
+        |j AS (SELECT e.user_id, e.event_id
+        |      FROM err e JOIN clk c ON c.user_id = e.user_id
+        |      AND epoch_us(c.click_ts) >= epoch_us(e.ts) - 600000000
+        |      AND epoch_us(c.click_ts) <= epoch_us(e.ts))
+        |SELECT user_id, count(*) AS n_pairs,
+        |  count(DISTINCT event_id) AS n_errors_matched
+        |FROM j GROUP BY 1""".stripMargin) { (s, dir) =>
+      val events = Tables.load(s, dir, "events")
+      val errors = events.filter(col("event_type") === "error")
+        .select(col("user_id"), col("ts"), col("event_id"))
+      val clicks = events.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts").as("click_ts"))
+      val in = scratch(s, dir, "q116")
+      errors.write.parquet(s"$in/errors")
+      clicks.write.parquet(s"$in/clicks")
+      val got = EventStream.runAvailableNow(
+        EventStream.intervalJoin(
+          EventStream.fileSource(s, s"$in/errors", errors.schema),
+          EventStream.fileSource(s, s"$in/clicks", clicks.schema),
+          Seq("user_id"), "ts", "click_ts",
+          lowerUs = -600000000L, upperUs = 0L, delay = "30 days"),
+        sinkName("q116_ij"))
+      val want = graft.ops.RangeJoin.timeWindow(errors, clicks, Seq("user_id"),
+          "ts", "click_ts", lowerUs = -600000000L, upperUs = 0L)
+        .select(got.columns.map(col).toIndexedSeq: _*)
+      require(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty,
+        "streaming interval join must equal the batch range join")
+      got.groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_pairs"),
+          countDistinct(col("event_id")).as("n_errors_matched"))
     })
 }
