@@ -105,6 +105,40 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(executed(q("q76_share_of_total")).contains("BroadcastHashJoin"))
   }
 
+  test("q108/q109: rank and frame windows are PARTITIONED — no single-partition window") {
+    // the WindowExec trap: a window without PARTITION BY funnels the table
+    // through one task; both window entries must carry their partition keys
+    Seq("q108_rank_variants", "q109_frame_windows").foreach { name =>
+      val plan = executed(q(name))
+      assert(plan.contains("Window ["), s"$name plans a window")
+      assert(!plan.contains("SinglePartition"),
+        s"$name must not exchange to a single partition")
+    }
+  }
+
+  test("q110: per-group mode plans the bounded heap, not a window sort") {
+    val plan = executed(q("q110_mode"))
+    assert(plan.contains("TopKPerGroup"), "mode must ride the bounded-heap operator")
+    assert(!plan.contains("Window ["), "no sort-based window for the top-1")
+  }
+
+  test("q114/q115: quantizer stats and pagerank degrees ride broadcast joins") {
+    assert(executed(q("q114_quantization")).contains("BroadcastHashJoin"),
+      "the 64-row per-dimension stats must broadcast")
+    val pr = executed(q("q115_pagerank"))
+    assert(pr.contains("BroadcastHashJoin"), "the degree table must broadcast")
+    assert(!pr.contains("CartesianProduct"), "rank updates stay keyed")
+  }
+
+  test("q112/q113: curation joins stay keyed on shingle/term — no cartesian") {
+    Seq("q112_decontamination", "q113_rarity_score").foreach { name =>
+      val plan = executed(q(name))
+      assert(!plan.contains("CartesianProduct") &&
+        !plan.contains("BroadcastNestedLoopJoin Inner"),
+        s"$name must join keyed, never all-pairs")
+    }
+  }
+
   test("runtime bloom-filter pruning injects into a selective shuffle join") {
     // Spark's row-level runtime filter: the selective build side plants a
     // bloom filter on the probe side's scan, cutting shuffled bytes — the
