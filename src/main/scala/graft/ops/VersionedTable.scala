@@ -95,6 +95,18 @@ object VersionedTable {
     spark.read.parquet(verDir(dir, v).toString)
   }
 
+  /** Time travel: read a SPECIFIC retained version (must be complete and not
+    * yet gc'd). Version dirs are immutable, so this is safe concurrent with
+    * any write.
+    */
+  def readVersion(spark: SparkSession, dir: String, version: Long): DataFrame = {
+    val fs = fsOf(spark, dir)
+    val vd = verDir(dir, version)
+    require(complete(fs, vd),
+      s"VersionedTable.readVersion($dir, $version): no complete snapshot (gc'd or never written)")
+    spark.read.parquet(vd.toString)
+  }
+
   /** Like [[read]] but with a pinned schema and an empty frame when the table
     * does not exist yet — the bootstrap read a pipeline's first run needs.
     */

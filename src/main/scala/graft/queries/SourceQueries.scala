@@ -88,6 +88,61 @@ object SourceQueries {
           col("volume").cast("bigint").as("volume"))
     },
 
+    // ---------------------------------------------------------------- q117
+    // Versioned-table CDC: write snapshot v1, evolve it (deletes, updates,
+    // inserts — all derived deterministically from `customer`), write v2
+    // through the VersionedTable pointer flip, then TIME-TRAVEL both
+    // versions back and diff them into a change feed. In-query requires pin
+    // the table contract (live pointer = v2, v1 still readable); the oracle
+    // recomputes both snapshots and the same full-outer diff from SQL alone.
+    Q("q117_version_diff",
+      """WITH v1 AS (SELECT c_custkey, c_name FROM customer WHERE c_custkey <= 400),
+        |v2 AS (
+        |  SELECT c_custkey,
+        |    CASE WHEN c_custkey % 10 IN (1, 2) THEN c_name || '*' ELSE c_name END AS c_name
+        |  FROM customer WHERE c_custkey <= 400 AND c_custkey % 10 <> 0
+        |  UNION ALL
+        |  SELECT 10000 + i, 'NEW' || CAST(i AS VARCHAR)
+        |  FROM range(1, 51) t(i))
+        |SELECT coalesce(v1.c_custkey, v2.c_custkey) AS c_custkey,
+        |  CASE WHEN v1.c_custkey IS NULL THEN 'insert'
+        |       WHEN v2.c_custkey IS NULL THEN 'delete'
+        |       ELSE 'update' END AS op,
+        |  v1.c_name AS old_name, v2.c_name AS new_name
+        |FROM v1 FULL JOIN v2 ON v1.c_custkey = v2.c_custkey
+        |WHERE v1.c_custkey IS NULL OR v2.c_custkey IS NULL
+        |   OR v1.c_name <> v2.c_name""".stripMargin) { (s, dir) =>
+      import graft.ops.VersionedTable
+      val table = scratch(s, dir, "q117") + "/t"
+      val v1 = Tables.load(s, dir, "customer")
+        .filter(col("c_custkey") <= 400)
+        .select(col("c_custkey"), col("c_name"))
+      val v2 = v1.filter(col("c_custkey") % 10 =!= 0)
+        .select(col("c_custkey"),
+          when(col("c_custkey") % 10 === 1 || col("c_custkey") % 10 === 2,
+            concat(col("c_name"), lit("*"))).otherwise(col("c_name")).as("c_name"))
+        .unionByName(s.range(1, 51).toDF("i")
+          .select((col("i") + 10000).as("c_custkey"),
+            concat(lit("NEW"), col("i").cast("string")).as("c_name")))
+      require(VersionedTable.write(v1, table) == 1L)
+      require(VersionedTable.write(v2, table) == 2L)
+      require(VersionedTable.currentVersion(s, table).contains(2L),
+        "live pointer must name v2")
+      // time travel: BOTH versions readable concurrently
+      val a = VersionedTable.readVersion(s, table, 1L)
+        .select(col("c_custkey"), col("c_name").as("old_name"))
+      val b = VersionedTable.readVersion(s, table, 2L)
+        .select(col("c_custkey"), col("c_name").as("new_name"))
+      a.join(b, Seq("c_custkey"), "full_outer")
+        .filter(col("old_name").isNull || col("new_name").isNull ||
+          col("old_name") =!= col("new_name"))
+        .select(col("c_custkey"),
+          when(col("old_name").isNull, "insert")
+            .when(col("new_name").isNull, "delete")
+            .otherwise("update").as("op"),
+          col("old_name"), col("new_name"))
+    },
+
     // ---------------------------------------------------------------- q51
     // S6: file-metadata lineage (METADATA$FILENAME -> _SRC_FILE,
     // copy_to_raw.sql:26). The batch is written as a MULTI-file layout

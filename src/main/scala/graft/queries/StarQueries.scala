@@ -305,6 +305,60 @@ object StarQueries {
           count(lit(1)).as("n"))
     },
 
+    // ---------------------------------------------------------------- q118
+    // Robust statistics: median absolute deviation per priority class — the
+    // outlier-resistant spread measure (a z-score's stddev is dragged by the
+    // outliers it is meant to find; MAD is not). Two exact interpolated
+    // percentile passes with a broadcast median re-join between them; both
+    // engines share the interpolation definition (proven by q43).
+    Q("q118_mad",
+      """WITH med AS (SELECT o_orderpriority,
+        |  quantile_cont(CAST(o_totalprice AS DOUBLE), 0.5) AS med
+        |  FROM orders GROUP BY 1),
+        |d AS (SELECT o.o_orderpriority, med.med,
+        |  abs(CAST(o.o_totalprice AS DOUBLE) - med.med) AS dev
+        |  FROM orders o JOIN med USING (o_orderpriority))
+        |SELECT o_orderpriority, count(*) AS n,
+        |  round(max(med), 6) AS median_price,
+        |  round(quantile_cont(dev, 0.5), 6) AS mad
+        |FROM d GROUP BY 1""".stripMargin) { (s, dir) =>
+      val orders = Tables.load(s, dir, "orders")
+      val med = orders.groupBy(col("o_orderpriority"))
+        .agg(expr("percentile(CAST(o_totalprice AS DOUBLE), 0.5)").as("med"))
+      orders.join(broadcast(med), Seq("o_orderpriority"))
+        .select(col("o_orderpriority"), col("med"),
+          abs(col("o_totalprice").cast("double") - col("med")).as("dev"))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          round(max(col("med")), 6).as("median_price"),
+          round(expr("percentile(dev, 0.5)"), 6).as("mad"))
+    },
+
+    // ---------------------------------------------------------------- q119
+    // Guarded approximate distinct: approx_count_distinct (HLL++) per
+    // return flag, REQUIRED in-query to land within its 5% error contract
+    // of the exact count; the oracle checks the exact counts. HLL sketches
+    // differ between engines, so the sketch VALUE can never be
+    // oracle-compared — the error-bound require is what puts the
+    // approximate operator on the scoreboard honestly. At 100 TB the HLL
+    // pass is one combiner-friendly aggregate with constant per-group
+    // state, where exact distinct shuffles every key.
+    Q("q119_approx_distinct_guarded",
+      """SELECT l_returnflag, count(DISTINCT l_partkey) AS n_exact
+        |FROM lineitem GROUP BY 1""".stripMargin) { (s, dir) =>
+      val li = Tables.load(s, dir, "lineitem")
+      val both = li.groupBy(col("l_returnflag"))
+        .agg(countDistinct(col("l_partkey")).as("n_exact"),
+          approx_count_distinct(col("l_partkey"), 0.02).as("n_approx"))
+        .localCheckpoint()
+      val worst = both
+        .select(max(abs(col("n_approx") - col("n_exact")).cast("double") /
+          col("n_exact").cast("double")).as("err"))
+        .head().getDouble(0)
+      require(worst <= 0.05, f"HLL estimate must sit within 5%% of exact, worst $worst%.4f")
+      both.select(col("l_returnflag"), col("n_exact"))
+    },
+
     // ---------------------------------------------------------------- q18
     // §2.9: tumbling 1-day window aggregation — the batch shape of the
     // streaming variant (same plan Structured Streaming produces per
