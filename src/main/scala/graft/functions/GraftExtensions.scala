@@ -27,7 +27,10 @@ object GraftExtensions {
   val functions: Seq[(FunctionIdentifier, ExpressionInfo, Builder)] = Seq(
     (new FunctionIdentifier("dot_product"),
       new ExpressionInfo(classOf[DotProduct].getName, "dot_product"),
-      (exprs: Seq[Expression]) => DotProduct(exprs(0), exprs(1))))
+      (exprs: Seq[Expression]) => DotProduct(exprs(0), exprs(1))),
+    (new FunctionIdentifier("jaro_winkler"),
+      new ExpressionInfo(classOf[JaroWinkler].getName, "jaro_winkler"),
+      (exprs: Seq[Expression]) => JaroWinkler(exprs(0), exprs(1))))
 
   /** Idempotent registration into an already-built session. */
   def register(spark: SparkSession): Unit =

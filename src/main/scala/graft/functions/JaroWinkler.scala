@@ -1,0 +1,116 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.graftcol.{toColumn, toExpression}
+import org.apache.spark.sql.types.{DataType, DoubleType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** The algorithm body, shared by interpreted eval and generated code (the
+  * generated code calls this static method — the same pattern Spark's own
+  * regexp/levenshtein expressions use: the per-row work stays inside the
+  * WholeStageCodegen loop, one JIT-compiled call, no boxing).
+  *
+  * Semantics pinned to the textbook Jaro-Winkler that DuckDB's
+  * `jaro_winkler_similarity` implements (validated case-by-case in
+  * FunctionsSpec): match window `max(|s|,|t|)/2 - 1` (floor, min 0),
+  * transpositions = half the out-of-order matches FLOORED, Winkler boost
+  * `+ prefix·0.1·(1-jaro)` with prefix capped at 4, applied only when
+  * jaro > 0.7; any empty side → 0.
+  */
+object JaroWinklerAlgo {
+  def compute(l: UTF8String, r: UTF8String): Double = {
+    val s = l.toString
+    val t = r.toString
+    val n = s.length
+    val m = t.length
+    if (n == 0 || m == 0) return 0.0
+    if (s == t) return 1.0
+    val window = math.max(0, math.max(n, m) / 2 - 1)
+    val sMatch = new Array[Boolean](n)
+    val tMatch = new Array[Boolean](m)
+    var matches = 0
+    var i = 0
+    while (i < n) {
+      val lo = math.max(0, i - window)
+      val hi = math.min(m - 1, i + window)
+      var j = lo
+      var found = false
+      while (j <= hi && !found) {
+        if (!tMatch(j) && s.charAt(i) == t.charAt(j)) {
+          sMatch(i) = true
+          tMatch(j) = true
+          matches += 1
+          found = true
+        }
+        j += 1
+      }
+      i += 1
+    }
+    if (matches == 0) return 0.0
+    var k = 0
+    var outOfOrder = 0
+    i = 0
+    while (i < n) {
+      if (sMatch(i)) {
+        while (!tMatch(k)) k += 1
+        if (s.charAt(i) != t.charAt(k)) outOfOrder += 1
+        k += 1
+      }
+      i += 1
+    }
+    val trans = outOfOrder / 2 // floored, per the reference implementations
+    val mm = matches.toDouble
+    val jaro = (mm / n + mm / m + (mm - trans) / mm) / 3.0
+    if (jaro <= 0.7) jaro
+    else {
+      var p = 0
+      val maxP = math.min(4, math.min(n, m))
+      while (p < maxP && s.charAt(p) == t.charAt(p)) p += 1
+      jaro + p * 0.1 * (1.0 - jaro)
+    }
+  }
+}
+
+/** Native Catalyst expression: Jaro-Winkler string similarity in [0,1].
+  *
+  * Why custom: Spark ships levenshtein but no Jaro-Winkler, and the
+  * fuzzy-entity-resolution stage of a curation pipeline (q95's blocked
+  * matching) wants the similarity that weights shared prefixes — the
+  * measure record-linkage literature default to (Winkler '90). A Scala UDF
+  * here would box two strings per comparison and break codegen for the
+  * whole stage; this expression stays inside the fused loop.
+  *
+  * Cross-engine contract: scores match DuckDB's independent implementation
+  * (same algorithm family) to within 1 ulp — catalog queries round to 6 dp,
+  * specs assert the pinned literature cases exactly.
+  */
+case class JaroWinkler(left: Expression, right: Expression) extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType == StringType && right.dataType == StringType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"jaro_winkler expects (string, string), got " +
+        s"${left.dataType.simpleString} / ${right.dataType.simpleString}")
+
+  override def nullSafeEval(l: Any, r: Any): Any =
+    JaroWinklerAlgo.compute(l.asInstanceOf[UTF8String], r.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.JaroWinklerAlgo.compute($a, $b);")
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+object JaroWinkler {
+  /** Column-API entry point: `jaro_winkler(a, b)`. */
+  def apply(a: Column, b: Column): Column =
+    toColumn(JaroWinkler(toExpression(a), toExpression(b)))
+}

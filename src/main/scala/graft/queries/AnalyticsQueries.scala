@@ -417,6 +417,32 @@ object AnalyticsQueries {
         .select(col("id_a"), col("id_b"), col("name_a"), col("name_b"), col("dist"))
     },
 
+    // ---------------------------------------------------------------- q123
+    // Fuzzy matching scored by the NATIVE Jaro-Winkler expression
+    // (functions/JaroWinkler.scala — codegen'd, no UDF boxing) over the q95
+    // prefix blocks: the record-linkage default similarity (prefix-weighted,
+    // Winkler '90) cross-validated against DuckDB's INDEPENDENT
+    // implementation of the same algorithm — two codebases, one score.
+    // 6-dp rounding absorbs the final-ulp difference in the double
+    // arithmetic order.
+    Q("q123_jaro_winkler",
+      """WITH c AS (SELECT c_custkey, c_name,
+        |  substring(c_name, 1, length(c_name) - 1) AS blk
+        |  FROM customer WHERE c_custkey <= 750)
+        |SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+        |  round(jaro_winkler_similarity(a.c_name, b.c_name), 6) AS jw
+        |FROM c a JOIN c b ON a.blk = b.blk AND a.c_custkey < b.c_custkey""".stripMargin) { (s, dir) =>
+      val c = Tables.load(s, dir, "customer")
+        .filter(col("c_custkey") <= 750)
+        .select(col("c_custkey"), col("c_name"),
+          expr("substring(c_name, 1, length(c_name) - 1)").as("blk"))
+      val a = c.select(col("blk"), col("c_custkey").as("id_a"), col("c_name").as("name_a"))
+      val b = c.select(col("blk"), col("c_custkey").as("id_b"), col("c_name").as("name_b"))
+      a.join(b, Seq("blk")).filter(col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"),
+          round(graft.functions.JaroWinkler(col("name_a"), col("name_b")), 6).as("jw"))
+    },
+
     // ---------------------------------------------------------------- q96
     // Ordered array aggregation (nested output): each order's line numbers
     // as a SORTED array — collect_list has no cross-partition order

@@ -305,6 +305,108 @@ object StarQueries {
           count(lit(1)).as("n"))
     },
 
+    // ---------------------------------------------------------------- q120
+    // Exponentially weighted moving average with EXACT arithmetic: decay
+    // 1/2 makes every weight a dyadic rational (exactly representable in
+    // DECIMAL), so the 7-term convolution is exact integer-scaled math on
+    // both engines — where a general EWMA recursion accumulates doubles in
+    // arrival order. The unrolled-lag form is also the plan you want: one
+    // partitioned window, no recursion, codegen-friendly.
+    Q("q120_ewma",
+      """WITH s AS (SELECT l_suppkey, CAST(l_shipdate AS DATE) AS d,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS qty
+        |  FROM lineitem WHERE l_suppkey % 20 = 1 GROUP BY 1, 2),
+        |w AS (SELECT l_suppkey, d, qty,
+        |  lag(qty, 1) OVER win AS q1, lag(qty, 2) OVER win AS q2,
+        |  lag(qty, 3) OVER win AS q3
+        |  FROM s WINDOW win AS (PARTITION BY l_suppkey ORDER BY d))
+        |SELECT l_suppkey, d,
+        |  round(CAST(qty AS DOUBLE), 6) AS qty,
+        |  round(CAST(
+        |    (CAST(qty AS DECIMAL(24,12)) * 8 + coalesce(q1, 0) * 4
+        |     + coalesce(q2, 0) * 2 + coalesce(q3, 0) * 1)
+        |    / (8 + CASE WHEN q1 IS NULL THEN 0 ELSE 4 END
+        |         + CASE WHEN q2 IS NULL THEN 0 ELSE 2 END
+        |         + CASE WHEN q3 IS NULL THEN 0 ELSE 1 END) AS DOUBLE), 6) AS ewma
+        |FROM w""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val daily = Tables.load(s, dir, "lineitem")
+        .filter(col("l_suppkey") % 20 === 1)
+        .groupBy(col("l_suppkey"), to_date(col("l_shipdate")).as("d"))
+        .agg(sum(col("l_quantity").cast("decimal(18,6)")).cast("decimal(18,6)").as("qty"))
+      val win = Window.partitionBy(col("l_suppkey")).orderBy(col("d"))
+      val Seq(q1, q2, q3) = Seq(1, 2, 3).map(j => lag(col("qty"), j).over(win))
+      // numerator/denominator in exact decimal; ONE division to double at the end
+      val num = col("qty").cast("decimal(24,12)") * 8 +
+        coalesce(q1, lit(0)) * 4 + coalesce(q2, lit(0)) * 2 + coalesce(q3, lit(0)) * 1
+      val den = lit(8) + when(q1.isNull, 0).otherwise(4) +
+        when(q2.isNull, 0).otherwise(2) + when(q3.isNull, 0).otherwise(1)
+      daily.select(col("l_suppkey"), col("d"),
+        round(col("qty").cast("double"), 6).as("qty"),
+        round((num / den).cast("double"), 6).as("ewma"))
+    },
+
+    // ---------------------------------------------------------------- q121
+    // Guarded approximate quantile (t-digest-family sketch): the
+    // percentile_approx estimate must sit within 2% of the exact
+    // interpolated median in-query; the oracle checks exact (sketches are
+    // never cross-engine comparable — q119's contract pattern). The approx
+    // pass is one constant-state aggregate where exact percentile sorts
+    // every group.
+    Q("q121_approx_quantile_guarded",
+      """SELECT o_orderpriority,
+        |  round(quantile_cont(CAST(o_totalprice AS DOUBLE), 0.5), 6) AS p50_exact,
+        |  count(*) AS n
+        |FROM orders GROUP BY 1""".stripMargin) { (s, dir) =>
+      val both = Tables.load(s, dir, "orders")
+        .groupBy(col("o_orderpriority"))
+        .agg(expr("percentile(CAST(o_totalprice AS DOUBLE), 0.5)").as("p50_exact"),
+          expr("percentile_approx(CAST(o_totalprice AS DOUBLE), 0.5, 2000)").as("p50_approx"),
+          count(lit(1)).as("n"))
+        .localCheckpoint()
+      val worst = both.select(max(abs(col("p50_approx") - col("p50_exact")) /
+        col("p50_exact")).as("e")).head().getDouble(0)
+      require(worst <= 0.02, f"approx median must sit within 2%% of exact, worst $worst%.4f")
+      both.select(col("o_orderpriority"),
+        round(col("p50_exact"), 6).as("p50_exact"), col("n"))
+    },
+
+    // ---------------------------------------------------------------- q122
+    // Key-skew profiling: the heavy-hitter keys per dimension whose share
+    // exceeds 10x the uniform expectation — the diagnostic that decides
+    // WHERE salting (q37) and AQE skew splitting are needed before a 100 TB
+    // join. Bounded-heap top-5 per profiled column; shares are exact-count
+    // divisions.
+    Q("q122_skew_profile",
+      """WITH c AS (
+        |  SELECT 'l_suppkey' AS dim, CAST(l_suppkey AS VARCHAR) AS key_val,
+        |    count(*) AS cnt FROM lineitem GROUP BY 2
+        |  UNION ALL
+        |  SELECT 'l_returnflag', l_returnflag, count(*) FROM lineitem GROUP BY 2),
+        |t AS (SELECT dim, CAST(sum(cnt) AS BIGINT) AS total,
+        |  count(*) AS n_keys FROM c GROUP BY 1),
+        |r AS (SELECT c.dim, c.key_val, c.cnt, t.total, t.n_keys,
+        |  row_number() OVER (PARTITION BY c.dim ORDER BY c.cnt DESC, c.key_val) AS rn
+        |  FROM c JOIN t USING (dim))
+        |SELECT dim, key_val, cnt,
+        |  round(CAST(cnt AS DOUBLE) / total, 6) AS share,
+        |  round(CAST(cnt AS DOUBLE) * n_keys / total, 6) AS x_uniform
+        |FROM r WHERE rn <= 5""".stripMargin) { (s, dir) =>
+      val li = Tables.load(s, dir, "lineitem")
+      val counts = li.groupBy(col("l_suppkey").cast("string").as("key_val"))
+        .agg(count(lit(1)).as("cnt")).withColumn("dim", lit("l_suppkey"))
+        .unionByName(li.groupBy(col("l_returnflag").as("key_val"))
+          .agg(count(lit(1)).as("cnt")).withColumn("dim", lit("l_returnflag")))
+      val totals = counts.groupBy(col("dim"))
+        .agg(sum(col("cnt")).cast("long").as("total"), count(lit(1)).as("n_keys"))
+      graft.plans.TopK.perGroup(counts, Seq("dim"),
+          Seq(("cnt", true), ("key_val", false)), 5)
+        .join(broadcast(totals), Seq("dim"))
+        .select(col("dim"), col("key_val"), col("cnt"),
+          round(col("cnt").cast("double") / col("total"), 6).as("share"),
+          round(col("cnt").cast("double") * col("n_keys") / col("total"), 6).as("x_uniform"))
+    },
+
     // ---------------------------------------------------------------- q118
     // Robust statistics: median absolute deviation per priority class — the
     // outlier-resistant spread measure (a z-score's stddev is dragged by the

@@ -51,4 +51,43 @@ class FunctionsSpec extends AnyFunSuite {
     }
     assert(e.getMessage.toLowerCase.contains("dot_product"))
   }
+
+  test("jaro_winkler matches the pinned literature + cross-engine cases") {
+    // every case independently validated against DuckDB's
+    // jaro_winkler_similarity (the oracle of q123)
+    val cases = Seq(
+      ("MARTHA", "MARHTA", 0.9611111111111111),  // Winkler's canonical example
+      ("DWAYNE", "DUANE", 0.8400000000000001),
+      ("DIXON", "DICKSONX", 0.8133333333333332),
+      ("abc", "cba", 0.5555555555555555),        // window 0: center char only
+      ("abc", "bca", 0.0),                       // window 0: no positional match
+      ("abcdefgh", "azczezgz", 0.6666666666666666), // jaro < 0.7: NO boost
+      ("prefixaa", "prefixbb", 0.9),             // prefix capped at 4
+      ("aaaaaaz", "aaaaaay", 0.9428571428571428),
+      ("ab", "ab", 1.0),
+      ("", "", 0.0), ("a", "", 0.0),             // empty side -> 0 (DuckDB semantics)
+      ("martha", "MARTHA", 0.0))                 // case-sensitive
+    cases.foreach { case (a, b, want) =>
+      val got = Seq((a, b)).toDF("a", "b")
+        .select(graft.functions.JaroWinkler($"a", $"b")).head().getDouble(0)
+      assert(math.abs(got - want) < 2e-15, s"jw($a, $b) = $got, want $want")
+    }
+    // floored transposition halving: 3 out-of-order matches -> t = 1
+    val odd = Seq(("abczzz", "bcazzz")).toDF("a", "b")
+      .select(graft.functions.JaroWinkler($"a", $"b")).head().getDouble(0)
+    assert(math.abs(odd - 0.9444444444444444) < 2e-15)
+  }
+
+  test("SQL registration exposes jaro_winkler; expression stays codegen'd") {
+    GraftExtensions.register(spark)
+    val r = spark.sql("SELECT jaro_winkler('MARTHA', 'MARHTA') AS jw").head()
+    assert(math.abs(r.getDouble(0) - 0.9611111111111111) < 2e-15)
+    // no interpreted-projection fallback: over a real scan (literals would
+    // constant-fold to a LocalTableScan) the expression fuses into the stage
+    val df = Tables.load(spark, "/root/testdata/sf0.001", "customer")
+      .select(graft.functions.JaroWinkler($"c_name", $"c_mktsegment").as("jw"))
+    df.collect()
+    assert(df.queryExecution.executedPlan.toString.contains("*("),
+      "jaro_winkler must run inside WholeStageCodegen")
+  }
 }
