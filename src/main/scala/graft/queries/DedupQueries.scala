@@ -150,6 +150,70 @@ object DedupQueries {
         .select(col("fp_min"), col("doc_id"), col("n_members"))
     },
 
+    // ---------------------------------------------------------------- q124
+    // Prefix-filtered set-similarity join (the PPJoin/AllPairs family,
+    // Bayardo WWW'07; Xiao WWW'08) — the deterministic alternative to
+    // MinHash+LSH for HIGH thresholds: order the vocabulary rarest-first,
+    // keep only each doc's first |d| - ceil(θ|d|) + 1 tokens (pigeonhole: a
+    // pair with jaccard >= θ MUST share a prefix token), join on prefix
+    // tokens only, verify exactly. θ = 4/5 keeps every bound in integer
+    // arithmetic. Scale shape: the candidate join is keyed on the RAREST
+    // tokens (bounded fanout by construction — the stop-word mega-buckets
+    // LSH must cap are excluded from prefixes entirely); the global token
+    // ranking is a vocabulary-sized distributed zipWithIndex, never a
+    // single-partition window.
+    Q("q124_prefix_filter_join",
+      """WITH tok AS (SELECT DISTINCT doc_id,
+        |  unnest(string_split_regex(trim(text), '\s+')) AS term FROM documents
+        |  WHERE doc_id < 600),
+        |dfq AS (SELECT term, count(*) AS df FROM tok GROUP BY 1),
+        |rk AS (SELECT term, row_number() OVER (ORDER BY df, term) AS rk FROM dfq),
+        |sz AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY 1),
+        |ordered AS (SELECT t.doc_id, t.term, s.n,
+        |  row_number() OVER (PARTITION BY t.doc_id ORDER BY r.rk) AS pos
+        |  FROM tok t JOIN rk r USING (term) JOIN sz s USING (doc_id)),
+        |pref AS (SELECT doc_id, term FROM ordered
+        |         WHERE pos <= n - (4 * n + 4) // 5 + 1),
+        |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        |         FROM pref a JOIN pref b ON b.term = a.term AND a.doc_id < b.doc_id),
+        |inter AS (SELECT c.id_a, c.id_b, count(*) AS inter FROM cand c
+        |          JOIN tok x ON x.doc_id = c.id_a
+        |          JOIN tok y ON y.doc_id = c.id_b AND y.term = x.term
+        |          GROUP BY 1, 2)
+        |SELECT id_a, id_b, inter, sa.n AS n_a, sb.n AS n_b,
+        |  round(CAST(inter AS DOUBLE) / (sa.n + sb.n - inter), 6) AS jaccard
+        |FROM inter JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
+        |WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.8""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      // constant id bound: the synthetic corpus shares a tiny vocabulary, so
+      // word-SET similarity is dense — the slice keeps the demonstration
+      // bounded at every sf (real corpora are sparse and need no slice)
+      val tok = Tables.load(s, dir, "documents")
+        .filter(col("doc_id") < 600)
+        .select(col("doc_id"), explode(MinHashLSH.tokensCol(col("text"))).as("term"))
+        .distinct().localCheckpoint() // feeds ranking, sizes, prefix, verify
+      val dfq = tok.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      // global rarest-first rank WITHOUT a global window: distributed
+      // range-partitioned zipWithIndex over the (vocabulary-sized) df table
+      val rk = graft.ops.SurrogateKeys.assign(dfq, "rk", 0L, Seq("df", "term"))
+      val sz = tok.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+      val pref = tok
+        .join(rk.select(col("term"), col("rk")), Seq("term"))
+        .withColumn("pos", row_number().over(
+          Window.partitionBy(col("doc_id")).orderBy(col("rk"))))
+        .join(sz, Seq("doc_id"))
+        .filter(col("pos") <= col("n") - expr("(4 * n + 4) div 5") + 1)
+        .select(col("doc_id"), col("term"))
+      val cand = pref.select(col("term"), col("doc_id").as("id_a"))
+        .join(pref.select(col("term"), col("doc_id").as("id_b")), Seq("term"))
+        .filter(col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b")).distinct()
+      NgramJaccard.verifyPairs(cand, tok.withColumnRenamed("term", "shingle"), "doc_id")
+        .filter(col("jaccard") >= 0.8)
+        .select(col("id_a"), col("id_b"), col("inter"), col("n_a"), col("n_b"),
+          round(col("jaccard"), 6).as("jaccard"))
+    },
+
     // ---------------------------------------------------------------- q24
     // Exact word-3gram Jaccard VERIFICATION of the LSH candidate set (q22's
     // output): cost is linear in candidates — never the shingle⊳⊲shingle
