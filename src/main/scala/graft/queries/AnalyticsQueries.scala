@@ -417,6 +417,34 @@ object AnalyticsQueries {
         .select(col("id_a"), col("id_b"), col("name_a"), col("name_b"), col("dist"))
     },
 
+    // ---------------------------------------------------------------- q127
+    // Array higher-order functions (transform / filter / exists / aggregate)
+    // over per-order quantity lists — the nested-data surface a
+    // feature-engineering pass uses. All lambda arithmetic is integer, the
+    // emitted columns are scalars, and every HOF is codegen-adjacent (no
+    // UDF): Spark's HOFs against DuckDB's list_* lambda family.
+    Q("q127_array_hof",
+      """WITH a AS (SELECT l_orderkey,
+        |  list(CAST(l_quantity AS INT)) AS qs
+        |  FROM lineitem WHERE l_orderkey < 500 GROUP BY 1)
+        |SELECT l_orderkey,
+        |  len(qs) AS n_items,
+        |  len(list_filter(qs, x -> x % 2 = 0)) AS n_even,
+        |  CAST(list_sum(list_transform(qs, x -> x * 2)) AS BIGINT) AS sum_doubled,
+        |  len(list_filter(qs, x -> x > 40)) > 0 AS has_gt40
+        |FROM a""".stripMargin) { (s, dir) =>
+      Tables.load(s, dir, "lineitem")
+        .filter(col("l_orderkey") < 500)
+        .groupBy(col("l_orderkey"))
+        .agg(collect_list(col("l_quantity").cast("int")).as("qs"))
+        .select(col("l_orderkey"),
+          size(col("qs")).as("n_items"),
+          size(filter(col("qs"), x => x % 2 === 0)).as("n_even"),
+          aggregate(transform(col("qs"), x => x * 2),
+            lit(0L), (acc, x) => acc + x).as("sum_doubled"),
+          exists(col("qs"), x => x > 40).as("has_gt40"))
+    },
+
     // ---------------------------------------------------------------- q123
     // Fuzzy matching scored by the NATIVE Jaro-Winkler expression
     // (functions/JaroWinkler.scala — codegen'd, no UDF boxing) over the q95

@@ -290,6 +290,60 @@ object CohortQueries {
           sum(col("revenue")).over(byRegion).cast("double"), 6).as("nation_share_in_region"))
     },
 
+    // ---------------------------------------------------------------- q125
+    // Event-transition bigrams (the Markov-chain substrate of behavioral
+    // modeling): per user, consecutive event-type pairs in time order,
+    // counted corpus-wide. One key-partitioned lag window + one aggregate;
+    // ties broken by event_id so the sequence is total-ordered on both
+    // engines.
+    Q("q125_event_bigrams",
+      """WITH s AS (SELECT user_id, upper(trim(event_type)) AS et,
+        |  lag(upper(trim(event_type))) OVER (PARTITION BY user_id
+        |    ORDER BY ts, event_id) AS prev_et
+        |  FROM events)
+        |SELECT prev_et, et, count(*) AS n_transitions
+        |FROM s WHERE prev_et IS NOT NULL
+        |GROUP BY 1, 2""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      Tables.load(s, dir, "events")
+        .select(col("user_id"), upper(trim(col("event_type"))).as("et"),
+          col("ts"), col("event_id"))
+        .withColumn("prev_et", lag(col("et"), 1).over(w))
+        .filter(col("prev_et").isNotNull)
+        .groupBy(col("prev_et"), col("et"))
+        .agg(count(lit(1)).as("n_transitions"))
+    },
+
+    // ---------------------------------------------------------------- q126
+    // Spark's NATIVE session_window operator (the engine's own gap-session
+    // aggregation — one hash aggregate with session merging, usable
+    // identically in batch and streaming): sessions per user at a 30-minute
+    // gap, proven value-equal to the windowed gaps-and-islands formulation
+    // (q42) — session end = last event + gap by definition, so end_us
+    // subtracts the gap to align with the island's max timestamp.
+    Q("q126_session_window",
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS us FROM events),
+        |m AS (SELECT user_id, us,
+        |  CASE WHEN lag(us) OVER w IS NULL OR us - lag(us) OVER w > 1800000000
+        |       THEN 1 ELSE 0 END AS s
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us)),
+        |sess AS (SELECT user_id, us,
+        |  CAST(SUM(s) OVER (PARTITION BY user_id ORDER BY us
+        |                    ROWS UNBOUNDED PRECEDING) AS INT) AS session_id
+        |  FROM m)
+        |SELECT user_id, count(*) AS n_events,
+        |  min(us) AS start_us, max(us) AS last_event_us
+        |FROM sess GROUP BY user_id, session_id""".stripMargin) { (s, dir) =>
+      Tables.load(s, dir, "events")
+        .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("user_id"), col("n_events"),
+          unix_micros(col("session_window.start")).as("start_us"),
+          (unix_micros(col("session_window.end")) - lit(1800000000L))
+            .as("last_event_us"))
+    },
+
     // ---------------------------------------------------------------- q115
     // PageRank (3 unrolled iterations, damping 0.85) over the symmetric
     // supplier↔part graph, in FIXED-POINT integer arithmetic: ranks are
