@@ -417,6 +417,49 @@ object AnalyticsQueries {
         .select(col("id_a"), col("id_b"), col("name_a"), col("name_b"), col("dist"))
     },
 
+    // ---------------------------------------------------------------- q128
+    // Entity resolution END-TO-END — the composition the separate stages
+    // (q95 blocking, q123 scoring, q60 clustering, q44 survivorship) exist
+    // for: block by name prefix, score with the native Jaro-Winkler
+    // expression, keep >= 0.95 edges, cluster transitively (min-label
+    // components), elect the min-key survivor per cluster. The oracle
+    // replays the same pipeline with DuckDB's independent jaro-winkler and
+    // a recursive-CTE reachability — two engines, two similarity
+    // implementations, one cluster assignment.
+    Q("q128_entity_resolution",
+      """WITH RECURSIVE c AS (SELECT c_custkey, c_name,
+        |  substring(c_name, 1, length(c_name) - 1) AS blk
+        |  FROM customer WHERE c_custkey <= 750),
+        |edges AS (SELECT a.c_custkey AS id_a, b.c_custkey AS id_b
+        |  FROM c a JOIN c b ON a.blk = b.blk AND a.c_custkey < b.c_custkey
+        |  WHERE jaro_winkler_similarity(a.c_name, b.c_name) >= 0.95),
+        |sym AS (SELECT id_a AS src, id_b AS dst FROM edges
+        |        UNION ALL SELECT id_b, id_a FROM edges),
+        |reach(id, r) AS (
+        |  SELECT c_custkey, c_custkey FROM c
+        |  UNION
+        |  SELECT s.dst, re.r FROM reach re JOIN sym s ON s.src = re.id),
+        |lbl AS (SELECT id AS c_custkey, min(r) AS cluster_id FROM reach GROUP BY 1)
+        |SELECT l.cluster_id, count(*) AS n_members,
+        |  arg_min(c.c_name, c.c_custkey) AS survivor_name
+        |FROM lbl l JOIN c USING (c_custkey)
+        |GROUP BY 1""".stripMargin) { (s, dir) =>
+      val c = Tables.load(s, dir, "customer")
+        .filter(col("c_custkey") <= 750)
+        .select(col("c_custkey"), col("c_name"),
+          expr("substring(c_name, 1, length(c_name) - 1)").as("blk"))
+      val a = c.select(col("blk"), col("c_custkey").as("id_a"), col("c_name").as("name_a"))
+      val b = c.select(col("blk"), col("c_custkey").as("id_b"), col("c_name").as("name_b"))
+      val edges = a.join(b, Seq("blk")).filter(col("id_a") < col("id_b"))
+        .filter(graft.functions.JaroWinkler(col("name_a"), col("name_b")) >= 0.95)
+        .select(col("id_a"), col("id_b"))
+      graft.dedup.Components.connectedComponents(c.select(col("c_custkey")), "c_custkey", edges)
+        .join(c.select(col("c_custkey"), col("c_name")), Seq("c_custkey"))
+        .groupBy(col("cluster_id"))
+        .agg(count(lit(1)).as("n_members"),
+          min_by(col("c_name"), col("c_custkey")).as("survivor_name"))
+    },
+
     // ---------------------------------------------------------------- q127
     // Array higher-order functions (transform / filter / exists / aggregate)
     // over per-order quantity lists — the nested-data surface a
