@@ -135,4 +135,21 @@ class PropertySpec extends AnyFunSuite {
       planned && got == model
     })
   }
+
+  test("jaro_winkler algebra: identity, symmetry (bit-exact), range, empty-side zero") {
+    val genStr = Gen.listOfN(8, Gen.oneOf('a', 'b', 'c', 'd')).map(_.mkString)
+      .flatMap(s => Gen.choose(0, 8).map(s.take))
+    check(Prop.forAll(genStr, genStr) { (a, b) =>
+      import org.apache.spark.unsafe.types.UTF8String
+      def jw(x: String, y: String) = graft.functions.JaroWinklerAlgo.compute(
+        UTF8String.fromString(x), UTF8String.fromString(y))
+      val ab = jw(a, b)
+      val identity = a.isEmpty || jw(a, a) == 1.0
+      // IEEE addition is commutative, so the symmetric formula is BIT-equal
+      val symmetric = ab == jw(b, a)
+      val inRange = ab >= 0.0 && ab <= 1.0
+      val emptyZero = jw(a, "") == 0.0 && jw("", b) == 0.0
+      identity && symmetric && inRange && emptyZero
+    })
+  }
 }
