@@ -436,6 +436,38 @@ object StarQueries {
           round(expr("percentile(dev, 0.5)"), 6).as("mad"))
     },
 
+    // ---------------------------------------------------------------- q129
+    // Trimmed (10-90%) mean per priority class — q118's companion robust
+    // location estimate: exact interpolated percentile BOUNDS broadcast
+    // back, then a DECIMAL mean over the surviving rows (order-independent;
+    // one double division at the end). The standard guard against
+    // fat-tailed metrics polluting a per-group average at corpus scale.
+    Q("q129_trimmed_mean",
+      """WITH b AS (SELECT o_orderpriority,
+        |  quantile_cont(CAST(o_totalprice AS DOUBLE), 0.1) AS lo,
+        |  quantile_cont(CAST(o_totalprice AS DOUBLE), 0.9) AS hi
+        |  FROM orders GROUP BY 1)
+        |SELECT o.o_orderpriority,
+        |  count(*) AS n_kept,
+        |  round(CAST(CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS DOUBLE)
+        |        / count(*), 6) AS trimmed_mean
+        |FROM orders o JOIN b USING (o_orderpriority)
+        |WHERE CAST(o.o_totalprice AS DOUBLE) >= b.lo
+        |  AND CAST(o.o_totalprice AS DOUBLE) <= b.hi
+        |GROUP BY 1""".stripMargin) { (s, dir) =>
+      val orders = Tables.load(s, dir, "orders")
+      val bounds = orders.groupBy(col("o_orderpriority"))
+        .agg(expr("percentile(CAST(o_totalprice AS DOUBLE), 0.1)").as("lo"),
+          expr("percentile(CAST(o_totalprice AS DOUBLE), 0.9)").as("hi"))
+      orders.join(broadcast(bounds), Seq("o_orderpriority"))
+        .filter(col("o_totalprice").cast("double") >= col("lo") &&
+          col("o_totalprice").cast("double") <= col("hi"))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_kept"),
+          round(sum(col("o_totalprice").cast(Dec18)).cast(Dec38).cast("double") /
+            count(lit(1)), 6).as("trimmed_mean"))
+    },
+
     // ---------------------------------------------------------------- q119
     // Guarded approximate distinct: approx_count_distinct (HLL++) per
     // return flag, REQUIRED in-query to land within its 5% error contract
