@@ -38,6 +38,20 @@ object StreamingQueries {
   private def sinkName(base: String): String =
     base + "_" + java.util.UUID.randomUUID().toString.replace("-", "").take(8)
 
+  /** Run `body` with a narrow shuffle width: streaming state stores are
+    * created PER shuffle partition per operator, and these demo streams
+    * carry kilobytes of state — 32 stores are pure fixed overhead (~40% of
+    * each entry's wall time measured). A production stream sizes this to
+    * its state volume, exactly like `spark.sql.shuffle.partitions` for
+    * batch. The conf is restored afterwards (the session is shared).
+    */
+  private def withNarrowShuffle[A](s: org.apache.spark.sql.SparkSession)(body: => A): A = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = s.conf.get(key)
+    s.conf.set(key, "4")
+    try body finally s.conf.set(key, prev)
+  }
+
   val all: Seq[Q] = Seq(
 
     // ---------------------------------------------------------------- q103
@@ -62,8 +76,8 @@ object StreamingQueries {
       base.write.parquet(s"$in/f1")
       base.limit(500).write.parquet(s"$in/f2") // at-least-once re-delivery
       val stream = EventStream.fileSource(s, s"$in/*", base.schema)
-      val got = StreamingSketch.runToFinal(
-        StreamingSketch.kmvDistinct(stream, k), sinkName("q103_kmv"))
+      val got = withNarrowShuffle(s) { StreamingSketch.runToFinal(
+        StreamingSketch.kmvDistinct(stream, k), sinkName("q103_kmv")) }
       // batch twin: top-k smallest DISTINCT fractions per key
       val kept = graft.plans.TopK.perGroup(base.distinct(), Seq("key"), Seq(("frac", false)), k)
       val want = kept.groupBy(col("key"))
@@ -109,8 +123,8 @@ object StreamingQueries {
         .coalesce(1).write.parquet(s"$in/f1")
       val stream = s.readStream.schema("key LONG, tsUs LONG").parquet(s"$in/*")
         .as[Sessionize.SessionEvent]
-      val got = EventStream.runAvailableNow(
-        Sessionize.stateful(stream, gapMinutes = 30).toDF(), sinkName("q104_sess"))
+      val got = withNarrowShuffle(s) { EventStream.runAvailableNow(
+        Sessionize.stateful(stream, gapMinutes = 30).toDF(), sinkName("q104_sess")) }
       // batch twin: all sessions minus each key's open tail
       val all = Sessionize.batchSummary(events, "user_id", "ts", 30)
         .withColumnRenamed("user_id", "key")
@@ -141,9 +155,9 @@ object StreamingQueries {
       events.write.parquet(s"$in/f1")
       events.filter(col("event_id") % 3 === 0).write.parquet(s"$in/f2") // re-delivery
       val stream = EventStream.fileSource(s, s"$in/*", events.schema)
-      val got = EventStream.runAvailableNow(
+      val got = withNarrowShuffle(s) { EventStream.runAvailableNow(
         EventStream.dedupWithinWatermark(stream, Seq("event_id"), delay = "30 days"),
-        sinkName("q105_dedup"))
+        sinkName("q105_dedup")) }
       require(got.count() == events.count(),
         "every re-delivered event_id must be kept exactly once")
       require(got.groupBy("event_id").count().filter(col("count") > 1).isEmpty,
@@ -183,13 +197,13 @@ object StreamingQueries {
       val in = scratch(s, dir, "q116")
       errors.write.parquet(s"$in/errors")
       clicks.write.parquet(s"$in/clicks")
-      val got = EventStream.runAvailableNow(
+      val got = withNarrowShuffle(s) { EventStream.runAvailableNow(
         EventStream.intervalJoin(
           EventStream.fileSource(s, s"$in/errors", errors.schema),
           EventStream.fileSource(s, s"$in/clicks", clicks.schema),
           Seq("user_id"), "ts", "click_ts",
           lowerUs = -3600000000L, upperUs = 0L, delay = "30 days"),
-        sinkName("q116_ij"))
+        sinkName("q116_ij")) }
       val want = graft.ops.RangeJoin.timeWindow(errors, clicks, Seq("user_id"),
           "ts", "click_ts", lowerUs = -3600000000L, upperUs = 0L)
         .select(got.columns.map(col).toIndexedSeq: _*)
