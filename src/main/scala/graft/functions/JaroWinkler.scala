@@ -22,12 +22,18 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 object JaroWinklerAlgo {
   def compute(l: UTF8String, r: UTF8String): Double = {
-    val s = l.toString
-    val t = r.toString
+    // UTF-8 BYTES, not UTF-16 chars or codepoints: DuckDB's implementation
+    // measures length/positions/windows in bytes (validated empirically on
+    // supplementary characters — '😀ab' vs '😀ac' scores 0.9333..., the
+    // 6-byte math, not the 3-codepoint 0.8222...). Working on the
+    // UTF8String's bytes directly both matches that convention exactly and
+    // skips the String decode. For ASCII the three conventions coincide.
+    val s = l.getBytes
+    val t = r.getBytes
     val n = s.length
     val m = t.length
     if (n == 0 || m == 0) return 0.0
-    if (s == t) return 1.0
+    if (java.util.Arrays.equals(s, t)) return 1.0
     val window = math.max(0, math.max(n, m) / 2 - 1)
     val sMatch = new Array[Boolean](n)
     val tMatch = new Array[Boolean](m)
@@ -39,7 +45,7 @@ object JaroWinklerAlgo {
       var j = lo
       var found = false
       while (j <= hi && !found) {
-        if (!tMatch(j) && s.charAt(i) == t.charAt(j)) {
+        if (!tMatch(j) && s(i) == t(j)) {
           sMatch(i) = true
           tMatch(j) = true
           matches += 1
@@ -56,7 +62,7 @@ object JaroWinklerAlgo {
     while (i < n) {
       if (sMatch(i)) {
         while (!tMatch(k)) k += 1
-        if (s.charAt(i) != t.charAt(k)) outOfOrder += 1
+        if (s(i) != t(k)) outOfOrder += 1
         k += 1
       }
       i += 1
@@ -68,7 +74,7 @@ object JaroWinklerAlgo {
     else {
       var p = 0
       val maxP = math.min(4, math.min(n, m))
-      while (p < maxP && s.charAt(p) == t.charAt(p)) p += 1
+      while (p < maxP && s(p) == t(p)) p += 1
       jaro + p * 0.1 * (1.0 - jaro)
     }
   }

@@ -64,9 +64,14 @@ object VersionedTable {
     else {
       val in = fs.open(p)
       try {
-        val buf = new Array[Byte](64)
-        val n = in.read(buf)
-        if (n <= 0) None else new String(buf, 0, n, StandardCharsets.UTF_8).trim.toLongOption
+        // loop to EOF: a single read() may legally return a SHORT read on
+        // object-store filesystems, and a truncated "00" would misparse as
+        // version 0 and silently divert readers to the fallback path
+        val buf = new java.io.ByteArrayOutputStream(64)
+        val chunk = new Array[Byte](64)
+        var n = in.read(chunk)
+        while (n > 0) { buf.write(chunk, 0, n); n = in.read(chunk) }
+        new String(buf.toByteArray, StandardCharsets.UTF_8).trim.toLongOption
       } finally in.close()
     }
   }
@@ -109,13 +114,28 @@ object VersionedTable {
 
   /** Like [[read]] but with a pinned schema and an empty frame when the table
     * does not exist yet — the bootstrap read a pipeline's first run needs.
+    *
+    * Refuses a LEGACY layout: a dir holding bare parquet data files (a
+    * pre-versioned table) has no version to resolve, and silently treating
+    * it as empty would restart surrogate keys and orphan every fact row
+    * referencing the old ones. Such tables need a one-time import:
+    * `write(spark.read.parquet(dir_moved_aside), dir)`.
     */
   def readOrEmpty(spark: SparkSession, dir: String,
       schema: org.apache.spark.sql.types.StructType): DataFrame =
     currentVersion(spark, dir) match {
       case Some(v) => spark.read.schema(schema).parquet(verDir(dir, v).toString)
-      case None => spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+      case None =>
+        val fs = fsOf(spark, dir)
+        val d = new Path(dir)
+        val bare = fs.exists(d) && fs.listStatus(d).exists(st =>
+          st.isFile && !st.getPath.getName.startsWith("_") &&
+            !st.getPath.getName.startsWith("."))
+        require(!bare, s"VersionedTable.readOrEmpty($dir): dir holds bare data " +
+          "files (pre-versioned layout?) — import them as version 1 instead of " +
+          "silently starting empty")
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
     }
 
   /** Write `df` as the next version and flip the pointer. Returns the new

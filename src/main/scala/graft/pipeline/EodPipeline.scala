@@ -145,18 +145,29 @@ final class EodPipeline(warehouse: String, minTickers: Long = 100L) {
     */
   def backfillFromRest(spark: SparkSession, startDate: String, endDate: String,
       transportClass: String, bronzeStage: String): Seq[PipelineReport] = {
-    import graft.source.{EodDsv2, EodSource}
-    // ONE parallel fetch; localCheckpoint so the per-date staging writes
-    // below re-read the fetched rows, not the REST source
+    import graft.source.EodDsv2
+    // ONE parallel fetch; localCheckpoint so the staging write and the date
+    // listing re-read the fetched rows, not the REST source
     val typed = EodDsv2.readRange(spark, startDate, endDate, transportClass)
       .localCheckpoint()
+    // ONE partitioned write stages every day — a per-date filter+write loop
+    // would rescan the whole window once per date (O(dates²) task launches
+    // on a multi-year backfill). Rows route through a DUPLICATED partition
+    // column (`pdate`) so the FILES keep the reference bronze layout
+    // (trade_date first — readBronzeCsv binds its schema positionally).
+    // overwrite: the stage is a scratch landing area owned by this backfill;
+    // a restarted run re-stages the whole window (idempotent by design).
+    typed.select(
+        col("trade_date").cast("string").as("trade_date"), col("symbol"),
+        col("open").cast("string"), col("high").cast("string"),
+        col("low").cast("string"), col("close").cast("string"),
+        col("volume").cast("string"),
+        col("trade_date").cast("string").as("pdate"))
+      .write.mode(SaveMode.Overwrite).partitionBy("pdate")
+      .option("header", "true").option("emptyValue", "").csv(bronzeStage)
     val dates = typed.select(col("trade_date").cast("string")).distinct()
       .collect().map(_.getString(0)).sorted // bounded: one row per trading day
-    dates.foreach { dt =>
-      EodSource.writeBronzeCsv(typed.filter(col("trade_date") === lit(dt)),
-        s"$bronzeStage/$dt")
-    }
-    val paths = dates.map(dt => dt -> s"$bronzeStage/$dt").toMap
+    val paths = dates.map(dt => dt -> s"$bronzeStage/pdate=$dt").toMap
     runRange(spark, dates.toIndexedSeq)(paths.get)
   }
 

@@ -432,7 +432,7 @@ object AnalyticsQueries {
         |  FROM customer WHERE c_custkey <= 750),
         |edges AS (SELECT a.c_custkey AS id_a, b.c_custkey AS id_b
         |  FROM c a JOIN c b ON a.blk = b.blk AND a.c_custkey < b.c_custkey
-        |  WHERE jaro_winkler_similarity(a.c_name, b.c_name) >= 0.95),
+        |  WHERE round(jaro_winkler_similarity(a.c_name, b.c_name), 6) >= 0.95),
         |sym AS (SELECT id_a AS src, id_b AS dst FROM edges
         |        UNION ALL SELECT id_b, id_a FROM edges),
         |reach(id, r) AS (
@@ -451,7 +451,10 @@ object AnalyticsQueries {
       val a = c.select(col("blk"), col("c_custkey").as("id_a"), col("c_name").as("name_a"))
       val b = c.select(col("blk"), col("c_custkey").as("id_b"), col("c_name").as("name_b"))
       val edges = a.join(b, Seq("blk")).filter(col("id_a") < col("id_b"))
-        .filter(graft.functions.JaroWinkler(col("name_a"), col("name_b")) >= 0.95)
+        // round BEFORE thresholding: the two engines' scores can differ in
+        // the last ulp, and an unrounded >= would let a boundary pair flip
+        // an edge and diverge the whole clustering (q123's rounding lesson)
+        .filter(round(graft.functions.JaroWinkler(col("name_a"), col("name_b")), 6) >= 0.95)
         .select(col("id_a"), col("id_b"))
       graft.dedup.Components.connectedComponents(c.select(col("c_custkey")), "c_custkey", edges)
         .join(c.select(col("c_custkey"), col("c_name")), Seq("c_custkey"))

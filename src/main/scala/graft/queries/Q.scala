@@ -20,4 +20,20 @@ object Q {
     Q(name, fn, Some(oracle))
   def noOracle(name: String)(fn: (SparkSession, String) => DataFrame): Q =
     Q(name, fn, None)
+
+  /** Deterministic scratch dir per (query, sfDir), wiped before each use so
+    * reruns and idempotent-sink probes start from a known state. The ONE
+    * definition — the wipe-before-use contract is load-bearing (q117's
+    * versioned writes, q58's idempotent-sink probe), so catalogs must not
+    * carry divergent copies.
+    */
+  def scratch(s: SparkSession, sfDir: String, name: String): String = {
+    val digest = java.security.MessageDigest.getInstance("MD5")
+      .digest(sfDir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
+    val path = s"${sys.props("java.io.tmpdir")}/graft_q/${name}_$digest"
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.delete(p, true)
+    path
+  }
 }

@@ -35,18 +35,8 @@ object SourceQueries {
     Tables.load(s, dir, "events").filter(
       col("ts") >= lit(cutoff).cast("timestamp") && col("ts") < lit(cutoffEnd).cast("timestamp"))
 
-  /** Deterministic scratch dir per (query, sfDir); wiped before each use so
-    * reruns and the idempotent-sink probe start from a known state.
-    */
-  private def scratch(s: SparkSession, sfDir: String, name: String): String = {
-    val digest = java.security.MessageDigest.getInstance("MD5")
-      .digest(sfDir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
-    val path = s"${sys.props("java.io.tmpdir")}/graft_q/${name}_$digest"
-    val p = new org.apache.hadoop.fs.Path(path)
-    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
-    if (fs.exists(p)) fs.delete(p, true)
-    path
-  }
+  private def scratch(s: SparkSession, sfDir: String, name: String): String =
+    Q.scratch(s, sfDir, name) // shared wipe-before-use contract
 
   val all: Seq[Q] = Seq(
 

@@ -24,16 +24,8 @@ object StreamingQueries {
   private def hashFrac(c: org.apache.spark.sql.Column) = graft.functions.ContentHash.hashFrac(c)
   private def oracleFrac(sqlExpr: String): String = graft.functions.ContentHash.oracleFrac(sqlExpr)
 
-  /** Scratch landing dir per (query, sfDir), wiped before each use. */
-  private def scratch(s: org.apache.spark.sql.SparkSession, sfDir: String, name: String): String = {
-    val digest = java.security.MessageDigest.getInstance("MD5")
-      .digest(sfDir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
-    val path = s"${sys.props("java.io.tmpdir")}/graft_q/${name}_$digest"
-    val p = new org.apache.hadoop.fs.Path(path)
-    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
-    if (fs.exists(p)) fs.delete(p, true)
-    path
-  }
+  private def scratch(s: org.apache.spark.sql.SparkSession, sfDir: String, name: String): String =
+    Q.scratch(s, sfDir, name) // shared wipe-before-use contract
 
   private def sinkName(base: String): String =
     base + "_" + java.util.UUID.randomUUID().toString.replace("-", "").take(8)
@@ -76,8 +68,11 @@ object StreamingQueries {
       base.write.parquet(s"$in/f1")
       base.limit(500).write.parquet(s"$in/f2") // at-least-once re-delivery
       val stream = EventStream.fileSource(s, s"$in/*", base.schema)
+      val sink = sinkName("q103_kmv")
       val got = withNarrowShuffle(s) { StreamingSketch.runToFinal(
-        StreamingSketch.kmvDistinct(stream, k), sinkName("q103_kmv")) }
+        StreamingSketch.kmvDistinct(stream, k), sink) }
+        .localCheckpoint() // pin OFF the memory sink so the view can drop
+      s.catalog.dropTempView(sink)
       // batch twin: top-k smallest DISTINCT fractions per key
       val kept = graft.plans.TopK.perGroup(base.distinct(), Seq("key"), Seq(("frac", false)), k)
       val want = kept.groupBy(col("key"))
@@ -123,8 +118,11 @@ object StreamingQueries {
         .coalesce(1).write.parquet(s"$in/f1")
       val stream = s.readStream.schema("key LONG, tsUs LONG").parquet(s"$in/*")
         .as[Sessionize.SessionEvent]
+      val sink = sinkName("q104_sess")
       val got = withNarrowShuffle(s) { EventStream.runAvailableNow(
-        Sessionize.stateful(stream, gapMinutes = 30).toDF(), sinkName("q104_sess")) }
+        Sessionize.stateful(stream, gapMinutes = 30).toDF(), sink) }
+        .localCheckpoint()
+      s.catalog.dropTempView(sink)
       // batch twin: all sessions minus each key's open tail
       val all = Sessionize.batchSummary(events, "user_id", "ts", 30)
         .withColumnRenamed("user_id", "key")
@@ -155,9 +153,12 @@ object StreamingQueries {
       events.write.parquet(s"$in/f1")
       events.filter(col("event_id") % 3 === 0).write.parquet(s"$in/f2") // re-delivery
       val stream = EventStream.fileSource(s, s"$in/*", events.schema)
+      val sink = sinkName("q105_dedup")
       val got = withNarrowShuffle(s) { EventStream.runAvailableNow(
         EventStream.dedupWithinWatermark(stream, Seq("event_id"), delay = "30 days"),
-        sinkName("q105_dedup")) }
+        sink) }
+        .localCheckpoint()
+      s.catalog.dropTempView(sink)
       require(got.count() == events.count(),
         "every re-delivered event_id must be kept exactly once")
       require(got.groupBy("event_id").count().filter(col("count") > 1).isEmpty,
@@ -197,13 +198,16 @@ object StreamingQueries {
       val in = scratch(s, dir, "q116")
       errors.write.parquet(s"$in/errors")
       clicks.write.parquet(s"$in/clicks")
+      val sink = sinkName("q116_ij")
       val got = withNarrowShuffle(s) { EventStream.runAvailableNow(
         EventStream.intervalJoin(
           EventStream.fileSource(s, s"$in/errors", errors.schema),
           EventStream.fileSource(s, s"$in/clicks", clicks.schema),
           Seq("user_id"), "ts", "click_ts",
           lowerUs = -3600000000L, upperUs = 0L, delay = "30 days"),
-        sinkName("q116_ij")) }
+        sink) }
+        .localCheckpoint()
+      s.catalog.dropTempView(sink)
       val want = graft.ops.RangeJoin.timeWindow(errors, clicks, Seq("user_id"),
           "ts", "click_ts", lowerUs = -3600000000L, upperUs = 0L)
         .select(got.columns.map(col).toIndexedSeq: _*)

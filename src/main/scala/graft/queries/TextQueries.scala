@@ -382,13 +382,17 @@ object TextQueries {
     // overlap scan every serious pretraining pipeline runs before training.
     // Scale shape: shingle equi-join keyed on the shingle — contamination
     // cost is bounded by shared-shingle frequency, never train×eval; a hot
-    // boilerplate shingle would be capped exactly like an LSH mega-bucket.
+    // boilerplate shingle (shared by > 1000 docs) is DROPPED before the
+    // join, the same binding cap discipline as the LSH mega-buckets — such
+    // a shingle identifies boilerplate, not benchmark contamination.
     Q("q112_decontamination",
       """WITH w AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents),
-        |sh AS (SELECT DISTINCT doc_id, s FROM (
+        |sh0 AS (SELECT DISTINCT doc_id, s FROM (
         |  SELECT doc_id, unnest(list_transform(generate_series(1, greatest(len(w)-4, 1)),
         |                                       i -> array_to_string(w[i:i+4], ' '))) AS s
         |  FROM w)),
+        |keep AS (SELECT s FROM sh0 GROUP BY s HAVING count(*) <= 1000),
+        |sh AS (SELECT sh0.* FROM sh0 JOIN keep USING (s)),
         |ev AS (SELECT doc_id AS eval_id, s FROM sh WHERE doc_id % 50 = 0),
         |tr AS (SELECT doc_id, s FROM sh WHERE doc_id % 50 <> 0)
         |SELECT tr.doc_id,
@@ -396,8 +400,11 @@ object TextQueries {
         |  count(DISTINCT ev.eval_id) AS n_eval_docs_hit
         |FROM tr JOIN ev ON ev.s = tr.s
         |GROUP BY 1""".stripMargin) { (s, dir) =>
-      val sh = graft.dedup.MinHashLSH.shingles(
+      val sh0 = graft.dedup.MinHashLSH.shingles(
         Tables.load(s, dir, "documents"), "doc_id", "text", 5)
+      val keep = sh0.groupBy(col("shingle")).agg(count(lit(1)).as("__df"))
+        .filter(col("__df") <= 1000).select(col("shingle"))
+      val sh = sh0.join(keep, Seq("shingle"), "left_semi")
       val ev = sh.filter(col("doc_id") % 50 === 0)
         .select(col("doc_id").as("eval_id"), col("shingle"))
       val tr = sh.filter(col("doc_id") % 50 =!= 0)

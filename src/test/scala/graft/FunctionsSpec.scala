@@ -76,6 +76,11 @@ class FunctionsSpec extends AnyFunSuite {
     val odd = Seq(("abczzz", "bcazzz")).toDF("a", "b")
       .select(graft.functions.JaroWinkler($"a", $"b")).head().getDouble(0)
     assert(math.abs(odd - 0.9444444444444444) < 2e-15)
+    // DuckDB measures in UTF-8 BYTES (not codepoints): '😀ab'/'😀ac' is
+    // 6-byte math (0.9333...), validated against jaro_winkler_similarity
+    val bmp = Seq(("😀ab", "😀ac")).toDF("a", "b")
+      .select(graft.functions.JaroWinkler($"a", $"b")).head().getDouble(0)
+    assert(math.abs(bmp - 0.9333333333333333) < 2e-15, s"byte-convention parity, got $bmp")
   }
 
   test("SQL registration exposes jaro_winkler; expression stays codegen'd") {
