@@ -172,6 +172,13 @@ object VersionedTable {
 
   /** Delete all but the newest `keep` complete versions at or below the live
     * pointer (never the live one; `keep >= 1`). Time travel window = `keep`.
+    *
+    * The keep-window is counted over COMPLETE versions only: a torn dir
+    * (crashed write below the pointer, no `_SUCCESS`) must not occupy a
+    * retention slot — it is unreadable, so retaining it while deleting an
+    * older complete snapshot would silently shrink the usable time-travel
+    * window. Incomplete dirs at or below the pointer are swept outright
+    * (dangling ones ABOVE the pointer are the next write's to sweep).
     */
   def gc(spark: SparkSession, dir: String, keep: Int = 2): Int = {
     require(keep >= 1, "gc must keep at least the live version")
@@ -179,7 +186,9 @@ object VersionedTable {
     currentVersion(spark, dir) match {
       case None => 0
       case Some(live) =>
-        val victims = listVersions(fs, dir).filter(_ <= live).dropRight(keep)
+        val (done, torn) = listVersions(fs, dir).filter(_ <= live)
+          .partition(v => complete(fs, verDir(dir, v)))
+        val victims = done.dropRight(keep) ++ torn
         victims.foreach(v => fs.delete(verDir(dir, v), true))
         victims.length
     }

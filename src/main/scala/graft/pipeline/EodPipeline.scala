@@ -52,6 +52,9 @@ final class EodPipeline(warehouse: String, minTickers: Long = 100L) {
       schema: org.apache.spark.sql.types.StructType): DataFrame = {
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // a writer crash between snapshotWrite's two renames leaves `path` absent
+    // with its retired sibling complete — heal before deciding "empty"
+    Upsert.recoverSnapshot(fs, p)
     if (fs.exists(p)) spark.read.schema(schema).parquet(path)
     else spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
   }
@@ -66,6 +69,7 @@ final class EodPipeline(warehouse: String, minTickers: Long = 100L) {
     val src = source.drop("trade_date")
     val p = new org.apache.hadoop.fs.Path(partPath)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    Upsert.recoverSnapshot(fs, p) // heal a crash between a prior swap's renames
     val merged =
       if (!fs.exists(p)) src
       else Upsert.merge(spark.read.schema(src.schema).parquet(partPath), src, keys)

@@ -30,7 +30,10 @@ object Q {
   def scratch(s: SparkSession, sfDir: String, name: String): String = {
     val digest = java.security.MessageDigest.getInstance("MD5")
       .digest(sfDir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
-    val path = s"${sys.props("java.io.tmpdir")}/graft_q/${name}_$digest"
+    // keyed by PID too: two JVMs on the same SF (Bench alongside Verify)
+    // must not wipe each other's in-flight streaming inputs mid-query
+    val pid = java.lang.ProcessHandle.current().pid()
+    val path = s"${sys.props("java.io.tmpdir")}/graft_q/p$pid/${name}_$digest"
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
     if (fs.exists(p)) fs.delete(p, true)

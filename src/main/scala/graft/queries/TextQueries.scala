@@ -294,8 +294,8 @@ object TextQueries {
 
     // ---------------------------------------------------------------- q32
     // Multimodal plumbing: binary payload column + batched mapPartitions
-    // feature extraction (decode STUBbed — deterministic fake features; the
-    // schema/batching/encoder path is the real contract being tested).
+    // feature extraction — the byte-level path for payload types without a
+    // JDK codec (audio/video). Real image decode is q130.
     Q("q32_media_features",
       """SELECT doc_id AS media_id, 'text/plain' AS media_type,
         |  CAST(octet_length(encode(text)) AS INT) AS n_bytes,
@@ -460,5 +460,39 @@ object TextQueries {
         .select(col("doc_id"),
           size(m).cast("long").as("n_matches"),
           size(array_distinct(m)).cast("long").as("n_distinct_matches"))
+    },
+
+    // ---------------------------------------------------------------- q130
+    // REAL image decode (javax.imageio — the PNG codec ships in the JDK):
+    // one deterministic RGB PNG is rendered per document id on the
+    // executors, then decoded back by an actual ImageReader; the emitted
+    // features are the decoded raster's dimensions and exact integer channel
+    // sums. The oracle replays the closed-form pixel function in SQL — no
+    // decoder on the DuckDB side — so a hash match proves the bytes really
+    // round-tripped through encode→PNG→decode (PNG is lossless). Upgrades
+    // the one previously-simulated operation in the multimodal family.
+    // In-query contract: every decoded payload must identify as PNG.
+    // Scale shape: render and decode are narrow mapPartitions passes — no
+    // shuffle, CPU-bound, embarrassingly parallel; the binary column dies at
+    // the feature projection (column pruning) and never shuffles.
+    Q("q130_image_decode",
+      """WITH d AS (SELECT doc_id, 8 + (doc_id % 9) AS w, 8 + ((doc_id*3) % 9) AS h
+        |           FROM documents),
+        |px AS (SELECT d.doc_id, d.w, d.h, x.i AS x, y.i AS y
+        |       FROM d, range(16) x(i), range(16) y(i)
+        |       WHERE x.i < d.w AND y.i < d.h)
+        |SELECT doc_id AS media_id,
+        |  CAST(MAX(w) AS INT) AS width, CAST(MAX(h) AS INT) AS height,
+        |  CAST(count(*) AS BIGINT) AS n_pixels,
+        |  CAST(SUM((doc_id*7 + x) % 256) AS BIGINT) AS sum_r,
+        |  CAST(SUM((x + y) % 256) AS BIGINT) AS sum_g,
+        |  CAST(SUM((doc_id + 3*y) % 256) AS BIGINT) AS sum_b
+        |FROM px GROUP BY doc_id""".stripMargin) { (s, dir) =>
+      val ids = Tables.load(s, dir, "documents").select(col("doc_id"))
+      val decoded = Media.decodeImages(Media.renderPngs(ids)).toDF()
+      val nonPng = decoded.filter(col("format") =!= "png").count()
+      require(nonPng == 0, s"q130: $nonPng payloads did not decode as PNG")
+      decoded.select(col("media_id"), col("width"), col("height"),
+        col("n_pixels"), col("sum_r"), col("sum_g"), col("sum_b"))
     })
 }
