@@ -95,6 +95,130 @@ object VectorQueries {
         "vec_id", "vec_id", "embedding", nBits = 8, dim = 64, k = 5)
     },
 
+    // ---------------------------------------------------------------- q131
+    // ANN recall contract — the QUALITY of the approximate index family,
+    // guarded in-query (q119/q121's pattern applied to search). Protocol:
+    // this corpus is isotropic (unit vectors, within-label mean cosine ≈
+    // cross-label ≈ 0), so raw recall@10 of cell/bucket ANN is physically
+    // capped near nprobe/|cells| no matter the implementation (measured
+    // ≈0.28 for label-cell IVF, ≈0.01 for single-table 8-bit LSH) — a bound
+    // on structureless data measures the data, not the operator. The
+    // operator-quality eval is PLANTED near-duplicates: perturb 20 corpus
+    // vectors deterministically (±0.02 per component ⇒ cosine ≈ 0.987 to
+    // the source, far above the ≈0.55 isotropic ceiling), so the true
+    // nearest neighbor is known — exactly the "find the near-dup at 100 TB"
+    // job embedding dedup needs the index for. Both scale paths must find
+    // it: IVF over VORONOI cells (one Lloyd reassignment of the label seed
+    // — a real coarse quantizer, where raw label cells route near-dups to
+    // the wrong cell) and MULTI-TABLE sign-LSH (4×8 bits: each table an
+    // independent collision chance, union of candidates). recall@1 ≥ 0.9
+    // required in-query; the oracle replays the whole protocol in SQL.
+    Q("q131_ann_recall_guarded", {
+      def planeSql(p: Int): String =
+        (0 until 64).map { d =>
+          val hex = java.security.MessageDigest.getInstance("MD5")
+            .digest(s"${p}_$d".getBytes("UTF-8"))
+          if (((hex(0) >> 4) & 0xf) % 2 == 0) "1.0" else "-1.0"
+        }.mkString("[", ",", "]::DOUBLE[]")
+      def bucketSql(t: Int, src: String): String =
+        (0 until 8).map(p =>
+          s"(CASE WHEN list_dot_product($src, ${planeSql(t * 8 + p)}) > 0 THEN ${1 << p} ELSE 0 END)")
+          .mkString(" + ")
+      s"""WITH c AS (SELECT label, vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |qe AS (SELECT vec_id, j,
+        |    v[j+1] + 0.02*(CASE WHEN (vec_id*31 + j) % 2 = 0 THEN 1 ELSE -1 END) AS x
+        |  FROM (SELECT vec_id, v FROM c WHERE vec_id < 20), range(64) t(j)),
+        |q AS (SELECT vec_id + 1000000 AS query_id, list(x ORDER BY j) AS qv
+        |      FROM qe GROUP BY 1),
+        |truth AS (SELECT query_id, neighbor_id FROM (
+        |  SELECT q.query_id, c.vec_id AS neighbor_id,
+        |    row_number() OVER (PARTITION BY q.query_id
+        |      ORDER BY ${cos("q.qv", "c.v")} DESC, c.vec_id) AS rank
+        |  FROM q, c) WHERE rank = 1),
+        |pe AS (SELECT label, unnest(v) AS val, unnest(generate_series(1, len(v))) AS pos FROM c),
+        |comp AS (SELECT label, pos,
+        |    CAST(SUM(CAST(val AS DECIMAL(27,10))) AS DOUBLE) / COUNT(*) AS comp
+        |  FROM pe GROUP BY 1, 2),
+        |cents AS (SELECT label AS cell, list(comp ORDER BY pos) AS centroid FROM comp GROUP BY 1),
+        |assign AS (SELECT vec_id, cell FROM (
+        |  SELECT c.vec_id, ce.cell,
+        |    row_number() OVER (PARTITION BY c.vec_id
+        |      ORDER BY ${cos("c.v", "ce.centroid")} DESC, ce.cell) AS rn
+        |  FROM c, cents ce) WHERE rn = 1),
+        |ca AS (SELECT a.cell, c.vec_id, c.v FROM c JOIN assign a USING (vec_id)),
+        |probes AS (SELECT query_id, qv, cell FROM (
+        |  SELECT q.query_id, q.qv, ce.cell,
+        |    row_number() OVER (PARTITION BY q.query_id
+        |      ORDER BY ${cos("q.qv", "ce.centroid")} DESC, ce.cell) AS pr
+        |  FROM q, cents ce) WHERE pr <= 2),
+        |ivf1 AS (SELECT query_id, neighbor_id FROM (
+        |  SELECT p.query_id, ca.vec_id AS neighbor_id,
+        |    row_number() OVER (PARTITION BY p.query_id
+        |      ORDER BY ${cos("p.qv", "ca.v")} DESC, ca.vec_id) AS rank
+        |  FROM ca JOIN probes p USING (cell)) WHERE rank = 1),
+        |cb AS (SELECT vec_id, v, ${bucketSql(0, "v")} AS b0, ${bucketSql(1, "v")} AS b1,
+        |       ${bucketSql(2, "v")} AS b2, ${bucketSql(3, "v")} AS b3 FROM c),
+        |qb AS (SELECT query_id, qv, ${bucketSql(0, "qv")} AS b0, ${bucketSql(1, "qv")} AS b1,
+        |       ${bucketSql(2, "qv")} AS b2, ${bucketSql(3, "qv")} AS b3 FROM q),
+        |cand AS (SELECT DISTINCT qb.query_id, cb.vec_id AS neighbor_id FROM qb JOIN cb
+        |  ON qb.b0 = cb.b0 OR qb.b1 = cb.b1 OR qb.b2 = cb.b2 OR qb.b3 = cb.b3),
+        |lsh1 AS (SELECT query_id, neighbor_id FROM (
+        |  SELECT cand.query_id, cand.neighbor_id,
+        |    row_number() OVER (PARTITION BY cand.query_id
+        |      ORDER BY ${cos("q.qv", "c.v")} DESC, cand.neighbor_id) AS rank
+        |  FROM cand JOIN q USING (query_id) JOIN c ON c.vec_id = cand.neighbor_id)
+        |  WHERE rank = 1)
+        |SELECT 'ivf_voronoi_nprobe2' AS method, CAST(count(*) AS BIGINT) AS n_queries,
+        |  CAST(count(*) FILTER (i.neighbor_id IS NOT NULL) AS BIGINT) AS n_hits,
+        |  round(CAST(count(*) FILTER (i.neighbor_id IS NOT NULL) AS DOUBLE) / count(*), 6) AS recall
+        |FROM truth t LEFT JOIN ivf1 i
+        |  ON t.query_id = i.query_id AND t.neighbor_id = i.neighbor_id
+        |UNION ALL
+        |SELECT 'lsh_4x8', CAST(count(*) AS BIGINT),
+        |  CAST(count(*) FILTER (l.neighbor_id IS NOT NULL) AS BIGINT),
+        |  round(CAST(count(*) FILTER (l.neighbor_id IS NOT NULL) AS DOUBLE) / count(*), 6)
+        |FROM truth t LEFT JOIN lsh1 l
+        |  ON t.query_id = l.query_id AND t.neighbor_id = l.neighbor_id""".stripMargin
+    }) { (s, dir) =>
+      val emb = Tables.load(s, dir, "embeddings")
+        .select(col("label"), col("vec_id"),
+          col("embedding").cast("array<double>").as("embedding"))
+      // planted queries: ids shifted out of the corpus id space so the
+      // operators' self-pair exclusion never fires on the planted source
+      val pq = emb.filter(col("vec_id") < 20)
+        .select((col("vec_id") + 1000000L).as("vec_id"),
+          transform(col("embedding"), (x, j) =>
+            x + lit(0.02) * when(((col("vec_id") * 31 + j) % 2) === 0, lit(1.0))
+              .otherwise(lit(-1.0))).as("embedding"))
+      val truth = graft.similarity.Knn
+        .bruteForceTopK(pq, emb, "vec_id", "vec_id", "embedding", k = 1)
+        .select(col("query_id"), col("neighbor_id"))
+      val (assigned, cents) =
+        graft.similarity.Knn.voronoiAssign(emb, "label", "vec_id", "embedding")
+      val ivf1 = graft.similarity.Knn
+        .ivfSearch(pq, assigned, cents, "vec_id", "vec_id", "embedding", "cell",
+          k = 1, nprobe = 2)
+        .select(col("query_id"), col("neighbor_id"))
+      val lsh1 = graft.similarity.SignLSH
+        .multiTableTopK(pq, emb, "vec_id", "vec_id", "embedding",
+          nBits = 8, nTables = 4, dim = 64, k = 1)
+        .select(col("query_id"), col("neighbor_id"))
+      def recallRow(method: String, ann: org.apache.spark.sql.DataFrame) =
+        truth.join(ann.withColumn("__hit", lit(1)), Seq("query_id", "neighbor_id"), "left")
+          .agg(count(lit(1)).cast("long").as("n_queries"),
+            sum(coalesce(col("__hit"), lit(0))).cast("long").as("n_hits"))
+          .select(lit(method).as("method"), col("n_queries"), col("n_hits"),
+            round(col("n_hits").cast("double") / col("n_queries"), 6).as("recall"))
+      val out = recallRow("ivf_voronoi_nprobe2", ivf1)
+        .unionByName(recallRow("lsh_4x8", lsh1))
+        .localCheckpoint()
+      out.collect().foreach { r =>
+        require(r.getAs[Double]("recall") >= 0.9,
+          s"q131: ${r.getAs[String]("method")} recall@1 = ${r.getAs[Double]("recall")} < 0.9")
+      }
+      out
+    },
+
     // ---------------------------------------------------------------- q27
     // Embedding-cosine near-duplicate pairs, blocked by label (the block
     // bounds the quadratic expansion the way LSH bands do for text).

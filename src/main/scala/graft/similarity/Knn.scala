@@ -72,15 +72,57 @@ object Knn {
         array_sort(collect_list(struct(col("__pos"), col("__c")))),
         s => s.getField("__c")).as("centroid"))
 
+  /** One Voronoi reassignment (a single Lloyd step): centroids seeded from
+    * `seedCol`'s partition, then every vector reassigned to its max-cosine
+    * centroid (ties → lowest cell id). This turns an arbitrary seed partition
+    * into a real coarse quantizer: cells follow the cosine metric, so a
+    * query's nearest cells actually contain its near neighbors — on data
+    * whose labels carry no geometry (this corpus: within-label mean cosine ≈
+    * cross-label ≈ 0), probing raw label cells is no better than probing at
+    * random, while Voronoi cells put a planted near-duplicate in the same
+    * probe set as its source (measured in q131).
+    *
+    * Scale: the centroid table is |cells| rows (broadcast); assignment is a
+    * narrow broadcast join + per-vector top-1 — one corpus pass, no wide
+    * shuffle. Returns (corpus + `cell` column, centroid table for probing).
+    */
+  def voronoiAssign(corpus: DataFrame, seedCol: String, idC: String,
+      vecCol: String): (DataFrame, DataFrame) = {
+    val cents = centroids(corpus, seedCol, vecCol)
+      .withColumnRenamed(seedCol, "cell")
+      .withColumn("__ctn", norm(col("centroid")))
+    val v = corpus.select(col(idC), col(vecCol)).withColumn("__vn", norm(col(vecCol)))
+    val scored = v.crossJoin(broadcast(cents))
+      .select(col(idC), col("cell"),
+        (dot(col(vecCol), col("centroid")) / (col("__vn") * col("__ctn"))).as("__csim"))
+    val assigned = graft.plans.TopK.perGroup(scored, Seq(idC),
+      Seq("__csim" -> true, "cell" -> false), 1)
+      .select(col(idC), col("cell"))
+    (corpus.join(assigned, Seq(idC)), cents)
+  }
+
   /** IVF search: assign each query to its `nprobe` nearest cell centroids,
     * then brute-force only within those cells. Returns the same shape as
     * [[bruteForceTopK]] plus the probed cell. Recall < 1.0 by construction;
-    * compare against the brute-force baseline to measure it.
+    * compare against the brute-force baseline to measure it (q131 guards it).
     */
   def ivfTopK(queries: DataFrame, corpus: DataFrame, idQ: String, idC: String,
       vecCol: String, cellCol: String, k: Int, nprobe: Int): DataFrame = {
     val cents = centroids(corpus, cellCol, vecCol)
       .withColumn("__ctn", norm(col("centroid")))
+    ivfSearch(queries, corpus, cents, idQ, idC, vecCol, cellCol, k, nprobe)
+  }
+
+  /** The probe+scan half of IVF against a PRE-BUILT quantizer: `cents` is
+    * the centroid table (cellCol, centroid, __ctn) and `corpus` already
+    * carries its cell assignment — so [[voronoiAssign]] output plugs in
+    * directly, and the quantizer used to assign the corpus is the same one
+    * that routes the queries (assignment/probe consistency is what recall
+    * depends on).
+    */
+  def ivfSearch(queries: DataFrame, corpus: DataFrame, cents: DataFrame,
+      idQ: String, idC: String, vecCol: String, cellCol: String, k: Int,
+      nprobe: Int): DataFrame = {
     val q = queries.select(col(idQ).as("query_id"), col(vecCol).as("__qv"))
       .withColumn("__qn", norm(col("__qv")))
     // probe assignment: nprobe nearest centroids per query (centroid table is

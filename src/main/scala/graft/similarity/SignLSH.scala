@@ -34,11 +34,15 @@ object SignLSH {
     if (nibble % 2 == 0) 1.0 else -1.0
   }
 
-  /** The plane matrix as literal arrays — resolves at plan time, so the
-    * per-row work is `nBits` codegen'd dot products against constants.
+  /** Plane `p` as a literal array — resolves at plan time, so the per-row
+    * work is one codegen'd dot product against constants.
     */
+  def plane(p: Int, dim: Int): Column =
+    array((0 until dim).map(d => lit(planeComponent(p, d))): _*)
+
+  /** The plane matrix as literal arrays. */
   def planes(nBits: Int, dim: Int): Seq[Column] =
-    (0 until nBits).map(p => array((0 until dim).map(d => lit(planeComponent(p, d))): _*))
+    (0 until nBits).map(p => plane(p, dim))
 
   /** Append an integer `bucket` column: bit p set iff v · plane_p > 0. */
   def withBucket(df: DataFrame, vecCol: String, nBits: Int, dim: Int): DataFrame = {
@@ -63,6 +67,51 @@ object SignLSH {
     val scored = c.join(broadcast(q), Seq("bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("bucket"), col("neighbor_id"),
+        (Knn.dot(col("__qv"), col("__cv")) / (col("__qn") * col("__cn"))).as("cosine_sim"))
+    graft.plans.TopK.perGroup(scored, Seq("query_id"),
+      Seq("cosine_sim" -> true, "neighbor_id" -> false), k)
+  }
+
+  /** Multi-table sign-LSH top-k — the standard recall lever: `nTables`
+    * independent tables (table t hashes with planes t·nBits … t·nBits+nBits−1),
+    * candidates are the UNION of per-table bucket collisions, each table an
+    * independent chance to collide. A near-duplicate at angle θ survives one
+    * b-bit table with probability (1−θ/π)^b, and nTables tables with
+    * 1−(1−(1−θ/π)^b)^T — 4×8 bits turns a 0.66 single-table chance into
+    * ≈0.99 (q131 measures it ≥0.95 on planted near-dups).
+    *
+    * Scale: candidate ids are dedup'd BEFORE any vector is rejoined, and
+    * both the query table and the candidate list broadcast — the corpus is
+    * scanned once for signatures and once for candidate scoring, never
+    * shuffled.
+    */
+  def multiTableTopK(queries: DataFrame, corpus: DataFrame, idQ: String,
+      idC: String, vecCol: String, nBits: Int, nTables: Int, dim: Int,
+      k: Int): DataFrame = {
+    def withBuckets(df: DataFrame, id: String, as: String): DataFrame =
+      (0 until nTables).foldLeft(
+        df.select(col(id).as(as), col(vecCol).as("__v"))) { case (d, t) =>
+        val bucket = (0 until nBits).map { p =>
+          when(DotProduct(col("__v"), plane(t * nBits + p, dim)) > 0d,
+            lit(1 << p)).otherwise(lit(0))
+        }.reduce(_ + _)
+        d.withColumn(s"__b$t", bucket)
+      }
+    val qb = withBuckets(queries, idQ, "query_id").drop("__v")
+    val cb = withBuckets(corpus, idC, "neighbor_id").drop("__v")
+    val cand = (0 until nTables).map { t =>
+      cb.select(col("neighbor_id"), col(s"__b$t").as("__b"))
+        .join(broadcast(qb.select(col("query_id"), col(s"__b$t").as("__b"))), Seq("__b"))
+        .select(col("query_id"), col("neighbor_id"))
+    }.reduce(_ unionByName _).distinct()
+    val q = queries.select(col(idQ).as("query_id"), col(vecCol).as("__qv"))
+      .withColumn("__qn", Knn.norm(col("__qv")))
+    val c = corpus.select(col(idC).as("neighbor_id"), col(vecCol).as("__cv"))
+      .withColumn("__cn", Knn.norm(col("__cv")))
+    val scored = c.join(broadcast(cand), Seq("neighbor_id"))
+      .join(broadcast(q), Seq("query_id"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
         (Knn.dot(col("__qv"), col("__cv")) / (col("__qn") * col("__cn"))).as("cosine_sim"))
     graft.plans.TopK.perGroup(scored, Seq("query_id"),
       Seq("cosine_sim" -> true, "neighbor_id" -> false), k)
