@@ -449,5 +449,81 @@ object SourceQueries {
         .groupBy(col("o_orderpriority"))
         .agg(count(lit(1)).as("n_orders"),
           sum(col("o_orderkey")).cast("bigint").as("key_sum"))
+    },
+
+    // ---------------------------------------------------------------- q132
+    // Z-order (Morton) clustering: the multi-predicate layout tool a 100 TB
+    // table needs. The same data is written twice — linear-sorted on
+    // ship_day, and Z-ordered on (l_orderkey, ship_day) via interleaved-bit
+    // range buckets — then BOTH single-column band predicates are measured
+    // with the scan's numOutputRows metric (rows surviving row-group min/max
+    // pruning). Contract required in-query: the Z layout prunes on BOTH
+    // dimensions (the orderkey band scans ≤ half of what the linear layout
+    // scans; the day band still prunes), while the linear layout prunes only
+    // its leading sort column and reads ≥ 3/4 of the table for the orderkey
+    // band. The returned rows are the band aggregates read back FROM the
+    // Z-ordered layout, so the oracle also proves the clustered rewrite is
+    // lossless. (Row groups shrunk to 16 KiB so min/max stats operate at
+    // sub-file granularity on test-scale data; production keeps 128 MiB.)
+    Q("q132_zorder_skipping",
+      """WITH mm AS (SELECT min(l_orderkey) AS lo, max(l_orderkey) AS hi FROM lineitem)
+        |SELECT 'key_band' AS pred, count(*) AS n_rows,
+        |  CAST(SUM(l_orderkey) AS BIGINT) AS key_sum
+        |FROM lineitem, mm
+        |WHERE l_orderkey >= lo + (hi - lo)//4
+        |  AND l_orderkey <  lo + (hi - lo)//4 + (hi - lo)//20
+        |UNION ALL
+        |SELECT 'day_band', count(*), CAST(SUM(l_orderkey) AS BIGINT)
+        |FROM lineitem
+        |WHERE CAST(l_shipdate AS DATE) >= DATE '1996-06-01'
+        |  AND CAST(l_shipdate AS DATE) < DATE '1996-07-01'""".stripMargin) { (s, dir) =>
+      import graft.ops.Layout
+      val epoch = to_date(lit("1970-01-01"))
+      val li = Tables.load(s, dir, "lineitem")
+        .select(col("l_orderkey"), to_date(col("l_shipdate")).as("ship_day"))
+      val mm = li.agg(min(col("l_orderkey")).cast("long"), max(col("l_orderkey")).cast("long"),
+        min(datediff(col("ship_day"), epoch)).cast("long"),
+        max(datediff(col("ship_day"), epoch)).cast("long")).head()
+      val (loK, hiK, loD, hiD) = (mm.getLong(0), mm.getLong(1), mm.getLong(2), mm.getLong(3))
+      val span = hiK - loK
+      val (bandLo, bandHi) = (loK + span / 4, loK + span / 4 + span / 20)
+      val blockBytes = 16L * 1024
+      val zPath = scratch(s, dir, "q132_z")
+      val linPath = scratch(s, dir, "q132_lin")
+      Layout.zOrderWrite(li, zPath,
+        Seq(Layout.rangeBucket(col("l_orderkey"), loK, hiK, 16),
+          Layout.rangeBucket(datediff(col("ship_day"), epoch), loD, hiD, 16)),
+        bits = 16, nFiles = 8, blockBytes = blockBytes)
+      li.repartitionByRange(8, col("ship_day")).sortWithinPartitions(col("ship_day"))
+        .write.mode("overwrite").option("parquet.block.size", blockBytes).parquet(linPath)
+      val keyPred = col("l_orderkey") >= bandLo && col("l_orderkey") < bandHi
+      val dayPred = col("ship_day") >= to_date(lit("1996-06-01")) &&
+        col("ship_day") < to_date(lit("1996-07-01"))
+      def scannedRows(path: String, pred: org.apache.spark.sql.Column): Long = {
+        val df = s.read.parquet(path).filter(pred)
+        df.collect()
+        df.queryExecution.executedPlan.collectLeaves().head.metrics("numOutputRows").value
+      }
+      val total = li.count()
+      val zKey = scannedRows(zPath, keyPred)
+      val zDay = scannedRows(zPath, dayPred)
+      val linKey = scannedRows(linPath, keyPred)
+      val linDay = scannedRows(linPath, dayPred)
+      require(zKey * 2 <= linKey,
+        s"q132: Z layout must prune the non-leading dim: z=$zKey linear=$linKey")
+      require(zDay * 2 <= total,
+        s"q132: Z layout must still prune the other clustered dim: z=$zDay of $total")
+      require(linDay * 2 <= total,
+        s"q132: linear layout must prune its sort column: $linDay of $total")
+      require(linKey * 4 >= total * 3,
+        s"q132: linear layout cannot prune the non-sort dim: $linKey of $total")
+      val z = s.read.parquet(zPath)
+      z.filter(keyPred)
+        .agg(count(lit(1)).as("n_rows"), sum(col("l_orderkey")).cast("bigint").as("key_sum"))
+        .select(lit("key_band").as("pred"), col("n_rows"), col("key_sum"))
+        .unionByName(
+          z.filter(dayPred)
+            .agg(count(lit(1)).as("n_rows"), sum(col("l_orderkey")).cast("bigint").as("key_sum"))
+            .select(lit("day_band").as("pred"), col("n_rows"), col("key_sum")))
     })
 }

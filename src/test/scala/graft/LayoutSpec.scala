@@ -83,6 +83,39 @@ class LayoutSpec extends AnyFunSuite {
     assert(b < a / 2, s"sorted layout must scan far fewer rows: sorted=$b shuffled=$a")
   }
 
+  test("zOrderKey interleaves bucket bits (Morton code)") {
+    import graft.ops.Layout
+    // reference Morton implementation for 2 dims
+    def morton(a: Long, b: Long, bits: Int): Long =
+      (0 until bits).map { i =>
+        (((a >> i) & 1L) << (2 * i)) | (((b >> i) & 1L) << (2 * i + 1))
+      }.sum
+    val cases = Seq((0L, 0L), (1L, 0L), (0L, 1L), (5L, 9L), (65535L, 65535L), (12345L, 54321L))
+    val df = spark.createDataFrame(cases).toDF("a", "b")
+      .withColumn("z", Layout.zOrderKey(Seq(col("a"), col("b")), 16))
+    df.collect().foreach { r =>
+      assert(r.getAs[Long]("z") === morton(r.getAs[Long]("a"), r.getAs[Long]("b"), 16),
+        s"(${r.get(0)}, ${r.get(1)})")
+    }
+    // adjacent buckets stay adjacent in key space: sorting by z clusters tiles
+    val k1 = morton(100, 200, 16); val k2 = morton(101, 200, 16)
+    assert(math.abs(k1 - k2) < (1L << 8), "neighbor cells must be near in z space")
+  }
+
+  test("rangeBucket clamps and scales to the bit space") {
+    import graft.ops.Layout
+    val df = spark.range(1).select(
+      Layout.rangeBucket(lit(-5L), 0L, 100L, 16).as("under"),
+      Layout.rangeBucket(lit(500L), 0L, 100L, 16).as("over"),
+      Layout.rangeBucket(lit(0L), 0L, 100L, 16).as("lo"),
+      Layout.rangeBucket(lit(100L), 0L, 100L, 16).as("hi"),
+      Layout.rangeBucket(lit(42L), 7L, 7L, 16).as("degenerate"))
+    val r = df.head()
+    assert(r.getAs[Long]("under") === 0L && r.getAs[Long]("lo") === 0L)
+    assert(r.getAs[Long]("over") === 65535L && r.getAs[Long]("hi") === 65535L)
+    assert(r.getAs[Long]("degenerate") === 0L)
+  }
+
   test("date-partitioned writes prune partitions at the scan") {
     val sf = "/root/testdata/sf0.001"
     val dir = TestSpark.tmpDir("parts")
