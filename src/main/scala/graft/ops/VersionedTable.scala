@@ -42,6 +42,7 @@ object VersionedTable {
 
   private val PtrName = "_ptr"
   private val VerPrefix = "_v-"
+  private val TxnPrefix = "_txn-"
 
   private def fsOf(spark: SparkSession, dir: String): FileSystem =
     new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -58,23 +59,40 @@ object VersionedTable {
       .sorted
   }
 
-  private def readPtr(fs: FileSystem, dir: String): Option[Long] = {
-    val p = new Path(dir, PtrName)
+  /** Read a small text file to EOF: a single read() may legally return a
+    * SHORT read on object-store filesystems, and a truncated "00" would
+    * misparse as version 0 and silently divert readers to the fallback path.
+    */
+  private def readText(fs: FileSystem, p: Path): Option[String] =
     if (!fs.exists(p)) None
     else {
       val in = fs.open(p)
       try {
-        // loop to EOF: a single read() may legally return a SHORT read on
-        // object-store filesystems, and a truncated "00" would misparse as
-        // version 0 and silently divert readers to the fallback path
         val buf = new java.io.ByteArrayOutputStream(64)
         val chunk = new Array[Byte](64)
         var n = in.read(chunk)
         while (n > 0) { buf.write(chunk, 0, n); n = in.read(chunk) }
-        new String(buf.toByteArray, StandardCharsets.UTF_8).trim.toLongOption
+        Some(new String(buf.toByteArray, StandardCharsets.UTF_8))
       } finally in.close()
     }
-  }
+
+  private def readPtr(fs: FileSystem, dir: String): Option[Long] =
+    readText(fs, new Path(dir, PtrName)).flatMap(_.trim.toLongOption)
+
+  /** The streaming-transaction markers a version carries: appId → highest
+    * applied batchId (Delta's `txn` action re-expressed as tiny
+    * underscore-prefixed files INSIDE the immutable version dir — invisible
+    * to parquet readers, atomic with the version because the pointer flip
+    * happens after they are written).
+    */
+  private def readTxnMap(fs: FileSystem, vd: Path): Map[String, Long] =
+    if (!fs.exists(vd)) Map.empty
+    else fs.listStatus(vd).toSeq
+      .filter(st => st.isFile && st.getPath.getName.startsWith(TxnPrefix))
+      .flatMap { st =>
+        val app = st.getPath.getName.stripPrefix(TxnPrefix)
+        readText(fs, st.getPath).flatMap(_.trim.toLongOption).map(app -> _)
+      }.toMap
 
   private def complete(fs: FileSystem, vd: Path): Boolean =
     fs.exists(new Path(vd, "_SUCCESS"))
@@ -143,7 +161,7 @@ object VersionedTable {
     * that dir is immutable and survives until [[gc]], so the
     * read-merge-write cycle needs no localCheckpoint.
     */
-  def write(df: DataFrame, dir: String): Long = {
+  def write(df: DataFrame, dir: String, txn: Map[String, Long] = Map.empty): Long = {
     val spark = df.sparkSession
     val fs = fsOf(spark, dir)
     val cur = currentVersion(spark, dir)
@@ -155,6 +173,17 @@ object VersionedTable {
     val vd = verDir(dir, next)
     df.write.mode(SaveMode.Overwrite).parquet(vd.toString)
     require(complete(fs, vd), s"stage $vd missing _SUCCESS after write")
+    // transaction markers: carry the live version's map forward (so gc of
+    // old versions never loses the last-applied batchId) and overlay this
+    // write's own txn. Written BEFORE the flip: a version reachable via the
+    // mid-flip reader fallback always carries its full txn map, and a crash
+    // right here leaves the pointer intact (this dangling dir is swept by
+    // the next write, whose re-applied batch is then the FIRST application).
+    val carried = cur.map(v => readTxnMap(fs, verDir(dir, v))).getOrElse(Map.empty)
+    (carried ++ txn).foreach { case (app, batch) =>
+      val out = fs.create(new Path(vd, TxnPrefix + app), true)
+      try out.write(batch.toString.getBytes(StandardCharsets.UTF_8)) finally out.close()
+    }
     // pointer flip: stage + delete + rename (rename-over-existing is not
     // portable across Hadoop filesystems). The instant with no pointer file
     // is covered by the reader fallback to the highest complete version —
@@ -168,6 +197,39 @@ object VersionedTable {
       throw new java.io.IOException(s"pointer flip failed: $ptrTmp -> $ptr")
     spark.catalog.refreshByPath(vd.toString)
     next
+  }
+
+  /** Highest batchId the given streaming app has committed to this table
+    * (from the LIVE version's carried-forward txn map). `None` = the app has
+    * never committed.
+    */
+  def lastBatchId(spark: SparkSession, dir: String, appId: String): Option[Long] =
+    currentVersion(spark, dir).flatMap(v =>
+      readTxnMap(fsOf(spark, dir), verDir(dir, v)).get(appId))
+
+  /** Exactly-once streaming commit (the Delta `txn` pattern): write the next
+    * version ONLY if `batchId` is beyond this app's last committed batch;
+    * otherwise a table-level no-op. A foreachBatch sink that routes every
+    * micro-batch through this call makes a re-delivered batch after a crash
+    * (or a full checkpoint loss and replay) produce NO new version — the
+    * commit log, not just the keyed merge, absorbs the re-delivery.
+    * Returns the new version, or None when the batch was already applied.
+    */
+  def writeCommitted(df: DataFrame, dir: String, appId: String,
+      batchId: Long): Option[Long] =
+    if (lastBatchId(df.sparkSession, dir, appId).exists(_ >= batchId)) None
+    else Some(write(df, dir, Map(appId -> batchId)))
+
+  /** (version, last-committed batchId for `appId` as of that version) for
+    * every retained complete version — the audit view a duplicate-batch
+    * check reads.
+    */
+  def txnHistory(spark: SparkSession, dir: String, appId: String): Seq[(Long, Option[Long])] = {
+    val fs = fsOf(spark, dir)
+    currentVersion(spark, dir).toSeq.flatMap { live =>
+      listVersions(fs, dir).filter(v => v <= live && complete(fs, verDir(dir, v)))
+        .map(v => v -> readTxnMap(fs, verDir(dir, v)).get(appId))
+    }
   }
 
   /** Delete all but the newest `keep` complete versions at or below the live

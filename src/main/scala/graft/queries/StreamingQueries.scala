@@ -216,5 +216,47 @@ object StreamingQueries {
       got.groupBy(col("user_id"))
         .agg(count(lit(1)).as("n_pairs"),
           countDistinct(col("event_id")).as("n_errors_matched"))
+    },
+
+    // ---------------------------------------------------------------- q133
+    // EXACTLY-ONCE streaming commit (the Delta `txn` pattern on
+    // VersionedTable): the foreachBatch upsert stamps each micro-batch id
+    // into the version it writes, so re-delivery is a no-op at the TABLE
+    // level — not merely absorbed by the keyed merge. In-query proof: the
+    // stream runs once (2 micro-batches: full file + re-delivered subset,
+    // maxFilesPerTrigger=1), then the ENTIRE stream is replayed against a
+    // fresh checkpoint (total checkpoint loss, the worst re-delivery case)
+    // — required to add zero versions; the txn history must hold each batch
+    // at most once. The oracle checks the final table contents.
+    Q("q133_streaming_exactly_once",
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(SUM(event_id) AS BIGINT) AS id_sum
+        |FROM events WHERE event_id % 2 = 0 GROUP BY 1""".stripMargin) { (s, dir) =>
+      import graft.ops.VersionedTable
+      val events = Tables.load(s, dir, "events")
+        .filter(col("event_id") % 2 === 0)
+        .select(col("event_id"), col("ts"), col("user_id"), col("event_type"))
+      val root = scratch(s, dir, "q133")
+      val (in, table) = (s"$root/in", s"$root/table")
+      events.write.parquet(s"$in/f1")
+      events.filter(col("event_id") % 6 === 0).write.parquet(s"$in/f2") // re-delivery
+      def run(cp: String): Unit = withNarrowShuffle(s) {
+        EventStream.committedUpsertSink(
+          EventStream.fileSource(s, s"$in/*", events.schema, maxFilesPerTrigger = Some(1)),
+          table, cp, Seq("event_id"), "ts", appId = "q133").awaitTermination()
+      }
+      run(s"$root/cp1")
+      val v1 = VersionedTable.currentVersion(s, table).get
+      run(s"$root/cp2") // checkpoint lost: full replay, same appId
+      val v2 = VersionedTable.currentVersion(s, table).get
+      require(v2 == v1, s"q133: replay after checkpoint loss must add no version: $v1 -> $v2")
+      val hist = VersionedTable.txnHistory(s, table, "q133").flatMap(_._2)
+      require(hist == hist.distinct, s"q133: duplicate batch in version history: $hist")
+      val t = VersionedTable.read(s, table)
+      require(t.count() == events.count(),
+        "q133: exactly one surviving row per re-delivered key")
+      t.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("event_id")).cast("bigint").as("id_sum"))
     })
 }

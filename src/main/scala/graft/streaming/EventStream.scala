@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 import org.apache.spark.sql.types.StructType
-import graft.ops.{Dedup, Upsert}
+import graft.ops.{Dedup, Upsert, VersionedTable}
 
 /** Structured-Streaming variant of the incremental pipeline (SURVEY §2.9).
   *
@@ -114,6 +114,32 @@ object EventStream {
             Upsert.merge(spark.read.schema(batch.schema).parquet(targetPath), deduped, keys)
           else deduped
         Upsert.snapshotWrite(merged, targetPath)
+      }
+      .start()
+
+  /** EXACTLY-ONCE keyed upsert sink: like [[upsertSink]], but the merge
+    * writes through [[VersionedTable.writeCommitted]] with the micro-batch
+    * id as the transaction (Delta's `txn` pattern). [[upsertSink]] is
+    * idempotent at the DATA level (re-delivered rows collapse in the keyed
+    * merge); this sink is idempotent at the COMMIT level too — a micro-batch
+    * re-delivered after a crash, or an entire stream replayed against a lost
+    * checkpoint, produces no new table version, so the version history holds
+    * each batch at most once (q133 + StreamingSpec prove both).
+    */
+  def committedUpsertSink(events: DataFrame, tableDir: String, checkpoint: String,
+      keys: Seq[String], orderCol: String, appId: String): StreamingQuery =
+    events.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        if (!VersionedTable.lastBatchId(spark, tableDir, appId).exists(_ >= batchId)) {
+          val deduped = Dedup.latestBy(batch, keys.map(col), Seq(col(orderCol)))
+          val target = VersionedTable.readOrEmpty(spark, tableDir, batch.schema)
+          VersionedTable.writeCommitted(
+            Upsert.merge(target, deduped, keys), tableDir, appId, batchId)
+          ()
+        }
       }
       .start()
 }

@@ -98,4 +98,35 @@ class StreamingSpec extends AnyFunSuite {
     assert(afterSecond === afterFirst,
       "re-delivered batches converge to the same snapshot")
   }
+
+  test("committed sink: stream killed and replayed adds no version (exactly-once commits)") {
+    import graft.ops.VersionedTable
+    val in = TestSpark.tmpDir("stream-eo-in")
+    val table = TestSpark.tmpDir("stream-eo") + "/t"
+    val events = Tables.load(spark, "/root/testdata/sf0.001", "events")
+      .select($"event_id", $"ts", $"user_id", $"event_type")
+    events.write.parquet(s"$in/f1")
+    events.limit(200).write.parquet(s"$in/f2") // re-delivered subset
+    val schema = events.schema
+
+    def runOnce(checkpoint: String): Unit =
+      EventStream.committedUpsertSink(
+        EventStream.fileSource(spark, s"$in/*", schema, maxFilesPerTrigger = Some(1)),
+        table, checkpoint, Seq("event_id"), "ts", appId = "eo-spec")
+        .awaitTermination()
+
+    runOnce(TestSpark.tmpDir("eo-ck1"))
+    val v1 = VersionedTable.currentVersion(spark, table).get
+    val data1 = VersionedTable.read(spark, table).collect().toSet
+    assert(v1 >= 2L, "maxFilesPerTrigger=1 over 2 files must commit 2 batches")
+    // the stream "dies" (checkpoint lost outright — the worst restart) and
+    // every batch is re-delivered under a fresh lineage: the commit log must
+    // swallow all of it without a single new version
+    runOnce(TestSpark.tmpDir("eo-ck2"))
+    assert(VersionedTable.currentVersion(spark, table).get === v1,
+      "replayed batches must be table-level no-ops")
+    assert(VersionedTable.read(spark, table).collect().toSet === data1)
+    val hist = VersionedTable.txnHistory(spark, table, "eo-spec").flatMap(_._2)
+    assert(hist === hist.distinct, s"version history holds each batch at most once: $hist")
+  }
 }

@@ -85,4 +85,61 @@ class VersionedTableSpec extends AnyFunSuite {
     assert(VersionedTable.read(spark, dir).as[(Long, String)].collect()
       === Array((5L, "v5")))
   }
+
+  test("gc counts its keep-window over COMPLETE versions only; torn dirs don't occupy slots") {
+    val dir = TestSpark.tmpDir("vt6") + "/t"
+    (1 to 3).foreach(i => VersionedTable.write(Seq((i.toLong, s"v$i")).toDF("k", "v"), dir))
+    // a torn dir BELOW the pointer (crashed write from an older run, no _SUCCESS)
+    fs(dir).mkdirs(new Path(s"$dir/_v-00000002x")) // not parseable — ignored
+    val torn = new Path(s"$dir/_v-00000001")
+    fs(dir).delete(new Path(torn, "_SUCCESS"), false)
+    // keep=2 must retain versions 2 and 3 (the two newest COMPLETE) and sweep
+    // the torn v1 rather than letting it occupy a retention slot
+    VersionedTable.gc(spark, dir, keep = 2)
+    val left = fs(dir).listStatus(new Path(dir))
+      .map(_.getPath.getName).filter(n => n.startsWith("_v-") && !n.endsWith("x")).sorted
+    assert(left === Array("_v-00000002", "_v-00000003"))
+    assert(VersionedTable.readVersion(spark, dir, 2L).count() === 1)
+  }
+
+  test("writeCommitted: batch replay is a table-level no-op; txn survives plain writes and gc") {
+    val dir = TestSpark.tmpDir("vt7") + "/t"
+    assert(VersionedTable.writeCommitted(Seq((1L, "a")).toDF("k", "v"), dir, "app", 0L)
+      === Some(1L))
+    assert(VersionedTable.writeCommitted(Seq((2L, "b")).toDF("k", "v"), dir, "app", 1L)
+      === Some(2L))
+    // re-delivery of batch 1 (and of anything older) must not write
+    assert(VersionedTable.writeCommitted(Seq((9L, "dup")).toDF("k", "v"), dir, "app", 1L).isEmpty)
+    assert(VersionedTable.writeCommitted(Seq((9L, "dup")).toDF("k", "v"), dir, "app", 0L).isEmpty)
+    assert(VersionedTable.currentVersion(spark, dir) === Some(2L))
+    // a plain (non-streaming) write — compaction, backfill — carries the txn
+    // map forward, and gc of old versions cannot lose it
+    VersionedTable.write(Seq((3L, "compacted")).toDF("k", "v"), dir)
+    VersionedTable.gc(spark, dir, keep = 1)
+    assert(VersionedTable.lastBatchId(spark, dir, "app") === Some(1L))
+    assert(VersionedTable.writeCommitted(Seq((9L, "dup")).toDF("k", "v"), dir, "app", 1L).isEmpty)
+    assert(VersionedTable.writeCommitted(Seq((4L, "c")).toDF("k", "v"), dir, "app", 2L)
+      === Some(4L))
+    // per-app isolation: another app's batch 0 is fresh
+    assert(VersionedTable.writeCommitted(Seq((5L, "d")).toDF("k", "v"), dir, "other", 0L)
+      === Some(5L))
+  }
+
+  test("writeCommitted: crash after staging (txn written, pointer unflipped) re-applies ONCE") {
+    val dir = TestSpark.tmpDir("vt8") + "/t"
+    VersionedTable.writeCommitted(Seq((1L, "a")).toDF("k", "v"), dir, "app", 0L)
+    // crash instant: batch 1's version fully staged with its txn marker, but
+    // the pointer never flipped — the JVM died between txn write and flip
+    Seq((2L, "staged")).toDF("k", "v").write.parquet(s"$dir/_v-00000002")
+    val out = fs(dir).create(new Path(s"$dir/_v-00000002/_txn-app"), true)
+    out.write("1".getBytes("UTF-8")); out.close()
+    // live table still batch 0; the re-delivered batch must apply exactly once
+    assert(VersionedTable.lastBatchId(spark, dir, "app") === Some(0L))
+    assert(VersionedTable.writeCommitted(Seq((2L, "b")).toDF("k", "v"), dir, "app", 1L)
+      === Some(2L))
+    assert(VersionedTable.read(spark, dir).as[(Long, String)].collect() === Array((2L, "b")))
+    // and a second delivery of batch 1 is now a no-op
+    assert(VersionedTable.writeCommitted(Seq((9L, "dup")).toDF("k", "v"), dir, "app", 1L).isEmpty)
+    assert(VersionedTable.txnHistory(spark, dir, "app").flatMap(_._2) === Seq(0L, 1L))
+  }
 }
