@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.dedup.{Components, MinHashLSH, NgramJaccard, SimHash}
+import graft.dedup.{Components, MinHashLSH, NgramJaccard, SimHash, SpanDedup}
 
 /** Deduplication operator family over the `documents` corpus: exact,
   * MinHash+LSH, SimHash, exact n-gram Jaccard. All md5-keyed so every stage
@@ -279,5 +279,70 @@ object DedupQueries {
         .filter(col("jaccard") >= 0.5)
         .select(col("id_a"), col("id_b"))
       Components.connectedComponents(docs.select(col("doc_id")), "doc_id", edges)
+    },
+
+    // ---------------------------------------------------------------- q134
+    // SUBSTRING-level exact dedup (Lee et al. '22): duplicated word-10-gram
+    // SPANS, not whole documents — the licenses/boilerplate/quoted-passage
+    // duplication document-level dedup cannot see. Ten planted docs splice
+    // two source documents together, so every gram inside either block is a
+    // known cross-document duplicate; the in-query contract requires all 10
+    // planted docs detected with ≥ half their grams duplicated (measured
+    // ≥ 0.75 at every SF — only the 9 block-boundary grams are unique). The
+    // output is the per-document span profile: gram counts, duplicated-gram
+    // counts, and the maximal-run structure (runs = removable spans of
+    // k + run_len − 1 words). Oracle replays grams → corpus-wide count →
+    // gaps-and-islands runs in SQL.
+    Q("q134_span_dedup",
+      """WITH aug AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT s.doc_id + 100000, s.text || ' ' || t.text
+        |  FROM documents s JOIN documents t ON t.doc_id = s.doc_id + 50
+        |  WHERE s.doc_id < 10),
+        |w AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM aug),
+        |g AS (SELECT doc_id, i AS pos, md5(array_to_string(w[i:i+9], ' ')) AS gram
+        |      FROM w, LATERAL unnest(generate_series(1, len(w) - 9)) t(i)
+        |      WHERE len(w) >= 10),
+        |dup AS (SELECT gram FROM g GROUP BY gram HAVING count(*) >= 2),
+        |m AS (SELECT g.doc_id, g.pos, (d.gram IS NOT NULL) AS is_dup
+        |      FROM g LEFT JOIN dup d USING (gram)),
+        |runs AS (SELECT doc_id, grp, count(*) AS len FROM (
+        |    SELECT doc_id, pos,
+        |      pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+        |    FROM m WHERE is_dup) GROUP BY 1, 2),
+        |agg AS (SELECT doc_id, count(*) AS n_grams,
+        |        sum(CASE WHEN is_dup THEN 1 ELSE 0 END) AS n_dup FROM m GROUP BY 1),
+        |r AS (SELECT doc_id, count(*) AS n_runs, max(len) AS max_run FROM runs GROUP BY 1)
+        |SELECT a.doc_id, CAST(a.n_grams AS BIGINT) AS n_grams,
+        |  CAST(a.n_dup AS BIGINT) AS n_dup_grams,
+        |  CAST(coalesce(r.n_runs, 0) AS BIGINT) AS n_runs,
+        |  CAST(coalesce(r.max_run, 0) AS BIGINT) AS max_run_len
+        |FROM agg a LEFT JOIN r USING (doc_id)""".stripMargin) { (s, dir) =>
+      val docs = Tables.load(s, dir, "documents")
+      val planted = docs.alias("s").filter(col("doc_id") < 10)
+        .join(docs.alias("t"), col("t.doc_id") === col("s.doc_id") + 50)
+        .select((col("s.doc_id") + 100000L).as("doc_id"),
+          concat(col("s.text"), lit(" "), col("t.text")).as("text"))
+      val aug = docs.select(col("doc_id"), col("text")).unionByName(planted)
+      val g = SpanDedup.grams(aug, "doc_id", MinHashLSH.tokensCol(col("text")), k = 10)
+      val m = SpanDedup.markDuplicated(g, "doc_id").localCheckpoint()
+      val runs = SpanDedup.duplicatedRuns(m, "doc_id")
+      val agg = m.groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_grams"),
+          sum(when(col("is_dup"), 1).otherwise(0)).cast("long").as("n_dup_grams"))
+      val r = runs.groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_runs"), max(col("run_len")).as("max_run_len"))
+      val out = agg.join(r, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_grams"), col("n_dup_grams"),
+          coalesce(col("n_runs"), lit(0L)).as("n_runs"),
+          coalesce(col("max_run_len"), lit(0L)).as("max_run_len"))
+        .localCheckpoint()
+      val bad = out.filter(col("doc_id") >= 100000L)
+        .filter(col("n_dup_grams") * 2 < col("n_grams")).count()
+      val found = out.filter(col("doc_id") >= 100000L).count()
+      require(found == 10 && bad == 0,
+        s"q134: all 10 planted spliced docs must be majority-duplicated (found=$found bad=$bad)")
+      out
     })
 }
