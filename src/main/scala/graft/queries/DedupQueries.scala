@@ -344,5 +344,38 @@ object DedupQueries {
       require(found == 10 && bad == 0,
         s"q134: all 10 planted spliced docs must be majority-duplicated (found=$found bad=$bad)")
       out
+    },
+
+    // ---------------------------------------------------------------- q135
+    // INCREMENTAL LSH index maintenance — the daily-pipeline form of dedup:
+    // the band table is a persisted VersionedTable index; when a day of new
+    // documents arrives, signatures and bands are computed over the DELTA
+    // ONLY (O(delta) shingle/md5 work — the whole point; re-deriving a
+    // 100 TB corpus daily is the anti-pattern) and MERGEd in through the
+    // same keyed upsert every other table uses. Contract required in-query:
+    // the delta-maintained index is row-identical to a full recompute
+    // (q92's incremental-aggregate equivalence applied to the LSH index).
+    // Works because minhash signatures are per-document — a new doc never
+    // changes an existing doc's bands, so index maintenance is exactly a
+    // keyed upsert, and dedup of the delta probes existing buckets instead
+    // of rebuilding them. The oracle recomputes the full band table.
+    Q("q135_incremental_lsh",
+      lshCtes(MinHashLSH.DefaultBucketCap) +
+        "\nSELECT doc_id, band, band_key FROM bands") { (s, dir) =>
+      import graft.ops.{Upsert, VersionedTable}
+      val docs = Tables.load(s, dir, "documents")
+      def bandsOf(d: org.apache.spark.sql.DataFrame) = MinHashLSH.bands(
+        MinHashLSH.signatures(MinHashLSH.shingles(d, "doc_id", "text", 3), "doc_id", 8),
+        "doc_id", 4, 2)
+      val table = Q.scratch(s, dir, "q135") + "/index"
+      VersionedTable.write(bandsOf(docs.filter(col("doc_id") < 400)), table)
+      val delta = bandsOf(docs.filter(col("doc_id") >= 400)) // today's docs only
+      VersionedTable.write(
+        Upsert.merge(VersionedTable.read(s, table), delta, Seq("doc_id", "band")), table)
+      val got = VersionedTable.read(s, table).localCheckpoint()
+      val full = bandsOf(docs)
+      require(got.exceptAll(full).isEmpty && full.exceptAll(got).isEmpty,
+        "q135: delta-maintained index must equal the full recompute")
+      got
     })
 }
