@@ -3,7 +3,7 @@ package graft
 import org.scalatest.funsuite.AnyFunSuite
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.execution.ExplainMode
-import org.apache.spark.sql.functions.{col, count, lit}
+import org.apache.spark.sql.functions.{col, count, lit, sum, when}
 
 /** Physical-plan audits for the catalog's headline queries: the plans the
   * 100 TB design depends on (scan pushdown, broadcast stars, top-k without a
@@ -172,6 +172,64 @@ class PlanAuditSpec extends AnyFunSuite {
         plan.toLowerCase.contains("bloomfilter"),
         s"runtime bloom filter must inject:\n${plan.take(1200)}")
       assert(joined.count() >= 0)
+    } finally {
+      saved.foreach {
+        case (k, Some(v)) => spark.conf.set(k, v)
+        case (k, None) => spark.conf.unset(k)
+      }
+    }
+  }
+
+  test("AQE splits the skewed join partition at runtime (q37's rehearsal, automated)") {
+    // The same hot-key shape q37 salts by hand: one key carrying ~90% of the
+    // fact side of a sort-merge join. With skew-join handling on, AQE
+    // detects the oversized shuffle partition at the stage boundary and
+    // splits it into advisory-sized slices (replicating the matching dim
+    // rows), marking the join `skew=true` — zero query rewrites.
+    //
+    // Where MANUAL salting (ops.Skew.saltedJoin, q37) still wins:
+    //  1. no exchange to re-plan — bucketed exchange-free joins (q59) and
+    //     streaming state-store joins have no stage boundary AQE can split;
+    //  2. holistic aggregation skew — a collect_list/percentile buffer pins
+    //     its whole key to one reducer; only a salted two-phase aggregate
+    //     spreads it (partial agg handles the algebraic cases already);
+    //  3. skew known AT WRITE time — pre-salting the stored layout avoids
+    //     ever materializing the hot shuffle partition AQE would then split.
+    val spark = TestSpark.spark
+    val touched = Seq(
+      "spark.sql.adaptive.enabled",
+      "spark.sql.adaptive.skewJoin.enabled",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.autoBroadcastJoinThreshold")
+    val saved = touched.map(k => k -> spark.conf.getOption(k)).toMap
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    // production floor is 256 MB of compressed partition bytes; the test
+    // fact is ~MBs, so lower the floor to observe the split
+    spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "32KB")
+    spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "32KB")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ
+    try {
+      val fact = spark.range(0, 200000).select(
+        when(col("id") % 10 === 0, col("id") % 97).otherwise(lit(0L)).as("k"),
+        col("id").as("v"))
+      val dim = spark.range(0, 97).select(col("id").as("k"), (col("id") * 2).as("w"))
+      // NOTE: a groupBy(k) directly above the join would VETO the split —
+      // splitting the join breaks the hash distribution the same-key
+      // aggregate requires, and AQE won't add a shuffle to force it (that
+      // veto is itself a documented salting case: skewed join feeding a
+      // same-key aggregate → q37). A global aggregate has no distribution
+      // requirement, so the split engages.
+      val joined = fact.join(dim, Seq("k"))
+        .agg(count(lit(1)).as("n"), sum(col("v")).as("sv"))
+      val row = joined.collect().head
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"),
+        s"AQE must mark the skewed sort-merge join:\n${plan.take(1500)}")
+      // correctness under the split: every fact row matches exactly one dim row
+      assert(row.getLong(0) === 200000L)
+      assert(row.getLong(1) === (0L until 200000L).sum)
     } finally {
       saved.foreach {
         case (k, Some(v)) => spark.conf.set(k, v)
