@@ -38,6 +38,20 @@ case class ImageFeatures(
     sum_g: Long,
     sum_b: Long)
 
+/** Sample-level features from a REAL audio decode ([[Media.decodeWavs]]):
+  * the container format fields come from the decoder's parsed header and the
+  * integer sample statistics from the decoded PCM frames.
+  */
+case class AudioFeatures(
+    media_id: Long,
+    sample_rate: Int,
+    channels: Int,
+    bits: Int,
+    n_samples: Long,
+    sum_samples: Long,
+    min_sample: Int,
+    max_sample: Int)
+
 /** Multimodal-column plumbing for a training-data pipeline (SURVEY-adjacent:
   * the operators a 100 TB multimodal corpus needs on top of the relational
   * core).
@@ -190,6 +204,89 @@ object Media {
         }
       }
     }(Encoders.product[ImageFeatures])
+  }
+
+  // ------------------------------------------------------------------ real
+  // audio encode/decode via the JDK's javax.sound.sampled (the WAV reader is
+  // pure header+PCM parsing — no audio device, headless-safe).
+
+  /** The deterministic test waveform: 16-bit signed sample `t` of clip `id`.
+    * Closed-form so a SQL oracle replays the expected sample statistics
+    * without a decoder.
+    */
+  private[graft] def sample(id: Long, t: Int): Int =
+    (((id * 37 + t.toLong * t) % 65536) - 32768).toInt
+
+  private[graft] def nSamples(id: Long): Int = (64 + id % 128).toInt
+
+  /** Render one deterministic mono 16-bit/8 kHz WAV per input id —
+    * executor-side, the encoder per partition.
+    */
+  def renderWavs(ids: DataFrame): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("payload", BinaryType, nullable = false)))
+    val in = ids.select(ids.columns.headOption.map(c => col(c).cast("long"))
+      .getOrElse(sys.error("renderWavs: no id column")))
+    in.mapPartitions { it =>
+      val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+      it.map { row =>
+        val id = row.getLong(0)
+        val n = nSamples(id)
+        val pcm = new Array[Byte](n * 2)
+        var t = 0
+        while (t < n) {
+          val v = sample(id, t)
+          pcm(2 * t) = (v & 0xff).toByte           // little-endian
+          pcm(2 * t + 1) = ((v >> 8) & 0xff).toByte
+          t += 1
+        }
+        val ais = new javax.sound.sampled.AudioInputStream(
+          new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+        val out = new java.io.ByteArrayOutputStream(n * 2 + 64)
+        javax.sound.sampled.AudioSystem.write(ais,
+          javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+        Row(id, out.toByteArray)
+      }
+    }(org.apache.spark.sql.Encoders.row(schema))
+  }
+
+  /** REAL audio decode: the JDK WAV reader parses the container header
+    * (sample rate / channels / bit depth come from the DECODER, not echoed
+    * metadata) and the PCM frames are read back into integer sample
+    * statistics. Batched per partition like the other decode paths.
+    */
+  def decodeWavs(media: DataFrame, batchSize: Int = 64): Dataset[AudioFeatures] = {
+    import org.apache.spark.sql.Row
+    val pruned = media.select(col("media_id").cast("long"), col("payload"))
+    pruned.mapPartitions { (it: Iterator[Row]) =>
+      it.grouped(batchSize).flatMap { batch =>
+        batch.iterator.map { row =>
+          val id = row.getLong(0)
+          val bytes = row.getAs[Array[Byte]](1)
+          val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+            new java.io.ByteArrayInputStream(bytes))
+          try {
+            val f = ais.getFormat
+            require(f.getSampleSizeInBits == 16 && !f.isBigEndian,
+              s"media_id=$id: expected 16-bit little-endian PCM, got $f")
+            val pcm = ais.readAllBytes()
+            val n = pcm.length / 2
+            var (sum, mn, mx) = (0L, Int.MaxValue, Int.MinValue)
+            var t = 0
+            while (t < n) {
+              val v = ((pcm(2 * t + 1) << 8) | (pcm(2 * t) & 0xff))
+              sum += v; if (v < mn) mn = v; if (v > mx) mx = v
+              t += 1
+            }
+            AudioFeatures(id, f.getSampleRate.toInt, f.getChannels,
+              f.getSampleSizeInBits, n.toLong, sum, mn, mx)
+          } finally ais.close()
+        }
+      }
+    }(Encoders.product[AudioFeatures])
   }
 
   /** Image resize — metadata half: a real build rescales pixels; here only the

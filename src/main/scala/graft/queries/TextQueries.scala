@@ -494,5 +494,32 @@ object TextQueries {
       require(nonPng == 0, s"q130: $nonPng payloads did not decode as PNG")
       decoded.select(col("media_id"), col("width"), col("height"),
         col("n_pixels"), col("sum_r"), col("sum_g"), col("sum_b"))
+    },
+
+    // ---------------------------------------------------------------- q136
+    // REAL audio decode (javax.sound.sampled — the WAV reader ships in the
+    // JDK and is pure header+PCM parsing, headless-safe): one deterministic
+    // mono 16-bit/8 kHz clip is synthesized per document id, encoded to WAV
+    // container bytes on the executors, then decoded back by the actual
+    // AudioSystem reader — sample rate / channels / bit depth come from the
+    // PARSED HEADER and the sample statistics from the decoded PCM frames.
+    // The oracle replays the closed-form waveform in SQL (no decoder), so a
+    // hash match proves the bytes round-tripped through a real codec.
+    // Together with q130 this makes image AND audio decode real; only video
+    // (no JDK codec) remains on the byte-level path (q32).
+    Q("q136_audio_decode",
+      """WITH n AS (SELECT doc_id, 64 + doc_id % 128 AS n FROM documents),
+        |s AS (SELECT doc_id, ((doc_id*37 + t.t*t.t) % 65536) - 32768 AS v
+        |      FROM n, LATERAL unnest(generate_series(0, CAST(n.n - 1 AS BIGINT))) t(t))
+        |SELECT doc_id AS media_id, 8000 AS sample_rate, 1 AS channels, 16 AS bits,
+        |  CAST(count(*) AS BIGINT) AS n_samples,
+        |  CAST(SUM(v) AS BIGINT) AS sum_samples,
+        |  CAST(min(v) AS INT) AS min_sample,
+        |  CAST(max(v) AS INT) AS max_sample
+        |FROM s GROUP BY doc_id""".stripMargin) { (s, dir) =>
+      val ids = Tables.load(s, dir, "documents").select(col("doc_id"))
+      Media.decodeWavs(Media.renderWavs(ids)).toDF()
+        .select(col("media_id"), col("sample_rate"), col("channels"), col("bits"),
+          col("n_samples"), col("sum_samples"), col("min_sample"), col("max_sample"))
     })
 }
