@@ -102,5 +102,45 @@ object SketchQueries {
         .orderBy(col("k").desc, col("doc_id").asc)
         .limit(20)
         .select(col("doc_id"), col("lang"), col("n_chars"))
+    },
+
+    // ---------------------------------------------------------------- q137
+    // Misra-Gries heavy hitters (custom typed Aggregator, bounded state):
+    // frequent corpus tokens from ONE pass holding at most k=64 counters
+    // per partial buffer — the frequent-items summary that replaces a
+    // full-cardinality term count at 100 TB. Sketch counter sets are
+    // merge-path dependent, so (q119's pattern) the query REQUIRES the two
+    // MG theorems in-query against exact counts — (1) every term with true
+    // count > n/k is in the summary, (2) true − n/k ≤ estimate ≤ true —
+    // and returns the exact top-10 for the oracle.
+    Q("q137_heavy_hitters_guarded",
+      """WITH tok AS (SELECT unnest(string_split_regex(trim(text), '\s+')) AS term
+        |            FROM documents),
+        |c AS (SELECT term, count(*) AS n_occurrences FROM tok GROUP BY 1)
+        |SELECT term, CAST(n_occurrences AS BIGINT) AS n_occurrences FROM c
+        |ORDER BY n_occurrences DESC, term LIMIT 10""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val k = 64
+      val tok = Tables.load(s, dir, "documents")
+        .select(explode(graft.dedup.MinHashLSH.tokensCol(col("text"))).as("term"))
+      val summary: Map[String, Long] = tok.as[String]
+        .select(new graft.analytics.MisraGries(k).toColumn)
+        .head()
+      val exact = tok.groupBy(col("term")).agg(count(lit(1)).as("n")).localCheckpoint()
+      val n = tok.count()
+      val bound = n / k
+      val mustAppear = exact.filter(col("n") > bound).as[(String, Long)].collect()
+      mustAppear.foreach { case (t, c) =>
+        require(summary.contains(t), s"q137: heavy hitter '$t' ($c > n/k=$bound) missing")
+      }
+      val exactMap = exact.filter(col("term").isin(summary.keys.toSeq: _*))
+        .as[(String, Long)].collect().toMap
+      summary.foreach { case (t, est) =>
+        val truth = exactMap.getOrElse(t, 0L)
+        require(est <= truth && truth - est <= bound,
+          s"q137: estimate for '$t' ($est) outside [${truth - bound}, $truth]")
+      }
+      exact.orderBy(col("n").desc, col("term").asc).limit(10)
+        .select(col("term"), col("n").as("n_occurrences"))
     })
 }

@@ -56,4 +56,34 @@ class SketchSpec extends AnyFunSuite {
     val rate = n.toDouble / total
     assert(rate > 0.07 && rate < 0.13, s"sample rate $rate")
   }
+
+  test("Misra-Gries theorems hold under arbitrary merge trees") {
+    val k = 4
+    val mg = new graft.analytics.MisraGries(k)
+    // deterministic skewed stream: 'hot' dominates, mid-weight terms, a
+    // long tail of singletons — the shape the decrement step must survive
+    val stream: Seq[String] =
+      Seq.fill(120)("hot") ++ Seq.fill(40)("warm") ++ Seq.fill(25)("mild") ++
+        (0 until 80).map(i => s"tail${i % 37}") ++ Seq.fill(15)("warm")
+    val n = stream.length.toLong
+    val exact = stream.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    def check(summary: Map[String, Long]): Unit = {
+      exact.foreach { case (t, c) =>
+        if (c > n / k) assert(summary.contains(t), s"heavy '$t' ($c > ${n / k}) missing")
+      }
+      summary.foreach { case (t, est) =>
+        val truth = exact.getOrElse(t, 0L)
+        assert(est <= truth && truth - est <= n / k, s"'$t': est=$est true=$truth")
+      }
+      assert(summary.size <= k, "bounded state")
+    }
+    // single sequential pass
+    check(stream.foldLeft(mg.zero)(mg.reduce))
+    // two different merge trees over 7 uneven chunks
+    val chunks = Seq(stream.take(13), stream.slice(13, 50), stream.slice(50, 51),
+      stream.slice(51, 120), stream.slice(120, 200), stream.slice(200, 230),
+      stream.drop(230)).map(_.foldLeft(mg.zero)(mg.reduce))
+    check(chunks.reduceLeft(mg.merge))
+    check(chunks.reduceRight(mg.merge))
+  }
 }
