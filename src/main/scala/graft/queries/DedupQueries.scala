@@ -373,7 +373,8 @@ object DedupQueries {
       VersionedTable.write(
         Upsert.merge(VersionedTable.read(s, table), delta, Seq("doc_id", "band")), table)
       val got = VersionedTable.read(s, table).localCheckpoint()
-      val full = bandsOf(docs)
+      // materialize the recompute once — both exceptAll directions read it
+      val full = bandsOf(docs).localCheckpoint()
       require(got.exceptAll(full).isEmpty && full.exceptAll(got).isEmpty,
         "q135: delta-maintained index must equal the full recompute")
       got

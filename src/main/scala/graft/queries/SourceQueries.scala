@@ -489,7 +489,11 @@ object SourceQueries {
       val (loK, hiK, loD, hiD) = (mm.getLong(0), mm.getLong(1), mm.getLong(2), mm.getLong(3))
       val span = hiK - loK
       val (bandLo, bandHi) = (loK + span / 4, loK + span / 4 + span / 20)
-      val blockBytes = 2L * 1024
+      // ~2 KiB groups give dozens of pruning units at sf0.001; at larger SFs
+      // the same granularity target (~1000 groups) is met with bigger groups
+      // — thousands of 2 KiB groups would just tax the writer and footers
+      val nRows = li.count()
+      val blockBytes = math.max(2L * 1024, nRows * 12 / 1000)
       val zPath = scratch(s, dir, "q132_z")
       val linPath = scratch(s, dir, "q132_lin")
       Layout.zOrderWrite(li, zPath,
@@ -506,7 +510,7 @@ object SourceQueries {
         df.collect()
         df.queryExecution.executedPlan.collectLeaves().head.metrics("numOutputRows").value
       }
-      val total = li.count()
+      val total = nRows
       val zKey = scannedRows(zPath, keyPred)
       val zDay = scannedRows(zPath, dayPred)
       val linKey = scannedRows(linPath, keyPred)
