@@ -111,6 +111,16 @@ object VersionedTable {
   def exists(spark: SparkSession, dir: String): Boolean =
     currentVersion(spark, dir).nonEmpty
 
+  /** The live version's immutable data dir (for path-level readers like
+    * [[DataSkipping.pruneBetween]]). Fails fast if no complete version
+    * exists.
+    */
+  def liveDir(spark: SparkSession, dir: String): String = {
+    val v = currentVersion(spark, dir).getOrElse(
+      sys.error(s"VersionedTable.liveDir($dir): no complete snapshot"))
+    verDir(dir, v).toString
+  }
+
   /** Read the live snapshot. Fails fast if no complete version exists. */
   def read(spark: SparkSession, dir: String): DataFrame = {
     val v = currentVersion(spark, dir).getOrElse(
@@ -160,8 +170,15 @@ object VersionedTable {
     * version number. The input may lazily read THIS table's live version —
     * that dir is immutable and survives until [[gc]], so the
     * read-merge-write cycle needs no localCheckpoint.
+    *
+    * `statsCols` additionally builds the [[DataSkipping]] per-file min/max
+    * index inside the staged version dir (before the flip, so a version is
+    * never live without its index) — reads via [[liveDir]] +
+    * [[DataSkipping.pruneBetween]] then plan over only the files whose
+    * stats admit the predicate.
     */
-  def write(df: DataFrame, dir: String, txn: Map[String, Long] = Map.empty): Long = {
+  def write(df: DataFrame, dir: String, txn: Map[String, Long] = Map.empty,
+      statsCols: Seq[String] = Nil): Long = {
     val spark = df.sparkSession
     val fs = fsOf(spark, dir)
     val cur = currentVersion(spark, dir)
@@ -173,6 +190,7 @@ object VersionedTable {
     val vd = verDir(dir, next)
     df.write.mode(SaveMode.Overwrite).parquet(vd.toString)
     require(complete(fs, vd), s"stage $vd missing _SUCCESS after write")
+    if (statsCols.nonEmpty) DataSkipping.writeStats(spark, vd.toString, statsCols)
     // transaction markers: carry the live version's map forward (so gc of
     // old versions never loses the last-applied batchId) and overlay this
     // write's own txn. Written BEFORE the flip: a version reachable via the

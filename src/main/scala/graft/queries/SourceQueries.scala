@@ -541,5 +541,46 @@ object SourceQueries {
           z.filter(dayPred)
             .agg(count(lit(1)).as("n_rows"), sum(col("l_orderkey")).cast("bigint").as("key_sum"))
             .select(lit("day_band").as("pred"), col("n_rows"), col("key_sum")))
+    },
+
+    // ---------------------------------------------------------------- q138
+    // File-level data skipping (the Delta stats-index pattern): lineitem is
+    // snapshotted through VersionedTable range-clustered on ship_day with a
+    // per-file min/max index built INSIDE the version dir, and a one-month
+    // band read plans over only the files whose stats admit the band. Row-
+    // group pruning (q132) still opens every footer; this index decides from
+    // a KB-sized side table which files to LIST — the decision that matters
+    // when 100 TB is millions of files. Contract required in-query: the band
+    // selects at most half the files (with at least 4 on disk, so "half" is
+    // meaningful); the oracle proves the pruned+residual read returns
+    // exactly the full filter's rows.
+    Q("q138_fileskip_index",
+      """SELECT l_returnflag, count(*) AS n_rows,
+        |  CAST(SUM(l_orderkey) AS BIGINT) AS key_sum
+        |FROM lineitem
+        |WHERE CAST(l_shipdate AS DATE) >= DATE '1996-06-01'
+        |  AND CAST(l_shipdate AS DATE) < DATE '1996-07-01'
+        |GROUP BY 1""".stripMargin) { (s, dir) =>
+      import graft.ops.{DataSkipping, VersionedTable}
+      val path = scratch(s, dir, "q138")
+      val li = Tables.load(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_returnflag"),
+          to_date(col("l_shipdate")).as("ship_day"))
+      // layout must cluster the stats column or nothing prunes (every file
+      // would span the full range) — same rule as Delta's ZORDER+stats pairing
+      VersionedTable.write(li.repartitionByRange(8, col("ship_day")), path,
+        statsCols = Seq("ship_day"))
+      val (pruned, selected, total) = DataSkipping.pruneBetween(
+        s, VersionedTable.liveDir(s, path), "ship_day",
+        to_date(lit("1996-06-01")), to_date(lit("1996-06-30")))
+      require(total >= 4, s"q138: expected a multi-file layout, got $total files")
+      require(selected * 2 <= total,
+        s"q138: stats index must skip half the files: selected $selected of $total")
+      pruned
+        .filter(col("ship_day") >= to_date(lit("1996-06-01")) &&
+          col("ship_day") < to_date(lit("1996-07-01")))
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("l_orderkey")).cast("bigint").as("key_sum"))
     })
 }

@@ -142,4 +142,48 @@ class VersionedTableSpec extends AnyFunSuite {
     assert(VersionedTable.writeCommitted(Seq((9L, "dup")).toDF("k", "v"), dir, "app", 1L).isEmpty)
     assert(VersionedTable.txnHistory(spark, dir, "app").flatMap(_._2) === Seq(0L, 1L))
   }
+
+  test("data-skipping index: pruned band read is exact, conservative, and skips files") {
+    import graft.ops.DataSkipping
+    import org.apache.spark.sql.functions._
+    val dir = TestSpark.tmpDir("vt9") + "/t"
+    // 1000 keys range-clustered into 8 files; stats on k inside the version dir
+    val df = spark.range(0, 1000).select(col("id").as("k"), (col("id") % 7).as("v"))
+    VersionedTable.write(df.repartitionByRange(8, col("k")), dir, statsCols = Seq("k"))
+    val live = VersionedTable.liveDir(spark, dir)
+    assert(fs(dir).exists(new Path(live, DataSkipping.StatsDir)))
+    val (pruned, selected, total) = DataSkipping.pruneBetween(
+      spark, live, "k", lit(200L), lit(299L))
+    assert(total === 8)
+    assert(selected < total, "a one-decile band must not select every file")
+    // exactness: pruned scan + residual predicate == full filter
+    val got = pruned.filter(col("k").between(200, 299)).agg(
+      count(lit(1)), sum(col("k"))).head()
+    assert(got.getLong(0) === 100L)
+    assert(got.getLong(1) === (200L to 299L).sum)
+    // provably-empty band: zero files selected, empty frame with the schema
+    val (none, sel0, _) = DataSkipping.pruneBetween(
+      spark, live, "k", lit(5000L), lit(6000L))
+    assert(sel0 === 0)
+    assert(none.schema.fieldNames.toSeq === Seq("k", "v"))
+    assert(none.count() === 0L)
+  }
+
+  test("data-skipping index: files with NULL stats are kept (conservative)") {
+    import graft.ops.DataSkipping
+    import org.apache.spark.sql.functions._
+    val dir = TestSpark.tmpDir("vt10") + "/t"
+    // file A: k in [0,9]; file B: all-NULL k — its min/max stats are NULL and
+    // no predicate may skip it
+    val a = spark.range(0, 10).select(col("id").as("k"), lit("a").as("v"))
+    val b = spark.range(0, 3).select(lit(null).cast("long").as("k"), lit("b").as("v"))
+    VersionedTable.write(
+      a.coalesce(1).unionByName(b.coalesce(1)).repartitionByRange(2, col("v")),
+      dir, statsCols = Seq("k"))
+    val (pruned, selected, total) = DataSkipping.pruneBetween(
+      spark, VersionedTable.liveDir(spark, dir), "k", lit(100L), lit(200L))
+    assert(total === 2)
+    assert(selected === 1, "the all-NULL-stats file must survive pruning")
+    assert(pruned.count() === 3L)
+  }
 }
