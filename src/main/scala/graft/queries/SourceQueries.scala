@@ -582,5 +582,40 @@ object SourceQueries {
         .groupBy(col("l_returnflag"))
         .agg(count(lit(1)).as("n_rows"),
           sum(col("l_orderkey")).cast("bigint").as("key_sum"))
+    },
+
+    // ---------------------------------------------------------------- q139
+    // DSv2 filter pushdown: a two-week `trade_date` band against a 91-day
+    // configured window must narrow the fetch AT PLANNING TIME — the scan
+    // plans 12 input partitions (one per date in the band), not 91. For a
+    // REST source partition pruning IS request pruning: each pruned date is
+    // an HTTP call that never happens, which at backfill scale is the
+    // difference between 12 and 3 650 requests. The filter is also
+    // re-applied row-level (pushdown stays conservative), and the oracle
+    // recomputes the surviving rows from date arithmetic.
+    Q("q139_dsv2_filter_pushdown",
+      """WITH days AS (
+        |  SELECT CAST(d AS DATE) AS trade_date
+        |  FROM generate_series(DATE '2024-02-05', DATE '2024-02-16', INTERVAL 1 DAY) t(d)
+        |  WHERE datediff('day', DATE '1970-01-01', CAST(d AS DATE)) % 7 NOT IN (2, 3)
+        |),
+        |tick AS (SELECT CAST(i + 1 AS INT) AS i FROM range(20) t(i))
+        |SELECT trade_date,
+        |  'S' || CAST(i AS VARCHAR) AS symbol,
+        |  round(CAST(3 * i + day(trade_date) AS DOUBLE), 6) AS close,
+        |  CAST(1000 * i + day(trade_date) AS BIGINT) AS volume
+        |FROM days CROSS JOIN tick""".stripMargin) { (s, dir) =>
+      import graft.source.{EodDsv2, SyntheticEodTransport}
+      val transport = classOf[SyntheticEodTransport].getName
+      val raw = EodDsv2.readRaw(s, "2024-01-01", "2024-03-31", transport)
+        .filter(col("trade_date").between(
+          lit("2024-02-05").cast("date"), lit("2024-02-16").cast("date")))
+      // the pushdown contract: 12 partitions (the band), not 91 (the window)
+      require(raw.rdd.getNumPartitions == 12,
+        s"q139: expected 12 pruned input partitions, got ${raw.rdd.getNumPartitions}")
+      EodDsv2.parseGroupedDaily(raw)
+        .select(col("trade_date"), col("symbol"),
+          round(col("close").cast("double"), 6).as("close"),
+          col("volume").cast("bigint").as("volume"))
     })
 }

@@ -81,12 +81,79 @@ private[source] class EodRestTable(options: CaseInsensitiveStringMap)
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ)
   override def newScanBuilder(caseInsensitiveStringMap: CaseInsensitiveStringMap): ScanBuilder =
-    () => new EodRestScan(
+    new EodRestScanBuilder(
       Option(options.get("startDate")).getOrElse(sys.error("startDate option required")),
       Option(options.get("endDate")).getOrElse(sys.error("endDate option required")),
       Option(options.get("transport")).getOrElse(sys.error("transport option required")),
       options.getInt("maxRetries", RestFetch.MaxRetries),
       options.getDouble("backoffFactor", RestFetch.BackoffFactor))
+}
+
+/** Filter pushdown into the connector: `trade_date` range predicates narrow
+  * the fetch window AT PLANNING TIME, so a query for two weeks against a
+  * ten-year configured range plans ~10 input partitions instead of ~3 650 —
+  * for a REST source, partition pruning IS request pruning (every pruned
+  * date is an HTTP call that never happens). Catalyst pushes the dataset's
+  * `filter` here via V2ScanRelationPushDown; unsupported shapes are simply
+  * not consumed. All filters are returned as residual — Spark re-applies
+  * them row-level, so pruning stays a conservative superset and a
+  * mis-narrowed window can only fail loudly (missing rows vs the oracle),
+  * never silently pass wrong rows.
+  */
+private[source] class EodRestScanBuilder(startDate: String, endDate: String,
+    transportClass: String, maxRetries: Int, backoffFactor: Double)
+    extends ScanBuilder with SupportsPushDownFilters {
+  import java.time.LocalDate
+  import org.apache.spark.sql.sources._
+
+  private var lo = LocalDate.parse(startDate)
+  private var hi = LocalDate.parse(endDate)
+  private var accepted = Array.empty[Filter]
+
+  /** DateType filter values arrive as java.sql.Date (legacy API) or
+    * java.time.LocalDate (datetime.java8API) — accept both, skip the rest.
+    */
+  private def asDate(v: Any): Option[LocalDate] = v match {
+    case d: java.sql.Date => Some(d.toLocalDate)
+    case d: LocalDate => Some(d)
+    case _ => None
+  }
+
+  private def narrow(f: Filter): Boolean = f match {
+    case EqualTo("trade_date", v) => asDate(v).exists { d =>
+      if (d.isAfter(lo)) lo = d
+      if (d.isBefore(hi)) hi = d
+      true
+    }
+    case GreaterThan("trade_date", v) => asDate(v).exists { d =>
+      if (!d.plusDays(1).isBefore(lo)) lo = d.plusDays(1); true
+    }
+    case GreaterThanOrEqual("trade_date", v) => asDate(v).exists { d =>
+      if (d.isAfter(lo)) lo = d; true
+    }
+    case LessThan("trade_date", v) => asDate(v).exists { d =>
+      if (!d.minusDays(1).isAfter(hi)) hi = d.minusDays(1); true
+    }
+    case LessThanOrEqual("trade_date", v) => asDate(v).exists { d =>
+      if (d.isBefore(hi)) hi = d; true
+    }
+    case _ => false
+  }
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    accepted = filters.filter(narrow)
+    filters // all residual: Spark re-applies row-level (conservative pruning)
+  }
+  override def pushedFilters(): Array[Filter] = accepted
+
+  override def build(): Scan =
+    if (hi.isBefore(lo)) // provably-empty window: zero partitions, zero fetches
+      new EodRestScan(lo.toString, lo.toString, transportClass, maxRetries,
+        backoffFactor) {
+        override def planInputPartitions(): Array[InputPartition] = Array.empty
+      }
+    else new EodRestScan(lo.toString, hi.toString, transportClass, maxRetries,
+      backoffFactor)
 }
 
 private[source] class EodRestScan(startDate: String, endDate: String,

@@ -64,6 +64,27 @@ class EodDsv2Spec extends AnyFunSuite {
       Option(e.getCause).exists(_.getMessage.contains("HTTP 503")))
   }
 
+  test("filter pushdown prunes date partitions; conservative on boundaries") {
+    import org.apache.spark.sql.functions._
+    val wide = EodDsv2.readRaw(spark, "2024-01-01", "2024-03-31", synthetic)
+    // band filter narrows 91 partitions to 10 at PLANNING time
+    val band = wide.filter(col("trade_date").between(
+      lit("2024-01-15").cast("date"), lit("2024-01-24").cast("date")))
+    assert(band.rdd.getNumPartitions === 10)
+    assert(band.select(countDistinct(col("trade_date"))).head().getLong(0) === 10L)
+    // strict bounds exclude their endpoint day
+    val strict = wide.filter(col("trade_date") > lit("2024-01-15").cast("date") &&
+      col("trade_date") < lit("2024-01-18").cast("date"))
+    assert(strict.rdd.getNumPartitions === 2)
+    // provably-empty window plans ZERO partitions (zero fetches)
+    val empty = wide.filter(col("trade_date") > lit("2024-04-15").cast("date"))
+    assert(empty.rdd.getNumPartitions === 0)
+    assert(empty.count() === 0L)
+    // non-date predicates are not consumed and prune nothing
+    val other = wide.filter(col("status") === 200)
+    assert(other.rdd.getNumPartitions === 91)
+  }
+
   test("backfillFromRest: parallel fetch staged to bronze, replayed causally") {
     val wh = TestSpark.tmpDir("whdsv2")
     val stage = TestSpark.tmpDir("bronzedsv2")
