@@ -130,5 +130,51 @@ object JoinQueries {
         .agg(round(sum(col("l_extendedprice").cast("decimal(18,6)"))
             .cast("decimal(38,6)").cast("double"), 6).as("revenue"),
           count(lit(1)).as("n_rows"))
+    },
+
+    // ---------------------------------------------------------------- q140
+    // Bloom-filter runtime join pruning (Spark's InjectRuntimeFilter /
+    // Trino dynamic-filter pattern, built from this engine's own pieces):
+    // the BUILDING customer keys aggregate into a bit set (one
+    // combiner-friendly pass, fixed state), and the codegen'd membership
+    // probe drops non-joining orders INSIDE their scan stage — before the
+    // join exchange, which is where the 100 TB win lives (the dropped rows
+    // never shuffle). Bloom false positives are removed by the exact join
+    // that follows, so the result is exact for any filter quality; a false
+    // negative is impossible by construction, and WOULD turn the oracle row
+    // red (the result would miss rows). The join is forced to shuffle
+    // (merge hint) because that is the shape runtime filters exist for —
+    // a broadcastable build side wouldn't need one. Contract required
+    // in-query: the probe passes at most 35 % of orders (~1/5 segment
+    // share + ~1 % false-positive rate).
+    Q("q140_bloom_join_pruning",
+      """SELECT o_orderpriority, count(*) AS n_orders,
+        |  CAST(SUM(o_orderkey) AS BIGINT) AS key_sum
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |GROUP BY 1""".stripMargin) { (s, dir) =>
+      import graft.functions.{Bloom, BloomBuild}
+      import s.implicits._
+      val k = 5
+      val cust = Tables.load(s, dir, "customer")
+        .filter(col("c_mktsegment") === "BUILDING")
+        .select(col("c_custkey").cast("long").as("c_custkey"))
+      val nBuild = cust.count()
+      val bits: Array[Long] = cust
+        .select(xxhash64(col("c_custkey")).as("h")).as[Long]
+        .select(new graft.functions.BloomBuild(Bloom.sizeBits(nBuild), k).toColumn)
+        .head()
+      val orders = Tables.load(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderpriority"),
+          col("o_custkey").cast("long").as("o_custkey"))
+      val pass = orders.filter(
+        Bloom.mightContainCol(xxhash64(col("o_custkey")), bits, k))
+      val (nPass, nTotal) = (pass.count(), orders.count())
+      require(nPass * 100 <= nTotal * 35,
+        s"q140: bloom must prune the probe side: passed $nPass of $nTotal")
+      pass.hint("merge").join(cust, pass("o_custkey") === cust("c_custkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("o_orderkey")).cast("bigint").as("key_sum"))
     })
 }

@@ -95,4 +95,27 @@ class FunctionsSpec extends AnyFunSuite {
     assert(df.queryExecution.executedPlan.toString.contains("*("),
       "jaro_winkler must run inside WholeStageCodegen")
   }
+
+  test("Bloom runtime filter: no false negatives, bounded false positives, codegen'd") {
+    import graft.functions.{Bloom, BloomBuild}
+    import org.apache.spark.sql.functions._
+    val k = 5
+    val m = Bloom.sizeBits(1000)
+    // build over keys 0..999, probe over 0..9999
+    val build = spark.range(0, 1000).select(xxhash64(col("id")).as("h")).as[Long]
+    val bits = build.select(new BloomBuild(m, k).toColumn).head()
+    val probe = spark.range(0, 10000)
+      .select(col("id"), Bloom.mightContainCol(xxhash64(col("id")), bits, k).as("hit"))
+    probe.collect()
+    assert(probe.queryExecution.executedPlan.toString.contains("*("),
+      "bloom probe must run inside WholeStageCodegen")
+    val members = probe.filter(col("id") < 1000)
+    assert(members.filter(!col("hit")).count() === 0L,
+      "false negatives are impossible by construction")
+    val fp = probe.filter(col("id") >= 1000 && col("hit")).count()
+    assert(fp < 9000 * 5 / 100, s"~1% fp expected at 10 bits/key, got $fp of 9000")
+    // interpreted eval agrees with codegen (the nullSafeEval path)
+    assert(Bloom.mightContain(bits, k,
+      members.select(xxhash64(col("id"))).head().getLong(0)))
+  }
 }
