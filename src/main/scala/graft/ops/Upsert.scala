@@ -41,6 +41,27 @@ object Upsert {
     target.unionByName(fresh.select(target.columns.map(col).toIndexedSeq: _*))
   }
 
+  /** Apply a CDC changefeed — ops I(nsert)/U(pdate)/D(elete), each change
+    * stamped with a monotone per-key sequence — to a target snapshot: the
+    * full MERGE shape (Debezium feed → Delta `MERGE WHEN MATCHED [AND
+    * op='D'] THEN DELETE`), one step past [[merge]]'s upsert-only form.
+    *
+    * Latest change per key wins (seq desc, so late re-deliveries and
+    * superseded intermediates collapse BEFORE touching the target — the
+    * changefeed compaction every CDC consumer does); a winning D removes
+    * the key, a winning I/U upserts its payload. One window shuffle over
+    * the (small) changefeed + the same anti-join the upsert path uses: the
+    * TB-sized target still never shuffles when the feed is broadcast-sized.
+    */
+  def applyCdc(target: DataFrame, changes: DataFrame, keys: Seq[String],
+      opCol: String = "op", seqCol: String = "seq"): DataFrame = {
+    val latest = Dedup.latestBy(changes, keys.map(col), Seq(col(seqCol)))
+    val survivors = target.join(latest.select(keys.map(col): _*).distinct(), keys, "left_anti")
+    survivors.unionByName(
+      latest.filter(col(opCol) =!= "D")
+        .select(target.columns.map(col).toIndexedSeq: _*))
+  }
+
   /** Atomic-enough snapshot rewrite: Spark cannot overwrite a path it is lazily
     * reading, so materialize to a staging dir, then swap directories. Callers
     * pass the *merged* frame (which still reads the old snapshot lazily).

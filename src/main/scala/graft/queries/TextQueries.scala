@@ -521,5 +521,146 @@ object TextQueries {
       Media.decodeWavs(Media.renderWavs(ids)).toDF()
         .select(col("media_id"), col("sample_rate"), col("channels"), col("bits"),
           col("n_samples"), col("sum_samples"), col("min_sample"), col("max_sample"))
+    },
+
+    // ---------------------------------------------------------------- q141
+    // BM25 impact index (Robertson-Sparck Jones / Okapi, k1=1.2 b=0.75) in
+    // RATIONAL form: the per-(term, doc) relevance weights an inverted-index
+    // builder materializes, for the corpus's 3 highest-df terms, top-10 docs
+    // per term on the bounded-heap TopKPerGroup operator. The textbook
+    // formula's log-idf would sum libm doubles; instead both idf and the
+    // length normalization are cleared of fractions — numerator
+    // (2N-2df+1)·22·T·tf and denominator (2df+1)·(10·T·tf + 3·T + 9·N·dl)
+    // are exact BIGINTs (scale by 2 for the ±0.5, by 10·T for k1=1.2,
+    // b=0.75, avgdl=T/N) — so ranking needs ONE double division both
+    // engines agree on bit-for-bit. High weight = rare term, short doc,
+    // high tf: the ranking BM25's monotone log preserves.
+    Q("q141_bm25_index",
+      """WITH tok AS (SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS term
+        |            FROM documents),
+        |n AS (SELECT count(*) AS n_docs FROM documents),
+        |t AS (SELECT count(*) AS n_tok FROM tok),
+        |dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY 1),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+        |df AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok GROUP BY 1),
+        |qt AS (SELECT term FROM df ORDER BY df DESC, term LIMIT 3),
+        |sc AS (SELECT tf.term, tf.doc_id,
+        |    (2*n.n_docs - 2*df.df + 1) * 22 * t.n_tok * tf.tf AS num,
+        |    (2*df.df + 1) * (10 * t.n_tok * tf.tf + 3 * t.n_tok + 9 * n.n_docs * dl.dl) AS den
+        |  FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN n CROSS JOIN t)
+        |SELECT term, doc_id, bm25, rank FROM (
+        |  SELECT sc.term, sc.doc_id,
+        |    round(CAST(num AS DOUBLE) / CAST(den AS DOUBLE), 6) AS bm25,
+        |    CAST(row_number() OVER (PARTITION BY sc.term
+        |      ORDER BY round(CAST(num AS DOUBLE) / CAST(den AS DOUBLE), 6) DESC,
+        |               sc.doc_id) AS INT) AS rank
+        |  FROM sc JOIN qt USING (term))
+        |WHERE rank <= 10""".stripMargin) { (s, dir) =>
+      val tok = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), explode(graft.dedup.MinHashLSH.tokensCol(col("text"))).as("term"))
+        .localCheckpoint() // five aggregations read it; don't re-tokenize
+      val n = tok.select(col("doc_id")).distinct().count() // == corpus docs (every doc tokenizes)
+      val nTok = tok.count()
+      val dl = tok.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+      val tf = tok.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+      val dfreq = tok.distinct().groupBy(col("term")).agg(count(lit(1)).as("df"))
+      val qt = dfreq.orderBy(col("df").desc, col("term").asc).limit(3).select(col("term"))
+      val sc = tf.join(dfreq, Seq("term")).join(dl, Seq("doc_id"))
+        .select(col("term"), col("doc_id"),
+          ((lit(2) * n - lit(2) * col("df") + 1) * 22 * nTok * col("tf")).as("num"),
+          ((lit(2) * col("df") + 1) *
+            (lit(10) * nTok * col("tf") + lit(3) * nTok + lit(9) * n * col("dl"))).as("den"))
+        .join(broadcast(qt), Seq("term"))
+        .select(col("term"), col("doc_id"),
+          round(col("num").cast("double") / col("den").cast("double"), 6).as("bm25"))
+      graft.plans.TopK.perGroup(sc, Seq("term"),
+        Seq(("bm25", true), ("doc_id", false)), 10)
+    },
+
+    // ---------------------------------------------------------------- q143
+    // Full CDC apply (MERGE with deletes): a changefeed of I/U/D changes,
+    // each stamped with a per-key sequence — including a superseded early
+    // update and a duplicate re-delivery of the delete — applied to a
+    // customer snapshot. Latest-per-key compaction collapses the feed, a
+    // winning D removes the key, I/U upserts; the oracle recomputes the
+    // final state from set algebra alone, proving the stale update lost,
+    // the re-delivered delete applied once, and untouched rows survived.
+    Q("q143_cdc_apply",
+      """WITH base AS (SELECT c_custkey, c_name FROM customer WHERE c_custkey <= 300)
+        |SELECT c_custkey, c_name FROM base WHERE c_custkey % 10 NOT IN (3, 4, 5)
+        |UNION ALL
+        |SELECT c_custkey, c_name || '#v2' FROM base WHERE c_custkey % 10 IN (4, 5)
+        |UNION ALL
+        |SELECT 20000 + i, 'INS' || CAST(i AS VARCHAR) FROM range(1, 31) t(i)""".stripMargin) { (s, dir) =>
+      import graft.ops.Upsert
+      val base = Tables.load(s, dir, "customer")
+        .filter(col("c_custkey") <= 300)
+        .select(col("c_custkey"), col("c_name"))
+      def ch(rows: org.apache.spark.sql.DataFrame, op: String, seq: Int) =
+        rows.select(col("c_custkey"), col("c_name"), lit(op).as("op"), lit(seq).as("seq"))
+      val changes =
+        // superseded early update: must lose to the seq-2 rewrite
+        ch(base.filter(col("c_custkey") % 10 === 4)
+          .withColumn("c_name", concat(col("c_name"), lit("#stale"))), "U", 1)
+        .unionByName(ch(base.filter(col("c_custkey") % 10 === 4 || col("c_custkey") % 10 === 5)
+          .withColumn("c_name", concat(col("c_name"), lit("#v2"))), "U", 2))
+        // delete, delivered twice (same seq — at-least-once feed)
+        .unionByName(ch(base.filter(col("c_custkey") % 10 === 3), "D", 2))
+        .unionByName(ch(base.filter(col("c_custkey") % 10 === 3), "D", 2))
+        .unionByName(ch(s.range(1, 31).toDF("i")
+          .select((col("i") + 20000).as("c_custkey"),
+            concat(lit("INS"), col("i").cast("string")).as("c_name")), "I", 1))
+      Upsert.applyCdc(base, changes, Seq("c_custkey"))
+    },
+
+    // ---------------------------------------------------------------- q144
+    // PMI collocations (Church & Hanks '90) — the phrase-mining signal a
+    // tokenizer-vocabulary builder ranks merge candidates by — in RATIONAL
+    // lift form: PMI's log is monotone, so ranking by
+    // lift = c(ab)·N_uni² / (N_bi·c(a)·c(b)) orders identically while every
+    // factor stays an exact BIGINT and the one double division agrees
+    // bit-for-bit across engines (q113/q141's discipline). Adjacent-pair
+    // counts come from one positional self-join per doc (pos+1), unigram
+    // counts from the same tokenization; min support 5 kills the
+    // singleton-pair noise PMI is notorious for. Top-20 by (lift, pair) is
+    // a global bounded top-k (TakeOrdered — per-partition heaps, k-row
+    // merge, no full sort).
+    Q("q144_pmi_collocations",
+      """WITH d AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS l FROM documents),
+        |t AS (SELECT doc_id, unnest(l) AS term, generate_subscripts(l, 1) AS pos FROM d),
+        |uni AS (SELECT term, count(*) AS c FROM t GROUP BY 1),
+        |nu AS (SELECT count(*) AS n_uni FROM t),
+        |bg AS (SELECT a.term AS term_a, b.term AS term_b, count(*) AS n_ab
+        |       FROM t a JOIN t b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+        |       GROUP BY 1, 2),
+        |nb AS (SELECT CAST(sum(n_ab) AS BIGINT) AS n_bi FROM bg)
+        |SELECT term_a, term_b, n_ab,
+        |  round(CAST(n_ab * n_uni * n_uni AS DOUBLE)
+        |        / CAST(n_bi * ua.c * ub.c AS DOUBLE), 6) AS lift
+        |FROM bg JOIN uni ua ON ua.term = bg.term_a
+        |        JOIN uni ub ON ub.term = bg.term_b
+        |        CROSS JOIN nu CROSS JOIN nb
+        |WHERE n_ab >= 5
+        |ORDER BY lift DESC, term_a, term_b LIMIT 20""".stripMargin) { (s, dir) =>
+      val tok = Tables.load(s, dir, "documents")
+        .select(col("doc_id"),
+          posexplode(graft.dedup.MinHashLSH.tokensCol(col("text"))).as(Seq("pos", "term")))
+        .localCheckpoint() // unigrams + both bigram sides read it
+      val nUni = tok.count()
+      val uni = tok.groupBy(col("term")).agg(count(lit(1)).as("c"))
+      val bg = tok.select(col("doc_id"), col("pos"), col("term").as("term_a"))
+        .join(tok.select(col("doc_id"), (col("pos") - 1).as("pos"), col("term").as("term_b")),
+          Seq("doc_id", "pos"))
+        .groupBy(col("term_a"), col("term_b")).agg(count(lit(1)).as("n_ab"))
+        .localCheckpoint() // n_bi total + the scored rows both read it
+      val nBi = bg.agg(sum(col("n_ab")).cast("long")).head().getLong(0)
+      bg.filter(col("n_ab") >= 5)
+        .join(uni.select(col("term").as("term_a"), col("c").as("__ca")), Seq("term_a"))
+        .join(uni.select(col("term").as("term_b"), col("c").as("__cb")), Seq("term_b"))
+        .select(col("term_a"), col("term_b"), col("n_ab"),
+          round((col("n_ab") * nUni * nUni).cast("double") /
+            (lit(nBi) * col("__ca") * col("__cb")).cast("double"), 6).as("lift"))
+        .orderBy(col("lift").desc, col("term_a").asc, col("term_b").asc)
+        .limit(20)
     })
 }

@@ -45,6 +45,24 @@ class OpsSpec extends AnyFunSuite {
     assert(once.exceptAll(twice).isEmpty && twice.exceptAll(once).isEmpty)
   }
 
+  test("applyCdc: latest change per key wins; D deletes, I/U upsert, replays collapse") {
+    val target = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "name")
+    val changes = Seq(
+      (2L, "b-stale", "U", 1), (2L, "b2", "U", 2), // superseded update loses
+      (3L, "c", "D", 2), (3L, "c", "D", 2),        // delete, delivered twice
+      (4L, "d", "I", 1),                           // plain insert
+      (5L, "ghost", "D", 1)                        // delete of an absent key: no-op
+    ).toDF("k", "name", "op", "seq")
+    val out = Upsert.applyCdc(target, changes, Seq("k")).orderBy("k")
+      .as[(Long, String)].collect()
+    assert(out === Array((1L, "a"), (2L, "b2"), (4L, "d")))
+    // idempotence: re-applying the same compacted feed changes nothing
+    val again = Upsert.applyCdc(
+      Upsert.applyCdc(target, changes, Seq("k")), changes, Seq("k"))
+    assert(again.orderBy("k").as[(Long, String)].collect()
+      === Array((1L, "a"), (2L, "b2"), (4L, "d")))
+  }
+
   test("J6: insertMissing never updates, only appends absent keys") {
     val target = Seq((1L, "keep")).toDF("k", "v")
     val source = Seq((1L, "clobber"), (2L, "new")).toDF("k", "v")
