@@ -308,5 +308,104 @@ object VectorQueries {
           round((col("s2").cast("double") -
             col("s1").cast("double") * col("s1").cast("double") / col("n")) / col("n"), 6)
             .as("variance"))
+    },
+
+    // ---------------------------------------------------------------- q142
+    // SemDeDup (Abbas et al. '23): semantic near-duplicate removal over
+    // embeddings — cluster, then drop all but the lowest id of every
+    // intra-cluster pair with cosine >= 0.3 (the q27 near-dup threshold on
+    // this corpus). Clustering is the one-pass content-addressed variant
+    // (8 md5-chosen seed vectors, max-cosine assignment) precisely so the
+    // DuckDB oracle can replay EVERY step — a Lloyd's loop would be
+    // oracle-opaque. Cosines are bit-identical across engines (in-order
+    // dot-product fold), so assignment, pairing, and the survivor set all
+    // hash-match.
+    Q("q142_semdedup", {
+      val frac = graft.functions.ContentHash.oracleFrac("vec_id")
+      s"""WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |seeds AS (SELECT vec_id AS seed_id, v AS sv FROM c
+        |          QUALIFY row_number() OVER (ORDER BY $frac, vec_id) <= 8),
+        |asg AS (SELECT vec_id, seed_id AS cluster FROM (
+        |  SELECT c.vec_id, s.seed_id,
+        |    row_number() OVER (PARTITION BY c.vec_id
+        |      ORDER BY ${cos("c.v", "s.sv")} DESC, s.seed_id) AS rn
+        |  FROM c CROSS JOIN seeds s) WHERE rn = 1),
+        |m AS (SELECT asg.vec_id, asg.cluster, c.v FROM asg JOIN c USING (vec_id)),
+        |dup AS (SELECT DISTINCT b.vec_id FROM m a JOIN m b
+        |        ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+        |        WHERE ${cos("a.v", "b.v")} >= 0.3)
+        |SELECT m.vec_id, m.cluster, (dup.vec_id IS NOT NULL) AS is_dup
+        |FROM m LEFT JOIN dup ON m.vec_id = dup.vec_id""".stripMargin
+    }) { (s, dir) =>
+      Knn.semDeDup(Tables.load(s, dir, "embeddings"),
+        "vec_id", "embedding", nSeeds = 8, tau = 0.3)
+    },
+
+    // ---------------------------------------------------------------- q145
+    // Product quantization (Jégou et al. PAMI'11) — the embedding-store
+    // compression standard at 100 TB scale: the 8-dim vector splits into
+    // two 4-dim subspaces, each encoded as the index of its nearest
+    // codeword, 8 bytes of float -> 2 small ints per subspace pair. The
+    // codebooks are 16 content-addressed seed SUBVECTORS per subspace
+    // (md5-smallest vec ids — deterministic, so the oracle replays
+    // training, not just encoding; the k-means refinement the paper runs
+    // would be oracle-opaque). Distances are squared-L2 expanded as
+    // dx - 2·ds + ss over bit-identical in-order dot products, ties to the
+    // lower code. Output: per-vector codes + reconstruction error — the
+    // quantization-quality measure a recall budget is sized from.
+    Q("q145_product_quantization", {
+      val frac = graft.functions.ContentHash.oracleFrac("vec_id")
+      def d2(x: String, s: String) =
+        s"(list_dot_product($x, $x) - 2 * list_dot_product($x, $s) + list_dot_product($s, $s))"
+      s"""WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |sub AS (SELECT vec_id, ss, CASE WHEN ss = 0 THEN v[1:4] ELSE v[5:8] END AS x
+        |        FROM c, (SELECT unnest([0, 1]) AS ss)),
+        |seeds AS (SELECT vec_id AS seed_vec, CAST(row_number()
+        |            OVER (ORDER BY $frac, vec_id) - 1 AS INT) AS code
+        |          FROM c QUALIFY row_number() OVER (ORDER BY $frac, vec_id) <= 16),
+        |cb AS (SELECT s.ss, seeds.code, s.x AS cw FROM seeds
+        |       JOIN sub s ON s.vec_id = seeds.seed_vec),
+        |asg AS (SELECT vec_id, ss, code, d2 FROM (
+        |  SELECT sub.vec_id, sub.ss, cb.code, ${d2("sub.x", "cb.cw")} AS d2,
+        |    row_number() OVER (PARTITION BY sub.vec_id, sub.ss
+        |      ORDER BY ${d2("sub.x", "cb.cw")}, cb.code) AS rn
+        |  FROM sub JOIN cb ON sub.ss = cb.ss) WHERE rn = 1)
+        |SELECT a0.vec_id, a0.code AS code_0, a1.code AS code_1,
+        |  round(a0.d2 + a1.d2, 6) AS recon_err
+        |FROM asg a0 JOIN asg a1 ON a0.vec_id = a1.vec_id
+        |WHERE a0.ss = 0 AND a1.ss = 1""".stripMargin
+    }) { (s, dir) =>
+      import graft.plans.TopK
+      val c = Tables.load(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      // two 4-dim subspaces per vector (slice is 1-based like DuckDB's)
+      val sub = c.select(col("vec_id"), explode(array(
+          struct(lit(0).as("ss"), slice(col("v"), 1, 4).as("x")),
+          struct(lit(1).as("ss"), slice(col("v"), 5, 4).as("x")))).as("e"))
+        .select(col("vec_id"), col("e.ss").as("ss"), col("e.x").as("x"))
+      val seeds = c
+        .withColumn("__f", graft.functions.ContentHash.hashFrac(col("vec_id")))
+        .orderBy(col("__f").asc, col("vec_id").asc).limit(16)
+        .select(col("vec_id").as("seed_vec"))
+        .withColumn("code",
+          (row_number().over(org.apache.spark.sql.expressions.Window
+            .orderBy(graft.functions.ContentHash.hashFrac(col("seed_vec")),
+              col("seed_vec"))) - 1).cast("int"))
+      val cb = seeds.join(sub.withColumnRenamed("vec_id", "seed_vec"), Seq("seed_vec"))
+        .select(col("ss"), col("code"), col("x").as("cw"))
+      def d2(x: org.apache.spark.sql.Column, cw: org.apache.spark.sql.Column) =
+        Knn.dot(x, x) - lit(2) * Knn.dot(x, cw) + Knn.dot(cw, cw)
+      val scored = sub.join(broadcast(cb), Seq("ss"))
+        .select(col("vec_id"), col("ss"), col("code"),
+          d2(col("x"), col("cw")).as("d2"))
+      val asg = TopK.perGroup(scored, Seq("vec_id", "ss"),
+        Seq(("d2", false), ("code", false)), 1)
+      asg.filter(col("ss") === 0)
+        .select(col("vec_id"), col("code").as("code_0"), col("d2").as("__d0"))
+        .join(asg.filter(col("ss") === 1)
+          .select(col("vec_id"), col("code").as("code_1"), col("d2").as("__d1")),
+          Seq("vec_id"))
+        .select(col("vec_id"), col("code_0"), col("code_1"),
+          round(col("__d0") + col("__d1"), 6).as("recon_err"))
     })
 }

@@ -163,4 +163,50 @@ object Knn {
         (dot(col("__va"), col("__vb")) / (col("__na") * col("__nb"))).as("cosine_sim"))
       .filter(col("cosine_sim") >= minSim)
   }
+
+  /** SemDeDup (Abbas et al. '23, arXiv 2303.09540) in its one-pass,
+    * oracle-replayable form: semantic near-duplicate removal over
+    * embeddings. The paper clusters with k-means then drops all but one of
+    * any intra-cluster pair above a cosine threshold; here the "centroids"
+    * are `nSeeds` content-addressed seed VECTORS (smallest md5 fraction of
+    * their id — deterministic, no Lloyd iterations, so a SQL oracle can
+    * replay the whole pipeline), each vector assigns to its max-cosine seed,
+    * and within a cluster the LOWEST id of a near-dup pair survives.
+    *
+    * Scale: the seed table broadcasts (nSeeds rows); assignment is one
+    * narrow corpus pass; the intra-cluster pair expansion joins on the
+    * cluster key (one shuffle) and is bounded the way q27's label blocking
+    * bounds it — nSeeds grows with the corpus so E[cluster size] stays
+    * fixed, which is exactly the paper's k ∝ N prescription.
+    *
+    * Output: (vec_id, cluster = winning seed id, is_dup).
+    */
+  def semDeDup(corpus: DataFrame, idC: String, vecCol: String, nSeeds: Int,
+      tau: Double): DataFrame = {
+    val v = corpus.select(col(idC).as("vec_id"), col(vecCol).as("__v"))
+      .withColumn("__vn", norm(col("__v")))
+    val seeds = v
+      .withColumn("__f", graft.functions.ContentHash.hashFrac(col("vec_id")))
+      .orderBy(col("__f").asc, col("vec_id").asc).limit(nSeeds)
+      .select(col("vec_id").as("seed_id"), col("__v").as("__sv"), col("__vn").as("__sn"))
+    val scored = v.crossJoin(broadcast(seeds))
+      .select(col("vec_id"), col("seed_id"),
+        (dot(col("__v"), col("__sv")) / (col("__vn") * col("__sn"))).as("__cs"))
+    val asg = graft.plans.TopK.perGroup(scored, Seq("vec_id"),
+      Seq("__cs" -> true, "seed_id" -> false), 1)
+      .select(col("vec_id"), col("seed_id").as("cluster"))
+    val m = v.join(asg, Seq("vec_id"))
+    val a = m.select(col("cluster"), col("vec_id").as("id_a"),
+      col("__v").as("__va"), col("__vn").as("__na"))
+    val b = m.select(col("cluster"), col("vec_id").as("id_b"),
+      col("__v").as("__vb"), col("__vn").as("__nb"))
+    val dups = a.join(b, Seq("cluster"))
+      .filter(col("id_a") < col("id_b"))
+      .filter(dot(col("__va"), col("__vb")) / (col("__na") * col("__nb")) >= tau)
+      .select(col("id_b").as("vec_id")).distinct()
+    m.select(col("vec_id"), col("cluster"))
+      .join(dups.withColumn("__d", lit(true)), Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cluster"),
+        coalesce(col("__d"), lit(false)).as("is_dup"))
+  }
 }

@@ -180,6 +180,20 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("q140: the engine-owned bloom probe filters BELOW the join exchange") {
+    // complements the InjectRuntimeFilter rehearsal above: q140's filter is
+    // built by the engine itself (driver-aggregated bit set + codegen'd
+    // probe), for shapes Spark's optimizer can't see statically. The probe
+    // must sit in the orders scan stage — under the exchange — and the join
+    // must be the forced shuffle join runtime filters exist for.
+    val df = q("q140_bloom_join_pruning")
+    val plan = finalPlan(df)
+    assert(plan.toLowerCase.contains("bloommightcontain"),
+      s"bloom probe missing from the plan:\n${plan.take(1200)}")
+    assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"),
+      "q140 must exercise the shuffle-join shape")
+  }
+
   test("AQE splits the skewed join partition at runtime (q37's rehearsal, automated)") {
     // The same hot-key shape q37 salts by hand: one key carrying ~90% of the
     // fact side of a sort-merge join. With skew-join handling on, AQE
