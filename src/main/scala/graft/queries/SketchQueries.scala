@@ -142,5 +142,87 @@ object SketchQueries {
       }
       exact.orderBy(col("n").desc, col("term").asc).limit(10)
         .select(col("term"), col("n").as("n_occurrences"))
+    },
+
+    // ---------------------------------------------------------------- q146
+    // KMV set algebra (the mergeable-summaries property that makes sketches
+    // a 100 TB tool at all, Agarwal et al. '13 / theta-sketch practice):
+    // distinct-customer sketches for two order segments, their UNION
+    // estimated from the two KEPT SETS ALONE — bottom-k of the merged
+    // bottom-k's, NO rescan of the base data — and their intersection by
+    // inclusion-exclusion. This is "count distinct over any segment
+    // combination from per-segment summaries": per-partition sketches merge
+    // to per-table, per-day merge to per-month, without touching rows
+    // again. The merge theorem (bottom-k(A ∪kept B) = bottom-k(A ∪ B)) is
+    // REQUIRED in-query against a from-scratch union sketch; estimates are
+    // content-addressed md5 fractions (q81's family), so DuckDB replays
+    // sketch construction, merge, and estimates bit-for-bit.
+    Q("q146_kmv_set_algebra", {
+      val frac = oracleFrac("o_custkey")
+      s"""WITH a AS (SELECT DISTINCT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'),
+        |b AS (SELECT DISTINCT o_custkey FROM orders WHERE o_orderpriority = '2-HIGH'),
+        |ka AS (SELECT o_custkey, $frac AS f FROM a
+        |       QUALIFY row_number() OVER (ORDER BY f, o_custkey) <= 256),
+        |kb AS (SELECT o_custkey, $frac AS f FROM b
+        |       QUALIFY row_number() OVER (ORDER BY f, o_custkey) <= 256),
+        |ku AS (SELECT o_custkey, f FROM (SELECT * FROM ka UNION SELECT * FROM kb)
+        |       QUALIFY row_number() OVER (ORDER BY f, o_custkey) <= 256),
+        |est AS (
+        |  SELECT 'a' AS segment, count(*) AS n_kept,
+        |    CASE WHEN count(*) < 256 THEN CAST(count(*) AS DOUBLE)
+        |         ELSE 255.0 / max(f) END AS est FROM ka
+        |  UNION ALL
+        |  SELECT 'b', count(*),
+        |    CASE WHEN count(*) < 256 THEN CAST(count(*) AS DOUBLE)
+        |         ELSE 255.0 / max(f) END FROM kb
+        |  UNION ALL
+        |  SELECT 'union', count(*),
+        |    CASE WHEN count(*) < 256 THEN CAST(count(*) AS DOUBLE)
+        |         ELSE 255.0 / max(f) END FROM ku)
+        |SELECT segment, n_kept, round(est, 6) AS est_distinct FROM est
+        |UNION ALL
+        |SELECT 'intersection', 0,
+        |  round((SELECT est FROM est WHERE segment = 'a')
+        |      + (SELECT est FROM est WHERE segment = 'b')
+        |      - (SELECT est FROM est WHERE segment = 'union'), 6)""".stripMargin
+    }) { (s, dir) =>
+      import graft.plans.TopK
+      val orders = Tables.load(s, dir, "orders")
+      def sketch(priority: String) = TopK.perGroup(
+        orders.filter(col("o_orderpriority") === priority)
+          .select(col("o_custkey")).distinct()
+          .withColumn("f", hashFrac(col("o_custkey")))
+          .withColumn("__g", lit(1)),
+        Seq("__g"), Seq(("f", false), ("o_custkey", false)), 256)
+        .select(col("o_custkey"), col("f"))
+      val ka = sketch("1-URGENT").localCheckpoint()
+      val kb = sketch("2-HIGH").localCheckpoint()
+      // merge from the kept sets ALONE (the mergeable-summaries step)
+      val ku = TopK.perGroup(
+        ka.unionByName(kb).distinct().withColumn("__g", lit(1)),
+        Seq("__g"), Seq(("f", false), ("o_custkey", false)), 256)
+        .select(col("o_custkey"), col("f"))
+      // merge theorem: bottom-k over kept sets == bottom-k over A ∪ B rows
+      val kuScratch = TopK.perGroup(
+        orders.filter(col("o_orderpriority").isin("1-URGENT", "2-HIGH"))
+          .select(col("o_custkey")).distinct()
+          .withColumn("f", hashFrac(col("o_custkey")))
+          .withColumn("__g", lit(1)),
+        Seq("__g"), Seq(("f", false), ("o_custkey", false)), 256)
+        .select(col("o_custkey"), col("f"))
+      require(ku.exceptAll(kuScratch).isEmpty && kuScratch.exceptAll(ku).isEmpty,
+        "q146: merged kept sets must equal the from-scratch union sketch")
+      def est(k: org.apache.spark.sql.DataFrame, name: String) =
+        k.agg(count(lit(1)).as("n_kept"),
+          when(count(lit(1)) < 256, count(lit(1)).cast("double"))
+            .otherwise(lit(255.0) / max(col("f"))).as("est"))
+          .select(lit(name).as("segment"), col("n_kept"), col("est"))
+      val e = est(ka, "a").unionByName(est(kb, "b")).unionByName(est(ku, "union"))
+        .localCheckpoint()
+      val row = e.collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+      e.select(col("segment"), col("n_kept"), round(col("est"), 6).as("est_distinct"))
+        .unionByName(s.range(1).select(lit("intersection").as("segment"),
+          lit(0L).as("n_kept"),
+          round(lit(row("a") + row("b") - row("union")), 6).as("est_distinct")))
     })
 }
