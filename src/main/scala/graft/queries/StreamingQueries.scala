@@ -258,5 +258,93 @@ object StreamingQueries {
       t.groupBy(col("event_type"))
         .agg(count(lit(1)).as("n_events"),
           sum(col("event_id")).cast("bigint").as("id_sum"))
+    },
+
+    // ---------------------------------------------------------------- q147
+    // Watermark late-data accounting: the rows a watermark DROPS are a
+    // correctness budget every production stream must state, not a silent
+    // approximation. Three CHECKPOINTED AvailableNow runs of one stream —
+    // the daily-restart shape — with files landing between runs: two days
+    // on time, then a late re-delivery of every fifth event (spanning both
+    // days — its tail is within the 1 h lateness bound, its bulk beyond),
+    // then the next day on time (advancing the watermark so the late-kept
+    // windows finalize and EMIT). The watermark PERSISTS in the checkpoint
+    // across restarts — that persistence is what makes run 2 drop at all.
+    // Its drop rule (window end ≤ wm at processing time, wm = prior runs'
+    // max event time − delay) and the append-mode emit rule (window end ≤
+    // final wm) are replayed deterministically by the oracle from the same
+    // date arithmetic — microsecond form, safe because window ends are
+    // second-aligned while both watermarks carry sub-second offsets (no
+    // tie is possible, so ms truncation and ≤-vs-< cannot flip a row).
+    // In-query requires pin the interesting case: late rows both kept and
+    // dropped. (Files landing between runs, not maxFilesPerTrigger: a
+    // single listing may legally batch co-present files together, which
+    // would process the late file against a still-zero watermark.)
+    Q("q147_late_data_accounting",
+      """WITH e AS (SELECT event_id, ts FROM events
+        |           WHERE ts >= TIMESTAMP '2024-01-15' AND ts < TIMESTAMP '2024-01-18'),
+        |f1 AS (SELECT * FROM e WHERE ts < TIMESTAMP '2024-01-17' AND event_id % 5 <> 0),
+        |f2 AS (SELECT * FROM e WHERE ts < TIMESTAMP '2024-01-17' AND event_id % 5 = 0),
+        |f3 AS (SELECT * FROM e WHERE ts >= TIMESTAMP '2024-01-17'),
+        |wm1 AS (SELECT max(epoch_us(ts)) - 3600000000 AS us FROM f1),
+        |wmf AS (SELECT max(epoch_us(ts)) - 3600000000 AS us FROM e),
+        |kept AS (SELECT * FROM f1
+        |  UNION ALL SELECT f2.* FROM f2, wm1
+        |    WHERE epoch_us(date_trunc('hour', ts)) + 3600000000 > wm1.us
+        |  UNION ALL SELECT * FROM f3),
+        |agg AS (SELECT epoch_us(date_trunc('hour', ts)) AS win_start_us,
+        |    count(*) AS n_events, CAST(sum(event_id) AS BIGINT) AS id_sum
+        |  FROM kept GROUP BY 1)
+        |SELECT win_start_us, n_events, id_sum FROM agg, wmf
+        |WHERE win_start_us + 3600000000 <= wmf.us""".stripMargin) { (s, dir) =>
+      val e = Tables.load(s, dir, "events")
+        .filter(col("ts") >= lit("2024-01-15").cast("timestamp") &&
+          col("ts") < lit("2024-01-18").cast("timestamp"))
+        .select(col("event_id"), col("ts"))
+      val onTime = e.filter(col("ts") < lit("2024-01-17").cast("timestamp"))
+      val f1 = onTime.filter(col("event_id") % 5 =!= 0)
+      val f2 = onTime.filter(col("event_id") % 5 === 0)
+      val f3 = e.filter(col("ts") >= lit("2024-01-17").cast("timestamp"))
+      val root = scratch(s, dir, "q147")
+      val (in, out) = (s"$root/in", s"$root/out")
+      // one restart per landed file; the shared checkpoint carries the
+      // watermark (and which files are already ingested) across runs. The
+      // sink is a real parquet file sink (append): a memory sink cannot
+      // recover from a checkpoint, and this is the production shape anyway.
+      def runOnce(): Unit = {
+        val q = EventStream.hourlyCounts(
+            EventStream.fileSource(s, s"$in/*", e.schema))
+          .writeStream.format("parquet")
+          .option("path", out)
+          .option("checkpointLocation", s"$root/cp")
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      val got = withNarrowShuffle(s) {
+        f1.coalesce(1).write.parquet(s"$in/f1")
+        runOnce()
+        f2.coalesce(1).write.parquet(s"$in/f2")
+        runOnce()
+        f3.coalesce(1).write.parquet(s"$in/f3")
+        runOnce()
+        s.read.parquet(out).localCheckpoint()
+      }
+      // the case must be non-trivial: late rows dropped everywhere, and at
+      // any realistic density ALSO some kept (sf0.001's 61-event corpus can
+      // leave the final on-time hour empty — the q132-style size-gated leg)
+      val wm1 = f1.agg(max(unix_micros(col("ts")))).head().getLong(0) - 3600000000L
+      val lateKept = f2.filter(
+        unix_micros(date_trunc("hour", col("ts"))) + 3600000000L > wm1).count()
+      val lateAll = f2.count()
+      require(lateKept < lateAll,
+        s"q147: the watermark must drop late rows: kept $lateKept of $lateAll")
+      if (e.count() >= 500)
+        require(lateKept > 0,
+          s"q147: late rows within the lateness bound must survive: kept $lateKept of $lateAll")
+      require(got.agg(sum(col("n_events"))).head().getLong(0) < e.count(),
+        "q147: dropped late rows must be visible in the emitted totals")
+      got.select(col("win_start_us"), col("n_events"), col("id_sum"))
     })
 }

@@ -41,6 +41,21 @@ object EventStream {
       .select(to_date(col("window.start")).as("window_day"),
         col("event_type"), col("n_events"), col("total_value"))
 
+  /** Watermarked hourly tumbling counts with integer-exact payload sums —
+    * the [[dailyCounts]] shape at the granularity q147's late-data
+    * accounting needs. Append mode: a window row is emitted once, when the
+    * watermark passes its end; rows arriving after that are DROPPED — the
+    * bounded-state trade every streaming aggregation makes, and exactly
+    * what q147 measures.
+    */
+  def hourlyCounts(events: DataFrame, delay: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", delay)
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(count(lit(1)).as("n_events"), sum(col("event_id")).cast("long").as("id_sum"))
+      .select(unix_micros(col("window.start")).as("win_start_us"),
+        col("n_events"), col("id_sum"))
+
   /** Run a streaming frame to a named in-memory sink with AvailableNow,
     * synchronously (process everything present, then stop). Returns the
     * sink contents.
