@@ -346,5 +346,69 @@ object StreamingQueries {
       require(got.agg(sum(col("n_events"))).head().getLong(0) < e.count(),
         "q147: dropped late rows must be visible in the emitted totals")
       got.select(col("win_start_us"), col("n_events"), col("id_sum"))
+    },
+
+    // ---------------------------------------------------------------- q148
+    // Stream-static join with dimension refresh: the static side of a
+    // stream-static join is re-resolved when the streaming plan is built,
+    // so a restart (the daily shape) picks up the dim's NEW VersionedTable
+    // version while every batch within a run reads ONE immutable snapshot
+    // — the consistency contract a streaming enrichment join needs (no
+    // torn dim mid-batch, fresh dim per restart). Day 1 streams against
+    // dim v1 (tier = user % 3), v2 lands (tier + 10), day 2's restart
+    // streams against v2. The oracle replays both days with their
+    // respective tier functions; in-query requires pin that BOTH versions
+    // actually enriched rows and the table ended at version 2.
+    Q("q148_stream_static_refresh",
+      """WITH e AS (SELECT event_id, ts, user_id FROM events
+        |           WHERE ts >= TIMESTAMP '2024-01-15' AND ts < TIMESTAMP '2024-01-17'),
+        |d1 AS (SELECT event_id, user_id, user_id % 3 AS tier FROM e
+        |       WHERE ts < TIMESTAMP '2024-01-16'),
+        |d2 AS (SELECT event_id, user_id, user_id % 3 + 10 AS tier FROM e
+        |       WHERE ts >= TIMESTAMP '2024-01-16')
+        |SELECT tier, count(*) AS n_events,
+        |  CAST(SUM(event_id) AS BIGINT) AS id_sum
+        |FROM (SELECT * FROM d1 UNION ALL SELECT * FROM d2)
+        |GROUP BY 1""".stripMargin) { (s, dir) =>
+      import graft.ops.VersionedTable
+      val e = Tables.load(s, dir, "events")
+        .filter(col("ts") >= lit("2024-01-15").cast("timestamp") &&
+          col("ts") < lit("2024-01-17").cast("timestamp"))
+        .select(col("event_id"), col("ts"), col("user_id"))
+      val day1 = e.filter(col("ts") < lit("2024-01-16").cast("timestamp"))
+      val day2 = e.filter(col("ts") >= lit("2024-01-16").cast("timestamp"))
+      val users = e.select(col("user_id")).distinct()
+      val root = scratch(s, dir, "q148")
+      val (in, out, dim) = (s"$root/in", s"$root/out", s"$root/dim")
+      def runOnce(): Unit = {
+        // the static side resolves the dim's LIVE version at plan time;
+        // within the run every micro-batch joins that one immutable dir
+        val enriched = EventStream.fileSource(s, s"$in/*", e.schema)
+          .join(broadcast(VersionedTable.read(s, dim)), Seq("user_id"))
+          .select(col("event_id"), col("user_id"), col("tier"))
+        val q = enriched.writeStream.format("parquet")
+          .option("path", out).option("checkpointLocation", s"$root/cp")
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      val got = withNarrowShuffle(s) {
+        VersionedTable.write(users.withColumn("tier", col("user_id") % 3), dim)
+        day1.coalesce(1).write.parquet(s"$in/f1")
+        runOnce()
+        VersionedTable.write(users.withColumn("tier", col("user_id") % 3 + 10), dim)
+        day2.coalesce(1).write.parquet(s"$in/f2")
+        runOnce()
+        s.read.parquet(out).localCheckpoint()
+      }
+      require(VersionedTable.currentVersion(s, dim).contains(2L),
+        "q148: the dim must have advanced to version 2")
+      require(got.filter(col("tier") < 10).count() > 0 &&
+        got.filter(col("tier") >= 10).count() > 0,
+        "q148: both dim versions must have enriched rows")
+      got.groupBy(col("tier"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("event_id")).cast("bigint").as("id_sum"))
     })
 }
