@@ -662,5 +662,89 @@ object TextQueries {
             (lit(nBi) * col("__ca") * col("__cb")).cast("double"), 6).as("lift"))
         .orderBy(col("lift").desc, col("term_a").asc, col("term_b").asc)
         .limit(20)
+    },
+
+    // ---------------------------------------------------------------- q149
+    // BPE vocabulary training (Sennrich et al. ACL'16), 3 unrolled merge
+    // steps — the actual tokenizer-training loop, not a proxy: count
+    // adjacent symbol pairs weighted by word frequency, merge the most
+    // frequent pair corpus-wide, re-segment, repeat. Re-segmentation is a
+    // LEFTMOST-GREEDY fold over each word's symbol list (the same
+    // portable fold on both engines: if the accumulated tail equals the
+    // merge's left symbol and the next symbol equals its right, splice;
+    // else append) — a string `replace` cannot express it because a
+    // replacement consumes the delimiter the next occurrence needs
+    // ('a a a a' must become [aa, aa], not [aa, a, a]). Vocabulary is the
+    // top-200 alphabetic words (deterministic tiebreak), pair choice is
+    // total-ordered by (count, left, right); each step's winner is the
+    // oracle-checked output. Scale shape: state is O(vocab · word length),
+    // one pair-count aggregation per step, winner broadcast as a literal.
+    Q("q149_bpe_merges",
+      """WITH tok AS (SELECT unnest(string_split_regex(trim(text), '\s+')) AS term
+        |            FROM documents),
+        |w AS (SELECT lower(term) AS word, count(*) AS cnt FROM tok
+        |      WHERE regexp_full_match(lower(term), '[a-z]+') GROUP BY 1),
+        |top AS (SELECT word, cnt FROM w ORDER BY cnt DESC, word LIMIT 200),
+        |st0 AS (SELECT word, cnt, string_split(word, '') AS syms FROM top),
+        |px1 AS (SELECT word, cnt, unnest(syms) AS s, generate_subscripts(syms, 1) AS pos FROM st0),
+        |pc1 AS (SELECT x.s AS a, y.s AS b, CAST(SUM(x.cnt) AS BIGINT) AS n
+        |        FROM px1 x JOIN px1 y ON x.word = y.word AND y.pos = x.pos + 1 GROUP BY 1, 2),
+        |b1 AS (SELECT a, b, n FROM pc1 ORDER BY n DESC, a, b LIMIT 1),
+        |st1 AS (SELECT word, cnt, string_split(list_reduce(syms, (acc, x) ->
+        |    CASE WHEN (string_split(acc, ' '))[-1] = b1.a AND x = b1.b
+        |         THEN left(acc, length(acc) - length(b1.a)) || b1.a || b1.b
+        |         ELSE acc || ' ' || x END), ' ') AS syms FROM st0, b1),
+        |px2 AS (SELECT word, cnt, unnest(syms) AS s, generate_subscripts(syms, 1) AS pos FROM st1),
+        |pc2 AS (SELECT x.s AS a, y.s AS b, CAST(SUM(x.cnt) AS BIGINT) AS n
+        |        FROM px2 x JOIN px2 y ON x.word = y.word AND y.pos = x.pos + 1 GROUP BY 1, 2),
+        |b2 AS (SELECT a, b, n FROM pc2 ORDER BY n DESC, a, b LIMIT 1),
+        |st2 AS (SELECT word, cnt, string_split(list_reduce(syms, (acc, x) ->
+        |    CASE WHEN (string_split(acc, ' '))[-1] = b2.a AND x = b2.b
+        |         THEN left(acc, length(acc) - length(b2.a)) || b2.a || b2.b
+        |         ELSE acc || ' ' || x END), ' ') AS syms FROM st1, b2),
+        |px3 AS (SELECT word, cnt, unnest(syms) AS s, generate_subscripts(syms, 1) AS pos FROM st2),
+        |pc3 AS (SELECT x.s AS a, y.s AS b, CAST(SUM(x.cnt) AS BIGINT) AS n
+        |        FROM px3 x JOIN px3 y ON x.word = y.word AND y.pos = x.pos + 1 GROUP BY 1, 2),
+        |b3 AS (SELECT a, b, n FROM pc3 ORDER BY n DESC, a, b LIMIT 1)
+        |SELECT CAST(1 AS INT) AS step, a AS left_sym, b AS right_sym, n AS pair_count FROM b1
+        |UNION ALL SELECT CAST(2 AS INT), a, b, n FROM b2
+        |UNION ALL SELECT CAST(3 AS INT), a, b, n FROM b3""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val words = Tables.load(s, dir, "documents")
+        .select(explode(graft.dedup.MinHashLSH.tokensCol(col("text"))).as("term"))
+        .select(lower(col("term")).as("word"))
+        .filter(col("word").rlike("^[a-z]+$"))
+        .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("word").asc).limit(200)
+      // chars, with split's trailing-empty artifact filtered (DuckDB's
+      // string_split(w, '') is clean; Spark's split keeps zero-width tails)
+      var st = words
+        .select(col("word"), col("cnt"),
+          filter(split(col("word"), ""), x => x =!= lit("")).as("syms"))
+        .localCheckpoint()
+      val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+      for (step <- 1 to 3) {
+        val px = st.select(col("word"), col("cnt"),
+          posexplode(col("syms")).as(Seq("pos", "s")))
+        val pc = px.alias("x")
+          .join(px.alias("y"),
+            col("x.word") === col("y.word") && col("y.pos") === col("x.pos") + 1)
+          .groupBy(col("x.s").as("a"), col("y.s").as("b"))
+          .agg(sum(col("x.cnt")).cast("long").as("n"))
+        val best = pc.orderBy(col("n").desc, col("a").asc, col("b").asc).limit(1).head()
+        val (ba, bb, bn) = (best.getString(0), best.getString(1), best.getLong(2))
+        merges += ((step, ba, bb, bn))
+        // leftmost-greedy re-segmentation: same fold as the oracle's
+        val fold = aggregate(col("syms"), lit(""), (acc, x) =>
+          when(acc === "", x)
+            .otherwise(when(element_at(split(acc, " "), -1) === ba && x === bb,
+              concat(acc.substr(lit(1), length(acc) - lit(ba.length)), lit(ba + bb)))
+            .otherwise(concat(acc, lit(" "), x))))
+        st = st.select(col("word"), col("cnt"), split(fold, " ").as("syms"))
+          .localCheckpoint()
+      }
+      merges.toSeq.toDF("step", "left_sym", "right_sym", "pair_count")
+        .select(col("step").cast("int"), col("left_sym"), col("right_sym"),
+          col("pair_count").cast("bigint"))
     })
 }
