@@ -1,0 +1,330 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Evaluation / preference-style analytics (round-4 second wave): the
+  * operators a curation pipeline uses to JUDGE its own outputs — Pareto
+  * skylines over competing objectives, exact AUC for filter-model quality,
+  * and a k-anonymity audit before a corpus leaves the pipeline.
+  *
+  * Shared scale discipline: no global single-partition window ever runs over
+  * row-level data. Each query first collapses to a bounded domain (distinct
+  * group keys, distinct scores per class) with a distributed aggregation;
+  * cumulative passes over an unbounded domain use the two-phase
+  * `PrefixSum.runningSum` scan instead of `ORDER BY` windows.
+  */
+object EvalQueries {
+
+  val all: Seq[Q] = Seq(
+
+    // ---------------------------------------------------------------- q150
+    // 2-D skyline (Pareto frontier; Börzsönyi et al. ICDE'01) per brand:
+    // the parts not dominated on (min price, max size) by any same-brand
+    // part. The sort-based plan: only max(size) per distinct price can
+    // survive, so collapse to that domain first (distributed groupBy), then
+    // one brand-partitioned window pass keeps rows whose size strictly
+    // exceeds the running max over all cheaper prices. Work per window
+    // partition is O(distinct prices within one brand) — never the raw
+    // table. The oracle is the independent NOT-EXISTS domination definition,
+    // so the sort-based rewrite is itself under test.
+    Q("q150_skyline",
+      """WITH g AS (
+        |  SELECT p_brand, p_retailprice AS price, max(p_size) AS best_size
+        |  FROM part GROUP BY 1, 2)
+        |SELECT p_brand, round(price, 6) AS price, best_size
+        |FROM g p
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM g q
+        |  WHERE q.p_brand = p.p_brand AND q.price <= p.price
+        |    AND q.best_size >= p.best_size
+        |    AND (q.price < p.price OR q.best_size > p.best_size))""".stripMargin) { (s, dir) =>
+      val g = Tables.load(s, dir, "part")
+        .groupBy(col("p_brand"), col("p_retailprice").as("price"))
+        .agg(max(col("p_size")).as("best_size"))
+      // strictly-preceding frame: a cheaper-or-equal price with >= size
+      // dominates; equal (price,size) pairs were collapsed by the groupBy
+      val w = Window.partitionBy(col("p_brand")).orderBy(col("price"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      g.withColumn("prev_max", max(col("best_size")).over(w))
+        .filter(col("prev_max").isNull || col("best_size") > col("prev_max"))
+        .select(col("p_brand"), round(col("price"), 6).as("price"), col("best_size"))
+    },
+
+    // ---------------------------------------------------------------- q151
+    // Exact AUC of o_totalprice as a ranking score for "order is fulfilled"
+    // — the Mann-Whitney U statistic in integer arithmetic. Collapse to
+    // per-distinct-score (pos, neg) counts (one distributed aggregation),
+    // take the cumulative negative count with the two-phase PrefixSum scan
+    // (NOT a global window — distinct scores are unbounded at corpus scale),
+    // then AUC = [Σ pos(s)·(2·neg_below(s) + neg(s))] / (2·P·N): concordant
+    // pairs count 2, tied scores count 1, all in BIGINT; ONE final division.
+    Q("q151_auc_exact",
+      """WITH g AS (
+        |  SELECT o_totalprice AS score,
+        |    sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS pos,
+        |    sum(CASE WHEN o_orderstatus <> 'F' THEN 1 ELSE 0 END) AS neg
+        |  FROM orders GROUP BY 1),
+        |c AS (
+        |  SELECT pos, neg,
+        |    COALESCE(sum(neg) OVER (ORDER BY score
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS neg_below
+        |  FROM g)
+        |SELECT CAST(sum(pos) AS BIGINT) AS n_pos, CAST(sum(neg) AS BIGINT) AS n_neg,
+        |  round(CAST(sum(pos * (2 * neg_below + neg)) AS DOUBLE)
+        |        / CAST(2 * sum(pos) * sum(neg) AS DOUBLE), 6) AS auc
+        |FROM c""".stripMargin) { (s, dir) =>
+      val g = Tables.load(s, dir, "orders")
+        .groupBy(col("o_totalprice").as("score"))
+        .agg(
+          sum(when(col("o_orderstatus") === "F", 1L).otherwise(0L)).as("pos"),
+          sum(when(col("o_orderstatus") =!= "F", 1L).otherwise(0L)).as("neg"))
+        .select(col("score"), coalesce(col("pos"), lit(0L)).as("pos"),
+          coalesce(col("neg"), lit(0L)).as("neg"))
+      val cum = graft.ops.PrefixSum.runningSum(g, Seq("score"), "neg", "neg_incl")
+      cum.agg(
+        sum(col("pos")).cast("long").as("n_pos"),
+        sum(col("neg")).cast("long").as("n_neg"),
+        round(
+          sum(col("pos") * (lit(2) * (col("neg_incl") - col("neg")) + col("neg")))
+            .cast("double") /
+            (lit(2) * sum(col("pos")) * sum(col("neg"))).cast("double"), 6).as("auc"))
+    },
+
+    // ---------------------------------------------------------------- q153
+    // k-anonymity audit (Sweeney '02): group sizes over the quasi-identifier
+    // tuple (nation, market segment, account-in-arrears) with k = 10 — the
+    // release gate a curation pipeline runs before data leaves. One
+    // distributed aggregation over a bounded QI domain; the summary row a
+    // release decision needs (groups below k, rows they cover) is the same
+    // aggregate re-grouped, not a second scan.
+    Q("q153_k_anonymity",
+      """WITH g AS (
+        |  SELECT c_nationkey, c_mktsegment, c_acctbal < 0 AS in_arrears,
+        |    count(*) AS n
+        |  FROM customer GROUP BY 1, 2, 3)
+        |SELECT c_nationkey, c_mktsegment, in_arrears, n, n < 10 AS suppressed
+        |FROM g""".stripMargin) { (s, dir) =>
+      Tables.load(s, dir, "customer")
+        .groupBy(col("c_nationkey"), col("c_mktsegment"),
+          (col("c_acctbal") < 0).as("in_arrears"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("c_nationkey"), col("c_mktsegment"), col("in_arrears"),
+          col("n"), (col("n") < 10).as("suppressed"))
+    },
+
+    // ---------------------------------------------------------------- q156
+    // Declarative data-quality suite (the Deequ pattern): six constraints —
+    // size, completeness, uniqueness, set membership, numeric bound, date
+    // range — verified in ONE aggregation pass over the table (uniqueness
+    // adds the one unavoidable distinct pre-aggregation; everything else is
+    // map-side partial). Pass/fail verdicts compare EXACT counts; the
+    // reported metric is the single rounded division. One scan regardless
+    // of how many constraints the suite carries — the property that makes a
+    // quality gate affordable at 100 TB.
+    Q("q156_quality_suite",
+      """WITH a AS (SELECT count(*) AS n,
+        |    count(o_custkey) AS n_cust,
+        |    count(DISTINCT o_orderkey) AS n_key,
+        |    sum(CASE WHEN o_orderstatus IN ('F', 'O', 'P') THEN 1 ELSE 0 END) AS n_status,
+        |    min(o_totalprice) AS min_price,
+        |    sum(CASE WHEN o_orderdate >= TIMESTAMP '1990-01-01'
+        |             AND o_orderdate < TIMESTAMP '2026-01-01' THEN 1 ELSE 0 END) AS n_date
+        |  FROM orders)
+        |SELECT 'size_min_1' AS check_name, CAST(n AS DOUBLE) AS metric, n >= 1 AS passed FROM a
+        |UNION ALL SELECT 'complete_custkey', round(CAST(n_cust AS DOUBLE) / n, 6), n_cust = n FROM a
+        |UNION ALL SELECT 'unique_orderkey', round(CAST(n_key AS DOUBLE) / n, 6), n_key = n FROM a
+        |UNION ALL SELECT 'status_in_set', round(CAST(n_status AS DOUBLE) / n, 6), n_status = n FROM a
+        |UNION ALL SELECT 'totalprice_positive', round(min_price, 6), min_price > 0 FROM a
+        |UNION ALL SELECT 'orderdate_in_range', round(CAST(n_date AS DOUBLE) / n, 6), n_date = n FROM a""".stripMargin) { (s, dir) =>
+      val a = Tables.load(s, dir, "orders").agg(
+        count(lit(1)).as("n"),
+        count(col("o_custkey")).as("n_cust"),
+        countDistinct(col("o_orderkey")).as("n_key"),
+        sum(when(col("o_orderstatus").isin("F", "O", "P"), 1L).otherwise(0L)).as("n_status"),
+        min(col("o_totalprice")).as("min_price"),
+        sum(when(col("o_orderdate") >= lit("1990-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("2026-01-01").cast("timestamp"), 1L)
+          .otherwise(0L)).as("n_date"))
+      def row(name: String, metric: org.apache.spark.sql.Column,
+          passed: org.apache.spark.sql.Column) =
+        struct(lit(name).as("check_name"), metric.as("metric"), passed.as("passed"))
+      a.select(explode(array(
+        row("size_min_1", col("n").cast("double"), col("n") >= 1),
+        row("complete_custkey",
+          round(col("n_cust").cast("double") / col("n"), 6), col("n_cust") === col("n")),
+        row("unique_orderkey",
+          round(col("n_key").cast("double") / col("n"), 6), col("n_key") === col("n")),
+        row("status_in_set",
+          round(col("n_status").cast("double") / col("n"), 6), col("n_status") === col("n")),
+        row("totalprice_positive", round(col("min_price"), 6), col("min_price") > 0),
+        row("orderdate_in_range",
+          round(col("n_date").cast("double") / col("n"), 6), col("n_date") === col("n"))
+      )).as("c")).select(col("c.*"))
+    },
+
+    // ---------------------------------------------------------------- q158
+    // Incremental view maintenance for an aggregated JOIN view — the
+    // delta-join identity Δ(A⋈B) = ΔA⋈B ∪ A⋈ΔB ∪ ΔA⋈ΔB with BOTH sides
+    // changing: three years of new orders land AND the odd-key half of the
+    // customer dim arrives late. Each delta join aggregates to the view's
+    // grain (map-side partial) before the merge re-aggregation — new-data
+    // work is proportional to the DELTAS, never a rescan of the base fact.
+    // The in-query require proves delta-maintenance ≡ full recompute in
+    // exact decimal; the oracle recomputes the final view from scratch.
+    Q("q158_incremental_join_view",
+      """SELECT c_nationkey, CAST(count(*) AS BIGINT) AS n_orders,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS revenue
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY 1""".stripMargin) { (s, dir) =>
+      val cut = lit("1998-01-01").cast("timestamp")
+      val orders = Tables.load(s, dir, "orders")
+      val cust = Tables.load(s, dir, "customer")
+        .select(col("c_custkey"), col("c_nationkey"))
+      val (a, da) = (orders.filter(col("o_orderdate") < cut),
+        orders.filter(col("o_orderdate") >= cut))
+      val (b, db) = (cust.filter(col("c_custkey") % 2 === 0),
+        cust.filter(col("c_custkey") % 2 =!= 0))
+      def agg(fact: org.apache.spark.sql.DataFrame, dim: org.apache.spark.sql.DataFrame) =
+        fact.join(broadcast(dim), col("o_custkey") === col("c_custkey"))
+          .groupBy(col("c_nationkey"))
+          .agg(count(lit(1)).as("n_orders"),
+            sum(col("o_totalprice").cast("decimal(18,6)")).cast("decimal(38,6)")
+              .as("revenue"))
+      // base view, then the three delta joins, merged by re-aggregating the
+      // mergeable partials (count: sum, sum: sum) — the IVM merge step
+      val incremental = agg(a, b)
+        .unionAll(agg(da, b)).unionAll(agg(a, db)).unionAll(agg(da, db))
+        .groupBy(col("c_nationkey"))
+        .agg(sum(col("n_orders")).cast("bigint").as("n_orders"),
+          sum(col("revenue")).cast("decimal(38,6)").as("revenue"))
+      val recompute = agg(orders, cust)
+        .select(col("c_nationkey"), col("n_orders").cast("bigint").as("n_orders"),
+          col("revenue"))
+      require(incremental.exceptAll(recompute).isEmpty &&
+        recompute.exceptAll(incremental).isEmpty,
+        "q158: delta-maintained view must equal the full recompute exactly")
+      incremental
+    },
+
+    // ---------------------------------------------------------------- q160
+    // Exact weighted median (quantity-weighted price per return flag): the
+    // smallest value whose cumulative weight reaches half the total. The
+    // row domain collapses to distinct (flag, value) pairs first — the same
+    // distinct-domain reduction as q151 — then one bounded window pass per
+    // flag; weights stay BIGINT so the half-total comparison (2·cum ≥ W) is
+    // exact, no floating-point midpoint. For a GLOBAL weighted quantile at
+    // corpus scale the cumulative pass moves to PrefixSum (q151's path).
+    Q("q160_weighted_median",
+      """WITH g AS (
+        |  SELECT l_returnflag AS flag, l_extendedprice AS price,
+        |    CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS w
+        |  FROM lineitem GROUP BY 1, 2),
+        |c AS (
+        |  SELECT flag, price, w,
+        |    sum(w) OVER (PARTITION BY flag ORDER BY price
+        |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |    sum(w) OVER (PARTITION BY flag) AS tot
+        |  FROM g)
+        |SELECT flag, CAST(MAX(tot) AS BIGINT) AS total_weight,
+        |  round(min(CASE WHEN 2 * cum >= tot THEN price END), 6) AS wmedian
+        |FROM c GROUP BY flag""".stripMargin) { (s, dir) =>
+      val g = Tables.load(s, dir, "lineitem")
+        .groupBy(col("l_returnflag").as("flag"), col("l_extendedprice").as("price"))
+        .agg(sum(col("l_quantity").cast("long")).cast("long").as("w"))
+      val wCum = Window.partitionBy(col("flag")).orderBy(col("price"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wAll = Window.partitionBy(col("flag"))
+      g.withColumn("cum", sum(col("w")).over(wCum))
+        .withColumn("tot", sum(col("w")).over(wAll))
+        .groupBy(col("flag"))
+        .agg(max(col("tot")).cast("bigint").as("total_weight"),
+          round(min(when(lit(2) * col("cum") >= col("tot"), col("price"))), 6)
+            .as("wmedian"))
+    },
+
+    // ---------------------------------------------------------------- q161
+    // Per-brand OLS regression (price on size) from the five classical power
+    // sums — the closed-form least squares every profiler/drift monitor
+    // computes per segment. All sums are exact (BIGINT / DECIMAL, one
+    // map-side-combinable aggregation); slope and intercept are formed by
+    // the SAME IEEE expression in both engines from those exact sums, so
+    // they agree bit-for-bit before the 6 dp rounding.
+    Q("q161_ols_trend",
+      """WITH a AS (
+        |  SELECT p_brand, count(*) AS n,
+        |    sum(CAST(p_size AS BIGINT)) AS sx,
+        |    sum(CAST(p_retailprice AS DECIMAL(18,6))) AS sy,
+        |    sum(CAST(p_size AS BIGINT) * CAST(p_retailprice AS DECIMAL(18,6))) AS sxy,
+        |    sum(CAST(p_size AS BIGINT) * CAST(p_size AS BIGINT)) AS sxx
+        |  FROM part GROUP BY 1)
+        |SELECT p_brand, CAST(n AS BIGINT) AS n,
+        |  round(CAST(n * sxy - sx * sy AS DOUBLE)
+        |        / CAST(n * sxx - sx * sx AS DOUBLE), 6) AS slope,
+        |  round((CAST(sy AS DOUBLE)
+        |         - CAST(n * sxy - sx * sy AS DOUBLE)
+        |           / CAST(n * sxx - sx * sx AS DOUBLE) * CAST(sx AS DOUBLE))
+        |        / CAST(n AS DOUBLE), 6) AS intercept
+        |FROM a""".stripMargin) { (s, dir) =>
+      val a = Tables.load(s, dir, "part")
+        .groupBy(col("p_brand"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("p_size").cast("long")).as("sx"),
+          sum(col("p_retailprice").cast("decimal(18,6)")).as("sy"),
+          sum(col("p_size").cast("long") * col("p_retailprice").cast("decimal(18,6)")).as("sxy"),
+          sum(col("p_size").cast("long") * col("p_size").cast("long")).as("sxx"))
+      val slopeNum = (col("n") * col("sxy") - col("sx") * col("sy")).cast("double")
+      val slopeDen = (col("n") * col("sxx") - col("sx") * col("sx")).cast("double")
+      a.select(col("p_brand"), col("n").cast("bigint").as("n"),
+        round(slopeNum / slopeDen, 6).as("slope"),
+        round((col("sy").cast("double") -
+          slopeNum / slopeDen * col("sx").cast("double")) / col("n").cast("double"), 6)
+          .as("intercept"))
+    },
+
+    // ---------------------------------------------------------------- q162
+    // Changepoint detection (binary segmentation's first split) on the daily
+    // event-count series per type: the day maximizing |cumulative deviation
+    // from the series mean|. The deviation is kept as an INTEGER by scaling
+    // through n (n·cum − idx·total) — exact argmax, no floating-point mean;
+    // the reported statistic is the single division at the end. Day domain
+    // is bounded (one row per day per type), so the per-type window is safe
+    // at any corpus size — the reduction happened in the count aggregation.
+    Q("q162_changepoint",
+      """WITH d AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS x
+        |  FROM events GROUP BY 1, 2),
+        |c AS (
+        |  SELECT event_type, day, x,
+        |    sum(x) OVER (PARTITION BY event_type ORDER BY day
+        |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY day) AS idx,
+        |    sum(x) OVER (PARTITION BY event_type) AS total,
+        |    count(*) OVER (PARTITION BY event_type) AS n
+        |  FROM d),
+        |s AS (SELECT event_type, day, n * cum - idx * total AS dev_n, n FROM c)
+        |SELECT event_type, day AS change_day,
+        |  round(CAST(dev_n AS DOUBLE) / n, 6) AS cusum_dev
+        |FROM s
+        |QUALIFY row_number() OVER (PARTITION BY event_type
+        |  ORDER BY abs(dev_n) DESC, day) = 1""".stripMargin) { (s, dir) =>
+      val d = Tables.load(s, dir, "events")
+        .groupBy(col("event_type"), col("ts").cast("date").as("day"))
+        .agg(count(lit(1)).as("x"))
+      val wOrd = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      val wAll = Window.partitionBy(col("event_type"))
+      val c = d
+        .withColumn("cum", sum(col("x")).over(
+          wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("idx", row_number().over(wOrd))
+        .withColumn("total", sum(col("x")).over(wAll))
+        .withColumn("n", count(lit(1)).over(wAll))
+        .withColumn("dev_n", col("n") * col("cum") - col("idx") * col("total"))
+      c.withColumn("__rk", row_number().over(
+          Window.partitionBy(col("event_type")).orderBy(abs(col("dev_n")).desc, col("day"))))
+        .filter(col("__rk") === 1)
+        .select(col("event_type"), col("day").as("change_day"),
+          round(col("dev_n").cast("double") / col("n"), 6).as("cusum_dev"))
+    })
+}

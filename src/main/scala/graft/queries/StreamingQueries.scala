@@ -410,5 +410,69 @@ object StreamingQueries {
       got.groupBy(col("tier"))
         .agg(count(lit(1)).as("n_events"),
           sum(col("event_id")).cast("bigint").as("id_sum"))
+    },
+
+    // ---------------------------------------------------------------- q155
+    // Streaming CEP (ordered pattern view -> click -> purchase, each step
+    // within 6 h): flatMapGroupsWithState holds THREE LONGS per user — the
+    // latest view and the latest view-anchored click — which is lossless
+    // because "latest qualifying X" is monotone in event-time order (see
+    // Cep.scala). The corpus splits at mid-month into two micro-batches so
+    // chains SPAN the batch boundary through persisted state; the in-query
+    // require pins equality with the batch twin (two keyed max-joins — also
+    // the backfill plan at scale), and the oracle replays exactly that SQL.
+    Q("q155_streaming_cep",
+      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+        |v AS (SELECT user_id, us FROM e WHERE event_type = 'view'),
+        |c AS (SELECT user_id, us FROM e WHERE event_type = 'click'),
+        |p AS (SELECT user_id, us FROM e WHERE event_type = 'purchase'),
+        |anchored AS (
+        |  SELECT c.user_id, c.us AS c_us, max(v.us) AS v_us
+        |  FROM c JOIN v ON v.user_id = c.user_id
+        |    AND v.us <= c.us AND v.us >= c.us - 21600000000
+        |  GROUP BY 1, 2),
+        |m AS (
+        |  SELECT p.user_id, p.us AS p_us, max(a.c_us) AS c_us
+        |  FROM p JOIN anchored a ON a.user_id = p.user_id
+        |    AND a.c_us <= p.us AND a.c_us >= p.us - 21600000000
+        |  GROUP BY 1, 2)
+        |SELECT m.user_id, a.v_us, m.c_us, m.p_us
+        |FROM m JOIN anchored a ON a.user_id = m.user_id AND a.c_us = m.c_us""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      import graft.streaming.Cep
+      val stepUs = 6L * 3600L * 1000000L
+      val e = Tables.load(s, dir, "events")
+        .filter(col("event_type").isin("view", "click", "purchase"))
+        .select(col("user_id").as("key"), unix_micros(col("ts")).as("tsUs"),
+          col("event_type").as("etype"))
+      val in = scratch(s, dir, "q155")
+      val cut = lit("2024-01-16").cast("timestamp")
+      e.filter(col("tsUs") < unix_micros(cut)).coalesce(1).write.parquet(s"$in/f1")
+      e.filter(col("tsUs") >= unix_micros(cut)).coalesce(1).write.parquet(s"$in/f2")
+      val stream = EventStream.fileSource(s, s"$in/*", e.schema,
+        maxFilesPerTrigger = Some(1)).as[Cep.CepEvent]
+      val sink = sinkName("q155_cep")
+      val got = withNarrowShuffle(s) { EventStream.runAvailableNow(
+        Cep.matches(stream, stepUs).toDF(), sink) }
+        .localCheckpoint()
+      s.catalog.dropTempView(sink)
+      // batch twin: latest anchored click per purchase, latest view per click
+      def typed(t: String) = e.filter(col("etype") === t).select(col("key"), col("tsUs"))
+      val anchored = typed("click").as("c")
+        .join(typed("view").as("v"), col("v.key") === col("c.key") &&
+          col("v.tsUs") <= col("c.tsUs") && col("v.tsUs") >= col("c.tsUs") - stepUs)
+        .groupBy(col("c.key").as("key"), col("c.tsUs").as("c_us"))
+        .agg(max(col("v.tsUs")).as("v_us"))
+      val m = typed("purchase").as("p")
+        .join(anchored.as("a"), col("a.key") === col("p.key") &&
+          col("a.c_us") <= col("p.tsUs") && col("a.c_us") >= col("p.tsUs") - stepUs)
+        .groupBy(col("p.key").as("key"), col("p.tsUs").as("p_us"))
+        .agg(max(col("c_us")).as("c_us"))
+      val want = m.as("m").join(anchored.as("a"), Seq("key", "c_us"))
+        .select(col("key"), col("v_us"), col("c_us"), col("p_us"))
+      val gotAligned = got.select(col("key"), col("v_us"), col("c_us"), col("p_us"))
+      require(gotAligned.exceptAll(want).isEmpty && want.exceptAll(gotAligned).isEmpty,
+        "q155: streaming CEP matches must equal the batch twin")
+      gotAligned.select(col("key").as("user_id"), col("v_us"), col("c_us"), col("p_us"))
     })
 }

@@ -746,5 +746,168 @@ object TextQueries {
       merges.toSeq.toDF("step", "left_sym", "right_sym", "pair_count")
         .select(col("step").cast("int"), col("left_sym"), col("right_sym"),
           col("pair_count").cast("bigint"))
+    },
+
+    // ---------------------------------------------------------------- q152
+    // Cohen's kappa between the q28 language-ID classifier and the gold
+    // `lang` column — the chance-corrected agreement score an annotation
+    // pipeline reports for every auto-labeler. Confusion counts are ONE
+    // distributed aggregation over a bounded label domain; expected
+    // agreement is the row-total × column-total inner join on label (labels
+    // absent from one side contribute a zero product, so the inner join is
+    // exact). kappa = (N·diag − Σ r·c)/(N² − Σ r·c): all BIGINT, one
+    // division at the end.
+    Q("q152_cohens_kappa", {
+      val Seq(en, es, de, fr) = TextAnalysis.langProfiles.map(p => profileSql(p._2))
+      s"""WITH t AS (SELECT doc_id, lang, string_split_regex(trim(text), '\\s+') AS toks
+        |           FROM documents),
+        |s AS (SELECT lang AS gold,
+        |  len(list_filter(toks, x -> x IN $en)) AS s_en,
+        |  len(list_filter(toks, x -> x IN $es)) AS s_es,
+        |  len(list_filter(toks, x -> x IN $de)) AS s_de,
+        |  len(list_filter(toks, x -> x IN $fr)) AS s_fr
+        |FROM t),
+        |p AS (SELECT gold,
+        |  CASE WHEN s_en >= s_es AND s_en >= s_de AND s_en >= s_fr THEN 'en'
+        |       WHEN s_es >= s_de AND s_es >= s_fr THEN 'es'
+        |       WHEN s_de >= s_fr THEN 'de' ELSE 'fr' END AS pred FROM s),
+        |conf AS (SELECT gold, pred, count(*) AS n FROM p GROUP BY 1, 2),
+        |tot AS (SELECT sum(n) AS nn,
+        |        sum(CASE WHEN gold = pred THEN n ELSE 0 END) AS diag FROM conf),
+        |r AS (SELECT gold AS lbl, sum(n) AS rn FROM conf GROUP BY 1),
+        |c AS (SELECT pred AS lbl, sum(n) AS cn FROM conf GROUP BY 1),
+        |e AS (SELECT COALESCE(sum(rn * cn), 0) AS e FROM r JOIN c USING (lbl))
+        |SELECT CAST(nn AS BIGINT) AS n_docs,
+        |  round(CAST(diag AS DOUBLE) / nn, 6) AS observed_agreement,
+        |  round(CAST(nn * diag - e AS DOUBLE) / CAST(nn * nn - e AS DOUBLE), 6) AS kappa
+        |FROM tot, e""".stripMargin
+    }) { (s, dir) =>
+      val docs = Tables.load(s, dir, "documents")
+      val pred = TextAnalysis.langIdCol(graft.dedup.MinHashLSH.tokensCol(col("text")))
+      val conf = docs.select(col("lang").as("gold"), pred.as("pred"))
+        .groupBy(col("gold"), col("pred")).agg(count(lit(1)).as("n"))
+        .localCheckpoint() // three tiny reads below; don't re-run the scan
+      val tot = conf.agg(sum(col("n")).as("nn"),
+        sum(when(col("gold") === col("pred"), col("n")).otherwise(0L)).as("diag"))
+      val rows = conf.groupBy(col("gold").as("lbl")).agg(sum(col("n")).as("rn"))
+      val cols = conf.groupBy(col("pred").as("lbl")).agg(sum(col("n")).as("cn"))
+      val e = rows.join(cols, "lbl")
+        .agg(coalesce(sum(col("rn") * col("cn")), lit(0L)).as("e"))
+      tot.crossJoin(broadcast(e)).select(
+        col("nn").cast("long").as("n_docs"),
+        round(col("diag").cast("double") / col("nn"), 6).as("observed_agreement"),
+        round((col("nn") * col("diag") - col("e")).cast("double") /
+          (col("nn") * col("nn") - col("e")).cast("double"), 6).as("kappa"))
+    },
+
+    // ---------------------------------------------------------------- q154
+    // Vocabulary coverage curve: what fraction of all token occurrences the
+    // top-k most frequent terms cover — the truncated-vocab sizing signal a
+    // tokenizer builder reads before fixing its vocabulary. Collapses to
+    // per-term totals (distributed), then takes BOTH the cumulative token
+    // count and the rank position with two chained PrefixSum scans over the
+    // (count desc, term) total order — the distinct-term domain is unbounded
+    // at corpus scale, so no global window is allowed here either.
+    Q("q154_coverage_curve",
+      """WITH tok AS (SELECT unnest(string_split_regex(trim(text), '\s+')) AS term
+        |            FROM documents),
+        |tc AS (SELECT term, count(*) AS tf FROM tok GROUP BY 1),
+        |o AS (SELECT tf,
+        |  sum(tf) OVER (ORDER BY tf DESC, term
+        |                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tf,
+        |  row_number() OVER (ORDER BY tf DESC, term) AS pos FROM tc),
+        |t AS (SELECT sum(tf) AS total FROM tc)
+        |SELECT CAST(pos AS BIGINT) AS k, cum_tf, total,
+        |  round(CAST(cum_tf AS DOUBLE) / total, 6) AS coverage
+        |FROM o, t WHERE pos IN (5, 10, 20)""".stripMargin) { (s, dir) =>
+      val tc = Tables.load(s, dir, "documents")
+        .select(explode(graft.dedup.MinHashLSH.tokensCol(col("text"))).as("term"))
+        .groupBy(col("term")).agg(count(lit(1)).as("tf"))
+        // descending-count order expressed as an ascending key for the scan
+        .withColumn("neg_tf", -col("tf"))
+        .withColumn("one", lit(1L))
+      val cum = graft.ops.PrefixSum.runningSum(tc, Seq("neg_tf", "term"), "tf", "cum_tf")
+      val ranked = graft.ops.PrefixSum.runningSum(cum, Seq("neg_tf", "term"), "one", "pos")
+      val total = ranked.agg(sum(col("tf")).as("total"))
+      ranked.filter(col("pos").isin(5L, 10L, 20L))
+        .crossJoin(broadcast(total))
+        .select(col("pos").as("k"), col("cum_tf"), col("total"),
+          round(col("cum_tf").cast("double") / col("total"), 6).as("coverage"))
+    },
+
+    // ---------------------------------------------------------------- q157
+    // Unicode NFC normalization — curation's first transform: the same
+    // logical character must shingle/hash/dedup identically whether the
+    // crawler delivered it precomposed (é) or decomposed (e + U+0301). The
+    // native codegen'd NfcNormalize expression (JDK java.text.Normalizer —
+    // no decode on already-normalized rows) is pinned byte-for-byte against
+    // DuckDB's independent nfc_normalize: every 'e' is decomposed into
+    // e+COMBINING ACUTE, normalized back, and required equal to the direct
+    // precomposed substitution; character counts expose the composition.
+    Q("q157_nfc_normalize",
+      """WITH d AS (SELECT doc_id,
+        |  regexp_replace(text, 'e', 'e' || chr(769), 'g') AS dec FROM documents),
+        |n AS (SELECT doc_id, dec, nfc_normalize(dec) AS nfc FROM d)
+        |SELECT n.doc_id,
+        |  CAST(length(n.dec) AS BIGINT) AS len_decomposed,
+        |  CAST(length(n.nfc) AS BIGINT) AS len_nfc,
+        |  n.nfc = replace(s.text, 'e', chr(233)) AS roundtrip_ok
+        |FROM n JOIN documents s ON s.doc_id = n.doc_id""".stripMargin) { (s, dir) =>
+      import graft.functions.NfcNormalize
+      val dec = regexp_replace(col("text"), "e", "é")
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id"), col("text"), dec.as("dec"))
+        .select(col("doc_id"),
+          length(col("dec")).cast("bigint").as("len_decomposed"),
+          length(NfcNormalize(col("dec"))).cast("bigint").as("len_nfc"),
+          (NfcNormalize(col("dec")) === translate(col("text"), "e", "é"))
+            .as("roundtrip_ok"))
+    },
+
+    // ---------------------------------------------------------------- q159
+    // Video frame sampling with REAL per-frame decode — the multimodal trio's
+    // third member. A "clip" is an ordered set of encoded frames (the row
+    // shape a container demuxer produces; no video-container codec ships in
+    // the JDK, but the frames themselves are real PNGs). The load-bearing
+    // order: SAMPLE (every 2nd frame) BEFORE decode — the dropped frames'
+    // bytes are never decoded, which is the entire economics of frame
+    // sampling at 100 TB. Decoded pixel statistics aggregate back to clip
+    // grain; the oracle replays the closed-form pixel function over exactly
+    // the sampled frame ids.
+    Q("q159_video_frames",
+      """WITH c AS (SELECT doc_id, 4 + doc_id % 5 AS nf FROM documents),
+        |fr AS (SELECT c.doc_id, c.nf, c.doc_id*16 + f.i AS fid
+        |       FROM c, range(8) f(i) WHERE f.i < c.nf AND f.i % 2 = 0),
+        |d AS (SELECT doc_id, nf, fid, 8 + (fid % 9) AS w, 8 + ((fid*3) % 9) AS h
+        |      FROM fr),
+        |px AS (SELECT d.*, x.i AS x, y.i AS y
+        |       FROM d, range(16) x(i), range(16) y(i)
+        |       WHERE x.i < d.w AND y.i < d.h)
+        |SELECT doc_id AS clip_id, CAST(MAX(nf) AS INT) AS n_frames,
+        |  CAST(count(DISTINCT fid) AS BIGINT) AS n_sampled,
+        |  CAST(count(*) AS BIGINT) AS n_pixels,
+        |  CAST(SUM((fid*7 + x) % 256) AS BIGINT) AS sum_r,
+        |  CAST(SUM((x + y) % 256) AS BIGINT) AS sum_g,
+        |  CAST(SUM((fid + 3*y) % 256) AS BIGINT) AS sum_b
+        |FROM px GROUP BY doc_id""".stripMargin) { (s, dir) =>
+      val clips = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), (lit(4) + col("doc_id") % 5).cast("int").as("nf"))
+      val frames = clips
+        .select(col("doc_id"), col("nf"),
+          explode(sequence(lit(0), col("nf") - 1)).as("f"))
+        .withColumn("fid", col("doc_id") * 16 + col("f"))
+      val sampled = Media.sampleFrames(frames, "f", 2)
+      val decoded = Media.decodeImages(Media.renderPngs(sampled.select(col("fid"))))
+        .toDF() // media_id = fid; clip and frame recover by construction
+        .withColumn("clip_id", floor(col("media_id") / 16))
+      decoded
+        .join(broadcast(clips.withColumnRenamed("doc_id", "clip_id")), Seq("clip_id"))
+        .groupBy(col("clip_id"))
+        .agg(max(col("nf")).as("n_frames"),
+          count(lit(1)).as("n_sampled"),
+          sum(col("n_pixels")).cast("bigint").as("n_pixels"),
+          sum(col("sum_r")).cast("bigint").as("sum_r"),
+          sum(col("sum_g")).cast("bigint").as("sum_g"),
+          sum(col("sum_b")).cast("bigint").as("sum_b"))
     })
 }
