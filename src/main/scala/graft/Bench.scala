@@ -71,7 +71,8 @@ object Bench {
     // engine cost aren't read through that constant.
     val streamingNames = Set("q103_streaming_kmv", "q104_streaming_sessions",
       "q105_streaming_dedup", "q116_streaming_interval_join",
-      "q133_streaming_exactly_once", "q147_late_data_accounting")
+      "q133_streaming_exactly_once", "q147_late_data_accounting",
+      "q148_stream_static_refresh", "q155_streaming_cep")
     val streamingS = results.filter(kv => streamingNames(kv._1)).map(_._2).sum
     val knobTag =
       (if (sys.env.contains("SPARK_GRAFT_BENCH_FILTER")) s""","filtered":true""" else "") +

@@ -54,12 +54,15 @@ object EvalQueries {
 
     // ---------------------------------------------------------------- q151
     // Exact AUC of o_totalprice as a ranking score for "order is fulfilled"
-    // — the Mann-Whitney U statistic in integer arithmetic. Collapse to
-    // per-distinct-score (pos, neg) counts (one distributed aggregation),
-    // take the cumulative negative count with the two-phase PrefixSum scan
-    // (NOT a global window — distinct scores are unbounded at corpus scale),
-    // then AUC = [Σ pos(s)·(2·neg_below(s) + neg(s))] / (2·P·N): concordant
-    // pairs count 2, tied scores count 1, all in BIGINT; ONE final division.
+    // — the Mann-Whitney U statistic in integer arithmetic. The cumulative
+    // "negatives below this score" never runs as a global window (distinct
+    // scores are unbounded at corpus scale) and never leaves codegen: a
+    // two-level range-bucket scan — literal fixed-width buckets (q74's
+    // histogram trick), per-bucket windows in parallel, one tiny
+    // bucket-summary window — decomposes neg_below(s) into
+    // negBelowBucket + negBelowInBucket, all in whole-stage codegen.
+    // AUC = [Σ pos(s)·(2·neg_below(s) + neg(s))] / (2·P·N): concordant pairs
+    // count 2, tied scores count 1, all BIGINT; ONE final division.
     Q("q151_auc_exact",
       """WITH g AS (
         |  SELECT o_totalprice AS score,
@@ -75,21 +78,36 @@ object EvalQueries {
         |  round(CAST(sum(pos * (2 * neg_below + neg)) AS DOUBLE)
         |        / CAST(2 * sum(pos) * sum(neg) AS DOUBLE), 6) AS auc
         |FROM c""".stripMargin) { (s, dir) =>
+      // per-distinct-score (pos, neg) counts, bucketed by a LITERAL width —
+      // no data-dependent min/max pass; sparse/empty buckets are harmless
       val g = Tables.load(s, dir, "orders")
         .groupBy(col("o_totalprice").as("score"))
         .agg(
           sum(when(col("o_orderstatus") === "F", 1L).otherwise(0L)).as("pos"),
           sum(when(col("o_orderstatus") =!= "F", 1L).otherwise(0L)).as("neg"))
-        .select(col("score"), coalesce(col("pos"), lit(0L)).as("pos"),
-          coalesce(col("neg"), lit(0L)).as("neg"))
-      val cum = graft.ops.PrefixSum.runningSum(g, Seq("score"), "neg", "neg_incl")
-      cum.agg(
-        sum(col("pos")).cast("long").as("n_pos"),
-        sum(col("neg")).cast("long").as("n_neg"),
-        round(
-          sum(col("pos") * (lit(2) * (col("neg_incl") - col("neg")) + col("neg")))
-            .cast("double") /
-            (lit(2) * sum(col("pos")) * sum(col("neg"))).cast("double"), 6).as("auc"))
+        .withColumn("bucket", floor(col("score") / 1000.0).cast("long"))
+      // within-bucket exclusive prefix of neg, parallel across buckets
+      val wIn = Window.partitionBy(col("bucket")).orderBy(col("score"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      // bucket summary: exclusive prefix of per-bucket neg totals — the only
+      // non-partitioned window, over the BUCKET domain (bounded: one row per
+      // occupied literal bucket, ~2^10 for any realistic price span)
+      val wBuckets = Window.orderBy(col("bucket"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val bucketBelow = g.groupBy(col("bucket"))
+        .agg(sum(col("neg")).as("neg_in_bucket"))
+        .withColumn("neg_below_bucket",
+          coalesce(sum(col("neg_in_bucket")).over(wBuckets), lit(0L)))
+        .select(col("bucket"), col("neg_below_bucket"))
+      g.withColumn("neg_below_in", coalesce(sum(col("neg")).over(wIn), lit(0L)))
+        .join(broadcast(bucketBelow), Seq("bucket"))
+        .agg(
+          sum(col("pos")).cast("long").as("n_pos"),
+          sum(col("neg")).cast("long").as("n_neg"),
+          round(
+            sum(col("pos") * (lit(2) * (col("neg_below_bucket") + col("neg_below_in"))
+              + col("neg"))).cast("double") /
+              (lit(2) * sum(col("pos")) * sum(col("neg"))).cast("double"), 6).as("auc"))
     },
 
     // ---------------------------------------------------------------- q153
@@ -199,9 +217,11 @@ object EvalQueries {
         .groupBy(col("c_nationkey"))
         .agg(sum(col("n_orders")).cast("bigint").as("n_orders"),
           sum(col("revenue")).cast("decimal(38,6)").as("revenue"))
+        .localCheckpoint() // read by the require AND returned — run the 4 joins once
       val recompute = agg(orders, cust)
         .select(col("c_nationkey"), col("n_orders").cast("bigint").as("n_orders"),
           col("revenue"))
+        .localCheckpoint() // read by both exceptAll directions
       require(incremental.exceptAll(recompute).isEmpty &&
         recompute.exceptAll(incremental).isEmpty,
         "q158: delta-maintained view must equal the full recompute exactly")

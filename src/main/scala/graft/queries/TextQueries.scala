@@ -826,8 +826,8 @@ object TextQueries {
         // descending-count order expressed as an ascending key for the scan
         .withColumn("neg_tf", -col("tf"))
         .withColumn("one", lit(1L))
-      val cum = graft.ops.PrefixSum.runningSum(tc, Seq("neg_tf", "term"), "tf", "cum_tf")
-      val ranked = graft.ops.PrefixSum.runningSum(cum, Seq("neg_tf", "term"), "one", "pos")
+      val ranked = graft.ops.PrefixSum.runningSums(tc, Seq("neg_tf", "term"),
+        Seq("tf" -> "cum_tf", "one" -> "pos")) // one scan carries both sums
       val total = ranked.agg(sum(col("tf")).as("total"))
       ranked.filter(col("pos").isin(5L, 10L, 20L))
         .crossJoin(broadcast(total))
