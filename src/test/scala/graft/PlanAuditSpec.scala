@@ -290,4 +290,47 @@ class PlanAuditSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("q150/q160/q162: the new window analytics stay key-partitioned") {
+    // skyline, weighted median, changepoint all collapsed to a bounded
+    // domain first; their windows must carry partition keys (brand / flag /
+    // event_type) — never a whole-table single-partition exchange
+    Seq("q150_skyline", "q160_weighted_median", "q162_changepoint").foreach { name =>
+      val plan = executed(q(name))
+      assert(plan.contains("Window ["), s"$name plans a window")
+      assert(!plan.contains("SinglePartition"),
+        s"$name must not exchange the data to a single partition")
+    }
+  }
+
+  test("q151: bucketed AUC scan is all-codegen — no RDD boundary, broadcast bucket summary") {
+    val df = q("q151_auc_exact")
+    val plan = executed(df)
+    assert(!plan.contains("ExistingRDD"),
+      "the two-level bucket scan must stay in the SQL engine (no RDD hop)")
+    assert(plan.contains("BroadcastHashJoin"),
+      "the bucket-summary side is tiny and must broadcast")
+    // the per-score window must be PARTITIONED on the bucket (parallel across
+    // buckets); the only unpartitioned window is the bounded bucket summary.
+    // (The final one-row global aggregate's SinglePartition exchange is
+    // inherent to any scalar result and not a window.)
+    assert(plan.contains("Exchange hashpartitioning(bucket"),
+      s"the in-bucket window must hash-partition on bucket:\n$plan")
+    assert("Window \\[".r.findAllIn(plan).size === 2,
+      "exactly two window passes: in-bucket and bucket summary")
+  }
+
+  test("q156: the six-constraint quality suite reads the table ONCE") {
+    val plan = executed(q("q156_quality_suite"))
+    assert("Scan parquet".r.findAllIn(plan).size === 1,
+      "all constraints must verify in a single scan")
+  }
+
+  test("q157: the native NFC expression fuses into codegen") {
+    val df = q("q157_nfc_normalize")
+    assert(executed(df).toLowerCase.contains("nfcnormalize"),
+      "plan must carry the native expression")
+    val ran = finalPlan(df)
+    assert(ran.contains("*("), "the normalize projection must be inside WholeStageCodegen")
+  }
 }
