@@ -346,5 +346,161 @@ object EvalQueries {
         .filter(col("__rk") === 1)
         .select(col("event_type"), col("day").as("change_day"),
           round(col("dev_n").cast("double") / col("n"), 6).as("cusum_dev"))
+    },
+
+    // ---------------------------------------------------------------- q163
+    // Time-weighted average (TWAP form): each observation holds until the
+    // next one, so its weight is that holding duration in µs — the standard
+    // bar-construction average when observations are irregular (VWAP's
+    // volume weight becomes a time weight). The last observation of a day
+    // holds to day end. One (type, day)-partitioned window for the lead;
+    // duration stays BIGINT, value goes through the established exact
+    // decimal cast; ONE division per group at the end.
+    Q("q163_twap",
+      """WITH e AS (SELECT event_type, CAST(ts AS DATE) AS day,
+        |    epoch_us(ts) AS us, CAST(value AS DECIMAL(18,6)) AS v
+        |  FROM events),
+        |d AS (SELECT event_type, day, v,
+        |    COALESCE(lead(us) OVER (PARTITION BY event_type, day ORDER BY us),
+        |      epoch_us(CAST(day + INTERVAL 1 DAY AS TIMESTAMP))) - us AS dur
+        |  FROM e)
+        |SELECT event_type, day,
+        |  CAST(sum(dur) AS BIGINT) AS total_dur_us,
+        |  round(CAST(sum(v * dur) AS DOUBLE) / CAST(sum(dur) AS DOUBLE), 6) AS twap
+        |FROM d GROUP BY 1, 2""".stripMargin) { (s, dir) =>
+      val e = Tables.load(s, dir, "events")
+        .select(col("event_type"), col("ts").cast("date").as("day"),
+          unix_micros(col("ts")).as("us"), col("value").cast("decimal(18,6)").as("v"))
+      val w = Window.partitionBy(col("event_type"), col("day")).orderBy(col("us"))
+      e.withColumn("dur",
+          coalesce(lead(col("us"), 1).over(w),
+            unix_micros(date_add(col("day"), 1).cast("timestamp"))) - col("us"))
+        .groupBy(col("event_type"), col("day"))
+        .agg(sum(col("dur")).cast("bigint").as("total_dur_us"),
+          round(sum(col("v") * col("dur")).cast("double") /
+            sum(col("dur")).cast("double"), 6).as("twap"))
+    },
+
+    // ---------------------------------------------------------------- q164
+    // Join-size forecast from key histograms: |A ⋈ B| = Σ_k cA(k)·cB(k) —
+    // the exact cardinality a cost-based planner wants BEFORE committing to
+    // a join strategy, computed from two grouped counts and a keyed merge
+    // (work ∝ distinct keys, never the output size). The in-query require
+    // proves the forecast against the materialized join; at 100 TB you run
+    // only the forecast and skip the join it prices.
+    Q("q164_join_size_forecast",
+      """WITH c AS (SELECT user_id, count(*) AS n_clicks FROM events
+        |           WHERE event_type = 'click' GROUP BY 1),
+        |v AS (SELECT user_id, count(*) AS n_views FROM events
+        |      WHERE event_type = 'view' GROUP BY 1)
+        |SELECT CAST(count(*) AS BIGINT) AS n_joint_users,
+        |  CAST(sum(n_clicks * n_views) AS BIGINT) AS join_size
+        |FROM c JOIN v USING (user_id)""".stripMargin) { (s, dir) =>
+      val ev = Tables.load(s, dir, "events")
+      def hist(t: String, out: String) = ev.filter(col("event_type") === t)
+        .groupBy(col("user_id")).agg(count(lit(1)).as(out))
+      val merged = hist("click", "n_clicks").join(hist("view", "n_views"), "user_id")
+        .localCheckpoint() // read by the forecast AND the proof join
+      val forecast = merged.agg(count(lit(1)).as("n_joint_users"),
+        sum(col("n_clicks") * col("n_views")).cast("bigint").as("join_size"))
+        .localCheckpoint()
+      // proof: the histogram product equals the materialized join's count
+      val clicks = ev.filter(col("event_type") === "click").select(col("user_id"))
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("user_id"))
+      val actual = clicks.join(views, "user_id").count()
+      require(forecast.head().getLong(1) == actual,
+        s"q164: forecast must equal the materialized join size ($actual)")
+      forecast.select(col("n_joint_users").cast("bigint"), col("join_size"))
+    },
+
+    // ---------------------------------------------------------------- q165
+    // Local clustering coefficient over the q99 co-purchase graph: per node,
+    // 2·triangles / (deg·(deg−1)). Triangle enumeration is the canonical
+    // a<b<c three-way edge join (each join keyed on a vertex — no all-pairs
+    // stage); each triangle credits its three corners via one explode, and
+    // degrees come from one explode of the undirected edge list. Output is
+    // one row per node of degree ≥ 2 — the transitivity profile a graph
+    // curation pass ranks communities by.
+    Q("q165_clustering_coeff",
+      """WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |e AS (SELECT a.l_partkey AS pa, b.l_partkey AS pb
+        |      FROM op a JOIN op b
+        |        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |      GROUP BY 1, 2 HAVING count(*) >= 2),
+        |tri AS (SELECT e1.pa AS a, e1.pb AS b, e2.pb AS c
+        |        FROM e e1 JOIN e e2 ON e1.pb = e2.pa
+        |        JOIN e e3 ON e3.pa = e1.pa AND e3.pb = e2.pb),
+        |tn AS (SELECT node, count(*) AS n_tri FROM (
+        |         SELECT a AS node FROM tri UNION ALL
+        |         SELECT b FROM tri UNION ALL SELECT c FROM tri)
+        |       GROUP BY 1),
+        |deg AS (SELECT node, count(*) AS d FROM (
+        |          SELECT pa AS node FROM e UNION ALL SELECT pb FROM e)
+        |        GROUP BY 1)
+        |SELECT deg.node, CAST(deg.d AS BIGINT) AS degree,
+        |  CAST(COALESCE(tn.n_tri, 0) AS BIGINT) AS n_triangles,
+        |  round(CAST(2 * COALESCE(tn.n_tri, 0) AS DOUBLE)
+        |        / CAST(deg.d * (deg.d - 1) AS DOUBLE), 6) AS lcc
+        |FROM deg LEFT JOIN tn ON tn.node = deg.node
+        |WHERE deg.d >= 2""".stripMargin) { (s, dir) =>
+      val op = Tables.load(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey")).distinct()
+      val edges = op.select(col("l_orderkey"), col("l_partkey").as("pa"))
+        .join(op.select(col("l_orderkey"), col("l_partkey").as("pb")), Seq("l_orderkey"))
+        .filter(col("pa") < col("pb"))
+        .groupBy(col("pa"), col("pb")).agg(count(lit(1)).as("w"))
+        .filter(col("w") >= 2)
+        .select(col("pa"), col("pb"))
+        .localCheckpoint() // edge list feeds four consumers; compute once
+      val e1 = edges.select(col("pa").as("a"), col("pb").as("b"))
+      val e2 = edges.select(col("pa").as("b"), col("pb").as("c"))
+      val e3 = edges.select(col("pa").as("a"), col("pb").as("c"))
+      val tri = e1.join(e2, Seq("b")).join(e3, Seq("a", "c"))
+      val tn = tri.select(explode(array(col("a"), col("b"), col("c"))).as("node"))
+        .groupBy(col("node")).agg(count(lit(1)).as("n_tri"))
+      val deg = edges.select(explode(array(col("pa"), col("pb"))).as("node"))
+        .groupBy(col("node")).agg(count(lit(1)).as("d"))
+      deg.filter(col("d") >= 2)
+        .join(tn, Seq("node"), "left")
+        .select(col("node"), col("d").cast("bigint").as("degree"),
+          coalesce(col("n_tri"), lit(0L)).cast("bigint").as("n_triangles"),
+          round((lit(2) * coalesce(col("n_tri"), lit(0L))).cast("double") /
+            (col("d") * (col("d") - 1)).cast("double"), 6).as("lcc"))
+    },
+
+    // ---------------------------------------------------------------- q166
+    // Range-split planning: the EXACT B-quantile boundaries a
+    // repartitionByRange / range-bucketed layout should use — what Spark's
+    // RangePartitioner estimates by sampling, computed exactly with the
+    // distributed-rank machinery (range repartition + zipWithIndex, no
+    // global window). Boundary i = value at rank ceil(i·N/8); a writer
+    // persists these seven splits so every future write range-buckets
+    // identically without re-sampling.
+    Q("q166_range_splits",
+      """WITH ranked AS (
+        |  SELECT o_totalprice,
+        |    row_number() OVER (ORDER BY o_totalprice, o_orderkey) AS rid,
+        |    count(*) OVER () AS n
+        |  FROM orders)
+        |SELECT CAST(split_idx AS INT) AS split_idx,
+        |  round(min(o_totalprice), 6) AS boundary
+        |FROM ranked, range(1, 8) s(split_idx)
+        |WHERE rid >= CAST(ceil(split_idx * n / 8.0) AS BIGINT)
+        |GROUP BY 1""".stripMargin) { (s, dir) =>
+      import graft.ops.SurrogateKeys
+      val orders = Tables.load(s, dir, "orders")
+        .select(col("o_totalprice"), col("o_orderkey"))
+      val cnt = orders.agg(count(lit(1)).as("n"))
+      val ranked = SurrogateKeys.assign(orders, "rid", 0L,
+          Seq("o_totalprice", "o_orderkey"))
+        .crossJoin(broadcast(cnt))
+      // the 7 target ranks as a tiny exploded frame; each boundary is the
+      // MIN value at-or-above its rank — one keyed aggregation, no collect
+      ranked.crossJoin(broadcast(
+          s.range(1, 8).select(col("id").cast("int").as("split_idx"))))
+        .filter(col("rid") >= ceil(col("split_idx") * col("n") / 8.0).cast("long"))
+        .groupBy(col("split_idx"))
+        .agg(round(min(col("o_totalprice")), 6).as("boundary"))
     })
 }
