@@ -909,5 +909,82 @@ object TextQueries {
           sum(col("sum_r")).cast("bigint").as("sum_r"),
           sum(col("sum_g")).cast("bigint").as("sum_g"),
           sum(col("sum_b")).cast("bigint").as("sum_b"))
+    },
+
+    // ---------------------------------------------------------------- q167
+    // End-to-end curation funnel — the composed pipeline a pretraining run
+    // actually executes, with per-stage survivor accounting (the report
+    // every curation run publishes): raw → exact dedup (md5 of text) →
+    // near-dup removal (bag-of-words key: same vocabulary = same content
+    // reordered) → language agreement (q28's classifier must confirm the
+    // declared lang) → quality floor (≥ 20 tokens AND ≥ 5% function words
+    // OF THE PREDICTED LANGUAGE — an English stopword ratio would silently
+    // purge correct non-English text). Dedup runs FIRST (the Dolma order):
+    // it's the cheapest stage per byte and every later stage then scores
+    // each surviving document exactly once. One per-doc feature pass is
+    // computed once (localCheckpoint) and all five stage aggregates read it.
+    Q("q167_curation_funnel", {
+      val Seq(en, es, de, fr) = TextAnalysis.langProfiles.map(p => profileSql(p._2))
+      s"""WITH t AS (SELECT doc_id, lang, text,
+        |            string_split_regex(trim(text), '\\s+') AS toks FROM documents),
+        |f AS (SELECT doc_id, lang, toks, text, len(toks) AS n_tokens,
+        |  len(list_filter(toks, x -> x IN $en)) AS s_en,
+        |  len(list_filter(toks, x -> x IN $es)) AS s_es,
+        |  len(list_filter(toks, x -> x IN $de)) AS s_de,
+        |  len(list_filter(toks, x -> x IN $fr)) AS s_fr FROM t),
+        |p AS (SELECT *,
+        |  CASE WHEN s_en >= s_es AND s_en >= s_de AND s_en >= s_fr THEN s_en
+        |       WHEN s_es >= s_de AND s_es >= s_fr THEN s_es
+        |       WHEN s_de >= s_fr THEN s_de ELSE s_fr END AS s_pred,
+        |  CASE WHEN s_en >= s_es AND s_en >= s_de AND s_en >= s_fr THEN 'en'
+        |       WHEN s_es >= s_de AND s_es >= s_fr THEN 'es'
+        |       WHEN s_de >= s_fr THEN 'de' ELSE 'fr' END AS pred FROM f),
+        |d2 AS (SELECT * FROM p
+        |  QUALIFY row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) = 1),
+        |d3 AS (SELECT * FROM d2 QUALIFY row_number() OVER (
+        |  PARTITION BY md5(array_to_string(list_sort(list_distinct(toks)), ' '))
+        |  ORDER BY doc_id) = 1),
+        |d4 AS (SELECT * FROM d3 WHERE pred = lang),
+        |d5 AS (SELECT * FROM d4 WHERE n_tokens >= 20 AND 20 * s_pred >= n_tokens)
+        |SELECT 1 AS stage, 'raw' AS stage_name, count(*) AS n_docs,
+        |  CAST(COALESCE(sum(n_tokens), 0) AS BIGINT) AS n_tokens FROM f
+        |UNION ALL SELECT 2, 'exact_dedup', count(*), CAST(COALESCE(sum(n_tokens), 0) AS BIGINT) FROM d2
+        |UNION ALL SELECT 3, 'neardup_bow', count(*), CAST(COALESCE(sum(n_tokens), 0) AS BIGINT) FROM d3
+        |UNION ALL SELECT 4, 'lang_agree', count(*), CAST(COALESCE(sum(n_tokens), 0) AS BIGINT) FROM d4
+        |UNION ALL SELECT 5, 'quality', count(*), CAST(COALESCE(sum(n_tokens), 0) AS BIGINT) FROM d5""".stripMargin
+    }) { (s, dir) =>
+      import org.apache.spark.sql.DataFrame
+      import org.apache.spark.sql.expressions.Window
+      val toks = graft.dedup.MinHashLSH.tokensCol(col("text"))
+      val scored = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("text"), toks.as("toks"))
+        .withColumn("n_tokens", size(col("toks")))
+        .withColumns(TextAnalysis.langProfiles.map { case (l, words) =>
+          s"s_$l" -> TextAnalysis.stopwordCount(col("toks"), words)
+        }.toMap)
+        .withColumn("pred", TextAnalysis.langIdCol(col("toks")))
+        // score of the PREDICTED language (argmax score, = the CASE replay)
+        .withColumn("s_pred", greatest(
+          TextAnalysis.langProfiles.map(p => col(s"s_${p._1}")): _*))
+        .localCheckpoint() // five stage aggregates read this one feature pass
+      def keepFirst(df: DataFrame, key: org.apache.spark.sql.Column) =
+        df.withColumn("__rk",
+            row_number().over(Window.partitionBy(key).orderBy(col("doc_id"))))
+          .filter(col("__rk") === 1).drop("__rk")
+      val d2 = keepFirst(scored, md5(col("text")))
+      val d3 = keepFirst(d2,
+        md5(concat_ws(" ", array_sort(array_distinct(col("toks"))))))
+      val d4 = d3.filter(col("pred") === col("lang"))
+      val d5 = d4.filter(col("n_tokens") >= 20 &&
+        lit(20) * col("s_pred") >= col("n_tokens"))
+      def stage(df: DataFrame, idx: Int, name: String) =
+        df.agg(count(lit(1)).as("n_docs"),
+            coalesce(sum(col("n_tokens")), lit(0L)).cast("bigint").as("n_tokens"))
+          .select(lit(idx).as("stage"), lit(name).as("stage_name"),
+            col("n_docs"), col("n_tokens"))
+      stage(scored, 1, "raw").unionAll(stage(d2, 2, "exact_dedup"))
+        .unionAll(stage(d3, 3, "neardup_bow"))
+        .unionAll(stage(d4, 4, "lang_agree"))
+        .unionAll(stage(d5, 5, "quality"))
     })
 }
