@@ -152,4 +152,105 @@ class PropertySpec extends AnyFunSuite {
       identity && symmetric && inRange && emptyZero
     })
   }
+
+  test("PrefixSum.runningSums: matches the in-memory scan and the chained single-column form") {
+    val gen = Gen.listOfN(25, Gen.zip(Gen.choose(0L, 40L), Gen.choose(-5L, 9L)))
+      .map(_.zipWithIndex.map { case ((o, v), i) => (o, i.toLong, v) }) // (order, tiebreak, value)
+    check(Prop.forAll(gen) { rows =>
+      val df = rows.toDF("o", "t", "v").withColumn("one", lit(1L))
+      val got = graft.ops.PrefixSum.runningSums(df, Seq("o", "t"),
+          Seq("v" -> "cum_v", "one" -> "rank"))
+        .select($"o", $"t", $"cum_v", $"rank").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).sortBy(x => (x._1, x._2))
+      val sorted = rows.sortBy(e => (e._1, e._2))
+      val model = sorted.zip(sorted.scanLeft(0L)(_ + _._3).tail)
+        .zipWithIndex.map { case ((e, cum), i) => (e._1, e._2, cum, i + 1L) }
+      got.toSeq == model
+    })
+  }
+
+  test("bucketed AUC (q151 shape) equals brute-force pair counting") {
+    val gen = Gen.listOfN(30, Gen.zip(Gen.choose(0, 40), Gen.oneOf(true, false)))
+      .suchThat(l => l.exists(_._2) && l.exists(!_._2))
+    check(Prop.forAll(gen) { rows =>
+      // brute force over all (pos, neg) pairs: 1 if pos>neg, 0.5 if tied
+      val pos = rows.filter(_._2).map(_._1.toDouble / 4.0) // fractional scores
+      val neg = rows.filter(!_._2).map(_._1.toDouble / 4.0)
+      val num2 = (for (p <- pos; n <- neg) yield
+        if (p > n) 2L else if (p == n) 1L else 0L).sum
+      val want = num2.toDouble / (2.0 * pos.size * neg.size)
+      // the q151 two-level literal-bucket scan (width 1.0 over score/4)
+      val g = rows.toDF("s4", "is_pos")
+        .select(($"s4".cast("double") / 4.0).as("score"), $"is_pos")
+        .groupBy($"score").agg(
+          sum(when($"is_pos", 1L).otherwise(0L)).as("pos"),
+          sum(when(!$"is_pos", 1L).otherwise(0L)).as("neg"))
+        .withColumn("bucket", floor($"score" / 1.0).cast("long"))
+      val wIn = org.apache.spark.sql.expressions.Window
+        .partitionBy($"bucket").orderBy($"score")
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+      val wB = org.apache.spark.sql.expressions.Window.orderBy($"bucket")
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+      val below = g.groupBy($"bucket").agg(sum($"neg").as("nb"))
+        .withColumn("neg_below_bucket", coalesce(sum($"nb").over(wB), lit(0L)))
+        .select($"bucket", $"neg_below_bucket")
+      val auc = g.withColumn("neg_below_in", coalesce(sum($"neg").over(wIn), lit(0L)))
+        .join(broadcast(below), Seq("bucket"))
+        .agg((sum($"pos" * (lit(2) * ($"neg_below_bucket" + $"neg_below_in") + $"neg"))
+          .cast("double") / (lit(2) * sum($"pos") * sum($"neg")).cast("double")).as("auc"))
+        .head().getDouble(0)
+      auc == want
+    })
+  }
+
+  test("NFC normalization: idempotent, agrees with java.text.Normalizer, ASCII-invariant") {
+    import org.apache.spark.unsafe.types.UTF8String
+    val genStr = Gen.listOfN(10, Gen.oneOf(
+      Gen.alphaNumChar, Gen.oneOf('́', '̈', 'é', 'e')))
+      .map(_.mkString)
+    check(Prop.forAll(genStr) { s =>
+      def nfc(x: String): String =
+        graft.functions.NfcNormalizeAlgo.compute(UTF8String.fromString(x)).toString
+      val once = nfc(s)
+      val idempotent = nfc(once) == once
+      val agreesJdk = once ==
+        java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFC)
+      val asciiInvariant = !s.forall(_ < 128) || once == s
+      idempotent && agreesJdk && asciiInvariant
+    })
+  }
+
+  test("streaming CEP state machine equals the two-max-join batch model") {
+    val genEv = Gen.listOfN(30, for {
+      key <- Gen.choose(1L, 3L)
+      ts <- Gen.choose(0L, 60L)
+      et <- Gen.oneOf("view", "click", "purchase", "other")
+    } yield (key, ts, et)).map(_.distinctBy(e => (e._1, e._2)) // one event per (key, ts)
+      .map { case (k, t, e) => graft.streaming.Cep.CepEvent(k, t, e) })
+    val step = 15L
+    check(Prop.forAll(genEv) { evs =>
+      val got = graft.streaming.Cep.matches(evs.toDS(), step).collect()
+        .map(m => (m.key, m.v_us, m.c_us, m.p_us)).toSet
+      // model: per purchase, the latest anchored click within step; per
+      // anchored click, the latest view within step (non-consuming)
+      val byKey = evs.groupBy(_.key)
+      val model = byKey.toSeq.flatMap { case (k, es) =>
+        val views = es.filter(_.etype == "view").map(_.tsUs)
+        val clicks = es.filter(_.etype == "click").map(_.tsUs)
+        val purchases = es.filter(_.etype == "purchase").map(_.tsUs)
+        val anchored = clicks.flatMap { c =>
+          val vs = views.filter(v => v <= c && v >= c - step)
+          if (vs.isEmpty) None else Some(c -> vs.max)
+        }.toMap
+        purchases.flatMap { p =>
+          val cs = anchored.keys.filter(c => c <= p && c >= p - step)
+          if (cs.isEmpty) None else {
+            val c = cs.max
+            Some((k, anchored(c), c, p))
+          }
+        }
+      }.toSet
+      got == model
+    })
+  }
 }
