@@ -617,5 +617,73 @@ object SourceQueries {
         .select(col("trade_date"), col("symbol"),
           round(col("close").cast("double"), 6).as("close"),
           col("volume").cast("bigint").as("volume"))
+    },
+
+    // ---------------------------------------------------------------- q168
+    // OPTIMIZE as one table-maintenance operation (Delta's `OPTIMIZE ...
+    // ZORDER BY` + stats refresh): compaction (q85), Z-order clustering
+    // (q132) and the file-stats index (q138) composed against a LIVE
+    // VersionedTable. The messy state is real — 40 small unclustered files
+    // from daily appends — and the optimize writes ONE new immutable
+    // version: readers of v1 never see a torn layout, time travel to the
+    // pre-optimize version keeps working, and a crash mid-optimize leaves
+    // the pointer on v1. Contracts required in-query: one version added;
+    // fewer files; content EXACTLY unchanged (optimize is a no-op on data);
+    // the refreshed stats index actually skips files for a custkey band.
+    Q("q168_optimize_table",
+      """SELECT o_orderstatus, count(*) AS n_orders,
+        |  CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
+        |  round(CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS DOUBLE), 6) AS revenue
+        |FROM orders GROUP BY 1""".stripMargin) { (s, dir) =>
+      import graft.ops.{DataSkipping, Layout, VersionedTable}
+      val path = scratch(s, dir, "q168")
+      val orders = Tables.load(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+          col("o_totalprice"))
+      VersionedTable.write(orders.repartition(40), path) // the daily-append mess
+      val v1 = VersionedTable.currentVersion(s, path).get
+      def dataFiles(p: String): Int = {
+        val hp = new org.apache.hadoop.fs.Path(p)
+        val fs = hp.getFileSystem(s.sparkContext.hadoopConfiguration)
+        fs.listStatus(hp).count(st => st.isFile &&
+          !st.getPath.getName.startsWith("_") && !st.getPath.getName.startsWith("."))
+      }
+      val v1Files = dataFiles(VersionedTable.liveDir(s, path))
+      // OPTIMIZE: Z-order on (custkey, totalprice), 8 target files, stats on
+      // the custkey dimension — all staged into the NEXT version
+      val mm = orders.agg(
+        min(col("o_custkey")).cast("long"), max(col("o_custkey")).cast("long"),
+        min(col("o_totalprice")).cast("long"), max(col("o_totalprice")).cast("long")).head()
+      val (loC, hiC, loP, hiP) = (mm.getLong(0), mm.getLong(1), mm.getLong(2), mm.getLong(3))
+      // custkey LAST: zOrderKey places dim i at interleave position b·n+i, so
+      // the last dimension owns the top bit — the 8 range slices then resolve
+      // custkey to quarters (the dimension the stats index prunes on) rather
+      // than halves
+      val zKey = Layout.zOrderKey(Seq(
+        Layout.rangeBucket(col("o_totalprice").cast("long"), loP, hiP, 16),
+        Layout.rangeBucket(col("o_custkey"), loC, hiC, 16)), bits = 16)
+      val optimized = orders.withColumn("__z", zKey)
+        .repartitionByRange(8, col("__z")).sortWithinPartitions(col("__z")).drop("__z")
+      VersionedTable.write(optimized, path, statsCols = Seq("o_custkey"))
+      val v2 = VersionedTable.currentVersion(s, path).get
+      require(v2 == v1 + 1, s"q168: optimize must add exactly one version: $v1 -> $v2")
+      val v2Files = dataFiles(VersionedTable.liveDir(s, path))
+      require(v2Files < v1Files,
+        s"q168: optimize must shrink the file count: $v1Files -> $v2Files")
+      val before = VersionedTable.readVersion(s, path, v1)
+      val after = VersionedTable.read(s, path).localCheckpoint()
+      require(after.exceptAll(before).isEmpty && before.exceptAll(after).isEmpty,
+        "q168: optimize must not change the table's contents")
+      // the refreshed stats index must skip files for a 1/8-span custkey band
+      val (_, sel, tot) = DataSkipping.pruneBetween(
+        s, VersionedTable.liveDir(s, path), "o_custkey",
+        lit(loC), lit(loC + (hiC - loC) / 8))
+      require(tot >= 4 && sel * 2 <= tot,
+        s"q168: refreshed stats must skip half the files: selected $sel of $tot")
+      after.groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("o_orderkey")).cast("bigint").as("key_sum"),
+          round(sum(col("o_totalprice").cast("decimal(18,6)")).cast("decimal(38,6)")
+            .cast("double"), 6).as("revenue"))
     })
 }
