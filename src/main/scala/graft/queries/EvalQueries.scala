@@ -502,5 +502,147 @@ object EvalQueries {
         .filter(col("rid") >= ceil(col("split_idx") * col("n") / 8.0).cast("long"))
         .groupBy(col("split_idx"))
         .agg(round(min(col("o_totalprice")), 6).as("boundary"))
+    },
+
+    // ---------------------------------------------------------------- q169
+    // Linear interpolation over a sparse daily series (q67's gap-fill is
+    // LOCF; this is the other standard resampler). Known points are every
+    // third day's exact decimal total (planted sparsity, deterministic on
+    // both engines); missing days interpolate between their last-known and
+    // next-known neighbors. Neighbor lookup is two IGNORE-NULLS window
+    // passes per type (bounded day domain); the interpolation weight is an
+    // integer day ratio and the value delta stays DECIMAL until one
+    // identical IEEE expression forms the result on both engines.
+    Q("q169_linear_interpolation",
+      """WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day,
+        |    CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS v
+        |  FROM events GROUP BY 1, 2),
+        |known AS (SELECT * FROM daily
+        |          WHERE datediff('day', DATE '1970-01-01', day) % 3 = 0),
+        |bounds AS (SELECT event_type, min(day) AS d0, max(day) AS d1
+        |           FROM known GROUP BY 1),
+        |spine AS (SELECT event_type, CAST(gs.d AS DATE) AS day
+        |          FROM bounds, unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS gs(d)),
+        |j AS (SELECT s.event_type, s.day, k.v,
+        |  datediff('day', DATE '1970-01-01', s.day) AS dn FROM spine s
+        |  LEFT JOIN known k USING (event_type, day)),
+        |n AS (SELECT event_type, day, v,
+        |  last_value(v IGNORE NULLS) OVER (PARTITION BY event_type ORDER BY day
+        |    ROWS UNBOUNDED PRECEDING) AS pv,
+        |  last_value(CASE WHEN v IS NOT NULL THEN dn END IGNORE NULLS)
+        |    OVER (PARTITION BY event_type ORDER BY day ROWS UNBOUNDED PRECEDING) AS pd,
+        |  first_value(v IGNORE NULLS) OVER (PARTITION BY event_type ORDER BY day
+        |    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+        |  first_value(CASE WHEN v IS NOT NULL THEN dn END IGNORE NULLS)
+        |    OVER (PARTITION BY event_type ORDER BY day
+        |          ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nd,
+        |  dn FROM j)
+        |SELECT event_type, day, v IS NULL AS interpolated,
+        |  round(CASE WHEN v IS NOT NULL THEN CAST(v AS DOUBLE)
+        |    ELSE CAST(pv AS DOUBLE)
+        |      + CAST(nv - pv AS DOUBLE) * CAST(dn - pd AS DOUBLE) / CAST(nd - pd AS DOUBLE)
+        |  END, 6) AS value_interp
+        |FROM n""".stripMargin) { (s, dir) =>
+      val epoch = to_date(lit("1970-01-01"))
+      val daily = Tables.load(s, dir, "events")
+        .groupBy(col("event_type"), col("ts").cast("date").as("day"))
+        .agg(sum(col("value").cast("decimal(18,6)")).cast("decimal(18,6)").as("v"))
+      val known = daily.filter(datediff(col("day"), epoch) % 3 === 0)
+      val spine = known.groupBy(col("event_type"))
+        .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+        .select(col("event_type"),
+          explode(sequence(col("d0"), col("d1"), expr("interval 1 day"))).as("day"))
+      val j = spine.join(known, Seq("event_type", "day"), "left")
+        .withColumn("dn", datediff(col("day"), epoch))
+      val wBack = Window.partitionBy(col("event_type")).orderBy(col("day"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wFwd = Window.partitionBy(col("event_type")).orderBy(col("day"))
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      val dnKnown = when(col("v").isNotNull, col("dn"))
+      j.withColumn("pv", last(col("v"), ignoreNulls = true).over(wBack))
+        .withColumn("pd", last(dnKnown, ignoreNulls = true).over(wBack))
+        .withColumn("nv", first(col("v"), ignoreNulls = true).over(wFwd))
+        .withColumn("nd", first(dnKnown, ignoreNulls = true).over(wFwd))
+        .select(col("event_type"), col("day"), col("v").isNull.as("interpolated"),
+          round(when(col("v").isNotNull, col("v").cast("double"))
+            .otherwise(col("pv").cast("double") +
+              (col("nv") - col("pv")).cast("double") *
+                (col("dn") - col("pd")).cast("double") /
+                (col("nd") - col("pd")).cast("double")), 6).as("value_interp"))
+    },
+
+    // ---------------------------------------------------------------- q170
+    // Nearest as-of join (± tolerance): each error event pairs with the
+    // user's click CLOSEST in time within one hour, either direction, ties
+    // to the earlier click — the bidirectional variant completing the
+    // backward as-of (q35) and interval (q116) family. Candidates come from
+    // the bucketized range join (never a time-unbounded per-user cross
+    // product); nearest-selection is a per-error bounded window.
+    Q("q170_asof_nearest",
+      """WITH w AS (SELECT * FROM events WHERE ts < TIMESTAMP '2024-01-08 00:00:00'),
+        |err AS (SELECT user_id, event_id, epoch_us(ts) AS e_us FROM w
+        |        WHERE event_type = 'error'),
+        |clk AS (SELECT user_id, epoch_us(ts) AS c_us FROM w
+        |        WHERE event_type = 'click'),
+        |j AS (SELECT e.user_id, e.event_id, e.e_us, c.c_us
+        |      FROM err e JOIN clk c ON c.user_id = e.user_id
+        |      AND c.c_us >= e.e_us - 3600000000 AND c.c_us <= e.e_us + 3600000000)
+        |SELECT user_id, event_id, c_us AS nearest_click_us,
+        |  CAST(c_us - e_us AS BIGINT) AS delta_us
+        |FROM j
+        |QUALIFY row_number() OVER (PARTITION BY event_id
+        |  ORDER BY abs(c_us - e_us), c_us) = 1""".stripMargin) { (s, dir) =>
+      val w = Tables.load(s, dir, "events")
+        .filter(col("ts") < lit("2024-01-08 00:00:00").cast("timestamp"))
+      val errors = w.filter(col("event_type") === "error")
+        .select(col("user_id"), col("event_id"), col("ts"))
+      val clicks = w.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts").as("click_ts"))
+      val pairs = graft.ops.RangeJoin.timeWindow(errors, clicks, Seq("user_id"),
+          "ts", "click_ts", lowerUs = -3600000000L, upperUs = 3600000000L)
+        .select(col("user_id"), col("event_id"),
+          unix_micros(col("ts")).as("e_us"), unix_micros(col("click_ts")).as("c_us"))
+      val nearest = Window.partitionBy(col("event_id"))
+        .orderBy(abs(col("c_us") - col("e_us")), col("c_us"))
+      pairs.withColumn("__rk", row_number().over(nearest))
+        .filter(col("__rk") === 1)
+        .select(col("user_id"), col("event_id"), col("c_us").as("nearest_click_us"),
+          (col("c_us") - col("e_us")).cast("bigint").as("delta_us"))
+    },
+
+    // ---------------------------------------------------------------- q171
+    // Keyset pagination (page 3 of the price-ranked order book): OFFSET at
+    // scale sorts and discards 200 rows per page request forever deeper —
+    // keyset instead seeks past the last-seen (price, key) boundary, so
+    // every page costs one TakeOrderedAndProject top-k, never a global
+    // sort. The boundary row is the bounded driver-side state a paginating
+    // API hands back as its cursor; the in-query require pins the
+    // top-k-planned (no range-sort-exchange) physical plan.
+    Q("q171_keyset_pagination",
+      """WITH ranked AS (
+        |  SELECT o_orderkey, o_totalprice,
+        |    row_number() OVER (ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |  FROM orders)
+        |SELECT o_orderkey, round(o_totalprice, 6) AS o_totalprice
+        |FROM ranked WHERE rn BETWEEN 201 AND 300""".stripMargin) { (s, dir) =>
+      val orders = Tables.load(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_totalprice"))
+      val ord = Seq(col("o_totalprice").desc, col("o_orderkey").asc)
+      // the cursor: last row of page 2 — ONE row to the driver, the state a
+      // paginating API returns to its caller
+      val cursor = orders.orderBy(ord: _*).limit(200)
+        .orderBy(col("o_totalprice").asc, col("o_orderkey").desc).limit(1).head()
+      val (bp, bk) = (cursor.getDouble(1), cursor.getLong(0))
+      val page3 = orders
+        .filter(col("o_totalprice") < bp ||
+          (col("o_totalprice") === bp && col("o_orderkey") > bk))
+        .orderBy(ord: _*).limit(100)
+      val plan = page3.queryExecution.executedPlan.toString
+      require(plan.contains("TakeOrderedAndProject"),
+        "q171: the page seek must plan a top-k, not a global sort")
+      require(!plan.contains("Exchange rangepartitioning"),
+        "q171: keyset pagination must never range-sort the table")
+      page3.select(col("o_orderkey"), round(col("o_totalprice"), 6).as("o_totalprice"))
     })
 }
