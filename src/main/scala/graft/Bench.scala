@@ -72,7 +72,8 @@ object Bench {
     val streamingNames = Set("q103_streaming_kmv", "q104_streaming_sessions",
       "q105_streaming_dedup", "q116_streaming_interval_join",
       "q133_streaming_exactly_once", "q147_late_data_accounting",
-      "q148_stream_static_refresh", "q155_streaming_cep")
+      "q148_stream_static_refresh", "q155_streaming_cep",
+      "q174_streaming_outer_join")
     val streamingS = results.filter(kv => streamingNames(kv._1)).map(_._2).sum
     val knobTag =
       (if (sys.env.contains("SPARK_GRAFT_BENCH_FILTER")) s""","filtered":true""" else "") +

@@ -644,5 +644,82 @@ object EvalQueries {
       require(!plan.contains("Exchange rangepartitioning"),
         "q171: keyset pagination must never range-sort the table")
       page3.select(col("o_orderkey"), round(col("o_totalprice"), 6).as("o_totalprice"))
+    },
+
+    // ---------------------------------------------------------------- q172
+    // Hopping (sliding) window aggregation via Spark's NATIVE window(ts,
+    // duration, slide) — each event lands in duration/slide windows in one
+    // Expand pass (no self-join): 3-day windows sliding daily over the
+    // event stream, epoch-aligned starts identical in both engines. q18 is
+    // the tumbling special case; q87 builds the same shape from explicit
+    // joins — this is the operator form a streaming aggregation would use.
+    Q("q172_hopping_window",
+      """WITH e AS (SELECT event_id, event_type, CAST(ts AS DATE) AS day FROM events),
+        |x AS (SELECT event_id, event_type, day - CAST(k.k AS INTEGER) AS win_start
+        |      FROM e, range(3) k(k))
+        |SELECT event_type, win_start, count(*) AS n_events,
+        |  CAST(SUM(event_id) AS BIGINT) AS id_sum
+        |FROM x GROUP BY 1, 2""".stripMargin) { (s, dir) =>
+      Tables.load(s, dir, "events")
+        .groupBy(col("event_type"), window(col("ts"), "3 days", "1 day"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("event_id")).cast("bigint").as("id_sum"))
+        .select(col("event_type"), col("window.start").cast("date").as("win_start"),
+          col("n_events"), col("id_sum"))
+    },
+
+    // ---------------------------------------------------------------- q173
+    // Replica reconciliation by partition signature (the anti-entropy /
+    // Merkle-level pattern): two 100 TB replicas are compared by ONE
+    // (count, content-hash-sum) pair per partition — BIGINT row hashes from
+    // the shared md5 family, summed order-independently — and only the
+    // partitions whose signatures differ are flagged for re-sync. Planted
+    // divergence: one partition with a mutated row, one with a deleted row.
+    // The require pins that EXACTLY the planted partitions surface; the
+    // oracle replays both replicas' signatures from the same hash algebra.
+    Q("q173_replica_reconcile",
+      """WITH a AS (SELECT l_orderkey % 64 AS p,
+        |    CAST(CAST('0x' || substring(md5(concat_ws('|',
+        |      CAST(l_orderkey AS VARCHAR), CAST(l_linenumber AS VARCHAR),
+        |      CAST(CAST(l_quantity AS BIGINT) AS VARCHAR))), 1, 8) AS BIGINT) AS BIGINT) AS h
+        |  FROM lineitem),
+        |b AS (SELECT l_orderkey % 64 AS p,
+        |    CAST(CAST('0x' || substring(md5(concat_ws('|',
+        |      CAST(l_orderkey AS VARCHAR), CAST(l_linenumber AS VARCHAR),
+        |      CAST(CAST(l_quantity AS BIGINT)
+        |           + CASE WHEN l_orderkey % 64 = 7 AND l_linenumber = 1
+        |                  THEN 1 ELSE 0 END AS VARCHAR))), 1, 8) AS BIGINT) AS BIGINT) AS h
+        |  FROM lineitem
+        |  WHERE NOT (l_orderkey % 64 = 21 AND l_linenumber = 3)),
+        |sa AS (SELECT p, count(*) AS n_a, sum(h) AS s_a FROM a GROUP BY 1),
+        |sb AS (SELECT p, count(*) AS n_b, sum(h) AS s_b FROM b GROUP BY 1)
+        |SELECT p, n_a, n_b
+        |FROM sa JOIN sb USING (p)
+        |WHERE n_a <> n_b OR s_a <> s_b""".stripMargin) { (s, dir) =>
+      val li = Tables.load(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("l_quantity").cast("long").as("qty"))
+      def sig(df: org.apache.spark.sql.DataFrame, n: String, sSum: String) = df
+        .withColumn("h", conv(substring(md5(concat_ws("|",
+          col("l_orderkey").cast("string"), col("l_linenumber").cast("string"),
+          col("qty").cast("string"))), 1, 8), 16, 10).cast("long"))
+        .groupBy((col("l_orderkey") % 64).as("p"))
+        .agg(count(lit(1)).as(n), sum(col("h")).as(sSum))
+      val a = sig(li, "n_a", "s_a")
+      // replica B: one mutated row in partition 7, one deleted in 21
+      val b = sig(li
+        .withColumn("qty", col("qty") +
+          when(col("l_orderkey") % 64 === 7 && col("l_linenumber") === 1, 1L)
+            .otherwise(0L))
+        .filter(!(col("l_orderkey") % 64 === 21 && col("l_linenumber") === 3)),
+        "n_b", "s_b")
+      val diverged = a.join(b, "p")
+        .filter(col("n_a") =!= col("n_b") || col("s_a") =!= col("s_b"))
+        .select(col("p"), col("n_a"), col("n_b"))
+        .localCheckpoint() // read by the require and returned
+      val ps = diverged.select(col("p")).collect().map(_.getLong(0)).toSet
+      require(ps == Set(7L, 21L),
+        s"q173: exactly the planted partitions must diverge, got $ps")
+      diverged
     })
 }

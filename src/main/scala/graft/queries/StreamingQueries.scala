@@ -474,5 +474,82 @@ object StreamingQueries {
       require(gotAligned.exceptAll(want).isEmpty && want.exceptAll(gotAligned).isEmpty,
         "q155: streaming CEP matches must equal the batch twin")
       gotAligned.select(col("key").as("user_id"), col("v_us"), col("c_us"), col("p_us"))
+    },
+
+    // ---------------------------------------------------------------- q174
+    // Stream-stream LEFT OUTER interval join: the semantics q116 (inner)
+    // cannot show — a never-matched error emits ONE null-extended row, and
+    // only once the global watermark passes its last possible match
+    // (error ts + upper bound). The un-emittable tail — errors whose join
+    // window is still open at stream end — stays in state, exactly as a
+    // 24/7 deployment would hold it; the oracle replays the closure rule
+    // (e_us < min(max error ts, max click ts) − 1 h delay) from the same
+    // date arithmetic, safe because both sides carry independent µs offsets
+    // so a tie on the closure boundary cannot occur. Matched pairs are
+    // watermark-independent and must equal the batch range join exactly.
+    Q("q174_streaming_outer_join",
+      """WITH w AS (SELECT * FROM events WHERE ts < TIMESTAMP '2024-01-08 00:00:00'),
+        |err AS (SELECT user_id, ts, event_id, epoch_us(ts) AS e_us FROM w
+        |        WHERE event_type = 'error'),
+        |clk AS (SELECT user_id, epoch_us(ts) AS c_us FROM w
+        |        WHERE event_type = 'click'),
+        |wm AS (SELECT least((SELECT max(e_us) FROM err),
+        |                    (SELECT max(c_us) FROM clk)) - 3600000000 AS us),
+        |m AS (SELECT e.user_id, e.event_id, c.c_us
+        |      FROM err e JOIN clk c ON c.user_id = e.user_id
+        |      AND c.c_us >= e.e_us - 3600000000 AND c.c_us <= e.e_us),
+        |unmatched AS (SELECT e.user_id, e.event_id FROM err e, wm
+        |      WHERE e.e_us < wm.us AND NOT EXISTS (
+        |        SELECT 1 FROM clk c WHERE c.user_id = e.user_id
+        |        AND c.c_us >= e.e_us - 3600000000 AND c.c_us <= e.e_us))
+        |SELECT user_id,
+        |  CAST(count(c_us) AS BIGINT) AS n_pairs,
+        |  CAST(count(*) FILTER (WHERE c_us IS NULL) AS BIGINT) AS n_unmatched
+        |FROM (SELECT user_id, event_id, c_us FROM m
+        |      UNION ALL SELECT user_id, event_id, NULL FROM unmatched)
+        |GROUP BY 1""".stripMargin) { (s, dir) =>
+      val events = Tables.load(s, dir, "events")
+        .filter(col("ts") < lit("2024-01-08 00:00:00").cast("timestamp"))
+      val errors = events.filter(col("event_type") === "error")
+        .select(col("user_id"), col("ts"), col("event_id"))
+      val clicks = events.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts").as("click_ts"))
+      val in = scratch(s, dir, "q174")
+      errors.coalesce(1).write.parquet(s"$in/errors")
+      clicks.coalesce(1).write.parquet(s"$in/clicks")
+      val sink = sinkName("q174_oj")
+      val got = withNarrowShuffle(s) { EventStream.runAvailableNow(
+        EventStream.intervalJoin(
+          EventStream.fileSource(s, s"$in/errors", errors.schema),
+          EventStream.fileSource(s, s"$in/clicks", clicks.schema),
+          Seq("user_id"), "ts", "click_ts",
+          lowerUs = -3600000000L, upperUs = 0L, delay = "1 hour",
+          joinType = "leftOuter"),
+        sink) }
+        .localCheckpoint()
+      s.catalog.dropTempView(sink)
+      // batch replay: matched pairs always; null rows only for never-matched
+      // errors whose closure (ts + upper) fell below the final watermark
+      val wmUs = math.min(
+        errors.agg(max(unix_micros(col("ts")))).head().getLong(0),
+        clicks.agg(max(unix_micros(col("click_ts")))).head().getLong(0)) - 3600000000L
+      val matched = graft.ops.RangeJoin.timeWindow(errors, clicks, Seq("user_id"),
+        "ts", "click_ts", lowerUs = -3600000000L, upperUs = 0L)
+        .localCheckpoint() // feeds the anti-join AND the equality frame
+      val unmatched = errors
+        .join(matched.select(col("event_id")).distinct(), Seq("event_id"), "left_anti")
+        .filter(unix_micros(col("ts")) < wmUs)
+        .select(col("user_id"), col("ts"), col("event_id"),
+          lit(null).cast("timestamp").as("click_ts"))
+      val want = matched.select(got.columns.map(col).toIndexedSeq: _*)
+        .unionByName(unmatched.select(got.columns.map(col).toIndexedSeq: _*))
+      require(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty,
+        "q174: streaming outer join must equal the batch replay of the closure rule")
+      require(got.filter(col("click_ts").isNull).count() > 0,
+        "q174: the outer side must actually emit null-extended rows")
+      got.groupBy(col("user_id"))
+        .agg(count(col("click_ts")).as("n_pairs"),
+          sum(when(col("click_ts").isNull, 1L).otherwise(0L)).cast("bigint")
+            .as("n_unmatched"))
     })
 }

@@ -98,7 +98,7 @@ object EventStream {
     */
   def intervalJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
       leftTs: String, rightTs: String, lowerUs: Long, upperUs: Long,
-      delay: String = "1 hour"): DataFrame = {
+      delay: String = "1 hour", joinType: String = "inner"): DataFrame = {
     require(leftTs != rightTs, "rename one time column: output keeps both")
     val l = left.withWatermark(leftTs, delay).alias("l")
     val r = right.withWatermark(rightTs, delay).alias("r")
@@ -106,7 +106,10 @@ object EventStream {
     val range =
       col(s"r.$rightTs") >= col(s"l.$leftTs") + expr(s"INTERVAL $lowerUs MICROSECOND") &&
         col(s"r.$rightTs") <= col(s"l.$leftTs") + expr(s"INTERVAL $upperUs MICROSECOND")
-    l.join(r, keyCond && range).select(col("l.*"), col(s"r.$rightTs"))
+    // leftOuter: a never-matched left row emits ONE null-extended row once
+    // the watermark passes its last possible match (l.ts + upper) — the
+    // outer-join state-closure semantics q174 puts on the scoreboard
+    l.join(r, keyCond && range, joinType).select(col("l.*"), col(s"r.$rightTs"))
   }
 
   /** Idempotent keyed upsert sink: every micro-batch is deduped to one row
