@@ -96,5 +96,25 @@ object GraftRules {
     val cur = spark.experimental.extraOptimizations
     if (!cur.exists(_ eq RankFilterToTopK))
       spark.experimental.extraOptimizations = cur :+ RankFilterToTopK
+    registerFunctions(spark)
+  }
+
+  /** SQL-surface registration of the library's native expressions, so
+    * `spark.sql("SELECT jaro_winkler(a, b) ...")` works exactly like the
+    * Column API (q175 exercises this path end to end). Arity is validated
+    * here so a bad call fails at analysis with a readable message, not with
+    * a MatchError from the builder.
+    */
+  def registerFunctions(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    def arity(name: String, n: Int)(
+        build: Seq[org.apache.spark.sql.catalyst.expressions.Expression] =>
+          org.apache.spark.sql.catalyst.expressions.Expression) =
+      reg.createOrReplaceTempFunction(name, { args =>
+        require(args.length == n, s"$name expects $n argument(s), got ${args.length}")
+        build(args)
+      }, "built-in")
+    arity("jaro_winkler", 2) { case Seq(a, b) => graft.functions.JaroWinkler(a, b) }
+    arity("nfc_normalize", 1) { case Seq(a) => graft.functions.NfcNormalize(a) }
   }
 }

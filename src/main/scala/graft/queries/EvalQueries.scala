@@ -721,5 +721,36 @@ object EvalQueries {
       require(ps == Set(7L, 21L),
         s"q173: exactly the planted partitions must diverge, got $ps")
       diverged
+    },
+
+    // ---------------------------------------------------------------- q175
+    // The pure-SQL surface: the ENTIRE query is ANSI SQL text through
+    // spark.sql(), using the library's natively-registered functions
+    // (GraftRules.registerFunctions) — fuzzy supplier-name pairs within a
+    // nation block, scored by the codegen'd jaro_winkler over NFC-normalized
+    // names. This is the contract a SQL-first user of the library gets: the
+    // same expressions, same codegen, no Column API required. The 0.87
+    // threshold is safe on the boundary because the expression is pinned
+    // byte-for-byte to DuckDB's independent implementation (q123).
+    Q("q175_sql_function_surface",
+      """SELECT a.s_suppkey AS id_a, b.s_suppkey AS id_b,
+        |  round(jaro_winkler_similarity(nfc_normalize(lower(a.s_name)),
+        |                                nfc_normalize(lower(b.s_name))), 6) AS sim
+        |FROM supplier a JOIN supplier b
+        |  ON a.s_nationkey = b.s_nationkey AND a.s_suppkey < b.s_suppkey
+        |WHERE jaro_winkler_similarity(nfc_normalize(lower(a.s_name)),
+        |                              nfc_normalize(lower(b.s_name))) >= 0.87""".stripMargin) { (s, dir) =>
+      Tables.load(s, dir, "supplier").createOrReplaceTempView("q175_supplier")
+      val out = s.sql(
+        """SELECT a.s_suppkey AS id_a, b.s_suppkey AS id_b,
+          |  round(jaro_winkler(nfc_normalize(lower(a.s_name)),
+          |                     nfc_normalize(lower(b.s_name))), 6) AS sim
+          |FROM q175_supplier a JOIN q175_supplier b
+          |  ON a.s_nationkey = b.s_nationkey AND a.s_suppkey < b.s_suppkey
+          |WHERE jaro_winkler(nfc_normalize(lower(a.s_name)),
+          |                   nfc_normalize(lower(b.s_name))) >= 0.87""".stripMargin)
+        .localCheckpoint() // materialize before the temp view is dropped
+      s.catalog.dropTempView("q175_supplier")
+      out
     })
 }
