@@ -333,4 +333,44 @@ class PlanAuditSpec extends AnyFunSuite {
     val ran = finalPlan(df)
     assert(ran.contains("*("), "the normalize projection must be inside WholeStageCodegen")
   }
+
+  test("q163/q169: TWAP and interpolation windows stay key-partitioned") {
+    Seq("q163_twap", "q169_linear_interpolation").foreach { name =>
+      val plan = executed(q(name))
+      assert(plan.contains("Window ["), s"$name plans a window")
+      assert(!plan.contains("SinglePartition"),
+        s"$name must not exchange the series to a single partition")
+    }
+  }
+
+  test("q165/q170: graph and nearest-asof joins stay keyed — no cartesian") {
+    Seq("q165_clustering_coeff", "q170_asof_nearest").foreach { name =>
+      val plan = executed(q(name))
+      assert(!plan.contains("CartesianProduct"), s"$name plans a cartesian")
+      assert(!plan.contains("BroadcastNestedLoopJoin Inner"), s"$name plans a nested loop")
+    }
+  }
+
+  test("q172: the hopping window is ONE Expand pass, not a self-join") {
+    val plan = executed(q("q172_hopping_window"))
+    assert(plan.contains("Expand"), "native window(slide) must plan Expand")
+    assert(!plan.contains("Join"), "hopping windows must not self-join")
+  }
+
+  test("q175: SQL-registered functions reach the same native expressions") {
+    // q175's returned frame is checkpointed (its plan is an RDD scan), so
+    // audit the registration path directly: SQL text must resolve to the
+    // SAME native expression classes the Column API uses, and evaluate
+    // to the pinned literature/composition values
+    val df = spark.sql(
+      "SELECT jaro_winkler('martha', 'marhta') AS jw, nfc_normalize('é') AS n")
+    // literal args constant-fold in the optimized plan (itself proof the
+    // native expressions evaluated); resolution is visible pre-optimization
+    val plan = df.queryExecution.analyzed.toString.toLowerCase
+    assert(plan.contains("jarowinkler"), "SQL text must resolve to the native expression")
+    assert(plan.contains("nfcnormalize"), "SQL text must resolve to the native expression")
+    val row = df.head()
+    assert(math.abs(row.getDouble(0) - 0.9611111111111111) < 1e-15) // Winkler '90 case
+    assert(row.getString(1) === "é")
+  }
 }
