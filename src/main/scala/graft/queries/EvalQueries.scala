@@ -752,5 +752,66 @@ object EvalQueries {
         .localCheckpoint() // materialize before the temp view is dropped
       s.catalog.dropTempView("q175_supplier")
       out
+    },
+
+    // ---------------------------------------------------------------- q176
+    // Mergeable quantile summaries — the property that makes a quantile
+    // affordable at 100 TB: each segment keeps a fixed-bin histogram
+    // (literal 2 500-wide bins, q74's trick), and segment summaries MERGE
+    // by addition — no rescan, no resort. Required in-query: (1) the merge
+    // theorem — merged segment histograms equal the direct full-table
+    // histogram EXACTLY; (2) the error contract — each bin-edge quantile
+    // estimate brackets Spark's exact sort-based percentile within one bin
+    // width (the q119/q121 guard pattern). The oracle replays histogram,
+    // cumulative and estimate from the raw table.
+    Q("q176_mergeable_quantiles",
+      """WITH h AS (
+        |  SELECT LEAST(CAST(floor(l_extendedprice / 2500) AS BIGINT), 60) AS bin,
+        |    count(*) AS cnt
+        |  FROM lineitem GROUP BY 1),
+        |c AS (SELECT bin, cnt,
+        |    sum(cnt) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING) AS cum,
+        |    sum(cnt) OVER () AS n FROM h)
+        |SELECT q, round(CAST(2500 * min(bin) AS DOUBLE), 6) AS est_lo
+        |FROM c, (SELECT CAST(0.5 AS DOUBLE) AS q
+        |         UNION ALL SELECT CAST(0.9 AS DOUBLE)) t
+        |WHERE cum >= CAST(ceil(q * n) AS BIGINT)
+        |GROUP BY q""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val li = Tables.load(s, dir, "lineitem")
+        .select(col("l_extendedprice").as("price"),
+          (col("l_orderkey") % 4).as("seg"))
+      val bin = least(floor(col("price") / 2500).cast("long"), lit(60L)).as("bin")
+      // per-segment summaries, then the MERGE: add counts — never rescan
+      val segHists = li.groupBy(col("seg"), bin).agg(count(lit(1)).as("cnt"))
+        .localCheckpoint() // the artifact a 100 TB run stores per partition
+      val merged = segHists.groupBy(col("bin"))
+        .agg(sum(col("cnt")).cast("bigint").as("cnt"))
+      val direct = li.groupBy(bin).agg(count(lit(1)).as("cnt"))
+        .localCheckpoint() // both exceptAll directions read it
+      require(merged.exceptAll(direct).isEmpty && direct.exceptAll(merged).isEmpty,
+        "q176: merged segment histograms must equal the direct histogram exactly")
+      // quantile estimates from the merged summary (bounded bin domain)
+      val wCum = Window.orderBy(col("bin")).rowsBetween(Window.unboundedPreceding, 0)
+      val cum = merged
+        .withColumn("cum", sum(col("cnt")).over(wCum))
+        .withColumn("n", sum(col("cnt")).over(Window.partitionBy()))
+        .localCheckpoint() // 61 rows; two quantile probes + the guard read it
+      def estLo(qf: Double): Double = cum
+        .filter(col("cum") >= ceil(lit(qf) * col("n")).cast("long"))
+        .agg(min(col("bin"))).head().getLong(0) * 2500.0
+      // the guard: both estimates must bracket the EXACT sort-based
+      // percentiles — ONE holistic aggregation pass computes both. The
+      // guard is the dominant in-query cost and exists only to put the
+      // error contract on the scoreboard; production runs summaries+merge
+      // alone (sub-second here)
+      val exact = li.agg(expr("percentile(price, 0.5)"), expr("percentile(price, 0.9)")).head()
+      Seq(0.5 -> exact.getDouble(0), 0.9 -> exact.getDouble(1)).foreach { case (qf, ex) =>
+        val est = estLo(qf)
+        require(est <= ex && ex < est + 2500.0,
+          s"q176: estimate $est must bracket exact $ex within one bin at q=$qf")
+      }
+      Seq((0.5, estLo(0.5)), (0.9, estLo(0.9))).toDF("q", "est_lo")
+        .select(col("q"), round(col("est_lo"), 6).as("est_lo"))
     })
 }
