@@ -21,6 +21,23 @@ object Bench {
     // scans. Counting the executed plan's row RDD computes every emitted
     // column without collecting rows to the driver.
     def run(df: org.apache.spark.sql.DataFrame): Long = df.queryExecution.toRdd.count()
+    // Release every piece of JVM state a query can leave behind. The catalog
+    // holds 60+ localCheckpoint sites; their pinned blocks are never needed
+    // after the query that created them returns, but nothing unpersists them
+    // automatically. Round 4's recorded artifact showed what happens when
+    // 176x2 reps accumulate: the lexicographic tail (q60-q99, run AFTER all
+    // q100+ entries) degraded 3.5-150x vs isolated runs purely from block-
+    // manager pressure. This models a long-lived production session leaking
+    // pinned blocks — the fix belongs in the harness loop, between reps.
+    def cleanup(): Unit = {
+      spark.streams.active.foreach(q => try q.stop() catch { case _: Throwable => () })
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(rdd => try rdd.unpersist(blocking = false) catch { case _: Throwable => () })
+      spark.catalog.clearCache()
+      try spark.catalog.listTables().collect().filter(_.isTemporary)
+        .foreach(t => spark.catalog.dropTempView(t.name))
+      catch { case _: Throwable => () }
+    }
     // Untimed warmup: JIT, codegen compilation, parquet footer caches, plus
     // one pass through the heavy lineages (LSH banding, KNN vector math) so
     // their codegen/JIT cost doesn't land in the first timed rep.
@@ -34,6 +51,7 @@ object Bench {
       // inside the first timed streaming rep
       SparkEntry.queries.get("q103_streaming_kmv").foreach(f => run(f(spark, sfDir)))
     } catch { case _: Throwable => () }
+    cleanup()
     // The recorded figure is the per-query MINIMUM over `reps` runs —
     // default 2. Round-2 showed single-shot times on this VM carry up to
     // 5x of JIT/GC noise on heavy lineages (a 5.2 s query recorded as
@@ -57,7 +75,11 @@ object Bench {
         val times = (1 to reps).map { _ =>
           val t0 = System.nanoTime()
           try { run(fn(spark, sfDir)) } catch { case _: Throwable => -1L }
-          (System.nanoTime() - t0) / 1e9
+          val dt = (System.nanoTime() - t0) / 1e9
+          // cleanup runs OUTSIDE the timed window: the recorded figure is
+          // the query's cost, not the harness's block-release cost
+          cleanup()
+          dt
         }
         name -> times.min
       }

@@ -28,6 +28,16 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // Same harness hygiene as Bench: queries localCheckpoint internally and
+      // nothing unpersists those pinned blocks; across 176 dumps they would
+      // accumulate in the block manager and slow the tail (round-4 lesson).
+      spark.streams.active.foreach(sq => try sq.stop() catch { case _: Throwable => () })
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(rdd => try rdd.unpersist(blocking = false) catch { case _: Throwable => () })
+      spark.catalog.clearCache()
+      try spark.catalog.listTables().collect().filter(_.isTemporary)
+        .foreach(t => spark.catalog.dropTempView(t.name))
+      catch { case _: Throwable => () }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

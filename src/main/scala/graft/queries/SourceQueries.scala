@@ -685,5 +685,139 @@ object SourceQueries {
           sum(col("o_orderkey")).cast("bigint").as("key_sum"),
           round(sum(col("o_totalprice").cast("decimal(18,6)")).cast("decimal(38,6)")
             .cast("double"), 6).as("revenue"))
+    },
+
+    // ---------------------------------------------------------------- q177
+    // Partition-directory skipping — the millions-of-files complement to the
+    // q138 stats index. q138's index still materializes the KEPT path list on
+    // the driver (the floor: Spark's own FileIndex holds the same). When even
+    // that is too much state, file selection must become a filter the ENGINE
+    // pushes: lineitem is laid out as hive-style `__band=NN/` directories by
+    // range-bucket of ship_day (distributed range partitioner, no global
+    // sort), and the reader's band predicate is pushed by Catalyst as a
+    // PartitionFilter — whole directories pruned at listing time, zero
+    // builder-side file enumeration (Delta/Iceberg hidden-partitioning
+    // pruning, re-expressed on plain parquet). Contracts required in-query:
+    // the plan carries the pushed PartitionFilters, the pruned scan opens at
+    // most half the files, and the oracle proves pruned+residual == full
+    // filter.
+    Q("q177_banded_skipping",
+      """SELECT l_returnflag, count(*) AS n_rows,
+        |  CAST(SUM(l_orderkey) AS BIGINT) AS key_sum
+        |FROM lineitem
+        |WHERE CAST(l_shipdate AS DATE) >= DATE '1996-06-01'
+        |  AND CAST(l_shipdate AS DATE) < DATE '1996-07-01'
+        |GROUP BY 1""".stripMargin) { (s, dir) =>
+      import graft.ops.DataSkipping
+      val path = scratch(s, dir, "q177")
+      val li = Tables.load(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_returnflag"),
+          to_date(col("l_shipdate")).as("ship_day"))
+      DataSkipping.writeBanded(li, path, "ship_day", 8)
+      // the reader consults only the band-bounds mini-index (8 rows) to map
+      // the value band to a directory band — never a file list
+      val bounds = DataSkipping.bandBounds(s, path, "ship_day").collect()
+      val (lo, hi) = (java.sql.Date.valueOf("1996-06-01"),
+        java.sql.Date.valueOf("1996-06-30"))
+      val hit = bounds.filter(r => !r.getDate(2).before(lo) && !r.getDate(1).after(hi))
+        .map(_.getInt(0))
+      require(hit.nonEmpty, "q177: the June band must intersect some band dir")
+      val pruned = DataSkipping.pruneBanded(s, path, hit.min, hit.max)
+      val plan = pruned.queryExecution.executedPlan
+      require(plan.toString.contains("PartitionFilters: ["),
+        "q177: the band predicate must plan as a pushed partition filter")
+      pruned.collect() // drive the scan so numFiles reflects pruned listing
+      val prunedFiles = plan.collectLeaves().head.metrics("numFiles").value
+      val full = s.read.parquet(path)
+      full.collect()
+      val totalFiles = full.queryExecution.executedPlan
+        .collectLeaves().head.metrics("numFiles").value
+      require(prunedFiles * 2 <= totalFiles,
+        s"q177: directory pruning must skip half the files: $prunedFiles of $totalFiles")
+      pruned
+        .filter(col("ship_day") >= to_date(lit("1996-06-01")) &&
+          col("ship_day") < to_date(lit("1996-07-01")))
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("l_orderkey")).cast("bigint").as("key_sum"))
+    },
+
+    // ---------------------------------------------------------------- q178
+    // Hilbert-curve clustering vs Z-order, measured head-to-head on the SAME
+    // data (round-4 VERDICT item). Morton interleaving jumps across the
+    // space at power-of-two boundaries, so a file's min/max box over a Z key
+    // range is loose — worst when the clustered columns differ widely in
+    // cardinality; the Hilbert walk moves one cell per step, so equal key
+    // ranges cover tighter boxes and min/max stats prune harder (why Delta
+    // added HILBERT next to ZORDER). Both layouts are written from the same
+    // lineitem projection with identical file/row-group geometry, both band
+    // predicates are measured with the scan's numOutputRows metric, and the
+    // contracts are: Hilbert prunes BOTH dims (≤ half the table), and its
+    // non-leading-dim scan stays within 1.5x of Z's (locality must not lose
+    // to the curve swap). The returned rows are the band aggregates read
+    // back FROM the Hilbert layout — the oracle proves the clustered
+    // rewrite is lossless.
+    Q("q178_hilbert_layout",
+      """WITH mm AS (SELECT min(l_orderkey) AS lo, max(l_orderkey) AS hi FROM lineitem)
+        |SELECT 'key_band' AS pred, count(*) AS n_rows,
+        |  CAST(SUM(l_orderkey) AS BIGINT) AS key_sum
+        |FROM lineitem, mm
+        |WHERE l_orderkey >= lo + (hi - lo)//4
+        |  AND l_orderkey <  lo + (hi - lo)//4 + (hi - lo)//20
+        |UNION ALL
+        |SELECT 'day_band', count(*), CAST(SUM(l_orderkey) AS BIGINT)
+        |FROM lineitem
+        |WHERE CAST(l_shipdate AS DATE) >= DATE '1996-06-01'
+        |  AND CAST(l_shipdate AS DATE) < DATE '1996-07-01'""".stripMargin) { (s, dir) =>
+      import graft.ops.Layout
+      val epoch = to_date(lit("1970-01-01"))
+      val li = Tables.load(s, dir, "lineitem")
+        .select(col("l_orderkey"), to_date(col("l_shipdate")).as("ship_day"))
+      val mm = li.agg(min(col("l_orderkey")).cast("long"), max(col("l_orderkey")).cast("long"),
+        min(datediff(col("ship_day"), epoch)).cast("long"),
+        max(datediff(col("ship_day"), epoch)).cast("long")).head()
+      val (loK, hiK, loD, hiD) = (mm.getLong(0), mm.getLong(1), mm.getLong(2), mm.getLong(3))
+      val span = hiK - loK
+      val (bandLo, bandHi) = (loK + span / 4, loK + span / 4 + span / 20)
+      val nRows = li.count()
+      val blockBytes = math.max(2L * 1024, nRows * 12 / 1000) // q132 geometry
+      val kB = Layout.rangeBucket(col("l_orderkey"), loK, hiK, 16)
+      val dB = Layout.rangeBucket(datediff(col("ship_day"), epoch), loD, hiD, 16)
+      val hPath = scratch(s, dir, "q178_h")
+      val zPath = scratch(s, dir, "q178_z")
+      Layout.hilbertWrite(li, hPath, kB, dB, bits = 16, nFiles = 4, blockBytes = blockBytes)
+      Layout.zOrderWrite(li, zPath, Seq(kB, dB), bits = 16, nFiles = 4,
+        blockBytes = blockBytes)
+      val keyPred = col("l_orderkey") >= bandLo && col("l_orderkey") < bandHi
+      val dayPred = col("ship_day") >= to_date(lit("1996-06-01")) &&
+        col("ship_day") < to_date(lit("1996-07-01"))
+      def scannedRows(path: String, pred: org.apache.spark.sql.Column): Long = {
+        val df = s.read.parquet(path).filter(pred)
+        df.collect()
+        df.queryExecution.executedPlan.collectLeaves().head.metrics("numOutputRows").value
+      }
+      val hKey = scannedRows(hPath, keyPred)
+      val hDay = scannedRows(hPath, dayPred)
+      val zKey = scannedRows(zPath, keyPred)
+      val zDay = scannedRows(zPath, dayPred)
+      // both clustered dims must prune on the Hilbert layout
+      require(hKey * 2 <= nRows,
+        s"q178: hilbert must prune the key band: $hKey of $nRows")
+      require(hDay * 2 <= nRows,
+        s"q178: hilbert must prune the day band: $hDay of $nRows")
+      // curve comparison: the locality-preserving curve must not LOSE to
+      // Morton beyond interval-alignment straddle on either dimension
+      require(hKey * 2 <= zKey * 3,
+        s"q178: hilbert key-band scan within 1.5x of Z: h=$hKey z=$zKey")
+      require(hDay * 2 <= zDay * 3,
+        s"q178: hilbert day-band scan within 1.5x of Z: h=$hDay z=$zDay")
+      val h = s.read.parquet(hPath)
+      h.filter(keyPred)
+        .agg(count(lit(1)).as("n_rows"), sum(col("l_orderkey")).cast("bigint").as("key_sum"))
+        .select(lit("key_band").as("pred"), col("n_rows"), col("key_sum"))
+        .unionByName(
+          h.filter(dayPred)
+            .agg(count(lit(1)).as("n_rows"), sum(col("l_orderkey")).cast("bigint").as("key_sum"))
+            .select(lit("day_band").as("pred"), col("n_rows"), col("key_sum")))
     })
 }

@@ -533,6 +533,14 @@ object StreamingQueries {
       val wmUs = math.min(
         errors.agg(max(unix_micros(col("ts")))).head().getLong(0),
         clicks.agg(max(unix_micros(col("click_ts")))).head().getLong(0)) - 3600000000L
+      // Boundary guard (round-4 ADVICE): the replay closes an error with
+      // strict e_us < wmUs; whether Spark emits the null row when the
+      // closure time EQUALS the final watermark depends on its internal
+      // eviction inequality. Assert the boundary is unpopulated so the
+      // equivalence below cannot silently depend on Spark's convention.
+      require(errors.filter(unix_micros(col("ts")) === wmUs).isEmpty,
+        "q174: an error sits exactly on the watermark closure boundary — " +
+          "the strict-inequality replay is not comparable on this data")
       val matched = graft.ops.RangeJoin.timeWindow(errors, clicks, Seq("user_id"),
         "ts", "click_ts", lowerUs = -3600000000L, upperUs = 0L)
         .localCheckpoint() // feeds the anti-join AND the equality frame

@@ -817,7 +817,8 @@ object TextQueries {
         |                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tf,
         |  row_number() OVER (ORDER BY tf DESC, term) AS pos FROM tc),
         |t AS (SELECT sum(tf) AS total FROM tc)
-        |SELECT CAST(pos AS BIGINT) AS k, cum_tf, total,
+        |SELECT CAST(pos AS BIGINT) AS k,
+        |  CAST(cum_tf AS BIGINT) AS cum_tf, CAST(total AS BIGINT) AS total,
         |  round(CAST(cum_tf AS DOUBLE) / total, 6) AS coverage
         |FROM o, t WHERE pos IN (5, 10, 20)""".stripMargin) { (s, dir) =>
       val tc = Tables.load(s, dir, "documents")

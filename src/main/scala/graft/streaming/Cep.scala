@@ -24,8 +24,18 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
 object Cep {
 
   case class CepEvent(key: Long, tsUs: Long, etype: String)
-  /** -1 sentinels = "none yet"; ancViewUs/ancClickUs move together. */
-  case class CepState(lastViewUs: Long, ancViewUs: Long, ancClickUs: Long)
+  /** -1 sentinels = "none yet"; ancViewUs/ancClickUs move together.
+    * hwmUs is a per-key high-water mark: "latest qualifying X" state is only
+    * lossless when each key's events arrive in event-time order ACROSS
+    * micro-batches (within a batch we sort). Rather than leave that
+    * precondition implied, events older than the key's high-water mark are
+    * dropped — the same convention a watermark applies to late data — so an
+    * out-of-order replay can never regress lastViewUs or re-anchor the
+    * (click, view) pair to an older click and silently diverge from the
+    * batch twin.
+    */
+  case class CepState(lastViewUs: Long, ancViewUs: Long, ancClickUs: Long,
+                      hwmUs: Long)
   case class CepMatch(key: Long, v_us: Long, c_us: Long, p_us: Long)
 
   /** Same-instant events process in pattern order (view < click < purchase),
@@ -40,19 +50,29 @@ object Cep {
       .flatMapGroupsWithState[CepState, CepMatch](
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (key: Long, it: Iterator[CepEvent], state: GroupState[CepState]) =>
-          var st = state.getOption.getOrElse(CepState(-1L, -1L, -1L))
+          var st = state.getOption.getOrElse(CepState(-1L, -1L, -1L, Long.MinValue))
           val out = scala.collection.mutable.ListBuffer.empty[CepMatch]
           it.toSeq.sortBy(e => (e.tsUs, prio.getOrElse(e.etype, 3))).foreach { e =>
-            e.etype match {
-              case "view" =>
-                st = st.copy(lastViewUs = e.tsUs)
-              case "click"
-                  if st.lastViewUs >= 0 && e.tsUs - st.lastViewUs <= stepUs =>
-                st = st.copy(ancViewUs = st.lastViewUs, ancClickUs = e.tsUs)
-              case "purchase"
-                  if st.ancClickUs >= 0 && e.tsUs - st.ancClickUs <= stepUs =>
-                out += CepMatch(key, st.ancViewUs, st.ancClickUs, e.tsUs)
-              case _ => () // unanchored click / unmatched purchase / other type
+            // cross-batch order guard: drop events strictly older than this
+            // key's high-water mark (same-instant events still process, in
+            // pattern order). Belt-and-braces, the state updates below are
+            // ALSO monotone (max / only-if-newer), so even an equal-timestamp
+            // replay cannot regress state.
+            if (e.tsUs >= st.hwmUs) {
+              st = st.copy(hwmUs = math.max(st.hwmUs, e.tsUs))
+              e.etype match {
+                case "view" =>
+                  st = st.copy(lastViewUs = math.max(st.lastViewUs, e.tsUs))
+                case "click"
+                    if st.lastViewUs >= 0 && e.tsUs - st.lastViewUs <= stepUs &&
+                       e.tsUs >= st.ancClickUs =>
+                  st = st.copy(ancViewUs = st.lastViewUs, ancClickUs = e.tsUs)
+                case "purchase"
+                    if st.ancClickUs >= 0 && e.tsUs >= st.ancClickUs &&
+                       e.tsUs - st.ancClickUs <= stepUs =>
+                  out += CepMatch(key, st.ancViewUs, st.ancClickUs, e.tsUs)
+                case _ => () // unanchored click / unmatched purchase / other
+              }
             }
           }
           state.update(st)

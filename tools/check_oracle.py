@@ -4,11 +4,42 @@ shipped library): run after `sbt "runMain graft.Verify <sfDir> <outDir>"`.
 Loads each dumped parquet, runs the matching oracle SQL in DuckDB over views
 named after the testdata tables, and diffs values with rows+columns sorted.
 """
-import json, sys, math
+import json, sys, math, re
 import duckdb
 
 TABLES = ["region", "nation", "customer", "supplier", "part",
           "orders", "lineitem", "events", "documents", "embeddings"]
+
+# --- dtype gate -------------------------------------------------------------
+# The driver's hasher canonicalizes values WITHIN a 64-bit-representable type
+# class, but NOT across wider types: DuckDB HUGEINT (sum of BIGINT) and
+# precision-38 decimals hash differently from Spark's int64/decimal even when
+# every value is identical (round-2 and round-4 red rows: q154, q158). The
+# stringified-value compare below can't see that, so we gate on dtypes too.
+
+WIDE = re.compile(r"DECIMAL\((\d+),\s*(\d+)\)")
+
+def type_class(t):
+    ts = str(t).upper()
+    if ts in ("TINYINT", "SMALLINT", "INTEGER", "BIGINT",
+              "UTINYINT", "USMALLINT", "UINTEGER"):
+        return "INT64"
+    if ts in ("FLOAT", "DOUBLE"):
+        return "FLOAT"
+    m = WIDE.match(ts)
+    if m:
+        return f"DECIMAL({m.group(1)},{m.group(2)})"
+    return ts
+
+def wide_cols(cols, types):
+    """Columns whose dtype the driver's hasher cannot canonicalize."""
+    bad = []
+    for c, t in zip(cols, types):
+        ts = str(t).upper()
+        m = WIDE.match(ts)
+        if ts == "HUGEINT" or (m and int(m.group(1)) > 18):
+            bad.append((c, ts))
+    return bad
 
 def canon(rows, cols):
     order = sorted(range(len(cols)), key=lambda i: cols[i])
@@ -36,16 +67,29 @@ def main(sf_dir, out_dir):
     for name, sql in sorted(oracle.items()):
         try:
             spark_rel = con.sql(f"SELECT * FROM read_parquet('{out_dir}/{name}/*.parquet')")
+            s_types = dict(zip(spark_rel.columns, spark_rel.types))
             s_cols, s_rows = canon(spark_rel.fetchall(), spark_rel.columns)
         except Exception as e:
             print(f"FAIL {name}: cannot read spark dump: {e}"); n_bad += 1; continue
         try:
             ora_rel = con.sql(sql)
+            o_types = dict(zip(ora_rel.columns, ora_rel.types))
             o_cols, o_rows = canon(ora_rel.fetchall(), ora_rel.columns)
         except Exception as e:
             print(f"FAIL {name}: oracle sql error: {e}"); n_bad += 1; continue
+        # dtype gate first — catches divergence the stringified compare hides
+        wide = wide_cols(list(o_types), list(o_types.values())) + \
+               wide_cols(list(s_types), list(s_types.values()))
+        if wide:
+            print(f"FAIL {name}: uncanonicalizable dtypes (HUGEINT/DECIMAL(p>18)): {wide}")
+            n_bad += 1; continue
         if s_cols != o_cols:
             print(f"FAIL {name}: columns spark={s_cols} oracle={o_cols}"); n_bad += 1; continue
+        tmis = [(c, str(s_types[c]), str(o_types[c])) for c in s_cols
+                if type_class(s_types[c]) != type_class(o_types[c])]
+        if tmis:
+            print(f"FAIL {name}: dtype class mismatch (col, spark, oracle): {tmis}")
+            n_bad += 1; continue
         if len(s_rows) != len(o_rows):
             print(f"FAIL {name}: rows spark={len(s_rows)} oracle={len(o_rows)}"); n_bad += 1; continue
         if s_rows != o_rows:
