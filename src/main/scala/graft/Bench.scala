@@ -95,7 +95,7 @@ object Bench {
       "q105_streaming_dedup", "q116_streaming_interval_join",
       "q133_streaming_exactly_once", "q147_late_data_accounting",
       "q148_stream_static_refresh", "q155_streaming_cep",
-      "q174_streaming_outer_join")
+      "q174_streaming_outer_join", "q179_state_metrics")
     val streamingS = results.filter(kv => streamingNames(kv._1)).map(_._2).sum
     val knobTag =
       (if (sys.env.contains("SPARK_GRAFT_BENCH_FILTER")) s""","filtered":true""" else "") +

@@ -176,5 +176,66 @@ object JoinQueries {
         .groupBy(col("o_orderpriority"))
         .agg(count(lit(1)).as("n_orders"),
           sum(col("o_orderkey")).cast("bigint").as("key_sum"))
+    },
+
+    // ---------------------------------------------------------------- q180
+    // Cost-based join planning from catalog statistics: the SAME filtered
+    // dim join plans a shuffle (sort-merge) when the planner only has raw
+    // file sizes, and a broadcast when ANALYZE TABLE column statistics let
+    // the CBO see through the filter. Without column stats the filtered
+    // dim's size estimate is its full on-disk footprint — above any
+    // threshold sized between the two — so the planner must shuffle both
+    // sides; with ndv/min/max stats, FilterEstimation shrinks the estimate
+    // ~25x (one nation of 25) and the dim broadcasts. At 100 TB this is
+    // the difference between shipping a full fact-table shuffle and
+    // shipping kilobytes — the reason production tables carry ANALYZE
+    // stats. Both plans are asserted in-query; the returned rows come from
+    // the stats-driven broadcast plan and the oracle replays the join.
+    Q("q180_cbo_stats_broadcast",
+      """SELECT o_orderpriority, count(*) AS n_orders,
+        |  CAST(SUM(o_orderkey) AS BIGINT) AS key_sum
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |WHERE c_nationkey = 7
+        |GROUP BY 1""".stripMargin) { (s, dir) =>
+      val tag = java.util.UUID.randomUUID().toString.replace("-", "").take(8)
+      val (tStats, tRaw) = (s"cust_stats_$tag", s"cust_raw_$tag")
+      val cust = Tables.load(s, dir, "customer")
+        .select(col("c_custkey"), col("c_nationkey"))
+      cust.write.format("parquet").saveAsTable(tStats)
+      cust.write.format("parquet").saveAsTable(tRaw)
+      // the planner's own pre-ANALYZE estimate (file bytes) — the number the
+      // broadcast decision would use without statistics
+      val fullBytes = s.table(tRaw).queryExecution.optimizedPlan.stats
+        .sizeInBytes.toLong
+      s.sql(s"ANALYZE TABLE $tStats COMPUTE STATISTICS FOR COLUMNS c_nationkey, c_custkey")
+      val orders = Tables.load(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderpriority"), col("o_custkey"))
+      val confs = Seq("spark.sql.cbo.enabled" -> "true",
+        // threshold between the filtered CBO estimate (~1/25 of the dim)
+        // and the raw full-size estimate: the stats are the ONLY thing
+        // that can flip the strategy
+        "spark.sql.autoBroadcastJoinThreshold" -> math.max(1L, fullBytes / 3).toString)
+      val saved = confs.map { case (k, _) => k -> s.conf.get(k) }
+      try {
+        confs.foreach { case (k, v) => s.conf.set(k, v) }
+        def planOf(t: String) = orders
+          .join(s.table(t).filter(col("c_nationkey") === 7),
+            col("o_custkey") === col("c_custkey"))
+          .groupBy(col("o_orderpriority"))
+          .agg(count(lit(1)).as("n_orders"),
+            sum(col("o_orderkey")).cast("bigint").as("key_sum"))
+        val rawPlan = planOf(tRaw).queryExecution.executedPlan.toString
+        require(rawPlan.contains("SortMergeJoin") && !rawPlan.contains("BroadcastHashJoin"),
+          s"q180: without column stats the filtered dim must NOT broadcast")
+        val statsDf = planOf(tStats)
+        val statsPlan = statsDf.queryExecution.executedPlan.toString
+        require(statsPlan.contains("BroadcastHashJoin"),
+          s"q180: ANALYZE column stats must flip the join to broadcast")
+        statsDf.localCheckpoint()
+      } finally {
+        saved.foreach { case (k, v) => s.conf.set(k, v) }
+        s.sql(s"DROP TABLE IF EXISTS $tStats")
+        s.sql(s"DROP TABLE IF EXISTS $tRaw")
+      }
     })
 }

@@ -819,5 +819,74 @@ object SourceQueries {
           h.filter(dayPred)
             .agg(count(lit(1)).as("n_rows"), sum(col("l_orderkey")).cast("bigint").as("key_sum"))
             .select(lit("day_band").as("pred"), col("n_rows"), col("key_sum")))
+    },
+
+    // ---------------------------------------------------------------- q181
+    // Parquet bloom-filter row-group skipping: min/max stats prune RANGES,
+    // but a point lookup on a column the layout does NOT cluster gets no
+    // help — every row group's [min, max] spans the key. Parquet's column
+    // bloom filters (parquet-mr, public format) close exactly that gap:
+    // the writer embeds a per-row-group bloom of o_custkey while the file
+    // stays SORTED BY DATE (the layout the date-pruning workload wants),
+    // and the reader's pushed equality predicate consults the bloom to
+    // skip whole row groups that provably lack the key. Same data written
+    // with and without blooms, same point lookup, scan rows measured: the
+    // bloom read must scan at most half of what the bloom-less read scans.
+    // At 100 TB this is the secondary-index story without a second copy of
+    // the data. The oracle replays the lookup's aggregate.
+    Q("q181_parquet_bloom",
+      """WITH c AS (SELECT o_custkey, count(*) AS n FROM orders GROUP BY 1),
+        |k AS (SELECT o_custkey AS ck FROM c ORDER BY n, o_custkey LIMIT 1)
+        |SELECT CAST(count(*) AS BIGINT) AS n_orders,
+        |  CAST(SUM(o_orderkey) AS BIGINT) AS key_sum
+        |FROM orders, k WHERE o_custkey = k.ck""".stripMargin) { (s, dir) =>
+      val orders = Tables.load(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"))
+      // probe the fewest-orders customer (tie-break: smallest key): its few
+      // rows land in few row groups, so the bloom's skip potential is real
+      // at every SF — the min custkey's ~10 orders could touch most groups
+      // of a small file
+      val probeKey = orders.groupBy(col("o_custkey")).agg(count(lit(1)).as("n"))
+        .orderBy(col("n").asc, col("o_custkey").asc).limit(1)
+        .head().getLong(0)
+      val nRows = orders.count()
+      // date-sorted layout (custkey scattered); ~2 KiB groups give dozens
+      // of pruning units even at sf0.001 — the q132 geometry rule
+      val blockBytes = math.max(2L * 1024, nRows * 16 / 1000)
+      val sorted = orders.repartitionByRange(2, col("o_orderdate"))
+        .sortWithinPartitions(col("o_orderdate"))
+      val bloomPath = scratch(s, dir, "q181_bloom")
+      val plainPath = scratch(s, dir, "q181_plain")
+      sorted.write.mode("overwrite")
+        .option("parquet.block.size", blockBytes)
+        .option("parquet.bloom.filter.enabled#o_custkey", "true")
+        .option("parquet.bloom.filter.expected.ndv#o_custkey", nRows.toString)
+        .parquet(bloomPath)
+      sorted.write.mode("overwrite")
+        .option("parquet.block.size", blockBytes)
+        .parquet(plainPath)
+      def scannedRows(path: String): Long = {
+        val df = s.read.parquet(path).filter(col("o_custkey") === probeKey)
+        df.collect()
+        df.queryExecution.executedPlan.collectLeaves().head.metrics("numOutputRows").value
+      }
+      val bloomRows = scannedRows(bloomPath)
+      val plainRows = scannedRows(plainPath)
+      // size-gated (q132 rule): with only ~12 groups over a ~150-key domain
+      // (sf0.001) a group's [min, max] can exclude an edge key by luck, so
+      // the stats-blind premise and the 2x skip contract are asserted where
+      // the layout has enough rows to make them information-theoretically
+      // sound; the universal contract is only "bloom never scans more"
+      if (nRows >= 10000) {
+        require(plainRows * 2 >= nRows,
+          s"q181: min/max alone must not prune the scattered key: $plainRows of $nRows")
+        require(bloomRows * 2 <= plainRows,
+          s"q181: bloom filters must skip row groups: $bloomRows vs $plainRows")
+      }
+      require(bloomRows <= plainRows,
+        s"q181: blooms must never scan more: $bloomRows vs $plainRows")
+      s.read.parquet(bloomPath).filter(col("o_custkey") === probeKey)
+        .agg(count(lit(1)).cast("bigint").as("n_orders"),
+          sum(col("o_orderkey")).cast("bigint").as("key_sum"))
     })
 }
