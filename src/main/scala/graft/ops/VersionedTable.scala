@@ -202,10 +202,17 @@ object VersionedTable {
       val out = fs.create(new Path(vd, TxnPrefix + app), true)
       try out.write(batch.toString.getBytes(StandardCharsets.UTF_8)) finally out.close()
     }
-    // pointer flip: stage + delete + rename (rename-over-existing is not
-    // portable across Hadoop filesystems). The instant with no pointer file
-    // is covered by the reader fallback to the highest complete version —
-    // which IS `next` at that point.
+    flipPointer(fs, dir, next)
+    spark.catalog.refreshByPath(vd.toString)
+    next
+  }
+
+  /** Pointer flip: stage + delete + rename (rename-over-existing is not
+    * portable across Hadoop filesystems). The instant with no pointer file
+    * is covered by the reader fallback to the highest complete version —
+    * which IS `next` at that point.
+    */
+  private def flipPointer(fs: FileSystem, dir: String, next: Long): Unit = {
     val ptr = new Path(dir, PtrName)
     val ptrTmp = new Path(dir, s".$PtrName.tmp-${java.util.UUID.randomUUID()}")
     val out = fs.create(ptrTmp, true)
@@ -213,8 +220,61 @@ object VersionedTable {
     if (fs.exists(ptr)) fs.delete(ptr, false)
     if (!fs.rename(ptrTmp, ptr))
       throw new java.io.IOException(s"pointer flip failed: $ptrTmp -> $ptr")
+  }
+
+  /** Surgical range delete — the compliance-delete shape at 100 TB: remove
+    * every row with `c` in `[lo, hi]` WITHOUT rewriting the table. The
+    * stats index locates the files whose [min, max] can intersect the band
+    * (O(affected) driver state, [[DataSkipping.selectFiles]]); ONLY those
+    * files are re-encoded (band filtered out, NULL keys kept — stats
+    * selection is conservative, so an untouched file provably holds no
+    * band row); every other data file is carried into the next immutable
+    * version as a raw byte copy, never re-encoded. In Delta/Iceberg the
+    * carry is a metadata-only add (remove/add entries in the log); on
+    * plain-directory versions it is a local file copy — same asymptotics
+    * per rewritten byte, and the version/pointer protocol is unchanged
+    * (crash-safe, readers never see a partial delete).
+    *
+    * Returns (newVersion, filesRewritten, filesTotal); no-op (no new
+    * version) when the stats prove no file holds the band.
+    */
+  def deleteRange(spark: SparkSession, dir: String, c: String,
+      lo: org.apache.spark.sql.Column, hi: org.apache.spark.sql.Column,
+      statsCols: Seq[String]): (Long, Int, Int) = {
+    import org.apache.spark.sql.functions.col
+    val fs = fsOf(spark, dir)
+    val cur = currentVersion(spark, dir).getOrElse(
+      sys.error(s"VersionedTable.deleteRange($dir): no complete snapshot"))
+    val live = verDir(dir, cur)
+    val (affected, total) = DataSkipping.selectFiles(spark, live.toString, c, lo, hi)
+    if (affected.isEmpty) return (cur, 0, total.toInt) // provably nothing to delete
+    listVersions(fs, dir).filter(_ > cur).foreach(v => fs.delete(verDir(dir, v), true))
+    val next = cur + 1L
+    val vd = verDir(dir, next)
+    val affectedNames = affected.map(p => new Path(p).getName).toSet
+    // rewrite ONLY the affected files (their committer plants _SUCCESS)
+    spark.read.parquet(affected.toIndexedSeq: _*)
+      .filter(col(c).isNull || col(c) < lo || col(c) > hi)
+      .write.mode(SaveMode.Overwrite).parquet(vd.toString)
+    // carry the untouched files in as raw byte copies
+    fs.listStatus(live)
+      .filter(st => st.isFile && !st.getPath.getName.startsWith("_") &&
+        !st.getPath.getName.startsWith(".") && !affectedNames(st.getPath.getName))
+      .foreach { st =>
+        org.apache.hadoop.fs.FileUtil.copy(fs, st.getPath, fs,
+          new Path(vd, st.getPath.getName), false,
+          spark.sparkContext.hadoopConfiguration)
+      }
+    require(complete(fs, vd), s"stage $vd missing _SUCCESS after delete rewrite")
+    if (statsCols.nonEmpty) DataSkipping.writeStats(spark, vd.toString, statsCols)
+    // txn carry (same rule as write: a live version always has its map)
+    readTxnMap(fs, live).foreach { case (app, batch) =>
+      val out = fs.create(new Path(vd, TxnPrefix + app), true)
+      try out.write(batch.toString.getBytes(StandardCharsets.UTF_8)) finally out.close()
+    }
+    flipPointer(fs, dir, next)
     spark.catalog.refreshByPath(vd.toString)
-    next
+    (next, affected.length, total.toInt)
   }
 
   /** Highest batchId the given streaming app has committed to this table

@@ -856,37 +856,111 @@ object SourceQueries {
       val sorted = orders.repartitionByRange(2, col("o_orderdate"))
         .sortWithinPartitions(col("o_orderdate"))
       val bloomPath = scratch(s, dir, "q181_bloom")
-      val plainPath = scratch(s, dir, "q181_plain")
       sorted.write.mode("overwrite")
         .option("parquet.block.size", blockBytes)
         .option("parquet.bloom.filter.enabled#o_custkey", "true")
         .option("parquet.bloom.filter.expected.ndv#o_custkey", nRows.toString)
         .parquet(bloomPath)
-      sorted.write.mode("overwrite")
-        .option("parquet.block.size", blockBytes)
-        .parquet(plainPath)
-      def scannedRows(path: String): Long = {
-        val df = s.read.parquet(path).filter(col("o_custkey") === probeKey)
+      // ONE file, read twice with read-side bloom filtering toggled: the
+      // row groups (and their min/max stats) are IDENTICAL by construction,
+      // so the bloom is the only variable. (Writing a second bloom-less
+      // file instead makes the compare flaky — two writes flush row groups
+      // at different boundaries, and on a ~12-group file the min/max luck
+      // between layouts can exceed the bloom's effect.)
+      def scannedRows(bloomRead: Boolean): Long = {
+        val df = s.read
+          .option("parquet.filter.bloom.enabled", bloomRead.toString)
+          .parquet(bloomPath).filter(col("o_custkey") === probeKey)
         df.collect()
         df.queryExecution.executedPlan.collectLeaves().head.metrics("numOutputRows").value
       }
-      val bloomRows = scannedRows(bloomPath)
-      val plainRows = scannedRows(plainPath)
+      val bloomRows = scannedRows(bloomRead = true)
+      val plainRows = scannedRows(bloomRead = false)
+      // same groups, bloom only ever removes groups — universal contract
+      require(bloomRows <= plainRows,
+        s"q181: blooms must never scan more: $bloomRows vs $plainRows")
       // size-gated (q132 rule): with only ~12 groups over a ~150-key domain
-      // (sf0.001) a group's [min, max] can exclude an edge key by luck, so
-      // the stats-blind premise and the 2x skip contract are asserted where
-      // the layout has enough rows to make them information-theoretically
-      // sound; the universal contract is only "bloom never scans more"
+      // (sf0.001) min/max can prune an edge key by luck, so the stats-blind
+      // premise and the 2x skip contract are asserted where the layout has
+      // enough rows to make them information-theoretically sound
       if (nRows >= 10000) {
         require(plainRows * 2 >= nRows,
           s"q181: min/max alone must not prune the scattered key: $plainRows of $nRows")
         require(bloomRows * 2 <= plainRows,
           s"q181: bloom filters must skip row groups: $bloomRows vs $plainRows")
       }
-      require(bloomRows <= plainRows,
-        s"q181: blooms must never scan more: $bloomRows vs $plainRows")
       s.read.parquet(bloomPath).filter(col("o_custkey") === probeKey)
         .agg(count(lit(1)).cast("bigint").as("n_orders"),
           sum(col("o_orderkey")).cast("bigint").as("key_sum"))
+    },
+
+    // ---------------------------------------------------------------- q182
+    // Surgical range delete (the compliance-delete shape): remove one
+    // orderkey band from a range-clustered versioned lineitem snapshot by
+    // re-encoding ONLY the files whose stats admit the band — every other
+    // file rides into the new immutable version as a raw byte copy (in
+    // Delta/Iceberg, a metadata-only add). At 100 TB this is the difference
+    // between rewriting terabytes for a one-key GDPR request and rewriting
+    // the handful of files the stats index names. Contracts required
+    // in-query: at most half the files are rewritten; untouched files are
+    // carried byte-identically (same name AND size); the band actually
+    // held rows; the delete is exact (survivors ≡ the batch filter, both
+    // exceptAll directions); the prior version still serves the pre-delete
+    // rows (time travel unbroken). The oracle recomputes the survivors.
+    Q("q182_surgical_delete",
+      """WITH mm AS (SELECT min(l_orderkey) AS lo, max(l_orderkey) AS hi FROM lineitem),
+        |b AS (SELECT lo + (hi - lo)//8 * 3 AS dlo, lo + (hi - lo)//8 * 4 AS dhi FROM mm)
+        |SELECT l_returnflag, count(*) AS n_rows,
+        |  CAST(SUM(l_orderkey) AS BIGINT) AS key_sum
+        |FROM lineitem, b WHERE l_orderkey < dlo OR l_orderkey > dhi
+        |GROUP BY 1""".stripMargin) { (s, dir) =>
+      import graft.ops.VersionedTable
+      val path = scratch(s, dir, "q182")
+      val li = Tables.load(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_returnflag"))
+      val mm = li.agg(min(col("l_orderkey")).cast("long"),
+        max(col("l_orderkey")).cast("long")).head()
+      val (loK, hiK) = (mm.getLong(0), mm.getLong(1))
+      val span = hiK - loK
+      val (dLo, dHi) = (loK + span / 8 * 3, loK + span / 8 * 4)
+      // range-clustered layout + stats on the delete key: the pairing that
+      // localizes a band delete to few files (same rule as q138)
+      VersionedTable.write(li.repartitionByRange(8, col("l_orderkey")), path,
+        statsCols = Seq("l_orderkey"))
+      val v1 = VersionedTable.currentVersion(s, path).get
+      def files(p: String) = {
+        val fs = new org.apache.hadoop.fs.Path(p)
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+        fs.listStatus(new org.apache.hadoop.fs.Path(p))
+          .filter(st => st.isFile && !st.getPath.getName.startsWith("_") &&
+            !st.getPath.getName.startsWith("."))
+          .map(st => st.getPath.getName -> st.getLen).toMap
+      }
+      val v1Files = files(VersionedTable.liveDir(s, path))
+      val nBand = li.filter(col("l_orderkey") >= dLo && col("l_orderkey") <= dHi).count()
+      require(nBand > 0, "q182: the delete band must hold rows")
+      val (v2, rewritten, totalFiles) = VersionedTable.deleteRange(
+        s, path, "l_orderkey", lit(dLo), lit(dHi), statsCols = Seq("l_orderkey"))
+      require(v2 == v1 + 1, s"q182: delete must stage exactly one version: $v1 -> $v2")
+      require(rewritten * 2 <= totalFiles,
+        s"q182: delete must be surgical: rewrote $rewritten of $totalFiles files")
+      val v2Files = files(VersionedTable.liveDir(s, path))
+      val carried = v1Files.keySet.intersect(v2Files.keySet)
+      require(carried.nonEmpty && carried.forall(n => v1Files(n) == v2Files(n)),
+        "q182: untouched files must carry byte-identically (name + size)")
+      require(carried.size == totalFiles - rewritten,
+        s"q182: every untouched file must be carried: ${carried.size} of " +
+          s"${totalFiles - rewritten}")
+      // exactness: survivors ≡ the batch filter; time travel still serves v1
+      val survivors = VersionedTable.read(s, path).localCheckpoint()
+      val want = li.filter(col("l_orderkey") < dLo || col("l_orderkey") > dHi)
+        .localCheckpoint()
+      require(survivors.exceptAll(want).isEmpty && want.exceptAll(survivors).isEmpty,
+        "q182: the surgical delete must equal the full filter exactly")
+      require(VersionedTable.readVersion(s, path, v1).count() == li.count(),
+        "q182: the prior version must still serve the pre-delete table")
+      survivors.groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("l_orderkey")).cast("bigint").as("key_sum"))
     })
 }

@@ -116,6 +116,34 @@ class LayoutSpec extends AnyFunSuite {
     assert(r.getAs[Long]("degenerate") === 0L)
   }
 
+  test("hilbert xy2d: bijective walk with unit steps (the locality property)") {
+    import graft.functions.HilbertAlgo
+    // 3-bit curve: the 64 cells of an 8x8 grid. The curve must visit every
+    // cell exactly once (bijection), and consecutive distances must be
+    // GRID-ADJACENT cells (|dx|+|dy| == 1) — the property Morton lacks and
+    // the whole reason a Hilbert option exists: no jumps, so a key range's
+    // bounding box stays tight.
+    val bits = 3
+    val n = 1 << bits
+    val cells = for (x <- 0 until n; y <- 0 until n)
+      yield (HilbertAlgo.xy2d(bits, x, y), (x, y))
+    assert(cells.map(_._1).sorted === (0L until (n.toLong * n)).toIndexedSeq)
+    val byD = cells.sortBy(_._1).map(_._2)
+    byD.sliding(2).foreach { case Seq((x0, y0), (x1, y1)) =>
+      assert(math.abs(x1 - x0) + math.abs(y1 - y0) === 1,
+        s"non-adjacent step between d cells ($x0,$y0) -> ($x1,$y1)")
+    }
+    // the codegen'd expression computes the same mapping as the algo object
+    val viaExpr = spark.range(n.toLong * n)
+      .select(graft.functions.HilbertIndex2D(
+        (col("id") / n).cast("long"), (col("id") % n).cast("long"), bits).as("d"),
+        (col("id") / n).cast("long").as("x"), (col("id") % n).cast("long").as("y"))
+      .collect()
+    viaExpr.foreach { r =>
+      assert(r.getLong(0) === HilbertAlgo.xy2d(bits, r.getLong(1), r.getLong(2)))
+    }
+  }
+
   test("date-partitioned writes prune partitions at the scan") {
     val sf = "/root/testdata/sf0.001"
     val dir = TestSpark.tmpDir("parts")
