@@ -222,6 +222,60 @@ object VersionedTable {
       throw new java.io.IOException(s"pointer flip failed: $ptrTmp -> $ptr")
   }
 
+  /** Write-audit-publish, stage half: write the next version's FULL
+    * snapshot but do NOT flip the pointer. Readers keep serving the live
+    * version; the staged dir is addressable (for audit queries) via
+    * [[stagedDir]]. An unpublished stage is exactly a crashed write —
+    * any later write (or [[abortStaged]]) sweeps it, so a failed audit
+    * needs no cleanup transaction. This is Iceberg's WAP pattern on the
+    * same pointer protocol the normal write uses.
+    */
+  def stage(df: DataFrame, dir: String, statsCols: Seq[String] = Nil): Long = {
+    val spark = df.sparkSession
+    val fs = fsOf(spark, dir)
+    val cur = currentVersion(spark, dir)
+    listVersions(fs, dir).filter(v => v > cur.getOrElse(-1L))
+      .foreach(v => fs.delete(verDir(dir, v), true))
+    val next = cur.getOrElse(0L) + 1L
+    val vd = verDir(dir, next)
+    df.write.mode(SaveMode.Overwrite).parquet(vd.toString)
+    require(complete(fs, vd), s"stage $vd missing _SUCCESS after write")
+    if (statsCols.nonEmpty) DataSkipping.writeStats(spark, vd.toString, statsCols)
+    next
+  }
+
+  /** The staged (not yet live) version's data dir, for audit reads. */
+  def stagedDir(dir: String, version: Long): String = verDir(dir, version).toString
+
+  /** Publish a staged version: carry the live txn map forward, then flip.
+    * Fails fast if the staged snapshot is missing/incomplete or is not the
+    * next version after the live one.
+    */
+  def publish(spark: SparkSession, dir: String, version: Long): Unit = {
+    val fs = fsOf(spark, dir)
+    val vd = verDir(dir, version)
+    require(complete(fs, vd), s"publish: staged $vd is missing or incomplete")
+    val cur = currentVersion(spark, dir)
+    require(version == cur.getOrElse(0L) + 1L,
+      s"publish: staged $version is not the successor of live $cur")
+    cur.map(v => readTxnMap(fs, verDir(dir, v))).getOrElse(Map.empty)
+      .foreach { case (app, batch) =>
+        val out = fs.create(new Path(vd, TxnPrefix + app), true)
+        try out.write(batch.toString.getBytes(StandardCharsets.UTF_8)) finally out.close()
+      }
+    flipPointer(fs, dir, version)
+    spark.catalog.refreshByPath(vd.toString)
+  }
+
+  /** Abort a staged version: delete its dir (a no-op if already swept).
+    * Refuses to touch the LIVE version.
+    */
+  def abortStaged(spark: SparkSession, dir: String, version: Long): Unit = {
+    require(!currentVersion(spark, dir).contains(version),
+      s"abortStaged: $version is the live version")
+    fsOf(spark, dir).delete(verDir(dir, version), true)
+  }
+
   /** Surgical range delete — the compliance-delete shape at 100 TB: remove
     * every row with `c` in `[lo, hi]` WITHOUT rewriting the table. The
     * stats index locates the files whose [min, max] can intersect the band

@@ -962,5 +962,124 @@ object SourceQueries {
       survivors.groupBy(col("l_returnflag"))
         .agg(count(lit(1)).as("n_rows"),
           sum(col("l_orderkey")).cast("bigint").as("key_sum"))
+    },
+
+    // ---------------------------------------------------------------- q183
+    // Write-audit-publish (Iceberg's WAP pattern on the VersionedTable
+    // pointer protocol): a refresh is STAGED as the next immutable version,
+    // audited in place, and only a passing audit flips the pointer — a
+    // failing one aborts with no cleanup transaction, because an
+    // unpublished stage is indistinguishable from a crashed write and the
+    // existing sweep covers it. The entry stages a CORRUPTED refresh
+    // (nulled balances), proves the audit catches it while readers still
+    // serve the old version byte-for-byte, aborts, then stages the correct
+    // refresh and publishes. At 100 TB this is how a daily snapshot ships
+    // without a bad load ever being readable. The oracle recomputes the
+    // published state from the base table.
+    Q("q183_write_audit_publish",
+      """SELECT c_nationkey, CAST(count(*) AS BIGINT) AS n_cust,
+        |  round(CAST(SUM(CAST(c_acctbal AS DECIMAL(18,6)) +
+        |    CASE WHEN c_nationkey = 3 THEN 100 ELSE 0 END) AS DOUBLE), 6) AS total_bal
+        |FROM customer GROUP BY 1""".stripMargin) { (s, dir) =>
+      import graft.ops.VersionedTable
+      val path = scratch(s, dir, "q183")
+      val cust = Tables.load(s, dir, "customer")
+        .select(col("c_custkey"), col("c_nationkey"),
+          col("c_acctbal").cast("decimal(18,6)").as("c_acctbal"))
+      VersionedTable.write(cust, path)
+      val v1 = VersionedTable.currentVersion(s, path).get
+      // the refresh: +100 on nation 3 (the day's credit run)
+      val refresh = cust.withColumn("c_acctbal",
+        when(col("c_nationkey") === 3, col("c_acctbal") + 100)
+          .otherwise(col("c_acctbal")))
+      // 1) a CORRUPTED load is staged: every 10th balance nulled
+      val bad = refresh.withColumn("c_acctbal",
+        when(col("c_custkey") % 10 === 0, lit(null).cast("decimal(18,6)"))
+          .otherwise(col("c_acctbal")))
+      val sBad = VersionedTable.stage(bad, path)
+      // the audit runs against the STAGED dir; the gate is the V-family
+      // quality contract (no null balances, no lost rows)
+      val staged = s.read.parquet(VersionedTable.stagedDir(path, sBad))
+      val auditOk = staged.filter(col("c_acctbal").isNull).isEmpty &&
+        staged.count() == cust.count()
+      require(!auditOk, "q183: the audit must catch the corrupted load")
+      // readers are untouched while the bad stage exists
+      require(VersionedTable.currentVersion(s, path).contains(v1),
+        "q183: a staged-but-unpublished version must not move the pointer")
+      require(VersionedTable.read(s, path).exceptAll(cust).isEmpty,
+        "q183: readers must still serve the pre-refresh snapshot")
+      VersionedTable.abortStaged(s, path, sBad)
+      // 2) the corrected load stages, audits green, publishes
+      val sGood = VersionedTable.stage(refresh, path)
+      val staged2 = s.read.parquet(VersionedTable.stagedDir(path, sGood))
+      require(staged2.filter(col("c_acctbal").isNull).isEmpty &&
+        staged2.count() == cust.count(),
+        "q183: the corrected load must pass the audit")
+      VersionedTable.publish(s, path, sGood)
+      require(VersionedTable.currentVersion(s, path).contains(v1 + 1),
+        "q183: publish must flip to the staged version")
+      VersionedTable.read(s, path)
+        .groupBy(col("c_nationkey"))
+        .agg(count(lit(1)).cast("bigint").as("n_cust"),
+          round(sum(col("c_acctbal")).cast("double"), 6).as("total_bal"))
+    },
+
+    // ---------------------------------------------------------------- q184
+    // Cross-table atomic snapshot (the multi-table commit per-table
+    // pointers cannot give): a fact and the dim its keys reference are
+    // renumbered TOGETHER, and the migration's torn instant — dim flipped,
+    // fact not yet — is made real on disk. A reader following each table's
+    // OWN pointer joins the new dim against the old fact and loses every
+    // row; a reader resolving both tables through the SnapshotCatalog
+    // manifest (one pointer, flipped once per commit) sees the old
+    // consistent pair during the tear and the new consistent pair after —
+    // never the mix. In-query requires measure all three states by join
+    // cardinality. The oracle recomputes the published join (the renumber
+    // cancels out). This is the Nessie/lakeFS catalog-commit shape on the
+    // same two-rename pointer protocol the table layer uses.
+    Q("q184_catalog_snapshot",
+      """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders,
+        |  CAST(count(DISTINCT c_nationkey) AS BIGINT) AS n_nations
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY 1""".stripMargin) { (s, dir) =>
+      import graft.ops.{SnapshotCatalog, VersionedTable}
+      val root = scratch(s, dir, "q184")
+      val (dimP, factP, catP) = (s"$root/dim", s"$root/fact", s"$root/cat")
+      val shift = 1000000L
+      val dim = Tables.load(s, dir, "customer")
+        .select(col("c_custkey").cast("long").as("c_custkey"), col("c_nationkey"))
+      val fact = Tables.load(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderpriority"),
+          col("o_custkey").cast("long").as("o_custkey"))
+      val nFact = fact.count()
+      VersionedTable.write(dim, dimP)
+      VersionedTable.write(fact, factP)
+      SnapshotCatalog.commit(s, catP, Map("dim" -> 1L, "fact" -> 1L))
+      def joinCount(d: org.apache.spark.sql.DataFrame,
+          f: org.apache.spark.sql.DataFrame): Long =
+        f.join(d, f("o_custkey") === d("c_custkey")).count()
+      // the migration: dim renumbers FIRST — its own pointer moves; the
+      // fact has not. This is the torn instant a two-table flip always has.
+      VersionedTable.write(
+        dim.withColumn("c_custkey", col("c_custkey") + shift), dimP)
+      val torn = joinCount(VersionedTable.read(s, dimP), VersionedTable.read(s, factP))
+      require(torn == 0L,
+        s"q184: the torn pointer read must lose every join row, matched $torn")
+      // the catalog still pins the CONSISTENT old pair
+      def pinned(t: String, p: String) = SnapshotCatalog.readPinned(s, catP, t, p)
+      require(joinCount(pinned("dim", dimP), pinned("fact", factP)) == nFact,
+        "q184: the catalog-pinned read must survive the tear intact")
+      // fact catches up; ONE catalog commit moves readers to the new pair
+      VersionedTable.write(
+        fact.withColumn("o_custkey", col("o_custkey") + shift), factP)
+      SnapshotCatalog.commit(s, catP, Map("dim" -> 2L, "fact" -> 2L))
+      val d2 = pinned("dim", dimP)
+      val f2 = pinned("fact", factP)
+      require(joinCount(d2, f2) == nFact,
+        "q184: the published pair must join fully")
+      f2.join(d2, f2("o_custkey") === d2("c_custkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).cast("bigint").as("n_orders"),
+          countDistinct(col("c_nationkey")).cast("bigint").as("n_nations"))
     })
 }

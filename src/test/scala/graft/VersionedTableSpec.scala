@@ -211,6 +211,85 @@ class VersionedTableSpec extends AnyFunSuite {
     assert(none.isEmpty)
   }
 
+  test("write-audit-publish: staged versions are invisible until published") {
+    import org.apache.spark.sql.functions._
+    val dir = TestSpark.tmpDir("vt13") + "/t"
+    VersionedTable.write(Seq((1L, "a"), (2L, "b")).toDF("k", "v"), dir)
+    val v1 = VersionedTable.currentVersion(spark, dir).get
+    val s2 = VersionedTable.stage(Seq((1L, "a2"), (2L, "b2")).toDF("k", "v"), dir)
+    // the stage is addressable for audits but NOT live
+    assert(spark.read.parquet(VersionedTable.stagedDir(dir, s2)).count() === 2L)
+    assert(VersionedTable.currentVersion(spark, dir) === Some(v1))
+    assert(VersionedTable.read(spark, dir).as[(Long, String)].collect().toSet
+      === Set((1L, "a"), (2L, "b")))
+    // publishing the wrong version is refused; publishing the stage flips
+    intercept[IllegalArgumentException] {
+      VersionedTable.publish(spark, dir, s2 + 1)
+    }
+    VersionedTable.publish(spark, dir, s2)
+    assert(VersionedTable.currentVersion(spark, dir) === Some(s2))
+    assert(VersionedTable.read(spark, dir).as[(Long, String)].collect().toSet
+      === Set((1L, "a2"), (2L, "b2")))
+    // the live version cannot be aborted; an aborted stage disappears
+    intercept[IllegalArgumentException] {
+      VersionedTable.abortStaged(spark, dir, s2)
+    }
+    val s3 = VersionedTable.stage(Seq((3L, "c")).toDF("k", "v"), dir)
+    VersionedTable.abortStaged(spark, dir, s3)
+    assert(VersionedTable.currentVersion(spark, dir) === Some(s2))
+    // a fresh stage after the abort reuses the freed slot
+    assert(VersionedTable.stage(Seq((4L, "d")).toDF("k", "v"), dir) === s3)
+  }
+
+  test("surgical delete: rewrites only stats-admitted files, keeps time travel") {
+    import graft.ops.DataSkipping
+    import org.apache.spark.sql.functions._
+    val dir = TestSpark.tmpDir("vt14") + "/t"
+    val df = spark.range(0, 1000).select(col("id").as("k"), (col("id") % 7).as("v"))
+    VersionedTable.write(df.repartitionByRange(8, col("k")), dir, statsCols = Seq("k"))
+    val v1 = VersionedTable.currentVersion(spark, dir).get
+    val (v2, rewritten, total) = VersionedTable.deleteRange(
+      spark, dir, "k", lit(200L), lit(299L), statsCols = Seq("k"))
+    assert(v2 === v1 + 1)
+    assert(rewritten < total, "a one-decile band must not rewrite every file")
+    val live = VersionedTable.read(spark, dir)
+    assert(live.count() === 900L)
+    assert(live.filter(col("k").between(200, 299)).count() === 0L)
+    // time travel: the prior version still serves all rows
+    assert(VersionedTable.readVersion(spark, dir, v1).count() === 1000L)
+    // stats were rebuilt for the new version: pruning still works
+    val (_, sel, tot) = DataSkipping.pruneBetween(
+      spark, VersionedTable.liveDir(spark, dir), "k", lit(900L), lit(999L))
+    assert(sel < tot)
+    // a band with provably no rows is a no-op (no new version)
+    val (v3, rw3, _) = VersionedTable.deleteRange(
+      spark, dir, "k", lit(5000L), lit(6000L), statsCols = Seq("k"))
+    assert(v3 === v2 && rw3 === 0)
+  }
+
+  test("snapshot catalog: commits are atomic and crashed commits are swept") {
+    import graft.ops.SnapshotCatalog
+    val cat = TestSpark.tmpDir("vt15") + "/cat"
+    assert(SnapshotCatalog.current(spark, cat).isEmpty)
+    val m1 = SnapshotCatalog.commit(spark, cat, Map("a" -> 1L, "b" -> 1L))
+    assert(SnapshotCatalog.current(spark, cat)
+      === Some((m1, Map("a" -> 1L, "b" -> 1L))))
+    // crash instant: manifest 2 fully staged, pointer never flipped — the
+    // reader must stay on manifest 1 (the pointer IS the commit)
+    val hfs = fs(cat)
+    val out = hfs.create(new Path(cat, "_m-00000002"), true)
+    out.write("a=2\nb=2".getBytes("UTF-8")); out.close()
+    assert(SnapshotCatalog.current(spark, cat).map(_._1) === Some(m1))
+    // the next commit sweeps the dangling manifest and takes its slot
+    val m2 = SnapshotCatalog.commit(spark, cat, Map("a" -> 3L, "b" -> 3L))
+    assert(m2 === m1 + 1)
+    assert(SnapshotCatalog.current(spark, cat)
+      === Some((m2, Map("a" -> 3L, "b" -> 3L))))
+    // a deleted pointer falls back to the highest manifest (mid-flip crash)
+    hfs.delete(new Path(cat, "_ptr"), false)
+    assert(SnapshotCatalog.current(spark, cat).map(_._1) === Some(m2))
+  }
+
   test("banded layout: band predicate is a pushed partition filter") {
     import graft.ops.DataSkipping
     import org.apache.spark.sql.functions._
