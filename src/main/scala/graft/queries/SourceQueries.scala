@@ -1081,5 +1081,71 @@ object SourceQueries {
         .groupBy(col("o_orderpriority"))
         .agg(count(lit(1)).cast("bigint").as("n_orders"),
           countDistinct(col("c_nationkey")).cast("bigint").as("n_nations"))
+    },
+
+    // ---------------------------------------------------------------- q185
+    // Dynamic partition pruning ON the scoreboard (it was only plan-audited
+    // in spec until now): a day-partitioned fact joined to a dim whose
+    // filter — not the fact's — decides which days matter. Static pruning
+    // can do nothing (the fact has no literal predicate); at runtime Spark
+    // evaluates the broadcast dim first and injects its day set into the
+    // fact scan's partition filters, so whole directories are never listed.
+    // Both states are MEASURED via the fact scan's numFiles metric: with
+    // DPP disabled the join lists every partition; enabled, at most the
+    // dim's two days. At 100 TB a date-bounded dim routinely turns a
+    // full-history fact scan into a two-partition read — this is the
+    // mechanism. The oracle replays the two-day join.
+    Q("q185_dynamic_partition_pruning",
+      """WITH days AS (SELECT DISTINCT CAST(ts AS DATE) AS day FROM events
+        |              ORDER BY day LIMIT 2)
+        |SELECT CAST(e.ts AS DATE) AS day, event_type,
+        |  CAST(count(*) AS BIGINT) AS n_events
+        |FROM events e JOIN days d ON CAST(e.ts AS DATE) = d.day
+        |GROUP BY 1, 2""".stripMargin) { (s, dir) =>
+      val root = scratch(s, dir, "q185")
+      val ev = Tables.load(s, dir, "events")
+        .select(col("ts"), col("event_type"), col("ts").cast("date").as("day"))
+      ev.write.partitionBy("day").mode("overwrite").parquet(root)
+      // the dim: all days plus a rank attribute, filtered to the first two
+      // BY RANK. The filter must live on a NON-key dim column: a literal
+      // bound on `day` itself would be inferred onto the fact by constraint
+      // propagation and statically pruned — the checkpoint makes the rank
+      // opaque data, so only runtime evaluation of the dim can name the
+      // surviving days (the true DPP shape: "dim attributes decide").
+      val allDays = ev.select(col("day")).distinct()
+        .withColumn("rn", row_number().over(
+          org.apache.spark.sql.expressions.Window.orderBy(col("day"))))
+        .localCheckpoint() // ≤ a few hundred rows; cuts the rn lineage
+      val dim = allDays.filter(col("rn") <= 2).select(col("day"))
+      val saved = Seq("spark.sql.adaptive.enabled",
+        "spark.sql.optimizer.dynamicPartitionPruning.enabled")
+        .map(k => k -> s.conf.get(k))
+      def factFiles(dpp: Boolean): (org.apache.spark.sql.DataFrame, Long) = {
+        s.conf.set("spark.sql.optimizer.dynamicPartitionPruning.enabled", dpp.toString)
+        val j = s.read.parquet(root).join(broadcast(dim), Seq("day"))
+          .groupBy(col("day"), col("event_type"))
+          .agg(count(lit(1)).cast("bigint").as("n_events"))
+        j.collect()
+        val scan = j.queryExecution.executedPlan.collect {
+          case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+        }.head
+        (j, scan.metrics("numFiles").value)
+      }
+      try {
+        // AQE off for the measurement: the metric read needs the plain plan
+        // tree, and DPP is a planning-time rule that works either way
+        s.conf.set("spark.sql.adaptive.enabled", "false")
+        val (_, filesOff) = factFiles(dpp = false)
+        val (withDpp, filesOn) = factFiles(dpp = true)
+        val plan = withDpp.queryExecution.executedPlan.toString
+        require(plan.contains("dynamicpruning"),
+          "q185: the fact scan must carry a dynamic pruning filter")
+        val nDays = allDays.count()
+        require(nDays >= 4, s"q185: need a multi-day layout, got $nDays days")
+        require(filesOn * 2 <= filesOff,
+          s"q185: runtime pruning must skip at least half the files " +
+            s"(2 of $nDays days): $filesOn vs $filesOff")
+        withDpp.localCheckpoint()
+      } finally saved.foreach { case (k, v) => s.conf.set(k, v) }
     })
 }

@@ -645,5 +645,81 @@ object StreamingQueries {
         "q179: final watermark sits exactly on a day boundary — emission " +
           "replay is not comparable on this data")
       got
+    },
+
+    // ---------------------------------------------------------------- q186
+    // RocksDB state store — the provider a 100 TB stream actually runs:
+    // the default HDFS-backed store holds every key on the JVM heap, so
+    // state is bounded by executor memory; RocksDB spills to local disk
+    // and bounds only the working set (why Spark ships it for large-state
+    // jobs, and what Databricks defaults to). The SAME watermarked daily
+    // aggregation runs twice from scratch — default provider, then RocksDB
+    // (own checkpoint: state formats are not interchangeable) — and the
+    // entry requires bit-identical emitted rows (state semantics must not
+    // depend on the provider) plus RocksDB's own progress metrics
+    // reporting actual puts. The oracle replays the emission rule once.
+    Q("q186_rocksdb_state_store",
+      """WITH e AS (SELECT event_id, ts, event_type FROM events
+        |           WHERE ts >= TIMESTAMP '2024-01-15' AND ts < TIMESTAMP '2024-01-18'),
+        |wmf AS (SELECT max(epoch_us(ts)) - 3600000000 AS us FROM e),
+        |agg AS (SELECT epoch_us(date_trunc('day', ts)) AS win_start_us, event_type,
+        |    CAST(count(*) AS BIGINT) AS n_events,
+        |    CAST(sum(event_id) AS BIGINT) AS id_sum
+        |  FROM e GROUP BY 1, 2)
+        |SELECT win_start_us, event_type, n_events, id_sum FROM agg, wmf
+        |WHERE win_start_us + 86400000000 <= wmf.us""".stripMargin) { (s, dir) =>
+      val e = Tables.load(s, dir, "events")
+        .filter(col("ts") >= lit("2024-01-15").cast("timestamp") &&
+          col("ts") < lit("2024-01-18").cast("timestamp"))
+        .select(col("event_id"), col("ts"), col("event_type"))
+      val f1 = e.filter(col("ts") < lit("2024-01-17").cast("timestamp"))
+      val f2 = e.filter(col("ts") >= lit("2024-01-17").cast("timestamp"))
+      val root = scratch(s, dir, "q186")
+      val rocksdbPuts = scala.collection.mutable.ArrayBuffer.empty[Long]
+      def runPipeline(tag: String, provider: Option[String]): org.apache.spark.sql.DataFrame = {
+        val (in, out, cp) = (s"$root/$tag/in", s"$root/$tag/out", s"$root/$tag/cp")
+        val key = "spark.sql.streaming.stateStore.providerClass"
+        val prev = s.conf.get(key)
+        provider.foreach(p => s.conf.set(key, p))
+        try {
+          def runOnce(): Unit = {
+            val q = EventStream.fileSource(s, s"$in/*", e.schema)
+              .withWatermark("ts", "1 hour")
+              .groupBy(window(col("ts"), "1 day"), col("event_type"))
+              .agg(count(lit(1)).as("n_events"),
+                sum(col("event_id")).cast("long").as("id_sum"))
+              .select(unix_micros(col("window.start")).as("win_start_us"),
+                col("event_type"), col("n_events"), col("id_sum"))
+              .writeStream.format("parquet")
+              .option("path", out).option("checkpointLocation", cp)
+              .outputMode("append")
+              .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+              .start()
+            q.awaitTermination()
+            if (provider.nonEmpty) q.recentProgress.foreach(_.stateOperators.foreach { so =>
+              // RocksDB reports its own engine counters; a provider that
+              // silently fell back to the default would report none
+              Option(so.customMetrics.get("rocksdbPutCount"))
+                .foreach(v => rocksdbPuts += v.longValue())
+            })
+          }
+          f1.coalesce(1).write.parquet(s"$in/f1"); runOnce()
+          f2.coalesce(1).write.parquet(s"$in/f2"); runOnce()
+          s.read.parquet(out).localCheckpoint()
+        } finally s.conf.set(key, prev)
+      }
+      val got = withNarrowShuffle(s) {
+        val viaDefault = runPipeline("hdfs", None)
+        val viaRocks = runPipeline("rocks", Some(
+          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"))
+        require(viaRocks.exceptAll(viaDefault).isEmpty &&
+          viaDefault.exceptAll(viaRocks).isEmpty,
+          "q186: state semantics must not depend on the store provider")
+        viaRocks
+      }
+      if (e.head(1).nonEmpty)
+        require(rocksdbPuts.nonEmpty && rocksdbPuts.max > 0,
+          "q186: the RocksDB provider must report actual put traffic")
+      got
     })
 }
