@@ -835,5 +835,51 @@ object EvalQueries {
       }
       Seq((0.5, estLo(0.5)), (0.9, estLo(0.9))).toDF("q", "est_lo")
         .select(col("q"), round(col("est_lo"), 6).as("est_lo"))
+    },
+
+    // ---------------------------------------------------------------- q187
+    // VARIANT semi-structured type (Spark 4, same encoding Delta adopted):
+    // JSON ingested ONCE into the binary variant encoding, then fields
+    // extracted with typed `variant_get` paths — no per-access re-parse, no
+    // up-front schema, the open-format answer to "a string column full of
+    // JSON". The document is built deterministically from order columns
+    // (identical concat on both engines), round-tripped through
+    // parse_json → variant_get, and the in-query require proves extraction
+    // ≡ the original columns row-for-row — nested object and array paths
+    // included. The oracle replays the same construction through DuckDB's
+    // JSON extraction. Scale note: variant decode is columnar and
+    // codegen'd; the 100 TB pattern is ingest-once-extract-many, exactly
+    // what this measures against string re-parsing.
+    Q("q187_variant_type",
+      """WITH j AS (SELECT o_orderkey,
+        |  '{"id":' || o_orderkey || ',"tags":["' || o_orderpriority ||
+        |    '"],"cust":{"key":' || o_custkey || '}}' AS doc FROM orders),
+        |x AS (SELECT o_orderkey,
+        |  CAST(json_extract_string(doc, '$.tags[0]') AS VARCHAR) AS tag,
+        |  CAST(json_extract(doc, '$.cust.key') AS BIGINT) AS cust_key FROM j)
+        |SELECT tag, CAST(count(*) AS BIGINT) AS n_orders,
+        |  CAST(sum(cust_key) AS BIGINT) AS cust_key_sum,
+        |  CAST(count(DISTINCT cust_key) AS BIGINT) AS n_cust
+        |FROM x GROUP BY 1""".stripMargin) { (s, dir) =>
+      val orders = Tables.load(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderpriority"),
+          col("o_custkey").cast("long").as("o_custkey"))
+      val doc = concat(lit("{\"id\":"), col("o_orderkey"),
+        lit(",\"tags\":[\""), col("o_orderpriority"),
+        lit("\"],\"cust\":{\"key\":"), col("o_custkey"), lit("}}"))
+      val v = orders.withColumn("v", parse_json(doc))
+      val extracted = v.select(
+        variant_get(col("v"), "$.id", "bigint").as("o_orderkey"),
+        variant_get(col("v"), "$.tags[0]", "string").as("o_orderpriority"),
+        variant_get(col("v"), "$.cust.key", "bigint").as("o_custkey"))
+        .localCheckpoint() // the round-trip proof AND the output read it
+      // round-trip proof: ingest-once extract-typed loses nothing
+      require(extracted.exceptAll(orders).isEmpty &&
+        orders.exceptAll(extracted).isEmpty,
+        "q187: variant extraction must reproduce the source columns exactly")
+      extracted.groupBy(col("o_orderpriority").as("tag"))
+        .agg(count(lit(1)).cast("bigint").as("n_orders"),
+          sum(col("o_custkey")).cast("bigint").as("cust_key_sum"),
+          countDistinct(col("o_custkey")).cast("bigint").as("n_cust"))
     })
 }

@@ -721,5 +721,73 @@ object StreamingQueries {
         require(rocksdbPuts.nonEmpty && rocksdbPuts.max > 0,
           "q186: the RocksDB provider must report actual put traffic")
       got
+    },
+
+    // ---------------------------------------------------------------- q188
+    // transformWithState (Spark 4's arbitrary-stateful successor to
+    // flatMapGroupsWithState, SPARK-46815): per-key running totals across
+    // two checkpointed restarts, state declared as a typed ValueState
+    // against the processor handle (its own RocksDB column family — the
+    // required provider). Every emitted row is a cumulative snapshot after
+    // a batch that touched the key, so the oracle replays the exact output
+    // from the two input prefixes; the in-query require pins the stronger
+    // invariant that each key's LAST snapshot equals the full-input batch
+    // aggregate (cross-restart state survived and accumulated correctly).
+    Q("q188_transform_with_state",
+      """WITH e AS (SELECT event_id, ts, event_type FROM events
+        |           WHERE ts >= TIMESTAMP '2024-01-15' AND ts < TIMESTAMP '2024-01-18'),
+        |b1 AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_total,
+        |         CAST(sum(event_id) AS BIGINT) AS id_sum
+        |       FROM e WHERE ts < TIMESTAMP '2024-01-17' GROUP BY 1),
+        |ball AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_total,
+        |          CAST(sum(event_id) AS BIGINT) AS id_sum
+        |        FROM e GROUP BY 1)
+        |SELECT * FROM b1
+        |UNION ALL
+        |SELECT * FROM ball WHERE event_type IN (
+        |  SELECT DISTINCT event_type FROM e WHERE ts >= TIMESTAMP '2024-01-17')"""
+        .stripMargin) { (s, dir) =>
+      import graft.streaming.RunningTotals
+      import s.implicits._
+      val e = Tables.load(s, dir, "events")
+        .filter(col("ts") >= lit("2024-01-15").cast("timestamp") &&
+          col("ts") < lit("2024-01-18").cast("timestamp"))
+        .select(col("event_id"), col("ts"), col("event_type"))
+      val f1 = e.filter(col("ts") < lit("2024-01-17").cast("timestamp"))
+      val f2 = e.filter(col("ts") >= lit("2024-01-17").cast("timestamp"))
+      val root = scratch(s, dir, "q188")
+      val (in, out, cp) = (s"$root/in", s"$root/out", s"$root/cp")
+      val provKey = "spark.sql.streaming.stateStore.providerClass"
+      val prevProv = s.conf.get(provKey)
+      s.conf.set(provKey,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      val got = try withNarrowShuffle(s) {
+        def runOnce(): Unit = {
+          val src = EventStream.fileSource(s, s"$in/*", e.schema)
+            .select(col("event_type").as("etype"), col("event_id").as("eventId"))
+            .as[RunningTotals.In]
+          val q = RunningTotals.totals(src)
+            .toDF("event_type", "n_total", "id_sum")
+            .writeStream.format("parquet")
+            .option("path", out).option("checkpointLocation", cp)
+            .outputMode("append")
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start()
+          q.awaitTermination()
+        }
+        f1.coalesce(1).write.parquet(s"$in/f1"); runOnce()
+        f2.coalesce(1).write.parquet(s"$in/f2"); runOnce()
+        s.read.parquet(out).localCheckpoint()
+      } finally s.conf.set(provKey, prevProv)
+      // last snapshot per key ≡ the full-input aggregate (state survived
+      // the restart): the max-n row per key is the last one by construction
+      val last = graft.ops.Dedup.latestBy(got, Seq(col("event_type")),
+        Seq(col("n_total")))
+      val want = e.groupBy(col("event_type"))
+        .agg(count(lit(1)).cast("bigint").as("n_total"),
+          sum(col("event_id")).cast("bigint").as("id_sum"))
+      require(last.exceptAll(want).isEmpty && want.exceptAll(last).isEmpty,
+        "q188: each key's last snapshot must equal the batch aggregate")
+      got
     })
 }
