@@ -1,0 +1,95 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.hadoop.fs.Path
+
+/** Merge-on-read deletes — the other half of the delete design space.
+  * q182's [[VersionedTable.deleteRange]] is copy-on-write: the delete pays
+  * write amplification once (affected files re-encoded) and reads stay
+  * clean. Merge-on-read inverts the trade (Iceberg position/equality
+  * deletes, Delta deletion vectors — public designs): a delete writes ONLY
+  * a small tombstone file and touches no data file at all; every reader
+  * anti-joins the accumulated tombstones until a compaction folds them in.
+  * Right when deletes are frequent and small relative to scans of the same
+  * data — the GDPR drip-feed — and the compaction amortizes the read tax
+  * away on a maintenance schedule.
+  *
+  * Layout under `dir`:
+  * {{{
+  *   dir/data/            # immutable parquet data files
+  *   dir/_tombstones/     # parquet key files, one per delete call
+  * }}}
+  *
+  * Tombstones are EQUALITY deletes on a key column (the Iceberg form that
+  * needs no row-position bookkeeping): readers drop any row whose key
+  * appears in any tombstone file. The key set is assumed dim-sized
+  * (broadcast side); position deletes are the follow-up when keys are not
+  * compact. Readers remain correct mid-flight because a tombstone file is
+  * visible only once fully written (parquet commit), and compaction stages
+  * through the crash-safe snapshot swap.
+  */
+object MergeOnRead {
+
+  val DataDir = "data"
+  val TombstoneDir = "_tombstones"
+
+  def init(df: DataFrame, dir: String): Unit =
+    df.write.mode(SaveMode.Overwrite).parquet(s"$dir/$DataDir")
+
+  /** Record a delete of `keys` (single-column frame named `key`) — writes
+    * one tombstone file; data files are NOT touched.
+    */
+  def delete(keys: DataFrame, dir: String): Unit = {
+    require(keys.columns.toSeq == Seq("key"),
+      s"delete: tombstone frame must be a single 'key' column, got ${keys.columns.toSeq}")
+    keys.coalesce(1).write.mode(SaveMode.Append).parquet(s"$dir/$TombstoneDir")
+  }
+
+  private def tombstones(spark: SparkSession, dir: String): Option[DataFrame] = {
+    val p = new Path(s"$dir/$TombstoneDir")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) Some(spark.read.parquet(p.toString)) else None
+  }
+
+  /** Read with tombstones applied: a broadcast anti-join on the key column
+    * — the per-read tax merge-on-read pays until [[compact]].
+    */
+  def read(spark: SparkSession, dir: String, keyCol: String): DataFrame = {
+    val data = spark.read.parquet(s"$dir/$DataDir")
+    tombstones(spark, dir) match {
+      case None => data
+      case Some(t) =>
+        data.join(broadcast(t.distinct()),
+          data(keyCol) === t("key"), "left_anti")
+    }
+  }
+
+  /** Fold the tombstones into the data (rewrite once, clear the side
+    * files) — the maintenance operation that ends the read tax. Staged
+    * through the crash-safe snapshot swap; returns the tombstone-file
+    * count folded in.
+    */
+  def compact(spark: SparkSession, dir: String, keyCol: String): Int = {
+    val p = new Path(s"$dir/$TombstoneDir")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) return 0
+    val n = fs.listStatus(p).count(st => st.isFile && !st.getPath.getName.startsWith("_"))
+    val folded = read(spark, dir, keyCol).localCheckpoint() // cut lineage off the old files
+    Upsert.snapshotWrite(folded, s"$dir/$DataDir")
+    fs.delete(p, true)
+    n
+  }
+
+  /** Data-file inventory (name -> (length, mtime)) — lets callers PROVE a
+    * delete touched nothing.
+    */
+  def dataFiles(spark: SparkSession, dir: String): Map[String, (Long, Long)] = {
+    val p = new Path(s"$dir/$DataDir")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.listStatus(p)
+      .filter(st => st.isFile && !st.getPath.getName.startsWith("_") &&
+        !st.getPath.getName.startsWith("."))
+      .map(st => st.getPath.getName -> (st.getLen, st.getModificationTime)).toMap
+  }
+}

@@ -1147,5 +1147,96 @@ object SourceQueries {
             s"(2 of $nDays days): $filesOn vs $filesOff")
         withDpp.localCheckpoint()
       } finally saved.foreach { case (k, v) => s.conf.set(k, v) }
+    },
+
+    // ---------------------------------------------------------------- q189
+    // Merge-on-read deletes — the OTHER delete strategy, next to q182's
+    // copy-on-write. Two GDPR-style key-set deletes land as small tombstone
+    // files; the in-query inventory proves NO data file changed (name,
+    // length, mtime all identical — the delete wrote kilobytes against a
+    // table it never opened). Readers anti-join the tombstones (the MoR
+    // read tax) and must match the batch filter exactly; compaction then
+    // folds the tombstones in, clears them, and the post-compaction read —
+    // now tax-free — must still match. The oracle recomputes the survivors.
+    // This is the Iceberg equality-delete / Delta deletion-vector trade
+    // measured: CoW pays the write once (q182), MoR defers it to
+    // maintenance and wins when deletes are frequent and small.
+    Q("q189_merge_on_read_delete",
+      """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders,
+        |  CAST(SUM(o_orderkey) AS BIGINT) AS key_sum
+        |FROM orders WHERE o_custkey % 97 <> 0 AND o_custkey % 89 <> 0
+        |GROUP BY 1""".stripMargin) { (s, dir) =>
+      import graft.ops.MergeOnRead
+      val root = scratch(s, dir, "q189")
+      val orders = Tables.load(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderpriority"),
+          col("o_custkey").cast("long").as("o_custkey"))
+      MergeOnRead.init(orders.repartition(4), root)
+      val before = MergeOnRead.dataFiles(s, root)
+      // two delete requests: every customer hashing to the 97- and 89-
+      // residue classes (the drip-feed shape — small sets, different days)
+      def keysOf(m: Int) = orders.filter(col("o_custkey") % m === 0)
+        .select(col("o_custkey").as("key")).distinct()
+      MergeOnRead.delete(keysOf(97), root)
+      MergeOnRead.delete(keysOf(89), root)
+      require(MergeOnRead.dataFiles(s, root) == before,
+        "q189: a merge-on-read delete must not touch any data file")
+      val want = orders.filter(col("o_custkey") % 97 =!= 0 && col("o_custkey") % 89 =!= 0)
+        .localCheckpoint() // read tax check AND post-compaction check read it
+      val mor = MergeOnRead.read(s, root, "o_custkey").localCheckpoint()
+      require(mor.exceptAll(want).isEmpty && want.exceptAll(mor).isEmpty,
+        "q189: the tombstone-merged read must equal the batch filter")
+      // maintenance: fold tombstones in; the read tax ends
+      require(MergeOnRead.compact(s, root, "o_custkey") == 2,
+        "q189: compaction must fold exactly the two tombstone files")
+      val after = MergeOnRead.read(s, root, "o_custkey").localCheckpoint()
+      require(after.exceptAll(want).isEmpty && want.exceptAll(after).isEmpty,
+        "q189: the compacted table must still equal the batch filter")
+      require(MergeOnRead.compact(s, root, "o_custkey") == 0,
+        "q189: a second compaction must be a no-op")
+      after.groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).cast("bigint").as("n_orders"),
+          sum(col("o_orderkey")).cast("bigint").as("key_sum"))
+    },
+
+    // ---------------------------------------------------------------- q190
+    // Nested schema pruning: documents are re-shaped into a struct-heavy
+    // layout (meta.lang, meta.quality.stars, body) — the nested form real
+    // curation parquet takes — and a query touching ONE leaf must push a
+    // pruned ReadSchema to the scan: `struct<meta:struct<lang>>`, not the
+    // whole struct and above all not `body`. At 100 TB the difference is
+    // reading kilobytes of dictionary-encoded lang codes vs decoding every
+    // document body on disk. Asserted on the executed plan's ReadSchema
+    // (the same evidence `.explain` gives); the oracle replays the
+    // aggregate from the flat source.
+    Q("q190_nested_schema_pruning",
+      """SELECT lang, CAST(count(*) AS BIGINT) AS n_docs
+        |FROM documents GROUP BY 1""".stripMargin) { (s, dir) =>
+      val root = scratch(s, dir, "q190")
+      val docs = Tables.load(s, dir, "documents")
+      docs.select(col("doc_id"),
+        struct(col("lang"),
+          struct((col("doc_id") % 5).as("stars")).as("quality")).as("meta"),
+        col("text").as("body"))
+        .write.mode("overwrite").parquet(root)
+      def agg = s.read.parquet(root)
+        .groupBy(col("meta.lang").as("lang"))
+        .agg(count(lit(1)).cast("bigint").as("n_docs"))
+      // AQE off for the plan read only (q185 rule): the adaptive wrapper
+      // hides the scan node from a pre-execution traversal
+      val aqeKey = "spark.sql.adaptive.enabled"
+      val prevAqe = s.conf.get(aqeKey)
+      try {
+        s.conf.set(aqeKey, "false")
+        val scan = agg.queryExecution.executedPlan.collect {
+          case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+        }.head
+        val readSchema = scan.requiredSchema.catalogString
+        require(readSchema.contains("lang"),
+          s"q190: the scan must read the touched leaf: $readSchema")
+        require(!readSchema.contains("body") && !readSchema.contains("stars"),
+          s"q190: untouched leaves must be pruned from the scan: $readSchema")
+      } finally s.conf.set(aqeKey, prevAqe)
+      agg
     })
 }
