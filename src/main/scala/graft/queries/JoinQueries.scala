@@ -237,5 +237,135 @@ object JoinQueries {
         s.sql(s"DROP TABLE IF EXISTS $tStats")
         s.sql(s"DROP TABLE IF EXISTS $tRaw")
       }
+    },
+
+    // ---------------------------------------------------------------- q191
+    // AQE skew-join split ON the scoreboard (it was plan-audited in spec):
+    // ~60 % of lineitem lands on one join key, the exact shape that makes
+    // one sort-merge task run as long as the whole stage. With aggressive
+    // skew thresholds, AQE measures the actual partition sizes at the
+    // exchange and splits the hot partition into parallel sub-joins — the
+    // executed plan must carry `skew=true`, and the result must equal the
+    // un-split join bit-for-bit (the oracle recomputes it from the same key
+    // arithmetic). This is the runtime answer to skew that q37's manual
+    // salting provides statically; at 100 TB you want BOTH: salt what you
+    // can predict, let AQE catch what you cannot.
+    Q("q191_aqe_skew_split",
+      """WITH ids AS (SELECT row_number() OVER () - 1 AS i FROM lineitem),
+        |f AS (SELECT CASE WHEN i % 10 = 0 THEN i % 97 ELSE 0 END AS k,
+        |             CAST(i AS BIGINT) AS v FROM ids),
+        |d AS (SELECT CAST(i AS BIGINT) AS k, CAST(i * 7 AS BIGINT) AS weight
+        |      FROM range(97) t(i))
+        |SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(SUM(v) AS BIGINT) AS v_sum,
+        |  CAST(SUM(weight) AS BIGINT) AS weight_sum
+        |FROM f JOIN d USING (k)""".stripMargin) { (s, dir) =>
+      // the fact is a dense id domain SIZED BY lineitem (the oracle
+      // synthesizes the same ids with row_number — only the value SET
+      // matters downstream), with ~90 % of rows on one hot key. A
+      // parquet-backed fact was the first draft and taught two lessons the
+      // hard way: (1) AQE can only split a skewed partition at MAPPER
+      // boundaries, so a single-file scan (one map task) is unsplittable;
+      // (2) AQE measures COMPRESSED partition bytes, and a hot partition of
+      // constant-key + file-clustered values lz4-compresses under the skew
+      // factor, silently disarming the rule. The range source sidesteps
+      // both while measuring exactly the operator under test.
+      val n = Tables.load(s, dir, "lineitem").count()
+      val fact = s.range(0, n).select(
+        when(col("id") % 10 === 0, col("id") % 97).otherwise(lit(0L)).as("k"),
+        col("id").as("v"))
+      val dim = s.range(0, 97).select(col("id").as("k"), (col("id") * 7).as("weight"))
+      // thresholds sized FROM the data so the hot partition splits ~8 ways
+      // at every SF; the production defaults (256 MB / 5x median) express
+      // the same rule at warehouse scale
+      val hotBytes = math.max(8192L, n * 9 / 10 * 16)
+      val advisory = math.max(1024L, hotBytes / 8)
+      val confs = Seq(
+        "spark.sql.adaptive.skewJoin.enabled" -> "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "1.2",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> advisory.toString,
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> advisory.toString,
+        "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+      // getOption, not get(k, ""): the typed getter validates the DEFAULT
+      // against the entry type and throws on '' for boolean confs
+      val saved = confs.map { case (k, _) => k -> s.conf.getOption(k) }
+      try {
+        confs.foreach { case (k, v) => s.conf.set(k, v) }
+        val j = fact.join(dim, Seq("k"))
+          .agg(count(lit(1)).cast("bigint").as("n_rows"),
+            sum(col("v")).cast("bigint").as("v_sum"),
+            sum(col("weight")).cast("bigint").as("weight_sum"))
+        j.collect() // materialize: AQE finalizes the adaptive plan
+        // the plan must be read from THIS frame — a localCheckpoint first
+        // would swap the lineage for a LogicalRDD scan and hide the join
+        require(j.queryExecution.executedPlan.toString.contains("skew=true"),
+          "q191: AQE must split the hot partition (skew=true in the plan)")
+        j.localCheckpoint()
+      } finally saved.foreach { case (k, v) =>
+        v.fold(s.conf.unset(k))(x => s.conf.set(k, x)) }
+    },
+
+    // ---------------------------------------------------------------- q192
+    // AQE partition coalescing ON the scoreboard: a 5-group aggregate
+    // shuffled across the session's 32 partitions would leave ~27 empty
+    // tasks — pure scheduling overhead, and at 1000-executor scale pure
+    // waste. AQE reads the map-output sizes and coalesces the post-shuffle
+    // partitions to what the bytes justify; the entry requires the
+    // materialized result to occupy at most a quarter of the static
+    // partition count. The oracle replays the aggregate.
+    Q("q192_aqe_coalesce",
+      """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders,
+        |  CAST(SUM(o_orderkey) AS BIGINT) AS key_sum
+        |FROM orders GROUP BY 1""".stripMargin) { (s, dir) =>
+      val agg = Tables.load(s, dir, "orders")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).cast("bigint").as("n_orders"),
+          sum(col("o_orderkey")).cast("bigint").as("key_sum"))
+      val static = s.conf.get("spark.sql.shuffle.partitions").toInt
+      val materialized = agg.localCheckpoint() // AQE decides the layout here
+      val actual = materialized.rdd.getNumPartitions
+      require(actual * 4 <= static,
+        s"q192: AQE must coalesce the post-shuffle layout: $actual of $static partitions")
+      materialized
+    },
+
+    // ---------------------------------------------------------------- q193
+    // Spark's NATIVE runtime bloom filter (the engine-injected counterpart
+    // of q140's hand-built one): with runtime row-level filtering enabled
+    // and thresholds sized for the demo, the optimizer plants a
+    // bloom_filter agg on the filtered dim side and a might_contain probe
+    // on the fact side of the SAME shuffle join — probe rows that cannot
+    // match are dropped before the exchange, without any user code. The
+    // plan is asserted for the injected probe; the oracle replays the join.
+    // Together with q140 this shows both halves: what the engine gives for
+    // free, and how to build the same thing when it does not.
+    Q("q193_native_runtime_filter",
+      """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders,
+        |  CAST(SUM(o_orderkey) AS BIGINT) AS key_sum
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |GROUP BY 1""".stripMargin) { (s, dir) =>
+      val cust = Tables.load(s, dir, "customer")
+        .filter(col("c_mktsegment") === "BUILDING")
+        .select(col("c_custkey"))
+      val orders = Tables.load(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderpriority"), col("o_custkey"))
+      val confs = Seq(
+        "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "100MB",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+        "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+      val saved = confs.map { case (k, _) => k -> s.conf.getOption(k) }
+      try {
+        confs.foreach { case (k, v) => s.conf.set(k, v) }
+        val j = orders.hint("merge").join(cust, col("o_custkey") === col("c_custkey"))
+          .groupBy(col("o_orderpriority"))
+          .agg(count(lit(1)).cast("bigint").as("n_orders"),
+            sum(col("o_orderkey")).cast("bigint").as("key_sum"))
+        require(j.queryExecution.optimizedPlan.toString.contains("might_contain"),
+          "q193: the optimizer must inject a bloom probe on the fact side")
+        j.localCheckpoint()
+      } finally saved.foreach { case (k, v) =>
+        v.fold(s.conf.unset(k))(x => s.conf.set(k, x)) }
     })
 }
