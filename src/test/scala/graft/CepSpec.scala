@@ -74,6 +74,34 @@ class CepSpec extends AnyFunSuite {
     assert(got === Seq(CepMatch(1, 0, 20, 40)))
   }
 
+  test("late events across batches are dropped by the high-water mark") {
+    // Round-5 ADVICE fix: a replayed/late event older than the key's
+    // high-water mark must NOT regress state. Batch 1 establishes an
+    // anchored (view=0, click=50) pair and hwm=50; batch 2 delivers an
+    // OLDER view (ts=10) then a purchase — without the guard the stale
+    // view could not hurt here, but an older CLICK (ts=20) would re-anchor
+    // to a worse pair. Both must be dropped; the purchase chains to the
+    // ORIGINAL anchored pair.
+    val dir = TestSpark.tmpDir("cep-late")
+    Seq(CepEvent(9, 0, "view"), CepEvent(9, 50, "click"))
+      .toDS().coalesce(1).write.parquet(s"$dir/in/f1")
+    Seq(CepEvent(9, 10, "view"), CepEvent(9, 20, "click"),
+        CepEvent(9, 120, "purchase"))
+      .toDS().coalesce(1).write.parquet(s"$dir/in/f2")
+    val stream = spark.readStream.schema("key LONG, tsUs LONG, etype STRING")
+      .option("maxFilesPerTrigger", 1).parquet(s"$dir/in/*").as[CepEvent]
+    val q = Cep.matches(stream, step).toDF().writeStream
+      .format("memory").queryName("cep_late")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val got = spark.table("cep_late").as[CepMatch].collect().toSeq
+    spark.catalog.dropTempView("cep_late")
+    // the match anchors to (0, 50) — the late (10, 20) pair was dropped
+    assert(got === Seq(CepMatch(9, 0, 50, 120)))
+  }
+
   test("chain spans micro-batches through persisted state (real stream)") {
     val dir = TestSpark.tmpDir("cep-multi")
     val ev1 = Seq(CepEvent(7, 0, "view"), CepEvent(7, 50, "click"))

@@ -290,6 +290,33 @@ class VersionedTableSpec extends AnyFunSuite {
     assert(SnapshotCatalog.current(spark, cat).map(_._1) === Some(m2))
   }
 
+  test("merge-on-read: null keys survive deletes, compaction ends the tax") {
+    import graft.ops.MergeOnRead
+    import org.apache.spark.sql.functions._
+    val dir = TestSpark.tmpDir("vt16") + "/t"
+    // 10 keyed rows + 2 null-key rows: an equality tombstone can never
+    // name a null key, so null-key rows must survive every delete (the
+    // anti-join's null semantics must not silently drop them)
+    val keyed = spark.range(0, 10).select(col("id").as("k"), lit("r").as("v"))
+    val nulls = Seq((null.asInstanceOf[java.lang.Long], "n"),
+      (null.asInstanceOf[java.lang.Long], "n2")).toDF("k", "v")
+    MergeOnRead.init(keyed.unionByName(nulls), dir)
+    val before = MergeOnRead.dataFiles(spark, dir)
+    MergeOnRead.delete(Seq(2L, 3L).toDF("key"), dir)
+    assert(MergeOnRead.dataFiles(spark, dir) === before,
+      "a MoR delete must not touch data files")
+    val read1 = MergeOnRead.read(spark, dir, "k")
+    assert(read1.count() === 10L) // 8 keyed + 2 null-key
+    assert(read1.filter(col("k").isNull).count() === 2L)
+    assert(read1.filter(col("k").isin(2L, 3L)).count() === 0L)
+    // compaction folds the tombstones and is then a no-op
+    assert(MergeOnRead.compact(spark, dir, "k") === 1)
+    val read2 = MergeOnRead.read(spark, dir, "k")
+    assert(read2.count() === 10L)
+    assert(read2.filter(col("k").isNull).count() === 2L)
+    assert(MergeOnRead.compact(spark, dir, "k") === 0)
+  }
+
   test("banded layout: band predicate is a pushed partition filter") {
     import graft.ops.DataSkipping
     import org.apache.spark.sql.functions._
