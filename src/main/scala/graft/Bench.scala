@@ -98,12 +98,26 @@ object Bench {
       "q105_streaming_dedup", "q116_streaming_interval_join",
       "q133_streaming_exactly_once", "q147_late_data_accounting",
       "q148_stream_static_refresh", "q155_streaming_cep",
-      "q174_streaming_outer_join", "q179_state_metrics")
+      "q174_streaming_outer_join", "q179_state_metrics",
+      "q186_rocksdb_state_store", "q188_transform_with_state",
+      "q198_streaming_cep_general")
     val streamingS = results.filter(kv => streamingNames(kv._1)).map(_._2).sum
     val knobTag =
       (if (sys.env.contains("SPARK_GRAFT_BENCH_FILTER")) s""","filtered":true""" else "") +
       (if (reps != defaultReps) s""","reps_override":$reps""" else "")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","mode":"min-of-$reps","streaming_engine_s":$streamingS,"queries":$qs,"sf":"$sfDir"$knobTag}""")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","mode":"min-of-$reps","streaming_engine_s":$streamingS,"queries":$qs,"sf":"$sfDir"$knobTag}"""
+    println(line)
+    // The driver's recorded artifact truncates its tail at 2000 chars, which
+    // hides the per-query times of everything past ~q60 lexicographically.
+    // Persist the FULL line in-repo so every round's per-query figures stay
+    // reviewable. Only a full-catalog run overwrites it — a filtered dev run
+    // must never masquerade as the round artifact.
+    if (!sys.env.contains("SPARK_GRAFT_BENCH_FILTER")) {
+      val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL.json")
+      try java.nio.file.Files.write(java.nio.file.Paths.get(out),
+        (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      catch { case _: Throwable => () } // bench output is stdout-first; the file is best-effort
+    }
     spark.stop()
   }
 }

@@ -105,9 +105,13 @@ object DataSkipping {
   // partitioning prunes at scale. The band column rides in the directory
   // name only (partition column), costing no bytes in the files.
 
+  val BoundsDir = "_bounds"
+
   /** Write `df` bucketed into `bands` hive-style `__band=NN` directories by
-    * range-rank of `c`, so band pruning == directory pruning. Returns the
-    * band boundaries (band -> max value in band) for the reader's use.
+    * range-rank of `c`, so band pruning == directory pruning. The band
+    * boundaries (band -> min/max of `c`) are persisted once, at write time,
+    * as a `_bounds` parquet sidecar (bands rows — KBs) so readers never
+    * rescan the table to map a value band to a directory band.
     */
   def writeBanded(df: DataFrame, dataDir: String, c: String, bands: Int): Unit = {
     // Spark's sampling-based range partitioner assigns the band — fully
@@ -117,15 +121,31 @@ object DataSkipping {
     df.repartitionByRange(bands, col(c))
       .withColumn("__band", spark_partition_id())
       .write.partitionBy("__band").mode("overwrite").parquet(dataDir)
+    // Boundary sidecar: one column-pruned pass over the just-written files
+    // (reads only `c`'s pages + the directory name), paid once per snapshot
+    // like writeStats — never again per read. `_`-prefix keeps it invisible
+    // to parquet discovery of the data dir.
+    val spark = df.sparkSession
+    spark.read.parquet(dataDir)
+      .groupBy(col("__band"))
+      .agg(min(col(c)).as("lo"), max(col(c)).as("hi"))
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$dataDir/$BoundsDir")
   }
 
   /** Band boundaries (band -> min/max of `c`) — the KB-sized driver-side
     * index a reader consults to turn a value band into a directory band.
+    * Reads the write-time `_bounds` sidecar; the full-table fallback exists
+    * only for tables banded before the sidecar shipped.
     */
-  def bandBounds(spark: SparkSession, dataDir: String, c: String): DataFrame =
-    spark.read.parquet(dataDir)
+  def bandBounds(spark: SparkSession, dataDir: String, c: String): DataFrame = {
+    val sidecar = new Path(s"$dataDir/$BoundsDir")
+    val fs = sidecar.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(sidecar)) spark.read.parquet(sidecar.toString)
+    else spark.read.parquet(dataDir)
       .groupBy(col("__band"))
       .agg(min(col(c)).as("lo"), max(col(c)).as("hi"))
+  }
 
   /** Plan a scan over only the band directories whose [lo, hi] intersects
     * the predicate band. The band predicate is a PARTITION filter — Spark

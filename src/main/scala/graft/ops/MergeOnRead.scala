@@ -74,7 +74,12 @@ object MergeOnRead {
     val p = new Path(s"$dir/$TombstoneDir")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(p)) return 0
-    val n = fs.listStatus(p).count(st => st.isFile && !st.getPath.getName.startsWith("_"))
+    // same visibility filter as dataFiles(): both `_`- and `.`-prefixed names
+    // are bookkeeping (SUCCESS markers, CRC sidecars, staging temp files),
+    // not tombstone files — counting them would inflate the fold count on
+    // filesystems that surface hidden files in listStatus
+    val n = fs.listStatus(p).count(st => st.isFile &&
+      !st.getPath.getName.startsWith("_") && !st.getPath.getName.startsWith("."))
     val folded = read(spark, dir, keyCol).localCheckpoint() // cut lineage off the old files
     Upsert.snapshotWrite(folded, s"$dir/$DataDir")
     fs.delete(p, true)

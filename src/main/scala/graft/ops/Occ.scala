@@ -1,0 +1,200 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.hadoop.fs.Path
+import java.nio.charset.StandardCharsets
+
+/** Optimistic concurrency control for [[VersionedTable]] — the multi-writer
+  * protocol the single-writer pointer flip lacks, re-expressed from the
+  * PUBLIC Delta/Iceberg commit design: writers never lock; each prepares its
+  * change against a read snapshot, then claims the next version number with
+  * one atomic create-if-absent; a loser re-reads what won, and either
+  * REBASES (recomputes its transformation on the new live snapshot — allowed
+  * iff the declared write sets are disjoint) or FAILS cleanly with no torn
+  * state. This is Delta's `OptimisticTransaction.commit` + LogStore
+  * mutual-exclusion contract and Iceberg's CAS-on-pointer, folded onto the
+  * `_v-NNNNNNNN` + `_ptr` layout.
+  *
+  * Commit point: `_commit-NNNNNNNN` marker, created with
+  * `FileSystem.create(overwrite = false)` — atomic create-if-absent on HDFS;
+  * object stores supply it via conditional put (If-None-Match), exactly the
+  * LogStore contract Delta documents; on the local test filesystem it is an
+  * exists-check + O_EXCL create. The marker's CONTENT is the whole commit:
+  * the staged dir's name plus the declared write set. Everything after the
+  * marker (rename staged -> `_v-N`, pointer flip) is idempotent
+  * FINALIZATION that any later writer or reader rolls forward
+  * ([[finalizePending]]) — so a writer crashing at any instant after its
+  * marker lands loses no commit, and one crashing before it leaves only a
+  * uniquely-named staged dir for [[sweepStages]].
+  *
+  * Conflict rule (Delta's logical-conflict check, simplified to declared
+  * sets): each commit declares the partitions/keys it writes as a token set;
+  * a rebase is legal iff the candidate's set is disjoint from EVERY set
+  * committed since its read version. The token `*` declares a full-table
+  * write and conflicts with everything. Writers that mix this protocol with
+  * raw [[VersionedTable.write]] on the same table forfeit the guarantee —
+  * same single-protocol rule as Delta (every writer must go through the
+  * log).
+  */
+object Occ {
+
+  private val CommitPrefix = "_commit-"
+  private val StagePrefix = "_stage-"
+
+  /** Thrown when another writer committed an overlapping write set between
+    * this writer's read and its claim. The table is untouched by the loser.
+    */
+  final class CommitConflictException(msg: String)
+    extends RuntimeException(msg)
+
+  final case class Committed(version: Long, rebased: Int)
+
+  private def commitPath(dir: String, v: Long): Path =
+    new Path(dir, f"$CommitPrefix$v%08d")
+
+  private def parseMarker(s: String): (String, Set[String]) = {
+    val lines = s.split("\n", -1)
+    (lines.head.trim, lines.drop(1).map(_.trim).filter(_.nonEmpty).toSet)
+  }
+
+  private def readMarker(fs: org.apache.hadoop.fs.FileSystem, dir: String,
+      v: Long): Option[(String, Set[String])] =
+    VersionedTable.readText(fs, commitPath(dir, v)).map(parseMarker)
+
+  private def listCommits(fs: org.apache.hadoop.fs.FileSystem, dir: String): Seq[Long] = {
+    val d = new Path(dir)
+    if (!fs.exists(d)) Seq.empty
+    else fs.listStatus(d).toSeq
+      .filter(st => st.isFile && st.getPath.getName.startsWith(CommitPrefix))
+      .flatMap(st => st.getPath.getName.stripPrefix(CommitPrefix).toLongOption)
+      .sorted
+  }
+
+  /** Atomic claim of version `v`: create-if-absent of the commit marker.
+    * Returns false when someone else holds it.
+    */
+  private def claim(fs: org.apache.hadoop.fs.FileSystem, dir: String, v: Long,
+      stageName: String, writeSet: Set[String]): Boolean = {
+    val body = (stageName +: writeSet.toSeq.sorted).mkString("\n")
+    try {
+      val out = fs.create(commitPath(dir, v), false) // overwrite=false = the CAS
+      try out.write(body.getBytes(StandardCharsets.UTF_8)) finally out.close()
+      true
+    } catch { case _: java.io.IOException => false }
+  }
+
+  /** Roll a claimed-but-unfinalized commit forward: rename its staged dir to
+    * the version dir (skip if already there) and advance the pointer. Safe
+    * to call from anyone at any time — every step is idempotent, which is
+    * what makes the marker the single commit point.
+    */
+  def finalizePending(spark: SparkSession, dir: String): Unit = {
+    val fs = VersionedTable.fsOf(spark, dir)
+    listCommits(fs, dir).foreach { v =>
+      val vd = VersionedTable.verDir(dir, v)
+      readMarker(fs, dir, v).foreach { case (stageName, _) =>
+        val stage = new Path(dir, stageName)
+        if (!VersionedTable.complete(fs, vd)) {
+          // the rename either succeeds (we finalized) or the stage is gone
+          // because a concurrent finalizer won — both end with _v-v complete
+          if (fs.exists(stage)) fs.rename(stage, vd)
+        } else if (fs.exists(stage)) fs.delete(stage, true) // duplicate roll-forward
+        require(VersionedTable.complete(fs, vd),
+          s"Occ.finalizePending($dir): commit $v has neither staged dir nor version dir")
+      }
+      if (!VersionedTable.readPtr(fs, dir).exists(_ >= v))
+        VersionedTable.flipPointer(fs, dir, v)
+    }
+  }
+
+  /** Delete orphaned staged dirs not referenced by any commit marker — the
+    * leavings of writers that crashed before their claim (or lost a true
+    * conflict mid-crash). Never touches version dirs or claimed stages.
+    */
+  def sweepStages(spark: SparkSession, dir: String): Int = {
+    val fs = VersionedTable.fsOf(spark, dir)
+    val d = new Path(dir)
+    if (!fs.exists(d)) return 0
+    val claimed = listCommits(fs, dir)
+      .flatMap(v => readMarker(fs, dir, v)).map(_._1).toSet
+    val orphans = fs.listStatus(d).toSeq.filter(st => st.isDirectory &&
+      st.getPath.getName.startsWith(StagePrefix) && !claimed(st.getPath.getName))
+    orphans.foreach(st => fs.delete(st.getPath, true))
+    orphans.size
+  }
+
+  /** The write sets committed strictly after `base`, in version order —
+    * what a loser checks its own set against before rebasing.
+    */
+  private def setsSince(fs: org.apache.hadoop.fs.FileSystem, dir: String,
+      base: Long): Seq[(Long, Set[String])] =
+    listCommits(fs, dir).filter(_ > base)
+      .flatMap(v => readMarker(fs, dir, v).map(v -> _._2))
+
+  /** Commit `mutate(liveSnapshot)` under optimistic concurrency.
+    *
+    * `writeSet` declares what the transformation writes (partition values,
+    * key-range tokens, or `*` for whole-table). `mutate` receives the
+    * current live snapshot (None on a fresh table) and must return the FULL
+    * next snapshot (same whole-snapshot versioning as
+    * [[VersionedTable.write]]); it is re-run from scratch on every rebase,
+    * so it must be a pure function of its input. `hook` fires between staging and claiming — the window every
+    * interesting interleaving lives in; tests use it to race a second
+    * writer, production leaves it default.
+    *
+    * @throws CommitConflictException when a commit since the read version
+    *         overlaps `writeSet` — the staged dir is deleted first, so a
+    *         loser leaves NO torn state.
+    */
+  def commit(spark: SparkSession, dir: String, writeSet: Set[String])
+      (mutate: Option[DataFrame] => DataFrame, maxRebases: Int = 10,
+       hook: () => Unit = () => ()): Committed = {
+    require(writeSet.nonEmpty, "Occ.commit: declare a write set (or Set(\"*\"))")
+    val fs = VersionedTable.fsOf(spark, dir)
+    fs.mkdirs(new Path(dir))
+    var rebases = 0
+    while (true) {
+      finalizePending(spark, dir)
+      val base = VersionedTable.currentVersion(spark, dir).getOrElse(0L)
+      val snapshot =
+        if (base == 0L) None
+        else Some(spark.read.parquet(VersionedTable.verDir(dir, base).toString))
+      val stageName = StagePrefix + java.util.UUID.randomUUID().toString
+      val stage = new Path(dir, stageName)
+      mutate(snapshot).write.mode(SaveMode.Overwrite).parquet(stage.toString)
+      require(VersionedTable.complete(fs, stage),
+        s"Occ.commit: staged $stage missing _SUCCESS")
+      hook()
+      // conflict check BEFORE the claim (cheap reject), and the claim itself
+      // re-checks by construction: losing the create-if-absent race means a
+      // new commit appeared, so loop and re-examine its write set too.
+      val winners = setsSince(fs, dir, base)
+      val clash = winners.find(_._2.exists(t => t == "*" || writeSet(t) || writeSet("*")))
+      clash match {
+        case Some((v, ws)) =>
+          fs.delete(stage, true)
+          throw new CommitConflictException(
+            s"Occ.commit($dir): write set ${writeSet.toSeq.sorted.mkString(",")} " +
+            s"conflicts with version $v's ${ws.toSeq.sorted.mkString(",")}")
+        case None =>
+          val target = VersionedTable.listVersions(fs, dir)
+            .lastOption.getOrElse(0L).max(listCommits(fs, dir).lastOption.getOrElse(0L)) + 1L
+          if (target == base + 1L && claim(fs, dir, target, stageName, writeSet)) {
+            finalizePending(spark, dir)
+            spark.catalog.refreshByPath(VersionedTable.verDir(dir, target).toString)
+            return Committed(target, rebases)
+          }
+          // lost the race (or a commit landed between read and claim):
+          // someone else owns base+1 .. target. Drop the stale stage and
+          // REBASE — recompute against the new live snapshot. The conflict
+          // check at the top of the next loop decides if that is legal.
+          fs.delete(stage, true)
+          rebases += 1
+          if (rebases > maxRebases)
+            throw new CommitConflictException(
+              s"Occ.commit($dir): gave up after $maxRebases rebases")
+      }
+    }
+    sys.error("unreachable")
+  }
+}

@@ -44,13 +44,13 @@ object VersionedTable {
   private val VerPrefix = "_v-"
   private val TxnPrefix = "_txn-"
 
-  private def fsOf(spark: SparkSession, dir: String): FileSystem =
+  private[ops] def fsOf(spark: SparkSession, dir: String): FileSystem =
     new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
-  private def verDir(dir: String, v: Long): Path =
+  private[ops] def verDir(dir: String, v: Long): Path =
     new Path(dir, f"$VerPrefix$v%08d")
 
-  private def listVersions(fs: FileSystem, dir: String): Seq[Long] = {
+  private[ops] def listVersions(fs: FileSystem, dir: String): Seq[Long] = {
     val d = new Path(dir)
     if (!fs.exists(d)) Seq.empty
     else fs.listStatus(d).toSeq
@@ -63,7 +63,7 @@ object VersionedTable {
     * SHORT read on object-store filesystems, and a truncated "00" would
     * misparse as version 0 and silently divert readers to the fallback path.
     */
-  private def readText(fs: FileSystem, p: Path): Option[String] =
+  private[ops] def readText(fs: FileSystem, p: Path): Option[String] =
     if (!fs.exists(p)) None
     else {
       val in = fs.open(p)
@@ -76,7 +76,7 @@ object VersionedTable {
       } finally in.close()
     }
 
-  private def readPtr(fs: FileSystem, dir: String): Option[Long] =
+  private[ops] def readPtr(fs: FileSystem, dir: String): Option[Long] =
     readText(fs, new Path(dir, PtrName)).flatMap(_.trim.toLongOption)
 
   /** The streaming-transaction markers a version carries: appId → highest
@@ -94,7 +94,7 @@ object VersionedTable {
         readText(fs, st.getPath).flatMap(_.trim.toLongOption).map(app -> _)
       }.toMap
 
-  private def complete(fs: FileSystem, vd: Path): Boolean =
+  private[ops] def complete(fs: FileSystem, vd: Path): Boolean =
     fs.exists(new Path(vd, "_SUCCESS"))
 
   /** The live version: the pointer if it names a complete snapshot, else the
@@ -212,7 +212,7 @@ object VersionedTable {
     * is covered by the reader fallback to the highest complete version —
     * which IS `next` at that point.
     */
-  private def flipPointer(fs: FileSystem, dir: String, next: Long): Unit = {
+  private[ops] def flipPointer(fs: FileSystem, dir: String, next: Long): Unit = {
     val ptr = new Path(dir, PtrName)
     val ptrTmp = new Path(dir, s".$PtrName.tmp-${java.util.UUID.randomUUID()}")
     val out = fs.create(ptrTmp, true)

@@ -1045,12 +1045,16 @@ object SourceQueries {
       import graft.ops.{SnapshotCatalog, VersionedTable}
       val root = scratch(s, dir, "q184")
       val (dimP, factP, catP) = (s"$root/dim", s"$root/fact", s"$root/cat")
-      val shift = 1000000L
       val dim = Tables.load(s, dir, "customer")
         .select(col("c_custkey").cast("long").as("c_custkey"), col("c_nationkey"))
       val fact = Tables.load(s, dir, "orders")
         .select(col("o_orderkey"), col("o_orderpriority"),
           col("o_custkey").cast("long").as("o_custkey"))
+      // The torn-read require depends on shifted dim keys clearing the fact's
+      // key domain entirely; a constant shift breaks once SF pushes c_custkey
+      // past it (150k x SF crosses 1M at SF>=7). Derive it from the data.
+      val shift = fact.agg(max(col("o_custkey"))).head.getLong(0)
+        .max(dim.agg(max(col("c_custkey"))).head.getLong(0)) + 1L
       val nFact = fact.count()
       VersionedTable.write(dim, dimP)
       VersionedTable.write(fact, factP)
@@ -1081,6 +1085,70 @@ object SourceQueries {
         .groupBy(col("o_orderpriority"))
         .agg(count(lit(1)).cast("bigint").as("n_orders"),
           countDistinct(col("c_nationkey")).cast("bigint").as("n_nations"))
+    },
+
+    // ---------------------------------------------------------------- q194
+    // Optimistic concurrency on the versioned table (the Delta/Iceberg
+    // multi-writer commit protocol the single-writer pointer flip lacks):
+    // two writers race — the loser of the atomic marker claim REBASES
+    // (write sets disjoint: recompute on the winner's snapshot and commit
+    // after it), so BOTH changes land with no lock; then a third writer
+    // races an overlapping write set and must LOSE CLEANLY (conflict
+    // exception, zero torn state, no orphan stage). In-query requires pin
+    // the rebase count, the final version arithmetic, and the clean loss;
+    // the oracle recomputes the surviving state — both disjoint updates
+    // applied, the conflicted update absent — straight from the base table.
+    Q("q194_optimistic_commit",
+      """SELECT c_nationkey, CAST(count(*) AS BIGINT) AS n_cust,
+        |  round(CAST(sum(CASE WHEN c_nationkey <= 11 THEN c_acctbal + 10
+        |                      ELSE c_acctbal - 5 END) AS DOUBLE), 2) AS total_bal
+        |FROM customer GROUP BY 1""".stripMargin) { (s, dir) =>
+      import graft.ops.{Occ, VersionedTable}
+      val root = scratch(s, dir, "q194")
+      val base = Tables.load(s, dir, "customer")
+        .select(col("c_custkey"), col("c_nationkey"), col("c_acctbal"))
+      Occ.commit(s, root, Set("*"))(_ => base) // v1: seed
+      // writer A (low nations) stages, then B (high nations) commits first;
+      // disjoint sets -> A rebases once and lands on top of B
+      var fired = false
+      val a = Occ.commit(s, root, Set("nation:lo"))(
+        snap => snap.get.withColumn("c_acctbal",
+          when(col("c_nationkey") <= 11, col("c_acctbal") + 10)
+            .otherwise(col("c_acctbal"))),
+        hook = () => if (!fired) {
+          fired = true
+          Occ.commit(s, root, Set("nation:hi"))(snap =>
+            snap.get.withColumn("c_acctbal",
+              when(col("c_nationkey") >= 12, col("c_acctbal") - 5)
+                .otherwise(col("c_acctbal"))))
+          ()
+        })
+      require(a.rebased == 1,
+        s"q194: the disjoint loser must land via exactly one rebase, got ${a.rebased}")
+      require(VersionedTable.currentVersion(s, root).contains(3L),
+        "q194: seed + winner + rebased loser = 3 versions")
+      // writer C declares an overlapping set and races writer D (identity
+      // change, same set): C must lose cleanly — exception, no stray stage
+      var fired2 = false
+      val cLost = try {
+        Occ.commit(s, root, Set("nation:hi"))(
+          snap => snap.get.withColumn("c_acctbal", lit(0.0)), // must NEVER land
+          hook = () => if (!fired2) {
+            fired2 = true
+            Occ.commit(s, root, Set("nation:hi"))(snap => snap.get)
+            ()
+          })
+        false
+      } catch { case _: Occ.CommitConflictException => true }
+      require(cLost, "q194: the overlapping writer must lose")
+      require(VersionedTable.currentVersion(s, root).contains(4L),
+        "q194: only D's identity commit may follow")
+      require(Occ.sweepStages(s, root) == 0,
+        "q194: a clean loser leaves no orphan stage")
+      VersionedTable.read(s, root)
+        .groupBy(col("c_nationkey"))
+        .agg(count(lit(1)).cast("bigint").as("n_cust"),
+          round(sum(col("c_acctbal")).cast("double"), 2).as("total_bal"))
     },
 
     // ---------------------------------------------------------------- q185

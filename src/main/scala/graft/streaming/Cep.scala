@@ -25,17 +25,22 @@ object Cep {
 
   case class CepEvent(key: Long, tsUs: Long, etype: String)
   /** -1 sentinels = "none yet"; ancViewUs/ancClickUs move together.
-    * hwmUs is a per-key high-water mark: "latest qualifying X" state is only
-    * lossless when each key's events arrive in event-time order ACROSS
-    * micro-batches (within a batch we sort). Rather than leave that
-    * precondition implied, events older than the key's high-water mark are
-    * dropped — the same convention a watermark applies to late data — so an
-    * out-of-order replay can never regress lastViewUs or re-anchor the
-    * (click, view) pair to an older click and silently diverge from the
-    * batch twin.
+    * (hwmUs, hwmPrio) is a per-key high-water mark over the TOTAL processing
+    * order (ts, pattern-priority): "latest qualifying X" state is only
+    * lossless when each key's events arrive in that order ACROSS
+    * micro-batches (within a batch we sort by it). Rather than leave the
+    * precondition implied, events below the high-water mark are dropped —
+    * the same convention a watermark applies to late data. Tracking the
+    * priority in the mark (not just ts) makes the equal-timestamp case
+    * exact: a purchase in a later batch at the ts of an already-processed
+    * click still chains (it is ≥ in pattern order), while a view arriving
+    * AFTER a same-instant click was processed is pattern-order-late — the
+    * batch twin would have anchored that click to it, so admitting it could
+    * not converge anyway; it is dropped as late, deterministically, instead
+    * of half-applied.
     */
   case class CepState(lastViewUs: Long, ancViewUs: Long, ancClickUs: Long,
-                      hwmUs: Long)
+                      hwmUs: Long, hwmPrio: Int)
   case class CepMatch(key: Long, v_us: Long, c_us: Long, p_us: Long)
 
   /** Same-instant events process in pattern order (view < click < purchase),
@@ -50,16 +55,21 @@ object Cep {
       .flatMapGroupsWithState[CepState, CepMatch](
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (key: Long, it: Iterator[CepEvent], state: GroupState[CepState]) =>
-          var st = state.getOption.getOrElse(CepState(-1L, -1L, -1L, Long.MinValue))
+          var st = state.getOption.getOrElse(
+            CepState(-1L, -1L, -1L, Long.MinValue, Int.MinValue))
           val out = scala.collection.mutable.ListBuffer.empty[CepMatch]
           it.toSeq.sortBy(e => (e.tsUs, prio.getOrElse(e.etype, 3))).foreach { e =>
-            // cross-batch order guard: drop events strictly older than this
-            // key's high-water mark (same-instant events still process, in
-            // pattern order). Belt-and-braces, the state updates below are
-            // ALSO monotone (max / only-if-newer), so even an equal-timestamp
-            // replay cannot regress state.
-            if (e.tsUs >= st.hwmUs) {
-              st = st.copy(hwmUs = math.max(st.hwmUs, e.tsUs))
+            val p = prio.getOrElse(e.etype, 3)
+            // cross-batch order guard: drop events below this key's
+            // high-water mark in (ts, pattern-priority) order — same-instant
+            // events still process iff they arrive in pattern order, exactly
+            // the order the within-batch sort (and the batch twin) uses.
+            // Belt-and-braces, the state updates below are ALSO monotone
+            // (max / only-if-newer), so an exact-duplicate replay is
+            // idempotent regardless.
+            if (e.tsUs > st.hwmUs || (e.tsUs == st.hwmUs && p >= st.hwmPrio)) {
+              st = if (e.tsUs > st.hwmUs) st.copy(hwmUs = e.tsUs, hwmPrio = p)
+                   else st.copy(hwmPrio = math.max(st.hwmPrio, p))
               e.etype match {
                 case "view" =>
                   st = st.copy(lastViewUs = math.max(st.lastViewUs, e.tsUs))

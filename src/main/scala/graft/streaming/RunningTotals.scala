@@ -26,7 +26,12 @@ object RunningTotals {
 
   case class In(etype: String, eventId: Long)
   case class Out(etype: String, n_total: Long, id_sum: Long)
-  private case class Tot(n: Long, idSum: Long)
+  // Must be publicly visible: Janino-generated encoder code resolves the
+  // constructor reflectively from a different classloader package, and a
+  // `private` modifier makes codegen fail ("no applicable constructor") and
+  // silently fall back to interpreted serialization on the per-row state
+  // hot path. EncoderCodegenSpec pins CODEGEN_ONLY for all graft encoders.
+  case class Tot(n: Long, idSum: Long)
 
   class Processor extends StatefulProcessor[String, In, Out] {
     @transient private var tot: ValueState[Tot] = _

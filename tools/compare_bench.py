@@ -51,7 +51,8 @@ def main(old_p, new_p, thresh=1.5):
         print(f"no regressions beyond {thresh}x + 0.5s")
     for q, o, n in regressions:
         print(f"REGRESSED {q}: {o:.2f}s -> {n:.2f}s ({n/o:.1f}x)")
-    return 0
+    # nonzero exit when regressed, so automation gating on the exit code works
+    return 1 if regressions else 0
 
 if __name__ == "__main__":
     t = float(sys.argv[3]) if len(sys.argv) > 3 else 1.5
