@@ -1267,6 +1267,133 @@ object SourceQueries {
           sum(col("o_orderkey")).cast("bigint").as("key_sum"))
     },
 
+    // ---------------------------------------------------------------- q197
+    // POSITION deletes (Iceberg's second delete form) — tombstones address
+    // rows as (data file, row offset) via the file source's `_metadata`
+    // hidden columns, the form equality deletes cannot replace: the
+    // dataset plants bit-identical duplicate rows, and the first delete
+    // removes exactly ONE physical copy of each (a key tombstone would
+    // kill both). Second delete is a predicate drip against the LIVE view.
+    // In-query proofs: no data file changed (name/length/mtime inventory),
+    // the anti-join read equals the batch expectation, compaction folds
+    // exactly two tombstone files through the crash-safe swap and the
+    // re-addressed table still matches, a second compaction is a no-op.
+    // The oracle recomputes survivors straight from the base table — the
+    // duplicate collapse means survivors ARE the base rows minus the
+    // predicate, which is what makes one-copy semantics SQL-checkable.
+    Q("q197_position_delete",
+      """SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_cust,
+        |  round(CAST(sum(c_acctbal) AS DOUBLE), 2) AS total_bal
+        |FROM customer WHERE c_acctbal >= -900 GROUP BY 1""".stripMargin) { (s, dir) =>
+      import graft.ops.MergeOnRead
+      val root = scratch(s, dir, "q197")
+      val cust = Tables.load(s, dir, "customer")
+        .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"))
+      val nCust = cust.count()
+      // plant duplicates: every 10th customer's row appears TWICE, bit-identical
+      val dupKeys = cust.filter(col("c_custkey") % 10 === 0)
+      MergeOnRead.init(cust.unionAll(dupKeys).repartition(4), root)
+      val before = MergeOnRead.dataFiles(s, root)
+      // delete #1: collapse each duplicate to one copy — addressed by the
+      // SMALLEST (file, pos) among its physical copies; only positional
+      // addressing can separate two identical rows
+      val firstCopies = MergeOnRead.readWithPos(s, root)
+        .filter(col("c_custkey") % 10 === 0)
+        .groupBy(col("c_custkey"))
+        .agg(min(struct(col("__file"), col("__pos"))).as("a"))
+        .select(col("a.__file").as("file"), col("a.__pos").as("pos"))
+      MergeOnRead.posDeleteAddresses(firstCopies, root)
+      require(MergeOnRead.readPos(s, root).count() == nCust,
+        "q197: the duplicate collapse must leave exactly one copy per row")
+      // delete #2: predicate drip against the live view
+      MergeOnRead.posDelete(s, root, col("c_acctbal") < -900)
+      require(MergeOnRead.dataFiles(s, root) == before,
+        "q197: a position delete must not touch any data file")
+      val want = cust.filter(col("c_acctbal") >= -900).localCheckpoint()
+      val live = MergeOnRead.readPos(s, root).localCheckpoint()
+      require(live.exceptAll(want).isEmpty && want.exceptAll(live).isEmpty,
+        "q197: the position-tombstoned read must equal the batch filter")
+      require(MergeOnRead.compactPos(s, root) == 2,
+        "q197: compaction must fold exactly the two position-delete files")
+      val after = MergeOnRead.readPos(s, root).localCheckpoint()
+      require(after.exceptAll(want).isEmpty && want.exceptAll(after).isEmpty,
+        "q197: the compacted (re-addressed) table must still match")
+      require(MergeOnRead.compactPos(s, root) == 0,
+        "q197: a second compaction must be a no-op")
+      after.groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).cast("bigint").as("n_cust"),
+          round(sum(col("c_acctbal")).cast("double"), 2).as("total_bal"))
+    },
+
+    // ---------------------------------------------------------------- q199
+    // Storage-partitioned join THROUGH DSv2 (SPARK-37375) — q59 proves
+    // exchange-free joins on catalog buckets; this is the modern connector
+    // path Iceberg uses: two sources lay their data out as key directories
+    // and REPORT it (`SupportsReportPartitioning` returning
+    // KeyGroupedPartitioning, each InputPartition carrying its key via
+    // HasPartitionKey), so the planner sees both sides of the join already
+    // distributed by `k` and plans a SortMergeJoin with ZERO Exchange on
+    // either side — asserted on the executed plan, with the negative
+    // control measured too (partitioning hidden -> the same join shuffles
+    // both sides). At 100 TB this is a co-located merge of two bucketed
+    // layouts vs shuffling both tables across the cluster. Join keys are
+    // (k, custkey) ⊇ partition keys (k) under
+    // requireAllClusterKeysForCoPartition=false — the subset rule SPJ
+    // defines. The oracle replays the join from the base tables (the
+    // bucket key cancels: k = custkey % 16 on both sides).
+    Q("q199_storage_partitioned_join",
+      """SELECT c_nationkey, CAST(count(*) AS BIGINT) AS n_orders,
+        |  CAST(sum(o_orderkey) AS BIGINT) AS key_sum
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY 1""".stripMargin) { (s, dir) =>
+      import graft.source.KeyedDsv2
+      import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+      import org.apache.spark.sql.execution.joins.SortMergeJoinExec
+      val root = scratch(s, dir, "q199")
+      val o = Tables.load(s, dir, "orders")
+        .select((col("o_custkey") % 16).cast("int").as("k"),
+          col("o_custkey").cast("long").as("custkey"),
+          col("o_orderkey").cast("long").as("orderkey"))
+      val c = Tables.load(s, dir, "customer")
+        .select((col("c_custkey") % 16).cast("int").as("k"),
+          col("c_custkey").cast("long").as("custkey"),
+          col("c_nationkey").cast("long").as("nationkey"))
+      KeyedDsv2.writeBucketed(o, s"$root/o")
+      KeyedDsv2.writeBucketed(c, s"$root/c")
+      val saved = Seq("spark.sql.sources.v2.bucketing.enabled",
+        "spark.sql.requireAllClusterKeysForCoPartition",
+        "spark.sql.adaptive.enabled",
+        "spark.sql.autoBroadcastJoinThreshold").map(k => k -> s.conf.get(k))
+      try {
+        s.conf.set("spark.sql.requireAllClusterKeysForCoPartition", "false")
+        s.conf.set("spark.sql.adaptive.enabled", "false") // q185 rule: clean plan read
+        s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force the merge path
+        def joined = {
+          val ob = KeyedDsv2.read(s, s"$root/o", "custkey", "orderkey")
+          val cb = KeyedDsv2.read(s, s"$root/c", "custkey", "nationkey")
+          ob.as("o").join(cb.as("c"),
+            col("o.k") === col("c.k") && col("o.custkey") === col("c.custkey"))
+        }
+        def shufflesUnderJoin(on: Boolean): Int = {
+          s.conf.set("spark.sql.sources.v2.bucketing.enabled", on.toString)
+          val plan = joined.queryExecution.executedPlan
+          val smj = plan.collect { case j: SortMergeJoinExec => j }
+          require(smj.nonEmpty, "q199: the join must plan as a sort-merge join")
+          smj.head.collect { case e: ShuffleExchangeLike => e }.length
+        }
+        require(shufflesUnderJoin(on = false) == 2,
+          "q199: with reported partitioning hidden the join must shuffle both sides")
+        require(shufflesUnderJoin(on = true) == 0,
+          "q199: the storage-partitioned join must plan with zero exchanges")
+        // values: run the exchange-free plan (bucketing stays enabled)
+        joined
+          .groupBy(col("c.nationkey").as("c_nationkey"))
+          .agg(count(lit(1)).cast("bigint").as("n_orders"),
+            sum(col("o.orderkey")).cast("bigint").as("key_sum"))
+          .localCheckpoint()
+      } finally saved.foreach { case (k, v) => s.conf.set(k, v) }
+    },
+
     // ---------------------------------------------------------------- q190
     // Nested schema pruning: documents are re-shaped into a struct-heavy
     // layout (meta.lang, meta.quality.stars, body) — the nested form real

@@ -476,6 +476,89 @@ object StreamingQueries {
       gotAligned.select(col("key").as("user_id"), col("v_us"), col("c_us"), col("p_us"))
     },
 
+    // ---------------------------------------------------------------- q198
+    // General quantified CEP — SQL:2016 MATCH_RECOGNIZE's PATTERN
+    // (A B+ C): view, one-or-more contiguous clicks (inter-click gap ≤ 24h,
+    // no view in between), purchase within 24h of the last click — 24h so
+    // multi-click runs exist even at sf0.001 (6h leaves max n_b = 1 there
+    // and the quantifier guard below would fail vacuously). q155
+    // hard-codes the 3-step chain; the + quantifier is what a state
+    // machine must COUNT without buffering (state stays O(1): the run is
+    // contiguous, so first/last/count is the whole evidence). Runs the
+    // real stream over two files (chains span the micro-batch boundary,
+    // state carries the open run across), requires equality with the
+    // gaps-and-islands batch twin (the windowed form a 100 TB backfill
+    // uses — no state machine), and the oracle replays islands + the
+    // last-B-before-each-C pickup in pure window SQL.
+    Q("q198_streaming_cep_general",
+      """WITH e AS (SELECT user_id AS key, epoch_us(ts) AS us,
+        |    CASE event_type WHEN 'view' THEN 0 WHEN 'click' THEN 1 ELSE 2 END AS prio
+        |  FROM events WHERE event_type IN ('view', 'click', 'purchase')),
+        |wa AS (SELECT key, us, prio,
+        |    max(CASE WHEN prio = 0 THEN us END) OVER
+        |      (PARTITION BY key ORDER BY us, prio ROWS UNBOUNDED PRECEDING) AS lastA
+        |  FROM e),
+        |b AS (SELECT key, us, lastA,
+        |    lag(us) OVER (PARTITION BY key ORDER BY us) AS prevB
+        |  FROM wa WHERE prio = 1),
+        |b2 AS (SELECT *, CASE WHEN prevB IS NULL OR us - prevB > 86400000000
+        |       OR lastA > prevB THEN 1 ELSE 0 END AS newi FROM b),
+        |b3 AS (SELECT *, sum(newi) OVER (PARTITION BY key ORDER BY us
+        |       ROWS UNBOUNDED PRECEDING) AS island FROM b2),
+        |b4 AS (SELECT key, us,
+        |    first_value(us) OVER (PARTITION BY key, island ORDER BY us) AS bfirst,
+        |    count(*) OVER (PARTITION BY key, island ORDER BY us
+        |                   ROWS UNBOUNDED PRECEDING) AS nsofar,
+        |    first_value(lastA) OVER (PARTITION BY key, island ORDER BY us) AS anchorA
+        |  FROM b3),
+        |u AS (SELECT key, us, 1 AS prio, anchorA, bfirst, us AS blast, nsofar,
+        |      (anchorA IS NOT NULL AND bfirst - anchorA <= 86400000000) AS anchored
+        |      FROM b4
+        |      UNION ALL
+        |      SELECT key, us, 2, NULL, NULL, NULL, NULL, NULL FROM wa WHERE prio = 2),
+        |u2 AS (SELECT key, us, prio,
+        |    last_value(CASE WHEN prio = 1 THEN struct_pack(a := anchorA,
+        |        bf := bfirst, bl := blast, n := nsofar, anc := anchored) END
+        |      IGNORE NULLS)
+        |      OVER (PARTITION BY key ORDER BY us, prio, coalesce(nsofar, 0)
+        |            ROWS UNBOUNDED PRECEDING) AS r
+        |  FROM u)
+        |SELECT key AS user_id, r.a AS a_us, r.bf AS b_first_us, r.bl AS b_last_us,
+        |  CAST(r.n AS BIGINT) AS n_b, us AS c_us
+        |FROM u2 WHERE prio = 2 AND r IS NOT NULL AND r.anc
+        |  AND us - r.bl <= 86400000000""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      import graft.streaming.Cep
+      val stepUs = 24L * 3600L * 1000000L
+      val e = Tables.load(s, dir, "events")
+        .filter(col("event_type").isin("view", "click", "purchase"))
+        .select(col("user_id").as("key"), unix_micros(col("ts")).as("tsUs"),
+          col("event_type").as("etype"))
+      val in = scratch(s, dir, "q198")
+      val cut = lit("2024-01-16").cast("timestamp")
+      e.filter(col("tsUs") < unix_micros(cut)).coalesce(1).write.parquet(s"$in/f1")
+      e.filter(col("tsUs") >= unix_micros(cut)).coalesce(1).write.parquet(s"$in/f2")
+      val stream = EventStream.fileSource(s, s"$in/*", e.schema,
+        maxFilesPerTrigger = Some(1)).as[Cep.CepEvent]
+      val sink = sinkName("q198_cep_gen")
+      val got = withNarrowShuffle(s) { EventStream.runAvailableNow(
+        Cep.quantified(stream, "view", "click", "purchase", stepUs).toDF(), sink) }
+        .localCheckpoint()
+      s.catalog.dropTempView(sink)
+      val want = Cep.quantifiedBatch(e, "view", "click", "purchase", stepUs)
+        .localCheckpoint()
+      val gotAligned = got.select(col("key"), col("a_us"), col("b_first_us"),
+        col("b_last_us"), col("n_b"), col("c_us"))
+      val wantAligned = want.select(col("key"), col("a_us"), col("b_first_us"),
+        col("b_last_us"), col("n_b"), col("c_us"))
+      require(gotAligned.exceptAll(wantAligned).isEmpty &&
+        wantAligned.exceptAll(gotAligned).isEmpty,
+        "q198: streaming quantified CEP must equal the gaps-and-islands twin")
+      require(got.filter(col("n_b") > 1).head(1).nonEmpty,
+        "q198: the + quantifier must be exercised (some run with n_b > 1)")
+      gotAligned.withColumnRenamed("key", "user_id")
+    },
+
     // ---------------------------------------------------------------- q174
     // Stream-stream LEFT OUTER interval join: the semantics q116 (inner)
     // cannot show — a never-matched error emits ONE null-extended row, and

@@ -748,6 +748,94 @@ object TextQueries {
           col("pair_count").cast("bigint"))
     },
 
+    // ---------------------------------------------------------------- q196
+    // BPE training to a PINNED TARGET VOCAB (q149 unrolled exactly 3
+    // merges; a real tokenizer trains until |V|): base vocabulary = the
+    // distinct characters of the top-200 words, extended by 20 learned
+    // merge tokens — the fixed-point loop lives in Scala (q115's pattern:
+    // driver steers, each step is ONE keyed pair-count shuffle, the winner
+    // broadcasts as a literal into the next step's re-segmentation fold),
+    // and the oracle replays all 20 merges as driver-UNROLLED SQL (the same
+    // leftmost-greedy fold per step, total-ordered (count, left, right)
+    // tie-breaks). Scale shape is unchanged from q149: state is the
+    // O(vocab · word-length) segmentation table, per step one aggregation;
+    // corpus size only enters through the word-frequency table, so 100 TB
+    // of text trains through the identical loop once the top-V counts
+    // exist. Output = the full ordered merge list plus each step's
+    // resulting vocab size (base chars + merges so far — the quantity a
+    // target-|V| trainer stops on).
+    Q("q196_bpe_vocab", {
+      val n = 20
+      val head =
+        """WITH tok AS (SELECT unnest(string_split_regex(trim(text), '\s+')) AS term
+          |            FROM documents),
+          |w AS (SELECT lower(term) AS word, count(*) AS cnt FROM tok
+          |      WHERE regexp_full_match(lower(term), '[a-z]+') GROUP BY 1),
+          |top AS (SELECT word, cnt FROM w ORDER BY cnt DESC, word LIMIT 200),
+          |st0 AS MATERIALIZED (SELECT word, cnt, string_split(word, '') AS syms FROM top),
+          |base AS (SELECT count(DISTINCT s) AS n_chars FROM
+          |         (SELECT unnest(syms) AS s FROM st0))""".stripMargin
+      val steps = (1 to n).map { i =>
+        val pair =
+          s"""px$i AS MATERIALIZED (SELECT word, cnt, unnest(syms) AS s, generate_subscripts(syms, 1) AS pos FROM st${i - 1}),
+             |pc$i AS (SELECT x.s AS a, y.s AS b, CAST(SUM(x.cnt) AS BIGINT) AS n
+             |        FROM px$i x JOIN px$i y ON x.word = y.word AND y.pos = x.pos + 1 GROUP BY 1, 2),
+             |b$i AS (SELECT a, b, n FROM pc$i ORDER BY n DESC, a, b LIMIT 1)""".stripMargin
+        val reseg = if (i == n) "" else
+          s""",
+             |st$i AS MATERIALIZED (SELECT word, cnt, string_split(list_reduce(syms, (acc, x) ->
+             |    CASE WHEN (string_split(acc, ' '))[-1] = b$i.a AND x = b$i.b
+             |         THEN left(acc, length(acc) - length(b$i.a)) || b$i.a || b$i.b
+             |         ELSE acc || ' ' || x END), ' ') AS syms FROM st${i - 1}, b$i)""".stripMargin
+        pair + reseg
+      }.mkString(",\n", ",\n", "")
+      val tail = (1 to n).map(i =>
+        s"SELECT CAST($i AS INT) AS step, a AS left_sym, b AS right_sym, n AS pair_count, " +
+          s"CAST(n_chars + $i AS BIGINT) AS vocab_size FROM b$i, base")
+        .mkString("\n", "\nUNION ALL ", "")
+      head + steps + tail
+    }) { (s, dir) =>
+      import s.implicits._
+      val nMerges = 20
+      val words = Tables.load(s, dir, "documents")
+        .select(explode(graft.dedup.MinHashLSH.tokensCol(col("text"))).as("term"))
+        .select(lower(col("term")).as("word"))
+        .filter(col("word").rlike("^[a-z]+$"))
+        .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("word").asc).limit(200)
+      var st = words
+        .select(col("word"), col("cnt"),
+          filter(split(col("word"), ""), x => x =!= lit("")).as("syms"))
+        .localCheckpoint()
+      val nChars = st.select(explode(col("syms")).as("s"))
+        .agg(countDistinct(col("s"))).head().getLong(0)
+      val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long, Long)]
+      for (step <- 1 to nMerges) {
+        val px = st.select(col("word"), col("cnt"),
+          posexplode(col("syms")).as(Seq("pos", "s")))
+        val pc = px.alias("x")
+          .join(px.alias("y"),
+            col("x.word") === col("y.word") && col("y.pos") === col("x.pos") + 1)
+          .groupBy(col("x.s").as("a"), col("y.s").as("b"))
+          .agg(sum(col("x.cnt")).cast("long").as("n"))
+        val best = pc.orderBy(col("n").desc, col("a").asc, col("b").asc).limit(1).head()
+        val (ba, bb, bn) = (best.getString(0), best.getString(1), best.getLong(2))
+        merges += ((step, ba, bb, bn, nChars + step))
+        if (step < nMerges) {
+          val fold = aggregate(col("syms"), lit(""), (acc, x) =>
+            when(acc === "", x)
+              .otherwise(when(element_at(split(acc, " "), -1) === ba && x === bb,
+                concat(acc.substr(lit(1), length(acc) - lit(ba.length)), lit(ba + bb)))
+              .otherwise(concat(acc, lit(" "), x))))
+          st = st.select(col("word"), col("cnt"), split(fold, " ").as("syms"))
+            .localCheckpoint()
+        }
+      }
+      merges.toSeq.toDF("step", "left_sym", "right_sym", "pair_count", "vocab_size")
+        .select(col("step").cast("int"), col("left_sym"), col("right_sym"),
+          col("pair_count").cast("bigint"), col("vocab_size").cast("bigint"))
+    },
+
     // ---------------------------------------------------------------- q152
     // Cohen's kappa between the q28 language-ID classifier and the gold
     // `lang` column — the chance-corrected agreement score an annotation

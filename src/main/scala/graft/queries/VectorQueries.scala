@@ -341,6 +341,183 @@ object VectorQueries {
         "vec_id", "embedding", nSeeds = 8, tau = 0.3)
     },
 
+    // ---------------------------------------------------------------- q195
+    // IVF-PQ end-to-end ANN (Jégou et al. PAMI'11's IVFADC, the capstone
+    // composing q26/q131's coarse quantizer, q145's product quantizer, and
+    // the recall contract): corpus vectors assign to Voronoi cells (one
+    // Lloyd step over label seeds — the same quantizer that routes
+    // queries), RESIDUALS vs the cell centroid split into 8×8-dim
+    // subspaces, each encoded as its nearest of 16 content-addressed
+    // codewords; a query probes its 2 nearest cells, builds the
+    // asymmetric-distance lookup table (query-residual × codeword d2, 2
+    // cells × 8 subspaces × 16 codes = 256 doubles per query), and scans
+    // ONLY the probed cells' codes — distance = an in-order 8-term fold of
+    // LUT entries, never touching corpus floats. That is the 100 TB shape:
+    // codes are 8 bytes/vector (64× smaller than the floats), the LUT
+    // broadcast is KBs, and the scan prunes to probed cells. recall@1 vs
+    // the q25 brute-force truth is require'd in-query on the planted
+    // near-dup protocol (q131); the oracle replays residuals, codebook
+    // training, encoding, the LUT, and the fixed-order ADC fold exactly.
+    Q("q195_ivfpq_adc", {
+      val frac = graft.functions.ContentHash.oracleFrac("vec_id")
+      def d2(x: String, s: String) =
+        s"(list_dot_product($x, $x) - 2 * list_dot_product($x, $s) + list_dot_product($s, $s))"
+      s"""WITH c AS (SELECT label, vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |qe AS (SELECT vec_id, j,
+        |    v[j+1] + 0.02*(CASE WHEN (vec_id*31 + j) % 2 = 0 THEN 1 ELSE -1 END) AS x
+        |  FROM (SELECT vec_id, v FROM c WHERE vec_id < 20), range(64) t(j)),
+        |q AS (SELECT vec_id + 1000000 AS query_id, list(x ORDER BY j) AS qv
+        |      FROM qe GROUP BY 1),
+        |truth AS (SELECT query_id, neighbor_id FROM (
+        |  SELECT q.query_id, c.vec_id AS neighbor_id,
+        |    row_number() OVER (PARTITION BY q.query_id
+        |      ORDER BY ${cos("q.qv", "c.v")} DESC, c.vec_id) AS rank
+        |  FROM q, c) WHERE rank = 1),
+        |pe AS (SELECT label, unnest(v) AS val, unnest(generate_series(1, len(v))) AS pos FROM c),
+        |comp AS (SELECT label, pos,
+        |    CAST(SUM(CAST(val AS DECIMAL(27,10))) AS DOUBLE) / COUNT(*) AS comp
+        |  FROM pe GROUP BY 1, 2),
+        |cents AS (SELECT label AS cell, list(comp ORDER BY pos) AS centroid FROM comp GROUP BY 1),
+        |assign AS (SELECT vec_id, cell FROM (
+        |  SELECT c.vec_id, ce.cell,
+        |    row_number() OVER (PARTITION BY c.vec_id
+        |      ORDER BY ${cos("c.v", "ce.centroid")} DESC, ce.cell) AS rn
+        |  FROM c, cents ce) WHERE rn = 1),
+        |res AS (SELECT c.vec_id, a.cell,
+        |    list_transform(generate_series(1, 64), j -> c.v[j] - ce.centroid[j]) AS r
+        |  FROM c JOIN assign a USING (vec_id) JOIN cents ce ON ce.cell = a.cell),
+        |sub AS (SELECT vec_id, cell, ss,
+        |    list_transform(generate_series(1, 8), j -> r[ss*8 + j]) AS x
+        |  FROM res, (SELECT unnest(generate_series(0, 7)) AS ss)),
+        |seeds AS (SELECT vec_id AS seed_vec, CAST(row_number()
+        |            OVER (ORDER BY $frac, vec_id) - 1 AS INT) AS code
+        |          FROM c QUALIFY row_number() OVER (ORDER BY $frac, vec_id) <= 16),
+        |cb AS (SELECT s.ss, seeds.code, s.x AS cw FROM seeds
+        |       JOIN sub s ON s.vec_id = seeds.seed_vec),
+        |codes AS (SELECT vec_id, cell, ss, code FROM (
+        |  SELECT sub.vec_id, sub.cell, sub.ss, cb.code,
+        |    row_number() OVER (PARTITION BY sub.vec_id, sub.ss
+        |      ORDER BY ${d2("sub.x", "cb.cw")}, cb.code) AS rn
+        |  FROM sub JOIN cb ON sub.ss = cb.ss) WHERE rn = 1),
+        |probes AS (SELECT query_id, cell,
+        |    list_transform(generate_series(1, 64), j -> qv[j] - centroid[j]) AS qr
+        |  FROM (
+        |    SELECT q.query_id, q.qv, ce.cell, ce.centroid,
+        |      row_number() OVER (PARTITION BY q.query_id
+        |        ORDER BY ${cos("q.qv", "ce.centroid")} DESC, ce.cell) AS pr
+        |    FROM q, cents ce) WHERE pr <= 2),
+        |qsub AS (SELECT query_id, cell, ss,
+        |    list_transform(generate_series(1, 8), j -> qr[ss*8 + j]) AS qx
+        |  FROM probes, (SELECT unnest(generate_series(0, 7)) AS ss)),
+        |lut AS (SELECT query_id, cell, ss, code, ${d2("qsub.qx", "cb.cw")} AS d2
+        |        FROM qsub JOIN cb USING (ss)),
+        |adcterms AS (SELECT l.query_id, k.vec_id, list(l.d2 ORDER BY l.ss) AS ds
+        |  FROM codes k JOIN probes p ON k.cell = p.cell
+        |  JOIN lut l ON l.query_id = p.query_id AND l.cell = k.cell
+        |            AND l.ss = k.ss AND l.code = k.code
+        |  GROUP BY 1, 2),
+        |adc AS (SELECT query_id, vec_id AS neighbor_id,
+        |    ds[1]+ds[2]+ds[3]+ds[4]+ds[5]+ds[6]+ds[7]+ds[8] AS adc_dist FROM adcterms),
+        |best AS (SELECT query_id, neighbor_id FROM (
+        |  SELECT query_id, neighbor_id, row_number() OVER (PARTITION BY query_id
+        |    ORDER BY adc_dist, neighbor_id) AS rn FROM adc) WHERE rn = 1)
+        |SELECT 'ivfpq_adc_nprobe2' AS method, CAST(count(*) AS BIGINT) AS n_queries,
+        |  CAST(count(*) FILTER (b.neighbor_id IS NOT NULL) AS BIGINT) AS n_hits,
+        |  round(CAST(count(*) FILTER (b.neighbor_id IS NOT NULL) AS DOUBLE) / count(*), 6) AS recall
+        |FROM truth t LEFT JOIN best b
+        |  ON t.query_id = b.query_id AND t.neighbor_id = b.neighbor_id""".stripMargin
+    }) { (s, dir) =>
+      import graft.plans.TopK
+      import org.apache.spark.sql.expressions.Window
+      val emb = Tables.load(s, dir, "embeddings")
+        .select(col("label"), col("vec_id"),
+          col("embedding").cast("array<double>").as("v"))
+      val pq = emb.filter(col("vec_id") < 20)
+        .select((col("vec_id") + 1000000L).as("vec_id"),
+          transform(col("v"), (x, j) =>
+            x + lit(0.02) * when(((col("vec_id") * 31 + j) % 2) === 0, lit(1.0))
+              .otherwise(lit(-1.0))).as("v"))
+      val truth = Knn.bruteForceTopK(pq, emb, "vec_id", "vec_id", "v", k = 1)
+        .select(col("query_id"), col("neighbor_id"))
+      val (assigned, cents) = Knn.voronoiAssign(emb, "label", "vec_id", "v")
+      def subspaces(vec: org.apache.spark.sql.Column) = explode(array(
+        (0 until 8).map(ss =>
+          struct(lit(ss).as("ss"), slice(vec, ss * 8 + 1, 8).as("x"))): _*))
+      // corpus residuals vs the OWN cell's centroid, split into subspaces
+      val sub = assigned
+        .join(broadcast(cents.select(col("cell"), col("centroid"))), Seq("cell"))
+        .select(col("vec_id"), col("cell"),
+          zip_with(col("v"), col("centroid"), (a, b) => a - b).as("r"))
+        .select(col("vec_id"), col("cell"), subspaces(col("r")).as("e"))
+        .select(col("vec_id"), col("cell"), col("e.ss").as("ss"), col("e.x").as("x"))
+      // PQ codebook: 16 content-addressed seeds' residual subvectors
+      val seeds = emb
+        .withColumn("__f", graft.functions.ContentHash.hashFrac(col("vec_id")))
+        .orderBy(col("__f").asc, col("vec_id").asc).limit(16)
+        .select(col("vec_id").as("seed_vec"))
+        .withColumn("code",
+          (row_number().over(Window.orderBy(
+            graft.functions.ContentHash.hashFrac(col("seed_vec")),
+            col("seed_vec"))) - 1).cast("int"))
+      val cb = seeds
+        .join(sub.withColumnRenamed("vec_id", "seed_vec").drop("cell"), Seq("seed_vec"))
+        .select(col("ss"), col("code"), col("x").as("cw"))
+      def d2(x: org.apache.spark.sql.Column, cw: org.apache.spark.sql.Column) =
+        Knn.dot(x, x) - lit(2) * Knn.dot(x, cw) + Knn.dot(cw, cw)
+      // encode: nearest codeword per (vector, subspace), ties to lower code
+      val codes = TopK.perGroup(
+        sub.join(broadcast(cb), Seq("ss"))
+          .select(col("vec_id"), col("cell"), col("ss"), col("code"),
+            d2(col("x"), col("cw")).as("d2")),
+        Seq("vec_id", "ss"), Seq(("d2", false), ("code", false)), 1)
+        .select(col("vec_id"), col("cell"), col("ss"), col("code"))
+      // query side: 2 nearest cells, per-cell query residual
+      val q = pq.select(col("vec_id").as("query_id"), col("v").as("__qv"))
+        .withColumn("__qn", Knn.norm(col("__qv")))
+      val wProbe = Window.partitionBy(col("query_id"))
+        .orderBy(col("__csim").desc, col("cell").asc)
+      val probes = q.crossJoin(broadcast(cents))
+        .select(col("query_id"), col("__qv"), col("cell"), col("centroid"),
+          (Knn.dot(col("__qv"), col("centroid")) / (col("__qn") * col("__ctn"))).as("__csim"))
+        .withColumn("__pr", row_number().over(wProbe))
+        .filter(col("__pr") <= 2)
+        .select(col("query_id"), col("cell"),
+          zip_with(col("__qv"), col("centroid"), (a, b) => a - b).as("qr"))
+      // the ADC lookup table: 2 cells x 8 subspaces x 16 codes per query
+      val lut = probes
+        .select(col("query_id"), col("cell"), subspaces(col("qr")).as("e"))
+        .select(col("query_id"), col("cell"), col("e.ss").as("ss"), col("e.x").as("qx"))
+        .join(broadcast(cb), Seq("ss"))
+        .select(col("query_id"), col("cell"), col("ss"), col("code"),
+          d2(col("qx"), col("cw")).as("d2"))
+      // scan probed cells' CODES only; distance = in-order fold of 8 LUT hits
+      val adc = codes
+        .join(broadcast(probes.select(col("query_id"), col("cell"))), Seq("cell"))
+        .join(broadcast(lut), Seq("query_id", "cell", "ss", "code"))
+        .groupBy(col("query_id"), col("vec_id"))
+        .agg(aggregate(
+          transform(array_sort(collect_list(struct(col("ss"), col("d2")))),
+            e => e.getField("d2")),
+          lit(0.0), (acc, z) => acc + z).as("adc_dist"))
+      val best = TopK.perGroup(adc, Seq("query_id"),
+        Seq(("adc_dist", false), ("vec_id", false)), 1)
+        .select(col("query_id"), col("vec_id").as("neighbor_id"))
+      val out = truth
+        .join(best.withColumn("__hit", lit(1)), Seq("query_id", "neighbor_id"), "left")
+        .agg(count(lit(1)).cast("long").as("n_queries"),
+          sum(coalesce(col("__hit"), lit(0))).cast("long").as("n_hits"))
+        .select(lit("ivfpq_adc_nprobe2").as("method"), col("n_queries"),
+          col("n_hits"),
+          round(col("n_hits").cast("double") / col("n_queries"), 6).as("recall"))
+        .localCheckpoint()
+      out.collect().foreach { r =>
+        require(r.getAs[Double]("recall") >= 0.9,
+          s"q195: IVF-PQ ADC recall@1 = ${r.getAs[Double]("recall")} < 0.9 " +
+            "— the quantizer must still find the planted near-dups")
+      }
+      out
+    },
+
     // ---------------------------------------------------------------- q145
     // Product quantization (Jégou et al. PAMI'11) — the embedding-store
     // compression standard at 100 TB scale: the 8-dim vector splits into

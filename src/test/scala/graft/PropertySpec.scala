@@ -253,4 +253,42 @@ class PropertySpec extends AnyFunSuite {
       got == model
     })
   }
+
+  // q176's mergeable-quantile summary, under ADVERSARIAL bins (round-5
+  // VERDICT task 10): values planted on exact bin edges, heavy ties, huge
+  // inter-order-statistic gaps, and clamp-range outliers. The property pins
+  // the summary's TRUE theorem — for r = ceil(q·n), the estimate's bin
+  // contains the r-th order statistic: est ≤ x_(r), and x_(r) < est + W
+  // whenever the bin is unclamped (a clamped top bin only lower-bounds).
+  // q176's in-query two-bin guard against Spark's INTERPOLATED percentile
+  // is a property of its smooth data, not of the operator — adversarial
+  // gaps can push interpolation outside any fixed bin multiple, which is
+  // exactly why the summary's contract is stated on rank statistics here.
+  test("q176 quantile summary: rank-statistic bracket holds on adversarial bins") {
+    val w = 10.0
+    val maxBin = 6L
+    val genVals: Gen[List[Double]] = Gen.listOfN(25, Gen.oneOf(
+      Gen.choose(0.0, 70.0),            // smooth
+      Gen.oneOf(0.0, 10.0, 20.0, 30.0), // exact bin edges
+      Gen.const(15.0),                  // heavy ties
+      Gen.oneOf(0.5, 69.5, 200.0, 500.0))) // gaps + clamp outliers
+      .suchThat(_.nonEmpty)
+    check(Prop.forAll(Gen.zip(genVals, Gen.oneOf(0.1, 0.5, 0.9))) { case (vs, q) =>
+      val df = vs.toDF("price")
+      val bin = least(floor(col("price") / w).cast("long"), lit(maxBin)).as("bin")
+      val merged = df.select((monotonically_increasing_id() % 4).as("seg"), col("price"))
+        .groupBy(col("seg"), bin).agg(count(lit(1)).as("cnt"))
+        .groupBy(col("bin")).agg(sum(col("cnt")).cast("bigint").as("cnt"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).sortBy(_._1)
+      val n = merged.map(_._2).sum
+      val r = math.ceil(q * n).toLong
+      val estBin = merged.scanLeft((-1L, 0L)) { case ((_, cum), (b, c)) => (b, cum + c) }
+        .find(_._2 >= r).get._1
+      val est = estBin * w
+      val xr = vs.sorted.apply((r - 1).toInt) // the r-th order statistic
+      val lower = est <= xr
+      val upper = estBin == maxBin || xr < est + w
+      lower && upper
+    })
+  }
 }
