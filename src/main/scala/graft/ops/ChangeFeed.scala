@@ -1,0 +1,156 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.hadoop.fs.Path
+
+/** Change Data Feed for [[VersionedTable]] — the public Delta CDF design
+  * (`_change_data` files + `table_changes(from, to)`) re-expressed on the
+  * `_v-NNNNNNNN` snapshot layout. The reference's pipeline consumes full
+  * daily snapshots (dags/sql/merge_core.sql rewrites CORE wholesale); a
+  * downstream at 100 TB wants the DELTA of each commit, not the snapshot —
+  * incremental view maintenance, audit trails, and replication all read
+  * "what changed in version N" as rows.
+  *
+  * Capture is WRITE-SIDE, not read-side: [[commit]] computes the keyed diff
+  * of the staged snapshot against the live one and persists it as parquet
+  * under `_v-N/_cdf/` BEFORE the pointer flip (the same
+  * atomic-with-the-version trick the txn markers and stats index use — a
+  * version is never live without its change files, and the underscore
+  * prefix keeps them invisible to snapshot readers). The diff costs one
+  * keyed shuffle join — the same shuffle a MERGE pays anyway — so capture
+  * is O(table + delta) at write time and every reader thereafter pays only
+  * O(changes), never a snapshot diff. [[snapshotDiff]] remains as the
+  * fallback for versions written before CDF was enabled (Delta reconstructs
+  * those the same way) and as the cross-check that the persisted capture
+  * equals the logical diff.
+  *
+  * Change rows carry the full data columns plus `_change_type` in
+  * {insert, update_preimage, update_postimage, delete} and, on read,
+  * `_commit_version` — Delta's public column contract.
+  */
+object ChangeFeed {
+
+  private val CdfDirName = "_cdf"
+  val ChangeType = "_change_type"
+  val CommitVersion = "_commit_version"
+
+  private def cdfDir(dir: String, v: Long): Path =
+    new Path(VersionedTable.verDir(dir, v), CdfDirName)
+
+  /** Keyed diff `old -> new`: inserts (key only in `new`), deletes (key only
+    * in `old`), and updates (key in both, any non-key column differing
+    * null-safely) as preimage + postimage rows. One full-outer shuffle join
+    * on the key — the minimal work any change capture does.
+    */
+  private[ops] def diff(oldDf: Option[DataFrame], newDf: DataFrame,
+      keyCols: Seq[String]): DataFrame = {
+    val cols = newDf.columns.toSeq
+    val dataCols = cols.filterNot(keyCols.contains)
+    oldDf match {
+      case None =>
+        newDf.withColumn(ChangeType, lit("insert"))
+      case Some(old) =>
+        require(old.columns.toSeq == cols,
+          s"ChangeFeed.diff: schema drift ${old.columns.toSeq} vs $cols")
+        val joined = old.alias("o").join(newDf.alias("n"),
+          keyCols.map(k => col(s"o.$k") <=> col(s"n.$k")).reduce(_ && _),
+          "full_outer")
+        val oldKey = col(s"o.${keyCols.head}")
+        val newKey = col(s"n.${keyCols.head}")
+        def side(a: String) = struct(cols.map(c => col(s"$a.$c")): _*)
+        val changed = !(struct(dataCols.map(c => col(s"o.$c")): _*) <=>
+          struct(dataCols.map(c => col(s"n.$c")): _*))
+        // one pass classifies; updates explode into exactly two rows
+        val tagged = joined.select(side("o").as("o"), side("n").as("n"),
+          when(oldKey.isNull, array(lit("insert")))
+            .when(newKey.isNull, array(lit("delete")))
+            .when(changed, array(lit("update_preimage"), lit("update_postimage")))
+            .otherwise(array().cast("array<string>")).as("kinds"))
+        tagged.select(explode(col("kinds")).as(ChangeType), col("o"), col("n"))
+          .select(cols.map(c =>
+            when(col(ChangeType).isin("delete", "update_preimage"),
+              col(s"o.$c")).otherwise(col(s"n.$c")).as(c)) :+ col(ChangeType): _*)
+    }
+  }
+
+  /** Write `df` as the next version WITH change capture: stage the full
+    * snapshot, diff it against the live version, persist the changes inside
+    * the staged dir, then publish. Uses the staged (immutable, materialized)
+    * copy for the diff so `df` may lazily read the live version. Returns the
+    * new version number.
+    */
+  def commit(df: DataFrame, dir: String, keyCols: Seq[String]): Long = {
+    val spark = df.sparkSession
+    val cur = VersionedTable.currentVersion(spark, dir)
+    val old = cur.map(v => VersionedTable.readVersion(spark, dir, v))
+    val next = VersionedTable.stage(df, dir)
+    val staged = spark.read.parquet(VersionedTable.stagedDir(dir, next))
+    diff(old, staged, keyCols)
+      .write.mode(SaveMode.Overwrite).parquet(cdfDir(dir, next).toString)
+    VersionedTable.publish(spark, dir, next)
+    next
+  }
+
+  /** Recompute version `v`'s changes from its two snapshots — the fallback
+    * for pre-CDF versions and the audit twin of the persisted capture.
+    * Requires both `v` and (when `v > 1`) `v-1` to still be retained.
+    */
+  def snapshotDiff(spark: SparkSession, dir: String, v: Long,
+      keyCols: Seq[String]): DataFrame = {
+    val old =
+      if (v <= 1L) None
+      else Some(VersionedTable.readVersion(spark, dir, v - 1))
+    diff(old, VersionedTable.readVersion(spark, dir, v), keyCols)
+  }
+
+  /** Delta's `table_changes(from, to)`: every change row of versions in
+    * `(fromVersion, toVersion]`, each tagged `_commit_version`. Reads the
+    * persisted `_cdf` files when present (O(changes)); falls back to
+    * [[snapshotDiff]] for versions without capture. The per-version loop is
+    * driver-side over retained-version COUNT (tiny, same as `txnHistory`) —
+    * the data path is a parquet union, fully distributed.
+    */
+  def tableChanges(spark: SparkSession, dir: String, fromVersion: Long,
+      toVersion: Long, keyCols: Seq[String]): DataFrame = {
+    val fs = VersionedTable.fsOf(spark, dir)
+    val vs = VersionedTable.listVersions(fs, dir)
+      .filter(v => v > fromVersion && v <= toVersion &&
+        VersionedTable.complete(fs, VersionedTable.verDir(dir, v)))
+    require(vs.nonEmpty,
+      s"tableChanges($dir, $fromVersion, $toVersion): no complete versions in range")
+    vs.map { v =>
+      val cd = cdfDir(dir, v)
+      val changes =
+        if (fs.exists(cd)) spark.read.parquet(cd.toString)
+        else snapshotDiff(spark, dir, v, keyCols)
+      changes.withColumn(CommitVersion, lit(v))
+    }.reduce(_ unionByName _)
+  }
+
+  /** Fold a change feed onto a base snapshot — the consumer-side replay that
+    * proves the feed is COMPLETE (base + changes ≡ final snapshot): apply
+    * per key the LAST post-state in version order (insert/update_postimage
+    * rows win, delete removes). Preimage rows are audit-only and ignored.
+    */
+  def apply(base: Option[DataFrame], changes: DataFrame,
+      keyCols: Seq[String]): DataFrame = {
+    val dataCols = changes.columns.toSeq
+      .filterNot(c => c == ChangeType || c == CommitVersion)
+    val post = changes.filter(col(ChangeType) =!= "update_preimage")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keyCols.map(col): _*)
+      .orderBy(col(CommitVersion).desc)
+    val latest = post
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1)
+    val survivors = latest.filter(col(ChangeType) =!= "delete")
+      .select(dataCols.map(col): _*)
+    base match {
+      case None => survivors
+      case Some(b) =>
+        val touched = changes.select(keyCols.map(col): _*).distinct()
+        b.join(touched, keyCols, "left_anti").unionByName(survivors)
+    }
+  }
+}
