@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Loaders for the driver testdata layout (TESTDATA.md): one parquet file per
   * table under `sfDir`. All `SparkEntry.queries` read through here so the scan
@@ -13,11 +13,14 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  /** `events.parquet` carries TIMESTAMP(NANOS) which Spark's parquet reader
-    * rejects by default. The values are microsecond-grained (ns % 1000 == 0
-    * across all scale factors), so reading nanos as long and rescaling to a
-    * microsecond TimestampType is lossless. Scoped here so callers are
-    * independent of who built the SparkSession.
+  /** `events.parquet`'s `ts` physical type has varied across driver testdata
+    * generations: TIMESTAMP(NANOS) (rejected by Spark's reader unless read as
+    * long and rescaled — values are microsecond-grained, so lossless) and
+    * naive TIMESTAMP(MICROS) (read as TIMESTAMP_NTZ, which event-time
+    * streaming and unix_micros reject). Normalize every variant to a UTC
+    * TimestampType here so callers are independent of both the generator
+    * vintage and who built the SparkSession (sessions pin UTC, so the
+    * NTZ→LTZ cast is instant-preserving).
     */
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
     val path = s"$dir/$name.parquet"
@@ -28,11 +31,15 @@ object Tables {
       // would break the lazy scan, which consults the conf at execution too.)
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val df = spark.read.parquet(path)
-      if (df.schema("ts").dataType == LongType)
-        // integer division: `/` is double division and epoch-ns magnitudes
-        // exceed 2^53, which silently perturbs the low microsecond digit
-        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      else df
+      df.schema("ts").dataType match {
+        case LongType =>
+          // integer division: `/` is double division and epoch-ns magnitudes
+          // exceed 2^53, which silently perturbs the low microsecond digit
+          df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        case TimestampNTZType =>
+          df.withColumn("ts", col("ts").cast(TimestampType))
+        case _ => df
+      }
     }
   }
 }

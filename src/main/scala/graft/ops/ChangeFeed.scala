@@ -43,7 +43,7 @@ object ChangeFeed {
     * null-safely) as preimage + postimage rows. One full-outer shuffle join
     * on the key — the minimal work any change capture does.
     */
-  private[ops] def diff(oldDf: Option[DataFrame], newDf: DataFrame,
+  private[graft] def diff(oldDf: Option[DataFrame], newDf: DataFrame,
       keyCols: Seq[String]): DataFrame = {
     val cols = newDf.columns.toSeq
     val dataCols = cols.filterNot(keyCols.contains)
@@ -53,18 +53,22 @@ object ChangeFeed {
       case Some(old) =>
         require(old.columns.toSeq == cols,
           s"ChangeFeed.diff: schema drift ${old.columns.toSeq} vs $cols")
-        val joined = old.alias("o").join(newDf.alias("n"),
+        // wrap each side in ONE struct before the join: side-presence is then
+        // the struct's own nullness, never the key's (a legitimately-null key
+        // must classify as an update when present on both sides)
+        val o = old.select(struct(cols.map(col): _*).as("o"))
+        val n = newDf.select(struct(cols.map(col): _*).as("n"))
+        val joined = o.join(n,
           keyCols.map(k => col(s"o.$k") <=> col(s"n.$k")).reduce(_ && _),
           "full_outer")
-        val oldKey = col(s"o.${keyCols.head}")
-        val newKey = col(s"n.${keyCols.head}")
-        def side(a: String) = struct(cols.map(c => col(s"$a.$c")): _*)
-        val changed = !(struct(dataCols.map(c => col(s"o.$c")): _*) <=>
-          struct(dataCols.map(c => col(s"n.$c")): _*))
+        val changed =
+          if (dataCols.isEmpty) lit(false)
+          else !(struct(dataCols.map(c => col(s"o.$c")): _*) <=>
+            struct(dataCols.map(c => col(s"n.$c")): _*))
         // one pass classifies; updates explode into exactly two rows
-        val tagged = joined.select(side("o").as("o"), side("n").as("n"),
-          when(oldKey.isNull, array(lit("insert")))
-            .when(newKey.isNull, array(lit("delete")))
+        val tagged = joined.select(col("o"), col("n"),
+          when(col("o").isNull, array(lit("insert")))
+            .when(col("n").isNull, array(lit("delete")))
             .when(changed, array(lit("update_preimage"), lit("update_postimage")))
             .otherwise(array().cast("array<string>")).as("kinds"))
         tagged.select(explode(col("kinds")).as(ChangeType), col("o"), col("n"))

@@ -1,0 +1,75 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Incremental view maintenance over a [[ChangeFeed]] — the classic
+  * delta-rule fold for additive aggregates (count / sum; avg = sum ÷ count
+  * downstream). The reference recomputes its aggregate views from full
+  * snapshots every run (dags/sql/load_daily_eod_prices.sql rebuilds the
+  * day's aggregates wholesale); at 100 TB a maintained view must cost
+  * O(changes), never O(table).
+  *
+  * The fold is one `groupBy` over the feed: `insert` / `update_postimage`
+  * rows add their measures, `delete` / `update_preimage` rows subtract —
+  * so a row whose GROUP ATTRIBUTE changes moves between groups for free
+  * (preimage cancels it from the old group, postimage lands it in the new
+  * one). A signed count `_n` is always maintained; a group whose count
+  * reaches zero leaves the view (its sums are exactly cancelled by the
+  * same rows that zeroed the count). [[merge]] preserves the view's
+  * column types, so maintenance cycles never widen the schema.
+  *
+  * Exactness contract: with decimal measures the fold is associative and
+  * the maintained view equals a full recompute BIT-FOR-BIT; with doubles
+  * it is equal up to float reassociation. q201 runs the decimal form and
+  * requires exact equality in-query.
+  */
+object IncrementalView {
+
+  /** The always-maintained signed row count (group-liveness driver). */
+  val NCol = "_n"
+
+  /** Additive aggregate spec: group keys + named sum measures. */
+  final case class Spec(keyCols: Seq[String], sums: Seq[(String, Column)])
+
+  /** Full recompute — the initial materialization and the audit twin of
+    * the maintained view.
+    */
+  def full(df: DataFrame, spec: Spec): DataFrame = {
+    val aggs = count(lit(1)).cast("long").as(NCol) +:
+      spec.sums.map { case (name, c) => sum(c).as(name) }
+    df.groupBy(spec.keyCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Signed per-group delta of a change feed slice — O(changes) rows in,
+    * one shuffle on the group key. Unknown change types fail loudly.
+    */
+  def delta(changes: DataFrame, spec: Spec): DataFrame = {
+    val sign = when(
+      col(ChangeFeed.ChangeType).isin("insert", "update_postimage"), lit(1))
+      .when(col(ChangeFeed.ChangeType).isin("delete", "update_preimage"), lit(-1))
+    val signed = changes.withColumn("_sign", coalesce(sign, raise_error(
+      concat(lit("IncrementalView: unknown change type "),
+        col(ChangeFeed.ChangeType)))))
+    val aggs = sum(col("_sign")).cast("long").as(NCol) +:
+      spec.sums.map { case (name, c) =>
+        sum(when(col("_sign") === 1, c).otherwise(-c)).as(name)
+      }
+    signed.groupBy(spec.keyCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Fold a delta into the maintained view: union + re-aggregate (map-side
+    * combinable), drop dead groups, and cast measures back to the view's
+    * own types so repeated maintenance never widens the schema.
+    */
+  def merge(view: DataFrame, d: DataFrame, spec: Spec): DataFrame = {
+    val measures = NCol +: spec.sums.map(_._1)
+    val folded = view.unionByName(d)
+      .groupBy(spec.keyCols.map(col): _*)
+      .agg(sum(col(measures.head)).as(measures.head),
+        measures.tail.map(m => sum(col(m)).as(m)): _*)
+      .filter(col(NCol) =!= 0L)
+    folded.select(spec.keyCols.map(col) ++ measures.map(m =>
+      col(m).cast(view.schema(m).dataType).as(m)): _*)
+  }
+}

@@ -255,7 +255,12 @@ object VersionedTable {
     val fs = fsOf(spark, dir)
     val vd = verDir(dir, version)
     require(complete(fs, vd), s"publish: staged $vd is missing or incomplete")
-    val cur = currentVersion(spark, dir)
+    // the live version is computed EXCLUDING the staged dir itself: on an
+    // empty table (no pointer yet) the reader fallback would otherwise adopt
+    // the staged _SUCCESS-bearing dir as live and fail the successor check
+    val cur = readPtr(fs, dir).filter(v => v < version && complete(fs, verDir(dir, v)))
+      .orElse(listVersions(fs, dir)
+        .filter(v => v < version && complete(fs, verDir(dir, v))).lastOption)
     require(version == cur.getOrElse(0L) + 1L,
       s"publish: staged $version is not the successor of live $cur")
     cur.map(v => readTxnMap(fs, verDir(dir, v))).getOrElse(Map.empty)

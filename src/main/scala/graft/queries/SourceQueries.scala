@@ -38,6 +38,37 @@ object SourceQueries {
   private def scratch(s: SparkSession, sfDir: String, name: String): String =
     Q.scratch(s, sfDir, name) // shared wipe-before-use contract
 
+  /** Shared three-version CDF fixture (q200/q201): v1 = customer base written
+    * WITHOUT capture (exercises the pre-CDF reconstruction fallback), then
+    * v2/v3 via [[graft.ops.ChangeFeed.commit]] with mixed insert / update /
+    * delete. Balances are DECIMAL(12,2) end-to-end so every downstream fold
+    * is associative and bit-exact. Returns the derived insert key shift.
+    */
+  private def cdfVersions(s: SparkSession, dir: String, root: String): Long = {
+    import graft.ops.{ChangeFeed, VersionedTable}
+    val base = Tables.load(s, dir, "customer")
+      .select(col("c_custkey").cast("long").as("k"),
+        col("c_nationkey").cast("int").as("n"),
+        col("c_acctbal").cast("decimal(12,2)").as("b"))
+    val shift = base.agg(max(col("k"))).head.getLong(0) + 1L
+    VersionedTable.write(base, root)
+    val v2 = base.filter(col("k") % 10 =!= 0)
+      .withColumn("b", when(col("n") <= 5, col("b") + 100)
+        .otherwise(col("b")).cast("decimal(12,2)"))
+      .unionByName(base.filter(col("n") >= 20).withColumn("k", col("k") + shift))
+    require(ChangeFeed.commit(v2, root, Seq("k")) == 2L,
+      "cdf fixture: the first captured commit must be v2")
+    // v3 lazily reads the live v2 dir — immutable, so no checkpoint needed
+    val v3 = VersionedTable.read(s, root)
+      .filter(col("k") % 7 =!= 0)
+      .withColumn("b", when(col("n").between(10, 12),
+        col("b") + lit(new java.math.BigDecimal("7.5")))
+        .otherwise(col("b")).cast("decimal(12,2)"))
+    require(ChangeFeed.commit(v3, root, Seq("k")) == 3L,
+      "cdf fixture: the second captured commit must be v3")
+    shift
+  }
+
   val all: Seq[Q] = Seq(
 
     // ---------------------------------------------------------------- q102
@@ -1433,5 +1464,133 @@ object SourceQueries {
           s"q190: untouched leaves must be pruned from the scan: $readSchema")
       } finally s.conf.set(aqeKey, prevAqe)
       agg
+    },
+
+    // ---------------------------------------------------------------- q200
+    // Change Data Feed on the versioned table (public Delta CDF contract:
+    // _change_data files + table_changes(from, to) + _change_type /
+    // _commit_version columns). The reference ships full daily snapshots
+    // (dags/sql/merge_core.sql rewrites CORE wholesale); at 100 TB every
+    // downstream wants the per-commit DELTA instead. Capture is write-side
+    // and atomic-with-the-version: the keyed diff lands under _v-N/_cdf
+    // BEFORE the pointer flip, so readers pay O(changes), never a snapshot
+    // diff. The query drives three versions (v1 pre-CDF to exercise the
+    // reconstruction fallback; v2 mixed insert/update/delete; v3 on top),
+    // then requires: persisted capture == logical snapshot diff (audit
+    // twin), base + feed replay == final snapshot (completeness), and the
+    // _cdf files physically present inside v2/v3. The oracle rebuilds every
+    // change row of all three commits straight from the base table.
+    Q("q200_change_feed",
+      """WITH base AS (SELECT CAST(c_custkey AS BIGINT) AS k,
+        |    CAST(c_nationkey AS INT) AS n, CAST(c_acctbal AS DECIMAL(12,2)) AS b
+        |  FROM customer),
+        |sh AS (SELECT max(k) + 1 AS s FROM base),
+        |v2 AS (
+        |  SELECT k, n, CASE WHEN n <= 5 THEN CAST(b + 100 AS DECIMAL(12,2))
+        |    ELSE b END AS b
+        |  FROM base WHERE k % 10 <> 0
+        |  UNION ALL
+        |  SELECT k + (SELECT s FROM sh) AS k, n, b FROM base WHERE n >= 20),
+        |changes AS (
+        |  SELECT 1 AS v, 'insert' AS t, b FROM base
+        |  UNION ALL SELECT 2, 'delete', b FROM base WHERE k % 10 = 0
+        |  UNION ALL SELECT 2, 'update_preimage', b
+        |    FROM base WHERE k % 10 <> 0 AND n <= 5
+        |  UNION ALL SELECT 2, 'update_postimage', CAST(b + 100 AS DECIMAL(12,2))
+        |    FROM base WHERE k % 10 <> 0 AND n <= 5
+        |  UNION ALL SELECT 2, 'insert', b FROM base WHERE n >= 20
+        |  UNION ALL SELECT 3, 'delete', b FROM v2 WHERE k % 7 = 0
+        |  UNION ALL SELECT 3, 'update_preimage', b
+        |    FROM v2 WHERE k % 7 <> 0 AND n BETWEEN 10 AND 12
+        |  UNION ALL SELECT 3, 'update_postimage', CAST(b + 7.5 AS DECIMAL(12,2))
+        |    FROM v2 WHERE k % 7 <> 0 AND n BETWEEN 10 AND 12)
+        |SELECT CAST(v AS BIGINT) AS commit_version, t AS change_type,
+        |  CAST(count(*) AS BIGINT) AS n_rows,
+        |  round(CAST(sum(b) AS DOUBLE), 2) AS bal_sum
+        |FROM changes GROUP BY 1, 2""".stripMargin) { (s, dir) =>
+      import graft.ops.{ChangeFeed, VersionedTable}
+      val root = scratch(s, dir, "q200")
+      cdfVersions(s, dir, root)
+      // audit twin: persisted capture equals the logical snapshot diff
+      for (v <- Seq(2L, 3L)) {
+        val cap = ChangeFeed.tableChanges(s, root, v - 1, v, Seq("k"))
+          .drop(ChangeFeed.CommitVersion)
+        val dif = ChangeFeed.snapshotDiff(s, root, v, Seq("k"))
+        require(cap.exceptAll(dif).isEmpty && dif.exceptAll(cap).isEmpty,
+          s"q200: persisted capture of v$v must equal the snapshot diff")
+      }
+      // completeness: base snapshot + feed replay reproduces the live table
+      val replayed = ChangeFeed.apply(
+        Some(VersionedTable.readVersion(s, root, 1L)),
+        ChangeFeed.tableChanges(s, root, 1L, 3L, Seq("k")), Seq("k"))
+      val live = VersionedTable.readVersion(s, root, 3L)
+      require(replayed.exceptAll(live).isEmpty && live.exceptAll(replayed).isEmpty,
+        "q200: base + feed must reproduce the final snapshot")
+      // the capture is physical: v2 and v3 carry _cdf files inside the
+      // version dir (written before the flip, invisible to snapshot readers)
+      val fsys = new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      require(fsys.globStatus(
+        new org.apache.hadoop.fs.Path(root, "_v-*/_cdf/_SUCCESS")).length == 2,
+        "q200: exactly v2 and v3 must carry persisted change files")
+      ChangeFeed.tableChanges(s, root, 0L, 3L, Seq("k"))
+        .groupBy(col(ChangeFeed.CommitVersion).as("commit_version"),
+          col(ChangeFeed.ChangeType).as("change_type"))
+        .agg(count(lit(1)).cast("bigint").as("n_rows"),
+          round(sum(col("b")).cast("double"), 2).as("bal_sum"))
+    },
+
+    // ---------------------------------------------------------------- q201
+    // Incremental view maintenance FROM the change feed (classic delta-rule
+    // IVM — Delta/Flink's "materialized view over CDF", SQL:2016 IVM
+    // literature): a per-nation count+sum view is materialized ONCE at v1,
+    // then maintained purely from tableChanges slices — insert/postimage
+    // rows add, delete/preimage rows subtract, one keyed shuffle per slice
+    // over O(changes) rows. At 100 TB this is the difference between a
+    // nightly full rescan and a seconds-long delta fold. DECIMAL measures
+    // make the fold associative, so the in-query require is EXACT equality
+    // with a full recompute of v3 (not tolerance-based); a second require
+    // pins the O(changes) contract (feed rows < snapshot rows). The oracle
+    // rebuilds v3 from the base table and aggregates it directly.
+    Q("q201_incremental_view",
+      """WITH base AS (SELECT CAST(c_custkey AS BIGINT) AS k,
+        |    CAST(c_nationkey AS INT) AS n, CAST(c_acctbal AS DECIMAL(12,2)) AS b
+        |  FROM customer),
+        |sh AS (SELECT max(k) + 1 AS s FROM base),
+        |v2 AS (
+        |  SELECT k, n, CASE WHEN n <= 5 THEN CAST(b + 100 AS DECIMAL(12,2))
+        |    ELSE b END AS b
+        |  FROM base WHERE k % 10 <> 0
+        |  UNION ALL
+        |  SELECT k + (SELECT s FROM sh) AS k, n, b FROM base WHERE n >= 20),
+        |v3 AS (
+        |  SELECT k, n, CASE WHEN n BETWEEN 10 AND 12
+        |    THEN CAST(b + 7.5 AS DECIMAL(12,2)) ELSE b END AS b
+        |  FROM v2 WHERE k % 7 <> 0)
+        |SELECT n, CAST(count(*) AS BIGINT) AS n_rows,
+        |  round(CAST(sum(b) AS DOUBLE), 2) AS bal_sum
+        |FROM v3 GROUP BY 1""".stripMargin) { (s, dir) =>
+      import graft.ops.{ChangeFeed, IncrementalView, VersionedTable}
+      val root = scratch(s, dir, "q201")
+      cdfVersions(s, dir, root)
+      val spec = IncrementalView.Spec(Seq("n"), Seq("bal" -> col("b")))
+      var view = IncrementalView.full(
+        VersionedTable.readVersion(s, root, 1L), spec)
+      var feedRows = 0L
+      for (v <- Seq(2L, 3L)) {
+        val slice = ChangeFeed.tableChanges(s, root, v - 1, v, Seq("k"))
+        feedRows += slice.count()
+        view = IncrementalView.merge(view, IncrementalView.delta(slice, spec), spec)
+      }
+      val direct = IncrementalView.full(
+        VersionedTable.readVersion(s, root, 3L), spec)
+      require(view.exceptAll(direct).isEmpty && direct.exceptAll(view).isEmpty,
+        "q201: the maintained view must equal the full recompute exactly")
+      val snapRows = VersionedTable.readVersion(s, root, 2L).count() +
+        VersionedTable.readVersion(s, root, 3L).count()
+      require(feedRows < snapRows,
+        s"q201: maintenance must be O(changes): feed=$feedRows vs snapshots=$snapRows")
+      view.select(col("n"), col(IncrementalView.NCol).as("n_rows"),
+        round(col("bal").cast("double"), 2).as("bal_sum"))
     })
 }
