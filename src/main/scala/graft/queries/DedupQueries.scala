@@ -378,5 +378,72 @@ object DedupQueries {
       require(got.exceptAll(full).isEmpty && full.exceptAll(got).isEmpty,
         "q135: delta-maintained index must equal the full recompute")
       got
+    },
+
+    // ---------------------------------------------------------------- q202
+    // Bloom-prefiltered incremental dedup: admit a daily batch against a
+    // historical corpus WITHOUT joining the full history. The history is
+    // indexed ONCE — a content-hash bloom filter persisted as a parquet
+    // sidecar (the CCNet/Gopher-style "have we seen this document" gate) —
+    // and each later batch reads only the sidecar: bloom-NEGATIVE rows are
+    // definitively new (a bloom has no false negatives) and skip the join
+    // entirely; only bloom-POSITIVE rows (true dups + the small FP band)
+    // verify against history by exact text anti-join. At 100 TB the
+    // history side of that residual join prunes to the candidate hash
+    // range; the filter itself shards by hash prefix when one array
+    // exceeds a broadcast (the BloomBuild aggregator is map-side
+    // combinable either way). In-query requires pin EXACT equality with
+    // the unfiltered anti-join and that both the negative short-circuit
+    // and the join-input pruning actually happened. The oracle is the
+    // plain NOT EXISTS dedup.
+    Q("q202_bloom_incremental_dedup",
+      """SELECT lang, CAST(count(*) AS BIGINT) AS n_new
+        |FROM documents d
+        |WHERE doc_id % 2 = 0 AND NOT EXISTS (
+        |  SELECT 1 FROM documents h WHERE h.doc_id % 4 <> 0 AND h.text = d.text)
+        |GROUP BY 1""".stripMargin) { (s, dir) =>
+      import graft.functions.{Bloom, BloomBuild}
+      import s.implicits._
+      val root = Q.scratch(s, dir, "q202")
+      val docs = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("text"))
+      val history = docs.filter(col("doc_id") % 4 =!= 0)
+      val delta = docs.filter(col("doc_id") % 2 === 0)
+      // index the history once: content-hash bloom → parquet sidecar
+      val k = 7
+      val bits = history.select(xxhash64(col("text")).as("h")).as[Long]
+        .select(new BloomBuild(Bloom.sizeBits(history.count()), k).toColumn)
+        .head()
+      Seq(bits).toDF("bits").write.mode("overwrite").parquet(s"$root/bloom")
+      // a later day's run: the sidecar is the only history artifact read
+      // before the residual join
+      val loaded = s.read.parquet(s"$root/bloom").head()
+        .getAs[scala.collection.Seq[Long]](0).toArray
+      val tagged = delta.withColumn("_hit",
+        Bloom.mightContainCol(xxhash64(col("text")), loaded, k))
+      val definiteNew = tagged.filter(!col("_hit")).drop("_hit")
+      val candidates = tagged.filter(col("_hit")).drop("_hit")
+      val histTexts = history.select(col("text")).distinct()
+      val confirmedNew = candidates.join(histTexts, Seq("text"), "left_anti")
+      val result = definiteNew.select(col("doc_id"), col("lang"))
+        .unionByName(confirmedNew.select(col("doc_id"), col("lang")))
+        .localCheckpoint() // both requires and the output read it
+      // exactness: the prefiltered pipeline equals the plain anti-join
+      val exact = delta.join(histTexts, Seq("text"), "left_anti")
+        .select(col("doc_id"), col("lang")).localCheckpoint()
+      require(result.exceptAll(exact).isEmpty && exact.exceptAll(result).isEmpty,
+        "q202: bloom prefilter must not change the dedup result")
+      // the scale contract: the join input really shrank, and the negative
+      // short-circuit really fired
+      val (nDelta, nCand, nNew) = (delta.count(), candidates.count(), result.count())
+      require(nCand < nDelta,
+        s"q202: the residual join must read fewer rows than the batch ($nCand vs $nDelta)")
+      // candidates = true dups + false positives; pin the FP band to the
+      // sized filter's design rate (~1 % at 10 bits/key), with slack
+      val falsePos = nCand - (nDelta - nNew)
+      require(falsePos <= math.max(5L, nNew / 10L),
+        s"q202: bloom FP band out of contract (fp=$falsePos of new=$nNew)")
+      result.groupBy(col("lang"))
+        .agg(count(lit(1)).cast("bigint").as("n_new"))
     })
 }

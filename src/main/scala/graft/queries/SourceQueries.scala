@@ -1592,5 +1592,81 @@ object SourceQueries {
         s"q201: maintenance must be O(changes): feed=$feedRows vs snapshots=$snapRows")
       view.select(col("n"), col(IncrementalView.NCol).as("n_rows"),
         round(col("bal").cast("double"), 2).as("bal_sum"))
+    },
+
+    // ---------------------------------------------------------------- q203
+    // STREAMING consumption of the change feed: the `_v-*/_cdf` spool is a
+    // CDC topic — a parquet file-stream source discovers each commit's
+    // change files as they land (capture is atomic-with-the-version, so a
+    // discovered file is always a committed change), and a foreachBatch
+    // sink folds each micro-batch into the maintained view with the same
+    // delta rule as q201. The additive fold is order- and partition-
+    // independent, so maxFilesPerTrigger may split one commit across
+    // micro-batches (and it does — a require pins >= 2 batches) without
+    // affecting the result. Mid-stream a NEW commit lands (v4 deletes two
+    // whole nations) and the running query picks it up — group death
+    // through the stream. The final view must equal a full recompute of v4
+    // bit-exactly. This is the Delta "streaming from table changes"
+    // pattern; at 100 TB the consumer reads O(changes) per trigger and
+    // never rescans the table. The oracle rebuilds v4 and aggregates it.
+    Q("q203_streaming_change_feed",
+      """WITH base AS (SELECT CAST(c_custkey AS BIGINT) AS k,
+        |    CAST(c_nationkey AS INT) AS n, CAST(c_acctbal AS DECIMAL(12,2)) AS b
+        |  FROM customer),
+        |sh AS (SELECT max(k) + 1 AS s FROM base),
+        |v2 AS (
+        |  SELECT k, n, CASE WHEN n <= 5 THEN CAST(b + 100 AS DECIMAL(12,2))
+        |    ELSE b END AS b
+        |  FROM base WHERE k % 10 <> 0
+        |  UNION ALL
+        |  SELECT k + (SELECT s FROM sh) AS k, n, b FROM base WHERE n >= 20),
+        |v3 AS (
+        |  SELECT k, n, CASE WHEN n BETWEEN 10 AND 12
+        |    THEN CAST(b + 7.5 AS DECIMAL(12,2)) ELSE b END AS b
+        |  FROM v2 WHERE k % 7 <> 0),
+        |v4 AS (SELECT k, n, b FROM v3 WHERE n < 23)
+        |SELECT n, CAST(count(*) AS BIGINT) AS n_rows,
+        |  round(CAST(sum(b) AS DOUBLE), 2) AS bal_sum
+        |FROM v4 GROUP BY 1""".stripMargin) { (s, dir) =>
+      import graft.ops.{ChangeFeed, IncrementalView, VersionedTable}
+      val root = scratch(s, dir, "q203")
+      cdfVersions(s, dir, root)
+      val spec = IncrementalView.Spec(Seq("n"), Seq("bal" -> col("b")))
+      var view = IncrementalView.full(
+        VersionedTable.readVersion(s, root, 1L), spec).localCheckpoint()
+      var batches = 0L
+      // streaming reads never infer — declare the spool schema from one
+      // committed capture
+      val changeSchema = s.read.parquet(s"$root/_v-*/_cdf").schema
+      val q = s.readStream.schema(changeSchema)
+        .option("maxFilesPerTrigger", 4)
+        .parquet(s"$root/_v-*/_cdf")
+        .writeStream
+        .option("checkpointLocation", s"$root/_ckpt")
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          if (!batch.isEmpty) {
+            batches += 1
+            view = IncrementalView.merge(
+              view, IncrementalView.delta(batch, spec), spec).localCheckpoint()
+          }
+        }.start()
+      try {
+        q.processAllAvailable() // v2 + v3 changes consumed
+        // a new commit lands while the query runs: two nations deleted
+        val v4 = VersionedTable.read(s, root).filter(col("n") < 23)
+        require(ChangeFeed.commit(v4, root, Seq("k")) == 4L,
+          "q203: the mid-stream commit must be v4")
+        q.processAllAvailable()
+      } finally q.stop()
+      val direct = IncrementalView.full(
+        VersionedTable.readVersion(s, root, 4L), spec)
+      require(view.exceptAll(direct).isEmpty && direct.exceptAll(view).isEmpty,
+        "q203: the stream-maintained view must equal the full recompute exactly")
+      require(batches >= 2,
+        s"q203: the fold must span multiple micro-batches, got $batches")
+      require(view.filter(col("n") >= 23).isEmpty,
+        "q203: deleted nations must leave the view, not zero out")
+      view.select(col("n"), col(IncrementalView.NCol).as("n_rows"),
+        round(col("bal").cast("double"), 2).as("bal_sum"))
     })
 }
