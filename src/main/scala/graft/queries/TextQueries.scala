@@ -1075,5 +1075,207 @@ object TextQueries {
         .unionAll(stage(d3, 3, "neardup_bow"))
         .unionAll(stage(d4, 4, "lang_agree"))
         .unionAll(stage(d5, 5, "quality"))
+    },
+
+    // ---------------------------------------------------------------- q204
+    // Mixture SAMPLING to a token budget (q107 computed the weights; this
+    // applies them — the step that actually builds the training mix):
+    // temperature-flattened source weights w_s = floor(sqrt(chars_s·10^6))
+    // (α = 0.5 — the multilingual-pretraining upweighting of scarce
+    // sources), a total budget B = total_chars div 2 apportioned to
+    // sources by the integer LARGEST-REMAINDER method (base = B·w div W,
+    // +1 char to the k largest remainders, ties by source name — so the
+    // allocation sums to B exactly, by construction, in integer
+    // arithmetic), then a DETERMINISTIC hash-order document draw per
+    // source: docs sorted by md5(doc_id), the greedy prefix whose
+    // cumulative chars fits the source budget. Every step is replayable:
+    // sqrt is IEEE-correctly-rounded (identical bits in both engines),
+    // everything after it is BIGINT. Scale shape: one aggregate for the
+    // allocation table (broadcast), one window per source for the prefix —
+    // no shuffle beyond the source key; at 100 TB the B·w product needs
+    // 128-bit or a rescale, noted inline. The oracle replays the
+    // apportionment and the draw verbatim.
+    Q("q204_mixture_sampling",
+      """WITH s AS (SELECT source, CAST(sum(n_chars) AS BIGINT) AS chars
+        |           FROM documents GROUP BY 1),
+        |w AS (SELECT source, chars,
+        |  CAST(floor(sqrt(CAST(chars AS DOUBLE) * 1000000)) AS BIGINT) AS wt
+        |  FROM s),
+        |t AS (SELECT CAST(sum(wt) AS BIGINT) AS tw,
+        |  CAST(sum(chars) AS BIGINT) // 2 AS b FROM w),
+        |a0 AS (SELECT source, chars, wt, (b * wt) // tw AS base,
+        |  (b * wt) % tw AS rem FROM w CROSS JOIN t),
+        |k AS (SELECT b - sum(base) AS k FROM a0 CROSS JOIN t GROUP BY b),
+        |alloc AS (SELECT source, chars,
+        |  base + CASE WHEN row_number() OVER (ORDER BY rem DESC, source) <= k
+        |              THEN 1 ELSE 0 END AS budget
+        |  FROM a0 CROSS JOIN k),
+        |d AS (SELECT doc_id, source, n_chars,
+        |  md5(CAST(doc_id AS VARCHAR)) AS h FROM documents),
+        |r AS (SELECT d.*, sum(n_chars) OVER (PARTITION BY source
+        |  ORDER BY h, doc_id ROWS UNBOUNDED PRECEDING) AS cum FROM d),
+        |sel AS (SELECT r.source, r.n_chars, a.budget FROM r
+        |        JOIN alloc a USING (source) WHERE r.cum <= a.budget)
+        |SELECT source, CAST(budget AS BIGINT) AS char_budget,
+        |  CAST(count(*) AS BIGINT) AS n_docs_sel,
+        |  CAST(sum(n_chars) AS BIGINT) AS chars_sel
+        |FROM sel GROUP BY 1, 2""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), col("source"), col("n_chars"))
+      val bySrc = docs.groupBy(col("source"))
+        .agg(sum(col("n_chars")).cast("long").as("chars"))
+        .withColumn("wt",
+          floor(sqrt(col("chars").cast("double") * 1e6)).cast("long"))
+      val totals = bySrc.agg(sum(col("wt")).cast("long").as("tw"),
+        expr("CAST(sum(chars) AS BIGINT) div 2").as("b"))
+      // integer apportionment; B·w ~ 10^14 at sf0.1 — rescale wt (drop the
+      // 10^6 factor) before a 100 TB run or the product needs 128-bit
+      val a0 = bySrc.crossJoin(broadcast(totals))
+        .withColumn("base", expr("(b * wt) div tw"))
+        .withColumn("rem", expr("(b * wt) % tw"))
+      val k = a0.agg((max(col("b")) - sum(col("base"))).cast("long").as("k"))
+      val alloc = a0.crossJoin(broadcast(k))
+        .withColumn("budget", col("base") + when(
+          row_number().over(Window.orderBy(col("rem").desc, col("source").asc))
+            <= col("k"), 1L).otherwise(0L))
+        .select(col("source"), col("budget"))
+        .localCheckpoint() // tiny; read by a require and the final join
+      // allocation sums to B exactly — the largest-remainder invariant
+      val b = totals.head().getLong(1)
+      require(alloc.agg(sum(col("budget"))).head().getLong(0) == b,
+        "q204: apportioned budgets must sum to the total budget exactly")
+      // deterministic hash-order greedy prefix per source
+      val ordered = docs
+        .withColumn("h", md5(col("doc_id").cast("string").cast("binary")))
+        .withColumn("cum", sum(col("n_chars")).over(
+          Window.partitionBy(col("source"))
+            .orderBy(col("h").asc, col("doc_id").asc)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      val sel = ordered.join(broadcast(alloc), Seq("source"))
+        .filter(col("cum") <= col("budget"))
+      val out = sel.groupBy(col("source"), col("budget").as("char_budget"))
+        .agg(count(lit(1)).cast("bigint").as("n_docs_sel"),
+          sum(col("n_chars")).cast("bigint").as("chars_sel"))
+        .localCheckpoint()
+      // every selected set fits its budget
+      require(out.filter(col("chars_sel") > col("char_budget")).isEmpty,
+        "q204: a selected prefix exceeded its source budget")
+      out
+    },
+
+    // ---------------------------------------------------------------- q205
+    // BPE ENCODING of the whole corpus with the q196-trained merges — the
+    // tokenizer-application half a pretraining pipeline runs on every
+    // document after training converges. Train (same loop as q196: one
+    // keyed pair-count shuffle per merge over the top-200 word table),
+    // then encode: the DISTINCT alpha word table is folded through the 20
+    // merges in order (leftmost-greedy, the exact training fold), and the
+    // corpus joins word → token-count by equi-join; non-alpha terms fall
+    // back to one token. Scale shape: encoding cost is O(distinct words)
+    // for the folds — corpus size enters only through the final broadcast
+    // join, never a per-occurrence fold; at 100 TB the distinct-word table
+    // is the tokenizer's vocab-induction working set, exactly as in
+    // SentencePiece's distributed trainers. The oracle replays training
+    // AND encoding as driver-unrolled SQL (materialized CTE per step).
+    Q("q205_bpe_encode", {
+      val n = 20
+      val head =
+        """WITH tok AS (SELECT lang, unnest(string_split_regex(trim(text), '\s+')) AS term
+          |            FROM documents),
+          |w AS (SELECT lower(term) AS word, count(*) AS cnt FROM tok
+          |      WHERE regexp_full_match(lower(term), '[a-z]+') GROUP BY 1),
+          |top AS (SELECT word, cnt FROM w ORDER BY cnt DESC, word LIMIT 200),
+          |st0 AS MATERIALIZED (SELECT word, cnt, string_split(word, '') AS syms FROM top)""".stripMargin
+      val train = (1 to n).map { i =>
+        val pair =
+          s"""px$i AS MATERIALIZED (SELECT word, cnt, unnest(syms) AS s, generate_subscripts(syms, 1) AS pos FROM st${i - 1}),
+             |pc$i AS (SELECT x.s AS a, y.s AS b, CAST(SUM(x.cnt) AS BIGINT) AS n
+             |        FROM px$i x JOIN px$i y ON x.word = y.word AND y.pos = x.pos + 1 GROUP BY 1, 2),
+             |b$i AS (SELECT a, b FROM pc$i ORDER BY n DESC, a, b LIMIT 1)""".stripMargin
+        val reseg = if (i == n) "" else
+          s""",
+             |st$i AS MATERIALIZED (SELECT word, cnt, string_split(list_reduce(syms, (acc, x) ->
+             |    CASE WHEN (string_split(acc, ' '))[-1] = b$i.a AND x = b$i.b
+             |         THEN left(acc, length(acc) - length(b$i.a)) || b$i.a || b$i.b
+             |         ELSE acc || ' ' || x END), ' ') AS syms FROM st${i - 1}, b$i)""".stripMargin
+        pair + reseg
+      }.mkString(",\n", ",\n", "")
+      val encHead =
+        """,
+          |e0 AS MATERIALIZED (SELECT DISTINCT lower(term) AS word FROM tok
+          |     WHERE regexp_full_match(lower(term), '[a-z]+')),
+          |f0 AS MATERIALIZED (SELECT word, string_split(word, '') AS syms FROM e0)""".stripMargin
+      val encode = (1 to n).map { i =>
+        s"""f$i AS MATERIALIZED (SELECT word, string_split(list_reduce(syms, (acc, x) ->
+           |    CASE WHEN (string_split(acc, ' '))[-1] = b$i.a AND x = b$i.b
+           |         THEN left(acc, length(acc) - length(b$i.a)) || b$i.a || b$i.b
+           |         ELSE acc || ' ' || x END), ' ') AS syms FROM f${i - 1}, b$i)""".stripMargin
+      }.mkString(",\n", ",\n", "")
+      val tail =
+        s""",
+           |wt AS (SELECT word, len(syms) AS n_tok FROM f$n),
+           |terms AS (SELECT lang, lower(term) AS w,
+           |  regexp_full_match(lower(term), '[a-z]+') AS alpha FROM tok)
+           |SELECT lang, CAST(count(*) AS BIGINT) AS n_terms,
+           |  CAST(sum(CASE WHEN alpha THEN n_tok ELSE 1 END) AS BIGINT) AS n_tokens,
+           |  round(CAST(sum(CASE WHEN alpha THEN n_tok ELSE 1 END) AS DOUBLE)
+           |    / count(*), 6) AS tokens_per_term
+           |FROM terms LEFT JOIN wt ON terms.w = wt.word
+           |GROUP BY 1""".stripMargin
+      head + train + encHead + encode + tail
+    }) { (s, dir) =>
+      val nMerges = 20
+      val docs = Tables.load(s, dir, "documents")
+      val terms = docs.select(col("lang"),
+        explode(graft.dedup.MinHashLSH.tokensCol(col("text"))).as("term"))
+        .select(col("lang"), lower(col("term")).as("w"))
+        .withColumn("alpha", col("w").rlike("^[a-z]+$"))
+      // ---- train (q196's loop, merge pairs only) ----
+      var st = terms.filter(col("alpha")).groupBy(col("w").as("word"))
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("word").asc).limit(200)
+        .select(col("word"), col("cnt"),
+          filter(split(col("word"), ""), x => x =!= lit("")).as("syms"))
+        .localCheckpoint()
+      val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+      def foldCol(ba: String, bb: String): org.apache.spark.sql.Column =
+        split(aggregate(col("syms"), lit(""), (acc, x) =>
+          when(acc === "", x)
+            .otherwise(when(element_at(split(acc, " "), -1) === ba && x === bb,
+              concat(acc.substr(lit(1), length(acc) - lit(ba.length)), lit(ba + bb)))
+            .otherwise(concat(acc, lit(" "), x)))), " ")
+      for (step <- 1 to nMerges) {
+        val px = st.select(col("word"), col("cnt"),
+          posexplode(col("syms")).as(Seq("pos", "s")))
+        val best = px.alias("x")
+          .join(px.alias("y"),
+            col("x.word") === col("y.word") && col("y.pos") === col("x.pos") + 1)
+          .groupBy(col("x.s").as("a"), col("y.s").as("b"))
+          .agg(sum(col("x.cnt")).cast("long").as("n"))
+          .orderBy(col("n").desc, col("a").asc, col("b").asc).limit(1).head()
+        val (ba, bb) = (best.getString(0), best.getString(1))
+        merges += ((ba, bb))
+        if (step < nMerges)
+          st = st.select(col("word"), col("cnt"),
+            foldCol(ba, bb).as("syms")).localCheckpoint()
+      }
+      // ---- encode: fold the DISTINCT word table through all merges ----
+      var enc = terms.filter(col("alpha")).select(col("w").as("word")).distinct()
+        .select(col("word"),
+          filter(split(col("word"), ""), x => x =!= lit("")).as("syms"))
+        .localCheckpoint()
+      for (((ba, bb), i) <- merges.zipWithIndex) {
+        enc = enc.select(col("word"), foldCol(ba, bb).as("syms"))
+        if ((i + 1) % 5 == 0) enc = enc.localCheckpoint()
+      }
+      val wt = enc.select(col("word"), size(col("syms")).cast("long").as("n_tok"))
+      terms.join(broadcast(wt), terms("w") === wt("word"), "left")
+        .withColumn("toks", when(col("alpha"), col("n_tok")).otherwise(1L))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).cast("bigint").as("n_terms"),
+          sum(col("toks")).cast("bigint").as("n_tokens"),
+          round(sum(col("toks")).cast("double") / count(lit(1)), 6)
+            .as("tokens_per_term"))
     })
 }
