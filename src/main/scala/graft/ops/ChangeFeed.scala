@@ -50,9 +50,19 @@ object ChangeFeed {
     oldDf match {
       case None =>
         newDf.withColumn(ChangeType, lit("insert"))
-      case Some(old) =>
-        require(old.columns.toSeq == cols,
-          s"ChangeFeed.diff: schema drift ${old.columns.toSeq} vs $cols")
+      case Some(old0) =>
+        require(old0.columns.forall(cols.contains),
+          s"ChangeFeed.diff: dropped columns not supported " +
+            s"(${old0.columns.toSeq.diff(cols)} missing from ${cols})")
+        val added = cols.filterNot(old0.columns.contains)
+        require(added.intersect(keyCols).isEmpty,
+          s"ChangeFeed.diff: a key column cannot be added mid-stream ($added)")
+        // add-column evolution (Delta's CDF contract): pre-evolution rows
+        // read null-padded under the evolved schema, so a backfill commit
+        // captures as updates whose preimages carry NULL in the new column
+        val old = old0.select(cols.map(c =>
+          if (added.contains(c)) lit(null).cast(newDf.schema(c).dataType).as(c)
+          else col(c)): _*)
         // wrap each side in ONE struct before the join: side-presence is then
         // the struct's own nullness, never the key's (a legitimately-null key
         // must classify as an update when present on both sides)
@@ -129,7 +139,10 @@ object ChangeFeed {
         if (fs.exists(cd)) spark.read.parquet(cd.toString)
         else snapshotDiff(spark, dir, v, keyCols)
       changes.withColumn(CommitVersion, lit(v))
-    }.reduce(_ unionByName _)
+      // allowMissingColumns: captures written before an add-column
+      // evolution lack the new column; they read null-padded (same
+      // convention as the diff's preimages)
+    }.reduce(_.unionByName(_, allowMissingColumns = true))
   }
 
   /** Fold a change feed onto a base snapshot — the consumer-side replay that
@@ -154,7 +167,11 @@ object ChangeFeed {
       case None => survivors
       case Some(b) =>
         val touched = changes.select(keyCols.map(col): _*).distinct()
-        b.join(touched, keyCols, "left_anti").unionByName(survivors)
+        // allowMissingColumns: a base snapshot from before an add-column
+        // evolution null-pads the new column, mirroring how its rows read
+        // under the evolved schema
+        b.join(touched, keyCols, "left_anti")
+          .unionByName(survivors, allowMissingColumns = true)
     }
   }
 }

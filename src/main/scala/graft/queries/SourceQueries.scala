@@ -1594,6 +1594,88 @@ object SourceQueries {
         round(col("bal").cast("double"), 2).as("bal_sum"))
     },
 
+    // ---------------------------------------------------------------- q206
+    // Change feed ACROSS schema evolution (the public Delta CDF contract
+    // for ADD COLUMN): v1 commits the pre-evolution schema, v2 adds a
+    // `tier` column backfilling only part of the table, v3 backfills more
+    // and touches balances. The diff reads pre-evolution rows null-padded
+    // under the evolved schema, so the evolution commit captures exactly
+    // the rows whose new column VALUE changed (null-to-null rows are
+    // no-ops, not a whole-table rewrite) and every preimage of v2 carries
+    // NULL tier — both pinned by requires, as is feed replay from the
+    // PRE-evolution v1 base landing bit-exactly on the evolved v3
+    // snapshot. At 100 TB additive evolution is the only affordable kind —
+    // this proves the feed never forces a table rewrite for it. The oracle
+    // rebuilds all change rows of all three commits with the same padding
+    // convention.
+    Q("q206_cdf_schema_evolution",
+      """WITH base AS (SELECT CAST(c_custkey AS BIGINT) AS k,
+        |    CAST(c_nationkey AS INT) AS n, CAST(c_acctbal AS DECIMAL(12,2)) AS b
+        |  FROM customer),
+        |v2 AS (SELECT k, n, b,
+        |    CASE WHEN n >= 20 THEN 'hi' END AS tier
+        |  FROM base WHERE k % 10 <> 0),
+        |changes AS (
+        |  SELECT 1 AS v, 'insert' AS t, b, CAST(NULL AS VARCHAR) AS tier FROM base
+        |  UNION ALL SELECT 2, 'delete', b, NULL FROM base WHERE k % 10 = 0
+        |  UNION ALL SELECT 2, 'update_preimage', b, NULL
+        |    FROM base WHERE k % 10 <> 0 AND n >= 20
+        |  UNION ALL SELECT 2, 'update_postimage', b, 'hi'
+        |    FROM base WHERE k % 10 <> 0 AND n >= 20
+        |  UNION ALL SELECT 3, 'update_preimage', b, NULL FROM v2 WHERE n <= 5
+        |  UNION ALL SELECT 3, 'update_postimage', CAST(b + 50 AS DECIMAL(12,2)), 'lo'
+        |    FROM v2 WHERE n <= 5)
+        |SELECT CAST(v AS BIGINT) AS commit_version, t AS change_type,
+        |  CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(count(tier) AS BIGINT) AS n_tiered,
+        |  round(CAST(sum(b) AS DOUBLE), 2) AS bal_sum
+        |FROM changes GROUP BY 1, 2""".stripMargin) { (s, dir) =>
+      import graft.ops.{ChangeFeed, VersionedTable}
+      val root = scratch(s, dir, "q206")
+      val base = Tables.load(s, dir, "customer")
+        .select(col("c_custkey").cast("long").as("k"),
+          col("c_nationkey").cast("int").as("n"),
+          col("c_acctbal").cast("decimal(12,2)").as("b"))
+      require(ChangeFeed.commit(base, root, Seq("k")) == 1L)
+      // v2: ADD COLUMN tier, backfilled only where n >= 20; plus deletes
+      val v2 = base.filter(col("k") % 10 =!= 0)
+        .withColumn("tier", when(col("n") >= 20, lit("hi")))
+      require(ChangeFeed.commit(v2, root, Seq("k")) == 2L)
+      // v3: backfill the low nations and bump their balances
+      val v3 = VersionedTable.read(s, root)
+        .withColumn("tier", when(col("n") <= 5, lit("lo")).otherwise(col("tier")))
+        .withColumn("b", when(col("n") <= 5, col("b") + 50)
+          .otherwise(col("b")).cast("decimal(12,2)"))
+      require(ChangeFeed.commit(v3, root, Seq("k")) == 3L)
+      val feed = ChangeFeed.tableChanges(s, root, 0L, 3L, Seq("k"))
+        .localCheckpoint()
+      // the evolution commit is NOT a table rewrite: only the backfilled
+      // rows (plus the deletes) appear in v2's capture
+      val v2pre = feed.filter(col(ChangeFeed.CommitVersion) === 2L &&
+        col(ChangeFeed.ChangeType) === "update_preimage")
+      require(v2pre.filter(col("tier").isNotNull).isEmpty,
+        "q206: every pre-evolution preimage must carry NULL in the added column")
+      require(feed.filter(col(ChangeFeed.CommitVersion) === 2L).count() ==
+        base.filter(col("k") % 10 === 0).count() +
+          2L * v2.filter(col("tier").isNotNull).count(),
+        "q206: the evolution commit must capture only backfilled + deleted rows")
+      // replay from the PRE-evolution base lands on the evolved snapshot
+      val replayed = ChangeFeed.apply(
+        Some(VersionedTable.readVersion(s, root, 1L)),
+        ChangeFeed.tableChanges(s, root, 1L, 3L, Seq("k")), Seq("k"))
+      val live = VersionedTable.readVersion(s, root, 3L)
+      val cols = live.columns.sorted.toSeq
+      def c(d: org.apache.spark.sql.DataFrame) = d.select(cols.map(col): _*)
+      require(c(replayed).exceptAll(c(live)).isEmpty &&
+        c(live).exceptAll(c(replayed)).isEmpty,
+        "q206: replay from the pre-evolution base must land on the evolved snapshot")
+      feed.groupBy(col(ChangeFeed.CommitVersion).as("commit_version"),
+          col(ChangeFeed.ChangeType).as("change_type"))
+        .agg(count(lit(1)).cast("bigint").as("n_rows"),
+          count(col("tier")).cast("bigint").as("n_tiered"),
+          round(sum(col("b")).cast("double"), 2).as("bal_sum"))
+    },
+
     // ---------------------------------------------------------------- q203
     // STREAMING consumption of the change feed: the `_v-*/_cdf` spool is a
     // CDC topic — a parquet file-stream source discovers each commit's

@@ -90,6 +90,36 @@ class ChangeFeedSpec extends AnyFunSuite {
     assertSame(full, VersionedTable.readVersion(spark, dir, 3L))
   }
 
+  test("add-column evolution: preimages null-pad, feed replay lands on the evolved snapshot") {
+    val dir = TestSpark.tmpDir("cdf-evolve")
+    ChangeFeed.commit(Seq((1L, "a"), (2L, "b")).toDF("k", "t"), dir, Seq("k"))
+    // v2 adds a column; only row 2 is backfilled, row 1 stays null (no-op)
+    ChangeFeed.commit(
+      Seq[(Long, String, String)]((1L, "a", null), (2L, "b", "x"))
+        .toDF("k", "t", "extra"),
+      dir, Seq("k"))
+    val v2 = ChangeFeed.tableChanges(spark, dir, 1L, 2L, Seq("k"))
+    val byType = v2.groupBy(ChangeFeed.ChangeType).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byType == Map("update_preimage" -> 1L, "update_postimage" -> 1L))
+    assert(v2.filter(col(ChangeFeed.ChangeType) === "update_preimage")
+      .select("extra").head().isNullAt(0), "preimage must carry NULL in the new column")
+    // the whole feed (v1 capture lacks `extra`) unions null-padded and
+    // replays onto the evolved snapshot
+    val replayed = ChangeFeed.apply(None,
+      ChangeFeed.tableChanges(spark, dir, 0L, 2L, Seq("k")), Seq("k"))
+    assertSame(replayed, VersionedTable.readVersion(spark, dir, 2L))
+    // replay from a PRE-evolution base also lands there
+    val fromBase = ChangeFeed.apply(
+      Some(VersionedTable.readVersion(spark, dir, 1L)),
+      ChangeFeed.tableChanges(spark, dir, 1L, 2L, Seq("k")), Seq("k"))
+    assertSame(fromBase, VersionedTable.readVersion(spark, dir, 2L))
+    // dropped columns stay unsupported, loudly
+    intercept[IllegalArgumentException] {
+      ChangeFeed.commit(Seq((1L, "a")).toDF("k", "t"), dir, Seq("k"))
+    }
+  }
+
   test("tableChanges rejects an empty or incomplete version range") {
     val dir = TestSpark.tmpDir("cdf-empty")
     ChangeFeed.commit(df(Seq((1L, "a", 1.0))), dir, Seq("k"))
