@@ -1676,6 +1676,63 @@ object SourceQueries {
           round(sum(col("b")).cast("double"), 2).as("bal_sum"))
     },
 
+    // ---------------------------------------------------------------- q207
+    // Aggregate pushdown through DSv2 (`SupportsPushDownAggregates`, the
+    // public API Spark's parquet/JDBC scans and Iceberg's metadata answers
+    // implement): `GROUP BY k` over count/sum/min/max folds INSIDE the
+    // source's partition readers — one streaming pass, O(|aggs|) memory —
+    // and the scan emits one partial row per bucket; the engine merges
+    // partials (PARTIAL pushdown, the honest distributed contract). Both
+    // states are MEASURED on the same byte-level layout via the scan's
+    // numOutputRows: pushed = one row per bucket, refused (`push=false`) =
+    // every table row, values bit-identical. At 100 TB this turns the
+    // scan→shuffle boundary of a full-table GROUP BY into |buckets|·
+    // |partitions| rows — the same reason warehouse engines answer
+    // MIN/MAX/COUNT from footer stats. The oracle replays the aggregation
+    // over the base table.
+    Q("q207_dsv2_agg_pushdown",
+      """SELECT CAST(o_custkey % 16 AS INT) AS k,
+        |  CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents_sum,
+        |  min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
+        |FROM orders GROUP BY 1""".stripMargin) { (s, dir) =>
+      import graft.source.{AggPushDsv2, KeyedDsv2}
+      val root = scratch(s, dir, "q207") + "/t"
+      val orders = Tables.load(s, dir, "orders").select(
+        (col("o_custkey") % 16).cast("int").as("k"),
+        expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"),
+        col("o_orderkey").cast("long").as("okey"))
+      KeyedDsv2.writeBucketed(orders, root)
+      val aqeKey = "spark.sql.adaptive.enabled"
+      val prevAqe = s.conf.get(aqeKey)
+      try {
+        s.conf.set(aqeKey, "false") // q185 rule: clean plan read
+        def run(push: Boolean) = {
+          val df = AggPushDsv2.read(s, root, "cents", "okey", push)
+            .groupBy(col("k"))
+            .agg(count(lit(1)).cast("bigint").as("n_rows"),
+              sum(col("cents")).cast("bigint").as("cents_sum"),
+              min(col("okey")).as("min_key"), max(col("okey")).as("max_key"))
+          df.collect()
+          val scan = df.queryExecution.executedPlan.collect {
+            case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+          }.head
+          (df, scan.metrics("numOutputRows").value, scan.output.length)
+        }
+        val (pushedDf, pushedRows, pushedWidth) = run(push = true)
+        val (rawDf, rawRows, rawWidth) = run(push = false)
+        val nKeys = orders.select(col("k")).distinct().count()
+        require(pushedRows == nKeys && pushedWidth == 5,
+          s"q207: pushed scan must emit one 5-wide partial row per bucket " +
+            s"(rows=$pushedRows width=$pushedWidth, buckets=$nKeys)")
+        require(rawRows == orders.count() && rawWidth == 3,
+          s"q207: the refused scan must stream every raw row (rows=$rawRows)")
+        require(pushedDf.exceptAll(rawDf).isEmpty && rawDf.exceptAll(pushedDf).isEmpty,
+          "q207: pushed and raw plans must agree bit-exactly")
+        pushedDf
+      } finally s.conf.set(aqeKey, prevAqe)
+    },
+
     // ---------------------------------------------------------------- q203
     // STREAMING consumption of the change feed: the `_v-*/_cdf` spool is a
     // CDC topic — a parquet file-stream source discovers each commit's
