@@ -1733,6 +1733,73 @@ object SourceQueries {
       } finally s.conf.set(aqeKey, prevAqe)
     },
 
+    // ---------------------------------------------------------------- q208
+    // Runtime filtering INTO a DSv2 source (`SupportsRuntimeFiltering`):
+    // q185's dynamic partition pruning, delivered through the connector
+    // API — the broadcast dim's keys arrive at the scan as an IN filter
+    // before planInputPartitions, so unmatched k=NN directories are never
+    // listed or read, on a source whose layout Spark has NO catalog
+    // metadata for (Iceberg's runtime file-group pruning is exactly this
+    // contract). The dim filters on an OPAQUE rank attribute (q185 rule:
+    // a literal bound on k itself would statically prune and prove
+    // nothing). Both states are measured via the scan's numOutputRows:
+    // DPP on = only the two matched buckets' rows; off = the whole table;
+    // values bit-identical. The oracle replays the two-bucket join.
+    Q("q208_dsv2_runtime_filter",
+      """WITH t AS (SELECT CAST(o_custkey % 16 AS INT) AS k,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders),
+        |ks AS (SELECT DISTINCT k FROM t ORDER BY k LIMIT 2)
+        |SELECT k, CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(cents) AS BIGINT) AS cents_sum
+        |FROM t JOIN ks USING (k) GROUP BY 1""".stripMargin) { (s, dir) =>
+      import graft.source.{KeyedDsv2, RuntimeFilterDsv2}
+      val root = scratch(s, dir, "q208") + "/t"
+      val orders = Tables.load(s, dir, "orders").select(
+        (col("o_custkey") % 16).cast("int").as("k"),
+        expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"),
+        col("o_orderkey").cast("long").as("okey"))
+      KeyedDsv2.writeBucketed(orders, root)
+      val src = RuntimeFilterDsv2.read(s, root, "cents", "okey")
+      // the dim: the two lowest buckets BY RANK — opaque after checkpoint,
+      // so only runtime evaluation can name the surviving keys
+      val allK = src.select(col("k")).distinct()
+        .withColumn("rn", row_number().over(
+          org.apache.spark.sql.expressions.Window.orderBy(col("k"))))
+        .localCheckpoint()
+      val dim = allK.filter(col("rn") <= 2).select(col("k"))
+      val saved = Seq("spark.sql.adaptive.enabled",
+        "spark.sql.optimizer.dynamicPartitionPruning.enabled")
+        .map(kk => kk -> s.conf.get(kk))
+      try {
+        s.conf.set("spark.sql.adaptive.enabled", "false")
+        def run(dpp: Boolean) = {
+          s.conf.set("spark.sql.optimizer.dynamicPartitionPruning.enabled",
+            dpp.toString)
+          val j = src.join(broadcast(dim), Seq("k"))
+            .groupBy(col("k"))
+            .agg(count(lit(1)).cast("bigint").as("n_rows"),
+              sum(col("cents")).cast("bigint").as("cents_sum"))
+          j.collect()
+          val scan = j.queryExecution.executedPlan.collect {
+            case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+          }.head
+          (j, scan.metrics("numOutputRows").value)
+        }
+        val (pruned, prunedRows) = run(dpp = true)
+        val (full, fullRows) = run(dpp = false)
+        val twoBucketRows = orders
+          .join(dim.hint("broadcast"), Seq("k")).count()
+        require(prunedRows == twoBucketRows,
+          s"q208: the filtered scan must read only the matched buckets " +
+            s"($prunedRows vs $twoBucketRows)")
+        require(fullRows == orders.count(),
+          s"q208: without DPP the scan must read the whole table ($fullRows)")
+        require(pruned.exceptAll(full).isEmpty && full.exceptAll(pruned).isEmpty,
+          "q208: pruned and full plans must agree bit-exactly")
+        pruned
+      } finally saved.foreach { case (kk, v) => s.conf.set(kk, v) }
+    },
+
     // ---------------------------------------------------------------- q203
     // STREAMING consumption of the change feed: the `_v-*/_cdf` spool is a
     // CDC topic — a parquet file-stream source discovers each commit's
