@@ -94,7 +94,8 @@ object ChangeFeed {
     * copy for the diff so `df` may lazily read the live version. Returns the
     * new version number.
     */
-  def commit(df: DataFrame, dir: String, keyCols: Seq[String]): Long = {
+  def commit(df: DataFrame, dir: String, keyCols: Seq[String],
+      txn: Map[String, Long] = Map.empty): Long = {
     val spark = df.sparkSession
     val cur = VersionedTable.currentVersion(spark, dir)
     val old = cur.map(v => VersionedTable.readVersion(spark, dir, v))
@@ -102,9 +103,21 @@ object ChangeFeed {
     val staged = spark.read.parquet(VersionedTable.stagedDir(dir, next))
     diff(old, staged, keyCols)
       .write.mode(SaveMode.Overwrite).parquet(cdfDir(dir, next).toString)
-    VersionedTable.publish(spark, dir, next)
+    VersionedTable.publish(spark, dir, next, txn)
     next
   }
+
+  /** Exactly-once streaming commit WITH change capture (the Delta `txn`
+    * pattern composed with CDF): the next version — and its change files —
+    * land only if `batchId` is beyond this app's last committed batch;
+    * a re-delivered micro-batch (crash, or full checkpoint loss and
+    * replay) produces NO new version and NO duplicate feed entries, so
+    * downstream feed consumers inherit exactly-once for free.
+    */
+  def commitCommitted(df: DataFrame, dir: String, keyCols: Seq[String],
+      appId: String, batchId: Long): Option[Long] =
+    if (VersionedTable.lastBatchId(df.sparkSession, dir, appId).exists(_ >= batchId)) None
+    else Some(commit(df, dir, keyCols, Map(appId -> batchId)))
 
   /** Recompute version `v`'s changes from its two snapshots — the fallback
     * for pre-CDF versions and the audit twin of the persisted capture.

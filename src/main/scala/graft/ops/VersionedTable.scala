@@ -247,11 +247,13 @@ object VersionedTable {
   /** The staged (not yet live) version's data dir, for audit reads. */
   def stagedDir(dir: String, version: Long): String = verDir(dir, version).toString
 
-  /** Publish a staged version: carry the live txn map forward, then flip.
-    * Fails fast if the staged snapshot is missing/incomplete or is not the
-    * next version after the live one.
+  /** Publish a staged version: carry the live txn map forward (overlaid
+    * with `txn`, written BEFORE the flip — same ordering contract as
+    * [[write]]), then flip. Fails fast if the staged snapshot is
+    * missing/incomplete or is not the next version after the live one.
     */
-  def publish(spark: SparkSession, dir: String, version: Long): Unit = {
+  def publish(spark: SparkSession, dir: String, version: Long,
+      txn: Map[String, Long] = Map.empty): Unit = {
     val fs = fsOf(spark, dir)
     val vd = verDir(dir, version)
     require(complete(fs, vd), s"publish: staged $vd is missing or incomplete")
@@ -263,7 +265,7 @@ object VersionedTable {
         .filter(v => v < version && complete(fs, verDir(dir, v))).lastOption)
     require(version == cur.getOrElse(0L) + 1L,
       s"publish: staged $version is not the successor of live $cur")
-    cur.map(v => readTxnMap(fs, verDir(dir, v))).getOrElse(Map.empty)
+    (cur.map(v => readTxnMap(fs, verDir(dir, v))).getOrElse(Map.empty) ++ txn)
       .foreach { case (app, batch) =>
         val out = fs.create(new Path(vd, TxnPrefix + app), true)
         try out.write(batch.toString.getBytes(StandardCharsets.UTF_8)) finally out.close()

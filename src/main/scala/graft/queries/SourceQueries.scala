@@ -1800,6 +1800,63 @@ object SourceQueries {
       } finally saved.foreach { case (kk, v) => s.conf.set(kk, v) }
     },
 
+    // ---------------------------------------------------------------- q209
+    // VACUUM / retention on the versioned table (Delta's VACUUM + Iceberg's
+    // expire_snapshots): four committed versions, then `gc(keep = 2)` —
+    // exactly the two oldest version dirs are physically deleted (file
+    // inventory checked), the live pointer and both retained snapshots
+    // read back exactly, and time travel OUTSIDE the retention window
+    // fails loudly instead of returning a torn or empty frame (the
+    // silent-empty failure mode is the dangerous one at 100 TB, where a
+    // reader of an expired snapshot must halt a backfill, not fabricate
+    // zero rows). The oracle recomputes both retained snapshots from the
+    // base table.
+    Q("q209_vacuum_retention",
+      """WITH v1 AS (SELECT o_orderkey AS okey, o_orderpriority AS opri
+        |            FROM orders),
+        |v2 AS (SELECT * FROM v1 WHERE okey % 2 = 0),
+        |v3 AS (SELECT * FROM v2 WHERE opri <> '1-URGENT'),
+        |v4 AS (SELECT * FROM v3 WHERE okey % 3 = 0)
+        |SELECT CAST(3 AS BIGINT) AS version,
+        |  CAST(count(*) AS BIGINT) AS n_rows, CAST(sum(okey) AS BIGINT) AS key_sum
+        |FROM v3
+        |UNION ALL
+        |SELECT CAST(4 AS BIGINT), CAST(count(*) AS BIGINT),
+        |  CAST(sum(okey) AS BIGINT) FROM v4""".stripMargin) { (s, dir) =>
+      import graft.ops.VersionedTable
+      val root = scratch(s, dir, "q209")
+      val v1 = Tables.load(s, dir, "orders")
+        .select(col("o_orderkey").as("okey"), col("o_orderpriority").as("opri"))
+      VersionedTable.write(v1, root)
+      VersionedTable.write(
+        VersionedTable.read(s, root).filter(col("okey") % 2 === 0), root)
+      VersionedTable.write(
+        VersionedTable.read(s, root).filter(col("opri") =!= "1-URGENT"), root)
+      VersionedTable.write(
+        VersionedTable.read(s, root).filter(col("okey") % 3 === 0), root)
+      require(VersionedTable.gc(s, root, keep = 2) == 2,
+        "q209: retention must expire exactly the two oldest versions")
+      // physical inventory: only _v-00000003 / _v-00000004 remain
+      val fsys = new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      val left = fsys.globStatus(new org.apache.hadoop.fs.Path(root, "_v-*"))
+        .map(_.getPath.getName).sorted.toSeq
+      require(left == Seq("_v-00000003", "_v-00000004"),
+        s"q209: expired version dirs must be physically gone, found $left")
+      // outside the window: loud failure, never a fabricated empty frame
+      val expired = try { VersionedTable.readVersion(s, root, 2L); false }
+      catch { case _: Throwable => true }
+      require(expired, "q209: reading an expired snapshot must fail loudly")
+      // the retained window still reads exactly
+      def snap(v: Long) = VersionedTable.readVersion(s, root, v)
+        .agg(count(lit(1)).cast("bigint").as("n_rows"),
+          sum(col("okey")).cast("bigint").as("key_sum"))
+        .select(lit(v).as("version"), col("n_rows"), col("key_sum"))
+      require(VersionedTable.currentVersion(s, root).contains(4L),
+        "q209: gc must never move the live pointer")
+      snap(3L).unionAll(snap(4L))
+    },
+
     // ---------------------------------------------------------------- q203
     // STREAMING consumption of the change feed: the `_v-*/_cdf` spool is a
     // CDC topic — a parquet file-stream source discovers each commit's

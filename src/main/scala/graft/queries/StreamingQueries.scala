@@ -872,5 +872,75 @@ object StreamingQueries {
       require(last.exceptAll(want).isEmpty && want.exceptAll(last).isEmpty,
         "q188: each key's last snapshot must equal the batch aggregate")
       got
+    },
+
+    // ---------------------------------------------------------------- q210
+    // The FULL lakehouse loop, exactly-once end to end: streaming upsert
+    // ingest (q133's txn-marker commit) WITH change capture per micro-batch
+    // (q200's CDF) feeding an incrementally-maintained view (q201's delta
+    // rule). ChangeFeed.commitCommitted makes one decision absorb both
+    // sides: a re-delivered batch — including a FULL replay against a lost
+    // checkpoint — produces no new version AND no duplicate feed entries,
+    // so every downstream feed consumer inherits exactly-once without its
+    // own dedup state. Requires pin: replay adds zero versions, the txn
+    // history holds each batch at most once, the feed is pure inserts
+    // summing to the table (re-merged duplicate keys diff to NOTHING —
+    // value-identical upserts produce empty captures), and the view folded
+    // from the feed equals a direct aggregate of the final table exactly.
+    // The oracle checks that view against the base events.
+    Q("q210_streaming_cdf_exactly_once",
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(SUM(event_id) AS BIGINT) AS id_sum
+        |FROM events WHERE event_id % 2 = 1 GROUP BY 1""".stripMargin) { (s, dir) =>
+      import graft.ops.{ChangeFeed, Dedup, IncrementalView, Upsert, VersionedTable}
+      val events = Tables.load(s, dir, "events")
+        .filter(col("event_id") % 2 === 1)
+        .select(col("event_id"), col("ts"), col("user_id"), col("event_type"))
+      val root = scratch(s, dir, "q210")
+      val (in, table) = (s"$root/in", s"$root/table")
+      events.write.parquet(s"$in/f1")
+      events.filter(col("event_id") % 5 === 0).write.parquet(s"$in/f2") // re-delivery
+      def run(cp: String): Unit = withNarrowShuffle(s) {
+        EventStream.fileSource(s, s"$in/*", events.schema, maxFilesPerTrigger = Some(1))
+          .writeStream
+          .option("checkpointLocation", cp)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
+            val spark = batch.sparkSession
+            val deduped = Dedup.latestBy(batch, Seq(col("event_id")), Seq(col("ts")))
+            val target = VersionedTable.readOrEmpty(spark, table, batch.schema)
+            ChangeFeed.commitCommitted(Upsert.merge(target, deduped, Seq("event_id")),
+              table, Seq("event_id"), appId = "q210", batchId = batchId)
+            ()
+          }.start().awaitTermination()
+      }
+      run(s"$root/cp1")
+      val v1 = VersionedTable.currentVersion(s, table).get
+      run(s"$root/cp2") // checkpoint lost: full replay, same appId
+      require(VersionedTable.currentVersion(s, table).contains(v1),
+        "q210: replay after checkpoint loss must add no version")
+      val hist = VersionedTable.txnHistory(s, table, "q210").flatMap(_._2)
+      require(hist == hist.distinct, s"q210: duplicate batch in history: $hist")
+      // the feed carries each surviving row exactly once, as an insert —
+      // value-identical re-merges captured NOTHING
+      val feed = ChangeFeed.tableChanges(s, table, 0L, v1, Seq("event_id"))
+        .localCheckpoint()
+      val t = VersionedTable.read(s, table)
+      require(feed.groupBy(col(ChangeFeed.ChangeType)).count()
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap ==
+        Map("insert" -> t.count()),
+        "q210: the feed must be pure inserts, one per surviving key")
+      // downstream view folded from the FEED equals the direct aggregate
+      val spec = IncrementalView.Spec(Seq("event_type"),
+        Seq("id_sum" -> col("event_id")))
+      val view = IncrementalView.merge(
+        IncrementalView.full(t.limit(0), spec),
+        IncrementalView.delta(feed, spec), spec)
+      val direct = IncrementalView.full(t, spec)
+      require(view.exceptAll(direct).isEmpty && direct.exceptAll(view).isEmpty,
+        "q210: the feed-maintained view must equal the direct aggregate")
+      view.select(col("event_type"),
+        col(IncrementalView.NCol).cast("bigint").as("n_events"),
+        col("id_sum").cast("bigint").as("id_sum"))
     })
 }
