@@ -1800,6 +1800,94 @@ object SourceQueries {
       } finally saved.foreach { case (kk, v) => s.conf.set(kk, v) }
     },
 
+    // ---------------------------------------------------------------- q211
+    // SCD2 HISTORY FROM THE CHANGE FEED: the q66 slowly-changing-dimension
+    // shape, derived purely from table_changes instead of snapshot diffs —
+    // the standard CDC→warehouse pattern (Delta's "SCD type 2 using CDF"
+    // recipe). Every insert/update_postimage OPENS a validity window at
+    // its commit; the window closes at the key's next open, or at a
+    // delete commit; never-closed windows are current. One window
+    // function over the feed (keyed by the business key) builds the whole
+    // history — O(changes), no snapshot ever rescanned. A conservation
+    // require pins the feed's row-count law (|v_i| = |v_{i-1}| + inserts
+    // − deletes, per version), and the current windows must equal the
+    // live snapshot exactly. The oracle derives the same windows from
+    // the base table with the same window SQL.
+    Q("q211_cdf_scd2",
+      """WITH base AS (SELECT CAST(c_custkey AS BIGINT) AS k,
+        |    CAST(c_nationkey AS INT) AS n, CAST(c_acctbal AS DECIMAL(12,2)) AS b
+        |  FROM customer),
+        |sh AS (SELECT max(k) + 1 AS s FROM base),
+        |v2 AS (
+        |  SELECT k, n, CASE WHEN n <= 5 THEN CAST(b + 100 AS DECIMAL(12,2))
+        |    ELSE b END AS b
+        |  FROM base WHERE k % 10 <> 0
+        |  UNION ALL
+        |  SELECT k + (SELECT s FROM sh) AS k, n, b FROM base WHERE n >= 20),
+        |opens AS (
+        |  SELECT k, 1 AS v, b FROM base
+        |  UNION ALL SELECT k, 2, CAST(b + 100 AS DECIMAL(12,2))
+        |    FROM base WHERE k % 10 <> 0 AND n <= 5
+        |  UNION ALL SELECT k + (SELECT s FROM sh), 2, b FROM base WHERE n >= 20
+        |  UNION ALL SELECT k, 3, CAST(b + 7.5 AS DECIMAL(12,2))
+        |    FROM v2 WHERE k % 7 <> 0 AND n BETWEEN 10 AND 12),
+        |dels AS (
+        |  SELECT k, 2 AS v FROM base WHERE k % 10 = 0
+        |  UNION ALL SELECT k, 3 FROM v2 WHERE k % 7 = 0),
+        |w AS (SELECT k, v AS valid_from, b,
+        |  lead(v) OVER (PARTITION BY k ORDER BY v) AS next_open FROM opens),
+        |scd AS (SELECT w.k, w.valid_from, w.b,
+        |  COALESCE(w.next_open, d.v) AS valid_to
+        |  FROM w LEFT JOIN dels d ON w.k = d.k AND d.v > w.valid_from
+        |    AND (w.next_open IS NULL OR d.v < w.next_open))
+        |SELECT CAST(valid_from AS BIGINT) AS valid_from,
+        |  CAST(COALESCE(valid_to, -1) AS BIGINT) AS valid_to,
+        |  CAST(count(*) AS BIGINT) AS n_rows,
+        |  round(CAST(sum(b) AS DOUBLE), 2) AS bal_sum
+        |FROM scd GROUP BY 1, 2""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      import graft.ops.{ChangeFeed, VersionedTable}
+      val root = scratch(s, dir, "q211")
+      cdfVersions(s, dir, root)
+      val feed = ChangeFeed.tableChanges(s, root, 0L, 3L, Seq("k"))
+        .localCheckpoint()
+      val ct = col(ChangeFeed.ChangeType)
+      val cv = col(ChangeFeed.CommitVersion)
+      // conservation law: |v_i| = |v_{i-1}| + inserts - deletes
+      val deltas = feed.groupBy(cv.as("v"))
+        .agg(sum(when(ct === "insert", 1).when(ct === "delete", -1)
+          .otherwise(0)).cast("long").as("d"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      var running = 0L
+      for (v <- 1L to 3L) {
+        running += deltas.getOrElse(v, 0L)
+        require(VersionedTable.readVersion(s, root, v).count() == running,
+          s"q211: feed conservation law broken at v$v")
+      }
+      // SCD2: opens/closes straight off the feed
+      val opens = feed.filter(ct.isin("insert", "update_postimage"))
+        .select(col("k"), cv.as("valid_from"), col("b"))
+        .withColumn("next_open", lead(col("valid_from"), 1).over(
+          Window.partitionBy(col("k")).orderBy(col("valid_from"))))
+      val dels = feed.filter(ct === "delete").select(col("k"), cv.as("dv"))
+      val scd = opens.join(dels,
+          opens("k") === dels("k") && col("dv") > col("valid_from") &&
+            (col("next_open").isNull || col("dv") < col("next_open")), "left")
+        .select(opens("k"), col("valid_from"), col("b"),
+          coalesce(col("next_open"), col("dv")).as("valid_to"))
+        .localCheckpoint()
+      // current windows == the live snapshot, bit-exactly
+      val current = scd.filter(col("valid_to").isNull)
+        .select(col("k"), col("b"))
+      val live = VersionedTable.readVersion(s, root, 3L).select(col("k"), col("b"))
+      require(current.exceptAll(live).isEmpty && live.exceptAll(current).isEmpty,
+        "q211: current SCD2 windows must equal the live snapshot")
+      scd.groupBy(col("valid_from"),
+          coalesce(col("valid_to"), lit(-1L)).as("valid_to"))
+        .agg(count(lit(1)).cast("bigint").as("n_rows"),
+          round(sum(col("b")).cast("double"), 2).as("bal_sum"))
+    },
+
     // ---------------------------------------------------------------- q209
     // VACUUM / retention on the versioned table (Delta's VACUUM + Iceberg's
     // expire_snapshots): four committed versions, then `gc(keep = 2)` —
