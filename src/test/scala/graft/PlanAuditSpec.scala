@@ -373,4 +373,22 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(math.abs(row.getDouble(0) - 0.9611111111111111) < 1e-15) // Winkler '90 case
     assert(row.getString(1) === "é")
   }
+
+  test("q202/q204/q211: bloom-prefilter dedup, mixture sampling, and CDF SCD2 stay keyed — no cartesian") {
+    for (name <- Seq("q202_bloom_incremental_dedup", "q204_mixture_sampling",
+        "q211_cdf_scd2")) {
+      val plan = executed(q(name))
+      assert(!plan.contains("CartesianProduct"), s"$name plans a cartesian")
+      assert(!plan.contains("BroadcastNestedLoopJoin Inner"),
+        s"$name plans an inner nested loop")
+    }
+  }
+
+  test("q201: the IVM fold aggregates the FEED, never rescans a snapshot mid-merge") {
+    // the maintained view's plan reads _cdf parquet + the v1 snapshot only;
+    // a snapshot-diff sneaking back in would show as a full-outer join
+    val plan = executed(q("q201_incremental_view"))
+    assert(!plan.contains("FullOuter"),
+      "the maintenance path must not recompute a snapshot diff")
+  }
 }
