@@ -1800,6 +1800,86 @@ object SourceQueries {
       } finally saved.foreach { case (kk, v) => s.conf.set(kk, v) }
     },
 
+    // ---------------------------------------------------------------- q212
+    // TRANSACTIONALLY CONSISTENT cross-table CDC: q184's atomic snapshot
+    // catalog composed with the change feed — the property Debezium ships
+    // transaction metadata for and lakehouses get from multi-table
+    // commits. A dim and its fact each carry a CDF; a cascading delete
+    // migrates both (dim first — the torn instant every two-table change
+    // has); the catalog pins (dim_v, fact_v) pairs. Requires: replaying
+    // BOTH feeds to either PINNED pair yields zero orphan fact rows
+    // (referential integrity holds at every catalog snapshot), while the
+    // torn unpinned pair (dim 2, fact 1) measurably violates it — the
+    // catalog, not luck, is what makes the feeds consistent. Feed replay
+    // is also pinned equal to the snapshot read. At 100 TB a downstream
+    // consuming two tables' feeds MUST cut at catalog snapshots, never at
+    // per-table versions — this entry is that rule, executable. The
+    // oracle recomputes both snapshots' row counts from the base tables.
+    Q("q212_cross_table_cdc",
+      """WITH dim1 AS (SELECT CAST(c_custkey AS BIGINT) AS k, c_nationkey AS n
+        |             FROM customer),
+        |fact1 AS (SELECT o_orderkey AS okey, CAST(o_custkey AS BIGINT) AS ck
+        |          FROM orders),
+        |dim2 AS (SELECT * FROM dim1 WHERE n < 20)
+        |SELECT CAST(1 AS BIGINT) AS snap,
+        |  CAST((SELECT count(*) FROM dim1) AS BIGINT) AS n_dims,
+        |  CAST((SELECT count(*) FROM fact1) AS BIGINT) AS n_facts
+        |UNION ALL
+        |SELECT CAST(2 AS BIGINT),
+        |  CAST((SELECT count(*) FROM dim2) AS BIGINT),
+        |  CAST((SELECT count(*) FROM fact1 f
+        |        WHERE EXISTS (SELECT 1 FROM dim2 d WHERE d.k = f.ck)) AS BIGINT)
+        |""".stripMargin) { (s, dir) =>
+      import graft.ops.{ChangeFeed, SnapshotCatalog, VersionedTable}
+      val root = scratch(s, dir, "q212")
+      val (dimP, factP, catP) = (s"$root/dim", s"$root/fact", s"$root/cat")
+      val dim1 = Tables.load(s, dir, "customer")
+        .select(col("c_custkey").cast("long").as("k"), col("c_nationkey").as("n"))
+      val fact1 = Tables.load(s, dir, "orders")
+        .select(col("o_orderkey").as("okey"), col("o_custkey").cast("long").as("ck"))
+      require(ChangeFeed.commit(dim1, dimP, Seq("k")) == 1L)
+      require(ChangeFeed.commit(fact1, factP, Seq("okey")) == 1L)
+      SnapshotCatalog.commit(s, catP, Map("dim" -> 1L, "fact" -> 1L))
+      // the migration: a cascading delete, dim FIRST — the torn instant
+      val dim2 = dim1.filter(col("n") < 20)
+      require(ChangeFeed.commit(dim2, dimP, Seq("k")) == 2L)
+      def orphans(dimDf: org.apache.spark.sql.DataFrame,
+          factDf: org.apache.spark.sql.DataFrame): Long =
+        factDf.join(dimDf.select(col("k")), factDf("ck") === col("k"), "left_anti").count()
+      // torn pair (dim 2, fact 1): integrity measurably broken
+      require(orphans(VersionedTable.read(s, dimP), VersionedTable.read(s, factP)) > 0L,
+        "q212: the torn per-table pair must expose orphan fact rows")
+      val fact2 = fact1.join(dim2.select(col("k")),
+        fact1("ck") === col("k"), "left_semi")
+      require(ChangeFeed.commit(fact2, factP, Seq("okey")) == 2L)
+      SnapshotCatalog.commit(s, catP, Map("dim" -> 2L, "fact" -> 2L))
+      require(SnapshotCatalog.current(s, catP)
+        .exists(_._2 == Map("dim" -> 2L, "fact" -> 2L)),
+        "q212: the catalog must pin the migrated pair")
+      // replay both feeds to each PINNED pair: integrity holds at both
+      def replayTo(table: String, v: Long, keys: Seq[String]) =
+        ChangeFeed.apply(None,
+          ChangeFeed.tableChanges(s, table, 0L, v, keys), keys)
+      val pairs = Seq(1L -> 1L, 2L -> 2L)
+      for ((dv, fv) <- pairs) {
+        val d = replayTo(dimP, dv, Seq("k"))
+        val f = replayTo(factP, fv, Seq("okey"))
+        require(orphans(d, f) == 0L,
+          s"q212: pinned pair (dim $dv, fact $fv) must be referentially intact")
+        // replay ≡ snapshot (both tables, both versions)
+        val ds = VersionedTable.readVersion(s, dimP, dv)
+        require(d.exceptAll(ds).isEmpty && ds.exceptAll(d).isEmpty,
+          s"q212: dim feed replay must equal snapshot v$dv")
+      }
+      def snapRow(i: Long, dv: Long, fv: Long) =
+        VersionedTable.readVersion(s, dimP, dv)
+          .agg(count(lit(1)).cast("bigint").as("n_dims"))
+          .crossJoin(VersionedTable.readVersion(s, factP, fv)
+            .agg(count(lit(1)).cast("bigint").as("n_facts")))
+          .select(lit(i).as("snap"), col("n_dims"), col("n_facts"))
+      snapRow(1L, 1L, 1L).unionAll(snapRow(2L, 2L, 2L))
+    },
+
     // ---------------------------------------------------------------- q211
     // SCD2 HISTORY FROM THE CHANGE FEED: the q66 slowly-changing-dimension
     // shape, derived purely from table_changes instead of snapshot diffs —
