@@ -146,6 +146,15 @@ object ChangeFeed {
         VersionedTable.complete(fs, VersionedTable.verDir(dir, v)))
     require(vs.nonEmpty,
       s"tableChanges($dir, $fromVersion, $toVersion): no complete versions in range")
+    // CONTIGUITY, not just non-emptiness: a gc'd version inside the range
+    // would silently drop its changes from the feed and every replay built
+    // on it would be wrong — the reader must fail loudly and restart from
+    // a retained base instead (Delta raises the same error when CDF
+    // versions fall out of retention)
+    require(vs == ((fromVersion + 1) to toVersion),
+      s"tableChanges($dir, $fromVersion, $toVersion): versions " +
+        s"${((fromVersion + 1) to toVersion).diff(vs).mkString(",")} are " +
+        "expired or missing — replay from a retained snapshot instead")
     vs.map { v =>
       val cd = cdfDir(dir, v)
       val changes =

@@ -58,6 +58,39 @@ object IncrementalView {
     signed.groupBy(spec.keyCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
   }
 
+  /** The appId under which a persistent view's txn marker records the last
+    * source commit folded in.
+    */
+  val RefreshApp = "ivm"
+
+  /** PERSISTENT materialized-view refresh (the `REFRESH MATERIALIZED VIEW`
+    * a warehouse schedules): the view lives as its own [[VersionedTable]]
+    * whose txn marker records the last source commit applied. Each call
+    * reads ONLY `tableChanges(lastApplied, live)` — O(changes) — folds it,
+    * and commits the new view version with the marker advanced, so a crash
+    * between fold and commit re-folds idempotently from the marker. An
+    * up-to-date view is a NO-OP (no new version — refresh storms cost
+    * nothing); the first call bootstraps with a full recompute. Returns
+    * the new view version, or None when already current.
+    */
+  def refreshTable(spark: org.apache.spark.sql.SparkSession, viewDir: String,
+      tableDir: String, keyCols: Seq[String], spec: Spec): Option[Long] = {
+    val live = VersionedTable.currentVersion(spark, tableDir).getOrElse(
+      sys.error(s"IncrementalView.refreshTable: no live version in $tableDir"))
+    VersionedTable.lastBatchId(spark, viewDir, RefreshApp) match {
+      case Some(applied) if applied >= live => None
+      case Some(applied) =>
+        val folded = merge(VersionedTable.read(spark, viewDir),
+          delta(ChangeFeed.tableChanges(spark, tableDir, applied, live, keyCols),
+            spec), spec)
+        Some(VersionedTable.write(folded, viewDir, Map(RefreshApp -> live)))
+      case None =>
+        Some(VersionedTable.write(
+          full(VersionedTable.read(spark, tableDir), spec), viewDir,
+          Map(RefreshApp -> live)))
+    }
+  }
+
   /** Fold a delta into the maintained view: union + re-aggregate (map-side
     * combinable), drop dead groups, and cast measures back to the view's
     * own types so repeated maintenance never widens the schema.

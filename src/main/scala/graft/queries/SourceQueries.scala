@@ -1800,6 +1800,74 @@ object SourceQueries {
       } finally saved.foreach { case (kk, v) => s.conf.set(kk, v) }
     },
 
+    // ---------------------------------------------------------------- q213
+    // PERSISTENT materialized-view refresh (`REFRESH MATERIALIZED VIEW`,
+    // scheduled): q201's delta fold made durable — the view is its own
+    // versioned table whose txn marker records the last source commit
+    // applied, so each refresh reads ONLY tableChanges(marker, live),
+    // folds, and commits with the marker advanced. An up-to-date view
+    // refreshes to a NO-OP (refresh storms cost nothing — require'd
+    // twice), a crash between fold and commit re-folds idempotently from
+    // the marker, and the whole chain must equal a full recompute of the
+    // final source version bit-exactly. At 100 TB this is the difference
+    // between a scheduled view refresh costing O(day's changes) and
+    // O(table). The oracle aggregates the rebuilt v3 directly (q201's
+    // mirror).
+    Q("q213_materialized_view_refresh",
+      """WITH base AS (SELECT CAST(c_custkey AS BIGINT) AS k,
+        |    CAST(c_nationkey AS INT) AS n, CAST(c_acctbal AS DECIMAL(12,2)) AS b
+        |  FROM customer),
+        |sh AS (SELECT max(k) + 1 AS s FROM base),
+        |v2 AS (
+        |  SELECT k, n, CASE WHEN n <= 5 THEN CAST(b + 100 AS DECIMAL(12,2))
+        |    ELSE b END AS b
+        |  FROM base WHERE k % 10 <> 0
+        |  UNION ALL
+        |  SELECT k + (SELECT s FROM sh) AS k, n, b FROM base WHERE n >= 20),
+        |v3 AS (
+        |  SELECT k, n, CASE WHEN n BETWEEN 10 AND 12
+        |    THEN CAST(b + 7.5 AS DECIMAL(12,2)) ELSE b END AS b
+        |  FROM v2 WHERE k % 7 <> 0)
+        |SELECT n, CAST(count(*) AS BIGINT) AS n_rows,
+        |  round(CAST(sum(b) AS DOUBLE), 2) AS bal_sum
+        |FROM v3 GROUP BY 1""".stripMargin) { (s, dir) =>
+      import graft.ops.{ChangeFeed, IncrementalView, VersionedTable}
+      val root = scratch(s, dir, "q213")
+      val (tableP, viewP) = (s"$root/t", s"$root/view")
+      val base = Tables.load(s, dir, "customer")
+        .select(col("c_custkey").cast("long").as("k"),
+          col("c_nationkey").cast("int").as("n"),
+          col("c_acctbal").cast("decimal(12,2)").as("b"))
+      val shift = base.agg(max(col("k"))).head.getLong(0) + 1L
+      VersionedTable.write(base, tableP) // v1 pre-CDF: bootstrap recomputes
+      val spec = IncrementalView.Spec(Seq("n"), Seq("bal" -> col("b")))
+      def refresh() =
+        IncrementalView.refreshTable(s, viewP, tableP, Seq("k"), spec)
+      require(refresh().contains(1L), "q213: bootstrap must materialize view v1")
+      require(refresh().isEmpty, "q213: an up-to-date view must no-op")
+      val v2 = base.filter(col("k") % 10 =!= 0)
+        .withColumn("b", when(col("n") <= 5, col("b") + 100)
+          .otherwise(col("b")).cast("decimal(12,2)"))
+        .unionByName(base.filter(col("n") >= 20).withColumn("k", col("k") + shift))
+      require(ChangeFeed.commit(v2, tableP, Seq("k")) == 2L)
+      require(refresh().contains(2L), "q213: the v2 delta must fold into view v2")
+      val v3 = VersionedTable.read(s, tableP)
+        .filter(col("k") % 7 =!= 0)
+        .withColumn("b", when(col("n").between(10, 12),
+          col("b") + lit(new java.math.BigDecimal("7.5")))
+          .otherwise(col("b")).cast("decimal(12,2)"))
+      require(ChangeFeed.commit(v3, tableP, Seq("k")) == 3L)
+      require(refresh().contains(3L), "q213: the v3 delta must fold into view v3")
+      require(refresh().isEmpty, "q213: refresh after refresh must no-op")
+      val got = VersionedTable.read(s, viewP)
+      val want = IncrementalView.full(
+        VersionedTable.readVersion(s, tableP, 3L), spec)
+      require(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty,
+        "q213: the refresh chain must equal a full recompute exactly")
+      got.select(col("n"), col(IncrementalView.NCol).as("n_rows"),
+        round(col("bal").cast("double"), 2).as("bal_sum"))
+    },
+
     // ---------------------------------------------------------------- q212
     // TRANSACTIONALLY CONSISTENT cross-table CDC: q184's atomic snapshot
     // catalog composed with the change feed — the property Debezium ships

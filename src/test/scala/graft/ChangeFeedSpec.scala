@@ -127,4 +127,18 @@ class ChangeFeedSpec extends AnyFunSuite {
       ChangeFeed.tableChanges(spark, dir, 5L, 9L, Seq("k"))
     }
   }
+
+  test("a gc'd version inside the range fails loudly — never a silently partial feed") {
+    val dir = TestSpark.tmpDir("cdf-gc")
+    ChangeFeed.commit(df(Seq((1L, "a", 1.0))), dir, Seq("k"))
+    ChangeFeed.commit(df(Seq((1L, "a", 1.0), (2L, "b", 2.0))), dir, Seq("k"))
+    ChangeFeed.commit(df(Seq((2L, "b", 2.5))), dir, Seq("k"))
+    VersionedTable.gc(spark, dir, keep = 2) // v1 expires
+    val ex = intercept[IllegalArgumentException] {
+      ChangeFeed.tableChanges(spark, dir, 0L, 3L, Seq("k"))
+    }
+    assert(ex.getMessage.contains("expired"))
+    // the retained sub-range still reads
+    assert(ChangeFeed.tableChanges(spark, dir, 1L, 3L, Seq("k")).count() > 0L)
+  }
 }
