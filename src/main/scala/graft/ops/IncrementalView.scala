@@ -91,6 +91,23 @@ object IncrementalView {
     }
   }
 
+  /** NON-ADDITIVE maintenance (min / max / count-distinct): a delete can't
+    * fold out of an extremum, so the delta rule doesn't apply — the
+    * standard fallback recomputes ONLY the groups the feed touched, from
+    * the live snapshot, and keeps every untouched group's row as-is:
+    * O(touched groups' rows), still never O(table) when changes
+    * concentrate. `recompute` receives the snapshot restricted to the
+    * touched groups and must return one row per group (same schema as the
+    * view). A group whose rows all died simply yields no recomputed row
+    * and its old row is dropped with the touched set.
+    */
+  def refreshGroups(view: DataFrame, snapshot: DataFrame, changes: DataFrame,
+      groupCols: Seq[String])(recompute: DataFrame => DataFrame): DataFrame = {
+    val touched = changes.select(groupCols.map(col): _*).distinct()
+    val fresh = recompute(snapshot.join(touched, groupCols, "left_semi"))
+    view.join(touched, groupCols, "left_anti").unionByName(fresh)
+  }
+
   /** Fold a delta into the maintained view: union + re-aggregate (map-side
     * combinable), drop dead groups, and cast measures back to the view's
     * own types so repeated maintenance never widens the schema.

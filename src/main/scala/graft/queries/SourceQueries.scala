@@ -1800,6 +1800,69 @@ object SourceQueries {
       } finally saved.foreach { case (kk, v) => s.conf.set(kk, v) }
     },
 
+    // ---------------------------------------------------------------- q214
+    // NON-ADDITIVE incremental maintenance: min/max can't fold a delete out
+    // of an extremum, so the delta rule (q201) doesn't apply — the
+    // standard IVM fallback recomputes ONLY the groups the feed touched
+    // from the live snapshot and keeps untouched groups as-is. The
+    // versions here touch FEW groups by construction (a balance bump in 4
+    // nations, then a targeted delete in the top 3), and the requires pin
+    // the partial-recompute contract: the touched-group set stays a small
+    // fraction of the groups, the recompute input is exactly the touched
+    // groups' snapshot rows, and the maintained view equals a full
+    // recompute bit-exactly (decimal extrema). At 100 TB this is why a
+    // MAX-maintaining view survives a tenant-scoped delete without a
+    // table rescan. The oracle aggregates the rebuilt v3 directly.
+    Q("q214_ivm_nonadditive",
+      """WITH base AS (SELECT CAST(c_custkey AS BIGINT) AS k,
+        |    CAST(c_nationkey AS INT) AS n, CAST(c_acctbal AS DECIMAL(12,2)) AS b
+        |  FROM customer),
+        |v2 AS (SELECT k, n, CASE WHEN n <= 3 THEN CAST(b + 25 AS DECIMAL(12,2))
+        |    ELSE b END AS b FROM base),
+        |v3 AS (SELECT * FROM v2 WHERE NOT (k % 9 = 0 AND n >= 22))
+        |SELECT n, CAST(count(*) AS BIGINT) AS n_rows,
+        |  round(CAST(max(b) AS DOUBLE), 2) AS max_bal,
+        |  round(CAST(min(b) AS DOUBLE), 2) AS min_bal
+        |FROM v3 GROUP BY 1""".stripMargin) { (s, dir) =>
+      import graft.ops.{ChangeFeed, IncrementalView, VersionedTable}
+      val root = scratch(s, dir, "q214")
+      val base = Tables.load(s, dir, "customer")
+        .select(col("c_custkey").cast("long").as("k"),
+          col("c_nationkey").cast("int").as("n"),
+          col("c_acctbal").cast("decimal(12,2)").as("b"))
+      require(ChangeFeed.commit(base, root, Seq("k")) == 1L)
+      val v2 = base.withColumn("b", when(col("n") <= 3, col("b") + 25)
+        .otherwise(col("b")).cast("decimal(12,2)"))
+      require(ChangeFeed.commit(v2, root, Seq("k")) == 2L)
+      val v3 = VersionedTable.read(s, root)
+        .filter(!(col("k") % 9 === 0 && col("n") >= 22))
+      require(ChangeFeed.commit(v3, root, Seq("k")) == 3L)
+      def aggs(d: org.apache.spark.sql.DataFrame) = d.groupBy(col("n"))
+        .agg(count(lit(1)).cast("long").as("n_rows"),
+          max(col("b")).as("max_bal"), min(col("b")).as("min_bal"))
+      var view = aggs(VersionedTable.readVersion(s, root, 1L)).localCheckpoint()
+      val nGroups = view.count()
+      for (v <- Seq(2L, 3L)) {
+        val slice = ChangeFeed.tableChanges(s, root, v - 1, v, Seq("k"))
+        val snapshot = VersionedTable.readVersion(s, root, v)
+        val touched = slice.select(col("n")).distinct().localCheckpoint()
+        // the partial-recompute contract: few groups, few snapshot rows
+        require(touched.count() * 2 <= nGroups,
+          s"q214: v$v must touch a minority of groups")
+        val scanned = snapshot.join(touched, Seq("n"), "left_semi").count()
+        require(scanned < snapshot.count(),
+          s"q214: the recompute must scan only touched groups' rows")
+        view = IncrementalView.refreshGroups(view, snapshot, slice, Seq("n"))(aggs)
+          .localCheckpoint()
+      }
+      val direct = aggs(VersionedTable.readVersion(s, root, 3L))
+      require(view.exceptAll(direct).isEmpty && direct.exceptAll(view).isEmpty,
+        "q214: partial recomputes must equal the full recompute exactly")
+      view.select(col("n"), col("n_rows").cast("bigint").as("n_rows"),
+        round(col("max_bal").cast("double"), 2).as("max_bal"),
+        round(col("min_bal").cast("double"), 2).as("min_bal"))
+    },
+
     // ---------------------------------------------------------------- q213
     // PERSISTENT materialized-view refresh (`REFRESH MATERIALIZED VIEW`,
     // scheduled): q201's delta fold made durable — the view is its own
