@@ -167,6 +167,41 @@ object ChangeFeed {
     }.reduce(_.unionByName(_, allowMissingColumns = true))
   }
 
+  /** Column-level change accounting — which DATA columns each update
+    * actually touched (the column-level CDC audit engines layer over
+    * row-level feeds). Computed post-hoc from the feed: pre/postimage rows
+    * pair on (key, commit version), each data column contributes when its
+    * two sides differ null-safely. One self-join keyed on (key, version) —
+    * O(update pairs), never O(table).
+    */
+  def changedColumns(changes: DataFrame, keyCols: Seq[String]): DataFrame = {
+    val dataCols = changes.columns.toSeq
+      .filterNot(c => keyCols.contains(c) || c == ChangeType || c == CommitVersion)
+    val pre = changes.filter(col(ChangeType) === "update_preimage").alias("p")
+    val post = changes.filter(col(ChangeType) === "update_postimage").alias("q")
+    val joined = pre.join(post,
+      keyCols.map(k => col(s"p.$k") <=> col(s"q.$k")).reduce(_ && _) &&
+        col(s"p.$CommitVersion") === col(s"q.$CommitVersion"))
+    val flags = dataCols.map(c => struct(lit(c).as("col_name"),
+      (!(col(s"p.$c") <=> col(s"q.$c"))).as("changed")))
+    joined.select(col(s"p.$CommitVersion").as(CommitVersion),
+        explode(array(flags: _*)).as("cc"))
+      .filter(col("cc.changed"))
+      .groupBy(col(CommitVersion), col("cc.col_name").as("col_name"))
+      .agg(count(lit(1)).as("n_rows"))
+  }
+
+  /** Delta's RESTORE: re-commit version `v`'s content as the NEXT version,
+    * WITH change capture — history is preserved (time travel to the undone
+    * versions keeps working inside retention) and the feed records the
+    * undo as ordinary inserts/updates/deletes, so downstream consumers
+    * (views, replicas, streams) converge on the restored state with no
+    * special cases.
+    */
+  def restore(spark: SparkSession, dir: String, version: Long,
+      keyCols: Seq[String]): Long =
+    commit(VersionedTable.readVersion(spark, dir, version), dir, keyCols)
+
   /** Fold a change feed onto a base snapshot — the consumer-side replay that
     * proves the feed is COMPLETE (base + changes ≡ final snapshot): apply
     * per key the LAST post-state in version order (insert/update_postimage

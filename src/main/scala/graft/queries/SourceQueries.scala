@@ -1800,6 +1800,124 @@ object SourceQueries {
       } finally saved.foreach { case (kk, v) => s.conf.set(kk, v) }
     },
 
+    // ---------------------------------------------------------------- q215
+    // COLUMN-LEVEL change accounting over the feed: which data columns
+    // each update actually touched — the audit layer compliance teams put
+    // over row-level CDC ("who changed the balance vs who changed the
+    // tier"). Post-hoc from the feed (no capture-schema change): pre and
+    // postimage rows pair on (key, commit version), one self-join over
+    // O(update pairs). Runs on the q206 evolution fixture, whose commits
+    // touch KNOWN column sets (v2 backfills tier only; v3 changes b and
+    // tier together), so the oracle enumerates the expected counts from
+    // the base table predicates.
+    Q("q215_cdf_changed_columns",
+      """WITH base AS (SELECT CAST(c_custkey AS BIGINT) AS k,
+        |    CAST(c_nationkey AS INT) AS n, CAST(c_acctbal AS DECIMAL(12,2)) AS b
+        |  FROM customer),
+        |v2 AS (SELECT k, n, b, CASE WHEN n >= 20 THEN 'hi' END AS tier
+        |  FROM base WHERE k % 10 <> 0)
+        |SELECT CAST(2 AS BIGINT) AS commit_version, 'tier' AS col_name,
+        |  CAST(count(*) AS BIGINT) AS n_rows
+        |FROM base WHERE k % 10 <> 0 AND n >= 20
+        |UNION ALL
+        |SELECT CAST(3 AS BIGINT), 'b', CAST(count(*) AS BIGINT)
+        |FROM v2 WHERE n <= 5
+        |UNION ALL
+        |SELECT CAST(3 AS BIGINT), 'tier', CAST(count(*) AS BIGINT)
+        |FROM v2 WHERE n <= 5""".stripMargin) { (s, dir) =>
+      import graft.ops.{ChangeFeed, VersionedTable}
+      val root = scratch(s, dir, "q215")
+      val base = Tables.load(s, dir, "customer")
+        .select(col("c_custkey").cast("long").as("k"),
+          col("c_nationkey").cast("int").as("n"),
+          col("c_acctbal").cast("decimal(12,2)").as("b"))
+      require(ChangeFeed.commit(base, root, Seq("k")) == 1L)
+      val v2 = base.filter(col("k") % 10 =!= 0)
+        .withColumn("tier", when(col("n") >= 20, lit("hi")))
+      require(ChangeFeed.commit(v2, root, Seq("k")) == 2L)
+      val v3 = VersionedTable.read(s, root)
+        .withColumn("tier", when(col("n") <= 5, lit("lo")).otherwise(col("tier")))
+        .withColumn("b", when(col("n") <= 5, col("b") + 50)
+          .otherwise(col("b")).cast("decimal(12,2)"))
+      require(ChangeFeed.commit(v3, root, Seq("k")) == 3L)
+      val feed = ChangeFeed.tableChanges(s, root, 0L, 3L, Seq("k"))
+      val out = ChangeFeed.changedColumns(feed, Seq("k")).localCheckpoint()
+      // every update pair contributes at least one changed column — a pair
+      // with none would mean the diff captured a no-op
+      val pairs = feed.filter(col(ChangeFeed.ChangeType) === "update_postimage").count()
+      require(out.agg(sum(col("n_rows"))).head().getLong(0) >= pairs,
+        "q215: every update pair must touch at least one column")
+      require(out.filter(col("col_name") === "n").isEmpty,
+        "q215: the never-touched column must not appear")
+      out.select(col(ChangeFeed.CommitVersion).as("commit_version"),
+        col("col_name"), col("n_rows").cast("bigint").as("n_rows"))
+    },
+
+    // ---------------------------------------------------------------- q216
+    // RESTORE (Delta's `RESTORE TABLE ... TO VERSION`): re-commit v1's
+    // content as v4 WITH change capture — history stays intact (v3 still
+    // time-travels) and the feed records the undo as ordinary changes:
+    // deleted keys come back as inserts, rows the undone commits inserted
+    // leave as deletes, surviving keys whose values drifted emit update
+    // pairs. Downstream consumers converge on the restored state through
+    // the normal feed — no special-case "reset" protocol, which is the
+    // whole point at 100 TB where every consumer re-syncing from scratch
+    // is the outage. Requires pin v4 ≡ v1 bit-exactly, replay through the
+    // restore landing on v1, and v3 still readable. The oracle derives
+    // v4's change rows by comparing the rebuilt v3 against the base.
+    Q("q216_restore_version",
+      """WITH base AS (SELECT CAST(c_custkey AS BIGINT) AS k,
+        |    CAST(c_nationkey AS INT) AS n, CAST(c_acctbal AS DECIMAL(12,2)) AS b
+        |  FROM customer),
+        |sh AS (SELECT max(k) + 1 AS s FROM base),
+        |v2 AS (
+        |  SELECT k, n, CASE WHEN n <= 5 THEN CAST(b + 100 AS DECIMAL(12,2))
+        |    ELSE b END AS b
+        |  FROM base WHERE k % 10 <> 0
+        |  UNION ALL
+        |  SELECT k + (SELECT s FROM sh) AS k, n, b FROM base WHERE n >= 20),
+        |v3 AS (
+        |  SELECT k, n, CASE WHEN n BETWEEN 10 AND 12
+        |    THEN CAST(b + 7.5 AS DECIMAL(12,2)) ELSE b END AS b
+        |  FROM v2 WHERE k % 7 <> 0),
+        |restored AS (
+        |  SELECT 'insert' AS t, b FROM base
+        |    WHERE k NOT IN (SELECT k FROM v3)
+        |  UNION ALL
+        |  SELECT 'delete', b FROM v3 WHERE k NOT IN (SELECT k FROM base)
+        |  UNION ALL
+        |  SELECT 'update_preimage', v3.b FROM v3 JOIN base USING (k)
+        |    WHERE v3.b <> base.b
+        |  UNION ALL
+        |  SELECT 'update_postimage', base.b FROM v3 JOIN base USING (k)
+        |    WHERE v3.b <> base.b)
+        |SELECT t AS change_type, CAST(count(*) AS BIGINT) AS n_rows,
+        |  round(CAST(sum(b) AS DOUBLE), 2) AS bal_sum
+        |FROM restored GROUP BY 1""".stripMargin) { (s, dir) =>
+      import graft.ops.{ChangeFeed, VersionedTable}
+      val root = scratch(s, dir, "q216")
+      cdfVersions(s, dir, root)
+      require(ChangeFeed.restore(s, root, 1L, Seq("k")) == 4L,
+        "q216: the restore must commit as v4")
+      val v1 = VersionedTable.readVersion(s, root, 1L)
+      val v4 = VersionedTable.readVersion(s, root, 4L)
+      require(v4.exceptAll(v1).isEmpty && v1.exceptAll(v4).isEmpty,
+        "q216: the restored version must equal its target bit-exactly")
+      // history intact: the undone v3 still time-travels
+      require(VersionedTable.readVersion(s, root, 3L).count() > 0L,
+        "q216: restore must not destroy the undone versions")
+      // consumers converge through the NORMAL feed
+      val replayed = ChangeFeed.apply(
+        Some(VersionedTable.readVersion(s, root, 3L)),
+        ChangeFeed.tableChanges(s, root, 3L, 4L, Seq("k")), Seq("k"))
+      require(replayed.exceptAll(v1).isEmpty && v1.exceptAll(replayed).isEmpty,
+        "q216: replaying the restore commit must land on the restored state")
+      ChangeFeed.tableChanges(s, root, 3L, 4L, Seq("k"))
+        .groupBy(col(ChangeFeed.ChangeType).as("change_type"))
+        .agg(count(lit(1)).cast("bigint").as("n_rows"),
+          round(sum(col("b")).cast("double"), 2).as("bal_sum"))
+    },
+
     // ---------------------------------------------------------------- q214
     // NON-ADDITIVE incremental maintenance: min/max can't fold a delete out
     // of an extremum, so the delta rule (q201) doesn't apply — the
