@@ -1800,6 +1800,73 @@ object SourceQueries {
       } finally saved.foreach { case (kk, v) => s.conf.set(kk, v) }
     },
 
+    // ---------------------------------------------------------------- q217
+    // FULL MERGE INTO (SQL:2003 / Delta's complete surface; J5-J8 cover
+    // the upsert special case): WHEN MATCHED AND k%4=1 UPDATE (balance
+    // doubles via t+s), WHEN MATCHED AND k%4=2 DELETE, WHEN NOT MATCHED
+    // INSERT (shifted high-nation keys), WHEN NOT MATCHED BY SOURCE AND
+    // n=24 DELETE (prune stale rows the source no longer carries) — all
+    // four clause kinds in ONE full-outer join pass, shuffling on the
+    // merge key only, then committed WITH change capture so the feed
+    // records the merge's exact row-level effects (capture counts are
+    // require'd against the clause predicates). SQL's cardinality rule is
+    // enforced up front. The oracle rebuilds the merged table from the
+    // same predicates and aggregates per nation.
+    Q("q217_full_merge",
+      """WITH base AS (SELECT CAST(c_custkey AS BIGINT) AS k,
+        |    CAST(c_nationkey AS INT) AS n, CAST(c_acctbal AS DECIMAL(12,2)) AS b
+        |  FROM customer),
+        |sh AS (SELECT max(k) + 1 AS s FROM base),
+        |merged AS (
+        |  SELECT k, n, CAST(b + b AS DECIMAL(12,2)) AS b FROM base WHERE k % 4 = 1
+        |  UNION ALL
+        |  SELECT k, n, b FROM base WHERE k % 4 IN (0, 3) AND n <> 24
+        |  UNION ALL
+        |  SELECT k + (SELECT s FROM sh) AS k, n, b FROM base WHERE n >= 20)
+        |SELECT n, CAST(count(*) AS BIGINT) AS n_rows,
+        |  round(CAST(sum(b) AS DOUBLE), 2) AS bal_sum
+        |FROM merged GROUP BY 1""".stripMargin) { (s, dir) =>
+      import graft.ops.{ChangeFeed, Merge, VersionedTable}
+      import graft.ops.Merge._
+      val root = scratch(s, dir, "q217")
+      val base = Tables.load(s, dir, "customer")
+        .select(col("c_custkey").cast("long").as("k"),
+          col("c_nationkey").cast("int").as("n"),
+          col("c_acctbal").cast("decimal(12,2)").as("b"))
+      val shift = base.agg(max(col("k"))).head.getLong(0) + 1L
+      require(ChangeFeed.commit(base, root, Seq("k")) == 1L)
+      val source = base.filter(col("k") % 4 === 1 || col("k") % 4 === 2)
+        .select(col("k"), col("n").as("sn"), col("b").as("sb"))
+        .unionByName(base.filter(col("n") >= 20)
+          .select((col("k") + shift).as("k"), col("n").as("sn"), col("b").as("sb")))
+      Merge.requireUniqueKeys(base, Seq("k"), "target")
+      Merge.requireUniqueKeys(source, Seq("k"), "source")
+      val merged = Merge.merge(VersionedTable.read(s, root), source, Seq("k"), Seq(
+        MatchedUpdate(col("s.k") % 4 === 1,
+          Map("b" -> (col("t.b") + col("s.sb")).cast("decimal(12,2)"))),
+        MatchedDelete(col("s.k") % 4 === 2),
+        NotMatchedInsert(lit(true),
+          Map("k" -> col("s.k"), "n" -> col("s.sn"), "b" -> col("s.sb"))),
+        NotMatchedBySourceDelete(col("t.n") === 24)))
+      require(ChangeFeed.commit(merged, root, Seq("k")) == 2L)
+      // the feed records the merge's exact effects, per clause
+      val cap = ChangeFeed.tableChanges(s, root, 1L, 2L, Seq("k"))
+        .groupBy(col(ChangeFeed.ChangeType)).count()
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val nUpd = base.filter(col("k") % 4 === 1).count()
+      val nDel = base.filter(col("k") % 4 === 2).count() +
+        base.filter((col("k") % 4 === 0 || col("k") % 4 === 3) &&
+          col("n") === 24).count()
+      val nIns = base.filter(col("n") >= 20).count()
+      require(cap == Map("insert" -> nIns, "delete" -> nDel,
+        "update_preimage" -> nUpd, "update_postimage" -> nUpd),
+        s"q217: capture must mirror the clause predicates exactly, got $cap")
+      VersionedTable.read(s, root)
+        .groupBy(col("n"))
+        .agg(count(lit(1)).cast("bigint").as("n_rows"),
+          round(sum(col("b")).cast("double"), 2).as("bal_sum"))
+    },
+
     // ---------------------------------------------------------------- q215
     // COLUMN-LEVEL change accounting over the feed: which data columns
     // each update actually touched — the audit layer compliance teams put
