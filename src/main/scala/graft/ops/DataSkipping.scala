@@ -54,6 +54,24 @@ object DataSkipping {
   def stats(spark: SparkSession, dataDir: String): DataFrame =
     spark.read.parquet(s"$dataDir/$StatsDir")
 
+  /** METADATA-ONLY aggregate answering (Iceberg's manifest-stats fast
+    * path, Spark's own `OptimizeMetadataOnlyQuery` generalized to
+    * min/max): COUNT(*) folds Σ n_rows, MIN/MAX fold the per-file
+    * extrema — the query reads O(data files) sidecar rows and ZERO data
+    * bytes. Exact because the sidecar is written atomically with the
+    * version (inside the staged dir, before the pointer flip): a live
+    * version always carries stats that describe exactly its files.
+    * All-null files carry null min/max and fold away under Spark's
+    * null-skipping aggregates.
+    */
+  def aggFromStats(spark: SparkSession, dataDir: String,
+      cols: Seq[String]): DataFrame = {
+    val aggs = sum(col("n_rows")).cast("long").as("n_rows") +:
+      cols.flatMap(c => Seq(min(col(minCol(c))).as(s"${c}_min"),
+        max(col(maxCol(c))).as(s"${c}_max")))
+    stats(spark, dataDir).agg(aggs.head, aggs.tail: _*)
+  }
+
   /** keep-predicate over the stats table: a file is skippable only when its
     * stats PROVE emptiness; NULL stats (all-null column in that file)
     * compare to NULL -> kept via coalesce.

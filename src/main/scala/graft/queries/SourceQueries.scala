@@ -1800,6 +1800,51 @@ object SourceQueries {
       } finally saved.foreach { case (kk, v) => s.conf.set(kk, v) }
     },
 
+    // ---------------------------------------------------------------- q218
+    // METADATA-ONLY aggregates from the skipping index (Iceberg answers
+    // COUNT/MIN/MAX from manifests; Spark's OptimizeMetadataOnlyQuery does
+    // it for partition values — this is the same contract over the
+    // versioned table's per-file stats sidecar): COUNT(*) folds Σ n_rows,
+    // MIN/MAX fold per-file extrema, the query reads O(files) sidecar
+    // rows and ZERO data bytes. Exactness holds because the sidecar is
+    // written atomically with the version. Requires pin the values
+    // against a direct full scan AND the O(files) contract (sidecar rows
+    // = data file count << table rows). At 100 TB this is the difference
+    // between a dashboard freshness probe costing a listing and costing a
+    // table scan. The oracle computes the same aggregates from lineitem.
+    Q("q218_stats_only_agg",
+      """SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        |  min(l_orderkey) AS okey_min, max(l_orderkey) AS okey_max,
+        |  CAST(min(l_quantity) AS BIGINT) AS qty_min,
+        |  CAST(max(l_quantity) AS BIGINT) AS qty_max
+        |FROM lineitem""".stripMargin) { (s, dir) =>
+      import graft.ops.{DataSkipping, VersionedTable}
+      val root = scratch(s, dir, "q218")
+      val li = Tables.load(s, dir, "lineitem")
+        .select(col("l_orderkey").as("okey"),
+          col("l_quantity").cast("long").as("qty"))
+        .repartition(8) // a multi-file layout, so the fold is non-trivial
+      VersionedTable.write(li, root, statsCols = Seq("okey", "qty"))
+      val live = VersionedTable.liveDir(s, root)
+      val fromStats = DataSkipping.aggFromStats(s, live, Seq("okey", "qty"))
+        .localCheckpoint()
+      // exactness vs the full scan
+      val direct = s.read.parquet(live)
+        .agg(count(lit(1)).cast("long").as("n_rows"),
+          min(col("okey")).as("okey_min"), max(col("okey")).as("okey_max"),
+          min(col("qty")).as("qty_min"), max(col("qty")).as("qty_max"))
+      require(fromStats.exceptAll(direct).isEmpty &&
+        direct.exceptAll(fromStats).isEmpty,
+        "q218: the metadata-only answer must equal the full scan exactly")
+      // the O(files) contract: the sidecar holds one row per data file
+      val sidecarRows = DataSkipping.stats(s, live).count()
+      require(sidecarRows == 8L && sidecarRows < li.count(),
+        s"q218: the fold must read O(files) rows, read $sidecarRows")
+      fromStats.select(col("n_rows"),
+        col("okey_min"), col("okey_max"),
+        col("qty_min").as("qty_min"), col("qty_max").as("qty_max"))
+    },
+
     // ---------------------------------------------------------------- q217
     // FULL MERGE INTO (SQL:2003 / Delta's complete surface; J5-J8 cover
     // the upsert special case): WHEN MATCHED AND k%4=1 UPDATE (balance
