@@ -1800,6 +1800,58 @@ object SourceQueries {
       } finally saved.foreach { case (kk, v) => s.conf.set(kk, v) }
     },
 
+    // ---------------------------------------------------------------- q219
+    // Compaction does NOT pollute the feed (Delta's dataChange=false
+    // contract): a rewrite commit that halves the file count but changes
+    // no logical row must capture an EMPTY change set — otherwise every
+    // downstream consumer (views, replicas, streams) reprocesses the
+    // whole table each time maintenance runs, which at 100 TB turns
+    // nightly OPTIMIZE into a nightly full re-sync. Here the property
+    // falls out of the capture being a LOGICAL diff, and the entry pins
+    // it: v2 rewrites 16 files into 2 (inventory-checked), its capture
+    // is zero rows, the cumulative feed through the compaction still
+    // replays to the live table, and a feed-maintained view folds the
+    // compaction as a no-op. The oracle aggregates the base table.
+    Q("q219_compaction_cdf",
+      """SELECT o_orderpriority AS opri, CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(o_orderkey) AS BIGINT) AS key_sum
+        |FROM orders GROUP BY 1""".stripMargin) { (s, dir) =>
+      import graft.ops.{ChangeFeed, IncrementalView, VersionedTable}
+      val root = scratch(s, dir, "q219")
+      val orders = Tables.load(s, dir, "orders")
+        .select(col("o_orderkey").as("okey"), col("o_orderpriority").as("opri"))
+      require(ChangeFeed.commit(orders.repartition(16), root, Seq("okey")) == 1L)
+      def files(v: Long): Long = {
+        val fsys = new org.apache.hadoop.fs.Path(root)
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+        fsys.listStatus(new org.apache.hadoop.fs.Path(root, f"_v-$v%08d"))
+          .count(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+      }
+      // the compaction: same logical rows, 16 -> 2 files, WITH capture
+      require(ChangeFeed.commit(
+        VersionedTable.read(s, root).coalesce(2), root, Seq("okey")) == 2L)
+      require(files(1L) == 16L && files(2L) == 2L,
+        s"q219: the rewrite must halve the layout (16 -> 2), got ${files(1L)} -> ${files(2L)}")
+      val slice = ChangeFeed.tableChanges(s, root, 1L, 2L, Seq("okey"))
+      require(slice.isEmpty,
+        "q219: a pure rewrite must capture ZERO changes")
+      // the cumulative feed still replays to the live table
+      val replayed = ChangeFeed.apply(None,
+        ChangeFeed.tableChanges(s, root, 0L, 2L, Seq("okey")), Seq("okey"))
+      val live = VersionedTable.read(s, root)
+      require(replayed.exceptAll(live).isEmpty && live.exceptAll(replayed).isEmpty,
+        "q219: replay through the compaction must land on the live table")
+      // a maintained view folds the compaction as a no-op
+      val spec = IncrementalView.Spec(Seq("opri"), Nil)
+      val view = IncrementalView.full(VersionedTable.readVersion(s, root, 1L), spec)
+      val after = IncrementalView.merge(view, IncrementalView.delta(slice, spec), spec)
+      require(after.exceptAll(view).isEmpty && view.exceptAll(after).isEmpty,
+        "q219: the compaction must be a view no-op")
+      live.groupBy(col("opri"))
+        .agg(count(lit(1)).cast("bigint").as("n_rows"),
+          sum(col("okey")).cast("bigint").as("key_sum"))
+    },
+
     // ---------------------------------------------------------------- q218
     // METADATA-ONLY aggregates from the skipping index (Iceberg answers
     // COUNT/MIN/MAX from manifests; Spark's OptimizeMetadataOnlyQuery does
