@@ -41,6 +41,47 @@ import java.nio.charset.StandardCharsets
 object VersionedTable {
 
   private val PtrName = "_ptr"
+
+  private val CommitTsName = "_commit_ts"
+
+  /** Stamp the commit wall-clock into the version dir — written BEFORE the
+    * pointer flip (same atomicity contract as the txn markers), so a live
+    * version always carries its timestamp and [[readAsOf]] never sees a
+    * half-stamped history.
+    */
+  private def stampCommitTs(fs: FileSystem, vd: Path): Unit = {
+    val out = fs.create(new Path(vd, CommitTsName), true)
+    try out.write(System.currentTimeMillis.toString
+      .getBytes(StandardCharsets.UTF_8)) finally out.close()
+  }
+
+  /** The version's commit timestamp (ms). Absent on versions written
+    * before timestamping existed.
+    */
+  def commitTimestamp(spark: SparkSession, dir: String, version: Long): Option[Long] = {
+    val fs = fsOf(spark, dir)
+    readText(fs, new Path(verDir(dir, version), CommitTsName))
+      .flatMap(_.trim.toLongOption)
+  }
+
+  /** Time travel AS OF a wall-clock instant (Delta's `timestampAsOf`
+    * semantics): the LATEST complete version whose commit timestamp is
+    * <= `tsMillis`. Fails loudly when the instant predates the first
+    * retained commit — fabricating an empty table for a
+    * before-the-beginning read is the silent-corruption path.
+    */
+  def readAsOf(spark: SparkSession, dir: String, tsMillis: Long): DataFrame = {
+    val fs = fsOf(spark, dir)
+    val live = currentVersion(spark, dir).getOrElse(
+      sys.error(s"VersionedTable.readAsOf($dir): no complete snapshot"))
+    val v = listVersions(fs, dir)
+      .filter(x => x <= live && complete(fs, verDir(dir, x)))
+      .filter(x => commitTimestamp(spark, dir, x).exists(_ <= tsMillis))
+      .lastOption
+      .getOrElse(sys.error(s"VersionedTable.readAsOf($dir, $tsMillis): " +
+        "instant predates the oldest retained commit"))
+    readVersion(spark, dir, v)
+  }
   private val VerPrefix = "_v-"
   private val TxnPrefix = "_txn-"
 
@@ -202,6 +243,7 @@ object VersionedTable {
       val out = fs.create(new Path(vd, TxnPrefix + app), true)
       try out.write(batch.toString.getBytes(StandardCharsets.UTF_8)) finally out.close()
     }
+    stampCommitTs(fs, vd)
     flipPointer(fs, dir, next)
     spark.catalog.refreshByPath(vd.toString)
     next
@@ -270,6 +312,7 @@ object VersionedTable {
         val out = fs.create(new Path(vd, TxnPrefix + app), true)
         try out.write(batch.toString.getBytes(StandardCharsets.UTF_8)) finally out.close()
       }
+    stampCommitTs(fs, vd)
     flipPointer(fs, dir, version)
     spark.catalog.refreshByPath(vd.toString)
   }

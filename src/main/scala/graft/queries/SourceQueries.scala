@@ -1800,6 +1800,62 @@ object SourceQueries {
       } finally saved.foreach { case (kk, v) => s.conf.set(kk, v) }
     },
 
+    // ---------------------------------------------------------------- q220
+    // Time travel AS OF a wall-clock instant (Delta's `timestampAsOf`):
+    // every commit stamps `_commit_ts` into the version dir BEFORE the
+    // pointer flip (the txn-marker atomicity contract), and readAsOf
+    // resolves the latest complete version with ts <= the instant. The
+    // entry writes three versions with real clock gaps, requires each
+    // probe instant to resolve to the right snapshot bit-exactly, and
+    // requires a before-the-beginning instant to fail loudly (fabricating
+    // an empty table there is the silent-corruption path). Timestamps are
+    // runtime values, so they only ever pick the version — the OUTPUT is
+    // the deterministic v2 content, which the oracle rebuilds.
+    Q("q220_time_travel_asof",
+      """WITH base AS (SELECT CAST(c_custkey AS BIGINT) AS k,
+        |    CAST(c_nationkey AS INT) AS n, CAST(c_acctbal AS DECIMAL(12,2)) AS b
+        |  FROM customer),
+        |v2 AS (SELECT k, n, b FROM base WHERE k % 3 <> 0)
+        |SELECT n, CAST(count(*) AS BIGINT) AS n_rows,
+        |  round(CAST(sum(b) AS DOUBLE), 2) AS bal_sum
+        |FROM v2 GROUP BY 1""".stripMargin) { (s, dir) =>
+      import graft.ops.VersionedTable
+      val root = scratch(s, dir, "q220")
+      val base = Tables.load(s, dir, "customer")
+        .select(col("c_custkey").cast("long").as("k"),
+          col("c_nationkey").cast("int").as("n"),
+          col("c_acctbal").cast("decimal(12,2)").as("b"))
+      VersionedTable.write(base, root)
+      Thread.sleep(15)
+      val t1 = System.currentTimeMillis(); Thread.sleep(15)
+      VersionedTable.write(base.filter(col("k") % 3 =!= 0), root)
+      Thread.sleep(15)
+      val t2 = System.currentTimeMillis(); Thread.sleep(15)
+      VersionedTable.write(VersionedTable.read(s, root)
+        .withColumn("b", when(col("n") <= 5, col("b") + 10)
+          .otherwise(col("b")).cast("decimal(12,2)")), root)
+      def same(a: org.apache.spark.sql.DataFrame,
+          b: org.apache.spark.sql.DataFrame): Boolean =
+        a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty
+      require(same(VersionedTable.readAsOf(s, root, t1),
+        VersionedTable.readVersion(s, root, 1L)),
+        "q220: an instant between v1 and v2 must resolve to v1")
+      require(same(VersionedTable.readAsOf(s, root, t2),
+        VersionedTable.readVersion(s, root, 2L)),
+        "q220: an instant between v2 and v3 must resolve to v2")
+      require(same(VersionedTable.readAsOf(s, root, System.currentTimeMillis()),
+        VersionedTable.readVersion(s, root, 3L)),
+        "q220: a now instant must resolve to the live version")
+      val beforeAll = VersionedTable.commitTimestamp(s, root, 1L).get - 1L
+      val early = try { VersionedTable.readAsOf(s, root, beforeAll); false }
+      catch { case _: Throwable => true }
+      require(early, "q220: a before-the-beginning instant must fail loudly")
+      VersionedTable.readAsOf(s, root, t2)
+        .groupBy(col("n"))
+        .agg(count(lit(1)).cast("bigint").as("n_rows"),
+          round(sum(col("b")).cast("double"), 2).as("bal_sum"))
+    },
+
     // ---------------------------------------------------------------- q219
     // Compaction does NOT pollute the feed (Delta's dataChange=false
     // contract): a rewrite commit that halves the file count but changes
