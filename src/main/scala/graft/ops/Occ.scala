@@ -102,6 +102,12 @@ object Occ {
         require(VersionedTable.complete(fs, vd),
           s"Occ.finalizePending($dir): commit $v has neither staged dir nor version dir")
       }
+      // stamp-if-absent is part of the idempotent roll-forward: a version
+      // must never go live unstamped or readAsOf refuses the whole history.
+      // Concurrent finalizers may both stamp; the clamp keeps either outcome
+      // monotonic, and version order = claim order so stamps stay ordered.
+      if (!VersionedTable.hasCommitTs(fs, dir, v))
+        VersionedTable.stampCommitTs(fs, dir, v)
       if (!VersionedTable.readPtr(fs, dir).exists(_ >= v))
         VersionedTable.flipPointer(fs, dir, v)
     }

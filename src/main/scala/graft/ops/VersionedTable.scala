@@ -48,11 +48,21 @@ object VersionedTable {
     * pointer flip (same atomicity contract as the txn markers), so a live
     * version always carries its timestamp and [[readAsOf]] never sees a
     * half-stamped history.
+    *
+    * Clamped to `max(predecessor's stamp + 1, now)` — Delta's
+    * in-commit-timestamp monotonicity rule. Without the clamp a clock step
+    * backward makes stamps non-monotonic across versions, and readAsOf's
+    * highest-version-with-ts<=t rule could pick a later version while
+    * skipping an earlier one whose stamp is larger.
     */
-  private def stampCommitTs(fs: FileSystem, vd: Path): Unit = {
+  private[ops] def stampCommitTs(fs: FileSystem, dir: String, version: Long): Unit = {
+    val vd = verDir(dir, version)
+    val prev = listVersions(fs, dir).filter(_ < version).lastOption
+      .flatMap(v => readText(fs, new Path(verDir(dir, v), CommitTsName)))
+      .flatMap(_.trim.toLongOption)
+    val ts = math.max(prev.map(_ + 1L).getOrElse(Long.MinValue), System.currentTimeMillis)
     val out = fs.create(new Path(vd, CommitTsName), true)
-    try out.write(System.currentTimeMillis.toString
-      .getBytes(StandardCharsets.UTF_8)) finally out.close()
+    try out.write(ts.toString.getBytes(StandardCharsets.UTF_8)) finally out.close()
   }
 
   /** The version's commit timestamp (ms). Absent on versions written
@@ -64,6 +74,9 @@ object VersionedTable {
       .flatMap(_.trim.toLongOption)
   }
 
+  private[ops] def hasCommitTs(fs: FileSystem, dir: String, version: Long): Boolean =
+    fs.exists(new Path(verDir(dir, version), CommitTsName))
+
   /** Time travel AS OF a wall-clock instant (Delta's `timestampAsOf`
     * semantics): the LATEST complete version whose commit timestamp is
     * <= `tsMillis`. Fails loudly when the instant predates the first
@@ -74,13 +87,19 @@ object VersionedTable {
     val fs = fsOf(spark, dir)
     val live = currentVersion(spark, dir).getOrElse(
       sys.error(s"VersionedTable.readAsOf($dir): no complete snapshot"))
-    val v = listVersions(fs, dir)
+    val retained = listVersions(fs, dir)
       .filter(x => x <= live && complete(fs, verDir(dir, x)))
-      .filter(x => commitTimestamp(spark, dir, x).exists(_ <= tsMillis))
-      .lastOption
+    // a retained complete version WITHOUT a stamp is a protocol violation
+    // (every commit path stamps before the flip) — skipping it would
+    // silently resolve instants after it to an older snapshot, so fail loud
+    val stamped = retained.map(x => x ->
+      commitTimestamp(spark, dir, x).getOrElse(sys.error(
+        s"VersionedTable.readAsOf($dir): version $x has no $CommitTsName — " +
+          "corrupt or pre-timestamp history; time travel by instant is unsafe")))
+    val v = stamped.filter(_._2 <= tsMillis).lastOption
       .getOrElse(sys.error(s"VersionedTable.readAsOf($dir, $tsMillis): " +
         "instant predates the oldest retained commit"))
-    readVersion(spark, dir, v)
+    readVersion(spark, dir, v._1)
   }
   private val VerPrefix = "_v-"
   private val TxnPrefix = "_txn-"
@@ -243,7 +262,7 @@ object VersionedTable {
       val out = fs.create(new Path(vd, TxnPrefix + app), true)
       try out.write(batch.toString.getBytes(StandardCharsets.UTF_8)) finally out.close()
     }
-    stampCommitTs(fs, vd)
+    stampCommitTs(fs, dir, next)
     flipPointer(fs, dir, next)
     spark.catalog.refreshByPath(vd.toString)
     next
@@ -299,12 +318,15 @@ object VersionedTable {
     val fs = fsOf(spark, dir)
     val vd = verDir(dir, version)
     require(complete(fs, vd), s"publish: staged $vd is missing or incomplete")
-    // the live version is computed EXCLUDING the staged dir itself: on an
-    // empty table (no pointer yet) the reader fallback would otherwise adopt
-    // the staged _SUCCESS-bearing dir as live and fail the successor check
-    val cur = readPtr(fs, dir).filter(v => v < version && complete(fs, verDir(dir, v)))
+    // the live version is computed EXCLUDING the staged dir ITSELF (and only
+    // it): on an empty table (no pointer yet) the reader fallback would
+    // otherwise adopt the staged _SUCCESS-bearing dir as live and fail the
+    // successor check. Excluding everything >= version instead would let a
+    // STALE publish (live already moved past it) resolve cur to version-1
+    // and flip the pointer BACKWARD — a stale stage must fail fast here.
+    val cur = readPtr(fs, dir).filter(v => v != version && complete(fs, verDir(dir, v)))
       .orElse(listVersions(fs, dir)
-        .filter(v => v < version && complete(fs, verDir(dir, v))).lastOption)
+        .filter(v => v != version && complete(fs, verDir(dir, v))).lastOption)
     require(version == cur.getOrElse(0L) + 1L,
       s"publish: staged $version is not the successor of live $cur")
     (cur.map(v => readTxnMap(fs, verDir(dir, v))).getOrElse(Map.empty) ++ txn)
@@ -312,7 +334,7 @@ object VersionedTable {
         val out = fs.create(new Path(vd, TxnPrefix + app), true)
         try out.write(batch.toString.getBytes(StandardCharsets.UTF_8)) finally out.close()
       }
-    stampCommitTs(fs, vd)
+    stampCommitTs(fs, dir, version)
     flipPointer(fs, dir, version)
     spark.catalog.refreshByPath(vd.toString)
   }
@@ -376,6 +398,10 @@ object VersionedTable {
       val out = fs.create(new Path(vd, TxnPrefix + app), true)
       try out.write(batch.toString.getBytes(StandardCharsets.UTF_8)) finally out.close()
     }
+    // stamped like every other commit path: without this, readAsOf for any
+    // instant after the delete would resolve to the PRE-delete snapshot and
+    // resurrect the compliance-deleted rows
+    stampCommitTs(fs, dir, next)
     flipPointer(fs, dir, next)
     spark.catalog.refreshByPath(vd.toString)
     (next, affected.length, total.toInt)

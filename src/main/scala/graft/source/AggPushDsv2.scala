@@ -51,6 +51,7 @@ private[source] class AggPushTable(options: CaseInsensitiveStringMap)
 /** One pushed aggregate: what to compute over which base column ordinal. */
 private[source] sealed trait AggSpec
 private[source] case object CountRows extends AggSpec
+private[source] final case class CountOf(ord: Int) extends AggSpec // non-nulls only
 private[source] final case class MinOf(ord: Int) extends AggSpec
 private[source] final case class MaxOf(ord: Int) extends AggSpec
 private[source] final case class SumOf(ord: Int) extends AggSpec
@@ -80,8 +81,11 @@ private[source] class AggPushScanBuilder(path: String, schema: StructType,
       }))
     if (!groupOk) return false
     val specs = aggregation.aggregateExpressions().toSeq.map {
+      // COUNT(col) counts NON-NULLS — folding it to CountRows is correct
+      // only while the schema stays all-non-nullable, a silent wrong-answer
+      // trap the moment nullability changes; track it as its own spec
       case _: CountStar => Some(CountRows)
-      case c: Count if !c.isDistinct => ordOf(c.column).map(_ => CountRows)
+      case c: Count if !c.isDistinct => ordOf(c.column).map(CountOf)
       case m: Min => ordOf(m.column).map(MinOf)
       case m: Max => ordOf(m.column).map(MaxOf)
       case s: Sum if !s.isDistinct => ordOf(s.column).map(SumOf)
@@ -159,6 +163,8 @@ private[source] class AggPushReaderFactory(specs: Seq[AggSpec], grouped: Boolean
         val mins = Array.fill(specs.length)(Long.MaxValue)
         val maxs = Array.fill(specs.length)(Long.MinValue)
         val sums = new Array[Long](specs.length)
+        val counts = new Array[Long](specs.length) // per-column non-null counts
+        val seen = new Array[Boolean](specs.length) // any non-null folded?
         files.foreach { f =>
           val reader = new java.io.BufferedReader(new java.io.InputStreamReader(
             fs.open(f), java.nio.charset.StandardCharsets.UTF_8))
@@ -167,23 +173,30 @@ private[source] class AggPushReaderFactory(specs: Seq[AggSpec], grouped: Boolean
             while (line != null) {
               n += 1
               val cols = line.split(",", -1)
-              def v(ord: Int): Long =
-                if (ord == 0) p.k.toLong else cols(ord - 1).toLong
+              // empty CSV field = NULL (k is the dir name, never null);
+              // SQL aggregates ignore nulls, COUNT(col) counts non-nulls
+              def raw(ord: Int): String = if (ord == 0) p.k.toString else cols(ord - 1)
               specs.zipWithIndex.foreach {
-                case (MinOf(o), i) => val x = v(o); if (x < mins(i)) mins(i) = x
-                case (MaxOf(o), i) => val x = v(o); if (x > maxs(i)) maxs(i) = x
-                case (SumOf(o), i) => sums(i) += v(o)
+                case (MinOf(o), i) => val r = raw(o); if (r.nonEmpty) {
+                  val x = r.toLong; seen(i) = true; if (x < mins(i)) mins(i) = x }
+                case (MaxOf(o), i) => val r = raw(o); if (r.nonEmpty) {
+                  val x = r.toLong; seen(i) = true; if (x > maxs(i)) maxs(i) = x }
+                case (SumOf(o), i) => val r = raw(o); if (r.nonEmpty) {
+                  sums(i) += r.toLong; seen(i) = true }
+                case (CountOf(o), i) => if (raw(o).nonEmpty) counts(i) += 1
                 case (CountRows, _) => ()
               }
               line = reader.readLine()
             }
           } finally reader.close()
         }
+        if (grouped && n == 0) return null // empty bucket: no group exists
         val aggVals: Seq[Any] = specs.zipWithIndex.map {
           case (CountRows, _) => n
-          case (MinOf(_), i) => if (n == 0) null else mins(i)
-          case (MaxOf(_), i) => if (n == 0) null else maxs(i)
-          case (SumOf(_), i) => if (n == 0) null else sums(i)
+          case (CountOf(_), i) => counts(i)
+          case (MinOf(_), i) => if (!seen(i)) null else mins(i)
+          case (MaxOf(_), i) => if (!seen(i)) null else maxs(i)
+          case (SumOf(_), i) => if (!seen(i)) null else sums(i)
         }
         val vals = (if (grouped) Seq(p.k) else Nil) ++ aggVals
         InternalRow(vals: _*)
@@ -191,7 +204,7 @@ private[source] class AggPushReaderFactory(specs: Seq[AggSpec], grouped: Boolean
 
       override def next(): Boolean =
         if (done) false
-        else { row = compute(); done = true; true }
+        else { row = compute(); done = true; row != null }
       override def get(): InternalRow = row
       override def close(): Unit = ()
     }

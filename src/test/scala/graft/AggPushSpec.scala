@@ -50,4 +50,23 @@ class AggPushSpec extends AnyFunSuite {
       assert(byC1.count() == 100L)
     } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
   }
+
+  test("an empty bucket emits NO spurious group row under grouped pushdown") {
+    val dir = TestSpark.tmpDir("aggpush-empty")
+    val data = (1 to 20).map(i => (i % 2, i.toLong, (i * 3).toLong))
+      .toDF("k", "c1", "c2")
+    KeyedDsv2.writeBucketed(data, dir)
+    // a bucket directory that exists but holds zero rows — e.g. a partition
+    // whose rows were all deleted; SQL says the group does not exist
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(dir, "k=7"))
+    val pushed = AggPushDsv2.read(spark, dir, "c1", "c2")
+      .groupBy(col("k")).agg(count(lit(1)).as("n"), min(col("c1")).as("lo"))
+    val raw = AggPushDsv2.read(spark, dir, "c1", "c2", push = false)
+      .groupBy(col("k")).agg(count(lit(1)).as("n"), min(col("c1")).as("lo"))
+    assert(pushed.count() === 2L, "only the two non-empty groups exist")
+    assert(pushed.exceptAll(raw).isEmpty && raw.exceptAll(pushed).isEmpty,
+      "pushed and raw plans must agree with an empty bucket present")
+  }
 }

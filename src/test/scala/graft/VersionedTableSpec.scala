@@ -347,4 +347,53 @@ class VersionedTableSpec extends AnyFunSuite {
       .collectLeaves().head.metrics("numFiles").value
     assert(prunedFiles < totalFiles, "pruned scan must open fewer files")
   }
+
+  test("deleteRange stamps its version: readAsOf after the delete never resurrects deleted rows") {
+    import org.apache.spark.sql.functions._
+    val dir = TestSpark.tmpDir("vt13") + "/t"
+    val df = spark.range(0, 100).select(col("id").as("k"), (col("id") * 2).as("v"))
+      .repartitionByRange(4, col("k"))
+    VersionedTable.write(df, dir, statsCols = Seq("k"))
+    val (v2, rewritten, total) = VersionedTable.deleteRange(
+      spark, dir, "k", lit(10L), lit(19L), Seq("k"))
+    assert(v2 === 2L && rewritten >= 1 && rewritten < total)
+    assert(VersionedTable.commitTimestamp(spark, dir, 2L).nonEmpty,
+      "the delete's version must carry _commit_ts like every commit")
+    // an instant AFTER the delete resolves to the post-delete snapshot —
+    // the unstamped-version bug silently resolved it to v1, returning the
+    // compliance-deleted rows
+    val after = VersionedTable.commitTimestamp(spark, dir, 2L).get
+    assert(VersionedTable.readAsOf(spark, dir, after)
+      .filter(col("k").between(10, 19)).count() === 0L,
+      "post-delete instant must not see the deleted band")
+  }
+
+  test("stale publish fails fast: the pointer never flips backward") {
+    import spark.implicits._
+    val dir = TestSpark.tmpDir("vt14") + "/t"
+    VersionedTable.write(Seq((1L, "v1")).toDF("k", "v"), dir)
+    // stage v2, then an intervening writer lands v2+v3 first (so the stage
+    // is stale); publishing it must be rejected, not flip 3 -> 2
+    val staged = VersionedTable.stage(Seq((2L, "staged")).toDF("k", "v"), dir)
+    assert(staged === 2L)
+    VersionedTable.write(Seq((2L, "won")).toDF("k", "v"), dir) // sweeps + lands 2
+    VersionedTable.write(Seq((3L, "won")).toDF("k", "v"), dir) // lands 3
+    val err = intercept[IllegalArgumentException] {
+      VersionedTable.publish(spark, dir, 2L)
+    }
+    assert(err.getMessage.contains("not the successor"))
+    assert(VersionedTable.currentVersion(spark, dir) === Some(3L),
+      "live version is untouched by the failed stale publish")
+  }
+
+  test("commit timestamps are strictly monotonic even when the clock does not move") {
+    import spark.implicits._
+    val dir = TestSpark.tmpDir("vt15") + "/t"
+    // commits land faster than the millisecond clock ticks; the
+    // predecessor+1 clamp must keep version order == timestamp order
+    (1 to 5).foreach(i => VersionedTable.write(Seq((i.toLong, "x")).toDF("k", "v"), dir))
+    val ts = (1L to 5L).map(v => VersionedTable.commitTimestamp(spark, dir, v).get)
+    assert(ts === ts.sorted && ts.distinct.length === ts.length,
+      s"stamps must strictly increase with version: $ts")
+  }
 }
