@@ -107,10 +107,10 @@ object VersionedTable {
   private[ops] def fsOf(spark: SparkSession, dir: String): FileSystem =
     new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
-  private[ops] def verDir(dir: String, v: Long): Path =
+  private[graft] def verDir(dir: String, v: Long): Path =
     new Path(dir, f"$VerPrefix$v%08d")
 
-  private[ops] def listVersions(fs: FileSystem, dir: String): Seq[Long] = {
+  private[graft] def listVersions(fs: FileSystem, dir: String): Seq[Long] = {
     val d = new Path(dir)
     if (!fs.exists(d)) Seq.empty
     else fs.listStatus(d).toSeq
@@ -136,7 +136,7 @@ object VersionedTable {
       } finally in.close()
     }
 
-  private[ops] def readPtr(fs: FileSystem, dir: String): Option[Long] =
+  private[graft] def readPtr(fs: FileSystem, dir: String): Option[Long] =
     readText(fs, new Path(dir, PtrName)).flatMap(_.trim.toLongOption)
 
   /** The streaming-transaction markers a version carries: appId → highest
@@ -154,7 +154,7 @@ object VersionedTable {
         readText(fs, st.getPath).flatMap(_.trim.toLongOption).map(app -> _)
       }.toMap
 
-  private[ops] def complete(fs: FileSystem, vd: Path): Boolean =
+  private[graft] def complete(fs: FileSystem, vd: Path): Boolean =
     fs.exists(new Path(vd, "_SUCCESS"))
 
   /** The live version: the pointer if it names a complete snapshot, else the

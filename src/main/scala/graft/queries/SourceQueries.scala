@@ -2568,5 +2568,97 @@ object SourceQueries {
         "q203: deleted nations must leave the view, not zero out")
       view.select(col("n"), col(IncrementalView.NCol).as("n_rows"),
         round(col("bal").cast("double"), 2).as("bal_sum"))
+    },
+
+    // ---------------------------------------------------------------- q221
+    // NATIVE change-feed streaming source (the public Delta-source design
+    // as a DSv2 MicroBatchStream, source/CdfStreamDsv2.scala): offsets ARE
+    // version numbers, so the checkpoint records "consumed through v" and
+    // a restart resumes from exactly the next commit; maxVersionsPerTrigger
+    // is per-trigger admission control; a gc'd or capture-less version
+    // inside the range fails the stream LOUDLY (the q209 contiguity
+    // contract, now enforced at the source). This replaces q203's parquet
+    // glob, which discovered files but had no version protocol. The entry
+    // drives the full lifecycle: v2+v3 consumed one version per trigger
+    // (pinned), a mid-stream commit (v4) picked up by the running query, a
+    // commit landing while the stream is DOWN (v5), and a checkpointed
+    // restart that consumes ONLY v5 — no replay, no loss (both pinned by
+    // the versions-seen ledger). The maintained view must equal a full
+    // recompute of v5 bit-exactly. The oracle rebuilds v5 and aggregates.
+    Q("q221_native_cdf_stream",
+      """WITH base AS (SELECT CAST(c_custkey AS BIGINT) AS k,
+        |    CAST(c_nationkey AS INT) AS n, CAST(c_acctbal AS DECIMAL(12,2)) AS b
+        |  FROM customer),
+        |sh AS (SELECT max(k) + 1 AS s FROM base),
+        |v2 AS (
+        |  SELECT k, n, CASE WHEN n <= 5 THEN CAST(b + 100 AS DECIMAL(12,2))
+        |    ELSE b END AS b
+        |  FROM base WHERE k % 10 <> 0
+        |  UNION ALL
+        |  SELECT k + (SELECT s FROM sh) AS k, n, b FROM base WHERE n >= 20),
+        |v3 AS (
+        |  SELECT k, n, CASE WHEN n BETWEEN 10 AND 12
+        |    THEN CAST(b + 7.5 AS DECIMAL(12,2)) ELSE b END AS b
+        |  FROM v2 WHERE k % 7 <> 0),
+        |v4 AS (SELECT k, n, b FROM v3 WHERE n < 23),
+        |v5 AS (SELECT k, n, b FROM v4 WHERE k % 5 <> 0)
+        |SELECT n, CAST(count(*) AS BIGINT) AS n_rows,
+        |  round(CAST(sum(b) AS DOUBLE), 2) AS bal_sum
+        |FROM v5 GROUP BY 1""".stripMargin) { (s, dir) =>
+      import graft.ops.{ChangeFeed, IncrementalView, VersionedTable}
+      import graft.source.CdfStream
+      val root = scratch(s, dir, "q221")
+      val ckpt = s"$root/_stream_ckpt"
+      cdfVersions(s, dir, root)
+      val spec = IncrementalView.Spec(Seq("n"), Seq("bal" -> col("b")))
+      var view = IncrementalView.full(
+        VersionedTable.readVersion(s, root, 1L), spec).localCheckpoint()
+      val versionsSeen = collection.mutable.ArrayBuffer.empty[(Long, Seq[Long])]
+      def fold(batch: org.apache.spark.sql.DataFrame, id: Long): Unit =
+        if (!batch.isEmpty) {
+          val b = batch.localCheckpoint()
+          versionsSeen.synchronized {
+            versionsSeen += id -> b.select(col(ChangeFeed.CommitVersion))
+              .distinct().collect().map(_.getLong(0)).toSeq.sorted
+          }
+          view = IncrementalView.merge(
+            view, IncrementalView.delta(b.drop(ChangeFeed.CommitVersion), spec),
+            spec).localCheckpoint()
+        }
+      def open() = CdfStream.read(s, root, startingVersion = Some(1L),
+          maxVersionsPerTrigger = Some(1))
+        .writeStream.option("checkpointLocation", ckpt)
+        .foreachBatch(fold _).start()
+      val q = open()
+      try {
+        q.processAllAvailable() // v2, v3 — one version per trigger
+        require(versionsSeen.forall(_._2.size == 1),
+          s"q221: admission control must cap each trigger at one version: $versionsSeen")
+        require(versionsSeen.flatMap(_._2).sorted == Seq(2L, 3L),
+          s"q221: v2 and v3 expected before the mid-stream commit: $versionsSeen")
+        // a commit lands while the query RUNS: two nations deleted
+        require(ChangeFeed.commit(
+          VersionedTable.read(s, root).filter(col("n") < 23), root, Seq("k")) == 4L,
+          "q221: the mid-stream commit must be v4")
+        q.processAllAvailable()
+        require(versionsSeen.flatMap(_._2).sorted == Seq(2L, 3L, 4L),
+          s"q221: the running stream must pick up v4: $versionsSeen")
+      } finally q.stop()
+      // a commit lands while the stream is DOWN; the checkpointed offset
+      // (a version number) makes the restart consume exactly v5
+      require(ChangeFeed.commit(
+        VersionedTable.read(s, root).filter(col("k") % 5 =!= 0), root, Seq("k")) == 5L,
+        "q221: the while-down commit must be v5")
+      versionsSeen.clear()
+      val q2 = open()
+      try q2.processAllAvailable() finally q2.stop()
+      require(versionsSeen.flatMap(_._2).sorted == Seq(5L),
+        s"q221: restart must resume from the checkpointed version, got $versionsSeen")
+      val direct = IncrementalView.full(
+        VersionedTable.readVersion(s, root, 5L), spec)
+      require(view.exceptAll(direct).isEmpty && direct.exceptAll(view).isEmpty,
+        "q221: the stream-maintained view must equal the full recompute exactly")
+      view.select(col("n"), col(IncrementalView.NCol).as("n_rows"),
+        round(col("bal").cast("double"), 2).as("bal_sum"))
     })
 }

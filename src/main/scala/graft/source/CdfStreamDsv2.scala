@@ -1,0 +1,286 @@
+package graft.source
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, ReadMaxRows, SupportsAdmissionControl}
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+
+import graft.ops.VersionedTable
+
+/** A NATIVE streaming source over the change feed — the public Delta
+  * streaming-source design (version-ordered offsets + admission control) as
+  * a DSv2 `MicroBatchStream`, replacing the q203 parquet-glob workaround
+  * which discovered `_cdf` files by listing but had no version protocol:
+  * no version-ordered offsets, no per-trigger admission, and a gc'd
+  * version would just silently vanish from the glob.
+  *
+  * Offsets ARE version numbers: offset V = "all changes of committed
+  * versions <= V consumed". `latestOffset` resolves the table's live
+  * committed version through the same `_ptr`-with-fallback rule every
+  * batch reader uses; `planInputPartitions(start, end)` plans one input
+  * partition per `_cdf` parquet file of each version in `(start, end]`,
+  * enforcing the q209-class contiguity guard — a gc'd or capture-less
+  * version inside the range fails LOUDLY instead of dropping its changes
+  * from the feed. `maxVersionsPerTrigger` bounds each micro-batch
+  * (admission control via `SupportsAdmissionControl`, the Kafka
+  * `maxOffsetsPerTrigger` contract with versions as the unit), and offsets
+  * serialize as the bare version number, so a restart resumes from the
+  * checkpointed version — exactly-once composes with the idempotent
+  * foreachBatch sinks unchanged.
+  *
+  * Starting position: `startingVersion` (default 0 = from the beginning of
+  * retained history) or `startingTimestamp` (ms) — resolved against the
+  * monotonic `_commit_ts` stamps to the latest version committed at or
+  * before the instant (its changes are NOT replayed; the stream begins
+  * with the next commit — Delta's `startingTimestamp` rounds the same
+  * way); an instant before the first retained commit fails loudly.
+  *
+  * The executor-side reader decodes the `_cdf` parquet files with the
+  * parquet-hadoop Group API (the engine-independent record surface of the
+  * parquet library Spark itself ships) — schema-by-name, so captures
+  * written before an add-column evolution read null-padded, the same
+  * convention as the batch feed. `_commit_version` is synthesized from the
+  * partition's version, never stored.
+  */
+class CdfStreamSource extends TableProvider {
+  // the change schema is supplied by [[CdfStream.read]] (table schema +
+  // _change_type + _commit_version) — external metadata, like any catalog
+  override def supportsExternalMetadata(): Boolean = true
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    sys.error("CdfStreamSource: pass the change schema explicitly " +
+      "(use graft.source.CdfStream.read)")
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: java.util.Map[String, String]): Table =
+    new CdfStreamTable(schema, new CaseInsensitiveStringMap(properties))
+}
+
+private[source] class CdfStreamTable(schema0: StructType,
+    options: CaseInsensitiveStringMap) extends Table with SupportsRead {
+  private val path = Option(options.get("path")).getOrElse(sys.error("path option required"))
+  override def name(): String = s"cdf_stream($path)"
+  override def schema(): StructType = schema0
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.MICRO_BATCH_READ)
+  override def newScanBuilder(o: CaseInsensitiveStringMap): ScanBuilder =
+    () => new CdfStreamScan(path, schema0, o)
+}
+
+private[source] class CdfStreamScan(path: String, schema: StructType,
+    options: CaseInsensitiveStringMap) extends Scan {
+  override def readSchema(): StructType = schema
+  override def description(): String = s"CdfStreamScan [$path]"
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+    new CdfMicroBatchStream(path, schema,
+      Option(options.get("startingVersion")).map(_.toLong),
+      Option(options.get("startingTimestamp")).map(_.toLong),
+      Option(options.get("maxVersionsPerTrigger")).map(_.toInt))
+}
+
+/** Version-number offset: `json` is the bare version, so checkpoint offset
+  * logs are human-auditable against the table's `_v-N` inventory.
+  */
+private[source] case class VersionOffset(v: Long) extends Offset {
+  override def json: String = v.toString
+}
+
+private[source] class CdfMicroBatchStream(path: String, schema: StructType,
+    startingVersion: Option[Long], startingTimestamp: Option[Long],
+    maxVersionsPerTrigger: Option[Int])
+    extends MicroBatchStream with SupportsAdmissionControl {
+
+  require(startingVersion.isEmpty || startingTimestamp.isEmpty,
+    "cdf stream: startingVersion and startingTimestamp are mutually exclusive")
+  require(maxVersionsPerTrigger.forall(_ >= 1),
+    "cdf stream: maxVersionsPerTrigger must be >= 1")
+
+  private def fs = new Path(path).getFileSystem(new Configuration())
+
+  /** The live committed version (pointer with highest-complete fallback —
+    * the same resolution rule as [[VersionedTable.currentVersion]]).
+    */
+  private def live(): Long = {
+    val f = fs
+    VersionedTable.readPtr(f, path)
+      .filter(v => VersionedTable.complete(f, VersionedTable.verDir(path, v)))
+      .orElse(VersionedTable.listVersions(f, path)
+        .filter(v => VersionedTable.complete(f, VersionedTable.verDir(path, v)))
+        .lastOption)
+      .getOrElse(0L)
+  }
+
+  override def initialOffset(): Offset = startingTimestamp match {
+    // default = changes from NOW on (Delta's rule when no start is given):
+    // the live version is the base offset, only later commits stream
+    case None => VersionOffset(startingVersion.getOrElse(live()))
+    case Some(ts) =>
+      // latest version committed at or before the instant — the stream
+      // starts AFTER it (as-of semantics, aligned with readAsOf)
+      val f = fs
+      val spark = SparkSession.active
+      val stamped = VersionedTable.listVersions(f, path)
+        .filter(v => VersionedTable.complete(f, VersionedTable.verDir(path, v)))
+        .map(v => v -> graft.ops.VersionedTable.commitTimestamp(spark, path, v)
+          .getOrElse(sys.error(s"cdf stream($path): version $v has no " +
+            "_commit_ts — startingTimestamp is unsafe on unstamped history")))
+      val base = stamped.filter(_._2 <= ts).map(_._1).lastOption.getOrElse(
+        sys.error(s"cdf stream($path): startingTimestamp $ts predates the " +
+          "oldest retained commit — replay from a snapshot instead"))
+      VersionOffset(base)
+  }
+
+  override def getDefaultReadLimit: ReadLimit =
+    maxVersionsPerTrigger.map(n => ReadLimit.maxRows(n.toLong))
+      .getOrElse(ReadLimit.allAvailable())
+
+  override def latestOffset(): Offset =
+    sys.error("cdf stream: latestOffset(start, limit) is the admission-control path")
+
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val s = start.asInstanceOf[VersionOffset].v
+    val end = live().max(s)
+    limit match {
+      case r: ReadMaxRows => VersionOffset(math.min(end, s + r.maxRows()))
+      case _ => VersionOffset(end)
+    }
+  }
+
+  override def reportLatestOffset(): Offset = VersionOffset(live())
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[VersionOffset].v
+    val e = end.asInstanceOf[VersionOffset].v
+    if (e <= s) return Array.empty
+    val f = fs
+    (s + 1 to e).flatMap { v =>
+      val vd = VersionedTable.verDir(path, v)
+      // contiguity + capture guard: a gc'd version or one committed without
+      // capture would silently drop its changes from every downstream replay
+      require(VersionedTable.complete(f, vd),
+        s"cdf stream($path): version $v is expired or missing — the feed " +
+          "has a gap; restart from a retained snapshot instead")
+      val cdf = new Path(vd, "_cdf")
+      require(f.exists(cdf),
+        s"cdf stream($path): version $v has no change capture — every " +
+          "commit on a streamed table must go through ChangeFeed.commit")
+      f.listStatus(cdf).toSeq
+        .filter(st => st.isFile && !st.getPath.getName.startsWith("_") &&
+          !st.getPath.getName.startsWith("."))
+        .map(st => CdfFilePartition(v, st.getPath.toString): InputPartition)
+    }.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new CdfReaderFactory(schema)
+
+  override def deserializeOffset(json: String): Offset = VersionOffset(json.toLong)
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+}
+
+private[source] case class CdfFilePartition(version: Long, file: String)
+  extends InputPartition
+
+/** Decodes one `_cdf` parquet file to [[InternalRow]]s via the parquet
+  * Group API: fields resolve BY NAME against the requested schema (absent
+  * columns read null — add-column evolution), `_commit_version` comes from
+  * the partition. Supported leaf types cover the feed surface: integral,
+  * floating, string, boolean, date, decimal(<=18) and micros timestamps.
+  */
+private[source] class CdfReaderFactory(schema: StructType)
+    extends PartitionReaderFactory {
+
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[CdfFilePartition]
+    new PartitionReader[InternalRow] {
+      import org.apache.parquet.hadoop.ParquetReader
+      import org.apache.parquet.hadoop.example.GroupReadSupport
+      import org.apache.parquet.example.data.Group
+
+      private val reader: ParquetReader[Group] =
+        ParquetReader.builder(new GroupReadSupport(), new Path(p.file))
+          .withConf(new Configuration()).build()
+      private var row: InternalRow = _
+
+      private def convert(g: Group): InternalRow = {
+        val fileType = g.getType
+        val vals = schema.fields.map { f =>
+          if (f.name == graft.ops.ChangeFeed.CommitVersion) p.version
+          else if (!fileType.containsField(f.name)) null // pre-evolution capture
+          else {
+            val idx = fileType.getFieldIndex(f.name)
+            if (g.getFieldRepetitionCount(idx) == 0) null
+            else f.dataType match {
+              case LongType => g.getLong(idx, 0)
+              case IntegerType => g.getInteger(idx, 0)
+              case DoubleType => g.getDouble(idx, 0)
+              case FloatType => g.getFloat(idx, 0)
+              case BooleanType => g.getBoolean(idx, 0)
+              case StringType =>
+                org.apache.spark.unsafe.types.UTF8String
+                  .fromBytes(g.getBinary(idx, 0).getBytes)
+              case DateType => g.getInteger(idx, 0)
+              case TimestampType | TimestampNTZType => g.getLong(idx, 0) // micros
+              case d: DecimalType if d.precision <= 18 =>
+                // Spark stores p<=9 decimals as INT32, p<=18 as INT64
+                val unscaled =
+                  fileType.getType(idx).asPrimitiveType().getPrimitiveTypeName match {
+                    case org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName.INT32 =>
+                      g.getInteger(idx, 0).toLong
+                    case _ => g.getLong(idx, 0)
+                  }
+                org.apache.spark.sql.types.Decimal
+                  .createUnsafe(unscaled, d.precision, d.scale)
+              case other => sys.error(
+                s"cdf stream: unsupported change-column type $other (${f.name})")
+            }
+          }
+        }
+        InternalRow(vals.toIndexedSeq: _*)
+      }
+
+      override def next(): Boolean = {
+        val g = reader.read()
+        if (g == null) false else { row = convert(g); true }
+      }
+      override def get(): InternalRow = row
+      override def close(): Unit = reader.close()
+    }
+  }
+}
+
+object CdfStream {
+
+  /** The feed's streaming schema: the live snapshot's columns plus the CDF
+    * metadata columns — derivable with no captured version on disk yet.
+    */
+  def changeSchema(spark: SparkSession, tableDir: String): StructType =
+    StructType(
+      spark.read.parquet(VersionedTable.liveDir(spark, tableDir)).schema.fields
+        .toSeq :+
+        StructField(graft.ops.ChangeFeed.ChangeType, StringType) :+
+        StructField(graft.ops.ChangeFeed.CommitVersion, LongType, nullable = false))
+
+  /** Open the table's change feed as a streaming DataFrame with
+    * version-number offsets. Options mirror the public Delta source:
+    * `startingVersion` / `startingTimestamp` pick the base offset,
+    * `maxVersionsPerTrigger` bounds admission per micro-batch.
+    */
+  def read(spark: SparkSession, tableDir: String,
+      startingVersion: Option[Long] = None,
+      startingTimestamp: Option[Long] = None,
+      maxVersionsPerTrigger: Option[Int] = None): DataFrame = {
+    var r = spark.readStream.format(classOf[CdfStreamSource].getName)
+      .schema(changeSchema(spark, tableDir))
+      .option("path", tableDir)
+    startingVersion.foreach(v => r = r.option("startingVersion", v.toString))
+    startingTimestamp.foreach(t => r = r.option("startingTimestamp", t.toString))
+    maxVersionsPerTrigger.foreach(n => r = r.option("maxVersionsPerTrigger", n.toString))
+    r.load()
+  }
+}
