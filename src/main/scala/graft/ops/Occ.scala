@@ -148,11 +148,21 @@ object Occ {
     * interesting interleaving lives in; tests use it to race a second
     * writer, production leaves it default.
     *
+    * `captureKeys` composes CDF with OCC (the Delta rebase contract):
+    * when set, each ATTEMPT diffs its staged snapshot against the base it
+    * read and persists the changes under `stage/_cdf` BEFORE the claim —
+    * the capture rides the marker+rename commit point atomically, so a
+    * version is never live without its change files and a crashed
+    * finalization carries them through roll-forward. A rebased loser
+    * recomputes the capture against the WINNER's snapshot (the staged diff
+    * a Delta rebase re-derives), never ships the stale diff.
+    *
     * @throws CommitConflictException when a commit since the read version
     *         overlaps `writeSet` — the staged dir is deleted first, so a
     *         loser leaves NO torn state.
     */
-  def commit(spark: SparkSession, dir: String, writeSet: Set[String])
+  def commit(spark: SparkSession, dir: String, writeSet: Set[String],
+      captureKeys: Option[Seq[String]] = None)
       (mutate: Option[DataFrame] => DataFrame, maxRebases: Int = 10,
        hook: () => Unit = () => ()): Committed = {
     require(writeSet.nonEmpty, "Occ.commit: declare a write set (or Set(\"*\"))")
@@ -170,6 +180,10 @@ object Occ {
       mutate(snapshot).write.mode(SaveMode.Overwrite).parquet(stage.toString)
       require(VersionedTable.complete(fs, stage),
         s"Occ.commit: staged $stage missing _SUCCESS")
+      captureKeys.foreach { keys =>
+        ChangeFeed.diff(snapshot, spark.read.parquet(stage.toString), keys)
+          .write.mode(SaveMode.Overwrite).parquet(new Path(stage, "_cdf").toString)
+      }
       hook()
       // conflict check BEFORE the claim (cheap reject), and the claim itself
       // re-checks by construction: losing the create-if-absent race means a

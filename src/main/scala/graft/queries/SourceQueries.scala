@@ -2660,5 +2660,85 @@ object SourceQueries {
         "q221: the stream-maintained view must equal the full recompute exactly")
       view.select(col("n"), col(IncrementalView.NCol).as("n_rows"),
         round(col("bal").cast("double"), 2).as("bal_sum"))
+    },
+
+    // ---------------------------------------------------------------- q222
+    // CDF capture UNDER optimistic concurrency (Delta's rebase contract,
+    // ops/Occ.scala captureKeys): each commit ATTEMPT diffs its staged
+    // snapshot against the base it read and stages the capture inside the
+    // stage dir, so the atomic claim + idempotent rename carry data and
+    // feed together — a version is never live without its change files,
+    // under any interleaving. The entry races two disjoint writers (B
+    // commits inside A's stage-to-claim window, A rebases exactly once —
+    // pinned), then requires the REBASED v3 capture to equal the snapshot
+    // diff against the WINNER's v2 (a stale diff against v1 would claim
+    // update preimages B already changed), feed replay v1→v3 to land on
+    // the live table bit-exactly, and an overlapping third writer to fail
+    // cleanly leaving zero stages. Scale shape: capture reuses the diff
+    // shuffle the merge pays anyway; a rebase pays one extra staged write —
+    // the price of lock-freedom. The oracle composes both disjoint
+    // mutations on the base table.
+    Q("q222_occ_cdf_rebase",
+      """WITH base AS (SELECT CAST(c_custkey AS BIGINT) AS k,
+        |    CAST(c_nationkey AS INT) AS n, CAST(c_acctbal AS DECIMAL(12,2)) AS b
+        |  FROM customer),
+        |final AS (SELECT k, n,
+        |  CASE WHEN n >= 20 THEN CAST(b + 100 AS DECIMAL(12,2))
+        |       WHEN n <= 5 THEN CAST(b + 7.5 AS DECIMAL(12,2))
+        |       ELSE b END AS b
+        |  FROM base)
+        |SELECT n, CAST(count(*) AS BIGINT) AS n_rows,
+        |  round(CAST(sum(b) AS DOUBLE), 2) AS bal_sum
+        |FROM final GROUP BY 1""".stripMargin) { (s, dir) =>
+      import graft.ops.{ChangeFeed, Occ, VersionedTable}
+      val root = scratch(s, dir, "q222")
+      val keys = Some(Seq("k"))
+      val base = Tables.load(s, dir, "customer")
+        .select(col("c_custkey").cast("long").as("k"),
+          col("c_nationkey").cast("int").as("n"),
+          col("c_acctbal").cast("decimal(12,2)").as("b"))
+      Occ.commit(s, root, Set("*"), keys)(_ => base)
+      def bump(cond: org.apache.spark.sql.Column, by: String)(
+          snap: Option[org.apache.spark.sql.DataFrame]) =
+        snap.get.withColumn("b", when(cond,
+          col("b") + lit(new java.math.BigDecimal(by)))
+          .otherwise(col("b")).cast("decimal(12,2)"))
+      var fired = false
+      val a = Occ.commit(s, root, Set("lo"), keys)(
+        bump(col("n") <= 5, "7.5"),
+        hook = () => if (!fired) {
+          fired = true // B wins the race inside A's stage-to-claim window
+          Occ.commit(s, root, Set("hi"), keys)(bump(col("n") >= 20, "100")); ()
+        })
+      require(a.rebased == 1 && a.version == 3L,
+        s"q222: A must land as v3 after exactly one rebase, got $a")
+      // the rebased capture was recomputed against the winner's snapshot
+      for (v <- 2L to 3L) {
+        val cap = ChangeFeed.tableChanges(s, root, v - 1, v, Seq("k"))
+          .drop(ChangeFeed.CommitVersion)
+        val dif = ChangeFeed.snapshotDiff(s, root, v, Seq("k"))
+        require(cap.exceptAll(dif).isEmpty && dif.exceptAll(cap).isEmpty,
+          s"q222: v$v capture must equal its snapshot diff")
+      }
+      val replayed = ChangeFeed.apply(
+        Some(VersionedTable.readVersion(s, root, 1L)),
+        ChangeFeed.tableChanges(s, root, 1L, 3L, Seq("k")), Seq("k"))
+      val live = VersionedTable.read(s, root)
+      require(replayed.exceptAll(live).isEmpty && live.exceptAll(replayed).isEmpty,
+        "q222: v1 + feed must reproduce the raced-to snapshot")
+      // negative control: an overlapping writer fails cleanly, no torn state
+      val clash = try {
+        Occ.commit(s, root, Set("lo"), keys)(bump(col("n") <= 5, "1"),
+          hook = () => { Occ.commit(s, root, Set("lo"), keys)(
+            bump(col("n") <= 2, "2")); () })
+        false
+      } catch { case _: Occ.CommitConflictException => true }
+      require(clash, "q222: overlapping write sets must conflict")
+      require(Occ.sweepStages(s, root) == 0,
+        "q222: the conflict loser must have deleted its own stage")
+      VersionedTable.readVersion(s, root, 3L)
+        .groupBy(col("n"))
+        .agg(count(lit(1)).cast("bigint").as("n_rows"),
+          round(sum(col("b")).cast("double"), 2).as("bal_sum"))
     })
 }

@@ -146,6 +146,55 @@ class OccSpec extends AnyFunSuite {
     assert(tagOf(dir, 5) == "A")
   }
 
+  test("capture under rebase: the loser's feed is recomputed against the winner's snapshot") {
+    import graft.ops.ChangeFeed
+    val dir = TestSpark.tmpDir("occ-capture")
+    val keys = Some(Seq("k"))
+    val base = (1 to 100).map(i => (i.toLong, "base")).toDF("k", "tag")
+    Occ.commit(spark, dir, Set("*"), keys)(_ => base)
+    var fired = false
+    val a = Occ.commit(spark, dir, Set("lo"), keys)(
+      mutateRange(1, 10, "A"),
+      hook = () => if (!fired) {
+        fired = true
+        Occ.commit(spark, dir, Set("hi"), keys)(mutateRange(90, 100, "B")); ()
+      })
+    assert(a.rebased == 1 && a.version == 3L)
+    // every version carries its capture, and the REBASED v3 capture is the
+    // diff against the WINNER's v2 (10 update pairs), not the stale v1 diff
+    for (v <- 2L to 3L)
+      assert(ChangeFeed.tableChanges(spark, dir, v - 1, v, Seq("k"))
+        .drop(ChangeFeed.CommitVersion)
+        .exceptAll(ChangeFeed.snapshotDiff(spark, dir, v, Seq("k"))).isEmpty,
+        s"v$v capture must equal its snapshot diff")
+    // feed completeness across the whole race: v1 + changes == live
+    val replayed = ChangeFeed.apply(Some(VersionedTable.readVersion(spark, dir, 1L)),
+      ChangeFeed.tableChanges(spark, dir, 1L, 3L, Seq("k")), Seq("k"))
+    assert(replayed.exceptAll(live(dir)).isEmpty && live(dir).exceptAll(replayed).isEmpty)
+  }
+
+  test("capture survives a crashed finalization: roll-forward carries the change files") {
+    import graft.ops.ChangeFeed
+    val dir = TestSpark.tmpDir("occ-capture-crash")
+    val base = (1 to 50).map(i => (i.toLong, "base")).toDF("k", "tag")
+    Occ.commit(spark, dir, Set("*"), Some(Seq("k")))(_ => base)
+    // crashed-winner state: staged dir WITH its _cdf + marker, no rename
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val stageName = "_stage-crashed-capture"
+    val staged = mutateRange(1, 5, "A")(Some(live(dir)))
+    staged.write.parquet(s"$dir/$stageName")
+    ChangeFeed.diff(Some(live(dir)), spark.read.parquet(s"$dir/$stageName"), Seq("k"))
+      .write.parquet(s"$dir/$stageName/_cdf")
+    val out = fs.create(new org.apache.hadoop.fs.Path(dir, "_commit-00000002"), false)
+    out.write(s"$stageName\nlo".getBytes("UTF-8")); out.close()
+    Occ.finalizePending(spark, dir)
+    assert(VersionedTable.currentVersion(spark, dir).contains(2L))
+    val cap = ChangeFeed.tableChanges(spark, dir, 1L, 2L, Seq("k"))
+    assert(cap.filter(col(ChangeFeed.ChangeType) === "update_postimage").count() == 5L,
+      "the rolled-forward version must carry its staged capture")
+  }
+
   test("threaded disjoint writers: both land without orchestration") {
     val dir = TestSpark.tmpDir("occ-threads")
     seed(dir)
