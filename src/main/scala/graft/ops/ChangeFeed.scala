@@ -167,6 +167,40 @@ object ChangeFeed {
     }.reduce(_.unionByName(_, allowMissingColumns = true))
   }
 
+  /** Timestamp-bounded `table_changes` (Delta's timestamp form): resolve
+    * `[fromTs, toTs]` against the MONOTONIC `_commit_ts` stamps — from =
+    * the earliest version committed at or after `fromTs`, to = the latest
+    * committed at or before `toTs` — then read that version range through
+    * [[tableChanges]], inheriting its contiguity guard. Loud failures
+    * everywhere silence would corrupt: an instant before the first
+    * retained commit (the replay base is gone), a window after the last
+    * commit (nothing to read — the caller's clock is wrong), and any
+    * unstamped version in retained history (resolution is unsafe).
+    */
+  def tableChangesBetween(spark: SparkSession, dir: String, fromTs: Long,
+      toTs: Long, keyCols: Seq[String]): DataFrame = {
+    require(fromTs <= toTs,
+      s"tableChangesBetween($dir): fromTs $fromTs > toTs $toTs")
+    val fs = VersionedTable.fsOf(spark, dir)
+    val live = VersionedTable.currentVersion(spark, dir).getOrElse(
+      sys.error(s"tableChangesBetween($dir): no complete snapshot"))
+    val stamped = VersionedTable.listVersions(fs, dir)
+      .filter(v => v <= live &&
+        VersionedTable.complete(fs, VersionedTable.verDir(dir, v)))
+      .map(v => v -> VersionedTable.commitTimestamp(spark, dir, v).getOrElse(
+        sys.error(s"tableChangesBetween($dir): version $v has no commit " +
+          "timestamp — resolution over unstamped history is unsafe")))
+    require(toTs >= stamped.head._2,
+      s"tableChangesBetween($dir): window ends at $toTs, before the oldest " +
+        s"retained commit (${stamped.head._2}) — replay from a snapshot instead")
+    val from = stamped.find(_._2 >= fromTs).map(_._1).getOrElse(
+      sys.error(s"tableChangesBetween($dir): no commit at or after $fromTs"))
+    val to = stamped.filter(_._2 <= toTs).map(_._1).last
+    require(from <= to,
+      s"tableChangesBetween($dir): the window [$fromTs, $toTs] contains no commits")
+    tableChanges(spark, dir, from - 1, to, keyCols)
+  }
+
   /** Column-level change accounting — which DATA columns each update
     * actually touched (the column-level CDC audit engines layer over
     * row-level feeds). Computed post-hoc from the feed: pre/postimage rows

@@ -2740,5 +2740,74 @@ object SourceQueries {
         .groupBy(col("n"))
         .agg(count(lit(1)).cast("bigint").as("n_rows"),
           round(sum(col("b")).cast("double"), 2).as("bal_sum"))
+    },
+
+    // ---------------------------------------------------------------- q223
+    // Timestamp-bounded table_changes (Delta's timestamp form of CDF,
+    // composed from q220's monotonic _commit_ts stamps and the q200 feed):
+    // `tableChangesBetween(fromTs, toTs)` resolves the instants to the
+    // version range [earliest commit >= fromTs, latest commit <= toTs] and
+    // reads it through the same contiguity-guarded feed. The entry pins
+    // the resolution against the version form (bit-equal), then the three
+    // loud-failure edges: a window ending before the first retained commit,
+    // a window starting after the last commit, and an empty between-commits
+    // window — each the silent-corruption path if it returned an empty
+    // frame instead. Timestamps are runtime values, so they only pick the
+    // window; the OUTPUT is the deterministic v2+v3 change accounting the
+    // oracle rebuilds (same change model as q200, scoped to v2..v3).
+    Q("q223_cdf_between_timestamps",
+      """WITH base AS (SELECT CAST(c_custkey AS BIGINT) AS k,
+        |    CAST(c_nationkey AS INT) AS n, CAST(c_acctbal AS DECIMAL(12,2)) AS b
+        |  FROM customer),
+        |sh AS (SELECT max(k) + 1 AS s FROM base),
+        |v2 AS (
+        |  SELECT k, n, CASE WHEN n <= 5 THEN CAST(b + 100 AS DECIMAL(12,2))
+        |    ELSE b END AS b
+        |  FROM base WHERE k % 10 <> 0
+        |  UNION ALL
+        |  SELECT k + (SELECT s FROM sh) AS k, n, b FROM base WHERE n >= 20),
+        |changes AS (
+        |  SELECT 2 AS v, 'delete' AS t, b FROM base WHERE k % 10 = 0
+        |  UNION ALL SELECT 2, 'update_preimage', b
+        |    FROM base WHERE k % 10 <> 0 AND n <= 5
+        |  UNION ALL SELECT 2, 'update_postimage', CAST(b + 100 AS DECIMAL(12,2))
+        |    FROM base WHERE k % 10 <> 0 AND n <= 5
+        |  UNION ALL SELECT 2, 'insert', b FROM base WHERE n >= 20
+        |  UNION ALL SELECT 3, 'delete', b FROM v2 WHERE k % 7 = 0
+        |  UNION ALL SELECT 3, 'update_preimage', b
+        |    FROM v2 WHERE k % 7 <> 0 AND n BETWEEN 10 AND 12
+        |  UNION ALL SELECT 3, 'update_postimage', CAST(b + 7.5 AS DECIMAL(12,2))
+        |    FROM v2 WHERE k % 7 <> 0 AND n BETWEEN 10 AND 12)
+        |SELECT CAST(v AS BIGINT) AS commit_version, t AS change_type,
+        |  CAST(count(*) AS BIGINT) AS n_rows,
+        |  round(CAST(sum(b) AS DOUBLE), 2) AS bal_sum
+        |FROM changes GROUP BY 1, 2""".stripMargin) { (s, dir) =>
+      import graft.ops.{ChangeFeed, VersionedTable}
+      val root = scratch(s, dir, "q223")
+      cdfVersions(s, dir, root)
+      val ts = (1L to 3L).map(v =>
+        v -> VersionedTable.commitTimestamp(s, root, v).get).toMap
+      // the timestamp window [t(v2), t(v3)] resolves to versions 2..3 and
+      // must equal the version form bit-exactly
+      val byTs = ChangeFeed.tableChangesBetween(s, root, ts(2L), ts(3L), Seq("k"))
+      val byV = ChangeFeed.tableChanges(s, root, 1L, 3L, Seq("k"))
+      require(byTs.exceptAll(byV).isEmpty && byV.exceptAll(byTs).isEmpty,
+        "q223: the timestamp window must resolve to the same feed as the version range")
+      def loud(f: => Any): Boolean = try { f; false } catch { case _: Throwable => true }
+      require(loud(ChangeFeed.tableChangesBetween(
+        s, root, ts(1L) - 10, ts(1L) - 1, Seq("k"))),
+        "q223: a window before the first retained commit must fail loudly")
+      require(loud(ChangeFeed.tableChangesBetween(
+        s, root, ts(3L) + 1, ts(3L) + 10, Seq("k"))),
+        "q223: a window after the last commit must fail loudly")
+      // an empty between-commits window (when the stamps leave a gap)
+      if (ts(3L) - ts(2L) >= 2)
+        require(loud(ChangeFeed.tableChangesBetween(
+          s, root, ts(2L) + 1, ts(3L) - 1, Seq("k"))),
+          "q223: a window containing no commits must fail loudly")
+      byTs.groupBy(col(ChangeFeed.CommitVersion).as("commit_version"),
+          col(ChangeFeed.ChangeType).as("change_type"))
+        .agg(count(lit(1)).cast("bigint").as("n_rows"),
+          round(sum(col("b")).cast("double"), 2).as("bal_sum"))
     })
 }
