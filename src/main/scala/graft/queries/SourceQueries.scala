@@ -2809,5 +2809,105 @@ object SourceQueries {
           col(ChangeFeed.ChangeType).as("change_type"))
         .agg(count(lit(1)).cast("bigint").as("n_rows"),
           round(sum(col("b")).cast("double"), 2).as("bal_sum"))
+    },
+
+    // ---------------------------------------------------------------- q224
+    // DELETION VECTORS (ops/DeletionVectors.scala — the public Delta /
+    // Iceberg-v3 row-bitmap design): a delete commit mutates ZERO data
+    // bytes — every data file rides into the next version as a raw byte
+    // copy (name+size+checksum pinned in-query) and the deleted positions
+    // land as a RoaringBitmap-per-file `_dv` parquet sidecar; readers
+    // apply the vectors through `_metadata.row_index` as a declarative
+    // anti-join that is O(deleted), never O(table). The entry drives the
+    // full lifecycle: DV delete with CDF capture (feed replay onto v1
+    // lands on the DV-applied snapshot), a SECOND delete that unions
+    // bitmaps (re-deleting dead rows is a no-op — cardinality pinned),
+    // the sidecar beating the equivalent position-delete parquet on bytes
+    // (the format's reason to exist), and compaction folding the vectors
+    // into clean files with an EMPTY capture (dataChange=false) through
+    // the crash-safe swap. At 100 TB this is kilobytes of bitmap instead
+    // of re-encoded terabytes per compliance delete. The oracle applies
+    // both delete predicates to the base table.
+    Q("q224_deletion_vectors",
+      """WITH v1 AS (SELECT CAST(o_orderkey AS BIGINT) AS okey,
+        |    o_orderpriority AS opri,
+        |    CAST(o_totalprice AS DECIMAL(12,2)) AS total
+        |  FROM orders),
+        |v3 AS (SELECT * FROM v1 WHERE okey % 10 <> 0 AND okey % 7 <> 0)
+        |SELECT opri, CAST(count(*) AS BIGINT) AS n_rows,
+        |  round(CAST(sum(total) AS DOUBLE), 2) AS total_sum
+        |FROM v3 GROUP BY 1""".stripMargin) { (s, dir) =>
+      import graft.ops.{ChangeFeed, DeletionVectors, VersionedTable}
+      val root = scratch(s, dir, "q224")
+      val fsys = new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      def dataFiles(v: Long) =
+        fsys.listStatus(VersionedTable.verDir(root, v))
+          .filter(st => st.isFile && !st.getPath.getName.startsWith("_") &&
+            !st.getPath.getName.startsWith("."))
+          .map(st => st.getPath.getName -> st.getLen).toMap
+      val base = Tables.load(s, dir, "orders")
+        .select(col("o_orderkey").cast("long").as("okey"),
+          col("o_orderpriority").as("opri"),
+          col("o_totalprice").cast("decimal(12,2)").as("total"))
+        .repartition(4)
+      VersionedTable.write(base, root)
+      val inventory1 = dataFiles(1L)
+      val (v2, n1) = DeletionVectors.delete(s, root, col("okey") % 10 === 0,
+        capture = true)
+      require(v2 == 2L && n1 > 0, "q224: the first DV delete must land as v2")
+      require(dataFiles(2L) == inventory1,
+        "q224: a DV delete must carry every data file as a raw copy")
+      inventory1.keys.foreach { f =>
+        require(fsys.getFileChecksum(new org.apache.hadoop.fs.Path(
+            VersionedTable.verDir(root, 1L), f)) ==
+          fsys.getFileChecksum(new org.apache.hadoop.fs.Path(
+            VersionedTable.verDir(root, 2L), f)),
+          s"q224: data file $f must be byte-identical across the delete")
+      }
+      // the feed captured exactly the deletes; replay lands on the DV read
+      val feed = ChangeFeed.tableChanges(s, root, 1L, 2L, Seq("okey"))
+      require(feed.filter(col(ChangeFeed.ChangeType) =!= "delete").isEmpty,
+        "q224: a DV delete captures only delete rows")
+      val replayed = ChangeFeed.apply(
+        Some(VersionedTable.readVersion(s, root, 1L)), feed, Seq("okey"))
+      val dvRead = DeletionVectors.readVersion(s, root, 2L)
+      require(replayed.exceptAll(dvRead).isEmpty && dvRead.exceptAll(replayed).isEmpty,
+        "q224: feed replay must land on the DV-applied snapshot")
+      // bitmap sidecar undercuts the equivalent position-delete parquet
+      val dvBytes = fsys.getContentSummary(new org.apache.hadoop.fs.Path(
+        VersionedTable.verDir(root, 2L), "_dv")).getLength
+      val posDir = s"$root/_pos_equiv"
+      VersionedTable.readVersion(s, root, 1L)
+        .withColumn("file", col("_metadata.file_name"))
+        .withColumn("pos", col("_metadata.row_index"))
+        .filter(col("okey") % 10 === 0).select("file", "pos")
+        .coalesce(1).write.mode("overwrite").parquet(posDir)
+      val posBytes = fsys.getContentSummary(
+        new org.apache.hadoop.fs.Path(posDir)).getLength
+      require(dvBytes < posBytes,
+        s"q224: bitmap sidecar ($dvBytes B) must undercut position-delete " +
+          s"parquet ($posBytes B)")
+      // second delete unions bitmaps; already-dead rows are no-ops
+      val expected2 = DeletionVectors.read(s, root)
+        .filter(col("okey") % 7 === 0).count()
+      val (v3, n2) = DeletionVectors.delete(s, root, col("okey") % 7 === 0,
+        capture = true)
+      require(v3 == 3L && n2 == expected2,
+        s"q224: the union delete must count only live rows ($expected2), got $n2")
+      // compaction folds the vectors: clean files, no sidecar, empty capture
+      val v4 = DeletionVectors.compact(s, root, numFiles = 2, capture = true)
+      require(!fsys.exists(new org.apache.hadoop.fs.Path(
+        VersionedTable.verDir(root, v4), "_dv")),
+        "q224: compaction must drop the vectors")
+      require(ChangeFeed.tableChanges(s, root, v4 - 1, v4, Seq("okey")).isEmpty,
+        "q224: compaction is dataChange=false — empty capture")
+      val folded = VersionedTable.read(s, root)
+      val viaDv = DeletionVectors.readVersion(s, root, 3L)
+      require(folded.exceptAll(viaDv).isEmpty && viaDv.exceptAll(folded).isEmpty,
+        "q224: compaction must preserve the DV-applied content exactly")
+      folded.groupBy(col("opri"))
+        .agg(count(lit(1)).cast("bigint").as("n_rows"),
+          round(sum(col("total")).cast("double"), 2).as("total_sum"))
     })
 }
