@@ -2909,5 +2909,83 @@ object SourceQueries {
       folded.groupBy(col("opri"))
         .agg(count(lit(1)).cast("bigint").as("n_rows"),
           round(sum(col("total")).cast("double"), 2).as("total_sum"))
+    },
+
+    // ---------------------------------------------------------------- q225
+    // COLUMN MAPPING (ops/ColumnMapping.scala — Delta's public rename/drop
+    // evolution design): stable column ids, physical `c_<id>` names in the
+    // files, logical names in a per-version `_schema` manifest, and a
+    // lifetime max-id high-water mark so a re-added name never reuses a
+    // dropped id (which would leak the dead column's bytes into it).
+    // RENAME and DROP are METADATA-ONLY commits — the entry pins their
+    // version dirs to exactly {_schema, _data_from, _SUCCESS, _commit_ts}
+    // — zero data bytes for a DDL that rewrites terabytes under
+    // copy-on-write. Time travel renders every version under ITS OWN
+    // names (pinned for v1/v3/v4); CDF capture is stored under physical
+    // names (id-stable across renames) and table_changes renders all
+    // captures under the END manifest, so the v2 update captured as `b`
+    // reads back as `bal`, the dropped `n` vanishes from every change
+    // row, and a replay from the pre-evolution v1 base lands bit-exactly
+    // on the evolved live snapshot. The oracle applies both data
+    // mutations and renders the end schema.
+    Q("q225_column_mapping",
+      """WITH base AS (SELECT CAST(c_custkey AS BIGINT) AS k,
+        |    CAST(c_nationkey AS INT) AS n, CAST(c_acctbal AS DECIMAL(12,2)) AS b
+        |  FROM customer),
+        |v2 AS (SELECT k, n, CASE WHEN n <= 5 THEN CAST(b + 100 AS DECIMAL(12,2))
+        |    ELSE b END AS b FROM base),
+        |v5 AS (SELECT k, b AS bal FROM v2 WHERE k % 7 <> 0)
+        |SELECT k % 10 AS bucket, CAST(count(*) AS BIGINT) AS n_rows,
+        |  round(CAST(sum(bal) AS DOUBLE), 2) AS bal_sum
+        |FROM v5 GROUP BY 1""".stripMargin) { (s, dir) =>
+      import graft.ops.{ChangeFeed, ColumnMapping, VersionedTable}
+      val root = scratch(s, dir, "q225")
+      val keys = Some(Seq("k"))
+      val fsys = new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      val base = Tables.load(s, dir, "customer")
+        .select(col("c_custkey").cast("long").as("k"),
+          col("c_nationkey").cast("int").as("n"),
+          col("c_acctbal").cast("decimal(12,2)").as("b"))
+      require(ColumnMapping.writeData(base, root, keys) == 1L)
+      require(ColumnMapping.writeData(
+        ColumnMapping.read(s, root).withColumn("b",
+          when(col("n") <= 5, col("b") + 100).otherwise(col("b"))
+            .cast("decimal(12,2)")), root, keys) == 2L)
+      require(ColumnMapping.rename(s, root, "b", "bal") == 3L)
+      require(ColumnMapping.drop(s, root, "n") == 4L)
+      require(ColumnMapping.writeData(
+        ColumnMapping.read(s, root).filter(col("k") % 7 =!= 0), root, keys) == 5L)
+      // metadata-only commits hold zero data bytes
+      for (v <- 3L to 4L) {
+        val names = fsys.listStatus(VersionedTable.verDir(root, v))
+          .map(_.getPath.getName).toSet
+        require(names == Set("_schema", "_data_from", "_SUCCESS", "_commit_ts"),
+          s"q225: version $v must be metadata-only, found $names")
+        require(ColumnMapping.dataVersion(s, root, v) == 2L,
+          s"q225: version $v must be backed by v2's immutable files")
+      }
+      // time travel: each version under its own names
+      require(ColumnMapping.readVersion(s, root, 1L).columns.toSeq ==
+        Seq("k", "n", "b"), "q225: v1 reads under its original names")
+      require(ColumnMapping.readVersion(s, root, 3L).columns.toSeq ==
+        Seq("k", "n", "bal"), "q225: v3 sees the rename only")
+      require(ColumnMapping.read(s, root).columns.toSeq == Seq("k", "bal"),
+        "q225: the live schema is the evolved one")
+      // the feed renders under the END manifest and replays across the DDL
+      val changes = ColumnMapping.tableChanges(s, root, 1L, 5L)
+      require(changes.columns.toSet ==
+        Set("k", "bal", ChangeFeed.ChangeType, ChangeFeed.CommitVersion),
+        s"q225: changes must render under the end manifest: ${changes.columns.toSeq}")
+      require(changes.filter(col(ChangeFeed.CommitVersion).isin(3, 4)).isEmpty,
+        "q225: metadata-only commits contribute zero change rows")
+      val replayed = ChangeFeed.apply(
+        Some(ColumnMapping.readVersionAs(s, root, 1L, 5L)), changes, Seq("k"))
+      val live = ColumnMapping.read(s, root)
+      require(replayed.exceptAll(live).isEmpty && live.exceptAll(replayed).isEmpty,
+        "q225: replay from the pre-evolution base must land on the evolved snapshot")
+      live.groupBy((col("k") % 10).as("bucket"))
+        .agg(count(lit(1)).cast("bigint").as("n_rows"),
+          round(sum(col("bal")).cast("double"), 2).as("bal_sum"))
     })
 }
