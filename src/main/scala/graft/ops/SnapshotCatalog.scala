@@ -65,10 +65,18 @@ object SnapshotCatalog {
       .sorted.toSeq
 
   private def parse(text: String): Map[String, Long] =
-    text.split("\n").filter(_.nonEmpty).map { line =>
+    text.split("\n").filter(l => l.nonEmpty && !l.startsWith("#")).map { line =>
       val Array(t, v) = line.split("=", 2)
       t -> v.toLong
     }.toMap
+
+  /** The table-set a manifest declared it writes (OCC header); empty for
+    * single-writer manifests.
+    */
+  private def writesOf(text: String): Set[String] =
+    text.split("\n").find(_.startsWith("#writes="))
+      .map(_.stripPrefix("#writes=").split(",").filter(_.nonEmpty).toSet)
+      .getOrElse(Set.empty)
 
   /** The live catalog state: (manifest number, table -> pinned version). */
   def current(spark: SparkSession, catDir: String): Option[(Long, Map[String, Long])] = {
@@ -106,6 +114,104 @@ object SnapshotCatalog {
     if (!fs.rename(tmp, ptr))
       throw new java.io.IOException(s"catalog pointer flip failed: $tmp -> $ptr")
     next
+  }
+
+  /** Thrown when a concurrent catalog transaction committed an overlapping
+    * table set between this writer's read and its claim.
+    */
+  final class CatalogConflictException(msg: String) extends RuntimeException(msg)
+
+  final case class CatCommitted(manifest: Long, rebased: Int)
+
+  /** Idempotent roll-forward for the OCC path: the manifest CREATE is the
+    * commit point, the pointer flip is finalization — advance the pointer
+    * to the highest manifest if it lags. Safe for anyone to call anytime.
+    */
+  def finalizePending(spark: SparkSession, catDir: String): Unit = {
+    val fs = fsOf(spark, catDir)
+    listManifests(fs, catDir).lastOption.foreach { top =>
+      val cur = readText(fs, new Path(catDir, PtrName)).flatMap(_.toLongOption)
+      if (!cur.exists(_ >= top)) flipPtr(fs, catDir, top)
+    }
+  }
+
+  private def flipPtr(fs: FileSystem, catDir: String, n: Long): Unit = {
+    val ptr = new Path(catDir, PtrName)
+    val tmp = new Path(catDir, s".$PtrName.tmp-${java.util.UUID.randomUUID()}")
+    val o = fs.create(tmp, true)
+    try o.write(n.toString.getBytes(StandardCharsets.UTF_8)) finally o.close()
+    if (fs.exists(ptr)) fs.delete(ptr, false)
+    if (!fs.rename(tmp, ptr))
+      throw new java.io.IOException(s"catalog pointer flip failed: $tmp -> $ptr")
+  }
+
+  /** Catalog-level optimistic concurrency — [[Occ]]'s claim/rebase protocol
+    * one level up, so two CROSS-TABLE transactions race safely: each
+    * declares the tables it repins (`tableSet`), computes its new pin map
+    * from the pins it read (`update`, a pure function re-run on rebase),
+    * and claims the next manifest number with one atomic create-if-absent
+    * (the manifest file IS the commit record, carrying its write set as a
+    * `#writes=` header). A loser whose table set is DISJOINT from every
+    * manifest committed since its read rebases — recomputes against the
+    * winner's pins, so both transactions' repins land; an OVERLAPPING
+    * loser throws with the catalog untouched. Pointer flip is idempotent
+    * finalization ([[finalizePending]]), so a writer crashing after its
+    * claim loses nothing. Same single-protocol rule as the table layer:
+    * OCC and plain [[commit]] must not share a catalog.
+    *
+    * `update` must stage/publish the underlying TABLE versions it pins
+    * before returning — the catalog claim only orders the repins.
+    */
+  def commitOcc(spark: SparkSession, catDir: String, tableSet: Set[String])
+      (update: Map[String, Long] => Map[String, Long], maxRebases: Int = 10,
+       hook: () => Unit = () => ()): CatCommitted = {
+    require(tableSet.nonEmpty, "commitOcc: declare the tables this txn repins")
+    val fs = fsOf(spark, catDir)
+    fs.mkdirs(new Path(catDir))
+    var rebases = 0
+    while (true) {
+      finalizePending(spark, catDir)
+      val (base, pins) = current(spark, catDir).getOrElse(0L -> Map.empty[String, Long])
+      val newPins = update(pins)
+      require(tableSet.subsetOf(pins.keySet ++ newPins.keySet),
+        s"commitOcc: declared tables $tableSet missing from the pin map")
+      require(pins.filterNot { case (t, v) => newPins.get(t).contains(v) }
+          .keySet.subsetOf(tableSet) &&
+        newPins.filterNot { case (t, v) => pins.get(t).contains(v) }
+          .keySet.subsetOf(tableSet),
+        "commitOcc: the update repinned tables outside its declared set")
+      hook()
+      // write sets committed since our read: disjoint -> rebase, else fail
+      val winners = listManifests(fs, catDir).filter(_ > base)
+        .flatMap(n => readText(fs, manifestPath(catDir, n)).map(n -> writesOf(_)))
+      winners.find(_._2.intersect(tableSet).nonEmpty) match {
+        case Some((n, ws)) =>
+          throw new CatalogConflictException(
+            s"commitOcc($catDir): table set ${tableSet.toSeq.sorted.mkString(",")} " +
+              s"conflicts with manifest $n's ${ws.toSeq.sorted.mkString(",")}")
+        case None =>
+          val target = listManifests(fs, catDir).lastOption.getOrElse(0L) + 1L
+          val claimed = target == base + 1L && {
+            val body = (s"#writes=${tableSet.toSeq.sorted.mkString(",")}" +:
+              newPins.toSeq.sortBy(_._1).map { case (t, v) => s"$t=$v" })
+              .mkString("\n")
+            try {
+              val out = fs.create(manifestPath(catDir, target), false) // the CAS
+              try out.write(body.getBytes(StandardCharsets.UTF_8)) finally out.close()
+              true
+            } catch { case _: java.io.IOException => false }
+          }
+          if (claimed) {
+            finalizePending(spark, catDir)
+            return CatCommitted(target, rebases)
+          }
+          rebases += 1
+          if (rebases > maxRebases)
+            throw new CatalogConflictException(
+              s"commitOcc($catDir): gave up after $maxRebases rebases")
+      }
+    }
+    sys.error("unreachable")
   }
 
   /** Read `table` at the version the LIVE manifest pins — never the table's

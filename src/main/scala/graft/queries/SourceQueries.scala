@@ -2987,5 +2987,95 @@ object SourceQueries {
       live.groupBy((col("k") % 10).as("bucket"))
         .agg(count(lit(1)).cast("bigint").as("n_rows"),
           round(sum(col("bal")).cast("double"), 2).as("bal_sum"))
+    },
+
+    // ---------------------------------------------------------------- q226
+    // CATALOG-LEVEL optimistic concurrency (ops/SnapshotCatalog.commitOcc):
+    // the claim/rebase protocol applied one level up, so two CROSS-TABLE
+    // transactions race safely — each declares the tables it repins, the
+    // manifest file's atomic create-if-absent IS the commit point (its
+    // `#writes=` header carries the write set), and the pointer flip is
+    // idempotent finalization. The entry races two disjoint transactions
+    // (B repins `ord` inside A's read-to-claim window; A, repinning
+    // `cust`, rebases exactly once and BOTH repins land in one manifest
+    // lineage — pinned), then requires an overlapping third transaction
+    // to fail cleanly with the winner's repin untouched, and reads both
+    // tables THROUGH the catalog pins — the torn mid-migration state the
+    // single-pointer design could never rule out across tables. Scale
+    // shape: a catalog commit is one tiny file create regardless of table
+    // sizes; contention cost is O(re-staged transaction), not a lock. The
+    // oracle composes both transactions' table states.
+    Q("q226_catalog_occ",
+      """WITH cust AS (SELECT CAST(c_custkey AS BIGINT) AS k,
+        |    CAST(c_nationkey AS INT) AS n, CAST(c_acctbal AS DECIMAL(12,2)) AS b
+        |  FROM customer),
+        |cust2 AS (SELECT k, n, CASE WHEN n <= 5 THEN CAST(b + 100 AS DECIMAL(12,2))
+        |    ELSE b END AS b FROM cust),
+        |ord2 AS (SELECT CAST(o_orderkey AS BIGINT) AS okey,
+        |    CAST(o_totalprice AS DECIMAL(12,2)) AS total
+        |  FROM orders WHERE o_orderpriority <> '1-URGENT')
+        |SELECT 'cust' AS tbl, CAST(count(*) AS BIGINT) AS n_rows,
+        |  round(CAST(sum(b) AS DOUBLE), 2) AS val_sum FROM cust2
+        |UNION ALL
+        |SELECT 'ord', CAST(count(*) AS BIGINT),
+        |  round(CAST(sum(total) AS DOUBLE), 2) FROM ord2""".stripMargin) { (s, dir) =>
+      import graft.ops.{SnapshotCatalog, VersionedTable}
+      val root = scratch(s, dir, "q226")
+      val (cat, tc, to) = (s"$root/cat", s"$root/cust", s"$root/ord")
+      val cust = Tables.load(s, dir, "customer")
+        .select(col("c_custkey").cast("long").as("k"),
+          col("c_nationkey").cast("int").as("n"),
+          col("c_acctbal").cast("decimal(12,2)").as("b"))
+      val ord = Tables.load(s, dir, "orders")
+        .select(col("o_orderkey").cast("long").as("okey"),
+          col("o_orderpriority").as("opri"),
+          col("o_totalprice").cast("decimal(12,2)").as("total"))
+      VersionedTable.write(cust, tc)
+      VersionedTable.write(ord, to)
+      SnapshotCatalog.commitOcc(s, cat, Set("cust", "ord"))(_ =>
+        Map("cust" -> 1L, "ord" -> 1L))
+      // txn A repins cust; txn B wins the race on ord inside A's window
+      // a catalog txn reads THROUGH ITS PINS, never the table pointer: the
+      // loser's orphan table write moves the pointer, and a rebase reading
+      // it would double-apply the mutation (caught by the oracle when this
+      // entry was first written — the catalog is the read path for a reason)
+      var fired = false
+      val a = SnapshotCatalog.commitOcc(s, cat, Set("cust"))(
+        ps => ps + ("cust" -> VersionedTable.write(
+          VersionedTable.readVersion(s, tc, ps("cust")).withColumn("b",
+            when(col("n") <= 5, col("b") + 100).otherwise(col("b"))
+              .cast("decimal(12,2)")), tc)),
+        hook = () => if (!fired) {
+          fired = true
+          SnapshotCatalog.commitOcc(s, cat, Set("ord"))(ps =>
+            ps + ("ord" -> VersionedTable.write(
+              VersionedTable.readVersion(s, to, ps("ord"))
+                .filter(col("opri") =!= "1-URGENT"), to)))
+          ()
+        })
+      require(a.rebased == 1,
+        s"q226: A must rebase exactly once after B's disjoint win, got $a")
+      val pins = SnapshotCatalog.current(s, cat).get._2
+      require(pins("ord") == 2L && pins("cust") == 3L,
+        s"q226: both repins must land (B's ord v2, A's re-staged cust v3): $pins")
+      // overlapping transaction: clean failure, winner's repin untouched
+      val clash = try {
+        SnapshotCatalog.commitOcc(s, cat, Set("cust"))(
+          ps => ps + ("cust" -> 9L),
+          hook = () => { SnapshotCatalog.commitOcc(s, cat, Set("cust"))(ps =>
+            ps + ("cust" -> VersionedTable.write(
+              VersionedTable.readVersion(s, tc, ps("cust")), tc))); () })
+        false
+      } catch { case _: SnapshotCatalog.CatalogConflictException => true }
+      require(clash, "q226: overlapping table sets must conflict")
+      // the consistent cross-table read goes THROUGH the catalog pins
+      val pc = SnapshotCatalog.readPinned(s, cat, "cust", tc)
+      val po = SnapshotCatalog.readPinned(s, cat, "ord", to)
+      pc.agg(count(lit(1)).cast("bigint").as("n_rows"),
+          round(sum(col("b")).cast("double"), 2).as("val_sum"))
+        .select(lit("cust").as("tbl"), col("n_rows"), col("val_sum"))
+        .unionAll(po.agg(count(lit(1)).cast("bigint").as("n_rows"),
+            round(sum(col("total")).cast("double"), 2).as("val_sum"))
+          .select(lit("ord").as("tbl"), col("n_rows"), col("val_sum")))
     })
 }
