@@ -227,6 +227,32 @@ object ColumnMapping {
     readVersion(spark, dir, v)
   }
 
+  /** Reference-aware retention for a column-mapped table: like
+    * [[VersionedTable.gc]], but a kept metadata-only version PINS its
+    * `_data_from` target — deleting the data version under a live rename
+    * would leave the table unreadable (the hole the plain gc's keep-window
+    * cannot see, because the reference crosses version dirs). Victims are
+    * the complete versions outside the newest-`keep` window that no kept
+    * version references; torn dirs are swept outright. Returns the number
+    * of versions deleted.
+    */
+  def gc(spark: SparkSession, dir: String, keep: Int = 2): Int = {
+    require(keep >= 1, "gc must keep at least the live version")
+    val fs = fsOf(spark, dir)
+    VersionedTable.currentVersion(spark, dir) match {
+      case None => 0
+      case Some(live) =>
+        val (done, torn) = VersionedTable.listVersions(fs, dir)
+          .filter(_ <= live)
+          .partition(v => VersionedTable.complete(fs, VersionedTable.verDir(dir, v)))
+        val kept = done.takeRight(keep).toSet
+        val referenced = kept.map(v => dataVersion(spark, dir, v))
+        val victims = done.filterNot(v => kept(v) || referenced(v)) ++ torn
+        victims.foreach(v => fs.delete(VersionedTable.verDir(dir, v), true))
+        victims.length
+    }
+  }
+
   /** `table_changes(from, to]` across renames and drops: each data
     * version's physical capture rendered under the END version's manifest
     * (ids align what names cannot); metadata-only versions contribute

@@ -3088,5 +3088,66 @@ object SourceQueries {
         .unionAll(po.agg(count(lit(1)).cast("bigint").as("n_rows"),
             round(sum(col("total")).cast("double"), 2).as("val_sum"))
           .select(lit("ord").as("tbl"), col("n_rows"), col("val_sum")))
+    },
+
+    // ---------------------------------------------------------------- q227
+    // REFERENCE-AWARE retention (ops/ColumnMapping.gc): a kept
+    // metadata-only version PINS its `_data_from` data version — the
+    // cross-version reference the plain keep-window gc cannot see, and
+    // the exact hole q225's design note called out: vacuum a
+    // column-mapped table with the naive window and a live rename's
+    // backing files vanish, unreadable table. The entry builds
+    // data,data,RENAME,DROP (v1..v4), then gc(keep=2): the {v3,v4}
+    // window both reference v2, so v2 SURVIVES outside the window and
+    // only v1 dies (physical inventory pinned); reads through the
+    // evolved schema and v3 time travel stay green. gc(keep=1) then
+    // expires v3 while still pinning v2, and reading the expired v3
+    // fails loudly — retention never silently breaks a reference. The
+    // oracle renders the evolved end state.
+    Q("q227_mapped_retention",
+      """WITH base AS (SELECT CAST(c_custkey AS BIGINT) AS k,
+        |    CAST(c_nationkey AS INT) AS n, CAST(c_acctbal AS DECIMAL(12,2)) AS b
+        |  FROM customer),
+        |v2 AS (SELECT k, n, CASE WHEN n <= 5 THEN CAST(b + 100 AS DECIMAL(12,2))
+        |    ELSE b END AS b FROM base)
+        |SELECT k % 10 AS bucket, CAST(count(*) AS BIGINT) AS n_rows,
+        |  round(CAST(sum(b) AS DOUBLE), 2) AS bal_sum
+        |FROM v2 GROUP BY 1""".stripMargin) { (s, dir) =>
+      import graft.ops.{ColumnMapping, VersionedTable}
+      val root = scratch(s, dir, "q227")
+      val fsys = new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      val base = Tables.load(s, dir, "customer")
+        .select(col("c_custkey").cast("long").as("k"),
+          col("c_nationkey").cast("int").as("n"),
+          col("c_acctbal").cast("decimal(12,2)").as("b"))
+      ColumnMapping.writeData(base, root)
+      ColumnMapping.writeData(
+        ColumnMapping.read(s, root).withColumn("b",
+          when(col("n") <= 5, col("b") + 100).otherwise(col("b"))
+            .cast("decimal(12,2)")), root)
+      ColumnMapping.rename(s, root, "b", "bal")
+      ColumnMapping.drop(s, root, "n")
+      require(ColumnMapping.gc(s, root, keep = 2) == 1,
+        "q227: only v1 is reclaimable — v2 is pinned by the kept renames")
+      val left = fsys.globStatus(new org.apache.hadoop.fs.Path(root, "_v-*"))
+        .map(_.getPath.getName).sorted.toSeq
+      require(left == Seq("_v-00000002", "_v-00000003", "_v-00000004"),
+        s"q227: v2 must outlive the keep-window it backs, found $left")
+      require(ColumnMapping.read(s, root).columns.toSeq == Seq("k", "bal"),
+        "q227: the evolved live read survives retention")
+      require(ColumnMapping.readVersion(s, root, 3L).columns.toSeq ==
+        Seq("k", "n", "bal"), "q227: in-window time travel survives retention")
+      require(ColumnMapping.gc(s, root, keep = 1) == 1,
+        "q227: shrinking the window expires v3 only")
+      require(VersionedTable.listVersions(fsys, root).toSet == Set(2L, 4L),
+        "q227: v2 stays pinned by the live v4")
+      val expired = try { ColumnMapping.readVersion(s, root, 3L).count(); false }
+      catch { case _: Throwable => true }
+      require(expired, "q227: reading an expired version must fail loudly")
+      ColumnMapping.read(s, root)
+        .groupBy((col("k") % 10).as("bucket"))
+        .agg(count(lit(1)).cast("bigint").as("n_rows"),
+          round(sum(col("bal")).cast("double"), 2).as("bal_sum"))
     })
 }

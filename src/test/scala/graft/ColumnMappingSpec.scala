@@ -92,4 +92,24 @@ class ColumnMappingSpec extends AnyFunSuite {
       ColumnMapping.tableChanges(spark, dir, 1L, 5L), Seq("k"))
     assert(replay2.exceptAll(live).isEmpty && live.exceptAll(replay2).isEmpty)
   }
+
+  test("gc keeps the data version a live rename references; plain keep-window would not") {
+    val dir = TestSpark.tmpDir("cm4") + "/t"
+    ColumnMapping.writeData(Seq((1L, 10L)).toDF("k", "b"), dir) // v1 data
+    ColumnMapping.writeData(Seq((1L, 10L), (2L, 20L)).toDF("k", "b"), dir) // v2 data
+    ColumnMapping.rename(spark, dir, "b", "bal") // v3 -> data_from 2
+    ColumnMapping.rename(spark, dir, "bal", "amount") // v4 -> data_from 2
+    // keep=2 window is {3,4}: both reference v2, so v2 must survive, v1 dies
+    assert(ColumnMapping.gc(spark, dir, keep = 2) == 1)
+    val left = VersionedTable.listVersions(
+      fs(dir), dir).toSet
+    assert(left == Set(2L, 3L, 4L), s"v2 is pinned by the kept renames: $left")
+    assert(ColumnMapping.read(spark, dir).columns.toSeq == Seq("k", "amount"))
+    assert(ColumnMapping.readVersion(spark, dir, 3L).count() == 2)
+    // keep=1: only v4 (+ its referenced v2) survive; v3 is gone and loud
+    assert(ColumnMapping.gc(spark, dir, keep = 1) == 1)
+    assert(VersionedTable.listVersions(fs(dir), dir).toSet == Set(2L, 4L))
+    assert(ColumnMapping.read(spark, dir).count() == 2)
+    intercept[RuntimeException](ColumnMapping.readVersion(spark, dir, 3L).count())
+  }
 }
