@@ -3149,5 +3149,87 @@ object SourceQueries {
         .groupBy((col("k") % 10).as("bucket"))
         .agg(count(lit(1)).cast("bigint").as("n_rows"),
           round(sum(col("bal")).cast("double"), 2).as("bal_sum"))
+    },
+
+    // ---------------------------------------------------------------- q228
+    // Z-ORDER clustering (ops/ZOrder.scala — Delta OPTIMIZE ZORDER BY /
+    // Iceberg sort-order, on the same min/max skipping sidecar): Morton-
+    // interleave two quantized dimensions with pure Column bit-arithmetic
+    // (codegen'd, no UDF) and range-partition on the curve, so every file
+    // covers a RECTANGLE of (okey, ckey) space. The entry writes the same
+    // orders slice twice at 16 files — linear-sorted by okey vs
+    // z-ordered — and pins the asymmetry that justifies the layout: a
+    // predicate on the SECOND dimension admits every linear file (each
+    // stripe spans all of ckey; the index is honest, the layout is the
+    // problem) but a strict subset of z-ordered files; a 2-D box prunes
+    // files on BOTH layouts but both still return the identical result
+    // (pruned scan + residual filter == direct filter, bit-exact, the
+    // conservative-superset contract). At 100 TB z-ordering turns a
+    // second-dimension scan from O(table) into O~(sqrt(files)) without
+    // touching the index format. The oracle computes the box aggregate
+    // with the same integer bounds arithmetic.
+    Q("q228_zorder_skipping",
+      """WITH o AS (SELECT CAST(o_orderkey AS BIGINT) AS okey,
+        |    CAST(o_custkey AS BIGINT) AS ckey,
+        |    CAST(o_totalprice AS DECIMAL(12,2)) AS total
+        |  FROM orders),
+        |b AS (SELECT min(okey) AS x0, max(okey) AS x1,
+        |             min(ckey) AS y0, max(ckey) AS y1 FROM o),
+        |box AS (SELECT x0 + (x1 - x0) // 4 AS xlo, x0 + (x1 - x0) * 3 // 8 AS xhi,
+        |               y0 + (y1 - y0) // 2 AS ylo, y0 + (y1 - y0) * 5 // 8 AS yhi
+        |        FROM b)
+        |SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(okey) AS BIGINT) AS okey_sum,
+        |  round(CAST(sum(total) AS DOUBLE), 2) AS total_sum
+        |FROM o CROSS JOIN box
+        |WHERE okey BETWEEN xlo AND xhi AND ckey BETWEEN ylo AND yhi""".stripMargin) { (s, dir) =>
+      import graft.ops.{DataSkipping, ZOrder}
+      val root = scratch(s, dir, "q228")
+      val o = Tables.load(s, dir, "orders")
+        .select(col("o_orderkey").cast("long").as("okey"),
+          col("o_custkey").cast("long").as("ckey"),
+          col("o_totalprice").cast("decimal(12,2)").as("total"))
+      val b = o.agg(min(col("okey")), max(col("okey")),
+        min(col("ckey")), max(col("ckey"))).head
+      val (x0, x1, y0, y1) = (b.getLong(0), b.getLong(1), b.getLong(2), b.getLong(3))
+      val (xLo, xHi) = (x0 + (x1 - x0) / 4, x0 + (x1 - x0) * 3 / 8)
+      val (yLo, yHi) = (y0 + (y1 - y0) / 2, y0 + (y1 - y0) * 5 / 8)
+      // the two layouts: identical rows, identical file count, same index
+      val linDir = s"$root/linear"
+      o.repartitionByRange(16, col("okey")).sortWithinPartitions("okey")
+        .write.parquet(linDir)
+      DataSkipping.writeStats(s, linDir, Seq("okey", "ckey"))
+      val zDir = s"$root/zorder"
+      ZOrder.cluster(o, zDir, "okey", "ckey", nFiles = 16)
+      // second-dimension predicate: linear admits EVERYTHING, z a subset
+      val (linY, linTotal) = DataSkipping.selectFiles(s, linDir, "ckey",
+        lit(yLo), lit(yHi))
+      val (zY, zTotal) = DataSkipping.selectFiles(s, zDir, "ckey",
+        lit(yLo), lit(yHi))
+      require(linTotal == 16 && zTotal == 16,
+        s"q228: both layouts must hold 16 files ($linTotal, $zTotal)")
+      require(linY.length == 16,
+        s"q228: every okey-sorted stripe spans all of ckey, got ${linY.length}")
+      require(zY.length < 16,
+        s"q228: z-ordering must make ckey prunable, admitted ${zY.length}/16")
+      // 2-D box: z prunes, and BOTH layouts return the identical rows
+      val (zBox, _) = ZOrder.selectBox(s, zDir, "okey", lit(xLo), lit(xHi),
+        "ckey", lit(yLo), lit(yHi))
+      require(zBox.nonEmpty && zBox.length < 16,
+        s"q228: the box must admit a strict subset, got ${zBox.length}")
+      def boxFilter(df: org.apache.spark.sql.DataFrame) =
+        df.filter(col("okey").between(xLo, xHi) && col("ckey").between(yLo, yHi))
+      val direct = boxFilter(o)
+      val viaZ = boxFilter(s.read.parquet(zBox: _*))
+      val (linBoxFiles, _) = ZOrder.selectBox(s, linDir, "okey", lit(xLo),
+        lit(xHi), "ckey", lit(yLo), lit(yHi))
+      val viaLin = boxFilter(s.read.parquet(linBoxFiles: _*))
+      require(viaZ.exceptAll(direct).isEmpty && direct.exceptAll(viaZ).isEmpty,
+        "q228: the pruned z-order scan must equal the direct filter")
+      require(viaLin.exceptAll(direct).isEmpty && direct.exceptAll(viaLin).isEmpty,
+        "q228: the pruned linear scan must equal the direct filter")
+      viaZ.agg(count(lit(1)).cast("bigint").as("n_rows"),
+        sum(col("okey")).cast("bigint").as("okey_sum"),
+        round(sum(col("total")).cast("double"), 2).as("total_sum"))
     })
 }
