@@ -3231,5 +3231,149 @@ object SourceQueries {
       viaZ.agg(count(lit(1)).cast("bigint").as("n_rows"),
         sum(col("okey")).cast("bigint").as("okey_sum"),
         round(sum(col("total")).cast("double"), 2).as("total_sum"))
+    },
+
+    // ---------------------------------------------------------------- q229
+    // SHALLOW CLONE (ops/Clone.scala — Delta's zero-copy clone): the
+    // clone's v1 is a `_clone_src` pointer at the source's immutable
+    // version dir — the entry pins the v1 inventory to exactly
+    // {_clone_src, _SUCCESS, _commit_ts}, so cloning a 100 TB table costs
+    // one file create. Reads resolve the indirection (clone == source v2
+    // bit-exact, pinned); the first WRITE diverges the clone while the
+    // source's live version and bytes stay untouched (pinned on both
+    // sides); clone time travel to v1 still resolves through the source;
+    // and when the source's retention expires the cloned version, the
+    // clone's v1 read fails LOUDLY while its own diverged versions stay
+    // self-contained — the reference rule every zero-copy design owes its
+    // users. The oracle composes source-v2 + the divergent mutation.
+    Q("q229_shallow_clone",
+      """WITH src2 AS (SELECT CAST(o_orderkey AS BIGINT) AS okey,
+        |    o_orderpriority AS opri,
+        |    CAST(o_totalprice AS DECIMAL(12,2)) AS total
+        |  FROM orders WHERE o_orderkey % 2 = 0),
+        |diverged AS (SELECT okey, opri,
+        |    CAST(total * 2 AS DECIMAL(12,2)) AS total FROM src2)
+        |SELECT opri, CAST(count(*) AS BIGINT) AS n_rows,
+        |  round(CAST(sum(total) AS DOUBLE), 2) AS total_sum
+        |FROM diverged GROUP BY 1""".stripMargin) { (s, dir) =>
+      import graft.ops.{Clone, VersionedTable}
+      val root = scratch(s, dir, "q229")
+      val (src, dst) = (s"$root/src", s"$root/clone")
+      val fsys = new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      val base = Tables.load(s, dir, "orders")
+        .select(col("o_orderkey").cast("long").as("okey"),
+          col("o_orderpriority").as("opri"),
+          col("o_totalprice").cast("decimal(12,2)").as("total"))
+      VersionedTable.write(base, src)
+      VersionedTable.write(
+        VersionedTable.read(s, src).filter(col("okey") % 2 === 0), src) // src v2
+      Clone.shallow(s, src, 2L, dst)
+      val names = fsys.listStatus(VersionedTable.verDir(dst, 1L))
+        .map(_.getPath.getName).toSet
+      require(names == Set("_clone_src", "_SUCCESS", "_commit_ts"),
+        s"q229: the clone's v1 must be metadata-only, found $names")
+      val srcV2 = VersionedTable.readVersion(s, src, 2L)
+      val cloneRead = Clone.read(s, dst)
+      require(cloneRead.exceptAll(srcV2).isEmpty && srcV2.exceptAll(cloneRead).isEmpty,
+        "q229: the clone must read the source version bit-exactly")
+      // divergence: the clone's write never touches the source
+      VersionedTable.write(
+        Clone.read(s, dst).withColumn("total",
+          (col("total") * 2).cast("decimal(12,2)")), dst)
+      require(VersionedTable.currentVersion(s, src).contains(2L),
+        "q229: the source's pointer must not move on a clone write")
+      val srcAfter = VersionedTable.readVersion(s, src, 2L)
+      require(srcAfter.exceptAll(srcV2).isEmpty && srcV2.exceptAll(srcAfter).isEmpty,
+        "q229: the source content must be untouched by the clone's divergence")
+      require(Clone.readVersion(s, dst, 1L).exceptAll(srcV2).isEmpty,
+        "q229: clone time travel to v1 still resolves through the source")
+      // retention on the source expires the cloned version: loud failure,
+      // while the diverged clone versions remain self-contained
+      VersionedTable.write(
+        VersionedTable.read(s, src).filter(col("okey") % 4 === 0), src) // src v3
+      VersionedTable.gc(s, src, keep = 1)
+      val expired = try { Clone.readVersion(s, dst, 1L).count(); false }
+      catch { case _: Throwable => true }
+      require(expired, "q229: a gc'd clone base must fail loudly, never fabricate")
+      Clone.read(s, dst)
+        .groupBy(col("opri"))
+        .agg(count(lit(1)).cast("bigint").as("n_rows"),
+          round(sum(col("total")).cast("double"), 2).as("total_sum"))
+    },
+
+    // ---------------------------------------------------------------- q230
+    // CHECK CONSTRAINTS (ops/Constraints.scala — Delta's table-constraint
+    // design): the registry rides inside each version dir (carried
+    // forward like txn markers, atomic with the commit), and every write
+    // through writeChecked verifies the FULL staged snapshot in ONE
+    // aggregate pass before the flip — at 100 TB enforcement folds into
+    // the write's own scan, no second job. Pinned in-query: a violating
+    // append is rejected with per-check counts and the table is
+    // UNTOUCHED (version and content); ADD CONSTRAINT validates existing
+    // data in the same pass and rejects if history violates; SQL CHECK
+    // semantics — only FALSE violates, NULL/UNKNOWN passes — via a
+    // constraint that evaluates NULL on half the rows; and the registry
+    // carries across commits that declare nothing. The oracle aggregates
+    // the accepted final state.
+    Q("q230_check_constraints",
+      """WITH o AS (SELECT CAST(o_orderkey AS BIGINT) AS okey,
+        |    o_orderpriority AS opri,
+        |    CAST(o_totalprice AS DECIMAL(12,2)) AS total
+        |  FROM orders),
+        |v2 AS (SELECT okey, opri, total FROM o WHERE okey % 3 <> 0)
+        |SELECT opri, CAST(count(*) AS BIGINT) AS n_rows,
+        |  round(CAST(sum(total) AS DOUBLE), 2) AS total_sum
+        |FROM v2 GROUP BY 1""".stripMargin) { (s, dir) =>
+      import graft.ops.{Constraints, VersionedTable}
+      val root = scratch(s, dir, "q230")
+      val base = Tables.load(s, dir, "orders")
+        .select(col("o_orderkey").cast("long").as("okey"),
+          col("o_orderpriority").as("opri"),
+          col("o_totalprice").cast("decimal(12,2)").as("total"))
+      require(Constraints.writeChecked(base, root, Seq(
+        "total_pos" -> "total > 0",
+        "okey_nonneg" -> "okey >= 0", // testdata orderkeys start at 0
+        "opri_domain" -> ("opri IN ('1-URGENT','2-HIGH','3-MEDIUM'," +
+          "'4-NOT SPECIFIED','5-LOW')"))) == 1L,
+        "q230: the clean base must pass its own constraints")
+      // a violating append is rejected; the table is untouched
+      val poison = s.createDataFrame(java.util.Arrays.asList(
+        org.apache.spark.sql.Row(-7L, "9-BOGUS",
+          new java.math.BigDecimal("-1.00"))), base.schema)
+      val rejected = try {
+        Constraints.writeChecked(
+          VersionedTable.read(s, root).unionAll(poison), root)
+        false
+      } catch { case e: Constraints.ConstraintViolationException =>
+        require(e.getMessage.contains("total_pos (1 rows)") &&
+          e.getMessage.contains("okey_nonneg (1 rows)") &&
+          e.getMessage.contains("opri_domain (1 rows)"),
+          s"q230: the rejection must name every violated check: ${e.getMessage}")
+        true
+      }
+      require(rejected, "q230: a violating write must throw")
+      require(VersionedTable.currentVersion(s, root).contains(1L),
+        "q230: a rejected write must leave the table untouched")
+      // ADD CONSTRAINT validates history: okey % 3 <> 0 fails on v1 data
+      val addRejected = try {
+        Constraints.writeChecked(VersionedTable.read(s, root), root,
+          Seq("no_thirds" -> "okey % 3 <> 0")); false
+      } catch { case _: Constraints.ConstraintViolationException => true }
+      require(addRejected, "q230: ADD CONSTRAINT must validate existing data")
+      // after deleting the violating rows the same constraint lands, and a
+      // NULL-evaluating check passes (SQL UNKNOWN semantics)
+      require(Constraints.writeChecked(
+        VersionedTable.read(s, root).filter(col("okey") % 3 =!= 0), root,
+        Seq("no_thirds" -> "okey % 3 <> 0",
+          "unknown_ok" -> "IF(okey % 2 = 0, total > 0, NULL)")) == 2L,
+        "q230: the cleaned snapshot must satisfy the new constraints")
+      require(Constraints.checksOf(s, root).map(_._1) ==
+        Seq("total_pos", "okey_nonneg", "opri_domain", "no_thirds", "unknown_ok"),
+        "q230: the registry must carry every constraint in order")
+      VersionedTable.read(s, root)
+        .groupBy(col("opri"))
+        .agg(count(lit(1)).cast("bigint").as("n_rows"),
+          round(sum(col("total")).cast("double"), 2).as("total_sum"))
     })
 }
