@@ -3375,5 +3375,191 @@ object SourceQueries {
         .groupBy(col("opri"))
         .agg(count(lit(1)).cast("bigint").as("n_rows"),
           round(sum(col("total")).cast("double"), 2).as("total_sum"))
+    },
+
+    // ---------------------------------------------------------------- q231
+    // ROW TRACKING (ops/RowTracking.scala — Delta's public row-ID design):
+    // every row owns a stable long `_row_id` minted from a per-table
+    // high-water mark, preserved through merges (matched keys keep their
+    // id even when every data column changes) and through layout rewrites
+    // (compaction keeps ALL ids), so two versions diff by one long-keyed
+    // join with no natural key and no stored capture. Pinned in-query:
+    // (a) merge preserves ids for every surviving key and mints fresh ids
+    // strictly above the hwm; (b) a compaction rewrite changes the file
+    // count but the row-id diff across it is EMPTY — "data changed" is
+    // distinguishable from "files changed"; (c) the row-id diff equals
+    // the natural-key diff row-for-row when keys are stable; (d) a
+    // re-inserted key gets a NEW id — retired ids never recycle. The
+    // oracle recomputes the final snapshot's aggregate from the raw
+    // table.
+    Q("q231_row_tracking",
+      """WITH base AS (SELECT CAST(c_custkey AS BIGINT) AS k,
+        |    CAST(c_nationkey AS INT) AS n,
+        |    CAST(c_acctbal AS DECIMAL(12,2)) AS bal
+        |  FROM customer),
+        |v2 AS (SELECT k, n, CAST(bal + CASE WHEN n <= 5 THEN 100 ELSE 0 END
+        |      AS DECIMAL(12,2)) AS bal
+        |    FROM base WHERE k % 7 <> 0
+        |  UNION ALL SELECT k + 1000000, n, CAST(0 AS DECIMAL(12,2))
+        |    FROM base WHERE k % 13 = 0),
+        |v4 AS (SELECT * FROM v2
+        |  UNION ALL SELECT k, n, CAST(0 AS DECIMAL(12,2))
+        |    FROM base WHERE k % 7 = 0 AND k % 2 = 0)
+        |SELECT n, CAST(count(*) AS BIGINT) AS n_rows,
+        |  round(CAST(sum(bal) AS DOUBLE), 2) AS bal_sum
+        |FROM v4 GROUP BY 1""".stripMargin) { (s, dir) =>
+      import graft.ops.{ChangeFeed, RowTracking, VersionedTable}
+      val root = scratch(s, dir, "q231")
+      val base = Tables.load(s, dir, "customer")
+        .select(col("c_custkey").cast("long").as("k"),
+          col("c_nationkey").cast("int").as("n"),
+          col("c_acctbal").cast("decimal(12,2)").as("bal"))
+      RowTracking.init(base, root, orderCols = Seq("k")) // v1
+      val hwm1 = RowTracking.highWaterMark(s, root, 1L)
+      // v2: updates (n<=5 balances), deletes (k%7==0), inserts (shifted keys)
+      val snap2 = base.filter(col("k") % 7 =!= 0)
+        .withColumn("bal", (col("bal") + when(col("n") <= 5, 100).otherwise(0))
+          .cast("decimal(12,2)"))
+        .unionByName(base.filter(col("k") % 13 === 0)
+          .select((col("k") + 1000000L).as("k"), col("n"),
+            lit(java.math.BigDecimal.ZERO).cast("decimal(12,2)").as("bal")))
+      RowTracking.merge(snap2, root, keyCols = Seq("k"), orderCols = Seq("k"))
+      val hwm2 = RowTracking.highWaterMark(s, root, 2L)
+      val v1 = VersionedTable.readVersion(s, root, 1L)
+      val v2 = VersionedTable.readVersion(s, root, 2L)
+      // (a) surviving keys keep their id; fresh ids sit strictly above hwm1
+      val idPairs = v1.select(col("k"), col(RowTracking.RowId).as("id1"))
+        .join(v2.select(col("k"), col(RowTracking.RowId).as("id2")), Seq("k"))
+      require(idPairs.filter(col("id1") =!= col("id2")).isEmpty,
+        "q231: a merge must preserve every surviving key's row id")
+      val freshBelow = v2.join(v1.select("k"), Seq("k"), "left_anti")
+        .filter(col(RowTracking.RowId) <= hwm1).count()
+      require(freshBelow == 0, "q231: fresh rows must mint ids above the hwm")
+      val nFresh = base.filter(col("k") % 13 === 0).count()
+      require(hwm2 == hwm1 + nFresh,
+        s"q231: hwm must advance by the fresh count ($hwm1 -> $hwm2, +$nFresh)")
+      // (b) compaction: every byte rewritten, yet the row-id diff is EMPTY
+      val filesBefore = v2.inputFiles.map(f => f.substring(f.lastIndexOf('/'))).toSet
+      RowTracking.rewrite(s, root, numFiles = 2) // v3
+      val v3 = VersionedTable.readVersion(s, root, 3L)
+      val filesAfter = v3.inputFiles.map(f => f.substring(f.lastIndexOf('/'))).toSet
+      require(v3.inputFiles.length == 2 && filesAfter.intersect(filesBefore).isEmpty,
+        s"q231: the rewrite must produce a fresh 2-file layout")
+      require(RowTracking.diff(s, root, 2L, 3L).isEmpty,
+        "q231: a layout-only rewrite must be invisible to row-id lineage")
+      require(RowTracking.highWaterMark(s, root, 3L) == hwm2,
+        "q231: a rewrite mints nothing")
+      // (c) row-id diff == natural-key diff when keys are stable (v1 -> v2)
+      val byId = RowTracking.diff(s, root, 1L, 2L)
+        .select("k", "n", "bal", ChangeFeed.ChangeType)
+      val byKey = ChangeFeed.diff(
+        Some(v1.drop(RowTracking.RowId)), v2.drop(RowTracking.RowId), Seq("k"))
+        .select("k", "n", "bal", ChangeFeed.ChangeType)
+      require(byId.exceptAll(byKey).isEmpty && byKey.exceptAll(byId).isEmpty,
+        "q231: row-id lineage must reproduce the keyed diff under stable keys")
+      // (d) a re-inserted key mints a NEW id — retired ids never recycle
+      val snap4 = v3.drop(RowTracking.RowId)
+        .unionByName(base.filter(col("k") % 7 === 0 && col("k") % 2 === 0)
+          .select(col("k"), col("n"),
+            lit(java.math.BigDecimal.ZERO).cast("decimal(12,2)").as("bal")))
+      RowTracking.merge(snap4, root, keyCols = Seq("k"), orderCols = Seq("k"))
+      val v4 = VersionedTable.readVersion(s, root, 4L)
+      val recycled = v4.join(base.filter(col("k") % 7 === 0), Seq("k"), "left_semi")
+        .join(v1.select(col("k"), col(RowTracking.RowId)),
+          Seq("k", RowTracking.RowId), "left_semi").count()
+      require(recycled == 0,
+        "q231: a re-inserted key must not resurrect its retired id")
+      VersionedTable.read(s, root)
+        .groupBy(col("n"))
+        .agg(count(lit(1)).cast("bigint").as("n_rows"),
+          round(sum(col("bal")).cast("double"), 2).as("bal_sum"))
+    },
+
+    // ---------------------------------------------------------------- q232
+    // PARTITION-SPEC EVOLUTION (ops/PartitionEvolution.scala — Iceberg's
+    // public design): the partition layout is versioned metadata; files
+    // stay under the spec that was active when they were written, the
+    // spec change is a METADATA-ONLY commit, and a pruned read plans each
+    // epoch under ITS OWN spec with conservative admit-all for epochs
+    // whose spec cannot see the predicate column. Pinned in-query: the
+    // evolve version's dir inventory is exactly
+    // {_partspec,_prev,_SUCCESS,_commit_ts}; epoch-1 files are
+    // byte-identical (same names) before and after evolution + append; an
+    // equality probe on the OLD spec's column prunes epoch 1 to one dir
+    // while admitting all of epoch 2, an okey probe does the mirror
+    // image, and both pruned scans + residual equal the direct filter
+    // bit-exactly. The oracle aggregates the full reunified table.
+    Q("q232_partition_evolution",
+      """WITH o AS (SELECT CAST(o_orderkey AS BIGINT) AS okey,
+        |    CAST(o_custkey AS BIGINT) AS ckey,
+        |    CAST(o_totalprice AS DECIMAL(12,2)) AS total
+        |  FROM orders),
+        |w AS (SELECT okey, ckey, ckey % 10 AS cb, total FROM o)
+        |SELECT cb, CAST(count(*) AS BIGINT) AS n_rows,
+        |  round(CAST(sum(total) AS DOUBLE), 2) AS total_sum
+        |FROM w GROUP BY 1""".stripMargin) { (s, dir) =>
+      import graft.ops.{PartitionEvolution => PE, VersionedTable}
+      val root = scratch(s, dir, "q232")
+      val fsys = new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      val w = Tables.load(s, dir, "orders")
+        .select(col("o_orderkey").cast("long").as("okey"),
+          col("o_custkey").cast("long").as("ckey"),
+          col("o_totalprice").cast("decimal(12,2)").as("total"))
+        .withColumn("cb", col("ckey") % 10)
+        .select("okey", "ckey", "cb", "total") // pin column order for union
+      PE.init(w.filter(col("okey") % 2 === 0), root, PE.Identity("cb")) // v1
+      val epoch1Files = s.read.parquet(
+        new org.apache.hadoop.fs.Path(VersionedTable.verDir(root, 1L), "data")
+          .toString).inputFiles.sorted.toSeq
+      PE.evolve(s, root, PE.Bucket("okey", 8)) // v2: metadata-only
+      val v2Names = fsys.listStatus(VersionedTable.verDir(root, 2L))
+        .map(_.getPath.getName).toSet
+      require(v2Names == Set("_partspec", "_prev", "_SUCCESS", "_commit_ts"),
+        s"q232: evolve must be metadata-only, found $v2Names")
+      PE.append(w.filter(col("okey") % 2 === 1), root) // v3, under spec 2
+      require(s.read.parquet(
+        new org.apache.hadoop.fs.Path(VersionedTable.verDir(root, 1L), "data")
+          .toString).inputFiles.sorted.toSeq == epoch1Files,
+        "q232: epoch-1 files must never move under evolution")
+      // probe the OLD spec's column: epoch 1 prunes to one dir, epoch 2
+      // (bucketed on okey) conservatively admits everything
+      val (cbDirs, totalDirs) = PE.selectDirsEq(s, root, "cb", 3L)
+      val cbE1 = cbDirs.count(_.contains("_v-00000001"))
+      val cbE2 = cbDirs.count(_.contains("_v-00000003"))
+      val e2Total = fsys.listStatus(new org.apache.hadoop.fs.Path(
+        VersionedTable.verDir(root, 3L), "data"))
+        .count(st => st.isDirectory && st.getPath.getName.startsWith("p="))
+      require(cbE1 == 1, s"q232: cb=3 must prune epoch 1 to one dir, got $cbE1")
+      require(cbE2 == e2Total,
+        s"q232: the bucketed epoch cannot prune a cb probe ($cbE2/$e2Total)")
+      require(cbDirs.size < totalDirs, "q232: the probe must skip dirs overall")
+      def assertPruned(admitted: Seq[String], pred: org.apache.spark.sql.Column)
+          : Unit = {
+        val direct = w.filter(pred)
+        val pruned = s.read.parquet(admitted: _*).filter(pred)
+          .select("okey", "ckey", "cb", "total")
+        require(pruned.exceptAll(direct).isEmpty && direct.exceptAll(pruned).isEmpty,
+          "q232: pruned scan + residual must equal the direct filter")
+      }
+      assertPruned(cbDirs, col("cb") === 3)
+      // mirror probe on the NEW spec's column: epoch 2 prunes to one
+      // bucket, epoch 1 admits all
+      val someKey = w.filter(col("okey") % 2 === 1)
+        .agg(min(col("okey"))).head.getLong(0)
+      val (okDirs, _) = PE.selectDirsEq(s, root, "okey", someKey)
+      val okE1 = okDirs.count(_.contains("_v-00000001"))
+      val okE2 = okDirs.count(_.contains("_v-00000003"))
+      val e1Total = fsys.listStatus(new org.apache.hadoop.fs.Path(
+        VersionedTable.verDir(root, 1L), "data"))
+        .count(st => st.isDirectory && st.getPath.getName.startsWith("p="))
+      require(okE2 == 1, s"q232: an okey probe must prune epoch 2 to one bucket, got $okE2")
+      require(okE1 == e1Total,
+        s"q232: the identity epoch cannot prune an okey probe ($okE1/$e1Total)")
+      assertPruned(okDirs, col("okey") === someKey)
+      PE.read(s, root)
+        .groupBy(col("cb"))
+        .agg(count(lit(1)).cast("bigint").as("n_rows"),
+          round(sum(col("total")).cast("double"), 2).as("total_sum"))
     })
 }
