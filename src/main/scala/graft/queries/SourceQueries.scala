@@ -3561,5 +3561,138 @@ object SourceQueries {
         .groupBy(col("cb"))
         .agg(count(lit(1)).cast("bigint").as("n_rows"),
           round(sum(col("total")).cast("double"), 2).as("total_sum"))
+    },
+
+    // ---------------------------------------------------------------- q233
+    // TYPE WIDENING (ops/TypeWidening.scala — Delta's public ALTER COLUMN
+    // TYPE design): the logical type is a per-version manifest; widening
+    // int->long is a METADATA-ONLY commit, old files keep int32 physical
+    // bytes, post-widen appends store int64, and the live read casts each
+    // epoch up losslessly. Pinned in-query: an append that arrives wider
+    // than the manifest is rejected (no type change through the data
+    // path); the widen version's dir inventory is exactly
+    // {_types,_prev,_SUCCESS,_commit_ts}; epoch-1 files are byte-
+    // identical across the DDL; the stored physical schemas genuinely
+    // differ (int vs bigint); time travel renders v1 as int while the
+    // live read is bigint holding beyond-int32 values; and narrowing
+    // long->int throws. The oracle reunifies both epochs in SQL.
+    Q("q233_type_widening",
+      """WITH base AS (SELECT CAST(c_custkey AS INT) AS k,
+        |    CAST(c_nationkey AS INT) AS n,
+        |    CAST(c_acctbal AS DECIMAL(12,2)) AS bal
+        |  FROM customer),
+        |extra AS (SELECT CAST(k AS BIGINT) + 4000000000 AS k, n, bal
+        |  FROM base WHERE k % 11 = 0),
+        |allr AS (SELECT CAST(k AS BIGINT) AS k, n, bal FROM base
+        |  UNION ALL SELECT k, n, bal FROM extra)
+        |SELECT n, CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(k) AS BIGINT) AS k_sum,
+        |  round(CAST(sum(bal) AS DOUBLE), 2) AS bal_sum
+        |FROM allr GROUP BY 1""".stripMargin) { (s, dir) =>
+      import graft.ops.{TypeWidening => TW, VersionedTable}
+      import org.apache.spark.sql.types.{IntegerType, LongType}
+      val root = scratch(s, dir, "q233")
+      val fsys = new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      val base = Tables.load(s, dir, "customer")
+        .select(col("c_custkey").cast("int").as("k"),
+          col("c_nationkey").cast("int").as("n"),
+          col("c_acctbal").cast("decimal(12,2)").as("bal"))
+      TW.init(base, root) // v1, k stored int32
+      val extra = base.filter(col("k") % 11 === 0)
+        .select((col("k").cast("long") + 4000000000L).as("k"),
+          col("n"), col("bal"))
+      // the data path cannot widen: a long frame against an int manifest
+      val sneak = try { TW.append(extra, root); false }
+      catch { case _: IllegalArgumentException => true }
+      require(sneak, "q233: an append wider than the manifest must throw")
+      TW.widen(s, root, "k", LongType) // v2: metadata-only DDL
+      val v2Names = fsys.listStatus(VersionedTable.verDir(root, 2L))
+        .map(_.getPath.getName).toSet
+      require(v2Names == Set("_types", "_prev", "_SUCCESS", "_commit_ts"),
+        s"q233: widen must be metadata-only, found $v2Names")
+      val epoch1Files = s.read.parquet(
+        new org.apache.hadoop.fs.Path(VersionedTable.verDir(root, 1L), "data")
+          .toString).inputFiles.sorted.toSeq
+      TW.append(extra, root) // v3: beyond-int32 keys, stored int64
+      require(s.read.parquet(
+        new org.apache.hadoop.fs.Path(VersionedTable.verDir(root, 1L), "data")
+          .toString).inputFiles.sorted.toSeq == epoch1Files,
+        "q233: the DDL must never rewrite epoch-1 files")
+      require(TW.epochSchema(s, root, 1L)("k").dataType == IntegerType &&
+        TW.epochSchema(s, root, 3L)("k").dataType == LongType,
+        "q233: the epochs must genuinely mix physical types")
+      require(TW.readVersion(s, root, 1L).schema("k").dataType == IntegerType,
+        "q233: time travel renders v1 under its own (int) manifest")
+      val live = TW.read(s, root)
+      require(live.schema("k").dataType == LongType,
+        "q233: the live read renders the widened type")
+      require(live.filter(col("k") > Int.MaxValue.toLong).count() ==
+        extra.count(), "q233: beyond-int32 values must survive end-to-end")
+      val narrowed = try { TW.widen(s, root, "k", IntegerType); false }
+      catch { case _: IllegalArgumentException => true }
+      require(narrowed, "q233: narrowing must be rejected loudly")
+      live.groupBy(col("n"))
+        .agg(count(lit(1)).cast("bigint").as("n_rows"),
+          sum(col("k")).cast("bigint").as("k_sum"),
+          round(sum(col("bal")).cast("double"), 2).as("bal_sum"))
+    },
+
+    // ---------------------------------------------------------------- q234
+    // PER-FILE BLOOM-FILTER INDEX (ops/BloomIndex.scala — Delta's bloom
+    // index design next to the min/max sidecar): a point lookup on a
+    // high-cardinality UNCLUSTERED key is where min/max skipping fails —
+    // the data is range-laid-out by ckey, so every file's [min,max] on
+    // okey spans nearly the whole domain and admits everything, while the
+    // per-file bit set prunes to ~1 file + bounded false positives with
+    // ZERO false negatives. Pinned in-query over 8 deterministic probe
+    // keys: the bloom admits strictly fewer files than min/max, stays
+    // under a 25% admit budget, and every pruned scan + residual equals
+    // the direct filter bit-exactly (which proves no false negative ever
+    // dropped a row). The oracle recomputes the probed rows in SQL.
+    Q("q234_bloom_index",
+      """WITH o AS (SELECT CAST(o_orderkey AS BIGINT) AS okey,
+        |    CAST(o_custkey AS BIGINT) AS ckey,
+        |    CAST(o_totalprice AS DECIMAL(12,2)) AS total
+        |  FROM orders),
+        |keys AS (SELECT okey FROM o WHERE okey % 7 = 3 ORDER BY okey LIMIT 8)
+        |SELECT o.okey, o.ckey, round(CAST(o.total AS DOUBLE), 2) AS total
+        |FROM o JOIN keys USING (okey)""".stripMargin) { (s, dir) =>
+      import graft.ops.{BloomIndex, DataSkipping}
+      val root = scratch(s, dir, "q234")
+      val o = Tables.load(s, dir, "orders")
+        .select(col("o_orderkey").cast("long").as("okey"),
+          col("o_custkey").cast("long").as("ckey"),
+          col("o_totalprice").cast("decimal(12,2)").as("total"))
+      val dataDir = s"$root/data"
+      // range-laid-out by ckey: okey is scattered, min/max on okey is blind
+      o.repartitionByRange(16, col("ckey")).sortWithinPartitions("ckey")
+        .write.parquet(dataDir)
+      DataSkipping.writeStats(s, dataDir, Seq("okey"))
+      BloomIndex.writeIndex(s, dataDir, "okey")
+      val keys = o.filter(col("okey") % 7 === 3)
+        .orderBy(col("okey")).limit(8).select("okey")
+        .collect().map(_.getLong(0)).toSeq
+      var bloomAdmitted = 0
+      var minmaxAdmitted = 0
+      val probed = keys.map { k =>
+        val (bf, total) = BloomIndex.selectFiles(s, dataDir, lit(k))
+        val (mf, _) = DataSkipping.selectFiles(s, dataDir, "okey", lit(k), lit(k))
+        bloomAdmitted += bf.size
+        minmaxAdmitted += mf.size
+        require(total == 16, s"q234: expected 16 files, got $total")
+        s.read.parquet(bf: _*).filter(col("okey") === k)
+      }.reduce(_.unionByName(_))
+      val direct = o.join(o.filter(col("okey") % 7 === 3)
+        .orderBy(col("okey")).limit(8).select("okey"), Seq("okey"))
+      require(probed.exceptAll(direct).isEmpty && direct.exceptAll(probed).isEmpty,
+        "q234: pruned scans must equal the direct lookups (zero false negatives)")
+      require(bloomAdmitted < minmaxAdmitted,
+        s"q234: the bloom must out-prune min/max on an unclustered key " +
+          s"($bloomAdmitted vs $minmaxAdmitted of ${8 * 16})")
+      require(bloomAdmitted <= 8 * 4,
+        s"q234: the bloom must stay under the 25% admit budget ($bloomAdmitted/128)")
+      probed.select(col("okey"), col("ckey"),
+        round(col("total").cast("double"), 2).as("total"))
     })
 }
