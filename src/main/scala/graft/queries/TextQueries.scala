@@ -1277,5 +1277,163 @@ object TextQueries {
           sum(col("toks")).cast("bigint").as("n_tokens"),
           round(sum(col("toks")).cast("double") / count(lit(1)), 6)
             .as("tokens_per_term"))
+    },
+
+    // ---------------------------------------------------------------- q235
+    // LM QUALITY TERCILES (the CCNet design, Wenzek et al. '20: score every
+    // document with a language model trained on a clean reference corpus,
+    // split into head/middle/tail terciles; tail is discarded or
+    // down-weighted). The LM is an add-one-smoothed bigram model trained on
+    // the in-corpus 'en' slice; the per-token surprise is kept EXACT as a
+    // scaled integer division (1e6·(c(prev)+V)) div (c(prev,tok)+1) — the
+    // catalog's rational-arithmetic discipline: no libm log whose low bits
+    // could differ across engines, one double division per doc at the end.
+    // The tercile split avoids the classic scale-killer: no global
+    // single-partition window — the global rank comes from the distributed
+    // range-repartition + zipWithIndex pass (SurrogateKeys), and ntile's
+    // exact bucket arithmetic is applied closed-form to the rank.
+    Q("q235_lm_terciles",
+      """WITH tokl AS (SELECT doc_id, lang,
+        |    string_split_regex(trim(text), '\s+') AS ts FROM documents),
+        |tok AS (SELECT doc_id, lang, unnest(ts) AS term,
+        |    unnest(generate_series(1, len(ts))) AS pos FROM tokl),
+        |big AS (SELECT doc_id, lang,
+        |    lag(term) OVER (PARTITION BY doc_id ORDER BY pos) AS prev, term
+        |  FROM tok),
+        |bg AS (SELECT * FROM big WHERE prev IS NOT NULL),
+        |refv AS (SELECT CAST(count(DISTINCT term) AS BIGINT) AS v
+        |  FROM tok WHERE lang = 'en'),
+        |cp AS (SELECT prev, term, CAST(count(*) AS BIGINT) AS cpair
+        |  FROM bg WHERE lang = 'en' GROUP BY 1, 2),
+        |cv AS (SELECT prev, CAST(count(*) AS BIGINT) AS cprev
+        |  FROM bg WHERE lang = 'en' GROUP BY 1),
+        |sc AS (SELECT b.doc_id,
+        |    (1000000 * (COALESCE(cv.cprev, 0) + refv.v))
+        |      // (COALESCE(cp.cpair, 0) + 1) AS surprise
+        |  FROM bg b LEFT JOIN cp ON b.prev = cp.prev AND b.term = cp.term
+        |    LEFT JOIN cv ON b.prev = cv.prev CROSS JOIN refv),
+        |ds AS (SELECT doc_id, sum(surprise) AS sn, count(*) AS np
+        |  FROM sc GROUP BY 1),
+        |scored AS (SELECT doc_id, round(CAST(sn AS DOUBLE) / np, 6) AS score
+        |  FROM ds),
+        |terc AS (SELECT doc_id, score,
+        |    CAST(ntile(3) OVER (ORDER BY score, doc_id) AS INT) AS tercile
+        |  FROM scored)
+        |SELECT tercile, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(doc_id) AS BIGINT) AS id_sum,
+        |  min(score) AS min_score, max(score) AS max_score
+        |FROM terc GROUP BY 1""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val tok = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), col("lang"),
+          posexplode(graft.dedup.MinHashLSH.tokensCol(col("text"))))
+        .toDF("doc_id", "lang", "pos", "term")
+      val w = Window.partitionBy("doc_id").orderBy("pos")
+      val bg = tok.withColumn("prev", lag(col("term"), 1).over(w))
+        .filter(col("prev").isNotNull)
+        .localCheckpoint() // three aggregations + the scoring join read it
+      val en = col("lang") === "en"
+      val v = tok.filter(en).select("term").distinct().count()
+      val cp = bg.filter(en).groupBy("prev", "term")
+        .agg(count(lit(1)).as("cpair"))
+      val cv = bg.filter(en).groupBy("prev").agg(count(lit(1)).as("cprev"))
+      val sc = bg.join(cp, Seq("prev", "term"), "left")
+        .join(cv, Seq("prev"), "left")
+        .select(col("doc_id"), expr(
+          s"(1000000 * (coalesce(cprev, 0L) + ${v}L)) div (coalesce(cpair, 0L) + 1L)")
+          .as("surprise"))
+      val scored = sc.groupBy("doc_id")
+        .agg(sum("surprise").as("sn"), count(lit(1)).as("np"))
+        .select(col("doc_id"),
+          round(col("sn").cast("double") / col("np"), 6).as("score"))
+      // exact global ntile WITHOUT a single-partition window: distributed
+      // rank, then ntile's bucket arithmetic in closed form
+      val n = scored.count()
+      val ranked = graft.ops.SurrogateKeys.assign(scored, "rk", 0L,
+        Seq("score", "doc_id"))
+      val (q3, rem) = (n / 3, n % 3)
+      val terc = ranked.withColumn("tercile", expr(
+        s"CAST(IF(rk <= ${rem * (q3 + 1)}L, (rk - 1) div ${q3 + 1}L + 1, " +
+          s"$rem + (rk - 1 - ${rem * (q3 + 1)}L) div ${q3}L + 1) AS INT)"))
+      terc.groupBy(col("tercile"))
+        .agg(count(lit(1)).cast("bigint").as("n_docs"),
+          sum(col("doc_id")).cast("bigint").as("id_sum"),
+          min(col("score")).as("min_score"), max(col("score")).as("max_score"))
+    },
+
+    // ---------------------------------------------------------------- q236
+    // DSIR — data selection via importance resampling (Xie et al. '23):
+    // represent target and raw distributions over HASHED n-gram buckets
+    // (here: bigrams md5-hashed into 256 buckets, the paper's hashed
+    // feature space), weight every raw document by its per-feature
+    // target/raw likelihood ratio, and keep the top-K. The per-bucket
+    // smoothed ratio is held exact as a scaled integer division (the
+    // paper's log-weight sum is replaced by the mean scaled ratio — same
+    // machinery, rational arithmetic for cross-engine bit-parity, and
+    // deterministic top-K instead of Gumbel sampling). Scale shape: bucket
+    // stats are two O(corpus) aggregations onto 256 rows, the scoring join
+    // is a BROADCAST of those 256 rows, and selection is a bounded
+    // TakeOrdered — no shuffle carries the corpus more than once.
+    Q("q236_dsir_select",
+      """WITH tokl AS (SELECT doc_id, lang,
+        |    string_split_regex(trim(text), '\s+') AS ts FROM documents),
+        |tok AS (SELECT doc_id, lang, unnest(ts) AS term,
+        |    unnest(generate_series(1, len(ts))) AS pos FROM tokl),
+        |big AS (SELECT doc_id, lang,
+        |    lag(term) OVER (PARTITION BY doc_id ORDER BY pos) AS prev, term
+        |  FROM tok),
+        |bg AS (SELECT doc_id, lang,
+        |    CAST('0x' || substring(md5(prev || '|' || term), 1, 6) AS BIGINT)
+        |      % 256 AS bucket
+        |  FROM big WHERE prev IS NOT NULL),
+        |nt AS (SELECT CAST(count(*) AS BIGINT) AS n FROM bg WHERE lang = 'en'),
+        |nr AS (SELECT CAST(count(*) AS BIGINT) AS n FROM bg),
+        |ct AS (SELECT bucket, CAST(count(*) AS BIGINT) AS ct
+        |  FROM bg WHERE lang = 'en' GROUP BY 1),
+        |cr AS (SELECT bucket, CAST(count(*) AS BIGINT) AS cr FROM bg GROUP BY 1),
+        |rat AS (SELECT cr.bucket,
+        |    (1000000 * (COALESCE(ct.ct, 0) + 1) * (nr.n + 256))
+        |      // ((cr.cr + 1) * (nt.n + 256)) AS ratio
+        |  FROM cr LEFT JOIN ct USING (bucket) CROSS JOIN nt CROSS JOIN nr),
+        |dw AS (SELECT b.doc_id, sum(r.ratio) AS wn, count(*) AS np
+        |  FROM bg b JOIN rat r USING (bucket) GROUP BY 1),
+        |scored AS (SELECT doc_id, round(CAST(wn AS DOUBLE) / np, 6) AS w
+        |  FROM dw),
+        |sel AS (SELECT doc_id, w FROM scored ORDER BY w DESC, doc_id LIMIT 40)
+        |SELECT d.lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(d.doc_id) AS BIGINT) AS id_sum,
+        |  min(sel.w) AS min_w, max(sel.w) AS max_w
+        |FROM sel JOIN documents d USING (doc_id) GROUP BY 1""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.load(s, dir, "documents")
+      val tok = docs.select(col("doc_id"), col("lang"),
+          posexplode(graft.dedup.MinHashLSH.tokensCol(col("text"))))
+        .toDF("doc_id", "lang", "pos", "term")
+      val w = Window.partitionBy("doc_id").orderBy("pos")
+      val bg = tok.withColumn("prev", lag(col("term"), 1).over(w))
+        .filter(col("prev").isNotNull)
+        .select(col("doc_id"), col("lang"), expr(
+          "CAST(conv(substring(md5(concat(prev, '|', term)), 1, 6), 16, 10) " +
+            "AS BIGINT) % 256").as("bucket"))
+        .localCheckpoint() // four consumers; hash the corpus once
+      val en = col("lang") === "en"
+      val nt = bg.filter(en).count()
+      val nr = bg.count()
+      val ct = bg.filter(en).groupBy("bucket").agg(count(lit(1)).as("ct"))
+      val cr = bg.groupBy("bucket").agg(count(lit(1)).as("cr"))
+      val rat = cr.join(ct, Seq("bucket"), "left")
+        .select(col("bucket"), expr(
+          s"(1000000 * (coalesce(ct, 0L) + 1L) * ${nr + 256}L) " +
+            s"div ((cr + 1L) * ${nt + 256}L)").as("ratio"))
+      val scored = bg.join(broadcast(rat), Seq("bucket"))
+        .groupBy("doc_id").agg(sum("ratio").as("wn"), count(lit(1)).as("np"))
+        .select(col("doc_id"),
+          round(col("wn").cast("double") / col("np"), 6).as("w"))
+      val sel = scored.orderBy(col("w").desc, col("doc_id").asc).limit(40)
+      sel.join(docs.select("doc_id", "lang"), Seq("doc_id"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).cast("bigint").as("n_docs"),
+          sum(col("doc_id")).cast("bigint").as("id_sum"),
+          min(col("w")).as("min_w"), max(col("w")).as("max_w"))
     })
 }
