@@ -584,5 +584,134 @@ object VectorQueries {
           Seq("vec_id"))
         .select(col("vec_id"), col("code_0"), col("code_1"),
           round(col("__d0") + col("__d1"), 6).as("recon_err"))
+    },
+
+    // ---------------------------------------------------------------- q237
+    // HYBRID RETRIEVAL with RECIPROCAL RANK FUSION (Cormack et al. '09):
+    // the sparse ranker is q141's rational-BM25 (per-term impacts held
+    // exact as scaled integer divisions, summed as BIGINTs — a multi-term
+    // score with zero float accumulation), the dense ranker is q25's
+    // brute-force cosine; each contributes its top-20 and RRF fuses the
+    // union with 1e12//(60+rank) integer weights — the standard k=60
+    // fusion, exact in both engines. Scale shape: the query-term join
+    // broadcasts the (tiny) query vocabulary, both rankers end in the
+    // bounded-heap TopKPerGroup, and fusion joins two k-sized lists per
+    // query.
+    Q("q237_hybrid_rrf",
+      s"""WITH tok AS (SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS term
+        |            FROM documents),
+        |n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+        |t AS (SELECT CAST(count(*) AS BIGINT) AS n_tok FROM tok),
+        |dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY 1),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+        |df AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok GROUP BY 1),
+        |imp AS (SELECT tf.term, tf.doc_id,
+        |    CAST((CAST((2*n.n_docs - 2*df.df + 1) * 22 * t.n_tok * tf.tf AS HUGEINT)
+        |      * 1000000)
+        |      // ((2*df.df + 1) * (10*t.n_tok*tf.tf + 3*t.n_tok + 9*n.n_docs*dl.dl))
+        |      AS BIGINT) AS impact
+        |  FROM tf JOIN df USING (term) JOIN dl USING (doc_id)
+        |    CROSS JOIN n CROSS JOIN t),
+        |qt AS (SELECT DISTINCT doc_id AS qid, term FROM tok WHERE doc_id < 5),
+        |bs AS (SELECT qt.qid, imp.doc_id, sum(imp.impact) AS bscore
+        |  FROM imp JOIN qt USING (term) WHERE imp.doc_id <> qt.qid GROUP BY 1, 2),
+        |rb AS (SELECT qid, doc_id, rb FROM (
+        |    SELECT qid, doc_id, row_number() OVER (PARTITION BY qid
+        |      ORDER BY bscore DESC, doc_id) AS rb FROM bs) WHERE rb <= 20),
+        |q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv
+        |      FROM embeddings WHERE vec_id < 5),
+        |c AS (SELECT vec_id AS doc_id, embedding::DOUBLE[] AS cv FROM embeddings),
+        |sd AS (SELECT qid, doc_id, rd FROM (
+        |    SELECT qid, doc_id, row_number() OVER (PARTITION BY qid
+        |      ORDER BY ${cos("qv", "cv")} DESC, doc_id) AS rd
+        |    FROM q, c WHERE qid <> doc_id) WHERE rd <= 20),
+        |fu AS (SELECT COALESCE(rb.qid, sd.qid) AS qid,
+        |    COALESCE(rb.doc_id, sd.doc_id) AS doc_id,
+        |    COALESCE(1000000000000 // (60 + rb.rb), 0)
+        |      + COALESCE(1000000000000 // (60 + sd.rd), 0) AS rrf
+        |  FROM rb FULL OUTER JOIN sd
+        |    ON rb.qid = sd.qid AND rb.doc_id = sd.doc_id)
+        |SELECT qid, doc_id, rrf, rank FROM (
+        |  SELECT qid, doc_id, rrf, CAST(row_number() OVER (PARTITION BY qid
+        |    ORDER BY rrf DESC, doc_id) AS INT) AS rank FROM fu)
+        |WHERE rank <= 10""".stripMargin) { (s, dir) =>
+      import graft.plans.TopK
+      val docs = Tables.load(s, dir, "documents")
+      val tok = docs.select(col("doc_id"),
+          explode(graft.dedup.MinHashLSH.tokensCol(col("text"))).as("term"))
+        .localCheckpoint() // five aggregations read it
+      val nDocs = docs.count()
+      val nTok = tok.count()
+      val dl = tok.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+      val tf = tok.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      val dfreq = tok.distinct().groupBy("term").agg(count(lit(1)).as("df"))
+      val imp = tf.join(dfreq, Seq("term")).join(dl, Seq("doc_id"))
+        .select(col("term"), col("doc_id"),
+          ((lit(2) * nDocs - lit(2) * col("df") + 1) * 22 * nTok * col("tf"))
+            .as("num"),
+          ((lit(2) * col("df") + 1) *
+            (lit(10) * nTok * col("tf") + lit(3) * nTok + lit(9) * nDocs * col("dl")))
+            .as("den"))
+        .select(col("term"), col("doc_id"), expr(
+          "CAST((CAST(num AS DECIMAL(38,0)) * 1000000) div den AS BIGINT)")
+          .as("impact"))
+      val qt = tok.filter(col("doc_id") < 5)
+        .select(col("doc_id").as("qid"), col("term")).distinct()
+      val bs = imp.join(broadcast(qt), Seq("term"))
+        .filter(col("doc_id") =!= col("qid"))
+        .groupBy("qid", "doc_id").agg(sum(col("impact")).as("bscore"))
+      val rb = TopK.perGroup(bs, Seq("qid"),
+          Seq("bscore" -> true, "doc_id" -> false), 20)
+        .select(col("qid"), col("doc_id"), col("rank").as("rb"))
+      val emb = Tables.load(s, dir, "embeddings")
+      val rd = Knn.bruteForceTopK(emb.filter(col("vec_id") < 5), emb,
+          "vec_id", "vec_id", "embedding", k = 20)
+        .select(col("query_id").as("qid"), col("neighbor_id").as("doc_id"),
+          col("rank").as("rd"))
+      val fu = rb.join(rd, Seq("qid", "doc_id"), "full_outer")
+        .select(col("qid"), col("doc_id"), expr(
+          "coalesce(1000000000000L div (60 + rb), 0L) + " +
+            "coalesce(1000000000000L div (60 + rd), 0L)").as("rrf"))
+      TopK.perGroup(fu, Seq("qid"), Seq("rrf" -> true, "doc_id" -> false), 10)
+    },
+
+    // ---------------------------------------------------------------- q238
+    // HARD-NEGATIVE MINING for contrastive training (the public DPR /
+    // sentence-transformers recipe): for each anchor, the top-k nearest
+    // neighbors whose LABEL DIFFERS — semantically close but known-wrong,
+    // the pairs that sharpen an embedding model's decision boundary. The
+    // label predicate is applied BEFORE ranking (a rank-then-filter would
+    // under-fill k), and the scan is the broadcast-anchors × corpus fused
+    // pass ending in the bounded-heap TopKPerGroup — same O(corpus·log k)
+    // shape as q25, never a corpus×corpus join.
+    Q("q238_hard_negatives",
+      s"""WITH q AS (SELECT vec_id AS query_id, label AS qlab,
+        |      embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 10),
+        |c AS (SELECT vec_id AS neighbor_id, label AS clab,
+        |      embedding::DOUBLE[] AS cv FROM embeddings),
+        |s AS (SELECT query_id, neighbor_id, clab AS neg_label,
+        |      ${cos("qv", "cv")} AS cosine_sim
+        |    FROM q, c WHERE clab <> qlab)
+        |SELECT query_id, neighbor_id, neg_label, cosine_sim, rank FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY query_id
+        |    ORDER BY cosine_sim DESC, neighbor_id) AS rank FROM s)
+        |WHERE rank <= 5""".stripMargin) { (s, dir) =>
+      import graft.plans.TopK
+      val emb = Tables.load(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("label").as("qlab"),
+          col("embedding").as("__qv"))
+        .withColumn("__qn", Knn.norm(col("__qv")))
+      val c = emb
+        .select(col("vec_id").as("neighbor_id"), col("label").as("neg_label"),
+          col("embedding").as("__cv"))
+        .withColumn("__cn", Knn.norm(col("__cv")))
+      val scored = c.crossJoin(broadcast(q))
+        .filter(col("neg_label") =!= col("qlab"))
+        .select(col("query_id"), col("neighbor_id"), col("neg_label"),
+          (Knn.dot(col("__qv"), col("__cv")) / (col("__qn") * col("__cn")))
+            .as("cosine_sim"))
+      TopK.perGroup(scored, Seq("query_id"),
+        Seq("cosine_sim" -> true, "neighbor_id" -> false), 5)
     })
 }
