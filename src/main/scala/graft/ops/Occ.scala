@@ -157,15 +157,29 @@ object Occ {
     * recomputes the capture against the WINNER's snapshot (the staged diff
     * a Delta rebase re-derives), never ships the stale diff.
     *
+    * `dataChange = false` declares a PURE REWRITE (compaction, clustering,
+    * DV folding): the logical content of the output equals its input, only
+    * the layout differs. This is Delta's public `dataChange=false` commit
+    * flag, and it relaxes the conflict rule in both directions — a rewrite
+    * candidate never hard-conflicts (its mutate is re-run on the winner's
+    * snapshot, which is always legal for a content-preserving function),
+    * and committed rewrites are transparent to later candidates (the
+    * content they read is still the content that is live). That is what
+    * lets OPTIMIZE run concurrently with appends instead of serializing a
+    * 100 TB table behind its own maintenance. The `#rewrite` marker token
+    * is reserved; `mutate` MUST be content-preserving when the flag is set
+    * — the protocol trusts the declaration, exactly as Delta does.
+    *
     * @throws CommitConflictException when a commit since the read version
     *         overlaps `writeSet` — the staged dir is deleted first, so a
     *         loser leaves NO torn state.
     */
   def commit(spark: SparkSession, dir: String, writeSet: Set[String],
-      captureKeys: Option[Seq[String]] = None)
+      captureKeys: Option[Seq[String]] = None, dataChange: Boolean = true)
       (mutate: Option[DataFrame] => DataFrame, maxRebases: Int = 10,
        hook: () => Unit = () => ()): Committed = {
     require(writeSet.nonEmpty, "Occ.commit: declare a write set (or Set(\"*\"))")
+    require(!writeSet("#rewrite"), "Occ.commit: #rewrite is a reserved token")
     val fs = VersionedTable.fsOf(spark, dir)
     fs.mkdirs(new Path(dir))
     var rebases = 0
@@ -188,8 +202,17 @@ object Occ {
       // conflict check BEFORE the claim (cheap reject), and the claim itself
       // re-checks by construction: losing the create-if-absent race means a
       // new commit appeared, so loop and re-examine its write set too.
+      // Rewrites are exempt on BOTH sides: a rewrite candidate always
+      // rebases (content-preserving mutate is legal on any snapshot), and a
+      // committed rewrite left the logical content a data-change candidate
+      // read fully intact.
       val winners = setsSince(fs, dir, base)
-      val clash = winners.find(_._2.exists(t => t == "*" || writeSet(t) || writeSet("*")))
+      val clash =
+        if (!dataChange) None
+        else winners.find { case (_, ws) =>
+          !ws("#rewrite") &&
+            ws.exists(t => t == "*" || writeSet(t) || writeSet("*"))
+        }
       clash match {
         case Some((v, ws)) =>
           fs.delete(stage, true)
@@ -197,9 +220,10 @@ object Occ {
             s"Occ.commit($dir): write set ${writeSet.toSeq.sorted.mkString(",")} " +
             s"conflicts with version $v's ${ws.toSeq.sorted.mkString(",")}")
         case None =>
+          val declared = if (dataChange) writeSet else writeSet + "#rewrite"
           val target = VersionedTable.listVersions(fs, dir)
             .lastOption.getOrElse(0L).max(listCommits(fs, dir).lastOption.getOrElse(0L)) + 1L
-          if (target == base + 1L && claim(fs, dir, target, stageName, writeSet)) {
+          if (target == base + 1L && claim(fs, dir, target, stageName, declared)) {
             finalizePending(spark, dir)
             spark.catalog.refreshByPath(VersionedTable.verDir(dir, target).toString)
             return Committed(target, rebases)

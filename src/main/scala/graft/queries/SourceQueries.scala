@@ -3694,5 +3694,140 @@ object SourceQueries {
         s"q234: the bloom must stay under the 25% admit budget ($bloomAdmitted/128)")
       probed.select(col("okey"), col("ckey"),
         round(col("total").cast("double"), 2).as("total"))
+    },
+
+    // ---------------------------------------------------------------- q239
+    // ROW-LEVEL CONCURRENCY over deletion vectors (Delta's public
+    // row-level-concurrency design): two deleters whose predicates touch
+    // the SAME data files both land, because DV conflict granularity is
+    // the ROW, not the file — a file-level validation (classic Iceberg
+    // conflict check) would have aborted the second writer. Pinned
+    // in-query: writer A prepares against v1, writer B commits first
+    // (v2), A's apply rebases onto B's survivors — its capture holds
+    // EXACTLY the rows it actually killed (the A∩B overlap was captured
+    // once, by B, and A re-deleting dead rows is a no-op); both commits'
+    // DV sidecars name overlapping files; the CDF replay v1->v3 lands on
+    // the final survivors bit-exactly. The oracle computes the surviving
+    // aggregate from set algebra.
+    Q("q239_dv_row_concurrency",
+      """WITH o AS (SELECT CAST(o_orderkey AS BIGINT) AS okey,
+        |    o_orderpriority AS opri,
+        |    CAST(o_totalprice AS DECIMAL(12,2)) AS total
+        |  FROM orders),
+        |surv AS (SELECT * FROM o WHERE okey % 10 <> 3 AND okey % 6 <> 3)
+        |SELECT opri, CAST(count(*) AS BIGINT) AS n_rows,
+        |  round(CAST(sum(total) AS DOUBLE), 2) AS total_sum
+        |FROM surv GROUP BY 1""".stripMargin) { (s, dir) =>
+      import graft.ops.{ChangeFeed, DeletionVectors => DV, VersionedTable}
+      val root = scratch(s, dir, "q239")
+      val base = Tables.load(s, dir, "orders")
+        .select(col("o_orderkey").cast("long").as("okey"),
+          col("o_orderpriority").as("opri"),
+          col("o_totalprice").cast("decimal(12,2)").as("total"))
+      VersionedTable.write(base.repartition(4), root) // v1, 4 files
+      val predA = col("okey") % 10 === 3
+      val predB = col("okey") % 6 === 3
+      // writer A reads v1 and prepares; writer B commits first
+      val aIntent = DV.readVersion(s, root, 1L).filter(predA).count()
+      val (v2, bDeleted) = DV.delete(s, root, predB, capture = true)
+      require(v2 == 2L && bDeleted == base.filter(predB).count(),
+        "q239: writer B's delete must land as v2")
+      // A's apply rebases: doomed recomputed against B's survivors
+      val (v3, aDeleted) = DV.delete(s, root, predA, capture = true)
+      val overlap = base.filter(predA && predB).count()
+      require(v3 == 3L && overlap > 0 && aDeleted == aIntent - overlap,
+        s"q239: A must kill exactly its still-live rows " +
+          s"($aIntent intended, $overlap already dead, $aDeleted killed)")
+      val aCapture = s.read.parquet(
+        new org.apache.hadoop.fs.Path(VersionedTable.verDir(root, 3L), "_cdf")
+          .toString).drop(ChangeFeed.ChangeType)
+      val aExpected = base.filter(predA && !predB)
+      require(aCapture.exceptAll(aExpected).isEmpty &&
+        aExpected.exceptAll(aCapture).isEmpty,
+        "q239: A's capture must be its live kills only — the overlap was B's")
+      // row-level, same files: both sidecars touch an overlapping file set
+      val dvFiles = (v: Long) => DV.vectors(s, root, v)
+        .select("file_name").collect().map(_.getString(0)).toSet
+      require(dvFiles(2L).intersect(dvFiles(3L)).nonEmpty,
+        "q239: the two deletes must hit the same files (row-level concurrency)")
+      // the feed replays onto the final survivors
+      val replayed = ChangeFeed.apply(
+        Some(VersionedTable.readVersion(s, root, 1L)),
+        ChangeFeed.tableChanges(s, root, 1L, 3L, Seq("okey")), Seq("okey"))
+      val live = DV.read(s, root)
+      require(replayed.exceptAll(live).isEmpty && live.exceptAll(replayed).isEmpty,
+        "q239: CDF replay must land on the DV-applied snapshot")
+      live.groupBy(col("opri"))
+        .agg(count(lit(1)).cast("bigint").as("n_rows"),
+          round(sum(col("total")).cast("double"), 2).as("total_sum"))
+    },
+
+    // ---------------------------------------------------------------- q240
+    // COMPACTION RACING AN APPEND under OCC (Delta's public
+    // dataChange=false commit flag): table maintenance must not serialize
+    // writers — a pure-rewrite commit relaxes the conflict rule in both
+    // directions (a rewrite candidate always rebases, a committed rewrite
+    // is transparent to later candidates), so OPTIMIZE and an append
+    // interleaved at the worst instant BOTH land. Pinned in-query: the
+    // compactor stages against v1, the append claims v2 inside the
+    // stage->claim window, the compactor rebases ONCE and lands v3 with
+    // the appended rows compacted in; flipping the same interleaving to
+    // dataChange=true conflicts loudly and leaves the table untouched.
+    // The oracle computes the final (base ∪ appended) aggregate.
+    Q("q240_compaction_vs_append",
+      """WITH o AS (SELECT CAST(o_orderkey AS BIGINT) AS okey,
+        |    o_orderpriority AS opri,
+        |    CAST(o_totalprice AS DECIMAL(12,2)) AS total
+        |  FROM orders),
+        |addr AS (SELECT okey + 10000000 AS okey, opri, total
+        |  FROM o WHERE okey % 17 = 0),
+        |u AS (SELECT * FROM o UNION ALL SELECT * FROM addr
+        |  UNION ALL SELECT okey + 10000000, opri, total FROM addr)
+        |SELECT opri, CAST(count(*) AS BIGINT) AS n_rows,
+        |  round(CAST(sum(total) AS DOUBLE), 2) AS total_sum
+        |FROM u GROUP BY 1""".stripMargin) { (s, dir) =>
+      import graft.ops.{Occ, VersionedTable}
+      val root = scratch(s, dir, "q240")
+      val base = Tables.load(s, dir, "orders")
+        .select(col("o_orderkey").cast("long").as("okey"),
+          col("o_orderpriority").as("opri"),
+          col("o_totalprice").cast("decimal(12,2)").as("total"))
+      val added = base.filter(col("okey") % 17 === 0)
+        .select((col("okey") + 10000000L).as("okey"), col("opri"), col("total"))
+      Occ.commit(s, root, Set("base"))(_ => base.repartition(4)) // v1
+      var fired = false
+      val res = Occ.commit(s, root, Set("*"), dataChange = false)(
+        snap => snap.get.repartition(2), // OPTIMIZE: pure rewrite
+        hook = () => if (!fired) {
+          fired = true // the racing append claims v2 inside A's window
+          Occ.commit(s, root, Set("p-new"))(snap => snap.get.unionByName(added))
+        })
+      require(res.version == 3L && res.rebased == 1,
+        s"q240: the compactor must rebase once and land v3, got $res")
+      val live = VersionedTable.read(s, root)
+      require(live.inputFiles.length == 2,
+        "q240: the rebased compaction must still deliver the 2-file layout")
+      val want = base.unionByName(added)
+      require(live.exceptAll(want).isEmpty && want.exceptAll(live).isEmpty,
+        "q240: the appended rows must survive the rebased rewrite bit-exactly")
+      // contrast: the SAME interleaving as a data change conflicts loudly
+      var fired2 = false
+      val conflicted = try {
+        Occ.commit(s, root, Set("*"))(
+          snap => snap.get.filter(col("okey") % 2 === 0),
+          hook = () => if (!fired2) {
+            fired2 = true
+            Occ.commit(s, root, Set("p-new2"))(
+              snap => snap.get.unionByName(added
+                .select((col("okey") + 10000000L).as("okey"), col("opri"),
+                  col("total"))))
+          })
+        false
+      } catch { case _: Occ.CommitConflictException => true }
+      require(conflicted, "q240: a data-change writer in the same race must conflict")
+      VersionedTable.read(s, root)
+        .groupBy(col("opri"))
+        .agg(count(lit(1)).cast("bigint").as("n_rows"),
+          round(sum(col("total")).cast("double"), 2).as("total_sum"))
     })
 }
