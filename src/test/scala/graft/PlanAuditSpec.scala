@@ -391,4 +391,29 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!plan.contains("FullOuter"),
       "the maintenance path must not recompute a snapshot diff")
   }
+
+  test("q235/q236: LM scoring and DSIR stay keyed — no global window, 256-row broadcast") {
+    // the tercile split's global rank comes from the distributed
+    // zipWithIndex pass; a planner regression reintroducing a
+    // whole-corpus single-partition Window is the scale-killer this pins
+    val lm = executed(q("q235_lm_terciles"))
+    assert(!lm.contains("SinglePartition") && !lm.contains("ntile("),
+      "q235 must not rank the corpus through a single-partition ntile window")
+    val dsir = executed(q("q236_dsir_select"))
+    assert(dsir.contains("BroadcastHashJoin"),
+      "q236's 256-row ratio table must broadcast into the scoring join")
+    assert(!dsir.contains("CartesianProduct"), "q236 must stay keyed")
+  }
+
+  test("q237/q238: both retrieval rankers end in the bounded heap, query sides broadcast") {
+    for (name <- Seq("q237_hybrid_rrf", "q238_hard_negatives")) {
+      val plan = executed(q(name))
+      assert(plan.contains("TopKPerGroup"),
+        s"$name must rank through the bounded-heap operator, not a global sort")
+      assert(plan.contains("BroadcastExchange") || plan.contains("BroadcastHashJoin"),
+        s"$name's small query side must broadcast")
+      assert(!plan.contains("CartesianProduct"),
+        s"$name must never plan an unbounded cartesian")
+    }
+  }
 }
