@@ -148,4 +148,49 @@ object Layout {
       }
     }
   }
+
+  /** Selective OPTIMIZE on a [[VersionedTable]] — Delta's bin-packing
+    * semantics: rewrite ONLY the files smaller than `smallBytes`, packed
+    * into ~`smallBytes`-sized outputs; every file already at size is
+    * carried into the next immutable version as a RAW BYTE COPY, never
+    * re-encoded. This is the steady-state shape of table maintenance at
+    * 100 TB: a daily OPTIMIZE touches the day's small-file tail (kilobytes
+    * × thousands) and leaves the compacted history (terabytes) untouched —
+    * [[compact]]'s whole-dir rewrite would re-encode the table every day.
+    * Same crash-safety as every commit: the pointer flips only after the
+    * staged version is complete.
+    *
+    * Returns (version, rewritten, carried); no new version when fewer than
+    * two small files exist (nothing to pack).
+    */
+  def binPackVersioned(spark: SparkSession, dir: String,
+      smallBytes: Long): (Long, Int, Int) = {
+    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val cur = VersionedTable.currentVersion(spark, dir).getOrElse(
+      sys.error(s"binPackVersioned($dir): no complete snapshot"))
+    val live = VersionedTable.verDir(dir, cur)
+    val files = fs.listStatus(live).toSeq.filter(st => st.isFile &&
+      !st.getPath.getName.startsWith("_") && !st.getPath.getName.startsWith("."))
+    val (small, big) = files.partition(_.getLen < smallBytes)
+    if (small.size < 2) return (cur, 0, files.size)
+    VersionedTable.listVersions(fs, dir).filter(_ > cur)
+      .foreach(v => fs.delete(VersionedTable.verDir(dir, v), true))
+    val next = cur + 1L
+    val vd = VersionedTable.verDir(dir, next)
+    val want = math.max(1,
+      math.ceil(small.map(_.getLen).sum.toDouble / smallBytes).toInt)
+    spark.read.parquet(small.map(_.getPath.toString): _*).coalesce(want)
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(vd.toString)
+    big.foreach { st =>
+      org.apache.hadoop.fs.FileUtil.copy(fs, st.getPath, fs,
+        new Path(vd, st.getPath.getName), false,
+        spark.sparkContext.hadoopConfiguration)
+    }
+    require(VersionedTable.complete(fs, vd),
+      s"binPackVersioned: staged $vd missing _SUCCESS")
+    VersionedTable.stampCommitTs(fs, dir, next)
+    VersionedTable.flipPointer(fs, dir, next)
+    spark.catalog.refreshByPath(vd.toString)
+    (next, small.size, big.size)
+  }
 }

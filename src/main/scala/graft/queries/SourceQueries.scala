@@ -3829,5 +3829,413 @@ object SourceQueries {
         .groupBy(col("opri"))
         .agg(count(lit(1)).cast("bigint").as("n_rows"),
           round(sum(col("total")).cast("double"), 2).as("total_sum"))
+    },
+
+    // ---------------------------------------------------------------- q242
+    // SNAPSHOT -> STREAM HANDOFF (the Delta "initial snapshot + changes"
+    // bootstrap): a consumer materializes a view from a batch read of
+    // version V, then streams the change feed with V as its start offset
+    // — no gap, no overlap, BY CONSTRUCTION of the version protocol, even
+    // when commits land inside the race window between the snapshot read
+    // and the stream start. Pinned in-query: two commits land in that
+    // window and the stream delivers exactly them (versions 4,5, not 3,
+    // not 6); a commit landing while the stream RUNS flows through; the
+    // maintained view equals the full recompute bit-exactly; and the
+    // NEGATIVE control — an off-by-one start offset double-applies the
+    // boundary version's deltas and provably DIVERGES, which is exactly
+    // why the handoff must be version-pinned, not timestamp-guessed. The
+    // oracle composes all five mutations on the base table.
+    Q("q242_snapshot_stream_handoff",
+      """WITH base AS (SELECT CAST(c_custkey AS BIGINT) AS k,
+        |    CAST(c_nationkey AS INT) AS n, CAST(c_acctbal AS DECIMAL(12,2)) AS b
+        |  FROM customer),
+        |sh AS (SELECT max(k) + 1 AS s FROM base),
+        |v2 AS (
+        |  SELECT k, n, CASE WHEN n <= 5 THEN CAST(b + 100 AS DECIMAL(12,2))
+        |    ELSE b END AS b
+        |  FROM base WHERE k % 10 <> 0
+        |  UNION ALL
+        |  SELECT k + (SELECT s FROM sh) AS k, n, b FROM base WHERE n >= 20),
+        |v3 AS (
+        |  SELECT k, n, CASE WHEN n BETWEEN 10 AND 12
+        |    THEN CAST(b + 7.5 AS DECIMAL(12,2)) ELSE b END AS b
+        |  FROM v2 WHERE k % 7 <> 0),
+        |v4 AS (SELECT k, n, b FROM v3 WHERE n < 23),
+        |v5 AS (SELECT k, n, b FROM v4 WHERE k % 5 <> 0),
+        |v6 AS (SELECT k, n, CASE WHEN n % 4 = 1
+        |    THEN CAST(b + 50 AS DECIMAL(12,2)) ELSE b END AS b FROM v5)
+        |SELECT n, CAST(count(*) AS BIGINT) AS n_rows,
+        |  round(CAST(sum(b) AS DOUBLE), 2) AS bal_sum
+        |FROM v6 GROUP BY 1""".stripMargin) { (s, dir) =>
+      import graft.ops.{ChangeFeed, IncrementalView, VersionedTable}
+      import graft.source.CdfStream
+      val root = scratch(s, dir, "q242")
+      val ckpt = s"$root/_stream_ckpt"
+      cdfVersions(s, dir, root) // v1..v3
+      val spec = IncrementalView.Spec(Seq("n"), Seq("bal" -> col("b")))
+      val bootV = VersionedTable.currentVersion(s, root).get // the handoff pin
+      var view = IncrementalView.full(
+        VersionedTable.readVersion(s, root, bootV), spec).localCheckpoint()
+      // the race window: commits land AFTER the snapshot read, BEFORE the
+      // stream exists
+      require(ChangeFeed.commit(VersionedTable.read(s, root)
+        .filter(col("n") < 23), root, Seq("k")) == 4L, "q242: v4")
+      require(ChangeFeed.commit(VersionedTable.read(s, root)
+        .filter(col("k") % 5 =!= 0), root, Seq("k")) == 5L, "q242: v5")
+      val seen = collection.mutable.ArrayBuffer.empty[Long]
+      def fold(batch: org.apache.spark.sql.DataFrame, id: Long): Unit =
+        if (!batch.isEmpty) {
+          val b = batch.localCheckpoint()
+          seen.synchronized {
+            seen ++= b.select(col(ChangeFeed.CommitVersion))
+              .distinct().collect().map(_.getLong(0))
+          }
+          view = IncrementalView.merge(view,
+            IncrementalView.delta(b.drop(ChangeFeed.CommitVersion), spec),
+            spec).localCheckpoint()
+        }
+      val q = CdfStream.read(s, root, startingVersion = Some(bootV))
+        .writeStream.option("checkpointLocation", ckpt)
+        .foreachBatch(fold _).start()
+      try {
+        q.processAllAvailable()
+        require(seen.sorted == Seq(4L, 5L),
+          s"q242: the handoff must deliver exactly the post-snapshot versions: $seen")
+        // and a commit landing while the stream RUNS flows through
+        require(ChangeFeed.commit(VersionedTable.read(s, root)
+          .withColumn("b", when(col("n") % 4 === 1, col("b") + 50)
+            .otherwise(col("b")).cast("decimal(12,2)")),
+          root, Seq("k")) == 6L, "q242: v6")
+        q.processAllAvailable()
+        require(seen.sorted == Seq(4L, 5L, 6L),
+          s"q242: the running stream must pick up v6: $seen")
+      } finally q.stop()
+      val direct = IncrementalView.full(
+        VersionedTable.readVersion(s, root, 6L), spec)
+      require(view.exceptAll(direct).isEmpty && direct.exceptAll(view).isEmpty,
+        "q242: the handoff-maintained view must equal the full recompute")
+      // negative control: starting one version EARLY double-applies the
+      // boundary deltas — the divergence this entry exists to prevent
+      val wrong = IncrementalView.merge(
+        IncrementalView.full(VersionedTable.readVersion(s, root, bootV), spec),
+        IncrementalView.delta(ChangeFeed.tableChanges(s, root, bootV - 1L, 6L,
+          Seq("k")).drop(ChangeFeed.CommitVersion), spec), spec)
+      require(!wrong.exceptAll(direct).isEmpty,
+        "q242: an off-by-one start offset must provably diverge")
+      view.select(col("n"), col(IncrementalView.NCol).as("n_rows"),
+        round(col("bal").cast("double"), 2).as("bal_sum"))
+    },
+
+    // ---------------------------------------------------------------- q243
+    // METADATA TABLES (ops/MetadataTables.scala — the public DESCRIBE
+    // HISTORY / table.files surface): the table's history and physical
+    // inventory as ordinary DataFrames computed from LISTINGS ONLY —
+    // O(versions + files) namenode metadata, zero data-file reads, which
+    // is what lets audit dashboards and retention planners run against a
+    // 100 TB table for free. Pinned in-query: commit timestamps strictly
+    // monotonic across the history; capture flags track exactly which
+    // commits fed the change feed; files(v) reconciles with history's
+    // per-version file count and every size is positive; and after a gc
+    // the expired version leaves the history while the survivors keep
+    // their rows. The oracle recomputes each version's logical row count
+    // from set algebra; the physical columns are require-checked (the
+    // filesystem is outside SQL's reach).
+    Q("q243_metadata_tables",
+      """WITH base AS (SELECT CAST(c_custkey AS BIGINT) AS k,
+        |    CAST(c_nationkey AS INT) AS n, CAST(c_acctbal AS DECIMAL(12,2)) AS b
+        |  FROM customer),
+        |sh AS (SELECT max(k) + 1 AS s FROM base),
+        |v2 AS (
+        |  SELECT k, n, CASE WHEN n <= 5 THEN CAST(b + 100 AS DECIMAL(12,2))
+        |    ELSE b END AS b
+        |  FROM base WHERE k % 10 <> 0
+        |  UNION ALL
+        |  SELECT k + (SELECT s FROM sh) AS k, n, b FROM base WHERE n >= 20),
+        |v3 AS (
+        |  SELECT k, n, CASE WHEN n BETWEEN 10 AND 12
+        |    THEN CAST(b + 7.5 AS DECIMAL(12,2)) ELSE b END AS b
+        |  FROM v2 WHERE k % 7 <> 0)
+        |SELECT 1 AS version, CAST((SELECT count(*) FROM base) AS BIGINT) AS n_rows,
+        |  FALSE AS has_capture
+        |UNION ALL SELECT 2, CAST((SELECT count(*) FROM v2) AS BIGINT), TRUE
+        |UNION ALL SELECT 3, CAST((SELECT count(*) FROM v3) AS BIGINT), TRUE""".stripMargin) { (s, dir) =>
+      import graft.ops.{MetadataTables, VersionedTable}
+      val root = scratch(s, dir, "q243")
+      cdfVersions(s, dir, root) // v1 (no capture), v2, v3 (captured)
+      val hist = MetadataTables.history(s, root).orderBy("version")
+        .collect()
+      require(hist.map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L),
+        "q243: every retained version appears in the history")
+      val stamps = hist.map(_.getLong(1))
+      require(stamps.sliding(2).forall(p => p(0) < p(1)),
+        "q243: commit timestamps must be strictly monotonic")
+      require(hist.map(_.getBoolean(4)).toSeq == Seq(false, true, true),
+        "q243: capture flags must track exactly the fed commits")
+      require(hist.forall(r => !r.getBoolean(5)),
+        "q243: plain data commits are not metadata-only")
+      require(hist.forall(r => r.getInt(2) > 0 && r.getLong(3) > 0L),
+        "q243: every data version owns files and bytes")
+      val f3 = MetadataTables.files(s, root, 3L)
+      require(f3.count() == hist(2).getInt(2),
+        "q243: files(v) must reconcile with history's file count")
+      require(f3.filter(col("size_bytes") <= 0).isEmpty,
+        "q243: every inventory row carries its physical size")
+      // retention: the expired version leaves the history, survivors stay
+      VersionedTable.gc(s, root, keep = 2)
+      require(MetadataTables.history(s, root).select("version")
+        .collect().map(_.getLong(0)).toSeq.sorted == Seq(2L, 3L),
+        "q243: gc must retire v1 from the history")
+      // logical row counts for the oracle compare (v1 was just gc'd, so its
+      // count comes from the base the fixture wrote)
+      val byVersion = Seq(
+        (1, Tables.load(s, dir, "customer").count()),
+        (2, VersionedTable.readVersion(s, root, 2L).count()),
+        (3, VersionedTable.readVersion(s, root, 3L).count()))
+      import s.implicits._
+      byVersion.toDF("version", "n_rows")
+        .join(MetadataTables.history(s, root)
+          .select(col("version").cast("int").as("version"), col("has_capture")),
+          Seq("version"), "left")
+        .select(col("version"), col("n_rows"),
+          coalesce(col("has_capture"), lit(false)).as("has_capture"))
+    },
+
+    // ---------------------------------------------------------------- q244
+    // BIN-PACKING OPTIMIZE (Layout.binPackVersioned — Delta's OPTIMIZE
+    // bin-packing semantics): rewrite ONLY the small-file tail, carry
+    // every at-size file as a raw byte copy. At 100 TB the daily
+    // small-file tail is kilobytes×thousands while the compacted history
+    // is terabytes — a whole-table rewrite (q85's shape) re-encodes the
+    // table every day; this touches O(small). Pinned in-query: the big
+    // file survives byte-identical (name AND size), exactly the 8 small
+    // files are rewritten into 1, logical content is bit-exact across
+    // the swap, and a second OPTIMIZE is a NO-OP (no new version — the
+    // idempotence that makes it safe to schedule blindly). The oracle
+    // aggregates the (layout-invariant) content.
+    Q("q244_binpack_optimize",
+      """WITH o AS (SELECT CAST(o_orderkey AS BIGINT) AS okey,
+        |    o_orderpriority AS opri,
+        |    CAST(o_totalprice AS DECIMAL(12,2)) AS total
+        |  FROM orders)
+        |SELECT opri, CAST(count(*) AS BIGINT) AS n_rows,
+        |  round(CAST(sum(total) AS DOUBLE), 2) AS total_sum
+        |FROM o GROUP BY 1""".stripMargin) { (s, dir) =>
+      import graft.ops.{Layout, VersionedTable}
+      val root = scratch(s, dir, "q244")
+      val fsys = new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      val o = Tables.load(s, dir, "orders")
+        .select(col("o_orderkey").cast("long").as("okey"),
+          col("o_orderpriority").as("opri"),
+          col("o_totalprice").cast("decimal(12,2)").as("total"))
+      // one big file (95% of rows) + an 8-file small tail: union preserves
+      // the children's partitioning, so the write emits 1 + 8 files
+      val mixed = o.filter(col("okey") % 20 =!= 0).coalesce(1)
+        .unionByName(o.filter(col("okey") % 20 === 0).repartition(8))
+      VersionedTable.write(mixed, root) // v1
+      val before = fsys.listStatus(VersionedTable.verDir(root, 1L))
+        .filter(st => st.isFile && !st.getPath.getName.startsWith("_"))
+        .map(st => st.getPath.getName -> st.getLen).toMap
+      require(before.size == 9, s"q244: expected 9 files, got ${before.size}")
+      val bigName = before.maxBy(_._2)._1
+      val threshold = before(bigName) // strict <: the big file is carried
+      val (v2, rewritten, carried) =
+        Layout.binPackVersioned(s, root, threshold)
+      require(v2 == 2L && rewritten == 8 && carried == 1,
+        s"q244: expected 8 rewritten + 1 carried, got ($rewritten, $carried)")
+      val after = fsys.listStatus(VersionedTable.verDir(root, 2L))
+        .filter(st => st.isFile && !st.getPath.getName.startsWith("_"))
+        .map(st => st.getPath.getName -> st.getLen).toMap
+      require(after.contains(bigName) && after(bigName) == before(bigName),
+        "q244: the big file must carry byte-identically")
+      require(after.size == 2,
+        s"q244: the small tail must pack into one file, got ${after.size}")
+      val v1df = VersionedTable.readVersion(s, root, 1L)
+      val v2df = VersionedTable.readVersion(s, root, 2L)
+      require(v2df.exceptAll(v1df).isEmpty && v1df.exceptAll(v2df).isEmpty,
+        "q244: OPTIMIZE must not change logical content")
+      // idempotence: nothing small remains, so no new version
+      require(Layout.binPackVersioned(s, root, threshold)._1 == 2L,
+        "q244: a second OPTIMIZE must be a no-op")
+      VersionedTable.read(s, root)
+        .groupBy(col("opri"))
+        .agg(count(lit(1)).cast("bigint").as("n_rows"),
+          round(sum(col("total")).cast("double"), 2).as("total_sum"))
+    },
+
+    // ---------------------------------------------------------------- q245
+    // DYNAMIC PARTITION OVERWRITE + replaceWhere
+    // (ops/PartitionOverwrite.scala — Spark's partitionOverwriteMode=
+    // dynamic and Delta's replaceWhere): a reload batch replaces ONLY the
+    // partitions it carries rows for; untouched partitions carry as
+    // dir-level raw copies; and the replaceWhere guard rejects a
+    // miswired batch BEFORE anything moves. The idempotent daily-reload
+    // shape: reprocessing one day rewrites one dir, not the table.
+    // Pinned in-query: exactly partitions {1,3} are replaced and the
+    // other three carry byte-identically (names AND sizes per dir); an
+    // incoming row outside the guard rejects the whole write with the
+    // version unchanged; a re-run of the same batch converges (same
+    // logical content, one more version). The oracle composes the reload
+    // in set algebra.
+    Q("q245_dynamic_overwrite",
+      """WITH o AS (SELECT CAST(o_orderkey AS BIGINT) AS okey,
+        |    CAST(o_orderkey % 5 AS INT) AS ob,
+        |    CAST(o_totalprice AS DECIMAL(12,2)) AS total
+        |  FROM orders),
+        |reloaded AS (SELECT okey, ob, CAST(total + 10 AS DECIMAL(12,2)) AS total
+        |  FROM o WHERE ob IN (1, 3)),
+        |final AS (SELECT * FROM o WHERE ob NOT IN (1, 3)
+        |  UNION ALL SELECT * FROM reloaded)
+        |SELECT ob, CAST(count(*) AS BIGINT) AS n_rows,
+        |  round(CAST(sum(total) AS DOUBLE), 2) AS total_sum
+        |FROM final GROUP BY 1""".stripMargin) { (s, dir) =>
+      import graft.ops.{PartitionOverwrite => PO, VersionedTable}
+      val root = scratch(s, dir, "q245")
+      val fsys = new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      val o = Tables.load(s, dir, "orders")
+        .select(col("o_orderkey").cast("long").as("okey"),
+          (col("o_orderkey") % 5).cast("int").as("ob"),
+          col("o_totalprice").cast("decimal(12,2)").as("total"))
+      PO.init(o, root, "ob") // v1: five ob=* dirs
+      def dirInventory(v: Long, part: String) = {
+        val p = new org.apache.hadoop.fs.Path(
+          VersionedTable.verDir(root, v), part)
+        fsys.listStatus(p).filter(_.isFile)
+          .map(st => st.getPath.getName -> st.getLen).toMap
+      }
+      val untouchedBefore = Seq("ob=0", "ob=2", "ob=4").map(p => p -> dirInventory(1L, p))
+      val batch = o.filter(col("ob").isin(1, 3))
+        .withColumn("total", (col("total") + 10).cast("decimal(12,2)"))
+      // replaceWhere violation: a stray ob=2 row rejects the WHOLE write
+      val rejected = try {
+        PO.overwrite(batch.unionByName(o.filter(col("ob") === 2).limit(1)),
+          root, "ob", expect = Some(col("ob").isin(1, 3)))
+        false
+      } catch { case _: PO.ReplaceWhereViolation => true }
+      require(rejected && VersionedTable.currentVersion(s, root).contains(1L),
+        "q245: a guard violation must reject the write with the table untouched")
+      val (v2, replaced, carried) =
+        PO.overwrite(batch, root, "ob", expect = Some(col("ob").isin(1, 3)))
+      require(v2 == 2L && replaced == Seq("ob=1", "ob=3") && carried == 3,
+        s"q245: expected to replace ob={1,3} and carry 3, got ($replaced, $carried)")
+      untouchedBefore.foreach { case (p, inv) =>
+        require(dirInventory(2L, p) == inv,
+          s"q245: untouched partition $p must carry byte-identically")
+      }
+      // idempotent re-run: same batch, same logical content, next version
+      val (v3, _, _) = PO.overwrite(batch, root, "ob",
+        expect = Some(col("ob").isin(1, 3)))
+      val v2df = VersionedTable.readVersion(s, root, 2L)
+      val v3df = VersionedTable.readVersion(s, root, 3L)
+      require(v3 == 3L && v3df.exceptAll(v2df).isEmpty && v2df.exceptAll(v3df).isEmpty,
+        "q245: a re-run of the same batch must converge")
+      PO.read(s, root)
+        .groupBy(col("ob"))
+        .agg(count(lit(1)).cast("bigint").as("n_rows"),
+          round(sum(col("total")).cast("double"), 2).as("total_sum"))
+    },
+
+    // ---------------------------------------------------------------- q246
+    // GLOBALLY SORTED EXPORT: ORDER BY at table scale — range-repartition
+    // + in-partition sort, so the sort is DISTRIBUTED (the plan must show
+    // RangePartitioning, never a single-partition exchange) and the
+    // output files form a global order: file N's key range ends before
+    // file N+1's begins. That file-range manifest is what makes the
+    // export RESUMABLE and mergeable — a consumer reads files in name
+    // order and sees a fully sorted stream, or binary-searches the
+    // manifest for a key range. Pinned in-query: disjoint ordered
+    // per-file ranges (checked from the files themselves), row-count
+    // preservation, and the plan shape; the oracle checks the global
+    // boundary rows (head and tail of the total order).
+    Q("q246_sorted_export",
+      """WITH l AS (SELECT CAST(l_shipdate AS DATE) AS sd,
+        |    CAST(l_orderkey AS BIGINT) AS okey,
+        |    CAST(l_linenumber AS INT) AS line, CAST(l_quantity AS BIGINT) AS qty
+        |  FROM lineitem),
+        |lo AS (SELECT * FROM l ORDER BY sd, okey, line LIMIT 5),
+        |hi AS (SELECT * FROM l ORDER BY sd DESC, okey DESC, line DESC LIMIT 5)
+        |SELECT * FROM lo UNION ALL SELECT * FROM hi""".stripMargin) { (s, dir) =>
+      val root = scratch(s, dir, "q246")
+      val l = Tables.load(s, dir, "lineitem")
+        .select(col("l_shipdate").cast("date").as("sd"),
+          col("l_orderkey").cast("long").as("okey"),
+          col("l_linenumber").cast("int").as("line"),
+          col("l_quantity").cast("long").as("qty"))
+      val keys = Seq(col("sd").asc, col("okey").asc, col("line").asc)
+      val sorted = l.repartitionByRange(8, keys: _*)
+        .sortWithinPartitions(keys: _*)
+      val plan = sorted.queryExecution.executedPlan.toString
+      require(plan.contains("rangepartitioning"),
+        s"q246: the export must range-partition, got:\n$plan")
+      require(!plan.contains("SinglePartition"),
+        "q246: a single-partition global sort is the scale-killer this avoids")
+      sorted.write.parquet(root)
+      // the file-range manifest, computed from the export itself: ranges
+      // must be pairwise disjoint and ordered in file-name order
+      val ranges = s.read.parquet(root)
+        .groupBy(input_file_name().as("f"))
+        .agg(min(struct(col("sd"), col("okey"), col("line"))).as("lo"),
+          max(struct(col("sd"), col("okey"), col("line"))).as("hi"),
+          count(lit(1)).as("n"))
+        .orderBy("f").collect()
+      require(ranges.length == 8, s"q246: expected 8 files, got ${ranges.length}")
+      require(ranges.map(_.getLong(3)).sum == l.count(),
+        "q246: the export must preserve every row")
+      val bounds = ranges.map(r => (r.getStruct(1), r.getStruct(2)))
+      bounds.sliding(2).foreach { case Array((_, hi0), (lo1, _)) =>
+        val cmp = Seq(
+          hi0.getDate(0).compareTo(lo1.getDate(0)),
+          java.lang.Long.compare(hi0.getLong(1), lo1.getLong(1)),
+          Integer.compare(hi0.getInt(2), lo1.getInt(2)))
+          .find(_ != 0).getOrElse(0)
+        require(cmp < 0,
+          s"q246: file ranges must be disjoint and ordered: $hi0 !< $lo1")
+      case _ => ()
+      }
+      val back = s.read.parquet(root)
+      back.orderBy(keys: _*).limit(5)
+        .unionByName(back.orderBy(col("sd").desc, col("okey").desc,
+          col("line").desc).limit(5))
+    },
+
+    // ---------------------------------------------------------------- q247
+    // STRATIFIED SPLIT with exact floor-proportional allocation: an
+    // 80/10/10 train/val/test split holding EXACT per-language
+    // proportions (q48's content-hash split is stable but drifts per
+    // stratum) — each language's docs are ordered by a salted md5 (the
+    // content-addressed determinism discipline) and allocated by integer
+    // arithmetic: rn*10 <= n*8 -> train, <= n*9 -> val, else test. No
+    // randomness, no floats, identical in both engines, stable under
+    // re-ingestion. The per-language window is keyed (languages are the
+    // parallel unit); at corpus scale the allocation is one shuffle.
+    Q("q247_stratified_split",
+      """WITH t AS (SELECT doc_id, lang,
+        |    md5('split1|' || CAST(doc_id AS VARCHAR)) AS sk FROM documents),
+        |r AS (SELECT doc_id, lang,
+        |    row_number() OVER (PARTITION BY lang ORDER BY sk, doc_id) AS rn,
+        |    count(*) OVER (PARTITION BY lang) AS n FROM t),
+        |sp AS (SELECT doc_id, lang,
+        |    CASE WHEN rn * 10 <= n * 8 THEN 'train'
+        |         WHEN rn * 10 <= n * 9 THEN 'val' ELSE 'test' END AS split
+        |  FROM r)
+        |SELECT lang, split, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(doc_id) AS BIGINT) AS id_sum
+        |FROM sp GROUP BY 1, 2""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val t = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), col("lang"),
+          md5(concat(lit("split1|"), col("doc_id").cast("string"))).as("sk"))
+      val byLang = Window.partitionBy("lang")
+      val r = t
+        .withColumn("rn", row_number().over(byLang.orderBy(col("sk"), col("doc_id"))))
+        .withColumn("n", count(lit(1)).over(byLang))
+      r.withColumn("split",
+          when(col("rn") * 10 <= col("n") * 8, lit("train"))
+            .when(col("rn") * 10 <= col("n") * 9, lit("val"))
+            .otherwise(lit("test")))
+        .groupBy(col("lang"), col("split"))
+        .agg(count(lit(1)).cast("bigint").as("n_docs"),
+          sum(col("doc_id")).cast("bigint").as("id_sum"))
     })
 }

@@ -1435,5 +1435,56 @@ object TextQueries {
         .agg(count(lit(1)).cast("bigint").as("n_docs"),
           sum(col("doc_id")).cast("bigint").as("id_sum"),
           min(col("w")).as("min_w"), max(col("w")).as("max_w"))
+    },
+
+    // ---------------------------------------------------------------- q241
+    // TRAINING EXPORT: deterministic shuffle -> shard -> cross-doc
+    // sequence packing — the last mile of a pretraining pipeline. The
+    // permutation is content-addressed (md5 of an epoch salt + doc id:
+    // stable across runs, engines, and re-ingestion — the q48 discipline,
+    // never a random draw), shards are hash buckets of the same key, and
+    // within a shard WHOLE DOCS pack greedily into fixed-token-budget
+    // sequences via the q64 cumsum-div trick — one keyed window per
+    // shard, so shards are the parallel unit (at 100 TB: thousands of
+    // shards, zero cross-shard coordination, resumable per shard). The
+    // manifest aggregates per shard: docs, sequences, tokens, and the
+    // fill shape.
+    Q("q241_training_export",
+      """WITH t AS (SELECT doc_id,
+        |    len(string_split_regex(trim(text), '\s+')) AS n_tok,
+        |    md5('epoch1|' || CAST(doc_id AS VARCHAR)) AS sk
+        |  FROM documents),
+        |sh AS (SELECT doc_id, n_tok, sk,
+        |    CAST('0x' || substring(sk, 1, 6) AS BIGINT) % 8 AS shard FROM t),
+        |packed AS (SELECT shard, doc_id, n_tok, sk,
+        |    (SUM(n_tok) OVER (PARTITION BY shard ORDER BY sk, doc_id
+        |      ROWS UNBOUNDED PRECEDING) - n_tok) // 256 AS seq_id
+        |  FROM sh),
+        |seqs AS (SELECT shard, seq_id, count(*) AS n_docs,
+        |    sum(n_tok) AS seq_tokens FROM packed GROUP BY 1, 2)
+        |SELECT shard, CAST(sum(n_docs) AS BIGINT) AS n_docs,
+        |  CAST(count(*) AS BIGINT) AS n_seqs,
+        |  CAST(sum(seq_tokens) AS BIGINT) AS total_tokens,
+        |  CAST(max(seq_tokens) AS BIGINT) AS max_seq_tokens
+        |FROM seqs GROUP BY 1""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val t = Tables.load(s, dir, "documents")
+        .select(col("doc_id"),
+          size(graft.dedup.MinHashLSH.tokensCol(col("text"))).as("n_tok"),
+          md5(concat(lit("epoch1|"), col("doc_id").cast("string"))).as("sk"))
+        .withColumn("shard", expr(
+          "CAST(conv(substring(sk, 1, 6), 16, 10) AS BIGINT) % 8"))
+      val w = Window.partitionBy("shard").orderBy(col("sk"), col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val packed = t
+        .withColumn("__cum", sum(col("n_tok")).over(w))
+        .withColumn("seq_id", expr("(__cum - n_tok) div 256L"))
+      packed.groupBy(col("shard"), col("seq_id"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("seq_tokens"))
+        .groupBy(col("shard"))
+        .agg(sum(col("n_docs")).cast("bigint").as("n_docs"),
+          count(lit(1)).cast("bigint").as("n_seqs"),
+          sum(col("seq_tokens")).cast("bigint").as("total_tokens"),
+          max(col("seq_tokens")).cast("bigint").as("max_seq_tokens"))
     })
 }
