@@ -208,6 +208,50 @@ object ChangeFeed {
     * two sides differ null-safely. One self-join keyed on (key, version) —
     * O(update pairs), never O(table).
     */
+  /** Collapse a feed range to its MINIMAL per-key net effect — the
+    * "collapsed CDC" every downstream consumer actually wants (Debezium's
+    * tombstone compaction, Delta's latest-change-per-key read pattern,
+    * generalized to carry the correct PRE-state): a key inserted then
+    * deleted nets to NOTHING, updated then updated nets to ONE update
+    * whose preimage is the range's first pre-state, updated back to its
+    * original value nets to nothing, deleted then re-inserted identically
+    * nets to nothing (and to an UPDATE when the re-insert differs). The
+    * contract — and the whole point — is `netChanges(a, b) ≡
+    * diff(snapshot_a, snapshot_b)` bit-exactly, computed from O(changes)
+    * instead of re-scanning two table-sized snapshots.
+    *
+    * One key-shuffled aggregation: `min_by`/`max_by` pick each key's
+    * boundary states (preimage/delete rows sort first within their
+    * version, postimage/insert last), then a single pass classifies.
+    */
+  def netChanges(spark: SparkSession, dir: String, fromVersion: Long,
+      toVersion: Long, keyCols: Seq[String]): DataFrame = {
+    val ch = tableChanges(spark, dir, fromVersion, toVersion, keyCols)
+    val dataCols = ch.columns.toSeq
+      .filterNot(c => c == ChangeType || c == CommitVersion)
+    val isPre = col(ChangeType).isin("update_preimage", "delete")
+    val rowStruct = struct(col(ChangeType).as("__t") +: dataCols.map(col): _*)
+    val g = ch.groupBy(keyCols.map(col): _*).agg(
+      min_by(rowStruct, struct(col(CommitVersion),
+        when(isPre, 0).otherwise(1))).as("__first"),
+      max_by(rowStruct, struct(col(CommitVersion),
+        when(isPre, 0).otherwise(1))).as("__last"))
+    val beforeAbsent = col("__first.__t") === "insert"
+    val afterAbsent = col("__last.__t") === "delete"
+    val beforeVals = struct(dataCols.map(c => col(s"__first.$c").as(c)): _*)
+    val afterVals = struct(dataCols.map(c => col(s"__last.$c").as(c)): _*)
+    val kinds = when(beforeAbsent && afterAbsent, array().cast("array<string>"))
+      .when(beforeAbsent, array(lit("insert")))
+      .when(afterAbsent, array(lit("delete")))
+      .when(beforeVals <=> afterVals, array().cast("array<string>")) // undone
+      .otherwise(array(lit("update_preimage"), lit("update_postimage")))
+    g.select(explode(kinds).as(ChangeType), col("__first"), col("__last"))
+      .select(dataCols.map(c =>
+        when(col(ChangeType).isin("delete", "update_preimage"),
+          col(s"__first.$c")).otherwise(col(s"__last.$c")).as(c))
+        :+ col(ChangeType): _*)
+  }
+
   def changedColumns(changes: DataFrame, keyCols: Seq[String]): DataFrame = {
     val dataCols = changes.columns.toSeq
       .filterNot(c => keyCols.contains(c) || c == ChangeType || c == CommitVersion)

@@ -96,6 +96,9 @@ object GraftRules {
     val cur = spark.experimental.extraOptimizations
     if (!cur.exists(_ eq RankFilterToTopK))
       spark.experimental.extraOptimizations = cur :+ RankFilterToTopK
+    val cur2 = spark.experimental.extraOptimizations
+    if (!cur2.exists(_ eq JoinElimination))
+      spark.experimental.extraOptimizations = cur2 :+ JoinElimination
     registerFunctions(spark)
   }
 

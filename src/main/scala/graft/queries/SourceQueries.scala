@@ -4237,5 +4237,141 @@ object SourceQueries {
         .groupBy(col("lang"), col("split"))
         .agg(count(lit(1)).cast("bigint").as("n_docs"),
           sum(col("doc_id")).cast("bigint").as("id_sum"))
+    },
+
+    // ---------------------------------------------------------------- q248
+    // JOIN ELIMINATION (plans/JoinElimination.scala — the RELY-constraint
+    // optimization warehouse engines publish, restricted to what the plan
+    // can PROVE): a left-outer equi-join against a right side that is
+    // key-unique BY CONSTRUCTION (an Aggregate grouping on the join
+    // keys), none of whose columns are referenced above, adds exactly
+    // zero rows and zero columns — the rule drops the join, its
+    // exchanges, and the dimension's entire scan. Generated BI layers
+    // emit exactly this shape for fact-only measures; at 100 TB each
+    // elimination is a dim scan + build + shuffle that never runs.
+    // Pinned in-query: the optimized plan has ONE parquet scan and no
+    // join; flipping to a NON-unique right side (no aggregate) keeps the
+    // join — the rule is sound, not trusted; both variants return
+    // identical results equal to the fact-only aggregate the oracle
+    // computes.
+    Q("q248_join_elimination",
+      """SELECT o_orderpriority AS opri, CAST(count(*) AS BIGINT) AS n_rows,
+        |  round(CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE), 2)
+        |    AS total_sum
+        |FROM orders GROUP BY 1""".stripMargin) { (s, dir) =>
+      graft.plans.GraftRules.register(s) // idempotent; driver sessions vary
+      val fact = Tables.load(s, dir, "orders")
+        .select(col("o_custkey").as("ckey"),
+          col("o_orderpriority").as("opri"),
+          col("o_totalprice").cast("decimal(12,2)").as("total"))
+      val dimUnique = Tables.load(s, dir, "customer")
+        .groupBy(col("c_custkey")).agg(max(col("c_nationkey")).as("nat"))
+      def measure(dim: org.apache.spark.sql.DataFrame) =
+        fact.join(dim, fact("ckey") === dim("c_custkey"), "left_outer")
+          .groupBy(col("opri"))
+          .agg(count(lit(1)).cast("bigint").as("n_rows"),
+            round(sum(col("total")).cast("double"), 2).as("total_sum"))
+      val eliminated = measure(dimUnique)
+      val planE = eliminated.queryExecution.executedPlan.toString
+      require(!planE.contains("Join"),
+        s"q248: the unique-keyed dead dim must be eliminated:\n$planE")
+      require("Scan parquet".r.findAllIn(planE).size == 1,
+        "q248: the dim scan must disappear with the join")
+      // soundness: a right side that is NOT provably unique keeps its join
+      val dimDup = Tables.load(s, dir, "customer")
+        .select(col("c_custkey"), col("c_nationkey").as("nat"))
+      val kept = measure(dimDup)
+      require(kept.queryExecution.executedPlan.toString.contains("Join"),
+        "q248: a non-unique right side must keep the join — never trust")
+      require(eliminated.exceptAll(kept).isEmpty && kept.exceptAll(eliminated).isEmpty,
+        "q248: elimination must not change the result")
+      eliminated
+    },
+
+    // ---------------------------------------------------------------- q249
+    // NET CHANGES (ChangeFeed.netChanges — collapsed CDC): a feed range
+    // reduced to its MINIMAL per-key effect, from O(changes) work. The
+    // contract is netChanges(a, b) ≡ diff(snapshot_a, snapshot_b)
+    // bit-exactly — pinned in-query along with the three vanishing
+    // classes consumers rely on: a key inserted then deleted nets to
+    // nothing, a value updated back to its original nets to nothing, a
+    // delete followed by an identical re-insert nets to nothing (each
+    // required PRESENT in the raw feed and ABSENT from the net). The
+    // oracle computes the same minimal diff from set algebra over the
+    // first and last snapshots.
+    Q("q249_net_changes",
+      """WITH base AS (SELECT CAST(c_custkey AS BIGINT) AS k,
+        |    CAST(c_nationkey AS INT) AS n, CAST(c_acctbal AS DECIMAL(12,2)) AS b
+        |  FROM customer),
+        |sh AS (SELECT max(k) + 1 AS s FROM base),
+        |v2 AS (SELECT k, n, CAST(b + CASE WHEN n <= 5 THEN 100 ELSE 0 END
+        |      AS DECIMAL(12,2)) AS b FROM base WHERE k % 10 <> 1
+        |  UNION ALL SELECT k + (SELECT s FROM sh), n, b FROM base WHERE k % 13 = 0),
+        |v3 AS (SELECT k, n, CAST(CASE WHEN n <= 2 AND k < (SELECT s FROM sh)
+        |      THEN b - 100 ELSE b END AS DECIMAL(12,2)) AS b
+        |    FROM v2 WHERE k % 10 <> 7
+        |      AND NOT (k >= (SELECT s FROM sh)
+        |               AND (k - (SELECT s FROM sh)) % 26 = 0)
+        |  UNION ALL SELECT k, n, b FROM base WHERE k % 20 = 1),
+        |net AS (
+        |  SELECT v3.k, v3.n, v3.b, 'insert' AS ct FROM v3
+        |    WHERE v3.k NOT IN (SELECT k FROM base)
+        |  UNION ALL SELECT b1.k, b1.n, b1.b, 'delete' FROM base b1
+        |    WHERE b1.k NOT IN (SELECT k FROM v3)
+        |  UNION ALL SELECT b1.k, b1.n, b1.b, 'update_preimage'
+        |    FROM base b1 JOIN v3 ON b1.k = v3.k WHERE b1.b <> v3.b
+        |  UNION ALL SELECT v3.k, v3.n, v3.b, 'update_postimage'
+        |    FROM v3 JOIN base b1 ON b1.k = v3.k WHERE b1.b <> v3.b)
+        |SELECT k, n, round(CAST(b AS DOUBLE), 2) AS bal, ct AS change_type
+        |FROM net""".stripMargin) { (s, dir) =>
+      import graft.ops.{ChangeFeed, VersionedTable}
+      val root = scratch(s, dir, "q249")
+      val base = Tables.load(s, dir, "customer")
+        .select(col("c_custkey").cast("long").as("k"),
+          col("c_nationkey").cast("int").as("n"),
+          col("c_acctbal").cast("decimal(12,2)").as("b"))
+      val shift = base.agg(max(col("k"))).head.getLong(0) + 1L
+      VersionedTable.write(base, root) // v1
+      val v2 = base.filter(col("k") % 10 =!= 1)
+        .withColumn("b", (col("b") + when(col("n") <= 5, 100).otherwise(0))
+          .cast("decimal(12,2)"))
+        .unionByName(base.filter(col("k") % 13 === 0)
+          .select((col("k") + shift).as("k"), col("n"), col("b")))
+      require(ChangeFeed.commit(v2, root, Seq("k")) == 2L, "q249: v2")
+      val v3 = VersionedTable.read(s, root)
+        .filter(col("k") % 10 =!= 7)
+        .filter(!(col("k") >= shift && (col("k") - shift) % 26 === 0))
+        .withColumn("b", when(col("n") <= 2 && col("k") < shift,
+          col("b") - 100).otherwise(col("b")).cast("decimal(12,2)"))
+        .unionByName(base.filter(col("k") % 20 === 1))
+      require(ChangeFeed.commit(v3, root, Seq("k")) == 3L, "q249: v3")
+      val net = ChangeFeed.netChanges(s, root, 1L, 3L, Seq("k"))
+        .localCheckpoint() // the contract check and four class pins read it
+      val want = ChangeFeed.diff(
+        Some(VersionedTable.readVersion(s, root, 1L)),
+        VersionedTable.readVersion(s, root, 3L), Seq("k"))
+      require(net.exceptAll(want).isEmpty && want.exceptAll(net).isEmpty,
+        "q249: the net must equal the snapshot diff bit-exactly")
+      val feed = ChangeFeed.tableChanges(s, root, 1L, 3L, Seq("k"))
+      def inFeedNotNet(pred: org.apache.spark.sql.Column, label: String): Unit = {
+        require(feed.filter(pred).count() > 0,
+          s"q249: the $label class must appear in the raw feed")
+        require(net.filter(pred).isEmpty,
+          s"q249: the $label class must vanish from the net")
+      }
+      // insert-then-delete: shifted keys whose source k % 26 == 0
+      inFeedNotNet(col("k") >= shift && (col("k") - shift) % 26 === 0,
+        "insert-then-delete")
+      // update-back-to-original: n<=2 originals neither deleted nor re-keyed
+      inFeedNotNet(col("k") < shift && col("n") <= 2 &&
+        col("k") % 10 =!= 1 && col("k") % 10 =!= 7, "update-undone")
+      // delete-then-identical-reinsert: ORIGINAL keys k % 20 == 1 (n > 5:
+      // value untouched; k < shift: a shifted insert can also land on the
+      // residue and is a legitimate net insert)
+      inFeedNotNet(col("k") % 20 === 1 && col("n") > 5 && col("k") < shift,
+        "reinsert-identical")
+      net.select(col("k"), col("n"),
+        round(col("b").cast("double"), 2).as("bal"),
+        col(ChangeFeed.ChangeType).as("change_type"))
     })
 }
