@@ -1486,5 +1486,59 @@ object TextQueries {
           count(lit(1)).cast("bigint").as("n_seqs"),
           sum(col("seq_tokens")).cast("bigint").as("total_tokens"),
           max(col("seq_tokens")).cast("bigint").as("max_seq_tokens"))
+    },
+
+    // ---------------------------------------------------------------- q250
+    // WINSORIZED LENGTH STATS — outlier clipping at EXACT nearest-rank
+    // percentiles (the pre-tokenization length-sanitization step of a
+    // curation pipeline), with both scale traps closed: the percentile
+    // is exact (no approx-quantile epsilon that drifts across engines)
+    // yet computed WITHOUT a single-partition sort — the global rank
+    // comes from the distributed range-repartition + zipWithIndex pass,
+    // and the rank positions use pure integer arithmetic
+    // ((5n+99) div 100, never ceil(0.05·n) whose float product can
+    // straddle the integer boundary differently per engine). The p05/p95
+    // bounds then broadcast as two scalars.
+    Q("q250_winsorized_lengths",
+      """WITH t AS (SELECT doc_id, lang, n_chars FROM documents),
+        |r AS (SELECT doc_id, lang, n_chars,
+        |    row_number() OVER (ORDER BY n_chars, doc_id) AS rn,
+        |    count(*) OVER () AS n FROM t),
+        |b AS (SELECT
+        |    max(CASE WHEN rn = (5 * n + 99) // 100 THEN n_chars END) AS lo,
+        |    max(CASE WHEN rn = (95 * n + 99) // 100 THEN n_chars END) AS hi
+        |  FROM r),
+        |c AS (SELECT lang,
+        |    CASE WHEN n_chars < lo THEN lo
+        |         WHEN n_chars > hi THEN hi ELSE n_chars END AS w,
+        |    CASE WHEN n_chars < lo THEN 1 ELSE 0 END AS cl,
+        |    CASE WHEN n_chars > hi THEN 1 ELSE 0 END AS ch
+        |  FROM t CROSS JOIN b)
+        |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(w) AS BIGINT) AS clamped_chars,
+        |  CAST(sum(cl) AS BIGINT) AS n_lo, CAST(sum(ch) AS BIGINT) AS n_hi
+        |FROM c GROUP BY 1""".stripMargin) { (s, dir) =>
+      val t = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+      val n = t.count()
+      val ranked = graft.ops.SurrogateKeys.assign(t, "rn", 0L,
+        Seq("n_chars", "doc_id"))
+      val loRank = (5 * n + 99) / 100
+      val hiRank = (95 * n + 99) / 100
+      val lo = ranked.filter(col("rn") === loRank)
+        .head.getAs[Long]("n_chars")
+      val hi = ranked.filter(col("rn") === hiRank)
+        .head.getAs[Long]("n_chars")
+      t.select(col("lang"),
+          when(col("n_chars") < lo, lo)
+            .when(col("n_chars") > hi, hi)
+            .otherwise(col("n_chars")).as("w"),
+          when(col("n_chars") < lo, 1).otherwise(0).as("cl"),
+          when(col("n_chars") > hi, 1).otherwise(0).as("ch"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).cast("bigint").as("n_docs"),
+          sum(col("w")).cast("bigint").as("clamped_chars"),
+          sum(col("cl")).cast("bigint").as("n_lo"),
+          sum(col("ch")).cast("bigint").as("n_hi"))
     })
 }
