@@ -1,0 +1,164 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Round-7 continuation: training-data pipeline operators beyond the q2xx
+  * catalog — repetition-aware mixture allocation and scan-time PII
+  * validation. Same oracle discipline as TextQueries: exact integer/decimal
+  * arithmetic end-to-end, column names/types aligned with the DuckDB SQL.
+  */
+object TrainQueries {
+
+  val all: Seq[Q] = Seq(
+
+    // ---------------------------------------------------------------- q251
+    // DATA-CONSTRAINED EPOCH MIXING (Muennighoff et al. '23, 2305.16264;
+    // the LLaMA-style mixture table with per-source epoch caps): the token
+    // budget B exceeds the corpus (2×), each source's declared mixture
+    // weight earns it a share, and no source may repeat more than 3 epochs
+    // — the up-sampling complement to q204's down-sampling apportionment.
+    // Water-filling in EXACT integer arithmetic: largest-remainder share by
+    // weight, clamp at the 3-epoch cap, then redistribute the clamped
+    // overflow among uncapped sources proportionally to their REMAINING
+    // HEADROOM (one round provably suffices: add ≤ headroom because
+    // leftover < total headroom whenever B < 3·T, and floor(L·h/H) ≤ h−1
+    // strictly). Scale shape: the corpus is touched by ONE aggregate; the
+    // apportionment runs over #sources rows (a broadcast-sized table), the
+    // only windows are over those k rows — at 100 TB with thousands of
+    // sources this is still driver-free and O(k log k).
+    Q("q251_epoch_mixing",
+      """WITH s AS (SELECT source, CAST(sum(n_chars) AS BIGINT) AS chars
+        |           FROM documents GROUP BY 1),
+        |w AS (SELECT source, chars,
+        |  CAST(regexp_extract(source, '([0-9]+)$', 1) AS BIGINT) % 7 + 1 AS wt
+        |  FROM s),
+        |t AS (SELECT CAST(sum(chars) AS BIGINT) * 2 AS b,
+        |  CAST(sum(wt) AS BIGINT) AS tw FROM w),
+        |a0 AS (SELECT source, chars, wt, b, (b * wt) // tw AS base,
+        |  (b * wt) % tw AS rem FROM w CROSS JOIN t),
+        |k1 AS (SELECT max(b) - sum(base) AS k1 FROM a0),
+        |sh AS (SELECT source, chars, wt, b,
+        |  base + CASE WHEN row_number() OVER (ORDER BY rem DESC, source) <= k1
+        |              THEN 1 ELSE 0 END AS share,
+        |  chars * 3 AS cap
+        |  FROM a0 CROSS JOIN k1),
+        |c1 AS (SELECT source, chars, wt, b, share, cap,
+        |  least(share, cap) AS alloc1, share > cap AS capped,
+        |  cap - least(share, cap) AS h FROM sh),
+        |l AS (SELECT max(b) - sum(alloc1) AS l, sum(h) AS hh FROM c1),
+        |r2 AS (SELECT c1.*, (l * h) // hh AS base2, (l * h) % hh AS rem2, l
+        |  FROM c1 CROSS JOIN l),
+        |k2 AS (SELECT max(l) - sum(base2) AS k2 FROM r2),
+        |f AS (SELECT source, chars, wt, capped,
+        |  alloc1 + base2 + CASE WHEN h > 0 AND row_number() OVER
+        |      (ORDER BY (h > 0) DESC, rem2 DESC, source) <= k2
+        |    THEN 1 ELSE 0 END AS alloc
+        |  FROM r2 CROSS JOIN k2)
+        |SELECT source, chars, CAST(wt AS BIGINT) AS weight,
+        |  CAST(alloc AS BIGINT) AS alloc_chars,
+        |  CAST(alloc * 1000 // chars AS BIGINT) AS epochs_milli, capped
+        |FROM f""".stripMargin) { (s, dir) =>
+      val docs = Tables.load(s, dir, "documents")
+        .select(col("source"), col("n_chars"))
+      val bySrc = docs.groupBy(col("source"))
+        .agg(sum(col("n_chars")).cast("long").as("chars"))
+        .withColumn("wt",
+          regexp_extract(col("source"), "([0-9]+)$", 1).cast("long") % 7 + 1L)
+      val tot = bySrc.agg((sum(col("chars")) * 2).cast("long").as("b"),
+        sum(col("wt")).cast("long").as("tw"))
+      val a0 = bySrc.crossJoin(broadcast(tot))
+        .withColumn("base", expr("(b * wt) div tw"))
+        .withColumn("rem", expr("(b * wt) % tw"))
+      val k1 = a0.agg((max(col("b")) - sum(col("base"))).cast("long").as("k1"))
+      val sh = a0.crossJoin(broadcast(k1))
+        .withColumn("share", col("base") + when(
+          row_number().over(Window.orderBy(col("rem").desc, col("source").asc))
+            <= col("k1"), 1L).otherwise(0L))
+        .withColumn("cap", col("chars") * 3)
+        .withColumn("alloc1", least(col("share"), col("cap")))
+        .withColumn("capped", col("share") > col("cap"))
+        .withColumn("h", col("cap") - col("alloc1"))
+      val l = sh.agg((max(col("b")) - sum(col("alloc1"))).cast("long").as("l"),
+        sum(col("h")).cast("long").as("hh"))
+      val r2 = sh.crossJoin(broadcast(l))
+        .withColumn("base2", expr("(l * h) div hh"))
+        .withColumn("rem2", expr("(l * h) % hh"))
+      val k2 = r2.agg((max(col("l")) - sum(col("base2"))).cast("long").as("k2"))
+      val out = r2.crossJoin(broadcast(k2))
+        .withColumn("alloc", col("alloc1") + col("base2") + when(
+          col("h") > 0 && row_number().over(Window.orderBy(
+            (col("h") > 0).desc, col("rem2").desc, col("source").asc))
+            <= col("k2"), 1L).otherwise(0L))
+        .select(col("source"), col("chars"), col("wt").as("weight"),
+          col("alloc").as("alloc_chars"),
+          expr("CAST(alloc * 1000 div chars AS BIGINT)").as("epochs_milli"),
+          col("capped"))
+        .localCheckpoint() // k rows; read by the invariants and the dump
+      // water-filling invariants: exact budget, caps never exceeded, a
+      // capped source sits at exactly 3.000 epochs
+      val b = tot.head().getLong(0)
+      require(out.agg(sum(col("alloc_chars"))).head().getLong(0) == b,
+        "q251: allocations must sum to the budget exactly")
+      require(out.filter(col("alloc_chars") > col("chars") * 3).isEmpty,
+        "q251: an allocation exceeded the 3-epoch cap")
+      require(out.filter(col("capped") && col("epochs_milli") =!= 3000L).isEmpty,
+        "q251: a capped source must sit at exactly 3.000 epochs")
+      out
+    },
+
+    // ---------------------------------------------------------------- q252
+    // SCAN-TIME PII VALIDATION (Luhn mod-10, the public ISO/IEC 7812 check
+    // every PAN detector runs): candidate account numbers are derived
+    // deterministically from ids (the testdata carries no 13–16-digit runs,
+    // so the candidate column is synthesized; the OPERATOR — checksum
+    // classification folded into the scan — is the subject). The Luhn sum
+    // runs as a codegen'd higher-order `transform`+`aggregate` over the
+    // reversed digit array (position-indexed lambda — no UDF, no explode on
+    // the Spark side), and the repair digit falls out of the same sum:
+    // fix = (10 − (S − d₁) mod 10) mod 10. Scale shape: pure per-row map
+    // folded into one pass + one small aggregate — zero shuffles beyond the
+    // final per-type rollup; at 100 TB this is the cheapest possible shape
+    // for a compliance scan. The oracle computes the identical sums via
+    // row-explosion (DuckDB lambdas carry no index).
+    Q("q252_pii_luhn",
+      """WITH c AS (SELECT event_id, event_type,
+        |    lpad(CAST(event_id * 1000003 + user_id * 7919 AS VARCHAR), 16, '0') AS pan
+        |  FROM events),
+        |d AS (SELECT event_id, event_type,
+        |    unnest(string_split(reverse(pan), '')) AS ch,
+        |    generate_subscripts(string_split(reverse(pan), ''), 1) AS i
+        |  FROM c),
+        |v AS (SELECT event_id, event_type,
+        |    sum(CASE WHEN i % 2 = 1 THEN CAST(ch AS INT)
+        |             WHEN 2 * CAST(ch AS INT) > 9 THEN 2 * CAST(ch AS INT) - 9
+        |             ELSE 2 * CAST(ch AS INT) END) AS lsum,
+        |    max(CASE WHEN i = 1 THEN CAST(ch AS INT) END) AS d1
+        |  FROM d GROUP BY 1, 2)
+        |SELECT event_type,
+        |  CAST(count(*) AS BIGINT) AS n_candidates,
+        |  CAST(sum(CASE WHEN lsum % 10 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_valid,
+        |  CAST(sum((10 - (lsum - d1) % 10) % 10) AS BIGINT) AS sum_fix_digit
+        |FROM v GROUP BY 1""".stripMargin) { (s, dir) =>
+      val ev = Tables.load(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("event_type"))
+        .withColumn("pan",
+          lpad((col("event_id") * 1000003L + col("user_id") * 7919L)
+            .cast("string"), 16, "0"))
+        .withColumn("lsum", expr(
+          """aggregate(
+            |  transform(split(reverse(pan), '(?!$)'), (x, i) ->
+            |    CASE WHEN i % 2 = 0 THEN CAST(x AS INT)
+            |         WHEN 2 * CAST(x AS INT) > 9 THEN 2 * CAST(x AS INT) - 9
+            |         ELSE 2 * CAST(x AS INT) END),
+            |  0, (a, b) -> a + b)""".stripMargin))
+        .withColumn("d1", substring(col("pan"), 16, 1).cast("int"))
+      ev.groupBy(col("event_type"))
+        .agg(count(lit(1)).cast("bigint").as("n_candidates"),
+          sum(when(col("lsum") % 10 === 0, 1).otherwise(0)).cast("bigint")
+            .as("n_valid"),
+          sum((lit(10) - (col("lsum") - col("d1")) % 10) % 10).cast("bigint")
+            .as("sum_fix_digit"))
+    })
+}
