@@ -17,7 +17,8 @@ object SparkEntry {
       graft.queries.SourceQueries.all ++ graft.queries.AnalyticsQueries.all ++
       graft.queries.CohortQueries.all ++ graft.queries.SketchQueries.all ++
       graft.queries.StreamingQueries.all ++ graft.queries.WindowFuncQueries.all ++
-      graft.queries.EvalQueries.all ++ graft.queries.TrainQueries.all
+      graft.queries.EvalQueries.all ++ graft.queries.TrainQueries.all ++
+      graft.queries.OptimizerQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
