@@ -91,6 +91,67 @@ object IncrementalView {
     }
   }
 
+  /** Signed multiplicity column of Z-relation deltas ([[signed]]) and the
+    * multiplicity column of counted views ([[counted]]) — one name, so
+    * [[applyCounted]] can union them directly.
+    */
+  val SignCol = "_sign"
+
+  /** SIGNED Z-RELATION projection of a feed slice (the ±1-multiplicity
+    * algebra DBSP and differential dataflow publish): `insert` /
+    * `update_postimage` rows carry +1, `delete` / `update_preimage` −1, so
+    * an update is the sum of a retraction and an assertion and every
+    * downstream operator only needs to be LINEAR in its input. Unknown
+    * change types fail loudly (same contract as [[delta]]).
+    */
+  def signed(changes: DataFrame, cols: Seq[String]): DataFrame = {
+    val sign = when(
+      col(ChangeFeed.ChangeType).isin("insert", "update_postimage"), lit(1L))
+      .when(col(ChangeFeed.ChangeType).isin("delete", "update_preimage"), lit(-1L))
+    changes.select(cols.map(col) :+ coalesce(sign, raise_error(
+      concat(lit("IncrementalView.signed: unknown change type "),
+        col(ChangeFeed.ChangeType)))).as(SignCol): _*)
+  }
+
+  /** A snapshot's multiplicity-counted form: one row per distinct tuple
+    * with its count — the representation a maintained JOIN view lives in
+    * (join outputs are bags, not sets, once non-key columns are projected).
+    */
+  def counted(df: DataFrame, cols: Seq[String]): DataFrame =
+    df.groupBy(cols.map(col): _*).agg(count(lit(1)).cast("long").as(SignCol))
+
+  /** JOIN-VIEW DELTA — the bilinear rule over Z-relations:
+    * Δ(A⋈B) = ΔA⋈B₀ + A₀⋈ΔB + ΔA⋈ΔB, signs multiplying through the join.
+    * `aOld`/`bOld` are the PRE-commit snapshots (projected to joinCols +
+    * payload, payload column sets disjoint); `dA`/`dB` are [[signed]] feed
+    * slices with the same shapes. Cost is O(ΔA·B + A·ΔB) join work — the
+    * deltas are batch-sized, so at 100 TB both delta-side joins broadcast
+    * the delta and the view never pays an O(A·B) recompute. An absent delta
+    * passes an empty frame and its two terms vanish.
+    */
+  def joinDelta(aOld: DataFrame, dA: DataFrame, bOld: DataFrame,
+      dB: DataFrame, joinCols: Seq[String]): DataFrame = {
+    val a0 = aOld.withColumn(SignCol, lit(1L))
+    val b0 = bOld.withColumn(SignCol, lit(1L))
+    def term(l: DataFrame, r: DataFrame): DataFrame = {
+      val rr = r.withColumnRenamed(SignCol, "_sign_r")
+      l.join(rr, joinCols)
+        .withColumn(SignCol, col(SignCol) * col("_sign_r"))
+        .drop("_sign_r")
+    }
+    term(dA, b0).unionByName(term(a0, dB)).unionByName(term(dA, dB))
+  }
+
+  /** Fold a signed delta into a counted view: union, re-count, drop tuples
+    * whose multiplicity reaches zero. The counted twin of [[merge]].
+    */
+  def applyCounted(view: DataFrame, delta: DataFrame,
+      cols: Seq[String]): DataFrame =
+    view.unionByName(delta)
+      .groupBy(cols.map(col): _*)
+      .agg(sum(col(SignCol)).cast("long").as(SignCol))
+      .filter(col(SignCol) =!= 0L)
+
   /** NON-ADDITIVE maintenance (min / max / count-distinct): a delete can't
     * fold out of an extremum, so the delta rule doesn't apply — the
     * standard fallback recomputes ONLY the groups the feed touched, from

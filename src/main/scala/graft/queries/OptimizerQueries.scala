@@ -4,11 +4,12 @@ import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.queries.Q.scratch
 
-/** Round-7 continuation: optimizer/cost-model operators — connector
-  * statistics driving join strategy, and plan-level rewrites. Plan probes
-  * follow the q185/q199 rule: AQE off for the plan read, confs
-  * saved/restored, shapes require'd in-query so a planner regression is a
-  * red CORRECTNESS row, not a silent slowdown.
+/** Round-7 continuation: optimizer/cost-model and incremental-maintenance
+  * operators — connector statistics driving join strategy, plan-level
+  * rewrites, and the Z-relation join-view algebra. Plan probes follow the
+  * q185/q199 rule: AQE off for the plan read, confs saved/restored, shapes
+  * require'd in-query so a planner regression is a red CORRECTNESS row,
+  * not a silent slowdown.
   */
 object OptimizerQueries {
 
@@ -86,5 +87,90 @@ object OptimizerQueries {
           "q253: broadcast and merge plans must agree bit-exactly")
         bc
       } finally saved.foreach { case (k, v) => s.conf.set(k, v) }
+    },
+
+    // ---------------------------------------------------------------- q254
+    // JOIN-VIEW INCREMENTAL MAINTENANCE — the bilinear Z-relation rule
+    // (DBSP / differential dataflow's published algebra):
+    // Δ(A⋈B) = ΔA⋈B₀ + A₀⋈ΔB + ΔA⋈ΔB with ±1 multiplicities, composed
+    // with the REAL change feed: both base tables are ChangeFeed-committed
+    // VersionedTables, both deltas come from `tableChanges` (inserts,
+    // deletes, AND updates — an update is retraction+assertion under the
+    // signed projection), and the view lives multiplicity-counted because
+    // projecting away the fact PK makes the join a bag. The maintained
+    // view is require'd BIT-EXACT against a full recompute of the live
+    // snapshots — the same audit-twin contract as q201's aggregate IVM,
+    // now for the join operator the delta rule was invented for. Scale
+    // shape: the three delta terms cost O(ΔA·B + A·ΔB + ΔA·ΔB) with
+    // batch-sized deltas broadcast; the O(A·B) recompute runs here only
+    // as the audit, never as the maintenance path.
+    Q("q254_join_view_ivm",
+      """WITH a2 AS (SELECT o_orderkey AS okey, o_custkey AS custkey,
+        |    CASE WHEN o_orderkey % 4 <> 3 AND o_orderkey % 10 = 1
+        |         THEN (o_orderkey + 1) % 7 ELSE o_orderkey % 7 END AS pb
+        |  FROM orders
+        |  WHERE (o_orderkey % 4 <> 3 AND o_orderkey % 10 <> 0)
+        |     OR o_orderkey % 4 = 3),
+        |b2 AS (SELECT c_custkey AS custkey,
+        |    CASE WHEN c_custkey % 5 <> 4 AND c_custkey % 9 = 1
+        |         THEN (c_nationkey + 1) % 25 ELSE c_nationkey END AS natkey
+        |  FROM customer
+        |  WHERE (c_custkey % 5 <> 4 AND c_custkey % 9 <> 0)
+        |     OR c_custkey % 5 = 4)
+        |SELECT custkey, CAST(pb AS BIGINT) AS pb,
+        |  CAST(natkey AS BIGINT) AS natkey, CAST(count(*) AS BIGINT) AS n
+        |FROM a2 JOIN b2 USING (custkey) GROUP BY 1, 2, 3""".stripMargin) { (s, dir) =>
+      import graft.ops.{ChangeFeed, IncrementalView => IV, VersionedTable => VT}
+      val root = scratch(s, dir, "q254")
+      val (dirA, dirB) = (s"$root/a", s"$root/b")
+      val orders = Tables.load(s, dir, "orders")
+        .select(col("o_orderkey").cast("long").as("okey"),
+          col("o_custkey").cast("long").as("custkey"))
+      val a1 = orders.filter(col("okey") % 4 =!= 3)
+        .withColumn("pb", col("okey") % 7)
+      val a2 = orders
+        .filter((col("okey") % 4 =!= 3 && col("okey") % 10 =!= 0) ||
+          col("okey") % 4 === 3)
+        .withColumn("pb", when(col("okey") % 4 =!= 3 && col("okey") % 10 === 1,
+          (col("okey") + 1) % 7).otherwise(col("okey") % 7))
+      val cust = Tables.load(s, dir, "customer")
+        .select(col("c_custkey").cast("long").as("custkey"),
+          col("c_nationkey").cast("long").as("natkey"))
+      val b1 = cust.filter(col("custkey") % 5 =!= 4)
+      val b2 = cust
+        .filter((col("custkey") % 5 =!= 4 && col("custkey") % 9 =!= 0) ||
+          col("custkey") % 5 === 4)
+        .withColumn("natkey",
+          when(col("custkey") % 5 =!= 4 && col("custkey") % 9 === 1,
+            (col("natkey") + 1) % 25).otherwise(col("natkey")))
+      ChangeFeed.commit(a1, dirA, Seq("okey"))
+      ChangeFeed.commit(a2, dirA, Seq("okey"))
+      ChangeFeed.commit(b1, dirB, Seq("custkey"))
+      ChangeFeed.commit(b2, dirB, Seq("custkey"))
+      val viewCols = Seq("custkey", "pb", "natkey")
+      val a0 = VT.readVersion(s, dirA, 1).select(col("custkey"), col("pb"))
+      val b0 = VT.readVersion(s, dirB, 1).select(col("custkey"), col("natkey"))
+      val view1 = IV.counted(a0.join(b0, Seq("custkey")), viewCols)
+      val dA = IV.signed(ChangeFeed.tableChanges(s, dirA, 1, 2, Seq("okey")),
+        Seq("custkey", "pb"))
+      val dB = IV.signed(ChangeFeed.tableChanges(s, dirB, 1, 2, Seq("custkey")),
+        Seq("custkey", "natkey"))
+      val view2 = IV.applyCounted(view1,
+        IV.joinDelta(a0, dA, b0, dB, Seq("custkey")), viewCols)
+        .select(col("custkey"), col("pb"), col("natkey"),
+          col(IV.SignCol).as("n"))
+        .localCheckpoint()
+      // audit twin: the maintained view must equal the full recompute of
+      // the LIVE snapshots bit-exactly — and a Z-set never goes negative
+      val full2 = IV.counted(
+        VT.readVersion(s, dirA, 2).select(col("custkey"), col("pb"))
+          .join(VT.readVersion(s, dirB, 2).select(col("custkey"), col("natkey")),
+            Seq("custkey")), viewCols)
+        .select(col("custkey"), col("pb"), col("natkey"), col(IV.SignCol).as("n"))
+      require(view2.exceptAll(full2).isEmpty && full2.exceptAll(view2).isEmpty,
+        "q254: maintained join view must equal the full recompute bit-exactly")
+      require(view2.filter(col("n") <= 0L).isEmpty,
+        "q254: a maintained multiplicity went non-positive")
+      view2
     })
 }
