@@ -99,6 +99,9 @@ object GraftRules {
     val cur2 = spark.experimental.extraOptimizations
     if (!cur2.exists(_ eq JoinElimination))
       spark.experimental.extraOptimizations = cur2 :+ JoinElimination
+    val cur3 = spark.experimental.extraOptimizations
+    if (!cur3.exists(_ eq MvRewrite))
+      spark.experimental.extraOptimizations = cur3 :+ MvRewrite
     registerFunctions(spark)
   }
 

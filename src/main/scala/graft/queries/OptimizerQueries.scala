@@ -172,5 +172,72 @@ object OptimizerQueries {
       require(view2.filter(col("n") <= 0L).isEmpty,
         "q254: a maintained multiplicity went non-positive")
       view2
+    },
+
+    // ---------------------------------------------------------------- q255
+    // MATERIALIZED-VIEW AUTO-REWRITE (plans/MvRewrite.scala — the third
+    // graft optimizer rule): a (flag, status) summary table is registered
+    // for the lineitem base; a dashboard aggregate grouping on flag alone
+    // with SUM/COUNT derivable measures is TRANSPARENTLY answered from the
+    // kilobyte rollup — pinned on the executed plan: the rewritten query
+    // scans ONLY the MV parquet, never the base file. The soundness
+    // envelope is pinned by two negative controls (a grouping outside the
+    // MV's columns, a non-distributive MAX) that must keep scanning the
+    // base, and by a value audit: rewritten ≡ unrewritten bit-exactly.
+    // At 100 TB this converts every subsumed dashboard refresh from an
+    // O(fact) scan into an O(groups) one, with derivability PROVEN from
+    // the plan rather than trusted.
+    Q("q255_mv_rewrite",
+      """SELECT l_returnflag, CAST(sum(l_orderkey) AS BIGINT) AS key_sum,
+        |  CAST(count(*) AS BIGINT) AS n
+        |FROM lineitem GROUP BY 1""".stripMargin) { (s, dir) =>
+      import graft.plans.MvRewrite
+      import org.apache.spark.sql.DataFrame
+      val root = scratch(s, dir, "q255")
+      val basePath = s"$dir/lineitem.parquet"
+      val mvPath = s"$root/mv"
+      Tables.load(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).cast("long").as("cnt"),
+          sum(col("l_orderkey")).as("sum_okey"))
+        .write.mode("overwrite").parquet(mvPath)
+      val aqeKey = "spark.sql.adaptive.enabled"
+      val prevAqe = s.conf.get(aqeKey)
+      def scannedPaths(df: DataFrame): Seq[String] =
+        df.queryExecution.executedPlan.collect {
+          case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+            f.relation.location.rootPaths.map(_.toString)
+        }.flatten
+      def userQuery = Tables.load(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(sum(col("l_orderkey")).as("key_sum"),
+          count(lit(1)).as("n"))
+      try {
+        s.conf.set(aqeKey, "false") // q185 rule: clean plan read
+        MvRewrite.register(basePath, mvPath,
+          Seq("l_returnflag", "l_linestatus"),
+          Seq(MvRewrite.CountStar("cnt"),
+            MvRewrite.SumOf("l_orderkey", "sum_okey")))
+        val paths = scannedPaths(userQuery)
+        require(paths.nonEmpty && paths.forall(_.contains("q255")),
+          s"q255: the subsumed aggregate must scan ONLY the MV, got $paths")
+        // negative control 1: grouping outside the MV's columns → base scan
+        require(scannedPaths(Tables.load(s, dir, "lineitem")
+          .groupBy(col("l_suppkey")).agg(count(lit(1)).as("n")))
+          .exists(_.contains("lineitem")),
+          "q255: a non-subsumed grouping must keep scanning the base")
+        // negative control 2: non-distributive MAX → base scan
+        require(scannedPaths(Tables.load(s, dir, "lineitem")
+          .groupBy(col("l_returnflag")).agg(max(col("l_orderkey")).as("m")))
+          .exists(_.contains("lineitem")),
+          "q255: a non-derivable aggregate must keep scanning the base")
+        val fromMv = userQuery.localCheckpoint()
+        MvRewrite.clear()
+        val fromBase = userQuery
+        require(fromMv.exceptAll(fromBase).isEmpty &&
+          fromBase.exceptAll(fromMv).isEmpty,
+          "q255: rewritten and base answers must agree bit-exactly")
+        fromMv
+      } finally { MvRewrite.clear(); s.conf.set(aqeKey, prevAqe) }
     })
 }
