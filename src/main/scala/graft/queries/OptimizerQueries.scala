@@ -239,5 +239,55 @@ object OptimizerQueries {
           "q255: rewritten and base answers must agree bit-exactly")
         fromMv
       } finally { MvRewrite.clear(); s.conf.set(aqeKey, prevAqe) }
+    },
+
+    // ---------------------------------------------------------------- q256
+    // HIDDEN PARTITIONING with inclusive predicate projection (Iceberg's
+    // published transform-projection design, `ops/HiddenPartitioning`):
+    // events lie day-partitioned by a transform of `ts` the user never
+    // names; a `ts BETWEEN` filter projects — by day()'s monotonicity —
+    // onto the day range, pruning 30 directories to 4, and the exact
+    // predicate re-applies as the residual, so pruned ≡ direct-filter
+    // bit-exactly (require'd, and the equality IS the returned result's
+    // provenance). The negative is pinned too: a bucket transform is not
+    // monotone, so the only sound projection of a range admits EVERY
+    // bucket — conservative, never wrong. This is the complement to
+    // q232's spec-evolution epochs (equality probes) and q177/q185's
+    // explicit partition filters: here the pruning predicate is DERIVED,
+    // the user only speaks in data columns. At 100 TB a time-range scan
+    // touches O(days) directories instead of the whole table — and can't
+    // be defeated by the user forgetting the partition column exists.
+    Q("q256_hidden_partitioning",
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(event_id) AS BIGINT) AS id_sum
+        |FROM events
+        |WHERE ts >= TIMESTAMP '2024-01-10 06:00:00'
+        |  AND ts <= TIMESTAMP '2024-01-13 18:00:00'
+        |GROUP BY 1""".stripMargin) { (s, dir) =>
+      import graft.ops.HiddenPartitioning
+      val root = scratch(s, dir, "q256")
+      val ev = Tables.load(s, dir, "events")
+        .select(col("event_id"), col("ts"), col("event_type"))
+      HiddenPartitioning.writeDaily(ev, s"$root/daily", "ts")
+      val (fromTs, toTs) = ("2024-01-10 06:00:00", "2024-01-13 18:00:00")
+      val (pruned, kept, total) = HiddenPartitioning.readDailyRange(
+        s, s"$root/daily", "ts", fromTs, toTs)
+      require(kept == 4 && total == 30,
+        s"q256: inclusive projection must prune 30 day dirs to 4, got $kept/$total")
+      // soundness audit: projected-and-residual ≡ the direct filter
+      val direct = ev.filter(col("ts") >= lit(fromTs).cast("timestamp") &&
+        col("ts") <= lit(toTs).cast("timestamp"))
+      require(pruned.exceptAll(direct).isEmpty && direct.exceptAll(pruned).isEmpty,
+        "q256: pruned read must equal the direct filter bit-exactly")
+      // non-monotone negative: a bucket layout cannot project a range
+      ev.withColumn("_b", pmod(hash(col("event_id")), lit(8)))
+        .write.partitionBy("_b").mode("overwrite").parquet(s"$root/bucketed")
+      val (bKept, bTotal) = HiddenPartitioning.bucketRangeDirs(
+        s, s"$root/bucketed", "_b")
+      require(bKept == bTotal && bTotal == 8,
+        s"q256: a range over a bucket transform must admit all $bTotal dirs")
+      pruned.groupBy(col("event_type"))
+        .agg(count(lit(1)).cast("bigint").as("n"),
+          sum(col("event_id")).cast("bigint").as("id_sum"))
     })
 }
