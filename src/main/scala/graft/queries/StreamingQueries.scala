@@ -942,5 +942,88 @@ object StreamingQueries {
       view.select(col("event_type"),
         col(IncrementalView.NCol).cast("bigint").as("n_events"),
         col("id_sum").cast("bigint").as("id_sum"))
+    },
+
+    // ---------------------------------------------------------------- q257
+    // EVENT-TIME TIMERS (`streaming/InactivityTimeout.scala`): the
+    // transformWithState surface q188 leaves untouched — per-user timers
+    // reset by every event, fired by WATERMARK passage, emitting a timeout
+    // record for users provably quiet for a day. The negative (absence of
+    // data) is observable only through the watermark, so this is the one
+    // operator class no windowed aggregate can express. Two AvailableNow
+    // runs over a phase-split month: run 1's watermark convicts users
+    // quiet before mid-month (timers are CHECKPOINT-DURABLE — run 2 fires
+    // run-1 timers for users who never reappear), a timed-out user who
+    // returns starts a FRESH episode and can time out again. The oracle
+    // replays the two-run watermark arithmetic in the same millisecond
+    // truncation Spark's tracker uses. State is O(1) per live user and
+    // zero per convicted one — at 100 TB the store holds the live-user
+    // set, never the event history.
+    Q("q257_inactivity_timers",
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS us FROM events),
+        |c AS (SELECT epoch_us(TIMESTAMP '2024-01-16') AS cut),
+        |p1 AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n1, max(us) AS m1
+        |       FROM e, c WHERE us < cut GROUP BY 1),
+        |p2 AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n2, max(us) AS m2
+        |       FROM e, c WHERE us >= cut GROUP BY 1),
+        |w1 AS (SELECT max(us) // 1000 - 3600000 AS w FROM e, c WHERE us < cut),
+        |w2 AS (SELECT max(us) // 1000 - 3600000 AS w FROM e),
+        |r1 AS (SELECT user_id, m1 AS last_us, n1 AS n_events FROM p1, w1
+        |       WHERE m1 // 1000 + 86400000 <= w),
+        |r2a AS (SELECT p2.user_id, m2 AS last_us, n2 AS n_events
+        |        FROM p2 JOIN r1 USING (user_id), w2
+        |        WHERE m2 // 1000 + 86400000 <= w),
+        |rest AS (SELECT user_id,
+        |    greatest(COALESCE(m1, -9223372036854775807), COALESCE(m2, -9223372036854775807)) AS last_us,
+        |    COALESCE(n1, 0) + COALESCE(n2, 0) AS n_events
+        |  FROM p1 FULL JOIN p2 USING (user_id)
+        |  WHERE user_id NOT IN (SELECT user_id FROM r1)),
+        |r2b AS (SELECT user_id, last_us, CAST(n_events AS BIGINT) AS n_events
+        |        FROM rest, w2 WHERE last_us // 1000 + 86400000 <= w)
+        |SELECT user_id, last_us, n_events FROM r1
+        |UNION ALL SELECT user_id, last_us, n_events FROM r2a
+        |UNION ALL SELECT user_id, last_us, n_events FROM r2b""".stripMargin) { (s, dir) =>
+      import graft.streaming.InactivityTimeout
+      val e = Tables.load(s, dir, "events").select(col("user_id"), col("ts"))
+      val cut = lit("2024-01-16").cast("timestamp")
+      val f1 = e.filter(col("ts") < cut)
+      val f2 = e.filter(col("ts") >= cut)
+      val root = scratch(s, dir, "q257")
+      val (in, out, cp) = (s"$root/in", s"$root/out", s"$root/cp")
+      val provKey = "spark.sql.streaming.stateStore.providerClass"
+      val prevProv = s.conf.get(provKey)
+      s.conf.set(provKey,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      val got = try withNarrowShuffle(s) {
+        def runOnce(): Unit = {
+          val q = InactivityTimeout.detect(
+            EventStream.fileSource(s, s"$in/*", e.schema),
+            gapMs = 24L * 3600 * 1000, delay = "1 hour")
+            .toDF()
+            .writeStream.format("parquet")
+            .option("path", out).option("checkpointLocation", cp)
+            .outputMode("append")
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start()
+          q.awaitTermination()
+        }
+        f1.coalesce(1).write.parquet(s"$in/f1")
+        runOnce()
+        val afterRun1 = s.read.parquet(out).count()
+        f2.coalesce(1).write.parquet(s"$in/f2")
+        runOnce()
+        val all = s.read.parquet(out).localCheckpoint()
+        // run 1 already convicted someone (the episode semantics are live,
+        // not an artifact of the final watermark alone)
+        require(afterRun1 > 0 && all.count() > afterRun1,
+          "q257: both runs must emit timeouts")
+        all
+      } finally s.conf.set(provKey, prevProv)
+      // re-offense: at least one user times out in BOTH runs (cleared
+      // state rebuilt from phase-2 events alone)
+      require(got.groupBy(col("user_id")).count().filter(col("count") > 1)
+        .count() > 0, "q257: a returning user must be able to re-offend")
+      got.select(col("user_id"), col("last_us"),
+        col("n_events").cast("bigint").as("n_events"))
     })
 }
