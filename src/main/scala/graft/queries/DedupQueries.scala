@@ -445,5 +445,75 @@ object DedupQueries {
         s"q202: bloom FP band out of contract (fp=$falsePos of new=$nNew)")
       result.groupBy(col("lang"))
         .agg(count(lit(1)).cast("bigint").as("n_new"))
+    },
+
+    // ---------------------------------------------------------------- q258
+    // CANONICAL-DOC SELECTION — the keep-policy stage every fuzzy-dedup
+    // pipeline runs after clustering (SlimPajama keeps the longest,
+    // BigScience/ROOTS the highest-quality member): q60's LSH→verify→
+    // connected-components clusters, then ONE survivor per multi-member
+    // cluster by (longest, then smallest id) — a deterministic total
+    // order, so the survivor set is replayable across engines and runs.
+    // The rank-1 window is exactly the shape `RankFilterToTopK` plans as
+    // a bounded heap, so the selection never materializes a full sort per
+    // cluster. Scale shape: everything after the (bucketed, capped) pair
+    // generation is keyed by cluster — O(members) per cluster, no global
+    // structure; at 100 TB the selection inherits the LSH layer's
+    // bucket-bounded cost. The oracle replays clustering AND the
+    // keep-policy with the same tie-break.
+    Q("q258_canonical_selection",
+      "WITH RECURSIVE" + lshCtes(MinHashLSH.DefaultBucketCap).stripPrefix("WITH") +
+        """
+          |, sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+          |inter AS (SELECT c.id_a, c.id_b, count(*) AS inter
+          |  FROM cand c
+          |  JOIN sh a ON a.doc_id = c.id_a
+          |  JOIN sh b ON b.doc_id = c.id_b AND b.shingle = a.shingle
+          |  GROUP BY 1, 2),
+          |edges AS (
+          |  SELECT i.id_a, i.id_b FROM inter i
+          |  JOIN sizes sa ON sa.doc_id = i.id_a
+          |  JOIN sizes sb ON sb.doc_id = i.id_b
+          |  WHERE CAST(i.inter AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - i.inter AS DOUBLE) >= 0.5),
+          |sym AS (SELECT id_a AS src, id_b AS dst FROM edges
+          |        UNION ALL SELECT id_b, id_a FROM edges),
+          |reach(id, r) AS (
+          |  SELECT doc_id, doc_id FROM documents
+          |  UNION
+          |  SELECT s.dst, re.r FROM reach re JOIN sym s ON s.src = re.id),
+          |mem AS (SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id),
+          |m2 AS (SELECT m.cluster_id, m.doc_id, d.n_chars
+          |       FROM mem m JOIN documents d USING (doc_id)),
+          |big AS (SELECT cluster_id FROM m2 GROUP BY 1 HAVING count(*) > 1)
+          |SELECT cluster_id, doc_id AS keep_doc_id,
+          |  CAST(n_chars AS BIGINT) AS keep_chars,
+          |  (SELECT CAST(count(*) AS BIGINT) FROM m2 i
+          |   WHERE i.cluster_id = m2.cluster_id) AS n_members
+          |FROM m2 WHERE cluster_id IN (SELECT cluster_id FROM big)
+          |QUALIFY row_number() OVER (PARTITION BY cluster_id
+          |  ORDER BY n_chars DESC, doc_id) = 1""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.load(s, dir, "documents")
+      val sh = MinHashLSH.shingles(docs, "doc_id", "text", 3).localCheckpoint()
+      val cand = MinHashLSH.candidatePairs(
+        MinHashLSH.bands(MinHashLSH.signatures(sh, "doc_id", 8), "doc_id", 4, 2),
+        "doc_id", MinHashLSH.DefaultBucketCap)
+      val edges = NgramJaccard.verifyPairs(cand, sh, "doc_id")
+        .filter(col("jaccard") >= 0.5)
+        .select(col("id_a"), col("id_b"))
+      val clusters = Components.connectedComponents(
+        docs.select(col("doc_id")), "doc_id", edges)
+      val members = clusters
+        .join(docs.select(col("doc_id"), col("n_chars")), Seq("doc_id"))
+      val withSize = members.withColumn("n_members",
+        count(lit(1)).over(Window.partitionBy(col("cluster_id"))))
+        .filter(col("n_members") > 1)
+      withSize
+        .withColumn("rn", row_number().over(Window.partitionBy(col("cluster_id"))
+          .orderBy(col("n_chars").desc, col("doc_id").asc)))
+        .filter(col("rn") === 1) // heap-planned by RankFilterToTopK
+        .select(col("cluster_id"), col("doc_id").as("keep_doc_id"),
+          col("n_chars").cast("bigint").as("keep_chars"),
+          col("n_members").cast("bigint").as("n_members"))
     })
 }
