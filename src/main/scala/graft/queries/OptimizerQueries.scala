@@ -289,5 +289,73 @@ object OptimizerQueries {
       pruned.groupBy(col("event_type"))
         .agg(count(lit(1)).cast("bigint").as("n"),
           sum(col("event_id")).cast("bigint").as("id_sum"))
+    },
+
+    // ---------------------------------------------------------------- q259
+    // ANALYZE-STYLE COLUMN STATISTICS — the collection half of the cost
+    // model q253 consumes (ANALYZE TABLE ... COMPUTE STATISTICS FOR
+    // COLUMNS): per-column null count, min/max, and an NDV estimate, in
+    // TWO bounded passes over a 4-column projection — one wide aggregate
+    // for nulls/min/max (reshaped long via `stack`, never collected), and
+    // one KMV pass for NDV: the q103 bottom-k sketch (shared md5 hash
+    // family, bit-identical in DuckDB) through the bounded-heap
+    // TopKPerGroup, O(k) state per column regardless of cardinality. The
+    // NDV estimator is the classic (k−1)/kth-smallest-fraction, exact
+    // below k. At 100 TB this is exactly how engines fill their catalogs:
+    // no sort, no per-column shuffle beyond the k-row heaps, memory
+    // bounded by k·columns.
+    Q("q259_analyze_column_stats", {
+      val cols = Seq("l_orderkey", "l_partkey", "l_suppkey", "l_returnflag")
+      def frac(c: String) = graft.functions.ContentHash.oracleFrac(c)
+      val statsSql = cols.map(c =>
+        s"""SELECT '$c' AS col_name, CAST(min($c) AS VARCHAR) AS min_val,
+           |  CAST(max($c) AS VARCHAR) AS max_val,
+           |  CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls
+           |FROM lineitem""".stripMargin).mkString("\nUNION ALL\n")
+      val fracSql = cols.map(c =>
+        s"""SELECT DISTINCT '$c' AS col_name, ${frac(c)} AS frac
+           |FROM lineitem WHERE $c IS NOT NULL""".stripMargin)
+        .mkString("\nUNION ALL\n")
+      s"""WITH f AS ($statsSql),
+        |d AS ($fracSql),
+        |k AS (SELECT * FROM d
+        |  QUALIFY row_number() OVER (PARTITION BY col_name ORDER BY frac) <= 64),
+        |n AS (SELECT col_name,
+        |  CASE WHEN count(*) < 64 THEN CAST(count(*) AS DOUBLE)
+        |       ELSE 63.0 / max(frac) END AS ndv_est
+        |  FROM k GROUP BY 1)
+        |SELECT f.col_name, n_nulls, min_val, max_val,
+        |  round(ndv_est, 6) AS ndv_est
+        |FROM f JOIN n USING (col_name)""".stripMargin
+    }) { (s, dir) =>
+      import graft.functions.ContentHash
+      val cols = Seq("l_orderkey", "l_partkey", "l_suppkey", "l_returnflag")
+      val proj = Tables.load(s, dir, "lineitem").select(cols.map(col): _*)
+      // pass 1: one wide aggregate, reshaped long with stack (stays a plan)
+      val aggs = cols.flatMap(c => Seq(
+        min(col(c)).cast("string").as(s"min_$c"),
+        max(col(c)).cast("string").as(s"max_$c"),
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"nulls_$c")))
+      val wide = proj.agg(aggs.head, aggs.tail: _*)
+      val stackArgs = cols.map(c =>
+        s"'$c', min_$c, max_$c, nulls_$c").mkString(", ")
+      val statsLong = wide.selectExpr(
+        s"stack(${cols.size}, $stackArgs) AS (col_name, min_val, max_val, n_nulls)")
+      // pass 2: bottom-k distinct hash fractions per column, bounded heap
+      val fr = proj.select(explode(array(cols.map(c =>
+          struct(lit(c).as("c"), ContentHash.hashFrac(col(c)).as("f"))): _*)).as("x"))
+        .select(col("x.c").as("col_name"), col("x.f").as("frac"))
+        .filter(col("frac").isNotNull)
+        .distinct()
+      val kept = graft.plans.TopK.perGroup(fr, Seq("col_name"),
+        Seq(("frac", false)), 64)
+      val ndv = kept.groupBy(col("col_name"))
+        .agg(count(lit(1)).as("n_kept"),
+          when(count(lit(1)) < 64, count(lit(1)).cast("double"))
+            .otherwise(lit(63.0) / max(col("frac"))).as("ndv_est"))
+      statsLong.join(ndv, Seq("col_name"))
+        .select(col("col_name"), col("n_nulls").cast("bigint").as("n_nulls"),
+          col("min_val"), col("max_val"),
+          round(col("ndv_est"), 6).as("ndv_est"))
     })
 }
