@@ -357,5 +357,56 @@ object OptimizerQueries {
         .select(col("col_name"), col("n_nulls").cast("bigint").as("n_nulls"),
           col("min_val"), col("max_val"),
           round(col("ndv_est"), 6).as("ndv_est"))
+    },
+
+    // ---------------------------------------------------------------- q260
+    // EQUI-HEIGHT HISTOGRAM + SELECTIVITY AUDIT — the other statistic a
+    // cost model keeps per column (Spark's own ANALYZE ... FOR COLUMNS
+    // histograms, the System-R lineage): 8 buckets of equal row count
+    // over l_partkey, bucket membership by EXACT global rank from the
+    // distributed range-repartition + zipWithIndex pass (the q235/q250
+    // discipline — total order (v, okey, line), no sampling, no
+    // approximate percentiles), so the histogram is bit-replayable. The
+    // audit then uses the histogram the way a planner does: estimate a
+    // range predicate's cardinality by uniform interpolation inside
+    // partially-overlapped buckets (pure integer arithmetic) and require
+    // it within 2× of the true count — the bound that separates a usable
+    // statistic from a decorative one. Scale shape: one range shuffle for
+    // the ranks, one keyed aggregate; the audit reads 8 rows.
+    Q("q260_equiheight_histogram",
+      """WITH v AS (SELECT l_partkey AS v, l_orderkey, l_linenumber,
+        |    row_number() OVER (ORDER BY l_partkey, l_orderkey, l_linenumber) AS rn,
+        |    count(*) OVER () AS n
+        |  FROM lineitem),
+        |b AS (SELECT ((rn - 1) * 8) // n AS bucket, v FROM v)
+        |SELECT CAST(bucket AS BIGINT) AS bucket, CAST(min(v) AS BIGINT) AS lo,
+        |  CAST(max(v) AS BIGINT) AS hi, CAST(count(*) AS BIGINT) AS n_rows
+        |FROM b GROUP BY 1""".stripMargin) { (s, dir) =>
+      import graft.ops.SurrogateKeys
+      val t = Tables.load(s, dir, "lineitem")
+        .select(col("l_partkey").as("v"), col("l_orderkey"), col("l_linenumber"))
+      val n = t.count()
+      val hist = SurrogateKeys.assign(t, "rn", 0L,
+          Seq("v", "l_orderkey", "l_linenumber"))
+        .withColumn("bucket", expr(s"((rn - 1) * 8) div $n"))
+        .groupBy(col("bucket").cast("bigint").as("bucket"))
+        .agg(min(col("v")).cast("bigint").as("lo"),
+          max(col("v")).cast("bigint").as("hi"),
+          count(lit(1)).cast("bigint").as("n_rows"))
+        .localCheckpoint() // 8 rows; read by the audit and the dump
+      // the audit: estimate a range predicate from the 8 buckets the way
+      // a planner would, and require the estimate within 2× of truth
+      val rows = hist.collect().map(r =>
+        (r.getLong(1), r.getLong(2), r.getLong(3)))
+      val (mn, mx) = (rows.map(_._1).min, rows.map(_._2).max)
+      val (a, b) = (mn + (mx - mn) / 5, mn + (mx - mn) * 3 / 5)
+      val est = rows.map { case (lo, hi, nb) =>
+        val overlap = math.max(0L, math.min(hi, b) - math.max(lo, a) + 1)
+        nb * overlap / (hi - lo + 1)
+      }.sum
+      val actual = t.filter(col("v") >= a && col("v") <= b).count()
+      require(est <= 2 * actual + 16 && actual <= 2 * est + 16,
+        s"q260: histogram estimate $est out of band vs actual $actual")
+      hist
     })
 }
