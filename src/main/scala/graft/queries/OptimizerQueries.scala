@@ -408,5 +408,59 @@ object OptimizerQueries {
       require(est <= 2 * actual + 16 && actual <= 2 * est + 16,
         s"q260: histogram estimate $est out of band vs actual $actual")
       hist
+    },
+
+    // ---------------------------------------------------------------- q262
+    // RESCUED-DATA INGEST — the schema-drift tolerance every production
+    // loader publishes (Databricks Auto Loader's `_rescued_data`, Spark's
+    // PERMISSIVE corrupt-record column, composed): semi-structured records
+    // are parsed against a DECLARED schema; keys the schema doesn't know
+    // are NOT silently dropped — they land in a rescued JSON column — and
+    // unparseable records are quarantined whole, so ingest never loses
+    // bytes it didn't understand. Implemented as two codegen'd from_json
+    // passes (typed struct for the declared fields, string map for the
+    // rescue sweep) + map_filter — no UDF, pure per-row map, zero shuffle
+    // before the rollup. The payloads are synthesized deterministically
+    // from ids (the testdata's props carry a single key), so the oracle
+    // replays the classification from the construction arithmetic — truth
+    // the parser must reproduce. At 100 TB this is the difference between
+    // a loader that quarantines drift for replay and one that deletes it.
+    Q("q262_rescued_data",
+      """WITH e AS (SELECT event_id, user_id, event_id % 5 AS m FROM events),
+        |k AS (SELECT CASE WHEN m = 1 THEN 'corrupt'
+        |             WHEN m = 0 THEN 'rescued' ELSE 'ok' END AS kind,
+        |    CASE WHEN m = 1 THEN 0 ELSE event_id END AS a,
+        |    CASE WHEN m = 0 THEN user_id + 7 ELSE 0 END AS extra
+        |  FROM e)
+        |SELECT kind, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(a) AS BIGINT) AS a_sum,
+        |  CAST(sum(extra) AS BIGINT) AS extra_sum
+        |FROM k GROUP BY 1""".stripMargin) { (s, dir) =>
+      val ev = Tables.load(s, dir, "events")
+        .select(col("event_id"), col("user_id"))
+        .withColumn("js",
+          when(col("event_id") % 5 === 1, lit("{\"a\":"))
+            .when(col("event_id") % 5 === 0,
+              concat(lit("{\"a\":"), col("event_id"), lit(",\"b\":"),
+                col("user_id"), lit(",\"extra\":"), col("user_id") + 7, lit("}")))
+            .otherwise(concat(lit("{\"a\":"), col("event_id"), lit(",\"b\":"),
+              col("user_id"), lit("}"))))
+      val parsed = ev
+        .withColumn("typed", from_json(col("js"),
+          org.apache.spark.sql.types.DataType.fromDDL("a BIGINT, b BIGINT")))
+        .withColumn("m", from_json(col("js"),
+          org.apache.spark.sql.types.DataType.fromDDL("map<string,string>")))
+        .withColumn("rescued",
+          when(col("m").isNotNull,
+            expr("map_filter(m, (k, v) -> k != 'a' AND k != 'b')")))
+        .withColumn("kind",
+          when(col("m").isNull, "corrupt")
+            .when(size(col("rescued")) > 0, "rescued")
+            .otherwise("ok"))
+      parsed.groupBy(col("kind"))
+        .agg(count(lit(1)).cast("bigint").as("n"),
+          sum(coalesce(col("typed.a"), lit(0L))).cast("bigint").as("a_sum"),
+          sum(coalesce(element_at(col("rescued"), "extra").cast("long"),
+            lit(0L))).cast("bigint").as("extra_sum"))
     })
 }

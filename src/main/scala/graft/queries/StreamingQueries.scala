@@ -1025,5 +1025,151 @@ object StreamingQueries {
         .count() > 0, "q257: a returning user must be able to re-offend")
       got.select(col("user_id"), col("last_us"),
         col("n_events").cast("bigint").as("n_events"))
+    },
+
+    // ---------------------------------------------------------------- q261
+    // STREAMING JOIN-VIEW MAINTENANCE, EXACTLY-ONCE — the full lakehouse
+    // composition: table A's NATIVE change-feed stream (q221's
+    // version-offset DSv2 source, one version per trigger) drives q254's
+    // Z-relation algebra against a static dim, and the counted join view
+    // lives as its OWN VersionedTable committed per micro-batch through
+    // the txn-marker protocol — so a checkpoint-loss replay of the whole
+    // stream re-delivers every batch and commits NOTHING (idempotent
+    // maintenance, q210's guarantee lifted from aggregates to join
+    // views). Contract: the maintained table equals the full recompute of
+    // live-A ⋈ B bit-exactly, and the replay adds no version. Scale
+    // shape: each batch costs O(Δversion ⋈ B) with the delta broadcast;
+    // the view table write is O(view); the O(A ⋈ B) join runs only as
+    // the audit.
+    Q("q261_streaming_join_ivm",
+      """WITH a AS (SELECT o_orderkey AS okey, o_custkey AS custkey FROM orders),
+        |live AS (
+        |  SELECT okey, custkey,
+        |    CASE WHEN okey % 11 = 1 THEN (okey + 2) % 7 ELSE okey % 7 END AS pb
+        |  FROM a WHERE okey % 3 <> 2 AND okey % 11 <> 0 AND okey % 13 <> 0
+        |  UNION ALL
+        |  SELECT okey, custkey, okey % 7 FROM a
+        |  WHERE okey % 3 = 2 AND okey % 2 = 0 AND okey % 13 <> 0
+        |  UNION ALL
+        |  SELECT okey, custkey, okey % 7 FROM a
+        |  WHERE okey % 3 = 2 AND okey % 2 = 1),
+        |b AS (SELECT c_custkey AS custkey, CAST(c_nationkey AS BIGINT) AS natkey
+        |      FROM customer)
+        |SELECT custkey, CAST(pb AS BIGINT) AS pb, natkey,
+        |  CAST(count(*) AS BIGINT) AS n
+        |FROM live JOIN b USING (custkey) GROUP BY 1, 2, 3""".stripMargin) { (s, dir) =>
+      import graft.ops.{ChangeFeed, IncrementalView => IV, VersionedTable => VT}
+      import graft.source.CdfStream
+      val root = scratch(s, dir, "q261")
+      val (dirA, viewDir) = (s"$root/a", s"$root/view")
+      val orders = Tables.load(s, dir, "orders")
+        .select(col("o_orderkey").cast("long").as("okey"),
+          col("o_custkey").cast("long").as("custkey"))
+      val v1 = orders.filter(col("okey") % 3 =!= 2)
+        .withColumn("pb", col("okey") % 7)
+      val v2 = v1.filter(col("okey") % 11 =!= 0)
+        .withColumn("pb", when(col("okey") % 11 === 1, (col("okey") + 2) % 7)
+          .otherwise(col("pb")))
+        .unionByName(orders.filter(col("okey") % 3 === 2 && col("okey") % 2 === 0)
+          .withColumn("pb", col("okey") % 7))
+      val v3 = v2.filter(col("okey") % 13 =!= 0)
+        .unionByName(orders.filter(col("okey") % 3 === 2 && col("okey") % 2 === 1)
+          .withColumn("pb", col("okey") % 7))
+      ChangeFeed.commit(v1, dirA, Seq("okey"))
+      val bDim = Tables.load(s, dir, "customer")
+        .select(col("c_custkey").cast("long").as("custkey"),
+          col("c_nationkey").cast("long").as("natkey"))
+      val viewCols = Seq("custkey", "pb", "natkey")
+      // bootstrap: counted v1 ⋈ B as view version 1
+      VT.write(IV.counted(
+        VT.readVersion(s, dirA, 1).select(col("custkey"), col("pb"))
+          .join(bDim, Seq("custkey")), viewCols)
+        .withColumnRenamed(IV.SignCol, "n"), viewDir)
+      val emptyA = VT.readVersion(s, dirA, 1)
+        .select(col("custkey"), col("pb")).limit(0)
+      val emptyDb = bDim.limit(0).withColumn(IV.SignCol, lit(1L))
+      def fold(batch: org.apache.spark.sql.DataFrame, id: Long): Unit =
+        if (!batch.isEmpty) {
+          val dA = IV.signed(batch.drop(ChangeFeed.CommitVersion),
+            Seq("custkey", "pb"))
+          val next = IV.applyCounted(
+            VT.read(s, viewDir)
+              .withColumnRenamed("n", IV.SignCol),
+            IV.joinDelta(emptyA, dA, bDim, emptyDb, Seq("custkey")), viewCols)
+            .withColumnRenamed(IV.SignCol, "n")
+          ChangeFeed.commitCommitted(next, viewDir, viewCols, "q261", id)
+          ()
+        }
+      def run(cp: String): Unit = withNarrowShuffle(s) {
+        val q = CdfStream.read(s, dirA, startingVersion = Some(1L),
+            maxVersionsPerTrigger = Some(1))
+          .writeStream.option("checkpointLocation", cp)
+          .foreachBatch(fold _)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      // one maintenance run per landed commit — the daily cadence
+      ChangeFeed.commit(v2, dirA, Seq("okey"))
+      run(s"$root/cp1")
+      ChangeFeed.commit(v3, dirA, Seq("okey"))
+      run(s"$root/cp1") // same checkpoint: resumes at the version offset
+      val vAfter = VT.currentVersion(s, viewDir).get
+      require(vAfter == 3L,
+        s"q261: two feed versions must commit two view versions, at $vAfter")
+      run(s"$root/cp2") // checkpoint lost: full replay, same appId
+      require(VT.currentVersion(s, viewDir).contains(vAfter),
+        "q261: a checkpoint-loss replay must commit nothing")
+      val view = VT.read(s, viewDir)
+      val audit = IV.counted(
+        VT.read(s, dirA).select(col("custkey"), col("pb")).join(bDim, Seq("custkey")),
+        viewCols).withColumnRenamed(IV.SignCol, "n")
+      require(view.exceptAll(audit).isEmpty && audit.exceptAll(view).isEmpty,
+        "q261: maintained view must equal the live-join recompute bit-exactly")
+      view.select(col("custkey"), col("pb").cast("bigint").as("pb"),
+        col("natkey"), col("n").cast("bigint").as("n"))
+    },
+
+    // ---------------------------------------------------------------- q263
+    // NATIVE SESSION WINDOWS (`session_window`, Spark 3.2+'s built-in
+    // gap-based session TVF) pinned EQUAL to the library's own
+    // gaps-and-islands sessionization (q42/q104's Sessionize) — the
+    // declare-vs-derive duality: the built-in merges windows inside the
+    // aggregate (map-side combinable, no global window function), the
+    // custom one derives islands from lag() + running sum. Both must
+    // produce the identical session set — count, first and last event
+    // times per (user, session) — require'd bit-exactly in-query, and the
+    // NATIVE result is what ships. At 100 TB the built-in form is the one
+    // to reach for first: it keys the shuffle by user and merges windows
+    // in-memory per group, with streaming (watermark-evicted state)
+    // support for free — exactly the "compose existing ops if semantics
+    // allow" preference SURVEY §7.3 encodes.
+    Q("q263_native_session_window",
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS us FROM events),
+        |m AS (SELECT user_id, us,
+        |  CASE WHEN lag(us) OVER w IS NULL OR us - lag(us) OVER w > 1800000000
+        |       THEN 1 ELSE 0 END AS s
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us)),
+        |sess AS (SELECT user_id, us,
+        |  SUM(s) OVER (PARTITION BY user_id ORDER BY us
+        |               ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM m)
+        |SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+        |  min(us) AS start_us, max(us) AS end_us
+        |FROM sess GROUP BY user_id, sid""".stripMargin) { (s, dir) =>
+      val events = Tables.load(s, dir, "events")
+      val native = events
+        .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+        .agg(count(lit(1)).cast("bigint").as("n_events"),
+          min(unix_micros(col("ts"))).as("start_us"),
+          max(unix_micros(col("ts"))).as("end_us"))
+        .select(col("user_id"), col("n_events"), col("start_us"), col("end_us"))
+        .localCheckpoint()
+      val custom = Sessionize.batchSummary(events, "user_id", "ts", 30)
+        .select(col("user_id"), col("n_events").cast("bigint").as("n_events"),
+          col("start_us"), col("end_us"))
+      require(native.exceptAll(custom).isEmpty && custom.exceptAll(native).isEmpty,
+        "q263: built-in session_window must equal the gaps-and-islands sessions")
+      native
     })
 }
