@@ -462,5 +462,68 @@ object OptimizerQueries {
           sum(coalesce(col("typed.a"), lit(0L))).cast("bigint").as("a_sum"),
           sum(coalesce(element_at(col("rescued"), "extra").cast("long"),
             lit(0L))).cast("bigint").as("extra_sum"))
+    },
+
+    // ---------------------------------------------------------------- q264
+    // GDPR ERASURE, END TO END — the right-to-be-forgotten workflow every
+    // lakehouse documents (Delta/Iceberg DELETE + VACUUM + CDF guidance),
+    // composed from this library's own layers and with every compliance
+    // edge pinned: (1) the erasure is a DELETION-VECTOR commit — zero
+    // data-file rewrite, deletes captured in the change feed so DOWNSTREAM
+    // consumers learn which rows to drop; (2) time travel still reaches
+    // the cohort in pre-erasure versions — the documented hole — so (3)
+    // RETENTION expires those versions and both the snapshot read and a
+    // from-the-beginning feed replay now fail LOUDLY (never resolving to a
+    // resurrected cohort); (4) compaction folds the vectors so the bytes
+    // are PHYSICALLY gone — require'd by raw-reading the new files. Scale
+    // shape: the erase costs O(cohort) bitmap work + O(files) metadata
+    // copies; only the final fold rewrites data, on the operator's
+    // schedule, not the request's.
+    Q("q264_gdpr_erasure",
+      """WITH b AS (SELECT event_id, user_id, event_type,
+        |    event_id % 100 AS val FROM events),
+        |v2 AS (SELECT event_id, user_id, event_type,
+        |    CASE WHEN event_id % 9 = 0 THEN val + 1000 ELSE val END AS val
+        |  FROM b),
+        |live AS (SELECT * FROM v2 WHERE user_id % 17 <> 3)
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(val) AS BIGINT) AS val_sum
+        |FROM live GROUP BY 1""".stripMargin) { (s, dir) =>
+      import graft.ops.{ChangeFeed, DeletionVectors => DV, VersionedTable => VT}
+      import scala.util.Try
+      val root = scratch(s, dir, "q264")
+      val table = s"$root/t"
+      val base = Tables.load(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          (col("event_id") % 100).as("val"))
+      VT.write(base, table)
+      val v2df = base.withColumn("val",
+        when(col("event_id") % 9 === 0, col("val") + 1000).otherwise(col("val")))
+      ChangeFeed.commit(v2df, table, Seq("event_id"))
+      val cohort = col("user_id") % 17 === 3
+      val expected = v2df.filter(cohort).count()
+      val (v3, nDel) = DV.delete(s, table, cohort, capture = true)
+      require(v3 == 3L && nDel == expected,
+        s"q264: erasure must hit the whole cohort ($nDel of $expected)")
+      require(DV.read(s, table).filter(cohort).isEmpty,
+        "q264: the live table must carry zero cohort rows")
+      // the compliance hole, then its closure: pre-erasure versions still
+      // reach the cohort until retention expires them
+      require(DV.readVersion(s, table, 2L).filter(cohort).count() == expected,
+        "q264: time travel must still see the cohort pre-gc (the hole)")
+      VT.gc(s, table, keep = 1)
+      require(Try(DV.readVersion(s, table, 2L).count()).isFailure,
+        "q264: an expired pre-erasure snapshot must fail loudly")
+      require(Try(ChangeFeed.tableChanges(s, table, 0L, v3, Seq("event_id"))
+        .count()).isFailure,
+        "q264: a from-the-beginning feed replay must fail loudly after gc")
+      // fold the vectors: the cohort's bytes leave the data files
+      val v4 = DV.compact(s, table, numFiles = 2, capture = true)
+      val raw = s.read.parquet(VT.verDir(table, v4).toString)
+      require(raw.filter(cohort).isEmpty,
+        "q264: compaction must physically remove the cohort's bytes")
+      DV.read(s, table).groupBy(col("event_type"))
+        .agg(count(lit(1)).cast("bigint").as("n"),
+          sum(col("val")).cast("bigint").as("val_sum"))
     })
 }
