@@ -87,4 +87,37 @@ object Merge {
     joined.select(result.as("r")).filter(col("r").isNotNull)
       .select(outCols.map(c => col(s"r.$c").as(c)): _*)
   }
+
+  /** MERGE WITH SCHEMA EVOLUTION (Delta's `withSchemaEvolution` /
+    * `schema.autoMerge` — public semantics): source columns the target
+    * lacks WIDEN the target schema (existing rows read null); the merge
+    * then runs UPDATE-SET-source-columns / INSERT-source-columns — an
+    * update never nulls a target-only column the source doesn't carry,
+    * an insert null-fills them. A same-named column whose type differs
+    * fails LOUDLY — silent coercion is how merges corrupt tables
+    * (lossless widening is [[TypeWidening]]'s job, a deliberate separate
+    * commit). Cost envelope unchanged: the evolution is a plan-side
+    * null-column projection, the merge is still one keyed full-outer
+    * join.
+    */
+  def upsertEvolve(target: DataFrame, source: DataFrame,
+      keyCols: Seq[String]): DataFrame = {
+    val tCols = target.columns.toSeq
+    source.schema.fields.filter(f => tCols.contains(f.name)).foreach { f =>
+      val tt = target.schema(f.name).dataType
+      require(tt == f.dataType,
+        s"Merge.upsertEvolve: column ${f.name} type conflict ($tt vs ${f.dataType})")
+    }
+    val newCols = source.schema.fields.filterNot(f => tCols.contains(f.name))
+    val evolved = newCols.foldLeft(target)((d, f) =>
+      d.withColumn(f.name, lit(null).cast(f.dataType)))
+    val outCols = evolved.columns.toSeq
+    val setCols = source.columns.toSeq.filterNot(keyCols.contains)
+    merge(evolved, source, keyCols, Seq(
+      MatchedUpdate(lit(true), setCols.map(c => c -> col(s"s.$c")).toMap),
+      NotMatchedInsert(lit(true), outCols.map { c =>
+        if (source.columns.contains(c)) c -> col(s"s.$c")
+        else c -> lit(null).cast(evolved.schema(c).dataType)
+      }.toMap)))
+  }
 }

@@ -525,5 +525,50 @@ object OptimizerQueries {
       DV.read(s, table).groupBy(col("event_type"))
         .agg(count(lit(1)).cast("bigint").as("n"),
           sum(col("val")).cast("bigint").as("val_sum"))
+    },
+
+    // ---------------------------------------------------------------- q265
+    // MERGE WITH SCHEMA EVOLUTION (`Merge.upsertEvolve` — Delta's
+    // withSchemaEvolution semantics): the source feed arrives carrying a
+    // column the target never had (`segment`) and MISSING one it has
+    // (`natkey`); the merge widens the target, updates set only the
+    // columns the source carries (a target-only column is never nulled by
+    // an update), inserts null-fill the source-missing ones, and a
+    // same-named column with a conflicting type fails LOUDLY in-query
+    // (the negative control) — lossless widening is a separate
+    // TypeWidening commit by design. The oracle is the full-outer-join
+    // algebra the evolved merge must equal. Cost: evolution is a
+    // null-column projection; the merge stays one keyed full-outer join.
+    Q("q265_merge_schema_evolution",
+      """WITH t AS (SELECT c_custkey AS custkey, CAST(c_nationkey AS BIGINT) AS natkey
+        |           FROM customer WHERE c_custkey % 4 <> 0),
+        |s AS (SELECT c_custkey AS custkey,
+        |    CASE WHEN c_nationkey < 12 THEN 'low' ELSE 'high' END AS segment
+        |  FROM customer WHERE c_custkey % 3 = 0)
+        |SELECT COALESCE(t.custkey, s.custkey) AS custkey, t.natkey, s.segment
+        |FROM t FULL JOIN s ON t.custkey = s.custkey""".stripMargin) { (s, dir) =>
+      import graft.ops.Merge
+      import scala.util.Try
+      val cust = Tables.load(s, dir, "customer")
+      val target = cust.filter(col("c_custkey") % 4 =!= 0)
+        .select(col("c_custkey").cast("long").as("custkey"),
+          col("c_nationkey").cast("long").as("natkey"))
+      val source = cust.filter(col("c_custkey") % 3 === 0)
+        .select(col("c_custkey").cast("long").as("custkey"),
+          when(col("c_nationkey") < 12, "low").otherwise("high").as("segment"))
+      val merged = Merge.upsertEvolve(target, source, Seq("custkey"))
+        .localCheckpoint()
+      // negative control: a same-named column with a different type must
+      // fail loudly, target untouched
+      val conflicted = source.withColumn("natkey",
+        lit("not-a-number")) // string vs the target's long
+      require(Try(Merge.upsertEvolve(target, conflicted, Seq("custkey")))
+        .isFailure, "q265: a type-conflicted evolution must fail loudly")
+      // an update never nulls a target-only column: every surviving
+      // pre-existing row keeps its natkey
+      require(merged.filter(col("natkey").isNull)
+        .join(target, Seq("custkey"), "left_semi").isEmpty,
+        "q265: updates must not null target-only columns")
+      merged
     })
 }

@@ -48,6 +48,26 @@ class MergeSpec extends AnyFunSuite {
     assert(rows(out) == rows(target), "no clause applies -> target unchanged")
   }
 
+  test("schema evolution widens, updates preserve target-only columns") {
+    val t = Seq((1L, 10L), (2L, 20L)).toDF("k", "v")
+    val src = Seq((2L, "b"), (3L, "c")).toDF("k", "s")
+    val out = Merge.upsertEvolve(t, src, Seq("k"))
+    assert(out.columns.toSeq == Seq("k", "v", "s"))
+    val got = out.collect().map(r => (r.getLong(0),
+      if (r.isNullAt(1)) -1L else r.getLong(1),
+      if (r.isNullAt(2)) "" else r.getString(2))).sortBy(_._1).toSeq
+    // k=1 untouched (null s), k=2 keeps v AND gains s, k=3 inserted null v
+    assert(got == Seq((1L, 10L, ""), (2L, 20L, "b"), (3L, -1L, "c")))
+  }
+
+  test("schema evolution rejects a same-named type conflict loudly") {
+    val t = Seq((1L, 10L)).toDF("k", "v")
+    val src = Seq((1L, "oops")).toDF("k", "v")
+    intercept[IllegalArgumentException] {
+      Merge.upsertEvolve(t, src, Seq("k"))
+    }
+  }
+
   test("cardinality guard and insert completeness fail loudly") {
     val dupSource = Seq((1L, 5.0), (1L, 6.0)).toDF("k", "sv")
     intercept[IllegalArgumentException] {
