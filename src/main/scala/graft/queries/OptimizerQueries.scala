@@ -570,5 +570,68 @@ object OptimizerQueries {
         .join(target, Seq("custkey"), "left_semi").isEmpty,
         "q265: updates must not null target-only columns")
       merged
+    },
+
+    // ---------------------------------------------------------------- q266
+    // LOG-STRUCTURED TABLE (`ops/ActionLog.scala` — the Delta-log design
+    // proper, next to VersionedTable's snapshot-per-version): immutable
+    // shared data files + an append-only action log, so a commit costs
+    // O(delta) — pinned: each append adds EXACTLY its own part files and
+    // the data dir is strictly monotone (no byte of an earlier version is
+    // ever rewritten). Snapshot resolution replays the log; a CHECKPOINT
+    // bounds the replay to the post-checkpoint tail — pinned: after
+    // checkpointing at v3, resolving v4 replays ONLY v4's actions from
+    // the v3 base. Compaction is a remove+add commit in the SAME log, and
+    // time travel to a pre-compaction version still reads the removed
+    // files — they leave the log's head, not the disk. Every as-of read
+    // is require'd bit-equal to the batch-union it should contain. This
+    // is the only table shape that appends a terabyte to a petabyte
+    // table by WRITING a terabyte; snapshot-per-version is kept for the
+    // wholesale-rebuilt dims it fits.
+    Q("q266_action_log",
+      """SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(l_orderkey) AS BIGINT) AS key_sum
+        |FROM lineitem GROUP BY 1""".stripMargin) { (s, dir) =>
+      import graft.ops.ActionLog
+      val root = scratch(s, dir, "q266")
+      val table = s"$root/t"
+      val li = Tables.load(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"))
+      def quarter(i: Int) = li.filter(col("l_orderkey") % 4 === i)
+      val fileSets = (0 until 4).map { i =>
+        val v = ActionLog.append(quarter(i), table)
+        require(v == i + 1L, s"q266: append must mint version ${i + 1}")
+        ActionLog.resolve(s, table, v)._1.toSet
+      }
+      // O(delta): appends are strictly monotone — every earlier file
+      // survives untouched, each version adds only its own parts
+      (1 until 4).foreach { i =>
+        val (a, b) = (fileSets(i - 1), fileSets(i))
+        require(a.subsetOf(b) && (b -- a).forall(_.startsWith(s"v${i + 1}-")),
+          s"q266: append v${i + 1} rewrote earlier files")
+      }
+      // as-of replay equality at every version
+      (1 to 4).foreach { v =>
+        val want = li.filter(col("l_orderkey") % 4 < v)
+        val got = ActionLog.read(s, table, asOf = v)
+        require(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty,
+          s"q266: as-of v$v replay diverges from the batch union")
+      }
+      // checkpoint at v4, then compaction as v5: resolution must replay
+      // ONLY v5's actions (removes + adds) from the v4 checkpoint base
+      ActionLog.checkpoint(s, table)
+      val live4 = ActionLog.resolve(s, table, 4L)._1.size
+      val v5 = ActionLog.rewrite(ActionLog.read(s, table), table, numFiles = 2)
+      val (files5, replayed5, ckpt5) = ActionLog.resolve(s, table, v5)
+      require(ckpt5.contains(4L) && replayed5 == live4 + 2 && files5.size == 2,
+        s"q266: bounded replay broken (base=$ckpt5, replayed=$replayed5, " +
+          s"files=${files5.size}, live4=$live4)")
+      val tt = ActionLog.read(s, table, asOf = 2)
+      val want2 = li.filter(col("l_orderkey") % 4 < 2)
+      require(tt.exceptAll(want2).isEmpty && want2.exceptAll(tt).isEmpty,
+        "q266: pre-compaction time travel must still read removed files")
+      ActionLog.read(s, table).groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).cast("bigint").as("n"),
+          sum(col("l_orderkey")).cast("bigint").as("key_sum"))
     })
 }
