@@ -92,16 +92,49 @@ object ActionLog {
   }
 
   /** Append-only commit: O(delta) — writes only `df`'s part files and one
-    * log record of `add` actions. Returns the new version.
+    * log record of `add` actions. With `statsCol` (a long column), each
+    * add action carries the file's min/max/rowcount for that column —
+    * Delta's write-time per-file stats, collected in ONE pass over the
+    * just-written delta (grouped by `input_file_name`), so later scans
+    * can skip files from the LOG alone, zero footer reads. Returns the
+    * new version.
     */
-  def append(df: DataFrame, dir: String): Long = {
+  def append(df: DataFrame, dir: String, statsCol: Option[String] = None): Long = {
     val spark = df.sparkSession
     val fs = fsOf(spark, dir)
     val v = versions(spark, dir).lastOption.getOrElse(0L) + 1L
     val files = stageData(df, dir, v)
     writeText(fs, logPath(dir, v),
-      files.map(f => s"""{"a":"add","p":"$f"}""").mkString("\n"))
+      addLines(spark, dir, files, statsCol).mkString("\n"))
     v
+  }
+
+  /** Add-action lines for `files`, with write-time per-file stats when a
+    * stats column is named — ONE pass over the just-written delta,
+    * grouped by file.
+    */
+  private def addLines(spark: SparkSession, dir: String, files: Seq[String],
+      statsCol: Option[String]): Seq[String] = {
+    val stats: Map[String, (Long, Long, Long)] = statsCol match {
+      case None => Map.empty
+      case Some(c) =>
+        import org.apache.spark.sql.functions._
+        spark.read.parquet(files.map(f => s"$dir/$DataDir/$f"): _*)
+          .groupBy(element_at(split(input_file_name(), "/"), -1).as("f"))
+          .agg(min(col(c)).cast("long").as("lo"),
+            max(col(c)).cast("long").as("hi"),
+            count(lit(1)).as("n"))
+          .collect() // O(delta files) — bounded by the batch's part count
+          .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+          .toMap
+    }
+    files.map { f =>
+      stats.get(f) match {
+        case Some((lo, hi, n)) =>
+          s"""{"a":"add","p":"$f","lo":$lo,"hi":$hi,"n":$n}"""
+        case None => s"""{"a":"add","p":"$f"}"""
+      }
+    }
   }
 
   /** Rewrite commit: the new content replaces the whole live file set —
@@ -109,7 +142,8 @@ object ActionLog {
     * actions for the rewritten files. Old versions keep reading the
     * removed files (they stay on disk). The compaction form.
     */
-  def rewrite(df: DataFrame, dir: String, numFiles: Int): Long = {
+  def rewrite(df: DataFrame, dir: String, numFiles: Int,
+      statsCol: Option[String] = None): Long = {
     val spark = df.sparkSession
     val fs = fsOf(spark, dir)
     val v = versions(spark, dir).lastOption.getOrElse(0L) + 1L
@@ -117,7 +151,7 @@ object ActionLog {
     val files = stageData(df.repartition(numFiles), dir, v)
     writeText(fs, logPath(dir, v),
       (live.map(f => s"""{"a":"remove","p":"$f"}""") ++
-        files.map(f => s"""{"a":"add","p":"$f"}""")).mkString("\n"))
+        addLines(spark, dir, files, statsCol)).mkString("\n"))
     v
   }
 
@@ -128,35 +162,49 @@ object ActionLog {
     val fs = fsOf(spark, dir)
     val v = versions(spark, dir).lastOption.getOrElse(
       sys.error(s"ActionLog.checkpoint($dir): empty log"))
-    val (live, _, _) = resolve(spark, dir, v)
+    val (state, _, _) = replayState(spark, dir, v)
     writeText(fs, ckptPath(dir, v),
-      live.map(f => s"""{"a":"add","p":"$f"}""").mkString("\n"))
+      state.toSeq.map {
+        case (f, Some((lo, hi, n))) =>
+          s"""{"a":"add","p":"$f","lo":$lo,"hi":$hi,"n":$n}"""
+        case (f, None) => s"""{"a":"add","p":"$f"}"""
+      }.mkString("\n"))
     val out = fs.create(new Path(s"$dir/$LogDir/$LastCkpt"), true)
     try out.write(v.toString.getBytes(StandardCharsets.UTF_8)) finally out.close()
     v
   }
 
   private val Add = """\{"a":"add","p":"([^"]+)"\}""".r
+  private val AddStats =
+    """\{"a":"add","p":"([^"]+)","lo":(-?\d+),"hi":(-?\d+),"n":(\d+)\}""".r
   private val Remove = """\{"a":"remove","p":"([^"]+)"\}""".r
 
-  /** The live file set at `asOf`: (files, actionsReplayed, checkpointUsed).
-    * Replay starts from the newest checkpoint ≤ asOf when one exists —
-    * the bounded-tail contract callers pin.
+  /** Full replay state: file → optional (lo, hi, rows) stats, plus the
+    * replay accounting. Stats survive checkpoints (the checkpoint writes
+    * stats-carrying add lines).
     */
-  def resolve(spark: SparkSession, dir: String,
-      asOf: Long): (Seq[String], Int, Option[Long]) = {
+  private def replayState(spark: SparkSession, dir: String, asOf: Long):
+      (scala.collection.mutable.LinkedHashMap[String, Option[(Long, Long, Long)]],
+        Int, Option[Long]) = {
     val fs = fsOf(spark, dir)
     val ckptBase = {
       val lc = new Path(s"$dir/$LogDir/$LastCkpt")
       if (!fs.exists(lc)) None
       else Some(readLines(fs, lc).head.trim.toLong).filter(_ <= asOf)
     }
-    val base = scala.collection.mutable.LinkedHashSet.empty[String]
+    val base = scala.collection.mutable
+      .LinkedHashMap.empty[String, Option[(Long, Long, Long)]]
+    def applyLine(line: String, v: String): Unit = line match {
+      case AddStats(p, lo, hi, n) =>
+        base.put(p, Some((lo.toLong, hi.toLong, n.toLong))); ()
+      case Add(p) => base.put(p, None); ()
+      case Remove(p) =>
+        require(base.remove(p).isDefined,
+          s"ActionLog: remove of unreferenced file $p at $v")
+      case l => sys.error(s"ActionLog: bad log line at $v: $l")
+    }
     ckptBase.foreach { cv =>
-      readLines(fs, ckptPath(dir, cv)).foreach {
-        case Add(p) => base += p
-        case l => sys.error(s"ActionLog: bad checkpoint line $l")
-      }
+      readLines(fs, ckptPath(dir, cv)).foreach(applyLine(_, s"ckpt-$cv"))
     }
     val tail = versions(spark, dir)
       .filter(v => v > ckptBase.getOrElse(0L) && v <= asOf)
@@ -164,16 +212,53 @@ object ActionLog {
     tail.foreach { v =>
       readLines(fs, logPath(dir, v)).foreach { line =>
         replayed += 1
-        line match {
-          case Add(p) => base += p
-          case Remove(p) =>
-            require(base.remove(p),
-              s"ActionLog: remove of unreferenced file $p at v$v")
-          case l => sys.error(s"ActionLog: bad log line $l")
-        }
+        applyLine(line, s"v$v")
       }
     }
-    (base.toSeq, replayed, ckptBase)
+    (base, replayed, ckptBase)
+  }
+
+  /** The live file set at `asOf`: (files, actionsReplayed, checkpointUsed).
+    * Replay starts from the newest checkpoint ≤ asOf when one exists —
+    * the bounded-tail contract callers pin.
+    */
+  def resolve(spark: SparkSession, dir: String,
+      asOf: Long): (Seq[String], Int, Option[Long]) = {
+    val (state, replayed, ckpt) = replayState(spark, dir, asOf)
+    (state.keys.toSeq, replayed, ckpt)
+  }
+
+  /** DATA SKIPPING FROM THE LOG (Delta's per-file stats): scan only the
+    * files whose recorded `[lo, hi]` intersects the probe range — zero
+    * parquet footers opened for the skipped ones — with the exact
+    * predicate re-applied as the residual. A stats-less file is admitted
+    * conservatively. Returns (frame, filesKept, filesTotal).
+    */
+  def readWhere(spark: SparkSession, dir: String, c: String,
+      lo: Long, hi: Long): (DataFrame, Int, Int) = {
+    import org.apache.spark.sql.functions._
+    val latest = versions(spark, dir).lastOption.getOrElse(
+      sys.error(s"ActionLog.readWhere($dir): empty log"))
+    val (state, _, _) = replayState(spark, dir, latest)
+    val keep = state.toSeq.collect {
+      case (f, Some((flo, fhi, _))) if fhi >= lo && flo <= hi => f
+      case (f, None) => f
+    }
+    require(keep.nonEmpty, s"ActionLog.readWhere($dir): nothing to read")
+    val df = spark.read.parquet(keep.map(f => s"$dir/$DataDir/$f"): _*)
+      .filter(col(c) >= lo && col(c) <= hi)
+    (df, keep.size, state.size)
+  }
+
+  /** Table row count from the LOG alone — O(files) metadata, zero data
+    * reads; None when any live file lacks recorded stats.
+    */
+  def rowCountFromLog(spark: SparkSession, dir: String): Option[Long] = {
+    val latest = versions(spark, dir).lastOption.getOrElse(0L)
+    val (state, _, _) = replayState(spark, dir, latest)
+    val counts = state.values.toSeq
+    if (counts.exists(_.isEmpty)) None
+    else Some(counts.flatten.map(_._3).sum)
   }
 
   /** Read the table as of `asOf` (default: latest). */

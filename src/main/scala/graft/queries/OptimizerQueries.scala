@@ -633,5 +633,66 @@ object OptimizerQueries {
       ActionLog.read(s, table).groupBy(col("l_returnflag"))
         .agg(count(lit(1)).cast("bigint").as("n"),
           sum(col("l_orderkey")).cast("bigint").as("key_sum"))
+    },
+
+    // ---------------------------------------------------------------- q267
+    // DATA SKIPPING FROM THE LOG — Delta's per-file stats carried in add
+    // actions: each append records its files' (min, max, rows) for the
+    // cluster column AT WRITE TIME (one pass over the delta), so a range
+    // scan prunes files from the LOG alone — zero parquet footers opened
+    // for skipped files, and COUNT(*) is answered without touching data
+    // at all (pinned: `rowCountFromLog` equals the true count). With
+    // range-contiguous appends the probe keeps 1 of 4 files (pinned, and
+    // pruned ≡ direct-filter bit-exact); after an UNSORTED rewrite the
+    // SAME probe must keep every file — the stats survive the rewrite but
+    // the clustering is gone, q228's lesson restated at the log layer:
+    // skipping is a property of layout × statistics, and a compactor
+    // that ignores sort order silently destroys it. At 100 TB the log IS
+    // the skipping index: O(files) metadata, no sidecar to maintain.
+    Q("q267_log_data_skipping",
+      """WITH m AS (SELECT min(o_orderkey) AS mn, max(o_orderkey) AS mx
+        |           FROM orders),
+        |r AS (SELECT mn + ((mx - mn + 1) // 4) // 4 AS a,
+        |             mn + ((mx - mn + 1) // 4) // 2 AS b FROM m)
+        |SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(o_orderkey) AS BIGINT) AS key_sum
+        |FROM orders, r WHERE o_orderkey >= a AND o_orderkey <= b
+        |GROUP BY 1""".stripMargin) { (s, dir) =>
+      import graft.ops.ActionLog
+      val root = scratch(s, dir, "q267")
+      val table = s"$root/t"
+      val o = Tables.load(s, dir, "orders")
+        .select(col("o_orderkey").cast("long").as("okey"),
+          col("o_orderpriority"))
+      val mm = o.agg(min(col("okey")), max(col("okey"))).head()
+      val (mn, mx) = (mm.getLong(0), mm.getLong(1))
+      val q = (mx - mn + 1) / 4
+      (0 until 4).foreach { i =>
+        val lo = mn + i * q
+        val hi = if (i == 3) mx else mn + (i + 1) * q - 1
+        ActionLog.append(
+          o.filter(col("okey") >= lo && col("okey") <= hi).coalesce(1),
+          table, statsCol = Some("okey"))
+      }
+      // metadata-only COUNT from the log
+      require(ActionLog.rowCountFromLog(s, table).contains(o.count()),
+        "q267: the log's row count must equal the table's")
+      val (a, b) = (mn + q / 4, mn + q / 2)
+      val (pruned, kept, total) = ActionLog.readWhere(s, table, "okey", a, b)
+      require(kept == 1 && total == 4,
+        s"q267: the probe must keep 1 of 4 range-clustered files, got $kept/$total")
+      val direct = o.filter(col("okey") >= a && col("okey") <= b)
+      require(pruned.exceptAll(direct).isEmpty && direct.exceptAll(pruned).isEmpty,
+        "q267: pruned scan must equal the direct filter bit-exactly")
+      // an unsorted rewrite keeps the stats but destroys the clustering:
+      // the same probe must now admit every file
+      ActionLog.rewrite(ActionLog.read(s, table), table, numFiles = 4,
+        statsCol = Some("okey"))
+      val (_, kept2, total2) = ActionLog.readWhere(s, table, "okey", a, b)
+      require(kept2 == total2 && total2 == 4,
+        s"q267: after a hash rewrite the probe must admit all files, got $kept2/$total2")
+      pruned.groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).cast("bigint").as("n"),
+          sum(col("okey")).cast("bigint").as("key_sum"))
     })
 }
