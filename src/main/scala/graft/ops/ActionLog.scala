@@ -174,6 +174,100 @@ object ActionLog {
     v
   }
 
+  /** Stage with writer-unique names (no version prefix) — the OCC path's
+    * staging, which commutes across concurrent writers by construction.
+    */
+  private def stageDataNamed(df: DataFrame, dir: String): Seq[String] = {
+    val tag = "c" + java.util.UUID.randomUUID().toString
+      .replace("-", "").take(10)
+    val spark = df.sparkSession
+    val fs = fsOf(spark, dir)
+    val tmp = new Path(s"$dir/.stage-$tag")
+    df.write.mode("overwrite").parquet(tmp.toString)
+    fs.mkdirs(new Path(s"$dir/$DataDir"))
+    val moved = fs.listStatus(tmp).toSeq
+      .filter(st => st.isFile && st.getPath.getName.startsWith("part-"))
+      .sortBy(_.getPath.getName)
+      .zipWithIndex.map { case (st, i) =>
+        val name = s"$tag-$i.parquet"
+        require(fs.rename(st.getPath, new Path(s"$dir/$DataDir/$name")),
+          s"ActionLog: staging rename failed for $name")
+        name
+      }
+    fs.delete(tmp, true)
+    moved
+  }
+
+  /** Claim slot `v` create-if-absent; false = lost the race. */
+  private def tryClaim(fs: FileSystem, dir: String, v: Long,
+      text: String): Boolean = {
+    val p = logPath(dir, v)
+    try { writeText(fs, p, text); true }
+    catch { case _: java.io.IOException if fs.exists(p) => false }
+  }
+
+  /** OPTIMISTICALLY CONCURRENT APPEND — Delta's commit loop: stage once
+    * (writer-unique file names make staging commutative), then claim the
+    * next slot; a lost race just retries at the new head, because a blind
+    * append is rebase-compatible with ANY interleaved commit — its adds
+    * reference only its own files. `hook` fires between staging and the
+    * first claim — the window every interesting interleaving lives in.
+    */
+  def appendOcc(df: DataFrame, dir: String, statsCol: Option[String] = None,
+      hook: () => Unit = () => (),
+      raceHook: Long => Unit = _ => ()): Long = {
+    val spark = df.sparkSession
+    val fs = fsOf(spark, dir)
+    val files = stageDataNamed(df, dir)
+    val lines = addLines(spark, dir, files, statsCol).mkString("\n")
+    hook()
+    var committed = -1L
+    var attempts = 0
+    while (committed < 0) {
+      attempts += 1
+      require(attempts <= 20, s"ActionLog.appendOcc($dir): livelocked")
+      val v = versions(spark, dir).lastOption.getOrElse(0L) + 1L
+      raceHook(v) // test seam: a competitor lands between read and claim
+      if (tryClaim(fs, dir, v, lines)) committed = v
+    }
+    committed
+  }
+
+  /** Compaction that COMMUTES with concurrent appends (Delta OPTIMIZE's
+    * conflict rule): removes exactly the files it read — never "all live
+    * at commit time" — so an append that lands mid-compaction is simply
+    * untouched. The only true conflict is a target file leaving the live
+    * set (a concurrent rewrite of the same files): checked under the
+    * claim loop and failed LOUDLY. `hook` as in [[appendOcc]].
+    */
+  def compactFiles(spark: SparkSession, dir: String, targets: Seq[String],
+      numFiles: Int, statsCol: Option[String] = None,
+      hook: () => Unit = () => (),
+      raceHook: Long => Unit = _ => ()): Long = {
+    val fs = fsOf(spark, dir)
+    val content = spark.read
+      .parquet(targets.map(f => s"$dir/$DataDir/$f"): _*)
+      .repartition(numFiles)
+    val files = stageDataNamed(content, dir)
+    val lines = (targets.map(f => s"""{"a":"remove","p":"$f"}""") ++
+      addLines(spark, dir, files, statsCol)).mkString("\n")
+    hook()
+    var committed = -1L
+    var attempts = 0
+    while (committed < 0) {
+      attempts += 1
+      require(attempts <= 20, s"ActionLog.compactFiles($dir): livelocked")
+      raceHook(attempts) // test seam: a competitor lands inside the window
+      val v = versions(spark, dir).lastOption.getOrElse(0L) + 1L
+      val (live, _, _) = resolve(spark, dir, v - 1)
+      require(targets.forall(live.contains),
+        s"ActionLog.compactFiles($dir): a target file left the live set — " +
+          "concurrent rewrite conflict")
+      if (tryClaim(fs, dir, v, lines)) committed = v
+    }
+    committed
+  }
+
   private val Add = """\{"a":"add","p":"([^"]+)"\}""".r
   private val AddStats =
     """\{"a":"add","p":"([^"]+)","lo":(-?\d+),"hi":(-?\d+),"n":(\d+)\}""".r

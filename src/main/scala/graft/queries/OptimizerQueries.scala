@@ -694,5 +694,71 @@ object OptimizerQueries {
       pruned.groupBy(col("o_orderpriority"))
         .agg(count(lit(1)).cast("bigint").as("n"),
           sum(col("okey")).cast("bigint").as("key_sum"))
+    },
+
+    // ---------------------------------------------------------------- q268
+    // CONCURRENT COMMITS ON THE ACTION LOG — Delta's optimistic commit
+    // loop with OPTIMIZE's conflict rule: an appender and a compactor
+    // race the same version slot (the raceHook seam lands the append
+    // between the compactor's version read and its claim — the exact
+    // window the protocol exists for). The compactor LOSES the slot,
+    // retries at the new head, and commits cleanly — because it removes
+    // exactly the files it READ, never "all live at commit time", a
+    // concurrent append is untouched by construction (the commits
+    // commute). The one true conflict — two rewrites of the SAME file —
+    // is detected under the claim loop and fails loudly, table intact
+    // (pinned as the negative control). Content audit: after the race,
+    // the table equals appended ∪ compacted input bit-exactly. At 100 TB
+    // this is what lets ingest and maintenance share a table without a
+    // lock manager.
+    Q("q268_log_concurrent_commits",
+      """SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(l_orderkey) AS BIGINT) AS key_sum
+        |FROM lineitem WHERE l_orderkey % 4 < 3 GROUP BY 1""".stripMargin) { (s, dir) =>
+      import graft.ops.ActionLog
+      import scala.util.Try
+      val root = scratch(s, dir, "q268")
+      val table = s"$root/t"
+      val li = Tables.load(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"))
+      def quarter(i: Int) = li.filter(col("l_orderkey") % 4 === i)
+      ActionLog.append(quarter(0).coalesce(1), table)
+      ActionLog.append(quarter(1).coalesce(1), table)
+      val targets = ActionLog.resolve(s, table, 2L)._1
+      // the race: the appender lands inside the compactor's claim window
+      var raced = false
+      val vC = ActionLog.compactFiles(s, table, targets, numFiles = 1,
+        raceHook = attempt => if (attempt == 1 && !raced) {
+          raced = true
+          require(ActionLog.appendOcc(quarter(2).coalesce(1), table) == 3L,
+            "q268: the racing append must take v3")
+        })
+      require(vC == 4L,
+        s"q268: the compactor must lose v3 and rebase to v4, got $vC")
+      val files = ActionLog.resolve(s, table, vC)._1
+      require(files.size == 2,
+        s"q268: one compacted + one raced-in file expected, got ${files.size}")
+      val want = li.filter(col("l_orderkey") % 4 < 3)
+      val got = ActionLog.read(s, table)
+      require(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty,
+        "q268: the raced commits must commute — content equals the union")
+      // the true conflict: two rewrites of the same file — loud, no commit
+      val victim = files.take(1)
+      var inner = false
+      val clash = Try(ActionLog.compactFiles(s, table, victim, numFiles = 1,
+        raceHook = attempt => if (attempt == 1 && !inner) {
+          inner = true
+          ActionLog.compactFiles(s, table, victim, numFiles = 1)
+          ()
+        }))
+      require(clash.isFailure &&
+        clash.failed.get.getMessage.contains("conflict"),
+        "q268: a same-file rewrite race must fail loudly")
+      val after = ActionLog.read(s, table)
+      require(after.exceptAll(want).isEmpty && want.exceptAll(after).isEmpty,
+        "q268: the failed rewrite must leave the table intact")
+      got.groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).cast("bigint").as("n"),
+          sum(col("l_orderkey")).cast("bigint").as("key_sum"))
     })
 }
