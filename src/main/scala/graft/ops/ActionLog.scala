@@ -355,6 +355,25 @@ object ActionLog {
     else Some(counts.flatten.map(_._3).sum)
   }
 
+  /** One version's actions, parsed: (added files, removed files) — the
+    * streaming source's planning surface.
+    */
+  def actionsOf(spark: SparkSession, dir: String,
+      v: Long): (Seq[String], Seq[String]) = {
+    val fs = fsOf(spark, dir)
+    val p = logPath(dir, v)
+    require(fs.exists(p), s"ActionLog.actionsOf($dir): version $v is missing")
+    val adds = scala.collection.mutable.ArrayBuffer.empty[String]
+    val removes = scala.collection.mutable.ArrayBuffer.empty[String]
+    readLines(fs, p).foreach {
+      case AddStats(f, _, _, _) => adds += f
+      case Add(f) => adds += f
+      case Remove(f) => removes += f
+      case l => sys.error(s"ActionLog: bad log line at v$v: $l")
+    }
+    (adds.toSeq, removes.toSeq)
+  }
+
   /** Read the table as of `asOf` (default: latest). */
   def read(spark: SparkSession, dir: String, asOf: Long = Long.MaxValue): DataFrame = {
     val v = versions(spark, dir).lastOption

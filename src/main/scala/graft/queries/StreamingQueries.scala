@@ -1171,5 +1171,76 @@ object StreamingQueries {
       require(native.exceptAll(custom).isEmpty && custom.exceptAll(native).isEmpty,
         "q263: built-in session_window must equal the gaps-and-islands sessions")
       native
+    },
+
+    // ---------------------------------------------------------------- q269
+    // STREAMING THE ACTION-LOG TABLE (`source/LogStreamDsv2.scala` —
+    // Delta's stream-a-table design): offsets are log versions, each
+    // micro-batch delivers the files ADDED by the admitted versions
+    // (rows tagged `_commit_version`), resumption comes from the sink
+    // checkpoint's version offset — three commit→run cycles deliver each
+    // append EXACTLY once. The append-only contract is enforced LOUDLY:
+    // after a compaction (remove+add), resuming the old stream fails
+    // with the Delta-style "not append-only" error instead of silently
+    // replaying rewritten files; the documented recovery — a fresh
+    // stream based at the post-rewrite snapshot — then runs clean and
+    // delivers only what lands after it. Executor decode reuses the CDF
+    // reader (an added file IS an insert-only capture). At 100 TB this
+    // is how ingest tables feed downstream pipelines without a message
+    // bus: the table's own log is the queue.
+    Q("q269_log_table_stream",
+      """SELECT CAST(l_orderkey % 4 + 1 AS BIGINT) AS commit_version,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(l_orderkey) AS BIGINT) AS key_sum
+        |FROM lineitem WHERE l_orderkey % 4 < 3 GROUP BY 1""".stripMargin) { (s, dir) =>
+      import graft.ops.{ActionLog, ChangeFeed}
+      import graft.source.LogStream
+      import scala.util.Try
+      val root = scratch(s, dir, "q269")
+      val table = s"$root/t"
+      val li = Tables.load(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"))
+      def quarter(i: Int) = li.filter(col("l_orderkey") % 4 === i)
+      ActionLog.append(quarter(0).coalesce(1), table)
+      val (out, cp) = (s"$root/out", s"$root/cp")
+      def run(cpDir: String, outDir: String,
+          startingVersion: Option[Long]): Unit = withNarrowShuffle(s) {
+        val q = LogStream.read(s, table, startingVersion = startingVersion)
+          .writeStream.format("parquet")
+          .option("path", outDir).option("checkpointLocation", cpDir)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      run(cp, out, Some(0L))
+      ActionLog.append(quarter(1).coalesce(1), table)
+      run(cp, out, Some(0L)) // resumes at the checkpointed version offset
+      ActionLog.append(quarter(2).coalesce(1), table)
+      run(cp, out, Some(0L))
+      val got = s.read.parquet(out).localCheckpoint()
+      // exactly-once with correct version tags
+      val want = (0 until 3).map(i => quarter(i)
+        .withColumn(ChangeFeed.CommitVersion, lit(i + 1L)))
+        .reduce(_.unionByName(_))
+      require(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty,
+        "q269: three runs must deliver each append exactly once, tagged")
+      // a rewrite breaks the append-only contract — resuming must be LOUD
+      ActionLog.rewrite(ActionLog.read(s, table), table, numFiles = 2)
+      val fail = Try(run(cp, out, Some(0L)))
+      val msg = fail.failed.map(e => e.toString +
+        Option(e.getCause).map(_.toString).getOrElse("")).getOrElse("")
+      require(fail.isFailure && msg.contains("append-only"),
+        s"q269: resuming over a rewrite must fail loudly, got $msg")
+      // recovery: a fresh stream BASED at the post-rewrite snapshot (v4) —
+      // the batch read covers ≤4, the stream owns >4
+      ActionLog.append(quarter(3).coalesce(1), table) // v5
+      run(s"$root/cp2", s"$root/out2", Some(4L))
+      val fresh = s.read.parquet(s"$root/out2")
+      val want2 = quarter(3).withColumn(ChangeFeed.CommitVersion, lit(5L))
+      require(fresh.exceptAll(want2).isEmpty && want2.exceptAll(fresh).isEmpty,
+        "q269: the recovered stream must deliver only post-rewrite appends")
+      got.groupBy(col(ChangeFeed.CommitVersion).as("commit_version"))
+        .agg(count(lit(1)).cast("bigint").as("n"),
+          sum(col("l_orderkey")).cast("bigint").as("key_sum"))
     })
 }
