@@ -281,10 +281,16 @@ object ActionLog {
       (scala.collection.mutable.LinkedHashMap[String, Option[(Long, Long, Long)]],
         Int, Option[Long]) = {
     val fs = fsOf(spark, dir)
+    // newest materialized checkpoint ≤ asOf — discovered by listing, with
+    // `_last_checkpoint` as nothing more than the usual fast-path hint
+    // (a vacuum may retain checkpoints the pointer no longer names)
     val ckptBase = {
-      val lc = new Path(s"$dir/$LogDir/$LastCkpt")
-      if (!fs.exists(lc)) None
-      else Some(readLines(fs, lc).head.trim.toLong).filter(_ <= asOf)
+      val ld = new Path(s"$dir/$LogDir")
+      if (!fs.exists(ld)) None
+      else fs.listStatus(ld).toSeq.map(_.getPath.getName)
+        .filter(n => n.startsWith("_checkpoint-") && n.endsWith(".json"))
+        .map(_.stripPrefix("_checkpoint-").stripSuffix(".json").toLong)
+        .filter(_ <= asOf).sorted.lastOption
     }
     val base = scala.collection.mutable
       .LinkedHashMap.empty[String, Option[(Long, Long, Long)]]
@@ -353,6 +359,65 @@ object ActionLog {
     val counts = state.values.toSeq
     if (counts.exists(_.isEmpty)) None
     else Some(counts.flatten.map(_._3).sum)
+  }
+
+  /** VACUUM — physically delete data files no LIVE-OR-RETAINED version
+    * references (Delta's vacuum with version-count retention): versions
+    * older than the newest `keepVersions` lose time-travel support — their
+    * log records are dropped — and any data file referenced ONLY by
+    * dropped versions is deleted, together with orphan staging debris.
+    * A file still referenced by a retained version (e.g. added at v1,
+    * never removed) survives regardless of age. Returns
+    * (logRecordsDropped, dataFilesDeleted). Expired reads fail loudly
+    * afterwards — the log record is gone, so `resolve` simply cannot
+    * construct the version (same contract as [[VersionedTable.gc]]).
+    *
+    * Checkpoint discipline (Delta's log-cleanup rule): a checkpoint is
+    * materialized AT the horizon FIRST, so every retained version resolves
+    * from it — only then are older records and checkpoints dropped.
+    */
+  def vacuum(spark: SparkSession, dir: String, keepVersions: Int): (Int, Int) = {
+    require(keepVersions >= 1, "vacuum must keep at least the live version")
+    val fs = fsOf(spark, dir)
+    val vs = versions(spark, dir)
+    if (vs.size <= keepVersions) return (0, 0)
+    val horizon = vs.takeRight(keepVersions).head // oldest retained version
+    // files referenced by ANY retained version = union of live sets at
+    // each retained version — O(retained × log), driver-side metadata
+    val referenced = vs.filter(_ >= horizon)
+      .flatMap(v => replayState(spark, dir, v)._1.keys).toSet
+    // checkpoint BEFORE cleanup: retained versions must resolve without
+    // the records about to be dropped
+    if (!fs.exists(ckptPath(dir, horizon))) {
+      val (state, _, _) = replayState(spark, dir, horizon)
+      writeText(fs, ckptPath(dir, horizon),
+        state.toSeq.map {
+          case (f, Some((lo, hi, n))) =>
+            s"""{"a":"add","p":"$f","lo":$lo,"hi":$hi,"n":$n}"""
+          case (f, None) => s"""{"a":"add","p":"$f"}"""
+        }.mkString("\n"))
+    }
+    val dataDir = new Path(s"$dir/$DataDir")
+    val victims = fs.listStatus(dataDir).toSeq
+      .filter(st => st.isFile && !referenced.contains(st.getPath.getName))
+    victims.foreach(st => fs.delete(st.getPath, false))
+    val expired = vs.filter(_ < horizon)
+    expired.foreach(v => fs.delete(logPath(dir, v), false))
+    val ld = new Path(s"$dir/$LogDir")
+    fs.listStatus(ld).toSeq.map(_.getPath).foreach { p =>
+      val n = p.getName
+      if (n.startsWith("_checkpoint-") && n.endsWith(".json") &&
+        n.stripPrefix("_checkpoint-").stripSuffix(".json").toLong < horizon)
+        fs.delete(p, false)
+    }
+    // keep the hint pointer at least at the horizon checkpoint
+    val lc = new Path(s"$dir/$LogDir/$LastCkpt")
+    if (!fs.exists(lc) || readLines(fs, lc).head.trim.toLong < horizon) {
+      val out = fs.create(lc, true)
+      try out.write(horizon.toString.getBytes(StandardCharsets.UTF_8))
+      finally out.close()
+    }
+    (expired.size, victims.size)
   }
 
   /** One version's actions, parsed: (added files, removed files) — the

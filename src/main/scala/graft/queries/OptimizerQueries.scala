@@ -760,5 +760,57 @@ object OptimizerQueries {
       got.groupBy(col("l_returnflag"))
         .agg(count(lit(1)).cast("bigint").as("n"),
           sum(col("l_orderkey")).cast("bigint").as("key_sum"))
+    },
+
+    // ---------------------------------------------------------------- q270
+    // VACUUM ON THE ACTION LOG — Delta's two-phase cleanup discipline:
+    // retention drops versions, but a data file dies only when NO
+    // RETAINED version references it, and the log is checkpointed AT the
+    // horizon BEFORE records are dropped so every retained version still
+    // resolves (the rule Delta documents as "checkpoint before log
+    // cleanup"). Pinned: exactly the pre-compaction originals die (the
+    // compacted and later-appended files survive), live content is
+    // byte-identical across the vacuum, a retained as-of read resolves
+    // FROM the horizon checkpoint replaying only the post-horizon tail,
+    // an expired as-of read fails loudly, and a second vacuum is a
+    // no-op. At 100 TB vacuum is the only thing standing between a busy
+    // table and unbounded storage — and the reference-counting here is
+    // exact, not mtime-heuristic: a file added at v1 and never removed
+    // survives ANY retention window.
+    Q("q270_log_vacuum",
+      """SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(l_orderkey) AS BIGINT) AS key_sum
+        |FROM lineitem WHERE l_orderkey % 4 < 3 GROUP BY 1""".stripMargin) { (s, dir) =>
+      import graft.ops.ActionLog
+      import scala.util.Try
+      val root = scratch(s, dir, "q270")
+      val table = s"$root/t"
+      val li = Tables.load(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"))
+      def quarter(i: Int) = li.filter(col("l_orderkey") % 4 === i)
+      ActionLog.append(quarter(0).coalesce(1), table) // v1
+      ActionLog.append(quarter(1).coalesce(1), table) // v2
+      ActionLog.rewrite(ActionLog.read(s, table), table, numFiles = 1) // v3
+      ActionLog.append(quarter(2).coalesce(1), table) // v4
+      val before = ActionLog.read(s, table).localCheckpoint()
+      val (dropped, deleted) = ActionLog.vacuum(s, table, keepVersions = 2)
+      require(dropped == 2 && deleted == 2,
+        s"q270: exactly the two pre-compaction originals must die, " +
+          s"got ($dropped, $deleted)")
+      val after = ActionLog.read(s, table)
+      require(after.exceptAll(before).isEmpty && before.exceptAll(after).isEmpty,
+        "q270: vacuum must not change live content")
+      // retained as-of resolves from the horizon checkpoint, tail-only
+      val (_, replayed, ckpt) = ActionLog.resolve(s, table, 4L)
+      require(ckpt.contains(3L) && replayed == 1,
+        s"q270: v4 must resolve from the horizon checkpoint " +
+          s"(base=$ckpt, replayed=$replayed)")
+      require(Try(ActionLog.read(s, table, asOf = 2L).count()).isFailure,
+        "q270: an expired as-of read must fail loudly")
+      require(ActionLog.vacuum(s, table, keepVersions = 2) == ((0, 0)),
+        "q270: a second vacuum must be a no-op")
+      after.groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).cast("bigint").as("n"),
+          sum(col("l_orderkey")).cast("bigint").as("key_sum"))
     })
 }
