@@ -1,0 +1,201 @@
+package graft.ops
+
+import java.nio.charset.StandardCharsets
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.hadoop.fs.{FileSystem, Path}
+
+/** GIT-FOR-DATA BRANCHING — the Nessie/LakeFS model (branches and merges
+  * over immutable commits) with Dolt's KEY-WISE three-way merge for the
+  * table content itself (the part Nessie delegates to the format):
+  * commits are immutable snapshot dirs forming a DAG via parent links,
+  * branches are head pointers, and branching is METADATA-ONLY — zero
+  * bytes copied. A merge finds the lowest common ancestor; if the target
+  * hasn't moved it FAST-FORWARDS (another pointer flip), otherwise both
+  * sides' key-wise effects since the base are computed with the same
+  * keyed diff the change feed uses, commute when they touch disjoint
+  * keys (or agree bit-exactly on shared ones), and produce a two-parent
+  * merge commit; a key both sides changed DIFFERENTLY — update-vs-update,
+  * update-vs-delete — fails LOUDLY with the conflicting key count,
+  * heads untouched.
+  *
+  * Scale shape: branch/fast-forward are O(1) metadata; a real merge is
+  * two keyed diffs (O(base+head) each, one shuffle on the keys) plus an
+  * anti-join apply — the same envelope as one MERGE INTO. At 100 TB this
+  * is how an experiment rewrites a column on a branch and lands it
+  * atomically — or not at all — without ever blocking main.
+  *
+  * Layout under `dir`:
+  * {{{
+  *   dir/_heads/<branch>     # text: commit id
+  *   dir/_c-00000007/        # immutable parquet snapshot (+ _SUCCESS)
+  *   dir/_c-00000007/_parents  # parent ids, one per line (2 for merges)
+  * }}}
+  */
+object Branching {
+
+  sealed trait MergeOutcome { def head: Long }
+  final case class FastForward(head: Long) extends MergeOutcome
+  final case class Merged(head: Long) extends MergeOutcome
+
+  private def fsOf(spark: SparkSession, dir: String): FileSystem =
+    new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def cDir(dir: String, id: Long): Path =
+    new Path(s"$dir/_c-${"%08d".format(id)}")
+
+  private def headPath(dir: String, branch: String): Path = {
+    require(branch.matches("[A-Za-z0-9_-]+"), s"bad branch name: $branch")
+    new Path(s"$dir/_heads/$branch")
+  }
+
+  private def writeText(fs: FileSystem, p: Path, text: String): Unit = {
+    val out = fs.create(p, true)
+    try out.write(text.getBytes(StandardCharsets.UTF_8)) finally out.close()
+  }
+
+  private def readText(fs: FileSystem, p: Path): String = {
+    val in = fs.open(p)
+    try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+    finally in.close()
+  }
+
+  private def nextId(fs: FileSystem, dir: String): Long = {
+    val root = new Path(dir)
+    if (!fs.exists(root)) 1L
+    else fs.listStatus(root).toSeq.map(_.getPath.getName)
+      .filter(_.matches("_c-\\d{8}"))
+      .map(_.stripPrefix("_c-").toLong).sorted.lastOption.getOrElse(0L) + 1L
+  }
+
+  def head(spark: SparkSession, dir: String, branch: String): Long = {
+    val fs = fsOf(spark, dir)
+    val p = headPath(dir, branch)
+    require(fs.exists(p), s"Branching: no branch '$branch' in $dir")
+    readText(fs, p).toLong
+  }
+
+  def parents(spark: SparkSession, dir: String, id: Long): Seq[Long] = {
+    val fs = fsOf(spark, dir)
+    val p = new Path(cDir(dir, id), "_parents")
+    if (!fs.exists(p)) Seq.empty
+    else readText(fs, p).split("\n").toSeq.map(_.trim).filter(_.nonEmpty).map(_.toLong)
+  }
+
+  /** Stage an immutable commit: parquet first (committer plants _SUCCESS),
+    * then parents, then the head flip — a crash leaves a dangling commit
+    * dir no head references.
+    */
+  private def commitDirs(df: DataFrame, dir: String, parentIds: Seq[Long],
+      branch: String): Long = {
+    val spark = df.sparkSession
+    val fs = fsOf(spark, dir)
+    val id = nextId(fs, dir)
+    df.write.mode("overwrite").parquet(cDir(dir, id).toString)
+    writeText(fs, new Path(cDir(dir, id), "_parents"),
+      parentIds.mkString("\n"))
+    writeText(fs, headPath(dir, branch), id.toString)
+    id
+  }
+
+  /** First commit on `main`. */
+  def init(df: DataFrame, dir: String): Long =
+    commitDirs(df, dir, Seq.empty, "main")
+
+  /** Commit `df` as the new head of `branch`. */
+  def commitOn(df: DataFrame, dir: String, branch: String): Long = {
+    val h = head(df.sparkSession, dir, branch)
+    commitDirs(df, dir, Seq(h), branch)
+  }
+
+  /** Create `name` at `from`'s head — metadata-only, zero data copied. */
+  def branch(spark: SparkSession, dir: String, from: String, name: String): Long = {
+    val fs = fsOf(spark, dir)
+    val h = head(spark, dir, from)
+    require(!fs.exists(headPath(dir, name)),
+      s"Branching: branch '$name' already exists")
+    writeText(fs, headPath(dir, name), h.toString)
+    h
+  }
+
+  def readCommit(spark: SparkSession, dir: String, id: Long): DataFrame =
+    spark.read.parquet(cDir(dir, id).toString)
+
+  def readBranch(spark: SparkSession, dir: String, branch: String): DataFrame =
+    readCommit(spark, dir, head(spark, dir, branch))
+
+  private def ancestors(spark: SparkSession, dir: String, id: Long): Set[Long] = {
+    val seen = scala.collection.mutable.Set.empty[Long]
+    val queue = scala.collection.mutable.Queue(id)
+    while (queue.nonEmpty) {
+      val c = queue.dequeue()
+      if (seen.add(c)) parents(spark, dir, c).foreach(queue.enqueue)
+    }
+    seen.toSet
+  }
+
+  def isAncestor(spark: SparkSession, dir: String, anc: Long, id: Long): Boolean =
+    ancestors(spark, dir, id).contains(anc)
+
+  /** Lowest common ancestor — highest-id shared ancestor (ids are
+    * monotone, so the max shared ancestor is the latest fork point).
+    */
+  def lca(spark: SparkSession, dir: String, a: Long, b: Long): Long = {
+    val shared = ancestors(spark, dir, a) intersect ancestors(spark, dir, b)
+    require(shared.nonEmpty, s"Branching: $a and $b share no history")
+    shared.max
+  }
+
+  /** One side's key-wise effect since `base`: per touched key, either the
+    * new row (`U`) or a deletion (`D`). The same keyed diff the change
+    * feed persists.
+    */
+  private def effects(base: DataFrame, headDf: DataFrame,
+      keyCols: Seq[String]): DataFrame =
+    ChangeFeed.diff(Some(base), headDf, keyCols)
+      .filter(col(ChangeFeed.ChangeType)
+        .isin("insert", "update_postimage", "delete"))
+      .withColumn("_op", when(col(ChangeFeed.ChangeType) === "delete", "D")
+        .otherwise("U"))
+      .drop(ChangeFeed.ChangeType)
+
+  /** Merge `from` into `into`. Fast-forward when possible; otherwise the
+    * key-wise three-way merge, failing loudly on any true conflict.
+    */
+  def merge(spark: SparkSession, dir: String, from: String, into: String,
+      keyCols: Seq[String]): MergeOutcome = {
+    val hFrom = head(spark, dir, from)
+    val hInto = head(spark, dir, into)
+    if (hFrom == hInto) return FastForward(hInto)
+    if (isAncestor(spark, dir, hInto, hFrom)) {
+      // into never moved since the fork — pointer flip, zero data written
+      writeText(fsOf(spark, dir), headPath(dir, into), hFrom.toString)
+      return FastForward(hFrom)
+    }
+    val baseId = lca(spark, dir, hFrom, hInto)
+    val base = readCommit(spark, dir, baseId)
+    val dataCols = base.columns.toSeq.filterNot(keyCols.contains)
+    val eFrom = effects(base, readCommit(spark, dir, hFrom), keyCols)
+    val eInto = effects(base, readCommit(spark, dir, hInto), keyCols)
+    val sameRow = (a: String, b: String) => dataCols
+      .map(c => col(s"$a.$c") <=> col(s"$b.$c"))
+      .foldLeft(col(s"$a._op") === col(s"$b._op"))(_ && _)
+    val conflicts = eFrom.alias("f")
+      .join(eInto.alias("i"), keyCols)
+      .filter(!(col("f._op") === "D" && col("i._op") === "D") &&
+        !sameRow("f", "i"))
+      .count()
+    require(conflicts == 0L,
+      s"Branching.merge($from -> $into): $conflicts key(s) changed " +
+        "differently on both sides — resolve on the branch and re-merge")
+    val touched = eFrom.select(keyCols.map(col): _*)
+      .unionByName(eInto.select(keyCols.map(col): _*)).distinct()
+    val upserts = eFrom.unionByName(eInto)
+      .filter(col("_op") === "U").dropDuplicates(keyCols).drop("_op")
+    val merged = base.join(touched, keyCols, "left_anti")
+      .unionByName(upserts)
+    val id = commitDirs(merged.localCheckpoint(), dir, Seq(hInto, hFrom), into)
+    Merged(id)
+  }
+}

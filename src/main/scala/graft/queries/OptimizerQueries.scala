@@ -812,5 +812,97 @@ object OptimizerQueries {
       after.groupBy(col("l_returnflag"))
         .agg(count(lit(1)).cast("bigint").as("n"),
           sum(col("l_orderkey")).cast("bigint").as("key_sum"))
+    },
+
+    // ---------------------------------------------------------------- q271
+    // TABLE BRANCHES WITH KEY-WISE THREE-WAY MERGE (`ops/Branching.scala`
+    // — Nessie/LakeFS commit-DAG branching, Dolt's content merge): main
+    // and an `etl` branch diverge from one base — the branch updates and
+    // deletes one key cohort, main updates a DISJOINT cohort and inserts
+    // new keys — and the merge computes both sides' keyed effects since
+    // the LCA, proves they commute, and lands a two-parent merge commit
+    // whose content equals the algebraic union (the oracle). Pinned
+    // around it: branching is METADATA-ONLY (zero new commit dirs), a
+    // merge into an unmoved branch FAST-FORWARDS (pointer flip, zero
+    // data), and the true conflict — one key updated differently on two
+    // branches — fails loudly with both heads untouched. At 100 TB a
+    // merge costs two keyed diffs + one anti-join; an experiment lands
+    // atomically or not at all, and main is never blocked.
+    Q("q271_table_branches",
+      """WITH base AS (SELECT c_custkey AS ck, CAST(c_nationkey AS BIGINT) AS nk,
+        |    c_custkey % 100 AS b FROM customer WHERE c_custkey % 3 <> 0),
+        |ins AS (SELECT c_custkey AS ck, CAST(c_nationkey AS BIGINT) AS nk,
+        |    c_custkey % 100 AS b FROM customer WHERE c_custkey % 3 = 0),
+        |m AS (SELECT ck, nk,
+        |    CASE WHEN ck % 10 IN (0, 1) THEN b + 1000
+        |         WHEN ck % 10 IN (5, 6) THEN b + 500 ELSE b END AS b
+        |  FROM base WHERE ck % 10 <> 2
+        |  UNION ALL SELECT ck, nk, b FROM ins)
+        |SELECT nk, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(b) AS BIGINT) AS b_sum
+        |FROM m GROUP BY 1""".stripMargin) { (s, dir) =>
+      import graft.ops.Branching
+      import scala.util.Try
+      val root = scratch(s, dir, "q271")
+      val table = s"$root/t"
+      val cust = Tables.load(s, dir, "customer")
+        .select(col("c_custkey").cast("long").as("ck"),
+          col("c_nationkey").cast("long").as("nk"))
+      val base = cust.filter(col("ck") % 3 =!= 0)
+        .withColumn("b", col("ck") % 100)
+      Branching.init(base, table)
+      def commitDirCount: Int = {
+        val fs = new org.apache.hadoop.fs.Path(table)
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+        fs.listStatus(new org.apache.hadoop.fs.Path(table))
+          .count(_.getPath.getName.startsWith("_c-"))
+      }
+      val dirsBefore = commitDirCount
+      Branching.branch(s, table, "main", "etl")
+      require(commitDirCount == dirsBefore,
+        "q271: branching must be metadata-only — zero commit dirs written")
+      // branch: update cohort {0,1}, delete cohort {2}
+      Branching.commitOn(base.filter(col("ck") % 10 =!= 2)
+        .withColumn("b", when((col("ck") % 10).isin(0, 1), col("b") + 1000)
+          .otherwise(col("b"))), table, "etl")
+      // main: update DISJOINT cohort {5,6}, insert brand-new keys
+      Branching.commitOn(base
+        .withColumn("b", when((col("ck") % 10).isin(5, 6), col("b") + 500)
+          .otherwise(col("b")))
+        .unionByName(cust.filter(col("ck") % 3 === 0)
+          .withColumn("b", col("ck") % 100)), table, "main")
+      val outcome = Branching.merge(s, table, "etl", "main", Seq("ck"))
+      require(outcome.isInstanceOf[Branching.Merged],
+        "q271: diverged branches must produce a real merge commit")
+      // fast-forward: q forked at p's base never moved
+      Branching.branch(s, table, "main", "p")
+      Branching.branch(s, table, "main", "q")
+      Branching.commitOn(Branching.readBranch(s, table, "p")
+        .withColumn("b", when(col("ck") % 10 === 9, col("b") + 1)
+          .otherwise(col("b"))), table, "p")
+      val ffDirs = commitDirCount
+      val ff = Branching.merge(s, table, "p", "q", Seq("ck"))
+      require(ff.isInstanceOf[Branching.FastForward] &&
+        Branching.head(s, table, "q") == Branching.head(s, table, "p") &&
+        commitDirCount == ffDirs,
+        "q271: merging into an unmoved branch must fast-forward, zero data")
+      // the true conflict: one key updated differently on two branches
+      Branching.branch(s, table, "main", "x")
+      Branching.branch(s, table, "main", "y")
+      Branching.commitOn(Branching.readBranch(s, table, "x")
+        .withColumn("b", when(col("ck") % 10 === 3, col("b") + 1)
+          .otherwise(col("b"))), table, "x")
+      Branching.commitOn(Branching.readBranch(s, table, "y")
+        .withColumn("b", when(col("ck") % 10 === 3, col("b") + 2)
+          .otherwise(col("b"))), table, "y")
+      val yHead = Branching.head(s, table, "y")
+      val clash = Try(Branching.merge(s, table, "x", "y", Seq("ck")))
+      require(clash.isFailure &&
+        clash.failed.get.getMessage.contains("differently") &&
+        Branching.head(s, table, "y") == yHead,
+        "q271: a conflicting merge must fail loudly with heads untouched")
+      Branching.readBranch(s, table, "main").groupBy(col("nk"))
+        .agg(count(lit(1)).cast("bigint").as("n"),
+          sum(col("b")).cast("bigint").as("b_sum"))
     })
 }
