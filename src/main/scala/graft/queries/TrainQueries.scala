@@ -160,5 +160,119 @@ object TrainQueries {
             .as("n_valid"),
           sum((lit(10) - (col("lsum") - col("d1")) % 10) % 10).cast("bigint")
             .as("sum_fix_digit"))
+    },
+
+    // ---------------------------------------------------------------- q272
+    // CURRICULUM INTERLEAVING — the anti-clustering training order: docs
+    // are ranked into quality deciles by EXACT global rank (the
+    // q235/q250/q260 distributed-rank discipline — no sampling), shuffled
+    // WITHIN each decile by the salted-hash order (q241's
+    // content-addressed shuffle), and assigned position
+    // (within-decile-rank − 1) × 10 + decile — so consecutive training
+    // positions cycle through all ten deciles and no batch is ever a
+    // homogeneous quality block (the failure mode curriculum papers and
+    // every data-loader's `group_by` warning document). Positions are
+    // unique by construction; the oracle replays rank, shuffle, and
+    // position arithmetic verbatim. Scale shape: one range shuffle for
+    // the global rank, one keyed window per decile — no global window
+    // over the corpus.
+    Q("q272_curriculum_interleave",
+      """WITH r AS (SELECT doc_id, n_chars,
+        |    row_number() OVER (ORDER BY n_chars, doc_id) AS rn,
+        |    count(*) OVER () AS n
+        |  FROM documents),
+        |d AS (SELECT doc_id, n_chars, ((rn - 1) * 10) // n AS decile FROM r),
+        |p AS (SELECT doc_id, n_chars, decile,
+        |    (row_number() OVER (PARTITION BY decile
+        |       ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) - 1) * 10
+        |      + decile AS pos
+        |  FROM d)
+        |SELECT CAST(decile AS BIGINT) AS decile,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(min(pos) AS BIGINT) AS min_pos,
+        |  CAST(max(pos) AS BIGINT) AS max_pos,
+        |  CAST(sum(pos) AS BIGINT) AS pos_sum
+        |FROM p GROUP BY 1""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), col("n_chars"))
+      val n = docs.count()
+      val ranked = graft.ops.SurrogateKeys.assign(docs, "rn", 0L,
+        Seq("n_chars", "doc_id"))
+      val positioned = ranked
+        .withColumn("decile", expr(s"((rn - 1) * 10) div $n"))
+        .withColumn("pos", (row_number().over(Window.partitionBy(col("decile"))
+          .orderBy(md5(col("doc_id").cast("string").cast("binary")).asc,
+            col("doc_id").asc)) - 1) * 10 + col("decile"))
+        .localCheckpoint()
+      // positions are a collision-free training order
+      require(positioned.select(col("pos")).distinct().count() == n,
+        "q272: training positions must be unique")
+      positioned.groupBy(col("decile").cast("bigint").as("decile"))
+        .agg(count(lit(1)).cast("bigint").as("n_docs"),
+          min(col("pos")).cast("bigint").as("min_pos"),
+          max(col("pos")).cast("bigint").as("max_pos"),
+          sum(col("pos")).cast("bigint").as("pos_sum"))
+    },
+
+    // ---------------------------------------------------------------- q273
+    // LENGTH-GROUPED BATCHING — the padding-waste accounting behind every
+    // trainer's `group_by_length`: fixed batches of 32 docs cost
+    // 32 × max(len) tokens each (the padded tensor), so the waste is
+    // Σ(batchMax − len). Both strategies are computed exactly — arrival
+    // order (by doc_id) vs length-sorted order — with the SAME integer
+    // batch arithmetic, and the sorted order is require'd to waste no
+    // more than arrival order (it provably minimizes Σ batchMax among
+    // all orders). Output is the per-strategy ledger a pipeline would
+    // publish: batches, real tokens, padded tokens, waste. Scale shape:
+    // one range shuffle per strategy for the global order (q246's
+    // distributed ORDER BY), one keyed aggregate per batch — the
+    // padded-token column is why this op exists at 100 TB: 30 % waste is
+    // 30 % of the training bill.
+    Q("q273_length_batching", {
+      def ledger(order: String, tag: String) =
+        s"""SELECT '$tag' AS strategy, CAST(count(*) AS BIGINT) AS n_batches,
+           |  CAST(sum(toks) AS BIGINT) AS real_tokens,
+           |  CAST(sum(bmax * bn) AS BIGINT) AS padded_tokens,
+           |  CAST(sum(bmax * bn - toks) AS BIGINT) AS padding_waste
+           |FROM (
+           |  SELECT batch, sum(n_tokens) AS toks, max(n_tokens) AS bmax,
+           |    count(*) AS bn
+           |  FROM (SELECT n_tokens,
+           |      (row_number() OVER (ORDER BY $order) - 1) // 32 AS batch
+           |    FROM t)
+           |  GROUP BY 1)""".stripMargin
+      s"""WITH t AS (SELECT doc_id,
+        |    len(string_split_regex(trim(text), '\\s+')) AS n_tokens
+        |  FROM documents)
+        |${ledger("doc_id", "arrival")}
+        |UNION ALL
+        |${ledger("n_tokens, doc_id", "sorted")}""".stripMargin
+    }) { (s, dir) =>
+      import graft.ops.SurrogateKeys
+      val t = Tables.load(s, dir, "documents")
+        .select(col("doc_id"),
+          size(split(trim(col("text")), "\\s+")).cast("long").as("n_tokens"))
+      def ledger(orderCols: Seq[String], tag: String) =
+        SurrogateKeys.assign(t, "rn", 0L, orderCols)
+          .withColumn("batch", expr("(rn - 1) div 32"))
+          .groupBy(col("batch"))
+          .agg(sum(col("n_tokens")).as("toks"),
+            max(col("n_tokens")).as("bmax"), count(lit(1)).as("bn"))
+          .agg(count(lit(1)).cast("bigint").as("n_batches"),
+            sum(col("toks")).cast("bigint").as("real_tokens"),
+            sum(col("bmax") * col("bn")).cast("bigint").as("padded_tokens"),
+            sum(col("bmax") * col("bn") - col("toks")).cast("bigint")
+              .as("padding_waste"))
+          .withColumn("strategy", lit(tag))
+          .select(col("strategy"), col("n_batches"), col("real_tokens"),
+            col("padded_tokens"), col("padding_waste"))
+      val arrival = ledger(Seq("doc_id"), "arrival").localCheckpoint()
+      val sorted = ledger(Seq("n_tokens", "doc_id"), "sorted").localCheckpoint()
+      val (wa, ws) = (arrival.head.getAs[Long]("padding_waste"),
+        sorted.head.getAs[Long]("padding_waste"))
+      require(ws <= wa,
+        s"q273: length-sorted batching must not waste more ($ws vs $wa)")
+      arrival.unionByName(sorted)
     })
 }
