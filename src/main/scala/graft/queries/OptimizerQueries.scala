@@ -904,5 +904,147 @@ object OptimizerQueries {
       Branching.readBranch(s, table, "main").groupBy(col("nk"))
         .agg(count(lit(1)).cast("bigint").as("n"),
           sum(col("b")).cast("bigint").as("b_sum"))
+    },
+
+    // ---------------------------------------------------------------- q274
+    // AQE RUNTIME BROADCAST — the runtime half of q253's cost story:
+    // the SAME stats-less connector dim that static planning must
+    // sort-merge (v2 default size = Long.Max — pinned as the initial
+    // plan) is re-planned by ADAPTIVE execution into a broadcast once
+    // the dim side's true materialized size (kilobytes) is observed at
+    // the first shuffle boundary — pinned on the FINAL adaptive plan
+    // after execution. This is the public AQE contract (SPARK-31412):
+    // statistics can be wrong or missing at plan time, the exchange
+    // materialization is the ground truth. At 100 TB it means a
+    // mis-estimated dim costs one local shuffle write, not a full fact
+    // shuffle. Values are plan-invariant (same oracle algebra as the
+    // static-stats entry, different measure).
+    Q("q274_aqe_runtime_broadcast",
+      """WITH f AS (SELECT l_suppkey % 25 AS k, l_partkey FROM lineitem),
+        |d AS (SELECT n_nationkey AS k, CAST(n_regionkey AS BIGINT) AS region
+        |      FROM nation)
+        |SELECT region, CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(l_partkey) AS BIGINT) AS part_sum
+        |FROM f JOIN d USING (k) GROUP BY 1""".stripMargin) { (s, dir) =>
+      import graft.source.KeyedDsv2
+      val root = scratch(s, dir, "q274")
+      val dim = Tables.load(s, dir, "nation")
+        .select(col("n_nationkey").cast("int").as("k"),
+          col("n_regionkey").cast("long").as("region"),
+          col("n_nationkey").cast("long").as("natkey"))
+      KeyedDsv2.writeBucketed(dim, s"$root/dim")
+      val fact = Tables.load(s, dir, "lineitem")
+        .select((col("l_suppkey") % 25).cast("int").as("k"),
+          col("l_partkey").cast("long").as("pkey"))
+      def agg = fact
+        .join(KeyedDsv2.read(s, s"$root/dim", "region", "natkey"), Seq("k"))
+        .groupBy(col("region"))
+        .agg(count(lit(1)).cast("bigint").as("n_rows"),
+          sum(col("pkey")).cast("bigint").as("part_sum"))
+      val keys = Seq("spark.sql.adaptive.enabled",
+        "spark.sql.autoBroadcastJoinThreshold")
+      val saved = keys.map(k => k -> s.conf.get(k))
+      try {
+        s.conf.set("spark.sql.autoBroadcastJoinThreshold", (16 * 1024).toString)
+        // static planning: stats-less v2 dim can never broadcast
+        s.conf.set("spark.sql.adaptive.enabled", "false")
+        require(agg.queryExecution.executedPlan.toString
+          .contains("SortMergeJoin"),
+          "q274: without stats the static plan must be a sort-merge join")
+        // adaptive: the materialized dim is tiny — the FINAL plan broadcasts
+        s.conf.set("spark.sql.adaptive.enabled", "true")
+        val adaptive = agg
+        val got = adaptive.localCheckpoint() // executes the query
+        val finalPlan = adaptive.queryExecution.executedPlan.toString
+        require(finalPlan.contains("isFinalPlan=true") &&
+          finalPlan.contains("BroadcastHashJoin"),
+          s"q274: AQE must re-plan the tiny dim to a broadcast at runtime")
+        got
+      } finally saved.foreach { case (k, v) => s.conf.set(k, v) }
+    },
+
+    // ---------------------------------------------------------------- q275
+    // AQE SKEW-JOIN SPLITTING — the runtime answer to the q61-class
+    // salting: a fact with one HOT key (≈60 % of all rows) sort-merge
+    // joins a dim too large to broadcast (threshold −1 pins the merge
+    // path); without AQE the hot partition is one straggler task. With
+    // adaptive skew handling tuned to the demo's scale, the FINAL plan
+    // marks the join `skew=true` — the hot partition was split into
+    // advisory-sized slices, each joined against a replicated dim slice
+    // (the public OptimizeSkewedJoin design, SPARK-29544) — and the
+    // values are require'd bit-equal to the AQE-off run. At 100 TB this
+    // is the difference between a 10-minute job and one 10-hour
+    // straggler; the manual salting operator (q61) remains for engines
+    // and shapes AQE can't reach. The oracle replays the skewed
+    // derivation directly.
+    Q("q275_aqe_skew_join",
+      """WITH f AS (SELECT CASE WHEN l_orderkey % 10 < 6 THEN 0
+        |    ELSE l_orderkey % 97 END AS k, l_partkey
+        |  FROM lineitem),
+        |d AS (SELECT DISTINCT CASE WHEN l_orderkey % 10 < 6 THEN 0
+        |    ELSE l_orderkey % 97 END AS k FROM lineitem),
+        |dd AS (SELECT k, k * 2 + 1 AS payload FROM d)
+        |SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(l_partkey) AS BIGINT) AS part_sum,
+        |  CAST(sum(payload) AS BIGINT) AS payload_sum
+        |FROM f JOIN dd USING (k)""".stripMargin) { (s, dir) =>
+      val root = scratch(s, dir, "q275")
+      // the hot partition splits along MAP boundaries — a single-task scan
+      // (one small file) is unsplittable however skewed, so the fact gets
+      // a real mapper population first (at 100 TB it has thousands)
+      val fact = Tables.load(s, dir, "lineitem")
+        .repartition(16)
+        .select(when(col("l_orderkey") % 10 < 6, 0L)
+          .otherwise(col("l_orderkey") % 97).as("k"),
+          col("l_partkey").cast("long").as("pkey"))
+      // materialized dim: the join child must be a bare scan→shuffle→sort
+      // for OptimizeSkewedJoin's ShuffleStage pattern — an aggregate on
+      // the reduce side (an inlined distinct) makes the side unsplittable
+      fact.select(col("k")).distinct()
+        .withColumn("payload", col("k") * 2 + 1)
+        .write.mode("overwrite").parquet(s"$root/dim")
+      val dim = s.read.parquet(s"$root/dim")
+      def agg = fact.join(dim, Seq("k"))
+        .agg(count(lit(1)).cast("bigint").as("n_rows"),
+          sum(col("pkey")).cast("bigint").as("part_sum"),
+          sum(col("payload")).cast("bigint").as("payload_sum"))
+      val keys = Seq("spark.sql.adaptive.enabled",
+        "spark.sql.autoBroadcastJoinThreshold",
+        "spark.sql.adaptive.skewJoin.enabled",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+        "spark.sql.adaptive.coalescePartitions.enabled",
+        "spark.sql.adaptive.forceOptimizeSkewedJoin")
+      val saved = keys.map(k => k -> s.conf.get(k))
+      try {
+        s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        s.conf.set("spark.sql.adaptive.enabled", "false")
+        val plain = agg.localCheckpoint()
+        s.conf.set("spark.sql.adaptive.enabled", "true")
+        s.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+        // tune the skew detector to the demo's data volume: the hot
+        // partition is ~60 % of the fact — far past factor 2 × median —
+        // and the advisory size forces multiple slices out of it
+        s.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+        s.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+          (4 * 1024).toString)
+        s.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes",
+          (2 * 1024).toString)
+        s.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+        // the join feeds a global aggregate, so splitting changes the
+        // partitioning AQE planned for — without force, the rule vetoes
+        // itself to avoid the extra exchange (the documented trade)
+        s.conf.set("spark.sql.adaptive.forceOptimizeSkewedJoin", "true")
+        val adaptive = agg
+        val got = adaptive.localCheckpoint()
+        val finalPlan = adaptive.queryExecution.executedPlan.toString
+        require(finalPlan.contains("isFinalPlan=true") &&
+          finalPlan.contains("skew=true"),
+          "q275: AQE must split the hot partition (skew=true in final plan)")
+        require(got.exceptAll(plain).isEmpty && plain.exceptAll(got).isEmpty,
+          "q275: skew-split and straggler plans must agree bit-exactly")
+        got
+      } finally saved.foreach { case (k, v) => s.conf.set(k, v) }
     })
 }
