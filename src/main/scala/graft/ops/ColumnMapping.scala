@@ -36,6 +36,7 @@ object ColumnMapping {
 
   private val SchemaName = "_schema"
   private val DataFromName = "_data_from"
+  private val DefaultsName = "_defaults"
 
   final case class Field(id: Int, name: String)
 
@@ -149,11 +150,46 @@ object ColumnMapping {
     next
   }
 
+  /** Column DEFAULTS by id as of `version` (Delta's default-values
+    * feature, the EXISTS_DEFAULT half): rows in files that PREDATE a
+    * metadata-only column add read the default instead of null. Stored as
+    * a per-version `_defaults` sidecar (`id=sqlExpr` lines), carried
+    * forward by metadata commits and retired naturally once a data commit
+    * makes the column physical.
+    */
+  def defaults(spark: SparkSession, dir: String, version: Long): Map[Int, String] = {
+    val fs = fsOf(spark, dir)
+    VersionedTable.readText(fs,
+      new Path(VersionedTable.verDir(dir, version), DefaultsName))
+      .map(_.split("\n").filter(_.nonEmpty).toSeq.map { line =>
+        val Array(id, d) = line.split("=", 2)
+        id.toInt -> d
+      }.toMap).getOrElse(Map.empty)
+  }
+
+  /** ADD COLUMN ... DEFAULT as a metadata-only commit: a fresh id joins
+    * the manifest, the default joins the sidecar, ZERO data bytes move —
+    * every existing row reads the default. A later data commit writes the
+    * column physically and the default stops mattering for those files.
+    */
+  def addColumnWithDefault(spark: SparkSession, dir: String, name: String,
+      defaultSql: String): Long = {
+    val cur = VersionedTable.currentVersion(spark, dir).getOrElse(
+      sys.error(s"ColumnMapping.addColumnWithDefault($dir): no snapshot"))
+    val (m, maxId) = readManifest(spark, dir, cur)
+    require(!m.exists(_.name == name), s"add: '$name' already exists in $m")
+    val id = maxId + 1
+    metadataCommit(spark, dir, m :+ Field(id, name), id,
+      Map(id -> defaultSql))
+  }
+
   /** A metadata-only commit: new manifest + `_data_from` pointer, zero
-    * data bytes written. Shared by [[rename]] and [[drop]].
+    * data bytes written. Shared by [[rename]], [[drop]], and
+    * [[addColumnWithDefault]].
     */
   private def metadataCommit(spark: SparkSession, dir: String,
-      fields: Seq[Field], maxId: Int): Long = {
+      fields: Seq[Field], maxId: Int,
+      extraDefaults: Map[Int, String] = Map.empty): Long = {
     val fs = fsOf(spark, dir)
     val cur = VersionedTable.currentVersion(spark, dir).getOrElse(
       sys.error(s"ColumnMapping($dir): no complete snapshot"))
@@ -163,6 +199,16 @@ object ColumnMapping {
     val vd = VersionedTable.verDir(dir, next)
     fs.mkdirs(vd)
     writeManifest(fs, vd, fields, maxId)
+    // defaults carry forward across metadata commits, restricted to ids
+    // still in the manifest
+    val carried = (defaults(spark, dir, cur) ++ extraDefaults)
+      .filter { case (id, _) => fields.exists(_.id == id) }
+    if (carried.nonEmpty) {
+      val out = fs.create(new Path(vd, DefaultsName), true)
+      try out.write(carried.toSeq.sortBy(_._1)
+        .map { case (id, d) => s"$id=$d" }.mkString("\n")
+        .getBytes(StandardCharsets.UTF_8)) finally out.close()
+    }
     val out = fs.create(new Path(vd, DataFromName), true)
     try out.write(dataVersion(spark, dir, cur).toString
       .getBytes(StandardCharsets.UTF_8)) finally out.close()
@@ -197,12 +243,19 @@ object ColumnMapping {
       maxColumnId(spark, dir, cur))
   }
 
-  /** Time travel: version `v` rendered under ITS OWN manifest names. */
+  /** Time travel: version `v` rendered under ITS OWN manifest names; a
+    * metadata-added column absent from the data files reads its DEFAULT
+    * (or null when none was declared).
+    */
   def readVersion(spark: SparkSession, dir: String, version: Long): DataFrame = {
     val m = manifest(spark, dir, version)
     val dv = dataVersion(spark, dir, version)
-    spark.read.parquet(VersionedTable.verDir(dir, dv).toString)
-      .select(m.map(f => col(physical(f.id)).as(f.name)): _*)
+    val raw = spark.read.parquet(VersionedTable.verDir(dir, dv).toString)
+    val have = raw.columns.toSet
+    val dfl = defaults(spark, dir, version)
+    raw.select(m.map(f =>
+      (if (have(physical(f.id))) col(physical(f.id))
+       else dfl.get(f.id).map(expr).getOrElse(lit(null))).as(f.name)): _*)
   }
 
   /** Version `v`'s content rendered under the END version's manifest (by
@@ -215,9 +268,10 @@ object ColumnMapping {
     val dv = dataVersion(spark, dir, version)
     val raw = spark.read.parquet(VersionedTable.verDir(dir, dv).toString)
     val have = raw.columns.toSet
+    val dfl = defaults(spark, dir, endVersion)
     raw.select(end.map(f =>
       (if (have(physical(f.id))) col(physical(f.id))
-       else lit(null)).as(f.name)): _*)
+       else dfl.get(f.id).map(expr).getOrElse(lit(null))).as(f.name)): _*)
   }
 
   /** Read the live snapshot under the live names. */

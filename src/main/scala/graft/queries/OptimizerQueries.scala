@@ -1046,5 +1046,55 @@ object OptimizerQueries {
           "q275: skew-split and straggler plans must agree bit-exactly")
         got
       } finally saved.foreach { case (k, v) => s.conf.set(k, v) }
+    },
+
+    // ---------------------------------------------------------------- q277
+    // ADD COLUMN ... DEFAULT as a METADATA-ONLY commit (Delta's default-
+    // values feature, the EXISTS_DEFAULT half, on the column-mapping
+    // layer): the new column joins the manifest with a fresh id and its
+    // default joins a `_defaults` sidecar — ZERO data bytes move (pinned:
+    // the commit's `_data_from` still names the original data version) —
+    // and every pre-existing row reads the default. The default then
+    // SURVIVES a metadata-only RENAME (id-keyed, not name-keyed), and a
+    // later data commit writes the column physically with explicit
+    // values, after which the files own the truth. Time travel renders
+    // v1 without the column at all, v2/v3 all-default, live mixed. At
+    // 100 TB this is how a petabyte table gains a column in milliseconds;
+    // the alternative is a full rewrite for a constant.
+    Q("q277_column_defaults",
+      """WITH c AS (SELECT c_custkey AS ck FROM customer)
+        |SELECT CASE WHEN ck % 5 = 0 THEN 'gold' ELSE 'bronze' END AS level,
+        |  CAST(count(*) AS BIGINT) AS n, CAST(sum(ck) AS BIGINT) AS ck_sum
+        |FROM c GROUP BY 1""".stripMargin) { (s, dir) =>
+      import graft.ops.{ColumnMapping => CM, VersionedTable => VT}
+      val root = scratch(s, dir, "q277")
+      val table = s"$root/t"
+      val cust = Tables.load(s, dir, "customer")
+        .select(col("c_custkey").cast("long").as("ck"),
+          col("c_nationkey").cast("long").as("nk"))
+      CM.writeData(cust, table) // v1
+      val v2 = CM.addColumnWithDefault(s, table, "tier", "'bronze'")
+      require(v2 == 2L && CM.dataVersion(s, table, v2) == 1L,
+        "q277: the default add must be metadata-only")
+      require(CM.read(s, table).filter(col("tier") =!= "bronze").isEmpty,
+        "q277: every existing row must read the default")
+      // the default is id-keyed: it survives a metadata-only rename
+      CM.rename(s, table, "tier", "level") // v3, still metadata-only
+      require(CM.dataVersion(s, table, 3L) == 1L,
+        "q277: the rename must stay metadata-only")
+      require(CM.read(s, table).filter(col("level") =!= "bronze").isEmpty,
+        "q277: the default must survive the rename")
+      // a data commit makes the column physical with explicit values
+      CM.writeData(CM.read(s, table).withColumn("level",
+        when(col("ck") % 5 === 0, "gold").otherwise(col("level"))), table)
+      // time travel: v1 has no such column; v2 renders it all-default
+      require(!CM.readVersion(s, table, 1L).columns.contains("tier"),
+        "q277: v1 must render without the added column")
+      require(CM.readVersion(s, table, 2L)
+        .filter(col("tier") =!= "bronze").isEmpty,
+        "q277: v2 must render the column all-default under its old name")
+      CM.read(s, table).groupBy(col("level"))
+        .agg(count(lit(1)).cast("bigint").as("n"),
+          sum(col("ck")).cast("bigint").as("ck_sum"))
     })
 }

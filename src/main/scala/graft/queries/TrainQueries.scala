@@ -274,5 +274,65 @@ object TrainQueries {
       require(ws <= wa,
         s"q273: length-sorted batching must not waste more ($ws vs $wa)")
       arrival.unionByName(sorted)
+    },
+
+    // ---------------------------------------------------------------- q276
+    // SPAN CORRUPTION ACCOUNTING — the T5/UL2 denoising-objective prep:
+    // each document's token stream is cut into 20-token blocks; in each
+    // block ONE mask span of up to 3 tokens starts at a position drawn
+    // DETERMINISTICALLY from md5(doc_id:block) — so the masking is
+    // non-overlapping and ≤15 % by construction, and the whole corruption
+    // is replayable bit-for-bit across engines and epochs (the property
+    // a random.random() masker cannot give a resumable pipeline). The
+    // per-block span count IS the sentinel-token count. Scale shape: one
+    // posexplode + integer arithmetic, one rollup — no state, no UDF.
+    // The oracle replays block, hash, and clip arithmetic verbatim.
+    Q("q276_span_corruption",
+      """WITH t AS (SELECT doc_id, lang,
+        |    unnest(string_split_regex(trim(text), '\s+')) AS tok,
+        |    generate_subscripts(string_split_regex(trim(text), '\s+'), 1) AS idx
+        |  FROM documents),
+        |b AS (SELECT doc_id, lang, (idx - 1) // 20 AS blk,
+        |    (idx - 1) % 20 AS pos FROM t),
+        |h AS (SELECT doc_id, lang, blk, pos,
+        |    CAST(CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR) || ':'
+        |      || CAST(blk AS VARCHAR)), 1, 8) AS BIGINT) % 17 AS BIGINT) AS s
+        |  FROM b),
+        |m AS (SELECT doc_id, lang, blk,
+        |    CAST(count(*) AS BIGINT) AS block_len,
+        |    CAST(sum(CASE WHEN pos >= s AND pos < s + 3 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS masked
+        |  FROM h GROUP BY 1, 2, 3, s)
+        |SELECT lang, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+        |  CAST(sum(block_len) AS BIGINT) AS total_tokens,
+        |  CAST(sum(masked) AS BIGINT) AS masked_tokens,
+        |  CAST(sum(CASE WHEN masked > 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_spans
+        |FROM m GROUP BY 1""".stripMargin) { (s, dir) =>
+      val toks = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), col("lang"),
+          posexplode(split(trim(col("text")), "\\s+")).as(Seq("i", "tok")))
+        .withColumn("blk", expr("i div 20"))
+        .withColumn("pos", col("i") % 20)
+        .withColumn("start",
+          expr("conv(substring(md5(CAST(concat(doc_id, ':', blk) AS BINARY))," +
+            " 1, 8), 16, 10)").cast("long") % 17)
+      val blocks = toks.groupBy(col("doc_id"), col("lang"), col("blk"),
+          col("start"))
+        .agg(count(lit(1)).cast("bigint").as("block_len"),
+          sum(when(col("pos") >= col("start") &&
+            col("pos") < col("start") + 3, 1L).otherwise(0L))
+            .cast("bigint").as("masked"))
+        .localCheckpoint()
+      // the construction bounds masking at 15% of every full block
+      val full = blocks.filter(col("block_len") === 20)
+      require(full.filter(col("masked") > 3).isEmpty,
+        "q276: a block masked more than its span budget")
+      blocks.groupBy(col("lang"))
+        .agg(countDistinct(col("doc_id")).cast("bigint").as("n_docs"),
+          sum(col("block_len")).cast("bigint").as("total_tokens"),
+          sum(col("masked")).cast("bigint").as("masked_tokens"),
+          sum(when(col("masked") > 0, 1L).otherwise(0L)).cast("bigint")
+            .as("n_spans"))
     })
 }
