@@ -1096,5 +1096,114 @@ object OptimizerQueries {
       CM.read(s, table).groupBy(col("level"))
         .agg(count(lit(1)).cast("bigint").as("n"),
           sum(col("ck")).cast("bigint").as("ck_sum"))
+    },
+
+    // ---------------------------------------------------------------- q278
+    // PROTOCOL FEATURE GATES (`ops/Protocol.scala` — Delta's protocol
+    // action with named table features): a commit stamps the reader and
+    // writer feature sets a client MUST understand; a DV-capable client
+    // reads the gated table, a legacy client fails LOUDLY — the error
+    // NAMES the missing feature — before touching a byte, because a
+    // DV-ignorant scan would resurrect deleted rows and report success.
+    // The asymmetric tier is pinned too (read-capable ≠ write-capable),
+    // and a feature DOWNGRADE commit is rejected outright: it would
+    // strand every client that already wrote with the feature. This is
+    // the forward-compatibility contract that lets the format evolve
+    // under live fleets; without it, every new table feature is a silent
+    // data-corruption bug in every old reader.
+    Q("q278_protocol_gates",
+      """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(o_orderkey) AS BIGINT) AS key_sum
+        |FROM orders WHERE o_orderkey % 3 <> 0 GROUP BY 1""".stripMargin) { (s, dir) =>
+      import graft.ops.Protocol
+      import scala.util.Try
+      val root = scratch(s, dir, "q278")
+      val table = s"$root/t"
+      val o = Tables.load(s, dir, "orders")
+        .filter(col("o_orderkey") % 3 =!= 0)
+        .select(col("o_orderkey"), col("o_orderpriority"))
+      Protocol.commit(o, table, Protocol.Proto(
+        readerFeatures = Set("deletion-vectors"),
+        writerFeatures = Set("deletion-vectors", "row-tracking")))
+      // the capable client reads; the legacy client fails, by name
+      val modern = Protocol.readChecked(s, table,
+        Set("deletion-vectors", "row-tracking"))
+      val legacy = Try(Protocol.readChecked(s, table, Set.empty))
+      require(legacy.isFailure &&
+        legacy.failed.get.getMessage.contains("deletion-vectors"),
+        "q278: a legacy reader must fail loudly, naming the feature")
+      // read-capable but not write-capable: the asymmetric tier
+      Protocol.checkWrite(s, table, Set("deletion-vectors", "row-tracking"))
+      val roClient = Try(Protocol.checkWrite(s, table, Set("deletion-vectors")))
+      require(roClient.isFailure &&
+        roClient.failed.get.getMessage.contains("row-tracking"),
+        "q278: a read-only-capable client must be refused the write")
+      // downgrades strand clients — rejected before staging
+      val down = Try(Protocol.commit(o, table,
+        Protocol.Proto(Set.empty, Set.empty)))
+      require(down.isFailure &&
+        down.failed.get.getMessage.contains("downgrade"),
+        "q278: a protocol downgrade must be rejected")
+      // a legacy PRE-protocol table stays readable by everyone
+      graft.ops.VersionedTable.write(o, s"$root/legacy")
+      require(Try(Protocol.readChecked(s, s"$root/legacy", Set.empty))
+        .isSuccess, "q278: pre-protocol tables are readable by all clients")
+      modern.groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).cast("bigint").as("n"),
+          sum(col("o_orderkey")).cast("bigint").as("key_sum"))
+    },
+
+    // ---------------------------------------------------------------- q279
+    // TABLE CONTENT CHECKSUMS (`ops/TableChecksum.scala` — Delta's CRC
+    // sidecar as a CONTENT digest): each commit stamps (rows, xor of
+    // per-row 60-bit md5 over the canonical serialization) — the xor
+    // makes the digest independent of partitioning and row order, so the
+    // SAME logical content digests identically on any layout: pinned by
+    // repartitioning the table 7 ways and re-digesting. `verify`
+    // recomputes and fails LOUDLY on a single silently-flipped value
+    // (pinned: a one-row tamper under a copied stamp is caught), on a
+    // missing stamp (absent evidence must not pass), and passes on the
+    // genuine version. At 100 TB this one-pass receipt is what turns
+    // storage bit-rot and mis-replayed rebuilds from analyst discoveries
+    // into loud failures — and lets a second engine PROVE it rebuilt the
+    // exact table.
+    Q("q279_table_checksum",
+      """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(o_orderkey) AS BIGINT) AS key_sum
+        |FROM orders GROUP BY 1""".stripMargin) { (s, dir) =>
+      import graft.ops.{TableChecksum, VersionedTable => VT}
+      import scala.util.Try
+      val root = scratch(s, dir, "q279")
+      val table = s"$root/t"
+      val o = Tables.load(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderpriority"))
+      VT.write(o, table)
+      val (n1, x1) = TableChecksum.stamp(s, table, 1L)
+      require(TableChecksum.verify(s, table, 1L) == ((n1, x1)),
+        "q279: the genuine version must verify")
+      // layout-independence: same content, different partitioning
+      require(TableChecksum.digest(o.repartition(7)) == ((n1, x1)),
+        "q279: the digest must be independent of layout and order")
+      // silent one-value corruption under a copied stamp is CAUGHT
+      val tampered = s"$root/tampered"
+      VT.write(o.withColumn("o_custkey",
+        when(col("o_orderkey") % 100 === 7, col("o_custkey") + 1)
+          .otherwise(col("o_custkey"))), tampered)
+      val fs = new org.apache.hadoop.fs.Path(table)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      org.apache.hadoop.fs.FileUtil.copy(fs,
+        new org.apache.hadoop.fs.Path(s"$table/_v-00000001/_crc"), fs,
+        new org.apache.hadoop.fs.Path(s"$tampered/_v-00000001/_crc"), false,
+        s.sparkContext.hadoopConfiguration)
+      val bad = Try(TableChecksum.verify(s, tampered, 1L))
+      require(bad.isFailure &&
+        bad.failed.get.getMessage.contains("diverged"),
+        "q279: a tampered table under a copied stamp must fail loudly")
+      // absent evidence must not pass
+      require(Try(TableChecksum.verify(s, s"$root/t2", 1L)).isFailure,
+        "q279: verify without a stamp must fail loudly")
+      VT.read(s, table).groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).cast("bigint").as("n"),
+          sum(col("o_orderkey")).cast("bigint").as("key_sum"))
     })
 }
