@@ -1205,5 +1205,72 @@ object OptimizerQueries {
       VT.read(s, table).groupBy(col("o_orderpriority"))
         .agg(count(lit(1)).cast("bigint").as("n"),
           sum(col("o_orderkey")).cast("bigint").as("key_sum"))
+    },
+
+    // ---------------------------------------------------------------- q280
+    // SQL CATALOG WITH TIME TRAVEL (`source/GraftCatalog.scala` — a DSv2
+    // `TableCatalog` over the versioned-table layer): after one conf
+    // registration, plain `SELECT … FROM cat.ns.t` resolves the live
+    // snapshot through the pointer protocol, and Spark's OWN time-travel
+    // grammar — `VERSION AS OF 1`, `TIMESTAMP AS OF '…'` — lands in the
+    // catalog's versioned loadTable overloads (SPARK-37219: parser owns
+    // syntax, catalog owns resolution), answered against the same
+    // monotonic commit stamps readAsOf uses. Pinned: live SQL ≡ the ops-
+    // layer read, VERSION AS OF 1 ≡ the v1 snapshot, TIMESTAMP AS OF
+    // v1's stamp ≡ v1, and DML through the catalog is REFUSED loudly
+    // (writes go through the typed commit protocols, never blind SQL).
+    // This is the surface a BI tool or notebook user actually touches —
+    // the whole lakehouse layer behind one `USE catalog`.
+    Q("q280_sql_catalog",
+      """WITH v2 AS (SELECT c_custkey AS ck, CAST(c_nationkey AS BIGINT) AS nk,
+        |    c_custkey % 100 + CASE WHEN c_custkey % 6 = 1 THEN 7 ELSE 0 END AS b
+        |  FROM customer WHERE c_custkey % 6 <> 0)
+        |SELECT nk, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(b) AS BIGINT) AS b_sum
+        |FROM v2 GROUP BY 1""".stripMargin) { (s, dir) =>
+      import graft.ops.{ChangeFeed, VersionedTable => VT}
+      import scala.util.Try
+      val root = scratch(s, dir, "q280")
+      val tdir = s"$root/ns/t"
+      val cust = Tables.load(s, dir, "customer")
+        .select(col("c_custkey").cast("long").as("ck"),
+          col("c_nationkey").cast("long").as("nk"))
+        .withColumn("b", col("ck") % 100)
+      ChangeFeed.commit(cust, tdir, Seq("ck"))
+      ChangeFeed.commit(cust.filter(col("ck") % 6 =!= 0)
+        .withColumn("b", when(col("ck") % 6 === 1, col("b") + 7)
+          .otherwise(col("b"))), tdir, Seq("ck"))
+      // catalog name keyed by the sf dir: catalog instances cache their
+      // init options, and each SF needs its own root
+      val cat = "graft_" + java.security.MessageDigest.getInstance("MD5")
+        .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(6)
+      s.conf.set(s"spark.sql.catalog.$cat",
+        classOf[graft.source.GraftCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.root", root)
+      def bySql(suffix: String) =
+        s.sql(s"SELECT ck, nk, b FROM $cat.ns.t $suffix")
+      val live = bySql("")
+      require(live.exceptAll(VT.read(s, tdir)).isEmpty &&
+        VT.read(s, tdir).exceptAll(live).isEmpty,
+        "q280: the SQL surface must equal the ops-layer live read")
+      val asV1 = bySql("VERSION AS OF 1")
+      require(asV1.exceptAll(VT.readVersion(s, tdir, 1)).isEmpty &&
+        VT.readVersion(s, tdir, 1).exceptAll(asV1).isEmpty,
+        "q280: VERSION AS OF must render the exact v1 snapshot")
+      val ts1 = VT.commitTimestamp(s, tdir, 1).get
+      val iso = java.time.format.DateTimeFormatter
+        .ofPattern("yyyy-MM-dd HH:mm:ss.SSS")
+        .withZone(java.time.ZoneOffset.UTC)
+        .format(java.time.Instant.ofEpochMilli(ts1))
+      val asTs = bySql(s"TIMESTAMP AS OF '$iso'")
+      require(asTs.exceptAll(asV1).isEmpty && asV1.exceptAll(asTs).isEmpty,
+        "q280: TIMESTAMP AS OF v1's stamp must resolve to v1")
+      // the catalog is read-only: DML must be refused, not smuggled past
+      // the commit protocols
+      require(Try(s.sql(s"INSERT INTO $cat.ns.t VALUES (1, 2, 3)")).isFailure,
+        "q280: SQL DML through the catalog must be refused loudly")
+      live.groupBy(col("nk"))
+        .agg(count(lit(1)).cast("bigint").as("n"),
+          sum(col("b")).cast("bigint").as("b_sum"))
     })
 }

@@ -1,0 +1,140 @@
+package graft.source
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.connector.catalog._
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import graft.ops.VersionedTable
+
+/** A DSv2 `TableCatalog` over [[VersionedTable]] roots — the integration
+  * that gives the lakehouse layer a FULL SQL surface: once registered
+  * (`spark.sql.catalog.<name> = GraftCatalog`, option `root` = the
+  * warehouse dir), `SELECT … FROM <name>.<ns>.<table>` resolves the live
+  * snapshot through the pointer protocol, and Spark's standard time-travel
+  * syntax — `VERSION AS OF n` / `TIMESTAMP AS OF t` — lands in the
+  * catalog's versioned `loadTable` overloads (the public DSv2 contract,
+  * SPARK-37219: the PARSER owns the syntax, the CATALOG owns resolution),
+  * resolved against the same monotonic `_commit_ts` stamps `readAsOf`
+  * uses. Read-only by design: writes go through the typed ops layer
+  * (ChangeFeed / Occ / Merge), never through blind SQL INSERT — the
+  * catalog refuses DDL/DML loudly rather than bypassing the commit
+  * protocols.
+  *
+  * Identifier layout: `<ns>/<table>` directories under `root`; each table
+  * dir is a VersionedTable. Executor reads go through the same parquet
+  * Group decoder as the CDF/log streams.
+  */
+class GraftCatalog extends TableCatalog {
+
+  private var catName: String = _
+  private var root: String = _
+
+  override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
+    catName = name
+    root = Option(options.get("root"))
+      .getOrElse(sys.error(s"GraftCatalog $name: 'root' option required"))
+  }
+
+  override def name(): String = catName
+
+  private def tableDir(ident: Identifier): String =
+    (root +: (ident.namespace().toSeq :+ ident.name())).mkString("/")
+
+  override def listTables(namespace: Array[String]): Array[Identifier] = {
+    val spark = SparkSession.active
+    val nsPath = new Path((root +: namespace.toSeq).mkString("/"))
+    val fs = nsPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(nsPath)) Array.empty
+    else fs.listStatus(nsPath).filter(_.isDirectory)
+      .map(st => Identifier.of(namespace, st.getPath.getName))
+  }
+
+  override def loadTable(ident: Identifier): Table = {
+    val spark = SparkSession.active
+    val dir = tableDir(ident)
+    val v = VersionedTable.currentVersion(spark, dir).getOrElse(
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(ident))
+    versionTable(ident, dir, v)
+  }
+
+  /** `VERSION AS OF n` (SPARK-37219 hands the literal here). */
+  override def loadTable(ident: Identifier, version: String): Table = {
+    val dir = tableDir(ident)
+    versionTable(ident, dir, version.toLong)
+  }
+
+  /** `TIMESTAMP AS OF t` — micros since epoch, resolved to the latest
+    * version whose monotonic commit stamp is at or before the instant.
+    */
+  override def loadTable(ident: Identifier, timestamp: Long): Table = {
+    val spark = SparkSession.active
+    val dir = tableDir(ident)
+    val tsMs = timestamp / 1000L
+    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val v = VersionedTable.listVersions(fs, dir)
+      .filter(v => VersionedTable.complete(fs, VersionedTable.verDir(dir, v)))
+      .filter(v => graft.ops.VersionedTable.commitTimestamp(spark, dir, v)
+        .exists(_ <= tsMs))
+      .lastOption.getOrElse(sys.error(
+        s"GraftCatalog: no version of $ident committed at or before $tsMs ms"))
+    versionTable(ident, dir, v)
+  }
+
+  private def versionTable(ident: Identifier, dir: String, v: Long): Table = {
+    val spark = SparkSession.active
+    val vd = VersionedTable.verDir(dir, v).toString
+    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(VersionedTable.complete(fs, VersionedTable.verDir(dir, v)),
+      s"GraftCatalog: version $v of $ident is missing or incomplete")
+    new GraftSqlTable(ident.toString + s"@v$v", vd,
+      spark.read.parquet(vd).schema)
+  }
+
+  // read-only: mutation goes through the typed ops layer, never blind SQL
+  override def createTable(ident: Identifier, schema: StructType,
+      partitions: Array[Transform],
+      properties: java.util.Map[String, String]): Table =
+    sys.error("GraftCatalog is read-only: commit through ChangeFeed/Occ")
+  override def alterTable(ident: Identifier, changes: TableChange*): Table =
+    sys.error("GraftCatalog is read-only: evolve through ColumnMapping")
+  override def dropTable(ident: Identifier): Boolean =
+    sys.error("GraftCatalog is read-only: retention is VersionedTable.gc")
+  override def renameTable(from: Identifier, to: Identifier): Unit =
+    sys.error("GraftCatalog is read-only")
+}
+
+/** One immutable version dir as a DSv2 table: a partition per data file,
+  * decoded by the shared parquet Group reader.
+  */
+private[source] class GraftSqlTable(tableName: String, versionDir: String,
+    tableSchema: StructType) extends Table with SupportsRead {
+  override def name(): String = tableName
+  override def schema(): StructType = tableSchema
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    () => new GraftSqlScan(versionDir, tableSchema)
+}
+
+private[source] class GraftSqlScan(versionDir: String, schema: StructType)
+    extends Scan with Batch {
+  override def readSchema(): StructType = schema
+  override def toBatch: Batch = this
+  override def description(): String = s"GraftSqlScan [$versionDir]"
+  override def planInputPartitions(): Array[InputPartition] = {
+    val p = new Path(versionDir)
+    val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+    fs.listStatus(p).toSeq
+      .filter(st => st.isFile && !st.getPath.getName.startsWith("_") &&
+        !st.getPath.getName.startsWith("."))
+      .sortBy(_.getPath.getName)
+      .map(st => CdfFilePartition(0L, st.getPath.toString): InputPartition)
+      .toArray
+  }
+  override def createReaderFactory(): PartitionReaderFactory =
+    new CdfReaderFactory(schema)
+}
