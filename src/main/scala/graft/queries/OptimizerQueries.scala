@@ -1272,5 +1272,50 @@ object OptimizerQueries {
       live.groupBy(col("nk"))
         .agg(count(lit(1)).cast("bigint").as("n"),
           sum(col("b")).cast("bigint").as("b_sum"))
+    },
+
+    // ---------------------------------------------------------------- q281
+    // COLUMN PRUNING THROUGH THE SQL CATALOG — the scan-side half of
+    // q280's surface: `SupportsPushDownRequiredColumns` on the catalog's
+    // scan builder, so a two-column aggregate over the documents table
+    // decodes lang codes, NEVER the document bodies — pinned on the
+    // executed plan's v2 scan: its ReadSchema is exactly `lang`, with the
+    // text column absent (the select-* sanity check keeps the full
+    // schema). This is the exact anti-pattern check the 100 TB brief
+    // names: a scan that reads every column for a two-column projection
+    // is wrong; on a text corpus the difference is decoding kilobytes of
+    // dictionary codes vs every body on disk. The by-name Group decoder
+    // skips unrequested fields, so the pruning is real work saved at the
+    // reader, not cosmetic plan text.
+    Q("q281_catalog_column_pruning",
+      """SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS chars
+        |FROM documents GROUP BY 1""".stripMargin) { (s, dir) =>
+      import graft.ops.VersionedTable
+      val root = scratch(s, dir, "q281")
+      VersionedTable.write(Tables.load(s, dir, "documents"), s"$root/ns/d")
+      val cat = "graftp_" + java.security.MessageDigest.getInstance("MD5")
+        .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(6)
+      s.conf.set(s"spark.sql.catalog.$cat",
+        classOf[graft.source.GraftCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.root", root)
+      def scanSchemas(df: org.apache.spark.sql.DataFrame): Seq[Seq[String]] = {
+        val aqeKey = "spark.sql.adaptive.enabled"
+        val prev = s.conf.get(aqeKey)
+        s.conf.set(aqeKey, "false") // q185 rule: clean plan read
+        try df.queryExecution.executedPlan.collect {
+          case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+            b.scan.readSchema().fieldNames.toSeq
+        } finally s.conf.set(aqeKey, prev)
+      }
+      val agg = s.sql(s"SELECT lang, CAST(count(*) AS BIGINT) AS n_docs, " +
+        s"CAST(sum(n_chars) AS BIGINT) AS chars FROM $cat.ns.d GROUP BY 1")
+      require(scanSchemas(agg) == Seq(Seq("lang", "n_chars")),
+        s"q281: the scan must read ONLY (lang, n_chars), got ${scanSchemas(agg)}")
+      // sanity: an unprojected read keeps the full schema
+      require(scanSchemas(s.sql(s"SELECT * FROM $cat.ns.d")).head
+        .contains("text"),
+        "q281: select-* must still surface every column")
+      agg
     })
 }

@@ -108,7 +108,10 @@ class GraftCatalog extends TableCatalog {
 }
 
 /** One immutable version dir as a DSv2 table: a partition per data file,
-  * decoded by the shared parquet Group reader.
+  * decoded by the shared parquet Group reader, with COLUMN PRUNING pushed
+  * into the scan — a two-column projection over a wide table decodes two
+  * columns, not the row (the by-name Group decode skips unrequested
+  * fields entirely).
   */
 private[source] class GraftSqlTable(tableName: String, versionDir: String,
     tableSchema: StructType) extends Table with SupportsRead {
@@ -117,14 +120,24 @@ private[source] class GraftSqlTable(tableName: String, versionDir: String,
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    () => new GraftSqlScan(versionDir, tableSchema)
+    new GraftSqlScanBuilder(versionDir, tableSchema)
+}
+
+private[source] class GraftSqlScanBuilder(versionDir: String,
+    tableSchema: StructType)
+    extends ScanBuilder with SupportsPushDownRequiredColumns {
+  private var pruned: StructType = tableSchema
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    pruned = requiredSchema
+  override def build(): Scan = new GraftSqlScan(versionDir, pruned)
 }
 
 private[source] class GraftSqlScan(versionDir: String, schema: StructType)
     extends Scan with Batch {
   override def readSchema(): StructType = schema
   override def toBatch: Batch = this
-  override def description(): String = s"GraftSqlScan [$versionDir]"
+  override def description(): String =
+    s"GraftSqlScan [$versionDir] ReadSchema: ${schema.catalogString}"
   override def planInputPartitions(): Array[InputPartition] = {
     val p = new Path(versionDir)
     val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
