@@ -1317,5 +1317,68 @@ object OptimizerQueries {
         .contains("text"),
         "q281: select-* must still surface every column")
       agg
+    },
+
+    // ---------------------------------------------------------------- q282
+    // BRANCH REFERENCES IN SQL (`t@branch`, the Nessie reference syntax,
+    // on the q280 catalog): a branched table's bare name reads `main`,
+    // the `@etl` suffix reads the experiment branch, and `VERSION AS OF`
+    // addresses an immutable commit id directly — so a notebook compares
+    // an experiment against production with two FROM clauses and zero
+    // data copies (the branch was a metadata-only fork). Pinned: every
+    // SQL read ≡ its ops-layer twin, the branch and main genuinely
+    // diverge, and a branch ref on an unbranched table fails loudly
+    // (silent fallback to main would be the worst possible answer).
+    Q("q282_sql_branch_refs",
+      """WITH base AS (SELECT c_custkey AS ck, CAST(c_nationkey AS BIGINT) AS nk,
+        |    c_custkey % 100 AS b FROM customer WHERE c_custkey % 2 = 0),
+        |m AS (SELECT ck, nk,
+        |    CASE WHEN ck % 9 = 0 THEN b * 2 ELSE b END AS b FROM base)
+        |SELECT nk, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(b) AS BIGINT) AS b_sum
+        |FROM m GROUP BY 1""".stripMargin) { (s, dir) =>
+      import graft.ops.Branching
+      import scala.util.Try
+      val root = scratch(s, dir, "q282")
+      val tdir = s"$root/ns/t"
+      val base = Tables.load(s, dir, "customer")
+        .filter(col("c_custkey") % 2 === 0)
+        .select(col("c_custkey").cast("long").as("ck"),
+          col("c_nationkey").cast("long").as("nk"))
+        .withColumn("b", col("ck") % 100)
+      val c1 = Branching.init(base, tdir)
+      Branching.branch(s, tdir, "main", "etl")
+      Branching.commitOn(base.withColumn("b",
+        when(col("ck") % 7 === 0, col("b") + 11).otherwise(col("b"))),
+        tdir, "etl")
+      Branching.commitOn(base.withColumn("b",
+        when(col("ck") % 9 === 0, col("b") * 2).otherwise(col("b"))),
+        tdir, "main")
+      val cat = "graftb_" + java.security.MessageDigest.getInstance("MD5")
+        .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(6)
+      s.conf.set(s"spark.sql.catalog.$cat",
+        classOf[graft.source.GraftCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.root", root)
+      def eq(a: org.apache.spark.sql.DataFrame,
+          b: org.apache.spark.sql.DataFrame) =
+        a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty
+      val mainSql = s.sql(s"SELECT ck, nk, b FROM $cat.ns.t")
+      val etlSql = s.sql(s"SELECT ck, nk, b FROM $cat.ns.`t@etl`")
+      require(eq(mainSql, Branching.readBranch(s, tdir, "main")),
+        "q282: the bare name must read main")
+      require(eq(etlSql, Branching.readBranch(s, tdir, "etl")),
+        "q282: t@etl must read the branch head")
+      require(!eq(mainSql, etlSql),
+        "q282: the branches must genuinely diverge")
+      require(eq(s.sql(s"SELECT ck, nk, b FROM $cat.ns.t VERSION AS OF $c1"),
+        Branching.readCommit(s, tdir, c1)),
+        "q282: VERSION AS OF must address the immutable commit")
+      // a branch ref on an unbranched table is an error, never a fallback
+      graft.ops.VersionedTable.write(base, s"$root/ns/u")
+      require(Try(s.sql(s"SELECT * FROM $cat.ns.`u@etl`").collect()).isFailure,
+        "q282: a branch ref on an unbranched table must fail loudly")
+      mainSql.groupBy(col("nk"))
+        .agg(count(lit(1)).cast("bigint").as("n"),
+          sum(col("b")).cast("bigint").as("b_sum"))
     })
 }

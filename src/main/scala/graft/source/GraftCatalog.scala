@@ -41,8 +41,38 @@ class GraftCatalog extends TableCatalog {
 
   override def name(): String = catName
 
-  private def tableDir(ident: Identifier): String =
-    (root +: (ident.namespace().toSeq :+ ident.name())).mkString("/")
+  /** `t@branch` (the Nessie reference syntax) splits into table dir +
+    * branch ref; a bare name on a branched table reads `main`.
+    */
+  private def split(ident: Identifier): (String, Option[String]) = {
+    val (t, branch) = ident.name().split("@", 2) match {
+      case Array(t, b) => (t, Some(b))
+      case _ => (ident.name(), None)
+    }
+    ((root +: (ident.namespace().toSeq :+ t)).mkString("/"), branch)
+  }
+
+  private def tableDir(ident: Identifier): String = split(ident)._1
+
+  private def isBranched(spark: SparkSession, dir: String): Boolean = {
+    val p = new Path(s"$dir/_heads")
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
+
+  private def branchTable(ident: Identifier, dir: String,
+      branch: String): Table = {
+    val spark = SparkSession.active
+    val id = graft.ops.Branching.head(spark, dir, branch)
+    commitTable(ident, dir, id, branch)
+  }
+
+  private def commitTable(ident: Identifier, dir: String, id: Long,
+      label: String): Table = {
+    val spark = SparkSession.active
+    val cd = s"$dir/_c-${"%08d".format(id)}"
+    new GraftSqlTable(ident.toString + s"@$label#$id", cd,
+      spark.read.parquet(cd).schema)
+  }
 
   override def listTables(namespace: Array[String]): Array[Identifier] = {
     val spark = SparkSession.active
@@ -55,16 +85,25 @@ class GraftCatalog extends TableCatalog {
 
   override def loadTable(ident: Identifier): Table = {
     val spark = SparkSession.active
-    val dir = tableDir(ident)
-    val v = VersionedTable.currentVersion(spark, dir).getOrElse(
-      throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(ident))
-    versionTable(ident, dir, v)
+    val (dir, branch) = split(ident)
+    if (isBranched(spark, dir)) branchTable(ident, dir, branch.getOrElse("main"))
+    else {
+      require(branch.isEmpty,
+        s"GraftCatalog: $ident names a branch on an unbranched table")
+      val v = VersionedTable.currentVersion(spark, dir).getOrElse(
+        throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(ident))
+      versionTable(ident, dir, v)
+    }
   }
 
-  /** `VERSION AS OF n` (SPARK-37219 hands the literal here). */
+  /** `VERSION AS OF n` (SPARK-37219 hands the literal here); on a
+    * branched table `n` is a commit id.
+    */
   override def loadTable(ident: Identifier, version: String): Table = {
-    val dir = tableDir(ident)
-    versionTable(ident, dir, version.toLong)
+    val spark = SparkSession.active
+    val (dir, _) = split(ident)
+    if (isBranched(spark, dir)) commitTable(ident, dir, version.toLong, "v")
+    else versionTable(ident, dir, version.toLong)
   }
 
   /** `TIMESTAMP AS OF t` — micros since epoch, resolved to the latest
