@@ -115,6 +115,7 @@ object ActionLog {
     */
   private def addLines(spark: SparkSession, dir: String, files: Seq[String],
       statsCol: Option[String]): Seq[String] = {
+    statsCol.foreach(recordStatsColumn(spark, dir, _))
     val stats: Map[String, (Long, Long, Long)] = statsCol match {
       case None => Map.empty
       case Some(c) =>
@@ -418,6 +419,38 @@ object ActionLog {
       finally out.close()
     }
     (expired.size, victims.size)
+  }
+
+  /** The live file inventory with recorded stats — the planning surface
+    * for catalog-integrated scans: (fileName, Option[(lo, hi, rows)]).
+    */
+  def liveFiles(spark: SparkSession, dir: String):
+      Seq[(String, Option[(Long, Long, Long)])] = {
+    val latest = versions(spark, dir).lastOption.getOrElse(
+      sys.error(s"ActionLog.liveFiles($dir): empty log"))
+    replayState(spark, dir, latest)._1.toSeq
+  }
+
+  /** The column the log's per-file stats describe, recorded at the first
+    * stats-carrying append (`_log/_statscol`); later stats appends must
+    * agree — mixed-column stats would make every pruning decision wrong.
+    */
+  def statsColumn(spark: SparkSession, dir: String): Option[String] = {
+    val fs = fsOf(spark, dir)
+    val p = new Path(s"$dir/$LogDir/_statscol")
+    if (!fs.exists(p)) None else Some(readLines(fs, p).head.trim)
+  }
+
+  private def recordStatsColumn(spark: SparkSession, dir: String,
+      c: String): Unit = {
+    val fs = fsOf(spark, dir)
+    statsColumn(spark, dir) match {
+      case Some(existing) => require(existing == c,
+        s"ActionLog($dir): stats column is '$existing', cannot switch to '$c'")
+      case None =>
+        val out = fs.create(new Path(s"$dir/$LogDir/_statscol"), true)
+        try out.write(c.getBytes(StandardCharsets.UTF_8)) finally out.close()
+    }
   }
 
   /** One version's actions, parsed: (added files, removed files) — the

@@ -1380,5 +1380,72 @@ object OptimizerQueries {
       mainSql.groupBy(col("nk"))
         .agg(count(lit(1)).cast("bigint").as("n"),
           sum(col("b")).cast("bigint").as("b_sum"))
+    },
+
+    // ---------------------------------------------------------------- q283
+    // LOG-STATS FILE SKIPPING THROUGH SQL — the q267 pruning delivered to
+    // the q280 surface: a log-structured table resolves in the catalog,
+    // a plain SQL range predicate pushes down
+    // (`SupportsPushDownFilters`), and the scan admits files from the
+    // LOG's per-file stats alone — pinned on the executed plan: the scan
+    // reports `files=1/4` for the probe and `files=4/4` unfiltered, with
+    // the values bit-equal to the direct filter because EVERY pushed
+    // filter returns as a residual (pruning is an optimization, never a
+    // correctness bet — the exact predicate always re-applies). Column
+    // pruning rides along. At 100 TB this is the complete economics of a
+    // dashboard query on an ingest table: O(matching files) IO, zero
+    // footer reads for the rest, no sidecar index to maintain — the log
+    // IS the index.
+    Q("q283_sql_log_skipping",
+      """WITH m AS (SELECT min(o_orderkey) AS mn, max(o_orderkey) AS mx
+        |           FROM orders),
+        |r AS (SELECT mn + ((mx - mn + 1) // 4) // 4 AS a,
+        |             mn + ((mx - mn + 1) // 4) // 2 AS b FROM m)
+        |SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(o_orderkey) AS BIGINT) AS key_sum
+        |FROM orders, r WHERE o_orderkey >= a AND o_orderkey <= b
+        |GROUP BY 1""".stripMargin) { (s, dir) =>
+      import graft.ops.ActionLog
+      val root = scratch(s, dir, "q283")
+      val tdir = s"$root/ns/t"
+      val o = Tables.load(s, dir, "orders")
+        .select(col("o_orderkey").cast("long").as("okey"),
+          col("o_orderpriority"))
+      val mm = o.agg(min(col("okey")), max(col("okey"))).head()
+      val (mn, mx) = (mm.getLong(0), mm.getLong(1))
+      val q = (mx - mn + 1) / 4
+      (0 until 4).foreach { i =>
+        val lo = mn + i * q
+        val hi = if (i == 3) mx else mn + (i + 1) * q - 1
+        ActionLog.append(
+          o.filter(col("okey") >= lo && col("okey") <= hi).coalesce(1),
+          tdir, statsCol = Some("okey"))
+      }
+      val cat = "graftl_" + java.security.MessageDigest.getInstance("MD5")
+        .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(6)
+      s.conf.set(s"spark.sql.catalog.$cat",
+        classOf[graft.source.GraftCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.root", root)
+      val (a, b) = (mn + q / 4, mn + q / 2)
+      def planOf(df: org.apache.spark.sql.DataFrame): String = {
+        val aqeKey = "spark.sql.adaptive.enabled"
+        val prev = s.conf.get(aqeKey)
+        s.conf.set(aqeKey, "false")
+        try df.queryExecution.executedPlan.toString
+        finally s.conf.set(aqeKey, prev)
+      }
+      val probe = s.sql(s"SELECT okey, o_orderpriority FROM $cat.ns.t " +
+        s"WHERE okey >= $a AND okey <= $b")
+      require(planOf(probe).contains("files=1/4"),
+        s"q283: the SQL range probe must keep 1 of 4 files")
+      require(planOf(s.sql(s"SELECT okey FROM $cat.ns.t"))
+        .contains("files=4/4"),
+        "q283: an unfiltered read must admit every file")
+      val direct = o.filter(col("okey") >= a && col("okey") <= b)
+      require(probe.exceptAll(direct).isEmpty && direct.exceptAll(probe).isEmpty,
+        "q283: pruned SQL scan must equal the direct filter bit-exactly")
+      probe.groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).cast("bigint").as("n"),
+          sum(col("okey")).cast("bigint").as("key_sum"))
     })
 }

@@ -83,10 +83,23 @@ class GraftCatalog extends TableCatalog {
       .map(st => Identifier.of(namespace, st.getPath.getName))
   }
 
+  private def isActionLog(spark: SparkSession, dir: String): Boolean = {
+    val p = new Path(s"$dir/_log")
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
+
   override def loadTable(ident: Identifier): Table = {
     val spark = SparkSession.active
     val (dir, branch) = split(ident)
-    if (isBranched(spark, dir)) branchTable(ident, dir, branch.getOrElse("main"))
+    if (isActionLog(spark, dir)) {
+      require(branch.isEmpty,
+        s"GraftCatalog: $ident — log-structured tables have no branches")
+      val files = graft.ops.ActionLog.liveFiles(spark, dir)
+      new GraftLogSqlTable(ident.toString, dir, files,
+        graft.ops.ActionLog.statsColumn(spark, dir),
+        spark.read.parquet(s"$dir/data/${files.head._1}").schema)
+    }
+    else if (isBranched(spark, dir)) branchTable(ident, dir, branch.getOrElse("main"))
     else {
       require(branch.isEmpty,
         s"GraftCatalog: $ident names a branch on an unbranched table")
@@ -169,6 +182,78 @@ private[source] class GraftSqlScanBuilder(versionDir: String,
   override def pruneColumns(requiredSchema: StructType): Unit =
     pruned = requiredSchema
   override def build(): Scan = new GraftSqlScan(versionDir, pruned)
+}
+
+/** A log-structured table in the catalog: scans prune files from the
+  * LOG's per-file stats under pushed-down range/equality filters on the
+  * stats column — zero footers opened for skipped files — and every
+  * pushed filter is returned as a residual so Spark re-applies the exact
+  * predicate (pruning is an optimization, never a correctness bet).
+  */
+private[source] class GraftLogSqlTable(tableName: String, dir: String,
+    files: Seq[(String, Option[(Long, Long, Long)])],
+    statsCol: Option[String], tableSchema: StructType)
+    extends Table with SupportsRead {
+  override def name(): String = tableName
+  override def schema(): StructType = tableSchema
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new GraftLogScanBuilder(dir, files, statsCol, tableSchema)
+}
+
+private[source] class GraftLogScanBuilder(dir: String,
+    files: Seq[(String, Option[(Long, Long, Long)])],
+    statsCol: Option[String], tableSchema: StructType)
+    extends ScanBuilder with SupportsPushDownRequiredColumns
+    with org.apache.spark.sql.connector.read.SupportsPushDownFilters {
+  import org.apache.spark.sql.sources._
+
+  private var pruned: StructType = tableSchema
+  private var bounds: (Long, Long) = (Long.MinValue, Long.MaxValue)
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    pruned = requiredSchema
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    statsCol.foreach { c =>
+      filters.foreach {
+        case EqualTo(`c`, v: Number) =>
+          bounds = (bounds._1 max v.longValue, bounds._2 min v.longValue)
+        case GreaterThan(`c`, v: Number) =>
+          bounds = (bounds._1 max (v.longValue + 1), bounds._2)
+        case GreaterThanOrEqual(`c`, v: Number) =>
+          bounds = (bounds._1 max v.longValue, bounds._2)
+        case LessThan(`c`, v: Number) =>
+          bounds = (bounds._1, bounds._2 min (v.longValue - 1))
+        case LessThanOrEqual(`c`, v: Number) =>
+          bounds = (bounds._1, bounds._2 min v.longValue)
+        case _ => ()
+      }
+    }
+    filters // all residual: Spark re-applies the exact predicates
+  }
+  override def pushedFilters(): Array[Filter] = Array.empty
+
+  override def build(): Scan = {
+    val keep = files.collect {
+      case (f, Some((lo, hi, _))) if hi >= bounds._1 && lo <= bounds._2 => f
+      case (f, None) => f // stats-less file: conservative admit
+    }
+    new GraftLogScan(dir, keep, files.size, pruned)
+  }
+}
+
+private[source] class GraftLogScan(dir: String, keep: Seq[String],
+    total: Int, schema: StructType) extends Scan with Batch {
+  override def readSchema(): StructType = schema
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"GraftLogScan [$dir] files=${keep.size}/$total"
+  override def planInputPartitions(): Array[InputPartition] =
+    keep.map(f => CdfFilePartition(0L, s"$dir/data/$f"): InputPartition).toArray
+  override def createReaderFactory(): PartitionReaderFactory =
+    new CdfReaderFactory(schema)
 }
 
 private[source] class GraftSqlScan(versionDir: String, schema: StructType)
