@@ -1447,5 +1447,66 @@ object OptimizerQueries {
       probe.groupBy(col("o_orderpriority"))
         .agg(count(lit(1)).cast("bigint").as("n"),
           sum(col("okey")).cast("bigint").as("key_sum"))
+    },
+
+    // ---------------------------------------------------------------- q284
+    // REPORTED STATISTICS THROUGH THE SQL CATALOG — q253's cost lesson
+    // completing the q280 surface: the catalog's scans report their
+    // ACTUAL version-dir bytes, so a SQL star join against a kilobyte
+    // catalog dim plans the BROADCAST (pinned on the executed plan);
+    // shrink the threshold below the dim's true size and the SAME query
+    // plans the merge (pinned) — the decision provably tracks the
+    // reported number, through plain SQL, with no hints. Without this
+    // every catalog table sizes to Long.Max and every dashboard join
+    // shuffles the fact. Values are plan-invariant and oracle-checked.
+    Q("q284_catalog_stats_broadcast",
+      """WITH f AS (SELECT l_suppkey % 25 AS k, l_orderkey FROM lineitem),
+        |d AS (SELECT n_nationkey AS k, CAST(n_regionkey AS BIGINT) AS region
+        |      FROM nation)
+        |SELECT region, CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(l_orderkey) AS BIGINT) AS key_sum
+        |FROM f JOIN d USING (k) GROUP BY 1""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, SortMergeJoinExec}
+      import graft.ops.VersionedTable
+      val root = scratch(s, dir, "q284")
+      VersionedTable.write(Tables.load(s, dir, "nation")
+        .select(col("n_nationkey").cast("long").as("k"),
+          col("n_regionkey").cast("long").as("region")), s"$root/ns/dim")
+      val cat = "grafts_" + java.security.MessageDigest.getInstance("MD5")
+        .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(6)
+      s.conf.set(s"spark.sql.catalog.$cat",
+        classOf[graft.source.GraftCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.root", root)
+      val view = "q284_fact_" + cat
+      Tables.load(s, dir, "lineitem")
+        .select((col("l_suppkey") % 25).cast("long").as("k"),
+          col("l_orderkey").cast("long").as("okey"))
+        .createOrReplaceTempView(view)
+      def agg = s.sql(
+        s"""SELECT region, CAST(count(*) AS BIGINT) AS n_rows,
+           |  CAST(sum(okey) AS BIGINT) AS key_sum
+           |FROM $view f JOIN $cat.ns.dim d ON f.k = d.k
+           |GROUP BY region""".stripMargin)
+      val keys = Seq("spark.sql.adaptive.enabled",
+        "spark.sql.autoBroadcastJoinThreshold")
+      val saved = keys.map(k => k -> s.conf.get(k))
+      try {
+        s.conf.set("spark.sql.adaptive.enabled", "false") // clean plan read
+        s.conf.set("spark.sql.autoBroadcastJoinThreshold",
+          (16 * 1024).toString)
+        require(agg.queryExecution.executedPlan.collect {
+          case j: BroadcastHashJoinExec => j }.nonEmpty,
+          "q284: accurate reported bytes must broadcast the catalog dim")
+        s.conf.set("spark.sql.autoBroadcastJoinThreshold", "10")
+        require(agg.queryExecution.executedPlan.collect {
+          case j: SortMergeJoinExec => j }.nonEmpty,
+          "q284: below-threshold stats must push the join back to merge")
+        s.conf.set("spark.sql.autoBroadcastJoinThreshold",
+          (16 * 1024).toString)
+        agg.localCheckpoint()
+      } finally {
+        saved.foreach { case (k, v) => s.conf.set(k, v) }
+        s.catalog.dropTempView(view); ()
+      }
     })
 }

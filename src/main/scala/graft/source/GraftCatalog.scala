@@ -257,11 +257,30 @@ private[source] class GraftLogScan(dir: String, keep: Seq[String],
 }
 
 private[source] class GraftSqlScan(versionDir: String, schema: StructType)
-    extends Scan with Batch {
+    extends Scan with Batch with SupportsReportStatistics {
   override def readSchema(): StructType = schema
   override def toBatch: Batch = this
   override def description(): String =
     s"GraftSqlScan [$versionDir] ReadSchema: ${schema.catalogString}"
+
+  /** Actual on-disk bytes of the version dir — the q253 lesson delivered
+    * to the SQL surface: without this a v2 relation sizes to Long.Max and
+    * a kilobyte dim can never win a broadcast.
+    */
+  override def estimateStatistics(): Statistics = {
+    val p = new Path(versionDir)
+    val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+    val bytes = fs.listStatus(p).toSeq
+      .filter(st => st.isFile && !st.getPath.getName.startsWith("_") &&
+        !st.getPath.getName.startsWith("."))
+      .map(_.getLen).sum
+    new Statistics {
+      override def sizeInBytes(): java.util.OptionalLong =
+        java.util.OptionalLong.of(bytes)
+      override def numRows(): java.util.OptionalLong =
+        java.util.OptionalLong.empty()
+    }
+  }
   override def planInputPartitions(): Array[InputPartition] = {
     val p = new Path(versionDir)
     val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
