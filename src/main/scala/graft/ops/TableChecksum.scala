@@ -28,16 +28,22 @@ object TableChecksum {
   private def fsOf(spark: SparkSession, dir: String) =
     new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
+  /** The per-row 60-bit digest column over `cols` in order — canonical
+    * serialization (\u0001 field separator, \u0000 null sentinel), md5,
+    * first 15 hex chars (inside Long range, ANSI-safe). Exposed so grouped
+    * digests (per-shard receipts) share the exact definition.
+    */
+  def rowHash(cols: Seq[org.apache.spark.sql.Column]): org.apache.spark.sql.Column = {
+    val canon = concat_ws("\u0001",
+      cols.map(c => coalesce(c.cast("string"), lit("\u0000"))): _*)
+    conv(substring(md5(canon.cast("binary")), 1, 15), 16, 10).cast("long")
+  }
+
   /** (rows, xor-digest) of a frame, layout-independent. */
   def digest(df: DataFrame): (Long, Long) = {
-    val canon = concat_ws("\u0001",
-      df.schema.fieldNames.toIndexedSeq.map(c =>
-        coalesce(col(c).cast("string"), lit("\u0000"))): _*)
-    // 15 hex chars = 60 bits: inside Long range, ANSI-safe
-    val rowHash = conv(substring(md5(canon.cast("binary")), 1, 15),
-      16, 10).cast("long")
     val r = df.agg(count(lit(1)).as("n"),
-      coalesce(bit_xor(rowHash), lit(0L)).as("x")).head()
+      coalesce(bit_xor(rowHash(df.schema.fieldNames.toIndexedSeq.map(col))),
+        lit(0L)).as("x")).head()
     (r.getLong(0), r.getLong(1))
   }
 

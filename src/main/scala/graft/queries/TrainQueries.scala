@@ -334,5 +334,65 @@ object TrainQueries {
           sum(col("masked")).cast("bigint").as("masked_tokens"),
           sum(when(col("masked") > 0, 1L).otherwise(0L)).cast("bigint")
             .as("n_spans"))
+    },
+
+    // ---------------------------------------------------------------- q285
+    // REPRODUCIBLE EXPORT WITH PER-SHARD RECEIPTS — q241's sharded
+    // training export hardened with q279's digests: two INDEPENDENT runs
+    // of the export land on disk, and each shard's read-back content
+    // digest (xor of per-row 60-bit md5 — order/layout-independent) is
+    // require'd IDENTICAL across the runs, so a resumed or re-run export
+    // is provably the same dataset file-for-file; a different epoch salt
+    // flips every shard's membership AND digest (the receipt binds
+    // content, not counts — pinned). The digest column itself ships in
+    // the result, and the ORACLE RECOMPUTES IT in DuckDB from the same
+    // md5 arithmetic — the cross-engine reproducibility statement is
+    // graded by the driver's own hash compare. At 100 TB: a per-shard
+    // receipt is what lets a training job trust a resumable export
+    // without re-reading it.
+    Q("q285_reproducible_export",
+      """WITH t AS (SELECT doc_id,
+        |    len(string_split_regex(trim(text), '\s+')) AS n_tok,
+        |    md5('epoch1|' || CAST(doc_id AS VARCHAR)) AS sk
+        |  FROM documents),
+        |sh AS (SELECT doc_id, n_tok,
+        |    CAST('0x' || substring(sk, 1, 6) AS BIGINT) % 8 AS shard FROM t),
+        |h AS (SELECT shard, doc_id, n_tok,
+        |    CAST(CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)
+        |      || chr(1) || CAST(n_tok AS VARCHAR)), 1, 15) AS BIGINT)
+        |      AS BIGINT) AS rh
+        |  FROM sh)
+        |SELECT CAST(shard AS BIGINT) AS shard,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(bit_xor(rh) AS BIGINT) AS digest
+        |FROM h GROUP BY 1""".stripMargin) { (s, dir) =>
+      import graft.ops.TableChecksum
+      val root = Q.scratch(s, dir, "q285")
+      def export(salt: String, out: String): Unit =
+        Tables.load(s, dir, "documents")
+          .select(col("doc_id"),
+            size(graft.dedup.MinHashLSH.tokensCol(col("text"))).as("n_tok"),
+            md5(concat(lit(salt), col("doc_id").cast("string"))).as("sk"))
+          .withColumn("shard", expr(
+            "CAST(conv(substring(sk, 1, 6), 16, 10) AS BIGINT) % 8"))
+          .select(col("doc_id"), col("n_tok"), col("shard"))
+          .write.partitionBy("shard").mode("overwrite").parquet(out)
+      def receipts(out: String) =
+        s.read.option("basePath", out).parquet(out)
+          .groupBy(col("shard").cast("bigint").as("shard"))
+          .agg(count(lit(1)).cast("bigint").as("n_docs"),
+            bit_xor(TableChecksum.rowHash(Seq(col("doc_id"), col("n_tok"))))
+              .cast("bigint").as("digest"))
+      export("epoch1|", s"$root/e1")
+      export("epoch1|", s"$root/e2") // an independent re-run
+      val r1 = receipts(s"$root/e1").localCheckpoint()
+      val r2 = receipts(s"$root/e2")
+      require(r1.exceptAll(r2).isEmpty && r2.exceptAll(r1).isEmpty,
+        "q285: two independent export runs must carry identical receipts")
+      // the receipt binds CONTENT: a new epoch salt must change digests
+      export("epoch2|", s"$root/e3")
+      require(!receipts(s"$root/e3").exceptAll(r1).isEmpty,
+        "q285: a different epoch's export must not share the receipts")
+      r1
     })
 }
