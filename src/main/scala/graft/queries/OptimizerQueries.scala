@@ -1508,5 +1508,63 @@ object OptimizerQueries {
         saved.foreach { case (k, v) => s.conf.set(k, v) }
         s.catalog.dropTempView(view); ()
       }
+    },
+
+    // ---------------------------------------------------------------- q286
+    // COLUMN-MAPPED TABLES THROUGH SQL — the q225 id-stable evolution
+    // rendered on the q280 surface: a table whose files carry physical
+    // `c_<id>` columns resolves in the catalog under its LOGICAL names,
+    // a metadata-only RENAME is visible to the very next SQL query with
+    // zero data movement (pinned: the live schema shows the new name,
+    // `VERSION AS OF` still renders the OLD version under the OLD name —
+    // per-version manifests, exactly Delta's behavior), and a dropped
+    // column vanishes from the SQL schema while its bytes stay in the
+    // immutable files. The one honest refusal is pinned too: an
+    // UNMATERIALIZED default column cannot be evaluated by a file
+    // reader, so the catalog fails loudly rather than render null where
+    // the ops layer renders the default. The BI tool never learns the
+    // table was renamed under it — which is the entire point.
+    Q("q286_sql_column_mapping",
+      """WITH t AS (SELECT c_custkey AS ck,
+        |    c_custkey % 100 AS bal FROM customer)
+        |SELECT CAST(ck % 10 AS BIGINT) AS bucket,
+        |  CAST(count(*) AS BIGINT) AS n, CAST(sum(bal) AS BIGINT) AS bal_sum
+        |FROM t GROUP BY 1""".stripMargin) { (s, dir) =>
+      import graft.ops.{ColumnMapping => CM}
+      import scala.util.Try
+      val root = scratch(s, dir, "q286")
+      val tdir = s"$root/ns/t"
+      CM.writeData(Tables.load(s, dir, "customer")
+        .select(col("c_custkey").cast("long").as("ck"),
+          col("c_nationkey").cast("long").as("nk"))
+        .withColumn("b", col("ck") % 100), tdir)
+      CM.rename(s, tdir, "b", "bal") // metadata-only
+      CM.drop(s, tdir, "nk") // metadata-only
+      val cat = "graftm_" + java.security.MessageDigest.getInstance("MD5")
+        .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(6)
+      s.conf.set(s"spark.sql.catalog.$cat",
+        classOf[graft.source.GraftCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.root", root)
+      val live = s.sql(s"SELECT * FROM $cat.ns.t")
+      require(live.columns.toSeq == Seq("ck", "bal"),
+        s"q286: live SQL must render the evolved names, got ${live.columns.toSeq}")
+      require(live.exceptAll(CM.read(s, tdir)).isEmpty &&
+        CM.read(s, tdir).exceptAll(live).isEmpty,
+        "q286: the SQL read must equal the ops-layer read")
+      val v1 = s.sql(s"SELECT * FROM $cat.ns.t VERSION AS OF 1")
+      require(v1.columns.toSeq == Seq("ck", "nk", "b"),
+        s"q286: v1 must render under its OWN names, got ${v1.columns.toSeq}")
+      require(v1.exceptAll(CM.readVersion(s, tdir, 1)).isEmpty &&
+        CM.readVersion(s, tdir, 1).exceptAll(v1).isEmpty,
+        "q286: time travel must equal the ops-layer version read")
+      // the honest refusal: an unmaterialized DEFAULT column
+      CM.addColumnWithDefault(s, tdir, "tier", "'bronze'")
+      val refusal = Try(s.sql(s"SELECT * FROM $cat.ns.t").collect())
+      require(refusal.isFailure &&
+        refusal.failed.get.getMessage.contains("DEFAULT"),
+        "q286: an unmaterialized default must be refused, not nulled")
+      live.groupBy((col("ck") % 10).cast("bigint").as("bucket"))
+        .agg(count(lit(1)).cast("bigint").as("n"),
+          sum(col("bal")).cast("bigint").as("bal_sum"))
     })
 }

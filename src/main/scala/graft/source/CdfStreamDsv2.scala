@@ -192,7 +192,8 @@ private[source] case class CdfFilePartition(version: Long, file: String)
   * the partition. Supported leaf types cover the feed surface: integral,
   * floating, string, boolean, date, decimal(<=18) and micros timestamps.
   */
-private[source] class CdfReaderFactory(schema: StructType)
+private[source] class CdfReaderFactory(schema: StructType,
+    nameMap: Map[String, String] = Map.empty)
     extends PartitionReaderFactory {
 
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
@@ -210,10 +211,11 @@ private[source] class CdfReaderFactory(schema: StructType)
       private def convert(g: Group): InternalRow = {
         val fileType = g.getType
         val vals = schema.fields.map { f =>
+          val phys = nameMap.getOrElse(f.name, f.name)
           if (f.name == graft.ops.ChangeFeed.CommitVersion) p.version
-          else if (!fileType.containsField(f.name)) null // pre-evolution capture
+          else if (!fileType.containsField(phys)) null // pre-evolution capture
           else {
-            val idx = fileType.getFieldIndex(f.name)
+            val idx = fileType.getFieldIndex(phys)
             if (g.getFieldRepetitionCount(idx) == 0) null
             else f.dataType match {
               case LongType => g.getLong(idx, 0)

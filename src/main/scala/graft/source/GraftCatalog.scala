@@ -138,12 +138,41 @@ class GraftCatalog extends TableCatalog {
 
   private def versionTable(ident: Identifier, dir: String, v: Long): Table = {
     val spark = SparkSession.active
-    val vd = VersionedTable.verDir(dir, v).toString
     val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
     require(VersionedTable.complete(fs, VersionedTable.verDir(dir, v)),
       s"GraftCatalog: version $v of $ident is missing or incomplete")
-    new GraftSqlTable(ident.toString + s"@v$v", vd,
-      spark.read.parquet(vd).schema)
+    if (fs.exists(new Path(VersionedTable.verDir(dir, v), "_schema"))) {
+      // a COLUMN-MAPPED table: render version v under ITS OWN manifest
+      // names; the reader maps logical→physical (c_<id>) per field
+      import graft.ops.{ColumnMapping => CM}
+      val m = CM.manifest(spark, dir, v)
+      val dataDir = VersionedTable.verDir(dir, CM.dataVersion(spark, dir, v))
+      val phys = spark.read.parquet(dataDir.toString).schema
+      val dfl = CM.defaults(spark, dir, v)
+      val fields = m.map { f =>
+        phys.fields.find(_.name == s"c_${f.id}") match {
+          case Some(pf) => org.apache.spark.sql.types.StructField(
+            f.name, pf.dataType, nullable = true)
+          case None =>
+            // an unmaterialized DEFAULT column needs expression evaluation
+            // the file reader cannot do — refuse loudly, never render null
+            // where the ops layer would render the default
+            require(!dfl.contains(f.id),
+              s"GraftCatalog: $ident column '${f.name}' is an " +
+                "unmaterialized DEFAULT — read through ColumnMapping.read " +
+                "until a data commit materializes it")
+            org.apache.spark.sql.types.StructField(f.name,
+              org.apache.spark.sql.types.NullType, nullable = true)
+        }
+      }
+      new GraftMappedSqlTable(ident.toString + s"@v$v", dataDir.toString,
+        org.apache.spark.sql.types.StructType(fields),
+        m.map(f => f.name -> s"c_${f.id}").toMap)
+    } else {
+      val vd = VersionedTable.verDir(dir, v).toString
+      new GraftSqlTable(ident.toString + s"@v$v", vd,
+        spark.read.parquet(vd).schema)
+    }
   }
 
   // read-only: mutation goes through the typed ops layer, never blind SQL
@@ -182,6 +211,45 @@ private[source] class GraftSqlScanBuilder(versionDir: String,
   override def pruneColumns(requiredSchema: StructType): Unit =
     pruned = requiredSchema
   override def build(): Scan = new GraftSqlScan(versionDir, pruned)
+}
+
+/** A column-mapped version in the catalog: logical names over physical
+  * `c_<id>` file columns, mapped per field at the reader.
+  */
+private[source] class GraftMappedSqlTable(tableName: String, dataDir: String,
+    tableSchema: StructType, nameMap: Map[String, String])
+    extends Table with SupportsRead {
+  override def name(): String = tableName
+  override def schema(): StructType = tableSchema
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder with SupportsPushDownRequiredColumns {
+      private var pruned: StructType = tableSchema
+      override def pruneColumns(requiredSchema: StructType): Unit =
+        pruned = requiredSchema
+      override def build(): Scan = new GraftMappedSqlScan(dataDir, pruned, nameMap)
+    }
+}
+
+private[source] class GraftMappedSqlScan(dataDir: String, schema: StructType,
+    nameMap: Map[String, String]) extends Scan with Batch {
+  override def readSchema(): StructType = schema
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"GraftMappedSqlScan [$dataDir] ReadSchema: ${schema.catalogString}"
+  override def planInputPartitions(): Array[InputPartition] = {
+    val p = new Path(dataDir)
+    val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+    fs.listStatus(p).toSeq
+      .filter(st => st.isFile && !st.getPath.getName.startsWith("_") &&
+        !st.getPath.getName.startsWith("."))
+      .sortBy(_.getPath.getName)
+      .map(st => CdfFilePartition(0L, st.getPath.toString): InputPartition)
+      .toArray
+  }
+  override def createReaderFactory(): PartitionReaderFactory =
+    new CdfReaderFactory(schema, nameMap)
 }
 
 /** A log-structured table in the catalog: scans prune files from the
