@@ -1566,5 +1566,70 @@ object OptimizerQueries {
       live.groupBy((col("ck") % 10).cast("bigint").as("bucket"))
         .agg(count(lit(1)).cast("bigint").as("n"),
           sum(col("bal")).cast("bigint").as("bal_sum"))
+    },
+
+    // ---------------------------------------------------------------- q287
+    // WAREHOUSE MAINTENANCE SWEEP (`ops/Maintenance.scala` — the janitor
+    // every managed lakehouse schedules): each table declares retention
+    // in its own `_policy`, ONE sweep discovers every table under the
+    // warehouse root (layout-detected: pointer-protocol vs action-log,
+    // nested namespaces walked, table internals never descended),
+    // applies the matching primitive — VersionedTable.gc or
+    // ActionLog.vacuum, each already crash-safe — and returns a ledger.
+    // Pinned: the ledger matches each table's OWN policy exactly (keep=1
+    // drops three, keep=3 drops nothing, the log table drops records AND
+    // only its unreferenced files), live content everywhere is untouched,
+    // expired reads fail loudly, and a second sweep is all zeros. The
+    // default for a policy-less table is keep=2 — a janitor that skips
+    // unlabeled tables lets them grow forever, the opposite failure. At
+    // 100 TB this is the operational surface: one scheduled call, every
+    // table's storage bounded by its own declared contract.
+    Q("q287_maintenance_sweep",
+      """SELECT CAST(c_nationkey AS BIGINT) AS nk,
+        |  CAST(count(*) AS BIGINT) AS n, CAST(sum(c_custkey) AS BIGINT) AS ck_sum
+        |FROM customer GROUP BY 1""".stripMargin) { (s, dir) =>
+      import graft.ops.{ActionLog, Maintenance, VersionedTable => VT}
+      import scala.util.Try
+      val root = scratch(s, dir, "q287")
+      val cust = Tables.load(s, dir, "customer")
+        .select(col("c_custkey").cast("long").as("ck"),
+          col("c_nationkey").cast("long").as("nk"))
+      // table a: 4 versions, keep=1
+      (1 to 4).foreach(i => VT.write(cust.withColumn("v", lit(i)), s"$root/a"))
+      Maintenance.setPolicy(s, s"$root/a", keep = 1)
+      // table ns/b: 3 versions, keep=3 (nothing to drop)
+      (1 to 3).foreach(i => VT.write(cust.withColumn("v", lit(i)), s"$root/ns/b"))
+      Maintenance.setPolicy(s, s"$root/ns/b", keep = 3)
+      // table c: action log with a rewrite, keep=2
+      def half(i: Int) = cust.filter(col("ck") % 2 === i)
+      ActionLog.append(half(0).coalesce(1), s"$root/c")
+      ActionLog.append(half(1).coalesce(1), s"$root/c")
+      ActionLog.rewrite(ActionLog.read(s, s"$root/c"), s"$root/c", 1)
+      ActionLog.append(half(0).limit(0).coalesce(1), s"$root/c")
+      Maintenance.setPolicy(s, s"$root/c", keep = 2)
+      val before = Seq(VT.read(s, s"$root/a").localCheckpoint(),
+        VT.read(s, s"$root/ns/b").localCheckpoint(),
+        ActionLog.read(s, s"$root/c").localCheckpoint())
+      val ledger = Maintenance.sweep(s, root)
+        .map(w => (w.table.split("/").takeRight(1).head, w.kind,
+          w.dropped, w.filesDeleted)).sortBy(_._1)
+      require(ledger == Seq(("a", "versioned", 3, 0),
+        ("b", "versioned", 0, 0), ("c", "log", 2, 2)),
+        s"q287: ledger out of contract: $ledger")
+      // live content untouched, expired reads loud, re-sweep a no-op
+      val after = Seq(VT.read(s, s"$root/a"), VT.read(s, s"$root/ns/b"),
+        ActionLog.read(s, s"$root/c"))
+      before.zip(after).foreach { case (b, a) =>
+        require(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty,
+          "q287: the sweep must not change live content")
+      }
+      require(Try(VT.readVersion(s, s"$root/a", 1L).count()).isFailure,
+        "q287: an expired snapshot must fail loudly")
+      require(Maintenance.sweep(s, root).forall(w =>
+        w.dropped == 0 && w.filesDeleted == 0),
+        "q287: a second sweep must be all zeros")
+      VT.read(s, s"$root/a").groupBy(col("nk"))
+        .agg(count(lit(1)).cast("bigint").as("n"),
+          sum(col("ck")).cast("bigint").as("ck_sum"))
     })
 }
