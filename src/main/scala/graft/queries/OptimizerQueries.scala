@@ -1631,5 +1631,74 @@ object OptimizerQueries {
       VT.read(s, s"$root/a").groupBy(col("nk"))
         .agg(count(lit(1)).cast("bigint").as("n"),
           sum(col("ck")).cast("bigint").as("ck_sum"))
+    },
+
+    // ---------------------------------------------------------------- q288
+    // SNAPSHOT-PINNED MULTI-TABLE SQL — cross-table consistency on the
+    // q280 surface: a catalog registered with `snapshotCatalog` resolves
+    // EVERY table from one SnapshotCatalog manifest, so a dashboard's
+    // two-table join reads a transactionally consistent pair however the
+    // live pointers move underneath it — pinned by committing NEW
+    // versions to both tables mid-"dashboard": the snapshot catalog
+    // still answers with the OLD pair (the join balances), the live
+    // catalog sees the new one, and a table the manifest doesn't pin
+    // fails LOUDLY (an unpinned read silently mixing epochs is the exact
+    // bug the snapshot exists to kill). This is the read-side of q226's
+    // catalog-level transactions: writers move every pointer atomically,
+    // readers resolve every table from one instant.
+    Q("q288_snapshot_pinned_sql",
+      """WITH x AS (SELECT c_custkey AS ck, c_custkey % 100 AS debit
+        |           FROM customer),
+        |y AS (SELECT c_custkey AS ck, c_custkey % 100 AS credit
+        |      FROM customer)
+        |SELECT CAST(count(*) AS BIGINT) AS n_accounts,
+        |  CAST(sum(debit) AS BIGINT) AS debits,
+        |  CAST(sum(credit) AS BIGINT) AS credits
+        |FROM x JOIN y USING (ck)""".stripMargin) { (s, dir) =>
+      import graft.ops.{ChangeFeed, SnapshotCatalog}
+      import scala.util.Try
+      val root = scratch(s, dir, "q288")
+      val cust = Tables.load(s, dir, "customer")
+        .select(col("c_custkey").cast("long").as("ck"))
+      // v1: debits and credits BALANCE (the consistent pair)
+      ChangeFeed.commit(cust.withColumn("debit", col("ck") % 100),
+        s"$root/ns/x", Seq("ck"))
+      ChangeFeed.commit(cust.withColumn("credit", col("ck") % 100),
+        s"$root/ns/y", Seq("ck"))
+      SnapshotCatalog.commit(s, s"$root/_catalog",
+        Map("ns/x" -> 1L, "ns/y" -> 1L))
+      // mid-dashboard: both tables move (still balanced at v2, but
+      // DIFFERENT numbers — mixing v1-x with v2-y would NOT balance)
+      ChangeFeed.commit(cust.withColumn("debit", col("ck") % 100 + 5),
+        s"$root/ns/x", Seq("ck"))
+      ChangeFeed.commit(cust.withColumn("credit", col("ck") % 100 + 5),
+        s"$root/ns/y", Seq("ck"))
+      val digest = java.security.MessageDigest.getInstance("MD5")
+        .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(6)
+      val (live, snap) = (s"graftv_$digest", s"graftw_$digest")
+      Seq(live, snap).foreach { c =>
+        s.conf.set(s"spark.sql.catalog.$c",
+          classOf[graft.source.GraftCatalog].getName)
+        s.conf.set(s"spark.sql.catalog.$c.root", root)
+      }
+      s.conf.set(s"spark.sql.catalog.$snap.snapshotCatalog", s"$root/_catalog")
+      def balance(cat: String) = s.sql(
+        s"""SELECT CAST(count(*) AS BIGINT) AS n_accounts,
+           |  CAST(sum(debit) AS BIGINT) AS debits,
+           |  CAST(sum(credit) AS BIGINT) AS credits
+           |FROM $cat.ns.x x JOIN $cat.ns.y y ON x.ck = y.ck""".stripMargin)
+      val pinned = balance(snap).localCheckpoint()
+      val Row0 = pinned.head
+      require(Row0.getLong(1) == Row0.getLong(2),
+        "q288: the snapshot pair must balance")
+      val liveRow = balance(live).head
+      require(liveRow.getLong(1) == liveRow.getLong(2) &&
+        liveRow.getLong(1) != Row0.getLong(1),
+        "q288: the live pair must balance at DIFFERENT totals")
+      // a table outside the manifest must fail loudly under the snapshot
+      graft.ops.VersionedTable.write(cust, s"$root/ns/z")
+      require(Try(s.sql(s"SELECT * FROM $snap.ns.z").collect()).isFailure,
+        "q288: an unpinned table must be refused under the snapshot")
+      pinned
     })
 }

@@ -32,11 +32,13 @@ class GraftCatalog extends TableCatalog {
 
   private var catName: String = _
   private var root: String = _
+  private var snapshotCatalog: Option[String] = None
 
   override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
     catName = name
     root = Option(options.get("root"))
       .getOrElse(sys.error(s"GraftCatalog $name: 'root' option required"))
+    snapshotCatalog = Option(options.get("snapshotCatalog"))
   }
 
   override def name(): String = catName
@@ -103,8 +105,22 @@ class GraftCatalog extends TableCatalog {
     else {
       require(branch.isEmpty,
         s"GraftCatalog: $ident names a branch on an unbranched table")
-      val v = VersionedTable.currentVersion(spark, dir).getOrElse(
-        throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(ident))
+      val v = snapshotCatalog match {
+        // SNAPSHOT-PINNED resolution: every table resolves from ONE
+        // manifest, so a multi-table query reads a transactionally
+        // consistent set however the live pointers move underneath it
+        case Some(snapDir) =>
+          val (_, pins) = graft.ops.SnapshotCatalog.current(spark, snapDir)
+            .getOrElse(sys.error(
+              s"GraftCatalog $catName: snapshot catalog $snapDir is empty"))
+          val rel = (ident.namespace().toSeq :+ ident.name()).mkString("/")
+          pins.getOrElse(rel, sys.error(
+            s"GraftCatalog $catName: '$rel' is not pinned by the snapshot " +
+              "catalog — an unpinned read would break the consistency set"))
+        case None =>
+          VersionedTable.currentVersion(spark, dir).getOrElse(
+            throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(ident))
+      }
       versionTable(ident, dir, v)
     }
   }
