@@ -163,13 +163,17 @@ object ActionLog {
     val fs = fsOf(spark, dir)
     val v = versions(spark, dir).lastOption.getOrElse(
       sys.error(s"ActionLog.checkpoint($dir): empty log"))
-    val (state, _, _) = replayState(spark, dir, v)
+    val (state, _, _, txns) = replayState(spark, dir, v)
+    // Delta's rule: checkpoints persist SetTransaction high-water marks,
+    // or vacuumed logs would lose exactly-once and double-apply batches
     writeText(fs, ckptPath(dir, v),
-      state.toSeq.map {
+      (state.toSeq.map {
         case (f, Some((lo, hi, n))) =>
           s"""{"a":"add","p":"$f","lo":$lo,"hi":$hi,"n":$n}"""
         case (f, None) => s"""{"a":"add","p":"$f"}"""
-      }.mkString("\n"))
+      } ++ txns.toSeq.sortBy(_._1).map { case (a, b) =>
+        s"""{"a":"txn","app":"$a","batch":$b}"""
+      }).mkString("\n"))
     val out = fs.create(new Path(s"$dir/$LogDir/$LastCkpt"), true)
     try out.write(v.toString.getBytes(StandardCharsets.UTF_8)) finally out.close()
     v
@@ -273,6 +277,7 @@ object ActionLog {
   private val AddStats =
     """\{"a":"add","p":"([^"]+)","lo":(-?\d+),"hi":(-?\d+),"n":(\d+)\}""".r
   private val Remove = """\{"a":"remove","p":"([^"]+)"\}""".r
+  private val Txn = """\{"a":"txn","app":"([^"]+)","batch":(-?\d+)\}""".r
 
   /** Full replay state: file → optional (lo, hi, rows) stats, plus the
     * replay accounting. Stats survive checkpoints (the checkpoint writes
@@ -280,7 +285,7 @@ object ActionLog {
     */
   private def replayState(spark: SparkSession, dir: String, asOf: Long):
       (scala.collection.mutable.LinkedHashMap[String, Option[(Long, Long, Long)]],
-        Int, Option[Long]) = {
+        Int, Option[Long], Map[String, Long]) = {
     val fs = fsOf(spark, dir)
     // newest materialized checkpoint ≤ asOf — discovered by listing, with
     // `_last_checkpoint` as nothing more than the usual fast-path hint
@@ -295,6 +300,7 @@ object ActionLog {
     }
     val base = scala.collection.mutable
       .LinkedHashMap.empty[String, Option[(Long, Long, Long)]]
+    val txns = scala.collection.mutable.Map.empty[String, Long]
     def applyLine(line: String, v: String): Unit = line match {
       case AddStats(p, lo, hi, n) =>
         base.put(p, Some((lo.toLong, hi.toLong, n.toLong))); ()
@@ -302,6 +308,8 @@ object ActionLog {
       case Remove(p) =>
         require(base.remove(p).isDefined,
           s"ActionLog: remove of unreferenced file $p at $v")
+      case Txn(app, b) =>
+        txns(app) = math.max(txns.getOrElse(app, Long.MinValue), b.toLong); ()
       case l => sys.error(s"ActionLog: bad log line at $v: $l")
     }
     ckptBase.foreach { cv =>
@@ -316,7 +324,7 @@ object ActionLog {
         applyLine(line, s"v$v")
       }
     }
-    (base, replayed, ckptBase)
+    (base, replayed, ckptBase, txns.toMap)
   }
 
   /** The live file set at `asOf`: (files, actionsReplayed, checkpointUsed).
@@ -325,7 +333,7 @@ object ActionLog {
     */
   def resolve(spark: SparkSession, dir: String,
       asOf: Long): (Seq[String], Int, Option[Long]) = {
-    val (state, replayed, ckpt) = replayState(spark, dir, asOf)
+    val (state, replayed, ckpt, _) = replayState(spark, dir, asOf)
     (state.keys.toSeq, replayed, ckpt)
   }
 
@@ -340,7 +348,7 @@ object ActionLog {
     import org.apache.spark.sql.functions._
     val latest = versions(spark, dir).lastOption.getOrElse(
       sys.error(s"ActionLog.readWhere($dir): empty log"))
-    val (state, _, _) = replayState(spark, dir, latest)
+    val (state, _, _, _) = replayState(spark, dir, latest)
     val keep = state.toSeq.collect {
       case (f, Some((flo, fhi, _))) if fhi >= lo && flo <= hi => f
       case (f, None) => f
@@ -356,7 +364,7 @@ object ActionLog {
     */
   def rowCountFromLog(spark: SparkSession, dir: String): Option[Long] = {
     val latest = versions(spark, dir).lastOption.getOrElse(0L)
-    val (state, _, _) = replayState(spark, dir, latest)
+    val (state, _, _, _) = replayState(spark, dir, latest)
     val counts = state.values.toSeq
     if (counts.exists(_.isEmpty)) None
     else Some(counts.flatten.map(_._3).sum)
@@ -390,13 +398,15 @@ object ActionLog {
     // checkpoint BEFORE cleanup: retained versions must resolve without
     // the records about to be dropped
     if (!fs.exists(ckptPath(dir, horizon))) {
-      val (state, _, _) = replayState(spark, dir, horizon)
+      val (state, _, _, txns) = replayState(spark, dir, horizon)
       writeText(fs, ckptPath(dir, horizon),
-        state.toSeq.map {
+        (state.toSeq.map {
           case (f, Some((lo, hi, n))) =>
             s"""{"a":"add","p":"$f","lo":$lo,"hi":$hi,"n":$n}"""
           case (f, None) => s"""{"a":"add","p":"$f"}"""
-        }.mkString("\n"))
+        } ++ txns.toSeq.sortBy(_._1).map { case (a, b) =>
+          s"""{"a":"txn","app":"$a","batch":$b}"""
+        }).mkString("\n"))
     }
     val dataDir = new Path(s"$dir/$DataDir")
     val victims = fs.listStatus(dataDir).toSeq
@@ -430,6 +440,33 @@ object ActionLog {
       sys.error(s"ActionLog.liveFiles($dir): empty log"))
     replayState(spark, dir, latest)._1.toSeq
   }
+
+  /** This app's last committed batch id, or None — the Delta
+    * SetTransaction lookup, checkpoint-durable.
+    */
+  def lastBatchId(spark: SparkSession, dir: String, appId: String): Option[Long] =
+    versions(spark, dir).lastOption.flatMap(v =>
+      replayState(spark, dir, v)._4.get(appId))
+
+  /** EXACTLY-ONCE append — Delta's txn action in the log: the batch's add
+    * actions and its `{"a":"txn"}` high-water mark land in ONE action
+    * file (atomic with the slot claim), so a re-delivered micro-batch
+    * (crash, or full checkpoint loss and replay) appends NOTHING. Returns
+    * the new version, or None for an already-committed batch.
+    */
+  def appendCommitted(df: DataFrame, dir: String, appId: String,
+      batchId: Long, statsCol: Option[String] = None): Option[Long] =
+    if (lastBatchId(df.sparkSession, dir, appId).exists(_ >= batchId)) None
+    else {
+      val spark = df.sparkSession
+      val fs = fsOf(spark, dir)
+      val v = versions(spark, dir).lastOption.getOrElse(0L) + 1L
+      val files = stageData(df, dir, v)
+      writeText(fs, logPath(dir, v),
+        (addLines(spark, dir, files, statsCol) :+
+          s"""{"a":"txn","app":"$appId","batch":$batchId}""").mkString("\n"))
+      Some(v)
+    }
 
   /** The column the log's per-file stats describe, recorded at the first
     * stats-carrying append (`_log/_statscol`); later stats appends must

@@ -1242,5 +1242,73 @@ object StreamingQueries {
       got.groupBy(col(ChangeFeed.CommitVersion).as("commit_version"))
         .agg(count(lit(1)).cast("bigint").as("n"),
           sum(col("l_orderkey")).cast("bigint").as("key_sum"))
+    },
+
+    // ---------------------------------------------------------------- q289
+    // EXACTLY-ONCE STREAMING INGESTION INTO THE ACTION LOG — Delta's
+    // `txn` (SetTransaction) action completing the log protocol: each
+    // micro-batch's add actions and its per-app batch high-water mark
+    // land in ONE action file, atomic with the slot claim, so a
+    // re-delivered batch appends NOTHING. Pinned through the two
+    // failure modes that matter: (1) full sink-checkpoint loss — the
+    // replayed stream re-delivers everything and commits zero versions;
+    // (2) VACUUM — the horizon checkpoint PERSISTS the txn marks
+    // (Delta's checkpoint rule: losing SetTransaction on log cleanup
+    // would silently re-open the door to double-applies), so a replay
+    // AFTER the log records are gone still no-ops. Content is
+    // require'd bit-equal to the batch union throughout. At 100 TB this
+    // is the ingest contract: at-least-once delivery upstream,
+    // exactly-once tables downstream, no message bus in between.
+    Q("q289_log_txn_exactly_once",
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(event_id) AS BIGINT) AS id_sum
+        |FROM events GROUP BY 1""".stripMargin) { (s, dir) =>
+      import graft.ops.ActionLog
+      val root = scratch(s, dir, "q289")
+      val (in, table) = (s"$root/in", s"$root/t")
+      val e = Tables.load(s, dir, "events")
+        .select(col("event_id"), col("ts"), col("event_type"))
+      val cut = lit("2024-01-16").cast("timestamp")
+      def run(cp: String): Unit = withNarrowShuffle(s) {
+        val q = EventStream.fileSource(s, s"$in/*", e.schema)
+          .writeStream.option("checkpointLocation", cp)
+          .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+            ActionLog.appendCommitted(
+              b.select(col("event_id"), col("event_type")), table, "q289", id)
+            ()
+          }
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      e.filter(col("ts") < cut).coalesce(1).write.parquet(s"$in/f1")
+      run(s"$root/cp1")
+      e.filter(col("ts") >= cut).coalesce(1).write.parquet(s"$in/f2")
+      run(s"$root/cp1")
+      val want = e.select(col("event_id"), col("event_type"))
+      def contentOk(tag: String): Unit = {
+        val got = ActionLog.read(s, table)
+        require(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty,
+          s"q289: $tag content must equal the batch union")
+      }
+      val vAfter = ActionLog.versions(s, table).last
+      require(vAfter == 2L, s"q289: two batches, two versions, got $vAfter")
+      contentOk("post-ingest")
+      // (1) checkpoint loss: full replay commits nothing
+      run(s"$root/cp2")
+      require(ActionLog.versions(s, table).last == vAfter,
+        "q289: a checkpoint-loss replay must append nothing")
+      // (2) vacuum: the horizon checkpoint carries the txn marks
+      ActionLog.append(want.limit(0).coalesce(1), table) // v3: empty head
+      ActionLog.vacuum(s, table, keepVersions = 1)
+      require(ActionLog.lastBatchId(s, table, "q289").contains(1L),
+        "q289: txn high-water marks must survive the vacuum")
+      run(s"$root/cp3")
+      require(ActionLog.versions(s, table).last == 3L,
+        "q289: a post-vacuum replay must still append nothing")
+      contentOk("post-vacuum")
+      ActionLog.read(s, table).groupBy(col("event_type"))
+        .agg(count(lit(1)).cast("bigint").as("n"),
+          sum(col("event_id")).cast("bigint").as("id_sum"))
     })
 }
