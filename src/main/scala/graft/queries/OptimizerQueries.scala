@@ -1700,5 +1700,57 @@ object OptimizerQueries {
       require(Try(s.sql(s"SELECT * FROM $snap.ns.z").collect()).isFailure,
         "q288: an unpinned table must be refused under the snapshot")
       pinned
+    },
+
+    // ---------------------------------------------------------------- q290
+    // DELETION-VECTOR TABLES THROUGH SQL — the last table flavor joins
+    // the q280 surface: a DV-committed version resolves in the catalog
+    // and each file's roaring bitmap ships WITH its partition, applied
+    // BY ROW INDEX during decode — deleted rows are skipped at the
+    // reader, never materialized, never shuffled (the same O(deleted)
+    // semantics as DeletionVectors.read, now one SELECT away). Pinned:
+    // live SQL ≡ the ops-layer DV read (the cohort is gone), the RAW
+    // file bytes still CONTAIN the cohort (zero rewrite — the point of
+    // DVs), and VERSION AS OF the pre-delete commit still renders it.
+    // With q286 and q283 this closes the loop: snapshot, mapped, log,
+    // branched, and DV tables all answer to plain SQL through one
+    // catalog registration.
+    Q("q290_sql_deletion_vectors",
+      """WITH t AS (SELECT event_id, user_id, event_type FROM events
+        |           WHERE user_id % 13 <> 4)
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(event_id) AS BIGINT) AS id_sum
+        |FROM t GROUP BY 1""".stripMargin) { (s, dir) =>
+      import graft.ops.{DeletionVectors => DV, VersionedTable => VT}
+      val root = scratch(s, dir, "q290")
+      val tdir = s"$root/ns/t"
+      val ev = Tables.load(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("event_type"))
+      VT.write(ev, tdir)
+      val cohort = col("user_id") % 13 === 4
+      val (v2, nDel) = DV.delete(s, tdir, cohort)
+      require(v2 == 2L && nDel > 0, "q290: the erase must hit the cohort")
+      val cat = "graftd_" + java.security.MessageDigest.getInstance("MD5")
+        .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(6)
+      s.conf.set(s"spark.sql.catalog.$cat",
+        classOf[graft.source.GraftCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.root", root)
+      val live = s.sql(s"SELECT event_id, user_id, event_type FROM $cat.ns.t")
+      require(live.exceptAll(DV.read(s, tdir)).isEmpty &&
+        DV.read(s, tdir).exceptAll(live).isEmpty,
+        "q290: the SQL read must apply the vectors exactly")
+      require(live.filter(cohort).isEmpty,
+        "q290: the cohort must be invisible to SQL")
+      // the bytes were never rewritten — raw files still hold the cohort
+      require(s.read.parquet(VT.verDir(tdir, v2).toString)
+        .filter(cohort).count() == nDel,
+        "q290: the raw files must still contain the cohort (zero rewrite)")
+      val v1 = s.sql(s"SELECT event_id, user_id, event_type FROM $cat.ns.t " +
+        "VERSION AS OF 1")
+      require(v1.filter(cohort).count() == nDel,
+        "q290: pre-delete time travel must still render the cohort")
+      live.groupBy(col("event_type"))
+        .agg(count(lit(1)).cast("bigint").as("n"),
+          sum(col("event_id")).cast("bigint").as("id_sum"))
     })
 }

@@ -184,6 +184,15 @@ class GraftCatalog extends TableCatalog {
       new GraftMappedSqlTable(ident.toString + s"@v$v", dataDir.toString,
         org.apache.spark.sql.types.StructType(fields),
         m.map(f => f.name -> s"c_${f.id}").toMap)
+    } else if (fs.exists(new Path(VersionedTable.verDir(dir, v), "_dv"))) {
+      // DELETION-VECTOR version: the reader applies each file's bitmap
+      // by row index — deleted rows never leave the executor
+      val vd = VersionedTable.verDir(dir, v).toString
+      val dv = spark.read.parquet(s"$vd/_dv")
+        .select("file_name", "bitmap").collect() // O(files), driver-side
+        .map(r => r.getString(0) -> r.getAs[Array[Byte]](1)).toMap
+      new GraftDvSqlTable(ident.toString + s"@v$v", vd, dv,
+        spark.read.parquet(vd).schema)
     } else {
       val vd = VersionedTable.verDir(dir, v).toString
       new GraftSqlTable(ident.toString + s"@v$v", vd,
@@ -227,6 +236,81 @@ private[source] class GraftSqlScanBuilder(versionDir: String,
   override def pruneColumns(requiredSchema: StructType): Unit =
     pruned = requiredSchema
   override def build(): Scan = new GraftSqlScan(versionDir, pruned)
+}
+
+/** A deletion-vector version in the catalog: each data file's bitmap is
+  * shipped with its partition and applied BY ROW INDEX at the reader —
+  * the deleted rows are skipped during decode, never materialized, never
+  * shuffled. The same O(deleted) semantics as `DeletionVectors.read`,
+  * now reachable from plain SQL.
+  */
+private[source] class GraftDvSqlTable(tableName: String, versionDir: String,
+    dv: Map[String, Array[Byte]], tableSchema: StructType)
+    extends Table with SupportsRead {
+  override def name(): String = tableName
+  override def schema(): StructType = tableSchema
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder with SupportsPushDownRequiredColumns {
+      private var pruned: StructType = tableSchema
+      override def pruneColumns(requiredSchema: StructType): Unit =
+        pruned = requiredSchema
+      override def build(): Scan = new GraftDvSqlScan(versionDir, dv, pruned)
+    }
+}
+
+private[source] class GraftDvSqlScan(versionDir: String,
+    dv: Map[String, Array[Byte]], schema: StructType) extends Scan with Batch {
+  override def readSchema(): StructType = schema
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"GraftDvSqlScan [$versionDir] dvFiles=${dv.size}"
+  override def planInputPartitions(): Array[InputPartition] = {
+    val p = new Path(versionDir)
+    val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+    fs.listStatus(p).toSeq
+      .filter(st => st.isFile && !st.getPath.getName.startsWith("_") &&
+        !st.getPath.getName.startsWith("."))
+      .sortBy(_.getPath.getName)
+      .map(st => DvFilePartition(st.getPath.toString,
+        dv.get(st.getPath.getName)): InputPartition)
+      .toArray
+  }
+  override def createReaderFactory(): PartitionReaderFactory =
+    new DvReaderFactory(schema)
+}
+
+private[source] case class DvFilePartition(file: String,
+    bitmap: Option[Array[Byte]]) extends InputPartition
+
+private[source] class DvReaderFactory(schema: StructType)
+    extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition)
+      : PartitionReader[org.apache.spark.sql.catalyst.InternalRow] = {
+    val p = partition.asInstanceOf[DvFilePartition]
+    val inner = new CdfReaderFactory(schema)
+      .createReader(CdfFilePartition(0L, p.file))
+    val bm = p.bitmap.map { bytes =>
+      val b = new org.roaringbitmap.RoaringBitmap()
+      b.deserialize(java.nio.ByteBuffer.wrap(bytes))
+      b
+    }
+    new PartitionReader[org.apache.spark.sql.catalyst.InternalRow] {
+      private var idx = -1L
+      private var row: org.apache.spark.sql.catalyst.InternalRow = _
+      @annotation.tailrec
+      override final def next(): Boolean =
+        if (!inner.next()) false
+        else {
+          idx += 1
+          if (bm.exists(_.contains(idx.toInt))) next()
+          else { row = inner.get(); true }
+        }
+      override def get(): org.apache.spark.sql.catalyst.InternalRow = row
+      override def close(): Unit = inner.close()
+    }
+  }
 }
 
 /** A column-mapped version in the catalog: logical names over physical
