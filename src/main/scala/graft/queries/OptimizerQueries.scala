@@ -1752,5 +1752,57 @@ object OptimizerQueries {
       live.groupBy(col("event_type"))
         .agg(count(lit(1)).cast("bigint").as("n"),
           sum(col("event_id")).cast("bigint").as("id_sum"))
+    },
+
+    // ---------------------------------------------------------------- q291
+    // PROTOCOL GATES AT THE CATALOG — q278's feature gates enforced at
+    // the SQL front door: a catalog registration DECLARES its client's
+    // supported features, and the gate runs before any table flavor is
+    // constructed, so a feature-gated table simply does not resolve for
+    // a catalog that can't read it correctly — the error names the
+    // feature and the fix. Pinned: the capable catalog reads the gated
+    // table (values oracle-checked); the legacy catalog fails loudly at
+    // ANALYSIS (never touching data); ungated tables resolve for both.
+    // The composition matters more than either piece: q278's gates
+    // without catalog enforcement protect only callers who remember to
+    // call checkRead — this wires the contract into the surface every
+    // client actually uses.
+    Q("q291_catalog_protocol_gate",
+      """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(o_orderkey) AS BIGINT) AS key_sum
+        |FROM orders WHERE o_orderkey % 2 = 1 GROUP BY 1""".stripMargin) { (s, dir) =>
+      import graft.ops.{Protocol, VersionedTable => VT}
+      import scala.util.Try
+      val root = scratch(s, dir, "q291")
+      val o = Tables.load(s, dir, "orders")
+        .filter(col("o_orderkey") % 2 === 1)
+        .select(col("o_orderkey"), col("o_orderpriority"))
+      Protocol.commit(o, s"$root/ns/gated", Protocol.Proto(
+        readerFeatures = Set("deletion-vectors"),
+        writerFeatures = Set("deletion-vectors")))
+      VT.write(o, s"$root/ns/open")
+      val digest = java.security.MessageDigest.getInstance("MD5")
+        .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(6)
+      val (modern, legacy) = (s"graftg_$digest", s"grafth_$digest")
+      Seq(modern, legacy).foreach { c =>
+        s.conf.set(s"spark.sql.catalog.$c",
+          classOf[graft.source.GraftCatalog].getName)
+        s.conf.set(s"spark.sql.catalog.$c.root", root)
+      }
+      s.conf.set(s"spark.sql.catalog.$modern.features",
+        "deletion-vectors,row-tracking")
+      val live = s.sql(s"SELECT * FROM $modern.ns.gated")
+      require(live.exceptAll(o).isEmpty && o.exceptAll(live).isEmpty,
+        "q291: the capable catalog must read the gated table")
+      val refusal = Try(s.sql(s"SELECT * FROM $legacy.ns.gated").collect())
+      require(refusal.isFailure &&
+        refusal.failed.get.getMessage.contains("deletion-vectors"),
+        "q291: the legacy catalog must fail loudly, naming the feature")
+      require(Try(s.sql(s"SELECT * FROM $legacy.ns.open").limit(1).collect())
+        .isSuccess,
+        "q291: ungated tables must resolve for every catalog")
+      live.groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).cast("bigint").as("n"),
+          sum(col("o_orderkey")).cast("bigint").as("key_sum"))
     })
 }

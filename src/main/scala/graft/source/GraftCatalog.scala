@@ -33,12 +33,16 @@ class GraftCatalog extends TableCatalog {
   private var catName: String = _
   private var root: String = _
   private var snapshotCatalog: Option[String] = None
+  private var features: Set[String] = Set.empty
 
   override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
     catName = name
     root = Option(options.get("root"))
       .getOrElse(sys.error(s"GraftCatalog $name: 'root' option required"))
     snapshotCatalog = Option(options.get("snapshotCatalog"))
+    features = Option(options.get("features"))
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+      .getOrElse(Set.empty)
   }
 
   override def name(): String = catName
@@ -157,6 +161,14 @@ class GraftCatalog extends TableCatalog {
     val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
     require(VersionedTable.complete(fs, VersionedTable.verDir(dir, v)),
       s"GraftCatalog: version $v of $ident is missing or incomplete")
+    // the protocol gate runs BEFORE any table flavor is constructed: a
+    // reader that doesn't understand a required feature must not touch
+    // a byte (the catalog declares its client's features at registration)
+    val missing = graft.ops.Protocol.of(spark, dir, v).readerFeatures -- features
+    require(missing.isEmpty,
+      s"GraftCatalog $catName: $ident requires reader feature(s) " +
+        s"${missing.toSeq.sorted.mkString(", ")} this catalog was not " +
+        "registered with — add them to the 'features' option")
     if (fs.exists(new Path(VersionedTable.verDir(dir, v), "_schema"))) {
       // a COLUMN-MAPPED table: render version v under ITS OWN manifest
       // names; the reader maps logical→physical (c_<id>) per field
