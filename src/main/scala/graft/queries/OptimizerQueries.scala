@@ -1804,5 +1804,83 @@ object OptimizerQueries {
       live.groupBy(col("o_orderpriority"))
         .agg(count(lit(1)).cast("bigint").as("n"),
           sum(col("o_orderkey")).cast("bigint").as("key_sum"))
+    },
+
+    // ---------------------------------------------------------------- q292
+    // THE FULL MATERIALIZED-VIEW LIFECYCLE — define, SERVE, maintain,
+    // re-serve, with freshness enforced by construction: the MV is an
+    // IncrementalView-maintained VersionedTable, and the MvRewrite
+    // registration pins the BASE'S VERSION DIRECTORY (not the table) —
+    // so the rewrite serves the dashboard from the kilobyte rollup
+    // (plan-pinned) exactly while the registration is current, and the
+    // instant the base commits a new version the stale registration
+    // simply stops matching (the live scan reads a different dir) and
+    // the query falls back to the base — pinned: a STALE MV NEVER
+    // ANSWERS, the fail-safe direction. An O(changes) IVM refresh plus
+    // re-registration restores rewrite service with the new numbers
+    // (pinned again, values oracle-checked). This closes the q255/q213
+    // loop: the serve path and the maintain path are the same tables,
+    // and freshness is a path equality, not a doc comment.
+    Q("q292_mv_lifecycle",
+      """WITH b AS (SELECT event_id, event_type, event_id % 100 AS val
+        |           FROM events),
+        |v2 AS (SELECT event_id, event_type,
+        |    CASE WHEN event_id % 7 = 0 THEN val + 500 ELSE val END AS val
+        |  FROM b WHERE event_id % 11 <> 0)
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(val) AS BIGINT) AS val_sum
+        |FROM v2 GROUP BY 1""".stripMargin) { (s, dir) =>
+      import graft.ops.{ChangeFeed, IncrementalView => IV, VersionedTable => VT}
+      import graft.plans.MvRewrite
+      val root = scratch(s, dir, "q292")
+      val (baseDir, viewDir) = (s"$root/base", s"$root/view")
+      val b1 = Tables.load(s, dir, "events")
+        .select(col("event_id"), col("event_type"),
+          (col("event_id") % 100).as("val"))
+      ChangeFeed.commit(b1, baseDir, Seq("event_id"))
+      val spec = IV.Spec(Seq("event_type"), Seq("val_sum" -> col("val")))
+      IV.refreshTable(s, viewDir, baseDir, Seq("event_id"), spec)
+      def registration(): Unit = MvRewrite.register(
+        VT.liveDir(s, baseDir), VT.liveDir(s, viewDir),
+        Seq("event_type"),
+        Seq(MvRewrite.CountStar(IV.NCol), MvRewrite.SumOf("val", "val_sum")))
+      def dashboard = VT.read(s, baseDir).groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("val")).as("val_sum"))
+      def scans: Seq[String] = {
+        val aqeKey = "spark.sql.adaptive.enabled"
+        val prev = s.conf.get(aqeKey)
+        s.conf.set(aqeKey, "false")
+        try dashboard.queryExecution.executedPlan.collect {
+          case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+            f.relation.location.rootPaths.map(_.toString)
+        }.flatten finally s.conf.set(aqeKey, prev)
+      }
+      try {
+        registration()
+        require(scans.forall(_.contains("view")),
+          "q292: the fresh MV must serve the dashboard")
+        val served1 = dashboard.localCheckpoint()
+        // the base moves: updates + deletes land as v2
+        ChangeFeed.commit(b1.filter(col("event_id") % 11 =!= 0)
+          .withColumn("val", when(col("event_id") % 7 === 0, col("val") + 500)
+            .otherwise(col("val"))), baseDir, Seq("event_id"))
+        // fail-safe freshness: the stale registration no longer matches
+        require(scans.exists(_.contains("base")),
+          "q292: a STALE MV must never answer — the base must serve")
+        val direct2 = dashboard.localCheckpoint()
+        require(!direct2.exceptAll(served1).isEmpty,
+          "q292: v2 must actually change the answer (the staleness is real)")
+        // O(changes) maintenance + re-registration restores service
+        IV.refreshTable(s, viewDir, baseDir, Seq("event_id"), spec)
+        registration()
+        require(scans.forall(_.contains("view")),
+          "q292: the refreshed MV must serve again")
+        val served2 = dashboard.localCheckpoint()
+        require(served2.exceptAll(direct2).isEmpty &&
+          direct2.exceptAll(served2).isEmpty,
+          "q292: the refreshed MV must serve the NEW answer bit-exactly")
+        served2.select(col("event_type"), col("n").cast("bigint").as("n"),
+          col("val_sum").cast("bigint").as("val_sum"))
+      } finally MvRewrite.clear()
     })
 }
