@@ -509,6 +509,29 @@ object ActionLog {
     (adds.toSeq, removes.toSeq)
   }
 
+  /** DESCRIBE HISTORY from the LOG alone — O(log) metadata, zero data
+    * reads: per version, its action counts, whether it carried a txn
+    * mark, and the CUMULATIVE row count as of that version (from the
+    * recorded per-file stats; None when any live file lacks them).
+    */
+  def history(spark: SparkSession, dir: String):
+      Seq[(Long, Int, Int, Boolean, Option[Long])] =
+    versions(spark, dir).map { v =>
+      val fs = fsOf(spark, dir)
+      var (adds, removes, txn) = (0, 0, false)
+      readLines(fs, logPath(dir, v)).foreach {
+        case AddStats(_, _, _, _) => adds += 1
+        case Add(_) => adds += 1
+        case Remove(_) => removes += 1
+        case Txn(_, _) => txn = true
+        case l => sys.error(s"ActionLog.history: bad line at v$v: $l")
+      }
+      val stats = replayState(spark, dir, v)._1.values.toSeq
+      val cum = if (stats.isEmpty || stats.exists(_.isEmpty)) None
+        else Some(stats.flatten.map(_._3).sum)
+      (v, adds, removes, txn, cum)
+    }
+
   /** Read the table as of `asOf` (default: latest). */
   def read(spark: SparkSession, dir: String, asOf: Long = Long.MaxValue): DataFrame = {
     val v = versions(spark, dir).lastOption

@@ -1882,5 +1882,51 @@ object OptimizerQueries {
         served2.select(col("event_type"), col("n").cast("bigint").as("n"),
           col("val_sum").cast("bigint").as("val_sum"))
       } finally MvRewrite.clear()
+    },
+
+    // ---------------------------------------------------------------- q293
+    // DESCRIBE HISTORY FOR THE LOG TABLE — q243's metadata tables
+    // extended to the action-log layout: per version, the action counts,
+    // the txn flag, and the CUMULATIVE row count, all from the LOG alone
+    // (listings + recorded per-file stats — zero parquet reads, pinned
+    // by construction: `history` never opens a data file). The row
+    // counts are REAL numbers the oracle recomputes from the base table,
+    // so the metadata's accounting is value-checked, not shape-checked:
+    // an append shows its rows arriving, a rewrite shows 2 removes / 1
+    // add and an UNCHANGED cumulative count (dataChange=false made
+    // visible), the exactly-once append shows its txn flag. At 100 TB
+    // DESCRIBE HISTORY is the first thing an operator runs — it must
+    // cost namenode metadata, never a scan.
+    Q("q293_log_history",
+      """WITH q AS (SELECT l_orderkey % 4 AS m FROM lineitem),
+        |c0 AS (SELECT CAST(count(*) AS BIGINT) AS n FROM q WHERE m = 0),
+        |c1 AS (SELECT CAST(count(*) AS BIGINT) AS n FROM q WHERE m = 1),
+        |c2 AS (SELECT CAST(count(*) AS BIGINT) AS n FROM q WHERE m = 2)
+        |SELECT CAST(1 AS BIGINT) AS version, CAST(1 AS BIGINT) AS n_adds,
+        |  CAST(0 AS BIGINT) AS n_removes, false AS has_txn,
+        |  (SELECT n FROM c0) AS cum_rows
+        |UNION ALL SELECT 2, 1, 0, false,
+        |  (SELECT n FROM c0) + (SELECT n FROM c1)
+        |UNION ALL SELECT 3, 1, 2, false,
+        |  (SELECT n FROM c0) + (SELECT n FROM c1)
+        |UNION ALL SELECT 4, 1, 0, true,
+        |  (SELECT n FROM c0) + (SELECT n FROM c1) + (SELECT n FROM c2)"""
+        .stripMargin) { (s, dir) =>
+      import graft.ops.ActionLog
+      val root = scratch(s, dir, "q293")
+      val table = s"$root/t"
+      val li = Tables.load(s, dir, "lineitem")
+        .select(col("l_orderkey").cast("long").as("okey"))
+      def quarter(i: Int) = li.filter(col("okey") % 4 === i)
+      ActionLog.append(quarter(0).coalesce(1), table, Some("okey"))
+      ActionLog.append(quarter(1).coalesce(1), table, Some("okey"))
+      ActionLog.rewrite(ActionLog.read(s, table), table, 1, Some("okey"))
+      ActionLog.appendCommitted(quarter(2).coalesce(1), table, "q293", 0L,
+        Some("okey"))
+      import s.implicits._
+      ActionLog.history(s, table).map { case (v, a, r, t, cum) =>
+        (v, a.toLong, r.toLong, t, cum.getOrElse(
+          sys.error("q293: every file carries stats — cum must resolve")))
+      }.toDF("version", "n_adds", "n_removes", "has_txn", "cum_rows")
     })
 }
