@@ -1928,5 +1928,67 @@ object OptimizerQueries {
         (v, a.toLong, r.toLong, t, cum.getOrElse(
           sys.error("q293: every file carries stats — cum must resolve")))
       }.toDF("version", "n_adds", "n_removes", "has_txn", "cum_rows")
+    },
+
+    // ---------------------------------------------------------------- q294
+    // BI-TEMPORAL QUERIES — the two-clock composition (SQL:2011 system/
+    // application time, Snodgrass's model) this library gets from parts
+    // it already has: rows carry EFFECTIVE intervals (valid_from,
+    // valid_to — when the fact was true in the world), commits carry
+    // SYSTEM time (the version — when the database believed it), so "as
+    // known at system-time S, what was the rate effective at E" is a
+    // version read × an interval predicate. The probe that matters is a
+    // RETROACTIVE CORRECTION: v2 restates history for one cohort's past
+    // interval, and the four-cell matrix pins exactly where it shows —
+    // (v2, past) differs from (v1, past), while the present cells agree
+    // — the audit property plain SCD2 (one clock) cannot express: it
+    // can say what changed, never what we USED TO BELIEVE. The oracle
+    // replays all four cells from the base arithmetic.
+    Q("q294_bitemporal",
+      """WITH c AS (SELECT c_custkey AS ck FROM customer),
+        |base AS (SELECT ck, ck % 7 AS r1, ck % 7 + 10 AS r2 FROM c)
+        |SELECT CAST(1 AS BIGINT) AS sys_v, CAST(50 AS BIGINT) AS eff,
+        |  CAST(sum(r1) AS BIGINT) AS rate_sum, CAST(count(*) AS BIGINT) AS n
+        |FROM base
+        |UNION ALL SELECT 1, 150, CAST(sum(r2) AS BIGINT),
+        |  CAST(count(*) AS BIGINT) FROM base
+        |UNION ALL SELECT 2, 50,
+        |  CAST(sum(CASE WHEN ck % 3 = 0 THEN r1 + 100 ELSE r1 END) AS BIGINT),
+        |  CAST(count(*) AS BIGINT) FROM base
+        |UNION ALL SELECT 2, 150, CAST(sum(r2) AS BIGINT),
+        |  CAST(count(*) AS BIGINT) FROM base""".stripMargin) { (s, dir) =>
+      import graft.ops.{ChangeFeed, VersionedTable => VT}
+      val root = scratch(s, dir, "q294")
+      val table = s"$root/t"
+      val c = Tables.load(s, dir, "customer")
+        .select(col("c_custkey").cast("long").as("ck"))
+      def timeline(correct: Boolean) = {
+        val past = c.select(col("ck"), lit(0L).as("eff_from"),
+          lit(100L).as("eff_to"),
+          (if (correct) when(col("ck") % 3 === 0, col("ck") % 7 + 100)
+            .otherwise(col("ck") % 7)
+          else col("ck") % 7).as("rate"))
+        val present = c.select(col("ck"), lit(100L).as("eff_from"),
+          lit(999999L).as("eff_to"), (col("ck") % 7 + 10).as("rate"))
+        past.unionByName(present)
+      }
+      ChangeFeed.commit(timeline(correct = false), table, Seq("ck", "eff_from"))
+      ChangeFeed.commit(timeline(correct = true), table, Seq("ck", "eff_from"))
+      def cell(sysV: Long, eff: Long) =
+        VT.readVersion(s, table, sysV)
+          .filter(col("eff_from") <= eff && col("eff_to") > eff)
+          .agg(sum(col("rate")).cast("bigint").as("rate_sum"),
+            count(lit(1)).cast("bigint").as("n"))
+          .select(lit(sysV).as("sys_v"), lit(eff).as("eff"),
+            col("rate_sum"), col("n"))
+      val cells = Seq(cell(1, 50), cell(1, 150), cell(2, 50), cell(2, 150))
+        .map(_.localCheckpoint())
+      // the correction is visible exactly in the (now, past) cell
+      require(cells(0).head.getLong(2) != cells(2).head.getLong(2),
+        "q294: the retroactive correction must change what we NOW believe " +
+          "about the past")
+      require(cells(1).head.getLong(2) == cells(3).head.getLong(2),
+        "q294: the present-effective cells must agree across system time")
+      cells.reduce(_.unionByName(_))
     })
 }
