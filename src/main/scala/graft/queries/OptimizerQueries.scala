@@ -1990,5 +1990,70 @@ object OptimizerQueries {
       require(cells(1).head.getLong(2) == cells(3).head.getLong(2),
         "q294: the present-effective cells must agree across system time")
       cells.reduce(_.unionByName(_))
+    },
+
+    // ---------------------------------------------------------------- q295
+    // SHADOW MIGRATION BETWEEN TABLE LAYOUTS — the strangler-fig cutover
+    // every storage migration runs: three ingest batches DUAL-WRITE to
+    // the old layout (snapshot-per-version) and the new one (action
+    // log), with a q279 content-digest receipt proving the layouts agree
+    // AFTER EVERY BATCH — the shadow window where a divergence would be
+    // caught while the old path is still authoritative. The
+    // write-amplification ledger makes the migration's reason
+    // MEASURABLE: the snapshot layout rewrote the whole table per commit
+    // (bytes pinned strictly greater than the log's, which wrote each
+    // row once). Cutover is one pointer file; post-cutover ingest lands
+    // ONLY in the log (the old table is pinned frozen), and the router
+    // serves the union. At 100 TB nobody migrates a table by copying it
+    // once — they run exactly this: dual-write, verify, flip, freeze.
+    Q("q295_shadow_migration",
+      """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(o_orderkey) AS BIGINT) AS key_sum
+        |FROM orders GROUP BY 1""".stripMargin) { (s, dir) =>
+      import graft.ops.{ActionLog, TableChecksum, VersionedTable => VT}
+      val root = scratch(s, dir, "q295")
+      val (oldT, newT) = (s"$root/old", s"$root/new")
+      val o = Tables.load(s, dir, "orders")
+        .select(col("o_orderkey").cast("long").as("okey"),
+          col("o_orderpriority"))
+      def batch(i: Int) = o.filter(col("okey") % 4 === i)
+      def cum(i: Int) = o.filter(col("okey") % 4 <= i)
+      (0 until 3).foreach { i =>
+        VT.write(cum(i), oldT) // old layout: full snapshot per commit
+        ActionLog.append(batch(i).coalesce(1), newT) // new: the delta
+        // the shadow receipt: both layouts agree after EVERY batch
+        require(TableChecksum.digest(VT.read(s, oldT)) ==
+          TableChecksum.digest(ActionLog.read(s, newT)),
+          s"q295: layouts diverged during the shadow window at batch $i")
+      }
+      // the migration's reason, measured: snapshot bytes vs log bytes
+      def bytesUnder(p: String): Long = {
+        val root0 = new org.apache.hadoop.fs.Path(p)
+        val fs = root0.getFileSystem(s.sparkContext.hadoopConfiguration)
+        fs.getContentSummary(root0).getLength
+      }
+      require(bytesUnder(oldT) > bytesUnder(newT),
+        "q295: the snapshot layout must show its write amplification")
+      // cutover: one pointer; the old table freezes
+      val fs = new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      val out = fs.create(new org.apache.hadoop.fs.Path(s"$root/_route"), true)
+      out.write("log".getBytes("UTF-8")); out.close()
+      val frozenAt = VT.currentVersion(s, oldT).get
+      ActionLog.append(batch(3).coalesce(1), newT) // post-cutover ingest
+      require(VT.currentVersion(s, oldT).contains(frozenAt),
+        "q295: the old layout must be frozen after cutover")
+      def route(): org.apache.spark.sql.DataFrame = {
+        val in = fs.open(new org.apache.hadoop.fs.Path(s"$root/_route"))
+        val r = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+          finally in.close()
+        if (r == "log") ActionLog.read(s, newT) else VT.read(s, oldT)
+      }
+      val served = route()
+      require(served.exceptAll(o).isEmpty && o.exceptAll(served).isEmpty,
+        "q295: the routed read must serve the complete table")
+      served.groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).cast("bigint").as("n"),
+          sum(col("okey")).cast("bigint").as("key_sum"))
     })
 }
