@@ -22,31 +22,41 @@ import org.apache.hadoop.fs.{FileSystem, Path}
 object Maintenance {
 
   final case class Swept(table: String, kind: String, dropped: Int,
-      filesDeleted: Int)
+      filesDeleted: Int, compacted: Boolean = false)
 
   private val PolicyName = "_policy"
 
   private def fsOf(spark: SparkSession, dir: String): FileSystem =
     new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
-  /** Declare a table's retention: keep the newest `keep` versions. */
-  def setPolicy(spark: SparkSession, tableDir: String, keep: Int): Unit = {
+  /** Declare a table's retention (keep the newest `keep` versions) and —
+    * for log tables — an optional AUTO-OPTIMIZE trigger: when the live
+    * file count exceeds `compactOver`, the sweep bin-packs the table
+    * before vacuuming (Delta's auto-compaction policy as a declared,
+    * per-table contract).
+    */
+  def setPolicy(spark: SparkSession, tableDir: String, keep: Int,
+      compactOver: Option[Int] = None): Unit = {
     require(keep >= 1, "policy must keep at least the live version")
+    compactOver.foreach(n => require(n >= 1, "compactOver must be >= 1"))
     val fs = fsOf(spark, tableDir)
     val out = fs.create(new Path(tableDir, PolicyName), true)
-    try out.write(s"keep=$keep".getBytes(StandardCharsets.UTF_8))
+    try out.write((s"keep=$keep" +: compactOver.toSeq.map(n => s"compact=$n"))
+      .mkString("\n").getBytes(StandardCharsets.UTF_8))
     finally out.close()
   }
 
-  def policyOf(spark: SparkSession, tableDir: String): Int = {
+  def policyOf(spark: SparkSession, tableDir: String): (Int, Option[Int]) = {
     val fs = fsOf(spark, tableDir)
     val p = new Path(tableDir, PolicyName)
-    if (!fs.exists(p)) 2
+    if (!fs.exists(p)) (2, None)
     else {
       val in = fs.open(p)
       val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
         finally in.close()
-      text.stripPrefix("keep=").toInt
+      val kv = text.split("\n").map(_.split("=", 2))
+        .map(a => a(0) -> a(1)).toMap
+      (kv("keep").toInt, kv.get("compact").map(_.toInt))
     }
   }
 
@@ -68,16 +78,52 @@ object Maintenance {
     walk(new Path(root)).sortBy(_._1)
   }
 
-  /** Sweep the warehouse: apply each table's policy, return the ledger. */
+  /** CHECKSUM SCRUB — the storage-scrubbing pass every durable system
+    * schedules: walk the warehouse, verify each snapshot table's live
+    * version against its q279 content stamp; an unstamped table is
+    * ENROLLED (stamped now — the scrub bootstraps its own coverage), a
+    * diverged one reports `corrupt` LOUDLY in the ledger instead of
+    * waiting for an analyst to notice. Log tables carry their receipts
+    * per export (q285) and are skipped here.
+    */
+  def scrub(spark: SparkSession, root: String): Seq[(String, String)] =
+    discover(spark, root).map { case (dir, kind) =>
+      if (kind != "versioned") dir -> "skipped"
+      else VersionedTable.currentVersion(spark, dir) match {
+        case None => dir -> "empty"
+        case Some(v) =>
+          val fs = fsOf(spark, dir)
+          if (!fs.exists(new Path(VersionedTable.verDir(dir, v), "_crc"))) {
+            TableChecksum.stamp(spark, dir, v)
+            dir -> "enrolled"
+          } else scala.util.Try(TableChecksum.verify(spark, dir, v))
+            .fold(_ => dir -> "corrupt", _ => dir -> "ok")
+      }
+    }
+
+  /** Sweep the warehouse: apply each table's policy, return the ledger.
+    * For log tables the order is compact-then-vacuum, so a triggered
+    * OPTIMIZE's removed small files become vacuum-eligible in the same
+    * pass once retention allows.
+    */
   def sweep(spark: SparkSession, root: String): Seq[Swept] =
     discover(spark, root).map { case (dir, kind) =>
-      val keep = policyOf(spark, dir)
+      val (keep, compactOver) = policyOf(spark, dir)
       kind match {
         case "versioned" =>
           Swept(dir, kind, VersionedTable.gc(spark, dir, keep), 0)
         case "log" =>
+          val didCompact = compactOver.exists { n =>
+            val live = ActionLog.resolve(spark, dir,
+              ActionLog.versions(spark, dir).last)._1
+            if (live.size > n) {
+              ActionLog.compactFiles(spark, dir, live, numFiles = n,
+                statsCol = ActionLog.statsColumn(spark, dir))
+              true
+            } else false
+          }
           val (dropped, deleted) = ActionLog.vacuum(spark, dir, keep)
-          Swept(dir, kind, dropped, deleted)
+          Swept(dir, kind, dropped, deleted, didCompact)
       }
     }
 }

@@ -2055,5 +2055,107 @@ object OptimizerQueries {
       served.groupBy(col("o_orderpriority"))
         .agg(count(lit(1)).cast("bigint").as("n"),
           sum(col("okey")).cast("bigint").as("key_sum"))
+    },
+
+    // ---------------------------------------------------------------- q296
+    // AUTO-OPTIMIZE AS DECLARED POLICY — Delta's auto-compaction as a
+    // per-table contract the q287 janitor enforces: a log table declares
+    // `compact=2` next to its retention, six drip appends leave six
+    // small files, and the SWEEP bin-packs it through the OCC-safe
+    // compactFiles (stats preserved via the recorded stats column),
+    // then vacuums the detached originals IN THE SAME PASS (the
+    // compact-then-vacuum order is the point — the rewrite's garbage is
+    // retention-eligible immediately). Pinned: ≤2 live files after, the
+    // content digest unchanged across the whole maintenance, a table
+    // UNDER its threshold is untouched, and the second sweep is a
+    // no-op on both. At 100 TB nobody remembers to run OPTIMIZE — the
+    // table's own policy does.
+    Q("q296_auto_optimize",
+      """SELECT CAST(c_nationkey AS BIGINT) AS nk,
+        |  CAST(count(*) AS BIGINT) AS n, CAST(sum(c_custkey) AS BIGINT) AS ck_sum
+        |FROM customer GROUP BY 1""".stripMargin) { (s, dir) =>
+      import graft.ops.{ActionLog, Maintenance, TableChecksum}
+      val root = scratch(s, dir, "q296")
+      val cust = Tables.load(s, dir, "customer")
+        .select(col("c_custkey").cast("long").as("ck"),
+          col("c_nationkey").cast("long").as("nk"))
+      // six drip appends = six small files
+      (0 until 6).foreach(i => ActionLog.append(
+        cust.filter(col("ck") % 6 === i).coalesce(1), s"$root/busy",
+        Some("ck")))
+      Maintenance.setPolicy(s, s"$root/busy", keep = 2, compactOver = Some(2))
+      // a quiet table under its threshold
+      ActionLog.append(cust.coalesce(1), s"$root/quiet", Some("ck"))
+      Maintenance.setPolicy(s, s"$root/quiet", keep = 2, compactOver = Some(2))
+      val before = TableChecksum.digest(ActionLog.read(s, s"$root/busy"))
+      val ledger = Maintenance.sweep(s, root)
+        .map(w => w.table.split("/").last -> w.compacted).toMap
+      require(ledger == Map("busy" -> true, "quiet" -> false),
+        s"q296: only the over-threshold table compacts, got $ledger")
+      val liveFiles = ActionLog.resolve(s, s"$root/busy",
+        ActionLog.versions(s, s"$root/busy").last)._1
+      require(liveFiles.size <= 2,
+        s"q296: the sweep must bin-pack to the declared bound, got ${liveFiles.size}")
+      require(TableChecksum.digest(ActionLog.read(s, s"$root/busy")) == before,
+        "q296: maintenance must never change content")
+      require(Maintenance.sweep(s, root).forall(w =>
+        !w.compacted && w.dropped == 0 && w.filesDeleted == 0),
+        "q296: the second sweep must be a no-op")
+      ActionLog.read(s, s"$root/busy").groupBy(col("nk"))
+        .agg(count(lit(1)).cast("bigint").as("n"),
+          sum(col("ck")).cast("bigint").as("ck_sum"))
+    },
+
+    // ---------------------------------------------------------------- q297
+    // WAREHOUSE CHECKSUM SCRUB — storage scrubbing as a first-class op:
+    // the q287 discovery walk verifies every snapshot table's live
+    // version against its q279 stamp; an unstamped table is ENROLLED on
+    // first contact (the scrub bootstraps its own coverage — a scrubber
+    // that skips unlabeled tables protects nothing), and a silently
+    // corrupted one — one value flipped under a copied stamp — reports
+    // `corrupt` in the ledger instead of surfacing months later in a
+    // dashboard. Pinned: first scrub enrolls all three tables, the
+    // second reports the healthy two `ok` and EXACTLY the tampered one
+    // `corrupt`. This is what turns q279's per-table receipt into an
+    // operated guarantee: bit-rot has an SLA.
+    Q("q297_warehouse_scrub",
+      """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(o_orderkey) AS BIGINT) AS key_sum
+        |FROM orders WHERE o_orderkey % 2 = 0 GROUP BY 1""".stripMargin) { (s, dir) =>
+      import graft.ops.{Maintenance, VersionedTable => VT}
+      val root = scratch(s, dir, "q297")
+      val o = Tables.load(s, dir, "orders")
+        .filter(col("o_orderkey") % 2 === 0)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderpriority"))
+      VT.write(o, s"$root/a")
+      VT.write(o, s"$root/ns/b")
+      VT.write(o, s"$root/c")
+      def statuses() = Maintenance.scrub(s, root)
+        .map { case (d, st) => d.split("/").last -> st }.toMap
+      require(statuses() ==
+        Map("a" -> "enrolled", "b" -> "enrolled", "c" -> "enrolled"),
+        "q297: the first scrub must enroll every unstamped table")
+      // silent corruption: one value flips under the existing stamp
+      val fs = new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      val vd = VT.verDir(s"$root/c", 1L)
+      val crc = new org.apache.hadoop.fs.Path(vd, "_crc")
+      val crcBytes = {
+        val in = fs.open(crc)
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      }
+      VT.write(o.withColumn("o_custkey",
+        when(col("o_orderkey") % 100 === 2, col("o_custkey") + 1)
+          .otherwise(col("o_custkey"))), s"$root/c")
+      // pretend the new version was stamped long ago (the rot is silent)
+      val out = fs.create(new org.apache.hadoop.fs.Path(
+        VT.verDir(s"$root/c", 2L), "_crc"), true)
+      out.write(crcBytes.getBytes("UTF-8")); out.close()
+      require(statuses() == Map("a" -> "ok", "b" -> "ok", "c" -> "corrupt"),
+        s"q297: the scrub must catch exactly the rotten table, got ${statuses()}")
+      VT.read(s, s"$root/a").groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).cast("bigint").as("n"),
+          sum(col("o_orderkey")).cast("bigint").as("key_sum"))
     })
 }
