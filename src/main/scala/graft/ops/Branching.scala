@@ -119,6 +119,20 @@ object Branching {
     h
   }
 
+  /** Discard a branch: remove its head pointer — the commits it alone
+    * referenced become unreachable garbage for a future retention sweep
+    * (never deleted inline: another ref may still reach them). `main` is
+    * not droppable.
+    */
+  def drop(spark: SparkSession, dir: String, name: String): Unit = {
+    require(name != "main", "Branching.drop: main is not droppable")
+    val fs = fsOf(spark, dir)
+    val p = headPath(dir, name)
+    require(fs.exists(p), s"Branching.drop: no branch '$name'")
+    fs.delete(p, false)
+    ()
+  }
+
   def readCommit(spark: SparkSession, dir: String, id: Long): DataFrame =
     spark.read.parquet(cDir(dir, id).toString)
 

@@ -2157,5 +2157,45 @@ object OptimizerQueries {
       VT.read(s, s"$root/a").groupBy(col("o_orderpriority"))
         .agg(count(lit(1)).cast("bigint").as("n"),
           sum(col("o_orderkey")).cast("bigint").as("key_sum"))
+    },
+
+    // ---------------------------------------------------------------- q298
+    // PER-KEY AUDIT TIMELINE — Dolt's `history` table / the Delta-CDF
+    // audit query, as an operator: one keyed filter over `table_changes`
+    // renders a row's COMPLETE lifecycle — born at v1, revalued at v2
+    // (both images), killed at v3, resurrected at v4 — every transition
+    // tagged with its commit version and change type, O(changes) from
+    // the persisted feed, never a snapshot diff per version. The oracle
+    // replays the exact five-row lifecycle per tracked key from the base
+    // arithmetic, so the feed's per-key completeness is value-checked —
+    // a capture that dropped one transition would hash-fail. This is the
+    // question auditors actually ask ("what happened to THIS record?"),
+    // and at 100 TB it must cost the key's history, not the table's.
+    Q("q298_key_timeline",
+      """WITH k AS (SELECT c_custkey AS ck FROM customer
+        |           WHERE c_custkey % 70 = 0)
+        |SELECT ck, CAST(1 AS BIGINT) AS version, 'insert' AS change_type,
+        |  CAST(ck % 100 AS BIGINT) AS bal FROM k
+        |UNION ALL SELECT ck, 2, 'update_preimage', ck % 100 FROM k
+        |UNION ALL SELECT ck, 2, 'update_postimage', ck % 100 + 10 FROM k
+        |UNION ALL SELECT ck, 3, 'delete', ck % 100 + 10 FROM k
+        |UNION ALL SELECT ck, 4, 'insert', 7 FROM k""".stripMargin) { (s, dir) =>
+      import graft.ops.ChangeFeed
+      val root = scratch(s, dir, "q298")
+      val table = s"$root/t"
+      val c = Tables.load(s, dir, "customer")
+        .select(col("c_custkey").cast("long").as("ck"))
+      val v1 = c.withColumn("bal", col("ck") % 100)
+      val v2 = v1.withColumn("bal",
+        when(col("ck") % 5 === 0, col("bal") + 10).otherwise(col("bal")))
+      val v3 = v2.filter(col("ck") % 7 =!= 0)
+      val v4 = v3.unionByName(c.filter(col("ck") % 14 === 0)
+        .withColumn("bal", lit(7L)))
+      Seq(v1, v2, v3, v4).foreach(ChangeFeed.commit(_, table, Seq("ck")))
+      ChangeFeed.tableChanges(s, table, 0L, 4L, Seq("ck"))
+        .filter(col("ck") % 70 === 0)
+        .select(col("ck"), col(ChangeFeed.CommitVersion).as("version"),
+          col(ChangeFeed.ChangeType).as("change_type"),
+          col("bal").cast("bigint").as("bal"))
     })
 }

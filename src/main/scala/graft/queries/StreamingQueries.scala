@@ -1310,5 +1310,93 @@ object StreamingQueries {
       ActionLog.read(s, table).groupBy(col("event_type"))
         .agg(count(lit(1)).cast("bigint").as("n"),
           sum(col("event_id")).cast("bigint").as("id_sum"))
+    },
+
+    // ---------------------------------------------------------------- q299
+    // STREAMING WRITE-AUDIT-PUBLISH ON BRANCHES — CI for data: an
+    // ingest stream lands on a BRANCH (micro-batches become branch
+    // commits — main never sees a partial experiment), an AUDIT gate
+    // (bounds + key-uniqueness, one aggregate) runs on the finished
+    // branch, and only a PASSING branch merges — a fast-forward, since
+    // main never moved. The failing path is the one that matters: a
+    // poisoned ingest fails its audit, the branch is DISCARDED (one
+    // pointer delete — its commits are garbage for the sweep), and main
+    // is pinned bit-identical and head-identical to before the
+    // experiment existed. Plain WAP stages one snapshot; branch-WAP
+    // gives a failed pipeline a full multi-commit history to debug AND
+    // a one-pointer rollback. The bad rows are proven to have never
+    // been reachable from main at any point.
+    Q("q299_streaming_branch_wap",
+      """WITH base AS (SELECT event_id, event_type, event_id % 100 AS val
+        |  FROM events WHERE event_id % 3 = 0),
+        |good AS (SELECT event_id, event_type, event_id % 100 AS val
+        |  FROM events WHERE event_id % 3 = 1),
+        |m AS (SELECT * FROM base UNION ALL SELECT * FROM good)
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(val) AS BIGINT) AS val_sum
+        |FROM m GROUP BY 1""".stripMargin) { (s, dir) =>
+      import graft.ops.Branching
+      import scala.util.Try
+      val root = scratch(s, dir, "q299")
+      val table = s"$root/t"
+      val ev = Tables.load(s, dir, "events")
+        .select(col("event_id"), col("ts"), col("event_type"))
+      def shaped(df: org.apache.spark.sql.DataFrame, poison: Boolean) = {
+        val v = if (poison)
+          when(col("event_id") % 11 === 0, -5L).otherwise(col("event_id") % 100)
+        else col("event_id") % 100
+        df.select(col("event_id"), col("event_type"), v.as("val"))
+      }
+      Branching.init(shaped(ev.filter(col("event_id") % 3 === 0),
+        poison = false), table)
+      def ingest(branch: String, part: Int, poison: Boolean): Unit = {
+        Branching.branch(s, table, "main", branch)
+        val in = s"$root/in_$branch"
+        ev.filter(col("event_id") % 3 === part).coalesce(1)
+          .write.parquet(s"$in/f1")
+        withNarrowShuffle(s) {
+          val q = EventStream.fileSource(s, s"$in/*", ev.schema)
+            .writeStream.option("checkpointLocation", s"$root/cp_$branch")
+            .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+              Branching.commitOn(Branching.readBranch(s, table, branch)
+                .unionByName(shaped(b, poison)), table, branch)
+              ()
+            }
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start()
+          q.awaitTermination()
+        }
+      }
+      def audit(branch: String): Boolean = {
+        val r = Branching.readBranch(s, table, branch)
+          .agg(min(col("val")).as("mn"), count(lit(1)).as("n"),
+            countDistinct(col("event_id")).as("d")).head
+        r.getLong(0) >= 0L && r.getLong(1) == r.getLong(2)
+      }
+      // the passing experiment publishes via fast-forward
+      ingest("exp_a", part = 1, poison = false)
+      require(audit("exp_a"), "q299: the clean ingest must pass its audit")
+      require(Branching.merge(s, table, "exp_a", "main", Seq("event_id"))
+        .isInstanceOf[Branching.FastForward],
+        "q299: an unmoved main must fast-forward the audited branch")
+      val publishedHead = Branching.head(s, table, "main")
+      val published = Branching.readBranch(s, table, "main").localCheckpoint()
+      // the poisoned experiment never reaches main
+      ingest("exp_b", part = 2, poison = true)
+      require(!audit("exp_b"), "q299: the poisoned ingest must fail its audit")
+      Branching.drop(s, table, "exp_b")
+      require(Branching.head(s, table, "main") == publishedHead,
+        "q299: a discarded experiment must leave main's head untouched")
+      val after = Branching.readBranch(s, table, "main")
+      require(after.exceptAll(published).isEmpty &&
+        published.exceptAll(after).isEmpty,
+        "q299: main must be bit-identical after the discard")
+      require(after.filter(col("val") < 0).isEmpty,
+        "q299: no poisoned row may ever be reachable from main")
+      require(Try(Branching.readBranch(s, table, "exp_b")).isFailure,
+        "q299: the discarded branch must be gone")
+      after.groupBy(col("event_type"))
+        .agg(count(lit(1)).cast("bigint").as("n"),
+          sum(col("val")).cast("bigint").as("val_sum"))
     })
 }
