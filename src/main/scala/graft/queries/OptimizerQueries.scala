@@ -2197,5 +2197,83 @@ object OptimizerQueries {
         .select(col("ck"), col(ChangeFeed.CommitVersion).as("version"),
           col(ChangeFeed.ChangeType).as("change_type"),
           col("bal").cast("bigint").as("bal"))
+    },
+
+    // ---------------------------------------------------------------- q300
+    // THE PIPELINE, END TO END — the capstone composition: at-least-once
+    // INGEST into the exactly-once action log (a redelivered cohort
+    // arrives twice), a QUALITY gate, exact DEDUP, a CURATED merge with
+    // change capture, an MV refresh from the feed, and a sharded EXPORT
+    // whose read-back digest must equal the curated content — every
+    // stage the real operator from this library, every stage's row count
+    // a LEDGER ENTRY the oracle recomputes independently. The survivor
+    // accounting is the audit: ingested − quality-failed − dup-copies =
+    // curated = exported, and the export receipt proves the bytes on
+    // disk are the curated table, not an approximation of it. This is
+    // the "a user of the reference could switch" statement in one
+    // entry: source → gate → dedup → table → view → training shards,
+    // with receipts.
+    Q("q300_pipeline_capstone", {
+      val delivered = "SELECT event_id, event_type FROM events " +
+        "UNION ALL SELECT event_id, event_type FROM events WHERE event_id % 4 = 0"
+      s"""WITH d AS ($delivered),
+        |q AS (SELECT * FROM d WHERE event_id % 97 <> 0),
+        |u AS (SELECT DISTINCT event_id, event_type FROM q)
+        |SELECT 'ingested' AS stage, CAST(count(*) AS BIGINT) AS rows_out FROM d
+        |UNION ALL SELECT 'quality_pass', CAST(count(*) AS BIGINT) FROM q
+        |UNION ALL SELECT 'deduped', CAST(count(*) AS BIGINT) FROM u
+        |UNION ALL SELECT 'curated', CAST(count(*) AS BIGINT) FROM u
+        |UNION ALL SELECT 'mv_groups',
+        |  CAST(count(DISTINCT event_type) AS BIGINT) FROM u
+        |UNION ALL SELECT 'exported', CAST(count(*) AS BIGINT) FROM u"""
+        .stripMargin
+    }) { (s, dir) =>
+      import graft.ops.{ActionLog, ChangeFeed, IncrementalView => IV,
+        TableChecksum, VersionedTable => VT}
+      val root = scratch(s, dir, "q300")
+      val ev = Tables.load(s, dir, "events")
+        .select(col("event_id"), col("event_type"))
+      // 1. INGEST: exactly-once log, at-least-once DATA (a redelivery)
+      val ingestT = s"$root/ingest"
+      ActionLog.appendCommitted(ev, ingestT, "q300", 0L)
+      ActionLog.appendCommitted(ev.filter(col("event_id") % 4 === 0),
+        ingestT, "q300", 1L)
+      val ingested = ActionLog.read(s, ingestT).localCheckpoint()
+      // 2. QUALITY gate
+      val quality = ingested.filter(col("event_id") % 97 =!= 0)
+      // 3. exact DEDUP
+      val deduped = quality.dropDuplicates("event_id").localCheckpoint()
+      // 4. CURATED merge with capture
+      val curatedT = s"$root/curated"
+      ChangeFeed.commit(deduped, curatedT, Seq("event_id"))
+      // 5. MV refresh from the table
+      val viewT = s"$root/view"
+      IV.refreshTable(s, viewT, curatedT, Seq("event_id"),
+        IV.Spec(Seq("event_type"), Seq("id_sum" -> col("event_id"))))
+      val mvGroups = VT.read(s, viewT).count()
+      // 6. EXPORT with a content receipt
+      val exportDir = s"$root/export"
+      VT.read(s, curatedT)
+        .withColumn("shard", expr(
+          "CAST(conv(substring(md5(CAST(CAST(event_id AS STRING) AS BINARY))," +
+            " 1, 6), 16, 10) AS BIGINT) % 4"))
+        .write.partitionBy("shard").mode("overwrite").parquet(exportDir)
+      val exported = s.read.option("basePath", exportDir).parquet(exportDir)
+        .select(col("event_id"), col("event_type"))
+      require(TableChecksum.digest(exported) ==
+        TableChecksum.digest(VT.read(s, curatedT)
+          .select(col("event_id"), col("event_type"))),
+        "q300: the export receipt must equal the curated content")
+      // the survivor accounting, then the ledger
+      val (nIn, nQ, nU) = (ingested.count(), quality.count(), deduped.count())
+      require(nIn > nQ && nQ > nU,
+        "q300: every stage must do real work on this data")
+      require(exported.count() == nU,
+        "q300: the export must carry exactly the curated rows")
+      import s.implicits._
+      Seq("ingested" -> nIn, "quality_pass" -> nQ, "deduped" -> nU,
+        "curated" -> VT.read(s, curatedT).count(), "mv_groups" -> mvGroups,
+        "exported" -> exported.count())
+        .toDF("stage", "rows_out")
     })
 }
