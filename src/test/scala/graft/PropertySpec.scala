@@ -2,6 +2,7 @@ package graft
 
 import org.scalatest.funsuite.AnyFunSuite
 import org.scalacheck.{Gen, Prop, Test => SCTest}
+import org.scalacheck.Prop.propBoolean
 import org.apache.spark.sql.functions._
 import graft.ops.{DateDim, Dedup, Quality, SurrogateKeys, Upsert}
 
@@ -289,6 +290,82 @@ class PropertySpec extends AnyFunSuite {
       val lower = est <= xr
       val upper = estBin == maxBin || xr < est + w
       lower && upper
+    })
+  }
+
+  // ---- round-7 algebra: randomized equivalence laws --------------------
+
+  private val genTable: Gen[Map[Long, Long]] =
+    Gen.mapOfN(12, Gen.zip(Gen.choose(1L, 8L), Gen.choose(0L, 99L)))
+
+  test("join-view IVM equals recompute under RANDOM update/delete/insert sets") {
+    import graft.ops.{ChangeFeed, IncrementalView => IV, VersionedTable => VT}
+    check(Prop.forAll(genTable, genTable, genTable, genTable) { (a1m, a2m, b1m, b2m) =>
+      (a1m.nonEmpty && a2m.nonEmpty && b1m.nonEmpty && b2m.nonEmpty) ==> {
+        // key k joins on j = k % 3; payload is the value
+        def df(m: Map[Long, Long]) = m.toSeq.toDF("k", "p")
+          .withColumn("j", col("k") % 3)
+        val dirA = TestSpark.tmpDir("pivmA"); val dirB = TestSpark.tmpDir("pivmB")
+        ChangeFeed.commit(df(a1m), dirA, Seq("k"))
+        ChangeFeed.commit(df(a2m), dirA, Seq("k"))
+        ChangeFeed.commit(df(b1m).withColumnRenamed("p", "q"), dirB, Seq("k"))
+        ChangeFeed.commit(df(b2m).withColumnRenamed("p", "q"), dirB, Seq("k"))
+        val cols = Seq("j", "p", "q")
+        val a0 = VT.readVersion(spark, dirA, 1).select(col("j"), col("p"))
+        val b0 = VT.readVersion(spark, dirB, 1).select(col("j"), col("q"))
+        val view1 = IV.counted(a0.join(b0, Seq("j")), cols)
+        val dA = IV.signed(ChangeFeed.tableChanges(spark, dirA, 1, 2, Seq("k")),
+          Seq("j", "p"))
+        val dB = IV.signed(ChangeFeed.tableChanges(spark, dirB, 1, 2, Seq("k")),
+          Seq("j", "q"))
+        val view2 = IV.applyCounted(view1,
+          IV.joinDelta(a0, dA, b0, dB, Seq("j")), cols)
+        val direct = IV.counted(
+          VT.readVersion(spark, dirA, 2).select(col("j"), col("p"))
+            .join(VT.readVersion(spark, dirB, 2).select(col("j"), col("q")),
+              Seq("j")), cols)
+        view2.exceptAll(direct).isEmpty && direct.exceptAll(view2).isEmpty
+      }
+    })
+  }
+
+  test("branch merges on DISJOINT key cohorts commute with apply order") {
+    import graft.ops.Branching
+    check(Prop.forAll(genTable, Gen.choose(0L, 1L)) { (m, flip) =>
+      (m.size >= 4) ==> {
+        val base = m.toSeq.toDF("k", "v")
+        val dir = TestSpark.tmpDir("pbr")
+        Branching.init(base, dir)
+        Branching.branch(spark, dir, "main", "a")
+        Branching.branch(spark, dir, "main", "b")
+        // a touches even keys, b touches odd keys — provably disjoint
+        Branching.commitOn(base.withColumn("v",
+          when(col("k") % 2 === 0, col("v") + 100).otherwise(col("v"))),
+          dir, "a")
+        Branching.commitOn(base.withColumn("v",
+          when(col("k") % 2 === 1, col("v") + 200).otherwise(col("v"))),
+          dir, "b")
+        val order = if (flip == 0L) Seq("a", "b") else Seq("b", "a")
+        order.foreach(br => Branching.merge(spark, dir, br, "main", Seq("k")))
+        val got = Branching.readBranch(spark, dir, "main")
+        val want = base.withColumn("v",
+          when(col("k") % 2 === 0, col("v") + 100)
+            .otherwise(col("v") + 200))
+        got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty
+      }
+    })
+  }
+
+  test("content digest is a function of content alone across layouts") {
+    import graft.ops.TableChecksum
+    check(Prop.forAll(genTable, Gen.choose(1, 5)) { (m, parts) =>
+      m.nonEmpty ==> {
+        val df = m.toSeq.toDF("k", "v")
+        TableChecksum.digest(df) ==
+          TableChecksum.digest(df.repartition(parts)) &&
+        TableChecksum.digest(df) ==
+          TableChecksum.digest(df.orderBy(col("v").desc))
+      }
     })
   }
 }
