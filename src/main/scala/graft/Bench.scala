@@ -104,7 +104,8 @@ object Bench {
       "q210_streaming_cdf_exactly_once", "q221_native_cdf_stream",
       "q242_snapshot_stream_handoff", "q257_inactivity_timers",
       "q261_streaming_join_ivm", "q269_log_table_stream",
-      "q289_log_txn_exactly_once", "q299_streaming_branch_wap")
+      "q289_log_txn_exactly_once", "q299_streaming_branch_wap",
+      "q301_sql_stream_table")
     val streamingS = results.filter(kv => streamingNames(kv._1)).map(_._2).sum
     val knobTag =
       (if (sys.env.contains("SPARK_GRAFT_BENCH_FILTER")) s""","filtered":true""" else "") +

@@ -1398,5 +1398,64 @@ object StreamingQueries {
       after.groupBy(col("event_type"))
         .agg(count(lit(1)).cast("bigint").as("n"),
           sum(col("val")).cast("bigint").as("val_sum"))
+    },
+
+    // ---------------------------------------------------------------- q301
+    // STREAMING A CATALOG TABLE BY NAME — `spark.readStream.table` over
+    // the q280 catalog: the SAME identifier serves batch SQL and a
+    // STREAM (the log table's MICRO_BATCH_READ capability hands Spark
+    // the q269 version-offset stream; reader options pass through), so a
+    // pipeline subscribes to a table with a NAME, not a path — the
+    // difference between "wire this directory" and a governed surface.
+    // Pinned: two commit→run cycles deliver each append exactly once
+    // (sink-checkpoint offsets over log versions), batch SQL over the
+    // same name agrees with the accumulated stream, and the append-only
+    // guard still fails a resumed stream loudly after a rewrite —
+    // the protocol survives the naming layer intact.
+    Q("q301_sql_stream_table",
+      """SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(l_orderkey) AS BIGINT) AS key_sum
+        |FROM lineitem WHERE l_orderkey % 4 < 2 GROUP BY 1""".stripMargin) { (s, dir) =>
+      import graft.ops.ActionLog
+      import scala.util.Try
+      val root = scratch(s, dir, "q301")
+      val tdir = s"$root/ns/t"
+      val li = Tables.load(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"))
+      def quarter(i: Int) = li.filter(col("l_orderkey") % 4 === i)
+      ActionLog.append(quarter(0).coalesce(1), tdir)
+      val cat = "graftt_" + java.security.MessageDigest.getInstance("MD5")
+        .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(6)
+      s.conf.set(s"spark.sql.catalog.$cat",
+        classOf[graft.source.GraftCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.root", root)
+      val (out, cp) = (s"$root/out", s"$root/cp")
+      def run(): Unit = withNarrowShuffle(s) {
+        val q = s.readStream.option("startingVersion", "0")
+          .table(s"$cat.ns.t")
+          .writeStream.format("parquet")
+          .option("path", out).option("checkpointLocation", cp)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      run()
+      ActionLog.append(quarter(1).coalesce(1), tdir)
+      run()
+      val streamed = s.read.parquet(out).localCheckpoint()
+      val want = li.filter(col("l_orderkey") % 4 < 2)
+      require(streamed.exceptAll(want).isEmpty && want.exceptAll(streamed).isEmpty,
+        "q301: the named stream must deliver each append exactly once")
+      // batch SQL over the SAME name agrees with the accumulated stream
+      val batch = s.sql(s"SELECT * FROM $cat.ns.t")
+      require(batch.exceptAll(streamed).isEmpty && streamed.exceptAll(batch).isEmpty,
+        "q301: batch and stream views of one name must agree")
+      // the append-only guard survives the naming layer
+      ActionLog.rewrite(ActionLog.read(s, tdir), tdir, 1)
+      require(Try(run()).isFailure,
+        "q301: a rewrite must still fail the resumed stream loudly")
+      streamed.groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).cast("bigint").as("n"),
+          sum(col("l_orderkey")).cast("bigint").as("key_sum"))
     })
 }

@@ -369,6 +369,11 @@ private[source] class GraftMappedSqlScan(dataDir: String, schema: StructType,
   * stats column — zero footers opened for skipped files — and every
   * pushed filter is returned as a residual so Spark re-applies the exact
   * predicate (pruning is an optimization, never a correctness bet).
+  * STREAMING reads (`spark.readStream.table`) hand the same table to the
+  * version-offset micro-batch stream — the q269 source behind the
+  * catalog name (reader options `startingVersion` /
+  * `maxVersionsPerTrigger` pass through); the version-TAGGED feed stays
+  * on the direct [[LogStream]] source, whose schema declares the tag.
   */
 private[source] class GraftLogSqlTable(tableName: String, dir: String,
     files: Seq[(String, Option[(Long, Long, Long)])],
@@ -377,14 +382,16 @@ private[source] class GraftLogSqlTable(tableName: String, dir: String,
   override def name(): String = tableName
   override def schema(): StructType = tableSchema
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_READ)
+    java.util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new GraftLogScanBuilder(dir, files, statsCol, tableSchema)
+    new GraftLogScanBuilder(dir, files, statsCol, tableSchema, options)
 }
 
 private[source] class GraftLogScanBuilder(dir: String,
     files: Seq[(String, Option[(Long, Long, Long)])],
-    statsCol: Option[String], tableSchema: StructType)
+    statsCol: Option[String], tableSchema: StructType,
+    options: CaseInsensitiveStringMap = CaseInsensitiveStringMap.empty())
     extends ScanBuilder with SupportsPushDownRequiredColumns
     with org.apache.spark.sql.connector.read.SupportsPushDownFilters {
   import org.apache.spark.sql.sources._
@@ -420,14 +427,21 @@ private[source] class GraftLogScanBuilder(dir: String,
       case (f, Some((lo, hi, _))) if hi >= bounds._1 && lo <= bounds._2 => f
       case (f, None) => f // stats-less file: conservative admit
     }
-    new GraftLogScan(dir, keep, files.size, pruned)
+    new GraftLogScan(dir, keep, files.size, pruned, options)
   }
 }
 
 private[source] class GraftLogScan(dir: String, keep: Seq[String],
-    total: Int, schema: StructType) extends Scan with Batch {
+    total: Int, schema: StructType,
+    options: CaseInsensitiveStringMap = CaseInsensitiveStringMap.empty())
+    extends Scan with Batch {
   override def readSchema(): StructType = schema
   override def toBatch: Batch = this
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new LogMicroBatchStream(dir, schema,
+      Option(options.get("startingVersion")).map(_.toLong),
+      Option(options.get("maxVersionsPerTrigger")).map(_.toInt))
   override def description(): String =
     s"GraftLogScan [$dir] files=${keep.size}/$total"
   override def planInputPartitions(): Array[InputPartition] =
