@@ -84,24 +84,77 @@ object Branching {
   }
 
   /** Stage an immutable commit: parquet first (committer plants _SUCCESS),
-    * then parents, then the head flip — a crash leaves a dangling commit
-    * dir no head references.
+    * then capture and parents, then the head flip — a crash leaves a
+    * dangling commit dir no head references. With `captureKeys`, the
+    * commit carries its keyed diff against the FIRST parent — for a merge
+    * commit that is exactly the incoming side's net effect on the target
+    * branch, which is what a feed consumer of the target should see.
     */
   private def commitDirs(df: DataFrame, dir: String, parentIds: Seq[Long],
-      branch: String): Long = {
+      branch: String, captureKeys: Option[Seq[String]] = None): Long = {
     val spark = df.sparkSession
     val fs = fsOf(spark, dir)
     val id = nextId(fs, dir)
     df.write.mode("overwrite").parquet(cDir(dir, id).toString)
+    captureKeys.foreach { keys =>
+      val old = parentIds.headOption.map(readCommit(spark, dir, _))
+      ChangeFeed.diff(old, spark.read.parquet(cDir(dir, id).toString), keys)
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .parquet(new Path(cDir(dir, id), "_cdf").toString)
+    }
     writeText(fs, new Path(cDir(dir, id), "_parents"),
       parentIds.mkString("\n"))
     writeText(fs, headPath(dir, branch), id.toString)
     id
   }
 
+  /** The FIRST-PARENT feed of `branch` back to (exclusive) `fromId`: each
+    * commit's persisted capture tagged with its id, ordered oldest-first.
+    * LOUD on a capture-less commit in range — a silent gap would corrupt
+    * every replay built on the feed (the q221 contract, on the DAG).
+    */
+  def branchChanges(spark: SparkSession, dir: String, branch: String,
+      fromId: Long, keyCols: Seq[String]): DataFrame = {
+    val fs = fsOf(spark, dir)
+    var chain = List.empty[Long]
+    var cur = head(spark, dir, branch)
+    while (cur != fromId) {
+      chain = cur :: chain
+      val ps = parents(spark, dir, cur)
+      if (ps.isEmpty) {
+        // the root commit: fromId 0 means "from the very beginning"
+        require(fromId == 0L,
+          s"Branching.branchChanges: $fromId is not a first-parent " +
+            s"ancestor of $branch's head")
+        cur = 0L
+      } else cur = ps.head
+    }
+    require(chain.nonEmpty,
+      s"Branching.branchChanges($branch, $fromId): empty range")
+    chain.map { id =>
+      val cd = new Path(cDir(dir, id), "_cdf")
+      require(fs.exists(cd),
+        s"Branching.branchChanges: commit $id has no capture — every " +
+          "commit on a fed branch must capture")
+      spark.read.parquet(cd.toString)
+        .withColumn(ChangeFeed.CommitVersion, lit(id))
+    }.reduce(_.unionByName(_))
+  }
+
+  /** [[commitOn]] with change capture. */
+  def commitOnCaptured(df: DataFrame, dir: String, branch: String,
+      keyCols: Seq[String]): Long = {
+    val h = head(df.sparkSession, dir, branch)
+    commitDirs(df, dir, Seq(h), branch, Some(keyCols))
+  }
+
   /** First commit on `main`. */
   def init(df: DataFrame, dir: String): Long =
     commitDirs(df, dir, Seq.empty, "main")
+
+  /** [[init]] with change capture (the feed's all-inserts base). */
+  def initCaptured(df: DataFrame, dir: String, keyCols: Seq[String]): Long =
+    commitDirs(df, dir, Seq.empty, "main", Some(keyCols))
 
   /** Commit `df` as the new head of `branch`. */
   def commitOn(df: DataFrame, dir: String, branch: String): Long = {
@@ -131,6 +184,32 @@ object Branching {
     require(fs.exists(p), s"Branching.drop: no branch '$name'")
     fs.delete(p, false)
     ()
+  }
+
+  /** All branch names (the `_heads` listing). */
+  def branches(spark: SparkSession, dir: String): Seq[String] = {
+    val fs = fsOf(spark, dir)
+    val hp = new Path(s"$dir/_heads")
+    if (!fs.exists(hp)) Seq.empty
+    else fs.listStatus(hp).toSeq.map(_.getPath.getName).sorted
+  }
+
+  /** UNREACHABLE-COMMIT GC — the retention sweep [[drop]] defers to:
+    * reachable = the ancestor closure of EVERY live head; every other
+    * commit dir (dropped experiments, crashed danglers) is deleted.
+    * Returns the victim count. Safe by construction: a commit any ref
+    * can still walk to is never touched, however old.
+    */
+  def gc(spark: SparkSession, dir: String): Int = {
+    val fs = fsOf(spark, dir)
+    val reachable = branches(spark, dir)
+      .map(b => head(spark, dir, b))
+      .flatMap(h => ancestors(spark, dir, h)).toSet
+    val all = fs.listStatus(new Path(dir)).toSeq.map(_.getPath.getName)
+      .filter(_.matches("_c-\\d{8}")).map(_.stripPrefix("_c-").toLong)
+    val victims = all.filterNot(reachable)
+    victims.foreach(id => fs.delete(cDir(dir, id), true))
+    victims.size
   }
 
   def readCommit(spark: SparkSession, dir: String, id: Long): DataFrame =
@@ -178,7 +257,7 @@ object Branching {
     * key-wise three-way merge, failing loudly on any true conflict.
     */
   def merge(spark: SparkSession, dir: String, from: String, into: String,
-      keyCols: Seq[String]): MergeOutcome = {
+      keyCols: Seq[String], capture: Boolean = false): MergeOutcome = {
     val hFrom = head(spark, dir, from)
     val hInto = head(spark, dir, into)
     if (hFrom == hInto) return FastForward(hInto)
@@ -209,7 +288,8 @@ object Branching {
       .filter(col("_op") === "U").dropDuplicates(keyCols).drop("_op")
     val merged = base.join(touched, keyCols, "left_anti")
       .unionByName(upserts)
-    val id = commitDirs(merged.localCheckpoint(), dir, Seq(hInto, hFrom), into)
+    val id = commitDirs(merged.localCheckpoint(), dir, Seq(hInto, hFrom),
+      into, if (capture) Some(keyCols) else None)
     Merged(id)
   }
 }

@@ -2275,5 +2275,182 @@ object OptimizerQueries {
         "curated" -> VT.read(s, curatedT).count(), "mv_groups" -> mvGroups,
         "exported" -> exported.count())
         .toDF("stage", "rows_out")
+    },
+
+    // ---------------------------------------------------------------- q302
+    // THE BRANCH CHANGE FEED — CDC on the commit DAG (Dolt's diff
+    // semantics composed with q221's feed contract): every commit
+    // captures its keyed diff against its FIRST parent, so a consumer
+    // subscribed to MAIN walks the first-parent chain and sees direct
+    // commits as themselves and a MERGE COMMIT as exactly the incoming
+    // branch's net effect — pinned: the merge slice of the feed equals
+    // the dev branch's cohort update, nothing more. The feed is
+    // REPLAY-COMPLETE: folding latest-change-per-key over the whole
+    // chain reconstructs the head bit-exactly (a capture that dropped a
+    // transition would fail the equality), and a capture-less commit in
+    // range fails LOUDLY instead of leaving a silent gap. At 100 TB this
+    // is how downstream consumers follow a branched table without
+    // knowing or caring which changes arrived by merge.
+    Q("q302_branch_change_feed",
+      """WITH c AS (SELECT c_custkey AS ck, c_custkey % 100 AS b FROM customer),
+        |m AS (SELECT ck, b + CASE ck % 10 WHEN 1 THEN 1 WHEN 2 THEN 2
+        |    WHEN 3 THEN 3 ELSE 0 END AS b FROM c)
+        |SELECT CAST(ck % 10 AS BIGINT) AS bucket,
+        |  CAST(count(*) AS BIGINT) AS n, CAST(sum(b) AS BIGINT) AS b_sum
+        |FROM m GROUP BY 1""".stripMargin) { (s, dir) =>
+      import graft.ops.{Branching, ChangeFeed}
+      import org.apache.spark.sql.expressions.Window
+      val root = scratch(s, dir, "q302")
+      val table = s"$root/t"
+      val base = Tables.load(s, dir, "customer")
+        .select(col("c_custkey").cast("long").as("ck"))
+        .withColumn("b", col("ck") % 100)
+      def bump(df: org.apache.spark.sql.DataFrame, m: Int, d: Int) =
+        df.withColumn("b", when(col("ck") % 10 === m, col("b") + d)
+          .otherwise(col("b")))
+      Branching.initCaptured(base, table, Seq("ck")) // c1
+      Branching.commitOnCaptured(
+        bump(Branching.readBranch(s, table, "main"), 1, 1),
+        table, "main", Seq("ck")) // c2: cohort 1
+      Branching.branch(s, table, "main", "dev")
+      Branching.commitOnCaptured(
+        bump(Branching.readBranch(s, table, "dev"), 2, 2),
+        table, "dev", Seq("ck")) // c3: cohort 2 on the branch
+      Branching.commitOnCaptured(
+        bump(Branching.readBranch(s, table, "main"), 3, 3),
+        table, "main", Seq("ck")) // c4: cohort 3 — main moved, so the merge is real
+      val out = Branching.merge(s, table, "dev", "main", Seq("ck"),
+        capture = true)
+      require(out.isInstanceOf[Branching.Merged],
+        "q302: the diverged merge must land a real merge commit")
+      val mergeId = out.head
+      val feed = Branching.branchChanges(s, table, "main", 0L, Seq("ck"))
+        .localCheckpoint()
+      // the merge slice IS the branch's net effect — nothing more
+      val mergeSlice = feed
+        .filter(col(ChangeFeed.CommitVersion) === mergeId &&
+          col(ChangeFeed.ChangeType) === "update_postimage")
+        .select(col("ck"), col("b"))
+      val devEffect = bump(bump(base, 1, 1), 3, 3)
+        .filter(col("ck") % 10 === 2).withColumn("b", col("b") + 2)
+        .select(col("ck"), col("b"))
+      require(mergeSlice.exceptAll(devEffect).isEmpty &&
+        devEffect.exceptAll(mergeSlice).isEmpty,
+        "q302: the merge commit's feed slice must be exactly the branch's effect")
+      // replay completeness: latest-change-per-key rebuilds the head
+      val replayed = feed
+        .filter(col(ChangeFeed.ChangeType).isin("insert", "update_postimage"))
+        .withColumn("rn", row_number().over(Window.partitionBy(col("ck"))
+          .orderBy(col(ChangeFeed.CommitVersion).desc)))
+        .filter(col("rn") === 1).select(col("ck"), col("b"))
+      val headDf = Branching.readBranch(s, table, "main")
+      require(replayed.exceptAll(headDf).isEmpty &&
+        headDf.exceptAll(replayed).isEmpty,
+        "q302: the feed must replay to the head bit-exactly")
+      headDf.groupBy((col("ck") % 10).cast("bigint").as("bucket"))
+        .agg(count(lit(1)).cast("bigint").as("n"),
+          sum(col("b")).cast("bigint").as("b_sum"))
+    },
+
+    // ---------------------------------------------------------------- q303
+    // SQL DISCOVERY SURFACES — `SHOW NAMESPACES` / `SHOW TABLES` over
+    // the catalog (`SupportsNamespaces`): a BI tool's first two queries
+    // against an unfamiliar warehouse must work, and the answers must be
+    // TYPED correctly — a namespace is a directory that is NOT a table
+    // (layout-detected), a table is any of the four flavors, and a
+    // top-level table must never masquerade as a namespace. The oracle
+    // is the literal inventory this query's own construction implies —
+    // the discovery layer is value-checked like everything else. DDL on
+    // namespaces is refused (read-only, same contract as tables).
+    Q("q303_sql_show",
+      """SELECT 'namespace' AS kind, 'ns1' AS name
+        |UNION ALL SELECT 'namespace', 'ns2'
+        |UNION ALL SELECT 'table', 'ns1.t1'
+        |UNION ALL SELECT 'table', 'ns1.t2'
+        |UNION ALL SELECT 'table', 'ns2.t3'
+        |UNION ALL SELECT 'table', 't4'""".stripMargin) { (s, dir) =>
+      import graft.ops.{ActionLog, Branching, VersionedTable => VT}
+      import scala.util.Try
+      val root = scratch(s, dir, "q303")
+      val df = Tables.load(s, dir, "nation")
+        .select(col("n_nationkey").cast("long").as("k"))
+      VT.write(df, s"$root/ns1/t1")
+      ActionLog.append(df.coalesce(1), s"$root/ns1/t2")
+      Branching.init(df, s"$root/ns2/t3")
+      VT.write(df, s"$root/t4")
+      val cat = "graftn_" + java.security.MessageDigest.getInstance("MD5")
+        .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(6)
+      s.conf.set(s"spark.sql.catalog.$cat",
+        classOf[graft.source.GraftCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.root", root)
+      val namespaces = s.sql(s"SHOW NAMESPACES IN $cat")
+        .collect().map(_.getString(0)).toSet
+      require(namespaces == Set("ns1", "ns2"),
+        s"q303: namespaces must be exactly the non-table dirs, got $namespaces")
+      def tablesIn(ns: String) = s.sql(s"SHOW TABLES IN $cat$ns")
+        .collect().map(_.getString(1)).toSet
+      require(tablesIn(".ns1") == Set("t1", "t2") &&
+        tablesIn(".ns2") == Set("t3") && tablesIn("") == Set("t4"),
+        "q303: every table flavor must list, nothing else")
+      require(Try(s.sql(s"CREATE NAMESPACE $cat.ns9")).isFailure,
+        "q303: namespace DDL must be refused")
+      import s.implicits._
+      (namespaces.toSeq.sorted.map(n => ("namespace", n)) ++
+        (tablesIn(".ns1").map("ns1." + _) ++ tablesIn(".ns2").map("ns2." + _)
+          ++ tablesIn("")).toSeq.sorted.map(t => ("table", t)))
+        .toDF("kind", "name")
+    },
+
+    // ---------------------------------------------------------------- q304
+    // UNREACHABLE-COMMIT GC — the branch lifecycle's retention half
+    // (`Branching.gc`): reachability is the ANCESTOR CLOSURE of every
+    // live head, so a dropped experiment's exclusive commits die, a
+    // MERGED-then-dropped branch loses NOTHING (its commits entered
+    // main's history through the merge — the property that makes
+    // dropping merged branches routine), shared history is never
+    // touched, and the sweep is idempotent. Pinned on content too:
+    // main and the surviving branch read bit-identically across the
+    // sweep, and the dropped experiment's head commit is physically
+    // gone. This is LakeFS/Nessie's documented GC model: refs are
+    // roots, everything else is garbage.
+    Q("q304_branch_gc",
+      """WITH n AS (SELECT CAST(n_nationkey AS BIGINT) AS k,
+        |    CAST(n_regionkey AS BIGINT) AS r FROM nation)
+        |SELECT r, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(k + 7) AS BIGINT) AS k_sum
+        |FROM n GROUP BY 1""".stripMargin) { (s, dir) =>
+      import graft.ops.Branching
+      import scala.util.Try
+      val root = scratch(s, dir, "q304")
+      val table = s"$root/t"
+      val base = Tables.load(s, dir, "nation")
+        .select(col("n_nationkey").cast("long").as("k"),
+          col("n_regionkey").cast("long").as("r"))
+      Branching.init(base, table)
+      Branching.branch(s, table, "main", "exp1")
+      Branching.branch(s, table, "main", "exp2")
+      val doomed = Branching.commitOn(base.withColumn("k", col("k") + 999),
+        table, "exp1")
+      Branching.commitOn(base.withColumn("k", col("k") + 7), table, "exp2")
+      val mainBefore = Branching.readBranch(s, table, "main").localCheckpoint()
+      // a dropped experiment's exclusive commit dies; nothing else does
+      Branching.drop(s, table, "exp1")
+      require(Branching.gc(s, table) == 1,
+        "q304: exactly the dropped experiment's commit must die")
+      require(Try(Branching.readCommit(s, table, doomed).count()).isFailure,
+        "q304: the doomed commit must be physically gone")
+      val mainAfter = Branching.readBranch(s, table, "main")
+      require(mainAfter.exceptAll(mainBefore).isEmpty &&
+        mainBefore.exceptAll(mainAfter).isEmpty,
+        "q304: the sweep must not touch reachable content")
+      require(Branching.gc(s, table) == 0, "q304: the sweep is idempotent")
+      // a MERGED-then-dropped branch loses nothing
+      Branching.merge(s, table, "exp2", "main", Seq("k"))
+      Branching.drop(s, table, "exp2")
+      require(Branching.gc(s, table) == 0,
+        "q304: merged history must survive its branch's deletion")
+      Branching.readBranch(s, table, "main").groupBy(col("r"))
+        .agg(count(lit(1)).cast("bigint").as("n"),
+          sum(col("k")).cast("bigint").as("k_sum"))
     })
 }

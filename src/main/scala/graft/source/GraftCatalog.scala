@@ -28,7 +28,7 @@ import graft.ops.VersionedTable
   * dir is a VersionedTable. Executor reads go through the same parquet
   * Group decoder as the CDF/log streams.
   */
-class GraftCatalog extends TableCatalog {
+class GraftCatalog extends TableCatalog with SupportsNamespaces {
 
   private var catName: String = _
   private var root: String = _
@@ -85,7 +85,9 @@ class GraftCatalog extends TableCatalog {
     val nsPath = new Path((root +: namespace.toSeq).mkString("/"))
     val fs = nsPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(nsPath)) Array.empty
-    else fs.listStatus(nsPath).filter(_.isDirectory)
+    else fs.listStatus(nsPath)
+      .filter(st => st.isDirectory && !st.getPath.getName.startsWith("_") &&
+        isTableDir(spark, st.getPath))
       .map(st => Identifier.of(namespace, st.getPath.getName))
   }
 
@@ -211,6 +213,52 @@ class GraftCatalog extends TableCatalog {
         spark.read.parquet(vd).schema)
     }
   }
+
+  // SupportsNamespaces: namespaces are directories that are not tables —
+  // enough surface for SHOW NAMESPACES / SHOW TABLES discovery
+  private def isTableDir(spark: SparkSession, p: Path): Boolean = {
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val names = fs.listStatus(p).toSeq.map(_.getPath.getName).toSet
+    names.contains("_ptr") || names.exists(_.startsWith("_v-")) ||
+      names.contains("_log") || names.contains("_heads")
+  }
+
+  override def listNamespaces(): Array[Array[String]] = {
+    val spark = SparkSession.active
+    val rp = new Path(root)
+    val fs = rp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(rp)) Array.empty
+    else fs.listStatus(rp).toSeq
+      .filter(st => st.isDirectory && !st.getPath.getName.startsWith("_") &&
+        !isTableDir(spark, st.getPath))
+      .map(st => Array(st.getPath.getName)).toArray
+  }
+
+  override def listNamespaces(namespace: Array[String]): Array[Array[String]] =
+    if (namespace.isEmpty) listNamespaces() else Array.empty
+
+  override def namespaceExists(namespace: Array[String]): Boolean = {
+    val spark = SparkSession.active
+    val p = new Path((root +: namespace.toSeq).mkString("/"))
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
+
+  override def loadNamespaceMetadata(namespace: Array[String])
+      : java.util.Map[String, String] = {
+    require(namespaceExists(namespace),
+      throw new org.apache.spark.sql.catalyst.analysis
+        .NoSuchNamespaceException(namespace))
+    java.util.Collections.emptyMap()
+  }
+
+  override def createNamespace(namespace: Array[String],
+      metadata: java.util.Map[String, String]): Unit =
+    sys.error("GraftCatalog is read-only")
+  override def alterNamespace(namespace: Array[String],
+      changes: NamespaceChange*): Unit =
+    sys.error("GraftCatalog is read-only")
+  override def dropNamespace(namespace: Array[String], cascade: Boolean): Boolean =
+    sys.error("GraftCatalog is read-only")
 
   // read-only: mutation goes through the typed ops layer, never blind SQL
   override def createTable(ident: Identifier, schema: StructType,
