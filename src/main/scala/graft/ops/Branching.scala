@@ -148,6 +148,61 @@ object Branching {
     commitDirs(df, dir, Seq(h), branch, Some(keyCols))
   }
 
+  /** One commit's persisted capture. Loud when absent. */
+  def captureOf(spark: SparkSession, dir: String, id: Long): DataFrame = {
+    val cd = new Path(cDir(dir, id), "_cdf")
+    require(fsOf(spark, dir).exists(cd),
+      s"Branching.captureOf: commit $id has no capture")
+    spark.read.parquet(cd.toString)
+  }
+
+  /** The INVERSE capture — the algebra behind REVERT: inserts become
+    * deletes, deletes become inserts, pre- and post-images swap.
+    */
+  def invertCapture(capture: DataFrame): DataFrame =
+    capture.withColumn(ChangeFeed.ChangeType,
+      when(col(ChangeFeed.ChangeType) === "insert", "delete")
+        .when(col(ChangeFeed.ChangeType) === "delete", "insert")
+        .when(col(ChangeFeed.ChangeType) === "update_preimage",
+          "update_postimage")
+        .otherwise("update_preimage"))
+
+  /** CHERRY-PICK / REVERT primitive — apply a captured change-set onto a
+    * branch under git's patch rule translated to keyed rows: every
+    * preimage (update_preimage / delete row) must match the target's
+    * CURRENT row BIT-EXACTLY and every insert key must be absent —
+    * otherwise the pick CONFLICTS loudly and the branch is untouched
+    * (the context lines of a diff, as row equality). A clean apply
+    * commits the patched content WITH capture, so picks and reverts are
+    * themselves feed-visible commits. Cost: two keyed anti/semi joins —
+    * one MERGE's envelope.
+    */
+  def applyCapture(spark: SparkSession, dir: String, branch: String,
+      capture: DataFrame, keyCols: Seq[String]): Long = {
+    val target = readBranch(spark, dir, branch)
+    val dataCols = target.columns.toSeq
+    val pre = capture
+      .filter(col(ChangeFeed.ChangeType).isin("update_preimage", "delete"))
+      .select(dataCols.map(col): _*)
+    val preKeys = pre.select(keyCols.map(col): _*)
+    val targetAtPre = target.join(preKeys, keyCols, "left_semi")
+    require(pre.exceptAll(targetAtPre).isEmpty &&
+      targetAtPre.exceptAll(pre).isEmpty,
+      s"Branching.applyCapture($branch): preimage mismatch — the patch's " +
+        "context rows diverge from the branch; resolve manually")
+    val ins = capture.filter(col(ChangeFeed.ChangeType) === "insert")
+      .select(dataCols.map(col): _*)
+    require(target.join(ins.select(keyCols.map(col): _*), keyCols,
+      "left_semi").isEmpty,
+      s"Branching.applyCapture($branch): an inserted key already exists")
+    val post = capture
+      .filter(col(ChangeFeed.ChangeType).isin("insert", "update_postimage"))
+      .select(dataCols.map(col): _*)
+    val patched = target.join(preKeys, keyCols, "left_anti")
+      .unionByName(post)
+    commitOnCaptured(patched.localCheckpoint(), dir, branch, keyCols)
+  }
+
   /** First commit on `main`. */
   def init(df: DataFrame, dir: String): Long =
     commitDirs(df, dir, Seq.empty, "main")

@@ -2452,5 +2452,71 @@ object OptimizerQueries {
       Branching.readBranch(s, table, "main").groupBy(col("r"))
         .agg(count(lit(1)).cast("bigint").as("n"),
           sum(col("k")).cast("bigint").as("k_sum"))
+    },
+
+    // ---------------------------------------------------------------- q305
+    // CHERRY-PICK AND REVERT — git's remaining verbs on the commit DAG,
+    // as capture algebra: a PICK applies another branch's captured
+    // change-set under the patch rule (every preimage must match the
+    // target's current row BIT-EXACTLY, every inserted key absent — the
+    // context lines of a diff, as row equality), a REVERT applies the
+    // INVERSE capture (inserts↔deletes, images swapped), and both are
+    // ordinary captured commits — feed-visible, GC-safe. Pinned: the
+    // pick lands the branch's cohort on a diverged main (clean, because
+    // the cohorts are disjoint), pick-then-revert round-trips main to
+    // bit-exact pre-pick content, and re-applying the stale inverse —
+    // whose preimages no longer match — CONFLICTS loudly with main
+    // untouched. This is the operational middle ground between "merge
+    // everything" and "rebuild the table": move ONE change between
+    // branches, reversibly, with receipts.
+    Q("q305_cherry_pick_revert",
+      """WITH c AS (SELECT c_custkey AS ck, c_custkey % 100 AS b FROM customer),
+        |m AS (SELECT ck, b + CASE WHEN ck % 10 = 3 THEN 3 ELSE 0 END AS b
+        |      FROM c)
+        |SELECT CAST(ck % 10 AS BIGINT) AS bucket,
+        |  CAST(count(*) AS BIGINT) AS n, CAST(sum(b) AS BIGINT) AS b_sum
+        |FROM m GROUP BY 1""".stripMargin) { (s, dir) =>
+      import graft.ops.Branching
+      import scala.util.Try
+      val root = scratch(s, dir, "q305")
+      val table = s"$root/t"
+      val base = Tables.load(s, dir, "customer")
+        .select(col("c_custkey").cast("long").as("ck"))
+        .withColumn("b", col("ck") % 100)
+      def bump(df: org.apache.spark.sql.DataFrame, m: Int, d: Int) =
+        df.withColumn("b", when(col("ck") % 10 === m, col("b") + d)
+          .otherwise(col("b")))
+      Branching.initCaptured(base, table, Seq("ck"))
+      Branching.branch(s, table, "main", "dev")
+      val devCommit = Branching.commitOnCaptured(
+        bump(base, 2, 2), table, "dev", Seq("ck"))
+      Branching.commitOnCaptured(bump(base, 3, 3), table, "main", Seq("ck"))
+      val prePick = Branching.readBranch(s, table, "main").localCheckpoint()
+      // the pick: dev's cohort lands on the diverged main
+      val pickId = Branching.applyCapture(s, table, "main",
+        Branching.captureOf(s, table, devCommit), Seq("ck"))
+      val picked = Branching.readBranch(s, table, "main")
+      val want = bump(bump(base, 3, 3), 2, 2)
+      require(picked.exceptAll(want).isEmpty && want.exceptAll(picked).isEmpty,
+        "q305: the pick must land exactly the branch's cohort")
+      // the revert: the pick's inverse capture round-trips main
+      val inverse = Branching.invertCapture(
+        Branching.captureOf(s, table, pickId)).localCheckpoint()
+      Branching.applyCapture(s, table, "main", inverse, Seq("ck"))
+      val reverted = Branching.readBranch(s, table, "main")
+      require(reverted.exceptAll(prePick).isEmpty &&
+        prePick.exceptAll(reverted).isEmpty,
+        "q305: pick-then-revert must round-trip bit-exactly")
+      // a stale patch — preimages no longer match — conflicts loudly
+      val headBefore = Branching.head(s, table, "main")
+      val clash = Try(Branching.applyCapture(s, table, "main", inverse,
+        Seq("ck")))
+      require(clash.isFailure &&
+        clash.failed.get.getMessage.contains("preimage") &&
+        Branching.head(s, table, "main") == headBefore,
+        "q305: a stale patch must conflict with the branch untouched")
+      reverted.groupBy((col("ck") % 10).cast("bigint").as("bucket"))
+        .agg(count(lit(1)).cast("bigint").as("n"),
+          sum(col("b")).cast("bigint").as("b_sum"))
     })
 }
