@@ -2518,5 +2518,57 @@ object OptimizerQueries {
       reverted.groupBy((col("ck") % 10).cast("bigint").as("bucket"))
         .agg(count(lit(1)).cast("bigint").as("n"),
           sum(col("b")).cast("bigint").as("b_sum"))
+    },
+
+    // ---------------------------------------------------------------- q306
+    // TIME TRAVEL ON LOG TABLES THROUGH SQL — the last routing gap in
+    // the q280 surface: `VERSION AS OF n` on a log-structured table
+    // resolves the file set by LOG REPLAY as of n, so SQL reaches any
+    // retained log version by name — an as-of read BEFORE a compaction
+    // still reads the removed files (content-equal to live, pinned: the
+    // rewrite was dataChange=false and SQL proves it), an as-of read of
+    // a mid-history version renders exactly its batches, and after a
+    // VACUUM expires the records the same query fails LOUDLY instead of
+    // resolving to something else. The ops layer had all of this
+    // (q266/q270); this entry is the contract that the SQL name layer
+    // adds NO semantics of its own — every guarantee tunnels through.
+    Q("q306_sql_log_time_travel",
+      """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(o_orderkey) AS BIGINT) AS key_sum
+        |FROM orders WHERE o_orderkey % 3 < 2 GROUP BY 1""".stripMargin) { (s, dir) =>
+      import graft.ops.ActionLog
+      import scala.util.Try
+      val root = scratch(s, dir, "q306")
+      val tdir = s"$root/ns/t"
+      val o = Tables.load(s, dir, "orders")
+        .select(col("o_orderkey").cast("long").as("okey"),
+          col("o_orderpriority"))
+      def third(i: Int) = o.filter(col("okey") % 3 === i)
+      (0 until 3).foreach(i => ActionLog.append(third(i).coalesce(1), tdir))
+      ActionLog.rewrite(ActionLog.read(s, tdir), tdir, 1) // v4: compaction
+      val cat = "graftu_" + java.security.MessageDigest.getInstance("MD5")
+        .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(6)
+      s.conf.set(s"spark.sql.catalog.$cat",
+        classOf[graft.source.GraftCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.root", root)
+      def asOf(v: Long) = s.sql(
+        s"SELECT okey, o_orderpriority FROM $cat.ns.t VERSION AS OF $v")
+      // mid-history renders exactly its batches
+      val want2 = o.filter(col("okey") % 3 < 2)
+      val got2 = asOf(2L).localCheckpoint()
+      require(got2.exceptAll(want2).isEmpty && want2.exceptAll(got2).isEmpty,
+        "q306: VERSION AS OF 2 must render exactly batches 0 and 1")
+      // pre-compaction as-of reads the removed files, content-equal to live
+      val live = s.sql(s"SELECT okey, o_orderpriority FROM $cat.ns.t")
+      val got3 = asOf(3L)
+      require(got3.exceptAll(live).isEmpty && live.exceptAll(got3).isEmpty,
+        "q306: the compaction must be invisible to content across versions")
+      // after vacuum, the expired as-of fails loudly through SQL too
+      ActionLog.vacuum(s, tdir, keepVersions = 2)
+      require(Try(asOf(2L).collect()).isFailure,
+        "q306: an expired log version must fail loudly through SQL")
+      got2.groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).cast("bigint").as("n"),
+          sum(col("okey")).cast("bigint").as("key_sum"))
     })
 }

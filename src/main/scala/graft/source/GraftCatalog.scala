@@ -132,12 +132,25 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
   }
 
   /** `VERSION AS OF n` (SPARK-37219 hands the literal here); on a
-    * branched table `n` is a commit id.
+    * branched table `n` is a commit id, on a log table a log version
+    * (the file set is the log replay as of `n`).
     */
   override def loadTable(ident: Identifier, version: String): Table = {
     val spark = SparkSession.active
     val (dir, _) = split(ident)
-    if (isBranched(spark, dir)) commitTable(ident, dir, version.toLong, "v")
+    if (isActionLog(spark, dir)) {
+      val v = version.toLong
+      val (files, _, _) = graft.ops.ActionLog.resolve(spark, dir, v)
+      require(files.nonEmpty,
+        s"GraftCatalog: $ident has no content as of log version $v " +
+          "(expired or never committed)")
+      val withStats = graft.ops.ActionLog.liveFiles(spark, dir).toMap
+      new GraftLogSqlTable(ident.toString + s"@v$v", dir,
+        files.map(f => f -> withStats.getOrElse(f, None)),
+        graft.ops.ActionLog.statsColumn(spark, dir),
+        spark.read.parquet(s"$dir/data/${files.head}").schema)
+    }
+    else if (isBranched(spark, dir)) commitTable(ident, dir, version.toLong, "v")
     else versionTable(ident, dir, version.toLong)
   }
 
