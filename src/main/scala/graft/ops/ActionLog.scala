@@ -120,7 +120,24 @@ object ActionLog {
       case None => Map.empty
       case Some(c) =>
         import org.apache.spark.sql.functions._
-        spark.read.parquet(files.map(f => s"$dir/$DataDir/$f"): _*)
+        val delta = spark.read.parquet(files.map(f => s"$dir/$DataDir/$f"): _*)
+        // Integral ONLY: min/max are recorded via cast("long") (truncation
+        // toward zero) and the catalog's pushdown tightens bounds with ±1
+        // integer arithmetic — for a double/decimal column those truncated
+        // bounds can PRUNE FILES THAT CONTAIN MATCHING ROWS (e.g. `> 5.5`
+        // tightened to lo-bound 6 skips a file whose values lie in
+        // (5.5, 6)). Refusing loudly here protects readWhere and every
+        // catalog scan downstream.
+        delta.schema(c).dataType match {
+          case org.apache.spark.sql.types.ByteType |
+            org.apache.spark.sql.types.ShortType |
+            org.apache.spark.sql.types.IntegerType |
+            org.apache.spark.sql.types.LongType => ()
+          case dt => sys.error(s"ActionLog($dir): stats column '$c' must " +
+            s"be integral (byte/short/int/long), got ${dt.simpleString} — " +
+            "truncated long bounds would make range pruning drop rows")
+        }
+        delta
           .groupBy(element_at(split(input_file_name(), "/"), -1).as("f"))
           .agg(min(col(c)).cast("long").as("lo"),
             max(col(c)).cast("long").as("hi"),
@@ -384,20 +401,36 @@ object ActionLog {
     * Checkpoint discipline (Delta's log-cleanup rule): a checkpoint is
     * materialized AT the horizon FIRST, so every retained version resolves
     * from it — only then are older records and checkpoints dropped.
+    *
+    * Concurrency (Delta's mtime retention): an OCC writer stages its part
+    * files into `data/` BEFORE claiming a log slot, so "unreferenced" is
+    * not "garbage" — it may be an in-flight commit. Files younger than
+    * `graceMs` are therefore NEVER deleted; the default window comfortably
+    * exceeds any staging-to-claim gap. `graceMs = 0` is the RETAIN 0 HOURS
+    * form: only safe when the caller can prove no writer is in flight
+    * (single-writer tests); running it against live writers can delete a
+    * commit's staged files and corrupt the table.
     */
-  def vacuum(spark: SparkSession, dir: String, keepVersions: Int): (Int, Int) = {
+  val DefaultVacuumGraceMs: Long = 10L * 60 * 1000
+
+  def vacuum(spark: SparkSession, dir: String, keepVersions: Int,
+      graceMs: Long = DefaultVacuumGraceMs): (Int, Int) = {
     require(keepVersions >= 1, "vacuum must keep at least the live version")
     val fs = fsOf(spark, dir)
     val vs = versions(spark, dir)
-    if (vs.size <= keepVersions) return (0, 0)
-    val horizon = vs.takeRight(keepVersions).head // oldest retained version
+    if (vs.isEmpty) return (0, 0)
+    // Even with nothing to expire, the FILE sweep still runs: a previous
+    // vacuum may have dropped the referencing log records while the grace
+    // window protected the files — this pass is when they age out.
+    val horizon = // oldest retained version
+      if (vs.size <= keepVersions) vs.head else vs.takeRight(keepVersions).head
     // files referenced by ANY retained version = union of live sets at
     // each retained version — O(retained × log), driver-side metadata
     val referenced = vs.filter(_ >= horizon)
       .flatMap(v => replayState(spark, dir, v)._1.keys).toSet
     // checkpoint BEFORE cleanup: retained versions must resolve without
     // the records about to be dropped
-    if (!fs.exists(ckptPath(dir, horizon))) {
+    if (vs.size > keepVersions && !fs.exists(ckptPath(dir, horizon))) {
       val (state, _, _, txns) = replayState(spark, dir, horizon)
       writeText(fs, ckptPath(dir, horizon),
         (state.toSeq.map {
@@ -409,8 +442,10 @@ object ActionLog {
         }).mkString("\n"))
     }
     val dataDir = new Path(s"$dir/$DataDir")
+    val cutoff = System.currentTimeMillis() - graceMs
     val victims = fs.listStatus(dataDir).toSeq
-      .filter(st => st.isFile && !referenced.contains(st.getPath.getName))
+      .filter(st => st.isFile && !referenced.contains(st.getPath.getName) &&
+        st.getModificationTime <= cutoff)
     victims.foreach(st => fs.delete(st.getPath, false))
     val expired = vs.filter(_ < horizon)
     expired.foreach(v => fs.delete(logPath(dir, v), false))
@@ -421,9 +456,12 @@ object ActionLog {
         n.stripPrefix("_checkpoint-").stripSuffix(".json").toLong < horizon)
         fs.delete(p, false)
     }
-    // keep the hint pointer at least at the horizon checkpoint
+    // keep the hint pointer at least at the horizon checkpoint (only
+    // when that checkpoint actually exists — a file-sweep-only pass may
+    // not have materialized one)
     val lc = new Path(s"$dir/$LogDir/$LastCkpt")
-    if (!fs.exists(lc) || readLines(fs, lc).head.trim.toLong < horizon) {
+    if (fs.exists(ckptPath(dir, horizon)) &&
+      (!fs.exists(lc) || readLines(fs, lc).head.trim.toLong < horizon)) {
       val out = fs.create(lc, true)
       try out.write(horizon.toString.getBytes(StandardCharsets.UTF_8))
       finally out.close()

@@ -36,27 +36,39 @@ object Maintenance {
     * per-table contract).
     */
   def setPolicy(spark: SparkSession, tableDir: String, keep: Int,
-      compactOver: Option[Int] = None): Unit = {
+      compactOver: Option[Int] = None,
+      vacuumGraceMs: Option[Long] = None): Unit = {
     require(keep >= 1, "policy must keep at least the live version")
     compactOver.foreach(n => require(n >= 1, "compactOver must be >= 1"))
+    vacuumGraceMs.foreach(g => require(g >= 0, "grace must be >= 0"))
     val fs = fsOf(spark, tableDir)
     val out = fs.create(new Path(tableDir, PolicyName), true)
-    try out.write((s"keep=$keep" +: compactOver.toSeq.map(n => s"compact=$n"))
+    try out.write((Seq(s"keep=$keep") ++
+      compactOver.toSeq.map(n => s"compact=$n") ++
+      vacuumGraceMs.toSeq.map(g => s"grace=$g"))
       .mkString("\n").getBytes(StandardCharsets.UTF_8))
     finally out.close()
   }
 
-  def policyOf(spark: SparkSession, tableDir: String): (Int, Option[Int]) = {
+  /** (keep, compactOver, vacuumGraceMs). An absent `grace=` means the
+    * vacuum default — a sweep runs CONCURRENTLY with writers, so the safe
+    * window is the default, not zero; `grace=0` is an explicit per-table
+    * opt-out for provably single-writer tables.
+    */
+  def policyOf(spark: SparkSession,
+      tableDir: String): (Int, Option[Int], Long) = {
     val fs = fsOf(spark, tableDir)
     val p = new Path(tableDir, PolicyName)
-    if (!fs.exists(p)) (2, None)
+    if (!fs.exists(p)) (2, None, ActionLog.DefaultVacuumGraceMs)
     else {
       val in = fs.open(p)
       val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
         finally in.close()
       val kv = text.split("\n").map(_.split("=", 2))
         .map(a => a(0) -> a(1)).toMap
-      (kv("keep").toInt, kv.get("compact").map(_.toInt))
+      (kv("keep").toInt, kv.get("compact").map(_.toInt),
+        kv.get("grace").map(_.toLong)
+          .getOrElse(ActionLog.DefaultVacuumGraceMs))
     }
   }
 
@@ -108,7 +120,7 @@ object Maintenance {
     */
   def sweep(spark: SparkSession, root: String): Seq[Swept] =
     discover(spark, root).map { case (dir, kind) =>
-      val (keep, compactOver) = policyOf(spark, dir)
+      val (keep, compactOver, graceMs) = policyOf(spark, dir)
       kind match {
         case "versioned" =>
           Swept(dir, kind, VersionedTable.gc(spark, dir, keep), 0)
@@ -122,7 +134,7 @@ object Maintenance {
               true
             } else false
           }
-          val (dropped, deleted) = ActionLog.vacuum(spark, dir, keep)
+          val (dropped, deleted) = ActionLog.vacuum(spark, dir, keep, graceMs)
           Swept(dir, kind, dropped, deleted, didCompact)
       }
     }

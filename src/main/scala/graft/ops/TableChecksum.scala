@@ -9,11 +9,16 @@ import org.apache.hadoop.fs.Path
 /** TABLE CHECKSUMS — Delta's per-commit CRC sidecar generalized to a
   * CONTENT checksum: every version can carry `_crc` = (row count,
   * order-independent content digest), and `verify` recomputes both and
-  * fails LOUDLY on any divergence. The digest is the XOR of a per-row
-  * 60-bit md5 over the canonically-serialized row (columns in schema
-  * order, explicit null sentinel, field separator that cannot appear in
-  * the data path) — XOR makes it partitioning- and order-independent, so
-  * the same logical content digests identically on any cluster layout,
+  * fails LOUDLY on any divergence. The digest is the SUM mod 2^63 of a
+  * per-row 60-bit md5 over the canonically-serialized row (columns in
+  * schema order, explicit null sentinel, field separator that cannot
+  * appear in the data path) — commutative addition makes it
+  * partitioning- and order-independent, so the same logical content
+  * digests identically on any cluster layout. Addition, NOT xor: xor
+  * self-cancels on even multiplicities ({r1,r1,r2} and {r2,r2,r2} would
+  * xor-digest identically), and tables are bags, so duplicate rows are
+  * normal content the receipt must bind; under the sum, k copies of a
+  * row contribute k*h mod 2^63 — every copy counts.
   * which is what makes it usable as a REPRODUCIBILITY receipt: a replayed
   * pipeline, a restored backup, or a second engine can prove it rebuilt
   * the exact table. Cost: one pass, one tiny aggregate — the cheapest
@@ -39,11 +44,17 @@ object TableChecksum {
     conv(substring(md5(canon.cast("binary")), 1, 15), 16, 10).cast("long")
   }
 
-  /** (rows, xor-digest) of a frame, layout-independent. */
+  private val Mod63 = new java.math.BigDecimal("9223372036854775808") // 2^63
+
+  /** (rows, sum-digest) of a frame, layout-independent. The decimal(38,0)
+    * accumulator cannot overflow (2^60 per row × 10^18 rows < 10^38), and
+    * the final pmod folds it into non-negative Long range.
+    */
   def digest(df: DataFrame): (Long, Long) = {
+    val h = rowHash(df.schema.fieldNames.toIndexedSeq.map(col))
     val r = df.agg(count(lit(1)).as("n"),
-      coalesce(bit_xor(rowHash(df.schema.fieldNames.toIndexedSeq.map(col))),
-        lit(0L)).as("x")).head()
+      coalesce(pmod(sum(h.cast("decimal(38,0)")), lit(Mod63)),
+        lit(0L).cast("decimal(38,0)")).cast("long").as("x")).head()
     (r.getLong(0), r.getLong(1))
   }
 
@@ -53,7 +64,7 @@ object TableChecksum {
     val (n, x) = digest(VersionedTable.readVersion(spark, dir, version))
     val out = fs.create(
       new Path(VersionedTable.verDir(dir, version), FileName), true)
-    try out.write(s"rows=$n\nxor=$x".getBytes(StandardCharsets.UTF_8))
+    try out.write(s"rows=$n\nsum=$x".getBytes(StandardCharsets.UTF_8))
     finally out.close()
     (n, x)
   }
@@ -71,9 +82,9 @@ object TableChecksum {
     val want = text.split("\n").map(_.split("=", 2))
       .map(kv => kv(0) -> kv(1).toLong).toMap
     val (n, x) = digest(VersionedTable.readVersion(spark, dir, version))
-    require(want("rows") == n && want("xor") == x,
+    require(want("rows") == n && want("sum") == x,
       s"TableChecksum.verify($dir, $version): content diverged — " +
-        s"stamped (${want("rows")}, ${want("xor")}), found ($n, $x); " +
+        s"stamped (${want("rows")}, ${want("sum")}), found ($n, $x); " +
         "the version's bytes are not what was committed")
     (n, x)
   }

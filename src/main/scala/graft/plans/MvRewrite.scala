@@ -64,12 +64,24 @@ object MvRewrite extends Rule[LogicalPlan] {
 
   def clear(): Unit = registry.clear()
 
+  /** Scheme-insensitive canonical form: the URI path with trailing
+    * slashes stripped, so `file:/a/b`, `file:///a/b/` and `/a/b` all
+    * compare EQUAL — and, crucially, nothing else does. A suffix match
+    * here would silently rewrite a DIFFERENT table whose location happens
+    * to end with the registered path (`/backup/data/events` vs
+    * `/data/events`), producing wrong results with no error.
+    */
+  private def canonPath(p: String): String = {
+    val path = new org.apache.hadoop.fs.Path(p).toUri.getPath
+    val stripped = path.replaceAll("/+$", "")
+    if (stripped.isEmpty) "/" else stripped
+  }
+
   /** The registered MV whose base relation `plan` is, if any. */
   private def mvFor(plan: LogicalPlan): Option[Mv] = plan match {
     case LogicalRelation(fs: HadoopFsRelation, _, _, _, _) =>
-      val roots = fs.location.rootPaths.map(_.toString)
-      registry.values.find(mv => roots.exists(r =>
-        r == mv.basePath || r.endsWith(mv.basePath)))
+      val roots = fs.location.rootPaths.map(p => canonPath(p.toString))
+      registry.values.find(mv => roots.contains(canonPath(mv.basePath)))
     case Project(projList, child) if projList.forall(_.isInstanceOf[Attribute]) =>
       mvFor(child)
     case _ => None

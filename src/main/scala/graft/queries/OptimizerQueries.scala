@@ -793,7 +793,9 @@ object OptimizerQueries {
       ActionLog.rewrite(ActionLog.read(s, table), table, numFiles = 1) // v3
       ActionLog.append(quarter(2).coalesce(1), table) // v4
       val before = ActionLog.read(s, table).localCheckpoint()
-      val (dropped, deleted) = ActionLog.vacuum(s, table, keepVersions = 2)
+      // graceMs = 0: this table is provably single-writer (RETAIN 0 HOURS)
+      val (dropped, deleted) =
+        ActionLog.vacuum(s, table, keepVersions = 2, graceMs = 0L)
       require(dropped == 2 && deleted == 2,
         s"q270: exactly the two pre-compaction originals must die, " +
           s"got ($dropped, $deleted)")
@@ -807,8 +809,8 @@ object OptimizerQueries {
           s"(base=$ckpt, replayed=$replayed)")
       require(Try(ActionLog.read(s, table, asOf = 2L).count()).isFailure,
         "q270: an expired as-of read must fail loudly")
-      require(ActionLog.vacuum(s, table, keepVersions = 2) == ((0, 0)),
-        "q270: a second vacuum must be a no-op")
+      require(ActionLog.vacuum(s, table, keepVersions = 2, graceMs = 0L) ==
+        ((0, 0)), "q270: a second vacuum must be a no-op")
       after.groupBy(col("l_returnflag"))
         .agg(count(lit(1)).cast("bigint").as("n"),
           sum(col("l_orderkey")).cast("bigint").as("key_sum"))
@@ -1606,7 +1608,10 @@ object OptimizerQueries {
       ActionLog.append(half(1).coalesce(1), s"$root/c")
       ActionLog.rewrite(ActionLog.read(s, s"$root/c"), s"$root/c", 1)
       ActionLog.append(half(0).limit(0).coalesce(1), s"$root/c")
-      Maintenance.setPolicy(s, s"$root/c", keep = 2)
+      // grace=0: single-writer test table — the sweep's ledger pins the
+      // immediate-deletion form; production tables keep the default window
+      Maintenance.setPolicy(s, s"$root/c", keep = 2,
+        vacuumGraceMs = Some(0L))
       val before = Seq(VT.read(s, s"$root/a").localCheckpoint(),
         VT.read(s, s"$root/ns/b").localCheckpoint(),
         ActionLog.read(s, s"$root/c").localCheckpoint())
