@@ -55,13 +55,28 @@ object BloomIndex {
     */
   def selectFiles(spark: SparkSession, dataDir: String,
       value: org.apache.spark.sql.Column): (Seq[String], Int) = {
-    // the literal's xxhash64, evaluated once with the engine's own hash
-    val h = spark.range(1).select(xxhash64(value)).head.getLong(0)
+    val (perKey, total) = selectFilesAll(spark, dataDir, Seq(value))
+    (perKey.head, total)
+  }
+
+  /** Multi-key probe: the admitted file list PER VALUE (input order), from
+    * ONE sidecar read — a point-lookup batch must not re-read the O(files)
+    * bit sets once per key. All literals are hashed in one 1-row job with
+    * the engine's own xxhash64; each collected bit set is then tested
+    * driver-side against every key.
+    */
+  def selectFilesAll(spark: SparkSession, dataDir: String,
+      values: Seq[org.apache.spark.sql.Column]): (Seq[Seq[String]], Int) = {
+    require(values.nonEmpty, "selectFilesAll: need at least one probe value")
+    val hashes = spark.range(1).select(values.map(v => xxhash64(v)): _*)
+      .head.toSeq.map(_.asInstanceOf[Long])
     val side = spark.read.parquet(new Path(dataDir, SidecarName).toString)
-      .select("file", "bits", "k").collect() // O(files), bounded like the stats index
-    val admitted = side.toSeq.filter { r =>
-      Bloom.mightContain(r.getSeq[Long](1).toArray, r.getInt(2), h)
-    }.map(_.getString(0))
-    (admitted, side.length)
+      .select("file", "bits", "k").collect() // O(files), ONCE for the batch
+    val perKey = hashes.map { h =>
+      side.toSeq.filter { r =>
+        Bloom.mightContain(r.getSeq[Long](1).toArray, r.getInt(2), h)
+      }.map(_.getString(0))
+    }
+    (perKey, side.length)
   }
 }

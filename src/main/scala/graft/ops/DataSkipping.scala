@@ -95,6 +95,26 @@ object DataSkipping {
     (kept, total)
   }
 
+  /** Multi-point probe: the admitted file list PER VALUE (input order),
+    * from ONE sidecar read. The per-key keep predicates are evaluated
+    * ENGINE-side in a single pass over the stats table; only files
+    * admitted for at least one key ride to the driver — O(admitted),
+    * never O(total × keys).
+    */
+  def selectFilesPoints(spark: SparkSession, dataDir: String, c: String,
+      values: Seq[Column]): (Seq[Seq[String]], Long) = {
+    require(values.nonEmpty, "selectFilesPoints: need at least one value")
+    val st = stats(spark, dataDir)
+    val total = st.count() // 1 row to the driver
+    val preds = values.map(v => keepPred(c, v, v))
+    val rows = st.filter(preds.reduce(_ || _))
+      .select(col("file") +: preds.map(p => p.cast("boolean")): _*)
+      .collect()
+    val perKey = values.indices.map(i =>
+      rows.toSeq.filter(_.getBoolean(i + 1)).map(_.getString(0)))
+    (perKey, total)
+  }
+
   /** Scan only the files whose stats admit `lo <= c <= hi`. Returns
     * (pruned scan, files selected, files total). Callers still apply the
     * row-level predicate — file selection is a superset guarantee.

@@ -3673,20 +3673,25 @@ object SourceQueries {
       val keys = o.filter(col("okey") % 7 === 3)
         .orderBy(col("okey")).limit(8).select("okey")
         .collect().map(_.getLong(0)).toSeq
-      var bloomAdmitted = 0
-      var minmaxAdmitted = 0
-      val probed = keys.map { k =>
-        val (bf, total) = BloomIndex.selectFiles(s, dataDir, lit(k))
-        val (mf, _) = DataSkipping.selectFiles(s, dataDir, "okey", lit(k), lit(k))
-        bloomAdmitted += bf.size
-        minmaxAdmitted += mf.size
-        require(total == 16, s"q234: expected 16 files, got $total")
-        s.read.parquet(bf: _*).filter(col("okey") === k)
-      }.reduce(_.unionByName(_))
+      // ONE sidecar read per index for the whole key batch (a per-key
+      // re-read loop was 8+8 sidecar jobs), then ONE pruned scan over the
+      // union of admitted files with the `isin` residual: a file holding
+      // key k is bloom-admitted FOR k (zero false negatives), so the
+      // union scan + residual covers every key's rows exactly.
+      val (bloomPerKey, total) =
+        BloomIndex.selectFilesAll(s, dataDir, keys.map(lit(_)))
+      require(total == 16, s"q234: expected 16 files, got $total")
+      val (minmaxPerKey, _) =
+        DataSkipping.selectFilesPoints(s, dataDir, "okey", keys.map(lit(_)))
+      val bloomAdmitted = bloomPerKey.map(_.size).sum
+      val minmaxAdmitted = minmaxPerKey.map(_.size).sum
+      val unionFiles = bloomPerKey.flatten.distinct
+      val probed = s.read.parquet(unionFiles: _*)
+        .filter(col("okey").isin(keys: _*))
       val direct = o.join(o.filter(col("okey") % 7 === 3)
         .orderBy(col("okey")).limit(8).select("okey"), Seq("okey"))
       require(probed.exceptAll(direct).isEmpty && direct.exceptAll(probed).isEmpty,
-        "q234: pruned scans must equal the direct lookups (zero false negatives)")
+        "q234: pruned scan must equal the direct lookups (zero false negatives)")
       require(bloomAdmitted < minmaxAdmitted,
         s"q234: the bloom must out-prune min/max on an unclustered key " +
           s"($bloomAdmitted vs $minmaxAdmitted of ${8 * 16})")
