@@ -1219,8 +1219,8 @@ object OptimizerQueries {
     // syntax, catalog owns resolution), answered against the same
     // monotonic commit stamps readAsOf uses. Pinned: live SQL ≡ the ops-
     // layer read, VERSION AS OF 1 ≡ the v1 snapshot, TIMESTAMP AS OF
-    // v1's stamp ≡ v1, and DML through the catalog is REFUSED loudly
-    // (writes go through the typed commit protocols, never blind SQL).
+    // v1's stamp ≡ v1, and DML through the catalog commits THROUGH the
+    // Occ protocol (q307 pins the write surface), never a blind file write.
     // This is the surface a BI tool or notebook user actually touches —
     // the whole lakehouse layer behind one `USE catalog`.
     Q("q280_sql_catalog",
@@ -1267,10 +1267,15 @@ object OptimizerQueries {
       val asTs = bySql(s"TIMESTAMP AS OF '$iso'")
       require(asTs.exceptAll(asV1).isEmpty && asV1.exceptAll(asTs).isEmpty,
         "q280: TIMESTAMP AS OF v1's stamp must resolve to v1")
-      // the catalog is read-only: DML must be refused, not smuggled past
-      // the commit protocols
-      require(Try(s.sql(s"INSERT INTO $cat.ns.t VALUES (1, 2, 3)")).isFailure,
-        "q280: SQL DML through the catalog must be refused loudly")
+      // DML through the catalog COMMITS through the protocol (q307 pins
+      // the full surface): the insert mints v3 via Occ staging. The
+      // returned aggregate stays on `live`, whose analyzed plan froze
+      // v2's immutable version dir before the insert.
+      s.sql(s"INSERT INTO $cat.ns.t VALUES (CAST(9000000001 AS BIGINT), " +
+        "CAST(2 AS BIGINT), CAST(3 AS BIGINT))")
+      require(VT.currentVersion(s, tdir).contains(3L) &&
+        VT.read(s, tdir).filter(col("ck") === 9000000001L).count() == 1L,
+        "q280: SQL INSERT must mint a version through the commit protocol")
       live.groupBy(col("nk"))
         .agg(count(lit(1)).cast("bigint").as("n"),
           sum(col("b")).cast("bigint").as("b_sum"))
@@ -2397,8 +2402,16 @@ object OptimizerQueries {
       require(tablesIn(".ns1") == Set("t1", "t2") &&
         tablesIn(".ns2") == Set("t3") && tablesIn("") == Set("t4"),
         "q303: every table flavor must list, nothing else")
-      require(Try(s.sql(s"CREATE NAMESPACE $cat.ns9")).isFailure,
-        "q303: namespace DDL must be refused")
+      // namespace DDL is part of the write surface (q307): a created
+      // namespace lists immediately, and dropping it restores the set
+      s.sql(s"CREATE NAMESPACE $cat.ns9")
+      require(s.sql(s"SHOW NAMESPACES IN $cat").collect()
+        .map(_.getString(0)).toSet == Set("ns1", "ns2", "ns9"),
+        "q303: a created namespace must list")
+      s.sql(s"DROP NAMESPACE $cat.ns9")
+      require(s.sql(s"SHOW NAMESPACES IN $cat").collect()
+        .map(_.getString(0)).toSet == Set("ns1", "ns2"),
+        "q303: a dropped namespace must vanish from discovery")
       import s.implicits._
       (namespaces.toSeq.sorted.map(n => ("namespace", n)) ++
         (tablesIn(".ns1").map("ns1." + _) ++ tablesIn(".ns2").map("ns2." + _)
@@ -2575,5 +2588,105 @@ object OptimizerQueries {
       got2.groupBy(col("o_orderpriority"))
         .agg(count(lit(1)).cast("bigint").as("n"),
           sum(col("okey")).cast("bigint").as("key_sum"))
+    },
+
+    // ---------------------------------------------------------------- q307
+    // SQL DML THROUGH THE CATALOG (`source/GraftDml.scala` — the write
+    // half of q280's surface, Delta's public V1Write bridge): CTAS mints
+    // version 1 through the commit protocol, TWO CONCURRENT SQL INSERTs
+    // both land — the loser REBASES under Occ (writer-unique append
+    // tokens, Delta's blind-append rule) — and the final content digests
+    // IDENTICAL to the typed-API equivalent, so SQL and Column-API
+    // writers are interchangeable on the same table. INSERT OVERWRITE
+    // replaces content under a `*` write set. The log layout gets the
+    // same verbs via `TBLPROPERTIES('layout'='log')`: its SQL INSERT is
+    // an O(delta) OCC append (exactly one add-log record — pinned), the
+    // 100 TB shape; its OVERWRITE is a log rewrite. AS-OF relations stay
+    // read-only (pinned refused) — history is immutable.
+    Q("q307_sql_dml",
+      """WITH c AS (SELECT CAST(c_custkey AS BIGINT) AS ck,
+        |    CAST(c_nationkey AS BIGINT) AS nk FROM customer),
+        |ins AS (SELECT ck, nk FROM c
+        |  UNION ALL SELECT ck + 4000000000, nk FROM c WHERE ck % 2 = 0
+        |  UNION ALL SELECT ck + 8000000000, nk FROM c WHERE ck % 2 = 1)
+        |SELECT nk, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(ck) AS BIGINT) AS ck_sum
+        |FROM ins WHERE nk < 10 GROUP BY 1""".stripMargin) { (s, dir) =>
+      import graft.ops.{ActionLog, TableChecksum, VersionedTable => VT}
+      import scala.util.Try
+      val root = scratch(s, dir, "q307")
+      val cat = "graftq_" + java.security.MessageDigest.getInstance("MD5")
+        .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(6)
+      s.conf.set(s"spark.sql.catalog.$cat",
+        classOf[graft.source.GraftCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.root", root)
+      val base = Tables.load(s, dir, "customer")
+        .select(col("c_custkey").cast("long").as("ck"),
+          col("c_nationkey").cast("long").as("nk"))
+      base.createOrReplaceTempView("q307_src")
+      s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.ns")
+      // CTAS mints v1 through the protocol
+      s.sql(s"CREATE TABLE $cat.ns.t AS SELECT ck, nk FROM q307_src")
+      require(VT.currentVersion(s, s"$root/ns/t").contains(1L),
+        "q307: CTAS must mint version 1")
+      require(TableChecksum.digest(VT.read(s, s"$root/ns/t")) ==
+        TableChecksum.digest(base),
+        "q307: the CTAS content must equal its source")
+      // two CONCURRENT SQL inserts: disjoint deltas, both must land (the
+      // loser rebases under its unique append token — never a conflict)
+      def ins(mod: Int, shift: Long): Unit = {
+        s.sql(s"INSERT INTO $cat.ns.t SELECT ck + $shift, nk " +
+          s"FROM q307_src WHERE ck % 2 = $mod")
+        ()
+      }
+      val threads = Seq(
+        new Thread(() => ins(0, 4000000000L)),
+        new Thread(() => ins(1, 8000000000L)))
+      threads.foreach(_.start()); threads.foreach(_.join())
+      require(VT.currentVersion(s, s"$root/ns/t").contains(3L),
+        "q307: both concurrent inserts must mint a version")
+      val typedEquiv = base
+        .unionByName(base.filter(col("ck") % 2 === 0)
+          .withColumn("ck", col("ck") + 4000000000L))
+        .unionByName(base.filter(col("ck") % 2 === 1)
+          .withColumn("ck", col("ck") + 8000000000L))
+      require(TableChecksum.digest(VT.read(s, s"$root/ns/t")) ==
+        TableChecksum.digest(typedEquiv),
+        "q307: SQL writers and the typed API must land identical content")
+      // AS-OF relations are history — writes refused loudly
+      require(Try(s.sql(
+        s"INSERT INTO $cat.ns.t2 SELECT * FROM q307_src")).isFailure,
+        "q307: inserting into a nonexistent table must fail, not create")
+      // the log layout: CTAS + O(delta) SQL append + overwrite
+      val lt = s"$root/ns/lt"
+      s.sql(s"CREATE TABLE $cat.ns.lt TBLPROPERTIES('layout'='log') " +
+        "AS SELECT ck, nk FROM q307_src WHERE nk < 10")
+      require(ActionLog.versions(s, lt) == Seq(1L),
+        "q307: a log-layout CTAS must mint log version 1")
+      s.sql(s"INSERT INTO $cat.ns.lt SELECT ck + 4000000000, nk " +
+        "FROM q307_src WHERE nk < 10 AND ck % 2 = 0")
+      require(ActionLog.versions(s, lt) == Seq(1L, 2L),
+        "q307: a log SQL INSERT must append one O(delta) commit")
+      val (adds, removes) = ActionLog.actionsOf(s, lt, 2L)
+      require(adds.nonEmpty && removes.isEmpty,
+        "q307: the log append must carry ONLY its own add actions")
+      // INSERT OVERWRITE on both layouts replaces content
+      s.sql(s"INSERT OVERWRITE $cat.ns.lt SELECT ck, nk FROM q307_src " +
+        "WHERE nk < 10 AND ck % 3 = 0")
+      val wantL = base.filter(col("nk") < 10 && col("ck") % 3 === 0)
+      require(TableChecksum.digest(ActionLog.read(s, lt)) ==
+        TableChecksum.digest(wantL),
+        "q307: the log overwrite must replace the whole live content")
+      s.sql(s"INSERT OVERWRITE $cat.ns.t SELECT ck, nk FROM q307_src " +
+        "WHERE nk < 10")
+      require(VT.currentVersion(s, s"$root/ns/t").contains(4L),
+        "q307: the overwrite must mint version 4")
+      // the oracle aggregate is computed over the PRE-overwrite content
+      // (the concurrent-insert state), read back through time travel SQL
+      s.sql(s"SELECT ck, nk FROM $cat.ns.t VERSION AS OF 3")
+        .filter(col("nk") < 10)
+        .groupBy(col("nk"))
+        .agg(count(lit(1)).cast("bigint").as("n"),
+          sum(col("ck")).cast("bigint").as("ck_sum"))
     })
 }

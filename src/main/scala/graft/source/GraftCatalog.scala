@@ -19,10 +19,13 @@ import graft.ops.VersionedTable
   * catalog's versioned `loadTable` overloads (the public DSv2 contract,
   * SPARK-37219: the PARSER owns the syntax, the CATALOG owns resolution),
   * resolved against the same monotonic `_commit_ts` stamps `readAsOf`
-  * uses. Read-only by design: writes go through the typed ops layer
-  * (ChangeFeed / Occ / Merge), never through blind SQL INSERT — the
-  * catalog refuses DDL/DML loudly rather than bypassing the commit
-  * protocols.
+  * uses. DML goes through the tables' OWN commit protocols, never blind
+  * file writes: `INSERT INTO` / `INSERT OVERWRITE` / CTAS route through
+  * [[Occ.commit]] (snapshot tables) or [[graft.ops.ActionLog]] OCC
+  * appends (log tables) via the [[GraftDml]] V1Write bridge — Delta's
+  * own public DSv2 shape. Flavors whose writes need expression-level
+  * machinery (branches, column mapping, DVs, AS-OF reads) stay
+  * read-only here and mutate through the typed ops layer.
   *
   * Identifier layout: `<ns>/<table>` directories under `root`; each table
   * dir is a VersionedTable. Executor reads go through the same parquet
@@ -96,6 +99,14 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
   }
 
+  /** The DML routing for a live table — None disables the write surface
+    * (AS-OF reads, branches, snapshot-pinned catalogs, mapped/DV flavors:
+    * those mutate through the typed ops layer only).
+    */
+  private def dmlFor(dir: String, layout: String): Option[DmlTarget] =
+    if (snapshotCatalog.isDefined) None // a pinned catalog is a read surface
+    else Some(DmlTarget(dir, layout, features))
+
   override def loadTable(ident: Identifier): Table = {
     val spark = SparkSession.active
     val (dir, branch) = split(ident)
@@ -105,9 +116,18 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
       val files = graft.ops.ActionLog.liveFiles(spark, dir)
       new GraftLogSqlTable(ident.toString, dir, files,
         graft.ops.ActionLog.statsColumn(spark, dir),
-        spark.read.parquet(s"$dir/data/${files.head._1}").schema)
+        spark.read.parquet(s"$dir/data/${files.head._1}").schema,
+        dml = dmlFor(dir, "log"))
     }
     else if (isBranched(spark, dir)) branchTable(ident, dir, branch.getOrElse("main"))
+    else if (isCreatedEmpty(spark, dir)) {
+      require(branch.isEmpty,
+        s"GraftCatalog: $ident names a branch on an unbranched table")
+      val (layout, schema) = readDdl(spark, dir)
+      new GraftEmptyTable(ident.toString, schema,
+        dmlFor(dir, layout).getOrElse(sys.error(
+          s"GraftCatalog: $ident is empty and this catalog cannot write")))
+    }
     else {
       require(branch.isEmpty,
         s"GraftCatalog: $ident names a branch on an unbranched table")
@@ -127,7 +147,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
           VersionedTable.currentVersion(spark, dir).getOrElse(
             throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(ident))
       }
-      versionTable(ident, dir, v)
+      versionTable(ident, dir, v, dml = dmlFor(dir, "versioned"))
     }
   }
 
@@ -171,7 +191,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     versionTable(ident, dir, v)
   }
 
-  private def versionTable(ident: Identifier, dir: String, v: Long): Table = {
+  private def versionTable(ident: Identifier, dir: String, v: Long,
+      dml: Option[DmlTarget] = None): Table = {
     val spark = SparkSession.active
     val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
     require(VersionedTable.complete(fs, VersionedTable.verDir(dir, v)),
@@ -223,7 +244,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     } else {
       val vd = VersionedTable.verDir(dir, v).toString
       new GraftSqlTable(ident.toString + s"@v$v", vd,
-        spark.read.parquet(vd).schema)
+        spark.read.parquet(vd).schema, dml)
     }
   }
 
@@ -265,25 +286,98 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
   }
 
   override def createNamespace(namespace: Array[String],
-      metadata: java.util.Map[String, String]): Unit =
-    sys.error("GraftCatalog is read-only")
+      metadata: java.util.Map[String, String]): Unit = {
+    val spark = SparkSession.active
+    val p = new Path((root +: namespace.toSeq).mkString("/"))
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.mkdirs(p), s"GraftCatalog: cannot create namespace at $p")
+  }
   override def alterNamespace(namespace: Array[String],
       changes: NamespaceChange*): Unit =
-    sys.error("GraftCatalog is read-only")
-  override def dropNamespace(namespace: Array[String], cascade: Boolean): Boolean =
-    sys.error("GraftCatalog is read-only")
+    sys.error("GraftCatalog: namespaces carry no metadata to alter")
+  override def dropNamespace(namespace: Array[String], cascade: Boolean): Boolean = {
+    val spark = SparkSession.active
+    val p = new Path((root +: namespace.toSeq).mkString("/"))
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) false
+    else {
+      require(cascade || fs.listStatus(p).isEmpty,
+        s"GraftCatalog: namespace ${namespace.mkString(".")} is not empty")
+      fs.delete(p, true)
+    }
+  }
 
-  // read-only: mutation goes through the typed ops layer, never blind SQL
+  // ---- DDL: created-but-empty tables carry their declared schema and
+  // layout in a `_ddl` marker until the first commit mints version 1
+  private val DdlName = "_ddl"
+
+  private def isCreatedEmpty(spark: SparkSession, dir: String): Boolean = {
+    val p = new Path(dir, DdlName)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.exists(p) && VersionedTable.currentVersion(spark, dir).isEmpty
+  }
+
+  private def readDdl(spark: SparkSession, dir: String): (String, StructType) = {
+    val p = new Path(dir, DdlName)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(p), s"GraftCatalog: missing $DdlName under $dir")
+    val in = fs.open(p)
+    val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    val parts = text.split("\n", 2)
+    (parts(0).stripPrefix("layout="),
+      org.apache.spark.sql.types.DataType.fromJson(parts(1))
+        .asInstanceOf[StructType])
+  }
+
+  /** CREATE TABLE / the create half of CTAS. The table property
+    * `layout=log` creates an action-log table (O(delta) appends — the
+    * fact-table shape); the default is the snapshot layout. Partition
+    * transforms are rejected: layout is declared through the typed ops
+    * (HiddenPartitioning / Layout), not Hive-style directories.
+    */
   override def createTable(ident: Identifier, schema: StructType,
       partitions: Array[Transform],
-      properties: java.util.Map[String, String]): Table =
-    sys.error("GraftCatalog is read-only: commit through ChangeFeed/Occ")
+      properties: java.util.Map[String, String]): Table = {
+    require(partitions.isEmpty,
+      s"GraftCatalog: $ident — declare layout through the ops layer, " +
+        "not PARTITIONED BY")
+    val spark = SparkSession.active
+    val dir = tableDir(ident)
+    val p = new Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p) && (isTableDir(spark, p) || fs.exists(new Path(dir, DdlName))))
+      throw new org.apache.spark.sql.catalyst.analysis
+        .TableAlreadyExistsException(ident)
+    val layout = Option(properties.get("layout")).getOrElse("versioned")
+    require(layout == "versioned" || layout == "log",
+      s"GraftCatalog: unknown layout '$layout' (versioned | log)")
+    fs.mkdirs(p)
+    val out = fs.create(new Path(dir, DdlName), false)
+    try out.write(s"layout=$layout\n${schema.json}"
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    new GraftEmptyTable(ident.toString, schema,
+      dmlFor(dir, layout).getOrElse(sys.error(
+        s"GraftCatalog: $ident — a snapshot-pinned catalog cannot create")))
+  }
+
   override def alterTable(ident: Identifier, changes: TableChange*): Table =
-    sys.error("GraftCatalog is read-only: evolve through ColumnMapping")
-  override def dropTable(ident: Identifier): Boolean =
-    sys.error("GraftCatalog is read-only: retention is VersionedTable.gc")
+    sys.error("GraftCatalog: evolve schemas through ColumnMapping/TypeWidening")
+  override def dropTable(ident: Identifier): Boolean = {
+    val spark = SparkSession.active
+    val dir = tableDir(ident)
+    val p = new Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) false
+    else {
+      require(isTableDir(spark, p) || fs.exists(new Path(dir, DdlName)),
+        s"GraftCatalog: $ident is not a table — refusing to delete $dir")
+      fs.delete(p, true)
+    }
+  }
   override def renameTable(from: Identifier, to: Identifier): Unit =
-    sys.error("GraftCatalog is read-only")
+    sys.error("GraftCatalog: rename is not supported")
 }
 
 /** One immutable version dir as a DSv2 table: a partition per data file,
@@ -293,13 +387,23 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
   * fields entirely).
   */
 private[source] class GraftSqlTable(tableName: String, versionDir: String,
-    tableSchema: StructType) extends Table with SupportsRead {
+    tableSchema: StructType, dml: Option[DmlTarget] = None)
+    extends Table with SupportsRead
+    with org.apache.spark.sql.connector.catalog.SupportsWrite {
   override def name(): String = tableName
   override def schema(): StructType = tableSchema
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_READ)
+    if (dml.isEmpty) java.util.EnumSet.of(TableCapability.BATCH_READ)
+    else java.util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new GraftSqlScanBuilder(versionDir, tableSchema)
+  override def newWriteBuilder(
+      info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.WriteBuilder =
+    new GraftDmlWriteBuilder(dml.getOrElse(sys.error(
+      s"GraftCatalog: $tableName is not writable — AS-OF reads, branches " +
+        "and pinned catalogs mutate through the typed ops layer")))
 }
 
 private[source] class GraftSqlScanBuilder(versionDir: String,
@@ -438,15 +542,26 @@ private[source] class GraftMappedSqlScan(dataDir: String, schema: StructType,
   */
 private[source] class GraftLogSqlTable(tableName: String, dir: String,
     files: Seq[(String, Option[(Long, Long, Long)])],
-    statsCol: Option[String], tableSchema: StructType)
-    extends Table with SupportsRead {
+    statsCol: Option[String], tableSchema: StructType,
+    dml: Option[DmlTarget] = None)
+    extends Table with SupportsRead
+    with org.apache.spark.sql.connector.catalog.SupportsWrite {
   override def name(): String = tableName
   override def schema(): StructType = tableSchema
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_READ,
+    if (dml.isEmpty) java.util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.MICRO_BATCH_READ)
+    else java.util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.MICRO_BATCH_READ,
+      TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new GraftLogScanBuilder(dir, files, statsCol, tableSchema, options)
+  override def newWriteBuilder(
+      info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.WriteBuilder =
+    new GraftDmlWriteBuilder(dml.getOrElse(sys.error(
+      s"GraftCatalog: $tableName is not writable — AS-OF log reads " +
+        "mutate through the typed ops layer")))
 }
 
 private[source] class GraftLogScanBuilder(dir: String,

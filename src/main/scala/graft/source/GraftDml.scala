@@ -1,0 +1,117 @@
+package graft.source
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.connector.catalog._
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsTruncate, V1Write, Write, WriteBuilder}
+import org.apache.spark.sql.sources.InsertableRelation
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import graft.ops.{ActionLog, Occ, Protocol, VersionedTable}
+
+/** SQL DML for [[GraftCatalog]] tables — the WRITE half of the SQL
+  * surface, Delta's public recipe: the DSv2 table exposes
+  * `V1_BATCH_WRITE` and hands Spark a [[V1Write]] whose
+  * `InsertableRelation` routes the fully-resolved frame through the
+  * table's OWN commit protocol (Delta's `WriteIntoDeltaBuilder` does
+  * exactly this) — never a blind file write:
+  *
+  *  - snapshot tables commit through [[Occ.commit]]: `INSERT INTO`
+  *    declares a WRITER-UNIQUE append token, so two concurrent SQL
+  *    inserts never hard-conflict — the loser REBASES (re-runs
+  *    base ∪ data on the winner's snapshot), Delta's blind-append rule;
+  *    `INSERT OVERWRITE` declares `*` and conflicts with everything
+  *    concurrent, as a full-table replace must.
+  *  - log tables append through [[ActionLog.appendOcc]] — O(delta), the
+  *    100 TB path — carrying the table's recorded stats column so the
+  *    log's skipping index stays maintained through SQL writes;
+  *    `INSERT OVERWRITE` is a log rewrite (remove-all + add).
+  *
+  * The writer-feature protocol gate runs BEFORE staging: a catalog
+  * registered without a feature the live version requires for WRITING
+  * must not commit a byte.
+  */
+final case class DmlTarget(dir: String, layout: String, features: Set[String])
+
+private[source] object GraftDml {
+
+  def insert(target: DmlTarget, data: DataFrame, overwrite: Boolean): Unit = {
+    val spark = data.sparkSession
+    target.layout match {
+      case "log" =>
+        if (overwrite) {
+          val n = math.max(1, data.rdd.getNumPartitions)
+          ActionLog.rewrite(data, target.dir, numFiles = n)
+          ()
+        } else {
+          ActionLog.appendOcc(data, target.dir,
+            statsCol = ActionLog.statsColumn(spark, target.dir))
+          ()
+        }
+      case _ =>
+        VersionedTable.currentVersion(spark, target.dir).foreach { v =>
+          val missing = Protocol.of(spark, target.dir, v)
+            .writerFeatures -- target.features
+          require(missing.isEmpty,
+            s"GraftCatalog: ${target.dir} requires writer feature(s) " +
+              s"${missing.toSeq.sorted.mkString(", ")} this catalog was " +
+              "not registered with — add them to the 'features' option")
+        }
+        val token =
+          if (overwrite) "*"
+          else "append-" + java.util.UUID.randomUUID().toString.take(12)
+        Occ.commit(spark, target.dir, writeSet = Set(token)) { base =>
+          base match {
+            case Some(b) if !overwrite => b.unionByName(data)
+            case _ => data
+          }
+        }
+        ()
+    }
+  }
+}
+
+/** The shared write-builder: `SupportsTruncate` records the
+  * INSERT-OVERWRITE intent (Spark's OverwriteByExpression with a `true`
+  * condition calls `truncate()` on the builder, then inserts).
+  */
+private[source] class GraftDmlWriteBuilder(target: DmlTarget)
+    extends WriteBuilder with SupportsTruncate {
+  private var overwrite = false
+  override def truncate(): WriteBuilder = { overwrite = true; this }
+  override def build(): Write = new V1Write {
+    override def toInsertableRelation: InsertableRelation =
+      new InsertableRelation {
+        override def insert(data: DataFrame, v1Overwrite: Boolean): Unit =
+          GraftDml.insert(target, data, overwrite || v1Overwrite)
+      }
+  }
+}
+
+/** A created-but-never-committed table (CREATE TABLE / the window inside
+  * CTAS): reads are an empty scan of the declared schema; the first
+  * INSERT mints version 1 through the normal commit protocol.
+  */
+private[source] class GraftEmptyTable(tableName: String,
+    tableSchema: StructType, target: DmlTarget)
+    extends Table with SupportsRead with SupportsWrite {
+  override def name(): String = tableName
+  override def schema(): StructType = tableSchema
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder {
+      override def build(): Scan = new Scan with Batch {
+        override def readSchema(): StructType = tableSchema
+        override def toBatch: Batch = this
+        override def planInputPartitions(): Array[InputPartition] = Array.empty
+        override def createReaderFactory(): PartitionReaderFactory =
+          new CdfReaderFactory(tableSchema)
+      }
+    }
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new GraftDmlWriteBuilder(target)
+}

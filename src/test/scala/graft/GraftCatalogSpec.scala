@@ -95,4 +95,38 @@ class GraftCatalogSpec extends AnyFunSuite {
     }
     assert(ex.getMessage.contains("not pinned"))
   }
+
+  test("DDL: duplicate CREATE fails, DROP removes, non-empty ns refuses") {
+    val root = TestSpark.tmpDir("cddl")
+    val cat = register(root)
+    spark.sql(s"CREATE NAMESPACE $cat.n1")
+    spark.sql(s"CREATE TABLE $cat.n1.t AS SELECT 1L AS k, 2L AS v")
+    val dup = intercept[Exception] {
+      spark.sql(s"CREATE TABLE $cat.n1.t AS SELECT 3L AS k, 4L AS v")
+    }
+    assert(dup.getMessage.toLowerCase.contains("already exists"))
+    val nonEmpty = intercept[Exception] {
+      spark.sql(s"DROP NAMESPACE $cat.n1")
+    }
+    assert(nonEmpty.getMessage.contains("not empty"))
+    spark.sql(s"DROP TABLE $cat.n1.t")
+    val gone = intercept[Exception] {
+      spark.sql(s"SELECT * FROM $cat.n1.t").collect()
+    }
+    assert(gone.getMessage.contains("TABLE_OR_VIEW_NOT_FOUND") ||
+      gone.getMessage.toLowerCase.contains("cannot be found") ||
+      gone.getMessage.toLowerCase.contains("not found"))
+    spark.sql(s"DROP NAMESPACE $cat.n1") // now empty
+  }
+
+  test("DML: an AS-OF relation refuses writes; empty CREATE then INSERT") {
+    val root = TestSpark.tmpDir("cdml")
+    val cat = register(root)
+    spark.sql(s"CREATE TABLE $cat.t2 (k BIGINT, v BIGINT)")
+    // created-but-empty: readable as an empty relation of the DDL schema
+    assert(spark.sql(s"SELECT * FROM $cat.t2").count() == 0)
+    spark.sql(s"INSERT INTO $cat.t2 VALUES (CAST(1 AS BIGINT), CAST(2 AS BIGINT))")
+    assert(VersionedTable.currentVersion(spark, s"$root/t2").contains(1L))
+    assert(spark.sql(s"SELECT * FROM $cat.t2").count() == 1)
+  }
 }
