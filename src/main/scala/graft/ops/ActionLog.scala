@@ -48,6 +48,39 @@ object ActionLog {
   private def ckptPath(dir: String, v: Long): Path =
     new Path(s"$dir/$LogDir/_checkpoint-${"%08d".format(v)}.json")
 
+  private def ckptPartPath(dir: String, v: Long, i: Int, n: Int): Path =
+    new Path(s"$dir/$LogDir/_checkpoint-${"%08d".format(v)}" +
+      s".p${"%02d".format(i)}-of-${"%02d".format(n)}.json")
+
+  private def compactPath(dir: String, from: Long, to: Long): Path =
+    new Path(s"$dir/$LogDir/_compact-${"%08d".format(from)}-${"%08d".format(to)}.json")
+
+  private val CkptSingle = """_checkpoint-(\d{8})\.json""".r
+  private val CkptPart = """_checkpoint-(\d{8})\.p(\d{2})-of-(\d{2})\.json""".r
+  private val CompactName = """_compact-(\d{8})-(\d{8})\.json""".r
+
+  /** COMPLETE checkpoints ≤ `asOf`: a single-file checkpoint, or a
+    * multi-part one with EVERY part present (Delta's validity rule — a
+    * writer that crashed mid-parts left an ignorable fragment, never a
+    * truncated state). Returns version → the part paths to read.
+    */
+  private def completeCheckpoints(fs: FileSystem, dir: String,
+      asOf: Long): Map[Long, Seq[Path]] = {
+    val ld = new Path(s"$dir/$LogDir")
+    if (!fs.exists(ld)) return Map.empty
+    val names = fs.listStatus(ld).toSeq.map(_.getPath.getName)
+    val singles = names.collect { case CkptSingle(v) => v.toLong }
+      .filter(_ <= asOf).map(v => v -> Seq(ckptPath(dir, v)))
+    val parts = names.collect { case CkptPart(v, i, n) =>
+      (v.toLong, i.toInt, n.toInt)
+    }.groupBy(_._1).collect {
+      case (v, ps) if v <= asOf && ps.map(_._3).distinct.size == 1 &&
+        ps.map(_._2).sorted == (0 until ps.head._3) =>
+        v -> ps.sortBy(_._2).map(p => ckptPartPath(dir, v, p._2, p._3))
+    }
+    (singles ++ parts).toMap
+  }
+
   /** Committed versions, ascending — the action files that exist. */
   def versions(spark: SparkSession, dir: String): Seq[Long] = {
     val fs = fsOf(spark, dir)
@@ -175,25 +208,90 @@ object ActionLog {
 
   /** Materialize the file set at the latest version as a checkpoint and
     * advance `_last_checkpoint`, bounding every later replay to the tail.
+    *
+    * `parts > 1` writes Delta's MULTI-PART checkpoint: the state's add
+    * actions are hash-partitioned across `parts` files
+    * (`_checkpoint-V.pII-of-NN.json`), each a self-contained JSON-lines
+    * fragment — at 100 TB the checkpoint of a million-file table outgrows
+    * one writer, and hash-split parts can be written (and re-read) by N
+    * workers independently. Validity is all-or-nothing: a replay uses a
+    * multi-part checkpoint only when every part is present, so a writer
+    * crashing mid-parts leaves ignorable fragments, never truncated
+    * state. Txn high-water marks ride part 0 (Delta's rule: checkpoints
+    * persist SetTransaction, or vacuumed logs would double-apply
+    * batches).
     */
-  def checkpoint(spark: SparkSession, dir: String): Long = {
+  def checkpoint(spark: SparkSession, dir: String, parts: Int = 1): Long = {
+    require(parts >= 1, "checkpoint: parts must be >= 1")
     val fs = fsOf(spark, dir)
     val v = versions(spark, dir).lastOption.getOrElse(
       sys.error(s"ActionLog.checkpoint($dir): empty log"))
     val (state, _, _, txns) = replayState(spark, dir, v)
-    // Delta's rule: checkpoints persist SetTransaction high-water marks,
-    // or vacuumed logs would lose exactly-once and double-apply batches
-    writeText(fs, ckptPath(dir, v),
-      (state.toSeq.map {
-        case (f, Some((lo, hi, n))) =>
-          s"""{"a":"add","p":"$f","lo":$lo,"hi":$hi,"n":$n}"""
-        case (f, None) => s"""{"a":"add","p":"$f"}"""
-      } ++ txns.toSeq.sortBy(_._1).map { case (a, b) =>
-        s"""{"a":"txn","app":"$a","batch":$b}"""
-      }).mkString("\n"))
+    def addLine(f: String, st: Option[(Long, Long, Long)]) = st match {
+      case Some((lo, hi, n)) => s"""{"a":"add","p":"$f","lo":$lo,"hi":$hi,"n":$n}"""
+      case None => s"""{"a":"add","p":"$f"}"""
+    }
+    val txnLines = txns.toSeq.sortBy(_._1).map { case (a, b) =>
+      s"""{"a":"txn","app":"$a","batch":$b}"""
+    }
+    if (parts == 1)
+      writeText(fs, ckptPath(dir, v),
+        (state.toSeq.map((addLine _).tupled) ++ txnLines).mkString("\n"))
+    else {
+      val byPart = state.toSeq.groupBy { case (f, _) =>
+        math.floorMod(f.hashCode, parts)
+      }
+      (0 until parts).foreach { i =>
+        val lines = byPart.getOrElse(i, Seq.empty).map((addLine _).tupled) ++
+          (if (i == 0) txnLines else Seq.empty)
+        writeText(fs, ckptPartPath(dir, v, i, parts), lines.mkString("\n"))
+      }
+    }
     val out = fs.create(new Path(s"$dir/$LogDir/$LastCkpt"), true)
     try out.write(v.toString.getBytes(StandardCharsets.UTF_8)) finally out.close()
     v
+  }
+
+  /** LOG COMPACTION (Delta's compacted-log files): fold versions
+    * `[from, to]` into ONE net action file replay applies in their
+    * place, bounding the between-checkpoint tail without touching the
+    * originals (time travel inside the range still replays the
+    * per-version records). The net set: adds surviving the range,
+    * removes of files that predate it, and the range's txn high-water
+    * marks — removes FIRST, so applying the fragment onto the prior
+    * state stays a valid replay.
+    */
+  def compactLog(spark: SparkSession, dir: String, from: Long, to: Long): Unit = {
+    require(from <= to, s"compactLog: bad range [$from, $to]")
+    val fs = fsOf(spark, dir)
+    val have = versions(spark, dir).filter(v => v >= from && v <= to)
+    require(have == (from to to).toSeq,
+      s"ActionLog.compactLog($dir): range [$from, $to] has missing versions")
+    val adds = scala.collection.mutable
+      .LinkedHashMap.empty[String, Option[(Long, Long, Long)]]
+    val outerRemoves = scala.collection.mutable.ArrayBuffer.empty[String]
+    val txns = scala.collection.mutable.Map.empty[String, Long]
+    have.foreach { v =>
+      readLines(fs, logPath(dir, v)).foreach {
+        case AddStats(p, lo, hi, n) =>
+          adds.put(p, Some((lo.toLong, hi.toLong, n.toLong))); ()
+        case Add(p) => adds.put(p, None); ()
+        case Remove(p) =>
+          if (adds.remove(p).isEmpty) outerRemoves += p
+        case Txn(app, b) =>
+          txns(app) = math.max(txns.getOrElse(app, Long.MinValue), b.toLong); ()
+        case l => sys.error(s"ActionLog.compactLog: bad line at v$v: $l")
+      }
+    }
+    writeText(fs, compactPath(dir, from, to),
+      (outerRemoves.toSeq.map(f => s"""{"a":"remove","p":"$f"}""") ++
+        adds.toSeq.map {
+          case (f, Some((lo, hi, n))) =>
+            s"""{"a":"add","p":"$f","lo":$lo,"hi":$hi,"n":$n}"""
+          case (f, None) => s"""{"a":"add","p":"$f"}"""
+        } ++ txns.toSeq.sortBy(_._1).map { case (a, b) =>
+          s"""{"a":"txn","app":"$a","batch":$b}"""
+        }).mkString("\n"))
   }
 
   /** Stage with writer-unique names (no version prefix) — the OCC path's
@@ -304,17 +402,12 @@ object ActionLog {
       (scala.collection.mutable.LinkedHashMap[String, Option[(Long, Long, Long)]],
         Int, Option[Long], Map[String, Long]) = {
     val fs = fsOf(spark, dir)
-    // newest materialized checkpoint ≤ asOf — discovered by listing, with
+    // newest COMPLETE checkpoint ≤ asOf — discovered by listing, with
     // `_last_checkpoint` as nothing more than the usual fast-path hint
-    // (a vacuum may retain checkpoints the pointer no longer names)
-    val ckptBase = {
-      val ld = new Path(s"$dir/$LogDir")
-      if (!fs.exists(ld)) None
-      else fs.listStatus(ld).toSeq.map(_.getPath.getName)
-        .filter(n => n.startsWith("_checkpoint-") && n.endsWith(".json"))
-        .map(_.stripPrefix("_checkpoint-").stripSuffix(".json").toLong)
-        .filter(_ <= asOf).sorted.lastOption
-    }
+    // (a vacuum may retain checkpoints the pointer no longer names; an
+    // incomplete multi-part set is invisible here by construction)
+    val ckpts = completeCheckpoints(fs, dir, asOf)
+    val ckptBase = ckpts.keys.toSeq.sorted.lastOption
     val base = scala.collection.mutable
       .LinkedHashMap.empty[String, Option[(Long, Long, Long)]]
     val txns = scala.collection.mutable.Map.empty[String, Long]
@@ -330,15 +423,40 @@ object ActionLog {
       case l => sys.error(s"ActionLog: bad log line at $v: $l")
     }
     ckptBase.foreach { cv =>
-      readLines(fs, ckptPath(dir, cv)).foreach(applyLine(_, s"ckpt-$cv"))
+      ckpts(cv).foreach(p =>
+        readLines(fs, p).foreach(applyLine(_, s"ckpt-$cv")))
     }
-    val tail = versions(spark, dir)
-      .filter(v => v > ckptBase.getOrElse(0L) && v <= asOf)
+    val base0 = ckptBase.getOrElse(0L)
+    val tail = versions(spark, dir).filter(v => v > base0 && v <= asOf)
+    // compacted-log jumps: at version v with a compaction [v, to] fully
+    // inside the tail, apply the ONE net fragment and skip to to+1 —
+    // the bounded-tail contract between checkpoints
+    val compacts: Map[Long, Long] = {
+      val ld = new Path(s"$dir/$LogDir")
+      if (!fs.exists(ld)) Map.empty
+      else fs.listStatus(ld).toSeq.map(_.getPath.getName).collect {
+        case CompactName(f, t) => (f.toLong, t.toLong)
+      }.filter { case (f, t) => f > base0 && t <= asOf }
+        .groupBy(_._1).map { case (f, ts) => f -> ts.map(_._2).max }
+    }
     var replayed = 0
-    tail.foreach { v =>
-      readLines(fs, logPath(dir, v)).foreach { line =>
-        replayed += 1
-        applyLine(line, s"v$v")
+    var idx = 0
+    while (idx < tail.size) {
+      val v = tail(idx)
+      compacts.get(v) match {
+        case Some(to) =>
+          readLines(fs, compactPath(dir, v, to)).foreach { line =>
+            replayed += 1
+            applyLine(line, s"compact-$v-$to")
+          }
+          idx = tail.indexWhere(_ > to, idx)
+          if (idx < 0) idx = tail.size
+        case None =>
+          readLines(fs, logPath(dir, v)).foreach { line =>
+            replayed += 1
+            applyLine(line, s"v$v")
+          }
+          idx += 1
       }
     }
     (base, replayed, ckptBase, txns.toMap)
@@ -429,8 +547,10 @@ object ActionLog {
     val referenced = vs.filter(_ >= horizon)
       .flatMap(v => replayState(spark, dir, v)._1.keys).toSet
     // checkpoint BEFORE cleanup: retained versions must resolve without
-    // the records about to be dropped
-    if (vs.size > keepVersions && !fs.exists(ckptPath(dir, horizon))) {
+    // the records about to be dropped (a complete multi-part checkpoint
+    // at the horizon counts)
+    if (vs.size > keepVersions &&
+      !completeCheckpoints(fs, dir, horizon).contains(horizon)) {
       val (state, _, _, txns) = replayState(spark, dir, horizon)
       writeText(fs, ckptPath(dir, horizon),
         (state.toSeq.map {
@@ -451,16 +571,20 @@ object ActionLog {
     expired.foreach(v => fs.delete(logPath(dir, v), false))
     val ld = new Path(s"$dir/$LogDir")
     fs.listStatus(ld).toSeq.map(_.getPath).foreach { p =>
-      val n = p.getName
-      if (n.startsWith("_checkpoint-") && n.endsWith(".json") &&
-        n.stripPrefix("_checkpoint-").stripSuffix(".json").toLong < horizon)
-        fs.delete(p, false)
+      p.getName match {
+        case CkptSingle(v) if v.toLong < horizon => fs.delete(p, false); ()
+        case CkptPart(v, _, _) if v.toLong < horizon => fs.delete(p, false); ()
+        // a compaction whose range starts below the horizon can never be
+        // applied again (replay starts at the horizon checkpoint)
+        case CompactName(f, _) if f.toLong < horizon => fs.delete(p, false); ()
+        case _ => ()
+      }
     }
     // keep the hint pointer at least at the horizon checkpoint (only
     // when that checkpoint actually exists — a file-sweep-only pass may
     // not have materialized one)
     val lc = new Path(s"$dir/$LogDir/$LastCkpt")
-    if (fs.exists(ckptPath(dir, horizon)) &&
+    if (completeCheckpoints(fs, dir, horizon).contains(horizon) &&
       (!fs.exists(lc) || readLines(fs, lc).head.trim.toLong < horizon)) {
       val out = fs.create(lc, true)
       try out.write(horizon.toString.getBytes(StandardCharsets.UTF_8))

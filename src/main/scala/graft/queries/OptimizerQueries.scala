@@ -2688,5 +2688,101 @@ object OptimizerQueries {
         .groupBy(col("nk"))
         .agg(count(lit(1)).cast("bigint").as("n"),
           sum(col("ck")).cast("bigint").as("ck_sum"))
+    },
+
+    // ---------------------------------------------------------------- q308
+    // MULTI-PART CHECKPOINTS + LOG COMPACTION (`ops/ActionLog.scala` —
+    // Delta's two public answers to log growth at scale): a checkpoint
+    // hash-split across N part files, each individually re-readable and
+    // valid only as a COMPLETE set (a writer crashing mid-parts leaves
+    // ignorable fragments — pinned with a fabricated orphan part that
+    // replay must skip); and compacted-log files folding a version range
+    // into its NET actions, so the between-checkpoint replay tail stays
+    // bounded however many commits land (pinned: a 13-action tail drops
+    // to 3 after compaction, bit-identical content, and time travel
+    // INSIDE the compacted range still replays the per-version records).
+    // At 100 TB: the checkpoint of a million-file table outgrows one
+    // writer — parts restore write parallelism; compaction keeps
+    // thousand-commit days replayable in O(net), Delta's exact recipe.
+    Q("q308_multipart_checkpoint",
+      """WITH o AS (SELECT CAST(o_orderkey AS BIGINT) AS okey,
+        |    o_orderpriority AS opri FROM orders)
+        |SELECT opri, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(okey) AS BIGINT) AS key_sum
+        |FROM o WHERE okey % 20 <= 18 GROUP BY 1""".stripMargin) { (s, dir) =>
+      import graft.ops.ActionLog
+      val root = scratch(s, dir, "q308")
+      val table = s"$root/t"
+      val o = Tables.load(s, dir, "orders")
+        .select(col("o_orderkey").cast("long").as("okey"),
+          col("o_orderpriority").as("opri"))
+      def slice(i: Int) = o.filter(col("okey") % 20 === i).coalesce(1)
+      (0 to 11).foreach(i => ActionLog.append(slice(i), table)) // v1..v12
+      // multi-part checkpoint at v12: three hash-split fragments
+      require(ActionLog.checkpoint(s, table, parts = 3) == 12L,
+        "q308: the checkpoint must land at the head version")
+      val fsys = new org.apache.hadoop.fs.Path(table)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      val partNames = fsys.listStatus(
+        new org.apache.hadoop.fs.Path(s"$table/_log")).map(_.getPath.getName)
+        .filter(_.matches("_checkpoint-00000012\\.p\\d{2}-of-\\d{2}\\.json"))
+        .sorted.toSeq
+      require(partNames == Seq("_checkpoint-00000012.p00-of-03.json",
+        "_checkpoint-00000012.p01-of-03.json",
+        "_checkpoint-00000012.p02-of-03.json"),
+        s"q308: expected three complete parts, got $partNames")
+      // each part is INDIVIDUALLY re-readable, and the union is the state
+      val partFiles = partNames.flatMap { n =>
+        val in = fsys.open(new org.apache.hadoop.fs.Path(s"$table/_log/$n"))
+        val lines = try scala.io.Source.fromInputStream(in, "UTF-8")
+          .getLines().toList finally in.close()
+        lines.filter(_.nonEmpty).map { l =>
+          require(l.contains("\"a\":\"add\""), s"q308: bad part line $l")
+          l.split("\"p\":\"")(1).split("\"")(0)
+        }
+      }
+      require(partFiles.toSet ==
+        ActionLog.resolve(s, table, 12L)._1.toSet && partFiles.size == 12,
+        "q308: the parts must union to exactly the v12 file set")
+      (12 to 16).foreach(i => ActionLog.append(slice(i), table)) // v13..v17
+      val five = ActionLog.actionsOf(s, table, 13L)._1 ++
+        (14L to 17L).flatMap(v => ActionLog.actionsOf(s, table, v)._1)
+      ActionLog.compactFiles(s, table, five, numFiles = 1) // v18: OPTIMIZE
+      (17 to 18).foreach(i => ActionLog.append(slice(i), table)) // v19, v20
+      val want = o.filter(col("okey") % 20 <= 18)
+      def contentOk(tag: String): Unit = {
+        val got = ActionLog.read(s, table)
+        require(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty,
+          s"q308 [$tag]: content must be the 19 slices exactly")
+      }
+      val (_, rawTail, ck0) = ActionLog.resolve(s, table, 20L)
+      require(ck0.contains(12L) && rawTail == 13,
+        s"q308: pre-compaction tail must replay 13 actions from the " +
+          s"multi-part base, got ($ck0, $rawTail)")
+      contentOk("pre-compaction")
+      // fold v13..v18 into ONE net fragment: 11 actions become 1
+      ActionLog.compactLog(s, table, 13L, 18L)
+      val (_, netTail, ck1) = ActionLog.resolve(s, table, 20L)
+      require(ck1.contains(12L) && netTail == 3,
+        s"q308: the compacted tail must replay 3 actions, got $netTail")
+      contentOk("post-compaction")
+      // time travel INSIDE the compacted range replays per-version records
+      val at15 = ActionLog.read(s, table, asOf = 15L)
+      val want15 = o.filter(col("okey") % 20 <= 14)
+      require(at15.exceptAll(want15).isEmpty && want15.exceptAll(at15).isEmpty,
+        "q308: as-of inside the compacted range must still replay exactly")
+      // a crashed multi-part writer's orphan fragment is IGNORED
+      val orphan = new org.apache.hadoop.fs.Path(
+        s"$table/_log/_checkpoint-00000019.p00-of-02.json")
+      val out = fsys.create(orphan, false)
+      try out.write("""{"a":"add","p":"bogus.parquet"}"""
+        .getBytes("UTF-8")) finally out.close()
+      val (_, _, ck2) = ActionLog.resolve(s, table, 20L)
+      require(ck2.contains(12L),
+        "q308: an incomplete multi-part set must be invisible to replay")
+      contentOk("orphan-fragment")
+      ActionLog.read(s, table).groupBy(col("opri"))
+        .agg(count(lit(1)).cast("bigint").as("n"),
+          sum(col("okey")).cast("bigint").as("key_sum"))
     })
 }
