@@ -318,13 +318,14 @@ object ActionLog {
     moved
   }
 
-  /** Claim slot `v` create-if-absent; false = lost the race. */
+  /** Claim slot `v` atomically WITH its action lines ([[AtomicPut]]): a
+    * concurrent reader either sees the whole record or no record — never
+    * a claimed-but-empty version, which would be a torn commit to any
+    * replay racing the claim. False = lost the race.
+    */
   private def tryClaim(fs: FileSystem, dir: String, v: Long,
-      text: String): Boolean = {
-    val p = logPath(dir, v)
-    try { writeText(fs, p, text); true }
-    catch { case _: java.io.IOException if fs.exists(p) => false }
-  }
+      text: String): Boolean =
+    AtomicPut(fs, logPath(dir, v), text.getBytes(StandardCharsets.UTF_8))
 
   /** OPTIMISTICALLY CONCURRENT APPEND — Delta's commit loop: stage once
     * (writer-unique file names make staging commutative), then claim the
@@ -386,6 +387,76 @@ object ActionLog {
       if (tryClaim(fs, dir, v, lines)) committed = v
     }
     committed
+  }
+
+  /** INCREMENTAL RE-CLUSTERING (the public liquid-clustering motivation):
+    * rewrite ONLY the files whose stats-column key ranges OVERLAP — the
+    * overlap bands are what defeats range pruning — into range-disjoint
+    * replacements, and CARRY every already-disjoint file untouched (in
+    * the log layout "carried" is literal: the immutable data file stays
+    * shared, zero bytes moved). A fully-clustered table is a NO-OP with
+    * no commit at all, so scheduled re-clustering converges instead of
+    * rewriting the world each run (q228/q244's whole-table OPTIMIZE is
+    * exactly what this replaces at 100 TB: after a day of appends only
+    * the new files' bands pay).
+    *
+    * Commit rule = [[compactFiles]]'s: removes exactly the files it read,
+    * checked still-live under the claim loop, so it COMMUTES with
+    * concurrent appends and conflicts loudly with concurrent rewrites of
+    * the same files. Stats are re-recorded per replacement file, so
+    * range pruning is restored the moment the commit lands.
+    *
+    * Returns (version or -1 for no-op, rewritten files, carried files).
+    */
+  def optimizeClustered(spark: SparkSession, dir: String,
+      hook: () => Unit = () => ()): (Long, Seq[String], Seq[String]) = {
+    import org.apache.spark.sql.functions.col
+    val c = statsColumn(spark, dir).getOrElse(sys.error(
+      s"ActionLog.optimizeClustered($dir): no recorded stats column — " +
+        "clustering needs per-file key ranges"))
+    val live = liveFiles(spark, dir)
+    require(live.forall(_._2.isDefined),
+      s"ActionLog.optimizeClustered($dir): every live file needs '$c' stats")
+    val sorted = live.map { case (f, st) =>
+      val (lo, hi, _) = st.get; (f, lo, hi)
+    }.sortBy(t => (t._2, t._3))
+    // transitive interval clustering: a file joins the open cluster when
+    // its lo is inside the cluster's running hi — O(files log files)
+    val clusters = scala.collection.mutable
+      .ArrayBuffer.empty[scala.collection.mutable.ArrayBuffer[(String, Long, Long)]]
+    var runningHi = Long.MinValue
+    sorted.foreach { t =>
+      if (clusters.nonEmpty && t._2 <= runningHi) {
+        clusters.last += t; runningHi = math.max(runningHi, t._3)
+      } else {
+        clusters += scala.collection.mutable.ArrayBuffer(t); runningHi = t._3
+      }
+    }
+    val targets = clusters.filter(_.size > 1).flatMap(_.map(_._1)).toSeq
+    val carried = live.map(_._1).filterNot(targets.toSet)
+    if (targets.isEmpty) return (-1L, Seq.empty, carried)
+    val fs = fsOf(spark, dir)
+    val content = spark.read
+      .parquet(targets.map(f => s"$dir/$DataDir/$f"): _*)
+      .repartitionByRange(targets.size, col(c))
+      .sortWithinPartitions(col(c))
+    val files = stageDataNamed(content, dir)
+    val lines = (targets.map(f => s"""{"a":"remove","p":"$f"}""") ++
+      addLines(spark, dir, files, Some(c))).mkString("\n")
+    hook()
+    var committed = -1L
+    var attempts = 0
+    while (committed < 0) {
+      attempts += 1
+      require(attempts <= 20, s"ActionLog.optimizeClustered($dir): livelocked")
+      val v = versions(spark, dir).lastOption.getOrElse(0L) + 1L
+      val (liveNow, _, _) = resolve(spark, dir, v - 1)
+      require(targets.forall(liveNow.contains),
+        s"ActionLog.optimizeClustered($dir): a target file left the live " +
+          "set — concurrent rewrite conflict")
+      if (tryClaim(fs, dir, v, lines)) committed = v
+    }
+    (committed, targets, carried)
   }
 
   private val Add = """\{"a":"add","p":"([^"]+)"\}""".r

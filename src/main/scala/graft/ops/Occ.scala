@@ -70,17 +70,16 @@ object Occ {
       .sorted
   }
 
-  /** Atomic claim of version `v`: create-if-absent of the commit marker.
-    * Returns false when someone else holds it.
+  /** Atomic claim of version `v`: put-if-absent of the commit marker WITH
+    * its body ([[AtomicPut]]) — the claim and the marker content are one
+    * atomic step, so no concurrent finalizer or conflict-checker can ever
+    * observe a claimed-but-empty marker. Returns false when someone else
+    * holds it.
     */
   private def claim(fs: org.apache.hadoop.fs.FileSystem, dir: String, v: Long,
       stageName: String, writeSet: Set[String]): Boolean = {
     val body = (stageName +: writeSet.toSeq.sorted).mkString("\n")
-    try {
-      val out = fs.create(commitPath(dir, v), false) // overwrite=false = the CAS
-      try out.write(body.getBytes(StandardCharsets.UTF_8)) finally out.close()
-      true
-    } catch { case _: java.io.IOException => false }
+    AtomicPut(fs, commitPath(dir, v), body.getBytes(StandardCharsets.UTF_8))
   }
 
   /** Roll a claimed-but-unfinalized commit forward: rename its staged dir to

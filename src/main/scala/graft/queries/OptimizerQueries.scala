@@ -2639,10 +2639,15 @@ object OptimizerQueries {
           s"FROM q307_src WHERE ck % 2 = $mod")
         ()
       }
+      val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+      def guarded(f: => Unit) = new Thread(() =>
+        try f catch { case t: Throwable => errs.add(t); () })
       val threads = Seq(
-        new Thread(() => ins(0, 4000000000L)),
-        new Thread(() => ins(1, 8000000000L)))
+        guarded(ins(0, 4000000000L)),
+        guarded(ins(1, 8000000000L)))
       threads.foreach(_.start()); threads.foreach(_.join())
+      require(errs.isEmpty,
+        s"q307: a concurrent insert failed: ${Option(errs.peek()).map(_.toString)}")
       require(VT.currentVersion(s, s"$root/ns/t").contains(3L),
         "q307: both concurrent inserts must mint a version")
       val typedEquiv = base
@@ -2781,6 +2786,95 @@ object OptimizerQueries {
       require(ck2.contains(12L),
         "q308: an incomplete multi-part set must be invisible to replay")
       contentOk("orphan-fragment")
+      ActionLog.read(s, table).groupBy(col("opri"))
+        .agg(count(lit(1)).cast("bigint").as("n"),
+          sum(col("okey")).cast("bigint").as("key_sum"))
+    },
+
+    // ---------------------------------------------------------------- q309
+    // INCREMENTAL RE-CLUSTERING (`ActionLog.optimizeClustered` — the
+    // public liquid-clustering motivation): rewrite ONLY files whose
+    // stats-column ranges OVERLAP, carry disjoint files untouched (in the
+    // log layout literally — the shared immutable file stays, zero bytes
+    // moved), converge to a NO-OP. Pinned: six interleaved appends leave
+    // every file spanning the domain (a band probe admits 6/6); one
+    // optimize establishes disjoint ranges and pruning collapses; a
+    // narrow append then dirties ONE band and the next optimize rewrites
+    // exactly that overlap cluster — the untouched files' NAMES survive
+    // in the live set — while a CONCURRENT append lands mid-optimize
+    // through the commutes-with-appends rule; a further pass folds the
+    // concurrent file's band, and the run after that is a no-op with no
+    // commit minted. Content digests identical at every step. At 100 TB
+    // this is the difference between OPTIMIZE rewriting the world nightly
+    // and paying only for the day's dirty bands.
+    Q("q309_liquid_optimize",
+      """WITH o AS (SELECT CAST(o_orderkey AS BIGINT) AS okey,
+        |    o_orderpriority AS opri FROM orders)
+        |SELECT opri, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(okey) AS BIGINT) AS key_sum FROM o GROUP BY 1""".stripMargin) { (s, dir) =>
+      import graft.ops.{ActionLog, TableChecksum}
+      val root = scratch(s, dir, "q309")
+      val table = s"$root/t"
+      val o = Tables.load(s, dir, "orders")
+        .select(col("o_orderkey").cast("long").as("okey"),
+          col("o_orderpriority").as("opri"))
+      val q = o.stat.approxQuantile("okey",
+        Array(0.40, 0.45, 0.70, 0.72, 0.80, 0.82), 0.0).map(_.toLong)
+      val (h1lo, h1hi, p1, p2, h2lo, h2hi) = (q(0), q(1), q(2), q(3), q(4), q(5))
+      def inHole1 = col("okey") > h1lo && col("okey") <= h1hi
+      def inHole2 = col("okey") > h2lo && col("okey") <= h2hi
+      val bulk = o.filter(!inHole1 && !inHole2)
+      (0 to 5).foreach(i => ActionLog.append(
+        bulk.filter(col("okey") % 6 === i).coalesce(1), table, Some("okey")))
+      val digest0 = TableChecksum.digest(ActionLog.read(s, table))
+      // interleaved layout: min/max skipping is blind, a band admits 6/6
+      val (_, kept0, tot0) = ActionLog.readWhere(s, table, "okey", p1, p2)
+      require(tot0 == 6 && kept0 == 6,
+        s"q309: interleaved files must defeat pruning, got $kept0/$tot0")
+      val (v1, rw1, car1) = ActionLog.optimizeClustered(s, table)
+      require(v1 == 7L && rw1.size == 6 && car1.isEmpty,
+        s"q309: the first pass re-clusters the whole overlap, got " +
+          s"($v1, ${rw1.size}, ${car1.size})")
+      require(TableChecksum.digest(ActionLog.read(s, table)) == digest0,
+        "q309: re-clustering must never change content")
+      val (_, kept1, _) = ActionLog.readWhere(s, table, "okey", p1, p2)
+      require(kept1 < kept0 && kept1 <= 2,
+        s"q309: disjoint ranges must restore band pruning, got $kept1")
+      // a narrow append dirties exactly one band…
+      ActionLog.append(o.filter(inHole1).coalesce(1), table, Some("okey")) // v8
+      val liveBefore = ActionLog.liveFiles(s, table).map(_._1).toSet
+      // …and the next optimize rewrites ONLY that overlap cluster, while
+      // a concurrent append (the hook fires between staging and claim)
+      // lands through the commutes-with-appends rule
+      val (v2, rw2, car2) = ActionLog.optimizeClustered(s, table,
+        hook = () => { ActionLog.append(o.filter(inHole2).coalesce(1),
+          table, Some("okey")); () })
+      require(v2 == 10L,
+        s"q309: the concurrent append must claim v9 and the optimize v10, got $v2")
+      require(rw2.contains("v8-0.parquet") && rw2.size <= 3 &&
+        car2.size == 7 - rw2.size,
+        s"q309: only the dirty band rewrites, got ${rw2.size} targets")
+      val liveAfter = ActionLog.liveFiles(s, table).map(_._1).toSet
+      require(car2.forall(liveAfter.contains) &&
+        car2.forall(liveBefore.contains),
+        "q309: carried files must survive by NAME — zero bytes moved")
+      val wantAll = TableChecksum.digest(o)
+      require(TableChecksum.digest(ActionLog.read(s, table)) == wantAll,
+        "q309: optimize + concurrent append must land the full content")
+      // fold the concurrent file's band, then converge
+      val (v3, rw3, _) = ActionLog.optimizeClustered(s, table)
+      require(v3 == 11L && rw3.nonEmpty && rw3.size < liveAfter.size,
+        s"q309: the follow-up pass folds the concurrent band only, got ${rw3.size}")
+      val (v4, rw4, car4) = ActionLog.optimizeClustered(s, table)
+      require(v4 == -1L && rw4.isEmpty && car4.nonEmpty &&
+        ActionLog.versions(s, table).last == 11L,
+        "q309: a clustered table must be a NO-OP — no commit minted")
+      require(TableChecksum.digest(ActionLog.read(s, table)) == wantAll,
+        "q309: converged content must still be exact")
+      // the once-held-out band now prunes to its own file(s)
+      val (_, keptH, totH) = ActionLog.readWhere(s, table, "okey", h1lo + 1, h1hi)
+      require(keptH <= 2 && totH >= 6,
+        s"q309: the filled band must prune to its band files, got $keptH/$totH")
       ActionLog.read(s, table).groupBy(col("opri"))
         .agg(count(lit(1)).cast("bigint").as("n"),
           sum(col("okey")).cast("bigint").as("key_sum"))
