@@ -59,6 +59,140 @@ object BloomIndex {
     (perKey.head, total)
   }
 
+  // ------------------------------------------------------------------
+  // INDEX MAINTENANCE UNDER DML — Delta's bloom index follows the FILE
+  // lifecycle, not the write: entries are per immutable file, so DML
+  // composes as (a) new files -> build entries for exactly those,
+  // (b) removed files -> their entries go dead and are ignored,
+  // (c) byte-copied files (a DV delete carries data files verbatim) ->
+  // entries carried, zero rebuild. Correctness NEVER depends on the
+  // index being fresh: a live file without an entry is admitted
+  // conservatively (the same superset contract as stats-less files), so
+  // a probe between a commit and its refresh stays exact — refresh
+  // restores PRUNING, not correctness.
+
+  private val LogSidecar = "_bloomlog"
+
+  /** Incrementally index `column` for a log-structured table: build
+    * entries ONLY for live files that lack one (O(new data), never
+    * O(table)) and append them to the table-level sidecar. Dead entries
+    * (removed files) are ignored at probe time; when they outnumber the
+    * live ones the sidecar is folded. Returns (built, carried).
+    */
+  def refresh(spark: SparkSession, tableDir: String, column: String,
+      bitsPerKey: Int = 10): (Int, Int) = {
+    val live = ActionLog.liveFiles(spark, tableDir).map(_._1)
+    val side = new Path(tableDir, LogSidecar)
+    val fs = side.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val existing: Set[String] =
+      if (!fs.exists(side)) Set.empty
+      else spark.read.parquet(side.toString).filter(col("c") === column)
+        .select("file").distinct().collect().map(_.getString(0)).toSet
+    val missing = live.filterNot(existing)
+    if (missing.nonEmpty) {
+      val data = spark.read
+        .parquet(missing.map(f => s"$tableDir/data/$f"): _*)
+        .select(element_at(split(input_file_name(), "/"), -1).as("file"),
+          xxhash64(col(column)).as("h"))
+      val maxRows = data.groupBy("file").count()
+        .agg(max("count")).head.getLong(0)
+      val build = udaf(new BloomBuild(Bloom.sizeBits(maxRows, bitsPerKey), Probes),
+        org.apache.spark.sql.Encoders.scalaLong)
+      data.groupBy(col("file"))
+        .agg(build(col("h")).as("bits"))
+        .withColumn("k", lit(Probes)).withColumn("c", lit(column))
+        .write.mode(SaveMode.Append).parquet(side.toString)
+    }
+    // fold the sidecar when dead entries dominate — O(files) metadata
+    if (fs.exists(side)) {
+      val all = spark.read.parquet(side.toString)
+      val dead = all.filter(!col("file").isin(live: _*)).count()
+      if (dead > live.size) {
+        val kept = all.filter(col("file").isin(live: _*)).localCheckpoint()
+        kept.write.mode(SaveMode.Overwrite).parquet(side.toString)
+      }
+    }
+    (missing.size, live.size - missing.size)
+  }
+
+  /** Batched point probe against the table-level log sidecar: per value,
+    * the live files that MIGHT hold it. A live file without an entry is
+    * admitted for every key (conservative). Returns (perKeyAdmitted,
+    * indexedLiveFiles, liveFiles).
+    */
+  def probeLog(spark: SparkSession, tableDir: String, column: String,
+      values: Seq[org.apache.spark.sql.Column]): (Seq[Seq[String]], Int, Int) = {
+    require(values.nonEmpty, "probeLog: need at least one probe value")
+    val live = ActionLog.liveFiles(spark, tableDir).map(_._1)
+    val side = new Path(tableDir, LogSidecar)
+    val fs = side.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val entries: Map[String, (Array[Long], Int)] =
+      if (!fs.exists(side)) Map.empty
+      else spark.read.parquet(side.toString).filter(col("c") === column)
+        .select("file", "bits", "k").collect()
+        .map(r => r.getString(0) -> ((r.getSeq[Long](1).toArray, r.getInt(2))))
+        .toMap
+    val hashes = spark.range(1).select(values.map(v => xxhash64(v)): _*)
+      .head.toSeq.map(_.asInstanceOf[Long])
+    val perKey = hashes.map { h =>
+      live.filter(f => entries.get(f)
+        .forall { case (bits, k) => Bloom.mightContain(bits, k, h) })
+    }
+    (perKey, live.count(entries.contains), live.size)
+  }
+
+  /** Carry a version-dir index across a byte-copy commit (the DV-delete
+    * shape: data files copied VERBATIM under the same names into the next
+    * version dir): entries whose file exists identically (name + length)
+    * in `toDir` are carried with the path rewritten — zero data reads —
+    * and only changed/new files are rebuilt. After a true rewrite
+    * (DV compaction folds the vectors into fresh files) nothing matches
+    * and everything rebuilds, which is exactly right: the old bits
+    * described rows that no longer exist at those indexes. Returns
+    * (carried, rebuilt).
+    */
+  def carryIndex(spark: SparkSession, fromDir: String, toDir: String,
+      column: String, bitsPerKey: Int = 10): (Int, Int) = {
+    val fs = new Path(toDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val oldSide = new Path(fromDir, SidecarName)
+    val oldEntries: Map[String, org.apache.spark.sql.Row] =
+      if (!fs.exists(oldSide)) Map.empty
+      else spark.read.parquet(oldSide.toString).collect()
+        .map(r => new Path(r.getString(0)).getName -> r).toMap
+    val dataFiles = fs.listStatus(new Path(toDir)).toSeq
+      .filter(st => st.isFile && !st.getPath.getName.startsWith("_") &&
+        !st.getPath.getName.startsWith("."))
+    val (carry, rebuild) = dataFiles.partition { st =>
+      oldEntries.contains(st.getPath.getName) && {
+        val from = new Path(fromDir, st.getPath.getName)
+        fs.exists(from) && fs.getFileStatus(from).getLen == st.getLen
+      }
+    }
+    import spark.implicits._
+    val carried = carry.map { st =>
+      val r = oldEntries(st.getPath.getName)
+      (st.getPath.toString, r.getSeq[Long](1), r.getLong(2), r.getInt(3))
+    }.toDF("file", "bits", "n", "k")
+    val rebuilt =
+      if (rebuild.isEmpty) carried.limit(0)
+      else {
+        val data = spark.read.parquet(rebuild.map(_.getPath.toString): _*)
+          .select(input_file_name().as("file"), xxhash64(col(column)).as("h"))
+        val maxRows = data.groupBy("file").count()
+          .agg(max("count")).head.getLong(0)
+        val build = udaf(
+          new BloomBuild(Bloom.sizeBits(maxRows, bitsPerKey), Probes),
+          org.apache.spark.sql.Encoders.scalaLong)
+        data.groupBy(col("file"))
+          .agg(build(col("h")).as("bits"), count(lit(1)).as("n"))
+          .withColumn("k", lit(Probes))
+      }
+    carried.unionByName(rebuilt).localCheckpoint()
+      .write.mode(SaveMode.Overwrite)
+      .parquet(new Path(toDir, SidecarName).toString)
+    (carry.size, rebuild.size)
+  }
+
   /** Multi-key probe: the admitted file list PER VALUE (input order), from
     * ONE sidecar read — a point-lookup batch must not re-read the O(files)
     * bit sets once per key. All literals are hashed in one 1-row job with

@@ -2878,5 +2878,114 @@ object OptimizerQueries {
       ActionLog.read(s, table).groupBy(col("opri"))
         .agg(count(lit(1)).cast("bigint").as("n"),
           sum(col("okey")).cast("bigint").as("key_sum"))
+    },
+
+    // ---------------------------------------------------------------- q310
+    // INDEX MAINTENANCE UNDER DML (`BloomIndex.refresh/probeLog/
+    // carryIndex` — Delta's rule that the bloom index follows the FILE
+    // lifecycle): entries are per immutable file, so DML composes as
+    // new-files-build / dead-files-ignore / byte-copied-files-carry, and
+    // correctness NEVER waits for a refresh — an unindexed live file is
+    // admitted conservatively (same superset contract as stats-less
+    // skipping). Pinned on the log layout: six appends index
+    // incrementally (6 built), a compaction's folded files rebuild while
+    // the untouched five CARRY, and the probe between the compaction and
+    // its refresh admits the new file for every key yet stays row-exact.
+    // Pinned on the DV lifecycle: a DV delete byte-copies data files, so
+    // carryIndex carries EVERY entry with zero data reads; DV compaction
+    // rewrites rows, so everything rebuilds and a deleted key's probe
+    // finds nothing. At 100 TB: the index costs O(changed files) per
+    // commit, never O(table), and a lagging indexer can't corrupt reads.
+    Q("q310_index_maintenance",
+      """WITH o AS (SELECT CAST(o_orderkey AS BIGINT) AS okey,
+        |    o_orderpriority AS opri FROM orders)
+        |SELECT opri, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(okey) AS BIGINT) AS key_sum
+        |FROM o WHERE okey % 10 <> 3 GROUP BY 1""".stripMargin) { (s, dir) =>
+      import graft.ops.{ActionLog, BloomIndex, DeletionVectors, VersionedTable => VT}
+      val root = scratch(s, dir, "q310")
+      val o = Tables.load(s, dir, "orders")
+        .select(col("o_orderkey").cast("long").as("okey"),
+          col("o_orderpriority").as("opri"))
+      // ---- log layout: incremental refresh + conservative staleness
+      val lt = s"$root/t"
+      (0 to 5).foreach(i => ActionLog.append(
+        o.filter(col("okey") % 6 === i).coalesce(1), lt))
+      require(BloomIndex.refresh(s, lt, "okey") == ((6, 0)),
+        "q310: the first refresh builds every file's entry")
+      require(BloomIndex.refresh(s, lt, "okey") == ((0, 6)),
+        "q310: an up-to-date index refreshes as a pure carry")
+      val keys = o.filter(col("okey") % 7 === 3).orderBy(col("okey"))
+        .limit(4).select("okey").collect().map(_.getLong(0)).toSeq
+      def exact(tag: String): Seq[Int] = {
+        val (perKey, _, total) = BloomIndex.probeLog(s, lt, "okey",
+          keys.map(lit(_)))
+        val admitted = perKey.flatten.distinct
+        val probed = s.read.parquet(admitted.map(f => s"$lt/data/$f"): _*)
+          .filter(col("okey").isin(keys: _*))
+        val direct = ActionLog.read(s, lt).filter(col("okey").isin(keys: _*))
+        require(probed.exceptAll(direct).isEmpty &&
+          direct.exceptAll(probed).isEmpty,
+          s"q310 [$tag]: pruned probe must equal the direct lookup")
+        require(total == ActionLog.liveFiles(s, lt).size, s"q310 [$tag]")
+        perKey.map(_.size)
+      }
+      val fresh = exact("fresh")
+      // fold two files; the probe BEFORE refresh admits the new file for
+      // every key (no entry -> conservative) and stays row-exact
+      val firstTwo = ActionLog.liveFiles(s, lt).map(_._1).take(2)
+      ActionLog.compactFiles(s, lt, firstTwo, numFiles = 1)
+      val folded = ActionLog.liveFiles(s, lt).map(_._1)
+        .filterNot(firstTwo.contains).filter(_.startsWith("c"))
+      require(folded.size == 1, s"q310: one folded file, got $folded")
+      val (perKeyStale, indexedStale, totalStale) =
+        BloomIndex.probeLog(s, lt, "okey", keys.map(lit(_)))
+      require(totalStale == 5 && indexedStale == 4 &&
+        perKeyStale.forall(_.contains(folded.head)),
+        "q310: a stale probe must admit the unindexed file for EVERY key")
+      exact("stale-conservative")
+      require(BloomIndex.refresh(s, lt, "okey") == ((1, 4)),
+        "q310: the refresh rebuilds ONLY the folded file's entry")
+      val tuned = exact("post-refresh")
+      require(tuned.sum <= fresh.sum + 1,
+        s"q310: refreshed pruning must be restored, got $tuned vs $fresh")
+      // ---- DV lifecycle on the snapshot layout
+      val vt = s"$root/v"
+      VT.write(o.repartition(4), vt) // v1
+      BloomIndex.writeIndex(s, VT.verDir(vt, 1L).toString, "okey")
+      val (_, nDel) = DeletionVectors.delete(s, vt, col("okey") % 10 === 3)
+      require(nDel > 0, "q310: the DV delete must hit rows")
+      // byte-copied files: every entry carries, zero rebuilt
+      require(BloomIndex.carryIndex(s, VT.verDir(vt, 1L).toString,
+        VT.verDir(vt, 2L).toString, "okey") == ((4, 0)),
+        "q310: a DV delete must carry the whole index — zero data reads")
+      val delKey = o.filter(col("okey") % 10 === 3).orderBy(col("okey"))
+        .limit(1).head.getLong(0)
+      // the index is FILE-accurate: the deleted key still probes to its
+      // file (the row exists on disk; the DV masks it at read)
+      val (admDel, _) = BloomIndex.selectFiles(s,
+        VT.verDir(vt, 2L).toString, lit(delKey))
+      require(admDel.nonEmpty,
+        "q310: post-DV the carried index still names the row's file")
+      require(DeletionVectors.read(s, vt)
+        .filter(col("okey") === delKey).count() == 0,
+        "q310: the DV read masks the deleted row")
+      // DV compaction rewrites rows -> everything rebuilds; the deleted
+      // key's probe then finds NOTHING even through admitted files
+      DeletionVectors.compact(s, vt, numFiles = 3) // v3
+      val (car3, reb3) = BloomIndex.carryIndex(s, VT.verDir(vt, 2L).toString,
+        VT.verDir(vt, 3L).toString, "okey")
+      require(car3 == 0 && reb3 == 3,
+        s"q310: a true rewrite must rebuild everything, got ($car3, $reb3)")
+      val (admGone, _) = BloomIndex.selectFiles(s,
+        VT.verDir(vt, 3L).toString, lit(delKey))
+      val residual =
+        if (admGone.isEmpty) 0L
+        else s.read.parquet(admGone: _*).filter(col("okey") === delKey).count()
+      require(residual == 0L,
+        "q310: the compacted table must not resurrect the deleted key")
+      VT.read(s, vt).groupBy(col("opri"))
+        .agg(count(lit(1)).cast("bigint").as("n"),
+          sum(col("okey")).cast("bigint").as("key_sum"))
     })
 }
