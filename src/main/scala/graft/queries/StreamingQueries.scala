@@ -927,7 +927,7 @@ object StreamingQueries {
         .localCheckpoint()
       val t = VersionedTable.read(s, table)
       require(feed.groupBy(col(ChangeFeed.ChangeType)).count()
-        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap ==
+        .collect().map(r => r.get(0).toString -> r.getLong(1)).toMap ==
         Map("insert" -> t.count()),
         "q210: the feed must be pure inserts, one per surviving key")
       // downstream view folded from the FEED equals the direct aggregate
@@ -1457,5 +1457,111 @@ object StreamingQueries {
       streamed.groupBy(col("l_returnflag"))
         .agg(count(lit(1)).cast("bigint").as("n"),
           sum(col("l_orderkey")).cast("bigint").as("key_sum"))
+    },
+
+    // ---------------------------------------------------------------- q311
+    // BYTE-BASED STREAMING ADMISSION (`maxBytesPerTrigger` on the log
+    // stream — Delta's other public rate knob): offsets become FILE
+    // positions (version, index), so a FAT COMMIT splits across triggers
+    // at a byte budget instead of arriving as one oversized batch — and
+    // the split survives a mid-commit CRASH exactly-once. Pinned
+    // deterministically: the budget is the smallest data file's size, so
+    // every trigger admits exactly one file (the ≥1-file progress
+    // guarantee) — five files, five batches; the sink THROWS at batch 2,
+    // leaving the checkpoint mid-way through the 3-file commit; the
+    // restarted stream resumes at the exact file boundary and delivers
+    // the remaining files once each, with the fat commit's batches
+    // spanning the crash. Idempotent per-batch dirs make the replayed
+    // batch id harmless, the standard foreachBatch recipe. At 100 TB a
+    // 10 TB backfill commit would otherwise have to fit in one trigger's
+    // memory; byte admission turns it into bounded batches.
+    Q("q311_bytes_per_trigger",
+      """WITH o AS (SELECT CAST(o_orderkey AS BIGINT) AS okey,
+        |    o_orderpriority AS opri FROM orders)
+        |SELECT CAST(CASE WHEN okey % 5 = 0 THEN 1
+        |    WHEN okey % 5 = 4 THEN 3 ELSE 2 END AS BIGINT) AS commit_version,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(okey) AS BIGINT) AS key_sum
+        |FROM o GROUP BY 1""".stripMargin) { (s, dir) =>
+      import graft.ops.{ActionLog, ChangeFeed}
+      import graft.source.LogStream
+      import scala.util.Try
+      val root = scratch(s, dir, "q311")
+      val table = s"$root/t"
+      val o = Tables.load(s, dir, "orders")
+        .select(col("o_orderkey").cast("long").as("okey"),
+          col("o_orderpriority").as("opri"))
+      ActionLog.append(o.filter(col("okey") % 5 === 0).coalesce(1), table)
+      ActionLog.append( // the FAT commit: three files in ONE version
+        o.filter(col("okey") % 5 >= 1 && col("okey") % 5 <= 3)
+          .repartition(3), table)
+      ActionLog.append(o.filter(col("okey") % 5 === 4).coalesce(1), table)
+      require(ActionLog.actionsOf(s, table, 2L)._1.size == 3,
+        "q311: the fat commit must carry three files")
+      val fsys = new org.apache.hadoop.fs.Path(table)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      val budget = fsys.listStatus(
+        new org.apache.hadoop.fs.Path(s"$table/data")).toSeq
+        .filter(_.isFile).map(_.getLen).min
+      val (out, cp) = (s"$root/out", s"$root/cp")
+      def run(failAt: Option[Long]): Try[Unit] = withNarrowShuffle(s) {
+        Try {
+          val q = LogStream.read(s, table, startingVersion = Some(0L),
+            maxBytesPerTrigger = Some(budget))
+            .writeStream
+            .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+              if (failAt.contains(id))
+                sys.error(s"q311: injected crash at batch $id")
+              // idempotent per-batch landing: a replayed id overwrites
+              b.write.mode("overwrite").parquet(s"$out/b=$id")
+              ()
+            }
+            .option("checkpointLocation", cp)
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start()
+          q.awaitTermination()
+        }
+      }
+      val crashed = run(failAt = Some(2L))
+      def causeChain(t: Throwable): Seq[String] =
+        Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+          .map(_.toString).take(10).toSeq
+      require(crashed.isFailure &&
+        causeChain(crashed.failed.get).exists(_.contains("injected")),
+        s"q311: the injected crash must surface, got " +
+          crashed.failed.map(causeChain).getOrElse(Seq.empty).mkString(" | "))
+      val landed1 = fsys.listStatus(new org.apache.hadoop.fs.Path(out))
+        .map(_.getPath.getName).filter(_.startsWith("b=")).sorted.toSeq
+      require(landed1 == Seq("b=0", "b=1"),
+        s"q311: the crash must land exactly batches 0 and 1, got $landed1")
+      require(run(failAt = None).isSuccess,
+        "q311: the restarted stream must drain clean")
+      val landed2 = fsys.listStatus(new org.apache.hadoop.fs.Path(out))
+        .map(_.getPath.getName).filter(_.startsWith("b=")).sorted.toSeq
+      require(landed2 == Seq("b=0", "b=1", "b=2", "b=3", "b=4"),
+        s"q311: one file per byte-budgeted trigger — five batches, got $landed2")
+      val got = s.read.option("basePath", out).parquet(out).localCheckpoint()
+      // every batch delivered exactly one file of one version, and the
+      // fat commit's batches SPAN the crash (batch 1 before, 2-3 after)
+      val perBatch = got.groupBy(col("b"))
+        .agg(countDistinct(col(ChangeFeed.CommitVersion)).as("nv"))
+        .collect().map(r => r.get(0).toString -> r.getLong(1)).toMap
+      require(perBatch.values.forall(_ == 1L),
+        s"q311: each byte-capped batch must hold one version, got $perBatch")
+      val v2Batches = got.filter(col(ChangeFeed.CommitVersion) === 2L)
+        .select("b").distinct().collect().map(_.get(0).toString).toSet
+      require(v2Batches == Set("1", "2", "3"),
+        s"q311: the fat commit must split across the crash, got $v2Batches")
+      // exactly-once: the union is the table, tagged
+      val want = ActionLog.read(s, table)
+        .withColumn(ChangeFeed.CommitVersion,
+          when(col("okey") % 5 === 0, 1L)
+            .when(col("okey") % 5 === 4, 3L).otherwise(2L))
+      val gotRows = got.drop("b")
+      require(gotRows.exceptAll(want).isEmpty && want.exceptAll(gotRows).isEmpty,
+        "q311: crash + restart must deliver every file exactly once")
+      gotRows.groupBy(col(ChangeFeed.CommitVersion).as("commit_version"))
+        .agg(count(lit(1)).cast("bigint").as("n"),
+          sum(col("okey")).cast("bigint").as("key_sum"))
     })
 }

@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, ReadMaxRows, SupportsAdmissionControl}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, ReadMaxRows, SupportsAdmissionControl, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.hadoop.conf.Configuration
@@ -92,7 +92,16 @@ private[source] case class VersionOffset(v: Long) extends Offset {
 private[source] class CdfMicroBatchStream(path: String, schema: StructType,
     startingVersion: Option[Long], startingTimestamp: Option[Long],
     maxVersionsPerTrigger: Option[Int])
-    extends MicroBatchStream with SupportsAdmissionControl {
+    extends MicroBatchStream with SupportsAdmissionControl
+    with SupportsTriggerAvailableNow {
+
+  // Trigger.AvailableNow latches the head and drains to it in
+  // admission-sized batches; without this interface Spark falls back to
+  // one unbounded batch and maxVersionsPerTrigger is silently ignored.
+  private var availableNowCap: Option[Long] = None
+  override def prepareForTriggerAvailableNow(): Unit = {
+    availableNowCap = Some(live())
+  }
 
   require(startingVersion.isEmpty || startingTimestamp.isEmpty,
     "cdf stream: startingVersion and startingTimestamp are mutually exclusive")
@@ -143,7 +152,7 @@ private[source] class CdfMicroBatchStream(path: String, schema: StructType,
 
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val s = start.asInstanceOf[VersionOffset].v
-    val end = live().max(s)
+    val end = availableNowCap.fold(live())(c => math.min(c, live())).max(s)
     limit match {
       case r: ReadMaxRows => VersionOffset(math.min(end, s + r.maxRows()))
       case _ => VersionOffset(end)

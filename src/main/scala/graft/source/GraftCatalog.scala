@@ -617,7 +617,8 @@ private[source] class GraftLogScan(dir: String, keep: Seq[String],
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
     new LogMicroBatchStream(dir, schema,
       Option(options.get("startingVersion")).map(_.toLong),
-      Option(options.get("maxVersionsPerTrigger")).map(_.toInt))
+      Option(options.get("maxVersionsPerTrigger")).map(_.toInt),
+      Option(options.get("maxBytesPerTrigger")).map(_.toLong))
   override def description(): String =
     s"GraftLogScan [$dir] files=${keep.size}/$total"
   override def planInputPartitions(): Array[InputPartition] =

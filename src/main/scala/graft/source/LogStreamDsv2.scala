@@ -55,27 +55,76 @@ private[source] class LogStreamScan(path: String, schema: StructType,
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
     new LogMicroBatchStream(path, schema,
       Option(options.get("startingVersion")).map(_.toLong),
-      Option(options.get("maxVersionsPerTrigger")).map(_.toInt))
+      Option(options.get("maxVersionsPerTrigger")).map(_.toInt),
+      Option(options.get("maxBytesPerTrigger")).map(_.toLong))
+}
+
+/** Consumed-through position: versions `< v` fully delivered, plus the
+  * first `i` add-files of version `v` — the offset granularity that lets
+  * a FAT COMMIT split across triggers (Delta's (reservoirVersion, index)
+  * offset, the shape behind its own maxBytesPerTrigger) without breaking
+  * exactly-once: a restart resumes at the exact file boundary. Legacy
+  * whole-version checkpoints (`"3"`) deserialize as (3, ∞) = fully
+  * consumed.
+  */
+private[source] case class FilePosOffset(v: Long, i: Int) extends Offset {
+  override def json: String = s"""{"v":$v,"i":$i}"""
 }
 
 private[source] class LogMicroBatchStream(path: String, schema: StructType,
-    startingVersion: Option[Long], maxVersionsPerTrigger: Option[Int])
-    extends MicroBatchStream with SupportsAdmissionControl {
+    startingVersion: Option[Long], maxVersionsPerTrigger: Option[Int],
+    maxBytesPerTrigger: Option[Long] = None)
+    extends MicroBatchStream with SupportsAdmissionControl
+    with SupportsTriggerAvailableNow {
+
+  // Trigger.AvailableNow latches the head HERE and drains to it in
+  // ADMISSION-SIZED batches; without this interface Spark falls back to
+  // one unbounded batch and every rate knob is silently ignored.
+  private var availableNowCap: Option[Long] = None
+  override def prepareForTriggerAvailableNow(): Unit = {
+    availableNowCap = Some(live())
+  }
 
   require(maxVersionsPerTrigger.forall(_ >= 1),
     "log stream: maxVersionsPerTrigger must be >= 1")
+  require(maxBytesPerTrigger.forall(_ >= 1),
+    "log stream: maxBytesPerTrigger must be >= 1")
+
+  private def fs = new Path(path).getFileSystem(new Configuration())
 
   private def live(): Long = {
     val ld = new Path(s"$path/_log")
-    val fs = ld.getFileSystem(new Configuration())
     if (!fs.exists(ld)) 0L
     else fs.listStatus(ld).toSeq.map(_.getPath.getName)
       .filter(_.matches("\\d{8}\\.json"))
       .map(_.stripSuffix(".json").toLong).sorted.lastOption.getOrElse(0L)
   }
 
-  override def initialOffset(): Offset =
-    VersionOffset(startingVersion.getOrElse(live()))
+  private def addsOf(v: Long): Seq[String] =
+    ActionLog.actionsOf(SparkSession.active, path, v)._1
+
+  /** Adds of a STREAMED version — loud on removes, Delta's "not
+    * append-only" contract (a baseline version is a position, not a
+    * delivery, and is never checked).
+    */
+  private def streamedAdds(v: Long): Seq[String] = {
+    val (adds, removes) = ActionLog.actionsOf(SparkSession.active, path, v)
+    require(removes.isEmpty,
+      s"log stream($path): version $v is not append-only (it removes " +
+        s"${removes.size} file(s)) — a streamed table must be append-only; " +
+        "restart the stream from the post-rewrite snapshot instead")
+    adds
+  }
+
+  // file sizes are immutable once committed — cache across triggers
+  private val lenCache = scala.collection.mutable.HashMap.empty[String, Long]
+  private def lenOf(f: String): Long = lenCache.getOrElseUpdate(f,
+    fs.getFileStatus(new Path(s"$path/data/$f")).getLen)
+
+  override def initialOffset(): Offset = {
+    val base = startingVersion.getOrElse(live())
+    FilePosOffset(base, Int.MaxValue) // fully consumed through `base`
+  }
 
   override def getDefaultReadLimit: ReadLimit =
     maxVersionsPerTrigger.map(n => ReadLimit.maxRows(n.toLong))
@@ -84,36 +133,85 @@ private[source] class LogMicroBatchStream(path: String, schema: StructType,
   override def latestOffset(): Offset =
     sys.error("log stream: latestOffset(start, limit) is the admission-control path")
 
+  /** Admission: walk files in (start, head] in (version, index) order;
+    * stop when the byte budget would be exceeded (always admitting at
+    * least ONE file — progress even when a single file outgrows the
+    * budget) or past the version cap. No budget → whole versions, the
+    * original semantics.
+    */
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
-    val s = start.asInstanceOf[VersionOffset].v
-    val end = live().max(s)
-    limit match {
-      case r: ReadMaxRows => VersionOffset(math.min(end, s + r.maxRows()))
-      case _ => VersionOffset(end)
+    val st = start.asInstanceOf[FilePosOffset]
+    val head = availableNowCap.fold(live())(c => math.min(c, live()))
+    // head == st.v can still owe st.v's unconsumed tail (mid-version
+    // restart); only head < st.v has provably nothing
+    if (head < st.v) return st
+    val vCap = limit match {
+      case r: ReadMaxRows => st.v + r.maxRows()
+      case _ => Long.MaxValue
     }
+    var bytes = 0L
+    var admitted = 0
+    var pos = st
+    var v = st.v
+    while (v <= math.min(head, vCap)) {
+      // the baseline version contributes only its unconsumed tail (a
+      // mid-version restart); fully-consumed baselines contribute nothing
+      val adds =
+        if (v == st.v) { if (st.i == Int.MaxValue) Seq.empty else streamedAdds(v) }
+        else streamedAdds(v)
+      val from = if (v == st.v) math.min(st.i, adds.size) else 0
+      var idx = from
+      while (idx < adds.size) {
+        val len = lenOf(adds(idx))
+        if (admitted > 0 && maxBytesPerTrigger.exists(b => bytes + len > b))
+          return pos
+        bytes += len; admitted += 1
+        pos = FilePosOffset(v, idx + 1)
+        idx += 1
+      }
+      v += 1
+    }
+    // a version fully consumed normalizes to the next version's start
+    // only implicitly — (v, count(v)) and legacy (v, ∞) compare equal in
+    // planInputPartitions, so either form is a valid checkpoint
+    pos
   }
 
-  override def reportLatestOffset(): Offset = VersionOffset(live())
+  override def reportLatestOffset(): Offset = {
+    val h = live()
+    FilePosOffset(h, Int.MaxValue)
+  }
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
-    val s = start.asInstanceOf[VersionOffset].v
-    val e = end.asInstanceOf[VersionOffset].v
-    if (e <= s) return Array.empty
-    val spark = SparkSession.active
-    (s + 1 to e).flatMap { v =>
-      val (adds, removes) = ActionLog.actionsOf(spark, path, v)
-      require(removes.isEmpty,
-        s"log stream($path): version $v is not append-only (it removes " +
-          s"${removes.size} file(s)) — a streamed table must be append-only; " +
-          "restart the stream from the post-rewrite snapshot instead")
-      adds.map(f => CdfFilePartition(v, s"$path/data/$f"): InputPartition)
+    val s = start.asInstanceOf[FilePosOffset]
+    val e = end.asInstanceOf[FilePosOffset]
+    if (e.v < s.v || (e.v == s.v && e.i <= s.i)) return Array.empty
+    (s.v to e.v).flatMap { v =>
+      val adds =
+        if (v == s.v && s.i == Int.MaxValue) Seq.empty else streamedAdds(v)
+      val from = if (v == s.v) math.min(s.i, adds.size) else 0
+      val until = if (v == e.v) math.min(e.i, adds.size) else adds.size
+      (from until until).map(idx =>
+        CdfFilePartition(v, s"$path/data/${adds(idx)}"): InputPartition)
     }.toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
     new CdfReaderFactory(schema)
 
-  override def deserializeOffset(json: String): Offset = VersionOffset(json.toLong)
+  /** New offsets are `{"v":N,"i":M}`; a legacy bare-long checkpoint reads
+    * as that version fully consumed.
+    */
+  override def deserializeOffset(json: String): Offset =
+    json.toLongOption match {
+      case Some(v) => FilePosOffset(v, Int.MaxValue)
+      case None =>
+        val m = """\{"v":(-?\d+),"i":(-?\d+)\}""".r
+        json.trim match {
+          case m(v, i) => FilePosOffset(v.toLong, i.toInt)
+          case other => sys.error(s"log stream: bad offset '$other'")
+        }
+    }
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()
 }
@@ -130,12 +228,14 @@ object LogStream {
     */
   def read(spark: SparkSession, tableDir: String,
       startingVersion: Option[Long] = None,
-      maxVersionsPerTrigger: Option[Int] = None): DataFrame = {
+      maxVersionsPerTrigger: Option[Int] = None,
+      maxBytesPerTrigger: Option[Long] = None): DataFrame = {
     var r = spark.readStream.format(classOf[LogStreamSource].getName)
       .schema(changeSchema(spark, tableDir))
       .option("path", tableDir)
     startingVersion.foreach(v => r = r.option("startingVersion", v.toString))
     maxVersionsPerTrigger.foreach(n => r = r.option("maxVersionsPerTrigger", n.toString))
+    maxBytesPerTrigger.foreach(b => r = r.option("maxBytesPerTrigger", b.toString))
     r.load()
   }
 }
