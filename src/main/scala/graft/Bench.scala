@@ -123,6 +123,58 @@ object Bench {
         (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
       catch { case _: Throwable => () } // bench output is stdout-first; the file is best-effort
     }
+    // ---- PER-QUERY REGRESSION GATE (BENCH_EXPECTED.json) ----
+    // Movers must surface on EVERY full run, not once per round close:
+    // each query is compared against the committed expected manifest with
+    // a 1.5x tolerance over a 0.5 s noise floor. Violations are always
+    // printed; SPARK_GRAFT_BENCH_STRICT=1 turns them into a nonzero exit
+    // (the local gating mode — the driver's ambient-load variance, §8g,
+    // is why strict is opt-in rather than the round-run default).
+    // SPARK_GRAFT_BENCH_EXPECTED overrides the manifest path and also
+    // enables the gate under a dev filter, so the gate itself is testable
+    // cheaply (point it at a manifest with a tiny figure and watch it
+    // fail).
+    val expectedPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_EXPECTED",
+      "BENCH_EXPECTED.json")
+    val gateActive = java.nio.file.Files.exists(
+      java.nio.file.Paths.get(expectedPath)) &&
+      (!sys.env.contains("SPARK_GRAFT_BENCH_FILTER") ||
+        sys.env.contains("SPARK_GRAFT_BENCH_EXPECTED"))
+    var gateFailed = false
+    if (gateActive) {
+      val text = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(expectedPath)),
+        java.nio.charset.StandardCharsets.UTF_8)
+      val sfRe = """"sf"\s*:\s*"([^"]+)"""".r
+      val manifestSf = sfRe.findFirstMatchIn(text).map(_.group(1))
+      if (manifestSf.exists(_ != sfDir))
+        println(s"[benchcheck] SKIP manifest is for ${manifestSf.get}, ran $sfDir")
+      else {
+        val pair = """"(q[^"]+)"\s*:\s*([0-9.eE+-]+)""".r
+        val expected = pair.findAllMatchIn(text)
+          .map(m => m.group(1) -> m.group(2).toDouble).toMap
+        val tolerance = 1.5
+        val floor = 0.5
+        val movers = results.filter { case (n, t) =>
+          expected.get(n).exists(e => t > math.max(e, floor) * tolerance)
+        }
+        movers.foreach { case (n, t) =>
+          println(f"[benchcheck] REGRESSION $n: ${t}%.2f s vs expected " +
+            f"${expected(n)}%.2f s (>${tolerance}x over the ${floor}s floor)")
+        }
+        val fresh = results.map(_._1).filterNot(expected.contains)
+        if (fresh.nonEmpty)
+          println(s"[benchcheck] ${fresh.size} quer${if (fresh.size == 1) "y" else "ies"} not in the manifest (new): ${fresh.take(5).mkString(", ")}…")
+        if (movers.isEmpty)
+          println(s"[benchcheck] OK ${results.size} queries within ${tolerance}x of $expectedPath")
+        else {
+          println(s"[benchcheck] FAIL ${movers.size} regression(s) vs $expectedPath")
+          gateFailed = true
+        }
+      }
+    }
     spark.stop()
+    if (gateFailed && sys.env.get("SPARK_GRAFT_BENCH_STRICT").contains("1"))
+      sys.exit(1)
   }
 }

@@ -613,10 +613,23 @@ object ActionLog {
     // window protected the files — this pass is when they age out.
     val horizon = // oldest retained version
       if (vs.size <= keepVersions) vs.head else vs.takeRight(keepVersions).head
-    // files referenced by ANY retained version = union of live sets at
-    // each retained version — O(retained × log), driver-side metadata
-    val referenced = vs.filter(_ >= horizon)
-      .flatMap(v => replayState(spark, dir, v)._1.keys).toSet
+    // files referenced by ANY retained version = live set at the horizon
+    // ∪ every add after it (a file live at any v ≥ horizon either was
+    // live at the horizon or was added later) — ONE bounded replay plus
+    // a tail scan, never a replay per retained version (the O(retained ×
+    // replay) shape cost 38 s at 2 000 commits / keep=200 in StressMeta)
+    val referenced = {
+      val refs = scala.collection.mutable.Set.empty[String]
+      refs ++= replayState(spark, dir, horizon)._1.keys
+      vs.filter(_ > horizon).foreach { v =>
+        readLines(fs, logPath(dir, v)).foreach {
+          case AddStats(p, _, _, _) => refs += p; ()
+          case Add(p) => refs += p; ()
+          case _ => ()
+        }
+      }
+      refs.toSet
+    }
     // checkpoint BEFORE cleanup: retained versions must resolve without
     // the records about to be dropped (a complete multi-part checkpoint
     // at the horizon counts)
@@ -748,22 +761,48 @@ object ActionLog {
     * recorded per-file stats; None when any live file lacks them).
     */
   def history(spark: SparkSession, dir: String):
-      Seq[(Long, Int, Int, Boolean, Option[Long])] =
-    versions(spark, dir).map { v =>
-      val fs = fsOf(spark, dir)
+      Seq[(Long, Int, Int, Boolean, Option[Long])] = {
+    val fs = fsOf(spark, dir)
+    val vs = versions(spark, dir)
+    if (vs.isEmpty) return Seq.empty
+    // ONE bounded replay to the state at the first retained version, then
+    // an incremental walk — O(total actions), never O(versions × replay).
+    // The quadratic shape is exactly what a 2 000-commit DESCRIBE HISTORY
+    // cannot afford (StressMeta pins the figures).
+    val state = replayState(spark, dir, vs.head)._1
+    // running (known-rows, files-without-stats) so `cum` is O(1) per step
+    var statless = state.values.count(_.isEmpty)
+    var knownRows = state.values.flatten.map(_._3).sum
+    def cum: Option[Long] =
+      if (state.isEmpty || statless > 0) None else Some(knownRows)
+    vs.zipWithIndex.map { case (v, i) =>
       var (adds, removes, txn) = (0, 0, false)
-      readLines(fs, logPath(dir, v)).foreach {
-        case AddStats(_, _, _, _) => adds += 1
-        case Add(_) => adds += 1
-        case Remove(_) => removes += 1
-        case Txn(_, _) => txn = true
-        case l => sys.error(s"ActionLog.history: bad line at v$v: $l")
+      readLines(fs, logPath(dir, v)).foreach { line =>
+        line match {
+          case AddStats(p, lo, hi, n) =>
+            adds += 1
+            if (i > 0) {
+              state.put(p, Some((lo.toLong, hi.toLong, n.toLong)))
+              knownRows += n.toLong
+            }
+          case Add(p) =>
+            adds += 1
+            if (i > 0) { state.put(p, None); statless += 1 }
+          case Remove(p) =>
+            removes += 1
+            if (i > 0) state.remove(p) match {
+              case Some(Some((_, _, n))) => knownRows -= n
+              case Some(None) => statless -= 1
+              case None => sys.error(
+                s"ActionLog.history: remove of unreferenced file $p at v$v")
+            }
+          case Txn(_, _) => txn = true
+          case l => sys.error(s"ActionLog.history: bad line at v$v: $l")
+        }
       }
-      val stats = replayState(spark, dir, v)._1.values.toSeq
-      val cum = if (stats.isEmpty || stats.exists(_.isEmpty)) None
-        else Some(stats.flatten.map(_._3).sum)
       (v, adds, removes, txn, cum)
     }
+  }
 
   /** Read the table as of `asOf` (default: latest). */
   def read(spark: SparkSession, dir: String, asOf: Long = Long.MaxValue): DataFrame = {

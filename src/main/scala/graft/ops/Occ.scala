@@ -173,6 +173,43 @@ object Occ {
     *         overlaps `writeSet` — the staged dir is deleted first, so a
     *         loser leaves NO torn state.
     */
+  /** Commit a stage dir ALREADY WRITTEN by distributed executors (the
+    * DSv2 batch-write path: tasks stream their partitions straight into
+    * `dir/stageName`, no driver materialization, no second copy). The
+    * content was computed against `base`, so unlike [[commit]] there is
+    * no rebase — any non-rewrite commit since `base` that intersects
+    * `writeSet` makes the materialized replacement stale, and the claim
+    * fails LOUDLY with the stage deleted. Same marker/finalize protocol,
+    * same crash story.
+    */
+  def commitStagedDir(spark: SparkSession, dir: String, stageName: String,
+      base: Long, writeSet: Set[String]): Committed = {
+    require(writeSet.nonEmpty, "Occ.commitStagedDir: declare a write set")
+    val fs = VersionedTable.fsOf(spark, dir)
+    val stage = new Path(dir, stageName)
+    require(VersionedTable.complete(fs, stage),
+      s"Occ.commitStagedDir: staged $stage missing _SUCCESS")
+    finalizePending(spark, dir)
+    def stale(reason: String): Nothing = {
+      fs.delete(stage, true)
+      throw new CommitConflictException(
+        s"Occ.commitStagedDir($dir): $reason — the materialized " +
+          "replacement read a snapshot that is no longer current")
+    }
+    setsSince(fs, dir, base).find { case (_, ws) =>
+      !ws("#rewrite") && ws.exists(t => t == "*" || writeSet(t) || writeSet("*"))
+    }.foreach { case (v, ws) =>
+      stale(s"version $v committed ${ws.toSeq.sorted.mkString(",")} since base $base")
+    }
+    val target = VersionedTable.listVersions(fs, dir).lastOption.getOrElse(0L)
+      .max(listCommits(fs, dir).lastOption.getOrElse(0L)) + 1L
+    if (target != base + 1L || !claim(fs, dir, target, stageName, writeSet))
+      stale(s"version $target was claimed concurrently")
+    finalizePending(spark, dir)
+    spark.catalog.refreshByPath(VersionedTable.verDir(dir, target).toString)
+    Committed(target, 0)
+  }
+
   def commit(spark: SparkSession, dir: String, writeSet: Set[String],
       captureKeys: Option[Seq[String]] = None, dataChange: Boolean = true)
       (mutate: Option[DataFrame] => DataFrame, maxRebases: Int = 10,

@@ -2987,5 +2987,174 @@ object OptimizerQueries {
       VT.read(s, vt).groupBy(col("opri"))
         .agg(count(lit(1)).cast("bigint").as("n"),
           sum(col("okey")).cast("bigint").as("key_sum"))
+    },
+
+    // ---------------------------------------------------------------- q312
+    // SQL DELETE / TRUNCATE THROUGH THE CATALOG (`GraftDelete` — DSv2
+    // SupportsDelete routed into the deletion-vector commit): DELETE
+    // masks rows by bitmap with data files byte-copied (O(deleted), the
+    // typed path q224 pinned), deletes COMPOSE (a second DELETE on the
+    // DV flavor merges bitmaps), history stays addressable (VERSION AS
+    // OF before the delete renders the full content), TRUNCATE TABLE is
+    // the always-true delete via TruncatableTable, and an UNTRANSLATABLE
+    // predicate (an expression, not a column comparison) is refused
+    // LOUDLY before any mutation — a partial translation would delete
+    // the wrong rows. This completes the SQL write surface: INSERT /
+    // OVERWRITE / CTAS (q307), DELETE / TRUNCATE (here) — GDPR erasure
+    // from plain SQL with time travel intact until retention drops it.
+    Q("q312_sql_delete",
+      """WITH o AS (SELECT CAST(o_orderkey AS BIGINT) AS okey,
+        |    o_orderpriority AS opri FROM orders)
+        |SELECT opri, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(okey) AS BIGINT) AS key_sum
+        |FROM o WHERE opri NOT IN ('1-URGENT', '2-HIGH')
+        |  AND okey % 1000 <> 777 GROUP BY 1""".stripMargin) { (s, dir) =>
+      import graft.ops.{VersionedTable => VT}
+      import scala.util.Try
+      val root = scratch(s, dir, "q312")
+      val tdir = s"$root/ns/t"
+      val o = Tables.load(s, dir, "orders")
+        .select(col("o_orderkey").cast("long").as("okey"),
+          col("o_orderpriority").as("opri"))
+      VT.write(o.repartition(4), tdir) // v1
+      val cat = "graftz_" + java.security.MessageDigest.getInstance("MD5")
+        .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(6)
+      s.conf.set(s"spark.sql.catalog.$cat",
+        classOf[graft.source.GraftCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.root", root)
+      s.conf.set(s"spark.sql.catalog.$cat.features", "deletion-vectors")
+      s.sql(s"DELETE FROM $cat.ns.t WHERE opri = '1-URGENT'") // v2: DV
+      val fsys = new org.apache.hadoop.fs.Path(tdir)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      require(VT.currentVersion(s, tdir).contains(2L) &&
+        fsys.exists(new org.apache.hadoop.fs.Path(
+          VT.verDir(tdir, 2L), "_dv")),
+        "q312: SQL DELETE must commit a deletion-vector version")
+      // deletes COMPOSE: the second lands on the DV flavor
+      s.sql(s"DELETE FROM $cat.ns.t WHERE opri = '2-HIGH'") // v3
+      // an EXPRESSION predicate has no source-filter form: it falls
+      // through to the row-level copy-on-write plan, which rewrites the
+      // survivors into clean files and FOLDS the deletion vectors
+      s.sql(s"DELETE FROM $cat.ns.t WHERE okey % 1000 = 777") // v4: rewrite
+      require(VT.currentVersion(s, tdir).contains(4L) &&
+        !fsys.exists(new org.apache.hadoop.fs.Path(
+          VT.verDir(tdir, 4L), "_dv")),
+        "q312: the expression DELETE must rewrite and fold the vectors")
+      val live = s.sql(s"SELECT okey, opri FROM $cat.ns.t")
+      val want = o.filter(!col("opri").isin("1-URGENT", "2-HIGH") &&
+        col("okey") % 1000 =!= 777)
+      require(live.exceptAll(want).isEmpty && want.exceptAll(live).isEmpty,
+        "q312: three SQL DELETEs must compose to the exact survivor set")
+      // history intact: the pre-delete snapshot renders in full
+      require(s.sql(s"SELECT okey FROM $cat.ns.t VERSION AS OF 1")
+        .count() == o.count(),
+        "q312: VERSION AS OF 1 must render the undeleted content")
+      val result = live.groupBy(col("opri"))
+        .agg(count(lit(1)).cast("bigint").as("n"),
+          sum(col("okey")).cast("bigint").as("key_sum"))
+        .localCheckpoint() // pin BEFORE the truncate mutates the table
+      // TRUNCATE = the always-true delete; history still addressable
+      s.sql(s"TRUNCATE TABLE $cat.ns.t") // v5
+      require(s.sql(s"SELECT count(*) FROM $cat.ns.t").head.getLong(0) == 0L,
+        "q312: TRUNCATE must empty the live table")
+      require(s.sql(s"SELECT count(*) FROM $cat.ns.t VERSION AS OF 4")
+        .head.getLong(0) == want.count(),
+        "q312: the pre-truncate version must survive the truncate")
+      result
+    },
+
+    // ---------------------------------------------------------------- q313
+    // SQL UPDATE + MERGE INTO (`GraftRowLevelOperation` +
+    // `GroupBatchWrite` — Spark's group-based copy-on-write row-level
+    // plan): the operation hands Spark the current snapshot's scan,
+    // Spark computes the replacement content, and executors stream it
+    // STRAIGHT into OCC staging via the parquet Group writer (no driver
+    // materialization, no V1 fallback — ReplaceData has none), committed
+    // against the scanned base version. Pinned: UPDATE mints a version
+    // and time travel keeps the pre-update content; MERGE INTO runs the
+    // full matched-update + not-matched-insert upsert; an UPDATE on a
+    // DV-flavored table uses the DV-AWARE scan, so deleted rows do NOT
+    // resurrect into the replacement and the new version carries no
+    // sidecar (the rewrite folds the vectors). With q307 (INSERT/CTAS)
+    // and q312 (DELETE/TRUNCATE) this completes the SQL DML matrix.
+    Q("q313_sql_update_merge",
+      """WITH c AS (SELECT CAST(c_custkey AS BIGINT) AS ck,
+        |    CAST(c_nationkey AS BIGINT) AS nk,
+        |    CAST(c_custkey % 1000 AS DOUBLE) AS bal FROM customer),
+        |u1 AS (SELECT ck, nk,
+        |    CASE WHEN nk < 5 THEN bal + 10 ELSE bal END AS bal FROM c),
+        |m AS (SELECT ck, nk,
+        |    CASE WHEN ck % 3 = 0 THEN CAST(-1 AS DOUBLE) ELSE bal END AS bal
+        |  FROM u1
+        |  UNION ALL SELECT ck + 4000000000, nk, CAST(5 AS DOUBLE)
+        |  FROM c WHERE ck % 3 = 0),
+        |d AS (SELECT * FROM m WHERE nk <> 9),
+        |f AS (SELECT ck, nk,
+        |    CASE WHEN nk = 3 THEN CAST(0 AS DOUBLE) ELSE bal END AS bal FROM d)
+        |SELECT nk, CAST(count(*) AS BIGINT) AS n,
+        |  round(CAST(sum(bal) AS DOUBLE), 2) AS bal_sum
+        |FROM f GROUP BY 1""".stripMargin) { (s, dir) =>
+      import graft.ops.{VersionedTable => VT}
+      val root = scratch(s, dir, "q313")
+      val tdir = s"$root/ns/t"
+      val c = Tables.load(s, dir, "customer")
+        .select(col("c_custkey").cast("long").as("ck"),
+          col("c_nationkey").cast("long").as("nk"),
+          (col("c_custkey") % 1000).cast("double").as("bal"))
+      VT.write(c.repartition(4), tdir) // v1
+      val cat = "grafty_" + java.security.MessageDigest.getInstance("MD5")
+        .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(6)
+      s.conf.set(s"spark.sql.catalog.$cat",
+        classOf[graft.source.GraftCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.root", root)
+      s.conf.set(s"spark.sql.catalog.$cat.features", "deletion-vectors")
+      def content = s.sql(s"SELECT ck, nk, bal FROM $cat.ns.t")
+      def expectEq(wantDf: org.apache.spark.sql.DataFrame, tag: String): Unit =
+        require(content.exceptAll(wantDf).isEmpty &&
+          wantDf.exceptAll(content).isEmpty, s"q313 [$tag]: content mismatch")
+      // UPDATE: copy-on-write replacement through OCC staging
+      s.sql(s"UPDATE $cat.ns.t SET bal = bal + 10 WHERE nk < 5") // v2
+      val u1 = c.withColumn("bal",
+        when(col("nk") < 5, col("bal") + 10).otherwise(col("bal")))
+      require(VT.currentVersion(s, tdir).contains(2L),
+        "q313: UPDATE must mint a version through the commit protocol")
+      expectEq(u1, "update")
+      require(s.sql(s"SELECT ck, nk, bal FROM $cat.ns.t VERSION AS OF 1")
+        .exceptAll(c).isEmpty,
+        "q313: the pre-update snapshot must survive")
+      // MERGE INTO: matched rows update, unmatched rows insert
+      val matched = c.filter(col("ck") % 3 === 0)
+      matched.select(col("ck"), col("nk"), lit(-1.0d).as("bal"))
+        .unionByName(matched.select((col("ck") + 4000000000L).as("ck"),
+          col("nk"), lit(5.0d).as("bal")))
+        .createOrReplaceTempView("q313_src")
+      s.sql(s"""MERGE INTO $cat.ns.t t USING q313_src s ON t.ck = s.ck
+        |WHEN MATCHED THEN UPDATE SET bal = s.bal
+        |WHEN NOT MATCHED THEN INSERT *""".stripMargin) // v3
+      val merged = u1.withColumn("bal",
+        when(col("ck") % 3 === 0, lit(-1.0d)).otherwise(col("bal")))
+        .unionByName(matched.select((col("ck") + 4000000000L).as("ck"),
+          col("nk"), lit(5.0d).as("bal")))
+      require(VT.currentVersion(s, tdir).contains(3L), "q313: MERGE mints v3")
+      expectEq(merged, "merge")
+      // a DV DELETE then an UPDATE: the row-level scan is DV-aware, so
+      // deleted rows must NOT resurrect, and the rewrite folds the DVs
+      s.sql(s"DELETE FROM $cat.ns.t WHERE nk = 9") // v4: DV flavor
+      val fsys = new org.apache.hadoop.fs.Path(tdir)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      require(fsys.exists(new org.apache.hadoop.fs.Path(
+        VT.verDir(tdir, 4L), "_dv")), "q313: the DELETE must be a DV commit")
+      s.sql(s"UPDATE $cat.ns.t SET bal = 0 WHERE nk = 3") // v5: rewrite
+      require(!fsys.exists(new org.apache.hadoop.fs.Path(
+        VT.verDir(tdir, 5L), "_dv")),
+        "q313: the copy-on-write UPDATE must fold the deletion vectors")
+      val fin = merged.filter(col("nk") =!= 9).withColumn("bal",
+        when(col("nk") === 3, lit(0.0d)).otherwise(col("bal")))
+      expectEq(fin, "dv-update")
+      require(content.filter(col("nk") === 9).count() == 0L,
+        "q313: deleted rows must not resurrect through the rewrite")
+      content.groupBy(col("nk"))
+        .agg(count(lit(1)).cast("bigint").as("n"),
+          round(sum(col("bal")).cast("double"), 2).as("bal_sum"))
     })
 }

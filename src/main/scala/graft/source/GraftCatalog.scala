@@ -240,11 +240,11 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
         .select("file_name", "bitmap").collect() // O(files), driver-side
         .map(r => r.getString(0) -> r.getAs[Array[Byte]](1)).toMap
       new GraftDvSqlTable(ident.toString + s"@v$v", vd, dv,
-        spark.read.parquet(vd).schema)
+        spark.read.parquet(vd).schema, dml, baseVersion = v)
     } else {
       val vd = VersionedTable.verDir(dir, v).toString
       new GraftSqlTable(ident.toString + s"@v$v", vd,
-        spark.read.parquet(vd).schema, dml)
+        spark.read.parquet(vd).schema, dml, baseVersion = v)
     }
   }
 
@@ -387,9 +387,12 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
   * fields entirely).
   */
 private[source] class GraftSqlTable(tableName: String, versionDir: String,
-    tableSchema: StructType, dml: Option[DmlTarget] = None)
+    tableSchema: StructType, dml: Option[DmlTarget] = None,
+    baseVersion: Long = -1L)
     extends Table with SupportsRead
-    with org.apache.spark.sql.connector.catalog.SupportsWrite {
+    with org.apache.spark.sql.connector.catalog.SupportsWrite
+    with org.apache.spark.sql.connector.catalog.SupportsDelete
+    with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations {
   override def name(): String = tableName
   override def schema(): StructType = tableSchema
   override def capabilities(): java.util.Set[TableCapability] =
@@ -404,6 +407,24 @@ private[source] class GraftSqlTable(tableName: String, versionDir: String,
     new GraftDmlWriteBuilder(dml.getOrElse(sys.error(
       s"GraftCatalog: $tableName is not writable — AS-OF reads, branches " +
         "and pinned catalogs mutate through the typed ops layer")))
+  override def canDeleteWhere(filters: Array[org.apache.spark.sql.sources.Filter])
+      : Boolean = dml.isDefined && GraftDelete.predicate(filters).isDefined
+  override def deleteWhere(filters: Array[org.apache.spark.sql.sources.Filter])
+      : Unit =
+    GraftDelete.deleteWhere(dml.getOrElse(sys.error(
+      s"GraftCatalog: $tableName is not deletable — history is immutable")),
+      filters)
+  override def newRowLevelOperationBuilder(
+      info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
+      : org.apache.spark.sql.connector.write.RowLevelOperationBuilder = {
+    val t = dml.getOrElse(sys.error(
+      s"GraftCatalog: $tableName is not writable — AS-OF reads and " +
+        "pinned catalogs mutate through the typed ops layer"))
+    require(baseVersion >= 1L,
+      s"GraftCatalog: $tableName has no base version for row-level ops")
+    () => new GraftRowLevelOperation(info.command(), t, baseVersion,
+      opts => this.newScanBuilder(opts))
+  }
 }
 
 private[source] class GraftSqlScanBuilder(versionDir: String,
@@ -422,8 +443,11 @@ private[source] class GraftSqlScanBuilder(versionDir: String,
   * now reachable from plain SQL.
   */
 private[source] class GraftDvSqlTable(tableName: String, versionDir: String,
-    dv: Map[String, Array[Byte]], tableSchema: StructType)
-    extends Table with SupportsRead {
+    dv: Map[String, Array[Byte]], tableSchema: StructType,
+    dml: Option[DmlTarget] = None, baseVersion: Long = -1L)
+    extends Table with SupportsRead
+    with org.apache.spark.sql.connector.catalog.SupportsDelete
+    with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations {
   override def name(): String = tableName
   override def schema(): StructType = tableSchema
   override def capabilities(): java.util.Set[TableCapability] =
@@ -435,6 +459,28 @@ private[source] class GraftDvSqlTable(tableName: String, versionDir: String,
         pruned = requiredSchema
       override def build(): Scan = new GraftDvSqlScan(versionDir, dv, pruned)
     }
+  // a second SQL DELETE on an already-DV'd table merges bitmaps through
+  // the same typed path — deletes compose
+  override def canDeleteWhere(filters: Array[org.apache.spark.sql.sources.Filter])
+      : Boolean = dml.isDefined && GraftDelete.predicate(filters).isDefined
+  override def deleteWhere(filters: Array[org.apache.spark.sql.sources.Filter])
+      : Unit =
+    GraftDelete.deleteWhere(dml.getOrElse(sys.error(
+      s"GraftCatalog: $tableName is not deletable — history is immutable")),
+      filters)
+  // UPDATE/MERGE on a DV table: the operation's scan is the DV-AWARE one
+  // above, so masked rows never resurrect into the replacement content
+  override def newRowLevelOperationBuilder(
+      info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
+      : org.apache.spark.sql.connector.write.RowLevelOperationBuilder = {
+    val t = dml.getOrElse(sys.error(
+      s"GraftCatalog: $tableName is not writable — AS-OF reads and " +
+        "pinned catalogs mutate through the typed ops layer"))
+    require(baseVersion >= 1L,
+      s"GraftCatalog: $tableName has no base version for row-level ops")
+    () => new GraftRowLevelOperation(info.command(), t, baseVersion,
+      opts => this.newScanBuilder(opts))
+  }
 }
 
 private[source] class GraftDvSqlScan(versionDir: String,

@@ -73,6 +73,61 @@ private[source] object GraftDml {
   }
 }
 
+private[source] object GraftDelete {
+  import org.apache.spark.sql.Column
+  import org.apache.spark.sql.functions.{col, lit, not}
+  import org.apache.spark.sql.{sources => f}
+
+  /** Source-filter → Column translation for the DELETE surface. None =
+    * untranslatable, and `canDeleteWhere` refuses BEFORE any mutation —
+    * a partial translation would delete the wrong rows.
+    */
+  def toColumn(flt: f.Filter): Option[Column] = flt match {
+    case f.EqualTo(a, v) => Some(col(a) === lit(v))
+    case f.EqualNullSafe(a, v) => Some(col(a) <=> lit(v))
+    case f.GreaterThan(a, v) => Some(col(a) > lit(v))
+    case f.GreaterThanOrEqual(a, v) => Some(col(a) >= lit(v))
+    case f.LessThan(a, v) => Some(col(a) < lit(v))
+    case f.LessThanOrEqual(a, v) => Some(col(a) <= lit(v))
+    case f.In(a, vs) => Some(col(a).isin(vs.toIndexedSeq.map(lit(_)): _*))
+    case f.IsNull(a) => Some(col(a).isNull)
+    case f.IsNotNull(a) => Some(col(a).isNotNull)
+    case f.StringStartsWith(a, v) => Some(col(a).startsWith(v))
+    case f.StringEndsWith(a, v) => Some(col(a).endsWith(v))
+    case f.StringContains(a, v) => Some(col(a).contains(v))
+    case f.AlwaysTrue() => Some(lit(true))
+    case f.AlwaysFalse() => Some(lit(false))
+    case f.And(l, r) => for { lc <- toColumn(l); rc <- toColumn(r) } yield lc && rc
+    case f.Or(l, r) => for { lc <- toColumn(l); rc <- toColumn(r) } yield lc || rc
+    case f.Not(c) => toColumn(c).map(not)
+    case _ => None
+  }
+
+  def predicate(filters: Array[f.Filter]): Option[Column] =
+    if (filters.isEmpty) Some(lit(true)) // DELETE with no WHERE
+    else filters.toIndexedSeq.foldLeft(Option(lit(true))) { (acc, flt) =>
+      for { a <- acc; c <- toColumn(flt) } yield a && c
+    }
+
+  /** SQL DELETE → a deletion-vector commit: rows are masked by bitmap,
+    * data files are byte-copied (never re-encoded), history stays
+    * addressable, and CDF capture rides the commit — the same O(deleted)
+    * path the typed API uses. TRUNCATE TABLE arrives here as the
+    * always-true filter (SupportsDelete extends TruncatableTable).
+    */
+  def deleteWhere(target: DmlTarget, filters: Array[f.Filter]): Unit = {
+    require(target.layout == "versioned",
+      s"GraftCatalog: DELETE needs the snapshot layout, ${target.dir} is " +
+        s"'${target.layout}' — delete through the typed ops layer")
+    val pred = predicate(filters).getOrElse(sys.error(
+      s"GraftCatalog: untranslatable DELETE predicate " +
+        filters.mkString("[", ", ", "]")))
+    graft.ops.DeletionVectors.delete(SparkSession.active, target.dir,
+      pred, capture = true)
+    ()
+  }
+}
+
 /** The shared write-builder: `SupportsTruncate` records the
   * INSERT-OVERWRITE intent (Spark's OverwriteByExpression with a `true`
   * condition calls `truncate()` on the builder, then inserts).
@@ -88,6 +143,37 @@ private[source] class GraftDmlWriteBuilder(target: DmlTarget)
           GraftDml.insert(target, data, overwrite || v1Overwrite)
       }
   }
+}
+
+/** ROW-LEVEL OPERATIONS (SQL UPDATE / MERGE INTO / the rewrite form of
+  * DELETE) — Spark's group-based copy-on-write plan: the operation hands
+  * Spark a scan of the current snapshot (the DV-AWARE scan on a DV
+  * table, so masked rows never resurrect into the replacement), Spark
+  * computes the full replacement content, and the write streams it from
+  * the executors into OCC staging ([[GroupBatchWrite]]) — committed
+  * against the scanned base version, failing loudly if anything landed
+  * since. Simple-predicate DELETEs keep the cheaper O(deleted)
+  * deletion-vector path ([[GraftDelete]]); this is the road for
+  * everything that genuinely rewrites rows.
+  */
+private[source] class GraftRowLevelOperation(
+    cmd: org.apache.spark.sql.connector.write.RowLevelOperation.Command,
+    target: DmlTarget, baseVersion: Long,
+    scanBuilderFn: CaseInsensitiveStringMap => ScanBuilder)
+    extends org.apache.spark.sql.connector.write.RowLevelOperation {
+  override def command()
+      : org.apache.spark.sql.connector.write.RowLevelOperation.Command = cmd
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    scanBuilderFn(options)
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new WriteBuilder {
+      override def build(): org.apache.spark.sql.connector.write.Write =
+        new org.apache.spark.sql.connector.write.Write {
+          override def toBatch
+              : org.apache.spark.sql.connector.write.BatchWrite =
+            new GroupBatchWrite(target, baseVersion, info.schema())
+        }
+    }
 }
 
 /** A created-but-never-committed table (CREATE TABLE / the window inside

@@ -1,0 +1,194 @@
+package graft.source
+
+import java.util.UUID
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.parquet.example.data.simple.SimpleGroupFactory
+import org.apache.parquet.hadoop.example.ExampleParquetWriter
+import org.apache.parquet.io.api.Binary
+import org.apache.parquet.schema.{LogicalTypeAnnotation, MessageType, Types}
+import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.write._
+import org.apache.spark.sql.types._
+
+import graft.ops.Occ
+
+/** DISTRIBUTED DSv2 BATCH WRITE over the parquet Group API — the write
+  * half of the executor path ([[CdfReaderFactory]] is the read half):
+  * each task writes its partition straight into the table's OCC staging
+  * dir as one parquet file (no driver materialization, no second copy),
+  * commit messages name the surviving attempt's files, and the driver
+  * commit claims the next version through [[Occ.commitStagedDir]] — the
+  * rename-free path Spark's row-level operations (UPDATE / MERGE / the
+  * rewrite form of DELETE) need, because ReplaceData has no V1 fallback.
+  * Speculative duplicate attempts are resolved at commit: files not
+  * named by a commit message are deleted before the stage goes live.
+  */
+private[source] object GroupWrite {
+
+  /** StructType → parquet MessageType, mirroring exactly the leaf types
+    * the Group READER supports — a type the write path accepts but the
+    * read path cannot decode would be a trap.
+    */
+  def messageType(schema: StructType): MessageType = {
+    val b = Types.buildMessage()
+    schema.fields.foreach { f =>
+      val t = f.dataType match {
+        case LongType => Types.optional(INT64)
+        case IntegerType => Types.optional(INT32)
+        case DoubleType => Types.optional(DOUBLE)
+        case FloatType => Types.optional(FLOAT)
+        case BooleanType => Types.optional(BOOLEAN)
+        case StringType => Types.optional(BINARY)
+          .as(LogicalTypeAnnotation.stringType())
+        case DateType => Types.optional(INT32)
+          .as(LogicalTypeAnnotation.dateType())
+        case TimestampType => Types.optional(INT64)
+          .as(LogicalTypeAnnotation.timestampType(true,
+            LogicalTypeAnnotation.TimeUnit.MICROS))
+        case TimestampNTZType => Types.optional(INT64)
+          .as(LogicalTypeAnnotation.timestampType(false,
+            LogicalTypeAnnotation.TimeUnit.MICROS))
+        case d: DecimalType if d.precision <= 9 =>
+          Types.optional(INT32)
+            .as(LogicalTypeAnnotation.decimalType(d.scale, d.precision))
+        case d: DecimalType if d.precision <= 18 =>
+          Types.optional(INT64)
+            .as(LogicalTypeAnnotation.decimalType(d.scale, d.precision))
+        case other => sys.error(
+          s"GroupWrite: unsupported column type $other (${f.name})")
+      }
+      b.addField(t.named(f.name))
+    }
+    b.named("graft")
+  }
+}
+
+private[source] case class GroupCommitMsg(file: String)
+  extends WriterCommitMessage
+
+private[source] class GroupDataWriterFactory(stageDir: String,
+    schemaJson: String) extends DataWriterFactory {
+
+  override def createWriter(partitionId: Int,
+      taskId: Long): DataWriter[InternalRow] =
+    new DataWriter[InternalRow] {
+      private val schema =
+        DataType.fromJson(schemaJson).asInstanceOf[StructType]
+      private val msgType = GroupWrite.messageType(schema)
+      private val factory = new SimpleGroupFactory(msgType)
+      private val name = f"part-$partitionId%05d-$taskId.parquet"
+      private var writer: org.apache.parquet.hadoop.ParquetWriter[
+        org.apache.parquet.example.data.Group] = _
+
+      override def write(row: InternalRow): Unit = {
+        // Row-level plans prepend `__row_operation` (RowDeltaUtils): the
+        // marker is not table data — strip it, and DROP delete-marked
+        // rows (they exist so delta-capable writers can apply them; a
+        // replace write simply omits them).
+        val off = row.numFields - schema.fields.length
+        require(off == 0 || off == 1,
+          s"GroupWrite: row arity ${row.numFields} does not match the " +
+            s"write schema (${schema.fields.length} columns)")
+        if (off == 1 && row.getInt(0) ==
+          org.apache.spark.sql.catalyst.util.RowDeltaUtils.DELETE_OPERATION)
+          return
+        if (writer == null)
+          writer = ExampleParquetWriter.builder(new Path(s"$stageDir/$name"))
+            .withConf(new Configuration()).withType(msgType).build()
+        val g = factory.newGroup()
+        schema.fields.zipWithIndex.foreach { case (f, fi) =>
+          val i = fi + off
+          if (!row.isNullAt(i)) f.dataType match {
+            case LongType => g.add(f.name, row.getLong(i))
+            case IntegerType => g.add(f.name, row.getInt(i))
+            case DoubleType => g.add(f.name, row.getDouble(i))
+            case FloatType => g.add(f.name, row.getFloat(i))
+            case BooleanType => g.add(f.name, row.getBoolean(i))
+            case StringType => g.add(f.name,
+              Binary.fromConstantByteArray(row.getUTF8String(i).getBytes))
+            case DateType => g.add(f.name, row.getInt(i))
+            case TimestampType | TimestampNTZType =>
+              g.add(f.name, row.getLong(i))
+            case d: DecimalType if d.precision <= 9 =>
+              g.add(f.name,
+                row.getDecimal(i, d.precision, d.scale).toUnscaledLong.toInt)
+            case d: DecimalType if d.precision <= 18 =>
+              g.add(f.name,
+                row.getDecimal(i, d.precision, d.scale).toUnscaledLong)
+            case other => sys.error(
+              s"GroupWrite: unsupported column type $other (${f.name})")
+          }
+        }
+        writer.write(g)
+      }
+      override def commit(): WriterCommitMessage = {
+        if (writer != null) writer.close()
+        GroupCommitMsg(if (writer != null) name else "")
+      }
+      override def abort(): Unit = {
+        if (writer != null) writer.close()
+        val p = new Path(s"$stageDir/$name")
+        val fs = p.getFileSystem(new Configuration())
+        if (fs.exists(p)) { fs.delete(p, false); () }
+      }
+      override def close(): Unit = ()
+    }
+}
+
+/** The driver half: stage lifecycle + the OCC claim. `baseVersion` is
+  * the snapshot the operation's scan read — a commit that landed since
+  * makes the precomputed replacement stale, and the claim fails LOUDLY
+  * (no rebase is possible for already-materialized content).
+  */
+private[source] class GroupBatchWrite(target: DmlTarget, baseVersion: Long,
+    writeSchema: StructType) extends BatchWrite {
+
+  private val stageName = "_stage-" + UUID.randomUUID().toString
+  private val stageDir = s"${target.dir}/$stageName"
+
+  override def createBatchWriterFactory(
+      info: PhysicalWriteInfo): DataWriterFactory = {
+    val p = new Path(stageDir)
+    val fs = p.getFileSystem(
+      SparkSession.active.sparkContext.hadoopConfiguration)
+    fs.mkdirs(p)
+    new GroupDataWriterFactory(stageDir, writeSchema.json)
+  }
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val spark = SparkSession.active
+    val p = new Path(stageDir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val keep = messages.collect {
+      case GroupCommitMsg(f) if f.nonEmpty => f
+    }.toSet
+    // duplicate speculative attempts: only message-named files survive
+    fs.listStatus(p).foreach { st =>
+      if (st.isFile && !keep(st.getPath.getName)) { fs.delete(st.getPath, false); () }
+    }
+    if (keep.isEmpty) {
+      // an all-empty replacement (every row deleted): one schema-only
+      // file keeps the version readable
+      val w = ExampleParquetWriter
+        .builder(new Path(s"$stageDir/part-empty.parquet"))
+        .withConf(new Configuration())
+        .withType(GroupWrite.messageType(writeSchema)).build()
+      w.close()
+    }
+    fs.create(new Path(stageDir, "_SUCCESS"), true).close()
+    Occ.commitStagedDir(spark, target.dir, stageName, baseVersion,
+      Set("*"))
+    ()
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit = {
+    val spark = SparkSession.active
+    val p = new Path(stageDir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) { fs.delete(p, true); () }
+  }
+}
