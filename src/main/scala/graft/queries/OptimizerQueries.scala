@@ -3156,5 +3156,78 @@ object OptimizerQueries {
       content.groupBy(col("nk"))
         .agg(count(lit(1)).cast("bigint").as("n"),
           round(sum(col("bal")).cast("double"), 2).as("bal_sum"))
+    },
+
+    // ---------------------------------------------------------------- q314
+    // SQL WRITE-AUDIT-PUBLISH ON BRANCHES (`INSERT INTO t@staging` — the
+    // Nessie/LakeFS ref syntax q302 reads, now WRITABLE): the SQL insert
+    // advances ONLY the named ref (main bit-unchanged — the isolation
+    // the WAP pattern exists for), the audit is a plain SQL SELECT on
+    // the staging ref, publish is the typed fast-forward merge, and a
+    // post-publish SQL insert straight to main also lands through the
+    // same path. INSERT OVERWRITE replaces the ref's content; commit-id
+    // time travel stays read-only history (a write to `t@v` is refused).
+    // At 100 TB this is how ingest lands risky batches: SQL writers on a
+    // branch, checks on the branch, one metadata pointer flip to ship.
+    Q("q314_sql_branch_wap",
+      """WITH c AS (SELECT CAST(c_custkey AS BIGINT) AS ck,
+        |    CAST(c_nationkey AS BIGINT) AS nk FROM customer),
+        |w AS (SELECT ck, nk FROM c WHERE ck % 3 = 0
+        |  UNION ALL SELECT ck, nk FROM c WHERE ck % 3 = 1
+        |  UNION ALL SELECT ck + 4000000000, nk FROM c WHERE ck % 3 = 2)
+        |SELECT nk, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(ck) AS BIGINT) AS ck_sum
+        |FROM w GROUP BY 1""".stripMargin) { (s, dir) =>
+      import graft.ops.Branching
+      import scala.util.Try
+      val root = scratch(s, dir, "q314")
+      val tdir = s"$root/ns/t"
+      val c = Tables.load(s, dir, "customer")
+        .select(col("c_custkey").cast("long").as("ck"),
+          col("c_nationkey").cast("long").as("nk"))
+      Branching.init(c.filter(col("ck") % 3 === 0), tdir) // main
+      Branching.branch(s, tdir, from = "main", name = "staging")
+      val cat = "graftbw_" + java.security.MessageDigest.getInstance("MD5")
+        .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(6)
+      s.conf.set(s"spark.sql.catalog.$cat",
+        classOf[graft.source.GraftCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.root", root)
+      c.createOrReplaceTempView("q314_src")
+      // WRITE: the SQL insert advances ONLY the staging ref
+      s.sql(s"INSERT INTO $cat.ns.`t@staging` " +
+        "SELECT ck, nk FROM q314_src WHERE ck % 3 = 1")
+      val mainCount = s.sql(s"SELECT count(*) FROM $cat.ns.`t@main`")
+        .head.getLong(0)
+      require(mainCount == c.filter(col("ck") % 3 === 0).count(),
+        "q314: the branch write must leave main bit-unchanged")
+      // AUDIT: plain SQL on the staging ref sees the landed batch
+      val auditCount = s.sql(s"SELECT count(*) FROM $cat.ns.`t@staging`")
+        .head.getLong(0)
+      require(auditCount == c.filter(col("ck") % 3 < 2).count(),
+        "q314: the staging ref must carry base + the SQL batch")
+      // PUBLISH: one typed merge, fast-forward (main never moved)
+      val outcome = Branching.merge(s, tdir, from = "staging",
+        into = "main", keyCols = Seq("ck"))
+      require(outcome.isInstanceOf[Branching.FastForward],
+        s"q314: publish must be a pointer flip, got $outcome")
+      // a post-publish SQL insert straight to main lands the same way
+      s.sql(s"INSERT INTO $cat.ns.`t@main` " +
+        "SELECT ck + 4000000000, nk FROM q314_src WHERE ck % 3 = 2")
+      // commit-id time travel is HISTORY — writes refused loudly
+      val h = Branching.head(s, tdir, "main")
+      require(Try(s.sql(
+        s"INSERT INTO $cat.ns.`t@$h` SELECT ck, nk FROM q314_src"))
+        .isFailure,
+        "q314: a commit-id target must be read-only history")
+      // INSERT OVERWRITE replaces the ref's content only
+      s.sql(s"INSERT OVERWRITE $cat.ns.`t@staging` " +
+        "SELECT ck, nk FROM q314_src WHERE nk = 0")
+      require(s.sql(s"SELECT count(*) FROM $cat.ns.`t@staging`")
+        .head.getLong(0) == c.filter(col("nk") === 0).count(),
+        "q314: INSERT OVERWRITE must replace the staging ref's content")
+      s.sql(s"SELECT ck, nk FROM $cat.ns.`t@main`")
+        .groupBy(col("nk"))
+        .agg(count(lit(1)).cast("bigint").as("n"),
+          sum(col("ck")).cast("bigint").as("ck_sum"))
     })
 }

@@ -72,7 +72,11 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
       branch: String): Table = {
     val spark = SparkSession.active
     val id = graft.ops.Branching.head(spark, dir, branch)
-    commitTable(ident, dir, id, branch)
+    val cd = s"$dir/_c-${"%08d".format(id)}"
+    // branch refs are WRITABLE (INSERT INTO t@staging — the WAP write
+    // step); commit-id time travel stays read-only history
+    new GraftSqlTable(ident.toString + s"@$branch#$id", cd,
+      spark.read.parquet(cd).schema, dml = dmlFor(dir, s"branch:$branch"))
   }
 
   private def commitTable(ident: Identifier, dir: String, id: Long,
@@ -408,7 +412,8 @@ private[source] class GraftSqlTable(tableName: String, versionDir: String,
       s"GraftCatalog: $tableName is not writable — AS-OF reads, branches " +
         "and pinned catalogs mutate through the typed ops layer")))
   override def canDeleteWhere(filters: Array[org.apache.spark.sql.sources.Filter])
-      : Boolean = dml.isDefined && GraftDelete.predicate(filters).isDefined
+      : Boolean = dml.exists(_.layout == "versioned") &&
+    GraftDelete.predicate(filters).isDefined
   override def deleteWhere(filters: Array[org.apache.spark.sql.sources.Filter])
       : Unit =
     GraftDelete.deleteWhere(dml.getOrElse(sys.error(
@@ -420,8 +425,10 @@ private[source] class GraftSqlTable(tableName: String, versionDir: String,
     val t = dml.getOrElse(sys.error(
       s"GraftCatalog: $tableName is not writable — AS-OF reads and " +
         "pinned catalogs mutate through the typed ops layer"))
-    require(baseVersion >= 1L,
-      s"GraftCatalog: $tableName has no base version for row-level ops")
+    require(t.layout == "versioned" && baseVersion >= 1L,
+      s"GraftCatalog: $tableName supports row-level SQL only on the " +
+        "snapshot layout's live version — branches mutate via INSERT or " +
+        "the typed ops layer")
     () => new GraftRowLevelOperation(info.command(), t, baseVersion,
       opts => this.newScanBuilder(opts))
   }

@@ -40,6 +40,20 @@ private[source] object GraftDml {
   def insert(target: DmlTarget, data: DataFrame, overwrite: Boolean): Unit = {
     val spark = data.sparkSession
     target.layout match {
+      case b if b.startsWith("branch:") =>
+        // SQL writes land ON THE NAMED REF (`INSERT INTO t@staging`) —
+        // the write step of write-audit-publish: the branch advances,
+        // every other ref is untouched, and the typed merge publishes.
+        // Capture-tracked branches keep their typed commit path (a
+        // blind SQL append carries no key capture and branchChanges
+        // would fail loudly downstream — the existing contract).
+        val branch = b.stripPrefix("branch:")
+        val next =
+          if (overwrite) data
+          else graft.ops.Branching.readBranch(spark, target.dir, branch)
+            .unionByName(data)
+        graft.ops.Branching.commitOn(next, target.dir, branch)
+        ()
       case "log" =>
         if (overwrite) {
           val n = math.max(1, data.rdd.getNumPartitions)

@@ -116,6 +116,46 @@ class Round8OpsSpec extends AnyFunSuite {
       .exists(_.getPath.getName.startsWith(".claim-")))
   }
 
+  test("commitStagedDir: a commit since the scanned base is loudly stale") {
+    import org.apache.hadoop.fs.Path
+    import graft.ops.{Occ, VersionedTable}
+    val dir = TestSpark.tmpDir("csd") + "/t"
+    Occ.commit(spark, dir, Set("init")) { _ => Seq(1L, 2L).toDF("k") } // v1
+    // a replacement staged against v1…
+    val stageName = "_stage-" + java.util.UUID.randomUUID().toString
+    Seq(9L).toDF("k").write.parquet(s"$dir/$stageName")
+    // …but a competitor lands first
+    Occ.commit(spark, dir, Set("other")) { base =>
+      base.get.unionByName(Seq(3L).toDF("k")) } // v2
+    val ex = intercept[Occ.CommitConflictException] {
+      Occ.commitStagedDir(spark, dir, stageName, base = 1L, Set("*"))
+    }
+    assert(ex.getMessage.contains("no longer current"))
+    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new Path(dir, stageName)),
+      "the stale stage must be cleaned up, not leaked")
+    assert(VersionedTable.read(spark, dir).count() == 3,
+      "the winner's content must be untouched")
+  }
+
+  test("an all-rows expression DELETE leaves a readable empty version") {
+    import graft.ops.{VersionedTable => VT}
+    val root = TestSpark.tmpDir("edel")
+    VT.write(Seq((1L, "a"), (2L, "b")).toDF("k", "s"), s"$root/t")
+    val cat = "r8del_" + java.util.UUID.randomUUID().toString
+      .replace("-", "").take(8)
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.source.GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.root", root)
+    // k % 1 = 0 is an EXPRESSION (row-level rewrite path), matches all
+    spark.sql(s"DELETE FROM $cat.t WHERE k % 1 = 0")
+    assert(VT.currentVersion(spark, s"$root/t").contains(2L))
+    assert(spark.sql(s"SELECT * FROM $cat.t").count() == 0,
+      "the empty replacement must stay readable (schema-only file)")
+    assert(spark.sql(s"SELECT * FROM $cat.t").schema.fieldNames.toSeq ==
+      Seq("k", "s"), "the empty version must keep the schema")
+  }
+
   test("log stats on a non-integral column fail loudly") {
     val dir = TestSpark.tmpDir("fstat") + "/t"
     val ex = intercept[RuntimeException] {
