@@ -1564,12 +1564,17 @@ object OptimizerQueries {
       require(v1.exceptAll(CM.readVersion(s, tdir, 1)).isEmpty &&
         CM.readVersion(s, tdir, 1).exceptAll(v1).isEmpty,
         "q286: time travel must equal the ops-layer version read")
-      // the honest refusal: an unmaterialized DEFAULT column
+      // an unmaterialized DEFAULT renders through SQL exactly as the
+      // typed read renders it: the expression is evaluated once and
+      // constant-filled at the reader — never silently nulled
       CM.addColumnWithDefault(s, tdir, "tier", "'bronze'")
-      val refusal = Try(s.sql(s"SELECT * FROM $cat.ns.t").collect())
-      require(refusal.isFailure &&
-        refusal.failed.get.getMessage.contains("DEFAULT"),
-        "q286: an unmaterialized default must be refused, not nulled")
+      val withDefault = s.sql(s"SELECT * FROM $cat.ns.t")
+      require(withDefault.filter(col("tier") === "bronze").count() ==
+        CM.read(s, tdir).count(),
+        "q286: the unmaterialized default must render for every row")
+      require(withDefault.exceptAll(CM.read(s, tdir)).isEmpty &&
+        CM.read(s, tdir).exceptAll(withDefault).isEmpty,
+        "q286: SQL and the typed read must agree on the default")
       live.groupBy((col("ck") % 10).cast("bigint").as("bucket"))
         .agg(count(lit(1)).cast("bigint").as("n"),
           sum(col("bal")).cast("bigint").as("bal_sum"))
@@ -3229,5 +3234,111 @@ object OptimizerQueries {
         .groupBy(col("nk"))
         .agg(count(lit(1)).cast("bigint").as("n"),
           sum(col("ck")).cast("bigint").as("ck_sum"))
+    },
+
+    // ---------------------------------------------------------------- q315
+    // SQL DDL: ALTER TABLE through the catalog — Spark's own grammar
+    // routed into the schema-evolution protocols. On a COLUMN-MAPPED
+    // table, RENAME / ADD ... DEFAULT / DROP COLUMN are METADATA-ONLY
+    // commits (stable ids, zero data bytes — pinned on the version dir's
+    // file listing), the renamed column reads through plain SQL
+    // immediately, and time travel renders each version under ITS OWN
+    // names. On a TYPE-WIDENING table, ALTER COLUMN TYPE commits the
+    // manifest and the catalog scan then reads MIXED PHYSICAL EPOCHS
+    // (int32 files + int64 files) under the widened schema — the Group
+    // reader widens per file, no rewrite; a narrowing is refused. An
+    // unenrolled (by-name) table refuses RENAME loudly — renaming it
+    // would orphan every file's column. At 100 TB: schema DDL that costs
+    // kilobytes, from the same SQL any BI tool speaks.
+    Q("q315_sql_alter_table",
+      """WITH c AS (SELECT CAST(c_custkey AS BIGINT) AS ck,
+        |    CAST(c_nationkey AS BIGINT) AS region_key FROM customer),
+        |w AS (SELECT ck, region_key FROM c
+        |  UNION ALL SELECT ck + 4000000000, region_key FROM c WHERE ck % 4 = 1)
+        |SELECT region_key, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(ck) AS BIGINT) AS ck_sum,
+        |  CAST(sum(CASE WHEN src = 'seed' THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_seed
+        |FROM (SELECT ck, region_key, 'seed' AS src FROM w) GROUP BY 1""".stripMargin) { (s, dir) =>
+      import graft.ops.{ColumnMapping => CM, TypeWidening => TW, VersionedTable => VT}
+      import org.apache.spark.sql.types.{IntegerType, LongType}
+      import scala.util.Try
+      val root = scratch(s, dir, "q315")
+      val cust = Tables.load(s, dir, "customer")
+        .select(col("c_custkey").cast("long").as("ck"),
+          col("c_nationkey").cast("long").as("nk"))
+      val cat = "graftdl_" + java.security.MessageDigest.getInstance("MD5")
+        .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(6)
+      s.conf.set(s"spark.sql.catalog.$cat",
+        classOf[graft.source.GraftCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.root", root)
+      // ---- column-mapped table: metadata-only RENAME / ADD / DROP ----
+      CM.writeData(cust, s"$root/m") // v1
+      s.sql(s"ALTER TABLE $cat.m RENAME COLUMN nk TO region_key") // v2
+      val fsys = new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      val v2Names = fsys.listStatus(VT.verDir(s"$root/m", 2L))
+        .map(_.getPath.getName).toSet
+      require(!v2Names.exists(_.startsWith("part-")),
+        s"q315: the RENAME must be metadata-only, found $v2Names")
+      require(s.sql(s"SELECT region_key FROM $cat.m").count() == cust.count(),
+        "q315: the renamed column must read through plain SQL")
+      // ADD COLUMN ... DEFAULT: metadata-only; the typed read renders the
+      // default for every pre-existing row
+      s.sql(s"ALTER TABLE $cat.m ADD COLUMN src STRING DEFAULT 'seed'") // v3
+      require(CM.read(s, s"$root/m").filter(col("src") === "seed")
+        .count() == cust.count(),
+        "q315: every existing row must read the declared default")
+      // a data commit materializes it; then SQL sees it too
+      CM.writeData(CM.read(s, s"$root/m")
+        .unionByName(cust.filter(col("ck") % 4 === 1)
+          .select((col("ck") + 4000000000L).as("ck"),
+            col("nk").as("region_key"), lit("seed").as("src"))),
+        s"$root/m") // v4
+      require(s.sql(s"SELECT src FROM $cat.m WHERE src = 'seed'").count() ==
+        s.sql(s"SELECT * FROM $cat.m").count(),
+        "q315: the materialized default must read through SQL")
+      // DROP COLUMN: metadata-only; time travel renders old names
+      s.sql(s"ALTER TABLE $cat.m DROP COLUMN src") // v5
+      require(!s.sql(s"SELECT * FROM $cat.m").columns.contains("src"),
+        "q315: the dropped column must vanish from the live schema")
+      require(s.sql(s"SELECT * FROM $cat.m VERSION AS OF 1")
+        .columns.toSeq == Seq("ck", "nk"),
+        "q315: v1 must still render under its own (pre-rename) names")
+      // an unenrolled by-name table refuses the rename LOUDLY
+      VT.write(cust, s"$root/plain")
+      require(Try(s.sql(
+        s"ALTER TABLE $cat.plain RENAME COLUMN nk TO x")).isFailure,
+        "q315: renaming a by-name table must be refused")
+      // ---- type-widening table: ALTER COLUMN TYPE over mixed epochs ----
+      val ints = cust.select(col("ck").cast("int").as("k"),
+        col("nk").as("g"))
+      TW.init(ints, s"$root/w") // v1: int32 epoch
+      require(Try(s.sql(
+        s"ALTER TABLE $cat.w ALTER COLUMN g TYPE INT")).isFailure,
+        "q315: a narrowing must be refused loudly") // g is long; int narrows
+      s.sql(s"ALTER TABLE $cat.w ALTER COLUMN k TYPE BIGINT") // v2
+      require(s.sql(s"SELECT k FROM $cat.w").schema("k").dataType == LongType,
+        "q315: the widened type must render through SQL")
+      TW.append(cust.filter(col("ck") % 4 === 1)
+        .select((col("ck") + 4000000000L).as("k"), col("nk").as("g")),
+        s"$root/w") // v3: int64 epoch — beyond-int32 keys
+      require(TW.epochSchema(s, s"$root/w", 1L)("k").dataType == IntegerType,
+        "q315: the epochs must genuinely mix physical types")
+      val viaSql = s.sql(s"SELECT k, g FROM $cat.w")
+      val wantW = cust.select(col("ck").as("k"), col("nk").as("g"))
+        .unionByName(cust.filter(col("ck") % 4 === 1)
+          .select((col("ck") + 4000000000L).as("k"), col("nk").as("g")))
+      require(viaSql.exceptAll(wantW).isEmpty && wantW.exceptAll(viaSql).isEmpty,
+        "q315: SQL must read both physical epochs under the widened schema")
+      // the result: the mapped table's final content (src dropped by DDL,
+      // re-rendered for the oracle from the surviving columns)
+      s.sql(s"SELECT ck, region_key FROM $cat.m")
+        .withColumn("src", lit("seed"))
+        .groupBy(col("region_key"))
+        .agg(count(lit(1)).cast("bigint").as("n"),
+          sum(col("ck")).cast("bigint").as("ck_sum"),
+          sum(when(col("src") === "seed", 1L).otherwise(0L))
+            .cast("bigint").as("n_seed"))
     })
 }

@@ -202,7 +202,8 @@ private[source] case class CdfFilePartition(version: Long, file: String)
   * floating, string, boolean, date, decimal(<=18) and micros timestamps.
   */
 private[source] class CdfReaderFactory(schema: StructType,
-    nameMap: Map[String, String] = Map.empty)
+    nameMap: Map[String, String] = Map.empty,
+    fill: Map[String, Any] = Map.empty)
     extends PartitionReaderFactory {
 
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
@@ -222,14 +223,26 @@ private[source] class CdfReaderFactory(schema: StructType,
         val vals = schema.fields.map { f =>
           val phys = nameMap.getOrElse(f.name, f.name)
           if (f.name == graft.ops.ChangeFeed.CommitVersion) p.version
-          else if (!fileType.containsField(phys)) null // pre-evolution capture
+          else if (!fileType.containsField(phys))
+            fill.getOrElse(f.name, null) // default-fill, else pre-evolution null
           else {
             val idx = fileType.getFieldIndex(phys)
             if (g.getFieldRepetitionCount(idx) == 0) null
             else f.dataType match {
-              case LongType => g.getLong(idx, 0)
+              case LongType =>
+                // type-widening epochs: a pre-widen file stores int32
+                fileType.getType(idx).asPrimitiveType().getPrimitiveTypeName match {
+                  case org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName.INT32 =>
+                    g.getInteger(idx, 0).toLong
+                  case _ => g.getLong(idx, 0)
+                }
               case IntegerType => g.getInteger(idx, 0)
-              case DoubleType => g.getDouble(idx, 0)
+              case DoubleType =>
+                fileType.getType(idx).asPrimitiveType().getPrimitiveTypeName match {
+                  case org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName.FLOAT =>
+                    g.getFloat(idx, 0).toDouble
+                  case _ => g.getDouble(idx, 0)
+                }
               case FloatType => g.getFloat(idx, 0)
               case BooleanType => g.getBoolean(idx, 0)
               case StringType =>

@@ -50,6 +50,11 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
 
   override def name(): String = catName
 
+  // ADD COLUMN ... DEFAULT reaches alterTable only when the catalog
+  // declares the capability (Spark gates the grammar on it)
+  override def capabilities(): java.util.Set[TableCatalogCapability] =
+    java.util.EnumSet.of(TableCatalogCapability.SUPPORT_COLUMN_DEFAULT_VALUE)
+
   /** `t@branch` (the Nessie reference syntax) splits into table dir +
     * branch ref; a bare name on a branched table reads `main`.
     */
@@ -217,25 +222,39 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
       val dataDir = VersionedTable.verDir(dir, CM.dataVersion(spark, dir, v))
       val phys = spark.read.parquet(dataDir.toString).schema
       val dfl = CM.defaults(spark, dir, v)
+      val fills = scala.collection.mutable.Map.empty[String, Any]
       val fields = m.map { f =>
         phys.fields.find(_.name == s"c_${f.id}") match {
           case Some(pf) => org.apache.spark.sql.types.StructField(
             f.name, pf.dataType, nullable = true)
-          case None =>
-            // an unmaterialized DEFAULT column needs expression evaluation
-            // the file reader cannot do — refuse loudly, never render null
-            // where the ops layer would render the default
-            require(!dfl.contains(f.id),
-              s"GraftCatalog: $ident column '${f.name}' is an " +
-                "unmaterialized DEFAULT — read through ColumnMapping.read " +
-                "until a data commit materializes it")
-            org.apache.spark.sql.types.StructField(f.name,
+          case None => dfl.get(f.id) match {
+            case Some(sql) =>
+              // an unmaterialized DEFAULT: evaluate the expression ONCE
+              // driver-side and constant-fill at the reader — the SQL
+              // surface renders exactly what ColumnMapping.read renders
+              val r = spark.sql(s"SELECT ($sql)")
+              val dt = r.schema.head.dataType
+              fills(f.name) = org.apache.spark.sql.catalyst
+                .CatalystTypeConverters.createToCatalystConverter(dt)(
+                  r.head.get(0))
+              org.apache.spark.sql.types.StructField(f.name, dt,
+                nullable = true)
+            case None => org.apache.spark.sql.types.StructField(f.name,
               org.apache.spark.sql.types.NullType, nullable = true)
+          }
         }
       }
       new GraftMappedSqlTable(ident.toString + s"@v$v", dataDir.toString,
         org.apache.spark.sql.types.StructType(fields),
-        m.map(f => f.name -> s"c_${f.id}").toMap)
+        m.map(f => f.name -> s"c_${f.id}").toMap, fills.toMap)
+    } else if (fs.exists(new Path(VersionedTable.verDir(dir, v), "_types"))) {
+      // TYPE-WIDENING table: epochs store DIFFERENT physical types
+      // (int32 files before the widen, int64 after); the live manifest
+      // is the rendered schema and the reader widens per file. File
+      // enumeration chases the `_prev` chain exactly like the typed read.
+      val df = graft.ops.TypeWidening.read(spark, dir)
+      new GraftTwSqlTable(ident.toString + s"@v$v",
+        df.inputFiles.sorted.toSeq, df.schema)
     } else if (fs.exists(new Path(VersionedTable.verDir(dir, v), "_dv"))) {
       // DELETION-VECTOR version: the reader applies each file's bitmap
       // by row index — deleted rows never leave the executor
@@ -366,8 +385,59 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
         s"GraftCatalog: $ident — a snapshot-pinned catalog cannot create")))
   }
 
-  override def alterTable(ident: Identifier, changes: TableChange*): Table =
-    sys.error("GraftCatalog: evolve schemas through ColumnMapping/TypeWidening")
+  /** ALTER TABLE — SQL DDL routed into the schema-evolution protocols:
+    * RENAME / DROP / ADD COLUMN (with DEFAULT) are METADATA-ONLY commits
+    * on column-mapped tables (stable ids, zero data bytes — the q225
+    * machinery behind Spark's own grammar), ALTER COLUMN TYPE is the
+    * type-widening manifest commit (q233's — narrowings refused). Tables
+    * not enrolled in the matching protocol refuse loudly: renaming a
+    * by-name table would orphan every existing file's column.
+    */
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    import graft.ops.{ColumnMapping => CM, TypeWidening => TW}
+    val spark = SparkSession.active
+    val dir = tableDir(ident)
+    require(snapshotCatalog.isEmpty,
+      s"GraftCatalog $catName: a snapshot-pinned catalog is a read surface")
+    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val cur = VersionedTable.currentVersion(spark, dir).getOrElse(
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(ident))
+    val vd = VersionedTable.verDir(dir, cur)
+    val isMapped = fs.exists(new Path(vd, "_schema"))
+    val isTyped = fs.exists(new Path(vd, "_types"))
+    def one(names: Array[String]): String = {
+      require(names.length == 1,
+        s"GraftCatalog: $ident — nested fields are not supported")
+      names(0)
+    }
+    changes.foreach {
+      case r: TableChange.RenameColumn =>
+        require(isMapped, s"GraftCatalog: $ident — RENAME COLUMN needs " +
+          "column mapping (enroll via ColumnMapping.writeData); renaming " +
+          "a by-name table would orphan every file's column")
+        CM.rename(spark, dir, one(r.fieldNames()), r.newName()); ()
+      case d: TableChange.DeleteColumn =>
+        require(isMapped, s"GraftCatalog: $ident — DROP COLUMN needs " +
+          "column mapping (enroll via ColumnMapping.writeData)")
+        CM.drop(spark, dir, one(d.fieldNames())); ()
+      case a: TableChange.AddColumn =>
+        require(isMapped, s"GraftCatalog: $ident — ADD COLUMN needs " +
+          "column mapping (enroll via ColumnMapping.writeData)")
+        require(a.position() == null,
+          s"GraftCatalog: $ident — column POSITION is not supported " +
+            "(the manifest appends)")
+        val dflt = Option(a.defaultValue()).map(_.getSql)
+          .getOrElse(s"CAST(NULL AS ${a.dataType().sql})")
+        CM.addColumnWithDefault(spark, dir, one(a.fieldNames()), dflt); ()
+      case u: TableChange.UpdateColumnType =>
+        require(isTyped, s"GraftCatalog: $ident — ALTER COLUMN TYPE needs " +
+          "the type-widening layout (enroll via TypeWidening.init)")
+        TW.widen(spark, dir, one(u.fieldNames()), u.newDataType()); ()
+      case other => sys.error(
+        s"GraftCatalog: $ident — unsupported ALTER: $other")
+    }
+    loadTable(ident)
+  }
   override def dropTable(ident: Identifier): Boolean = {
     val spark = SparkSession.active
     val dir = tableDir(ident)
@@ -547,7 +617,8 @@ private[source] class DvReaderFactory(schema: StructType)
   * `c_<id>` file columns, mapped per field at the reader.
   */
 private[source] class GraftMappedSqlTable(tableName: String, dataDir: String,
-    tableSchema: StructType, nameMap: Map[String, String])
+    tableSchema: StructType, nameMap: Map[String, String],
+    fills: Map[String, Any] = Map.empty)
     extends Table with SupportsRead {
   override def name(): String = tableName
   override def schema(): StructType = tableSchema
@@ -558,12 +629,14 @@ private[source] class GraftMappedSqlTable(tableName: String, dataDir: String,
       private var pruned: StructType = tableSchema
       override def pruneColumns(requiredSchema: StructType): Unit =
         pruned = requiredSchema
-      override def build(): Scan = new GraftMappedSqlScan(dataDir, pruned, nameMap)
+      override def build(): Scan =
+        new GraftMappedSqlScan(dataDir, pruned, nameMap, fills)
     }
 }
 
 private[source] class GraftMappedSqlScan(dataDir: String, schema: StructType,
-    nameMap: Map[String, String]) extends Scan with Batch {
+    nameMap: Map[String, String], fills: Map[String, Any] = Map.empty)
+    extends Scan with Batch {
   override def readSchema(): StructType = schema
   override def toBatch: Batch = this
   override def description(): String =
@@ -579,7 +652,39 @@ private[source] class GraftMappedSqlScan(dataDir: String, schema: StructType,
       .toArray
   }
   override def createReaderFactory(): PartitionReaderFactory =
-    new CdfReaderFactory(schema, nameMap)
+    new CdfReaderFactory(schema, nameMap, fills)
+}
+
+/** A type-widening table in the catalog: an explicit file list spanning
+  * physical-type epochs, rendered under the LIVE manifest — the reader
+  * widens each file's narrower physical type (int32→long, float→double)
+  * during decode, so `SELECT` after `ALTER COLUMN TYPE` reads every
+  * epoch without a rewrite.
+  */
+private[source] class GraftTwSqlTable(tableName: String,
+    files: Seq[String], tableSchema: StructType)
+    extends Table with SupportsRead {
+  override def name(): String = tableName
+  override def schema(): StructType = tableSchema
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder with SupportsPushDownRequiredColumns {
+      private var pruned: StructType = tableSchema
+      override def pruneColumns(requiredSchema: StructType): Unit =
+        pruned = requiredSchema
+      override def build(): Scan = new Scan with Batch {
+        override def readSchema(): StructType = pruned
+        override def toBatch: Batch = this
+        override def description(): String =
+          s"GraftTwSqlScan files=${files.size} " +
+            s"ReadSchema: ${pruned.catalogString}"
+        override def planInputPartitions(): Array[InputPartition] =
+          files.map(f => CdfFilePartition(0L, f): InputPartition).toArray
+        override def createReaderFactory(): PartitionReaderFactory =
+          new CdfReaderFactory(pruned)
+      }
+    }
 }
 
 /** A log-structured table in the catalog: scans prune files from the
