@@ -3340,5 +3340,79 @@ object OptimizerQueries {
           sum(col("ck")).cast("bigint").as("ck_sum"),
           sum(when(col("src") === "seed", 1L).otherwise(0L))
             .cast("bigint").as("n_seed"))
+    },
+
+    // ---------------------------------------------------------------- q316
+    // SQL METADATA TABLES (Iceberg's public `t$history` / `t$files`
+    // design on the catalog): the table's own bookkeeping addressable
+    // from plain SELECT, served as a DSv2 LocalScan — O(versions|files)
+    // driver-side rows the log layer already materializes, ZERO data
+    // files touched (Spark folds the scan into a LocalTableScan). The
+    // ORACLE RECOMPUTES the whole surface from the slice definitions in
+    // DuckDB: per-version add/remove action counts, the txn flag, the
+    // CUMULATIVE row count after every commit, and the live per-file
+    // stats (lo/hi/rows) after a compaction folded two files — the
+    // driver's hash compare grades the metadata plane itself. At 100 TB
+    // this is the operator's dashboard: DESCRIBE-HISTORY-class answers
+    // from the log alone.
+    Q("q316_sql_metadata_tables",
+      """WITH o AS (SELECT CAST(o_orderkey AS BIGINT) AS okey FROM orders),
+        |sl AS (SELECT okey, okey % 4 AS s FROM o),
+        |cnt AS (SELECT s, count(*) AS n, min(okey) AS lo, max(okey) AS hi
+        |  FROM sl GROUP BY s),
+        |hist AS (
+        |  SELECT CAST(s + 1 AS BIGINT) AS version, CAST(1 AS BIGINT) AS n_adds,
+        |    CAST(0 AS BIGINT) AS n_removes,
+        |    CAST((SELECT sum(n) FROM cnt c2 WHERE c2.s <= cnt.s) AS BIGINT)
+        |      AS cum_rows
+        |  FROM cnt
+        |  UNION ALL
+        |  SELECT 5, 1, 2, CAST((SELECT sum(n) FROM cnt) AS BIGINT)),
+        |files AS (
+        |  SELECT lo, hi, n FROM cnt WHERE s >= 2
+        |  UNION ALL
+        |  SELECT min(lo), max(hi), sum(n) FROM cnt WHERE s <= 1)
+        |SELECT 'h' AS kind, version, n_adds, n_removes, cum_rows,
+        |  CAST(NULL AS BIGINT) AS lo, CAST(NULL AS BIGINT) AS hi FROM hist
+        |UNION ALL
+        |SELECT 'f', CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+        |  CAST(NULL AS BIGINT), CAST(n AS BIGINT), CAST(lo AS BIGINT),
+        |  CAST(hi AS BIGINT) FROM files""".stripMargin) { (s, dir) =>
+      import graft.ops.ActionLog
+      val root = scratch(s, dir, "q316")
+      val t = s"$root/t"
+      val o = Tables.load(s, dir, "orders")
+        .select(col("o_orderkey").cast("long").as("okey"))
+      (0 to 3).foreach(i => ActionLog.append(
+        o.filter(col("okey") % 4 === i).coalesce(1), t, Some("okey")))
+      val firstTwo = ActionLog.liveFiles(s, t).map(_._1).take(2)
+      ActionLog.compactFiles(s, t, firstTwo, numFiles = 1,
+        statsCol = Some("okey")) // v5
+      val cat = "graftmt_" + java.security.MessageDigest.getInstance("MD5")
+        .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(6)
+      s.conf.set(s"spark.sql.catalog.$cat",
+        classOf[graft.source.GraftCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.root", root)
+      val hist = s.sql(s"SELECT version, n_adds, n_removes, cum_rows " +
+        s"FROM $cat.`t$$history`")
+      require(hist.count() == 5L, "q316: five commits, five history rows")
+      require(s.sql(s"SELECT * FROM $cat.`t$$history` WHERE has_txn")
+        .count() == 0L, "q316: no txn marks were written")
+      // the scan must be LOCAL — zero input partitions, zero data reads
+      val planText = hist.queryExecution.executedPlan.toString
+      require(planText.contains("LocalTableScan") ||
+        planText.contains("GraftLocalScan"),
+        s"q316: the metadata table must fold to a local scan:\n$planText")
+      val files = s.sql(s"SELECT n_rows, lo, hi FROM $cat.`t$$files`")
+      require(files.count() == 3L,
+        "q316: two folded + one compacted = three live files")
+      hist.select(lit("h").as("kind"), col("version"), col("n_adds"),
+        col("n_removes"), col("cum_rows"),
+        lit(null).cast("bigint").as("lo"), lit(null).cast("bigint").as("hi"))
+        .unionByName(files.select(lit("f").as("kind"),
+          lit(null).cast("bigint").as("version"),
+          lit(null).cast("bigint").as("n_adds"),
+          lit(null).cast("bigint").as("n_removes"),
+          col("n_rows").as("cum_rows"), col("lo"), col("hi")))
     })
 }

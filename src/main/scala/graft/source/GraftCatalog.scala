@@ -116,8 +116,78 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     if (snapshotCatalog.isDefined) None // a pinned catalog is a read surface
     else Some(DmlTarget(dir, layout, features))
 
+  // ---- SQL METADATA TABLES (Iceberg's public `t$history` design): the
+  // table's own bookkeeping addressable from SELECT, served as a
+  // LocalScan — the rows are O(versions|files) driver-side metadata the
+  // ops layer already materializes; no data file is touched.
+  private def metadataTable(ident: Identifier, kind: String): Table = {
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.types._
+    import org.apache.spark.unsafe.types.UTF8String
+    val spark = SparkSession.active
+    val dir = tableDir(ident)
+    val isLog = isActionLog(spark, dir)
+    val (schema, rows): (StructType, Seq[InternalRow]) = kind match {
+      case "history" if isLog =>
+        (StructType(Seq(StructField("version", LongType, nullable = false),
+          StructField("n_adds", LongType, nullable = false),
+          StructField("n_removes", LongType, nullable = false),
+          StructField("has_txn", BooleanType, nullable = false),
+          StructField("cum_rows", LongType, nullable = true))),
+          graft.ops.ActionLog.history(spark, dir).map {
+            case (v, a, r, t, c) =>
+              InternalRow(v, a.toLong, r.toLong, t,
+                c.map(Long.box).orNull)
+          })
+      case "history" =>
+        val fs = new Path(dir).getFileSystem(
+          spark.sparkContext.hadoopConfiguration)
+        (StructType(Seq(StructField("version", LongType, nullable = false),
+          StructField("commit_ts_ms", LongType, nullable = true))),
+          VersionedTable.listVersions(fs, dir)
+            .filter(v => VersionedTable.complete(fs,
+              VersionedTable.verDir(dir, v)))
+            .map(v => InternalRow(v,
+              VersionedTable.commitTimestamp(spark, dir, v)
+                .map(Long.box).orNull)))
+      case "files" if isLog =>
+        (StructType(Seq(StructField("file", StringType, nullable = false),
+          StructField("lo", LongType, nullable = true),
+          StructField("hi", LongType, nullable = true),
+          StructField("n_rows", LongType, nullable = true))),
+          graft.ops.ActionLog.liveFiles(spark, dir).map { case (f, st) =>
+            InternalRow(UTF8String.fromString(f),
+              st.map(s => Long.box(s._1)).orNull,
+              st.map(s => Long.box(s._2)).orNull,
+              st.map(s => Long.box(s._3)).orNull)
+          })
+      case "files" =>
+        val spark2 = spark
+        val live = VersionedTable.liveDir(spark2, dir)
+        val fs = new Path(dir).getFileSystem(
+          spark2.sparkContext.hadoopConfiguration)
+        (StructType(Seq(StructField("file", StringType, nullable = false),
+          StructField("bytes", LongType, nullable = false))),
+          fs.listStatus(new Path(live)).toSeq
+            .filter(st => st.isFile && !st.getPath.getName.startsWith("_") &&
+              !st.getPath.getName.startsWith("."))
+            .sortBy(_.getPath.getName)
+            .map(st => InternalRow(
+              UTF8String.fromString(st.getPath.getName), st.getLen)))
+      case other => sys.error(
+        s"GraftCatalog: unknown metadata table '$$${other}' — " +
+          "history | files")
+    }
+    new GraftLocalTable(s"${ident.toString}$$$kind", schema, rows)
+  }
+
   override def loadTable(ident: Identifier): Table = {
     val spark = SparkSession.active
+    if (ident.name().contains("$")) {
+      val parts = ident.name().split("\\$", 2)
+      return metadataTable(Identifier.of(ident.namespace(), parts(0)),
+        parts(1))
+    }
     val (dir, branch) = split(ident)
     if (isActionLog(spark, dir)) {
       require(branch.isEmpty,
@@ -653,6 +723,29 @@ private[source] class GraftMappedSqlScan(dataDir: String, schema: StructType,
   }
   override def createReaderFactory(): PartitionReaderFactory =
     new CdfReaderFactory(schema, nameMap, fills)
+}
+
+/** A driver-side metadata table ([[GraftCatalog.metadataTable]]): the
+  * rows are already-materialized O(versions|files) bookkeeping, served
+  * through DSv2 `LocalScan` — Spark folds it into a LocalTableScan, no
+  * executor work, no data file touched.
+  */
+private[source] class GraftLocalTable(tableName: String,
+    tableSchema: StructType,
+    data: Seq[org.apache.spark.sql.catalyst.InternalRow])
+    extends Table with SupportsRead {
+  override def name(): String = tableName
+  override def schema(): StructType = tableSchema
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    () => new org.apache.spark.sql.connector.read.LocalScan {
+      override def rows(): Array[org.apache.spark.sql.catalyst.InternalRow] =
+        data.toArray
+      override def readSchema(): StructType = tableSchema
+      override def description(): String =
+        s"GraftLocalScan [$tableName] rows=${data.size}"
+    }
 }
 
 /** A type-widening table in the catalog: an explicit file list spanning
