@@ -677,6 +677,46 @@ object ActionLog {
     (expired.size, victims.size)
   }
 
+  /** Commit ALREADY-STAGED part files as a full REWRITE of the table
+    * (the row-level SQL write path: executors streamed the replacement
+    * into `stageDir`, no second copy). The staged files move into
+    * `data/` under writer-unique names, and ONE log record removes every
+    * file live at `base` and adds the replacements — claimed at
+    * `base + 1`, failing LOUDLY (stage cleaned up) when any commit
+    * landed since the replacement was computed.
+    */
+  def rewriteStaged(spark: SparkSession, dir: String, stageDir: String,
+      base: Long): Long = {
+    val fs = fsOf(spark, dir)
+    val head = versions(spark, dir).lastOption.getOrElse(0L)
+    def stale(reason: String): Nothing = {
+      fs.delete(new Path(stageDir), true)
+      sys.error(s"ActionLog.rewriteStaged($dir): $reason — the " +
+        "materialized replacement read a snapshot that is no longer current")
+    }
+    if (head != base) stale(s"head moved $base -> $head")
+    val (live, _, _) = resolve(spark, dir, base)
+    val tag = "c" + java.util.UUID.randomUUID().toString.replace("-", "").take(10)
+    fs.mkdirs(new Path(s"$dir/$DataDir"))
+    val moved = fs.listStatus(new Path(stageDir)).toSeq
+      .filter(st => st.isFile && st.getPath.getName.startsWith("part-"))
+      .sortBy(_.getPath.getName)
+      .zipWithIndex.map { case (st, i) =>
+        val name = s"$tag-$i.parquet"
+        require(fs.rename(st.getPath, new Path(s"$dir/$DataDir/$name")),
+          s"ActionLog.rewriteStaged: rename failed for $name")
+        name
+      }
+    fs.delete(new Path(stageDir), true)
+    val lines = (live.map(f => s"""{"a":"remove","p":"$f"}""") ++
+      addLines(spark, dir, moved, statsColumn(spark, dir))).mkString("\n")
+    if (!tryClaim(fs, dir, base + 1L, lines)) {
+      moved.foreach(f => fs.delete(new Path(s"$dir/$DataDir/$f"), false))
+      stale(s"version ${base + 1} was claimed concurrently")
+    }
+    base + 1L
+  }
+
   /** The live file inventory with recorded stats — the planning surface
     * for catalog-integrated scans: (fileName, Option[(lo, hi, rows)]).
     */

@@ -3414,5 +3414,95 @@ object OptimizerQueries {
           lit(null).cast("bigint").as("n_adds"),
           lit(null).cast("bigint").as("n_removes"),
           col("n_rows").as("cum_rows"), col("lo"), col("hi")))
+    },
+
+    // ---------------------------------------------------------------- q317
+    // ROW-LEVEL SQL ON THE LOG LAYOUT (`ActionLog.rewriteStaged` behind
+    // the q313 machinery): UPDATE / MERGE INTO / expression DELETE on an
+    // action-log table commit as ONE remove-all+add log record — the
+    // replacement streams from the executors into staging and moves into
+    // `data/` with a single claim at base+1 (loud-stale if the head
+    // moved), so the whole DML matrix now covers BOTH table layouts.
+    // Pinned: the UPDATE's record removes exactly the three live files;
+    // time travel renders the pre-update content; the recorded stats
+    // column is re-recorded on the replacement files so log-carried
+    // pruning keeps working after row-level SQL; MERGE upserts; the
+    // expression DELETE lands as another single record.
+    Q("q317_sql_log_row_level",
+      """WITH o AS (SELECT CAST(o_orderkey AS BIGINT) AS okey,
+        |    o_orderpriority AS opri FROM orders WHERE o_orderkey % 4 < 3),
+        |u AS (SELECT okey,
+        |    CASE WHEN okey % 7 = 0 THEN 'X' ELSE opri END AS opri FROM o),
+        |m AS (SELECT okey,
+        |    CASE WHEN okey % 11 = 0 THEN 'M' ELSE opri END AS opri FROM u
+        |  UNION ALL SELECT okey + 4000000000, 'N' FROM o WHERE okey % 13 = 0),
+        |f AS (SELECT * FROM m WHERE okey % 9 <> 5)
+        |SELECT opri, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(okey) AS BIGINT) AS key_sum
+        |FROM f GROUP BY 1""".stripMargin) { (s, dir) =>
+      import graft.ops.ActionLog
+      val root = scratch(s, dir, "q317")
+      val lt = s"$root/t"
+      val o = Tables.load(s, dir, "orders")
+        .select(col("o_orderkey").cast("long").as("okey"),
+          col("o_orderpriority").as("opri"))
+        .filter(col("okey") % 4 < 3)
+      (0 to 2).foreach(i => ActionLog.append(
+        o.filter(col("okey") % 4 === i).coalesce(1), lt, Some("okey")))
+      val cat = "graftlr_" + java.security.MessageDigest.getInstance("MD5")
+        .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(6)
+      s.conf.set(s"spark.sql.catalog.$cat",
+        classOf[graft.source.GraftCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.root", root)
+      def content = s.sql(s"SELECT okey, opri FROM $cat.t")
+      def expectEq(w: org.apache.spark.sql.DataFrame, tag: String): Unit =
+        require(content.exceptAll(w).isEmpty && w.exceptAll(content).isEmpty,
+          s"q317 [$tag]: content mismatch")
+      s.sql(s"UPDATE $cat.t SET opri = 'X' WHERE okey % 7 = 0") // v4
+      require(ActionLog.versions(s, lt) == (1L to 4L).toSeq,
+        "q317: the UPDATE must be ONE log commit")
+      val (_, removed) = ActionLog.actionsOf(s, lt, 4L)
+      require(removed.size == 3,
+        s"q317: the rewrite must remove exactly the three live files, " +
+          s"got ${removed.size}")
+      val u = o.withColumn("opri",
+        when(col("okey") % 7 === 0, "X").otherwise(col("opri")))
+      expectEq(u, "update")
+      val pre = ActionLog.read(s, lt, asOf = 3L)
+      require(pre.exceptAll(o).isEmpty && o.exceptAll(pre).isEmpty,
+        "q317: time travel must render the pre-update content")
+      // stats are RE-RECORDED on the replacement files (the skipping
+      // index never goes stale), and the standard re-clustering pass
+      // restores range pruning the rewrite's hash layout defeated
+      require(ActionLog.liveFiles(s, lt).forall(_._2.isDefined),
+        "q317: every replacement file must carry re-recorded stats")
+      ActionLog.optimizeClustered(s, lt)
+      val band = o.stat.approxQuantile("okey", Array(0.4, 0.42), 0.0)
+      val (_, kept, total) = ActionLog.readWhere(s, lt, "okey",
+        band(0).toLong + 1, band(1).toLong)
+      require(kept < total || total == 1,
+        s"q317: re-clustering must restore pruning after row-level SQL " +
+          s"($kept/$total)")
+      // MERGE upserts through the same single-record path
+      val matched = o.filter(col("okey") % 11 === 0)
+        .select(col("okey"), lit("M").as("opri"))
+      val inserted = o.filter(col("okey") % 13 === 0)
+        .select((col("okey") + 4000000000L).as("okey"), lit("N").as("opri"))
+      matched.unionByName(inserted).createOrReplaceTempView("q317_src")
+      s.sql(s"""MERGE INTO $cat.t t USING q317_src s ON t.okey = s.okey
+        |WHEN MATCHED THEN UPDATE SET opri = s.opri
+        |WHEN NOT MATCHED THEN INSERT *""".stripMargin) // v6 (v5 = optimize)
+      val m = u.withColumn("opri",
+        when(col("okey") % 11 === 0, "M").otherwise(col("opri")))
+        .unionByName(inserted)
+      expectEq(m, "merge")
+      // an expression DELETE: one more single-record rewrite
+      s.sql(s"DELETE FROM $cat.t WHERE okey % 9 = 5") // v7
+      require(ActionLog.versions(s, lt).last == 7L,
+        "q317: one commit per statement (plus the optimize pass)")
+      expectEq(m.filter(col("okey") % 9 =!= 5), "delete")
+      content.groupBy(col("opri"))
+        .agg(count(lit(1)).cast("bigint").as("n"),
+          sum(col("okey")).cast("bigint").as("key_sum"))
     })
 }

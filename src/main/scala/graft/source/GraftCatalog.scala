@@ -196,7 +196,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
       new GraftLogSqlTable(ident.toString, dir, files,
         graft.ops.ActionLog.statsColumn(spark, dir),
         spark.read.parquet(s"$dir/data/${files.head._1}").schema,
-        dml = dmlFor(dir, "log"))
+        dml = dmlFor(dir, "log"),
+        baseVersion = graft.ops.ActionLog.versions(spark, dir).last)
     }
     else if (isBranched(spark, dir)) branchTable(ident, dir, branch.getOrElse("main"))
     else if (isCreatedEmpty(spark, dir)) {
@@ -794,9 +795,10 @@ private[source] class GraftTwSqlTable(tableName: String,
 private[source] class GraftLogSqlTable(tableName: String, dir: String,
     files: Seq[(String, Option[(Long, Long, Long)])],
     statsCol: Option[String], tableSchema: StructType,
-    dml: Option[DmlTarget] = None)
+    dml: Option[DmlTarget] = None, baseVersion: Long = -1L)
     extends Table with SupportsRead
-    with org.apache.spark.sql.connector.catalog.SupportsWrite {
+    with org.apache.spark.sql.connector.catalog.SupportsWrite
+    with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations {
   override def name(): String = tableName
   override def schema(): StructType = tableSchema
   override def capabilities(): java.util.Set[TableCapability] =
@@ -813,6 +815,19 @@ private[source] class GraftLogSqlTable(tableName: String, dir: String,
     new GraftDmlWriteBuilder(dml.getOrElse(sys.error(
       s"GraftCatalog: $tableName is not writable — AS-OF log reads " +
         "mutate through the typed ops layer")))
+  // UPDATE / MERGE / expression DELETE: the copy-on-write replacement
+  // commits as ONE remove-all+add log record at base+1 (rewriteStaged)
+  override def newRowLevelOperationBuilder(
+      info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
+      : org.apache.spark.sql.connector.write.RowLevelOperationBuilder = {
+    val t = dml.getOrElse(sys.error(
+      s"GraftCatalog: $tableName is not writable — AS-OF log reads " +
+        "mutate through the typed ops layer"))
+    require(baseVersion >= 1L,
+      s"GraftCatalog: $tableName has no base version for row-level ops")
+    () => new GraftRowLevelOperation(info.command(), t, baseVersion,
+      opts => this.newScanBuilder(opts))
+  }
 }
 
 private[source] class GraftLogScanBuilder(dir: String,

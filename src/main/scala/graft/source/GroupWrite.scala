@@ -180,8 +180,12 @@ private[source] class GroupBatchWrite(target: DmlTarget, baseVersion: Long,
       w.close()
     }
     fs.create(new Path(stageDir, "_SUCCESS"), true).close()
-    Occ.commitStagedDir(spark, target.dir, stageName, baseVersion,
-      Set("*"))
+    if (target.layout == "log")
+      graft.ops.ActionLog.rewriteStaged(spark, target.dir, stageDir,
+        baseVersion)
+    else
+      Occ.commitStagedDir(spark, target.dir, stageName, baseVersion,
+        Set("*"))
     ()
   }
 

@@ -156,6 +156,24 @@ class Round8OpsSpec extends AnyFunSuite {
       Seq("k", "s"), "the empty version must keep the schema")
   }
 
+  test("rewriteStaged: a moved head is loudly stale, stage cleaned up") {
+    import org.apache.hadoop.fs.Path
+    val dir = TestSpark.tmpDir("rwst") + "/t"
+    ActionLog.append(Seq(1L, 2L).toDF("k").coalesce(1), dir)
+    ActionLog.append(Seq(3L).toDF("k").coalesce(1), dir) // base = 2
+    val stage = s"$dir/_stage-test"
+    Seq(9L).toDF("k").coalesce(1).write.parquet(stage)
+    ActionLog.append(Seq(4L).toDF("k").coalesce(1), dir) // head moves to 3
+    val ex = intercept[RuntimeException] {
+      ActionLog.rewriteStaged(spark, dir, stage, base = 2L)
+    }
+    assert(ex.getMessage.contains("no longer current"))
+    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new Path(stage)), "the stale stage must be deleted")
+    assert(ActionLog.read(spark, dir).as[Long].collect().sorted.toSeq ==
+      Seq(1L, 2L, 3L, 4L), "the live content must be untouched")
+  }
+
   test("log stats on a non-integral column fail loudly") {
     val dir = TestSpark.tmpDir("fstat") + "/t"
     val ex = intercept[RuntimeException] {
