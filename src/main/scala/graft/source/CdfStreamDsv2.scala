@@ -79,7 +79,8 @@ private[source] class CdfStreamScan(path: String, schema: StructType,
     new CdfMicroBatchStream(path, schema,
       Option(options.get("startingVersion")).map(_.toLong),
       Option(options.get("startingTimestamp")).map(_.toLong),
-      Option(options.get("maxVersionsPerTrigger")).map(_.toInt))
+      Option(options.get("maxVersionsPerTrigger")).map(_.toInt),
+      Option(options.get("maxBytesPerTrigger")).map(_.toLong))
 }
 
 /** Version-number offset: `json` is the bare version, so checkpoint offset
@@ -91,7 +92,8 @@ private[source] case class VersionOffset(v: Long) extends Offset {
 
 private[source] class CdfMicroBatchStream(path: String, schema: StructType,
     startingVersion: Option[Long], startingTimestamp: Option[Long],
-    maxVersionsPerTrigger: Option[Int])
+    maxVersionsPerTrigger: Option[Int],
+    maxBytesPerTrigger: Option[Long] = None)
     extends MicroBatchStream with SupportsAdmissionControl
     with SupportsTriggerAvailableNow {
 
@@ -107,6 +109,8 @@ private[source] class CdfMicroBatchStream(path: String, schema: StructType,
     "cdf stream: startingVersion and startingTimestamp are mutually exclusive")
   require(maxVersionsPerTrigger.forall(_ >= 1),
     "cdf stream: maxVersionsPerTrigger must be >= 1")
+  require(maxBytesPerTrigger.forall(_ >= 1),
+    "cdf stream: maxBytesPerTrigger must be >= 1")
 
   private def fs = new Path(path).getFileSystem(new Configuration())
 
@@ -150,12 +154,39 @@ private[source] class CdfMicroBatchStream(path: String, schema: StructType,
   override def latestOffset(): Offset =
     sys.error("cdf stream: latestOffset(start, limit) is the admission-control path")
 
+  // change-set bytes of one version — O(files) metadata, cached (the
+  // capture is immutable once its version is complete)
+  private val cdfBytesCache = scala.collection.mutable.HashMap.empty[Long, Long]
+  private def cdfBytes(v: Long): Long = cdfBytesCache.getOrElseUpdate(v, {
+    val cdf = new Path(VersionedTable.verDir(path, v), "_cdf")
+    val f = fs
+    if (!f.exists(cdf)) 0L
+    else f.listStatus(cdf).toSeq.filter(_.isFile).map(_.getLen).sum
+  })
+
+  /** Admission: version cap AND byte budget compose — versions are
+    * admitted in order until either binds, always at least one (the
+    * progress guarantee; a single over-budget change-set arrives whole —
+    * the CDF unit of atomicity is the commit; the LOG stream's
+    * file-position offsets are the finer-grained form for raw tables).
+    */
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val s = start.asInstanceOf[VersionOffset].v
     val end = availableNowCap.fold(live())(c => math.min(c, live())).max(s)
-    limit match {
-      case r: ReadMaxRows => VersionOffset(math.min(end, s + r.maxRows()))
-      case _ => VersionOffset(end)
+    val vCap = limit match {
+      case r: ReadMaxRows => math.min(end, s + r.maxRows())
+      case _ => end
+    }
+    maxBytesPerTrigger match {
+      case None => VersionOffset(vCap)
+      case Some(budget) =>
+        var bytes = 0L
+        var last = s
+        var v = s + 1
+        while (v <= vCap && (last == s || bytes + cdfBytes(v) <= budget)) {
+          bytes += cdfBytes(v); last = v; v += 1
+        }
+        VersionOffset(last)
     }
   }
 
@@ -298,13 +329,15 @@ object CdfStream {
   def read(spark: SparkSession, tableDir: String,
       startingVersion: Option[Long] = None,
       startingTimestamp: Option[Long] = None,
-      maxVersionsPerTrigger: Option[Int] = None): DataFrame = {
+      maxVersionsPerTrigger: Option[Int] = None,
+      maxBytesPerTrigger: Option[Long] = None): DataFrame = {
     var r = spark.readStream.format(classOf[CdfStreamSource].getName)
       .schema(changeSchema(spark, tableDir))
       .option("path", tableDir)
     startingVersion.foreach(v => r = r.option("startingVersion", v.toString))
     startingTimestamp.foreach(t => r = r.option("startingTimestamp", t.toString))
     maxVersionsPerTrigger.foreach(n => r = r.option("maxVersionsPerTrigger", n.toString))
+    maxBytesPerTrigger.foreach(b => r = r.option("maxBytesPerTrigger", b.toString))
     r.load()
   }
 }

@@ -58,6 +58,37 @@ class StreamAdmissionSpec extends AnyFunSuite {
       s"four versions at 2/trigger must be two batches, got $batches")
   }
 
+  test("cdf stream: maxBytesPerTrigger admits whole change-sets to budget") {
+    val root = TestSpark.tmpDir("admcdfb")
+    val t = s"$root/t"
+    // v1/v2 tiny, v3 fat (its change-set alone exceeds the budget)
+    ChangeFeed.commit(Seq((1L, 1L)).toDF("k", "v"), t, Seq("k"))
+    ChangeFeed.commit(Seq((1L, 1L), (2L, 2L)).toDF("k", "v"), t, Seq("k"))
+    ChangeFeed.commit((1L to 500L).map(i => (i, i)).toDF("k", "v"),
+      t, Seq("k"))
+    val fs = new org.apache.hadoop.fs.Path(t)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def cdfBytes(v: Long): Long =
+      fs.listStatus(new org.apache.hadoop.fs.Path(
+        graft.ops.VersionedTable.verDir(t, v), "_cdf"))
+        .filter(_.isFile).map(_.getLen).sum
+    // budget fits v1+v2 together but not v3 with them; v3 alone exceeds
+    // the budget and must STILL arrive (the progress guarantee)
+    val budget = cdfBytes(1L) + cdfBytes(2L)
+    assert(cdfBytes(3L) > budget, "the fat commit must exceed the budget")
+    val batches = drainCounts(
+      CdfStream.read(spark, t, startingVersion = Some(0L),
+        maxBytesPerTrigger = Some(budget)),
+      s"$root/out", s"$root/cp")
+    assert(batches == Seq("b=0", "b=1"),
+      s"v1+v2 then the oversized v3 alone = two batches, got $batches")
+    val got = spark.read.option("basePath", s"$root/out")
+      .parquet(s"$root/out")
+    assert(got.filter(col(ChangeFeed.CommitVersion) === 3L)
+      .select("b").distinct().count() == 1,
+      "the over-budget change-set must arrive whole, in its own trigger")
+  }
+
   test("file-position offsets: legacy parse and mid-version resume") {
     val root = TestSpark.tmpDir("fpoff")
     val t = s"$root/t"
