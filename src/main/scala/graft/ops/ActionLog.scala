@@ -56,7 +56,11 @@ object ActionLog {
     new Path(s"$dir/$LogDir/_compact-${"%08d".format(from)}-${"%08d".format(to)}.json")
 
   private val CkptSingle = """_checkpoint-(\d{8})\.json""".r
-  private val CkptPart = """_checkpoint-(\d{8})\.p(\d{2})-of-(\d{2})\.json""".r
+  // part index/count are \d+ on the READ side while the writer zero-pads
+  // to two digits: %02d renders 100 as "100", so a >=100-part checkpoint
+  // round-trips — a two-digit-only regex would silently invalidate every
+  // such checkpoint (full-log replay + orphan fragments vacuum never owns)
+  private val CkptPart = """_checkpoint-(\d{8})\.p(\d+)-of-(\d+)\.json""".r
   private val CompactName = """_compact-(\d{8})-(\d{8})\.json""".r
 
   /** COMPLETE checkpoints ≤ `asOf`: a single-file checkpoint, or a

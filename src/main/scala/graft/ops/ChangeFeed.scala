@@ -34,9 +34,50 @@ object ChangeFeed {
   private val CdfDirName = "_cdf"
   val ChangeType = "_change_type"
   val CommitVersion = "_commit_version"
+  private val KeysFile = "_cdfkeys"
 
   private def cdfDir(dir: String, v: Long): Path =
     new Path(VersionedTable.verDir(dir, v), CdfDirName)
+
+  /** The key columns this table's feed diffs on, recorded at the first
+    * captured commit (`_cdfkeys`, like the log's `_statscol`). This is
+    * what lets the SQL DML paths — which receive no key declaration —
+    * keep the feed maintained: a blind INSERT OVERWRITE or a row-level
+    * UPDATE/MERGE diffs with the RECORDED keys, instead of committing a
+    * capture-less version that permanently wedges every running CDF
+    * stream on the table (the stream's contiguity guard cannot step over
+    * it). Later keyed commits must agree — a feed diffed under two
+    * different key sets is two different feeds.
+    */
+  def recordedKeys(spark: SparkSession, dir: String): Option[Seq[String]] = {
+    val fs = VersionedTable.fsOf(spark, dir)
+    VersionedTable.readText(fs, new Path(dir, KeysFile))
+      .map(_.split("\n").map(_.trim).filter(_.nonEmpty).toSeq)
+  }
+
+  private def recordKeys(spark: SparkSession, dir: String,
+      keys: Seq[String]): Unit = recordedKeys(spark, dir) match {
+    case Some(existing) => require(existing == keys,
+      s"ChangeFeed($dir): feed keys are ${existing.mkString(",")}, " +
+        s"cannot switch to ${keys.mkString(",")} — one feed, one key set")
+    case None =>
+      val fs = VersionedTable.fsOf(spark, dir)
+      val out = fs.create(new Path(dir, KeysFile), true)
+      try out.write(keys.mkString("\n")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+  }
+
+  /** Whether this table carries a change feed any commit must maintain:
+    * recorded keys, or any retained complete version with a persisted
+    * capture (covers feeds started before key recording existed).
+    */
+  def tracked(spark: SparkSession, dir: String): Boolean =
+    recordedKeys(spark, dir).isDefined || {
+      val fs = VersionedTable.fsOf(spark, dir)
+      VersionedTable.listVersions(fs, dir).exists(v =>
+        fs.exists(cdfDir(dir, v)))
+    }
 
   /** Keyed diff `old -> new`: inserts (key only in `new`), deletes (key only
     * in `old`), and updates (key in both, any non-key column differing
@@ -97,6 +138,7 @@ object ChangeFeed {
   def commit(df: DataFrame, dir: String, keyCols: Seq[String],
       txn: Map[String, Long] = Map.empty): Long = {
     val spark = df.sparkSession
+    recordKeys(spark, dir, keyCols)
     val cur = VersionedTable.currentVersion(spark, dir)
     val old = cur.map(v => VersionedTable.readVersion(spark, dir, v))
     val next = VersionedTable.stage(df, dir)

@@ -211,11 +211,14 @@ object Occ {
   }
 
   def commit(spark: SparkSession, dir: String, writeSet: Set[String],
-      captureKeys: Option[Seq[String]] = None, dataChange: Boolean = true)
+      captureKeys: Option[Seq[String]] = None, dataChange: Boolean = true,
+      captureAppend: Option[DataFrame] = None)
       (mutate: Option[DataFrame] => DataFrame, maxRebases: Int = 10,
        hook: () => Unit = () => ()): Committed = {
     require(writeSet.nonEmpty, "Occ.commit: declare a write set (or Set(\"*\"))")
     require(!writeSet("#rewrite"), "Occ.commit: #rewrite is a reserved token")
+    require(captureKeys.isEmpty || captureAppend.isEmpty,
+      "Occ.commit: captureKeys and captureAppend are exclusive capture modes")
     val fs = VersionedTable.fsOf(spark, dir)
     fs.mkdirs(new Path(dir))
     var rebases = 0
@@ -232,6 +235,15 @@ object Occ {
         s"Occ.commit: staged $stage missing _SUCCESS")
       captureKeys.foreach { keys =>
         ChangeFeed.diff(snapshot, spark.read.parquet(stage.toString), keys)
+          .write.mode(SaveMode.Overwrite).parquet(new Path(stage, "_cdf").toString)
+      }
+      // APPEND capture (the blind-INSERT form): the change set is exactly
+      // the appended delta tagged `insert` — no keyed diff, no keys needed,
+      // and REBASE-INVARIANT (the delta is the same rows whatever snapshot
+      // it lands on), which is why a blind append never hard-conflicts
+      captureAppend.foreach { delta =>
+        delta.withColumn(ChangeFeed.ChangeType,
+            org.apache.spark.sql.functions.lit("insert"))
           .write.mode(SaveMode.Overwrite).parquet(new Path(stage, "_cdf").toString)
       }
       hook()

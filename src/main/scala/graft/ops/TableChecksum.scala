@@ -81,6 +81,14 @@ object TableChecksum {
         s"TableChecksum.verify($dir, $version): no _crc stamp"))
     val want = text.split("\n").map(_.split("=", 2))
       .map(kv => kv(0) -> kv(1).toLong).toMap
+    // a sidecar stamped under the retired XOR digest is DIAGNOSABLE, not a
+    // key-lookup crash: the content may be fine, the algorithm changed
+    if (!want.contains("sum"))
+      sys.error(s"TableChecksum.verify($dir, $version): _crc uses a " +
+        s"legacy digest (${want.keys.filterNot(_ == "rows").mkString(",")})" +
+        " — restamp required: the digest algorithm changed from xor to " +
+        "sum mod 2^63 (re-run TableChecksum.stamp after re-verifying " +
+        "content out of band)")
     val (n, x) = digest(VersionedTable.readVersion(spark, dir, version))
     require(want("rows") == n && want("sum") == x,
       s"TableChecksum.verify($dir, $version): content diverged — " +

@@ -447,10 +447,18 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     require(layout == "versioned" || layout == "log",
       s"GraftCatalog: unknown layout '$layout' (versioned | log)")
     fs.mkdirs(p)
-    val out = fs.create(new Path(dir, DdlName), false)
-    try out.write(s"layout=$layout\n${schema.json}"
-      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    finally out.close()
+    // the _ddl put-if-absent IS the commit point of CREATE TABLE
+    // ([[graft.ops.AtomicPut]] — local create(overwrite=false) is
+    // check-then-create, NOT a CAS): two concurrent creates both pass the
+    // exists check above, exactly one wins the slot, and the loser reads
+    // as "already exists", never a raw IO error. A bare dir (a crash
+    // between mkdirs and this put) holds neither _ddl nor versions and is
+    // re-creatable — the exists check above already admits it.
+    if (!graft.ops.AtomicPut(fs, new Path(dir, DdlName),
+      s"layout=$layout\n${schema.json}"
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+      throw new org.apache.spark.sql.catalyst.analysis
+        .TableAlreadyExistsException(ident)
     new GraftEmptyTable(ident.toString, schema,
       dmlFor(dir, layout).getOrElse(sys.error(
         s"GraftCatalog: $ident — a snapshot-pinned catalog cannot create")))

@@ -73,14 +73,33 @@ private[source] object GraftDml {
               s"${missing.toSeq.sorted.mkString(", ")} this catalog was " +
               "not registered with — add them to the 'features' option")
         }
+        // CDF-tracked tables: every commit must carry its capture, or a
+        // running CDF stream wedges on the capture-less version FOREVER
+        // (the stream's contiguity guard cannot step over it, and the
+        // breakage would surface on the CONSUMER, not this writer). An
+        // append captures its delta tagged `insert` — no keys needed; an
+        // overwrite is a whole-table diff and needs the recorded feed keys.
+        val tracked = graft.ops.ChangeFeed.tracked(spark, target.dir)
         val token =
           if (overwrite) "*"
           else "append-" + java.util.UUID.randomUUID().toString.take(12)
-        Occ.commit(spark, target.dir, writeSet = Set(token)) { base =>
-          base match {
-            case Some(b) if !overwrite => b.unionByName(data)
-            case _ => data
-          }
+        val keys =
+          if (tracked && overwrite)
+            Some(graft.ops.ChangeFeed.recordedKeys(spark, target.dir)
+              .getOrElse(sys.error(
+                s"GraftCatalog: ${target.dir} carries a change feed with " +
+                  "no recorded keys — INSERT OVERWRITE cannot capture its " +
+                  "diff; commit through ChangeFeed.commit(keyCols) once " +
+                  "to record them")))
+          else None
+        Occ.commit(spark, target.dir, writeSet = Set(token),
+          captureKeys = keys,
+          captureAppend = if (tracked && !overwrite) Some(data) else None) {
+          base =>
+            base match {
+              case Some(b) if !overwrite => b.unionByName(data)
+              case _ => data
+            }
         }
         ()
     }
@@ -125,9 +144,12 @@ private[source] object GraftDelete {
 
   /** SQL DELETE → a deletion-vector commit: rows are masked by bitmap,
     * data files are byte-copied (never re-encoded), history stays
-    * addressable, and CDF capture rides the commit — the same O(deleted)
-    * path the typed API uses. TRUNCATE TABLE arrives here as the
-    * always-true filter (SupportsDelete extends TruncatableTable).
+    * addressable. CDF capture rides the commit iff the table already
+    * carries a feed — SQL DML MAINTAINS a feed, it never silently starts
+    * one (an unconditional capture here would flip an untracked table to
+    * tracked and make every later row-level write answer for a feed
+    * nobody reads). TRUNCATE TABLE arrives here as the always-true
+    * filter (SupportsDelete extends TruncatableTable).
     */
   def deleteWhere(target: DmlTarget, filters: Array[f.Filter]): Unit = {
     require(target.layout == "versioned",
@@ -136,8 +158,9 @@ private[source] object GraftDelete {
     val pred = predicate(filters).getOrElse(sys.error(
       s"GraftCatalog: untranslatable DELETE predicate " +
         filters.mkString("[", ", ", "]")))
-    graft.ops.DeletionVectors.delete(SparkSession.active, target.dir,
-      pred, capture = true)
+    val spark = SparkSession.active
+    graft.ops.DeletionVectors.delete(spark, target.dir, pred,
+      capture = graft.ops.ChangeFeed.tracked(spark, target.dir))
     ()
   }
 }

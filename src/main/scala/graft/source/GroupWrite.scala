@@ -70,8 +70,30 @@ private[source] object GroupWrite {
 private[source] case class GroupCommitMsg(file: String)
   extends WriterCommitMessage
 
+/** The session's Hadoop configuration, made task-serializable via the
+  * `Writable` codec `Configuration` itself implements — executor-side
+  * writers must see the SAME filesystem config the driver planned with
+  * (object-store credentials, defaultFS, custom schemes); a bare
+  * `new Configuration()` on the executor silently drops every
+  * session-set entry.
+  */
+private[source] final class SerializableConf(
+    @transient private var conf: Configuration) extends Serializable {
+  def value: Configuration = conf
+  private def writeObject(out: java.io.ObjectOutputStream): Unit = {
+    out.defaultWriteObject()
+    conf.write(out)
+  }
+  private def readObject(in: java.io.ObjectInputStream): Unit = {
+    in.defaultReadObject()
+    conf = new Configuration(false)
+    conf.readFields(in)
+  }
+}
+
 private[source] class GroupDataWriterFactory(stageDir: String,
-    schemaJson: String) extends DataWriterFactory {
+    schemaJson: String, hadoopConf: SerializableConf)
+    extends DataWriterFactory {
 
   override def createWriter(partitionId: Int,
       taskId: Long): DataWriter[InternalRow] =
@@ -98,7 +120,7 @@ private[source] class GroupDataWriterFactory(stageDir: String,
           return
         if (writer == null)
           writer = ExampleParquetWriter.builder(new Path(s"$stageDir/$name"))
-            .withConf(new Configuration()).withType(msgType).build()
+            .withConf(hadoopConf.value).withType(msgType).build()
         val g = factory.newGroup()
         schema.fields.zipWithIndex.foreach { case (f, fi) =>
           val i = fi + off
@@ -132,7 +154,7 @@ private[source] class GroupDataWriterFactory(stageDir: String,
       override def abort(): Unit = {
         if (writer != null) writer.close()
         val p = new Path(s"$stageDir/$name")
-        val fs = p.getFileSystem(new Configuration())
+        val fs = p.getFileSystem(hadoopConf.value)
         if (fs.exists(p)) { fs.delete(p, false); () }
       }
       override def close(): Unit = ()
@@ -152,11 +174,24 @@ private[source] class GroupBatchWrite(target: DmlTarget, baseVersion: Long,
 
   override def createBatchWriterFactory(
       info: PhysicalWriteInfo): DataWriterFactory = {
+    val spark = SparkSession.active
+    // CDF gate BEFORE any executor writes a byte: a row-level write on a
+    // feed-tracked table must be able to capture its diff at commit time
+    // (recorded keys), or the failure must land HERE, on the writer — a
+    // capture-less version would wedge every running CDF stream on the
+    // table, discovered only by the consumer.
+    if (target.layout == "versioned" &&
+      graft.ops.ChangeFeed.tracked(spark, target.dir))
+      require(graft.ops.ChangeFeed.recordedKeys(spark, target.dir).isDefined,
+        s"GraftCatalog: ${target.dir} carries a change feed with no " +
+          "recorded keys — a row-level SQL write cannot capture its diff; " +
+          "commit through ChangeFeed.commit(keyCols) once to record them")
+    val conf = spark.sparkContext.hadoopConfiguration
     val p = new Path(stageDir)
-    val fs = p.getFileSystem(
-      SparkSession.active.sparkContext.hadoopConfiguration)
+    val fs = p.getFileSystem(conf)
     fs.mkdirs(p)
-    new GroupDataWriterFactory(stageDir, writeSchema.json)
+    new GroupDataWriterFactory(stageDir, writeSchema.json,
+      new SerializableConf(conf))
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
@@ -175,9 +210,27 @@ private[source] class GroupBatchWrite(target: DmlTarget, baseVersion: Long,
       // file keeps the version readable
       val w = ExampleParquetWriter
         .builder(new Path(s"$stageDir/part-empty.parquet"))
-        .withConf(new Configuration())
+        .withConf(spark.sparkContext.hadoopConfiguration)
         .withType(GroupWrite.messageType(writeSchema)).build()
       w.close()
+    }
+    // CAPTURE rides the stage (atomic with the rename that publishes it):
+    // diff the materialized replacement against the base's LOGICAL content
+    // — the DV-applied view on a DV table, so masked rows diff as already
+    // gone — under the recorded feed keys. O(table) at write time, which
+    // is what a full row-level rewrite already paid; readers stay O(changes).
+    if (target.layout == "versioned" &&
+      graft.ops.ChangeFeed.tracked(spark, target.dir)) {
+      val keys = graft.ops.ChangeFeed.recordedKeys(spark, target.dir).get
+      val baseDf =
+        if (fs.exists(new Path(
+          graft.ops.VersionedTable.verDir(target.dir, baseVersion), "_dv")))
+          graft.ops.DeletionVectors.readVersion(spark, target.dir, baseVersion)
+        else graft.ops.VersionedTable.readVersion(spark, target.dir, baseVersion)
+      graft.ops.ChangeFeed.diff(Some(baseDf),
+          spark.read.parquet(stageDir), keys)
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .parquet(s"$stageDir/_cdf")
     }
     fs.create(new Path(stageDir, "_SUCCESS"), true).close()
     if (target.layout == "log")
