@@ -52,6 +52,9 @@ object ActionLog {
     new Path(s"$dir/$LogDir/_checkpoint-${"%08d".format(v)}" +
       s".p${"%02d".format(i)}-of-${"%02d".format(n)}.json")
 
+  private def ckptParquetPath(dir: String, v: Long): Path =
+    new Path(s"$dir/$LogDir/_checkpoint-${"%08d".format(v)}.parquet")
+
   private def compactPath(dir: String, from: Long, to: Long): Path =
     new Path(s"$dir/$LogDir/_compact-${"%08d".format(from)}-${"%08d".format(to)}.json")
 
@@ -61,6 +64,7 @@ object ActionLog {
   // round-trips — a two-digit-only regex would silently invalidate every
   // such checkpoint (full-log replay + orphan fragments vacuum never owns)
   private val CkptPart = """_checkpoint-(\d{8})\.p(\d+)-of-(\d+)\.json""".r
+  private val CkptParquet = """_checkpoint-(\d{8})\.parquet""".r
   private val CompactName = """_compact-(\d{8})-(\d{8})\.json""".r
 
   /** COMPLETE checkpoints ≤ `asOf`: a single-file checkpoint, or a
@@ -83,6 +87,27 @@ object ActionLog {
         v -> ps.sortBy(_._2).map(p => ckptPartPath(dir, v, p._2, p._3))
     }
     (singles ++ parts).toMap
+  }
+
+  /** COMPLETE parquet checkpoints ≤ `asOf` — the DISTRIBUTED checkpoint
+    * form ([[checkpointParquet]]): a directory of parquet part files
+    * written by a Spark job, complete iff its `_SUCCESS` marker landed
+    * (a writer crashing mid-job leaves an ignorable fragment, same
+    * validity rule as multi-part JSON).
+    */
+  private def completeParquetCheckpoints(fs: FileSystem, dir: String,
+      asOf: Long): Map[Long, Path] = {
+    val ld = new Path(s"$dir/$LogDir")
+    if (!fs.exists(ld)) return Map.empty
+    fs.listStatus(ld).toSeq.collect {
+      case st if st.isDirectory =>
+        st.getPath.getName match {
+          case CkptParquet(v) if v.toLong <= asOf &&
+            fs.exists(new Path(st.getPath, "_SUCCESS")) =>
+            Some(v.toLong -> st.getPath)
+          case _ => None
+        }
+    }.flatten.toMap
   }
 
   /** Committed versions, ascending — the action files that exist. */
