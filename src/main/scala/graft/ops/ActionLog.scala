@@ -110,6 +110,131 @@ object ActionLog {
     }.flatten.toMap
   }
 
+  /** Whether this table is on the PARQUET-CHECKPOINT plane: once one
+    * distributed checkpoint lands, resolution-heavy paths ([[resolve]],
+    * [[readWhere]], [[liveFiles]], [[vacuum]]'s horizon checkpoint) go
+    * engine-side — the driver never again single-threaded-parses O(files)
+    * JSON. Legacy tables (JSON checkpoints only) keep the original plane
+    * byte-for-byte.
+    */
+  private def onParquetPlane(fs: FileSystem, dir: String): Boolean =
+    completeParquetCheckpoints(fs, dir, Long.MaxValue).nonEmpty
+
+  // every action line the log writes fits this one struct; from_json
+  // null-pads absent fields, so add/remove/txn parse with a single schema
+  private val ActionJsonSchema =
+    "a STRING, p STRING, lo BIGINT, hi BIGINT, n BIGINT, app STRING, batch BIGINT"
+
+  /** Parse raw JSON action lines (column `value`, with a `ver` column
+    * already attached) into typed action rows — DISTRIBUTED, the parse
+    * the driver-side replay cannot afford at a million files.
+    */
+  private def parseActions(raw: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions._
+    raw.filter(org.apache.spark.sql.functions.length(col("value")) > 0)
+      .select(from_json(col("value"), ActionJsonSchema).as("j"), col("ver"))
+      .select(col("j.a").as("a"), col("j.p").as("p"), col("j.lo").as("lo"),
+        col("j.hi").as("hi"), col("j.n").as("n"), col("j.app").as("app"),
+        col("j.batch").as("batch"), col("ver"))
+  }
+
+  /** The replay state at `asOf` AS A DATAFRAME — snapshot resolution as a
+    * Spark job, the shape a million-file log needs (Delta's parquet
+    * checkpoint + distributed log replay): the newest complete checkpoint
+    * ≤ `asOf` (parquet preferred, JSON accepted) seeds the state, the
+    * post-checkpoint tail is text-read and JSON-parsed ON THE EXECUTORS
+    * (version recovered from each record's file name), and per-path
+    * last-action-wins resolves the live set in one `max_by` aggregation —
+    * legal because staged file names are writer-unique, so a path carries
+    * at most one action per version. Driver memory: O(1).
+    *
+    * Columns: `a` ("add" rows = live files with optional lo/hi/n stats;
+    * "txn" rows = per-app batch high-water marks), `p`, `lo`, `hi`, `n`,
+    * `app`, `batch`.
+    */
+  def stateDfAt(spark: SparkSession, dir: String, asOf: Long): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val fs = fsOf(spark, dir)
+    val jc = completeCheckpoints(fs, dir, asOf)
+    val pc = completeParquetCheckpoints(fs, dir, asOf)
+    val baseV = (jc.keys ++ pc.keys).maxOption
+    val base: Option[DataFrame] = baseV.map { v =>
+      if (pc.contains(v))
+        spark.read.parquet(pc(v).toString).withColumn("ver", lit(v))
+      else
+        parseActions(spark.read.text(jc(v).map(_.toString): _*)
+          .withColumn("ver", lit(v)))
+    }
+    val base0 = baseV.getOrElse(0L)
+    val tailVs = versions(spark, dir).filter(v => v > base0 && v <= asOf)
+    val tail: Option[DataFrame] =
+      if (tailVs.isEmpty) None
+      else Some(parseActions(
+        spark.read.text(tailVs.map(v => logPath(dir, v).toString): _*)
+          .withColumn("ver", regexp_extract(input_file_name(),
+            "(\\d{8})\\.json", 1).cast("long"))))
+    val all = (base.toSeq ++ tail.toSeq).reduceOption(_.unionByName(_))
+      .getOrElse(sys.error(s"ActionLog.stateDfAt($dir): empty log"))
+    val nulls = Seq("lo", "hi", "n").map(c => lit(null).cast("long").as(c))
+    val files = all.filter(col("a").isin("add", "remove"))
+      .groupBy(col("p"))
+      .agg(max_by(struct(col("a"), col("lo"), col("hi"), col("n")),
+        col("ver")).as("last"))
+      .filter(col("last.a") === "add")
+      .select(lit("add").as("a"), col("p"), col("last.lo").as("lo"),
+        col("last.hi").as("hi"), col("last.n").as("n"),
+        lit(null).cast("string").as("app"), lit(null).cast("long").as("batch"))
+    val txns = all.filter(col("a") === "txn")
+      .groupBy(col("app")).agg(max(col("batch")).as("batch"))
+      .select(lit("txn").as("a"), lit(null).cast("string").as("p") +: nulls :+
+        col("app") :+ col("batch"): _*)
+    files.unionByName(txns)
+  }
+
+  /** The live file inventory at `asOf` (default latest) as a DataFrame of
+    * (p, lo, hi, n) — [[resolve]]'s scale twin: pruning predicates apply
+    * ENGINE-SIDE and callers collect only what survives.
+    */
+  def resolveDf(spark: SparkSession, dir: String,
+      asOf: Long = Long.MaxValue): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val v = versions(spark, dir).lastOption.map(math.min(_, asOf)).getOrElse(
+      sys.error(s"ActionLog.resolveDf($dir): empty log"))
+    stateDfAt(spark, dir, v).filter(col("a") === "add")
+      .select("p", "lo", "hi", "n")
+  }
+
+  /** Write the state at `asOf` (default latest) as a DISTRIBUTED parquet
+    * checkpoint (`_log/_checkpoint-V.parquet/`, Delta's checkpoint form):
+    * a Spark job materializes [[stateDfAt]] as parquet parts, `_SUCCESS`
+    * is the all-or-nothing validity marker, and `_last_checkpoint`
+    * advances. The driver never holds the state — at a million files the
+    * JSON checkpoint writer is the metadata plane's ceiling, this is its
+    * replacement. Replay, vacuum and the catalog consume it transparently
+    * ([[stateDfAt]] prefers it; the legacy driver replay bootstraps from
+    * it). Returns the checkpointed version.
+    */
+  def checkpointParquet(spark: SparkSession, dir: String,
+      asOf: Long = Long.MaxValue): Long = {
+    val fs = fsOf(spark, dir)
+    val v = versions(spark, dir).lastOption.map(math.min(_, asOf)).getOrElse(
+      sys.error(s"ActionLog.checkpointParquet($dir): empty log"))
+    if (!completeParquetCheckpoints(fs, dir, v).contains(v)) {
+      val out = ckptParquetPath(dir, v)
+      stateDfAt(spark, dir, v)
+        .write.mode("overwrite").parquet(out.toString)
+      require(fs.exists(new Path(out, "_SUCCESS")),
+        s"ActionLog.checkpointParquet($dir): job completed without _SUCCESS")
+    }
+    val lc = new Path(s"$dir/$LogDir/$LastCkpt")
+    if (!fs.exists(lc) || readLines(fs, lc).head.trim.toLong < v) {
+      val out = fs.create(lc, true)
+      try out.write(v.toString.getBytes(StandardCharsets.UTF_8))
+      finally out.close()
+    }
+    v
+  }
+
   /** Committed versions, ascending — the action files that exist. */
   def versions(spark: SparkSession, dir: String): Seq[Long] = {
     val fs = fsOf(spark, dir)

@@ -61,11 +61,21 @@ object ChangeFeed {
       s"ChangeFeed($dir): feed keys are ${existing.mkString(",")}, " +
         s"cannot switch to ${keys.mkString(",")} — one feed, one key set")
     case None =>
+      // put-if-absent, not check-then-create: two concurrent FIRST commits
+      // with different key sets must not silently overwrite each other —
+      // the loser re-reads the winner's keys and the one-feed-one-keyset
+      // require fires exactly as it does for later commits
       val fs = VersionedTable.fsOf(spark, dir)
-      val out = fs.create(new Path(dir, KeysFile), true)
-      try out.write(keys.mkString("\n")
-        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      finally out.close()
+      val bytes = keys.mkString("\n")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      if (!AtomicPut(fs, new Path(dir, KeysFile), bytes)) {
+        val winner = recordedKeys(spark, dir).getOrElse(
+          sys.error(s"ChangeFeed($dir): lost the $KeysFile race but no keys readable"))
+        require(winner == keys,
+          s"ChangeFeed($dir): feed keys are ${winner.mkString(",")} " +
+            s"(recorded concurrently), cannot switch to ${keys.mkString(",")}" +
+            " — one feed, one key set")
+      }
   }
 
   /** Whether this table carries a change feed any commit must maintain:

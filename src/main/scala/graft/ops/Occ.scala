@@ -225,9 +225,38 @@ object Occ {
     while (true) {
       finalizePending(spark, dir)
       val base = VersionedTable.currentVersion(spark, dir).getOrElse(0L)
+      // the snapshot handed to `mutate` (and diffed by the capture) is the
+      // base's LOGICAL content: on a DV table that is the deletion-vector-
+      // applied view, never the raw files — a raw read would resurrect
+      // masked rows through `mutate` and mis-capture a re-insert of a
+      // deleted key as "no change" (same rule GroupBatchWrite applies)
       val snapshot =
         if (base == 0L) None
-        else Some(spark.read.parquet(VersionedTable.verDir(dir, base).toString))
+        else {
+          val vd = VersionedTable.verDir(dir, base)
+          if (fs.exists(new Path(vd, "_dv")))
+            Some(DeletionVectors.readVersion(spark, dir, base))
+          else Some(spark.read.parquet(vd.toString))
+        }
+      // append-capture represents the change set as the delta tagged
+      // `insert` — representable on a KEYED feed only when the appended
+      // keys are new; a blind append of a live key would leave two table
+      // rows behind one feed insert (replay incompleteness), so it fails
+      // loudly here, per attempt (a rebase re-checks the winner's keys)
+      for {
+        delta <- captureAppend
+        keys <- ChangeFeed.recordedKeys(spark, dir)
+        live <- snapshot
+      } {
+        import org.apache.spark.sql.functions.col
+        val clash = live.select(keys.map(col): _*)
+          .join(delta.select(keys.map(col): _*).distinct(), keys, "left_semi")
+        require(clash.isEmpty,
+          s"Occ.commit($dir): blind append of key(s) already live on a " +
+            s"keyed feed (keys=${keys.mkString(",")}) — the append capture " +
+            "cannot represent duplicate-key rows; MERGE or a keyed " +
+            "ChangeFeed.commit instead")
+      }
       val stageName = StagePrefix + java.util.UUID.randomUUID().toString
       val stage = new Path(dir, stageName)
       mutate(snapshot).write.mode(SaveMode.Overwrite).parquet(stage.toString)

@@ -602,12 +602,25 @@ private[source] class GraftDvSqlTable(tableName: String, versionDir: String,
     dv: Map[String, Array[Byte]], tableSchema: StructType,
     dml: Option[DmlTarget] = None, baseVersion: Long = -1L)
     extends Table with SupportsRead
+    with org.apache.spark.sql.connector.catalog.SupportsWrite
     with org.apache.spark.sql.connector.catalog.SupportsDelete
     with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations {
   override def name(): String = tableName
   override def schema(): StructType = tableSchema
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_READ)
+    if (dml.isEmpty) java.util.EnumSet.of(TableCapability.BATCH_READ)
+    else java.util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE)
+  // INSERT INTO / INSERT OVERWRITE on a DV version commit through the
+  // same V1 path as plain versions; Occ.commit reads the DV-APPLIED view
+  // as its base, so the new full snapshot folds the vectors away rather
+  // than resurrecting masked rows
+  override def newWriteBuilder(
+      info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.WriteBuilder =
+    new GraftDmlWriteBuilder(dml.getOrElse(sys.error(
+      s"GraftCatalog: $tableName is not writable — AS-OF reads, branches " +
+        "and pinned catalogs mutate through the typed ops layer")))
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new ScanBuilder with SupportsPushDownRequiredColumns {
       private var pruned: StructType = tableSchema
