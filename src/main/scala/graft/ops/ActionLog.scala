@@ -111,14 +111,33 @@ object ActionLog {
   }
 
   /** Whether this table is on the PARQUET-CHECKPOINT plane: once one
-    * distributed checkpoint lands, resolution-heavy paths ([[resolve]],
-    * [[readWhere]], [[liveFiles]], [[vacuum]]'s horizon checkpoint) go
-    * engine-side — the driver never again single-threaded-parses O(files)
-    * JSON. Legacy tables (JSON checkpoints only) keep the original plane
-    * byte-for-byte.
+    * distributed checkpoint lands, [[readWhere]]'s pruning goes fully
+    * engine-side (O(kept) driver collect), [[vacuum]] materializes its
+    * horizon checkpoint as a parquet job, and every [[replayState]]-based
+    * path seeds from the executor-parsed checkpoint instead of
+    * single-threaded JSON. Legacy tables (JSON checkpoints only) keep the
+    * original plane byte-for-byte.
     */
   private def onParquetPlane(fs: FileSystem, dir: String): Boolean =
     completeParquetCheckpoints(fs, dir, Long.MaxValue).nonEmpty
+
+  /** The `_last_checkpoint` hint, tolerant of a torn/empty pointer file:
+    * `fs.create(overwrite = true)` is not atomic, so a crashed writer can
+    * leave zero bytes — an unreadable hint is treated as ABSENT (the next
+    * checkpoint overwrites it), never an exception that wedges the plane.
+    */
+  private def lastCkptHint(fs: FileSystem, dir: String): Option[Long] = {
+    val lc = new Path(s"$dir/$LogDir/$LastCkpt")
+    if (!fs.exists(lc)) None
+    else scala.util.Try(readLines(fs, lc)).toOption
+      .flatMap(_.headOption).flatMap(_.trim.toLongOption)
+  }
+
+  private def writeCkptHint(fs: FileSystem, dir: String, v: Long): Unit = {
+    val out = fs.create(new Path(s"$dir/$LogDir/$LastCkpt"), true)
+    try out.write(v.toString.getBytes(StandardCharsets.UTF_8))
+    finally out.close()
+  }
 
   // every action line the log writes fits this one struct; from_json
   // null-pads absent fields, so add/remove/txn parse with a single schema
@@ -132,7 +151,7 @@ object ActionLog {
   private def parseActions(raw: DataFrame): DataFrame = {
     import org.apache.spark.sql.functions._
     raw.filter(org.apache.spark.sql.functions.length(col("value")) > 0)
-      .select(from_json(col("value"), ActionJsonSchema).as("j"), col("ver"))
+      .select(from_json(col("value"), org.apache.spark.sql.types.StructType.fromDDL(ActionJsonSchema)).as("j"), col("ver"))
       .select(col("j.a").as("a"), col("j.p").as("p"), col("j.lo").as("lo"),
         col("j.hi").as("hi"), col("j.n").as("n"), col("j.app").as("app"),
         col("j.batch").as("batch"), col("ver"))
@@ -166,11 +185,52 @@ object ActionLog {
           .withColumn("ver", lit(v)))
     }
     val base0 = baseV.getOrElse(0L)
-    val tailVs = versions(spark, dir).filter(v => v > base0 && v <= asOf)
+    val vs = versions(spark, dir)
+    val effAsOf = if (asOf == Long.MaxValue) vs.lastOption.getOrElse(0L) else asOf
+    // Tail plan honoring COMPACTED-LOG fragments: at version v with a
+    // compaction [v, to] fully inside the tail, read the ONE net fragment
+    // in place of versions v..to — the bounded-tail contract transfers to
+    // the distributed plane. The `ver` regex below assigns a fragment's
+    // lines ver = its range END (the trailing 8 digits before `.json`),
+    // which is exactly the last-action-wins position the net set occupies.
+    val compacts: Map[Long, Long] = {
+      val ld = new Path(s"$dir/$LogDir")
+      if (!fs.exists(ld)) Map.empty
+      else fs.listStatus(ld).toSeq.map(_.getPath.getName).collect {
+        case CompactName(f, t) => (f.toLong, t.toLong)
+      }.filter { case (f, t) => f > base0 && t <= effAsOf }
+        .groupBy(_._1).map { case (f, ts) => f -> ts.map(_._2).max }
+    }
+    val tailVs = vs.filter(v => v > base0 && v <= effAsOf)
+    val tailPaths = scala.collection.mutable.ArrayBuffer.empty[String]
+    val covered = scala.collection.mutable.ArrayBuffer.empty[Long]
+    var idx = 0
+    while (idx < tailVs.size) {
+      val v = tailVs(idx)
+      compacts.get(v) match {
+        case Some(to) =>
+          tailPaths += compactPath(dir, v, to).toString
+          covered ++= (v to to)
+          idx = tailVs.indexWhere(_ > to, idx)
+          if (idx < 0) idx = tailVs.size
+        case None =>
+          tailPaths += logPath(dir, v).toString
+          covered += v
+          idx += 1
+      }
+    }
+    // Contiguity contract (the expired-read rule): a vacuum may have
+    // dropped records in (baseV, effAsOf] while retaining an OLDER
+    // checkpoint — seeding from it with a holed tail would silently
+    // return the wrong historical state. Fail loudly instead.
+    require(covered.toSeq == (base0 + 1 to effAsOf).toSeq,
+      s"ActionLog.stateDfAt($dir): versions (${base0}, $effAsOf] are not " +
+        s"contiguous on disk (have ${covered.mkString(",")}) — the read " +
+        "window was vacuumed")
     val tail: Option[DataFrame] =
-      if (tailVs.isEmpty) None
+      if (tailPaths.isEmpty) None
       else Some(parseActions(
-        spark.read.text(tailVs.map(v => logPath(dir, v).toString): _*)
+        spark.read.text(tailPaths.toSeq: _*)
           .withColumn("ver", regexp_extract(input_file_name(),
             "(\\d{8})\\.json", 1).cast("long"))))
     val all = (base.toSeq ++ tail.toSeq).reduceOption(_.unionByName(_))
@@ -186,8 +246,8 @@ object ActionLog {
         lit(null).cast("string").as("app"), lit(null).cast("long").as("batch"))
     val txns = all.filter(col("a") === "txn")
       .groupBy(col("app")).agg(max(col("batch")).as("batch"))
-      .select(lit("txn").as("a"), lit(null).cast("string").as("p") +: nulls :+
-        col("app") :+ col("batch"): _*)
+      .select((lit("txn").as("a") +: lit(null).cast("string").as("p") +:
+        nulls) ++ Seq(col("app"), col("batch")): _*)
     files.unionByName(txns)
   }
 
@@ -226,12 +286,7 @@ object ActionLog {
       require(fs.exists(new Path(out, "_SUCCESS")),
         s"ActionLog.checkpointParquet($dir): job completed without _SUCCESS")
     }
-    val lc = new Path(s"$dir/$LogDir/$LastCkpt")
-    if (!fs.exists(lc) || readLines(fs, lc).head.trim.toLong < v) {
-      val out = fs.create(lc, true)
-      try out.write(v.toString.getBytes(StandardCharsets.UTF_8))
-      finally out.close()
-    }
+    if (lastCkptHint(fs, dir).forall(_ < v)) writeCkptHint(fs, dir, v)
     v
   }
 
@@ -401,8 +456,7 @@ object ActionLog {
         writeText(fs, ckptPartPath(dir, v, i, parts), lines.mkString("\n"))
       }
     }
-    val out = fs.create(new Path(s"$dir/$LogDir/$LastCkpt"), true)
-    try out.write(v.toString.getBytes(StandardCharsets.UTF_8)) finally out.close()
+    if (lastCkptHint(fs, dir).forall(_ < v)) writeCkptHint(fs, dir, v)
     v
   }
 
@@ -630,9 +684,14 @@ object ActionLog {
     // newest COMPLETE checkpoint ≤ asOf — discovered by listing, with
     // `_last_checkpoint` as nothing more than the usual fast-path hint
     // (a vacuum may retain checkpoints the pointer no longer names; an
-    // incomplete multi-part set is invisible here by construction)
+    // incomplete multi-part set is invisible here by construction).
+    // BOTH planes are consulted: a parquet checkpoint ([[checkpointParquet]])
+    // seeds the replay exactly like a JSON one — parsed ON THE EXECUTORS
+    // and collected once — so a table checkpointed only via the
+    // distributed plane never pays unbounded driver replay.
     val ckpts = completeCheckpoints(fs, dir, asOf)
-    val ckptBase = ckpts.keys.toSeq.sorted.lastOption
+    val pCkpts = completeParquetCheckpoints(fs, dir, asOf)
+    val ckptBase = (ckpts.keys ++ pCkpts.keys).toSeq.sorted.lastOption
     val base = scala.collection.mutable
       .LinkedHashMap.empty[String, Option[(Long, Long, Long)]]
     val txns = scala.collection.mutable.Map.empty[String, Long]
@@ -648,7 +707,23 @@ object ActionLog {
       case l => sys.error(s"ActionLog: bad log line at $v: $l")
     }
     ckptBase.foreach { cv =>
-      ckpts(cv).foreach(p =>
+      if (pCkpts.contains(cv)) // prefer the engine-parsed plane when both exist
+        spark.read.parquet(pCkpts(cv).toString).collect().foreach { r =>
+          r.getAs[String]("a") match {
+            case "add" =>
+              val st = if (r.isNullAt(r.fieldIndex("n"))) None
+                else Some((r.getAs[Long]("lo"), r.getAs[Long]("hi"),
+                  r.getAs[Long]("n")))
+              base.put(r.getAs[String]("p"), st); ()
+            case "txn" =>
+              val app = r.getAs[String]("app")
+              txns(app) = math.max(txns.getOrElse(app, Long.MinValue),
+                r.getAs[Long]("batch")); ()
+            case a => sys.error(s"ActionLog: bad parquet-checkpoint action " +
+              s"'$a' at ckpt-$cv")
+          }
+        }
+      else ckpts(cv).foreach(p =>
         readLines(fs, p).foreach(applyLine(_, s"ckpt-$cv")))
     }
     val base0 = ckptBase.getOrElse(0L)
@@ -706,17 +781,31 @@ object ActionLog {
   def readWhere(spark: SparkSession, dir: String, c: String,
       lo: Long, hi: Long): (DataFrame, Int, Int) = {
     import org.apache.spark.sql.functions._
+    val fs = fsOf(spark, dir)
     val latest = versions(spark, dir).lastOption.getOrElse(
       sys.error(s"ActionLog.readWhere($dir): empty log"))
-    val (state, _, _, _) = replayState(spark, dir, latest)
-    val keep = state.toSeq.collect {
-      case (f, Some((flo, fhi, _))) if fhi >= lo && flo <= hi => f
-      case (f, None) => f
-    }
+    val (keep: Seq[String], total: Int) =
+      if (onParquetPlane(fs, dir)) {
+        // parquet-checkpoint plane: the inventory stays a DataFrame, the
+        // range predicate evaluates ON THE EXECUTORS, and the driver
+        // collects ONLY surviving names plus one count — O(kept), never
+        // O(files)
+        val inv = resolveDf(spark, dir, latest)
+        val kept = inv
+          .filter(col("n").isNull || (col("hi") >= lo && col("lo") <= hi))
+          .select("p").collect().map(_.getString(0)).toSeq
+        (kept, inv.count().toInt)
+      } else {
+        val (state, _, _, _) = replayState(spark, dir, latest)
+        (state.toSeq.collect {
+          case (f, Some((flo, fhi, _))) if fhi >= lo && flo <= hi => f
+          case (f, None) => f
+        }, state.size)
+      }
     require(keep.nonEmpty, s"ActionLog.readWhere($dir): nothing to read")
     val df = spark.read.parquet(keep.map(f => s"$dir/$DataDir/$f"): _*)
       .filter(col(c) >= lo && col(c) <= hi)
-    (df, keep.size, state.size)
+    (df, keep.size, total)
   }
 
   /** Table row count from the LOG alone — O(files) metadata, zero data
@@ -786,8 +875,16 @@ object ActionLog {
     }
     // checkpoint BEFORE cleanup: retained versions must resolve without
     // the records about to be dropped (a complete multi-part checkpoint
-    // at the horizon counts)
+    // at the horizon counts, on EITHER plane). A parquet-plane table gets
+    // a parquet horizon checkpoint — the sweep below would otherwise keep
+    // re-seeding the driver plane on a table that has left it.
+    if (vs.size > keepVersions && onParquetPlane(fs, dir) &&
+      !completeParquetCheckpoints(fs, dir, horizon).contains(horizon) &&
+      !completeCheckpoints(fs, dir, horizon).contains(horizon)) {
+      checkpointParquet(spark, dir, horizon); ()
+    }
     if (vs.size > keepVersions &&
+      !completeParquetCheckpoints(fs, dir, horizon).contains(horizon) &&
       !completeCheckpoints(fs, dir, horizon).contains(horizon)) {
       val (state, _, _, txns) = replayState(spark, dir, horizon)
       writeText(fs, ckptPath(dir, horizon),
@@ -812,6 +909,10 @@ object ActionLog {
       p.getName match {
         case CkptSingle(v) if v.toLong < horizon => fs.delete(p, false); ()
         case CkptPart(v, _, _) if v.toLong < horizon => fs.delete(p, false); ()
+        // parquet checkpoint DIRS below the horizon: recursive delete, or
+        // they leak forever AND a later time-travel read could seed from a
+        // stale one (stateDfAt's contiguity contract now also guards that)
+        case CkptParquet(v) if v.toLong < horizon => fs.delete(p, true); ()
         // a compaction whose range starts below the horizon can never be
         // applied again (replay starts at the horizon checkpoint)
         case CompactName(f, _) if f.toLong < horizon => fs.delete(p, false); ()
@@ -819,15 +920,12 @@ object ActionLog {
       }
     }
     // keep the hint pointer at least at the horizon checkpoint (only
-    // when that checkpoint actually exists — a file-sweep-only pass may
-    // not have materialized one)
-    val lc = new Path(s"$dir/$LogDir/$LastCkpt")
-    if (completeCheckpoints(fs, dir, horizon).contains(horizon) &&
-      (!fs.exists(lc) || readLines(fs, lc).head.trim.toLong < horizon)) {
-      val out = fs.create(lc, true)
-      try out.write(horizon.toString.getBytes(StandardCharsets.UTF_8))
-      finally out.close()
-    }
+    // when that checkpoint actually exists on either plane — a
+    // file-sweep-only pass may not have materialized one)
+    if ((completeCheckpoints(fs, dir, horizon).contains(horizon) ||
+      completeParquetCheckpoints(fs, dir, horizon).contains(horizon)) &&
+      lastCkptHint(fs, dir).forall(_ < horizon))
+      writeCkptHint(fs, dir, horizon)
     (expired.size, victims.size)
   }
 

@@ -248,7 +248,7 @@ object Occ {
         keys <- ChangeFeed.recordedKeys(spark, dir)
         live <- snapshot
       } {
-        import org.apache.spark.sql.functions.col
+        import org.apache.spark.sql.functions.{col, count, lit}
         val clash = live.select(keys.map(col): _*)
           .join(delta.select(keys.map(col): _*).distinct(), keys, "left_semi")
         require(clash.isEmpty,
@@ -256,6 +256,15 @@ object Occ {
             s"keyed feed (keys=${keys.mkString(",")}) — the append capture " +
             "cannot represent duplicate-key rows; MERGE or a keyed " +
             "ChangeFeed.commit instead")
+        // duplicate keys WITHIN the delta are the same replay hole: two
+        // table rows behind one feed key that replay collapses to one
+        val dup = delta.groupBy(keys.map(col): _*)
+          .agg(count(lit(1)).as("c")).filter(col("c") > 1)
+        require(dup.isEmpty,
+          s"Occ.commit($dir): blind append carries duplicate key(s) within " +
+            s"the delta itself (keys=${keys.mkString(",")}) — the append " +
+            "capture cannot represent duplicate-key rows; de-duplicate or " +
+            "MERGE instead")
       }
       val stageName = StagePrefix + java.util.UUID.randomUUID().toString
       val stage = new Path(dir, stageName)
