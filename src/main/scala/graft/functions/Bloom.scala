@@ -78,6 +78,32 @@ object Bloom {
     */
   def mightContainCol(hash64: Column, bits: Array[Long], k: Int): Column =
     toColumn(BloomMightContain(toExpression(hash64), bits, k))
+
+  /** Probe over a PER-ROW bit array (the sidecar-row shape) — shared by
+    * interpreted eval and generated code; reads Catalyst's ArrayData in
+    * place, zero per-row copies.
+    */
+  def mightContainRow(bits: org.apache.spark.sql.catalyst.util.ArrayData,
+      k: Int, h: Long): Boolean = {
+    val m = bits.numElements().toLong * 64
+    var i = 0
+    while (i < k) {
+      val pos = position(h, i, m)
+      if ((bits.getLong((pos >>> 6).toInt) & (1L << (pos & 63))) == 0L)
+        return false
+      i += 1
+    }
+    true
+  }
+
+  /** Column-API probe where the BIT SET IS A COLUMN (one filter per
+    * sidecar row) — the engine-side index probe: membership evaluates on
+    * the executors over the sidecar scan, so an index of a million files
+    * never rides to the driver; callers collect only admitted names.
+    */
+  def mightContainRowCol(bits: Column, k: Column, hash64: Column): Column =
+    toColumn(BloomMightContainRow(toExpression(bits), toExpression(k),
+      toExpression(hash64)))
 }
 
 /** Typed Aggregator building the bit set from `xxhash64` key values: fixed
@@ -137,4 +163,46 @@ case class BloomMightContain(child: Expression, bits: Array[Long], k: Int)
   }
   override def hashCode(): Int =
     java.util.Objects.hash(child, Integer.valueOf(k), Integer.valueOf(System.identityHashCode(bits)))
+}
+
+/** Codegen'd membership probe where the bit set is a PER-ROW column (the
+  * index-sidecar shape: one row per data file, `bits ARRAY<BIGINT>`,
+  * `k INT`): evaluates on the executors inside the sidecar scan, the
+  * engine-side twin of [[BloomMightContain]]'s driver-built form.
+  */
+case class BloomMightContainRow(bits: Expression, k: Expression,
+    hash: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.TernaryExpression {
+
+  override def first: Expression = bits
+  override def second: Expression = k
+  override def third: Expression = hash
+
+  override def dataType: DataType = BooleanType
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val ok = bits.dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType] &&
+      bits.dataType.asInstanceOf[org.apache.spark.sql.types.ArrayType]
+        .elementType == LongType &&
+      k.dataType == org.apache.spark.sql.types.IntegerType &&
+      hash.dataType == LongType
+    if (ok) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      "bloom_might_contain_row expects (ARRAY<BIGINT> bits, INT k, " +
+        s"BIGINT hash), got (${bits.dataType.simpleString}, " +
+        s"${k.dataType.simpleString}, ${hash.dataType.simpleString})")
+  }
+
+  override def nullSafeEval(b: Any, kk: Any, h: Any): Any =
+    Bloom.mightContainRow(
+      b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      kk.asInstanceOf[Int], h.asInstanceOf[Long])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (b, kk, h) =>
+      s"${ev.value} = graft.functions.Bloom.mightContainRow($b, $kk, $h);")
+
+  override protected def withNewChildrenInternal(newFirst: Expression,
+      newSecond: Expression, newThird: Expression): Expression =
+    copy(bits = newFirst, k = newSecond, hash = newThird)
 }

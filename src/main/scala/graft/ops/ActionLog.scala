@@ -52,8 +52,11 @@ object ActionLog {
     new Path(s"$dir/$LogDir/_checkpoint-${"%08d".format(v)}" +
       s".p${"%02d".format(i)}-of-${"%02d".format(n)}.json")
 
+  // NOT underscore-prefixed (Delta's `N.checkpoint.parquet` naming, for
+  // the same reason): Spark's file index treats `_`-prefixed paths as
+  // hidden, and the distributed checkpoint must be spark.read-able
   private def ckptParquetPath(dir: String, v: Long): Path =
-    new Path(s"$dir/$LogDir/_checkpoint-${"%08d".format(v)}.parquet")
+    new Path(s"$dir/$LogDir/${"%08d".format(v)}.checkpoint.parquet")
 
   private def compactPath(dir: String, from: Long, to: Long): Path =
     new Path(s"$dir/$LogDir/_compact-${"%08d".format(from)}-${"%08d".format(to)}.json")
@@ -64,7 +67,7 @@ object ActionLog {
   // round-trips — a two-digit-only regex would silently invalidate every
   // such checkpoint (full-log replay + orphan fragments vacuum never owns)
   private val CkptPart = """_checkpoint-(\d{8})\.p(\d+)-of-(\d+)\.json""".r
-  private val CkptParquet = """_checkpoint-(\d{8})\.parquet""".r
+  private val CkptParquet = """(\d{8})\.checkpoint\.parquet""".r
   private val CompactName = """_compact-(\d{8})-(\d{8})\.json""".r
 
   /** COMPLETE checkpoints ≤ `asOf`: a single-file checkpoint, or a
@@ -157,6 +160,25 @@ object ActionLog {
         col("j.batch").as("batch"), col("ver"))
   }
 
+  /** Raw JSON action lines parallelized from a driver-side read — the
+    * bridge for UNDERSCORE-PREFIXED log artifacts (JSON checkpoints,
+    * compacted fragments): Spark's file index treats `_`/`.`-prefixed
+    * paths as hidden and SILENTLY drops them even when they are passed
+    * explicitly, so `spark.read.text` on them loses the whole artifact —
+    * a silently-wrong live set, never an error. Lines are read
+    * driver-side (bounded: JSON checkpoints belong to the legacy
+    * driver plane, fragments are net sets of a compacted range) and
+    * parsed on the executors; the SCALE plane's checkpoint is parquet
+    * ([[checkpointParquet]]), whose directory read is not affected.
+    */
+  private def linesDf(spark: SparkSession, fs: FileSystem,
+      paths: Seq[Path], ver: Long): DataFrame = {
+    import org.apache.spark.sql.functions.lit
+    import spark.implicits._
+    spark.createDataset(paths.flatMap(readLines(fs, _))).toDF("value")
+      .withColumn("ver", lit(ver))
+  }
+
   /** The replay state at `asOf` AS A DATAFRAME — snapshot resolution as a
     * Spark job, the shape a million-file log needs (Delta's parquet
     * checkpoint + distributed log replay): the newest complete checkpoint
@@ -181,12 +203,17 @@ object ActionLog {
       if (pc.contains(v))
         spark.read.parquet(pc(v).toString).withColumn("ver", lit(v))
       else
-        parseActions(spark.read.text(jc(v).map(_.toString): _*)
-          .withColumn("ver", lit(v)))
+        // JSON checkpoint files are _-prefixed = hidden to Spark's file
+        // index: read driver-side, parse distributed (see linesDf)
+        parseActions(linesDf(spark, fs, jc(v), v))
     }
     val base0 = baseV.getOrElse(0L)
     val vs = versions(spark, dir)
-    val effAsOf = if (asOf == Long.MaxValue) vs.lastOption.getOrElse(0L) else asOf
+    // cap at the latest on-disk version for ANY over-latest asOf (not just
+    // the MaxValue sentinel): resolveDf/read cap this way for their
+    // callers, and an uncapped explicit asOf would trip the contiguity
+    // require below with a misleading "window was vacuumed" error
+    val effAsOf = math.min(asOf, vs.lastOption.getOrElse(0L))
     // Tail plan honoring COMPACTED-LOG fragments: at version v with a
     // compaction [v, to] fully inside the tail, read the ONE net fragment
     // in place of versions v..to — the bounded-tail contract transfers to
@@ -202,19 +229,20 @@ object ActionLog {
         .groupBy(_._1).map { case (f, ts) => f -> ts.map(_._2).max }
     }
     val tailVs = vs.filter(v => v > base0 && v <= effAsOf)
-    val tailPaths = scala.collection.mutable.ArrayBuffer.empty[String]
+    val tailPlain = scala.collection.mutable.ArrayBuffer.empty[String]
+    val tailFrags = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
     val covered = scala.collection.mutable.ArrayBuffer.empty[Long]
     var idx = 0
     while (idx < tailVs.size) {
       val v = tailVs(idx)
       compacts.get(v) match {
         case Some(to) =>
-          tailPaths += compactPath(dir, v, to).toString
+          tailFrags += ((v, to))
           covered ++= (v to to)
           idx = tailVs.indexWhere(_ > to, idx)
           if (idx < 0) idx = tailVs.size
         case None =>
-          tailPaths += logPath(dir, v).toString
+          tailPlain += logPath(dir, v).toString
           covered += v
           idx += 1
       }
@@ -227,12 +255,20 @@ object ActionLog {
       s"ActionLog.stateDfAt($dir): versions (${base0}, $effAsOf] are not " +
         s"contiguous on disk (have ${covered.mkString(",")}) — the read " +
         "window was vacuumed")
-    val tail: Option[DataFrame] =
-      if (tailPaths.isEmpty) None
-      else Some(parseActions(
-        spark.read.text(tailPaths.toSeq: _*)
-          .withColumn("ver", regexp_extract(input_file_name(),
-            "(\\d{8})\\.json", 1).cast("long"))))
+    // plain NNNNNNNN.json version files are visible to the file index and
+    // text-read distributed; _compact-* fragments are hidden files, so
+    // each is read driver-side with ver = its range END — exactly the
+    // last-action-wins position the net set occupies
+    val plainDf: Option[DataFrame] =
+      if (tailPlain.isEmpty) None
+      else Some(spark.read.text(tailPlain.toSeq: _*)
+        .withColumn("ver", regexp_extract(input_file_name(),
+          "(\\d{8})\\.json", 1).cast("long")))
+    val fragDfs: Seq[DataFrame] = tailFrags.toSeq.map { case (f, t) =>
+      linesDf(spark, fs, Seq(compactPath(dir, f, t)), t)
+    }
+    val tail: Option[DataFrame] = (plainDf.toSeq ++ fragDfs)
+      .reduceOption(_.unionByName(_)).map(parseActions)
     val all = (base.toSeq ++ tail.toSeq).reduceOption(_.unionByName(_))
       .getOrElse(sys.error(s"ActionLog.stateDfAt($dir): empty log"))
     val nulls = Seq("lo", "hi", "n").map(c => lit(null).cast("long").as(c))
@@ -265,7 +301,7 @@ object ActionLog {
   }
 
   /** Write the state at `asOf` (default latest) as a DISTRIBUTED parquet
-    * checkpoint (`_log/_checkpoint-V.parquet/`, Delta's checkpoint form):
+    * checkpoint (`_log/V.checkpoint.parquet/`, Delta's checkpoint form):
     * a Spark job materializes [[stateDfAt]] as parquet parts, `_SUCCESS`
     * is the all-or-nothing validity marker, and `_last_checkpoint`
     * advances. The driver never holds the state — at a million files the
@@ -559,7 +595,29 @@ object ActionLog {
       raceHook(v) // test seam: a competitor lands between read and claim
       if (tryClaim(fs, dir, v, lines)) committed = v
     }
+    maybeAutoCheckpoint(spark, dir, committed)
     committed
+  }
+
+  /** AUTO-CHECKPOINT POLICY (Delta's `checkpointInterval`): every
+    * `spark.graft.parquetCheckpointInterval`-th commit on the OCC and
+    * exactly-once paths materializes a DISTRIBUTED parquet checkpoint,
+    * so long-lived tables enter the parquet plane in the ordinary course
+    * of writing — bounded replay tails and O(kept) engine-side pruning
+    * without any operator intervention. `0` disables (tests that pin
+    * replay accounting set it); the single-writer [[append]] path is
+    * exempt so deterministic version/checkpoint fixtures stay exact.
+    */
+  val AutoCheckpointConf = "spark.graft.parquetCheckpointInterval"
+  val DefaultAutoCheckpointInterval = 10
+
+  private def maybeAutoCheckpoint(spark: SparkSession, dir: String,
+      v: Long): Unit = {
+    val interval = spark.conf
+      .get(AutoCheckpointConf, DefaultAutoCheckpointInterval.toString).toInt
+    if (interval > 0 && v > 0 && v % interval == 0) {
+      checkpointParquet(spark, dir, v); ()
+    }
   }
 
   /** Compaction that COMMUTES with concurrent appends (Delta OPTIMIZE's
@@ -789,12 +847,15 @@ object ActionLog {
         // parquet-checkpoint plane: the inventory stays a DataFrame, the
         // range predicate evaluates ON THE EXECUTORS, and the driver
         // collects ONLY surviving names plus one count — O(kept), never
-        // O(files)
-        val inv = resolveDf(spark, dir, latest)
-        val kept = inv
-          .filter(col("n").isNull || (col("hi") >= lo && col("lo") <= hi))
-          .select("p").collect().map(_.getString(0)).toSeq
-        (kept, inv.count().toInt)
+        // O(files). ONE aggregation job (collect_list skips the nulls the
+        // `when` leaves on pruned files), not a collect + a second count
+        // re-running the whole stateDfAt DAG.
+        val row = resolveDf(spark, dir, latest).agg(
+          count(lit(1)).as("total"),
+          collect_list(when(col("n").isNull ||
+            (col("hi") >= lo && col("lo") <= hi), col("p"))).as("kept"))
+          .head()
+        (row.getSeq[String](1).toSeq, row.getLong(0).toInt)
       } else {
         val (state, _, _, _) = replayState(spark, dir, latest)
         (state.toSeq.collect {
@@ -1003,6 +1064,7 @@ object ActionLog {
       writeText(fs, logPath(dir, v),
         (addLines(spark, dir, files, statsCol) :+
           s"""{"a":"txn","app":"$appId","batch":$batchId}""").mkString("\n"))
+      maybeAutoCheckpoint(spark, dir, v)
       Some(v)
     }
 

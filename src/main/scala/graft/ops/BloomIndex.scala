@@ -126,19 +126,26 @@ object BloomIndex {
     val live = ActionLog.liveFiles(spark, tableDir).map(_._1)
     val side = new Path(tableDir, LogSidecar)
     val fs = side.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val entries: Map[String, (Array[Long], Int)] =
-      if (!fs.exists(side)) Map.empty
-      else spark.read.parquet(side.toString).filter(col("c") === column)
-        .select("file", "bits", "k").collect()
-        .map(r => r.getString(0) -> ((r.getSeq[Long](1).toArray, r.getInt(2))))
-        .toMap
+    if (!fs.exists(side))
+      return (values.map(_ => live), 0, live.size)
     val hashes = spark.range(1).select(values.map(v => xxhash64(v)): _*)
       .head.toSeq.map(_.asInstanceOf[Long])
-    val perKey = hashes.map { h =>
-      live.filter(f => entries.get(f)
-        .forall { case (bits, k) => Bloom.mightContain(bits, k, h) })
+    // membership evaluates ENGINE-SIDE over the sidecar scan (the per-row
+    // codegen'd probe): the driver collects only admitted + indexed NAMES
+    // — never the bit sets, which at a million files are a driver OOM
+    val aggs = hashes.zipWithIndex.map { case (h, i) =>
+      collect_list(when(Bloom.mightContainRowCol(col("bits"), col("k"),
+        lit(h)), col("file"))).as(s"admit_$i")
+    } :+ collect_set(col("file")).as("indexed")
+    val row = spark.read.parquet(side.toString).filter(col("c") === column)
+      .agg(aggs.head, aggs.tail: _*).head
+    val indexed = row.getSeq[String](hashes.size).toSet
+    val perKey = hashes.indices.map { i =>
+      val pass = row.getSeq[String](i).toSet
+      // a live file without an entry is admitted for every key
+      live.filter(f => !indexed.contains(f) || pass.contains(f))
     }
-    (perKey, live.count(entries.contains), live.size)
+    (perKey, live.count(indexed), live.size)
   }
 
   /** Carry a version-dir index across a byte-copy commit (the DV-delete
@@ -204,13 +211,17 @@ object BloomIndex {
     require(values.nonEmpty, "selectFilesAll: need at least one probe value")
     val hashes = spark.range(1).select(values.map(v => xxhash64(v)): _*)
       .head.toSeq.map(_.asInstanceOf[Long])
-    val side = spark.read.parquet(new Path(dataDir, SidecarName).toString)
-      .select("file", "bits", "k").collect() // O(files), ONCE for the batch
-    val perKey = hashes.map { h =>
-      side.toSeq.filter { r =>
-        Bloom.mightContain(r.getSeq[Long](1).toArray, r.getInt(2), h)
-      }.map(_.getString(0))
-    }
-    (perKey, side.length)
+    // ONE engine-side aggregation for the whole key batch: the per-row
+    // codegen'd probe tests every sidecar entry on the executors, and the
+    // driver receives only the admitted file NAMES per key plus a count —
+    // O(admitted), never O(files × bit-set bytes)
+    val aggs = hashes.zipWithIndex.map { case (h, i) =>
+      collect_list(when(Bloom.mightContainRowCol(col("bits"), col("k"),
+        lit(h)), col("file"))).as(s"admit_$i")
+    } :+ count(lit(1)).as("total")
+    val row = spark.read.parquet(new Path(dataDir, SidecarName).toString)
+      .agg(aggs.head, aggs.tail: _*).head
+    val perKey = hashes.indices.map(i => row.getSeq[String](i).toSeq)
+    (perKey, row.getLong(hashes.size).toInt)
   }
 }

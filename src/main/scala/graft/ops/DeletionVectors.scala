@@ -38,8 +38,39 @@ import org.apache.hadoop.fs.Path
 object DeletionVectors {
 
   private val DvDirName = "_dv"
+  val BlobDirName = "_dvbm"
   private val FileCol = "__dv_file"
   private val IdxCol = "__dv_idx"
+
+  /** Write each file's bitmap as its OWN raw blob (`_dvbm/<file>.bm`) —
+    * Delta's DV-file-by-reference shape, written FROM THE EXECUTORS: the
+    * SQL scan plans each data-file partition with its blob PATH and the
+    * reader opens only its own bitmap, so neither the driver nor any one
+    * task ever holds the table-wide O(files × bitmap) sidecar. The
+    * parquet sidecar stays the canonical form for the DataFrame-side
+    * merge/diff paths (already engine-side).
+    */
+  private def writeBlobSidecar(spark: SparkSession, vectors: DataFrame,
+      blobDir: Path): Unit = {
+    import spark.implicits._
+    val fs = blobDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(blobDir)
+    val conf = new org.apache.spark.util.SerializableConfiguration(
+      spark.sparkContext.hadoopConfiguration)
+    val target = blobDir.toString
+    vectors.select(col("file_name"), col("bitmap"))
+      .as[(String, Array[Byte])]
+      .foreachPartition { (it: Iterator[(String, Array[Byte])]) =>
+        if (it.hasNext) {
+          val d = new Path(target)
+          val efs = d.getFileSystem(conf.value)
+          it.foreach { case (f, b) =>
+            val out = efs.create(new Path(d, f + ".bm"), true)
+            try out.write(b) finally out.close()
+          }
+        }
+      }
+  }
 
   private def dvDir(dir: String, v: Long): Path =
     new Path(VersionedTable.verDir(dir, v), DvDirName)
@@ -173,6 +204,7 @@ object DeletionVectors {
           spark.sparkContext.hadoopConfiguration)
       }
     merged.write.mode(SaveMode.Overwrite).parquet(dvDir(dir, next).toString)
+    writeBlobSidecar(spark, merged, new Path(vd, BlobDirName))
     if (capture)
       doomed.drop(FileCol, IdxCol)
         .withColumn(ChangeFeed.ChangeType, lit("delete"))

@@ -243,21 +243,16 @@ object Occ {
       // keys are new; a blind append of a live key would leave two table
       // rows behind one feed insert (replay incompleteness), so it fails
       // loudly here, per attempt (a rebase re-checks the winner's keys)
+      // duplicate keys WITHIN the delta are the same replay hole: two
+      // table rows behind one feed key that replay collapses to one.
+      // Checked WITHOUT binding the snapshot — a FIRST commit on a dir
+      // whose feed keys were already recorded (e.g. a keyed commit that
+      // crashed after recordKeys) must hit it too.
       for {
         delta <- captureAppend
         keys <- ChangeFeed.recordedKeys(spark, dir)
-        live <- snapshot
       } {
         import org.apache.spark.sql.functions.{col, count, lit}
-        val clash = live.select(keys.map(col): _*)
-          .join(delta.select(keys.map(col): _*).distinct(), keys, "left_semi")
-        require(clash.isEmpty,
-          s"Occ.commit($dir): blind append of key(s) already live on a " +
-            s"keyed feed (keys=${keys.mkString(",")}) — the append capture " +
-            "cannot represent duplicate-key rows; MERGE or a keyed " +
-            "ChangeFeed.commit instead")
-        // duplicate keys WITHIN the delta are the same replay hole: two
-        // table rows behind one feed key that replay collapses to one
         val dup = delta.groupBy(keys.map(col): _*)
           .agg(count(lit(1)).as("c")).filter(col("c") > 1)
         require(dup.isEmpty,
@@ -265,6 +260,20 @@ object Occ {
             s"the delta itself (keys=${keys.mkString(",")}) — the append " +
             "capture cannot represent duplicate-key rows; de-duplicate or " +
             "MERGE instead")
+      }
+      for {
+        delta <- captureAppend
+        keys <- ChangeFeed.recordedKeys(spark, dir)
+        live <- snapshot
+      } {
+        import org.apache.spark.sql.functions.col
+        val clash = live.select(keys.map(col): _*)
+          .join(delta.select(keys.map(col): _*).distinct(), keys, "left_semi")
+        require(clash.isEmpty,
+          s"Occ.commit($dir): blind append of key(s) already live on a " +
+            s"keyed feed (keys=${keys.mkString(",")}) — the append capture " +
+            "cannot represent duplicate-key rows; MERGE or a keyed " +
+            "ChangeFeed.commit instead")
       }
       val stageName = StagePrefix + java.util.UUID.randomUUID().toString
       val stage = new Path(dir, stageName)

@@ -328,12 +328,12 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
         df.inputFiles.sorted.toSeq, df.schema)
     } else if (fs.exists(new Path(VersionedTable.verDir(dir, v), "_dv"))) {
       // DELETION-VECTOR version: the reader applies each file's bitmap
-      // by row index — deleted rows never leave the executor
+      // by row index — deleted rows never leave the executor. Bitmaps are
+      // resolved per partition from the `_dvbm/` blob sidecar (each task
+      // opens ONLY its own file's bitmap), so the driver holds names, not
+      // the O(files × bitmap) byte map.
       val vd = VersionedTable.verDir(dir, v).toString
-      val dv = spark.read.parquet(s"$vd/_dv")
-        .select("file_name", "bitmap").collect() // O(files), driver-side
-        .map(r => r.getString(0) -> r.getAs[Array[Byte]](1)).toMap
-      new GraftDvSqlTable(ident.toString + s"@v$v", vd, dv,
+      new GraftDvSqlTable(ident.toString + s"@v$v", vd,
         spark.read.parquet(vd).schema, dml, baseVersion = v)
     } else {
       val vd = VersionedTable.verDir(dir, v).toString
@@ -599,7 +599,7 @@ private[source] class GraftSqlScanBuilder(versionDir: String,
   * now reachable from plain SQL.
   */
 private[source] class GraftDvSqlTable(tableName: String, versionDir: String,
-    dv: Map[String, Array[Byte]], tableSchema: StructType,
+    tableSchema: StructType,
     dml: Option[DmlTarget] = None, baseVersion: Long = -1L)
     extends Table with SupportsRead
     with org.apache.spark.sql.connector.catalog.SupportsWrite
@@ -626,7 +626,7 @@ private[source] class GraftDvSqlTable(tableName: String, versionDir: String,
       private var pruned: StructType = tableSchema
       override def pruneColumns(requiredSchema: StructType): Unit =
         pruned = requiredSchema
-      override def build(): Scan = new GraftDvSqlScan(versionDir, dv, pruned)
+      override def build(): Scan = new GraftDvSqlScan(versionDir, pruned)
     }
   // a second SQL DELETE on an already-DV'd table merges bitmaps through
   // the same typed path — deletes compose
@@ -653,20 +653,31 @@ private[source] class GraftDvSqlTable(tableName: String, versionDir: String,
 }
 
 private[source] class GraftDvSqlScan(versionDir: String,
-    dv: Map[String, Array[Byte]], schema: StructType) extends Scan with Batch {
+    schema: StructType) extends Scan with Batch {
   override def readSchema(): StructType = schema
   override def toBatch: Batch = this
-  override def description(): String =
-    s"GraftDvSqlScan [$versionDir] dvFiles=${dv.size}"
+  override def description(): String = s"GraftDvSqlScan [$versionDir]"
   override def planInputPartitions(): Array[InputPartition] = {
     val p = new Path(versionDir)
     val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+    // one listing of the blob sidecar: the driver learns only which files
+    // HAVE a vector (names); each partition carries its blob's PATH and
+    // the executor-side reader opens only that bitmap
+    val blobDir = new Path(p, graft.ops.DeletionVectors.BlobDirName)
+    val withDv: Set[String] =
+      if (!fs.exists(blobDir)) Set.empty
+      else fs.listStatus(blobDir).toSeq.map(_.getPath.getName)
+        .filter(_.endsWith(".bm")).map(_.stripSuffix(".bm")).toSet
     fs.listStatus(p).toSeq
       .filter(st => st.isFile && !st.getPath.getName.startsWith("_") &&
         !st.getPath.getName.startsWith("."))
       .sortBy(_.getPath.getName)
-      .map(st => DvFilePartition(st.getPath.toString,
-        dv.get(st.getPath.getName)): InputPartition)
+      .map { st =>
+        val n = st.getPath.getName
+        DvFilePartition(st.getPath.toString,
+          if (withDv(n)) Some(new Path(blobDir, n + ".bm").toString)
+          else None): InputPartition
+      }
       .toArray
   }
   override def createReaderFactory(): PartitionReaderFactory =
@@ -674,7 +685,7 @@ private[source] class GraftDvSqlScan(versionDir: String,
 }
 
 private[source] case class DvFilePartition(file: String,
-    bitmap: Option[Array[Byte]]) extends InputPartition
+    bitmapPath: Option[String]) extends InputPartition
 
 private[source] class DvReaderFactory(schema: StructType)
     extends PartitionReaderFactory {
@@ -683,7 +694,13 @@ private[source] class DvReaderFactory(schema: StructType)
     val p = partition.asInstanceOf[DvFilePartition]
     val inner = new CdfReaderFactory(schema)
       .createReader(CdfFilePartition(0L, p.file))
-    val bm = p.bitmap.map { bytes =>
+    val bm = p.bitmapPath.map { bp =>
+      val path = new Path(bp)
+      val fs = path.getFileSystem(new org.apache.hadoop.conf.Configuration())
+      val len = fs.getFileStatus(path).getLen.toInt
+      val bytes = new Array[Byte](len)
+      val in = fs.open(path)
+      try in.readFully(0L, bytes) finally in.close()
       val b = new org.roaringbitmap.RoaringBitmap()
       b.deserialize(java.nio.ByteBuffer.wrap(bytes))
       b

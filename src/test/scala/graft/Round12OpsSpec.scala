@@ -1,0 +1,188 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.{ActionLog, Occ}
+
+/** Round-12 regression pins — one per round-11/12 ADVICE defect on the
+  * parquet-checkpoint plane, plus the auto-checkpoint entry point that
+  * makes the plane reachable from the production OCC/exactly-once write
+  * paths.
+  *
+  * The two HIGH pins guard the hidden-file rule: Spark's file index
+  * silently drops `_`-prefixed paths even when passed explicitly, so the
+  * distributed replay must never feed `_checkpoint-*.json` /
+  * `_compact-*.json` to `spark.read.text` — it reads them driver-side
+  * and parallelizes the lines.
+  */
+class Round12OpsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def df(ks: Long*) = ks.toSeq.toDF("k")
+
+  private def fsOf(dir: String) = new org.apache.hadoop.fs.Path(dir)
+    .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def liveOf(dir: String, asOf: Long = Long.MaxValue): Set[String] = {
+    val v = ActionLog.versions(spark, dir).last.min(asOf)
+    ActionLog.resolve(spark, dir, v)._1.toSet
+  }
+
+  private def liveDfOf(dir: String): Set[String] =
+    ActionLog.resolveDf(spark, dir).select("p").as[String].collect().toSet
+
+  test("compacted-log fragments reach the distributed replay (resolveDf)") {
+    val dir = TestSpark.tmpDir("r12frag")
+    ActionLog.append(df(1L), dir)
+    ActionLog.append(df(2L), dir)
+    ActionLog.append(df(3L), dir)
+    ActionLog.compactLog(spark, dir, 1L, 2L)
+    // the fragment is a hidden file: a spark.read.text-based tail would
+    // silently drop v1+v2's adds and return only v3's file
+    assert(liveDfOf(dir) == liveOf(dir),
+      "resolveDf must agree with the driver replay on a compacted log")
+    assert(liveDfOf(dir).size == 3)
+    // and a parquet checkpoint written over the compacted log is complete
+    ActionLog.checkpointParquet(spark, dir)
+    assert(ActionLog.read(spark, dir).as[Long].collect().sorted.toSeq
+      == Seq(1L, 2L, 3L))
+  }
+
+  test("JSON-checkpoint base survives migration to the parquet plane") {
+    val dir = TestSpark.tmpDir("r12mig")
+    ActionLog.append(df(1L), dir)
+    ActionLog.append(df(2L), dir)
+    ActionLog.checkpoint(spark, dir) // JSON checkpoint at v2 (hidden file)
+    ActionLog.append(df(10L), dir)
+    // the distributed state must include the JSON base, or the parquet
+    // checkpoint written from it silently loses the whole pre-checkpoint
+    // table — durable data loss on every later read
+    assert(liveDfOf(dir) == liveOf(dir),
+      "stateDfAt must seed from the JSON checkpoint base")
+    ActionLog.checkpointParquet(spark, dir)
+    ActionLog.append(df(100L), dir)
+    assert(ActionLog.read(spark, dir).as[Long].collect().sorted.toSeq
+      == Seq(1L, 2L, 10L, 100L),
+      "reads after JSON->parquet checkpoint migration must see every row")
+    // replay seeds from the newest (parquet) checkpoint, not full replay
+    val (_, replayed, ckpt) = ActionLog.resolve(spark, dir, 4L)
+    assert(ckpt.contains(3L) && replayed == 1,
+      s"expected parquet-seeded replay of 1 action, got ($ckpt, $replayed)")
+  }
+
+  test("multi-part JSON checkpoint base survives on the distributed plane") {
+    val dir = TestSpark.tmpDir("r12mp")
+    (1 to 4).foreach(i => ActionLog.append(df(i.toLong), dir))
+    ActionLog.checkpoint(spark, dir, parts = 3)
+    ActionLog.append(df(5L), dir)
+    assert(liveDfOf(dir) == liveOf(dir),
+      "stateDfAt must seed from all parts of a multi-part JSON checkpoint")
+    assert(liveDfOf(dir).size == 5)
+  }
+
+  test("stateDfAt caps an explicit over-latest asOf at the head version") {
+    val dir = TestSpark.tmpDir("r12cap")
+    ActionLog.append(df(7L), dir)
+    // was: contiguity require fired with a misleading 'window was
+    // vacuumed' error; resolve/read cap this way for their callers
+    val st = ActionLog.stateDfAt(spark, dir, 5L)
+    assert(st.filter(col("a") === "add").count() == 1L)
+  }
+
+  test("expired reads fail loudly after vacuum (contiguity contract)") {
+    val dir = TestSpark.tmpDir("r12vac")
+    (1 to 5).foreach(i => ActionLog.append(df(i.toLong), dir))
+    ActionLog.vacuum(spark, dir, keepVersions = 2, graceMs = 0L)
+    val e = intercept[IllegalArgumentException] {
+      ActionLog.stateDfAt(spark, dir, 2L).collect()
+    }
+    assert(e.getMessage.contains("vacuumed"),
+      s"expired distributed read must name the vacuum, got: ${e.getMessage}")
+    // retained versions still resolve (from the horizon checkpoint)
+    assert(ActionLog.read(spark, dir, asOf = 4L).as[Long].collect().sorted
+      .toSeq == (1 to 4).map(_.toLong))
+  }
+
+  test("vacuum sweeps parquet-checkpoint dirs below the horizon") {
+    val dir = TestSpark.tmpDir("r12sweep")
+    (1 to 3).foreach(i => ActionLog.append(df(i.toLong), dir))
+    ActionLog.checkpointParquet(spark, dir) // v3 parquet ckpt => on-plane
+    (4 to 6).foreach(i => ActionLog.append(df(i.toLong), dir))
+    ActionLog.vacuum(spark, dir, keepVersions = 2, graceMs = 0L)
+    val fs = fsOf(dir)
+    val names = fs.listStatus(new org.apache.hadoop.fs.Path(s"$dir/_log"))
+      .map(_.getPath.getName).toSet
+    assert(!names.contains("00000003.checkpoint.parquet"),
+      s"the below-horizon parquet checkpoint dir must be swept, have $names")
+    assert(names.contains("00000005.checkpoint.parquet"),
+      "vacuum on a plane table must write its horizon checkpoint as parquet")
+    assert(ActionLog.read(spark, dir).as[Long].collect().sorted.toSeq
+      == (1 to 6).map(_.toLong))
+  }
+
+  test("a torn _last_checkpoint pointer is tolerated as absent") {
+    val dir = TestSpark.tmpDir("r12torn")
+    ActionLog.append(df(1L), dir)
+    ActionLog.checkpoint(spark, dir)
+    val fs = fsOf(dir)
+    val lc = new org.apache.hadoop.fs.Path(s"$dir/_log/_last_checkpoint")
+    val out = fs.create(lc, true); out.close() // zero bytes = torn writer
+    assert(ActionLog.read(spark, dir).as[Long].collect().toSeq == Seq(1L))
+    ActionLog.append(df(2L), dir)
+    ActionLog.checkpoint(spark, dir) // next checkpoint heals the pointer
+    assert(ActionLog.read(spark, dir).as[Long].collect().sorted.toSeq
+      == Seq(1L, 2L))
+  }
+
+  test("Occ blind-append dup-in-delta guard fires on a FIRST commit") {
+    val dir = TestSpark.tmpDir("r12dup")
+    val fs = fsOf(dir)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(dir))
+    // the crashed-after-recordKeys shape: feed keys recorded, no version
+    val out = fs.create(new org.apache.hadoop.fs.Path(s"$dir/_cdfkeys"), false)
+    out.write("k".getBytes("UTF-8")); out.close()
+    val dup = Seq((1L, "a"), (1L, "b")).toDF("k", "v")
+    val e = intercept[IllegalArgumentException] {
+      Occ.commit(spark, dir, Set("*"), captureAppend = Some(dup))(
+        _ => dup)
+    }
+    assert(e.getMessage.contains("duplicate key"),
+      s"the dup guard must not depend on a live snapshot: ${e.getMessage}")
+  }
+
+  test("appendOcc auto-checkpoints the table onto the parquet plane") {
+    val dir = TestSpark.tmpDir("r12auto")
+    spark.conf.set(ActionLog.AutoCheckpointConf, "5")
+    try {
+      (1 to 7).foreach(i =>
+        ActionLog.appendOcc(df(i.toLong).coalesce(1), dir, Some("k")))
+      val fs = fsOf(dir)
+      assert(fs.exists(new org.apache.hadoop.fs.Path(
+        s"$dir/_log/00000005.checkpoint.parquet/_SUCCESS")),
+        "the 5th OCC commit must land a complete parquet checkpoint")
+      // replay seeds from it; the plane's O(kept) pruning path engages
+      val (_, replayed, ckpt) = ActionLog.resolve(spark, dir, 7L)
+      assert(ckpt.contains(5L) && replayed == 2)
+      val (pruned, kept, total) = ActionLog.readWhere(spark, dir, "k", 2L, 3L)
+      assert(total == 7 && kept == 2,
+        s"on-plane readWhere must prune from the log: kept=$kept total=$total")
+      assert(pruned.as[Long].collect().sorted.toSeq == Seq(2L, 3L))
+    } finally spark.conf.unset(ActionLog.AutoCheckpointConf)
+  }
+
+  test("auto-checkpoint interval 0 disables the policy") {
+    val dir = TestSpark.tmpDir("r12auto0")
+    spark.conf.set(ActionLog.AutoCheckpointConf, "0")
+    try {
+      (1 to 5).foreach(i =>
+        ActionLog.appendOcc(df(i.toLong).coalesce(1), dir))
+      val fs = fsOf(dir)
+      val names = fs.listStatus(new org.apache.hadoop.fs.Path(s"$dir/_log"))
+        .map(_.getPath.getName)
+      assert(!names.exists(_.endsWith(".parquet")),
+        s"interval 0 must not checkpoint, have ${names.toSeq}")
+    } finally spark.conf.unset(ActionLog.AutoCheckpointConf)
+  }
+}
