@@ -990,16 +990,22 @@ object ActionLog {
     (expired.size, victims.size)
   }
 
-  /** Commit ALREADY-STAGED part files as a full REWRITE of the table
-    * (the row-level SQL write path: executors streamed the replacement
-    * into `stageDir`, no second copy). The staged files move into
-    * `data/` under writer-unique names, and ONE log record removes every
-    * file live at `base` and adds the replacements — claimed at
-    * `base + 1`, failing LOUDLY (stage cleaned up) when any commit
-    * landed since the replacement was computed.
+  /** Commit ALREADY-STAGED part files as a REWRITE of the table (the
+    * row-level SQL write path: executors streamed the replacement into
+    * `stageDir`, no second copy). The staged files move into `data/`
+    * under writer-unique names, and ONE log record removes the replaced
+    * files and adds the replacements — claimed at `base + 1`, failing
+    * LOUDLY (stage cleaned up) when any commit landed since the
+    * replacement was computed.
+    *
+    * `only` is the GROUP-granular form (Delta/Iceberg copy-on-write):
+    * the runtime group filter proved every row of every other live file
+    * survives untouched, so the record removes exactly those files and
+    * the rest stay live BY REFERENCE — the log holds names, no bytes
+    * move. None = full rewrite (every live file removed).
     */
   def rewriteStaged(spark: SparkSession, dir: String, stageDir: String,
-      base: Long): Long = {
+      base: Long, only: Option[Seq[String]] = None): Long = {
     val fs = fsOf(spark, dir)
     val head = versions(spark, dir).lastOption.getOrElse(0L)
     def stale(reason: String): Nothing = {
@@ -1009,6 +1015,18 @@ object ActionLog {
     }
     if (head != base) stale(s"head moved $base -> $head")
     val (live, _, _) = resolve(spark, dir, base)
+    val removed = only match {
+      case Some(fs) =>
+        // the filter admitted these from the live set it scanned; a
+        // name that is no longer live means the plan and the log
+        // disagree — never publish over that
+        val liveSet = live.toSet
+        val gone = fs.filterNot(liveSet)
+        if (gone.nonEmpty)
+          stale(s"replaced file(s) ${gone.mkString(",")} are not live at $base")
+        fs
+      case None => live
+    }
     val tag = "c" + java.util.UUID.randomUUID().toString.replace("-", "").take(10)
     fs.mkdirs(new Path(s"$dir/$DataDir"))
     val moved = fs.listStatus(new Path(stageDir)).toSeq
@@ -1021,7 +1039,7 @@ object ActionLog {
         name
       }
     fs.delete(new Path(stageDir), true)
-    val lines = (live.map(f => s"""{"a":"remove","p":"$f"}""") ++
+    val lines = (removed.map(f => s"""{"a":"remove","p":"$f"}""") ++
       addLines(spark, dir, moved, statsColumn(spark, dir))).mkString("\n")
     if (!tryClaim(fs, dir, base + 1L, lines)) {
       moved.foreach(f => fs.delete(new Path(s"$dir/$DataDir/$f"), false))

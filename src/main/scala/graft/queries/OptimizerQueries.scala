@@ -3419,10 +3419,13 @@ object OptimizerQueries {
     // ---------------------------------------------------------------- q317
     // ROW-LEVEL SQL ON THE LOG LAYOUT (`ActionLog.rewriteStaged` behind
     // the q313 machinery): UPDATE / MERGE INTO / expression DELETE on an
-    // action-log table commit as ONE remove-all+add log record — the
+    // action-log table commit as ONE remove+add log record — the
     // replacement streams from the executors into staging and moves into
     // `data/` with a single claim at base+1 (loud-stale if the head
     // moved), so the whole DML matrix now covers BOTH table layouts.
+    // Since round 12 the remove set is GROUP-GRANULAR (q318): here every
+    // statement's predicate touches all three files, so the full-rewrite
+    // pins below still hold.
     // Pinned: the UPDATE's record removes exactly the three live files;
     // time travel renders the pre-update content; the recorded stats
     // column is re-recorded on the replacement files so log-carried
@@ -3502,6 +3505,66 @@ object OptimizerQueries {
         "q317: one commit per statement (plus the optimize pass)")
       expectEq(m.filter(col("okey") % 9 =!= 5), "delete")
       content.groupBy(col("opri"))
+        .agg(count(lit(1)).cast("bigint").as("n"),
+          sum(col("okey")).cast("bigint").as("key_sum"))
+    },
+
+    // ---------------------------------------------------------------- q318
+    // GROUP-GRANULAR COPY-ON-WRITE for row-level SQL on the log layout
+    // (Delta/Iceberg's COW shape): the operation declares `_file` as a
+    // required metadata attribute, Spark's
+    // RowLevelOperationRuntimeGroupFiltering runs a subquery for the
+    // groups holding matching rows and pushes IN(_file) into the scan,
+    // and the commit removes ONLY those groups — every untouched file
+    // stays live BY REFERENCE, zero bytes moved. Pinned in-query: an
+    // UPDATE matching one of eight single-bucket files removes exactly
+    // one file and re-adds one; the seven others survive with their
+    // physical names; same for the DELETE. At 100 TB this is the
+    // difference between rewriting a million files for a one-key UPDATE
+    // and rewriting one.
+    Q("q318_group_cow",
+      """WITH o AS (SELECT CAST(o_orderkey AS BIGINT) AS okey,
+        |    o_orderpriority AS opri FROM orders),
+        |u AS (SELECT okey,
+        |    CASE WHEN okey % 8 = 3 THEN 'X' ELSE opri END AS opri FROM o),
+        |f AS (SELECT * FROM u WHERE okey % 8 <> 5)
+        |SELECT opri, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(okey) AS BIGINT) AS key_sum
+        |FROM f GROUP BY 1""".stripMargin) { (s, dir) =>
+      import graft.ops.ActionLog
+      val root = scratch(s, dir, "q318")
+      val lt = s"$root/t"
+      val o = Tables.load(s, dir, "orders")
+        .select(col("o_orderkey").cast("long").as("okey"),
+          col("o_orderpriority").as("opri"))
+      // eight disjoint single-file groups (one per okey residue class)
+      (0 to 7).foreach(b => ActionLog.append(
+        o.filter(col("okey") % 8 === b).coalesce(1), lt, Some("okey")))
+      val before = ActionLog.liveFiles(s, lt).map(_._1).toSet
+      require(before.size == 8, s"q318: want 8 groups, have ${before.size}")
+      val cat = "graftcow_" + java.security.MessageDigest.getInstance("MD5")
+        .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(6)
+      s.conf.set(s"spark.sql.catalog.$cat",
+        classOf[graft.source.GraftCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.root", root)
+      def liveNow = ActionLog.liveFiles(s, lt).map(_._1).toSet
+      // UPDATE matches rows in exactly ONE group
+      s.sql(s"UPDATE $cat.t SET opri = 'X' WHERE okey % 8 = 3") // v9
+      val (addU, remU) = ActionLog.actionsOf(s, lt, 9L)
+      require(remU.size == 1 && before(remU.head),
+        s"q318: the UPDATE must remove exactly the matched group, " +
+          s"removed=${remU.size}")
+      require((before - remU.head).subsetOf(liveNow),
+        "q318: the seven unmatched groups must stay live by reference")
+      require(addU.forall(!before.contains(_)), "q318: adds are new files")
+      // DELETE empties exactly ONE group
+      s.sql(s"DELETE FROM $cat.t WHERE okey % 8 = 5") // v10
+      val (_, remD) = ActionLog.actionsOf(s, lt, 10L)
+      require(remD.size == 1 && before(remD.head),
+        s"q318: the DELETE must remove exactly the matched group, " +
+          s"removed=${remD.size}")
+      s.sql(s"SELECT okey, opri FROM $cat.t")
+        .groupBy(col("opri"))
         .agg(count(lit(1)).cast("bigint").as("n"),
           sum(col("okey")).cast("bigint").as("key_sum"))
     })

@@ -27,6 +27,19 @@ object Q {
     * versioned writes, q58's idempotent-sink probe), so catalogs must not
     * carry divergent copies.
     */
+  /** Run `body` with a narrow shuffle width: streaming state stores (and
+    * the per-micro-batch fold jobs of foreachBatch views) run one task
+    * per shuffle partition per operator, and the demo streams carry
+    * kilobytes of state — 32-wide shuffles are pure fixed overhead. A
+    * production stream sizes this to its state volume. Restored after.
+    */
+  def withNarrowShuffle[A](s: SparkSession)(body: => A): A = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = s.conf.get(key)
+    s.conf.set(key, "4")
+    try body finally s.conf.set(key, prev)
+  }
+
   def scratch(s: SparkSession, sfDir: String, name: String): String = {
     val digest = java.security.MessageDigest.getInstance("MD5")
       .digest(sfDir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)

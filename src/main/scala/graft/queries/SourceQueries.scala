@@ -754,15 +754,27 @@ object SourceQueries {
         .map(_.getInt(0))
       require(hit.nonEmpty, "q177: the June band must intersect some band dir")
       val pruned = DataSkipping.pruneBanded(s, path, hit.min, hit.max)
-      val plan = pruned.queryExecution.executedPlan
-      require(plan.toString.contains("PartitionFilters: ["),
-        "q177: the band predicate must plan as a pushed partition filter")
-      pruned.collect() // drive the scan so numFiles reflects pruned listing
-      val prunedFiles = plan.collectLeaves().head.metrics("numFiles").value
-      val full = s.read.parquet(path)
-      full.collect()
-      val totalFiles = full.queryExecution.executedPlan
-        .collectLeaves().head.metrics("numFiles").value
+      // PLANNING-TIME proof, zero data jobs (round-11 note: the old form
+      // drove two full collect()s just to read numFiles, and the bench
+      // gate inherited their ambient luck): with AQE off the executed
+      // plan exposes the file scan directly, and FileIndex.listFiles
+      // under the scan's own partition filters is exactly the listing
+      // the execution would do — assert on it without scanning a byte.
+      val aqeWas = s.conf.get("spark.sql.adaptive.enabled")
+      val (prunedFiles, totalFiles) =
+        try {
+          s.conf.set("spark.sql.adaptive.enabled", "false")
+          val plan = pruned.queryExecution.executedPlan
+          require(plan.toString.contains("PartitionFilters: ["),
+            "q177: the band predicate must plan as a pushed partition filter")
+          val scan = plan.collect {
+            case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+          }.head
+          val kept = scan.relation.location
+            .listFiles(scan.partitionFilters, scan.dataFilters)
+            .map(_.files.size).sum.toLong
+          (kept, scan.relation.location.inputFiles.length.toLong)
+        } finally s.conf.set("spark.sql.adaptive.enabled", aqeWas)
       require(prunedFiles * 2 <= totalFiles,
         s"q177: directory pruning must skip half the files: $prunedFiles of $totalFiles")
       pruned
@@ -899,10 +911,14 @@ object SourceQueries {
       // at different boundaries, and on a ~12-group file the min/max luck
       // between layouts can exceed the bloom's effect.)
       def scannedRows(bloomRead: Boolean): Long = {
+        // one-column probe: the scan metric is on the leaf, so counting
+        // instead of collecting drives the identical row-group admission
+        // while decoding (and shipping) only the filter column
         val df = s.read
           .option("parquet.filter.bloom.enabled", bloomRead.toString)
-          .parquet(bloomPath).filter(col("o_custkey") === probeKey)
-        df.collect()
+          .parquet(bloomPath).select(col("o_custkey"))
+          .filter(col("o_custkey") === probeKey)
+        df.collect() // few rows: one column, one rare key
         df.queryExecution.executedPlan.collectLeaves().head.metrics("numOutputRows").value
       }
       val bloomRows = scannedRows(bloomRead = true)
@@ -2529,6 +2545,7 @@ object SourceQueries {
         |  round(CAST(sum(b) AS DOUBLE), 2) AS bal_sum
         |FROM v4 GROUP BY 1""".stripMargin) { (s, dir) =>
       import graft.ops.{ChangeFeed, IncrementalView, VersionedTable}
+      Q.withNarrowShuffle(s) {
       val root = scratch(s, dir, "q203")
       cdfVersions(s, dir, root)
       val spec = IncrementalView.Spec(Seq("n"), Seq("bal" -> col("b")))
@@ -2568,6 +2585,7 @@ object SourceQueries {
         "q203: deleted nations must leave the view, not zero out")
       view.select(col("n"), col(IncrementalView.NCol).as("n_rows"),
         round(col("bal").cast("double"), 2).as("bal_sum"))
+      }
     },
 
     // ---------------------------------------------------------------- q221
@@ -2607,6 +2625,7 @@ object SourceQueries {
         |FROM v5 GROUP BY 1""".stripMargin) { (s, dir) =>
       import graft.ops.{ChangeFeed, IncrementalView, VersionedTable}
       import graft.source.CdfStream
+      Q.withNarrowShuffle(s) {
       val root = scratch(s, dir, "q221")
       val ckpt = s"$root/_stream_ckpt"
       cdfVersions(s, dir, root)
@@ -2660,6 +2679,7 @@ object SourceQueries {
         "q221: the stream-maintained view must equal the full recompute exactly")
       view.select(col("n"), col(IncrementalView.NCol).as("n_rows"),
         round(col("bal").cast("double"), 2).as("bal_sum"))
+      }
     },
 
     // ---------------------------------------------------------------- q222
@@ -3873,6 +3893,7 @@ object SourceQueries {
         |  round(CAST(sum(b) AS DOUBLE), 2) AS bal_sum
         |FROM v6 GROUP BY 1""".stripMargin) { (s, dir) =>
       import graft.ops.{ChangeFeed, IncrementalView, VersionedTable}
+      Q.withNarrowShuffle(s) {
       import graft.source.CdfStream
       val root = scratch(s, dir, "q242")
       val ckpt = s"$root/_stream_ckpt"
@@ -3929,6 +3950,7 @@ object SourceQueries {
         "q242: an off-by-one start offset must provably diverge")
       view.select(col("n"), col(IncrementalView.NCol).as("n_rows"),
         round(col("bal").cast("double"), 2).as("bal_sum"))
+      }
     },
 
     // ---------------------------------------------------------------- q243

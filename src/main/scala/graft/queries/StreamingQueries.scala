@@ -37,12 +37,8 @@ object StreamingQueries {
     * its state volume, exactly like `spark.sql.shuffle.partitions` for
     * batch. The conf is restored afterwards (the session is shared).
     */
-  private def withNarrowShuffle[A](s: org.apache.spark.sql.SparkSession)(body: => A): A = {
-    val key = "spark.sql.shuffle.partitions"
-    val prev = s.conf.get(key)
-    s.conf.set(key, "4")
-    try body finally s.conf.set(key, prev)
-  }
+  private def withNarrowShuffle[A](s: org.apache.spark.sql.SparkSession)(body: => A): A =
+    Q.withNarrowShuffle(s)(body) // one definition (Q) — q203/q221/q242 share it
 
   val all: Seq[Q] = Seq(
 

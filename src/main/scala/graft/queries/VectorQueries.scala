@@ -713,5 +713,96 @@ object VectorQueries {
             .as("cosine_sim"))
       TopK.perGroup(scored, Seq("query_id"),
         Seq("cosine_sim" -> true, "neighbor_id" -> false), 5)
+    },
+
+    // ---------------------------------------------------------------- q319
+    // PERSISTED IVF index, maintained under DML (the round-8 ceiling item):
+    // the coarse quantizer and cell assignments live as ActionLog tables
+    // (`root/centroids`, `root/assign`), built ONCE from the initial 80% of
+    // the corpus and refreshed in O(delta) when the remaining 20% arrives —
+    // never re-derived per query. The search routes queries and corpus
+    // through the SAME frozen quantizer read from disk. Contracts required
+    // in-query: the refresh appends exactly the delta's rows in ONE add-only
+    // log commit (no rewrite of prior assignments); the index covers the
+    // whole corpus afterwards; planted near-duplicates of DELTA vectors are
+    // found at recall@1 >= 0.9 — proving refreshed rows are searchable, the
+    // exact failure a stale index hides. The oracle replays build + refresh
+    // + probe in SQL: centroids from the build subset only, every vector
+    // assigned to its max-cosine centroid, nprobe=2 search over the probed
+    // cells. At 100 TB the delta append costs O(delta) against a broadcast
+    // centroid table — the corpus is never re-clustered.
+    Q("q319_ivf_persisted",
+      s"""WITH c AS (SELECT label, vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |b AS (SELECT * FROM c WHERE vec_id % 5 <> 0),
+        |pe AS (SELECT label, unnest(v) AS val,
+        |    unnest(generate_series(1, len(v))) AS pos FROM b),
+        |comp AS (SELECT label, pos,
+        |    CAST(SUM(CAST(val AS DECIMAL(27,10))) AS DOUBLE) / COUNT(*) AS comp
+        |  FROM pe GROUP BY 1, 2),
+        |cents AS (SELECT label AS cell, list(comp ORDER BY pos) AS centroid
+        |  FROM comp GROUP BY 1),
+        |assign AS (SELECT vec_id, cell FROM (
+        |  SELECT c.vec_id, ce.cell,
+        |    row_number() OVER (PARTITION BY c.vec_id
+        |      ORDER BY ${cos("c.v", "ce.centroid")} DESC, ce.cell) AS rn
+        |  FROM c, cents ce) WHERE rn = 1),
+        |ca AS (SELECT a.cell, c.vec_id, c.v FROM c JOIN assign a USING (vec_id)),
+        |qe AS (SELECT vec_id, j,
+        |    v[j+1] + 0.02*(CASE WHEN (vec_id*31 + j) % 2 = 0 THEN 1 ELSE -1 END) AS x
+        |  FROM (SELECT vec_id, v FROM c WHERE vec_id % 5 = 0 AND vec_id < 100),
+        |    range(64) t(j)),
+        |q AS (SELECT vec_id + 1000000 AS query_id, list(x ORDER BY j) AS qv
+        |      FROM qe GROUP BY 1),
+        |probes AS (SELECT query_id, qv, cell FROM (
+        |  SELECT q.query_id, q.qv, ce.cell,
+        |    row_number() OVER (PARTITION BY q.query_id
+        |      ORDER BY ${cos("q.qv", "ce.centroid")} DESC, ce.cell) AS pr
+        |  FROM q, cents ce) WHERE pr <= 2)
+        |SELECT query_id, probed_cell, neighbor_id, cosine_sim, rank FROM (
+        |  SELECT p.query_id, ca.cell AS probed_cell, ca.vec_id AS neighbor_id,
+        |    ${cos("p.qv", "ca.v")} AS cosine_sim,
+        |    row_number() OVER (PARTITION BY p.query_id
+        |      ORDER BY ${cos("p.qv", "ca.v")} DESC, ca.vec_id) AS rank
+        |  FROM ca JOIN probes p USING (cell)) WHERE rank <= 5""".stripMargin) {
+      (s, dir) =>
+      import graft.ops.ActionLog
+      import graft.similarity.IvfIndex
+      val root = graft.queries.Q.scratch(s, dir, "q319") + "/ivf"
+      val emb = Tables.load(s, dir, "embeddings")
+        .select(col("label"), col("vec_id"),
+          col("embedding").cast("array<double>").as("embedding"))
+      val buildSet = emb.filter(col("vec_id") % 5 =!= 0)
+      val delta = emb.filter(col("vec_id") % 5 === 0)
+      IvfIndex.build(buildSet, root, "vec_id", "embedding", seedCol = "label")
+      IvfIndex.refresh(delta, root, "vec_id", "embedding")
+      // ONE add-only O(delta) commit — prior assignments never rewritten
+      require(ActionLog.versions(s, s"$root/assign") == Seq(1L, 2L),
+        "q319: refresh must be exactly one more assign commit")
+      val (adds2, rems2) = ActionLog.actionsOf(s, s"$root/assign", 2L)
+      require(rems2.isEmpty && adds2.nonEmpty,
+        "q319: the refresh commit must be add-only")
+      val (indexed, corpusN) = IvfIndex.coverage(s, root, emb, "vec_id")
+      require(indexed == corpusN,
+        s"q319: the index must cover the corpus after refresh " +
+          s"($indexed of $corpusN)")
+      // planted near-dups OF DELTA VECTORS: findable only if the refresh
+      // actually indexed them
+      val pq = delta.filter(col("vec_id") < 100)
+        .select((col("vec_id") + 1000000L).as("vec_id"),
+          transform(col("embedding"), (x, j) =>
+            x + lit(0.02) * when(((col("vec_id") * 31 + j) % 2) === 0, lit(1.0))
+              .otherwise(lit(-1.0))).as("embedding"))
+      val truth = Knn.bruteForceTopK(pq, emb, "vec_id", "vec_id",
+        "embedding", k = 1).select(col("query_id"), col("neighbor_id"))
+      val found = IvfIndex.search(pq, emb, root, "vec_id", "vec_id",
+        "embedding", k = 5, nprobe = 2).localCheckpoint()
+      val hits = truth.join(found.filter(col("rank") === 1)
+          .select(col("query_id"), col("neighbor_id")),
+        Seq("query_id", "neighbor_id"), "left_semi").count()
+      val nQ = truth.count()
+      require(nQ > 0 && hits.toDouble / nQ >= 0.9,
+        s"q319: delta near-dup recall@1 = $hits/$nQ < 0.9 — refreshed " +
+          "rows are not searchable")
+      found
     })
 }

@@ -226,6 +226,15 @@ private[source] class CdfMicroBatchStream(path: String, schema: StructType,
 private[source] case class CdfFilePartition(version: Long, file: String)
   extends InputPartition
 
+/** The connector's metadata-column names (DSv2 `SupportsMetadataColumns`).
+  * `_file` carries each row's source file NAME — the group identity that
+  * runtime group filtering keys copy-on-write row-level SQL on (Delta and
+  * Iceberg expose the same column for the same reason).
+  */
+object GraftMeta {
+  val FileCol = "_file"
+}
+
 /** Decodes one `_cdf` parquet file to [[InternalRow]]s via the parquet
   * Group API: fields resolve BY NAME against the requested schema (absent
   * columns read null — add-column evolution), `_commit_version` comes from
@@ -248,12 +257,17 @@ private[source] class CdfReaderFactory(schema: StructType,
         ParquetReader.builder(new GroupReadSupport(), new Path(p.file))
           .withConf(new Configuration()).build()
       private var row: InternalRow = _
+      // the `_file` metadata column (SupportsMetadataColumns): each
+      // partition IS one file, so the value is a per-reader constant
+      private val fileName = org.apache.spark.unsafe.types.UTF8String
+        .fromString(new Path(p.file).getName)
 
       private def convert(g: Group): InternalRow = {
         val fileType = g.getType
         val vals = schema.fields.map { f =>
           val phys = nameMap.getOrElse(f.name, f.name)
           if (f.name == graft.ops.ChangeFeed.CommitVersion) p.version
+          else if (f.name == GraftMeta.FileCol) fileName
           else if (!fileType.containsField(phys))
             fill.getOrElse(f.name, null) // default-fill, else pre-evolution null
           else {

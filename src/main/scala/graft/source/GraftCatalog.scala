@@ -836,9 +836,20 @@ private[source] class GraftLogSqlTable(tableName: String, dir: String,
     dml: Option[DmlTarget] = None, baseVersion: Long = -1L)
     extends Table with SupportsRead
     with org.apache.spark.sql.connector.catalog.SupportsWrite
+    with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns
     with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations {
   override def name(): String = tableName
   override def schema(): StructType = tableSchema
+  // `_file`: each row's source file name — the group identity row-level
+  // COW keys on (and a user-queryable provenance column, Delta-style)
+  override def metadataColumns()
+      : Array[org.apache.spark.sql.connector.catalog.MetadataColumn] =
+    Array(new org.apache.spark.sql.connector.catalog.MetadataColumn {
+      override def name(): String = GraftMeta.FileCol
+      override def dataType(): org.apache.spark.sql.types.DataType =
+        org.apache.spark.sql.types.StringType
+      override def isNullable: Boolean = false
+    })
   override def capabilities(): java.util.Set[TableCapability] =
     if (dml.isEmpty) java.util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.MICRO_BATCH_READ)
@@ -853,8 +864,10 @@ private[source] class GraftLogSqlTable(tableName: String, dir: String,
     new GraftDmlWriteBuilder(dml.getOrElse(sys.error(
       s"GraftCatalog: $tableName is not writable — AS-OF log reads " +
         "mutate through the typed ops layer")))
-  // UPDATE / MERGE / expression DELETE: the copy-on-write replacement
-  // commits as ONE remove-all+add log record at base+1 (rewriteStaged)
+  // UPDATE / MERGE / expression DELETE: GROUP-granular copy-on-write —
+  // the runtime group filter narrows the operation to the files holding
+  // matching rows, and the commit is ONE remove(affected)+add log record
+  // at base+1; untouched files stay live by reference (rewriteStaged)
   override def newRowLevelOperationBuilder(
       info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
       : org.apache.spark.sql.connector.write.RowLevelOperationBuilder = {
@@ -863,8 +876,17 @@ private[source] class GraftLogSqlTable(tableName: String, dir: String,
         "mutate through the typed ops layer"))
     require(baseVersion >= 1L,
       s"GraftCatalog: $tableName has no base version for row-level ops")
-    () => new GraftRowLevelOperation(info.command(), t, baseVersion,
-      opts => this.newScanBuilder(opts))
+    () => {
+      lazy val op: GraftRowLevelOperation = new GraftRowLevelOperation(
+        info.command(), t, baseVersion,
+        opts => new GraftLogScanBuilder(dir, files, statsCol, tableSchema,
+          opts) {
+          override def build(): Scan =
+            buildCow(files.map(_._1), fs => op.replacedFiles = Some(fs))
+        },
+        groupFilterable = true)
+      op
+    }
   }
 }
 
@@ -902,13 +924,76 @@ private[source] class GraftLogScanBuilder(dir: String,
   }
   override def pushedFilters(): Array[Filter] = Array.empty
 
-  override def build(): Scan = {
-    val keep = files.collect {
-      case (f, Some((lo, hi, _))) if hi >= bounds._1 && lo <= bounds._2 => f
-      case (f, None) => f // stats-less file: conservative admit
-    }
-    new GraftLogScan(dir, keep, files.size, pruned, options)
+  private def keepFiles: Seq[String] = files.collect {
+    case (f, Some((lo, hi, _))) if hi >= bounds._1 && lo <= bounds._2 => f
+    case (f, None) => f // stats-less file: conservative admit
   }
+
+  override def build(): Scan =
+    new GraftLogScan(dir, keepFiles, files.size, pruned, options)
+
+  /** The row-level operation's scan: runtime-group-filterable. `allLive`
+    * is the UNPRUNED live set — a stats-pruned file can still hold rows
+    * the operation deletes wholesale (nothing survives into the
+    * replacement content, so no partition needs reading), and it must
+    * still land in the commit's remove set.
+    */
+  protected def buildCow(allLive: Seq[String],
+      register: Seq[String] => Unit): Scan =
+    new GraftLogCowScan(dir, keepFiles, allLive, files.size, pruned, register)
+}
+
+/** Group-filterable scan for row-level SQL on the log layout: Spark's
+  * `RowLevelOperationRuntimeGroupFiltering` executes a subquery for the
+  * `_file` values holding matching rows and pushes IN(`_file`, ...) here;
+  * the scan then reads ONLY those groups, and `register` hands the
+  * commit the exact file set the operation replaces. Without a runtime
+  * filter the scan reads everything and the commit stays whole-table.
+  */
+private[source] class GraftLogCowScan(dir: String, keep: Seq[String],
+    allLive: Seq[String], total: Int, schema: StructType,
+    register: Seq[String] => Unit)
+    extends Scan with Batch
+    with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering {
+  import org.apache.spark.sql.connector.expressions.NamedReference
+
+  @volatile private var toRead: Seq[String] = keep
+
+  override def readSchema(): StructType = schema
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"GraftLogCowScan [$dir] files=${toRead.size}/$total"
+
+  override def filterAttributes(): Array[NamedReference] =
+    Array(org.apache.spark.sql.connector.expressions.Expressions
+      .column(GraftMeta.FileCol))
+
+  override def filter(predicates
+      : Array[org.apache.spark.sql.connector.expressions.filter.Predicate])
+      : Unit = {
+    val admits = predicates.toSeq.collect {
+      case p if p.name == "IN" && p.children.headOption.exists {
+          case r: NamedReference =>
+            r.fieldNames.sameElements(Array(GraftMeta.FileCol))
+          case _ => false
+        } =>
+        p.children.tail.collect {
+          case l: org.apache.spark.sql.connector.expressions.Literal[_] =>
+            String.valueOf(l.value)
+        }.toSet
+    }
+    if (admits.nonEmpty) {
+      val admit = admits.reduce(_ intersect _)
+      toRead = toRead.filter(admit)
+      register(allLive.filter(admit))
+    }
+  }
+
+  override def planInputPartitions(): Array[InputPartition] =
+    toRead.map(f => CdfFilePartition(0L, s"$dir/data/$f"): InputPartition)
+      .toArray
+  override def createReaderFactory(): PartitionReaderFactory =
+    new CdfReaderFactory(schema)
 }
 
 private[source] class GraftLogScan(dir: String, keep: Seq[String],

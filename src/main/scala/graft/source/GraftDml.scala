@@ -193,13 +193,40 @@ private[source] class GraftDmlWriteBuilder(target: DmlTarget)
   * deletion-vector path ([[GraftDelete]]); this is the road for
   * everything that genuinely rewrites rows.
   */
+/** The connector's row-level operation (UPDATE / MERGE / rewrite DELETE).
+  *
+  * On the LOG layout the operation is GROUP-GRANULAR copy-on-write
+  * (Delta/Iceberg's shape): `requiredMetadataAttributes` asks the plan to
+  * carry `_file`, Spark's `RowLevelOperationRuntimeGroupFiltering` runs a
+  * subquery for the groups holding matching rows and pushes the result
+  * into the operation's scan as an IN(`_file`) runtime filter, and the
+  * commit removes ONLY those groups' files while every untouched file
+  * stays live by reference — a one-row UPDATE on a million-file table
+  * reads, rewrites and logs one group, never the table. When no runtime
+  * filter fires (conf off, non-selective condition) `replacedFiles`
+  * stays None and the commit falls back to whole-table replacement —
+  * pruning is an optimization, never a correctness bet.
+  */
 private[source] class GraftRowLevelOperation(
     cmd: org.apache.spark.sql.connector.write.RowLevelOperation.Command,
     target: DmlTarget, baseVersion: Long,
-    scanBuilderFn: CaseInsensitiveStringMap => ScanBuilder)
+    scanBuilderFn: CaseInsensitiveStringMap => ScanBuilder,
+    groupFilterable: Boolean = false)
     extends org.apache.spark.sql.connector.write.RowLevelOperation {
+
+  /** Set by the COW scan when the runtime group filter narrows the
+    * operation; read by the write at commit. None = whole-table.
+    */
+  @volatile private[source] var replacedFiles: Option[Seq[String]] = None
+
   override def command()
       : org.apache.spark.sql.connector.write.RowLevelOperation.Command = cmd
+  override def requiredMetadataAttributes()
+      : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    if (groupFilterable)
+      Array(org.apache.spark.sql.connector.expressions.Expressions
+        .column(GraftMeta.FileCol))
+    else Array.empty
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     scanBuilderFn(options)
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
@@ -208,7 +235,8 @@ private[source] class GraftRowLevelOperation(
         new org.apache.spark.sql.connector.write.Write {
           override def toBatch
               : org.apache.spark.sql.connector.write.BatchWrite =
-            new GroupBatchWrite(target, baseVersion, info.schema())
+            new GroupBatchWrite(target, baseVersion, info.schema(),
+              () => replacedFiles)
         }
     }
 }

@@ -167,7 +167,9 @@ private[source] class GroupDataWriterFactory(stageDir: String,
   * (no rebase is possible for already-materialized content).
   */
 private[source] class GroupBatchWrite(target: DmlTarget, baseVersion: Long,
-    writeSchema: StructType) extends BatchWrite {
+    writeSchema: StructType,
+    replacedFiles: () => Option[Seq[String]] = () => None)
+    extends BatchWrite {
 
   private val stageName = "_stage-" + UUID.randomUUID().toString
   private val stageDir = s"${target.dir}/$stageName"
@@ -234,8 +236,11 @@ private[source] class GroupBatchWrite(target: DmlTarget, baseVersion: Long,
     }
     fs.create(new Path(stageDir, "_SUCCESS"), true).close()
     if (target.layout == "log")
+      // group-granular COW: when the runtime group filter narrowed the
+      // operation, remove ONLY the affected groups' files — untouched
+      // files stay live by reference, never rewritten
       graft.ops.ActionLog.rewriteStaged(spark, target.dir, stageDir,
-        baseVersion)
+        baseVersion, only = replacedFiles())
     else
       Occ.commitStagedDir(spark, target.dir, stageName, baseVersion,
         Set("*"))

@@ -185,4 +185,76 @@ class Round12OpsSpec extends AnyFunSuite {
         s"interval 0 must not checkpoint, have ${names.toSeq}")
     } finally spark.conf.unset(ActionLog.AutoCheckpointConf)
   }
+
+  // ---- group-granular copy-on-write for row-level SQL (log layout) ----
+
+  private def logCat(root: String, tag: String): String = {
+    val cat = s"r12cow$tag"
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.source.GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.root", root)
+    cat
+  }
+
+  test("row-level SQL rewrites only the groups holding matching rows") {
+    val root = TestSpark.tmpDir("r12cowu")
+    val dir = s"$root/t"
+    // four single-file commits over disjoint key ranges
+    (0 to 3).foreach { b =>
+      ActionLog.append(
+        spark.range(b * 100L, b * 100L + 10L).toDF("k")
+          .withColumn("v", lit("a")).coalesce(1), dir, Some("k"))
+    }
+    val before = liveOf(dir)
+    assert(before.size == 4)
+    val cat = logCat(root, "u")
+    spark.sql(s"UPDATE $cat.t SET v = 'X' WHERE k = 205") // file of b=2
+    assert(ActionLog.versions(spark, dir) == (1L to 5L).toSeq,
+      "the UPDATE must be one log commit")
+    val (added, removed) = ActionLog.actionsOf(spark, dir, 5L)
+    assert(removed.size == 1,
+      s"only the matched group's file may be removed, got $removed")
+    assert(before.contains(removed.head))
+    val untouched = before - removed.head
+    assert(untouched.subsetOf(liveOf(dir)),
+      "unmatched groups must stay live BY REFERENCE (no rewrite)")
+    assert(added.nonEmpty && added.forall(!before.contains(_)))
+    // content is exact
+    val got = spark.sql(s"SELECT k, v FROM $cat.t WHERE v = 'X'")
+      .as[(Long, String)].collect().toSeq
+    assert(got == Seq((205L, "X")))
+    assert(spark.sql(s"SELECT count(*) FROM $cat.t").as[Long].head == 40L)
+  }
+
+  test("expression DELETE removes fully-emptied groups without a rewrite") {
+    val root = TestSpark.tmpDir("r12cowd")
+    val dir = s"$root/t"
+    (0 to 2).foreach { b =>
+      ActionLog.append(
+        spark.range(b * 100L, b * 100L + 10L).toDF("k")
+          .withColumn("v", lit("a")).coalesce(1), dir, Some("k"))
+    }
+    val before = liveOf(dir)
+    val cat = logCat(root, "d")
+    // matches every row of exactly one group (k in [100,110))
+    spark.sql(s"DELETE FROM $cat.t WHERE k >= 100 AND k < 200")
+    val (_, removed) = ActionLog.actionsOf(spark, dir, 4L)
+    assert(removed.size == 1, s"one group matched, got removed=$removed")
+    assert((before - removed.head).subsetOf(liveOf(dir)))
+    assert(spark.sql(s"SELECT count(*) FROM $cat.t").as[Long].head == 20L)
+    assert(spark.sql(s"SELECT min(k), max(k) FROM $cat.t")
+      .as[(Long, Long)].head == ((0L, 209L)))
+  }
+
+  test("the _file metadata column is queryable on log tables") {
+    val root = TestSpark.tmpDir("r12file")
+    val dir = s"$root/t"
+    ActionLog.append(df(1L, 2L).coalesce(1), dir)
+    ActionLog.append(df(3L).coalesce(1), dir)
+    val cat = logCat(root, "f")
+    val files = spark.sql(s"SELECT DISTINCT _file FROM $cat.t")
+      .as[String].collect().toSet
+    assert(files == liveOf(dir),
+      s"_file must render each row's live source file: $files vs ${liveOf(dir)}")
+  }
 }
