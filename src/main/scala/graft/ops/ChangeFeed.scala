@@ -39,6 +39,47 @@ object ChangeFeed {
   private def cdfDir(dir: String, v: Long): Path =
     new Path(VersionedTable.verDir(dir, v), CdfDirName)
 
+  /** PROTOCOL-LEVEL overwrite capture (Delta's shape for blind INSERT
+    * OVERWRITE): the version carries only this marker — zero capture
+    * bytes, no diff join at write time — and readers EXPAND it lazily as
+    * "every logical row of v-1 is a delete, every row of v an insert".
+    * [[netChanges]] collapses the expansion to the same net answer the
+    * write-side keyed diff produced (unchanged rows vanish, changed rows
+    * pair into updates), so consumers that want the net form still get
+    * it — computed from O(changes this range), not one join per commit.
+    * The writer only emits the marker when v-1 exists and carries no
+    * deletion vectors (a DV-masked base needs the logical view, which is
+    * exactly what the keyed-diff fallback reads).
+    */
+  val OverwriteMarkerName = "_cdf_overwrite"
+
+  private def markerPath(dir: String, v: Long): Path =
+    new Path(VersionedTable.verDir(dir, v), OverwriteMarkerName)
+
+  /** Whether version `v` carries change capture in either form. */
+  def hasCapture(spark: SparkSession, dir: String, v: Long): Boolean = {
+    val fs = VersionedTable.fsOf(spark, dir)
+    fs.exists(cdfDir(dir, v)) || fs.exists(markerPath(dir, v))
+  }
+
+  /** Expand an overwrite marker: deletes = the LOGICAL content of v-1,
+    * inserts = the content of v. Two scans, a union, no join.
+    */
+  private def expandOverwrite(spark: SparkSession, dir: String,
+      v: Long): DataFrame = {
+    val fs = VersionedTable.fsOf(spark, dir)
+    require(VersionedTable.complete(fs, VersionedTable.verDir(dir, v - 1L)),
+      s"ChangeFeed($dir): version $v's overwrite capture derives from " +
+        s"version ${v - 1} which is expired or missing — replay from a " +
+        "retained snapshot instead")
+    def logical(ver: Long): DataFrame =
+      if (fs.exists(new Path(VersionedTable.verDir(dir, ver), "_dv")))
+        DeletionVectors.readVersion(spark, dir, ver)
+      else VersionedTable.readVersion(spark, dir, ver)
+    logical(v - 1L).withColumn(ChangeType, lit("delete"))
+      .unionByName(logical(v).withColumn(ChangeType, lit("insert")))
+  }
+
   /** The key columns this table's feed diffs on, recorded at the first
     * captured commit (`_cdfkeys`, like the log's `_statscol`). This is
     * what lets the SQL DML paths — which receive no key declaration —
@@ -211,6 +252,7 @@ object ChangeFeed {
       val cd = cdfDir(dir, v)
       val changes =
         if (fs.exists(cd)) spark.read.parquet(cd.toString)
+        else if (fs.exists(markerPath(dir, v))) expandOverwrite(spark, dir, v)
         else snapshotDiff(spark, dir, v, keyCols)
       changes.withColumn(CommitVersion, lit(v))
       // allowMissingColumns: captures written before an add-column
@@ -342,9 +384,13 @@ object ChangeFeed {
     val dataCols = changes.columns.toSeq
       .filterNot(c => c == ChangeType || c == CommitVersion)
     val post = changes.filter(col(ChangeType) =!= "update_preimage")
+    // WITHIN a version, a raw overwrite expansion can carry both a delete
+    // (the old row) and an insert (the new row) of one key — the insert
+    // is that version's final state, so non-deletes order first
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(keyCols.map(col): _*)
-      .orderBy(col(CommitVersion).desc)
+      .orderBy(col(CommitVersion).desc,
+        when(col(ChangeType) === "delete", 0).otherwise(1).desc)
     val latest = post
       .withColumn("_rn", row_number().over(w))
       .filter(col("_rn") === 1)

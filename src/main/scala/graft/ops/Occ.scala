@@ -212,13 +212,16 @@ object Occ {
 
   def commit(spark: SparkSession, dir: String, writeSet: Set[String],
       captureKeys: Option[Seq[String]] = None, dataChange: Boolean = true,
-      captureAppend: Option[DataFrame] = None)
+      captureAppend: Option[DataFrame] = None,
+      captureOverwrite: Option[Seq[String]] = None)
       (mutate: Option[DataFrame] => DataFrame, maxRebases: Int = 10,
        hook: () => Unit = () => ()): Committed = {
     require(writeSet.nonEmpty, "Occ.commit: declare a write set (or Set(\"*\"))")
     require(!writeSet("#rewrite"), "Occ.commit: #rewrite is a reserved token")
-    require(captureKeys.isEmpty || captureAppend.isEmpty,
-      "Occ.commit: captureKeys and captureAppend are exclusive capture modes")
+    require(Seq(captureKeys, captureAppend, captureOverwrite)
+        .count(_.isDefined) <= 1,
+      "Occ.commit: captureKeys / captureAppend / captureOverwrite are " +
+        "exclusive capture modes")
     val fs = VersionedTable.fsOf(spark, dir)
     fs.mkdirs(new Path(dir))
     var rebases = 0
@@ -283,6 +286,23 @@ object Occ {
       captureKeys.foreach { keys =>
         ChangeFeed.diff(snapshot, spark.read.parquet(stage.toString), keys)
           .write.mode(SaveMode.Overwrite).parquet(new Path(stage, "_cdf").toString)
+      }
+      // OVERWRITE capture (Delta's protocol shape): when the base is a
+      // plain version, the capture is a MARKER the readers expand lazily
+      // (deletes = v-1's rows, inserts = v's) — no diff join, no capture
+      // bytes. A DV-masked or absent base falls back to the keyed diff:
+      // the marker's expansion rule needs a predecessor whose raw files
+      // ARE its logical content.
+      captureOverwrite.foreach { keys =>
+        val dvBase = snapshot.isDefined && fs.exists(
+          new Path(VersionedTable.verDir(dir, base), "_dv"))
+        if (snapshot.isDefined && !dvBase)
+          fs.create(new Path(stage, ChangeFeed.OverwriteMarkerName), true)
+            .close()
+        else
+          ChangeFeed.diff(snapshot, spark.read.parquet(stage.toString), keys)
+            .write.mode(SaveMode.Overwrite)
+            .parquet(new Path(stage, "_cdf").toString)
       }
       // APPEND capture (the blind-INSERT form): the change set is exactly
       // the appended delta tagged `insert` — no keyed diff, no keys needed,

@@ -157,11 +157,24 @@ private[source] class CdfMicroBatchStream(path: String, schema: StructType,
   // change-set bytes of one version — O(files) metadata, cached (the
   // capture is immutable once its version is complete)
   private val cdfBytesCache = scala.collection.mutable.HashMap.empty[Long, Long]
+  private def dataBytes(f: org.apache.hadoop.fs.FileSystem, v: Long): Long = {
+    val vd = VersionedTable.verDir(path, v)
+    if (!f.exists(vd)) 0L
+    else f.listStatus(vd).toSeq
+      .filter(st => st.isFile && !st.getPath.getName.startsWith("_") &&
+        !st.getPath.getName.startsWith("."))
+      .map(_.getLen).sum
+  }
   private def cdfBytes(v: Long): Long = cdfBytesCache.getOrElseUpdate(v, {
-    val cdf = new Path(VersionedTable.verDir(path, v), "_cdf")
     val f = fs
-    if (!f.exists(cdf)) 0L
-    else f.listStatus(cdf).toSeq.filter(_.isFile).map(_.getLen).sum
+    val vd = VersionedTable.verDir(path, v)
+    val cdf = new Path(vd, "_cdf")
+    if (f.exists(cdf))
+      f.listStatus(cdf).toSeq.filter(_.isFile).map(_.getLen).sum
+    else if (f.exists(new Path(vd, graft.ops.ChangeFeed.OverwriteMarkerName)))
+      // marker expansion streams v-1's rows as deletes + v's as inserts
+      dataBytes(f, v - 1L) + dataBytes(f, v)
+    else 0L
   })
 
   /** Admission: version cap AND byte budget compose — versions are
@@ -205,13 +218,32 @@ private[source] class CdfMicroBatchStream(path: String, schema: StructType,
         s"cdf stream($path): version $v is expired or missing — the feed " +
           "has a gap; restart from a retained snapshot instead")
       val cdf = new Path(vd, "_cdf")
-      require(f.exists(cdf),
+      val marker = new Path(vd, graft.ops.ChangeFeed.OverwriteMarkerName)
+      def dataFiles(ver: Long): Seq[org.apache.hadoop.fs.FileStatus] =
+        f.listStatus(VersionedTable.verDir(path, ver)).toSeq
+          .filter(st => st.isFile && !st.getPath.getName.startsWith("_") &&
+            !st.getPath.getName.startsWith("."))
+      if (f.exists(cdf))
+        f.listStatus(cdf).toSeq
+          .filter(st => st.isFile && !st.getPath.getName.startsWith("_") &&
+            !st.getPath.getName.startsWith("."))
+          .map(st => CdfFilePartition(v, st.getPath.toString): InputPartition)
+      else if (f.exists(marker)) {
+        // overwrite marker: v-1's rows stream as deletes, v's as inserts —
+        // the writer's marker rule guarantees a plain (non-DV) predecessor
+        require(VersionedTable.complete(f, VersionedTable.verDir(path, v - 1)),
+          s"cdf stream($path): version $v's overwrite capture derives " +
+            s"from expired version ${v - 1} — restart from a snapshot")
+        require(!f.exists(new Path(VersionedTable.verDir(path, v - 1), "_dv")),
+          s"cdf stream($path): version $v's overwrite marker sits on a " +
+            "DV-masked predecessor — the writer must capture a keyed diff")
+        dataFiles(v - 1).map(st =>
+          CdfFilePartition(v, st.getPath.toString, "delete"): InputPartition) ++
+          dataFiles(v).map(st =>
+            CdfFilePartition(v, st.getPath.toString, "insert"): InputPartition)
+      } else sys.error(
         s"cdf stream($path): version $v has no change capture — every " +
           "commit on a streamed table must go through ChangeFeed.commit")
-      f.listStatus(cdf).toSeq
-        .filter(st => st.isFile && !st.getPath.getName.startsWith("_") &&
-          !st.getPath.getName.startsWith("."))
-        .map(st => CdfFilePartition(v, st.getPath.toString): InputPartition)
     }.toArray
   }
 
@@ -223,7 +255,11 @@ private[source] class CdfMicroBatchStream(path: String, schema: StructType,
   override def stop(): Unit = ()
 }
 
-private[source] case class CdfFilePartition(version: Long, file: String)
+/** One change file (or, with `tag` set, one DATA file of an overwrite-
+  * marker expansion whose every row reads as change type `tag`).
+  */
+private[source] case class CdfFilePartition(version: Long, file: String,
+    tag: String = null)
   extends InputPartition
 
 /** The connector's metadata-column names (DSv2 `SupportsMetadataColumns`).
@@ -268,6 +304,8 @@ private[source] class CdfReaderFactory(schema: StructType,
           val phys = nameMap.getOrElse(f.name, f.name)
           if (f.name == graft.ops.ChangeFeed.CommitVersion) p.version
           else if (f.name == GraftMeta.FileCol) fileName
+          else if (f.name == graft.ops.ChangeFeed.ChangeType && p.tag != null)
+            org.apache.spark.unsafe.types.UTF8String.fromString(p.tag)
           else if (!fileType.containsField(phys))
             fill.getOrElse(f.name, null) // default-fill, else pre-evolution null
           else {

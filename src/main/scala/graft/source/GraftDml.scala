@@ -93,7 +93,7 @@ private[source] object GraftDml {
                   "to record them")))
           else None
         Occ.commit(spark, target.dir, writeSet = Set(token),
-          captureKeys = keys,
+          captureOverwrite = keys,
           captureAppend = if (tracked && !overwrite) Some(data) else None) {
           base =>
             base match {

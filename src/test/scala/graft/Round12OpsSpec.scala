@@ -246,6 +246,59 @@ class Round12OpsSpec extends AnyFunSuite {
       .as[(Long, Long)].head == ((0L, 209L)))
   }
 
+  test("INSERT OVERWRITE captures as a lazy marker: no join, streamable") {
+    import graft.ops.{ChangeFeed, VersionedTable}
+    val root = TestSpark.tmpDir("r12ow")
+    val dir = s"$root/ns/t"
+    val cat = logCat(root, "ow")
+    ChangeFeed.commit(Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v"),
+      dir, Seq("k"))
+    spark.sql(s"INSERT OVERWRITE $cat.ns.t VALUES (2, 'b'), (9, 'z')") // v2
+    val fs = fsOf(dir)
+    assert(fs.exists(new org.apache.hadoop.fs.Path(
+      VersionedTable.verDir(dir, 2L), ChangeFeed.OverwriteMarkerName)))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(
+      VersionedTable.verDir(dir, 2L), "_cdf")),
+      "the protocol-level capture writes zero bytes")
+    // reading the capture plans NO JOIN against base data (the round-11
+    // wrong-shape: the old form shuffled two whole tables per overwrite)
+    val ch = ChangeFeed.tableChanges(spark, dir, 1L, 2L, Seq("k"))
+    assert(ch.queryExecution.optimizedPlan.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+    }.isEmpty, "overwrite capture must expand without a join")
+    // raw form = Delta's: every old row a delete, every new row an insert
+    assert(ch.filter(col(ChangeFeed.ChangeType) === "delete")
+      .select("k").as[Long].collect().sorted.toSeq == Seq(1L, 2L, 3L))
+    assert(ch.filter(col(ChangeFeed.ChangeType) === "insert")
+      .select("k").as[Long].collect().sorted.toSeq == Seq(2L, 9L))
+    // net form = the round-9 contract: unchanged k=2 contributes nothing
+    val net = ChangeFeed.netChanges(spark, dir, 1L, 2L, Seq("k"))
+      .localCheckpoint()
+    assert(net.count() == 3L)
+    assert(net.filter(col(ChangeFeed.ChangeType) === "insert")
+      .select("k").as[Long].collect().toSeq == Seq(9L))
+    // replay folds the same-version delete+insert pair correctly
+    val replayed = ChangeFeed.apply(None,
+      ChangeFeed.tableChanges(spark, dir, 0L, 2L, Seq("k")), Seq("k"))
+    val live = spark.sql(s"SELECT k, v FROM $cat.ns.t")
+    assert(replayed.exceptAll(live).isEmpty && live.exceptAll(replayed).isEmpty)
+    // and the NATIVE CDF stream expands the marker version
+    val seen = collection.mutable.ArrayBuffer.empty[(String, Long)]
+    val q = graft.source.CdfStream.read(spark, dir, startingVersion = Some(1L))
+      .writeStream
+      .option("checkpointLocation", TestSpark.tmpDir("r12ow-ckpt"))
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        batch.select(col(ChangeFeed.ChangeType), col("k")).collect()
+          .foreach(r => seen.synchronized {
+            seen += r.getString(0) -> r.getLong(1)
+          })
+      }.start()
+    try q.processAllAvailable() finally q.stop()
+    assert(seen.sorted == Seq("delete" -> 1L, "delete" -> 2L, "delete" -> 3L,
+      "insert" -> 2L, "insert" -> 9L).sorted,
+      s"the stream must carry the expanded overwrite, got $seen")
+  }
+
   test("the _file metadata column is queryable on log tables") {
     val root = TestSpark.tmpDir("r12file")
     val dir = s"$root/t"

@@ -45,18 +45,26 @@ class Round9OpsSpec extends AnyFunSuite {
     assert(fs.exists(new org.apache.hadoop.fs.Path(
       VersionedTable.verDir(dir, 3L), "_cdf")),
       "a SQL UPDATE on a tracked table must commit WITH capture")
-    // INSERT OVERWRITE diffs under the recorded keys: vs {(1,a),(2,B),
-    // (3,c)} the unchanged k=2 contributes NOTHING, 9 inserts, 1/3 delete
+    // INSERT OVERWRITE captures at the PROTOCOL level (round 12): a
+    // MARKER, expanded lazily by readers — no diff join at write time.
+    // The NET view is unchanged: vs {(1,a),(2,B),(3,c)} the unchanged
+    // k=2 contributes NOTHING, 9 inserts, 1/3 delete.
     spark.sql(s"INSERT OVERWRITE $cat.ns.t VALUES (2, 'B'), (9, 'z')")
+    assert(ChangeFeed.hasCapture(spark, dir, 4L))
     assert(fs.exists(new org.apache.hadoop.fs.Path(
-      VersionedTable.verDir(dir, 4L), "_cdf")))
-    val ch4 = spark.read.parquet(
-      VersionedTable.verDir(dir, 4L).toString + "/_cdf")
+      VersionedTable.verDir(dir, 4L), ChangeFeed.OverwriteMarkerName)),
+      "a plain-base overwrite must capture as a marker, not a diff")
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(
+      VersionedTable.verDir(dir, 4L), "_cdf")),
+      "the marker form writes zero capture bytes")
+    val ch4 = ChangeFeed.netChanges(spark, dir, 3L, 4L, Seq("k"))
+      .localCheckpoint()
     assert(ch4.filter(col(ChangeFeed.ChangeType) === "insert")
       .select("k").as[Long].collect().toSeq == Seq(9L),
-      "the overwrite capture must be the keyed diff, not a blind insert set")
+      "the net view of the overwrite must be the keyed diff")
     assert(ch4.filter(col(ChangeFeed.ChangeType) === "delete")
       .select("k").as[Long].collect().sorted.toSeq == Seq(1L, 3L))
+    assert(ch4.count() == 3L, "the unchanged key must contribute nothing")
     // SQL DELETE on the tracked table captures too (DV path)
     spark.sql(s"DELETE FROM $cat.ns.t WHERE k = 9")
     assert(fs.exists(new org.apache.hadoop.fs.Path(
