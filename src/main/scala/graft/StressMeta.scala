@@ -146,6 +146,53 @@ object StressMeta {
       f"""cold=${coldS}%.2fs warm=${warmS}%.2fs prune=${pruneS}%.2fs """ +
       f"""vacuum=${vacS}%.1fs optimize=${optS}%.1fs vacuum2=${vac2S}%.1fs """ +
       f"""resolvePost=${resolvePostS}%.3fs/$replayedPost""")
+
+    // ---- WIDE-TABLE rehearsal (SPARK_GRAFT_STRESS_FILES): a table of
+    // >=100 k live files, the shape where the DRIVER-side metadata plane
+    // dies (Delta's raison d'être for parquet checkpoints). Everything
+    // asserted here runs on the DISTRIBUTED plane: the checkpoint is a
+    // Spark job, resolution is a DataFrame, and readWhere's driver
+    // traffic is O(kept names) + one count — never O(files) objects.
+    sys.env.get("SPARK_GRAFT_STRESS_FILES").map(_.toInt).foreach { target =>
+      import org.apache.spark.sql.functions.col
+      val wide = s"$root/wide"
+      val perCommit = 1000
+      val commits = math.max(1, target / perCommit)
+      // parquet-checkpoint every 10 commits (the auto-checkpoint default)
+      spark.conf.set(ActionLog.AutoCheckpointConf, "10")
+      val (_, wIngestS) = timed(
+        s"$commits appends x $perCommit single-row-range files") {
+        (1 to commits).foreach { c =>
+          val lo = (c - 1).toLong * perCommit
+          ActionLog.appendOcc(
+            spark.range(lo, lo + perCommit).toDF("k")
+              .repartitionByRange(perCommit, col("k")),
+            wide, statsCol = Some("k"))
+          if (c % 20 == 0) println(s"[stress-meta]   ... commit $c/$commits")
+        }
+      }
+      val nFiles = target / perCommit * perCommit
+      val (resolved, wResolveS) = timed(s"resolveDf over $nFiles files") {
+        ActionLog.resolveDf(spark, wide).count()
+      }
+      require(resolved >= nFiles.toLong,
+        s"distributed resolution must see every live file, got $resolved")
+      val ((rows, kept, total), wPruneS) =
+        timed("readWhere band of 10 keys (O(kept) driver traffic)") {
+          val (df, k, t) = ActionLog.readWhere(spark, wide, "k", 500L, 509L)
+          (df.count(), k, t)
+        }
+      println(s"[stress-meta]   -> rows=$rows kept=$kept/$total")
+      require(rows == 10L && kept <= 12,
+        s"log stats must prune to the band's files: kept=$kept of $total")
+      val (_, wCkptS) = timed(s"checkpointParquet at head") {
+        ActionLog.checkpointParquet(spark, wide)
+      }
+      println(f"""[stress-meta] WIDE SUMMARY files=$nFiles """ +
+        f"""ingest=${wIngestS}%.1fs resolveDf=${wResolveS}%.2fs """ +
+        f"""readWhere=${wPruneS}%.2fs (kept=$kept/$total) """ +
+        f"""checkpointParquet=${wCkptS}%.2fs""")
+    }
     spark.stop()
   }
 }

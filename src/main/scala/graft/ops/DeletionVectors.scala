@@ -189,10 +189,15 @@ object DeletionVectors {
         (f, serialize(bm), bm.getLongCardinality)
       }.toDF("file_name", "bitmap", "n_deleted")
       .localCheckpoint() // sidecar-sized; must not lazily read the old _dv mid-copy
-    VersionedTable.listVersions(fs, dir).filter(_ > cur)
-      .foreach(v => fs.delete(VersionedTable.verDir(dir, v), true))
-    val next = cur + 1L
-    val vd = VersionedTable.verDir(dir, next)
+    // STAGE-then-CLAIM (round 12): the old form wrote verDir(cur+1)
+    // directly and flipped the pointer — last-writer-wins, and its crash
+    // sweep could DELETE a concurrent writer's committed version. The DV
+    // commit now rides the same OCC protocol as every other multi-writer
+    // path: everything lands in a uniquely-named stage, and
+    // Occ.commitStagedDir claims the slot or fails LOUDLY with the stage
+    // cleaned up (a row-level delete of arbitrary rows declares `*`).
+    val stageName = "_stage-" + java.util.UUID.randomUUID().toString
+    val vd = new Path(dir, stageName)
     fs.mkdirs(vd)
     // data files carried as raw byte copies — never re-encoded
     fs.listStatus(live)
@@ -203,20 +208,18 @@ object DeletionVectors {
           new Path(vd, st.getPath.getName), false,
           spark.sparkContext.hadoopConfiguration)
       }
-    merged.write.mode(SaveMode.Overwrite).parquet(dvDir(dir, next).toString)
+    merged.write.mode(SaveMode.Overwrite)
+      .parquet(new Path(vd, DvDirName).toString)
     writeBlobSidecar(spark, merged, new Path(vd, BlobDirName))
     if (capture)
       doomed.drop(FileCol, IdxCol)
         .withColumn(ChangeFeed.ChangeType, lit("delete"))
         .write.mode(SaveMode.Overwrite)
         .parquet(new Path(vd, "_cdf").toString)
-    // copy-then-mark: _SUCCESS lands after every file is in place, so a
-    // crash mid-copy leaves an incomplete dir the next write sweeps
     fs.create(new Path(vd, "_SUCCESS"), true).close()
-    VersionedTable.stampCommitTs(fs, dir, next)
-    VersionedTable.flipPointer(fs, dir, next)
-    spark.catalog.refreshByPath(vd.toString)
-    (next, nDeleted)
+    val committed = graft.ops.Occ.commitStagedDir(spark, dir, stageName,
+      cur, Set("*"))
+    (committed.version, nDeleted)
   }
 
   /** Fold the vectors back into clean files: rewrite the DV-applied

@@ -537,7 +537,9 @@ object SourceQueries {
       val dayPred = col("ship_day") >= to_date(lit("1996-06-01")) &&
         col("ship_day") < to_date(lit("1996-07-01"))
       def scannedRows(path: String, pred: org.apache.spark.sql.Column): Long = {
-        val df = s.read.parquet(path).filter(pred)
+        // one-column probe (round-12 harness rule, as in q178/q181)
+        val df = s.read.parquet(path)
+          .select(col("l_orderkey"), col("ship_day")).filter(pred)
         df.collect()
         df.queryExecution.executedPlan.collectLeaves().head.metrics("numOutputRows").value
       }
@@ -835,7 +837,11 @@ object SourceQueries {
       val dayPred = col("ship_day") >= to_date(lit("1996-06-01")) &&
         col("ship_day") < to_date(lit("1996-07-01"))
       def scannedRows(path: String, pred: org.apache.spark.sql.Column): Long = {
-        val df = s.read.parquet(path).filter(pred)
+        // one-column probe (round-12 harness rule): the leaf metric counts
+        // scan-output rows under the same row-group admission whatever the
+        // projection, so decode only the band columns, never the row
+        val df = s.read.parquet(path)
+          .select(col("l_orderkey"), col("ship_day")).filter(pred)
         df.collect()
         df.queryExecution.executedPlan.collectLeaves().head.metrics("numOutputRows").value
       }

@@ -246,6 +246,107 @@ class Round12OpsSpec extends AnyFunSuite {
       .as[(Long, Long)].head == ((0L, 209L)))
   }
 
+  test("8 concurrent SQL writers serialize through the OCC protocol") {
+    import graft.ops.VersionedTable
+    val root = TestSpark.tmpDir("r12occ8")
+    val dir = s"$root/ns/t"
+    val cat = logCat(root, "occ8")
+    VersionedTable.write((0L until 10L).map(k => (k, "base")).toDF("k", "v"),
+      dir)
+    val nWriters = 8
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(nWriters)
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutor(pool)
+    def keyCount(pred: String): Long =
+      spark.sql(s"SELECT count(*) FROM $cat.ns.t WHERE $pred")
+        .head.getLong(0)
+    // every op retries until its EFFECT is visible: the protocol may
+    // reject a stale attempt LOUDLY (that's the contract) and a winner
+    // may still throw a transient post-commit error — so the client
+    // probes `done` before re-issuing, exactly as a real retry loop must
+    // on any system whose commit point precedes its acknowledgment
+    def landed(label: String)(done: => Boolean)(op: => Unit): Unit = {
+      var last: Throwable = null
+      var ok = false
+      var attempt = 0
+      while (!ok && attempt < 20) {
+        attempt += 1
+        if (done) ok = true
+        else {
+          try { op; ok = true }
+          catch { case scala.util.control.NonFatal(e) =>
+            last = e; Thread.sleep(100) }
+        }
+      }
+      if (!ok && !done)
+        throw new RuntimeException(s"$label never landed: $last", last)
+    }
+    val inserted = java.util.concurrent.ConcurrentHashMap.newKeySet[Long]()
+    val futures =
+      // six append writers, disjoint key ranges
+      (0 until 6).map { w =>
+        scala.concurrent.Future {
+          (0 until 2).foreach { r =>
+            val ks = (0 until 3).map(i => (w + 1) * 1000L + r * 10L + i)
+            landed(s"insert w$w r$r")(
+              keyCount(s"k IN (${ks.mkString(",")})") == ks.size) {
+              spark.sql(s"INSERT INTO $cat.ns.t VALUES " +
+                ks.map(k => s"($k, 'w$w')").mkString(", ")); ()
+            }
+            ks.foreach(k => { inserted.add(k); () })
+          }
+        }
+      } :+
+      // one delete writer: inserts its range, then DV-deletes half of it
+      scala.concurrent.Future {
+        val ks = (0 until 6).map(i => 7000L + i)
+        landed("insert w7")(
+          keyCount(s"k IN (${ks.mkString(",")})") == ks.size) {
+          spark.sql(s"INSERT INTO $cat.ns.t VALUES " +
+            ks.map(k => s"($k, 'w7')").mkString(", ")); ()
+        }
+        ks.take(3).foreach(k => { inserted.add(k); () })
+        landed("delete w7")(keyCount("k >= 7003") == 0L) {
+          spark.sql(s"DELETE FROM $cat.ns.t WHERE k >= 7003"); ()
+        }
+      } :+
+      // one maintenance writer: content-preserving OPTIMIZE rewrites
+      // (dataChange=false never hard-conflicts; double-landing after a
+      // transient error is harmless by definition, so no done-probe)
+      scala.concurrent.Future {
+        (0 until 2).foreach { i =>
+          landed(s"optimize $i")(false) {
+            Occ.commit(spark, dir, Set("*"), dataChange = false)(
+              snap => snap.get.coalesce(2)); ()
+          }
+        }
+      }
+    import scala.concurrent.duration._
+    scala.concurrent.Await.result(
+      scala.concurrent.Future.sequence(futures), 600.seconds)
+    pool.shutdown()
+    // SERIALIZABILITY: a contiguous, complete, readable history — no
+    // gaps, no torn versions, no lost commits, losers self-cleaned
+    val fs = fsOf(dir)
+    val vs = VersionedTable.listVersions(fs, dir)
+    assert(vs == (1L to vs.last) && vs.last >= 17L,
+      s"contiguous history with every landed op a version: $vs")
+    assert(vs.forall(v =>
+      VersionedTable.complete(fs, VersionedTable.verDir(dir, v))))
+    assert(Occ.sweepStages(spark, dir) == 0,
+      "losers must clean their own stages")
+    // FINAL CONTENT: base + all committed inserts − the delete's range,
+    // exactly once each, regardless of interleaving
+    import scala.jdk.CollectionConverters._
+    val expected = (0L until 10L).toSet ++ inserted.asScala
+    val got = spark.sql(s"SELECT k FROM $cat.ns.t").as[Long].collect().toSeq
+    assert(got.size == got.distinct.size,
+      s"no key may land twice: ${got.diff(got.distinct)}")
+    assert(got.toSet == expected,
+      s"content must be the serial fold: missing=${expected -- got.toSet} " +
+        s"extra=${got.toSet -- expected}")
+  }
+
   test("INSERT OVERWRITE captures as a lazy marker: no join, streamable") {
     import graft.ops.{ChangeFeed, VersionedTable}
     val root = TestSpark.tmpDir("r12ow")
