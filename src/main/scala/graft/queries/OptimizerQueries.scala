@@ -3567,5 +3567,78 @@ object OptimizerQueries {
         .groupBy(col("opri"))
         .agg(count(lit(1)).cast("bigint").as("n"),
           sum(col("okey")).cast("bigint").as("key_sum"))
+    },
+
+    // ---------------------------------------------------------------- q320
+    // THE PARQUET-CHECKPOINT PLANE, END TO END (rounds 10-12's arc as one
+    // catalog contract): ordinary OCC commits auto-checkpoint every 10th
+    // version (spark.graft.parquetCheckpointInterval — Delta's
+    // checkpointInterval), so a long-lived table enters the DISTRIBUTED
+    // metadata plane with no operator action; log compaction coexists
+    // with the plane (fragments are hidden files, read driver-side and
+    // parallelized — the round-11 silent-empty-read class); vacuum writes
+    // its horizon checkpoint AS PARQUET and expired time travel fails
+    // LOUDLY on the contiguity contract while retained time travel still
+    // renders history; and the distributed resolution (resolveDf) agrees
+    // with the driver replay exactly. At a million files the driver
+    // replay is the scale killer — this query pins that the plane is the
+    // path real tables actually land on.
+    Q("q320_parquet_plane",
+      """WITH o AS (SELECT CAST(o_orderkey AS BIGINT) AS okey,
+        |    o_orderpriority AS opri FROM orders)
+        |SELECT opri, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(okey) AS BIGINT) AS key_sum
+        |FROM o GROUP BY 1""".stripMargin) { (s, dir) =>
+      import graft.ops.ActionLog
+      val root = scratch(s, dir, "q320")
+      val lt = s"$root/t"
+      val o = Tables.load(s, dir, "orders")
+        .select(col("o_orderkey").cast("long").as("okey"),
+          col("o_orderpriority").as("opri"))
+      val prevInterval = s.conf.getOption(ActionLog.AutoCheckpointConf)
+      s.conf.set(ActionLog.AutoCheckpointConf, "10")
+      try {
+        (0 until 12).foreach(i => ActionLog.appendOcc(
+          o.filter(col("okey") % 12 === i).coalesce(1), lt, Some("okey")))
+        val fs = new org.apache.hadoop.fs.Path(lt).getFileSystem(
+          s.sparkContext.hadoopConfiguration)
+        require(fs.exists(new org.apache.hadoop.fs.Path(
+          s"$lt/_log/00000010.checkpoint.parquet/_SUCCESS")),
+          "q320: the 10th ordinary commit must land a complete parquet " +
+            "checkpoint — the plane is entered by writing, not by operator")
+        // compaction coexists: fragments are hidden files, and the
+        // DISTRIBUTED resolution must still equal the driver replay
+        ActionLog.compactLog(s, lt, 1L, 4L)
+        val viaDf = ActionLog.resolveDf(s, lt)
+          .select("p").collect().map(_.getString(0)).toSet
+        val viaDriver = ActionLog.resolve(s, lt, 12L)._1.toSet
+        require(viaDf == viaDriver && viaDf.size == 12,
+          s"q320: distributed and driver replay must agree " +
+            s"(${viaDf.size} vs ${viaDriver.size})")
+        // vacuum: horizon checkpoint lands as parquet; the plane's replay
+        // seeds from it and time travel works exactly to the horizon
+        ActionLog.vacuum(s, lt, keepVersions = 6, graceMs = 0L)
+        require(fs.exists(new org.apache.hadoop.fs.Path(
+          s"$lt/_log/00000007.checkpoint.parquet/_SUCCESS")),
+          "q320: vacuum on a plane table must write its horizon " +
+            "checkpoint as parquet")
+        val at8 = ActionLog.read(s, lt, asOf = 8L)
+        val want8 = o.filter(col("okey") % 12 < 8)
+        require(at8.exceptAll(want8).isEmpty && want8.exceptAll(at8).isEmpty,
+          "q320: retained time travel must render the horizon-era content")
+        val expired =
+          try { ActionLog.stateDfAt(s, lt, 3L).collect(); false }
+          catch { case e: IllegalArgumentException =>
+            e.getMessage.contains("vacuumed") }
+        require(expired,
+          "q320: expired time travel must fail loudly naming the vacuum")
+        ActionLog.read(s, lt)
+          .groupBy(col("opri"))
+          .agg(count(lit(1)).cast("bigint").as("n"),
+            sum(col("okey")).cast("bigint").as("key_sum"))
+      } finally prevInterval match {
+        case Some(v) => s.conf.set(ActionLog.AutoCheckpointConf, v)
+        case None => s.conf.unset(ActionLog.AutoCheckpointConf)
+      }
     })
 }
