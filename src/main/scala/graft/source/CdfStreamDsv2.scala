@@ -277,6 +277,37 @@ object GraftMeta {
   * the partition. Supported leaf types cover the feed surface: integral,
   * floating, string, boolean, date, decimal(<=18) and micros timestamps.
   */
+/** Column-PRUNING read support: projects the file schema to the fields
+  * the scan actually requested, INSIDE parquet-mr's init (which hands us
+  * each file's own schema — no extra footer read, and files missing a
+  * requested column just project it away, the add-column-evolution
+  * contract). Without this the Group reader decodes EVERY column of the
+  * file for a two-column aggregate — the exact sin the scan-pruning
+  * rules exist to prevent.
+  */
+private[source] class ProjectedGroupReadSupport(
+    wanted: java.util.Set[String])
+    extends org.apache.parquet.hadoop.example.GroupReadSupport {
+  override def init(context: org.apache.parquet.hadoop.api.InitContext)
+      : org.apache.parquet.hadoop.api.ReadSupport.ReadContext = {
+    import scala.jdk.CollectionConverters._
+    val file = context.getFileSchema
+    val kept = file.getFields.asScala.filter(f => wanted.contains(f.getName))
+    // an all-constant projection (count(*), metadata-only) still needs
+    // ROWS — decode the narrowest single primitive to drive the row count
+    val proj =
+      if (kept.nonEmpty) kept
+      else {
+        val prims = file.getFields.asScala.filter(_.isPrimitive)
+        if (prims.nonEmpty)
+          Seq(prims.minBy(_.asPrimitiveType().getPrimitiveTypeName.ordinal()))
+        else Seq(file.getFields.get(0))
+      }
+    new org.apache.parquet.hadoop.api.ReadSupport.ReadContext(
+      new org.apache.parquet.schema.MessageType(file.getName, proj.asJava))
+  }
+}
+
 private[source] class CdfReaderFactory(schema: StructType,
     nameMap: Map[String, String] = Map.empty,
     fill: Map[String, Any] = Map.empty)
@@ -286,11 +317,21 @@ private[source] class CdfReaderFactory(schema: StructType,
     val p = partition.asInstanceOf[CdfFilePartition]
     new PartitionReader[InternalRow] {
       import org.apache.parquet.hadoop.ParquetReader
-      import org.apache.parquet.hadoop.example.GroupReadSupport
       import org.apache.parquet.example.data.Group
 
+      private val wanted: java.util.Set[String] = {
+        val s = new java.util.HashSet[String]()
+        schema.fields.foreach { f =>
+          if (f.name != graft.ops.ChangeFeed.CommitVersion &&
+            f.name != GraftMeta.FileCol &&
+            !(f.name == graft.ops.ChangeFeed.ChangeType && p.tag != null))
+            s.add(nameMap.getOrElse(f.name, f.name)); ()
+        }
+        s
+      }
       private val reader: ParquetReader[Group] =
-        ParquetReader.builder(new GroupReadSupport(), new Path(p.file))
+        ParquetReader.builder(new ProjectedGroupReadSupport(wanted),
+            new Path(p.file))
           .withConf(new Configuration()).build()
       private var row: InternalRow = _
       // the `_file` metadata column (SupportsMetadataColumns): each
@@ -298,57 +339,75 @@ private[source] class CdfReaderFactory(schema: StructType,
       private val fileName = org.apache.spark.unsafe.types.UTF8String
         .fromString(new Path(p.file).getName)
 
-      private def convert(g: Group): InternalRow = {
-        val fileType = g.getType
-        val vals = schema.fields.map { f =>
+      // PER-FILE extractor compilation (round-12 hot-path fix): the old
+      // per-row convert re-ran name→index lookups (string hashing!) and
+      // two levels of type dispatch for EVERY field of EVERY row —
+      // measured 2.5× over Spark's native scan on a 2M-row aggregate.
+      // A parquet file has ONE schema, so all of that resolves once,
+      // into an array of per-field closures the row loop just applies.
+      private var extractors: Array[Group => Any] = _
+
+      private def compile(fileType: org.apache.parquet.schema.GroupType)
+          : Array[Group => Any] = {
+        import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName.{FLOAT => PFLOAT, INT32 => PINT32}
+        val tagU8 =
+          if (p.tag == null) null
+          else org.apache.spark.unsafe.types.UTF8String.fromString(p.tag)
+        schema.fields.map { f =>
           val phys = nameMap.getOrElse(f.name, f.name)
-          if (f.name == graft.ops.ChangeFeed.CommitVersion) p.version
-          else if (f.name == GraftMeta.FileCol) fileName
-          else if (f.name == graft.ops.ChangeFeed.ChangeType && p.tag != null)
-            org.apache.spark.unsafe.types.UTF8String.fromString(p.tag)
-          else if (!fileType.containsField(phys))
-            fill.getOrElse(f.name, null) // default-fill, else pre-evolution null
-          else {
+          if (f.name == graft.ops.ChangeFeed.CommitVersion)
+            (_: Group) => p.version
+          else if (f.name == GraftMeta.FileCol) (_: Group) => fileName
+          else if (f.name == graft.ops.ChangeFeed.ChangeType && tagU8 != null)
+            (_: Group) => tagU8
+          else if (!fileType.containsField(phys)) {
+            // default-fill, else pre-evolution null
+            val v = fill.getOrElse(f.name, null)
+            (_: Group) => v
+          } else {
             val idx = fileType.getFieldIndex(phys)
-            if (g.getFieldRepetitionCount(idx) == 0) null
-            else f.dataType match {
-              case LongType =>
+            val prim = fileType.getType(idx).asPrimitiveType()
+              .getPrimitiveTypeName
+            val get: Group => Any = f.dataType match {
+              case LongType if prim == PINT32 =>
                 // type-widening epochs: a pre-widen file stores int32
-                fileType.getType(idx).asPrimitiveType().getPrimitiveTypeName match {
-                  case org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName.INT32 =>
-                    g.getInteger(idx, 0).toLong
-                  case _ => g.getLong(idx, 0)
-                }
-              case IntegerType => g.getInteger(idx, 0)
-              case DoubleType =>
-                fileType.getType(idx).asPrimitiveType().getPrimitiveTypeName match {
-                  case org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName.FLOAT =>
-                    g.getFloat(idx, 0).toDouble
-                  case _ => g.getDouble(idx, 0)
-                }
-              case FloatType => g.getFloat(idx, 0)
-              case BooleanType => g.getBoolean(idx, 0)
-              case StringType =>
+                g => g.getInteger(idx, 0).toLong
+              case LongType => g => g.getLong(idx, 0)
+              case IntegerType => g => g.getInteger(idx, 0)
+              case DoubleType if prim == PFLOAT =>
+                g => g.getFloat(idx, 0).toDouble
+              case DoubleType => g => g.getDouble(idx, 0)
+              case FloatType => g => g.getFloat(idx, 0)
+              case BooleanType => g => g.getBoolean(idx, 0)
+              case StringType => g =>
                 org.apache.spark.unsafe.types.UTF8String
                   .fromBytes(g.getBinary(idx, 0).getBytes)
-              case DateType => g.getInteger(idx, 0)
-              case TimestampType | TimestampNTZType => g.getLong(idx, 0) // micros
+              case DateType => g => g.getInteger(idx, 0)
+              case TimestampType | TimestampNTZType =>
+                g => g.getLong(idx, 0) // micros
               case d: DecimalType if d.precision <= 18 =>
                 // Spark stores p<=9 decimals as INT32, p<=18 as INT64
-                val unscaled =
-                  fileType.getType(idx).asPrimitiveType().getPrimitiveTypeName match {
-                    case org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName.INT32 =>
-                      g.getInteger(idx, 0).toLong
-                    case _ => g.getLong(idx, 0)
-                  }
-                org.apache.spark.sql.types.Decimal
-                  .createUnsafe(unscaled, d.precision, d.scale)
+                if (prim == PINT32)
+                  g => org.apache.spark.sql.types.Decimal.createUnsafe(
+                    g.getInteger(idx, 0).toLong, d.precision, d.scale)
+                else
+                  g => org.apache.spark.sql.types.Decimal.createUnsafe(
+                    g.getLong(idx, 0), d.precision, d.scale)
               case other => sys.error(
                 s"cdf stream: unsupported change-column type $other (${f.name})")
             }
+            g => if (g.getFieldRepetitionCount(idx) == 0) null else get(g)
           }
         }
-        InternalRow(vals.toIndexedSeq: _*)
+      }
+
+      private def convert(g: Group): InternalRow = {
+        if (extractors == null) extractors = compile(g.getType)
+        val n = extractors.length
+        val vals = new Array[Any](n)
+        var i = 0
+        while (i < n) { vals(i) = extractors(i)(g); i += 1 }
+        new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(vals)
       }
 
       override def next(): Boolean = {
