@@ -130,9 +130,24 @@ object BloomIndex {
       return (values.map(_ => live), 0, live.size)
     val hashes = spark.range(1).select(values.map(v => xxhash64(v)): _*)
       .head.toSeq.map(_.asInstanceOf[Long])
-    // membership evaluates ENGINE-SIDE over the sidecar scan (the per-row
-    // codegen'd probe): the driver collects only admitted + indexed NAMES
-    // — never the bit sets, which at a million files are a driver OOM
+    if (live.size <= DriverProbeMaxFiles) {
+      // SMALL index: one plain collect beats an aggregation's extra
+      // shuffle stage, and the driver memory is bounded by the threshold
+      val entries: Map[String, (Array[Long], Int)] =
+        spark.read.parquet(side.toString).filter(col("c") === column)
+          .select("file", "bits", "k").collect()
+          .map(r => r.getString(0) ->
+            ((r.getSeq[Long](1).toArray, r.getInt(2)))).toMap
+      val perKey = hashes.map { h =>
+        live.filter(f => entries.get(f)
+          .forall { case (bits, k) => Bloom.mightContain(bits, k, h) })
+      }
+      return (perKey, live.count(entries.contains), live.size)
+    }
+    // LARGE index: membership evaluates ENGINE-SIDE over the sidecar scan
+    // (the per-row codegen'd probe): the driver collects only admitted +
+    // indexed NAMES — never the bit sets, which at a million files are a
+    // driver OOM
     val aggs = hashes.zipWithIndex.map { case (h, i) =>
       collect_list(when(Bloom.mightContainRowCol(col("bits"), col("k"),
         lit(h)), col("file"))).as(s"admit_$i")
@@ -147,6 +162,16 @@ object BloomIndex {
     }
     (perKey, live.count(indexed), live.size)
   }
+
+  /** Above this many candidate files, bloom probes evaluate on the
+    * EXECUTORS and the driver receives names only; at or below it, one
+    * plain collect of the bit sets is cheaper than an aggregation's
+    * extra shuffle stage AND bounded (≤ ~2 KiB per entry → tens of MiB
+    * worst case). The engine-side path is the 100 TB shape; the
+    * threshold only recovers the small-table latency the round-12
+    * switch cost (q234 measured 1.5×).
+    */
+  val DriverProbeMaxFiles = 8192
 
   /** Carry a version-dir index across a byte-copy commit (the DV-delete
     * shape: data files copied VERBATIM under the same names into the next
@@ -211,6 +236,24 @@ object BloomIndex {
     require(values.nonEmpty, "selectFilesAll: need at least one probe value")
     val hashes = spark.range(1).select(values.map(v => xxhash64(v)): _*)
       .head.toSeq.map(_.asInstanceOf[Long])
+    // sidecar size ≈ data-file count — one driver metadata listing
+    val dd = new Path(dataDir)
+    val fs = dd.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val nData = fs.listStatus(dd).count(st => st.isFile &&
+      !st.getPath.getName.startsWith("_") &&
+      !st.getPath.getName.startsWith("."))
+    if (nData <= DriverProbeMaxFiles) {
+      // small index: bounded collect, no extra aggregation stage
+      val side = spark.read
+        .parquet(new Path(dataDir, SidecarName).toString)
+        .select("file", "bits", "k").collect()
+      val perKey = hashes.map { h =>
+        side.toSeq.filter { r =>
+          Bloom.mightContain(r.getSeq[Long](1).toArray, r.getInt(2), h)
+        }.map(_.getString(0))
+      }
+      return (perKey, side.length)
+    }
     // ONE engine-side aggregation for the whole key batch: the per-row
     // codegen'd probe tests every sidecar entry on the executors, and the
     // driver receives only the admitted file NAMES per key plus a count —
