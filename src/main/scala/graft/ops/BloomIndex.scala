@@ -130,7 +130,7 @@ object BloomIndex {
       return (values.map(_ => live), 0, live.size)
     val hashes = spark.range(1).select(values.map(v => xxhash64(v)): _*)
       .head.toSeq.map(_.asInstanceOf[Long])
-    if (live.size <= DriverProbeMaxFiles) {
+    if (live.size <= driverProbeMaxFiles(spark)) {
       // SMALL index: one plain collect beats an aggregation's extra
       // shuffle stage, and the driver memory is bounded by the threshold
       val entries: Map[String, (Array[Long], Int)] =
@@ -169,9 +169,15 @@ object BloomIndex {
     * extra shuffle stage AND bounded (≤ ~2 KiB per entry → tens of MiB
     * worst case). The engine-side path is the 100 TB shape; the
     * threshold only recovers the small-table latency the round-12
-    * switch cost (q234 measured 1.5×).
+    * switch cost (q234 measured 1.5×). Conf-overridable so tests pin
+    * BOTH branches on the same table.
     */
-  val DriverProbeMaxFiles = 8192
+  val DriverProbeMaxFilesConf = "spark.graft.bloomDriverProbeMaxFiles"
+  val DefaultDriverProbeMaxFiles = 8192
+
+  private def driverProbeMaxFiles(spark: SparkSession): Int =
+    spark.conf.get(DriverProbeMaxFilesConf,
+      DefaultDriverProbeMaxFiles.toString).toInt
 
   /** Carry a version-dir index across a byte-copy commit (the DV-delete
     * shape: data files copied VERBATIM under the same names into the next
@@ -242,7 +248,7 @@ object BloomIndex {
     val nData = fs.listStatus(dd).count(st => st.isFile &&
       !st.getPath.getName.startsWith("_") &&
       !st.getPath.getName.startsWith("."))
-    if (nData <= DriverProbeMaxFiles) {
+    if (nData <= driverProbeMaxFiles(spark)) {
       // small index: bounded collect, no extra aggregation stage
       val side = spark.read
         .parquet(new Path(dataDir, SidecarName).toString)

@@ -400,6 +400,46 @@ class Round12OpsSpec extends AnyFunSuite {
       s"the stream must carry the expanded overwrite, got $seen")
   }
 
+  test("bloom probes: driver and engine branches agree exactly") {
+    import graft.ops.BloomIndex
+    val root = TestSpark.tmpDir("r12bloomhy")
+    val dataDir = s"$root/data"
+    spark.range(0, 3000).toDF("k")
+      .repartitionByRange(6, col("k")).sortWithinPartitions("k")
+      .write.parquet(dataDir)
+    BloomIndex.writeIndex(spark, dataDir, "k")
+    val keys = Seq(7L, 1500L, 2999L).map(lit(_))
+    val (small, totalS) = BloomIndex.selectFilesAll(spark, dataDir, keys)
+    spark.conf.set(BloomIndex.DriverProbeMaxFilesConf, "1")
+    val (large, totalL) =
+      try BloomIndex.selectFilesAll(spark, dataDir, keys)
+      finally spark.conf.unset(BloomIndex.DriverProbeMaxFilesConf)
+    assert(totalS == totalL)
+    // ORDER-INSENSITIVE equality per key: the engine branch's
+    // collect_list carries no ordering guarantee, only membership
+    assert(small.map(_.toSet) == large.map(_.toSet),
+      s"the two probe branches must admit identical file sets:\n" +
+        s"driver=$small\nengine=$large")
+    // every key's holding file is admitted in both (zero false negatives)
+    keys.indices.foreach { i =>
+      assert(small(i).nonEmpty && large(i).nonEmpty)
+    }
+    // and the LOG-sidecar probe's two branches agree the same way
+    val lt = s"$root/t"
+    (0 to 2).foreach(b => ActionLog.append(
+      spark.range(b * 1000L, b * 1000L + 1000L).toDF("k").coalesce(1),
+      lt, Some("k")))
+    BloomIndex.refresh(spark, lt, "k")
+    val (pk1, idx1, live1) = BloomIndex.probeLog(spark, lt, "k", keys)
+    spark.conf.set(BloomIndex.DriverProbeMaxFilesConf, "1")
+    val (pk2, idx2, live2) =
+      try BloomIndex.probeLog(spark, lt, "k", keys)
+      finally spark.conf.unset(BloomIndex.DriverProbeMaxFilesConf)
+    assert(idx1 == idx2 && live1 == live2)
+    assert(pk1.map(_.toSet) == pk2.map(_.toSet),
+      s"probeLog branches must agree:\ndriver=$pk1\nengine=$pk2")
+  }
+
   test("the _file metadata column is queryable on log tables") {
     val root = TestSpark.tmpDir("r12file")
     val dir = s"$root/t"
