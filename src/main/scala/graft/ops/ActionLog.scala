@@ -68,7 +68,31 @@ object ActionLog {
   // such checkpoint (full-log replay + orphan fragments vacuum never owns)
   private val CkptPart = """_checkpoint-(\d{8})\.p(\d+)-of-(\d+)\.json""".r
   private val CkptParquet = """(\d{8})\.checkpoint\.parquet""".r
+  // read-side ONLY: rounds before the visible-name rename wrote parquet
+  // checkpoints as `_checkpoint-N.parquet` dirs; they stay resolvable
+  // (via [[readCkptParquetDf]]'s explicit part-file listing — the dir
+  // name itself is hidden to Spark's file index) so a legacy table
+  // vacuumed below its checkpoint doesn't become unreadable
+  private val CkptParquetLegacy = """_checkpoint-(\d{8})\.parquet""".r
   private val CompactName = """_compact-(\d{8})-(\d{8})\.json""".r
+
+  /** Read a parquet checkpoint dir as a DataFrame, tolerating the legacy
+    * `_`-prefixed dir name: Spark's file index silently drops hidden
+    * paths EVEN WHEN passed explicitly, so for those the visible
+    * `part-*` files are listed driver-side and passed by explicit path.
+    */
+  private def readCkptParquetDf(spark: SparkSession, fs: FileSystem,
+      p: Path): DataFrame =
+    if (!p.getName.startsWith("_") && !p.getName.startsWith("."))
+      spark.read.parquet(p.toString)
+    else {
+      val parts = fs.listStatus(p).toSeq
+        .filter(st => st.isFile && st.getPath.getName.startsWith("part-"))
+        .map(_.getPath.toString).sorted
+      require(parts.nonEmpty,
+        s"ActionLog: legacy parquet checkpoint $p has no part files")
+      spark.read.parquet(parts: _*)
+    }
 
   /** COMPLETE checkpoints ≤ `asOf`: a single-file checkpoint, or a
     * multi-part one with EVERY part present (Delta's validity rule — a
@@ -106,6 +130,9 @@ object ActionLog {
       case st if st.isDirectory =>
         st.getPath.getName match {
           case CkptParquet(v) if v.toLong <= asOf &&
+            fs.exists(new Path(st.getPath, "_SUCCESS")) =>
+            Some(v.toLong -> st.getPath)
+          case CkptParquetLegacy(v) if v.toLong <= asOf &&
             fs.exists(new Path(st.getPath, "_SUCCESS")) =>
             Some(v.toLong -> st.getPath)
           case _ => None
@@ -201,7 +228,7 @@ object ActionLog {
     val baseV = (jc.keys ++ pc.keys).maxOption
     val base: Option[DataFrame] = baseV.map { v =>
       if (pc.contains(v))
-        spark.read.parquet(pc(v).toString).withColumn("ver", lit(v))
+        readCkptParquetDf(spark, fs, pc(v)).withColumn("ver", lit(v))
       else
         // JSON checkpoint files are _-prefixed = hidden to Spark's file
         // index: read driver-side, parse distributed (see linesDf)
@@ -613,11 +640,25 @@ object ActionLog {
 
   private def maybeAutoCheckpoint(spark: SparkSession, dir: String,
       v: Long): Unit = {
-    val interval = spark.conf
-      .get(AutoCheckpointConf, DefaultAutoCheckpointInterval.toString).toInt
-    if (interval > 0 && v > 0 && v % interval == 0) {
-      checkpointParquet(spark, dir, v); ()
+    // Runs AFTER the commit claim has landed: the append IS durable, so
+    // neither a malformed interval conf nor a checkpoint failure may
+    // propagate — the caller would see failure for a commit that
+    // succeeded and retry into a duplicate (Delta treats post-commit
+    // checkpoint failure as non-fatal for the same reason).
+    val raw = spark.conf
+      .get(AutoCheckpointConf, DefaultAutoCheckpointInterval.toString)
+    val interval = raw.trim.toIntOption.getOrElse {
+      System.err.println(s"[graft] warn: $AutoCheckpointConf='$raw' is not " +
+        s"an integer — using default $DefaultAutoCheckpointInterval")
+      DefaultAutoCheckpointInterval
     }
+    if (interval > 0 && v > 0 && v % interval == 0)
+      scala.util.Try(checkpointParquet(spark, dir, v)) match {
+        case scala.util.Failure(e) => System.err.println(
+          s"[graft] warn: post-commit auto-checkpoint of $dir at v$v " +
+            s"failed (commit itself is durable): ${e.getMessage}")
+        case _ => ()
+      }
   }
 
   /** Compaction that COMMUTES with concurrent appends (Delta OPTIMIZE's
@@ -766,7 +807,7 @@ object ActionLog {
     }
     ckptBase.foreach { cv =>
       if (pCkpts.contains(cv)) // prefer the engine-parsed plane when both exist
-        spark.read.parquet(pCkpts(cv).toString).collect().foreach { r =>
+        readCkptParquetDf(spark, fs, pCkpts(cv)).collect().foreach { r =>
           r.getAs[String]("a") match {
             case "add" =>
               val st = if (r.isNullAt(r.fieldIndex("n"))) None
@@ -974,6 +1015,8 @@ object ActionLog {
         // they leak forever AND a later time-travel read could seed from a
         // stale one (stateDfAt's contiguity contract now also guards that)
         case CkptParquet(v) if v.toLong < horizon => fs.delete(p, true); ()
+        case CkptParquetLegacy(v) if v.toLong < horizon =>
+          fs.delete(p, true); ()
         // a compaction whose range starts below the horizon can never be
         // applied again (replay starts at the horizon checkpoint)
         case CompactName(f, _) if f.toLong < horizon => fs.delete(p, false); ()

@@ -65,8 +65,24 @@ object DeletionVectors {
           val d = new Path(target)
           val efs = d.getFileSystem(conf.value)
           it.foreach { case (f, b) =>
-            val out = efs.create(new Path(d, f + ".bm"), true)
+            // WRITE-TEMP-THEN-RENAME: a speculative or retried duplicate
+            // task writing `<file>.bm` directly via create(overwrite)
+            // could interleave bytes with its twin, leaving a corrupt
+            // bitmap. Each attempt writes its own uniquely-named temp and
+            // renames into place; when the rename loses (the twin already
+            // landed) the temp is dropped — both attempts carry identical
+            // bytes (the bitmap is a deterministic function of the merge),
+            // so either winner is correct.
+            val tmp = new Path(d,
+              s".${f}.bm.${java.util.UUID.randomUUID().toString.take(8)}.tmp")
+            val out = efs.create(tmp, true)
             try out.write(b) finally out.close()
+            val dest = new Path(d, f + ".bm")
+            if (!efs.rename(tmp, dest)) {
+              efs.delete(tmp, false)
+              require(efs.exists(dest),
+                s"DeletionVectors: blob rename failed and $dest is absent")
+            }
           }
         }
       }

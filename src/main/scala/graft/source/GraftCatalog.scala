@@ -664,10 +664,26 @@ private[source] class GraftDvSqlScan(versionDir: String,
     // HAVE a vector (names); each partition carries its blob's PATH and
     // the executor-side reader opens only that bitmap
     val blobDir = new Path(p, graft.ops.DeletionVectors.BlobDirName)
+    val haveBlobs = fs.exists(blobDir)
     val withDv: Set[String] =
-      if (!fs.exists(blobDir)) Set.empty
+      if (!haveBlobs) Set.empty
       else fs.listStatus(blobDir).toSeq.map(_.getPath.getName)
         .filter(_.endsWith(".bm")).map(_.stripSuffix(".bm")).toSet
+    // LEGACY fallback: a version carrying `_dv` but no `_dvbm` blob
+    // sidecar (written before the blob plane existed) must NOT read as
+    // vector-free — that silently resurrects every deleted row. The
+    // parquet sidecar is the canonical form; load it driver-side (it is
+    // O(files-with-deletes × bitmap), the pre-blob plane's own bound)
+    // and inline each file's bitmap bytes into its partition.
+    val inlined: Map[String, Array[Byte]] =
+      if (haveBlobs && withDv.nonEmpty) Map.empty
+      else {
+        val dvDir = new Path(p, "_dv")
+        if (!fs.exists(dvDir)) Map.empty
+        else SparkSession.active.read.parquet(dvDir.toString)
+          .select("file_name", "bitmap").collect()
+          .map(r => r.getString(0) -> r.getAs[Array[Byte]](1)).toMap
+      }
     fs.listStatus(p).toSeq
       .filter(st => st.isFile && !st.getPath.getName.startsWith("_") &&
         !st.getPath.getName.startsWith("."))
@@ -676,7 +692,8 @@ private[source] class GraftDvSqlScan(versionDir: String,
         val n = st.getPath.getName
         DvFilePartition(st.getPath.toString,
           if (withDv(n)) Some(new Path(blobDir, n + ".bm").toString)
-          else None): InputPartition
+          else None,
+          inlined.get(n)): InputPartition
       }
       .toArray
   }
@@ -685,7 +702,8 @@ private[source] class GraftDvSqlScan(versionDir: String,
 }
 
 private[source] case class DvFilePartition(file: String,
-    bitmapPath: Option[String]) extends InputPartition
+    bitmapPath: Option[String],
+    bitmapBytes: Option[Array[Byte]] = None) extends InputPartition
 
 private[source] class DvReaderFactory(schema: StructType)
     extends PartitionReaderFactory {
@@ -694,13 +712,16 @@ private[source] class DvReaderFactory(schema: StructType)
     val p = partition.asInstanceOf[DvFilePartition]
     val inner = new CdfReaderFactory(schema)
       .createReader(CdfFilePartition(0L, p.file))
-    val bm = p.bitmapPath.map { bp =>
+    val bmBytes: Option[Array[Byte]] = p.bitmapBytes.orElse(p.bitmapPath.map { bp =>
       val path = new Path(bp)
       val fs = path.getFileSystem(new org.apache.hadoop.conf.Configuration())
       val len = fs.getFileStatus(path).getLen.toInt
       val bytes = new Array[Byte](len)
       val in = fs.open(path)
       try in.readFully(0L, bytes) finally in.close()
+      bytes
+    })
+    val bm = bmBytes.map { bytes =>
       val b = new org.roaringbitmap.RoaringBitmap()
       b.deserialize(java.nio.ByteBuffer.wrap(bytes))
       b
@@ -933,14 +954,18 @@ private[source] class GraftLogScanBuilder(dir: String,
     new GraftLogScan(dir, keepFiles, files.size, pruned, options)
 
   /** The row-level operation's scan: runtime-group-filterable. `allLive`
-    * is the UNPRUNED live set — a stats-pruned file can still hold rows
-    * the operation deletes wholesale (nothing survives into the
-    * replacement content, so no partition needs reading), and it must
-    * still land in the commit's remove set.
+    * is the UNPRUNED live set, and it is also what the scan READS when no
+    * runtime group filter fires: the no-filter fallback is a WHOLE-TABLE
+    * replacement (the commit removes every live file), so the replacement
+    * content must be built from every live file — seeding the scan from
+    * the stats-pruned `keepFiles` there would silently drop the pruned
+    * files' rows (a selective DELETE wiping non-overlapping files). Stats
+    * pruning still pays off on the group-filter SUBQUERY scan (built by
+    * the ordinary `build()`), where the operation's condition IS pushed.
     */
   protected def buildCow(allLive: Seq[String],
       register: Seq[String] => Unit): Scan =
-    new GraftLogCowScan(dir, keepFiles, allLive, files.size, pruned, register)
+    new GraftLogCowScan(dir, allLive, files.size, pruned, register)
 }
 
 /** Group-filterable scan for row-level SQL on the log layout: Spark's
@@ -950,14 +975,18 @@ private[source] class GraftLogScanBuilder(dir: String,
   * commit the exact file set the operation replaces. Without a runtime
   * filter the scan reads everything and the commit stays whole-table.
   */
-private[source] class GraftLogCowScan(dir: String, keep: Seq[String],
+private[source] class GraftLogCowScan(dir: String,
     allLive: Seq[String], total: Int, schema: StructType,
     register: Seq[String] => Unit)
     extends Scan with Batch
     with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering {
   import org.apache.spark.sql.connector.expressions.NamedReference
 
-  @volatile private var toRead: Seq[String] = keep
+  // starts UNPRUNED: if filter() never fires (runtime group filtering
+  // disabled, or a plan shape that skips it) the commit falls back to
+  // whole-table replacement, and the replacement content must then be
+  // built from EVERY live file — not the stats-pruned subset
+  @volatile private var toRead: Seq[String] = allLive
 
   override def readSchema(): StructType = schema
   override def toBatch: Batch = this
