@@ -782,7 +782,7 @@ private[source] class GraftMappedSqlScan(dataDir: String, schema: StructType,
       .toArray
   }
   override def createReaderFactory(): PartitionReaderFactory =
-    new CdfReaderFactory(schema, nameMap, fills)
+    new CdfReaderFactory(schema, nameMap, fills, columnar = true)
 }
 
 /** A driver-side metadata table ([[GraftCatalog.metadataTable]]): the
@@ -1022,7 +1022,7 @@ private[source] class GraftLogCowScan(dir: String,
     toRead.map(f => CdfFilePartition(0L, s"$dir/data/$f"): InputPartition)
       .toArray
   override def createReaderFactory(): PartitionReaderFactory =
-    new CdfReaderFactory(schema)
+    new CdfReaderFactory(schema, columnar = true)
 }
 
 private[source] class GraftLogScan(dir: String, keep: Seq[String],
@@ -1042,7 +1042,7 @@ private[source] class GraftLogScan(dir: String, keep: Seq[String],
   override def planInputPartitions(): Array[InputPartition] =
     keep.map(f => CdfFilePartition(0L, s"$dir/data/$f"): InputPartition).toArray
   override def createReaderFactory(): PartitionReaderFactory =
-    new CdfReaderFactory(schema)
+    new CdfReaderFactory(schema, columnar = true)
 }
 
 private[source] class GraftSqlScan(versionDir: String, schema: StructType)
@@ -1081,5 +1081,5 @@ private[source] class GraftSqlScan(versionDir: String, schema: StructType)
       .toArray
   }
   override def createReaderFactory(): PartitionReaderFactory =
-    new CdfReaderFactory(schema)
+    new CdfReaderFactory(schema, columnar = true)
 }
