@@ -1101,6 +1101,16 @@ object ActionLog {
     replayState(spark, dir, latest)._1.toSeq
   }
 
+  /** [[liveFiles]] as of a version — the planning surface for
+    * time-traveled stats-pruned reads (the IVF probe scan).
+    */
+  def liveFilesAt(spark: SparkSession, dir: String, asOf: Long):
+      Seq[(String, Option[(Long, Long, Long)])] = {
+    val v = versions(spark, dir).lastOption.map(math.min(_, asOf)).getOrElse(
+      sys.error(s"ActionLog.liveFilesAt($dir): empty log"))
+    replayState(spark, dir, v)._1.toSeq
+  }
+
   /** This app's last committed batch id, or None — the Delta
     * SetTransaction lookup, checkpoint-durable.
     */

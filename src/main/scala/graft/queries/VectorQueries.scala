@@ -785,6 +785,17 @@ object VectorQueries {
       require(indexed == corpusN,
         s"q319: the index must cover the corpus after refresh " +
           s"($indexed of $corpusN)")
+      // PROBE-PRUNED PLANNING (round 13): the covering index is laid out
+      // by cell with per-file stats in the log, so a single cell's search
+      // plans a read of ≤ one file per commit (build + refresh = 2 here)
+      // — the index scan stays O(probed cells), never O(index), and the
+      // corpus table contributes nothing at all
+      val c0 = ActionLog.read(s, s"$root/centroids")
+        .select(col("cell")).orderBy(col("cell")).head.get(0)
+      val (keptF, totalF) = IvfIndex.probeFiles(s, root, Seq(c0))
+      require(keptF.size <= 2 && keptF.size <= totalF,
+        s"q319: one probed cell planned ${keptF.size} of $totalF index " +
+          "files — the cell layout or its stats pruning is broken")
       // planted near-dups OF DELTA VECTORS: findable only if the refresh
       // actually indexed them
       val pq = delta.filter(col("vec_id") < 100)
