@@ -481,9 +481,10 @@ private[source] class InternalRowReadSupport(schema: StructType,
 private[source] class GraftColumnarReader(p: CdfFilePartition,
     schema: StructType, nameMap: Map[String, String],
     fill: Map[String, Any],
-    fileName: org.apache.spark.unsafe.types.UTF8String)
+    fileName: org.apache.spark.unsafe.types.UTF8String,
+    pushed: Seq[org.apache.spark.sql.sources.Filter] = Nil)
     extends PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] {
-  import org.apache.spark.sql.execution.datasources.parquet.VectorizedParquetRecordReader
+  import org.apache.spark.sql.execution.datasources.parquet.{GraftVectorizedOpen, VectorizedParquetRecordReader}
   import org.apache.spark.sql.execution.vectorized.ConstantColumnVector
   import org.apache.spark.sql.vectorized.{ColumnVector, ColumnarBatch}
   import org.apache.spark.unsafe.types.UTF8String
@@ -495,15 +496,25 @@ private[source] class GraftColumnarReader(p: CdfFilePartition,
     name == graft.ops.ChangeFeed.CommitVersion || name == GraftMeta.FileCol ||
       (name == graft.ops.ChangeFeed.ChangeType && p.tag != null)
 
-  // one footer read: which requested physical columns exist in THIS file
-  private val fileFields: Set[String] = {
-    val in = org.apache.parquet.hadoop.util.HadoopInputFile
-      .fromPath(new Path(p.file), new Configuration())
-    val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
-    try r.getFooter.getFileMetaData.getSchema.getFields.asScala
-      .map(_.getName).toSet
-    finally r.close()
+  // ONE open serves footer, row-group pruning and page reads. The pushed
+  // filters become a parquet FilterPredicate so statistics / dictionary /
+  // bloom ROW-GROUP PRUNING happens before any page is decoded; a file
+  // whose physical schema rejects the predicate (a legacy file missing
+  // the column — parquet validates at open) falls back to an unfiltered
+  // read of that file: pruning never decides correctness.
+  private val opened: GraftVectorizedOpen.Opened = {
+    ParquetPushdown.predicate(pushed, schema, nameMap) match {
+      case None => GraftVectorizedOpen.open(p.file, None)
+      case some =>
+        try GraftVectorizedOpen.open(p.file, some)
+        catch { case _: IllegalArgumentException =>
+          GraftVectorizedOpen.open(p.file, None)
+        }
+    }
   }
+
+  private val fileFields: Set[String] =
+    opened.fileSchema.getFields.asScala.map(_.getName).toSet
 
   // requested physical columns present in the file, in requested order
   private val present: Seq[(String, Int)] =
@@ -516,7 +527,13 @@ private[source] class GraftColumnarReader(p: CdfFilePartition,
     }
 
   private val reader = new VectorizedParquetRecordReader(false, Capacity)
-  reader.initialize(p.file, present.map(_._1).asJava)
+  GraftVectorizedOpen.init(reader, opened, {
+    val tps: java.util.List[org.apache.parquet.schema.Type] =
+      present.map { case (phys, _) =>
+        opened.fileSchema.getType(opened.fileSchema.getFieldIndex(phys))
+      }.asJava
+    new org.apache.parquet.schema.MessageType(opened.fileSchema.getName, tps)
+  })
   private val inner: ColumnarBatch = reader.resultBatch()
 
   private val out: ColumnarBatch = {
@@ -571,7 +588,8 @@ private[source] class GraftColumnarReader(p: CdfFilePartition,
 private[source] class CdfReaderFactory(schema: StructType,
     nameMap: Map[String, String] = Map.empty,
     fill: Map[String, Any] = Map.empty,
-    columnar: Boolean = false)
+    columnar: Boolean = false,
+    pushed: Seq[org.apache.spark.sql.sources.Filter] = Nil)
     extends PartitionReaderFactory {
 
   /** Batch scans opt in; the vectorized path additionally requires every
@@ -591,7 +609,7 @@ private[source] class CdfReaderFactory(schema: StructType,
     val p = partition.asInstanceOf[CdfFilePartition]
     new GraftColumnarReader(p, schema, nameMap, fill,
       org.apache.spark.unsafe.types.UTF8String
-        .fromString(new Path(p.file).getName))
+        .fromString(new Path(p.file).getName), pushed)
   }
 
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {

@@ -585,11 +585,24 @@ private[source] class GraftSqlTable(tableName: String, versionDir: String,
 
 private[source] class GraftSqlScanBuilder(versionDir: String,
     tableSchema: StructType)
-    extends ScanBuilder with SupportsPushDownRequiredColumns {
+    extends ScanBuilder with SupportsPushDownRequiredColumns
+    with org.apache.spark.sql.connector.read.SupportsPushDownFilters {
   private var pruned: StructType = tableSchema
+  private var pushed: Seq[org.apache.spark.sql.sources.Filter] = Nil
   override def pruneColumns(requiredSchema: StructType): Unit =
     pruned = requiredSchema
-  override def build(): Scan = new GraftSqlScan(versionDir, pruned)
+  /** Everything stays RESIDUAL (Spark re-applies the exact predicates);
+    * the translatable subset additionally reaches parquet-mr as a
+    * row-group pruning predicate (stats/dictionary/bloom) at the reader.
+    */
+  override def pushFilters(filters: Array[org.apache.spark.sql.sources.Filter])
+      : Array[org.apache.spark.sql.sources.Filter] = {
+    pushed = filters.toSeq
+    filters
+  }
+  override def pushedFilters(): Array[org.apache.spark.sql.sources.Filter] =
+    ParquetPushdown.pushable(pushed, tableSchema, Map.empty).toArray
+  override def build(): Scan = new GraftSqlScan(versionDir, pruned, pushed)
 }
 
 /** A deletion-vector version in the catalog: each data file's bitmap is
@@ -781,8 +794,13 @@ private[source] class GraftMappedSqlScan(dataDir: String, schema: StructType,
       .map(st => CdfFilePartition(0L, st.getPath.toString): InputPartition)
       .toArray
   }
+  // row path, deliberately: mapped tables are DDL-churned small-file
+  // fixtures where the vectorized reader's per-file setup (footer +
+  // batch/vector init) costs more than it saves (q286 measured 2x); the
+  // row materializer amortizes nothing per file. Large mapped tables
+  // would flip this — revisit with a size-aware switch if one appears.
   override def createReaderFactory(): PartitionReaderFactory =
-    new CdfReaderFactory(schema, nameMap, fills, columnar = true)
+    new CdfReaderFactory(schema, nameMap, fills)
 }
 
 /** A driver-side metadata table ([[GraftCatalog.metadataTable]]): the
@@ -925,7 +943,10 @@ private[source] class GraftLogScanBuilder(dir: String,
   override def pruneColumns(requiredSchema: StructType): Unit =
     pruned = requiredSchema
 
+  private var pushedAll: Seq[Filter] = Nil
+
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    pushedAll = filters.toSeq
     statsCol.foreach { c =>
       filters.foreach {
         case EqualTo(`c`, v: Number) =>
@@ -943,7 +964,8 @@ private[source] class GraftLogScanBuilder(dir: String,
     }
     filters // all residual: Spark re-applies the exact predicates
   }
-  override def pushedFilters(): Array[Filter] = Array.empty
+  override def pushedFilters(): Array[Filter] =
+    ParquetPushdown.pushable(pushedAll, tableSchema, Map.empty).toArray
 
   private def keepFiles: Seq[String] = files.collect {
     case (f, Some((lo, hi, _))) if hi >= bounds._1 && lo <= bounds._2 => f
@@ -951,7 +973,7 @@ private[source] class GraftLogScanBuilder(dir: String,
   }
 
   override def build(): Scan =
-    new GraftLogScan(dir, keepFiles, files.size, pruned, options)
+    new GraftLogScan(dir, keepFiles, files.size, pruned, options, pushedAll)
 
   /** The row-level operation's scan: runtime-group-filterable. `allLive`
     * is the UNPRUNED live set, and it is also what the scan READS when no
@@ -1027,7 +1049,8 @@ private[source] class GraftLogCowScan(dir: String,
 
 private[source] class GraftLogScan(dir: String, keep: Seq[String],
     total: Int, schema: StructType,
-    options: CaseInsensitiveStringMap = CaseInsensitiveStringMap.empty())
+    options: CaseInsensitiveStringMap = CaseInsensitiveStringMap.empty(),
+    pushed: Seq[org.apache.spark.sql.sources.Filter] = Nil)
     extends Scan with Batch {
   override def readSchema(): StructType = schema
   override def toBatch: Batch = this
@@ -1042,10 +1065,11 @@ private[source] class GraftLogScan(dir: String, keep: Seq[String],
   override def planInputPartitions(): Array[InputPartition] =
     keep.map(f => CdfFilePartition(0L, s"$dir/data/$f"): InputPartition).toArray
   override def createReaderFactory(): PartitionReaderFactory =
-    new CdfReaderFactory(schema, columnar = true)
+    new CdfReaderFactory(schema, columnar = true, pushed = pushed)
 }
 
-private[source] class GraftSqlScan(versionDir: String, schema: StructType)
+private[source] class GraftSqlScan(versionDir: String, schema: StructType,
+    pushed: Seq[org.apache.spark.sql.sources.Filter] = Nil)
     extends Scan with Batch with SupportsReportStatistics {
   override def readSchema(): StructType = schema
   override def toBatch: Batch = this
@@ -1081,5 +1105,5 @@ private[source] class GraftSqlScan(versionDir: String, schema: StructType)
       .toArray
   }
   override def createReaderFactory(): PartitionReaderFactory =
-    new CdfReaderFactory(schema, columnar = true)
+    new CdfReaderFactory(schema, columnar = true, pushed = pushed)
 }
