@@ -28,7 +28,14 @@ public final class GraftRowGroupBridge {
           @Override
           public org.apache.parquet.column.page.PageReadStore readNextRowGroup()
               throws IOException {
-            return fileReader.readNextRowGroup();
+            // Must pair with getFilteredRecordCount(): when a record filter
+            // is set, parquet-mr's column-index (page-level) filtering is on
+            // by default, and the filtered count only matches the pages the
+            // FILTERED read returns. The unfiltered readNextRowGroup() would
+            // hand back more rows than the count on multi-page row groups,
+            // truncating the read after a prefix. This mirrors Spark's own
+            // ParquetRowGroupReaderImpl.
+            return fileReader.readNextFilteredRowGroup();
           }
 
           @Override

@@ -174,12 +174,52 @@ object Bench {
         if (ratios.size >= 5)
           println(f"[benchcheck] ambient factor $ambient%.2f over " +
             f"${ratios.size} stable queries -> effective tolerance $tolEff%.2f")
+        // HARD CEILING (round 14): ambient scaling must never excuse a
+        // blowup — anything over 3x raw is flagged no matter the window.
+        val hardCeiling = 3.0
         val movers = results.filter { case (n, t) =>
-          expected.get(n).exists(e => t > math.max(e, floor) * tolEff)
+          expected.get(n).exists(e =>
+            t > math.max(e, floor) * math.min(tolEff, hardCeiling))
         }
         movers.foreach { case (n, t) =>
           println(f"[benchcheck] REGRESSION $n: ${t}%.2f s vs expected " +
             f"${expected(n)}%.2f s (>${tolEff}%.2fx over the ${floor}s floor)")
+        }
+        // AMBIENT-EXCUSED TREND LOG (round 14): a query that would have
+        // been flagged at the BASE tolerance but was excused by the
+        // ambient factor is appended to BENCH_EXCUSED.jsonl — one line
+        // per pass — so a query excused pass after pass (a real slow
+        // creep hiding inside slow windows) surfaces as a trend instead
+        // of being forgotten each time.
+        val excused = results.filter { case (n, t) =>
+          expected.get(n).exists(e =>
+            t > math.max(e, floor) * tolerance &&
+              t <= math.max(e, floor) * tolEff)
+        }
+        if (excused.nonEmpty) {
+          val line = s"""{"ambient":${f"$ambient%.3f"},"sf":"$sfDir",""" +
+            s""""excused":{${excused.map { case (n, t) =>
+              s""""$n":[${f"$t%.2f"},${f"${expected(n)}%.2f"}]"""
+            }.mkString(",")}}}"""
+          try {
+            java.nio.file.Files.write(
+              java.nio.file.Paths.get("BENCH_EXCUSED.jsonl"),
+              (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8),
+              java.nio.file.StandardOpenOption.CREATE,
+              java.nio.file.StandardOpenOption.APPEND)
+            // repeat offenders across passes: count each query's excusals
+            val hist = new String(java.nio.file.Files.readAllBytes(
+              java.nio.file.Paths.get("BENCH_EXCUSED.jsonl")),
+              java.nio.charset.StandardCharsets.UTF_8)
+            val counts = """"(q[^"]+)":\[""".r.findAllMatchIn(hist)
+              .map(_.group(1)).toSeq.groupBy(identity).view
+              .mapValues(_.size).toSeq.filter(_._2 >= 3).sortBy(-_._2)
+            if (counts.nonEmpty)
+              println(s"[benchcheck] TREND ambient-excused >=3 passes: " +
+                counts.map { case (n, c) => s"$n(x$c)" }.mkString(", "))
+          } catch { case _: java.io.IOException => () }
+          println(s"[benchcheck] ${excused.size} excused by ambient " +
+            s"(logged): ${excused.map(_._1).take(8).mkString(", ")}")
         }
         val fresh = results.map(_._1).filterNot(expected.contains)
         if (fresh.nonEmpty)

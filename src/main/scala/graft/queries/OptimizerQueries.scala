@@ -3106,7 +3106,14 @@ object OptimizerQueries {
         .select(col("c_custkey").cast("long").as("ck"),
           col("c_nationkey").cast("long").as("nk"),
           (col("c_custkey") % 1000).cast("double").as("bal"))
-      VT.write(c.repartition(4), tdir) // v1
+      // KEY-LOCAL base layout (round-14 hardening): range-partition the
+      // base on the UPDATE/MERGE key so every file carries disjoint nk
+      // ranges with tight stats. A COW scan that forwarded the
+      // statement's WHERE into row-group pruning would then DROP the
+      // non-matching files' rows from the replacement snapshot — this
+      // fixture makes that bug class change the oracle hash instead of
+      // hiding behind mixed-key files (the round-13 escape).
+      VT.write(c.repartitionByRange(8, col("nk")), tdir) // v1
       val cat = "grafty_" + java.security.MessageDigest.getInstance("MD5")
         .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(6)
       s.conf.set(s"spark.sql.catalog.$cat",

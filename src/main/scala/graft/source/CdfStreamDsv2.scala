@@ -341,8 +341,12 @@ private[source] class InternalRowReadSupport(schema: StructType,
       private val n = schema.fields.length
 
       // the per-record template: constants (_commit_version, _file, tag),
-      // evolution fills and nulls — cloned at record start, so a value the
-      // column readers never deliver (absent optional) stays at its fill
+      // evolution fills and nulls — cloned at record start. The fill
+      // applies ONLY to columns the file physically lacks (pre-evolution
+      // files): a column PRESENT in the file whose stored value is NULL
+      // never fires its converter, so its template slot must be null —
+      // otherwise stored NULLs silently read back as the default (and the
+      // row path would disagree with the columnar path).
       private val template: Array[Any] = {
         val tagU8 = if (tag == null) null else UTF8String.fromString(tag)
         schema.fields.map { f =>
@@ -350,6 +354,8 @@ private[source] class InternalRowReadSupport(schema: StructType,
           else if (f.name == GraftMeta.FileCol) fileName
           else if (f.name == graft.ops.ChangeFeed.ChangeType && tagU8 != null)
             tagU8
+          else if (fileSchema.containsField(nameMap.getOrElse(f.name, f.name)))
+            null
           else fill.getOrElse(f.name, null).asInstanceOf[Any]
         }
       }

@@ -578,13 +578,20 @@ private[source] class GraftSqlTable(tableName: String, versionDir: String,
       s"GraftCatalog: $tableName supports row-level SQL only on the " +
         "snapshot layout's live version — branches mutate via INSERT or " +
         "the typed ops layer")
+    // The COW scan's output IS the replacement snapshot (GroupBatchWrite
+    // with replacedFiles = None commits it whole-table), so the scan must
+    // read EVERY row of the base: a builder that forwarded the statement's
+    // WHERE into parquet row-group pruning would silently drop every row
+    // whose file/row-group the predicate excludes. rowLevel = true keeps
+    // the reader unpruned — the discipline GraftLogCowScan has always had.
     () => new GraftRowLevelOperation(info.command(), t, baseVersion,
-      opts => this.newScanBuilder(opts))
+      opts => new GraftSqlScanBuilder(versionDir, tableSchema,
+        rowLevel = true))
   }
 }
 
 private[source] class GraftSqlScanBuilder(versionDir: String,
-    tableSchema: StructType)
+    tableSchema: StructType, rowLevel: Boolean = false)
     extends ScanBuilder with SupportsPushDownRequiredColumns
     with org.apache.spark.sql.connector.read.SupportsPushDownFilters {
   private var pruned: StructType = tableSchema
@@ -593,11 +600,14 @@ private[source] class GraftSqlScanBuilder(versionDir: String,
     pruned = requiredSchema
   /** Everything stays RESIDUAL (Spark re-applies the exact predicates);
     * the translatable subset additionally reaches parquet-mr as a
-    * row-group pruning predicate (stats/dictionary/bloom) at the reader.
+    * row-group pruning predicate (stats/dictionary/bloom) at the reader —
+    * EXCEPT in rowLevel mode (the scan behind UPDATE/MERGE/DELETE
+    * rewrites), where the scan output becomes the replacement snapshot
+    * and any pruning is row loss, so nothing reaches the reader.
     */
   override def pushFilters(filters: Array[org.apache.spark.sql.sources.Filter])
       : Array[org.apache.spark.sql.sources.Filter] = {
-    pushed = filters.toSeq
+    if (!rowLevel) pushed = filters.toSeq
     filters
   }
   override def pushedFilters(): Array[org.apache.spark.sql.sources.Filter] =
@@ -682,21 +692,22 @@ private[source] class GraftDvSqlScan(versionDir: String,
       if (!haveBlobs) Set.empty
       else fs.listStatus(blobDir).toSeq.map(_.getPath.getName)
         .filter(_.endsWith(".bm")).map(_.stripSuffix(".bm")).toSet
-    // LEGACY fallback: a version carrying `_dv` but no `_dvbm` blob
-    // sidecar (written before the blob plane existed) must NOT read as
-    // vector-free — that silently resurrects every deleted row. The
-    // parquet sidecar is the canonical form; load it driver-side (it is
-    // O(files-with-deletes × bitmap), the pre-blob plane's own bound)
-    // and inline each file's bitmap bytes into its partition.
-    val inlined: Map[String, Array[Byte]] =
-      if (haveBlobs && withDv.nonEmpty) Map.empty
-      else {
-        val dvDir = new Path(p, "_dv")
-        if (!fs.exists(dvDir)) Map.empty
-        else SparkSession.active.read.parquet(dvDir.toString)
-          .select("file_name", "bitmap").collect()
-          .map(r => r.getString(0) -> r.getAs[Array[Byte]](1)).toMap
-      }
+    // LEGACY fallback: a version carrying `_dv` but no `_dvbm` blob for a
+    // given file (written before the blob plane existed, or a writer that
+    // crashed after landing SOME blobs) must NOT read that file as
+    // vector-free — that silently resurrects its deleted rows. The parquet
+    // sidecar is the canonical form; load it driver-side whenever it
+    // exists (O(files-with-deletes × bitmap), the pre-blob plane's own
+    // bound) and resolve PER FILE: blob when present, else the inlined
+    // sidecar bitmap. Never gate the sidecar load on blob presence —
+    // partial blob coverage is exactly the crash shape to survive.
+    val inlined: Map[String, Array[Byte]] = {
+      val dvDir = new Path(p, "_dv")
+      if (!fs.exists(dvDir)) Map.empty
+      else SparkSession.active.read.parquet(dvDir.toString)
+        .select("file_name", "bitmap").collect()
+        .map(r => r.getString(0) -> r.getAs[Array[Byte]](1)).toMap
+    }
     fs.listStatus(p).toSeq
       .filter(st => st.isFile && !st.getPath.getName.startsWith("_") &&
         !st.getPath.getName.startsWith("."))
@@ -706,7 +717,7 @@ private[source] class GraftDvSqlScan(versionDir: String,
         DvFilePartition(st.getPath.toString,
           if (withDv(n)) Some(new Path(blobDir, n + ".bm").toString)
           else None,
-          inlined.get(n)): InputPartition
+          if (withDv(n)) None else inlined.get(n)): InputPartition
       }
       .toArray
   }

@@ -16,4 +16,45 @@ object TestReaderHook {
     try { while (r.next()) n += r.get().numRows() } finally r.close()
     n
   }
+
+  /** The long values of column 0 a single-file columnar read delivers
+    * under pushed filters — the observable for the page-level
+    * (column-index) filtering pin: WHICH rows survive matters, not just
+    * how many (the broken bridge delivered the right COUNT of the wrong
+    * rows — an unfiltered prefix).
+    */
+  def columnarLongs(schema: StructType, pushed: Seq[Filter],
+      file: String): Seq[Long] = {
+    val fac = new CdfReaderFactory(schema, columnar = true, pushed = pushed)
+    val r = fac.createColumnarReader(CdfFilePartition(0L, file))
+    val out = scala.collection.mutable.ArrayBuffer.empty[Long]
+    try {
+      while (r.next()) {
+        val b = r.get()
+        var i = 0
+        while (i < b.numRows()) { out += b.column(0).getLong(i); i += 1 }
+      }
+    } finally r.close()
+    out.toSeq
+  }
+
+  /** Row-path read of one file with an evolution fill map: returns
+    * (isNull, value) per row for the given string column — the observable
+    * for the present-but-null fill pin (a stored NULL in a column the
+    * file PHYSICALLY carries must read as NULL, not the fill).
+    */
+  def rowStrings(schema: StructType, fill: Map[String, Any], file: String,
+      colIdx: Int): Seq[Option[String]] = {
+    val fac = new CdfReaderFactory(schema, fill = fill)
+    val r = fac.createReader(CdfFilePartition(0L, file))
+    val out = scala.collection.mutable.ArrayBuffer.empty[Option[String]]
+    try {
+      while (r.next()) {
+        val row = r.get()
+        out += (if (row.isNullAt(colIdx)) None
+          else Some(row.getUTF8String(colIdx).toString))
+      }
+    } finally r.close()
+    out.toSeq
+  }
 }
