@@ -40,6 +40,36 @@ object Q {
     try body finally s.conf.set(key, prev)
   }
 
+  /** Order-independent multiset equality by one-pass checksum — the cheap
+    * form of `a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty`. Each side
+    * is reduced in a single job (full scan, partial-aggregated count +
+    * bit_xor + overflow-proof decimal sum over TWO independent row hashes:
+    * xxhash64 and murmur3) with NO shuffle and NO join, where the
+    * exceptAll pair costs four scans and two wide shuffles. Two
+    * independent 64/32-bit hash families make a colliding multiset
+    * difference cryptographically implausible; Spark's hash expressions
+    * already normalize -0.0/NaN the same way its set operators do.
+    * Used by the streaming bucket's equivalence audits, where the audit
+    * used to cost more than the streams it audited (q269: 5.2 s of an
+    * 8.2 s query).
+    */
+  def sameMultiset(a: DataFrame, b: DataFrame): Boolean = {
+    import org.apache.spark.sql.functions._
+    require(a.columns.sorted.sameElements(b.columns.sorted),
+      s"sameMultiset: column sets differ: ${a.columns.toSeq} vs ${b.columns.toSeq}")
+    def sig(df: DataFrame): org.apache.spark.sql.Row = {
+      val cs = df.columns.sorted.toIndexedSeq.map(col)
+      df.select(xxhash64(cs: _*).as("h64"), hash(cs: _*).cast("long").as("h32"))
+        .agg(count(lit(1)).as("n"),
+          expr("bit_xor(h64)").as("x64"),
+          sum(col("h64").cast("decimal(38,0)")).as("s64"),
+          expr("bit_xor(h32)").as("x32"),
+          sum(col("h32").cast("decimal(38,0)")).as("s32"))
+        .head()
+    }
+    sig(a) == sig(b)
+  }
+
   def scratch(s: SparkSession, sfDir: String, name: String): String = {
     val digest = java.security.MessageDigest.getInstance("MD5")
       .digest(sfDir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)

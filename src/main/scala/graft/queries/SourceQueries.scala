@@ -2583,7 +2583,7 @@ object SourceQueries {
       } finally q.stop()
       val direct = IncrementalView.full(
         VersionedTable.readVersion(s, root, 4L), spec)
-      require(view.exceptAll(direct).isEmpty && direct.exceptAll(view).isEmpty,
+      require(Q.sameMultiset(view, direct),
         "q203: the stream-maintained view must equal the full recompute exactly")
       require(batches >= 2,
         s"q203: the fold must span multiple micro-batches, got $batches")
@@ -2681,7 +2681,7 @@ object SourceQueries {
         s"q221: restart must resume from the checkpointed version, got $versionsSeen")
       val direct = IncrementalView.full(
         VersionedTable.readVersion(s, root, 5L), spec)
-      require(view.exceptAll(direct).isEmpty && direct.exceptAll(view).isEmpty,
+      require(Q.sameMultiset(view, direct),
         "q221: the stream-maintained view must equal the full recompute exactly")
       view.select(col("n"), col(IncrementalView.NCol).as("n_rows"),
         round(col("bal").cast("double"), 2).as("bal_sum"))
@@ -3944,7 +3944,7 @@ object SourceQueries {
       } finally q.stop()
       val direct = IncrementalView.full(
         VersionedTable.readVersion(s, root, 6L), spec)
-      require(view.exceptAll(direct).isEmpty && direct.exceptAll(view).isEmpty,
+      require(Q.sameMultiset(view, direct),
         "q242: the handoff-maintained view must equal the full recompute")
       // negative control: starting one version EARLY double-applies the
       // boundary deltas — the divergence this entry exists to prevent
@@ -3952,7 +3952,7 @@ object SourceQueries {
         IncrementalView.full(VersionedTable.readVersion(s, root, bootV), spec),
         IncrementalView.delta(ChangeFeed.tableChanges(s, root, bootV - 1L, 6L,
           Seq("k")).drop(ChangeFeed.CommitVersion), spec), spec)
-      require(!wrong.exceptAll(direct).isEmpty,
+      require(!Q.sameMultiset(wrong, direct),
         "q242: an off-by-one start offset must provably diverge")
       view.select(col("n"), col(IncrementalView.NCol).as("n_rows"),
         round(col("bal").cast("double"), 2).as("bal_sum"))
