@@ -13,6 +13,20 @@ import org.apache.hadoop.fs.Path
 
 import graft.ops.VersionedTable
 
+/** One shared, never-mutated Hadoop Configuration for reader-side paths:
+  * a fresh `new Configuration()` re-parses the default XML resources —
+  * fine once, measurable when it lands in per-file or per-call hot paths
+  * (readers, fs handles). Writer-side code that must CARRY session confs
+  * keeps using [[SerializableConf]]; this is only for defaults.
+  */
+private[source] object SharedHadoopConf {
+  lazy val get: Configuration = {
+    val c = new Configuration()
+    c.size() // force the resource load once
+    c
+  }
+}
+
 /** A NATIVE streaming source over the change feed — the public Delta
   * streaming-source design (version-ordered offsets + admission control) as
   * a DSv2 `MicroBatchStream`, replacing the q203 parquet-glob workaround
@@ -112,7 +126,7 @@ private[source] class CdfMicroBatchStream(path: String, schema: StructType,
   require(maxBytesPerTrigger.forall(_ >= 1),
     "cdf stream: maxBytesPerTrigger must be >= 1")
 
-  private def fs = new Path(path).getFileSystem(new Configuration())
+  private def fs = new Path(path).getFileSystem(SharedHadoopConf.get)
 
   /** The live committed version (pointer with highest-complete fallback —
     * the same resolution rule as [[VersionedTable.currentVersion]]).
@@ -608,7 +622,16 @@ private[source] class CdfReaderFactory(schema: StructType,
         StringType | DateType | TimestampType | TimestampNTZType => true
       case d: DecimalType if d.precision <= 18 => true
       case _ => false
-    })
+    }) && fill.valuesIterator.forall {
+      // every fill must be expressible as a ConstantColumnVector — an
+      // exotic default (interval, struct, …) falls back to the row path
+      // instead of erroring at reader construction
+      case null | _: java.lang.Long | _: java.lang.Integer |
+        _: java.lang.Double | _: java.lang.Float | _: java.lang.Boolean |
+        _: org.apache.spark.unsafe.types.UTF8String |
+        _: org.apache.spark.sql.types.Decimal | _: Array[Byte] => true
+      case _ => false
+    }
 
   override def createColumnarReader(partition: InputPartition)
       : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] = {
@@ -631,7 +654,7 @@ private[source] class CdfReaderFactory(schema: StructType,
             new InternalRowReadSupport(schema, nameMap, fill, p.version,
               fileName, p.tag),
             new Path(p.file))
-          .withConf(new Configuration()).build()
+          .withConf(SharedHadoopConf.get).build()
       private var row: InternalRow = _
       override def next(): Boolean = {
         val r = reader.read()

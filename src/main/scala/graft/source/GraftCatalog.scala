@@ -682,7 +682,7 @@ private[source] class GraftDvSqlScan(versionDir: String,
   override def description(): String = s"GraftDvSqlScan [$versionDir]"
   override def planInputPartitions(): Array[InputPartition] = {
     val p = new Path(versionDir)
-    val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+    val fs = p.getFileSystem(SharedHadoopConf.get)
     // one listing of the blob sidecar: the driver learns only which files
     // HAVE a vector (names); each partition carries its blob's PATH and
     // the executor-side reader opens only that bitmap
@@ -738,7 +738,7 @@ private[source] class DvReaderFactory(schema: StructType)
       .createReader(CdfFilePartition(0L, p.file))
     val bmBytes: Option[Array[Byte]] = p.bitmapBytes.orElse(p.bitmapPath.map { bp =>
       val path = new Path(bp)
-      val fs = path.getFileSystem(new org.apache.hadoop.conf.Configuration())
+      val fs = path.getFileSystem(SharedHadoopConf.get)
       val len = fs.getFileStatus(path).getLen.toInt
       val bytes = new Array[Byte](len)
       val in = fs.open(path)
@@ -795,23 +795,32 @@ private[source] class GraftMappedSqlScan(dataDir: String, schema: StructType,
   override def toBatch: Batch = this
   override def description(): String =
     s"GraftMappedSqlScan [$dataDir] ReadSchema: ${schema.catalogString}"
-  override def planInputPartitions(): Array[InputPartition] = {
+  private lazy val dataFiles: Seq[org.apache.hadoop.fs.FileStatus] = {
     val p = new Path(dataDir)
-    val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+    val fs = p.getFileSystem(SharedHadoopConf.get)
     fs.listStatus(p).toSeq
       .filter(st => st.isFile && !st.getPath.getName.startsWith("_") &&
         !st.getPath.getName.startsWith("."))
       .sortBy(_.getPath.getName)
-      .map(st => CdfFilePartition(0L, st.getPath.toString): InputPartition)
-      .toArray
   }
-  // row path, deliberately: mapped tables are DDL-churned small-file
-  // fixtures where the vectorized reader's per-file setup (footer +
-  // batch/vector init) costs more than it saves (q286 measured 2x); the
-  // row materializer amortizes nothing per file. Large mapped tables
-  // would flip this — revisit with a size-aware switch if one appears.
+  override def planInputPartitions(): Array[InputPartition] =
+    dataFiles.map(st =>
+      CdfFilePartition(0L, st.getPath.toString): InputPartition).toArray
+  // SIZE-AWARE reader switch (round-14, closing the round-13 revisit
+  // note): mapped tables are usually DDL-churned small-file fixtures
+  // where the vectorized reader's per-file setup (footer + batch/vector
+  // init) costs more than it saves (q286 measured 2x) — those keep the
+  // row materializer. Files big enough to amortize the setup flip to the
+  // vectorized path, which wins >=1.5x on real data volumes. The switch
+  // is per SCAN (largest data file), because Spark requires a scan's
+  // partitions to be uniformly columnar or uniformly row-based. 512 KB
+  // separates the two regimes by >100x on both sides: DDL-churn fixtures
+  // are single-digit KB, real data files are tens of MB.
+  private val VectorizedMinBytes = 512L << 10
   override def createReaderFactory(): PartitionReaderFactory =
-    new CdfReaderFactory(schema, nameMap, fills)
+    new CdfReaderFactory(schema, nameMap, fills,
+      columnar = dataFiles.nonEmpty &&
+        dataFiles.map(_.getLen).max >= VectorizedMinBytes)
 }
 
 /** A driver-side metadata table ([[GraftCatalog.metadataTable]]): the
@@ -1093,7 +1102,7 @@ private[source] class GraftSqlScan(versionDir: String, schema: StructType,
     */
   override def estimateStatistics(): Statistics = {
     val p = new Path(versionDir)
-    val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+    val fs = p.getFileSystem(SharedHadoopConf.get)
     val bytes = fs.listStatus(p).toSeq
       .filter(st => st.isFile && !st.getPath.getName.startsWith("_") &&
         !st.getPath.getName.startsWith("."))
@@ -1107,7 +1116,7 @@ private[source] class GraftSqlScan(versionDir: String, schema: StructType,
   }
   override def planInputPartitions(): Array[InputPartition] = {
     val p = new Path(versionDir)
-    val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+    val fs = p.getFileSystem(SharedHadoopConf.get)
     fs.listStatus(p).toSeq
       .filter(st => st.isFile && !st.getPath.getName.startsWith("_") &&
         !st.getPath.getName.startsWith("."))

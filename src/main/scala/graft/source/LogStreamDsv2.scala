@@ -90,7 +90,7 @@ private[source] class LogMicroBatchStream(path: String, schema: StructType,
   require(maxBytesPerTrigger.forall(_ >= 1),
     "log stream: maxBytesPerTrigger must be >= 1")
 
-  private def fs = new Path(path).getFileSystem(new Configuration())
+  private def fs = new Path(path).getFileSystem(SharedHadoopConf.get)
 
   private def live(): Long = {
     val ld = new Path(s"$path/_log")

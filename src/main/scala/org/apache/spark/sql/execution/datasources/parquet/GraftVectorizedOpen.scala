@@ -30,7 +30,13 @@ object GraftVectorizedOpen {
     */
   final case class Opened(reader: ParquetFileReader, fileSchema: MessageType)
 
-  def open(path: String, predicate: Option[FilterPredicate]): Opened = {
+  /** One shared, effectively-immutable Configuration for every open:
+    * constructing a fresh Configuration per file re-parses the Hadoop
+    * default XML resources inside the TASK hot path — measurable against
+    * sub-second scans. Never mutated after init; concurrent reads of a
+    * loaded Configuration are safe.
+    */
+  private lazy val sharedConf: Configuration = {
     val conf = new Configuration()
     // mirror the defaults the stock test-path initialize() pins
     conf.setBoolean(SQLConf.PARQUET_BINARY_AS_STRING.key, false)
@@ -38,6 +44,12 @@ object GraftVectorizedOpen {
     conf.setBoolean(SQLConf.CASE_SENSITIVE.key, false)
     conf.setBoolean(SQLConf.PARQUET_INFER_TIMESTAMP_NTZ_ENABLED.key, true)
     conf.setBoolean(SQLConf.LEGACY_PARQUET_NANOS_AS_LONG.key, false)
+    conf.size() // force the resource load once, here, not in a race
+    conf
+  }
+
+  def open(path: String, predicate: Option[FilterPredicate]): Opened = {
+    val conf = sharedConf
     val p = new Path(path)
     val len = p.getFileSystem(conf).getFileStatus(p).getLen
     var ob = HadoopReadOptions.builder(conf, p).withRange(0, len)

@@ -38,6 +38,27 @@ object TestReaderHook {
     out.toSeq
   }
 
+  /** Drain every file through the factory's row or columnar reader and
+    * return the total row count — the harness for timing the two mapped-
+    * table paths over identical data.
+    */
+  def drain(schema: StructType, nameMap: Map[String, String],
+      fill: Map[String, Any], files: Seq[String], columnar: Boolean): Long = {
+    val fac = new CdfReaderFactory(schema, nameMap, fill, columnar = columnar)
+    files.map { f =>
+      val p = CdfFilePartition(0L, f)
+      var n = 0L
+      if (columnar) {
+        val r = fac.createColumnarReader(p)
+        try { while (r.next()) n += r.get().numRows() } finally r.close()
+      } else {
+        val r = fac.createReader(p)
+        try { while (r.next()) n += 1 } finally r.close()
+      }
+      n
+    }.sum
+  }
+
   /** Row-path read of one file with an evolution fill map: returns
     * (isNull, value) per row for the given string column — the observable
     * for the present-but-null fill pin (a stored NULL in a column the
