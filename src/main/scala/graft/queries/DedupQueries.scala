@@ -375,7 +375,7 @@ object DedupQueries {
       val got = VersionedTable.read(s, table).localCheckpoint()
       // materialize the recompute once — both exceptAll directions read it
       val full = bandsOf(docs).localCheckpoint()
-      require(got.exceptAll(full).isEmpty && full.exceptAll(got).isEmpty,
+      require(Q.sameMultiset(got, full),
         "q135: delta-maintained index must equal the full recompute")
       got
     },
@@ -431,7 +431,7 @@ object DedupQueries {
       // exactness: the prefiltered pipeline equals the plain anti-join
       val exact = delta.join(histTexts, Seq("text"), "left_anti")
         .select(col("doc_id"), col("lang")).localCheckpoint()
-      require(result.exceptAll(exact).isEmpty && exact.exceptAll(result).isEmpty,
+      require(Q.sameMultiset(result, exact),
         "q202: bloom prefilter must not change the dedup result")
       // the scale contract: the join input really shrank, and the negative
       // short-circuit really fired

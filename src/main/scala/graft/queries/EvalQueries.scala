@@ -222,8 +222,7 @@ object EvalQueries {
         .select(col("c_nationkey"), col("n_orders").cast("bigint").as("n_orders"),
           col("revenue"))
         .localCheckpoint() // read by both exceptAll directions
-      require(incremental.exceptAll(recompute).isEmpty &&
-        recompute.exceptAll(incremental).isEmpty,
+      require(Q.sameMultiset(incremental, recompute),
         "q158: delta-maintained view must equal the full recompute exactly")
       // Output canonicalization (round-2 discipline, SURVEY §8a): the
       // equivalence proof above runs in exact DECIMAL(38,6); the RESULT is
@@ -805,7 +804,7 @@ object EvalQueries {
         .agg(sum(col("cnt")).cast("bigint").as("cnt"))
       val direct = li.groupBy(bin).agg(count(lit(1)).as("cnt"))
         .localCheckpoint() // both exceptAll directions read it
-      require(merged.exceptAll(direct).isEmpty && direct.exceptAll(merged).isEmpty,
+      require(Q.sameMultiset(merged, direct),
         "q176: merged segment histograms must equal the direct histogram exactly")
       // quantile estimates from the merged summary (bounded bin domain)
       val wCum = Window.orderBy(col("bin")).rowsBetween(Window.unboundedPreceding, 0)
@@ -874,8 +873,7 @@ object EvalQueries {
         variant_get(col("v"), "$.cust.key", "bigint").as("o_custkey"))
         .localCheckpoint() // the round-trip proof AND the output read it
       // round-trip proof: ingest-once extract-typed loses nothing
-      require(extracted.exceptAll(orders).isEmpty &&
-        orders.exceptAll(extracted).isEmpty,
+      require(Q.sameMultiset(extracted, orders),
         "q187: variant extraction must reproduce the source columns exactly")
       extracted.groupBy(col("o_orderpriority").as("tag"))
         .agg(count(lit(1)).cast("bigint").as("n_orders"),

@@ -83,7 +83,7 @@ object OptimizerQueries {
         // the decision tracked the statistic; values are plan-invariant
         val bc = agg(withStats).localCheckpoint()
         val smj = agg(KeyedDsv2.read(s, s"$root/dim", "region", "natkey"))
-        require(bc.exceptAll(smj).isEmpty && smj.exceptAll(bc).isEmpty,
+        require(Q.sameMultiset(bc, smj),
           "q253: broadcast and merge plans must agree bit-exactly")
         bc
       } finally saved.foreach { case (k, v) => s.conf.set(k, v) }
@@ -167,7 +167,7 @@ object OptimizerQueries {
           .join(VT.readVersion(s, dirB, 2).select(col("custkey"), col("natkey")),
             Seq("custkey")), viewCols)
         .select(col("custkey"), col("pb"), col("natkey"), col(IV.SignCol).as("n"))
-      require(view2.exceptAll(full2).isEmpty && full2.exceptAll(view2).isEmpty,
+      require(Q.sameMultiset(view2, full2),
         "q254: maintained join view must equal the full recompute bit-exactly")
       require(view2.filter(col("n") <= 0L).isEmpty,
         "q254: a maintained multiplicity went non-positive")
@@ -234,8 +234,7 @@ object OptimizerQueries {
         val fromMv = userQuery.localCheckpoint()
         MvRewrite.clear()
         val fromBase = userQuery
-        require(fromMv.exceptAll(fromBase).isEmpty &&
-          fromBase.exceptAll(fromMv).isEmpty,
+        require(Q.sameMultiset(fromMv, fromBase),
           "q255: rewritten and base answers must agree bit-exactly")
         fromMv
       } finally { MvRewrite.clear(); s.conf.set(aqeKey, prevAqe) }
@@ -277,7 +276,7 @@ object OptimizerQueries {
       // soundness audit: projected-and-residual ≡ the direct filter
       val direct = ev.filter(col("ts") >= lit(fromTs).cast("timestamp") &&
         col("ts") <= lit(toTs).cast("timestamp"))
-      require(pruned.exceptAll(direct).isEmpty && direct.exceptAll(pruned).isEmpty,
+      require(Q.sameMultiset(pruned, direct),
         "q256: pruned read must equal the direct filter bit-exactly")
       // non-monotone negative: a bucket layout cannot project a range
       ev.withColumn("_b", pmod(hash(col("event_id")), lit(8)))
@@ -614,7 +613,7 @@ object OptimizerQueries {
       (1 to 4).foreach { v =>
         val want = li.filter(col("l_orderkey") % 4 < v)
         val got = ActionLog.read(s, table, asOf = v)
-        require(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty,
+        require(Q.sameMultiset(got, want),
           s"q266: as-of v$v replay diverges from the batch union")
       }
       // checkpoint at v4, then compaction as v5: resolution must replay
@@ -628,7 +627,7 @@ object OptimizerQueries {
           s"files=${files5.size}, live4=$live4)")
       val tt = ActionLog.read(s, table, asOf = 2)
       val want2 = li.filter(col("l_orderkey") % 4 < 2)
-      require(tt.exceptAll(want2).isEmpty && want2.exceptAll(tt).isEmpty,
+      require(Q.sameMultiset(tt, want2),
         "q266: pre-compaction time travel must still read removed files")
       ActionLog.read(s, table).groupBy(col("l_returnflag"))
         .agg(count(lit(1)).cast("bigint").as("n"),
@@ -682,7 +681,7 @@ object OptimizerQueries {
       require(kept == 1 && total == 4,
         s"q267: the probe must keep 1 of 4 range-clustered files, got $kept/$total")
       val direct = o.filter(col("okey") >= a && col("okey") <= b)
-      require(pruned.exceptAll(direct).isEmpty && direct.exceptAll(pruned).isEmpty,
+      require(Q.sameMultiset(pruned, direct),
         "q267: pruned scan must equal the direct filter bit-exactly")
       // an unsorted rewrite keeps the stats but destroys the clustering:
       // the same probe must now admit every file
@@ -740,7 +739,7 @@ object OptimizerQueries {
         s"q268: one compacted + one raced-in file expected, got ${files.size}")
       val want = li.filter(col("l_orderkey") % 4 < 3)
       val got = ActionLog.read(s, table)
-      require(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty,
+      require(Q.sameMultiset(got, want),
         "q268: the raced commits must commute — content equals the union")
       // the true conflict: two rewrites of the same file — loud, no commit
       val victim = files.take(1)
@@ -755,7 +754,7 @@ object OptimizerQueries {
         clash.failed.get.getMessage.contains("conflict"),
         "q268: a same-file rewrite race must fail loudly")
       val after = ActionLog.read(s, table)
-      require(after.exceptAll(want).isEmpty && want.exceptAll(after).isEmpty,
+      require(Q.sameMultiset(after, want),
         "q268: the failed rewrite must leave the table intact")
       got.groupBy(col("l_returnflag"))
         .agg(count(lit(1)).cast("bigint").as("n"),
@@ -800,7 +799,7 @@ object OptimizerQueries {
         s"q270: exactly the two pre-compaction originals must die, " +
           s"got ($dropped, $deleted)")
       val after = ActionLog.read(s, table)
-      require(after.exceptAll(before).isEmpty && before.exceptAll(after).isEmpty,
+      require(Q.sameMultiset(after, before),
         "q270: vacuum must not change live content")
       // retained as-of resolves from the horizon checkpoint, tail-only
       val (_, replayed, ckpt) = ActionLog.resolve(s, table, 4L)
@@ -1044,7 +1043,7 @@ object OptimizerQueries {
         require(finalPlan.contains("isFinalPlan=true") &&
           finalPlan.contains("skew=true"),
           "q275: AQE must split the hot partition (skew=true in final plan)")
-        require(got.exceptAll(plain).isEmpty && plain.exceptAll(got).isEmpty,
+        require(Q.sameMultiset(got, plain),
           "q275: skew-split and straggler plans must agree bit-exactly")
         got
       } finally saved.foreach { case (k, v) => s.conf.set(k, v) }
@@ -1252,12 +1251,10 @@ object OptimizerQueries {
       def bySql(suffix: String) =
         s.sql(s"SELECT ck, nk, b FROM $cat.ns.t $suffix")
       val live = bySql("")
-      require(live.exceptAll(VT.read(s, tdir)).isEmpty &&
-        VT.read(s, tdir).exceptAll(live).isEmpty,
+      require(Q.sameMultiset(live, VT.read(s, tdir)),
         "q280: the SQL surface must equal the ops-layer live read")
       val asV1 = bySql("VERSION AS OF 1")
-      require(asV1.exceptAll(VT.readVersion(s, tdir, 1)).isEmpty &&
-        VT.readVersion(s, tdir, 1).exceptAll(asV1).isEmpty,
+      require(Q.sameMultiset(asV1, VT.readVersion(s, tdir, 1)),
         "q280: VERSION AS OF must render the exact v1 snapshot")
       val ts1 = VT.commitTimestamp(s, tdir, 1).get
       val iso = java.time.format.DateTimeFormatter
@@ -1265,7 +1262,7 @@ object OptimizerQueries {
         .withZone(java.time.ZoneOffset.UTC)
         .format(java.time.Instant.ofEpochMilli(ts1))
       val asTs = bySql(s"TIMESTAMP AS OF '$iso'")
-      require(asTs.exceptAll(asV1).isEmpty && asV1.exceptAll(asTs).isEmpty,
+      require(Q.sameMultiset(asTs, asV1),
         "q280: TIMESTAMP AS OF v1's stamp must resolve to v1")
       // DML through the catalog COMMITS through the protocol (q307 pins
       // the full surface): the insert mints v3 via Occ staging. The
@@ -1368,7 +1365,7 @@ object OptimizerQueries {
       s.conf.set(s"spark.sql.catalog.$cat.root", root)
       def eq(a: org.apache.spark.sql.DataFrame,
           b: org.apache.spark.sql.DataFrame) =
-        a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty
+        Q.sameMultiset(a, b)
       val mainSql = s.sql(s"SELECT ck, nk, b FROM $cat.ns.t")
       val etlSql = s.sql(s"SELECT ck, nk, b FROM $cat.ns.`t@etl`")
       require(eq(mainSql, Branching.readBranch(s, tdir, "main")),
@@ -1449,7 +1446,7 @@ object OptimizerQueries {
         .contains("files=4/4"),
         "q283: an unfiltered read must admit every file")
       val direct = o.filter(col("okey") >= a && col("okey") <= b)
-      require(probe.exceptAll(direct).isEmpty && direct.exceptAll(probe).isEmpty,
+      require(Q.sameMultiset(probe, direct),
         "q283: pruned SQL scan must equal the direct filter bit-exactly")
       probe.groupBy(col("o_orderpriority"))
         .agg(count(lit(1)).cast("bigint").as("n"),
@@ -1555,14 +1552,12 @@ object OptimizerQueries {
       val live = s.sql(s"SELECT * FROM $cat.ns.t")
       require(live.columns.toSeq == Seq("ck", "bal"),
         s"q286: live SQL must render the evolved names, got ${live.columns.toSeq}")
-      require(live.exceptAll(CM.read(s, tdir)).isEmpty &&
-        CM.read(s, tdir).exceptAll(live).isEmpty,
+      require(Q.sameMultiset(live, CM.read(s, tdir)),
         "q286: the SQL read must equal the ops-layer read")
       val v1 = s.sql(s"SELECT * FROM $cat.ns.t VERSION AS OF 1")
       require(v1.columns.toSeq == Seq("ck", "nk", "b"),
         s"q286: v1 must render under its OWN names, got ${v1.columns.toSeq}")
-      require(v1.exceptAll(CM.readVersion(s, tdir, 1)).isEmpty &&
-        CM.readVersion(s, tdir, 1).exceptAll(v1).isEmpty,
+      require(Q.sameMultiset(v1, CM.readVersion(s, tdir, 1)),
         "q286: time travel must equal the ops-layer version read")
       // an unmaterialized DEFAULT renders through SQL exactly as the
       // typed read renders it: the expression is evaluated once and
@@ -1572,8 +1567,7 @@ object OptimizerQueries {
       require(withDefault.filter(col("tier") === "bronze").count() ==
         CM.read(s, tdir).count(),
         "q286: the unmaterialized default must render for every row")
-      require(withDefault.exceptAll(CM.read(s, tdir)).isEmpty &&
-        CM.read(s, tdir).exceptAll(withDefault).isEmpty,
+      require(Q.sameMultiset(withDefault, CM.read(s, tdir)),
         "q286: SQL and the typed read must agree on the default")
       live.groupBy((col("ck") % 10).cast("bigint").as("bucket"))
         .agg(count(lit(1)).cast("bigint").as("n"),
@@ -1635,7 +1629,7 @@ object OptimizerQueries {
       val after = Seq(VT.read(s, s"$root/a"), VT.read(s, s"$root/ns/b"),
         ActionLog.read(s, s"$root/c"))
       before.zip(after).foreach { case (b, a) =>
-        require(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty,
+        require(Q.sameMultiset(a, b),
           "q287: the sweep must not change live content")
       }
       require(Try(VT.readVersion(s, s"$root/a", 1L).count()).isFailure,
@@ -1751,8 +1745,7 @@ object OptimizerQueries {
         classOf[graft.source.GraftCatalog].getName)
       s.conf.set(s"spark.sql.catalog.$cat.root", root)
       val live = s.sql(s"SELECT event_id, user_id, event_type FROM $cat.ns.t")
-      require(live.exceptAll(DV.read(s, tdir)).isEmpty &&
-        DV.read(s, tdir).exceptAll(live).isEmpty,
+      require(Q.sameMultiset(live, DV.read(s, tdir)),
         "q290: the SQL read must apply the vectors exactly")
       require(live.filter(cohort).isEmpty,
         "q290: the cohort must be invisible to SQL")
@@ -1807,7 +1800,7 @@ object OptimizerQueries {
       s.conf.set(s"spark.sql.catalog.$modern.features",
         "deletion-vectors,row-tracking")
       val live = s.sql(s"SELECT * FROM $modern.ns.gated")
-      require(live.exceptAll(o).isEmpty && o.exceptAll(live).isEmpty,
+      require(Q.sameMultiset(live, o),
         "q291: the capable catalog must read the gated table")
       val refusal = Try(s.sql(s"SELECT * FROM $legacy.ns.gated").collect())
       require(refusal.isFailure &&
@@ -1891,8 +1884,7 @@ object OptimizerQueries {
         require(scans.forall(_.contains("view")),
           "q292: the refreshed MV must serve again")
         val served2 = dashboard.localCheckpoint()
-        require(served2.exceptAll(direct2).isEmpty &&
-          direct2.exceptAll(served2).isEmpty,
+        require(Q.sameMultiset(served2, direct2),
           "q292: the refreshed MV must serve the NEW answer bit-exactly")
         served2.select(col("event_type"), col("n").cast("bigint").as("n"),
           col("val_sum").cast("bigint").as("val_sum"))
@@ -2065,7 +2057,7 @@ object OptimizerQueries {
         if (r == "log") ActionLog.read(s, newT) else VT.read(s, oldT)
       }
       val served = route()
-      require(served.exceptAll(o).isEmpty && o.exceptAll(served).isEmpty,
+      require(Q.sameMultiset(served, o),
         "q295: the routed read must serve the complete table")
       served.groupBy(col("o_orderpriority"))
         .agg(count(lit(1)).cast("bigint").as("n"),
@@ -2349,8 +2341,7 @@ object OptimizerQueries {
       val devEffect = bump(bump(base, 1, 1), 3, 3)
         .filter(col("ck") % 10 === 2).withColumn("b", col("b") + 2)
         .select(col("ck"), col("b"))
-      require(mergeSlice.exceptAll(devEffect).isEmpty &&
-        devEffect.exceptAll(mergeSlice).isEmpty,
+      require(Q.sameMultiset(mergeSlice, devEffect),
         "q302: the merge commit's feed slice must be exactly the branch's effect")
       // replay completeness: latest-change-per-key rebuilds the head
       val replayed = feed
@@ -2359,8 +2350,7 @@ object OptimizerQueries {
           .orderBy(col(ChangeFeed.CommitVersion).desc)))
         .filter(col("rn") === 1).select(col("ck"), col("b"))
       val headDf = Branching.readBranch(s, table, "main")
-      require(replayed.exceptAll(headDf).isEmpty &&
-        headDf.exceptAll(replayed).isEmpty,
+      require(Q.sameMultiset(replayed, headDf),
         "q302: the feed must replay to the head bit-exactly")
       headDf.groupBy((col("ck") % 10).cast("bigint").as("bucket"))
         .agg(count(lit(1)).cast("bigint").as("n"),
@@ -2463,8 +2453,7 @@ object OptimizerQueries {
       require(Try(Branching.readCommit(s, table, doomed).count()).isFailure,
         "q304: the doomed commit must be physically gone")
       val mainAfter = Branching.readBranch(s, table, "main")
-      require(mainAfter.exceptAll(mainBefore).isEmpty &&
-        mainBefore.exceptAll(mainAfter).isEmpty,
+      require(Q.sameMultiset(mainAfter, mainBefore),
         "q304: the sweep must not touch reachable content")
       require(Branching.gc(s, table) == 0, "q304: the sweep is idempotent")
       // a MERGED-then-dropped branch loses nothing
@@ -2520,15 +2509,14 @@ object OptimizerQueries {
         Branching.captureOf(s, table, devCommit), Seq("ck"))
       val picked = Branching.readBranch(s, table, "main")
       val want = bump(bump(base, 3, 3), 2, 2)
-      require(picked.exceptAll(want).isEmpty && want.exceptAll(picked).isEmpty,
+      require(Q.sameMultiset(picked, want),
         "q305: the pick must land exactly the branch's cohort")
       // the revert: the pick's inverse capture round-trips main
       val inverse = Branching.invertCapture(
         Branching.captureOf(s, table, pickId)).localCheckpoint()
       Branching.applyCapture(s, table, "main", inverse, Seq("ck"))
       val reverted = Branching.readBranch(s, table, "main")
-      require(reverted.exceptAll(prePick).isEmpty &&
-        prePick.exceptAll(reverted).isEmpty,
+      require(Q.sameMultiset(reverted, prePick),
         "q305: pick-then-revert must round-trip bit-exactly")
       // a stale patch — preimages no longer match — conflicts loudly
       val headBefore = Branching.head(s, table, "main")
@@ -2579,12 +2567,12 @@ object OptimizerQueries {
       // mid-history renders exactly its batches
       val want2 = o.filter(col("okey") % 3 < 2)
       val got2 = asOf(2L).localCheckpoint()
-      require(got2.exceptAll(want2).isEmpty && want2.exceptAll(got2).isEmpty,
+      require(Q.sameMultiset(got2, want2),
         "q306: VERSION AS OF 2 must render exactly batches 0 and 1")
       // pre-compaction as-of reads the removed files, content-equal to live
       val live = s.sql(s"SELECT okey, o_orderpriority FROM $cat.ns.t")
       val got3 = asOf(3L)
-      require(got3.exceptAll(live).isEmpty && live.exceptAll(got3).isEmpty,
+      require(Q.sameMultiset(got3, live),
         "q306: the compaction must be invisible to content across versions")
       // after vacuum, the expired as-of fails loudly through SQL too
       ActionLog.vacuum(s, tdir, keepVersions = 2)
@@ -2762,7 +2750,7 @@ object OptimizerQueries {
       val want = o.filter(col("okey") % 20 <= 18)
       def contentOk(tag: String): Unit = {
         val got = ActionLog.read(s, table)
-        require(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty,
+        require(Q.sameMultiset(got, want),
           s"q308 [$tag]: content must be the 19 slices exactly")
       }
       val (_, rawTail, ck0) = ActionLog.resolve(s, table, 20L)
@@ -2779,7 +2767,7 @@ object OptimizerQueries {
       // time travel INSIDE the compacted range replays per-version records
       val at15 = ActionLog.read(s, table, asOf = 15L)
       val want15 = o.filter(col("okey") % 20 <= 14)
-      require(at15.exceptAll(want15).isEmpty && want15.exceptAll(at15).isEmpty,
+      require(Q.sameMultiset(at15, want15),
         "q308: as-of inside the compacted range must still replay exactly")
       // a crashed multi-part writer's orphan fragment is IGNORED
       val orphan = new org.apache.hadoop.fs.Path(
@@ -2929,8 +2917,7 @@ object OptimizerQueries {
         val probed = s.read.parquet(admitted.map(f => s"$lt/data/$f"): _*)
           .filter(col("okey").isin(keys: _*))
         val direct = ActionLog.read(s, lt).filter(col("okey").isin(keys: _*))
-        require(probed.exceptAll(direct).isEmpty &&
-          direct.exceptAll(probed).isEmpty,
+        require(Q.sameMultiset(probed, direct),
           s"q310 [$tag]: pruned probe must equal the direct lookup")
         require(total == ActionLog.liveFiles(s, lt).size, s"q310 [$tag]")
         perKey.map(_.size)
@@ -3048,7 +3035,7 @@ object OptimizerQueries {
       val live = s.sql(s"SELECT okey, opri FROM $cat.ns.t")
       val want = o.filter(!col("opri").isin("1-URGENT", "2-HIGH") &&
         col("okey") % 1000 =!= 777)
-      require(live.exceptAll(want).isEmpty && want.exceptAll(live).isEmpty,
+      require(Q.sameMultiset(live, want),
         "q312: three SQL DELETEs must compose to the exact survivor set")
       // history intact: the pre-delete snapshot renders in full
       require(s.sql(s"SELECT okey FROM $cat.ns.t VERSION AS OF 1")
@@ -3122,8 +3109,7 @@ object OptimizerQueries {
       s.conf.set(s"spark.sql.catalog.$cat.features", "deletion-vectors")
       def content = s.sql(s"SELECT ck, nk, bal FROM $cat.ns.t")
       def expectEq(wantDf: org.apache.spark.sql.DataFrame, tag: String): Unit =
-        require(content.exceptAll(wantDf).isEmpty &&
-          wantDf.exceptAll(content).isEmpty, s"q313 [$tag]: content mismatch")
+        require(Q.sameMultiset(content, wantDf), s"q313 [$tag]: content mismatch")
       // UPDATE: copy-on-write replacement through OCC staging
       s.sql(s"UPDATE $cat.ns.t SET bal = bal + 10 WHERE nk < 5") // v2
       val u1 = c.withColumn("bal",
@@ -3336,7 +3322,7 @@ object OptimizerQueries {
       val wantW = cust.select(col("ck").as("k"), col("nk").as("g"))
         .unionByName(cust.filter(col("ck") % 4 === 1)
           .select((col("ck") + 4000000000L).as("k"), col("nk").as("g")))
-      require(viaSql.exceptAll(wantW).isEmpty && wantW.exceptAll(viaSql).isEmpty,
+      require(Q.sameMultiset(viaSql, wantW),
         "q315: SQL must read both physical epochs under the widened schema")
       // the result: the mapped table's final content (src dropped by DDL,
       // re-rendered for the oracle from the surviving columns)
@@ -3466,7 +3452,7 @@ object OptimizerQueries {
       s.conf.set(s"spark.sql.catalog.$cat.root", root)
       def content = s.sql(s"SELECT okey, opri FROM $cat.t")
       def expectEq(w: org.apache.spark.sql.DataFrame, tag: String): Unit =
-        require(content.exceptAll(w).isEmpty && w.exceptAll(content).isEmpty,
+        require(Q.sameMultiset(content, w),
           s"q317 [$tag]: content mismatch")
       s.sql(s"UPDATE $cat.t SET opri = 'X' WHERE okey % 7 = 0") // v4
       require(ActionLog.versions(s, lt) == (1L to 4L).toSeq,
@@ -3479,7 +3465,7 @@ object OptimizerQueries {
         when(col("okey") % 7 === 0, "X").otherwise(col("opri")))
       expectEq(u, "update")
       val pre = ActionLog.read(s, lt, asOf = 3L)
-      require(pre.exceptAll(o).isEmpty && o.exceptAll(pre).isEmpty,
+      require(Q.sameMultiset(pre, o),
         "q317: time travel must render the pre-update content")
       // stats are RE-RECORDED on the replacement files (the skipping
       // index never goes stale), and the standard re-clustering pass
@@ -3631,7 +3617,7 @@ object OptimizerQueries {
             "checkpoint as parquet")
         val at8 = ActionLog.read(s, lt, asOf = 8L)
         val want8 = o.filter(col("okey") % 12 < 8)
-        require(at8.exceptAll(want8).isEmpty && want8.exceptAll(at8).isEmpty,
+        require(Q.sameMultiset(at8, want8),
           "q320: retained time travel must render the horizon-era content")
         val expired =
           try { ActionLog.stateDfAt(s, lt, 3L).collect(); false }

@@ -41,7 +41,7 @@ object Q {
   }
 
   /** Order-independent multiset equality by one-pass checksum — the cheap
-    * form of `a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty`. Each side
+    * form of the both-directions-empty exceptAll pair. Each side
     * is reduced in a single job (full scan, partial-aggregated count +
     * bit_xor + overflow-proof decimal sum over TWO independent row hashes:
     * xxhash64 and murmur3) with NO shuffle and NO join, where the
@@ -49,7 +49,7 @@ object Q {
     * independent 64/32-bit hash families make a colliding multiset
     * difference cryptographically implausible; Spark's hash expressions
     * already normalize -0.0/NaN the same way its set operators do.
-    * Used by the streaming bucket's equivalence audits, where the audit
+    * Used by the catalog's in-query equivalence audits, where the audit
     * used to cost more than the streams it audited (q269: 5.2 s of an
     * 8.2 s query).
     */

@@ -210,7 +210,7 @@ object SketchQueries {
           .withColumn("__g", lit(1)),
         Seq("__g"), Seq(("f", false), ("o_custkey", false)), 256)
         .select(col("o_custkey"), col("f"))
-      require(ku.exceptAll(kuScratch).isEmpty && kuScratch.exceptAll(ku).isEmpty,
+      require(Q.sameMultiset(ku, kuScratch),
         "q146: merged kept sets must equal the from-scratch union sketch")
       def est(k: org.apache.spark.sql.DataFrame, name: String) =
         k.agg(count(lit(1)).as("n_kept"),

@@ -705,7 +705,7 @@ object SourceQueries {
         s"q168: optimize must shrink the file count: $v1Files -> $v2Files")
       val before = VersionedTable.readVersion(s, path, v1)
       val after = VersionedTable.read(s, path).localCheckpoint()
-      require(after.exceptAll(before).isEmpty && before.exceptAll(after).isEmpty,
+      require(Q.sameMultiset(after, before),
         "q168: optimize must not change the table's contents")
       // the refreshed stats index must skip files for a 1/8-span custkey band
       val (_, sel, tot) = DataSkipping.pruneBetween(
@@ -1008,7 +1008,7 @@ object SourceQueries {
       val survivors = VersionedTable.read(s, path).localCheckpoint()
       val want = li.filter(col("l_orderkey") < dLo || col("l_orderkey") > dHi)
         .localCheckpoint()
-      require(survivors.exceptAll(want).isEmpty && want.exceptAll(survivors).isEmpty,
+      require(Q.sameMultiset(survivors, want),
         "q182: the surgical delete must equal the full filter exactly")
       require(VersionedTable.readVersion(s, path, v1).count() == li.count(),
         "q182: the prior version must still serve the pre-delete table")
@@ -1305,13 +1305,13 @@ object SourceQueries {
       val want = orders.filter(col("o_custkey") % 97 =!= 0 && col("o_custkey") % 89 =!= 0)
         .localCheckpoint() // read tax check AND post-compaction check read it
       val mor = MergeOnRead.read(s, root, "o_custkey").localCheckpoint()
-      require(mor.exceptAll(want).isEmpty && want.exceptAll(mor).isEmpty,
+      require(Q.sameMultiset(mor, want),
         "q189: the tombstone-merged read must equal the batch filter")
       // maintenance: fold tombstones in; the read tax ends
       require(MergeOnRead.compact(s, root, "o_custkey") == 2,
         "q189: compaction must fold exactly the two tombstone files")
       val after = MergeOnRead.read(s, root, "o_custkey").localCheckpoint()
-      require(after.exceptAll(want).isEmpty && want.exceptAll(after).isEmpty,
+      require(Q.sameMultiset(after, want),
         "q189: the compacted table must still equal the batch filter")
       require(MergeOnRead.compact(s, root, "o_custkey") == 0,
         "q189: a second compaction must be a no-op")
@@ -1364,12 +1364,12 @@ object SourceQueries {
         "q197: a position delete must not touch any data file")
       val want = cust.filter(col("c_acctbal") >= -900).localCheckpoint()
       val live = MergeOnRead.readPos(s, root).localCheckpoint()
-      require(live.exceptAll(want).isEmpty && want.exceptAll(live).isEmpty,
+      require(Q.sameMultiset(live, want),
         "q197: the position-tombstoned read must equal the batch filter")
       require(MergeOnRead.compactPos(s, root) == 2,
         "q197: compaction must fold exactly the two position-delete files")
       val after = MergeOnRead.readPos(s, root).localCheckpoint()
-      require(after.exceptAll(want).isEmpty && want.exceptAll(after).isEmpty,
+      require(Q.sameMultiset(after, want),
         "q197: the compacted (re-addressed) table must still match")
       require(MergeOnRead.compactPos(s, root) == 0,
         "q197: a second compaction must be a no-op")
@@ -1538,7 +1538,7 @@ object SourceQueries {
         val cap = ChangeFeed.tableChanges(s, root, v - 1, v, Seq("k"))
           .drop(ChangeFeed.CommitVersion)
         val dif = ChangeFeed.snapshotDiff(s, root, v, Seq("k"))
-        require(cap.exceptAll(dif).isEmpty && dif.exceptAll(cap).isEmpty,
+        require(Q.sameMultiset(cap, dif),
           s"q200: persisted capture of v$v must equal the snapshot diff")
       }
       // completeness: base snapshot + feed replay reproduces the live table
@@ -1546,7 +1546,7 @@ object SourceQueries {
         Some(VersionedTable.readVersion(s, root, 1L)),
         ChangeFeed.tableChanges(s, root, 1L, 3L, Seq("k")), Seq("k"))
       val live = VersionedTable.readVersion(s, root, 3L)
-      require(replayed.exceptAll(live).isEmpty && live.exceptAll(replayed).isEmpty,
+      require(Q.sameMultiset(replayed, live),
         "q200: base + feed must reproduce the final snapshot")
       // the capture is physical: v2 and v3 carry _cdf files inside the
       // version dir (written before the flip, invisible to snapshot readers)
@@ -1606,7 +1606,7 @@ object SourceQueries {
       }
       val direct = IncrementalView.full(
         VersionedTable.readVersion(s, root, 3L), spec)
-      require(view.exceptAll(direct).isEmpty && direct.exceptAll(view).isEmpty,
+      require(Q.sameMultiset(view, direct),
         "q201: the maintained view must equal the full recompute exactly")
       val snapRows = VersionedTable.readVersion(s, root, 2L).count() +
         VersionedTable.readVersion(s, root, 3L).count()
@@ -1688,8 +1688,7 @@ object SourceQueries {
       val live = VersionedTable.readVersion(s, root, 3L)
       val cols = live.columns.sorted.toSeq
       def c(d: org.apache.spark.sql.DataFrame) = d.select(cols.map(col): _*)
-      require(c(replayed).exceptAll(c(live)).isEmpty &&
-        c(live).exceptAll(c(replayed)).isEmpty,
+      require(Q.sameMultiset(c(replayed), c(live)),
         "q206: replay from the pre-evolution base must land on the evolved snapshot")
       feed.groupBy(col(ChangeFeed.CommitVersion).as("commit_version"),
           col(ChangeFeed.ChangeType).as("change_type"))
@@ -1749,7 +1748,7 @@ object SourceQueries {
             s"(rows=$pushedRows width=$pushedWidth, buckets=$nKeys)")
         require(rawRows == orders.count() && rawWidth == 3,
           s"q207: the refused scan must stream every raw row (rows=$rawRows)")
-        require(pushedDf.exceptAll(rawDf).isEmpty && rawDf.exceptAll(pushedDf).isEmpty,
+        require(Q.sameMultiset(pushedDf, rawDf),
           "q207: pushed and raw plans must agree bit-exactly")
         pushedDf
       } finally s.conf.set(aqeKey, prevAqe)
@@ -1816,7 +1815,7 @@ object SourceQueries {
             s"($prunedRows vs $twoBucketRows)")
         require(fullRows == orders.count(),
           s"q208: without DPP the scan must read the whole table ($fullRows)")
-        require(pruned.exceptAll(full).isEmpty && full.exceptAll(pruned).isEmpty,
+        require(Q.sameMultiset(pruned, full),
           "q208: pruned and full plans must agree bit-exactly")
         pruned
       } finally saved.foreach { case (kk, v) => s.conf.set(kk, v) }
@@ -1858,7 +1857,7 @@ object SourceQueries {
           .otherwise(col("b")).cast("decimal(12,2)")), root)
       def same(a: org.apache.spark.sql.DataFrame,
           b: org.apache.spark.sql.DataFrame): Boolean =
-        a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty
+        Q.sameMultiset(a, b)
       require(same(VersionedTable.readAsOf(s, root, t1),
         VersionedTable.readVersion(s, root, 1L)),
         "q220: an instant between v1 and v2 must resolve to v1")
@@ -1917,13 +1916,13 @@ object SourceQueries {
       val replayed = ChangeFeed.apply(None,
         ChangeFeed.tableChanges(s, root, 0L, 2L, Seq("okey")), Seq("okey"))
       val live = VersionedTable.read(s, root)
-      require(replayed.exceptAll(live).isEmpty && live.exceptAll(replayed).isEmpty,
+      require(Q.sameMultiset(replayed, live),
         "q219: replay through the compaction must land on the live table")
       // a maintained view folds the compaction as a no-op
       val spec = IncrementalView.Spec(Seq("opri"), Nil)
       val view = IncrementalView.full(VersionedTable.readVersion(s, root, 1L), spec)
       val after = IncrementalView.merge(view, IncrementalView.delta(slice, spec), spec)
-      require(after.exceptAll(view).isEmpty && view.exceptAll(after).isEmpty,
+      require(Q.sameMultiset(after, view),
         "q219: the compaction must be a view no-op")
       live.groupBy(col("opri"))
         .agg(count(lit(1)).cast("bigint").as("n_rows"),
@@ -1963,8 +1962,7 @@ object SourceQueries {
         .agg(count(lit(1)).cast("long").as("n_rows"),
           min(col("okey")).as("okey_min"), max(col("okey")).as("okey_max"),
           min(col("qty")).as("qty_min"), max(col("qty")).as("qty_max"))
-      require(fromStats.exceptAll(direct).isEmpty &&
-        direct.exceptAll(fromStats).isEmpty,
+      require(Q.sameMultiset(fromStats, direct),
         "q218: the metadata-only answer must equal the full scan exactly")
       // the O(files) contract: the sidecar holds one row per data file
       val sidecarRows = DataSkipping.stats(s, live).count()
@@ -2143,7 +2141,7 @@ object SourceQueries {
         "q216: the restore must commit as v4")
       val v1 = VersionedTable.readVersion(s, root, 1L)
       val v4 = VersionedTable.readVersion(s, root, 4L)
-      require(v4.exceptAll(v1).isEmpty && v1.exceptAll(v4).isEmpty,
+      require(Q.sameMultiset(v4, v1),
         "q216: the restored version must equal its target bit-exactly")
       // history intact: the undone v3 still time-travels
       require(VersionedTable.readVersion(s, root, 3L).count() > 0L,
@@ -2152,7 +2150,7 @@ object SourceQueries {
       val replayed = ChangeFeed.apply(
         Some(VersionedTable.readVersion(s, root, 3L)),
         ChangeFeed.tableChanges(s, root, 3L, 4L, Seq("k")), Seq("k"))
-      require(replayed.exceptAll(v1).isEmpty && v1.exceptAll(replayed).isEmpty,
+      require(Q.sameMultiset(replayed, v1),
         "q216: replaying the restore commit must land on the restored state")
       ChangeFeed.tableChanges(s, root, 3L, 4L, Seq("k"))
         .groupBy(col(ChangeFeed.ChangeType).as("change_type"))
@@ -2216,7 +2214,7 @@ object SourceQueries {
           .localCheckpoint()
       }
       val direct = aggs(VersionedTable.readVersion(s, root, 3L))
-      require(view.exceptAll(direct).isEmpty && direct.exceptAll(view).isEmpty,
+      require(Q.sameMultiset(view, direct),
         "q214: partial recomputes must equal the full recompute exactly")
       view.select(col("n"), col("n_rows").cast("bigint").as("n_rows"),
         round(col("max_bal").cast("double"), 2).as("max_bal"),
@@ -2285,7 +2283,7 @@ object SourceQueries {
       val got = VersionedTable.read(s, viewP)
       val want = IncrementalView.full(
         VersionedTable.readVersion(s, tableP, 3L), spec)
-      require(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty,
+      require(Q.sameMultiset(got, want),
         "q213: the refresh chain must equal a full recompute exactly")
       got.select(col("n"), col(IncrementalView.NCol).as("n_rows"),
         round(col("bal").cast("double"), 2).as("bal_sum"))
@@ -2359,7 +2357,7 @@ object SourceQueries {
           s"q212: pinned pair (dim $dv, fact $fv) must be referentially intact")
         // replay ≡ snapshot (both tables, both versions)
         val ds = VersionedTable.readVersion(s, dimP, dv)
-        require(d.exceptAll(ds).isEmpty && ds.exceptAll(d).isEmpty,
+        require(Q.sameMultiset(d, ds),
           s"q212: dim feed replay must equal snapshot v$dv")
       }
       def snapRow(i: Long, dv: Long, fv: Long) =
@@ -2451,7 +2449,7 @@ object SourceQueries {
       val current = scd.filter(col("valid_to").isNull)
         .select(col("k"), col("b"))
       val live = VersionedTable.readVersion(s, root, 3L).select(col("k"), col("b"))
-      require(current.exceptAll(live).isEmpty && live.exceptAll(current).isEmpty,
+      require(Q.sameMultiset(current, live),
         "q211: current SCD2 windows must equal the live snapshot")
       scd.groupBy(col("valid_from"),
           coalesce(col("valid_to"), lit(-1L)).as("valid_to"))
@@ -2743,14 +2741,14 @@ object SourceQueries {
         val cap = ChangeFeed.tableChanges(s, root, v - 1, v, Seq("k"))
           .drop(ChangeFeed.CommitVersion)
         val dif = ChangeFeed.snapshotDiff(s, root, v, Seq("k"))
-        require(cap.exceptAll(dif).isEmpty && dif.exceptAll(cap).isEmpty,
+        require(Q.sameMultiset(cap, dif),
           s"q222: v$v capture must equal its snapshot diff")
       }
       val replayed = ChangeFeed.apply(
         Some(VersionedTable.readVersion(s, root, 1L)),
         ChangeFeed.tableChanges(s, root, 1L, 3L, Seq("k")), Seq("k"))
       val live = VersionedTable.read(s, root)
-      require(replayed.exceptAll(live).isEmpty && live.exceptAll(replayed).isEmpty,
+      require(Q.sameMultiset(replayed, live),
         "q222: v1 + feed must reproduce the raced-to snapshot")
       // negative control: an overlapping writer fails cleanly, no torn state
       val clash = try {
@@ -2817,7 +2815,7 @@ object SourceQueries {
       // must equal the version form bit-exactly
       val byTs = ChangeFeed.tableChangesBetween(s, root, ts(2L), ts(3L), Seq("k"))
       val byV = ChangeFeed.tableChanges(s, root, 1L, 3L, Seq("k"))
-      require(byTs.exceptAll(byV).isEmpty && byV.exceptAll(byTs).isEmpty,
+      require(Q.sameMultiset(byTs, byV),
         "q223: the timestamp window must resolve to the same feed as the version range")
       def loud(f: => Any): Boolean = try { f; false } catch { case _: Throwable => true }
       require(loud(ChangeFeed.tableChangesBetween(
@@ -2898,7 +2896,7 @@ object SourceQueries {
       val replayed = ChangeFeed.apply(
         Some(VersionedTable.readVersion(s, root, 1L)), feed, Seq("okey"))
       val dvRead = DeletionVectors.readVersion(s, root, 2L)
-      require(replayed.exceptAll(dvRead).isEmpty && dvRead.exceptAll(replayed).isEmpty,
+      require(Q.sameMultiset(replayed, dvRead),
         "q224: feed replay must land on the DV-applied snapshot")
       // the bitmap ENCODING undercuts a position list at every scale: the
       // serialized bitmaps must beat 8 bytes per deleted position
@@ -2941,7 +2939,7 @@ object SourceQueries {
         "q224: compaction is dataChange=false — empty capture")
       val folded = VersionedTable.read(s, root)
       val viaDv = DeletionVectors.readVersion(s, root, 3L)
-      require(folded.exceptAll(viaDv).isEmpty && viaDv.exceptAll(folded).isEmpty,
+      require(Q.sameMultiset(folded, viaDv),
         "q224: compaction must preserve the DV-applied content exactly")
       folded.groupBy(col("opri"))
         .agg(count(lit(1)).cast("bigint").as("n_rows"),
@@ -3019,7 +3017,7 @@ object SourceQueries {
       val replayed = ChangeFeed.apply(
         Some(ColumnMapping.readVersionAs(s, root, 1L, 5L)), changes, Seq("k"))
       val live = ColumnMapping.read(s, root)
-      require(replayed.exceptAll(live).isEmpty && live.exceptAll(replayed).isEmpty,
+      require(Q.sameMultiset(replayed, live),
         "q225: replay from the pre-evolution base must land on the evolved snapshot")
       live.groupBy((col("k") % 10).as("bucket"))
         .agg(count(lit(1)).cast("bigint").as("n_rows"),
@@ -3250,9 +3248,9 @@ object SourceQueries {
       val (linBoxFiles, _) = ZOrder.selectBox(s, linDir, "okey", lit(xLo),
         lit(xHi), "ckey", lit(yLo), lit(yHi))
       val viaLin = boxFilter(s.read.parquet(linBoxFiles: _*))
-      require(viaZ.exceptAll(direct).isEmpty && direct.exceptAll(viaZ).isEmpty,
+      require(Q.sameMultiset(viaZ, direct),
         "q228: the pruned z-order scan must equal the direct filter")
-      require(viaLin.exceptAll(direct).isEmpty && direct.exceptAll(viaLin).isEmpty,
+      require(Q.sameMultiset(viaLin, direct),
         "q228: the pruned linear scan must equal the direct filter")
       viaZ.agg(count(lit(1)).cast("bigint").as("n_rows"),
         sum(col("okey")).cast("bigint").as("okey_sum"),
@@ -3301,7 +3299,7 @@ object SourceQueries {
         s"q229: the clone's v1 must be metadata-only, found $names")
       val srcV2 = VersionedTable.readVersion(s, src, 2L)
       val cloneRead = Clone.read(s, dst)
-      require(cloneRead.exceptAll(srcV2).isEmpty && srcV2.exceptAll(cloneRead).isEmpty,
+      require(Q.sameMultiset(cloneRead, srcV2),
         "q229: the clone must read the source version bit-exactly")
       // divergence: the clone's write never touches the source
       VersionedTable.write(
@@ -3310,7 +3308,7 @@ object SourceQueries {
       require(VersionedTable.currentVersion(s, src).contains(2L),
         "q229: the source's pointer must not move on a clone write")
       val srcAfter = VersionedTable.readVersion(s, src, 2L)
-      require(srcAfter.exceptAll(srcV2).isEmpty && srcV2.exceptAll(srcAfter).isEmpty,
+      require(Q.sameMultiset(srcAfter, srcV2),
         "q229: the source content must be untouched by the clone's divergence")
       require(Clone.readVersion(s, dst, 1L).exceptAll(srcV2).isEmpty,
         "q229: clone time travel to v1 still resolves through the source")
@@ -3481,7 +3479,7 @@ object SourceQueries {
       val byKey = ChangeFeed.diff(
         Some(v1.drop(RowTracking.RowId)), v2.drop(RowTracking.RowId), Seq("k"))
         .select("k", "n", "bal", ChangeFeed.ChangeType)
-      require(byId.exceptAll(byKey).isEmpty && byKey.exceptAll(byId).isEmpty,
+      require(Q.sameMultiset(byId, byKey),
         "q231: row-id lineage must reproduce the keyed diff under stable keys")
       // (d) a re-inserted key mints a NEW id — retired ids never recycle
       val snap4 = v3.drop(RowTracking.RowId)
@@ -3565,7 +3563,7 @@ object SourceQueries {
         val direct = w.filter(pred)
         val pruned = s.read.parquet(admitted: _*).filter(pred)
           .select("okey", "ckey", "cb", "total")
-        require(pruned.exceptAll(direct).isEmpty && direct.exceptAll(pruned).isEmpty,
+        require(Q.sameMultiset(pruned, direct),
           "q232: pruned scan + residual must equal the direct filter")
       }
       assertPruned(cbDirs, col("cb") === 3)
@@ -3716,7 +3714,7 @@ object SourceQueries {
         .filter(col("okey").isin(keys: _*))
       val direct = o.join(o.filter(col("okey") % 7 === 3)
         .orderBy(col("okey")).limit(8).select("okey"), Seq("okey"))
-      require(probed.exceptAll(direct).isEmpty && direct.exceptAll(probed).isEmpty,
+      require(Q.sameMultiset(probed, direct),
         "q234: pruned scan must equal the direct lookups (zero false negatives)")
       require(bloomAdmitted < minmaxAdmitted,
         s"q234: the bloom must out-prune min/max on an unclustered key " +
@@ -3773,8 +3771,7 @@ object SourceQueries {
         new org.apache.hadoop.fs.Path(VersionedTable.verDir(root, 3L), "_cdf")
           .toString).drop(ChangeFeed.ChangeType)
       val aExpected = base.filter(predA && !predB)
-      require(aCapture.exceptAll(aExpected).isEmpty &&
-        aExpected.exceptAll(aCapture).isEmpty,
+      require(Q.sameMultiset(aCapture, aExpected),
         "q239: A's capture must be its live kills only — the overlap was B's")
       // row-level, same files: both sidecars touch an overlapping file set
       val dvFiles = (v: Long) => DV.vectors(s, root, v)
@@ -3786,7 +3783,7 @@ object SourceQueries {
         Some(VersionedTable.readVersion(s, root, 1L)),
         ChangeFeed.tableChanges(s, root, 1L, 3L, Seq("okey")), Seq("okey"))
       val live = DV.read(s, root)
-      require(replayed.exceptAll(live).isEmpty && live.exceptAll(replayed).isEmpty,
+      require(Q.sameMultiset(replayed, live),
         "q239: CDF replay must land on the DV-applied snapshot")
       live.groupBy(col("opri"))
         .agg(count(lit(1)).cast("bigint").as("n_rows"),
@@ -3839,7 +3836,7 @@ object SourceQueries {
       require(live.inputFiles.length == 2,
         "q240: the rebased compaction must still deliver the 2-file layout")
       val want = base.unionByName(added)
-      require(live.exceptAll(want).isEmpty && want.exceptAll(live).isEmpty,
+      require(Q.sameMultiset(live, want),
         "q240: the appended rows must survive the rebased rewrite bit-exactly")
       // contrast: the SAME interleaving as a data change conflicts loudly
       var fired2 = false
@@ -4085,7 +4082,7 @@ object SourceQueries {
         s"q244: the small tail must pack into one file, got ${after.size}")
       val v1df = VersionedTable.readVersion(s, root, 1L)
       val v2df = VersionedTable.readVersion(s, root, 2L)
-      require(v2df.exceptAll(v1df).isEmpty && v1df.exceptAll(v2df).isEmpty,
+      require(Q.sameMultiset(v2df, v1df),
         "q244: OPTIMIZE must not change logical content")
       // idempotence: nothing small remains, so no new version
       require(Layout.binPackVersioned(s, root, threshold)._1 == 2L,
@@ -4161,7 +4158,7 @@ object SourceQueries {
         expect = Some(col("ob").isin(1, 3)))
       val v2df = VersionedTable.readVersion(s, root, 2L)
       val v3df = VersionedTable.readVersion(s, root, 3L)
-      require(v3 == 3L && v3df.exceptAll(v2df).isEmpty && v2df.exceptAll(v3df).isEmpty,
+      require(v3 == 3L && Q.sameMultiset(v3df, v2df),
         "q245: a re-run of the same batch must converge")
       PO.read(s, root)
         .groupBy(col("ob"))
@@ -4316,7 +4313,7 @@ object SourceQueries {
       val kept = measure(dimDup)
       require(kept.queryExecution.executedPlan.toString.contains("Join"),
         "q248: a non-unique right side must keep the join — never trust")
-      require(eliminated.exceptAll(kept).isEmpty && kept.exceptAll(eliminated).isEmpty,
+      require(Q.sameMultiset(eliminated, kept),
         "q248: elimination must not change the result")
       eliminated
     },
@@ -4383,7 +4380,7 @@ object SourceQueries {
       val want = ChangeFeed.diff(
         Some(VersionedTable.readVersion(s, root, 1L)),
         VersionedTable.readVersion(s, root, 3L), Seq("k"))
-      require(net.exceptAll(want).isEmpty && want.exceptAll(net).isEmpty,
+      require(Q.sameMultiset(net, want),
         "q249: the net must equal the snapshot diff bit-exactly")
       val feed = ChangeFeed.tableChanges(s, root, 1L, 3L, Seq("k"))
       def inFeedNotNet(pred: org.apache.spark.sql.Column, label: String): Unit = {

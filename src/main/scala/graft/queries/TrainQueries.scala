@@ -387,7 +387,7 @@ object TrainQueries {
       export("epoch1|", s"$root/e2") // an independent re-run
       val r1 = receipts(s"$root/e1").localCheckpoint()
       val r2 = receipts(s"$root/e2")
-      require(r1.exceptAll(r2).isEmpty && r2.exceptAll(r1).isEmpty,
+      require(Q.sameMultiset(r1, r2),
         "q285: two independent export runs must carry identical receipts")
       // the receipt binds CONTENT: a new epoch salt must change digests
       export("epoch2|", s"$root/e3")
