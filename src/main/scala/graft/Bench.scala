@@ -1,5 +1,28 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+/** Counts every streaming-query start and micro-batch of a bench pass,
+  * plus the engine's own per-batch triggerExecution time — the measured
+  * decomposition behind the `streaming_engine_s` bucket.
+  */
+object StreamMeter
+    extends org.apache.spark.sql.streaming.StreamingQueryListener {
+  import org.apache.spark.sql.streaming.StreamingQueryListener._
+  val starts = new java.util.concurrent.atomic.AtomicLong(0L)
+  val batches = new java.util.concurrent.atomic.AtomicLong(0L)
+  val triggerMs = new java.util.concurrent.atomic.AtomicLong(0L)
+  override def onQueryStarted(e: QueryStartedEvent): Unit = {
+    starts.incrementAndGet(); ()
+  }
+  override def onQueryProgress(e: QueryProgressEvent): Unit = {
+    batches.incrementAndGet()
+    Option(e.progress.durationMs.get("triggerExecution"))
+      .foreach(ms => triggerMs.addAndGet(ms))
+    ()
+  }
+  override def onQueryTerminated(e: QueryTerminatedEvent): Unit = ()
+}
+
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -15,6 +38,7 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     graft.plans.GraftRules.register(spark)
+    spark.streams.addListener(StreamMeter)
     // Force FULL row production: a plain df.count() lets Catalyst prune
     // every column the count doesn't need, so projection-heavy operators
     // (regex redaction, hashing, vector math) would be measured as bare
@@ -110,7 +134,12 @@ object Bench {
     val knobTag =
       (if (sys.env.contains("SPARK_GRAFT_BENCH_FILTER")) s""","filtered":true""" else "") +
       (if (reps != defaultReps) s""","reps_override":$reps""" else "")
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","mode":"min-of-$reps","streaming_engine_s":$streamingS,"queries":$qs,"sf":"$sfDir"$knobTag}"""
+    // Measured engine-floor decomposition (round 14): the listener counts
+    // every stream start and micro-batch the pass executed and sums the
+    // engine's own triggerExecution time — so "streaming fixed cost" is a
+    // MEASURED quantity (starts x per-start floor + batches x per-batch
+    // engine time), not an inference from per-query wall clocks.
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","mode":"min-of-$reps","streaming_engine_s":$streamingS,"streaming_starts":${StreamMeter.starts.get},"streaming_batches":${StreamMeter.batches.get},"streaming_trigger_s":${StreamMeter.triggerMs.get / 1000.0},"queries":$qs,"sf":"$sfDir"$knobTag}"""
     println(line)
     // The driver's recorded artifact truncates its tail at 2000 chars, which
     // hides the per-query times of everything past ~q60 lexicographically.
