@@ -2677,6 +2677,10 @@ object SourceQueries {
       try q2.processAllAvailable() finally q2.stop()
       require(versionsSeen.flatMap(_._2).sorted == Seq(5L),
         s"q221: restart must resume from the checkpointed version, got $versionsSeen")
+      // NOT overlapped with the restart run (round-14 note): a concurrent
+      // recompute contends with processAllAvailable's micro-batch
+      // scheduling and measured SLOWER — AvailableNow streams tolerate the
+      // overlap, continuous-trigger streams don't
       val direct = IncrementalView.full(
         VersionedTable.readVersion(s, root, 5L), spec)
       require(Q.sameMultiset(view, direct),

@@ -115,18 +115,24 @@ object StreamingQueries {
       val stream = s.readStream.schema("key LONG, tsUs LONG").parquet(s"$in/*")
         .as[Sessionize.SessionEvent]
       val sink = sinkName("q104_sess")
+      // batch twin (all sessions minus each key's open tail) is
+      // independent of the stream — materialize it concurrently
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.ExecutionContext.Implicits.global
+      import scala.concurrent.duration.Duration
+      val closedF = Future {
+        val all = Sessionize.batchSummary(events, "user_id", "ts", 30)
+          .withColumnRenamed("user_id", "key")
+        all.withColumn("__mx",
+            max(col("session_id")).over(org.apache.spark.sql.expressions.Window.partitionBy(col("key"))))
+          .filter(col("session_id") < col("__mx")).drop("__mx")
+          .localCheckpoint()
+      }
       val got = withNarrowShuffle(s) { EventStream.runAvailableNow(
         Sessionize.stateful(stream, gapMinutes = 30).toDF(), sink) }
         .localCheckpoint()
       s.catalog.dropTempView(sink)
-      // batch twin: all sessions minus each key's open tail
-      val all = Sessionize.batchSummary(events, "user_id", "ts", 30)
-        .withColumnRenamed("user_id", "key")
-      val closed = all.withColumn("__mx",
-          max(col("session_id")).over(org.apache.spark.sql.expressions.Window.partitionBy(col("key"))))
-        .filter(col("session_id") < col("__mx")).drop("__mx")
-        .select(got.columns.map(col).toIndexedSeq: _*)
-      require(Q.sameMultiset(got, closed),
+      require(Q.sameMultiset(got, Await.result(closedF, Duration.Inf)),
         "streaming closed sessions must equal batch sessions minus open tails")
       got
     },
@@ -195,6 +201,17 @@ object StreamingQueries {
       errors.write.parquet(s"$in/errors")
       clicks.write.parquet(s"$in/clicks")
       val sink = sinkName("q116_ij")
+      // the batch replay is independent of the stream — materialize it
+      // CONCURRENTLY with the stream run (sameMultiset is column-order
+      // insensitive, so the audit no longer needs the stream's column
+      // order first); pure wall-clock pipelining, no semantic change
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.ExecutionContext.Implicits.global
+      import scala.concurrent.duration.Duration
+      val wantF = Future(
+        graft.ops.RangeJoin.timeWindow(errors, clicks, Seq("user_id"),
+          "ts", "click_ts", lowerUs = -3600000000L, upperUs = 0L)
+          .localCheckpoint())
       val got = withNarrowShuffle(s) { EventStream.runAvailableNow(
         EventStream.intervalJoin(
           EventStream.fileSource(s, s"$in/errors", errors.schema),
@@ -204,10 +221,7 @@ object StreamingQueries {
         sink) }
         .localCheckpoint()
       s.catalog.dropTempView(sink)
-      val want = graft.ops.RangeJoin.timeWindow(errors, clicks, Seq("user_id"),
-          "ts", "click_ts", lowerUs = -3600000000L, upperUs = 0L)
-        .select(got.columns.map(col).toIndexedSeq: _*)
-      require(Q.sameMultiset(got, want),
+      require(Q.sameMultiset(got, Await.result(wantF, Duration.Inf)),
         "streaming interval join must equal the batch range join")
       got.groupBy(col("user_id"))
         .agg(count(lit(1)).as("n_pairs"),
@@ -448,24 +462,32 @@ object StreamingQueries {
       val stream = EventStream.fileSource(s, s"$in/*", e.schema,
         maxFilesPerTrigger = Some(1)).as[Cep.CepEvent]
       val sink = sinkName("q155_cep")
+      // batch twin (latest anchored click per purchase, latest view per
+      // click) is independent of the stream — materialize it concurrently
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.ExecutionContext.Implicits.global
+      import scala.concurrent.duration.Duration
+      val wantF = Future {
+        def typed(t: String) = e.filter(col("etype") === t).select(col("key"), col("tsUs"))
+        val anchored = typed("click").as("c")
+          .join(typed("view").as("v"), col("v.key") === col("c.key") &&
+            col("v.tsUs") <= col("c.tsUs") && col("v.tsUs") >= col("c.tsUs") - stepUs)
+          .groupBy(col("c.key").as("key"), col("c.tsUs").as("c_us"))
+          .agg(max(col("v.tsUs")).as("v_us"))
+        val m = typed("purchase").as("p")
+          .join(anchored.as("a"), col("a.key") === col("p.key") &&
+            col("a.c_us") <= col("p.tsUs") && col("a.c_us") >= col("p.tsUs") - stepUs)
+          .groupBy(col("p.key").as("key"), col("p.tsUs").as("p_us"))
+          .agg(max(col("c_us")).as("c_us"))
+        m.as("m").join(anchored.as("a"), Seq("key", "c_us"))
+          .select(col("key"), col("v_us"), col("c_us"), col("p_us"))
+          .localCheckpoint()
+      }
       val got = withNarrowShuffle(s) { EventStream.runAvailableNow(
         Cep.matches(stream, stepUs).toDF(), sink) }
         .localCheckpoint()
       s.catalog.dropTempView(sink)
-      // batch twin: latest anchored click per purchase, latest view per click
-      def typed(t: String) = e.filter(col("etype") === t).select(col("key"), col("tsUs"))
-      val anchored = typed("click").as("c")
-        .join(typed("view").as("v"), col("v.key") === col("c.key") &&
-          col("v.tsUs") <= col("c.tsUs") && col("v.tsUs") >= col("c.tsUs") - stepUs)
-        .groupBy(col("c.key").as("key"), col("c.tsUs").as("c_us"))
-        .agg(max(col("v.tsUs")).as("v_us"))
-      val m = typed("purchase").as("p")
-        .join(anchored.as("a"), col("a.key") === col("p.key") &&
-          col("a.c_us") <= col("p.tsUs") && col("a.c_us") >= col("p.tsUs") - stepUs)
-        .groupBy(col("p.key").as("key"), col("p.tsUs").as("p_us"))
-        .agg(max(col("c_us")).as("c_us"))
-      val want = m.as("m").join(anchored.as("a"), Seq("key", "c_us"))
-        .select(col("key"), col("v_us"), col("c_us"), col("p_us"))
+      val want = Await.result(wantF, Duration.Inf)
       val gotAligned = got.select(col("key"), col("v_us"), col("c_us"), col("p_us"))
       require(Q.sameMultiset(gotAligned, want),
         "q155: streaming CEP matches must equal the batch twin")
@@ -537,12 +559,19 @@ object StreamingQueries {
       val stream = EventStream.fileSource(s, s"$in/*", e.schema,
         maxFilesPerTrigger = Some(1)).as[Cep.CepEvent]
       val sink = sinkName("q198_cep_gen")
+      // the gaps-and-islands batch twin is independent of the stream —
+      // materialize it concurrently
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.ExecutionContext.Implicits.global
+      import scala.concurrent.duration.Duration
+      val wantF = Future(
+        Cep.quantifiedBatch(e, "view", "click", "purchase", stepUs)
+          .localCheckpoint())
       val got = withNarrowShuffle(s) { EventStream.runAvailableNow(
         Cep.quantified(stream, "view", "click", "purchase", stepUs).toDF(), sink) }
         .localCheckpoint()
       s.catalog.dropTempView(sink)
-      val want = Cep.quantifiedBatch(e, "view", "click", "purchase", stepUs)
-        .localCheckpoint()
+      val want = Await.result(wantF, Duration.Inf)
       val gotAligned = got.select(col("key"), col("a_us"), col("b_first_us"),
         col("b_last_us"), col("n_b"), col("c_us"))
       val wantAligned = want.select(col("key"), col("a_us"), col("b_first_us"),
@@ -596,6 +625,38 @@ object StreamingQueries {
       errors.coalesce(1).write.parquet(s"$in/errors")
       clicks.coalesce(1).write.parquet(s"$in/clicks")
       val sink = sinkName("q174_oj")
+      // the batch replay (watermark bound, boundary guard, range join) is
+      // independent of the stream — build it CONCURRENTLY with the stream
+      // run; the audit joins both sides at the end
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.ExecutionContext.Implicits.global
+      import scala.concurrent.duration.Duration
+      val wantF = Future {
+        // batch replay: matched pairs always; null rows only for
+        // never-matched errors whose closure (ts + upper) fell below the
+        // final watermark
+        val wmUs = math.min(
+          errors.agg(max(unix_micros(col("ts")))).head().getLong(0),
+          clicks.agg(max(unix_micros(col("click_ts")))).head().getLong(0)) - 3600000000L
+        // Boundary guard (round-4 ADVICE): the replay closes an error with
+        // strict e_us < wmUs; whether Spark emits the null row when the
+        // closure time EQUALS the final watermark depends on its internal
+        // eviction inequality. Assert the boundary is unpopulated so the
+        // equivalence below cannot silently depend on Spark's convention.
+        require(errors.filter(unix_micros(col("ts")) === wmUs).isEmpty,
+          "q174: an error sits exactly on the watermark closure boundary — " +
+            "the strict-inequality replay is not comparable on this data")
+        val matched = graft.ops.RangeJoin.timeWindow(errors, clicks,
+          Seq("user_id"), "ts", "click_ts",
+          lowerUs = -3600000000L, upperUs = 0L)
+          .localCheckpoint() // feeds the anti-join AND the equality frame
+        val unmatched = errors
+          .join(matched.select(col("event_id")).distinct(), Seq("event_id"), "left_anti")
+          .filter(unix_micros(col("ts")) < wmUs)
+          .select(col("user_id"), col("ts"), col("event_id"),
+            lit(null).cast("timestamp").as("click_ts"))
+        matched.unionByName(unmatched).localCheckpoint()
+      }
       val got = withNarrowShuffle(s) { EventStream.runAvailableNow(
         EventStream.intervalJoin(
           EventStream.fileSource(s, s"$in/errors", errors.schema),
@@ -606,30 +667,7 @@ object StreamingQueries {
         sink) }
         .localCheckpoint()
       s.catalog.dropTempView(sink)
-      // batch replay: matched pairs always; null rows only for never-matched
-      // errors whose closure (ts + upper) fell below the final watermark
-      val wmUs = math.min(
-        errors.agg(max(unix_micros(col("ts")))).head().getLong(0),
-        clicks.agg(max(unix_micros(col("click_ts")))).head().getLong(0)) - 3600000000L
-      // Boundary guard (round-4 ADVICE): the replay closes an error with
-      // strict e_us < wmUs; whether Spark emits the null row when the
-      // closure time EQUALS the final watermark depends on its internal
-      // eviction inequality. Assert the boundary is unpopulated so the
-      // equivalence below cannot silently depend on Spark's convention.
-      require(errors.filter(unix_micros(col("ts")) === wmUs).isEmpty,
-        "q174: an error sits exactly on the watermark closure boundary — " +
-          "the strict-inequality replay is not comparable on this data")
-      val matched = graft.ops.RangeJoin.timeWindow(errors, clicks, Seq("user_id"),
-        "ts", "click_ts", lowerUs = -3600000000L, upperUs = 0L)
-        .localCheckpoint() // feeds the anti-join AND the equality frame
-      val unmatched = errors
-        .join(matched.select(col("event_id")).distinct(), Seq("event_id"), "left_anti")
-        .filter(unix_micros(col("ts")) < wmUs)
-        .select(col("user_id"), col("ts"), col("event_id"),
-          lit(null).cast("timestamp").as("click_ts"))
-      val want = matched.select(got.columns.map(col).toIndexedSeq: _*)
-        .unionByName(unmatched.select(got.columns.map(col).toIndexedSeq: _*))
-      require(Q.sameMultiset(got, want),
+      require(Q.sameMultiset(got, Await.result(wantF, Duration.Inf)),
         "q174: streaming outer join must equal the batch replay of the closure rule")
       require(got.filter(col("click_ts").isNull).count() > 0,
         "q174: the outer side must actually emit null-extended rows")
@@ -1126,14 +1164,19 @@ object StreamingQueries {
       val vAfter = VT.currentVersion(s, viewDir).get
       require(vAfter == 3L,
         s"q261: two feed versions must commit two view versions, at $vAfter")
+      // the live-join recompute reads dirA's final state (committed) —
+      // materialize it concurrently with the checkpoint-loss replay run
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.ExecutionContext.Implicits.global
+      import scala.concurrent.duration.Duration
+      val auditF = Future(IV.counted(
+        VT.read(s, dirA).select(col("custkey"), col("pb")).join(bDim, Seq("custkey")),
+        viewCols).withColumnRenamed(IV.SignCol, "n").localCheckpoint())
       run(s"$root/cp2") // checkpoint lost: full replay, same appId
       require(VT.currentVersion(s, viewDir).contains(vAfter),
         "q261: a checkpoint-loss replay must commit nothing")
       val view = VT.read(s, viewDir)
-      val audit = IV.counted(
-        VT.read(s, dirA).select(col("custkey"), col("pb")).join(bDim, Seq("custkey")),
-        viewCols).withColumnRenamed(IV.SignCol, "n")
-      require(Q.sameMultiset(view, audit),
+      require(Q.sameMultiset(view, Await.result(auditF, Duration.Inf)),
         "q261: maintained view must equal the live-join recompute bit-exactly")
       view.select(col("custkey"), col("pb").cast("bigint").as("pb"),
         col("natkey"), col("n").cast("bigint").as("n"))
@@ -1225,13 +1268,18 @@ object StreamingQueries {
       ActionLog.append(quarter(1).coalesce(1), table)
       run(cp, out, Some(0L)) // resumes at the checkpointed version offset
       ActionLog.append(quarter(2).coalesce(1), table)
+      // the expected union is input-only — materialize it concurrently
+      // with the third stream run
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.ExecutionContext.Implicits.global
+      import scala.concurrent.duration.Duration
+      val wantF = Future((0 until 3).map(i => quarter(i)
+        .withColumn(ChangeFeed.CommitVersion, lit(i + 1L)))
+        .reduce(_.unionByName(_)).localCheckpoint())
       run(cp, out, Some(0L))
       val got = s.read.parquet(out).localCheckpoint()
       // exactly-once with correct version tags
-      val want = (0 until 3).map(i => quarter(i)
-        .withColumn(ChangeFeed.CommitVersion, lit(i + 1L)))
-        .reduce(_.unionByName(_))
-      require(Q.sameMultiset(got, want),
+      require(Q.sameMultiset(got, Await.result(wantF, Duration.Inf)),
         "q269: three runs must deliver each append exactly once, tagged")
       // a rewrite breaks the append-only contract — resuming must be LOUD
       ActionLog.rewrite(ActionLog.read(s, table), table, numFiles = 2)
