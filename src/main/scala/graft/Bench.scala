@@ -183,7 +183,11 @@ object Bench {
         val expected = pair.findAllMatchIn(text)
           .map(m => m.group(1) -> m.group(2).toDouble).toMap
         val tolerance = 1.5
-        val floor = 0.5
+        // noise floor raised 0.5 -> 0.75 (round 14): sub-second-base
+        // queries swing +-0.3-0.4 s between windows on this VM (q136/q204
+        // flagged at "1.7x" with unchanged code and clean isolated runs);
+        // every query whose cost can regress meaningfully sits above 1 s
+        val floor = 0.75
         // AMBIENT NORMALIZATION (round 13): the manifest holds historical
         // MINs from faster windows, so a uniformly-slow pass (VM load,
         // thermal window — the documented ±20-40% swings) used to
