@@ -3,14 +3,16 @@ import org.apache.spark.sql.SparkSession
 
 /** Counts every streaming-query start and micro-batch of a bench pass,
   * plus the engine's own per-batch triggerExecution time — the measured
-  * decomposition behind the `streaming_engine_s` bucket.
+  * decomposition behind the `streaming_engine_s` bucket. Registered via
+  * the `spark.sql.streaming.streamingQueryListeners` conf (not
+  * addListener) so CHILD sessions — q186 runs its provider pipelines on
+  * `newSession()` clones — report too: each session instantiates its own
+  * StreamMeter, and the counters are companion-level statics.
   */
-object StreamMeter
+class StreamMeter
     extends org.apache.spark.sql.streaming.StreamingQueryListener {
   import org.apache.spark.sql.streaming.StreamingQueryListener._
-  val starts = new java.util.concurrent.atomic.AtomicLong(0L)
-  val batches = new java.util.concurrent.atomic.AtomicLong(0L)
-  val triggerMs = new java.util.concurrent.atomic.AtomicLong(0L)
+  import StreamMeter._
   override def onQueryStarted(e: QueryStartedEvent): Unit = {
     starts.incrementAndGet(); ()
   }
@@ -21,6 +23,12 @@ object StreamMeter
     ()
   }
   override def onQueryTerminated(e: QueryTerminatedEvent): Unit = ()
+}
+
+object StreamMeter {
+  val starts = new java.util.concurrent.atomic.AtomicLong(0L)
+  val batches = new java.util.concurrent.atomic.AtomicLong(0L)
+  val triggerMs = new java.util.concurrent.atomic.AtomicLong(0L)
 }
 
 object Bench {
@@ -35,10 +43,11 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
+      .config("spark.sql.streaming.streamingQueryListeners",
+        classOf[StreamMeter].getName)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     graft.plans.GraftRules.register(spark)
-    spark.streams.addListener(StreamMeter)
     // Force FULL row production: a plain df.count() lets Catalyst prune
     // every column the count doesn't need, so projection-heavy operators
     // (regex redaction, hashing, vector math) would be measured as bare
@@ -207,12 +216,11 @@ object Bench {
         if (ratios.size >= 5)
           println(f"[benchcheck] ambient factor $ambient%.2f over " +
             f"${ratios.size} stable queries -> effective tolerance $tolEff%.2f")
-        // HARD CEILING (round 14): ambient scaling must never excuse a
-        // blowup — anything over 3x raw is flagged no matter the window.
-        val hardCeiling = 3.0
+        // (No separate hard ceiling: the ambient clamp already bounds
+        // tolEff at 1.5 * 1.5 = 2.25x, so anything over 2.25x raw flags
+        // in EVERY window — a 3x ceiling would be dead code.)
         val movers = results.filter { case (n, t) =>
-          expected.get(n).exists(e =>
-            t > math.max(e, floor) * math.min(tolEff, hardCeiling))
+          expected.get(n).exists(e => t > math.max(e, floor) * tolEff)
         }
         movers.foreach { case (n, t) =>
           println(f"[benchcheck] REGRESSION $n: ${t}%.2f s vs expected " +

@@ -58,7 +58,14 @@ object Q {
     require(a.columns.sorted.sameElements(b.columns.sorted),
       s"sameMultiset: column sets differ: ${a.columns.toSeq} vs ${b.columns.toSeq}")
     def sig(df: DataFrame): org.apache.spark.sql.Row = {
-      val cs = df.columns.sorted.toIndexedSeq.map(col)
+      // each column contributes its NULL FLAG alongside its value: Spark's
+      // hash expressions skip null children (the fold seed passes through
+      // untouched), so without the flags hash(v, null) == hash(null, v)
+      // for two same-typed columns and a value/null swap would collide on
+      // BOTH hash families. The always-non-null boolean pins every
+      // position into the fold.
+      val cs = df.columns.sorted.toIndexedSeq
+        .flatMap(c => Seq(col(c).isNull, col(c)))
       df.select(xxhash64(cs: _*).as("h64"), hash(cs: _*).cast("long").as("h32"))
         .agg(count(lit(1)).as("n"),
           expr("bit_xor(h64)").as("x64"),

@@ -120,19 +120,24 @@ object StreamingQueries {
       import scala.concurrent.{Await, Future}
       import scala.concurrent.ExecutionContext.Implicits.global
       import scala.concurrent.duration.Duration
-      val closedF = Future {
-        val all = Sessionize.batchSummary(events, "user_id", "ts", 30)
-          .withColumnRenamed("user_id", "key")
-        all.withColumn("__mx",
-            max(col("session_id")).over(org.apache.spark.sql.expressions.Window.partitionBy(col("key"))))
-          .filter(col("session_id") < col("__mx")).drop("__mx")
+      // the future lives INSIDE the narrow-shuffle scope so its plan
+      // width is deterministic (4), not a race between set and restore
+      val (got, closed) = withNarrowShuffle(s) {
+        val closedF = Future {
+          val all = Sessionize.batchSummary(events, "user_id", "ts", 30)
+            .withColumnRenamed("user_id", "key")
+          all.withColumn("__mx",
+              max(col("session_id")).over(org.apache.spark.sql.expressions.Window.partitionBy(col("key"))))
+            .filter(col("session_id") < col("__mx")).drop("__mx")
+            .localCheckpoint()
+        }
+        val g = EventStream.runAvailableNow(
+          Sessionize.stateful(stream, gapMinutes = 30).toDF(), sink)
           .localCheckpoint()
+        (g, Await.result(closedF, Duration.Inf))
       }
-      val got = withNarrowShuffle(s) { EventStream.runAvailableNow(
-        Sessionize.stateful(stream, gapMinutes = 30).toDF(), sink) }
-        .localCheckpoint()
       s.catalog.dropTempView(sink)
-      require(Q.sameMultiset(got, Await.result(closedF, Duration.Inf)),
+      require(Q.sameMultiset(got, closed),
         "streaming closed sessions must equal batch sessions minus open tails")
       got
     },
@@ -208,20 +213,22 @@ object StreamingQueries {
       import scala.concurrent.{Await, Future}
       import scala.concurrent.ExecutionContext.Implicits.global
       import scala.concurrent.duration.Duration
-      val wantF = Future(
-        graft.ops.RangeJoin.timeWindow(errors, clicks, Seq("user_id"),
-          "ts", "click_ts", lowerUs = -3600000000L, upperUs = 0L)
-          .localCheckpoint())
-      val got = withNarrowShuffle(s) { EventStream.runAvailableNow(
-        EventStream.intervalJoin(
-          EventStream.fileSource(s, s"$in/errors", errors.schema),
-          EventStream.fileSource(s, s"$in/clicks", clicks.schema),
-          Seq("user_id"), "ts", "click_ts",
-          lowerUs = -3600000000L, upperUs = 0L, delay = "30 days"),
-        sink) }
-        .localCheckpoint()
+      val (got, want) = withNarrowShuffle(s) {
+        val wantF = Future(
+          graft.ops.RangeJoin.timeWindow(errors, clicks, Seq("user_id"),
+            "ts", "click_ts", lowerUs = -3600000000L, upperUs = 0L)
+            .localCheckpoint())
+        val g = EventStream.runAvailableNow(
+          EventStream.intervalJoin(
+            EventStream.fileSource(s, s"$in/errors", errors.schema),
+            EventStream.fileSource(s, s"$in/clicks", clicks.schema),
+            Seq("user_id"), "ts", "click_ts",
+            lowerUs = -3600000000L, upperUs = 0L, delay = "30 days"),
+          sink).localCheckpoint()
+        (g, Await.result(wantF, Duration.Inf))
+      }
       s.catalog.dropTempView(sink)
-      require(Q.sameMultiset(got, Await.result(wantF, Duration.Inf)),
+      require(Q.sameMultiset(got, want),
         "streaming interval join must equal the batch range join")
       got.groupBy(col("user_id"))
         .agg(count(lit(1)).as("n_pairs"),
@@ -467,27 +474,28 @@ object StreamingQueries {
       import scala.concurrent.{Await, Future}
       import scala.concurrent.ExecutionContext.Implicits.global
       import scala.concurrent.duration.Duration
-      val wantF = Future {
-        def typed(t: String) = e.filter(col("etype") === t).select(col("key"), col("tsUs"))
-        val anchored = typed("click").as("c")
-          .join(typed("view").as("v"), col("v.key") === col("c.key") &&
-            col("v.tsUs") <= col("c.tsUs") && col("v.tsUs") >= col("c.tsUs") - stepUs)
-          .groupBy(col("c.key").as("key"), col("c.tsUs").as("c_us"))
-          .agg(max(col("v.tsUs")).as("v_us"))
-        val m = typed("purchase").as("p")
-          .join(anchored.as("a"), col("a.key") === col("p.key") &&
-            col("a.c_us") <= col("p.tsUs") && col("a.c_us") >= col("p.tsUs") - stepUs)
-          .groupBy(col("p.key").as("key"), col("p.tsUs").as("p_us"))
-          .agg(max(col("c_us")).as("c_us"))
-        m.as("m").join(anchored.as("a"), Seq("key", "c_us"))
-          .select(col("key"), col("v_us"), col("c_us"), col("p_us"))
-          .localCheckpoint()
+      val (got, want) = withNarrowShuffle(s) {
+        val wantF = Future {
+          def typed(t: String) = e.filter(col("etype") === t).select(col("key"), col("tsUs"))
+          val anchored = typed("click").as("c")
+            .join(typed("view").as("v"), col("v.key") === col("c.key") &&
+              col("v.tsUs") <= col("c.tsUs") && col("v.tsUs") >= col("c.tsUs") - stepUs)
+            .groupBy(col("c.key").as("key"), col("c.tsUs").as("c_us"))
+            .agg(max(col("v.tsUs")).as("v_us"))
+          val m = typed("purchase").as("p")
+            .join(anchored.as("a"), col("a.key") === col("p.key") &&
+              col("a.c_us") <= col("p.tsUs") && col("a.c_us") >= col("p.tsUs") - stepUs)
+            .groupBy(col("p.key").as("key"), col("p.tsUs").as("p_us"))
+            .agg(max(col("c_us")).as("c_us"))
+          m.as("m").join(anchored.as("a"), Seq("key", "c_us"))
+            .select(col("key"), col("v_us"), col("c_us"), col("p_us"))
+            .localCheckpoint()
+        }
+        val g = EventStream.runAvailableNow(
+          Cep.matches(stream, stepUs).toDF(), sink).localCheckpoint()
+        (g, Await.result(wantF, Duration.Inf))
       }
-      val got = withNarrowShuffle(s) { EventStream.runAvailableNow(
-        Cep.matches(stream, stepUs).toDF(), sink) }
-        .localCheckpoint()
       s.catalog.dropTempView(sink)
-      val want = Await.result(wantF, Duration.Inf)
       val gotAligned = got.select(col("key"), col("v_us"), col("c_us"), col("p_us"))
       require(Q.sameMultiset(gotAligned, want),
         "q155: streaming CEP matches must equal the batch twin")
@@ -564,14 +572,16 @@ object StreamingQueries {
       import scala.concurrent.{Await, Future}
       import scala.concurrent.ExecutionContext.Implicits.global
       import scala.concurrent.duration.Duration
-      val wantF = Future(
-        Cep.quantifiedBatch(e, "view", "click", "purchase", stepUs)
-          .localCheckpoint())
-      val got = withNarrowShuffle(s) { EventStream.runAvailableNow(
-        Cep.quantified(stream, "view", "click", "purchase", stepUs).toDF(), sink) }
-        .localCheckpoint()
+      val (got, want) = withNarrowShuffle(s) {
+        val wantF = Future(
+          Cep.quantifiedBatch(e, "view", "click", "purchase", stepUs)
+            .localCheckpoint())
+        val g = EventStream.runAvailableNow(
+          Cep.quantified(stream, "view", "click", "purchase", stepUs).toDF(),
+          sink).localCheckpoint()
+        (g, Await.result(wantF, Duration.Inf))
+      }
       s.catalog.dropTempView(sink)
-      val want = Await.result(wantF, Duration.Inf)
       val gotAligned = got.select(col("key"), col("a_us"), col("b_first_us"),
         col("b_last_us"), col("n_b"), col("c_us"))
       val wantAligned = want.select(col("key"), col("a_us"), col("b_first_us"),
@@ -631,6 +641,7 @@ object StreamingQueries {
       import scala.concurrent.{Await, Future}
       import scala.concurrent.ExecutionContext.Implicits.global
       import scala.concurrent.duration.Duration
+      val (got174, want174) = withNarrowShuffle(s) {
       val wantF = Future {
         // batch replay: matched pairs always; null rows only for
         // never-matched errors whose closure (ts + upper) fell below the
@@ -657,17 +668,19 @@ object StreamingQueries {
             lit(null).cast("timestamp").as("click_ts"))
         matched.unionByName(unmatched).localCheckpoint()
       }
-      val got = withNarrowShuffle(s) { EventStream.runAvailableNow(
+      val g174 = EventStream.runAvailableNow(
         EventStream.intervalJoin(
           EventStream.fileSource(s, s"$in/errors", errors.schema),
           EventStream.fileSource(s, s"$in/clicks", clicks.schema),
           Seq("user_id"), "ts", "click_ts",
           lowerUs = -3600000000L, upperUs = 0L, delay = "1 hour",
           joinType = "leftOuter"),
-        sink) }
-        .localCheckpoint()
+        sink).localCheckpoint()
+      (g174, Await.result(wantF, Duration.Inf))
+      }
+      val got = got174
       s.catalog.dropTempView(sink)
-      require(Q.sameMultiset(got, Await.result(wantF, Duration.Inf)),
+      require(Q.sameMultiset(got, want174),
         "q174: streaming outer join must equal the batch replay of the closure rule")
       require(got.filter(col("click_ts").isNull).count() > 0,
         "q174: the outer side must actually emit null-extended rows")
@@ -1169,14 +1182,19 @@ object StreamingQueries {
       import scala.concurrent.{Await, Future}
       import scala.concurrent.ExecutionContext.Implicits.global
       import scala.concurrent.duration.Duration
-      val auditF = Future(IV.counted(
-        VT.read(s, dirA).select(col("custkey"), col("pb")).join(bDim, Seq("custkey")),
-        viewCols).withColumnRenamed(IV.SignCol, "n").localCheckpoint())
-      run(s"$root/cp2") // checkpoint lost: full replay, same appId
+      // inside the narrow scope so the future's plan width is
+      // deterministic (run() nests the same width — benign)
+      val audit = withNarrowShuffle(s) {
+        val auditF = Future(IV.counted(
+          VT.read(s, dirA).select(col("custkey"), col("pb")).join(bDim, Seq("custkey")),
+          viewCols).withColumnRenamed(IV.SignCol, "n").localCheckpoint())
+        run(s"$root/cp2") // checkpoint lost: full replay, same appId
+        Await.result(auditF, Duration.Inf)
+      }
       require(VT.currentVersion(s, viewDir).contains(vAfter),
         "q261: a checkpoint-loss replay must commit nothing")
       val view = VT.read(s, viewDir)
-      require(Q.sameMultiset(view, Await.result(auditF, Duration.Inf)),
+      require(Q.sameMultiset(view, audit),
         "q261: maintained view must equal the live-join recompute bit-exactly")
       view.select(col("custkey"), col("pb").cast("bigint").as("pb"),
         col("natkey"), col("n").cast("bigint").as("n"))
@@ -1268,8 +1286,9 @@ object StreamingQueries {
       ActionLog.append(quarter(1).coalesce(1), table)
       run(cp, out, Some(0L)) // resumes at the checkpointed version offset
       ActionLog.append(quarter(2).coalesce(1), table)
-      // the expected union is input-only — materialize it concurrently
-      // with the third stream run
+      // the expected union is input-only AND shuffle-free (filtered
+      // scans + union), so its plan is conf-width-independent —
+      // materialize it concurrently with the third stream run
       import scala.concurrent.{Await, Future}
       import scala.concurrent.ExecutionContext.Implicits.global
       import scala.concurrent.duration.Duration

@@ -704,9 +704,22 @@ private[source] class GraftDvSqlScan(versionDir: String,
     val inlined: Map[String, Array[Byte]] = {
       val dvDir = new Path(p, "_dv")
       if (!fs.exists(dvDir)) Map.empty
-      else SparkSession.active.read.parquet(dvDir.toString)
-        .select("file_name", "bitmap").collect()
-        .map(r => r.getString(0) -> r.getAs[Array[Byte]](1)).toMap
+      else {
+        // cost discipline: in the normal (fully-blob-covered) case this
+        // must stay O(names), never O(bitmap bytes) — read file_name
+        // alone first, and collect bitmaps ONLY for files the blob plane
+        // does not cover (legacy tables, or a writer that crashed after
+        // landing some blobs)
+        val sidecar = SparkSession.active.read.parquet(dvDir.toString)
+        val uncovered = sidecar.select("file_name").collect()
+          .map(_.getString(0)).filterNot(withDv).toSet
+        if (uncovered.isEmpty) Map.empty
+        else sidecar
+          .filter(!org.apache.spark.sql.functions.col("file_name")
+            .isin(withDv.toSeq: _*))
+          .select("file_name", "bitmap").collect()
+          .map(r => r.getString(0) -> r.getAs[Array[Byte]](1)).toMap
+      }
     }
     fs.listStatus(p).toSeq
       .filter(st => st.isFile && !st.getPath.getName.startsWith("_") &&

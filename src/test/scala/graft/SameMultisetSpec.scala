@@ -44,6 +44,18 @@ class SameMultisetSpec extends AnyFunSuite {
       "null flipped to a value")
   }
 
+  test("a value/null swap between same-typed columns is detected") {
+    // Spark's hash expressions SKIP null children, so without per-column
+    // null flags hash(v, null) == hash(null, v) for same-typed columns on
+    // both hash families — the one multiset difference a naive row hash
+    // is deterministically blind to
+    val a = Seq((Some(5L), Option.empty[Long])).toDF("x", "y")
+    val b = Seq((Option.empty[Long], Some(5L))).toDF("x", "y")
+    assert(!Q.sameMultiset(a, b),
+      "swapping a value and a NULL across same-typed columns must differ")
+    assert(Q.sameMultiset(a, a.select(col("x"), col("y"))))
+  }
+
   test("float canonicalization matches Spark's set-operator equality") {
     val a = Seq(Tuple1(0.0)).toDF("d")
     val b = Seq(Tuple1(-0.0)).toDF("d")
