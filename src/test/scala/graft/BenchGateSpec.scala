@@ -1,0 +1,77 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The bench regression gate's pure rules, pinned with synthetic numbers —
+  * no Spark. The gate closed `FAIL N regression(s)` on phantom transients
+  * two rounds running (r13: 11 flags, r14: 9 — every one adjudicated
+  * ambient by hand); round 15 makes the adjudication mechanical, and these
+  * pins are the contract that keeps it honest: a planted real regression
+  * must still FAIL, a quiet re-measure must excuse, and the
+  * contiguous-block transient signature must fire only on one run.
+  */
+class BenchGateSpec extends AnyFunSuite {
+  import BenchGate._
+
+  test("ambient: median of stable ratios, clamped to [1.0, 1.5]") {
+    val expected = (1 to 9).map(i => s"q$i" -> 1.0).toMap
+    // uniformly 1.3x slower pass -> ambient 1.3
+    val slow = (1 to 9).map(i => s"q$i" -> 1.3)
+    assert(math.abs(ambient(slow, expected)._1 - 1.3) < 1e-9)
+    // uniformly FASTER pass never shrinks the tolerance below base
+    val fast = (1 to 9).map(i => s"q$i" -> 0.7)
+    assert(ambient(fast, expected)._1 == 1.0)
+    // a catastrophic window clamps at 1.5 — beyond that, flags must fire
+    val awful = (1 to 9).map(i => s"q$i" -> 4.0)
+    assert(ambient(awful, expected)._1 == 1.5)
+    // the median is immune to a single mover
+    val oneBad = (1 to 8).map(i => s"q$i" -> 1.0) :+ ("q9" -> 50.0)
+    assert(ambient(oneBad, expected)._1 == 1.0)
+    // sub-0.3s-expected queries are excluded; <5 stable -> identity
+    val tiny = (1 to 9).map(i => s"q$i" -> 2.0)
+    val tinyExp = (1 to 9).map(i => s"q$i" -> 0.1).toMap
+    assert(ambient(tiny, tinyExp) == ((1.0, 0)))
+  }
+
+  test("isMover: 1.5x over the 0.75s floor") {
+    assert(!isMover(1.0, 1.0, Tolerance)) // 1.0x
+    assert(isMover(1.6, 1.0, Tolerance)) // 1.6x over a 1s base
+    assert(!isMover(1.0, 0.2, Tolerance)) // floored: 1.0 <= 0.75*1.5
+    assert(isMover(1.2, 0.2, Tolerance)) // 1.2 > 0.75*1.5 = 1.125
+    assert(!isMover(2.0, 1.0, Tolerance * 1.5)) // ambient-scaled bar 2.25
+  }
+
+  test("verdictOf: isolated re-measure decides, at BASE tolerance") {
+    // r14's q128: 9.22s in-pass, 1.19s isolated vs 1.11 expected -> clean
+    assert(verdictOf(1.19, 1.11) == "ambient-transient")
+    // a planted real regression survives the quiet window
+    assert(verdictOf(3.2, 1.11) == "regression")
+    // small-base queries adjudicate through the same floor
+    assert(verdictOf(0.9, 0.2) == "ambient-transient")
+  }
+
+  test("contiguousBlock: one execution-order run = one machine event") {
+    val all = (1 to 20).map(i => f"q$i%02d")
+    val canFlag: String => Boolean = _ => true
+    // q05..q08 contiguous -> transient signature
+    assert(contiguousBlock(Seq("q05", "q06", "q07", "q08"), all, canFlag))
+    // scattered flags -> plan events, no signature
+    assert(!contiguousBlock(Seq("q02", "q07", "q15"), all, canFlag))
+    // fewer than 3 flags never claim the signature
+    assert(!contiguousBlock(Seq("q05", "q06"), all, canFlag))
+    // a gap is allowed only where the in-between query CANNOT flag
+    // (sub-floor or no manifest entry) — r14's q122..q136 shape
+    val cant = Set("q06")
+    assert(contiguousBlock(Seq("q05", "q07", "q08"), all, n => !cant(n)))
+    assert(!contiguousBlock(Seq("q05", "q07", "q08"), all, _ => true))
+  }
+
+  test("Flag.json carries both measurements and the verdict") {
+    val f = Flag("q128_entity_resolution", 9.22, 1.11, 1.19,
+      "ambient-transient")
+    assert(f.json ==
+      """{"q":"q128_entity_resolution","pass_s":9.220,""" +
+        """"expected_s":1.110,"isolated_s":1.190,""" +
+        """"verdict":"ambient-transient"}""")
+  }
+}
