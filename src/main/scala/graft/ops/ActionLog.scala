@@ -696,6 +696,39 @@ object ActionLog {
     committed
   }
 
+  /** Partial REWRITE: one commit that removes exactly `targets` and adds
+    * `content` in their place — every other live file is carried by
+    * reference, zero bytes moved. This is [[compactFiles]]'s commit rule
+    * (commutes with concurrent appends; conflicts loudly when a target
+    * leaves the live set) generalized to content that is NOT the targets'
+    * own bytes — the primitive behind surgical maintenance like
+    * [[graft.similarity.IvfIndex.rebalance]], where a hot band's rows are
+    * re-keyed and re-laid-out without touching the rest of the table.
+    * `content`'s physical layout is the caller's (pre-partition before
+    * calling); stats are re-recorded per new file when `statsCol` is set.
+    */
+  def replaceFiles(spark: SparkSession, dir: String, targets: Seq[String],
+      content: DataFrame, statsCol: Option[String] = None): Long = {
+    require(targets.nonEmpty, s"ActionLog.replaceFiles($dir): no targets")
+    val fs = fsOf(spark, dir)
+    val files = stageDataNamed(content, dir)
+    val lines = (targets.map(f => s"""{"a":"remove","p":"$f"}""") ++
+      addLines(spark, dir, files, statsCol)).mkString("\n")
+    var committed = -1L
+    var attempts = 0
+    while (committed < 0) {
+      attempts += 1
+      require(attempts <= 20, s"ActionLog.replaceFiles($dir): livelocked")
+      val v = versions(spark, dir).lastOption.getOrElse(0L) + 1L
+      val (live, _, _) = resolve(spark, dir, v - 1)
+      require(targets.forall(live.contains),
+        s"ActionLog.replaceFiles($dir): a target file left the live set — " +
+          "concurrent rewrite conflict")
+      if (tryClaim(fs, dir, v, lines)) committed = v
+    }
+    committed
+  }
+
   /** INCREMENTAL RE-CLUSTERING (the public liquid-clustering motivation):
     * rewrite ONLY the files whose stats-column key ranges OVERLAP — the
     * overlap bands are what defeats range pruning — into range-disjoint

@@ -112,6 +112,168 @@ object IvfIndex {
       nCells = cents.count().toInt)
   }
 
+  /** QUANTIZER-DRIFT MAINTENANCE (round 15 — the last 100-TB design gap
+    * in the ANN surface): [[refresh]] assigns deltas against a frozen
+    * coarse quantizer forever, so under distribution drift a hot cell
+    * grows without bound and probe selectivity decays toward a corpus
+    * scan. `rebalance` splits every cell whose LIVE row count exceeds
+    * `maxCellRows` into `branch` sub-cells via one local k-means step
+    * (Lloyd, EUCLIDEAN assignment) over THAT CELL's rows only: seeds are
+    * the cell's `branch` lowest-id member vectors (deterministic), each
+    * row groups to its min-distance seed, sub-centroids are the groups'
+    * decimal-exact positional means ([[Knn.centroids]] — [[build]]'s
+    * discipline), and rows re-assign to their min-distance sub-centroid
+    * (ties to the lowest sub-cell).
+    *
+    * Two measured-on-this-corpus design constraints (q321's fixture):
+    * the SUB-ASSIGNMENT must be euclidean, because these vectors carry a
+    * strong common direction, so a COSINE comparison against two local
+    * anchors is dominated by the 1/‖m‖ scaling of that shared component
+    * and a hair's-width norm difference reassigns essentially the whole
+    * cell to one side (a 2208-row hot cell split 2207-vs-1) — while the
+    * euclidean rule is the balanced hyperplane through the midpoint of
+    * the anchors. And the COMMITTED sub-centroids must be the group
+    * MEANS, not raw member vectors: queries route through the global
+    * centroid table by cosine, where means sit close to the retired hot
+    * centroid and win the hot blob's probes as a pair (nprobe≥2 probes
+    * both sub-cells, so recall is independent of which sub-cell holds
+    * the row) — a raw member vector's residual drags its cosine below
+    * OTHER cells' centroids and the probe routes away entirely
+    * (measured: recall@1 fell to 0.4).
+    *
+    * Never a corpus re-cluster: cost is O(hot cells' rows); cold cells'
+    * files are carried BY REFERENCE (zero bytes moved —
+    * [[ActionLog.replaceFiles]] removes exactly the hot bands' files).
+    *
+    * Hot-cell detection is log-metadata-first: per-file (lo, hi, n) cell
+    * stats give exact counts for single-cell files, and only files whose
+    * band SPANS cells (rare — [[appendByCell]] writes ~one file per
+    * cell) are read to attribute their rows.
+    *
+    * Commits: one [[ActionLog.replaceFiles]] on `assign` (hot bands →
+    * re-keyed, cell-laid-out replacements), then one versioned rewrite
+    * of the |cells|-row `centroids` table. Like any two-table
+    * maintenance, the pair is not atomic — a reader pinning one `asOf`
+    * for both tables (the [[search]] contract) sees a consistent index;
+    * the brief live window between the commits routes the split cells'
+    * probes to an empty band. Returns (old cell → new cell ids), empty
+    * (and commit-free) when nothing is hot, so scheduled rebalancing
+    * converges like [[ActionLog.optimizeClustered]].
+    */
+  def rebalance(spark: SparkSession, root: String, maxCellRows: Long,
+      branch: Int = 2): Seq[(Long, Seq[Long])] = {
+    import graft.plans.TopK
+    require(branch >= 2, "rebalance: branch must be >= 2")
+    require(maxCellRows >= branch, "rebalance: maxCellRows must be >= branch")
+    val aDir = assignDir(root)
+    val live = ActionLog.liveFiles(spark, aDir)
+    require(live.forall(_._2.isDefined),
+      s"IvfIndex.rebalance($root): every live assign file needs cell stats")
+    // exact per-cell counts from the log alone for single-cell files;
+    // only cell-spanning files (rare by layout) are read
+    val singleCounts = live.collect {
+      case (_, Some((lo, hi, n))) if lo == hi => lo -> n
+    }.groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    val spanning = live.collect { case (f, Some((lo, hi, _))) if lo != hi => f }
+    val spanCounts: Map[Long, Long] =
+      if (spanning.isEmpty) Map.empty
+      else spark.read.parquet(spanning.map(f => s"$aDir/data/$f"): _*)
+        .groupBy(col("cell")).agg(count(lit(1)).as("n"))
+        .collect() // |cells touched by spanning files| rows — bounded
+        .map(r => r.get(0).asInstanceOf[Number].longValue -> r.getLong(1))
+        .toMap
+    val counts = (singleCounts.keySet ++ spanCounts.keySet).map(c =>
+      c -> (singleCounts.getOrElse(c, 0L) + spanCounts.getOrElse(c, 0L)))
+    val hot = counts.filter(_._2 > maxCellRows).map(_._1).toSeq.sorted
+    if (hot.isEmpty) return Seq.empty
+    // the hot bands' files — the ONLY files this maintenance touches
+    val targets = live.collect {
+      case (f, Some((lo, hi, _)))
+        if hot.exists(c => c >= lo && c <= hi) => f
+    }
+    val content = spark.read.parquet(targets.map(f => s"$aDir/data/$f"): _*)
+    val cols = content.columns
+    require(cols.length == 3 && cols(1) == "cell",
+      s"IvfIndex.rebalance($root): expected a covering (id, cell, vector) " +
+        s"index, got ${cols.toSeq}")
+    val (idC, vecCol) = (cols(0), cols(2))
+    val cellType = content.schema("cell").dataType
+    val hotRows = content.filter(col("cell").isin(hot: _*)).localCheckpoint()
+    val keepRows = content.filter(!col("cell").isin(hot: _*))
+    // seeds: each hot cell's `branch` lowest-id member vectors, ranked
+    // 1..branch — the deterministic k-means initialization
+    val maxCell = ActionLog.read(spark, centDir(root))
+      .agg(max(col("cell").cast("long"))).head.getLong(0)
+    val seeds = TopK.perGroup(
+      hotRows.select(col("cell"), col(idC), col(vecCol)),
+      Seq("cell"), Seq(idC -> false), branch)
+      .select(col("cell"), col("rank").as("__grp"),
+        col(vecCol).as("__sv"))
+    // squared euclidean distance — the balanced assignment rule (see doc)
+    def d2(x: org.apache.spark.sql.Column, c: org.apache.spark.sql.Column) =
+      Knn.dot(x, x) - lit(2) * Knn.dot(x, c) + Knn.dot(c, c)
+    // group to the min-distance seed (ties → lowest group)
+    val grouped = TopK.perGroup(
+      hotRows.join(broadcast(seeds), Seq("cell"))
+        .select(col(idC), col("cell"), col(vecCol), col("__grp"),
+          d2(col(vecCol), col("__sv")).as("__d2")),
+      Seq(idC), Seq("__d2" -> false, "__grp" -> false), 1)
+      .select(col(idC), col("cell"), col(vecCol), col("__grp"))
+      .localCheckpoint() // read by the mean, key, and reassign passes
+    // sub-centroids: decimal-exact positional means per (cell, group)
+    val subCents = Knn.centroids(
+      grouped.withColumn("__skey",
+        concat_ws("_", col("cell"), col("__grp"))),
+      "__skey", vecCol)
+    // new GLOBAL cell ids: maxCell + 1.. in (cell, group) order —
+    // deterministic and collision-free against every existing cell
+    val keyRows = grouped.select(col("cell"), col("__grp")).distinct()
+      .collect() // ≤ |hot| × branch rows
+      .map(r => (r.get(0).asInstanceOf[Number].longValue,
+        r.get(1).asInstanceOf[Number].longValue))
+      .sorted
+    val newIds = keyRows.zipWithIndex.map { case ((c, g), i) =>
+      (s"${c}_$g", c, maxCell + 1 + i)
+    }
+    val idMap = spark.createDataFrame(newIds.toSeq)
+      .toDF("__skey", "__oldCell", "__newCell")
+    val subKeyed = subCents.join(broadcast(idMap), Seq("__skey"))
+      .localCheckpoint() // ≤ |hot| × branch rows; read by 2 consumers
+    // re-assign every hot row to its min-distance sub-centroid (ties →
+    // lowest sub-cell) — only among ITS OWN cell's sub-centroids (the
+    // split is local; a row never migrates across old cell boundaries,
+    // which keeps the maintenance O(hot) and the oracle replay tractable)
+    val reassigned = TopK.perGroup(
+      hotRows.join(broadcast(subKeyed
+          .withColumnRenamed("__oldCell", "cell")
+          .select(col("cell"), col("__newCell"), col("centroid"))),
+        Seq("cell"))
+        .select(col(idC), col("__newCell"), col(vecCol),
+          d2(col(vecCol), col("centroid")).as("__d2")),
+      Seq(idC), Seq("__d2" -> false, "__newCell" -> false), 1)
+      .select(col(idC), col("__newCell").cast(cellType).as("cell"), col(vecCol))
+    val replacement = keepRows.select(col(idC), col("cell"), col(vecCol))
+      .unionByName(reassigned.select(col(idC), col("cell"), col(vecCol)))
+    val nBands = (keyRows.length +
+      keepRows.select(col("cell")).distinct().count()).toInt
+    val laid = replacement
+      .repartitionByRange(math.max(1, nBands), col("cell"))
+      .sortWithinPartitions(col("cell"))
+    // assign first, centroids second: the sub-centroids derive from rows
+    // the first commit makes durable; a reader pinning one asOf for both
+    // tables (the search contract) sees a consistent index
+    ActionLog.replaceFiles(spark, aDir, targets, laid, statsCol = Some("cell"))
+    val cents = ActionLog.read(spark, centDir(root))
+    val newCents = cents.filter(!col("cell").isin(hot: _*))
+      .unionByName(subKeyed
+        .select(col("__newCell").cast(cells0Type(cents)).as("cell"),
+          col("centroid"), Knn.norm(col("centroid")).as("ctn")))
+    ActionLog.rewrite(newCents.coalesce(1), centDir(root), 1)
+    hot.map(c => c -> newIds.collect { case (_, oc, nid) if oc == c => nid }.toSeq)
+  }
+
+  private def cells0Type(cents: DataFrame) = cents.schema("cell").dataType
+
   /** The distinct cells a query batch probes — |queries| × nprobe rows
     * upper-bounded by |cells|; the driver-side collect is the planning
     * step that turns probes into a FILE LIST.
