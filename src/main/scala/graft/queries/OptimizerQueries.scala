@@ -1538,10 +1538,14 @@ object OptimizerQueries {
       import scala.util.Try
       val root = scratch(s, dir, "q286")
       val tdir = s"$root/ns/t"
+      // key-local multi-file base (round-15 adversarial-fixture sweep):
+      // a mapped-table read that pruned by physical-file stats while
+      // resolving logical names/defaults would change this hash at every SF
       CM.writeData(Tables.load(s, dir, "customer")
         .select(col("c_custkey").cast("long").as("ck"),
           col("c_nationkey").cast("long").as("nk"))
-        .withColumn("b", col("ck") % 100), tdir)
+        .withColumn("b", col("ck") % 100)
+        .repartitionByRange(8, col("ck")), tdir)
       CM.rename(s, tdir, "b", "bal") // metadata-only
       CM.drop(s, tdir, "nk") // metadata-only
       val cat = "graftm_" + java.security.MessageDigest.getInstance("MD5")
@@ -1725,8 +1729,10 @@ object OptimizerQueries {
     // branched, and DV tables all answer to plain SQL through one
     // catalog registration.
     Q("q290_sql_deletion_vectors",
-      """WITH t AS (SELECT event_id, user_id, event_type FROM events
-        |           WHERE user_id % 13 <> 4)
+      """WITH t AS (SELECT event_id, user_id,
+        |    CASE WHEN user_id < 5 THEN 'redacted' ELSE event_type END
+        |      AS event_type
+        |  FROM events WHERE user_id % 13 <> 4)
         |SELECT event_type, CAST(count(*) AS BIGINT) AS n,
         |  CAST(sum(event_id) AS BIGINT) AS id_sum
         |FROM t GROUP BY 1""".stripMargin) { (s, dir) =>
@@ -1735,7 +1741,12 @@ object OptimizerQueries {
       val tdir = s"$root/ns/t"
       val ev = Tables.load(s, dir, "events")
         .select(col("event_id"), col("user_id"), col("event_type"))
-      VT.write(ev, tdir)
+      // KEY-LOCAL multi-file base (round-15 adversarial-fixture sweep):
+      // disjoint user_id ranges with tight per-file stats, so a DV-plane
+      // row-level scan that ever started pruning on the statement's WHERE
+      // (the round-13 bug class, q313's layer) would drop whole files'
+      // rows from the rewrite and change this oracle's hash at every SF.
+      VT.write(ev.repartitionByRange(8, col("user_id")), tdir)
       val cohort = col("user_id") % 13 === 4
       val (v2, nDel) = DV.delete(s, tdir, cohort)
       require(v2 == 2L && nDel > 0, "q290: the erase must hit the cohort")
@@ -1757,7 +1768,21 @@ object OptimizerQueries {
         "VERSION AS OF 1")
       require(v1.filter(cohort).count() == nDel,
         "q290: pre-delete time travel must still render the cohort")
-      live.groupBy(col("event_type"))
+      // SQL UPDATE through the DV-flavored row-level plane (round 15):
+      // the COW rewrite's scan is the DV-aware one, its WHERE is narrow,
+      // and the base is key-local multi-file — deleted rows must not
+      // resurrect AND unmatched files' rows must all survive the rewrite
+      val nLive = live.count()
+      s.sql(s"UPDATE $cat.ns.t SET event_type = 'redacted' WHERE user_id < 5")
+      val after = s.sql(s"SELECT event_id, user_id, event_type FROM $cat.ns.t")
+      require(after.count() == nLive,
+        "q290: the DV-plane COW UPDATE must not lose rows")
+      require(after.filter(cohort).isEmpty,
+        "q290: deleted rows must not resurrect through the UPDATE rewrite")
+      require(after.filter(col("user_id") < 5)
+          .filter(col("event_type") =!= "redacted").isEmpty,
+        "q290: the UPDATE must hit every matching row")
+      after.groupBy(col("event_type"))
         .agg(count(lit(1)).cast("bigint").as("n"),
           sum(col("event_id")).cast("bigint").as("id_sum"))
     },

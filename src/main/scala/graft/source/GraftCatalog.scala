@@ -584,9 +584,15 @@ private[source] class GraftSqlTable(tableName: String, versionDir: String,
     // WHERE into parquet row-group pruning would silently drop every row
     // whose file/row-group the predicate excludes. rowLevel = true keeps
     // the reader unpruned — the discipline GraftLogCowScan has always had.
+    // `graft.dev.unsafeRowLevelPruning=1` (sys prop, TEST SEAM ONLY)
+    // deliberately re-introduces the round-13 bug so the adversarial
+    // key-local fixtures (q313's base, Round15OpsSpec) can prove they
+    // turn red on it — a fixture that can't detect the bug class it
+    // guards is decoration.
     () => new GraftRowLevelOperation(info.command(), t, baseVersion,
       opts => new GraftSqlScanBuilder(versionDir, tableSchema,
-        rowLevel = true))
+        rowLevel = !sys.props.get("graft.dev.unsafeRowLevelPruning")
+          .contains("1")))
   }
 }
 
