@@ -84,7 +84,7 @@ object OptimizerQueries {
         val bc = agg(withStats).localCheckpoint()
         val smj = agg(KeyedDsv2.read(s, s"$root/dim", "region", "natkey"))
         require(Q.sameMultiset(bc, smj),
-          "q253: broadcast and merge plans must agree bit-exactly")
+          "q253: broadcast and merge plans must agree checksum-exactly")
         bc
       } finally saved.foreach { case (k, v) => s.conf.set(k, v) }
     },
@@ -168,7 +168,7 @@ object OptimizerQueries {
             Seq("custkey")), viewCols)
         .select(col("custkey"), col("pb"), col("natkey"), col(IV.SignCol).as("n"))
       require(Q.sameMultiset(view2, full2),
-        "q254: maintained join view must equal the full recompute bit-exactly")
+        "q254: maintained join view must equal the full recompute checksum-exactly")
       require(view2.filter(col("n") <= 0L).isEmpty,
         "q254: a maintained multiplicity went non-positive")
       view2
@@ -235,7 +235,7 @@ object OptimizerQueries {
         MvRewrite.clear()
         val fromBase = userQuery
         require(Q.sameMultiset(fromMv, fromBase),
-          "q255: rewritten and base answers must agree bit-exactly")
+          "q255: rewritten and base answers must agree checksum-exactly")
         fromMv
       } finally { MvRewrite.clear(); s.conf.set(aqeKey, prevAqe) }
     },
@@ -277,7 +277,7 @@ object OptimizerQueries {
       val direct = ev.filter(col("ts") >= lit(fromTs).cast("timestamp") &&
         col("ts") <= lit(toTs).cast("timestamp"))
       require(Q.sameMultiset(pruned, direct),
-        "q256: pruned read must equal the direct filter bit-exactly")
+        "q256: pruned read must equal the direct filter checksum-exactly")
       // non-monotone negative: a bucket layout cannot project a range
       ev.withColumn("_b", pmod(hash(col("event_id")), lit(8)))
         .write.partitionBy("_b").mode("overwrite").parquet(s"$root/bucketed")
@@ -682,7 +682,7 @@ object OptimizerQueries {
         s"q267: the probe must keep 1 of 4 range-clustered files, got $kept/$total")
       val direct = o.filter(col("okey") >= a && col("okey") <= b)
       require(Q.sameMultiset(pruned, direct),
-        "q267: pruned scan must equal the direct filter bit-exactly")
+        "q267: pruned scan must equal the direct filter checksum-exactly")
       // an unsorted rewrite keeps the stats but destroys the clustering:
       // the same probe must now admit every file
       ActionLog.rewrite(ActionLog.read(s, table), table, numFiles = 4,
@@ -1044,7 +1044,7 @@ object OptimizerQueries {
           finalPlan.contains("skew=true"),
           "q275: AQE must split the hot partition (skew=true in final plan)")
         require(Q.sameMultiset(got, plain),
-          "q275: skew-split and straggler plans must agree bit-exactly")
+          "q275: skew-split and straggler plans must agree checksum-exactly")
         got
       } finally saved.foreach { case (k, v) => s.conf.set(k, v) }
     },
@@ -1447,7 +1447,7 @@ object OptimizerQueries {
         "q283: an unfiltered read must admit every file")
       val direct = o.filter(col("okey") >= a && col("okey") <= b)
       require(Q.sameMultiset(probe, direct),
-        "q283: pruned SQL scan must equal the direct filter bit-exactly")
+        "q283: pruned SQL scan must equal the direct filter checksum-exactly")
       probe.groupBy(col("o_orderpriority"))
         .agg(count(lit(1)).cast("bigint").as("n"),
           sum(col("okey")).cast("bigint").as("key_sum"))
@@ -1910,7 +1910,7 @@ object OptimizerQueries {
           "q292: the refreshed MV must serve again")
         val served2 = dashboard.localCheckpoint()
         require(Q.sameMultiset(served2, direct2),
-          "q292: the refreshed MV must serve the NEW answer bit-exactly")
+          "q292: the refreshed MV must serve the NEW answer checksum-exactly")
         served2.select(col("event_type"), col("n").cast("bigint").as("n"),
           col("val_sum").cast("bigint").as("val_sum"))
       } finally MvRewrite.clear()
@@ -2376,7 +2376,7 @@ object OptimizerQueries {
         .filter(col("rn") === 1).select(col("ck"), col("b"))
       val headDf = Branching.readBranch(s, table, "main")
       require(Q.sameMultiset(replayed, headDf),
-        "q302: the feed must replay to the head bit-exactly")
+        "q302: the feed must replay to the head checksum-exactly")
       headDf.groupBy((col("ck") % 10).cast("bigint").as("bucket"))
         .agg(count(lit(1)).cast("bigint").as("n"),
           sum(col("b")).cast("bigint").as("b_sum"))
@@ -2542,7 +2542,7 @@ object OptimizerQueries {
       Branching.applyCapture(s, table, "main", inverse, Seq("ck"))
       val reverted = Branching.readBranch(s, table, "main")
       require(Q.sameMultiset(reverted, prePick),
-        "q305: pick-then-revert must round-trip bit-exactly")
+        "q305: pick-then-revert must round-trip checksum-exactly")
       // a stale patch — preimages no longer match — conflicts loudly
       val headBefore = Branching.head(s, table, "main")
       val clash = Try(Branching.applyCapture(s, table, "main", inverse,

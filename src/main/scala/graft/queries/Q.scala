@@ -52,6 +52,13 @@ object Q {
     * Used by the catalog's in-query equivalence audits, where the audit
     * used to cost more than the streams it audited (q269: 5.2 s of an
     * 8.2 s query).
+    *
+    * Guarantee class: CHECKSUM equivalence, not bit-exact set equality —
+    * a colliding multiset difference needs simultaneous collisions in
+    * both hash families' count+xor+sum triples (implausible, never
+    * impossible). Call-site messages say "checksum-exactly" for this
+    * reason; audits that still need the certain form use the
+    * two-directions-empty `exceptAll` pair and pay its four scans.
     */
   def sameMultiset(a: DataFrame, b: DataFrame): Boolean = {
     import org.apache.spark.sql.functions._

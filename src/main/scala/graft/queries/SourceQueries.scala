@@ -1749,7 +1749,7 @@ object SourceQueries {
         require(rawRows == orders.count() && rawWidth == 3,
           s"q207: the refused scan must stream every raw row (rows=$rawRows)")
         require(Q.sameMultiset(pushedDf, rawDf),
-          "q207: pushed and raw plans must agree bit-exactly")
+          "q207: pushed and raw plans must agree checksum-exactly")
         pushedDf
       } finally s.conf.set(aqeKey, prevAqe)
     },
@@ -1816,7 +1816,7 @@ object SourceQueries {
         require(fullRows == orders.count(),
           s"q208: without DPP the scan must read the whole table ($fullRows)")
         require(Q.sameMultiset(pruned, full),
-          "q208: pruned and full plans must agree bit-exactly")
+          "q208: pruned and full plans must agree checksum-exactly")
         pruned
       } finally saved.foreach { case (kk, v) => s.conf.set(kk, v) }
     },
@@ -2142,7 +2142,7 @@ object SourceQueries {
       val v1 = VersionedTable.readVersion(s, root, 1L)
       val v4 = VersionedTable.readVersion(s, root, 4L)
       require(Q.sameMultiset(v4, v1),
-        "q216: the restored version must equal its target bit-exactly")
+        "q216: the restored version must equal its target checksum-exactly")
       // history intact: the undone v3 still time-travels
       require(VersionedTable.readVersion(s, root, 3L).count() > 0L,
         "q216: restore must not destroy the undone versions")
@@ -3304,7 +3304,7 @@ object SourceQueries {
       val srcV2 = VersionedTable.readVersion(s, src, 2L)
       val cloneRead = Clone.read(s, dst)
       require(Q.sameMultiset(cloneRead, srcV2),
-        "q229: the clone must read the source version bit-exactly")
+        "q229: the clone must read the source version checksum-exactly")
       // divergence: the clone's write never touches the source
       VersionedTable.write(
         Clone.read(s, dst).withColumn("total",
@@ -3841,7 +3841,7 @@ object SourceQueries {
         "q240: the rebased compaction must still deliver the 2-file layout")
       val want = base.unionByName(added)
       require(Q.sameMultiset(live, want),
-        "q240: the appended rows must survive the rebased rewrite bit-exactly")
+        "q240: the appended rows must survive the rebased rewrite checksum-exactly")
       // contrast: the SAME interleaving as a data change conflicts loudly
       var fired2 = false
       val conflicted = try {
@@ -4385,7 +4385,7 @@ object SourceQueries {
         Some(VersionedTable.readVersion(s, root, 1L)),
         VersionedTable.readVersion(s, root, 3L), Seq("k"))
       require(Q.sameMultiset(net, want),
-        "q249: the net must equal the snapshot diff bit-exactly")
+        "q249: the net must equal the snapshot diff checksum-exactly")
       val feed = ChangeFeed.tableChanges(s, root, 1L, 3L, Seq("k"))
       def inFeedNotNet(pred: org.apache.spark.sql.Column, label: String): Unit = {
         require(feed.filter(pred).count() > 0,

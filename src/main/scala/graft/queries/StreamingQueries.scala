@@ -1195,7 +1195,7 @@ object StreamingQueries {
         "q261: a checkpoint-loss replay must commit nothing")
       val view = VT.read(s, viewDir)
       require(Q.sameMultiset(view, audit),
-        "q261: maintained view must equal the live-join recompute bit-exactly")
+        "q261: maintained view must equal the live-join recompute checksum-exactly")
       view.select(col("custkey"), col("pb").cast("bigint").as("pb"),
         col("natkey"), col("n").cast("bigint").as("n"))
     },

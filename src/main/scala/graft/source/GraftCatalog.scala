@@ -712,19 +712,38 @@ private[source] class GraftDvSqlScan(versionDir: String,
       if (!fs.exists(dvDir)) Map.empty
       else {
         // cost discipline: in the normal (fully-blob-covered) case this
-        // must stay O(names), never O(bitmap bytes) — read file_name
-        // alone first, and collect bitmaps ONLY for files the blob plane
-        // does not cover (legacy tables, or a writer that crashed after
-        // landing some blobs)
-        val sidecar = SparkSession.active.read.parquet(dvDir.toString)
-        val uncovered = sidecar.select("file_name").collect()
-          .map(_.getString(0)).filterNot(withDv).toSet
-        if (uncovered.isEmpty) Map.empty
-        else sidecar
-          .filter(!org.apache.spark.sql.functions.col("file_name")
-            .isin(withDv.toSeq: _*))
-          .select("file_name", "bitmap").collect()
-          .map(r => r.getString(0) -> r.getAs[Array[Byte]](1)).toMap
+        // must stay O(footers), never a Spark job — the writer lands the
+        // canonical sidecar row BEFORE (or with) each blob, so blob names
+        // are always a subset of sidecar rows, and `sidecar row count ==
+        // blob count` proves full coverage from the parquet footers alone
+        // (zero data pages read, zero jobs planned). Only an uncovered
+        // remainder (legacy tables, or a writer that crashed after
+        // landing some blobs) pays a read — and that read filters with a
+        // broadcast anti-join against the blob-name set, never a
+        // |covered-files|-wide `isin` literal.
+        val sidecarRows = fs.listStatus(dvDir).toSeq
+          .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+          .map { st =>
+            val in = org.apache.parquet.hadoop.util.HadoopInputFile
+              .fromStatus(st, SharedHadoopConf.get)
+            val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+            try r.getRecordCount finally r.close()
+          }.sum
+        if (sidecarRows == withDv.size.toLong) Map.empty
+        else {
+          val spark = SparkSession.active
+          val sidecar = spark.read.parquet(dvDir.toString)
+          val uncovered =
+            if (withDv.isEmpty) sidecar // legacy table: no blob plane at all
+            else {
+              import org.apache.spark.sql.functions.broadcast
+              val dvNames = spark.createDataset(withDv.toSeq)(
+                org.apache.spark.sql.Encoders.STRING).toDF("file_name")
+              sidecar.join(broadcast(dvNames), Seq("file_name"), "left_anti")
+            }
+          uncovered.select("file_name", "bitmap").collect()
+            .map(r => r.getString(0) -> r.getAs[Array[Byte]](1)).toMap
+        }
       }
     }
     fs.listStatus(p).toSeq
