@@ -254,11 +254,32 @@ object IvfIndex {
       .select(col(idC), col("__newCell").cast(cellType).as("cell"), col(vecCol))
     val replacement = keepRows.select(col(idC), col("cell"), col(vecCol))
       .unionByName(reassigned.select(col(idC), col("cell"), col(vecCol)))
-    val nBands = (keyRows.length +
-      keepRows.select(col("cell")).distinct().count()).toInt
-    val laid = replacement
-      .repartitionByRange(math.max(1, nBands), col("cell"))
-      .sortWithinPartitions(col("cell"))
+    // EXACT one-band-per-file layout. repartitionByRange is a sampled
+    // RangePartitioner, and for two ADJACENT near-balanced keys (the two
+    // sub-cells of a split are exactly that) its single bound is a coin
+    // flip between separating them and dumping both in one partition —
+    // measured on q321's fixture: the same build flip-flopped between
+    // {1051, 1157} files and one 2208-row file across runs. Probe
+    // selectivity IS the product here, so the band→partition mapping
+    // must be exact: a driver-collected band index (bounded by the
+    // touched cells — O(hot × branch + kept bands), the same order as
+    // `newIds`) and an explicit RDD partitioner. The rare justified RDD
+    // drop-down: the DataFrame API exposes no exact partitioner.
+    val keepCells = keepRows.select(col("cell")).distinct()
+      .collect().map(_.get(0).asInstanceOf[Number].longValue)
+    val bandIdx: Map[Long, Int] =
+      (keepCells ++ newIds.map(_._3)).distinct.sorted.zipWithIndex.toMap
+    val bandIdxB = spark.sparkContext.broadcast(bandIdx)
+    val schema = replacement.schema
+    val cellAt = schema.fieldIndex("cell")
+    val prdd = replacement.rdd
+      .map(r => (bandIdxB.value(r.get(cellAt).asInstanceOf[Number].longValue), r))
+      .partitionBy(new org.apache.spark.Partitioner {
+        override def numPartitions: Int = math.max(1, bandIdx.size)
+        override def getPartition(key: Any): Int = key.asInstanceOf[Int]
+      })
+      .map(_._2)
+    val laid = spark.createDataFrame(prdd, schema)
     // assign first, centroids second: the sub-centroids derive from rows
     // the first commit makes durable; a reader pinning one asOf for both
     // tables (the search contract) sees a consistent index
