@@ -438,10 +438,14 @@ object Bench {
         val fresh = minTimes.map(_._1).filterNot(expected.contains)
         if (fresh.nonEmpty)
           gateLines += s"[benchcheck] ${fresh.size} quer${if (fresh.size == 1) "y" else "ies"} not in the manifest (new): ${fresh.take(5).mkString(", ")}…"
-        // streaming floor-ratio gate, when the manifest declares a bound
+        // streaming floor-ratio gate, when the manifest declares a bound —
+        // FULL-catalog runs only: the ratio is a property of the whole
+        // bucket (a filtered subset keeps only the heaviest fixed-cost
+        // streams and reads 1.5x over the calibrated bound by shape alone)
         val ratioRe = """"streaming_ratio_max"\s*:\s*([0-9.eE+-]+)""".r
         ratioRe.findFirstMatchIn(text).map(_.group(1).toDouble).foreach { mx =>
-          if (streamingFloorS > 0 && streamRuns.nonEmpty) {
+          if (streamingFloorS > 0 && streamRuns.nonEmpty &&
+              !sys.env.contains("SPARK_GRAFT_BENCH_FILTER")) {
             val ok = streamingRatio <= mx
             gateLines += f"[benchcheck] streaming engine $streamingS%.1f s vs " +
               f"floor $streamingFloorS%.1f s ($minRepStarts starts x " +
