@@ -47,16 +47,47 @@ object IvfIndex {
   private def centDir(root: String) = s"$root/centroids"
   private def assignDir(root: String) = s"$root/assign"
 
-  /** Lay `assigned` out by cell (~one range-partitioned file per cell)
-    * and record per-file cell stats when the cell type is integral —
-    * the layout [[search]]'s file pruning reads. A non-integral cell
-    * column still works (no stats, conservative full-index probe scan).
+  /** EXACT one-band-per-file layout: each distinct cell value maps to
+    * its own partition (and so its own file, with tight lo==hi stats)
+    * through a driver-collected cell index — bounded by |cells|, the
+    * quantity that is small by design — and an explicit RDD partitioner.
+    * `repartitionByRange` is NOT this: its sampled bounds on adjacent
+    * near-balanced keys are a coin flip between separating them and
+    * dumping both in one file (measured on q321's sub-cell split, and
+    * visible in q319's build logs as cells 1–2 sharing a file), and
+    * every spanning file is a file [[probeFiles]] must admit for BOTH
+    * cells' probes forever after. The rare justified RDD drop-down: the
+    * DataFrame API exposes no exact partitioner. At 100 TB an append
+    * batch's per-cell slice is bounded by the batch, not the table, so
+    * one file per (batch × cell) holds.
+    */
+  private def exactCellLayout(df: DataFrame, cellUniverse: Seq[Long])
+      : DataFrame = {
+    val spark = df.sparkSession
+    val cells = cellUniverse.distinct.sorted
+    val idxB = spark.sparkContext.broadcast(cells.zipWithIndex.toMap)
+    val schema = df.schema
+    val at = schema.fieldIndex("cell")
+    val prdd = df.rdd
+      .map(r => (idxB.value(r.get(at).asInstanceOf[Number].longValue), r))
+      .partitionBy(new org.apache.spark.Partitioner {
+        override def numPartitions: Int = math.max(1, cells.length)
+        override def getPartition(key: Any): Int = key.asInstanceOf[Int]
+      })
+      .map(_._2)
+    spark.createDataFrame(prdd, schema)
+  }
+
+  /** Lay `assigned` out one file per cell and record per-file cell stats
+    * when the cell type is integral — the layout [[search]]'s file
+    * pruning reads. `cellUniverse` is the quantizer's cell set (already
+    * driver-resident in every caller, so the layout costs no extra scan;
+    * a superset is fine — empty cells write no file). A non-integral
+    * cell column still works (range-ish layout, no stats, conservative
+    * full-index probe scan).
     */
   private def appendByCell(assigned: DataFrame, dir: String,
-      nCells: Int): Long = {
-    val laid = assigned
-      .repartitionByRange(math.max(1, nCells), col("cell"))
-      .sortWithinPartitions(col("cell"))
+      cellUniverse: Seq[Any]): Long = {
     val integralCell = assigned.schema("cell").dataType match {
       case org.apache.spark.sql.types.ByteType |
         org.apache.spark.sql.types.ShortType |
@@ -64,6 +95,12 @@ object IvfIndex {
         org.apache.spark.sql.types.LongType => true
       case _ => false
     }
+    val laid =
+      if (integralCell) exactCellLayout(assigned,
+        cellUniverse.map(_.asInstanceOf[Number].longValue))
+      else assigned
+        .repartitionByRange(math.max(1, cellUniverse.size), col("cell"))
+        .sortWithinPartitions(col("cell"))
     ActionLog.append(laid, dir,
       statsCol = if (integralCell) Some("cell") else None)
   }
@@ -75,14 +112,15 @@ object IvfIndex {
   def build(corpus: DataFrame, root: String, idC: String, vecCol: String,
       seedCol: String): (Long, Long) = {
     val (assigned, cents) = Knn.voronoiAssign(corpus, seedCol, idC, vecCol)
-    val nCells = cents.count().toInt // |cells| rows — bounded by design
+    val cellVals = cents.select(col("cell"))
+      .collect().map(_.get(0)).toSeq // |cells| rows — bounded by design
     val cv = ActionLog.append(
       cents.select(col("cell"), col("centroid"), col("__ctn").as("ctn"))
         .coalesce(1), // |cells| rows — one file, broadcast at probe time
       centDir(root))
     val av = appendByCell(
       assigned.select(col(idC), col("cell"), col(vecCol)),
-      assignDir(root), nCells)
+      assignDir(root), cellVals)
     (cv, av)
   }
 
@@ -109,7 +147,7 @@ object IvfIndex {
       .join(assigned, Seq(idC))
       .select(col(idC), col("cell"), col(vecCol))
     appendByCell(covering, assignDir(root),
-      nCells = cents.count().toInt)
+      cents.select(col("cell")).collect().map(_.get(0)).toSeq)
   }
 
   /** QUANTIZER-DRIFT MAINTENANCE (round 15 — the last 100-TB design gap
@@ -254,32 +292,16 @@ object IvfIndex {
       .select(col(idC), col("__newCell").cast(cellType).as("cell"), col(vecCol))
     val replacement = keepRows.select(col(idC), col("cell"), col(vecCol))
       .unionByName(reassigned.select(col(idC), col("cell"), col(vecCol)))
-    // EXACT one-band-per-file layout. repartitionByRange is a sampled
-    // RangePartitioner, and for two ADJACENT near-balanced keys (the two
-    // sub-cells of a split are exactly that) its single bound is a coin
-    // flip between separating them and dumping both in one partition —
-    // measured on q321's fixture: the same build flip-flopped between
-    // {1051, 1157} files and one 2208-row file across runs. Probe
-    // selectivity IS the product here, so the band→partition mapping
-    // must be exact: a driver-collected band index (bounded by the
-    // touched cells — O(hot × branch + kept bands), the same order as
-    // `newIds`) and an explicit RDD partitioner. The rare justified RDD
-    // drop-down: the DataFrame API exposes no exact partitioner.
+    // probe selectivity IS the product here, so the band→file mapping
+    // must be exact — see exactCellLayout's doc for why
+    // repartitionByRange cannot be trusted with a split's adjacent
+    // near-balanced sub-cells (measured: the same build flip-flopped
+    // between {1051, 1157}-row files and one 2208-row file across runs).
+    // The band universe: carried cells in the touched files (a distinct
+    // over the O(hot) target files only) plus the minted sub-cells.
     val keepCells = keepRows.select(col("cell")).distinct()
-      .collect().map(_.get(0).asInstanceOf[Number].longValue)
-    val bandIdx: Map[Long, Int] =
-      (keepCells ++ newIds.map(_._3)).distinct.sorted.zipWithIndex.toMap
-    val bandIdxB = spark.sparkContext.broadcast(bandIdx)
-    val schema = replacement.schema
-    val cellAt = schema.fieldIndex("cell")
-    val prdd = replacement.rdd
-      .map(r => (bandIdxB.value(r.get(cellAt).asInstanceOf[Number].longValue), r))
-      .partitionBy(new org.apache.spark.Partitioner {
-        override def numPartitions: Int = math.max(1, bandIdx.size)
-        override def getPartition(key: Any): Int = key.asInstanceOf[Int]
-      })
-      .map(_._2)
-    val laid = spark.createDataFrame(prdd, schema)
+      .collect().map(_.get(0).asInstanceOf[Number].longValue).toSeq
+    val laid = exactCellLayout(replacement, keepCells ++ newIds.map(_._3))
     // assign first, centroids second: the sub-centroids derive from rows
     // the first commit makes durable; a reader pinning one asOf for both
     // tables (the search contract) sees a consistent index

@@ -67,4 +67,50 @@ class Round15OpsSpec extends AnyFunSuite {
     assert(spark.sql(s"SELECT k FROM $catOk.ns.t WHERE v = 'B'")
       .as[Long].collect().toSeq == Seq(25L))
   }
+
+  // ---- ActionLog.replaceFiles: the partial-rewrite primitive behind
+  // IvfIndex.rebalance — removes exactly its targets, carries everything
+  // else by reference, re-records stats, and conflicts loudly when a
+  // target left the live set.
+  test("replaceFiles rewrites exactly its targets and re-records stats") {
+    import graft.ops.ActionLog
+    val dir = TestSpark.tmpDir("r15repl") + "/t"
+    ActionLog.append(spark.range(0L, 10L).toDF("cell").coalesce(1), dir,
+      statsCol = Some("cell")) // v1: one file, cells 0-9
+    ActionLog.append(spark.range(10L, 20L).toDF("cell").coalesce(1), dir,
+      statsCol = Some("cell")) // v2: one file, cells 10-19
+    val live1 = ActionLog.liveFiles(spark, dir)
+    assert(live1.size == 2 && live1.forall(_._2.isDefined))
+    val target = live1.collect {
+      case (f, Some((lo, _, _))) if lo == 0L => f
+    }
+    assert(target.size == 1)
+    // replace the low band with re-keyed content (cells 100-109)
+    val v3 = ActionLog.replaceFiles(spark, dir, target,
+      spark.range(100L, 110L).toDF("cell").coalesce(1),
+      statsCol = Some("cell"))
+    assert(v3 == 3L)
+    val (adds, rems) = ActionLog.actionsOf(spark, dir, 3L)
+    assert(rems == target && adds.size == 1,
+      s"remove exactly the targets: $rems / $adds")
+    val live2 = ActionLog.liveFiles(spark, dir)
+    // the untouched band's FILE survives by name (carried by reference)
+    val carried = live1.map(_._1).filterNot(target.toSet)
+    assert(carried.forall(live2.map(_._1).toSet),
+      s"untouched files must stay live: $carried vs $live2")
+    // stats re-recorded for the replacement file
+    assert(live2.exists { case (_, st) => st.exists(s => s._1 == 100L &&
+      s._2 == 109L && s._3 == 10L) }, s"replacement stats: $live2")
+    assert(ActionLog.read(spark, dir).as[Long].collect().sorted.toSeq ==
+      ((10L until 20L) ++ (100L until 110L)))
+    // time travel still reads the removed file's content
+    assert(ActionLog.read(spark, dir, asOf = 2L).as[Long]
+      .collect().sorted.toSeq == (0L until 20L))
+    // a target that left the live set conflicts LOUDLY
+    val e = intercept[IllegalArgumentException] {
+      ActionLog.replaceFiles(spark, dir, target,
+        spark.range(0L, 1L).toDF("cell"), statsCol = Some("cell"))
+    }
+    assert(e.getMessage.contains("left the live set"))
+  }
 }
