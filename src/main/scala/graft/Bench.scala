@@ -376,9 +376,13 @@ object Bench {
         // the first 16 plus the transient signature carry the diagnosis.
         val qmap = SparkEntry.queries
         val flags = movers.take(16).map { case (n, t) =>
-          val iso = (1 to 3).map { _ =>
-            val x = timedOnce(n, qmap(n)); cleanup(); x
-          }.min
+          // min-of-3 with cleanup AFTER the reps, not between them —
+          // the manifest's isolated values were measured that way
+          // (inter-rep warmth is part of what min-of-N has always
+          // recorded), so adjudicating colder would bias toward
+          // confirming phantoms
+          val iso = (1 to 3).map(_ => timedOnce(n, qmap(n))).min
+          cleanup()
           BenchGate.Flag(n, t, expected(n), iso,
             BenchGate.verdictOf(iso, expected(n)))
         } ++ movers.drop(16).map { case (n, t) =>
