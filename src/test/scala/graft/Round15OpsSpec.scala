@@ -113,4 +113,31 @@ class Round15OpsSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("left the live set"))
   }
+
+  // ---- the exact one-band-per-file layout: every IVF assign file must
+  // carry exactly one cell (lo == hi stats), including the adjacent
+  // near-balanced pair that repartitionByRange flip-flopped on (the
+  // q321 flake class). Three fresh builds pin determinism.
+  test("IVF layout writes one band per file, deterministically") {
+    import graft.ops.ActionLog
+    import graft.similarity.IvfIndex
+    // two labels, near-balanced (48/52), vectors spread enough that the
+    // voronoi assignment keeps both cells populated
+    val df = spark.range(0L, 100L).toDF("vec_id")
+      .withColumn("label", (col("vec_id") < 48).cast("int"))
+      .withColumn("embedding", array((0 until 8).map(j =>
+        sin(col("vec_id") * (j + 1) + lit(0.5)) +
+          col("label").cast("double") * 3.0): _*))
+    (1 to 3).foreach { i =>
+      val root = TestSpark.tmpDir(s"r15band$i") + "/ivf"
+      IvfIndex.build(df, root, "vec_id", "embedding", seedCol = "label")
+      val live = ActionLog.liveFiles(spark, s"$root/assign")
+      assert(live.nonEmpty && live.forall {
+        case (_, Some((lo, hi, n))) => lo == hi && n > 0
+        case _ => false
+      }, s"every assign file must hold exactly one cell: $live")
+      assert(live.map(_._2.get._1).distinct.size == live.size,
+        s"one file per cell, no cell split across files: $live")
+    }
+  }
 }
