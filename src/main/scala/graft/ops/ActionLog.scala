@@ -451,11 +451,31 @@ object ActionLog {
           .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
           .toMap
     }
-    files.map { f =>
+    files.flatMap { f =>
       stats.get(f) match {
         case Some((lo, hi, n)) =>
-          s"""{"a":"add","p":"$f","lo":$lo,"hi":$hi,"n":$n}"""
-        case None => s"""{"a":"add","p":"$f"}"""
+          Some(s"""{"a":"add","p":"$f","lo":$lo,"hi":$hi,"n":$n}""")
+        case None if statsCol.isDefined =>
+          // The stats pass groups the just-written delta by file, so a
+          // staged part missing from it can only hold ZERO rows (an
+          // empty write task — layouts with explicit partitioners
+          // produce them). Verify by footer and DROP it: an empty data
+          // file serves no reader and breaks the all-files-have-stats
+          // invariant that maintenance planning (e.g. IvfIndex
+          // rebalance) relies on. A non-empty stats-less file here is a
+          // bug, refused loudly.
+          val p = new Path(s"$dir/$DataDir/$f")
+          val fs = fsOf(spark, dir)
+          val in = org.apache.parquet.hadoop.util.HadoopInputFile
+            .fromPath(p, spark.sparkContext.hadoopConfiguration)
+          val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+          val rows = try r.getRecordCount finally r.close()
+          require(rows == 0L,
+            s"ActionLog($dir): staged file $f holds $rows rows but the " +
+              "stats pass missed it — stats collection is broken")
+          fs.delete(p, false)
+          None
+        case None => Some(s"""{"a":"add","p":"$f"}""")
       }
     }
   }

@@ -197,6 +197,18 @@ object IvfIndex {
     * probes to an empty band. Returns (old cell → new cell ids), empty
     * (and commit-free) when nothing is hot, so scheduled rebalancing
     * converges like [[ActionLog.optimizeClustered]].
+    *
+    * ORPHAN ADOPTION (the rebalance↔refresh race): a [[refresh]] that
+    * read the quantizer before a rebalance retired one of its cells
+    * commits rows keyed to a centroid that no longer exists — rows no
+    * probe will ever route to. `rebalance` repairs this as part of the
+    * same commit: any assigned cell ABSENT from the centroid table is
+    * re-keyed against the quantizer this call publishes (max-cosine,
+    * ties to the lowest cell — [[refresh]]'s own rule) and its files
+    * join the partial rewrite. Adopted cells report as
+    * `(orphanCell, Nil)` in the result. Until the repair runs,
+    * [[search]] fails LOUDLY on orphan-banded files rather than
+    * silently losing recall.
     */
   def rebalance(spark: SparkSession, root: String, maxCellRows: Long,
       branch: Int = 2): Seq[(Long, Seq[Long])] = {
@@ -222,12 +234,22 @@ object IvfIndex {
         .toMap
     val counts = (singleCounts.keySet ++ spanCounts.keySet).map(c =>
       c -> (singleCounts.getOrElse(c, 0L) + spanCounts.getOrElse(c, 0L)))
-    val hot = counts.filter(_._2 > maxCellRows).map(_._1).toSeq.sorted
-    if (hot.isEmpty) return Seq.empty
-    // the hot bands' files — the ONLY files this maintenance touches
+    val centCellVals = ActionLog.read(spark, centDir(root))
+      .select(col("cell"))
+      .collect() // |cells| rows — bounded by design
+      .map(_.get(0).asInstanceOf[Number].longValue).toSet
+    // hot = oversized LIVE cells (split); orphan = assigned cells whose
+    // centroid is gone (adopt) — a refresh that raced a prior rebalance
+    val hot = counts.collect {
+      case (c, n) if n > maxCellRows && centCellVals(c) => c
+    }.toSeq.sorted
+    val orphanCells = counts.map(_._1).filterNot(centCellVals).toSeq.sorted
+    if (hot.isEmpty && orphanCells.isEmpty) return Seq.empty
+    // the hot and orphan bands' files — the ONLY files this touches
+    val touched = (hot ++ orphanCells).toSet
     val targets = live.collect {
       case (f, Some((lo, hi, _)))
-        if hot.exists(c => c >= lo && c <= hi) => f
+        if touched.exists(c => c >= lo && c <= hi) => f
     }
     val content = spark.read.parquet(targets.map(f => s"$aDir/data/$f"): _*)
     val cols = content.columns
@@ -237,11 +259,13 @@ object IvfIndex {
     val (idC, vecCol) = (cols(0), cols(2))
     val cellType = content.schema("cell").dataType
     val hotRows = content.filter(col("cell").isin(hot: _*)).localCheckpoint()
-    val keepRows = content.filter(!col("cell").isin(hot: _*))
+    val orphanRows = content.filter(col("cell").isin(orphanCells: _*))
+    val keepRows = content
+      .filter(!col("cell").isin(hot: _*))
+      .filter(!col("cell").isin(orphanCells: _*))
     // seeds: each hot cell's `branch` lowest-id member vectors, ranked
     // 1..branch — the deterministic k-means initialization
-    val maxCell = ActionLog.read(spark, centDir(root))
-      .agg(max(col("cell").cast("long"))).head.getLong(0)
+    val maxCell = centCellVals.max
     val seeds = TopK.perGroup(
       hotRows.select(col("cell"), col(idC), col(vecCol)),
       Seq("cell"), Seq(idC -> false), branch)
@@ -290,29 +314,57 @@ object IvfIndex {
           d2(col(vecCol), col("centroid")).as("__d2")),
       Seq(idC), Seq("__d2" -> false, "__newCell" -> false), 1)
       .select(col(idC), col("__newCell").cast(cellType).as("cell"), col(vecCol))
+    // the quantizer THIS COMMIT publishes: surviving cells + sub-cells —
+    // adoption must route against it, or an orphan adopted into a cell
+    // retired in this very call would orphan right back
+    val cents = ActionLog.read(spark, centDir(root))
+    val published = cents.filter(!col("cell").isin(hot: _*))
+      .unionByName(subKeyed
+        .select(col("__newCell").cast(cells0Type(cents)).as("cell"),
+          col("centroid"), Knn.norm(col("centroid")).as("ctn")))
+      .localCheckpoint() // |cells| rows; quantizer for adoption + commit
+    // adopt orphans under refresh's own rule: max-cosine, ties low
+    val adopted =
+      if (orphanCells.isEmpty) keepRows.limit(0)
+      else {
+        val v = orphanRows.withColumn("__vn", Knn.norm(col(vecCol)))
+        TopK.perGroup(
+          v.drop("cell").crossJoin(broadcast(published
+              .select(col("cell"), col("centroid"),
+                col("ctn").as("__ctn"))))
+            .select(col(idC), col("cell"),
+              (Knn.dot(col(vecCol), col("centroid")) /
+                (col("__vn") * col("__ctn"))).as("__csim"),
+              col(vecCol)),
+          Seq(idC), Seq("__csim" -> true, "cell" -> false), 1)
+          .select(col(idC), col("cell").cast(cellType).as("cell"),
+            col(vecCol))
+      }
     val replacement = keepRows.select(col(idC), col("cell"), col(vecCol))
       .unionByName(reassigned.select(col(idC), col("cell"), col(vecCol)))
+      .unionByName(adopted.select(col(idC), col("cell"), col(vecCol)))
     // probe selectivity IS the product here, so the band→file mapping
     // must be exact — see exactCellLayout's doc for why
     // repartitionByRange cannot be trusted with a split's adjacent
     // near-balanced sub-cells (measured: the same build flip-flopped
     // between {1051, 1157}-row files and one 2208-row file across runs).
     // The band universe: carried cells in the touched files (a distinct
-    // over the O(hot) target files only) plus the minted sub-cells.
+    // over the O(touched) target files only) plus the published
+    // quantizer's cells (a superset is fine — empty cells write no file).
     val keepCells = keepRows.select(col("cell")).distinct()
       .collect().map(_.get(0).asInstanceOf[Number].longValue).toSeq
-    val laid = exactCellLayout(replacement, keepCells ++ newIds.map(_._3))
+    val publishedCells = published.select(col("cell"))
+      .collect().map(_.get(0).asInstanceOf[Number].longValue).toSeq
+    val laid = exactCellLayout(replacement, keepCells ++ publishedCells)
     // assign first, centroids second: the sub-centroids derive from rows
     // the first commit makes durable; a reader pinning one asOf for both
     // tables (the search contract) sees a consistent index
     ActionLog.replaceFiles(spark, aDir, targets, laid, statsCol = Some("cell"))
-    val cents = ActionLog.read(spark, centDir(root))
-    val newCents = cents.filter(!col("cell").isin(hot: _*))
-      .unionByName(subKeyed
-        .select(col("__newCell").cast(cells0Type(cents)).as("cell"),
-          col("centroid"), Knn.norm(col("centroid")).as("ctn")))
-    ActionLog.rewrite(newCents.coalesce(1), centDir(root), 1)
-    hot.map(c => c -> newIds.collect { case (_, oc, nid) if oc == c => nid }.toSeq)
+    // orphan-only repairs leave the quantizer untouched — no empty version
+    if (hot.nonEmpty)
+      ActionLog.rewrite(published.coalesce(1), centDir(root), 1)
+    hot.map(c => c -> newIds.collect { case (_, oc, nid) if oc == c => nid }.toSeq) ++
+      orphanCells.map(c => c -> Seq.empty[Long])
   }
 
   private def cells0Type(cents: DataFrame) = cents.schema("cell").dataType
@@ -370,6 +422,27 @@ object IvfIndex {
       .withColumnRenamed("ctn", "__ctn")
     val assign = ActionLog.read(spark, assignDir(root), asOf)
     if (assign.columns.contains(vecCol)) {
+      // ORPHAN GUARD: an assign file keyed to a cell the centroid table
+      // (at this asOf) no longer carries is unreachable by ANY probe — a
+      // refresh that raced a rebalance (see rebalance's doc). Refusing
+      // loudly here is the q286-default pattern: name the repair rather
+      // than silently lose recall. Integral lo==hi bands only (the exact
+      // layout); stats-less or spanning legacy files stay conservative.
+      val centCells: Set[Long] = cents.select(col("cell")).collect()
+        .flatMap(_.get(0) match {
+          case n: Number => Some(n.longValue); case _ => None
+        }).toSet
+      if (centCells.nonEmpty) {
+        val orphaned = ActionLog.liveFilesAt(spark, assignDir(root), asOf)
+          .collect {
+            case (f, Some((lo, hi, _))) if lo == hi && !centCells(lo) => f
+          }
+        require(orphaned.isEmpty,
+          s"IvfIndex.search($root): ${orphaned.size} assign file(s) are " +
+            "keyed to retired cells — a refresh raced a rebalance; run " +
+            "IvfIndex.rebalance to adopt them (skipping them would " +
+            s"silently lose recall): ${orphaned.take(3).mkString(", ")}")
+      }
       // covering index: plan the probed cells' files from the log stats,
       // read only those, and re-apply the exact cell predicate (pruning
       // is an optimization, never a correctness bet)

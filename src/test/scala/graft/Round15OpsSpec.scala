@@ -114,6 +114,60 @@ class Round15OpsSpec extends AnyFunSuite {
     assert(e.getMessage.contains("left the live set"))
   }
 
+  // ---- the rebalance↔refresh race: a refresh that read the quantizer
+  // before a rebalance retired one of its cells commits rows no probe
+  // will ever route to. Search must REFUSE loudly (naming the repair),
+  // and rebalance must ADOPT the orphans — re-keyed under the live
+  // quantizer, searchable again — without minting a pointless centroid
+  // version for an orphan-only repair.
+  test("orphaned assignments fail loudly at search and adopt at rebalance") {
+    import graft.ops.ActionLog
+    import graft.similarity.IvfIndex
+    val root = TestSpark.tmpDir("r15orphan") + "/ivf"
+    val df = spark.range(0L, 100L).toDF("vec_id")
+      .withColumn("label", (col("vec_id") < 48).cast("int"))
+      .withColumn("embedding", array((0 until 8).map(j =>
+        sin(col("vec_id") * (j + 1) + lit(0.5)) +
+          col("label").cast("double") * 3.0): _*))
+    IvfIndex.build(df, root, "vec_id", "embedding", seedCol = "label")
+    // split BOTH cells (cap below either cell's count) -> cells 0,1 retire
+    val res1 = IvfIndex.rebalance(spark, root, maxCellRows = 30)
+    assert(res1.map(_._1) == Seq(0L, 1L) && res1.forall(_._2.size == 2))
+    // the racing refresh: rows keyed to RETIRED cell 0 land in the log
+    // (noisy copies of corpus rows, new ids)
+    val orphan = df.filter(col("vec_id") < 10)
+      .select((col("vec_id") + 1000L).as("vec_id"),
+        lit(0).cast("int").as("cell"),
+        transform(col("embedding"), x => x + lit(0.01)).as("embedding"))
+    ActionLog.append(orphan.coalesce(1), s"$root/assign",
+      statsCol = Some("cell"))
+    // search refuses loudly and names the repair
+    val q = orphan.filter(col("vec_id") === 1003L)
+      .select((col("vec_id") + 4000L).as("vec_id"), col("embedding"))
+    val e = intercept[IllegalArgumentException] {
+      IvfIndex.search(q, df, root, "vec_id", "vec_id", "embedding",
+        k = 1, nprobe = 2).collect()
+    }
+    assert(e.getMessage.contains("rebalance") &&
+      e.getMessage.contains("retired"), e.getMessage)
+    // orphan-only repair: one assign commit, NO new centroid version
+    val cv = ActionLog.versions(spark, s"$root/centroids")
+    val av = ActionLog.versions(spark, s"$root/assign")
+    val res2 = IvfIndex.rebalance(spark, root, maxCellRows = 1000)
+    assert(res2 == Seq(0L -> Seq.empty[Long]), s"adoption report: $res2")
+    assert(ActionLog.versions(spark, s"$root/centroids") == cv,
+      "an orphan-only repair must not mint a centroid version")
+    assert(ActionLog.versions(spark, s"$root/assign").size == av.size + 1)
+    // adopted rows are searchable: the exact orphan vector finds ITS row
+    val got = IvfIndex.search(q, df, root, "vec_id", "vec_id", "embedding",
+      k = 1, nprobe = 2).collect()
+    assert(got.length == 1 &&
+      got.head.getAs[Long]("neighbor_id") == 1003L,
+      s"adopted orphan must be the top hit: ${got.toSeq}")
+    // and the repair converges: nothing left to adopt or split
+    assert(IvfIndex.rebalance(spark, root, maxCellRows = 1000).isEmpty)
+  }
+
   // ---- the exact one-band-per-file layout: every IVF assign file must
   // carry exactly one cell (lo == hi stats), including the adjacent
   // near-balanced pair that repartitionByRange flip-flopped on (the
