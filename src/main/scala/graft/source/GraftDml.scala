@@ -57,7 +57,12 @@ private[source] object GraftDml {
       case "log" =>
         if (overwrite) {
           val n = math.max(1, data.rdd.getNumPartitions)
-          ActionLog.rewrite(data, target.dir, numFiles = n)
+          // stats ride the rewrite exactly as they ride the append: an
+          // INSERT OVERWRITE that shed the recorded stats column would
+          // leave the skipping index stale and make stats-dependent
+          // maintenance (optimizeClustered) refuse the table outright
+          ActionLog.rewrite(data, target.dir, numFiles = n,
+            statsCol = ActionLog.statsColumn(spark, target.dir))
           ()
         } else {
           ActionLog.appendOcc(data, target.dir,

@@ -1,0 +1,286 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import scala.collection.mutable
+import scala.util.Random
+
+import graft.ops.{ActionLog, VersionedTable}
+
+/** Seeded random DML-lifecycle fuzzer — the generalization of the
+  * round-13 lesson. That escape (pruned-COW row loss) hid because every
+  * fixture exercised ONE hand-picked statement against ONE hand-picked
+  * layout; the bug class only surfaces under a sequence nobody wrote.
+  * This spec drives an arbitrary (but seed-deterministic) interleaving
+  * of INSERT / UPDATE / DELETE / MERGE (with and without a DELETE
+  * clause) / INSERT OVERWRITE / maintenance through the SQL catalog on
+  * BOTH table layouts (action-log and versioned-snapshot), checking
+  * after every statement that:
+  *
+  *   - live content equals an in-memory model (full multiset, nulls
+  *     included — the round-14 NULL-clobber class is in scope);
+  *   - any model change minted a strictly newer version (a content
+  *     change without a commit would silently corrupt time travel);
+  *   - the log layout keeps a contiguous version history and never
+  *     loses per-file stats through a rewrite (q317's invariant, held
+  *     under arbitrary op order, not one scripted sequence);
+  *
+  * and at the end that `VERSION AS OF v` renders the EXACT model
+  * snapshot recorded when v was committed, for every version the run
+  * produced. The initial data is written key-local across ≥3 files on
+  * both layouts — the adversarial shape that turns stats-pruned-scan
+  * bugs into row loss rather than silence.
+  */
+class LifecycleFuzzSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  /** (k, v, s): one table row as the model sees it. */
+  private type Row3 = (Long, Long, Option[String])
+
+  private def registerCat(root: String, tag: String): String = {
+    val cat = s"graftfz$tag"
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.source.GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.root", root)
+    spark.conf.set(s"spark.sql.catalog.$cat.features", "deletion-vectors")
+    cat
+  }
+
+  private def genS(r: Random): Option[String] =
+    if (r.nextInt(4) == 0) None else Some("s" + r.nextInt(5))
+
+  /** A random predicate as (SQL text, model row test) — the pair MUST
+    * agree; that agreement is what the engine is being tested against.
+    */
+  private def genPred(r: Random, keys: Seq[Long]): (String, Row3 => Boolean) =
+    r.nextInt(6) match {
+      case 0 =>
+        val x = if (keys.nonEmpty && r.nextBoolean()) keys(r.nextInt(keys.size))
+                else 777777L // a deliberate miss: empty-match DML is in scope
+        (s"k = $x", t => t._1 == x)
+      case 1 =>
+        val a = r.nextInt(250) * 5L
+        val b = a + r.nextInt(40) * 5L
+        (s"k BETWEEN $a AND $b", t => t._1 >= a && t._1 <= b)
+      case 2 =>
+        val m = 2 + r.nextInt(5); val c = r.nextInt(m)
+        (s"k % $m = $c", t => t._1 % m == c)
+      case 3 =>
+        val m = 2 + r.nextInt(5); val c = r.nextInt(m)
+        (s"v % $m = $c", t => t._2 % m == c)
+      case 4 =>
+        ("s IS NULL", t => t._3.isEmpty)
+      case _ =>
+        val m = 2 + r.nextInt(4); val c = r.nextInt(m)
+        (s"k % $m = $c AND s IS NOT NULL",
+          t => t._1 % m == c && t._3.nonEmpty)
+    }
+
+  /** A random SET list as (SQL text, model row transform). */
+  private def genSet(r: Random, i: Int): (String, Row3 => (Long, Option[String])) =
+    r.nextInt(5) match {
+      case 0 => val c = 1 + r.nextInt(9)
+        (s"v = v + $c", t => (t._2 + c, t._3))
+      case 1 => ("v = k % 97", t => (t._1 % 97, t._3))
+      case 2 => (s"s = 'u$i'", t => (t._2, Some(s"u$i")))
+      case 3 => ("s = CAST(NULL AS STRING)", t => (t._2, None))
+      case _ => (s"v = v * 2, s = 'w$i'", t => (t._2 * 2, Some(s"w$i")))
+    }
+
+  private def campaign(flavor: String, seed: Int, ops: Int): Unit = {
+    val r = new Random(seed)
+    val root = TestSpark.tmpDir(s"fuzz_${flavor}_$seed")
+    val dir = s"$root/t"
+    val cat = registerCat(root, s"${flavor}$seed")
+    val view = s"fuzz_src_${flavor}_$seed"
+    val model = mutable.SortedMap.empty[Long, (Long, Option[String])]
+    def modelSeq: Seq[Row3] =
+      model.toSeq.map { case (k, (v, s)) => (k, v, s) }
+
+    // ---- initial content: 40 keys across 3 KEY-LOCAL files (tight
+    // per-file stats — the adversarial layout for pruning bugs)
+    val init = (0 until 40).map(i => (i * 5L, r.nextInt(1000).toLong, genS(r)))
+    init.foreach { case (k, v, s) => model(k) = (v, s) }
+    flavor match {
+      case "log" =>
+        (0 to 2).foreach { b =>
+          val part = init.filter(_._1 / 70L == b)
+          ActionLog.append(part.toDF("k", "v", "s").coalesce(1), dir, Some("k"))
+        }
+      case _ =>
+        VersionedTable.write(
+          init.toDF("k", "v", "s").repartitionByRange(3, col("k")), dir)
+    }
+
+    def curVersion: Long = flavor match {
+      case "log" => ActionLog.versions(spark, dir).last
+      case _ => VersionedTable.currentVersion(spark, dir).getOrElse(
+        fail(s"[$flavor/$seed] no current version"))
+    }
+    def readRows(sql: String): Seq[Row3] =
+      spark.sql(sql).collect()
+        .map(row => (row.getLong(0), row.getLong(1), Option(row.getString(2))))
+        .sortBy(_._1).toSeq
+    def checkContent(tag: String): Unit = {
+      val actual = readRows(s"SELECT k, v, s FROM $cat.t")
+      val expect = modelSeq
+      assert(actual == expect,
+        s"[$flavor/$seed] $tag: live/model diverged\n" +
+          s"  only-live : ${actual.diff(expect).take(8)}\n" +
+          s"  only-model: ${expect.diff(actual).take(8)}")
+    }
+
+    var nextKey = 1000L
+    def freshRows(n: Int): Seq[Row3] = (0 until n).map { _ =>
+      val k = nextKey; nextKey += 1 + r.nextInt(3)
+      (k, r.nextInt(1000).toLong, genS(r))
+    }
+
+    val snapshots = mutable.LinkedHashMap.empty[Long, Seq[Row3]]
+    checkContent("initial")
+    snapshots(curVersion) = modelSeq
+
+    for (i <- 1 to ops) {
+      val before = modelSeq
+      val vBefore = curVersion
+      val pick = r.nextInt(100)
+      val desc: String =
+        if (pick < 20) { // ---- INSERT INTO (fresh keys only)
+          val rows = freshRows(3 + r.nextInt(5))
+          rows.toDF("k", "v", "s").createOrReplaceTempView(view)
+          spark.sql(s"INSERT INTO $cat.t SELECT k, v, s FROM $view")
+          rows.foreach { case (k, v, s) => model(k) = (v, s) }
+          s"INSERT ${rows.size} rows"
+        } else if (pick < 45) { // ---- UPDATE
+          val (pred, hit) = genPred(r, model.keys.toSeq)
+          val (set, fn) = genSet(r, i)
+          spark.sql(s"UPDATE $cat.t SET $set WHERE $pred")
+          model.toSeq.foreach { case (k, (v, s)) =>
+            if (hit((k, v, s))) model(k) = fn((k, v, s))
+          }
+          s"UPDATE SET $set WHERE $pred"
+        } else if (pick < 60) { // ---- DELETE (never emptying the table:
+          // an empty live set is a separate contract, not this fuzz)
+          val (pred, hit) = genPred(r, model.keys.toSeq)
+          val doomed = model.toSeq.collect {
+            case (k, (v, s)) if hit((k, v, s)) => k
+          }
+          if (doomed.size < model.size) {
+            spark.sql(s"DELETE FROM $cat.t WHERE $pred")
+            doomed.foreach(model.remove)
+            s"DELETE WHERE $pred (${doomed.size} rows)"
+          } else s"skipped DELETE WHERE $pred (would empty the table)"
+        } else if (pick < 80) { // ---- MERGE (upsert, 40% with a DELETE
+          // clause — clause ORDER is part of the contract under test)
+          val matched = r.shuffle(model.keys.toSeq).take(math.min(4, model.size))
+          val src = matched.map(k => (k, r.nextInt(1000).toLong, genS(r))) ++
+            freshRows(1 + r.nextInt(3))
+          val withDelete = r.nextInt(100) < 40
+          src.toDF("k", "v", "s").createOrReplaceTempView(view)
+          val delClause =
+            if (withDelete) "WHEN MATCHED AND u.v % 3 = 0 THEN DELETE\n" else ""
+          spark.sql(
+            s"""MERGE INTO $cat.t t USING $view u ON t.k = u.k
+               |$delClause
+               |WHEN MATCHED THEN UPDATE SET v = u.v, s = u.s
+               |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+          src.foreach { case (k, v, s) =>
+            if (model.contains(k)) {
+              if (withDelete && v % 3 == 0) model.remove(k)
+              else model(k) = (v, s)
+            } else model(k) = (v, s)
+          }
+          s"MERGE ${src.size} src rows${if (withDelete) " +DELETE clause" else ""}"
+        } else if (pick < 88) { // ---- INSERT OVERWRITE (whole-table rewrite)
+          val rows = modelSeq.map { case (k, v, s) => (k, v + 1, s) }
+          rows.toDF("k", "v", "s").createOrReplaceTempView(view)
+          spark.sql(s"INSERT OVERWRITE $cat.t SELECT k, v, s FROM $view")
+          rows.foreach { case (k, v, s) => model(k) = (v, s) }
+          "INSERT OVERWRITE (v+1)"
+        } else { // ---- maintenance: must be content-invariant
+          flavor match {
+            case "log" if r.nextBoolean() =>
+              ActionLog.checkpoint(spark, dir); "checkpoint"
+            case "log" =>
+              ActionLog.optimizeClustered(spark, dir); "optimizeClustered"
+            case _ => "maintenance no-op (snapshot layout)"
+          }
+        }
+
+      val vAfter = curVersion
+      if (modelSeq != before) assert(vAfter > vBefore,
+        s"[$flavor/$seed] op#$i $desc changed content without minting a " +
+          s"version (still v$vBefore) — time travel is now corrupt")
+      checkContent(s"op#$i $desc")
+      if (flavor == "log") {
+        assert(ActionLog.versions(spark, dir) == (1L to vAfter),
+          s"[$flavor/$seed] op#$i $desc: version history not contiguous")
+        assert(ActionLog.liveFiles(spark, dir).forall(_._2.isDefined),
+          s"[$flavor/$seed] op#$i $desc: a rewrite dropped per-file stats")
+      }
+      snapshots(vAfter) = modelSeq
+    }
+
+    // ---- the full history replays: every version the run committed
+    // renders exactly the model snapshot recorded at its commit
+    snapshots.foreach { case (v, snap) =>
+      val got = readRows(s"SELECT k, v, s FROM $cat.t VERSION AS OF $v")
+      assert(got == snap,
+        s"[$flavor/$seed] VERSION AS OF $v diverged from the snapshot " +
+          s"recorded at commit time\n  only-live : ${got.diff(snap).take(8)}" +
+          s"\n  only-model: ${snap.diff(got).take(8)}")
+    }
+  }
+
+  test("log layout survives a seeded random DML lifecycle (seed 1501)") {
+    campaign("log", seed = 1501, ops = 22)
+  }
+
+  test("snapshot layout survives a seeded random DML lifecycle (seed 2502)") {
+    campaign("snapshot", seed = 2502, ops = 22)
+  }
+
+  /** OCC under real contention: 4 unsynchronized writers race 5 commits
+    * each while clustering maintenance runs mid-stream. Every batch must
+    * land exactly once, the version history must stay contiguous (no
+    * torn or skipped slots), and no rewrite may shed per-file stats.
+    * OccSpec pins the two-writer disjoint race once; this is the
+    * randomized-load generalization — batch data is generated up front
+    * on one seed so the test stays deterministic while the interleaving
+    * does not.
+    */
+  test("concurrent OCC appends linearize under maintenance (4 writers x 5)") {
+    val r = new Random(77)
+    val dir = TestSpark.tmpDir("fuzz_occ") + "/t"
+    ActionLog.append(Seq((0L, 0L)).toDF("k", "v").coalesce(1), dir, Some("k"))
+    val batches = for (t <- 0 until 4; j <- 0 until 5) yield
+      (t, j, (0 until 8).map(i =>
+        ((t * 5 + j) * 100L + i, r.nextInt(1000).toLong)))
+    val byThread = batches.groupBy(_._1)
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val threads = (0 until 4).map { t =>
+      new Thread(() =>
+        try byThread(t).sortBy(_._2).foreach { case (_, _, rows) =>
+          ActionLog.appendOcc(rows.toDF("k", "v").coalesce(1), dir, Some("k"))
+          ()
+        } catch { case x: Throwable => errs.add(x) })
+    }
+    threads.foreach(_.start())
+    // clustering maintenance racing the writers: compaction's conflict
+    // rule (remove exactly what it read) must commute with appends
+    ActionLog.optimizeClustered(spark, dir)
+    threads.foreach(_.join())
+    assert(errs.isEmpty, s"no OCC writer may fail under contention: $errs")
+    val vs = ActionLog.versions(spark, dir)
+    assert(vs == (1L to vs.last) && vs.last >= 21L,
+      s"history must stay contiguous with every append landed: $vs")
+    val got = ActionLog.read(spark, dir).collect()
+      .map(row => (row.getLong(0), row.getLong(1))).sorted.toSeq
+    val want = ((0L, 0L) +: batches.flatMap(_._3)).sorted
+    assert(got == want, "every committed batch must be present exactly once")
+    assert(ActionLog.liveFiles(spark, dir).forall(_._2.isDefined),
+      "maintenance under contention must re-record stats on every file")
+  }
+}

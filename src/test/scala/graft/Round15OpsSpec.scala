@@ -194,4 +194,26 @@ class Round15OpsSpec extends AnyFunSuite {
         s"one file per cell, no cell split across files: $live")
     }
   }
+
+  // ---- found by LifecycleFuzzSpec (seed 1501, op#4): INSERT OVERWRITE
+  // on the log layout shed the recorded stats column — the ONE statement
+  // whose rewrite path skipped statsCol. Stale stats silently end
+  // log-carried pruning, and stats-dependent maintenance
+  // (optimizeClustered, IVF rebalance planning) refuses the table loudly.
+  test("log-layout INSERT OVERWRITE re-records per-file stats") {
+    import graft.ops.ActionLog
+    val root = TestSpark.tmpDir("r15ow")
+    val dir = s"$root/t"
+    ActionLog.append(Seq((1L, 10L), (2L, 20L)).toDF("k", "v").coalesce(1),
+      dir, Some("k"))
+    val cat = registerCat(root, "ow")
+    Seq((3L, 30L), (4L, 40L)).toDF("k", "v").createOrReplaceTempView("r15owv")
+    spark.sql(s"INSERT OVERWRITE $cat.t SELECT k, v FROM r15owv")
+    val live = ActionLog.liveFiles(spark, dir)
+    assert(live.nonEmpty && live.forall(_._2.isDefined),
+      s"overwrite must re-record stats on every replacement file: $live")
+    // stats-dependent maintenance keeps working across the overwrite
+    ActionLog.optimizeClustered(spark, dir)
+    assert(spark.sql(s"SELECT sum(v) FROM $cat.t").head.getLong(0) == 70L)
+  }
 }
