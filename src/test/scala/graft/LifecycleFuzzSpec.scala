@@ -6,7 +6,7 @@ import org.scalatest.funsuite.AnyFunSuite
 import scala.collection.mutable
 import scala.util.Random
 
-import graft.ops.{ActionLog, VersionedTable}
+import graft.ops.{ActionLog, ChangeFeed, VersionedTable}
 
 /** Seeded random DML-lifecycle fuzzer — the generalization of the
   * round-13 lesson. That escape (pruned-COW row loss) hid because every
@@ -89,7 +89,12 @@ class LifecycleFuzzSpec extends AnyFunSuite {
       case _ => (s"v = v * 2, s = 'w$i'", t => (t._2 * 2, Some(s"w$i")))
     }
 
-  private def campaign(flavor: String, seed: Int, ops: Int): Unit = {
+  /** Returns the op-family coverage tally so each test can assert its
+    * seed actually exercised the families it exists to fuzz — a fixed
+    * seed that never rolls an op family is silent non-coverage.
+    */
+  private def campaign(flavor: String, seed: Int,
+      ops: Int): Map[String, Int] = {
     val r = new Random(seed)
     val root = TestSpark.tmpDir(s"fuzz_${flavor}_$seed")
     val dir = s"$root/t"
@@ -109,6 +114,11 @@ class LifecycleFuzzSpec extends AnyFunSuite {
           val part = init.filter(_._1 / 70L == b)
           ActionLog.append(part.toDF("k", "v", "s").coalesce(1), dir, Some("k"))
         }
+      case "cdf" => // versioned layout with a recorded change feed: every
+        // commit must carry (or derive) a capture the feed can replay
+        ChangeFeed.commit(
+          init.toDF("k", "v", "s").repartitionByRange(3, col("k")),
+          dir, Seq("k"))
       case _ =>
         VersionedTable.write(
           init.toDF("k", "v", "s").repartitionByRange(3, col("k")), dir)
@@ -133,12 +143,16 @@ class LifecycleFuzzSpec extends AnyFunSuite {
     }
 
     var nextKey = 1000L
+    var maintN = 0 // maintenance arm cycles its variants: every third
+    // maintenance roll is a vacuum, so coverage never hinges on one seed
     def freshRows(n: Int): Seq[Row3] = (0 until n).map { _ =>
       val k = nextKey; nextKey += 1 + r.nextInt(3)
       (k, r.nextInt(1000).toLong, genS(r))
     }
 
     val snapshots = mutable.LinkedHashMap.empty[Long, Seq[Row3]]
+    val tally = mutable.Map.empty[String, Int].withDefaultValue(0)
+    var floor = 1L // oldest retained version (vacuum raises it)
     checkContent("initial")
     snapshots(curVersion) = modelSeq
 
@@ -198,48 +212,106 @@ class LifecycleFuzzSpec extends AnyFunSuite {
           rows.toDF("k", "v", "s").createOrReplaceTempView(view)
           spark.sql(s"INSERT OVERWRITE $cat.t SELECT k, v, s FROM $view")
           rows.foreach { case (k, v, s) => model(k) = (v, s) }
-          "INSERT OVERWRITE (v+1)"
+          "OVERWRITE whole table (v+1)"
         } else { // ---- maintenance: must be content-invariant
+          maintN += 1
           flavor match {
-            case "log" if r.nextBoolean() =>
-              ActionLog.checkpoint(spark, dir); "checkpoint"
-            case "log" =>
-              ActionLog.optimizeClustered(spark, dir); "optimizeClustered"
+            case "log" => maintN % 3 match {
+              case 1 => ActionLog.checkpoint(spark, dir); "checkpoint"
+              case 2 => ActionLog.optimizeClustered(spark, dir)
+                "optimizeClustered"
+              case _ =>
+                val keep = 4 + r.nextInt(4)
+                val (expired, _) =
+                  ActionLog.vacuum(spark, dir, keep, graceMs = 0L)
+                floor = ActionLog.versions(spark, dir).head
+                s"vacuum(keep=$keep) expired=$expired floor=$floor"
+            }
             case _ => "maintenance no-op (snapshot layout)"
           }
         }
 
+      tally(desc.split("[ (]").head) += 1
       val vAfter = curVersion
       if (modelSeq != before) assert(vAfter > vBefore,
         s"[$flavor/$seed] op#$i $desc changed content without minting a " +
           s"version (still v$vBefore) — time travel is now corrupt")
       checkContent(s"op#$i $desc")
       if (flavor == "log") {
-        assert(ActionLog.versions(spark, dir) == (1L to vAfter),
+        assert(ActionLog.versions(spark, dir) == (floor to vAfter),
           s"[$flavor/$seed] op#$i $desc: version history not contiguous")
         assert(ActionLog.liveFiles(spark, dir).forall(_._2.isDefined),
           s"[$flavor/$seed] op#$i $desc: a rewrite dropped per-file stats")
       }
+      if (flavor == "cdf" && vAfter > vBefore) {
+        // the commit's change feed, folded over the pre-state, must
+        // reproduce the post-state EXACTLY — whatever mix of captured
+        // deltas, overwrite markers, and snapshot diffs the statements
+        // left behind
+        val changes = ChangeFeed.tableChanges(spark, dir, vBefore, vAfter,
+          Seq("k"))
+        val folded = ChangeFeed.apply(
+          Some(before.toDF("k", "v", "s")), changes, Seq("k"))
+          .select(col("k"), col("v"), col("s")).collect()
+          .map(row => (row.getLong(0), row.getLong(1),
+            Option(row.getString(2)))).sortBy(_._1).toSeq
+        assert(folded == modelSeq,
+          s"[$flavor/$seed] op#$i $desc: change feed v$vBefore->v$vAfter " +
+            s"folded over the pre-state diverges from the post-state\n" +
+            s"  only-folded: ${folded.diff(modelSeq).take(8)}\n" +
+            s"  only-model : ${modelSeq.diff(folded).take(8)}")
+      }
       snapshots(vAfter) = modelSeq
     }
 
-    // ---- the full history replays: every version the run committed
-    // renders exactly the model snapshot recorded at its commit
-    snapshots.foreach { case (v, snap) =>
+    // ---- the full retained history replays: every retained version
+    // renders exactly the model snapshot recorded at its commit; an
+    // EXPIRED version may fail loudly but must never render silently
+    // wrong rows
+    val (expired, retained) = snapshots.toSeq.partition(_._1 < floor)
+    retained.foreach { case (v, snap) =>
       val got = readRows(s"SELECT k, v, s FROM $cat.t VERSION AS OF $v")
       assert(got == snap,
         s"[$flavor/$seed] VERSION AS OF $v diverged from the snapshot " +
           s"recorded at commit time\n  only-live : ${got.diff(snap).take(8)}" +
           s"\n  only-model: ${snap.diff(got).take(8)}")
     }
+    expired.foreach { case (v, snap) =>
+      scala.util.Try(readRows(s"SELECT k, v, s FROM $cat.t VERSION AS OF $v"))
+        .foreach(got => assert(got == snap,
+          s"[$flavor/$seed] expired version $v must fail loudly or render " +
+            "exactly — silently wrong rows are the one forbidden outcome"))
+    }
+    tally.toMap
+  }
+
+  private def assertCovered(tally: Map[String, Int],
+      families: Seq[String]): Unit = {
+    val missing = families.filterNot(f => tally.getOrElse(f, 0) > 0)
+    assert(missing.isEmpty,
+      s"seed never exercised op families $missing — re-seed or raise ops " +
+        s"(coverage was $tally)")
   }
 
   test("log layout survives a seeded random DML lifecycle (seed 1501)") {
-    campaign("log", seed = 1501, ops = 22)
+    val tally = campaign("log", seed = 1501, ops = 30)
+    info(s"coverage: $tally")
+    assertCovered(tally,
+      Seq("INSERT", "UPDATE", "DELETE", "MERGE", "OVERWRITE", "vacuum"))
   }
 
   test("snapshot layout survives a seeded random DML lifecycle (seed 2502)") {
-    campaign("snapshot", seed = 2502, ops = 22)
+    val tally = campaign("snapshot", seed = 2502, ops = 22)
+    info(s"coverage: $tally")
+    assertCovered(tally,
+      Seq("INSERT", "UPDATE", "DELETE", "MERGE", "OVERWRITE"))
+  }
+
+  test("change-feed tracking survives a seeded random DML lifecycle (seed 3503)") {
+    val tally = campaign("cdf", seed = 3503, ops = 24)
+    info(s"coverage: $tally")
+    assertCovered(tally,
+      Seq("INSERT", "UPDATE", "DELETE", "MERGE", "OVERWRITE"))
   }
 
   /** OCC under real contention: 4 unsynchronized writers race 5 commits
