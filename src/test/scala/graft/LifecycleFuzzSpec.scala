@@ -314,6 +314,122 @@ class LifecycleFuzzSpec extends AnyFunSuite {
       Seq("INSERT", "UPDATE", "DELETE", "MERGE", "OVERWRITE"))
   }
 
+  /** IVF lifecycle fuzz: random interleavings of refresh (spread and
+    * deliberately skewed deltas), rebalance at random caps driven to
+    * convergence, and near-dup searches checked against an in-memory
+    * brute force over the corpus model. The invariants hold after EVERY
+    * op, not just the scripted q319/q321 sequences: the index covers the
+    * corpus exactly, every assign file is one exact band, both log
+    * histories stay contiguous, rebalance converges within a bounded
+    * number of rounds, and accumulated recall@1 on planted near-dups
+    * stays >= 0.9. This is the newest engine surface (rebalance + orphan
+    * adoption landed last); it gets the same sequence-fuzz treatment the
+    * DML planes get above.
+    */
+  test("IVF index survives a seeded random refresh/rebalance/search lifecycle") {
+    import graft.similarity.IvfIndex
+    val r = new Random(4504)
+    val root = TestSpark.tmpDir("fuzz_ivf") + "/ivf"
+    val dim = 8
+    val centers = Array(
+      Array.tabulate(dim)(j => 1.0 + 0.05 * j),
+      Array.tabulate(dim)(j => -1.0 + 0.03 * j))
+    def vec(c: Int, i: Long): Array[Double] =
+      Array.tabulate(dim)(j => centers(c)(j) + 0.15 * math.sin((i + 1) * (j + 2)))
+    val corpus = mutable.SortedMap.empty[Long, Array[Double]]
+    def toDf(rows: Seq[(Long, Int)]) = rows
+      .map { case (id, c) => (id, c, vec(c, id).toSeq) }
+      .toDF("vec_id", "label", "embedding")
+    val initRows = (0L until 60L).map(i => (i, (i % 2).toInt))
+    initRows.foreach { case (id, c) => corpus(id) = vec(c, id) }
+    IvfIndex.build(toDf(initRows), root, "vec_id", "embedding",
+      seedCol = "label")
+
+    def cosine(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      var j = 0
+      while (j < dim) { d += a(j) * b(j); na += a(j) * a(j); nb += b(j) * b(j); j += 1 }
+      d / math.sqrt(na * nb)
+    }
+    def invariants(tag: String): Unit = {
+      val live = ActionLog.liveFiles(spark, s"$root/assign")
+      assert(live.nonEmpty && live.forall {
+        case (_, Some((lo, hi, n))) => lo == hi && n > 0
+        case _ => false
+      }, s"[ivf] $tag: every assign file must be one exact band: $live")
+      val vs = ActionLog.versions(spark, s"$root/assign")
+      // one band per file holds per COMMIT: a cell may own at most as
+      // many live files as there are assign commits, never more
+      val worst = live.groupBy(_._2.get._1).map(_._2.size).max
+      assert(worst <= vs.last,
+        s"[ivf] $tag: a cell owns $worst files across ${vs.last} commits: " +
+          s"$live")
+      assert(vs == (1L to vs.last), s"[ivf] $tag: assign history torn: $vs")
+      val ids = ActionLog.read(spark, s"$root/assign")
+        .select(col("vec_id")).collect().map(_.getLong(0)).sorted.toSeq
+      assert(ids == corpus.keys.toSeq,
+        s"[ivf] $tag: index does not cover the corpus exactly " +
+          s"(${ids.size} indexed vs ${corpus.size} corpus)")
+    }
+
+    var nextId = 10000L
+    var hits = 0; var total = 0
+    invariants("build")
+    for (i <- 1 to 12) {
+      val pick = r.nextInt(100)
+      val tag: String =
+        if (pick < 45) { // refresh: 50/50 spread vs skewed-to-cluster-0
+          val skew = r.nextBoolean()
+          val n = 5 + r.nextInt(11)
+          val rows = (0 until n).map { _ =>
+            val id = nextId; nextId += 1
+            (id, if (skew) 0 else r.nextInt(2))
+          }
+          rows.foreach { case (id, c) => corpus(id) = vec(c, id) }
+          IvfIndex.refresh(
+            toDf(rows).select(col("vec_id"), col("embedding")),
+            root, "vec_id", "embedding")
+          s"op#$i refresh n=$n skew=$skew"
+        } else if (pick < 70) { // rebalance at a random cap, to convergence
+          val cap = math.max(8L, 10L + r.nextInt(30))
+          var rounds = 0
+          while (IvfIndex.rebalance(spark, root, cap, branch = 2).nonEmpty) {
+            rounds += 1
+            assert(rounds <= 6,
+              s"[ivf] op#$i rebalance(cap=$cap) must converge, still " +
+                s"splitting after $rounds rounds")
+          }
+          s"op#$i rebalance cap=$cap rounds=$rounds"
+        } else { // search: near-dups of random corpus vectors vs brute force
+          val keys = r.shuffle(corpus.keys.toSeq).take(3)
+          val qs = keys.map { id =>
+            val src = corpus(id)
+            (50000000L + id, src.zipWithIndex.map { case (x, j) =>
+              x + 0.01 * (if ((id * 17 + j) % 2 == 0) 1.0 else -1.0)
+            }.toSeq)
+          }.toDF("query_id", "embedding")
+          val got = IvfIndex.search(qs,
+            toDf(Seq.empty[(Long, Int)]), root, "query_id", "vec_id",
+            "embedding", k = 1, nprobe = 2)
+            .select(col("query_id"), col("neighbor_id")).collect()
+            .map(row => row.getLong(0) -> row.getLong(1)).toMap
+          keys.foreach { id =>
+            val q = corpus(id).zipWithIndex.map { case (x, j) =>
+              x + 0.01 * (if ((id * 17 + j) % 2 == 0) 1.0 else -1.0)
+            }
+            val truth = corpus.toSeq
+              .maxBy { case (cid, v) => (cosine(q, v), -cid) }._1
+            total += 1
+            if (got.get(50000000L + id).contains(truth)) hits += 1
+          }
+          s"op#$i search (recall so far $hits/$total)"
+        }
+      invariants(tag)
+    }
+    assert(total >= 6 && hits.toDouble / total >= 0.9,
+      s"[ivf] accumulated near-dup recall@1 $hits/$total < 0.9")
+  }
+
   /** OCC under real contention: 4 unsynchronized writers race 5 commits
     * each while clustering maintenance runs mid-stream. Every batch must
     * land exactly once, the version history must stay contiguous (no
