@@ -314,6 +314,123 @@ class LifecycleFuzzSpec extends AnyFunSuite {
       Seq("INSERT", "UPDATE", "DELETE", "MERGE", "OVERWRITE"))
   }
 
+  /** Schema-evolution fuzz on the column-mapped plane: random
+    * interleavings of metadata-only DDL (RENAME / ADD ... DEFAULT / ADD
+    * nullable / DROP, through Spark's own ALTER TABLE grammar) with
+    * full-snapshot data commits. The model tracks the logical schema AND
+    * the per-row values, so the checks cover the two classes that have
+    * actually bitten: an unmaterialized default must render for every
+    * pre-existing row, and a stored NULL in a physically-present column
+    * must stay NULL (never be clobbered by the column's default); and at
+    * the end every version must time-travel under ITS OWN names with its
+    * own rows.
+    */
+  test("column-mapped table survives a seeded random evolve/commit lifecycle") {
+    import graft.ops.{ColumnMapping => CM}
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    val r = new Random(5505)
+    val root = TestSpark.tmpDir("fuzz_map")
+    val dir = s"$root/t"
+    val cat = registerCat(root, "map5505")
+    var schema = Vector("k", "a", "b") // logical order (manifest appends)
+    val rows = mutable.SortedMap.empty[Long, mutable.Map[String, Option[String]]]
+    def sparkDf() = {
+      val st = StructType(StructField("k", LongType, nullable = false) +:
+        schema.tail.map(n => StructField(n, StringType, nullable = true)))
+      val data = rows.toSeq.map { case (k, m) =>
+        Row.fromSeq(k +: schema.tail.map(n => m(n).orNull))
+      }
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(data, 2), st)
+    }
+    def modelRows: Seq[Seq[Option[String]]] = rows.toSeq.map { case (k, m) =>
+      Option(k.toString) +: schema.tail.map(m(_))
+    }
+    def readAll(sql: String): (Vector[String], Seq[Seq[Option[String]]]) = {
+      val df = spark.sql(sql)
+      val cols = df.columns.toVector
+      val rws = df.collect().toSeq.map(rw =>
+        cols.indices.map(j => Option(rw.get(j)).map(_.toString)))
+        .sortBy(_.head.get.toLong)
+      (cols, rws)
+    }
+    def check(tag: String): Unit = {
+      val (cols, rws) = readAll(s"SELECT * FROM $cat.t")
+      assert(cols == schema, s"[map] $tag: schema is $cols, model $schema")
+      assert(rws == modelRows, s"[map] $tag: rows diverged\n" +
+        s"  only-live : ${rws.diff(modelRows).take(5)}\n" +
+        s"  only-model: ${modelRows.diff(rws).take(5)}")
+    }
+
+    (0 until 20).foreach { i =>
+      rows(i.toLong) = mutable.Map("a" -> genS(r), "b" -> genS(r))
+    }
+    CM.writeData(sparkDf().repartitionByRange(3, col("k")), dir)
+    def curV = VersionedTable.currentVersion(spark, dir).getOrElse(fail("no v"))
+    var nextCol = 0
+    var nextKey = 1000L
+    val snaps =
+      mutable.LinkedHashMap.empty[Long, (Vector[String], Seq[Seq[Option[String]]])]
+    check("initial")
+    snaps(curV) = (schema, modelRows)
+
+    for (i <- 1 to 16) {
+      val pick = r.nextInt(100)
+      val tag: String =
+        if (pick < 40 || schema.tail.isEmpty) { // data commit (full snapshot)
+          // mutate a random subset (including explicit NULLs into columns
+          // that carry defaults — the stored-NULL-vs-default class)...
+          rows.toSeq.foreach { case (k, m) =>
+            if (r.nextInt(100) < 30)
+              schema.tail.foreach { n =>
+                if (r.nextInt(100) < 50) m(n) = genS(r)
+              }
+          }
+          // ...and append fresh keys
+          (0 until 3).foreach { _ =>
+            val k = nextKey; nextKey += 1 + r.nextInt(3)
+            rows(k) = mutable.Map(schema.tail.map(n => n -> genS(r)): _*)
+          }
+          CM.writeData(sparkDf().repartitionByRange(3, col("k")), dir)
+          s"op#$i writeData (${rows.size} rows)"
+        } else if (pick < 60) { // ADD COLUMN, half with a default
+          nextCol += 1
+          val n = s"c$nextCol"
+          val dflt = if (r.nextBoolean()) Some(s"d$nextCol") else None
+          spark.sql(s"ALTER TABLE $cat.t ADD COLUMN $n STRING" +
+            dflt.map(d => s" DEFAULT '$d'").getOrElse(""))
+          schema :+= n
+          rows.values.foreach(m => m(n) = dflt)
+          s"op#$i ADD COLUMN $n default=$dflt"
+        } else if (pick < 80) { // RENAME a non-key column
+          nextCol += 1
+          val from = schema.tail(r.nextInt(schema.tail.size))
+          val to = s"r$nextCol"
+          spark.sql(s"ALTER TABLE $cat.t RENAME COLUMN $from TO $to")
+          schema = schema.map(c => if (c == from) to else c)
+          rows.values.foreach { m => m(to) = m(from); m.remove(from) }
+          s"op#$i RENAME $from -> $to"
+        } else if (schema.tail.size > 1) { // DROP a non-key column
+          val victim = schema.tail(r.nextInt(schema.tail.size))
+          spark.sql(s"ALTER TABLE $cat.t DROP COLUMN $victim")
+          schema = schema.filterNot(_ == victim)
+          rows.values.foreach(_.remove(victim))
+          s"op#$i DROP COLUMN $victim"
+        } else s"op#$i skipped DROP (one non-key column left)"
+      check(tag)
+      snaps(curV) = (schema, modelRows)
+    }
+
+    // every version renders under ITS OWN names with its own rows
+    snaps.foreach { case (v, (sch, rws)) =>
+      val (cols, got) = readAll(s"SELECT * FROM $cat.t VERSION AS OF $v")
+      assert(cols == sch,
+        s"[map] VERSION AS OF $v schema is $cols, recorded $sch")
+      assert(got == rws, s"[map] VERSION AS OF $v rows diverged")
+    }
+  }
+
   /** IVF lifecycle fuzz: random interleavings of refresh (spread and
     * deliberately skewed deltas), rebalance at random caps driven to
     * convergence, and near-dup searches checked against an in-memory
