@@ -78,6 +78,76 @@ class LifecycleFuzzSpec extends AnyFunSuite {
           t => t._1 % m == c && t._3.nonEmpty)
     }
 
+  /** The shared random-DML driver: one `step` is one SQL statement
+    * against `cat.t` (INSERT / UPDATE / DELETE / MERGE / OVERWRITE),
+    * applied to the in-memory model in the same breath. The layout
+    * campaigns and the streaming fuzz share it so every surface is
+    * fuzzed by the same op distribution.
+    */
+  private final class DmlDriver(r: Random, cat: String, view: String,
+      val model: mutable.SortedMap[Long, (Long, Option[String])]) {
+    var nextKey = 1000L
+    def freshRows(n: Int): Seq[Row3] = (0 until n).map { _ =>
+      val k = nextKey; nextKey += 1 + r.nextInt(3)
+      (k, r.nextInt(1000).toLong, genS(r))
+    }
+
+    def step(pick: Int, i: Int): String =
+      if (pick < 20) { // ---- INSERT INTO (fresh keys only)
+        val rows = freshRows(3 + r.nextInt(5))
+        rows.toDF("k", "v", "s").createOrReplaceTempView(view)
+        spark.sql(s"INSERT INTO $cat.t SELECT k, v, s FROM $view")
+        rows.foreach { case (k, v, s) => model(k) = (v, s) }
+        s"INSERT ${rows.size} rows"
+      } else if (pick < 45) { // ---- UPDATE
+        val (pred, hit) = genPred(r, model.keys.toSeq)
+        val (set, fn) = genSet(r, i)
+        spark.sql(s"UPDATE $cat.t SET $set WHERE $pred")
+        model.toSeq.foreach { case (k, (v, s)) =>
+          if (hit((k, v, s))) model(k) = fn((k, v, s))
+        }
+        s"UPDATE SET $set WHERE $pred"
+      } else if (pick < 60) { // ---- DELETE (never emptying the table:
+        // an empty live set is a separate contract, not this fuzz)
+        val (pred, hit) = genPred(r, model.keys.toSeq)
+        val doomed = model.toSeq.collect {
+          case (k, (v, s)) if hit((k, v, s)) => k
+        }
+        if (doomed.size < model.size) {
+          spark.sql(s"DELETE FROM $cat.t WHERE $pred")
+          doomed.foreach(model.remove)
+          s"DELETE WHERE $pred (${doomed.size} rows)"
+        } else s"skipped DELETE WHERE $pred (would empty the table)"
+      } else if (pick < 80) { // ---- MERGE (upsert, 40% with a DELETE
+        // clause — clause ORDER is part of the contract under test)
+        val matched = r.shuffle(model.keys.toSeq).take(math.min(4, model.size))
+        val src = matched.map(k => (k, r.nextInt(1000).toLong, genS(r))) ++
+          freshRows(1 + r.nextInt(3))
+        val withDelete = r.nextInt(100) < 40
+        src.toDF("k", "v", "s").createOrReplaceTempView(view)
+        val delClause =
+          if (withDelete) "WHEN MATCHED AND u.v % 3 = 0 THEN DELETE\n" else ""
+        spark.sql(
+          s"""MERGE INTO $cat.t t USING $view u ON t.k = u.k
+             |$delClause
+             |WHEN MATCHED THEN UPDATE SET v = u.v, s = u.s
+             |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+        src.foreach { case (k, v, s) =>
+          if (model.contains(k)) {
+            if (withDelete && v % 3 == 0) model.remove(k)
+            else model(k) = (v, s)
+          } else model(k) = (v, s)
+        }
+        s"MERGE ${src.size} src rows${if (withDelete) " +DELETE clause" else ""}"
+      } else { // ---- INSERT OVERWRITE (whole-table rewrite)
+        val rows = model.toSeq.map { case (k, (v, s)) => (k, v + 1, s) }
+        rows.toDF("k", "v", "s").createOrReplaceTempView(view)
+        spark.sql(s"INSERT OVERWRITE $cat.t SELECT k, v, s FROM $view")
+        rows.foreach { case (k, v, s) => model(k) = (v, s) }
+        "OVERWRITE whole table (v+1)"
+      }
+  }
+
   /** A random SET list as (SQL text, model row transform). */
   private def genSet(r: Random, i: Int): (String, Row3 => (Long, Option[String])) =
     r.nextInt(5) match {
@@ -142,13 +212,9 @@ class LifecycleFuzzSpec extends AnyFunSuite {
           s"  only-model: ${expect.diff(actual).take(8)}")
     }
 
-    var nextKey = 1000L
+    val dml = new DmlDriver(r, cat, view, model)
     var maintN = 0 // maintenance arm cycles its variants: every third
     // maintenance roll is a vacuum, so coverage never hinges on one seed
-    def freshRows(n: Int): Seq[Row3] = (0 until n).map { _ =>
-      val k = nextKey; nextKey += 1 + r.nextInt(3)
-      (k, r.nextInt(1000).toLong, genS(r))
-    }
 
     val snapshots = mutable.LinkedHashMap.empty[Long, Seq[Row3]]
     val tally = mutable.Map.empty[String, Int].withDefaultValue(0)
@@ -161,59 +227,8 @@ class LifecycleFuzzSpec extends AnyFunSuite {
       val vBefore = curVersion
       val pick = r.nextInt(100)
       val desc: String =
-        if (pick < 20) { // ---- INSERT INTO (fresh keys only)
-          val rows = freshRows(3 + r.nextInt(5))
-          rows.toDF("k", "v", "s").createOrReplaceTempView(view)
-          spark.sql(s"INSERT INTO $cat.t SELECT k, v, s FROM $view")
-          rows.foreach { case (k, v, s) => model(k) = (v, s) }
-          s"INSERT ${rows.size} rows"
-        } else if (pick < 45) { // ---- UPDATE
-          val (pred, hit) = genPred(r, model.keys.toSeq)
-          val (set, fn) = genSet(r, i)
-          spark.sql(s"UPDATE $cat.t SET $set WHERE $pred")
-          model.toSeq.foreach { case (k, (v, s)) =>
-            if (hit((k, v, s))) model(k) = fn((k, v, s))
-          }
-          s"UPDATE SET $set WHERE $pred"
-        } else if (pick < 60) { // ---- DELETE (never emptying the table:
-          // an empty live set is a separate contract, not this fuzz)
-          val (pred, hit) = genPred(r, model.keys.toSeq)
-          val doomed = model.toSeq.collect {
-            case (k, (v, s)) if hit((k, v, s)) => k
-          }
-          if (doomed.size < model.size) {
-            spark.sql(s"DELETE FROM $cat.t WHERE $pred")
-            doomed.foreach(model.remove)
-            s"DELETE WHERE $pred (${doomed.size} rows)"
-          } else s"skipped DELETE WHERE $pred (would empty the table)"
-        } else if (pick < 80) { // ---- MERGE (upsert, 40% with a DELETE
-          // clause — clause ORDER is part of the contract under test)
-          val matched = r.shuffle(model.keys.toSeq).take(math.min(4, model.size))
-          val src = matched.map(k => (k, r.nextInt(1000).toLong, genS(r))) ++
-            freshRows(1 + r.nextInt(3))
-          val withDelete = r.nextInt(100) < 40
-          src.toDF("k", "v", "s").createOrReplaceTempView(view)
-          val delClause =
-            if (withDelete) "WHEN MATCHED AND u.v % 3 = 0 THEN DELETE\n" else ""
-          spark.sql(
-            s"""MERGE INTO $cat.t t USING $view u ON t.k = u.k
-               |$delClause
-               |WHEN MATCHED THEN UPDATE SET v = u.v, s = u.s
-               |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
-          src.foreach { case (k, v, s) =>
-            if (model.contains(k)) {
-              if (withDelete && v % 3 == 0) model.remove(k)
-              else model(k) = (v, s)
-            } else model(k) = (v, s)
-          }
-          s"MERGE ${src.size} src rows${if (withDelete) " +DELETE clause" else ""}"
-        } else if (pick < 88) { // ---- INSERT OVERWRITE (whole-table rewrite)
-          val rows = modelSeq.map { case (k, v, s) => (k, v + 1, s) }
-          rows.toDF("k", "v", "s").createOrReplaceTempView(view)
-          spark.sql(s"INSERT OVERWRITE $cat.t SELECT k, v, s FROM $view")
-          rows.foreach { case (k, v, s) => model(k) = (v, s) }
-          "OVERWRITE whole table (v+1)"
-        } else { // ---- maintenance: must be content-invariant
+        if (pick < 88) dml.step(pick, i)
+        else { // ---- maintenance: must be content-invariant
           maintN += 1
           flavor match {
             case "log" => maintN % 3 match {
@@ -312,6 +327,64 @@ class LifecycleFuzzSpec extends AnyFunSuite {
     info(s"coverage: $tally")
     assertCovered(tally,
       Seq("INSERT", "UPDATE", "DELETE", "MERGE", "OVERWRITE"))
+  }
+
+  /** Streaming exactly-once fuzz: a CDF-tracked table takes random SQL
+    * DML bursts of random size; after each burst a FRESH streaming query
+    * resumes from the same checkpoint (a restart per round — the classic
+    * escape surface) and folds the change rows into a driver-side
+    * mirror. The mirror must equal the model after every round: no
+    * change lost across restarts, none double-applied, whatever mix of
+    * append captures, row-level diffs, and overwrite expansions the
+    * burst produced.
+    */
+  test("CDF stream with restarts mirrors random DML exactly-once (seed 6506)") {
+    import graft.source.CdfStream
+    val r = new Random(6506)
+    val root = TestSpark.tmpDir("fuzz_stream")
+    val dir = s"$root/t"
+    val cat = registerCat(root, "st6506")
+    val model = mutable.SortedMap.empty[Long, (Long, Option[String])]
+    val init = (0 until 30).map(i => (i * 3L, r.nextInt(1000).toLong, genS(r)))
+    init.foreach { case (k, v, s) => model(k) = (v, s) }
+    ChangeFeed.commit(init.toDF("k", "v", "s"), dir, Seq("k"))
+    val dml = new DmlDriver(r, cat, "fuzz_src_stream", model)
+    val ckpt = TestSpark.tmpDir("fuzz_stream_ckpt")
+    // the stream starts AFTER v1, so the mirror seeds from v1 content
+    val mirror = mutable.Map.empty[Long, (Long, Option[String])]
+    init.foreach { case (k, v, s) => mirror(k) = (v, s) }
+    def drain(): Unit = {
+      val q = CdfStream.read(spark, dir, startingVersion = Some(1L))
+        .writeStream.option("checkpointLocation", ckpt)
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          val rows = batch.select(col(ChangeFeed.CommitVersion),
+            col(ChangeFeed.ChangeType), col("k"), col("v"), col("s"))
+            .collect()
+          mirror.synchronized {
+            rows.groupBy(_.getLong(0)).toSeq.sortBy(_._1).foreach {
+              case (_, vr) => // within a version: deletes, then upserts
+                vr.filter(_.getString(1) == "delete")
+                  .foreach(rw => mirror.remove(rw.getLong(2)))
+                vr.filter(rw => rw.getString(1) == "insert" ||
+                    rw.getString(1) == "update_postimage")
+                  .foreach(rw => mirror(rw.getLong(2)) =
+                    (rw.getLong(3), Option(rw.getString(4))))
+            }
+          }
+        }.start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    for (round <- 1 to 5) {
+      val burst = 1 + r.nextInt(3)
+      val descs = (1 to burst).map(i => dml.step(r.nextInt(88), i))
+      drain() // fresh query, same checkpoint: resume must be exact
+      val got = mirror.toSeq.sortBy(_._1)
+      val want = model.toSeq.map { case (k, (v, s)) => (k, (v, s)) }
+      assert(got == want,
+        s"[stream/6506] round $round (${descs.mkString("; ")}): mirror " +
+          s"diverged\n  only-mirror: ${got.diff(want).take(8)}\n" +
+          s"  only-model : ${want.diff(got).take(8)}")
+    }
   }
 
   /** Schema-evolution fuzz on the column-mapped plane: random
