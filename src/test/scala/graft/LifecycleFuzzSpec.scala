@@ -620,6 +620,121 @@ class LifecycleFuzzSpec extends AnyFunSuite {
       s"[ivf] accumulated near-dup recall@1 $hits/$total < 0.9")
   }
 
+  /** Branch-plane fuzz: episodes of fork → divergent random commits on
+    * both refs (typed whole-snapshot commits and SQL appends through the
+    * `t@ref` grammar) → merge, where the TEST computes its own key-wise
+    * three-way merge from the fork snapshot and requires the engine to
+    * agree exactly — merged content on a clean merge, a LOUD refusal
+    * with both refs untouched on a true conflict, and a pointer-flip
+    * fast-forward when `into` never moved. Both failure directions are
+    * in scope: a missed conflict corrupts data, a false conflict blocks
+    * legal merges.
+    */
+  test("branch plane survives seeded random fork/commit/merge episodes (seed 7507)") {
+    import graft.ops.Branching
+    val r = new Random(7507)
+    val root = TestSpark.tmpDir("fuzz_branch")
+    val dir = s"$root/t"
+    val cat = registerCat(root, "br7507")
+    type Model = mutable.SortedMap[Long, (Long, Option[String])]
+    def snap(m: Model): Seq[Row3] = m.toSeq.map { case (k, (v, s)) => (k, v, s) }
+    def toDf(m: Model) = snap(m).toDF("k", "v", "s")
+    val main: Model = mutable.SortedMap((0 until 25).map(i =>
+      i * 4L -> ((r.nextInt(1000).toLong, genS(r)))): _*)
+    Branching.init(toDf(main), dir)
+    var nextKey = 5000L
+    def readRef(ref: String): Seq[Row3] =
+      spark.sql(s"SELECT k, v, s FROM $cat.`t@$ref`").collect()
+        .map(row => (row.getLong(0), row.getLong(1), Option(row.getString(2))))
+        .sortBy(_._1).toSeq
+
+    val outcomes = mutable.Map.empty[String, Int].withDefaultValue(0)
+    for (ep <- 1 to 8) {
+      val b = s"b$ep"
+      Branching.branch(spark, dir, "main", b)
+      val base = main.clone()
+      val models = Map("main" -> main, b -> mutable.SortedMap(base.toSeq: _*))
+      // divergent random ops on each ref (main may get none: the FF case)
+      var mainCommits = 0
+      Seq("main", b).foreach { ref =>
+        val m = models(ref)
+        val nOps = (if (ref == "main") 0 else 1) + r.nextInt(3)
+        if (ref == "main") mainCommits = nOps
+        (1 to nOps).foreach { _ =>
+          r.nextInt(3) match {
+            case 0 => // typed whole-snapshot commit: upsert 2-4 keys
+              (0 until 2 + r.nextInt(3)).foreach { _ =>
+                val k = if (m.nonEmpty && r.nextBoolean())
+                  m.keys.toSeq(r.nextInt(m.size))
+                else { val f = nextKey; nextKey += 1 + r.nextInt(3); f }
+                m(k) = (r.nextInt(1000).toLong, genS(r))
+              }
+              Branching.commitOn(toDf(m), dir, ref)
+            case 1 => // typed commit: delete 1-2 keys (never emptying)
+              (0 until 1 + r.nextInt(2)).foreach { _ =>
+                if (m.size > 1) m.remove(m.keys.toSeq(r.nextInt(m.size)))
+              }
+              Branching.commitOn(toDf(m), dir, ref)
+            case _ => // SQL append through the @ref grammar
+              val rows = (0 until 2).map { _ =>
+                val k = nextKey; nextKey += 1 + r.nextInt(3)
+                (k, r.nextInt(1000).toLong, genS(r))
+              }
+              rows.toDF("k", "v", "s")
+                .createOrReplaceTempView("fuzz_src_branch")
+              spark.sql(s"INSERT INTO $cat.`t@$ref` " +
+                "SELECT k, v, s FROM fuzz_src_branch")
+              rows.foreach { case (k, v, s) => m(k) = (v, s) }
+          }
+          assert(readRef(ref) == snap(m), s"[branch/$ep] $ref diverged")
+        }
+      }
+      // the model's own three-way merge from the fork snapshot
+      def effects(m: Model): Map[Long, Option[(Long, Option[String])]] = {
+        val ups = m.toSeq.collect {
+          case (k, row) if !base.get(k).contains(row) => k -> Some(row)
+        }
+        val dels = base.keys.toSeq.filterNot(m.contains).map(_ -> None)
+        (ups ++ dels).toMap
+      }
+      val (eM, eB) = (effects(main), effects(models(b)))
+      val conflictKeys = eM.keySet.intersect(eB.keySet)
+        .filter(k => eM(k) != eB(k))
+      val outcome = scala.util.Try(
+        Branching.merge(spark, dir, b, "main", Seq("k")))
+      outcomes(
+        if (conflictKeys.nonEmpty) "conflict"
+        else if (mainCommits == 0) "fast-forward" else "merged") += 1
+      if (conflictKeys.nonEmpty) {
+        assert(outcome.isFailure,
+          s"[branch/$ep] engine merged through a true conflict on " +
+            s"$conflictKeys — silent data corruption")
+        assert(readRef("main") == snap(main) &&
+          readRef(b) == snap(models(b)),
+          s"[branch/$ep] a refused merge must leave both refs untouched")
+      } else {
+        assert(outcome.isSuccess,
+          s"[branch/$ep] engine refused a legal merge: $outcome")
+        if (mainCommits == 0) // FF is HEAD-based: no commit on into, not
+          // merely no net content effect
+          assert(outcome.get.isInstanceOf[Branching.FastForward],
+            s"[branch/$ep] into never moved — must fast-forward, " +
+              s"got ${outcome.get}")
+        val merged = base.clone()
+        (eM ++ eB).foreach { // no conflicts: the union of effects is sound
+          case (k, Some(row)) => merged(k) = row
+          case (k, None) => merged.remove(k)
+        }
+        main.clear(); merged.foreach { case (k, row) => main(k) = row }
+        assert(readRef("main") == snap(main),
+          s"[branch/$ep] merged content diverged from the model merge")
+      }
+      Branching.drop(spark, dir, b)
+    }
+    info(s"episode outcomes: $outcomes")
+    assertCovered(outcomes.toMap, Seq("conflict", "merged", "fast-forward"))
+  }
+
   /** OCC under real contention: 4 unsynchronized writers race 5 commits
     * each while clustering maintenance runs mid-stream. Every batch must
     * land exactly once, the version history must stay contiguous (no
