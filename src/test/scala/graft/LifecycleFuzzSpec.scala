@@ -735,6 +735,88 @@ class LifecycleFuzzSpec extends AnyFunSuite {
     assertCovered(outcomes.toMap, Seq("conflict", "merged", "fast-forward"))
   }
 
+  /** Row-tracking fuzz: random full-snapshot merges (updates, deletes,
+    * fresh keys) interleaved with layout-only rewrites, with the MODEL
+    * predicting the exact id ledger — matched keys keep their id even
+    * when every data column changes, fresh keys mint hwm+1.. in key
+    * order, retired ids never return — and the identity diff between
+    * consecutive versions classifying exactly the model's
+    * inserts/deletes/updates (empty across a rewrite, which is the whole
+    * point of tracking).
+    */
+  test("row tracking keeps identity through seeded random merge/rewrite cycles") {
+    import graft.ops.{RowTracking => RT}
+    val r = new Random(8508)
+    val dir = TestSpark.tmpDir("fuzz_rt") + "/t"
+    val model = mutable.SortedMap.empty[Long, (Long, Option[String])]
+    val ids = mutable.Map.empty[Long, Long]
+    (0 until 25).foreach(i =>
+      model(i * 2L) = (r.nextInt(1000).toLong, genS(r)))
+    def toDf = model.toSeq.map { case (k, (v, s)) => (k, v, s) }
+      .toDF("k", "v", "s")
+    RT.init(toDf, dir, Seq("k"))
+    var hwm = model.size.toLong
+    model.keys.toSeq.zipWithIndex.foreach { case (k, i) => ids(k) = i + 1L }
+    var nextKey = 9000L
+    def check(tag: String, vPrev: Long, ins: Set[Long], del: Set[Long],
+        upd: Set[Long]): Unit = {
+      val vCur = VersionedTable.currentVersion(spark, dir).get
+      val live = VersionedTable.readVersion(spark, dir, vCur)
+        .select(col("k"), col("v"), col("s"), col(RT.RowId)).collect()
+        .map(rw => (rw.getLong(0), (rw.getLong(1), Option(rw.getString(2)),
+          rw.getLong(3)))).toMap
+      val want = model.toMap.map { case (k, (v, s)) => k -> ((v, s, ids(k))) }
+      assert(live == want, s"[rt] $tag: content+identity diverged\n" +
+        s"  only-live : ${(live.toSet -- want.toSet).take(5)}\n" +
+        s"  only-model: ${(want.toSet -- live.toSet).take(5)}")
+      assert(RT.highWaterMark(spark, dir, vCur) == hwm,
+        s"[rt] $tag: high-water mark drifted")
+      val d = RT.diff(spark, dir, vPrev, vCur)
+        .select(col(graft.ops.ChangeFeed.ChangeType), col(RT.RowId))
+        .collect().map(rw => rw.getString(0) -> rw.getLong(1))
+      def of(ct: String) = d.collect { case (`ct`, id) => id }.toSet
+      assert(of("insert") == ins && of("delete") == del &&
+        of("update_postimage") == upd,
+        s"[rt] $tag: identity diff misclassified — got " +
+          s"ins=${of("insert")} del=${of("delete")} " +
+          s"upd=${of("update_postimage")}, want ins=$ins del=$del upd=$upd")
+    }
+    for (i <- 1 to 10) {
+      val vPrev = VersionedTable.currentVersion(spark, dir).get
+      if (r.nextInt(100) < 70) { // full-snapshot merge
+        val before = model.toMap
+        // update some, delete up to 2, add up to 3 fresh
+        model.keys.toSeq.foreach { k =>
+          if (r.nextInt(100) < 25) model(k) = (r.nextInt(1000).toLong, genS(r))
+        }
+        (0 until r.nextInt(3)).foreach { _ =>
+          if (model.size > 3) {
+            val k = model.keys.toSeq(r.nextInt(model.size))
+            model.remove(k); ()
+          }
+        }
+        val fresh = (0 until r.nextInt(4)).map { _ =>
+          val k = nextKey; nextKey += 1 + r.nextInt(3)
+          model(k) = (r.nextInt(1000).toLong, genS(r)); k
+        }
+        RT.merge(toDf, dir, Seq("k"), Seq("k"))
+        // the model's id ledger: retirements, then mints in key order
+        val removed = before.keySet -- model.keySet
+        val delIds: Set[Long] = removed.map(ids).toSet
+        removed.foreach(ids.remove)
+        fresh.sorted.foreach { k => hwm += 1; ids(k) = hwm }
+        val updIds: Set[Long] = model.keySet.intersect(before.keySet)
+          .filter(k => before(k) != model(k)).map(ids).toSet
+        check(s"op#$i merge", vPrev, ins = fresh.map(ids).toSet,
+          del = delIds, upd = updIds)
+      } else { // layout-only rewrite: identical rows, identical ids
+        RT.rewrite(spark, dir, 1 + r.nextInt(4))
+        check(s"op#$i rewrite", vPrev,
+          ins = Set.empty, del = Set.empty, upd = Set.empty)
+      }
+    }
+  }
+
   /** OCC under real contention: 4 unsynchronized writers race 5 commits
     * each while clustering maintenance runs mid-stream. Every batch must
     * land exactly once, the version history must stay contiguous (no
