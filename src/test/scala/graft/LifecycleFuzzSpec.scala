@@ -308,6 +308,25 @@ class LifecycleFuzzSpec extends AnyFunSuite {
         s"(coverage was $tally)")
   }
 
+  /** The fuzzer must be a GUARD, not decoration: under the planted
+    * round-13 defect (`graft.dev.unsafeRowLevelPruning=1` forwards the
+    * statement's WHERE into the row-level scan's file pruning, silently
+    * losing the pruned files' rows from the replacement snapshot) a
+    * campaign on the key-local multi-file base must go red.
+    */
+  test("the fuzzer detects the planted round-13 pruned-COW bug") {
+    sys.props("graft.dev.unsafeRowLevelPruning") = "1"
+    try {
+      val ex = intercept[Throwable] {
+        campaign("snapshot", seed = 2502, ops = 22)
+        ()
+      }
+      assert(Option(ex.getMessage).exists(m =>
+        m.contains("diverged") || m.contains("only-model")),
+        s"campaign must fail on live/model divergence, failed with: $ex")
+    } finally { sys.props.remove("graft.dev.unsafeRowLevelPruning"); () }
+  }
+
   test("log layout survives a seeded random DML lifecycle (seed 1501)") {
     val tally = campaign("log", seed = 1501, ops = 30)
     info(s"coverage: $tally")
