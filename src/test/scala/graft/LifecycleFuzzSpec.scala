@@ -39,8 +39,13 @@ class LifecycleFuzzSpec extends AnyFunSuite {
   /** (k, v, s): one table row as the model sees it. */
   private type Row3 = (Long, Long, Option[String])
 
+  /** Spark caches catalog plugin instances BY NAME for the session's
+    * lifetime, so a reused name silently pins the FIRST registration's
+    * root — every registration here gets a fresh name.
+    */
+  private val catN = new java.util.concurrent.atomic.AtomicInteger(0)
   private def registerCat(root: String, tag: String): String = {
-    val cat = s"graftfz$tag"
+    val cat = s"graftfz${tag}n${catN.incrementAndGet()}"
     spark.conf.set(s"spark.sql.catalog.$cat",
       classOf[graft.source.GraftCatalog].getName)
     spark.conf.set(s"spark.sql.catalog.$cat.root", root)
