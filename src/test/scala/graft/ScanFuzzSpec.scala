@@ -1,0 +1,116 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import scala.util.Random
+
+import graft.ops.VersionedTable
+
+/** Scan-pruning exactness fuzz — the generalization of the round-14
+  * vectorized-bridge escape (page-level column-index filtering delivered
+  * the right COUNT of the WRONG rows). Random pushed predicates run
+  * through the catalog SQL scan against three adversarial physical
+  * layouts of the same table:
+  *
+  *   - one sorted file with 500-row pages (many pages per row group —
+  *     the page-filter class: a late-in-file point predicate must
+  *     deliver the matching rows, not an unfiltered prefix);
+  *   - eight key-ranged sorted files (file/row-group stats pruning);
+  *   - eight hash files (no useful stats — pruning must stay
+  *     conservative).
+  *
+  * Every result is compared against an in-memory truth computed from
+  * the generating formulas: pruning is an optimization, NEVER a
+  * correctness bet, on any layout, for any predicate shape.
+  */
+class ScanFuzzSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val N = 20000L
+  private def vOf(k: Long): Long = (k * 2654435761L) % 100003L
+  private def sOf(k: Long): Option[String] =
+    if (k % 17 == 0) None else Some("s" + (k % 7))
+
+  test("SQL scans return exactly the predicate's rows on every layout") {
+    val r = new Random(9509)
+    val root = TestSpark.tmpDir("fuzz_scan")
+    val df = spark.range(N).toDF("k")
+      .withColumn("v", (col("k") * 2654435761L) % 100003L)
+      .withColumn("s",
+        when(col("k") % 17 === 0, lit(null).cast("string"))
+          .otherwise(concat(lit("s"), col("k") % 7)))
+    // layout 1: one sorted file, 500-row pages — column indexes engage
+    val hc = spark.sparkContext.hadoopConfiguration
+    hc.setInt("parquet.page.row.count.limit", 500)
+    try VersionedTable.write(
+      df.coalesce(1).sortWithinPartitions("k"), s"$root/tsorted")
+    finally hc.unset("parquet.page.row.count.limit")
+    // layout 2: eight key-ranged sorted files — tight per-file stats
+    VersionedTable.write(
+      df.repartitionByRange(8, col("k")).sortWithinPartitions("k"),
+      s"$root/tranged")
+    // layout 3: eight hash files — stats are useless, pruning must not bite
+    VersionedTable.write(df.repartition(8), s"$root/thash")
+    // layout 4: the log plane — eight key-banded commits with recorded
+    // stats, read through GraftLogSqlTable's log-carried pruning
+    (0 until 8).foreach { b => // NB: `/` on columns is DOUBLE division —
+      // band by explicit range bounds, not a quotient comparison
+      graft.ops.ActionLog.append(
+        df.filter(col("k") >= b * 2500L && col("k") < (b + 1) * 2500L)
+          .coalesce(1).sortWithinPartitions("k"),
+        s"$root/tlog", Some("k"))
+    }
+    assert(graft.ops.ActionLog.read(spark, s"$root/tlog").count() == N,
+      "tlog fixture must hold the full table")
+    val cat = "graftsc9509"
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.source.GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.root", root)
+
+    def genPred(): (String, Long => Boolean) = r.nextInt(8) match {
+      case 0 => val x = r.nextLong(N)
+        (s"k = $x", k => k == x)
+      case 1 => // the round-14 shape: a point LATE in the file
+        val x = N - 1 - r.nextLong(500)
+        (s"k = $x", k => k == x)
+      case 2 => val a = r.nextLong(N); val b = a + r.nextLong(300)
+        (s"k BETWEEN $a AND $b", k => k >= a && k <= b)
+      case 3 => // v point: half guaranteed hits, half likely misses
+        val x = if (r.nextBoolean()) vOf(r.nextLong(N)) else r.nextLong(100003L)
+        (s"v = $x", k => vOf(k) == x)
+      case 4 => val a = r.nextLong(100003L); val b = a + r.nextLong(2000L)
+        (s"v BETWEEN $a AND $b", k => vOf(k) >= a && vOf(k) <= b)
+      case 5 => val t = r.nextInt(7)
+        val a = r.nextLong(N); val b = a + r.nextLong(3000L)
+        (s"s = 's$t' AND k BETWEEN $a AND $b",
+          k => sOf(k).contains(s"s$t") && k >= a && k <= b)
+      case 6 => val a = r.nextLong(N); val b = a + r.nextLong(3000L)
+        (s"s IS NULL AND k BETWEEN $a AND $b",
+          k => sOf(k).isEmpty && k >= a && k <= b)
+      case _ => val xs = Seq.fill(3)(r.nextLong(N)).distinct
+        (s"k IN (${xs.mkString(",")})", k => xs.contains(k))
+    }
+
+    var totalHits = 0L
+    Seq("tsorted", "tranged", "thash", "tlog").foreach { t =>
+      for (i <- 1 to 14) {
+        val (sql, hit) = genPred()
+        val got = spark.sql(s"SELECT k, v, s FROM $cat.$t WHERE $sql")
+          .collect()
+          .map(rw => (rw.getLong(0), rw.getLong(1), Option(rw.getString(2))))
+          .sortBy(_._1).toSeq
+        val want = (0L until N).filter(hit)
+          .map(k => (k, vOf(k), sOf(k)))
+        totalHits += want.size
+        assert(got == want,
+          s"[$t #$i] WHERE $sql returned ${got.size} rows, truth has " +
+            s"${want.size}\n  only-scan : ${got.diff(want).take(5)}\n" +
+            s"  only-truth: ${want.diff(got).take(5)}")
+      }
+    }
+    // the seed must actually select rows — an all-empty run fuzzes nothing
+    assert(totalHits > 100L, s"seed selected only $totalHits rows total")
+  }
+}
