@@ -236,10 +236,14 @@ class LifecycleFuzzSpec extends AnyFunSuite {
         else { // ---- maintenance: must be content-invariant
           maintN += 1
           flavor match {
-            case "log" => maintN % 3 match {
+            case "log" => maintN % 4 match {
               case 1 => ActionLog.checkpoint(spark, dir); "checkpoint"
               case 2 => ActionLog.optimizeClustered(spark, dir)
                 "optimizeClustered"
+              case 3 =>
+                val vNow = ActionLog.versions(spark, dir).last
+                ActionLog.compactLog(spark, dir, floor, vNow)
+                s"compactLog($floor,$vNow)"
               case _ =>
                 val keep = 4 + r.nextInt(4)
                 val (expired, _) =
@@ -336,7 +340,8 @@ class LifecycleFuzzSpec extends AnyFunSuite {
     val tally = campaign("log", seed = 1501, ops = 30)
     info(s"coverage: $tally")
     assertCovered(tally,
-      Seq("INSERT", "UPDATE", "DELETE", "MERGE", "OVERWRITE", "vacuum"))
+      Seq("INSERT", "UPDATE", "DELETE", "MERGE", "OVERWRITE", "vacuum",
+        "compactLog"))
   }
 
   test("snapshot layout survives a seeded random DML lifecycle (seed 2502)") {
