@@ -846,6 +846,22 @@ class LifecycleFuzzSpec extends AnyFunSuite {
     }
   }
 
+  /** Exploratory multi-seed sweep, cancelled unless GRAFT_FUZZ_SWEEP=n
+    * is set: the pinned seeds above are regression guards; this is the
+    * bug-HUNTING mode (run n fresh seeds of the three DML campaigns).
+    * Any failure here is a real finding — fix it and pin its seed.
+    */
+  test("exploratory multi-seed sweep (env-gated)") {
+    val n = sys.env.get("GRAFT_FUZZ_SWEEP").flatMap(_.toIntOption).getOrElse(0)
+    if (n <= 0) cancel("set GRAFT_FUZZ_SWEEP=<n> to hunt with n fresh seeds")
+    (1 to n).foreach { s =>
+      info(s"sweep $s/$n: seeds ${9000 + s}/${9100 + s}/${9200 + s}")
+      campaign("log", 9000 + s, ops = 20)
+      campaign("snapshot", 9100 + s, ops = 18)
+      campaign("cdf", 9200 + s, ops = 16)
+    }
+  }
+
   /** OCC under real contention: 4 unsynchronized writers race 5 commits
     * each while clustering maintenance runs mid-stream. Every batch must
     * land exactly once, the version history must stay contiguous (no
