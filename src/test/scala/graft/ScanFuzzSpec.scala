@@ -24,6 +24,10 @@ import graft.ops.VersionedTable
   * the generating formulas: pruning is an optimization, NEVER a
   * correctness bet, on any layout, for any predicate shape.
   */
+object ScanFuzzSpec {
+  private val catN = new java.util.concurrent.atomic.AtomicInteger(0)
+}
+
 class ScanFuzzSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
   import spark.implicits._
@@ -34,7 +38,21 @@ class ScanFuzzSpec extends AnyFunSuite {
     if (k % 17 == 0) None else Some("s" + (k % 7))
 
   test("SQL scans return exactly the predicate's rows on every layout") {
-    val r = new Random(9509)
+    scanCampaign(seed = 9509)
+  }
+
+  /** Exploratory sweep, cancelled unless GRAFT_FUZZ_SWEEP=n is set —
+    * same hunting mode as LifecycleFuzzSpec's sweep.
+    */
+  test("exploratory scan-fuzz sweep (env-gated)") {
+    val n = sys.env.get("GRAFT_FUZZ_SWEEP").flatMap(_.toIntOption).getOrElse(0)
+    if (n <= 0) cancel("set GRAFT_FUZZ_SWEEP=<n> to hunt with n fresh seeds")
+    (1 to n).foreach { s => info(s"sweep $s/$n: seed ${9600 + s}")
+      scanCampaign(9600 + s) }
+  }
+
+  private def scanCampaign(seed: Int): Unit = {
+    val r = new Random(seed)
     val root = TestSpark.tmpDir("fuzz_scan")
     val df = spark.range(N).toDF("k")
       .withColumn("v", (col("k") * 2654435761L) % 100003L)
@@ -64,7 +82,8 @@ class ScanFuzzSpec extends AnyFunSuite {
     }
     assert(graft.ops.ActionLog.read(spark, s"$root/tlog").count() == N,
       "tlog fixture must hold the full table")
-    val cat = "graftsc9509"
+    // fresh name per registration: Spark caches catalog plugins by name
+    val cat = s"graftsc${seed}n${ScanFuzzSpec.catN.incrementAndGet()}"
     spark.conf.set(s"spark.sql.catalog.$cat",
       classOf[graft.source.GraftCatalog].getName)
     spark.conf.set(s"spark.sql.catalog.$cat.root", root)
