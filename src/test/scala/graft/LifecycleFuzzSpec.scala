@@ -368,16 +368,20 @@ class LifecycleFuzzSpec extends AnyFunSuite {
     * burst produced.
     */
   test("CDF stream with restarts mirrors random DML exactly-once (seed 6506)") {
+    streamCampaign(6506)
+  }
+
+  private def streamCampaign(seed: Int): Unit = {
     import graft.source.CdfStream
-    val r = new Random(6506)
+    val r = new Random(seed)
     val root = TestSpark.tmpDir("fuzz_stream")
     val dir = s"$root/t"
-    val cat = registerCat(root, "st6506")
+    val cat = registerCat(root, s"st$seed")
     val model = mutable.SortedMap.empty[Long, (Long, Option[String])]
     val init = (0 until 30).map(i => (i * 3L, r.nextInt(1000).toLong, genS(r)))
     init.foreach { case (k, v, s) => model(k) = (v, s) }
     ChangeFeed.commit(init.toDF("k", "v", "s"), dir, Seq("k"))
-    val dml = new DmlDriver(r, cat, "fuzz_src_stream", model)
+    val dml = new DmlDriver(r, cat, s"fuzz_src_stream_$seed", model)
     val ckpt = TestSpark.tmpDir("fuzz_stream_ckpt")
     // the stream starts AFTER v1, so the mirror seeds from v1 content
     val mirror = mutable.Map.empty[Long, (Long, Option[String])]
@@ -410,7 +414,7 @@ class LifecycleFuzzSpec extends AnyFunSuite {
       val got = mirror.toSeq.sortBy(_._1)
       val want = model.toSeq.map { case (k, (v, s)) => (k, (v, s)) }
       assert(got == want,
-        s"[stream/6506] round $round (${descs.mkString("; ")}): mirror " +
+        s"[stream/$seed] round $round (${descs.mkString("; ")}): mirror " +
           s"diverged\n  only-mirror: ${got.diff(want).take(8)}\n" +
           s"  only-model : ${want.diff(got).take(8)}")
     }
@@ -428,13 +432,17 @@ class LifecycleFuzzSpec extends AnyFunSuite {
     * own rows.
     */
   test("column-mapped table survives a seeded random evolve/commit lifecycle") {
+    mappedCampaign(5505)
+  }
+
+  private def mappedCampaign(seed: Int): Unit = {
     import graft.ops.{ColumnMapping => CM}
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
-    val r = new Random(5505)
+    val r = new Random(seed)
     val root = TestSpark.tmpDir("fuzz_map")
     val dir = s"$root/t"
-    val cat = registerCat(root, "map5505")
+    val cat = registerCat(root, s"map$seed")
     var schema = Vector("k", "a", "b") // logical order (manifest appends)
     val rows = mutable.SortedMap.empty[Long, mutable.Map[String, Option[String]]]
     def sparkDf() = {
@@ -546,8 +554,12 @@ class LifecycleFuzzSpec extends AnyFunSuite {
     * DML planes get above.
     */
   test("IVF index survives a seeded random refresh/rebalance/search lifecycle") {
+    ivfCampaign(4504)
+  }
+
+  private def ivfCampaign(seed: Int): Unit = {
     import graft.similarity.IvfIndex
-    val r = new Random(4504)
+    val r = new Random(seed)
     val root = TestSpark.tmpDir("fuzz_ivf") + "/ivf"
     val dim = 8
     val centers = Array(
@@ -660,11 +672,17 @@ class LifecycleFuzzSpec extends AnyFunSuite {
     * legal merges.
     */
   test("branch plane survives seeded random fork/commit/merge episodes (seed 7507)") {
+    val outcomes = branchCampaign(7507)
+    info(s"episode outcomes: $outcomes")
+    assertCovered(outcomes, Seq("conflict", "merged", "fast-forward"))
+  }
+
+  private def branchCampaign(seed: Int): Map[String, Int] = {
     import graft.ops.Branching
-    val r = new Random(7507)
+    val r = new Random(seed)
     val root = TestSpark.tmpDir("fuzz_branch")
     val dir = s"$root/t"
-    val cat = registerCat(root, "br7507")
+    val cat = registerCat(root, s"br$seed")
     type Model = mutable.SortedMap[Long, (Long, Option[String])]
     def snap(m: Model): Seq[Row3] = m.toSeq.map { case (k, (v, s)) => (k, v, s) }
     def toDf(m: Model) = snap(m).toDF("k", "v", "s")
@@ -760,8 +778,7 @@ class LifecycleFuzzSpec extends AnyFunSuite {
       }
       Branching.drop(spark, dir, b)
     }
-    info(s"episode outcomes: $outcomes")
-    assertCovered(outcomes.toMap, Seq("conflict", "merged", "fast-forward"))
+    outcomes.toMap
   }
 
   /** Row-tracking fuzz: random full-snapshot merges (updates, deletes,
@@ -774,8 +791,12 @@ class LifecycleFuzzSpec extends AnyFunSuite {
     * point of tracking).
     */
   test("row tracking keeps identity through seeded random merge/rewrite cycles") {
+    rowTrackingCampaign(8508)
+  }
+
+  private def rowTrackingCampaign(seed: Int): Unit = {
     import graft.ops.{RowTracking => RT}
-    val r = new Random(8508)
+    val r = new Random(seed)
     val dir = TestSpark.tmpDir("fuzz_rt") + "/t"
     val model = mutable.SortedMap.empty[Long, (Long, Option[String])]
     val ids = mutable.Map.empty[Long, Long]
@@ -855,10 +876,15 @@ class LifecycleFuzzSpec extends AnyFunSuite {
     val n = sys.env.get("GRAFT_FUZZ_SWEEP").flatMap(_.toIntOption).getOrElse(0)
     if (n <= 0) cancel("set GRAFT_FUZZ_SWEEP=<n> to hunt with n fresh seeds")
     (1 to n).foreach { s =>
-      info(s"sweep $s/$n: seeds ${9000 + s}/${9100 + s}/${9200 + s}")
+      info(s"sweep $s/$n: seed block ${9000 + s}")
       campaign("log", 9000 + s, ops = 20)
       campaign("snapshot", 9100 + s, ops = 18)
       campaign("cdf", 9200 + s, ops = 16)
+      streamCampaign(9300 + s)
+      mappedCampaign(9400 + s)
+      ivfCampaign(9500 + s)
+      branchCampaign(9700 + s)
+      rowTrackingCampaign(9800 + s)
     }
   }
 
