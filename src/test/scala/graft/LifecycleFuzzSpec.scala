@@ -548,8 +548,10 @@ class LifecycleFuzzSpec extends AnyFunSuite {
     * op, not just the scripted q319/q321 sequences: the index covers the
     * corpus exactly, every assign file is one exact band, both log
     * histories stay contiguous, rebalance converges within a bounded
-    * number of rounds, and accumulated recall@1 on planted near-dups
-    * stays >= 0.9. This is the newest engine surface (rebalance + orphan
+    * number of rounds, a probe of EVERY cell finds the exact brute-force
+    * top-1 (any miss there is a scan bug, never approximation), and
+    * accumulated nprobe=2 recall stays above the catastrophe bound.
+    * This is the newest engine surface (rebalance + orphan
     * adoption landed last); it gets the same sequence-fuzz treatment the
     * DML planes get above.
     */
@@ -639,26 +641,40 @@ class LifecycleFuzzSpec extends AnyFunSuite {
               x + 0.01 * (if ((id * 17 + j) % 2 == 0) 1.0 else -1.0)
             }.toSeq)
           }.toDF("query_id", "embedding")
-          val got = IvfIndex.search(qs,
+          def top1(nprobe: Int): Map[Long, Long] = IvfIndex.search(qs,
             toDf(Seq.empty[(Long, Int)]), root, "query_id", "vec_id",
-            "embedding", k = 1, nprobe = 2)
+            "embedding", k = 1, nprobe = nprobe)
             .select(col("query_id"), col("neighbor_id")).collect()
             .map(row => row.getLong(0) -> row.getLong(1)).toMap
+          val nCells = ActionLog.read(spark, s"$root/centroids").count().toInt
+          // EXACTNESS: probing every cell is brute force by another
+          // route — any miss here is a scan bug, never approximation
+          val gotAll = top1(nCells)
+          // SELECTIVITY: nprobe=2 recall accumulates; catastrophic decay
+          // (the quantizer-drift failure q321 guards) still trips it
+          val got2 = top1(2)
           keys.foreach { id =>
             val q = corpus(id).zipWithIndex.map { case (x, j) =>
               x + 0.01 * (if ((id * 17 + j) % 2 == 0) 1.0 else -1.0)
             }
             val truth = corpus.toSeq
               .maxBy { case (cid, v) => (cosine(q, v), -cid) }._1
+            assert(gotAll.get(50000000L + id).contains(truth),
+              s"[ivf] op#$i: nprobe=ALL($nCells) missed the true top-1 " +
+                s"for query of $id (got ${gotAll.get(50000000L + id)}, " +
+                s"truth $truth) — an exact scan bug, not approximation")
             total += 1
-            if (got.get(50000000L + id).contains(truth)) hits += 1
+            if (got2.get(50000000L + id).contains(truth)) hits += 1
           }
-          s"op#$i search (recall so far $hits/$total)"
+          s"op#$i search (nprobe=2 recall so far $hits/$total)"
         }
       invariants(tag)
     }
-    assert(total >= 6 && hits.toDouble / total >= 0.9,
-      s"[ivf] accumulated near-dup recall@1 $hits/$total < 0.9")
+    // nprobe=2 over an arbitrarily-fragmented quantizer is honest
+    // approximation — the bound here is the catastrophe guard (drift
+    // decay reads ~0.4); the scripted q321 scenario keeps its >= 0.9 pin
+    assert(total >= 6 && hits.toDouble / total >= 0.75,
+      s"[ivf] accumulated near-dup recall@1 $hits/$total < 0.75")
   }
 
   /** Branch-plane fuzz: episodes of fork → divergent random commits on
