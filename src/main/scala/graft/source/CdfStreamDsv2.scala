@@ -413,6 +413,17 @@ private[source] class InternalRowReadSupport(schema: StructType,
                 case IntegerType => new PrimitiveConverter {
                   override def addInt(v: Int): Unit = current(i) = Int.box(v)
                 }
+                // narrow integrals ride INT32 physically (parquet stores
+                // SMALLINT/TINYINT annotated int32) — the type-widening
+                // plane admits them, so the reader must too
+                case ShortType => new PrimitiveConverter {
+                  override def addInt(v: Int): Unit =
+                    current(i) = Short.box(v.toShort)
+                }
+                case ByteType => new PrimitiveConverter {
+                  override def addInt(v: Int): Unit =
+                    current(i) = Byte.box(v.toByte)
+                }
                 case DoubleType if prim == PFLOAT => new PrimitiveConverter {
                   override def addFloat(v: Float): Unit =
                     current(i) = Double.box(v.toDouble)

@@ -883,6 +883,122 @@ class LifecycleFuzzSpec extends AnyFunSuite {
     }
   }
 
+  /** Type-widening fuzz: random interleavings of SQL ALTER COLUMN TYPE
+    * along each column's widening chain (SMALLINT→INT→BIGINT,
+    * FLOAT→DOUBLE, DECIMAL precision growth), epoch appends arriving at
+    * the current manifest types, and attempted NARROWINGS which must be
+    * refused loudly. After every op the catalog SQL read must render the
+    * model's manifest types over all mixed physical epochs with every
+    * value numerically intact, and at the end each version must read
+    * under ITS OWN manifest with its own rows.
+    */
+  test("type widening survives a seeded random widen/append lifecycle (seed 9909)") {
+    typedCampaign(9909)
+  }
+
+  private def typedCampaign(seed: Int): Unit = {
+    import graft.ops.{TypeWidening => TW}
+    import org.apache.spark.sql.types._
+    val r = new Random(seed)
+    val root = TestSpark.tmpDir("fuzz_tw")
+    val dir = s"$root/w"
+    val cat = registerCat(root, s"tw$seed")
+    // widening chains per column (k is the sort key, never widened)
+    val chains = Map(
+      "a" -> Vector("SMALLINT", "INT", "BIGINT"),
+      "b" -> Vector("FLOAT", "DOUBLE"),
+      "c" -> Vector("DECIMAL(6,2)", "DECIMAL(10,2)", "DECIMAL(14,2)"))
+    val pos = mutable.Map("a" -> 0, "b" -> 0, "c" -> 0)
+    type TRow = (Long, Long, Double, BigDecimal)
+    val rows = mutable.ArrayBuffer.empty[TRow]
+    var nextKey = 0L
+    def freshRows(n: Int): Seq[TRow] = (0 until n).map { _ =>
+      val k = nextKey; nextKey += 1
+      (k, r.nextInt(30000).toLong, r.nextInt(1000).toDouble,
+        BigDecimal(r.nextInt(999999)) / 100)
+    }
+    def toDf(rs: Seq[TRow]) = {
+      val st = StructType(Seq(
+        StructField("k", LongType, nullable = false),
+        StructField("a", LongType, nullable = false),
+        StructField("b", DoubleType, nullable = false),
+        StructField("c", DecimalType(20, 2), nullable = false)))
+      val base = spark.createDataFrame(
+        spark.sparkContext.parallelize(rs.map(t => org.apache.spark.sql.Row(
+          t._1, t._2, t._3, t._4.setScale(2).bigDecimal)), 1), st)
+      base.select(col("k"),
+        col("a").cast(chains("a")(pos("a")).toLowerCase),
+        col("b").cast(chains("b")(pos("b")).toLowerCase),
+        col("c").cast(chains("c")(pos("c")).toLowerCase))
+    }
+    def canon(df: org.apache.spark.sql.DataFrame): Seq[TRow] =
+      df.select(col("k"), col("a").cast("long"), col("b").cast("double"),
+        col("c").cast("decimal(20,2)")).collect()
+        .map(rw => (rw.getLong(0), rw.getLong(1), rw.getDouble(2),
+          BigDecimal(rw.getDecimal(3)).setScale(2)))
+        .sortBy(_._1).toSeq
+    def modelRows: Seq[TRow] =
+      rows.toSeq.map(t => (t._1, t._2, t._3, t._4.setScale(2))).sortBy(_._1)
+
+    val first = freshRows(12); rows ++= first
+    TW.init(toDf(first), dir)
+    val snaps = mutable.LinkedHashMap.empty[Long, (Map[String, Int], Seq[TRow])]
+    def curV = VersionedTable.currentVersion(spark, dir).getOrElse(fail("no v"))
+    def check(tag: String): Unit = {
+      val live = spark.sql(s"SELECT k, a, b, c FROM $cat.w")
+      val wantTypes = Seq("a", "b", "c").map(c =>
+        org.apache.spark.sql.types.DataType.fromDDL(chains(c)(pos(c))))
+      val gotTypes = Seq("a", "b", "c").map(c => live.schema(c).dataType)
+      assert(gotTypes == wantTypes,
+        s"[tw/$seed] $tag: SQL schema $gotTypes, manifest wants $wantTypes")
+      assert(canon(live) == modelRows,
+        s"[tw/$seed] $tag: mixed-epoch read diverged from the model")
+    }
+    check("init")
+    snaps(curV) = (pos.toMap, modelRows)
+
+    for (i <- 1 to 12) {
+      val pick = r.nextInt(100)
+      if (pick < 30) { // widen one step along a random column's chain
+        val open = Seq("a", "b", "c").filter(c => pos(c) < chains(c).size - 1)
+        if (open.nonEmpty) {
+          val c = open(r.nextInt(open.size))
+          pos(c) += 1
+          spark.sql(
+            s"ALTER TABLE $cat.w ALTER COLUMN $c TYPE ${chains(c)(pos(c))}")
+        }
+      } else if (pick < 80) { // epoch append at the current manifest types
+        val fresh = freshRows(2 + r.nextInt(4))
+        rows ++= fresh
+        TW.append(toDf(fresh), dir)
+        ()
+      } else { // a NARROWING must be refused loudly, nothing committed
+        val c = Seq("a", "b", "c")(r.nextInt(3))
+        if (pos(c) > 0) {
+          val vBefore = curV
+          val res = scala.util.Try(spark.sql(
+            s"ALTER TABLE $cat.w ALTER COLUMN $c TYPE ${chains(c)(pos(c) - 1)}"))
+          assert(res.isFailure && curV == vBefore,
+            s"[tw/$seed] op#$i: narrowing $c must be refused with no commit")
+        }
+      }
+      check(s"op#$i")
+      snaps(curV) = (pos.toMap, modelRows)
+    }
+    // every version reads under ITS OWN manifest with its own rows
+    snaps.foreach { case (v, (p, want)) =>
+      val manifest = TW.typesOf(spark, dir, v).toMap
+      Seq("a", "b", "c").foreach { c =>
+        assert(manifest(c) ==
+          org.apache.spark.sql.types.DataType.fromDDL(chains(c)(p(c))),
+          s"[tw/$seed] v$v manifest for '$c' is ${manifest(c)}, " +
+            s"recorded ${chains(c)(p(c))}")
+      }
+      assert(canon(TW.readVersion(spark, dir, v)) == want,
+        s"[tw/$seed] version $v rows diverged under its own manifest")
+    }
+  }
+
   /** Exploratory multi-seed sweep, cancelled unless GRAFT_FUZZ_SWEEP=n
     * is set: the pinned seeds above are regression guards; this is the
     * bug-HUNTING mode (run n fresh seeds of the three DML campaigns).
@@ -901,6 +1017,7 @@ class LifecycleFuzzSpec extends AnyFunSuite {
       ivfCampaign(9500 + s)
       branchCampaign(9700 + s)
       rowTrackingCampaign(9800 + s)
+      typedCampaign(9900 + s)
     }
   }
 

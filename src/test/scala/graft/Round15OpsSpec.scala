@@ -195,6 +195,30 @@ class Round15OpsSpec extends AnyFunSuite {
     }
   }
 
+  // ---- found by LifecycleFuzzSpec's type-widening campaign: the shared
+  // DSv2 read support refused ShortType/ByteType columns ("unsupported
+  // change-column type") although the type-widening plane admits
+  // SMALLINT/TINYINT epochs — a legitimate table the SQL surface could
+  // not read. Parquet stores narrow integrals as annotated INT32; the
+  // converters now exist.
+  test("catalog SQL reads SMALLINT/TINYINT columns (narrow-integral epochs)") {
+    import graft.ops.{TypeWidening => TW}
+    val root = TestSpark.tmpDir("r15short")
+    val df = spark.range(0L, 50L).toDF("k")
+      .selectExpr("CAST(k AS SMALLINT) AS a", "CAST(k % 5 AS TINYINT) AS b",
+        "k")
+    TW.init(df, s"$root/w")
+    val cat = registerCat(root, "short")
+    val got = spark.sql(s"SELECT sum(a), sum(b), count(*) FROM $cat.w")
+      .head
+    assert(got.getLong(0) == (0L until 50L).sum &&
+      got.getLong(1) == (0L until 50L).map(_ % 5).sum && got.getLong(2) == 50L)
+    // and the widened read still renders the narrow epoch losslessly
+    spark.sql(s"ALTER TABLE $cat.w ALTER COLUMN a TYPE INT")
+    assert(spark.sql(s"SELECT sum(a) FROM $cat.w").head.getLong(0) ==
+      (0L until 50L).sum)
+  }
+
   // ---- found by LifecycleFuzzSpec (seed 1501, op#4): INSERT OVERWRITE
   // on the log layout shed the recorded stats column — the ONE statement
   // whose rewrite path skipped statsCol. Stale stats silently end
