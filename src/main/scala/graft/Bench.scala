@@ -20,6 +20,14 @@ class StreamMeter
     batches.incrementAndGet()
     Option(e.progress.durationMs.get("triggerExecution"))
       .foreach(ms => triggerMs.addAndGet(ms))
+    // A start is STATEFUL if any of its batches reports state operators —
+    // counted once per runId, on the first such batch. Feeds the floor
+    // mix (round-16 #1): a stateful start's engine floor is ~3-4x the
+    // stateless one (state-store provider setup), so an all-stateless
+    // denominator reads every stateful-heavy pass as ratio inflation.
+    if (e.progress.stateOperators != null && e.progress.stateOperators.nonEmpty &&
+        statefulRuns.putIfAbsent(e.progress.runId, java.lang.Boolean.TRUE) == null)
+      statefulStarts.incrementAndGet()
     ()
   }
   override def onQueryTerminated(e: QueryTerminatedEvent): Unit = ()
@@ -29,8 +37,13 @@ object StreamMeter {
   val starts = new java.util.concurrent.atomic.AtomicLong(0L)
   val batches = new java.util.concurrent.atomic.AtomicLong(0L)
   val triggerMs = new java.util.concurrent.atomic.AtomicLong(0L)
-  case class Snap(starts: Long, batches: Long, triggerMs: Long)
-  def snap(): Snap = Snap(starts.get, batches.get, triggerMs.get)
+  val statefulStarts = new java.util.concurrent.atomic.AtomicLong(0L)
+  val statefulRuns =
+    new java.util.concurrent.ConcurrentHashMap[java.util.UUID, java.lang.Boolean]()
+  case class Snap(starts: Long, batches: Long, triggerMs: Long,
+      statefulStarts: Long)
+  def snap(): Snap = Snap(starts.get, batches.get, triggerMs.get,
+    statefulStarts.get)
   /** Counter deltas since `s0` — the per-rep accounting that keeps the
     * emitted stream metrics on the SAME denominator as the min-of-reps
     * per-query times (round 14 emitted warmup+all-reps totals against
@@ -38,8 +51,11 @@ object StreamMeter {
     */
   def since(s0: Snap): Snap =
     Snap(starts.get - s0.starts, batches.get - s0.batches,
-      triggerMs.get - s0.triggerMs)
-  def reset(): Unit = { starts.set(0); batches.set(0); triggerMs.set(0) }
+      triggerMs.get - s0.triggerMs, statefulStarts.get - s0.statefulStarts)
+  def reset(): Unit = {
+    starts.set(0); batches.set(0); triggerMs.set(0)
+    statefulStarts.set(0); statefulRuns.clear()
+  }
 }
 
 /** The regression gate's PURE logic — ambient normalization, mover
@@ -104,6 +120,34 @@ object BenchGate {
   def verdictOf(isolatedS: Double, expectedS: Double): String =
     if (isMover(isolatedS, expectedS, Tolerance)) "regression"
     else "ambient-transient"
+
+  /** ADJUDICATED streaming numerator (round 16 #1): the in-pass min-rep
+    * wall sum with each flagged streaming query's ISOLATED min-of-3
+    * substituted for its in-pass wall. The round-15 artifact closed
+    * `ratio 6.15 REGRESSION` on a numerator whose two streaming flags the
+    * adjudication pass had already re-measured at 4.10/1.51 s (vs
+    * 19.54/5.67 in-pass) — the gate rendered its verdict on numbers one
+    * field over from their own correction. Substitution is unconditional
+    * for adjudicated flags (isolatedS >= 0): a genuine regression's
+    * isolated number stays high, so a planted sleep still trips the
+    * adjudicated ratio.
+    */
+  def adjudicatedStreamingS(passS: Double, flags: Seq[Flag],
+      isStreaming: String => Boolean): Double =
+    passS + flags.filter(f => isStreaming(f.name) && f.isolatedS >= 0)
+      .map(f => f.isolatedS - f.passS).sum
+
+  /** Mixed engine floor (round 16 #1, second clause): stateful starts pay
+    * the measured stateful per-start floor (state-store provider setup +
+    * commit of state), stateless starts the stateless one. An
+    * all-stateless denominator read ~0.28 s/start against a bucket whose
+    * stateful majority floors at ~1 s/start — optimistically low floors
+    * manufacture ratio breaches.
+    */
+  def mixedFloor(starts: Long, statefulStarts: Long,
+      statelessFloorS: Double, statefulFloorS: Double): Double =
+    statefulStarts * statefulFloorS +
+      (starts - statefulStarts) * statelessFloorS
 
   /** The transient signature (round-14 adjudication, made mechanical):
     * flags forming one lexicographically CONTIGUOUS run of the pass's
@@ -197,10 +241,15 @@ object Bench {
     cleanup()
     // MEASURED per-start engine floor (round 15, ratifying the round-11
     // target's retirement): a minimal one-file AvailableNow stream through
-    // a memory sink — planning + offset/commit log and nothing else — run
-    // min-of-3 stateless and stateful. The streaming bucket's formal target
-    // is now a RATIO against `sum(per-query starts) × this floor`, so a
-    // future streaming regression shows as floor-ratio drift instead of
+    // a memory sink — planning + offset/commit log and nothing else —
+    // measured MEDIAN-OF-5 stateless and stateful (round 16 #2: the r15
+    // pass's min-of-3 came out 0.28 s vs StreamFloorSpec's 0.4-0.9 s
+    // measurements — a min of a minimal stream in a noisy pass is
+    // high-variance in both directions, and a too-low floor manufactures
+    // ratio breaches; the median is the stable estimator). The streaming
+    // bucket's formal target is a RATIO against the per-start floor mix
+    // (stateful starts × stateful floor + stateless × stateless floor), so
+    // a future streaming regression shows as floor-ratio drift instead of
     // hiding inside a dead absolute-seconds target.
     val (floorStatelessS, floorStatefulS) = {
       import org.apache.spark.sql.functions._
@@ -226,8 +275,9 @@ object Bench {
           q.awaitTermination()
           (System.nanoTime() - t0) / 1e9
         }
-        ((1 to 3).map(once(_, stateful = false)).min,
-          (4 to 6).map(once(_, stateful = true)).min)
+        def med(xs: Seq[Double]): Double = xs.sorted.apply(xs.size / 2)
+        (med((1 to 5).map(once(_, stateful = false))),
+          med((6 to 10).map(once(_, stateful = true))))
       } catch { case _: Throwable => (0.0, 0.0) }
     }
     cleanup()
@@ -311,10 +361,15 @@ object Bench {
     val minRepStarts = streamRuns.map(_._2.stream.starts).sum
     val minRepBatches = streamRuns.map(_._2.stream.batches).sum
     val minRepTriggerS = streamRuns.map(_._2.stream.triggerMs).sum / 1000.0
-    val floorPerStart = floorStatelessS
-    val streamingFloorS = minRepStarts * floorPerStart
+    val minRepStatefulStarts = streamRuns.map(_._2.stream.statefulStarts).sum
+    val streamingFloorS = BenchGate.mixedFloor(minRepStarts,
+      minRepStatefulStarts, floorStatelessS, floorStatefulS)
     val streamingRatio =
       if (streamingFloorS > 0) streamingS / streamingFloorS else 0.0
+    // Filled in by the gate's adjudication pass: the numerator with each
+    // flagged streaming query's isolated min-of-3 substituted for its
+    // in-pass wall. Identical to streamingS when no streaming query flags.
+    var streamingSAdj = streamingS
     val knobTag =
       (if (sys.env.contains("SPARK_GRAFT_BENCH_FILTER")) s""","filtered":true""" else "") +
       (if (reps != defaultReps) s""","reps_override":$reps""" else "") +
@@ -393,6 +448,9 @@ object Bench {
             f"vs expected ${f.expectedS}%.2f s -> isolated min-of-3 " +
             f"${f.isolatedS}%.2f s = ${f.verdict}"
         }
+        // feed the adjudication into the streaming numerator (round 16 #1)
+        streamingSAdj = BenchGate.adjudicatedStreamingS(streamingS, flags,
+          streamingNames)
         // the transient signature: a contiguous lexicographic run of flags
         // with clean neighbors is one time-local machine event
         val canFlag: String => Boolean = n =>
@@ -450,10 +508,21 @@ object Bench {
         ratioRe.findFirstMatchIn(text).map(_.group(1).toDouble).foreach { mx =>
           if (streamingFloorS > 0 && streamRuns.nonEmpty &&
               !sys.env.contains("SPARK_GRAFT_BENCH_FILTER")) {
-            val ok = streamingRatio <= mx
-            gateLines += f"[benchcheck] streaming engine $streamingS%.1f s vs " +
-              f"floor $streamingFloorS%.1f s ($minRepStarts starts x " +
-              f"$floorPerStart%.2f s) -> ratio $streamingRatio%.2f " +
+            // verdict rendered on the ADJUDICATED ratio (round 16 #1): the
+            // per-flag adjudication already isolated-re-measured every
+            // flagged streaming query; rendering the bucket gate on the
+            // un-adjudicated in-pass sum let a transient the gate itself
+            // had disproved close the r15 artifact REGRESSION. A planted
+            // sleep survives isolation, so it still trips this.
+            val ratioAdj = streamingSAdj / streamingFloorS
+            val ok = ratioAdj <= mx
+            gateLines += f"[benchcheck] streaming engine $streamingS%.1f s " +
+              f"(adjudicated $streamingSAdj%.1f s) vs floor " +
+              f"$streamingFloorS%.1f s (median-of-5 mix: " +
+              f"$minRepStatefulStarts stateful x $floorStatefulS%.2f s + " +
+              f"${minRepStarts - minRepStatefulStarts} stateless x " +
+              f"$floorStatelessS%.2f s) -> ratio $streamingRatio%.2f, " +
+              f"adjudicated $ratioAdj%.2f " +
               (if (ok) f"(<= $mx%.2f OK)" else f"(> $mx%.2f REGRESSION)")
             if (!ok) gateFailed = true
           }
@@ -478,7 +547,9 @@ object Bench {
     // `streaming_starts/_batches/_trigger_s` cover the MIN REP of each
     // streaming query (the same denominator as the recorded times);
     // `streaming_starts_all_reps` is the whole timed pass (post-warmup).
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","mode":"min-of-$reps","streaming_engine_s":$streamingS,"streaming_starts":$minRepStarts,"streaming_batches":$minRepBatches,"streaming_trigger_s":$minRepTriggerS,"streaming_starts_all_reps":${StreamMeter.starts.get},"streaming_floor_per_start_s":${f"$floorPerStart%.3f"},"streaming_floor_stateful_s":${f"$floorStatefulS%.3f"},"streaming_floor_s":${f"$streamingFloorS%.2f"},"streaming_floor_ratio":${f"$streamingRatio%.3f"},"flags":$flagsJson,"queries":$qs,"t0":$t0s,"sf":"$sfDir"$knobTag}"""
+    val streamingRatioAdj =
+      if (streamingFloorS > 0) streamingSAdj / streamingFloorS else 0.0
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","mode":"min-of-$reps","streaming_engine_s":$streamingS,"streaming_engine_adjudicated_s":${f"$streamingSAdj%.2f"},"streaming_starts":$minRepStarts,"streaming_stateful_starts":$minRepStatefulStarts,"streaming_batches":$minRepBatches,"streaming_trigger_s":$minRepTriggerS,"streaming_starts_all_reps":${StreamMeter.starts.get},"streaming_floor_per_start_s":${f"$floorStatelessS%.3f"},"streaming_floor_stateful_s":${f"$floorStatefulS%.3f"},"streaming_floor_provenance":"median-of-5","streaming_floor_s":${f"$streamingFloorS%.2f"},"streaming_floor_ratio":${f"$streamingRatio%.3f"},"streaming_floor_ratio_adjudicated":${f"$streamingRatioAdj%.3f"},"flags":$flagsJson,"queries":$qs,"t0":$t0s,"sf":"$sfDir"$knobTag}"""
     println(line)
     gateLines.foreach(println)
     // The driver's recorded artifact truncates its tail at 2000 chars, which

@@ -39,6 +39,15 @@ private[source] object GroupWrite {
       val t = f.dataType match {
         case LongType => Types.optional(INT64)
         case IntegerType => Types.optional(INT32)
+        // narrow integrals ride INT32 physically with an intType width
+        // annotation — mirrors the read-side SMALLINT/TINYINT converters
+        // (round 15's type-widening-fuzz find); without these the write
+        // half of SQL UPDATE/MERGE/rewrite-DELETE on a pre-widen table
+        // died at executor task time while the read half succeeded
+        case ShortType => Types.optional(INT32)
+          .as(LogicalTypeAnnotation.intType(16, true))
+        case ByteType => Types.optional(INT32)
+          .as(LogicalTypeAnnotation.intType(8, true))
         case DoubleType => Types.optional(DOUBLE)
         case FloatType => Types.optional(FLOAT)
         case BooleanType => Types.optional(BOOLEAN)
@@ -127,6 +136,8 @@ private[source] class GroupDataWriterFactory(stageDir: String,
           if (!row.isNullAt(i)) f.dataType match {
             case LongType => g.add(f.name, row.getLong(i))
             case IntegerType => g.add(f.name, row.getInt(i))
+            case ShortType => g.add(f.name, row.getShort(i).toInt)
+            case ByteType => g.add(f.name, row.getByte(i).toInt)
             case DoubleType => g.add(f.name, row.getDouble(i))
             case FloatType => g.add(f.name, row.getFloat(i))
             case BooleanType => g.add(f.name, row.getBoolean(i))

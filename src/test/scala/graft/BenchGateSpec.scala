@@ -66,6 +66,35 @@ class BenchGateSpec extends AnyFunSuite {
     assert(!contiguousBlock(Seq("q05", "q07", "q08"), all, _ => true))
   }
 
+  test("adjudicatedStreamingS: flagged streaming walls -> isolated values") {
+    val isStreaming = Set("q242_s", "q148_s")
+    // the r15 shape: 82.1 s in-pass; q242 19.54->4.10, q148 5.67->1.51
+    val flags = Seq(
+      Flag("q242_s", 19.54, 4.97, 4.10, "ambient-transient"),
+      Flag("q148_s", 5.67, 2.26, 1.51, "ambient-transient"),
+      Flag("q124_batch", 4.30, 2.11, 1.41, "ambient-transient")) // non-streaming: ignored
+    val adj = adjudicatedStreamingS(82.1, flags, isStreaming)
+    assert(math.abs(adj - (82.1 - 19.54 + 4.10 - 5.67 + 1.51)) < 1e-9)
+    // -> 62.5: the r15 verdict's hand-adjudicated figure
+    assert(math.abs(adj - 62.5) < 1e-9)
+    // an UNADJUDICATED flag (isolated -1, beyond the 16-cap) never substitutes
+    val capped = Seq(Flag("q242_s", 19.54, 4.97, -1.0, "unadjudicated"))
+    assert(adjudicatedStreamingS(82.1, capped, isStreaming) == 82.1)
+    // a confirmed regression substitutes its (still-high) isolated number:
+    // a planted sleep survives isolation, so the adjudicated ratio still trips
+    val planted = Seq(Flag("q242_s", 19.54, 4.97, 18.9, "regression"))
+    assert(adjudicatedStreamingS(82.1, planted, isStreaming) > 81.0)
+    // no streaming flags -> identity
+    assert(adjudicatedStreamingS(82.1, Seq(flags(2)), isStreaming) == 82.1)
+  }
+
+  test("mixedFloor: stateful starts pay the stateful per-start floor") {
+    assert(mixedFloor(47, 0, 0.28, 1.05) == 47 * 0.28) // all-stateless (the r15 shape)
+    assert(math.abs(mixedFloor(47, 20, 0.4, 1.05) -
+      (20 * 1.05 + 27 * 0.4)) < 1e-9)
+    assert(mixedFloor(0, 0, 0.4, 1.05) == 0.0)
+  }
+
   test("Flag.json carries both measurements and the verdict") {
     val f = Flag("q128_entity_resolution", 9.22, 1.11, 1.19,
       "ambient-transient")

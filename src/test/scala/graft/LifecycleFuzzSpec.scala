@@ -884,10 +884,17 @@ class LifecycleFuzzSpec extends AnyFunSuite {
   }
 
   /** Type-widening fuzz: random interleavings of SQL ALTER COLUMN TYPE
-    * along each column's widening chain (SMALLINT→INT→BIGINT,
-    * FLOAT→DOUBLE, DECIMAL precision growth), epoch appends arriving at
-    * the current manifest types, and attempted NARROWINGS which must be
-    * refused loudly. After every op the catalog SQL read must render the
+    * along each column's widening chain (the FULL integral chain
+    * TINYINT→SMALLINT→INT→BIGINT — round 16 extends the start down to
+    * TINYINT so byte epochs ride every read; FLOAT→DOUBLE; DECIMAL
+    * precision growth across the INT32/INT64 physical boundary), epoch
+    * appends arriving at the current manifest types, attempted NARROWINGS
+    * which must be refused loudly, and CROSS-FAMILY conversions the
+    * matrix does not admit (INT→DECIMAL, INT→DOUBLE, DATE→TIMESTAMP
+    * analogues) which must also be refused with no commit — Delta's
+    * wider matrix admits some of these; ours refuses them, and the
+    * refusal must be loud, never a silent cast. After every op the
+    * catalog SQL read must render the
     * model's manifest types over all mixed physical epochs with every
     * value numerically intact, and at the end each version must read
     * under ITS OWN manifest with its own rows.
@@ -903,9 +910,12 @@ class LifecycleFuzzSpec extends AnyFunSuite {
     val root = TestSpark.tmpDir("fuzz_tw")
     val dir = s"$root/w"
     val cat = registerCat(root, s"tw$seed")
-    // widening chains per column (k is the sort key, never widened)
+    // widening chains per column (k is the sort key, never widened).
+    // 'a' walks the FULL integral chain from TINYINT (values capped at
+    // 0..99 so every stage can store them); 'c' crosses the decimal
+    // INT32→INT64 physical boundary at precision 10.
     val chains = Map(
-      "a" -> Vector("SMALLINT", "INT", "BIGINT"),
+      "a" -> Vector("TINYINT", "SMALLINT", "INT", "BIGINT"),
       "b" -> Vector("FLOAT", "DOUBLE"),
       "c" -> Vector("DECIMAL(6,2)", "DECIMAL(10,2)", "DECIMAL(14,2)"))
     val pos = mutable.Map("a" -> 0, "b" -> 0, "c" -> 0)
@@ -914,7 +924,7 @@ class LifecycleFuzzSpec extends AnyFunSuite {
     var nextKey = 0L
     def freshRows(n: Int): Seq[TRow] = (0 until n).map { _ =>
       val k = nextKey; nextKey += 1
-      (k, r.nextInt(30000).toLong, r.nextInt(1000).toDouble,
+      (k, r.nextInt(100).toLong, r.nextInt(1000).toDouble,
         BigDecimal(r.nextInt(999999)) / 100)
     }
     def toDf(rs: Seq[TRow]) = {
@@ -967,12 +977,12 @@ class LifecycleFuzzSpec extends AnyFunSuite {
           spark.sql(
             s"ALTER TABLE $cat.w ALTER COLUMN $c TYPE ${chains(c)(pos(c))}")
         }
-      } else if (pick < 80) { // epoch append at the current manifest types
+      } else if (pick < 75) { // epoch append at the current manifest types
         val fresh = freshRows(2 + r.nextInt(4))
         rows ++= fresh
         TW.append(toDf(fresh), dir)
         ()
-      } else { // a NARROWING must be refused loudly, nothing committed
+      } else if (pick < 88) { // a NARROWING must be refused loudly, nothing committed
         val c = Seq("a", "b", "c")(r.nextInt(3))
         if (pos(c) > 0) {
           val vBefore = curV
@@ -981,6 +991,20 @@ class LifecycleFuzzSpec extends AnyFunSuite {
           assert(res.isFailure && curV == vBefore,
             s"[tw/$seed] op#$i: narrowing $c must be refused with no commit")
         }
+      } else { // a CROSS-FAMILY conversion the matrix does not admit must
+        // be refused with no commit (Delta's wider matrix has int→decimal
+        // and date→timestamp; ours refuses — loudly, never a silent cast)
+        val offChain = Map(
+          "a" -> Vector("DECIMAL(20,0)", "DOUBLE", "DATE"),
+          "b" -> Vector("DECIMAL(10,2)", "BIGINT", "TIMESTAMP"),
+          "c" -> Vector("DOUBLE", "BIGINT", "DECIMAL(14,4)")) // scale change: also refused
+        val c = Seq("a", "b", "c")(r.nextInt(3))
+        val to = offChain(c)(r.nextInt(offChain(c).size))
+        val vBefore = curV
+        val res = scala.util.Try(spark.sql(
+          s"ALTER TABLE $cat.w ALTER COLUMN $c TYPE $to"))
+        assert(res.isFailure && curV == vBefore,
+          s"[tw/$seed] op#$i: cross-family $c->$to must be refused with no commit")
       }
       check(s"op#$i")
       snaps(curV) = (pos.toMap, modelRows)

@@ -59,12 +59,20 @@ class ScanFuzzSpec extends AnyFunSuite {
       .withColumn("s",
         when(col("k") % 17 === 0, lit(null).cast("string"))
           .otherwise(concat(lit("s"), col("k") % 7)))
-    // layout 1: one sorted file, 500-row pages — column indexes engage
+    // layout 1: one sorted file, 500-row pages — column indexes engage.
+    // The page limit rides the session-global hadoopConfiguration (the
+    // writer has no per-write conf seam), so RESTORE the prior value
+    // rather than unset(): unset would drop a pre-existing limit some
+    // other suite in this JVM had set (advisor find, round 15).
     val hc = spark.sparkContext.hadoopConfiguration
+    val priorPageLimit = Option(hc.get("parquet.page.row.count.limit"))
     hc.setInt("parquet.page.row.count.limit", 500)
     try VersionedTable.write(
       df.coalesce(1).sortWithinPartitions("k"), s"$root/tsorted")
-    finally hc.unset("parquet.page.row.count.limit")
+    finally priorPageLimit match {
+      case Some(v) => hc.set("parquet.page.row.count.limit", v)
+      case None => hc.unset("parquet.page.row.count.limit")
+    }
     // layout 2: eight key-ranged sorted files — tight per-file stats
     VersionedTable.write(
       df.repartitionByRange(8, col("k")).sortWithinPartitions("k"),
