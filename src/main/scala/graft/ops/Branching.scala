@@ -308,8 +308,75 @@ object Branching {
         .otherwise("U"))
       .drop(ChangeFeed.ChangeType)
 
+  /** Schema reconciliation for merge (round 16): each head must be a
+    * WIDENING-EXTENSION of the fork-point schema — every base column
+    * still present, at the same or a losslessly wider type (the
+    * [[TypeWidening.isWidening]] matrix), plus any number of ADDED
+    * columns. The merged schema unifies the two heads per column: the
+    * wider type where they diverged along one chain, nullable when only
+    * one side carries the column (the other side's rows surface NULL —
+    * Delta's add-column contract). A DROP, RENAME, NARROWING, or a
+    * column added at irreconcilable types on the two sides refuses
+    * LOUDLY with both refs untouched — a merge that guessed would
+    * silently truncate or null out committed data.
+    */
+  private def unifiedSchema(base: org.apache.spark.sql.types.StructType,
+      f: org.apache.spark.sql.types.StructType,
+      i: org.apache.spark.sql.types.StructType,
+      keyCols: Seq[String]): org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types.{StructField, StructType}
+    def checkExtension(side: String, head: StructType): Unit =
+      base.fields.foreach { bf =>
+        val hf = head.fields.find(_.name == bf.name).getOrElse(sys.error(
+          s"Branching.merge: '$side' dropped or renamed column " +
+            s"'${bf.name}' since the fork point — merge cannot reconcile " +
+            "a missing column; re-add it on the branch and re-merge"))
+        require(TypeWidening.isWidening(bf.dataType, hf.dataType),
+          s"Branching.merge: '$side' changed column '${bf.name}' from " +
+            s"${bf.dataType.catalogString} to ${hf.dataType.catalogString}" +
+            " — not a lossless widening, merge refuses rather than truncate")
+      }
+    checkExtension("from", f)
+    checkExtension("into", i)
+    val names = (f.fieldNames ++ i.fieldNames).distinct.toSeq
+    require(keyCols.forall(base.fieldNames.contains),
+      s"Branching.merge: key column(s) " +
+        s"${keyCols.filterNot(base.fieldNames.contains).mkString(", ")} " +
+        "were added after the fork point — the three-way diff has no base " +
+        "identity for them")
+    StructType(names.map { n =>
+      (f.fields.find(_.name == n), i.fields.find(_.name == n)) match {
+        case (Some(a), Some(b)) =>
+          val dt =
+            if (TypeWidening.isWidening(a.dataType, b.dataType)) b.dataType
+            else if (TypeWidening.isWidening(b.dataType, a.dataType)) a.dataType
+            else sys.error(s"Branching.merge: column '$n' exists as " +
+              s"${a.dataType.catalogString} on from and " +
+              s"${b.dataType.catalogString} on into — irreconcilable; " +
+              "align the types on one branch and re-merge")
+          StructField(n, dt, nullable = a.nullable || b.nullable)
+        case (Some(a), None) => a.copy(nullable = true)
+        case (None, Some(b)) => b.copy(nullable = true)
+        case (None, None) => sys.error("unreachable")
+      }
+    })
+  }
+
+  /** Project `df` into the unified merge schema: missing columns NULL,
+    * narrower epochs cast UP (lossless by the widening-only admission).
+    */
+  private def lift(df: DataFrame,
+      to: org.apache.spark.sql.types.StructType): DataFrame =
+    df.select(to.fields.toSeq.map { tf =>
+      (if (df.columns.contains(tf.name)) col(tf.name).cast(tf.dataType)
+       else lit(null).cast(tf.dataType)).as(tf.name)
+    }: _*)
+
   /** Merge `from` into `into`. Fast-forward when possible; otherwise the
     * key-wise three-way merge, failing loudly on any true conflict.
+    * Schema drift since the fork point is reconciled when it is
+    * widening/additive on each side (see [[unifiedSchema]]); anything
+    * else refuses with both refs untouched.
     */
   def merge(spark: SparkSession, dir: String, from: String, into: String,
       keyCols: Seq[String], capture: Boolean = false): MergeOutcome = {
@@ -322,10 +389,19 @@ object Branching {
       return FastForward(hFrom)
     }
     val baseId = lca(spark, dir, hFrom, hInto)
-    val base = readCommit(spark, dir, baseId)
-    val dataCols = base.columns.toSeq.filterNot(keyCols.contains)
-    val eFrom = effects(base, readCommit(spark, dir, hFrom), keyCols)
-    val eInto = effects(base, readCommit(spark, dir, hInto), keyCols)
+    val base0 = readCommit(spark, dir, baseId)
+    val fromDf = readCommit(spark, dir, hFrom)
+    val intoDf = readCommit(spark, dir, hInto)
+    // reconcile schema drift BEFORE any data compare: all three frames
+    // lift into the unified schema, so the keyed diffs and the conflict
+    // rule operate in one type space (an un-lifted compare would either
+    // throw a raw union error or coerce asymmetrically)
+    val uni = unifiedSchema(base0.schema, fromDf.schema, intoDf.schema,
+      keyCols)
+    val base = lift(base0, uni)
+    val dataCols = uni.fieldNames.toSeq.filterNot(keyCols.contains)
+    val eFrom = effects(base, lift(fromDf, uni), keyCols)
+    val eInto = effects(base, lift(intoDf, uni), keyCols)
     val sameRow = (a: String, b: String) => dataCols
       .map(c => col(s"$a.$c") <=> col(s"$b.$c"))
       .foldLeft(col(s"$a._op") === col(s"$b._op"))(_ && _)

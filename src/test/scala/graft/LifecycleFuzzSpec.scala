@@ -810,6 +810,215 @@ class LifecycleFuzzSpec extends AnyFunSuite {
     rowTrackingCampaign(8508)
   }
 
+  /** BRANCH × SCHEMA-EVOLUTION fuzz (round 16 #4a — the composition
+    * lesson: bugs live where two planes nobody scripted together meet).
+    * Episodes fork `main`, commit random DATA ops interleaved with random
+    * SCHEMA evolution on EITHER side — widening `v` INT→BIGINT, adding a
+    * nullable column `c1` with backfilled values — then merge. The model
+    * computes its own three-way merge IN THE UNIFIED SCHEMA SPACE
+    * (missing columns null, narrow epochs widened) and requires the
+    * engine to agree exactly: merged rows AND merged schema on a clean
+    * merge, a loud refusal with both refs' content and schema untouched
+    * on a row conflict. Illegal evolutions — dropping a column,
+    * narrowing a widened type, re-typing an established column — are
+    * committed on a THROWAWAY branch pair and their merge must refuse
+    * (the throwaway keeps main's model schema stable while still
+    * proving the refusal).
+    */
+  test("branch merges reconcile widening/additive schema drift (seed 6606)") {
+    val outcomes = branchEvoCampaign(6606)
+    info(s"episode outcomes: $outcomes")
+    assertCovered(outcomes, Seq("merged", "merged-evolved", "conflict",
+      "fast-forward", "schema-refused"))
+  }
+
+  private def branchEvoCampaign(seed: Int): Map[String, Int] = {
+    import graft.ops.Branching
+    import org.apache.spark.sql.DataFrame
+    val r = new Random(seed)
+    val root = TestSpark.tmpDir("fuzz_brevo")
+    val dir = s"$root/t"
+    // model row in UNIFIED space: k -> (v, s, c1); refs that lack c1 hold None
+    type ERow = (Long, Option[String], Option[Long])
+    type Model = mutable.SortedMap[Long, ERow]
+    // per-ref schema state: (vType "int"|"bigint", hasC1)
+    case class SchemaState(vType: String, hasC1: Boolean)
+    def toDf(m: Model, st: SchemaState): DataFrame = {
+      val base = m.toSeq.map { case (k, (v, s, c1)) => (k, v, s, c1) }
+        .toDF("k", "v", "s", "c1")
+        .withColumn("v", col("v").cast(st.vType))
+      if (st.hasC1) base else base.drop("c1")
+    }
+    def canonRef(ref: String): Seq[(Long, ERow)] = {
+      val df0 = Branching.readBranch(spark, dir, ref)
+      val df = if (df0.columns.contains("c1")) df0
+        else df0.withColumn("c1", lit(null).cast("long"))
+      df.select(col("k").cast("long"), col("v").cast("long"), col("s"),
+        col("c1").cast("long")).collect()
+        .map(row => (row.getLong(0), (row.getLong(1),
+          Option(row.getString(2)),
+          if (row.isNullAt(3)) None else Some(row.getLong(3)))))
+        .sortBy(_._1).toSeq
+    }
+    def snap(m: Model): Seq[(Long, ERow)] = m.toSeq
+    def schemaOf(ref: String): (String, Boolean) = {
+      val sch = Branching.readBranch(spark, dir, ref).schema
+      (sch("v").dataType.catalogString, sch.fieldNames.contains("c1"))
+    }
+
+    val main: Model = mutable.SortedMap((0 until 20).map(i =>
+      i * 3L -> ((r.nextInt(1000).toLong, genS(r), None: Option[Long]))): _*)
+    var mainSt = SchemaState("int", hasC1 = false)
+    Branching.init(toDf(main, mainSt), dir)
+    var nextKey = 7000L
+
+    def randomDataOp(m: Model, st: SchemaState): Unit = r.nextInt(3) match {
+      case 0 => // upsert 2-3 keys (sets c1 only when the ref carries it)
+        (0 until 2 + r.nextInt(2)).foreach { _ =>
+          val k = if (m.nonEmpty && r.nextBoolean())
+            m.keys.toSeq(r.nextInt(m.size))
+          else { val f = nextKey; nextKey += 1 + r.nextInt(3); f }
+          val c1 = if (st.hasC1 && r.nextBoolean())
+            Some(r.nextInt(100).toLong) else None
+          m(k) = (r.nextInt(1000).toLong, genS(r), c1)
+        }
+      case 1 => // delete 1-2 keys, never emptying
+        (0 until 1 + r.nextInt(2)).foreach { _ =>
+          if (m.size > 1) m.remove(m.keys.toSeq(r.nextInt(m.size)))
+        }
+      case _ => // touch one existing row's value only
+        if (m.nonEmpty) {
+          val k = m.keys.toSeq(r.nextInt(m.size))
+          val (_, s, c1) = m(k)
+          m(k) = (r.nextInt(1000).toLong, s, c1)
+        }
+    }
+
+    val outcomes = mutable.Map.empty[String, Int].withDefaultValue(0)
+    for (ep <- 1 to 10) {
+      if (r.nextInt(100) < 25) {
+        // ---- ILLEGAL-EVOLUTION episode on a throwaway branch pair ----
+        val (x, y) = (s"x$ep", s"y$ep")
+        Branching.branch(spark, dir, "main", x)
+        Branching.branch(spark, dir, "main", y)
+        val mx = mutable.SortedMap(main.toSeq: _*)
+        val my = mutable.SortedMap(main.toSeq: _*)
+        randomDataOp(my, mainSt)
+        Branching.commitOn(toDf(my, mainSt), dir, y) // y moves: no FF escape
+        r.nextInt(3) match {
+          case 0 => // drop column s
+            Branching.commitOn(toDf(mx, mainSt).drop("s"), dir, x)
+          case 1 => // narrow v: widen on-branch first, then the merge sees
+            // main(int) vs branch(bigint) — legal; so instead commit v as
+            // SMALLINT, NARROWER than the fork point's INT
+            Branching.commitOn(toDf(mx, mainSt)
+              .withColumn("v", col("v").cast("smallint")), dir, x)
+          case _ => // re-type s STRING -> BIGINT (not a widening)
+            Branching.commitOn(toDf(mx, mainSt)
+              .withColumn("s", lit(1L)), dir, x)
+        }
+        val res = scala.util.Try(
+          Branching.merge(spark, dir, x, y, Seq("k")))
+        assert(res.isFailure,
+          s"[brevo/$ep] merge through an illegal evolution must refuse")
+        assert(canonRef(y) == snap(my),
+          s"[brevo/$ep] refused merge must leave the target untouched")
+        outcomes("schema-refused") += 1
+        Branching.drop(spark, dir, x); Branching.drop(spark, dir, y)
+      } else {
+        // ---- LEGAL episode: data ops × widening/additive evolution ----
+        val b = s"b$ep"
+        Branching.branch(spark, dir, "main", b)
+        val base = mutable.SortedMap(main.toSeq: _*)
+        val models = Map("main" -> main, b -> mutable.SortedMap(base.toSeq: _*))
+        val states = mutable.Map("main" -> mainSt, b -> mainSt)
+        var mainCommits = 0
+        var evolved = false
+        Seq("main", b).foreach { ref =>
+          val m = models(ref)
+          val nOps = (if (ref == "main") 0 else 1) + r.nextInt(3)
+          if (ref == "main") mainCommits = nOps
+          (1 to nOps).foreach { _ =>
+            val st = states(ref)
+            r.nextInt(100) match {
+              case p if p < 20 && st.vType == "int" => // widen v, values intact
+                states(ref) = st.copy(vType = "bigint"); evolved = true
+                Branching.commitOn(toDf(m, states(ref)), dir, ref)
+              case p if p < 40 && !st.hasC1 => // add c1, backfill a few rows
+                states(ref) = st.copy(hasC1 = true); evolved = true
+                val ks = r.shuffle(m.keys.toSeq).take(1 + r.nextInt(3))
+                ks.foreach { k =>
+                  val (v, s, _) = m(k); m(k) = (v, s, Some(v * 2))
+                }
+                Branching.commitOn(toDf(m, states(ref)), dir, ref)
+              case _ =>
+                randomDataOp(m, st)
+                Branching.commitOn(toDf(m, st), dir, ref)
+            }
+            assert(canonRef(ref) == snap(m), s"[brevo/$ep] $ref diverged")
+          }
+        }
+        // the model's own three-way merge in unified space
+        def effects(m: Model): Map[Long, Option[ERow]] = {
+          val ups = m.toSeq.collect {
+            case (k, row) if !base.get(k).contains(row) => k -> Some(row)
+          }
+          val dels = base.keys.toSeq.filterNot(m.contains).map(_ -> None)
+          (ups ++ dels).toMap
+        }
+        val (eM, eB) = (effects(main), effects(models(b)))
+        val conflictKeys = eM.keySet.intersect(eB.keySet)
+          .filter(k => eM(k) != eB(k))
+        val outcome = scala.util.Try(
+          Branching.merge(spark, dir, b, "main", Seq("k")))
+        if (conflictKeys.nonEmpty) {
+          assert(outcome.isFailure,
+            s"[brevo/$ep] engine merged through a true conflict on " +
+              s"$conflictKeys — silent corruption")
+          assert(canonRef("main") == snap(main) &&
+            canonRef(b) == snap(models(b)),
+            s"[brevo/$ep] a refused merge must leave both refs untouched")
+          // main keeps ITS schema after the refusal
+          assert(schemaOf("main") ==
+            ((states("main").vType, states("main").hasC1)),
+            s"[brevo/$ep] refusal must not evolve the target schema")
+          outcomes("conflict") += 1
+        } else {
+          assert(outcome.isSuccess,
+            s"[brevo/$ep] engine refused a legal merge: $outcome")
+          if (mainCommits == 0)
+            assert(outcome.get.isInstanceOf[Branching.FastForward],
+              s"[brevo/$ep] into never moved — must fast-forward")
+          val merged = mutable.SortedMap(base.toSeq: _*)
+          (eM ++ eB).foreach {
+            case (k, Some(row)) => merged(k) = row
+            case (k, None) => merged.remove(k)
+          }
+          main.clear(); merged.foreach { case (k, row) => main(k) = row }
+          // merged schema: the per-column unification of the two heads —
+          // EXCEPT on a fast-forward, which adopts the branch snapshot
+          // (schema included) verbatim
+          mainSt =
+            if (mainCommits == 0) states(b)
+            else SchemaState(
+              if (states("main").vType == "bigint" ||
+                states(b).vType == "bigint") "bigint" else "int",
+              states("main").hasC1 || states(b).hasC1)
+          assert(canonRef("main") == snap(main),
+            s"[brevo/$ep] merged content diverged from the model merge")
+          assert(schemaOf("main") == ((mainSt.vType, mainSt.hasC1)),
+            s"[brevo/$ep] merged schema ${schemaOf("main")} != model " +
+              s"(${mainSt.vType}, ${mainSt.hasC1})")
+          outcomes(
+            if (mainCommits == 0) "fast-forward"
+            else if (evolved) "merged-evolved" else "merged") += 1
+        }
+        Branching.drop(spark, dir, b)
+      }
+    }
+    outcomes.toMap
+  }
+
   private def rowTrackingCampaign(seed: Int): Unit = {
     import graft.ops.{RowTracking => RT}
     val r = new Random(seed)
@@ -1023,6 +1232,207 @@ class LifecycleFuzzSpec extends AnyFunSuite {
     }
   }
 
+  /** DELETION-VECTOR × IVF fuzz (round 16 #4b — the other untested
+    * composition): the corpus is a DV-capable versioned table (the same
+    * plane SQL DELETE routes to — `GraftDelete.deleteWhere` IS
+    * `DeletionVectors.delete`), the covering IVF index rides beside it,
+    * and the campaign interleaves DV row deletes (bitmap commits, zero
+    * data bytes moved), DV compaction (fold to clean files), fold-commit
+    * "updates" (delete old id + fresh id re-add, then an O(delta) index
+    * refresh), and IVF rebalance under cluster-0 skew — so hot cells get
+    * split WHILE holding vectors whose corpus rows are DV-masked, the
+    * exact race the round-15 verdict flagged. Invariants after every op:
+    * the DV read equals the live model; the assign index covers exactly
+    * the INDEXED set (deletes don't reach the index — staleness is the
+    * documented contract, `coverage` is the caller's probe); every
+    * assign file stays one exact band; and a search at nprobe=ALL with
+    * k > #(masked-but-indexed), filtered to live corpus ids, returns
+    * EXACTLY the brute-force top-1 over the live corpus — a masked row
+    * may rank (staleness), but it must never displace the live truth.
+    */
+  test("DV deletes × IVF rebalance keep search exact over the live corpus (seed 5505)") {
+    dvIvfCampaign(5505)
+  }
+
+  private def dvIvfCampaign(seed: Int): Unit = {
+    import graft.ops.{DeletionVectors => DV}
+    import graft.similarity.IvfIndex
+    val r = new Random(seed)
+    val root = TestSpark.tmpDir("fuzz_dvivf")
+    val corpusDir = s"$root/corpus"
+    val ivfRoot = s"$root/ivf"
+    val dim = 8
+    val centers = Array(
+      Array.tabulate(dim)(j => 1.0 + 0.05 * j),
+      Array.tabulate(dim)(j => -1.0 + 0.03 * j))
+    def vec(c: Int, i: Long): Array[Double] =
+      Array.tabulate(dim)(j => centers(c)(j) + 0.15 * math.sin((i + 1) * (j + 2)))
+    def cosine(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var j = 0
+      while (j < dim) { d += a(j) * b(j); na += a(j) * a(j); nb += b(j) * b(j); j += 1 }
+      d / math.sqrt(na * nb)
+    }
+    // model: id -> cluster label; vectors are deterministic in (label, id)
+    val live = mutable.SortedMap.empty[Long, Int]
+    val indexed = mutable.SortedMap.empty[Long, Int]
+    def corpusDf(rows: Seq[(Long, Int)]) = rows
+      .map { case (id, c) => (id, c, vec(c, id).toSeq) }
+      .toDF("vec_id", "label", "embedding")
+    (0L until 60L).foreach { i => live(i) = (i % 2).toInt; indexed(i) = (i % 2).toInt }
+    VersionedTable.write(corpusDf(live.toSeq).coalesce(2), corpusDir)
+    IvfIndex.build(corpusDf(live.toSeq), ivfRoot, "vec_id", "embedding",
+      seedCol = "label")
+
+    def corpusCheck(tag: String): Unit = {
+      val got = DV.read(spark, corpusDir).select(col("vec_id"), col("label"))
+        .collect().map(row => (row.getLong(0), row.getInt(1))).sorted.toSeq
+      assert(got == live.toSeq,
+        s"[dvivf/$seed] $tag: DV-applied corpus diverged from the model")
+    }
+    def indexCheck(tag: String): Unit = {
+      val liveFiles = ActionLog.liveFiles(spark, s"$ivfRoot/assign")
+      assert(liveFiles.nonEmpty && liveFiles.forall {
+        case (_, Some((lo, hi, n))) => lo == hi && n > 0
+        case _ => false
+      }, s"[dvivf/$seed] $tag: every assign file must be one exact band")
+      val ids = ActionLog.read(spark, s"$ivfRoot/assign")
+        .select(col("vec_id")).collect().map(_.getLong(0)).sorted.toSeq
+      assert(ids == indexed.keys.toSeq,
+        s"[dvivf/$seed] $tag: index must cover the INDEXED set exactly " +
+          s"(${ids.size} vs ${indexed.size})")
+    }
+
+    var nextId = 20000L
+    var splitWithMasked = false
+    var searches = 0
+    // EXACTNESS over the live corpus: nprobe=ALL, k deep enough that
+    // masked-but-indexed rows cannot crowd out every live neighbor
+    def doSearch(i: Int): String = {
+      val masked = indexed.keySet -- live.keySet
+      val keys = r.shuffle(live.keys.toSeq).take(3)
+      val qs = keys.map { id =>
+        val src = vec(live(id), id)
+        (90000000L + id, src.zipWithIndex.map { case (x, j) =>
+          x + 0.01 * (if ((id * 17 + j) % 2 == 0) 1.0 else -1.0)
+        }.toSeq)
+      }.toDF("query_id", "embedding")
+      val nCells = ActionLog.read(spark, s"$ivfRoot/centroids").count().toInt
+      val kAll = 1 + masked.size
+      val ranked = IvfIndex.search(qs, corpusDf(Seq.empty), ivfRoot,
+        "query_id", "vec_id", "embedding", k = kAll, nprobe = nCells)
+        .select(col("query_id"), col("neighbor_id"), col("rank"))
+        .collect().map(row => (row.getLong(0), row.getLong(1), row.getInt(2)))
+      keys.foreach { id =>
+        val q = vec(live(id), id).zipWithIndex.map { case (x, j) =>
+          x + 0.01 * (if ((id * 17 + j) % 2 == 0) 1.0 else -1.0)
+        }
+        val truth = live.toSeq
+          .maxBy { case (cid, c) => (cosine(q, vec(c, cid)), -cid) }._1
+        val firstLive = ranked.filter(_._1 == 90000000L + id)
+          .sortBy(_._3).map(_._2).find(live.contains)
+        assert(firstLive.contains(truth),
+          s"[dvivf/$seed] op#$i: first LIVE neighbor for query of $id " +
+            s"is $firstLive, brute force over the live corpus says " +
+            s"$truth (masked=${masked.size}, k=$kAll)")
+        searches += 1
+      }
+      s"op#$i search k=$kAll masked=${masked.size}"
+    }
+    corpusCheck("init"); indexCheck("init")
+    for (i <- 1 to 14) {
+      val masked = indexed.keySet -- live.keySet
+      val pick = r.nextInt(100)
+      val tag: String = if (pick < 25 && live.size > 4) {
+        // DV delete 1-3 live rows, biased toward the skew cluster so
+        // masked rows land inside future hot cells
+        val pool = {
+          val zeros = live.collect { case (id, 0) => id }.toSeq
+          if (zeros.size > 2 && r.nextBoolean()) zeros else live.keys.toSeq
+        }
+        val ks = r.shuffle(pool).take(1 + r.nextInt(3))
+        val vBefore = VersionedTable.currentVersion(spark, corpusDir).get
+        val (_, n) = DV.delete(spark, corpusDir,
+          col("vec_id").isin(ks: _*))
+        assert(n == ks.size,
+          s"[dvivf/$seed] op#$i: delete must mask exactly the ${ks.size} live rows, masked $n")
+        ks.foreach(live.remove)
+        // re-deleting dead rows is a no-op with NO version minted
+        val (v2, n2) = DV.delete(spark, corpusDir,
+          col("vec_id").isin(ks.head))
+        assert(n2 == 0 && v2 == vBefore + 1,
+          s"[dvivf/$seed] op#$i: re-delete of a masked row must be commit-free")
+        s"op#$i dv-delete ${ks.size}"
+      } else if (pick < 45) {
+        // fold-commit "update": retire 0-2 live rows, mint replacements at
+        // fresh ids (skewed to cluster 0), fold DVs into a clean snapshot,
+        // then O(delta) index refresh for the fresh rows only
+        val retire = r.shuffle(live.keys.toSeq).take(r.nextInt(3))
+          .filter(_ => live.size > 4)
+        retire.foreach(live.remove)
+        val freshRows = (0 until 1 + r.nextInt(4)).map { _ =>
+          val id = nextId; nextId += 1
+          (id, if (r.nextInt(4) > 0) 0 else 1)
+        }
+        freshRows.foreach { case (id, c) => live(id) = c; indexed(id) = c }
+        VersionedTable.write(corpusDf(live.toSeq).coalesce(2), corpusDir)
+        IvfIndex.refresh(corpusDf(freshRows).select(col("vec_id"),
+          col("embedding")), ivfRoot, "vec_id", "embedding")
+        s"op#$i fold-update -${retire.size}+${freshRows.size}"
+      } else if (pick < 55) {
+        // compaction folds the bitmaps into clean files — content fixed
+        DV.compact(spark, corpusDir, 1 + r.nextInt(3))
+        s"op#$i dv-compact"
+      } else if (pick < 80) {
+        val cap = math.max(8L, 10L + r.nextInt(25))
+        var rounds = 0
+        var splitAny = false
+        while (IvfIndex.rebalance(spark, ivfRoot, cap, branch = 2).nonEmpty) {
+          rounds += 1; splitAny = true
+          assert(rounds <= 6,
+            s"[dvivf/$seed] op#$i: rebalance(cap=$cap) must converge")
+        }
+        if (splitAny && masked.nonEmpty) splitWithMasked = true
+        s"op#$i rebalance cap=$cap rounds=$rounds masked=${masked.size}"
+      } else {
+        doSearch(i)
+      }
+      corpusCheck(tag); indexCheck(tag)
+    }
+    // SCRIPTED FINALE — the composition the campaign exists for must
+    // occur regardless of which random branches the seed drew: mask two
+    // cluster-0 rows, pile skewed adds into cluster 0 until a cell is
+    // hot, split it WITH the masked vectors inside, then search.
+    val zeros = live.collect { case (id, 0) => id }.toSeq.take(2)
+    if (zeros.nonEmpty) {
+      DV.delete(spark, corpusDir, col("vec_id").isin(zeros: _*))
+      zeros.foreach(live.remove)
+    }
+    val pile = (0 until 18).map { _ =>
+      val id = nextId; nextId += 1; (id, 0)
+    }
+    pile.foreach { case (id, c) => live(id) = c; indexed(id) = c }
+    VersionedTable.write(corpusDf(live.toSeq).coalesce(2), corpusDir)
+    IvfIndex.refresh(corpusDf(pile).select(col("vec_id"), col("embedding")),
+      ivfRoot, "vec_id", "embedding")
+    corpusCheck("finale-setup"); indexCheck("finale-setup")
+    val maskedAtFinale = indexed.keySet -- live.keySet
+    assert(maskedAtFinale.nonEmpty,
+      s"[dvivf/$seed] finale must run with masked rows in the index")
+    var rounds = 0
+    var splitAny = false
+    while (IvfIndex.rebalance(spark, ivfRoot, 12L, branch = 2).nonEmpty) {
+      rounds += 1; splitAny = true
+      assert(rounds <= 8, s"[dvivf/$seed] finale rebalance must converge")
+    }
+    if (splitAny) splitWithMasked = true
+    corpusCheck("finale-rebalance"); indexCheck("finale-rebalance")
+    doSearch(99); doSearch(100)
+    assert(searches >= 3, s"[dvivf/$seed] too few searches ran ($searches)")
+    assert(splitWithMasked,
+      s"[dvivf/$seed] no rebalance split ever ran with masked rows in the " +
+        "index — the composition under test never occurred")
+  }
+
   /** Exploratory multi-seed sweep, cancelled unless GRAFT_FUZZ_SWEEP=n
     * is set: the pinned seeds above are regression guards; this is the
     * bug-HUNTING mode (run n fresh seeds of the three DML campaigns).
@@ -1042,6 +1452,11 @@ class LifecycleFuzzSpec extends AnyFunSuite {
       branchCampaign(9700 + s)
       rowTrackingCampaign(9800 + s)
       typedCampaign(9900 + s)
+      // round-16 composition campaigns: no assertCovered here — outcome
+      // coverage is seed-dependent; the pinned seeds assert it, the sweep
+      // hunts for model divergence under fresh interleavings
+      branchEvoCampaign(6600 + s)
+      dvIvfCampaign(5500 + s)
     }
   }
 
