@@ -1,0 +1,170 @@
+package graft
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.ActionLog
+
+/** SCALE-PROOF for the driver-resident metadata paths (round 16 #5).
+  *
+  * The IVF band layout, the log-carried pruning planner, and checkpoint
+  * resolution all hold a FILE/CELL INDEX on the driver and claim
+  * O(files)/O(cells) bounds in their doc comments. At the test SFs those
+  * structures hold a few dozen entries, so a hidden O(files²) step or an
+  * accidental per-file footer open would never show. This spec builds a
+  * 100,000-file / 10,000-cell action log out of METADATA ONLY — the log
+  * records are written directly in the `_log/NNNNNNNN.json` add-action
+  * format with recorded (lo, hi, n) stats; only ONE real data file exists
+  * (the catalog's single schema-probe footer) — and pins planning time
+  * and driver-heap growth for:
+  *
+  *   - `ActionLog.liveFiles` (the replay that every planner starts from);
+  *   - `stateDfAt` (checkpoint-bounded log resolution as a DataFrame);
+  *   - a PRUNED catalog SQL scan plan (the band predicate must keep only
+  *     the band's files, planned without opening any data footer — the
+  *     99,990 pruned files do not exist, so any accidental open throws);
+  *   - `IvfIndex.probeFiles` (the probe planning surface);
+  *   - `IvfIndex.rebalance` with nothing hot (the hot-cell detection
+  *     pass: per-cell counts from log stats alone, zero data reads).
+  *
+  * Time bounds are deliberately loose (VM noise) — the regression class
+  * this guards is super-linear blowup (100k² steps, 100k footer opens),
+  * which lands minutes-to-hours over the bound, not 20 %.
+  */
+class StressMetaSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val Cells = 10000
+  private val FilesPerCell = 10 // 100,000 files
+  private val RowsPerFile = 100L
+
+  /** Write a synthetic single-commit log of Cells × FilesPerCell add
+    * actions (one exact band per file, the IVF/appendByCell layout).
+    */
+  private def writeSyntheticLog(dir: String): Unit = {
+    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(new Path(s"$dir/_log"))
+    val sb = new StringBuilder(Cells * FilesPerCell * 64)
+    (0 until Cells).foreach { c =>
+      (0 until FilesPerCell).foreach { i =>
+        sb.append(s"""{"a":"add","p":"part-c$c-$i.parquet","lo":$c,"hi":$c,"n":$RowsPerFile}""")
+          .append('\n')
+      }
+    }
+    val out = fs.create(new Path(s"$dir/_log/00000001.json"), true)
+    try out.write(sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    val sc = fs.create(new Path(s"$dir/_log/_statscol"), true)
+    try sc.write("k".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally sc.close()
+  }
+
+  private def timed[T](body: => T): (T, Double) = {
+    val t0 = System.nanoTime()
+    val r = body
+    (r, (System.nanoTime() - t0) / 1e9)
+  }
+
+  private def usedHeap(): Long = {
+    System.gc(); System.gc()
+    Runtime.getRuntime.totalMemory - Runtime.getRuntime.freeMemory
+  }
+
+  test("100k-file log: planning stays O(files) metadata, zero data reads") {
+    val root = TestSpark.tmpDir("stressmeta")
+    val dir = s"$root/big"
+    writeSyntheticLog(dir)
+
+    // --- liveFiles: the replay every planner starts from -------------
+    val heap0 = usedHeap()
+    val (live, tLive) = timed(ActionLog.liveFiles(spark, dir))
+    val heap1 = usedHeap()
+    info(f"liveFiles(100k): ${tLive}%.2f s, heap +${(heap1 - heap0) / 1e6}%.0f MB")
+    assert(live.size == Cells * FilesPerCell)
+    assert(live.forall(_._2.isDefined), "every synthetic file carries stats")
+    assert(tLive < 30.0, f"liveFiles over 100k files took ${tLive}%.1f s " +
+      "— the replay is no longer O(files) metadata")
+    // each entry is a name + 3 longs; 100k of them is tens of MB. A
+    // super-linear structure (pairs, per-file copies of the file list)
+    // lands far above this.
+    assert(heap1 - heap0 < 512L * 1024 * 1024,
+      f"liveFiles retained ${(heap1 - heap0) / 1e6}%.0f MB for 100k entries")
+
+    // --- rowCountFromLog: pure stats fold ----------------------------
+    val (cnt, tCnt) = timed(ActionLog.rowCountFromLog(spark, dir))
+    info(f"rowCountFromLog: ${tCnt}%.2f s")
+    assert(cnt.contains(Cells * FilesPerCell * RowsPerFile))
+    assert(tCnt < 30.0)
+
+    // --- stateDfAt: log resolution as a DataFrame --------------------
+    val (n, tState) = timed(
+      ActionLog.stateDfAt(spark, dir, 1L).filter(col("a") === "add").count())
+    info(f"stateDfAt(100k).count: ${tState}%.2f s")
+    assert(n == Cells * FilesPerCell)
+    assert(tState < 45.0, f"stateDfAt took ${tState}%.1f s")
+
+    // --- pruned catalog SQL scan plan ---------------------------------
+    // the ONE real data file: the catalog opens exactly one footer for
+    // the table schema (liveFiles.head) — everything else never exists
+    val probeName = ActionLog.liveFiles(spark, dir).head._1
+    Seq((0L, 1L)).toDF("k", "v").coalesce(1)
+      .write.mode("overwrite").parquet(s"$root/_probe")
+    val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(new Path(s"$dir/data"))
+    val part = fs.listStatus(new Path(s"$root/_probe"))
+      .map(_.getPath).find(_.getName.endsWith(".parquet")).get
+    fs.rename(part, new Path(s"$dir/data/$probeName"))
+
+    val cat = s"graftstress${StressMetaSpec.catN.incrementAndGet()}"
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.source.GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.root", root)
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val (parts, tPlan) = timed {
+        val df = spark.sql(s"SELECT k FROM $cat.big WHERE k = 4242")
+        val scan = df.queryExecution.executedPlan.collect {
+          case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+        }.head
+        scan.inputPartitions
+      }
+      info(f"pruned scan plan: ${tPlan}%.2f s, ${parts.size} partitions kept")
+      assert(parts.size == FilesPerCell,
+        s"the k=4242 band holds $FilesPerCell files; the planner kept " +
+          s"${parts.size} of 100k — pruning broke or opened the world")
+      assert(tPlan < 30.0, f"scan planning took ${tPlan}%.1f s over 100k files")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+
+    // --- IVF probe + rebalance planning over the same shape ----------
+    // assign = a second synthetic 100k-file band log; centroids = a REAL
+    // (small) table of 10k cells, as rebalance/search read it wholesale
+    val ivfRoot = s"$root/ivf"
+    writeSyntheticLog(s"$ivfRoot/assign")
+    val cents = (0 until Cells).map { c =>
+      (c.toLong, Array.tabulate(8)(j => (c % 97 + j).toDouble).toSeq, 1.0)
+    }.toDF("cell", "centroid", "ctn")
+    ActionLog.append(cents.coalesce(1), s"$ivfRoot/centroids")
+
+    val (probed, tProbe) = timed(graft.similarity.IvfIndex.probeFiles(
+      spark, ivfRoot, Seq(1234L, 5678L)))
+    info(f"probeFiles(2 cells of 10k): ${tProbe}%.2f s, ${probed._1.size} files")
+    assert(probed._1.size == 2 * FilesPerCell && probed._2 == Cells * FilesPerCell)
+    assert(tProbe < 30.0, f"probe planning took ${tProbe}%.1f s")
+
+    // nothing hot at this cap (each cell holds 1,000 rows): the hot-cell
+    // detection must conclude from the log stats alone and touch ZERO
+    // data files (none exist to touch — an accidental read throws)
+    val (moves, tReb) = timed(graft.similarity.IvfIndex.rebalance(
+      spark, ivfRoot, maxCellRows = 5000L))
+    info(f"rebalance plan (nothing hot): ${tReb}%.2f s")
+    assert(moves.isEmpty)
+    assert(tReb < 45.0, f"rebalance planning took ${tReb}%.1f s")
+  }
+}
+
+object StressMetaSpec {
+  private val catN = new java.util.concurrent.atomic.AtomicInteger(0)
+}
