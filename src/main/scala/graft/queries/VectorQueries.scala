@@ -1029,5 +1029,88 @@ object VectorQueries {
         s"q321: post-rebalance near-dup recall@1 = $hits/$nQ < 0.9 — " +
           "split rows are not searchable")
       found
+    },
+
+    // ---------------------------------------------------------------- q322
+    // SQL ROW-LEVEL DML OVER ARRAY (EMBEDDING) COLUMNS (round 16): a 100 TB
+    // training corpus keeps its vectors IN the table, so UPDATE / DELETE /
+    // MERGE must work on array columns through the same DSv2 surface as
+    // scalars. This drives the full lifecycle on a versioned table built
+    // from `embeddings`: a copy-on-write UPDATE whose replacement snapshot
+    // streams arrays through the Group writer (standard 3-level lists —
+    // the same shape Spark's native writer emits), a simple-predicate
+    // DELETE through the deletion-vector plane (arrays then read back
+    // through the DV-aware row materializer), and a MERGE with matched
+    // array updates plus unmatched array inserts. Output is an integer
+    // per-row checksum (floor(x·10⁶ + 0.5) summed — pure IEEE double ops,
+    // bit-identical in Spark and DuckDB, so the hash compare is exact
+    // where a double sum would be fold-order-dependent). The oracle
+    // replays every statement as CTEs over the same parquet.
+    Q("q322_sql_array_dml",
+      """WITH base AS (SELECT vec_id, label,
+        |    CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |upd AS (SELECT vec_id, label,
+        |    CASE WHEN vec_id % 7 = 0 THEN list_transform(v, x -> x * 2)
+        |      ELSE v END AS v FROM base),
+        |del AS (SELECT * FROM upd WHERE vec_id NOT BETWEEN 100 AND 140),
+        |src AS (SELECT vec_id, list_transform(v, x -> x + 1) AS v
+        |  FROM base WHERE vec_id BETWEEN 200 AND 204),
+        |m1 AS (SELECT d.vec_id, d.label, COALESCE(s.v, d.v) AS v
+        |  FROM del d LEFT JOIN src s USING (vec_id)),
+        |fin AS (SELECT * FROM m1
+        |  UNION ALL SELECT vec_id + 10000 AS vec_id, CAST(-1 AS INTEGER),
+        |    list_transform(v, x -> -x) FROM base WHERE vec_id < 5)
+        |SELECT vec_id, label, CAST(len(v) AS INTEGER) AS n_elems,
+        |  CAST(list_sum(list_transform(v,
+        |    x -> CAST(floor(x * 1000000 + 0.5) AS BIGINT))) AS BIGINT)
+        |    AS checksum
+        |FROM fin""".stripMargin) { (s, dir) =>
+      import graft.ops.{VersionedTable => VT}
+      val root = Q.scratch(s, dir, "q322")
+      val tdir = s"$root/t"
+      val base = Tables.load(s, dir, "embeddings")
+        .select(col("vec_id"), col("label"),
+          col("embedding").cast("array<double>").as("embedding"))
+      // key-local layout (the q313 discipline): range-partition on the
+      // DML key so a pruning bug in the COW scan changes the hash
+      VT.write(base.repartitionByRange(8, col("vec_id")), tdir) // v1
+      val cat = "graftq322_" + java.security.MessageDigest.getInstance("MD5")
+        .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(6)
+      s.conf.set(s"spark.sql.catalog.$cat",
+        classOf[graft.source.GraftCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.root", root)
+      s.conf.set(s"spark.sql.catalog.$cat.features", "deletion-vectors")
+      // COW UPDATE: the whole replacement snapshot (arrays included)
+      // streams through GroupWrite into OCC staging
+      s.sql(s"UPDATE $cat.t SET embedding = transform(embedding, x -> x * 2d) " +
+        "WHERE vec_id % 7 = 0") // v2
+      require(VT.currentVersion(s, tdir).contains(2L),
+        "q322: UPDATE must mint one version")
+      // simple-predicate DELETE: the deletion-vector path — zero data
+      // bytes rewritten, arrays read back through the DV-masked scan
+      s.sql(s"DELETE FROM $cat.t WHERE vec_id >= 100 AND vec_id <= 140") // v3
+      require(VT.currentVersion(s, tdir).contains(3L),
+        "q322: DELETE must mint one version")
+      require(graft.ops.DeletionVectors.vectors(s, tdir, 3L).count() > 0,
+        "q322: the ranged DELETE must land as deletion vectors, not a rewrite")
+      // MERGE: matched arrays update, unmatched arrays insert — both
+      // arms write arrays through the Group writer
+      base.filter(col("vec_id").between(200, 204))
+        .select(col("vec_id"), col("label"),
+          transform(col("embedding"), x => x + lit(1d)).as("embedding"))
+        .unionByName(base.filter(col("vec_id") < 5)
+          .select((col("vec_id") + 10000L).as("vec_id"),
+            lit(-1).as("label"),
+            transform(col("embedding"), x => -x).as("embedding")))
+        .createOrReplaceTempView("q322_src")
+      s.sql(s"""MERGE INTO $cat.t t USING q322_src s ON t.vec_id = s.vec_id
+        |WHEN MATCHED THEN UPDATE SET embedding = s.embedding
+        |WHEN NOT MATCHED THEN INSERT *""".stripMargin) // v4
+      s.sql(s"""SELECT vec_id, label,
+        |  size(embedding) AS n_elems,
+        |  aggregate(embedding, 0L,
+        |    (acc, x) -> acc + CAST(floor(x * 1000000d + 0.5d) AS LONG))
+        |    AS checksum
+        |FROM $cat.t""".stripMargin)
     })
 }

@@ -397,6 +397,74 @@ private[source] class InternalRowReadSupport(schema: StructType,
               override def addBoolean(v: Boolean): Unit = ()
               override def addBinary(v: Binary): Unit = ()
             }: Converter
+            case Some(i) if schema.fields(i).dataType
+                .isInstanceOf[org.apache.spark.sql.types.ArrayType] =>
+              // ARRAY of primitive (round 16): the standard 3-level LIST
+              // shape — optional group (LIST) { repeated group list {
+              // optional <elem> element } } — decoded into ArrayData. A
+              // repeated-group occurrence whose element never fires is a
+              // NULL element (the 3-level null encoding).
+              val at = schema.fields(i).dataType
+                .asInstanceOf[org.apache.spark.sql.types.ArrayType]
+              require(!pf.isPrimitive,
+                s"cdf stream: ${pf.getName} is ${at.catalogString} in the " +
+                  "table but primitive in the file")
+              val lg = pf.asGroupType()
+              require(lg.getFieldCount == 1 && !lg.getType(0).isPrimitive &&
+                lg.getType(0).isRepetition(
+                  org.apache.parquet.schema.Type.Repetition.REPEATED),
+                s"cdf stream: ${pf.getName} is not the standard 3-level " +
+                  s"list shape: $lg")
+              val rep = lg.getType(0).asGroupType()
+              require(rep.getFieldCount == 1 && rep.getType(0).isPrimitive,
+                s"cdf stream: ${pf.getName} carries a nested element " +
+                  s"type — only arrays of primitives are supported: $rep")
+              val buf = scala.collection.mutable.ArrayBuffer.empty[Any]
+              var sawElem = false
+              val elemConv: PrimitiveConverter = at.elementType match {
+                case LongType => new PrimitiveConverter {
+                  override def addLong(v: Long): Unit = { buf += Long.box(v); sawElem = true }
+                  override def addInt(v: Int): Unit = { buf += Long.box(v.toLong); sawElem = true }
+                }
+                case IntegerType => new PrimitiveConverter {
+                  override def addInt(v: Int): Unit = { buf += Int.box(v); sawElem = true }
+                }
+                case ShortType => new PrimitiveConverter {
+                  override def addInt(v: Int): Unit = { buf += Short.box(v.toShort); sawElem = true }
+                }
+                case ByteType => new PrimitiveConverter {
+                  override def addInt(v: Int): Unit = { buf += Byte.box(v.toByte); sawElem = true }
+                }
+                case DoubleType => new PrimitiveConverter {
+                  override def addDouble(v: Double): Unit = { buf += Double.box(v); sawElem = true }
+                  override def addFloat(v: Float): Unit = { buf += Double.box(v.toDouble); sawElem = true }
+                }
+                case FloatType => new PrimitiveConverter {
+                  override def addFloat(v: Float): Unit = { buf += Float.box(v); sawElem = true }
+                }
+                case BooleanType => new PrimitiveConverter {
+                  override def addBoolean(v: Boolean): Unit = { buf += Boolean.box(v); sawElem = true }
+                }
+                case StringType => new PrimitiveConverter {
+                  override def addBinary(v: Binary): Unit = {
+                    buf += UTF8String.fromBytes(v.getBytes); sawElem = true
+                  }
+                }
+                case other => sys.error(
+                  s"cdf stream: unsupported array element type $other (${pf.getName})")
+              }
+              val listConv = new GroupConverter {
+                override def getConverter(k: Int): Converter = elemConv
+                override def start(): Unit = { sawElem = false }
+                override def end(): Unit = { if (!sawElem) buf += null }
+              }
+              new GroupConverter {
+                override def getConverter(k: Int): Converter = listConv
+                override def start(): Unit = buf.clear()
+                override def end(): Unit = current(i) =
+                  new org.apache.spark.sql.catalyst.util.GenericArrayData(
+                    buf.toArray)
+              }: Converter
             case Some(i) =>
               val f = schema.fields(i)
               require(pf.isPrimitive,
@@ -574,7 +642,16 @@ private[source] class GraftColumnarReader(p: CdfFilePartition,
         slotToInner.get(i) match {
           case Some(j) =>
             val v = inner.column(j)
-            require(v.dataType() == f.dataType,
+            // arrays compare on ELEMENT type only: file vintages disagree
+            // on containsNull (Spark's native writer emits required
+            // elements for Seq[Double]; GroupWrite emits optional ones),
+            // and either nullability claim reads the other's values fine
+            val ok = (v.dataType(), f.dataType) match {
+              case (org.apache.spark.sql.types.ArrayType(ea, _),
+                org.apache.spark.sql.types.ArrayType(eb, _)) => ea == eb
+              case (a, b) => a == b
+            }
+            require(ok,
               s"GraftColumnarReader(${p.file}): column ${f.name} is " +
                 s"${v.dataType()} in the file but ${f.dataType} in the " +
                 "table — this flavor must use the row-based reader")
@@ -632,6 +709,14 @@ private[source] class CdfReaderFactory(schema: StructType,
       case LongType | IntegerType | DoubleType | FloatType | BooleanType |
         StringType | DateType | TimestampType | TimestampNTZType => true
       case d: DecimalType if d.precision <= 18 => true
+      // arrays of primitives (round 16): Spark's vectorized reader
+      // decodes nested LIST columns natively — the requested file type
+      // passes through by name, so the batch path serves embeddings
+      case org.apache.spark.sql.types.ArrayType(et, _) => et match {
+        case LongType | IntegerType | ShortType | ByteType | DoubleType |
+          FloatType | BooleanType | StringType => true
+        case _ => false
+      }
       case _ => false
     }) && fill.valuesIterator.forall {
       // every fill must be expressible as a ConstantColumnVector — an

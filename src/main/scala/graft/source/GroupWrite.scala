@@ -36,41 +36,66 @@ private[source] object GroupWrite {
   def messageType(schema: StructType): MessageType = {
     val b = Types.buildMessage()
     schema.fields.foreach { f =>
-      val t = f.dataType match {
-        case LongType => Types.optional(INT64)
-        case IntegerType => Types.optional(INT32)
+      val t: org.apache.parquet.schema.Type = f.dataType match {
+        case LongType => Types.optional(INT64).named(f.name)
+        case IntegerType => Types.optional(INT32).named(f.name)
         // narrow integrals ride INT32 physically with an intType width
         // annotation — mirrors the read-side SMALLINT/TINYINT converters
         // (round 15's type-widening-fuzz find); without these the write
         // half of SQL UPDATE/MERGE/rewrite-DELETE on a pre-widen table
         // died at executor task time while the read half succeeded
         case ShortType => Types.optional(INT32)
-          .as(LogicalTypeAnnotation.intType(16, true))
+          .as(LogicalTypeAnnotation.intType(16, true)).named(f.name)
         case ByteType => Types.optional(INT32)
-          .as(LogicalTypeAnnotation.intType(8, true))
-        case DoubleType => Types.optional(DOUBLE)
-        case FloatType => Types.optional(FLOAT)
-        case BooleanType => Types.optional(BOOLEAN)
+          .as(LogicalTypeAnnotation.intType(8, true)).named(f.name)
+        case DoubleType => Types.optional(DOUBLE).named(f.name)
+        case FloatType => Types.optional(FLOAT).named(f.name)
+        case BooleanType => Types.optional(BOOLEAN).named(f.name)
         case StringType => Types.optional(BINARY)
-          .as(LogicalTypeAnnotation.stringType())
+          .as(LogicalTypeAnnotation.stringType()).named(f.name)
         case DateType => Types.optional(INT32)
-          .as(LogicalTypeAnnotation.dateType())
+          .as(LogicalTypeAnnotation.dateType()).named(f.name)
         case TimestampType => Types.optional(INT64)
           .as(LogicalTypeAnnotation.timestampType(true,
-            LogicalTypeAnnotation.TimeUnit.MICROS))
+            LogicalTypeAnnotation.TimeUnit.MICROS)).named(f.name)
         case TimestampNTZType => Types.optional(INT64)
           .as(LogicalTypeAnnotation.timestampType(false,
-            LogicalTypeAnnotation.TimeUnit.MICROS))
+            LogicalTypeAnnotation.TimeUnit.MICROS)).named(f.name)
         case d: DecimalType if d.precision <= 9 =>
           Types.optional(INT32)
             .as(LogicalTypeAnnotation.decimalType(d.scale, d.precision))
+            .named(f.name)
         case d: DecimalType if d.precision <= 18 =>
           Types.optional(INT64)
             .as(LogicalTypeAnnotation.decimalType(d.scale, d.precision))
+            .named(f.name)
+        // ARRAY of primitive (round 16: embeddings are a first-class DML
+        // surface) — the STANDARD 3-level list form, the same shape
+        // Spark's native writer produces (writeLegacyFormat=false), so
+        // GroupWrite output and Spark output stay mutually readable:
+        //   optional group col (LIST) {
+        //     repeated group list { optional <elem> element } }
+        case ArrayType(et, _) =>
+          val lb = Types.optionalList()
+          (et match {
+            case LongType => lb.optionalElement(INT64)
+            case IntegerType => lb.optionalElement(INT32)
+            case ShortType => lb.optionalElement(INT32)
+              .as(LogicalTypeAnnotation.intType(16, true))
+            case ByteType => lb.optionalElement(INT32)
+              .as(LogicalTypeAnnotation.intType(8, true))
+            case DoubleType => lb.optionalElement(DOUBLE)
+            case FloatType => lb.optionalElement(FLOAT)
+            case BooleanType => lb.optionalElement(BOOLEAN)
+            case StringType => lb.optionalElement(BINARY)
+              .as(LogicalTypeAnnotation.stringType())
+            case other => sys.error(
+              s"GroupWrite: unsupported array element type $other (${f.name})")
+          }).named(f.name)
         case other => sys.error(
           s"GroupWrite: unsupported column type $other (${f.name})")
       }
-      b.addField(t.named(f.name))
+      b.addField(t)
     }
     b.named("graft")
   }
@@ -152,6 +177,30 @@ private[source] class GroupDataWriterFactory(stageDir: String,
             case d: DecimalType if d.precision <= 18 =>
               g.add(f.name,
                 row.getDecimal(i, d.precision, d.scale).toUnscaledLong)
+            // ARRAY: one "list" group occurrence per element inside the
+            // LIST wrapper; a null element is an occurrence with no
+            // "element" value (the standard 3-level encoding)
+            case ArrayType(et, _) =>
+              val arr = row.getArray(i)
+              val lg = g.addGroup(f.name)
+              var j = 0
+              while (j < arr.numElements()) {
+                val el = lg.addGroup("list")
+                if (!arr.isNullAt(j)) et match {
+                  case LongType => el.add("element", arr.getLong(j))
+                  case IntegerType => el.add("element", arr.getInt(j))
+                  case ShortType => el.add("element", arr.getShort(j).toInt)
+                  case ByteType => el.add("element", arr.getByte(j).toInt)
+                  case DoubleType => el.add("element", arr.getDouble(j))
+                  case FloatType => el.add("element", arr.getFloat(j))
+                  case BooleanType => el.add("element", arr.getBoolean(j))
+                  case StringType => el.add("element",
+                    Binary.fromConstantByteArray(arr.getUTF8String(j).getBytes))
+                  case other => sys.error(
+                    s"GroupWrite: unsupported array element type $other (${f.name})")
+                }
+                j += 1
+              }
             case other => sys.error(
               s"GroupWrite: unsupported column type $other (${f.name})")
           }

@@ -25,6 +25,55 @@ class Round16OpsSpec extends AnyFunSuite {
     cat
   }
 
+  test("SQL over array columns: columnar scan, COW UPDATE, DV DELETE, MERGE") {
+    import org.apache.spark.sql.functions._
+    val root = TestSpark.tmpDir("r16arr")
+    val df = spark.range(0L, 30L).toDF("k")
+      .withColumn("emb",
+        array((0 until 4).map(j => (col("k") * 10 + j).cast("double")): _*))
+      .withColumn("tags", array(concat(lit("t"), col("k") % 3)))
+    graft.ops.VersionedTable.write(df, s"$root/w")
+    val cat = registerCat(root, "arr")
+    def sumEmb(): Double = spark.sql(
+      s"SELECT sum(aggregate(emb, 0d, (a, x) -> a + x)) FROM $cat.w")
+      .head.getDouble(0)
+    val base = (0L until 30L).map(k => (0 until 4).map(j => k * 10.0 + j).sum).sum
+    // columnar scan path: arrays decode through the vectorized reader
+    assert(math.abs(sumEmb() - base) < 1e-6)
+    // COW UPDATE: the replacement snapshot streams arrays through GroupWrite
+    spark.sql(s"UPDATE $cat.w SET emb = transform(emb, x -> x + 1000d) WHERE k < 5")
+    assert(math.abs(sumEmb() - (base + 5 * 4 * 1000.0)) < 1e-6)
+    // simple-predicate DELETE: the DV path — arrays then read through the
+    // DV-aware (row-based) scan with the bitmap applied
+    spark.sql(s"DELETE FROM $cat.w WHERE k = 7")
+    val after7 = base + 5 * 4 * 1000.0 - (0 until 4).map(j => 70.0 + j).sum
+    assert(math.abs(sumEmb() - after7) < 1e-6)
+    assert(spark.sql(s"SELECT count(*) FROM $cat.w").head.getLong(0) == 29)
+    // string arrays survive the same round-trip
+    val tagRow = spark.sql(
+      s"SELECT tags FROM $cat.w WHERE k = 4").head.getSeq[String](0)
+    assert(tagRow == Seq("t1"))
+    // MERGE: matched array update + not-matched array insert
+    spark.range(29L, 32L).toDF("k")
+      .withColumn("emb", array(lit(1d), lit(2d), lit(3d), lit(4d)))
+      .withColumn("tags", array(lit("m")))
+      .createOrReplaceTempView("r16arrsrc")
+    spark.sql(
+      s"""MERGE INTO $cat.w t USING r16arrsrc s ON t.k = s.k
+         |WHEN MATCHED THEN UPDATE SET emb = s.emb, tags = s.tags
+         |WHEN NOT MATCHED THEN INSERT (k, emb, tags) VALUES (s.k, s.emb, s.tags)
+         |""".stripMargin)
+    val merged = spark.sql(
+      s"SELECT k, emb, tags FROM $cat.w WHERE k >= 29 ORDER BY k").collect()
+    assert(merged.length == 3 && merged.forall(r =>
+      r.getSeq[Double](1) == Seq(1d, 2d, 3d, 4d) &&
+        r.getSeq[String](2) == Seq("m")))
+    // null and empty arrays round-trip through the rewrite path
+    spark.sql(s"UPDATE $cat.w SET emb = NULL, tags = array() WHERE k = 31")
+    val r31 = spark.sql(s"SELECT emb, tags FROM $cat.w WHERE k = 31").head
+    assert(r31.isNullAt(0) && r31.getSeq[String](1) == Seq.empty)
+  }
+
   test("widening matrix: full integral chain admitted, cross-family refused") {
     import graft.ops.TypeWidening.isWidening
     import org.apache.spark.sql.types._
