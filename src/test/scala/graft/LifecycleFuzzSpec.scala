@@ -1282,6 +1282,10 @@ class LifecycleFuzzSpec extends AnyFunSuite {
     VersionedTable.write(corpusDf(live.toSeq).coalesce(2), corpusDir)
     IvfIndex.build(corpusDf(live.toSeq), ivfRoot, "vec_id", "embedding",
       seedCol = "label")
+    // the SQL route to the same plane: `DELETE ... WHERE vec_id IN (...)`
+    // translates to a deletion-vector commit through the catalog (arrays
+    // are first-class on the DSv2 surface since round 16)
+    val cat = registerCat(root, s"dvivf$seed")
 
     def corpusCheck(tag: String): Unit = {
       val got = DV.read(spark, corpusDir).select(col("vec_id"), col("label"))
@@ -1351,17 +1355,29 @@ class LifecycleFuzzSpec extends AnyFunSuite {
         }
         val ks = r.shuffle(pool).take(1 + r.nextInt(3))
         val vBefore = VersionedTable.currentVersion(spark, corpusDir).get
-        val (_, n) = DV.delete(spark, corpusDir,
-          col("vec_id").isin(ks: _*))
-        assert(n == ks.size,
-          s"[dvivf/$seed] op#$i: delete must mask exactly the ${ks.size} live rows, masked $n")
+        val viaSql = r.nextBoolean()
+        if (viaSql) { // the catalog route: IN translates -> DV commit
+          spark.sql(s"DELETE FROM $cat.corpus WHERE vec_id IN " +
+            ks.mkString("(", ",", ")"))
+          assert(VersionedTable.currentVersion(spark, corpusDir)
+            .contains(vBefore + 1),
+            s"[dvivf/$seed] op#$i: SQL DELETE must mint one DV version")
+          assert(DV.vectors(spark, corpusDir, vBefore + 1).count() > 0,
+            s"[dvivf/$seed] op#$i: SQL DELETE must land as deletion " +
+              "vectors, not a rewrite")
+        } else {
+          val (_, n) = DV.delete(spark, corpusDir,
+            col("vec_id").isin(ks: _*))
+          assert(n == ks.size,
+            s"[dvivf/$seed] op#$i: delete must mask exactly the ${ks.size} live rows, masked $n")
+        }
         ks.foreach(live.remove)
         // re-deleting dead rows is a no-op with NO version minted
         val (v2, n2) = DV.delete(spark, corpusDir,
           col("vec_id").isin(ks.head))
         assert(n2 == 0 && v2 == vBefore + 1,
           s"[dvivf/$seed] op#$i: re-delete of a masked row must be commit-free")
-        s"op#$i dv-delete ${ks.size}"
+        s"op#$i dv-delete ${ks.size} sql=$viaSql"
       } else if (pick < 45) {
         // fold-commit "update": retire 0-2 live rows, mint replacements at
         // fresh ids (skewed to cluster 0), fold DVs into a clean snapshot,

@@ -74,6 +74,35 @@ class Round16OpsSpec extends AnyFunSuite {
     assert(r31.isNullAt(0) && r31.getSeq[String](1) == Seq.empty)
   }
 
+  test("CDF stream carries array columns (the row materializer's list path)") {
+    import org.apache.spark.sql.functions._
+    import graft.ops.{ChangeFeed, VersionedTable}
+    val root = TestSpark.tmpDir("r16arrstream") + "/t"
+    def df(rows: Seq[(Long, Seq[Double])]) = rows.toDF("k", "emb")
+    VersionedTable.write(df(Seq(1L -> Seq(1.0, 2.0), 2L -> Seq(3.0, 4.0))), root)
+    ChangeFeed.commit(
+      df(Seq(1L -> Seq(9.0, 9.0), 2L -> Seq(3.0, 4.0), 3L -> Seq(5.0, 6.0))),
+      root, Seq("k")) // v2: update k=1's vector, insert k=3
+    val got = collection.mutable.ArrayBuffer.empty[(Long, Seq[Double], String)]
+    val q = graft.source.CdfStream.read(spark, root,
+      startingVersion = Some(1L))
+      .writeStream
+      .option("checkpointLocation", TestSpark.tmpDir("r16arrstream-ckpt"))
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        b.select(col("k"), col("emb"), col(ChangeFeed.ChangeType)).collect()
+          .foreach(r => got.synchronized {
+            got += ((r.getLong(0), r.getSeq[Double](1), r.getString(2)))
+          })
+      }.start()
+    try q.processAllAvailable() finally q.stop()
+    val byKey = got.sortBy(r => (r._1, r._3)).toSeq
+    assert(byKey.exists(r => r._1 == 1L && r._3 == "update_postimage" &&
+      r._2 == Seq(9.0, 9.0)),
+      s"the post-image must carry the updated vector: $byKey")
+    assert(byKey.exists(r => r._1 == 3L && r._3 == "insert" &&
+      r._2 == Seq(5.0, 6.0)), s"the insert must carry its vector: $byKey")
+  }
+
   test("widening matrix: full integral chain admitted, cross-family refused") {
     import graft.ops.TypeWidening.isWidening
     import org.apache.spark.sql.types._
