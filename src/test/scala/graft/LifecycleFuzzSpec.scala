@@ -1449,6 +1449,141 @@ class LifecycleFuzzSpec extends AnyFunSuite {
         "index — the composition under test never occurred")
   }
 
+  /** ARRAY-COLUMN DML fuzz (round 16: arrays became first-class on the
+    * DSv2 surface mid-round — new surface goes under fuzz the round it
+    * lands). Seeded random SQL UPDATE (element transforms, NULLing whole
+    * arrays), DELETE (ranged → the deletion-vector plane; modulo → the
+    * row-level rewrite form), MERGE (matched array updates + unmatched
+    * inserts carrying empty arrays and NULL elements), and INSERT INTO
+    * against a versioned (k, emb, tag) table, with the model holding
+    * arrays as Seq[Option[Double]] so NULL elements, NULL arrays, and
+    * empty arrays are all distinct states the engine must round-trip
+    * bit-exactly through every write path (Spark-written files and
+    * GroupWrite rewrites interleave).
+    */
+  test("array columns survive a seeded random SQL DML lifecycle (seed 4404)") {
+    arrayCampaign(4404)
+  }
+
+  private def arrayCampaign(seed: Int): Unit = {
+    val r = new Random(seed)
+    val root = TestSpark.tmpDir("fuzz_arr")
+    val dir = s"$root/t"
+    val cat = registerCat(root, s"arr$seed")
+    type Emb = Option[Seq[Option[Double]]]
+    val model = mutable.SortedMap.empty[Long, (Emb, Option[String])]
+    def genEmb(): Emb = r.nextInt(10) match {
+      case 0 => None // NULL array
+      case 1 => Some(Seq.empty) // empty array
+      case _ => Some((0 until 1 + r.nextInt(4)).map(_ =>
+        if (r.nextInt(8) == 0) None // NULL element
+        else Some(r.nextInt(1000).toDouble)))
+    }
+    def embSql(e: Emb): String = e match {
+      case None => "CAST(NULL AS ARRAY<DOUBLE>)"
+      case Some(xs) if xs.isEmpty => "CAST(array() AS ARRAY<DOUBLE>)"
+      case Some(xs) => xs.map {
+        case Some(x) => s"${x}d"
+        case None => "CAST(NULL AS DOUBLE)"
+      }.mkString("array(", ",", ")")
+    }
+    var nextKey = 0L
+    def freshRows(n: Int): Seq[(Long, Emb, Option[String])] =
+      (0 until n).map { _ =>
+        val k = nextKey; nextKey += 1
+        (k, genEmb(), genS(r))
+      }
+    def valuesSql(rows: Seq[(Long, Emb, Option[String])]): String =
+      rows.map { case (k, e, s0) =>
+        val sv = s0.map(x => s"'$x'").getOrElse("CAST(NULL AS STRING)")
+        s"(${k}L, ${embSql(e)}, $sv)"
+      }.mkString(", ")
+    def check(tag: String): Unit = {
+      val got = spark.sql(s"SELECT k, emb, tag FROM $cat.t").collect()
+        .map { row =>
+          val e: Emb =
+            if (row.isNullAt(1)) None
+            else Some(row.getSeq[Any](1).map(v =>
+              Option(v).map(_.asInstanceOf[Double])))
+          (row.getLong(0), e, Option(row.getString(2)))
+        }.sortBy(_._1).toSeq
+      val want = model.toSeq.map { case (k, (e, s0)) => (k, e, s0) }
+      assert(got == want, s"[arr/$seed] $tag: content diverged\n" +
+        s"  only-live : ${got.diff(want).take(3)}\n" +
+        s"  only-model: ${want.diff(got).take(3)}")
+    }
+
+    val init = freshRows(20)
+    init.foreach { case (k, e, s0) => model(k) = (e, s0) }
+    // build the initial snapshot THROUGH SQL so element nulls land exactly
+    // as the engine writes them
+    VersionedTable.write(
+      spark.sql(s"SELECT * FROM VALUES ${valuesSql(init)} AS t(k, emb, tag)")
+        .repartitionByRange(3, col("k")), dir)
+    check("init")
+
+    for (i <- 1 to 14) {
+      val pick = r.nextInt(100)
+      val tag: String = if (pick < 20) { // element transform UPDATE
+        val m = 2 + r.nextInt(4); val c = r.nextInt(m)
+        val d = 1 + r.nextInt(9)
+        spark.sql(s"UPDATE $cat.t SET emb = transform(emb, x -> x + ${d}d) " +
+          s"WHERE k % $m = $c")
+        model.keys.toSeq.filter(k => k % m == c).foreach { k =>
+          val (e, s0) = model(k)
+          model(k) = (e.map(_.map(_.map(_ + d))), s0)
+        }
+        s"op#$i transform"
+      } else if (pick < 30) { // NULL a row's array / empty it
+        if (model.nonEmpty) {
+          val k = model.keys.toSeq(r.nextInt(model.size))
+          val toEmpty = r.nextBoolean()
+          spark.sql(s"UPDATE $cat.t SET emb = " +
+            (if (toEmpty) "array()" else "NULL") + s" WHERE k = $k")
+          val (_, s0) = model(k)
+          model(k) = (if (toEmpty) Some(Seq.empty) else None, s0)
+        }
+        s"op#$i null-out"
+      } else if (pick < 45) { // ranged DELETE -> deletion vectors
+        if (model.size > 4) {
+          val ks = model.keys.toSeq
+          val lo = ks(r.nextInt(ks.size))
+          val hi = lo + r.nextInt(5)
+          spark.sql(s"DELETE FROM $cat.t WHERE k >= $lo AND k <= $hi")
+          model.keys.toSeq.filter(k => k >= lo && k <= hi)
+            .foreach(model.remove)
+        }
+        s"op#$i dv-delete"
+      } else if (pick < 55) { // modulo DELETE -> the rewrite form
+        if (model.size > 6) {
+          val m = 5 + r.nextInt(4); val c = r.nextInt(m)
+          spark.sql(s"DELETE FROM $cat.t WHERE k % $m = $c AND size(emb) >= 0")
+          model.keys.toSeq
+            .filter(k => k % m == c && model(k)._1.isDefined)
+            .foreach(model.remove)
+        }
+        s"op#$i rewrite-delete"
+      } else if (pick < 80) { // MERGE: matched update + unmatched insert
+        val touch = r.shuffle(model.keys.toSeq).take(r.nextInt(3))
+        val fresh = freshRows(1 + r.nextInt(3))
+        val srcRows = touch.map(k => (k, genEmb(), genS(r))) ++ fresh
+        spark.sql(s"SELECT * FROM VALUES ${valuesSql(srcRows)} " +
+          "AS t(k, emb, tag)").createOrReplaceTempView("fuzz_arr_src")
+        spark.sql(s"""MERGE INTO $cat.t t USING fuzz_arr_src s ON t.k = s.k
+          |WHEN MATCHED THEN UPDATE SET emb = s.emb, tag = s.tag
+          |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+        srcRows.foreach { case (k, e, s0) => model(k) = (e, s0) }
+        s"op#$i merge +${fresh.size}"
+      } else { // INSERT INTO appends
+        val fresh = freshRows(1 + r.nextInt(3))
+        spark.sql(s"INSERT INTO $cat.t VALUES ${valuesSql(fresh)}")
+        fresh.foreach { case (k, e, s0) => model(k) = (e, s0) }
+        s"op#$i insert"
+      }
+      check(tag)
+    }
+  }
+
   /** Exploratory multi-seed sweep, cancelled unless GRAFT_FUZZ_SWEEP=n
     * is set: the pinned seeds above are regression guards; this is the
     * bug-HUNTING mode (run n fresh seeds of the three DML campaigns).
@@ -1473,6 +1608,7 @@ class LifecycleFuzzSpec extends AnyFunSuite {
       // hunts for model divergence under fresh interleavings
       branchEvoCampaign(6600 + s)
       dvIvfCampaign(5500 + s)
+      arrayCampaign(4400 + s)
     }
   }
 

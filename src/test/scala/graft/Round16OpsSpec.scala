@@ -74,6 +74,46 @@ class Round16OpsSpec extends AnyFunSuite {
     assert(r31.isNullAt(0) && r31.getSeq[String](1) == Seq.empty)
   }
 
+  test("log-layout SQL UPDATE rewrites array columns (GraftLogCowScan path)") {
+    import org.apache.spark.sql.functions._
+    val root = TestSpark.tmpDir("r16arrlog")
+    val dir = s"$root/t"
+    graft.ops.ActionLog.append(
+      spark.range(0L, 20L).toDF("k")
+        .withColumn("emb", array(col("k").cast("double"),
+          (col("k") * 2).cast("double"))).coalesce(2),
+      dir, Some("k"))
+    val cat = registerCat(root, "arrlog")
+    spark.sql(s"UPDATE $cat.t SET emb = transform(emb, x -> x + 100d) WHERE k < 5")
+    val got = spark.sql(
+      s"SELECT sum(aggregate(emb, 0d, (a, x) -> a + x)) FROM $cat.t")
+      .head.getDouble(0)
+    val want = (0L until 20L).map(k => k + 2.0 * k).sum + 5 * 2 * 100.0
+    assert(math.abs(got - want) < 1e-9, s"got $got want $want")
+    // the rewrite re-recorded stats (the r15 invariant, now over arrays)
+    val live = graft.ops.ActionLog.liveFiles(spark, dir)
+    assert(live.nonEmpty && live.forall(_._2.isDefined),
+      s"log COW over arrays must keep per-file stats: $live")
+  }
+
+  test("column-mapping rename over an array column reads through the nameMap") {
+    import org.apache.spark.sql.functions._
+    import graft.ops.{ColumnMapping => CM}
+    val root = TestSpark.tmpDir("r16arrmap")
+    val dir = s"$root/t"
+    CM.writeData(spark.range(0L, 10L).toDF("k")
+      .withColumn("emb", array(col("k").cast("double"),
+        lit(1.5))), dir)
+    val cat = registerCat(root, "arrmap")
+    spark.sql(s"ALTER TABLE $cat.t RENAME COLUMN emb TO vec")
+    val got = spark.sql(
+      s"SELECT sum(aggregate(vec, 0d, (a, x) -> a + x)) FROM $cat.t")
+      .head.getDouble(0)
+    assert(math.abs(got - ((0L until 10L).map(_.toDouble).sum + 10 * 1.5)) < 1e-9)
+    // rename is metadata-only: the physical files still carry the old name
+    assert(CM.read(spark, dir).columns.contains("vec"))
+  }
+
   test("CDF stream carries array columns (the row materializer's list path)") {
     import org.apache.spark.sql.functions._
     import graft.ops.{ChangeFeed, VersionedTable}
