@@ -160,6 +160,43 @@ object TypeWidening {
     next
   }
 
+  /** Whole-snapshot REWRITE at the live manifest types (the commit shape
+    * behind INSERT OVERWRITE and the row-level SQL rewrite on this
+    * plane): the next version carries the full content under `data/`
+    * with the manifest carried forward and NO `_prev` — the chain ends
+    * here because the rewrite materialized every epoch. Older versions
+    * keep their own chains (time travel intact); later [[append]]s and
+    * [[widen]]s chain off the rewrite as usual.
+    */
+  def rewrite(df: DataFrame, dir: String): Long = {
+    val spark = df.sparkSession
+    val fs = fsOf(spark, dir)
+    val cur = VersionedTable.currentVersion(spark, dir).getOrElse(
+      sys.error(s"TypeWidening.rewrite($dir): no complete snapshot"))
+    val types = typesOf(spark, dir, cur)
+    require(df.columns.toSeq == types.map(_._1),
+      s"TypeWidening.rewrite($dir): columns ${df.columns.toSeq} != " +
+        s"manifest ${types.map(_._1)}")
+    val stored = df.select(types.map { case (n, t) => col(n).cast(t).as(n) }: _*)
+    val (_, next) = nextVersion(spark, fs, dir)
+    val vd = VersionedTable.verDir(dir, next)
+    stored.write.mode(SaveMode.Overwrite).parquet(new Path(vd, DataName).toString)
+    writeTypes(fs, vd, types)
+    sealCommit(spark, fs, dir, next)
+    next
+  }
+
+  /** The sidecars a STAGED rewrite dir needs before its OCC claim: the
+    * live manifest under `_types` (data must land under `data/` — the
+    * caller's writer factory does that). The group-COW write path calls
+    * this at commit so the claimed version reads as a typed snapshot.
+    */
+  private[graft] def stageManifest(spark: SparkSession, dir: String,
+      stageDir: String, baseVersion: Long): Unit = {
+    val fs = fsOf(spark, dir)
+    writeTypes(fs, new Path(stageDir), typesOf(spark, dir, baseVersion))
+  }
+
   /** The chain of data-bearing versions for `version`, oldest first. */
   private def chain(spark: SparkSession, dir: String,
       version: Long): Seq[Long] = {

@@ -3658,5 +3658,83 @@ object OptimizerQueries {
         case Some(v) => s.conf.set(ActionLog.AutoCheckpointConf, v)
         case None => s.conf.unset(ActionLog.AutoCheckpointConf)
       }
+    },
+
+    // ---------------------------------------------------------------- q323
+    // ROW-LEVEL SQL ON THE TYPE-WIDENING PLANE (round 16): a table that
+    // lived through ALTER COLUMN TYPE genuinely mixes physical epochs
+    // (int16 files before the widen, int32 after) for months at 100 TB —
+    // and it still needs UPDATE / DELETE / MERGE. The COW scan renders
+    // EVERY epoch at the live manifest; the replacement commits as a
+    // typed REWRITE (data/ + manifest carried forward, chain ended)
+    // through the same OCC claim as the versioned plane, so time travel
+    // to pre-rewrite versions keeps each epoch's own manifest. The
+    // lifecycle here: SMALLINT init → SQL widen → INSERT INTO (an INT
+    // epoch) → UPDATE spanning both epochs → rewrite-form DELETE → MERGE
+    // whose unmatched arm RE-INSERTS previously deleted keys. All-integer
+    // arithmetic, so the DuckDB CTE replay is hash-exact.
+    Q("q323_sql_widening_dml",
+      """WITH s0 AS (SELECT CAST(s_suppkey AS BIGINT) AS k,
+        |    CAST(s_nationkey AS INTEGER) AS a,
+        |    CAST(s_suppkey % 1000 AS INTEGER) AS v FROM supplier),
+        |t1 AS (SELECT * FROM s0
+        |  UNION ALL SELECT k + 100000, a + 1, v FROM s0),
+        |t2 AS (SELECT k, CASE WHEN k % 3 = 0 THEN a + 100 ELSE a END AS a,
+        |    v FROM t1),
+        |t3 AS (SELECT * FROM t2 WHERE a % 2 <> 1),
+        |src AS (SELECT k, CAST(-5 AS INTEGER) AS a,
+        |    CAST(0 AS INTEGER) AS v FROM s0 WHERE k < 10
+        |  UNION ALL SELECT k + 200000, CAST(-7 AS INTEGER),
+        |    CAST(0 AS INTEGER) FROM s0 WHERE k < 10),
+        |mm AS (SELECT t.k, COALESCE(s.a, t.a) AS a, t.v
+        |  FROM t3 t LEFT JOIN src s USING (k)),
+        |ni AS (SELECT s.k, s.a, s.v FROM src s
+        |  LEFT JOIN t3 t USING (k) WHERE t.k IS NULL)
+        |SELECT k, a, v FROM mm UNION ALL SELECT k, a, v FROM ni""".stripMargin) {
+      (s, dir) =>
+      import graft.ops.{TypeWidening => TW, VersionedTable => VT}
+      val root = scratch(s, dir, "q323")
+      val tdir = s"$root/w"
+      val base = Tables.load(s, dir, "supplier")
+        .select(col("s_suppkey").cast("long").as("k"),
+          col("s_nationkey").cast("smallint").as("a"),
+          (col("s_suppkey") % 1000).cast("int").as("v"))
+      TW.init(base, tdir) // v1: the SMALLINT epoch
+      val cat = "graftq323_" + java.security.MessageDigest.getInstance("MD5")
+        .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(6)
+      s.conf.set(s"spark.sql.catalog.$cat",
+        classOf[graft.source.GraftCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.root", root)
+      s.sql(s"ALTER TABLE $cat.w ALTER COLUMN a TYPE INT") // v2: widen
+      s.sql(s"INSERT INTO $cat.w SELECT k + 100000 AS k, " +
+        s"CAST(a + 1 AS INT) AS a, v FROM $cat.w") // v3: an INT epoch
+      require(VT.currentVersion(s, tdir).contains(3L),
+        "q323: widen + append must be two metadata/epoch commits")
+      require(TW.epochSchema(s, tdir, 1L)("a").dataType ==
+        org.apache.spark.sql.types.ShortType,
+        "q323: the v1 epoch must still store int16 physically")
+      // UPDATE spans BOTH physical epochs; the replacement is one typed
+      // rewrite commit
+      s.sql(s"UPDATE $cat.w SET a = a + 100 WHERE k % 3 = 0") // v4
+      require(VT.currentVersion(s, tdir).contains(4L),
+        "q323: UPDATE must commit exactly one typed rewrite")
+      s.sql(s"DELETE FROM $cat.w WHERE a % 2 = 1") // v5
+      s.sql(s"""SELECT k, CAST(-5 AS INT) AS a, CAST(0 AS INT) AS v
+        |FROM $cat.w VERSION AS OF 1 WHERE k < 10
+        |UNION ALL
+        |SELECT k + 200000, CAST(-7 AS INT), CAST(0 AS INT)
+        |FROM $cat.w VERSION AS OF 1 WHERE k < 10""".stripMargin)
+        .createOrReplaceTempView("q323_src")
+      s.sql(s"""MERGE INTO $cat.w t USING q323_src s ON t.k = s.k
+        |WHEN MATCHED THEN UPDATE SET a = s.a
+        |WHEN NOT MATCHED THEN INSERT *""".stripMargin) // v6
+      // time travel: v1 renders under ITS OWN (SMALLINT) manifest
+      require(TW.typesOf(s, tdir, 1L).toMap.apply("a") ==
+        org.apache.spark.sql.types.ShortType,
+        "q323: pre-widen manifest must survive the rewrites")
+      require(s.sql(s"SELECT count(*) FROM $cat.w VERSION AS OF 1")
+        .head.getLong(0) == base.count(),
+        "q323: the pre-widen version must still read in full")
+      s.sql(s"SELECT k, a, v FROM $cat.w")
     })
 }

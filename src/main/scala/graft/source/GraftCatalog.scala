@@ -323,9 +323,17 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
       // (int32 files before the widen, int64 after); the live manifest
       // is the rendered schema and the reader widens per file. File
       // enumeration chases the `_prev` chain exactly like the typed read.
-      val df = graft.ops.TypeWidening.read(spark, dir)
+      // Row-level SQL (round 16): the COW scan reads EVERY epoch rendered
+      // at the live manifest and the replacement commits as a typed
+      // rewrite (data/ + carried manifest, chain ended) through OCC.
+      // Resolution is AT v — `VERSION AS OF n` renders version n's chain
+      // under version n's OWN manifest (found in round 16: the old
+      // `TypeWidening.read` here silently rendered the LIVE snapshot for
+      // every AS-OF read of a typed table — wrong data, not an error).
+      val df = graft.ops.TypeWidening.readVersion(spark, dir, v)
       new GraftTwSqlTable(ident.toString + s"@v$v",
-        df.inputFiles.sorted.toSeq, df.schema)
+        df.inputFiles.sorted.toSeq, df.schema, dml = dml.map(_ =>
+          DmlTarget(dir, "typed", features)), baseVersion = v)
     } else if (fs.exists(new Path(VersionedTable.verDir(dir, v), "_dv"))) {
       // DELETION-VECTOR version: the reader applies each file's bitmap
       // by row index — deleted rows never leave the executor. Bitmaps are
@@ -889,14 +897,45 @@ private[source] class GraftLocalTable(tableName: String,
   * widens each file's narrower physical type (int32→long, float→double)
   * during decode, so `SELECT` after `ALTER COLUMN TYPE` reads every
   * epoch without a rewrite.
+  *
+  * Row-level SQL (round 16): UPDATE / MERGE / the rewrite form of DELETE
+  * run the group-based COW plan — the scan renders EVERY epoch at the
+  * live manifest (unpruned: its output IS the replacement snapshot) and
+  * the write commits a typed REWRITE version (`data/` + the manifest
+  * carried forward, chain ended) through the same OCC claim as the
+  * versioned plane. INSERT INTO appends an epoch at the manifest types;
+  * INSERT OVERWRITE is the whole-snapshot rewrite.
   */
 private[source] class GraftTwSqlTable(tableName: String,
-    files: Seq[String], tableSchema: StructType)
-    extends Table with SupportsRead {
+    files: Seq[String], tableSchema: StructType,
+    dml: Option[DmlTarget] = None, baseVersion: Long = -1L)
+    extends Table with SupportsRead
+    with org.apache.spark.sql.connector.catalog.SupportsWrite
+    with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations {
   override def name(): String = tableName
   override def schema(): StructType = tableSchema
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_READ)
+    if (dml.isEmpty) java.util.EnumSet.of(TableCapability.BATCH_READ)
+    else java.util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE)
+  override def newWriteBuilder(
+      info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.WriteBuilder =
+    new GraftDmlWriteBuilder(dml.getOrElse(sys.error(
+      s"GraftCatalog: $tableName is not writable — AS-OF reads and " +
+        "pinned catalogs mutate through the typed ops layer")))
+  override def newRowLevelOperationBuilder(
+      info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
+      : org.apache.spark.sql.connector.write.RowLevelOperationBuilder = {
+    val t = dml.getOrElse(sys.error(
+      s"GraftCatalog: $tableName is not writable — AS-OF reads and " +
+        "pinned catalogs mutate through the typed ops layer"))
+    require(baseVersion >= 1L,
+      s"GraftCatalog: $tableName supports row-level SQL only on the " +
+        "live version")
+    () => new GraftRowLevelOperation(info.command(), t, baseVersion,
+      opts => newScanBuilder(opts))
+  }
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new ScanBuilder with SupportsPushDownRequiredColumns {
       private var pruned: StructType = tableSchema

@@ -54,6 +54,14 @@ private[source] object GraftDml {
             .unionByName(data)
         graft.ops.Branching.commitOn(next, target.dir, branch)
         ()
+      case "typed" =>
+        // the TYPE-WIDENING plane: an append is a new epoch AT the live
+        // manifest types (the plane's own admission check refuses wider
+        // arrivals); an overwrite is the whole-snapshot typed rewrite
+        // (manifest carried forward, chain ended)
+        if (overwrite) graft.ops.TypeWidening.rewrite(data, target.dir)
+        else graft.ops.TypeWidening.append(data, target.dir)
+        ()
       case "log" =>
         if (overwrite) {
           val n = math.max(1, data.rdd.getNumPartitions)

@@ -233,6 +233,11 @@ private[source] class GroupBatchWrite(target: DmlTarget, baseVersion: Long,
 
   private val stageName = "_stage-" + UUID.randomUUID().toString
   private val stageDir = s"${target.dir}/$stageName"
+  // the TYPE-WIDENING plane keeps its data under `data/` inside the
+  // version dir (the chain reader's contract); plain versioned layouts
+  // keep files at the version root
+  private val dataDir =
+    if (target.layout == "typed") s"$stageDir/data" else stageDir
 
   override def createBatchWriterFactory(
       info: PhysicalWriteInfo): DataWriterFactory = {
@@ -249,16 +254,16 @@ private[source] class GroupBatchWrite(target: DmlTarget, baseVersion: Long,
           "recorded keys — a row-level SQL write cannot capture its diff; " +
           "commit through ChangeFeed.commit(keyCols) once to record them")
     val conf = spark.sparkContext.hadoopConfiguration
-    val p = new Path(stageDir)
+    val p = new Path(dataDir)
     val fs = p.getFileSystem(conf)
     fs.mkdirs(p)
-    new GroupDataWriterFactory(stageDir, writeSchema.json,
+    new GroupDataWriterFactory(dataDir, writeSchema.json,
       new SerializableConf(conf))
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val spark = SparkSession.active
-    val p = new Path(stageDir)
+    val p = new Path(dataDir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val keep = messages.collect {
       case GroupCommitMsg(f) if f.nonEmpty => f
@@ -271,11 +276,17 @@ private[source] class GroupBatchWrite(target: DmlTarget, baseVersion: Long,
       // an all-empty replacement (every row deleted): one schema-only
       // file keeps the version readable
       val w = ExampleParquetWriter
-        .builder(new Path(s"$stageDir/part-empty.parquet"))
+        .builder(new Path(s"$dataDir/part-empty.parquet"))
         .withConf(spark.sparkContext.hadoopConfiguration)
         .withType(GroupWrite.messageType(writeSchema)).build()
       w.close()
     }
+    // TYPE-WIDENING plane: the claimed version must read as a typed
+    // snapshot — carry the live manifest into the stage (the rewrite
+    // materialized every epoch at the manifest types, so no `_prev`)
+    if (target.layout == "typed")
+      graft.ops.TypeWidening.stageManifest(spark, target.dir, stageDir,
+        baseVersion)
     // CAPTURE rides the stage (atomic with the rename that publishes it):
     // diff the materialized replacement against the base's LOGICAL content
     // — the DV-applied view on a DV table, so masked rows diff as already

@@ -1186,12 +1186,29 @@ class LifecycleFuzzSpec extends AnyFunSuite {
           spark.sql(
             s"ALTER TABLE $cat.w ALTER COLUMN $c TYPE ${chains(c)(pos(c))}")
         }
-      } else if (pick < 75) { // epoch append at the current manifest types
+      } else if (pick < 60) { // epoch append at the current manifest types
         val fresh = freshRows(2 + r.nextInt(4))
         rows ++= fresh
         TW.append(toDf(fresh), dir)
         ()
-      } else if (pick < 88) { // a NARROWING must be refused loudly, nothing committed
+      } else if (pick < 72) { // row-level SQL UPDATE (round 16): the COW
+        // scan renders every physical epoch at the live manifest and the
+        // replacement commits as a typed rewrite (chain ended)
+        val m = 3 + r.nextInt(4); val cc = r.nextInt(m)
+        spark.sql(s"UPDATE $cat.w SET a = CAST(k % 90 AS " +
+          s"${chains("a")(pos("a"))}) WHERE k % $m = $cc")
+        rows.mapInPlace { case t @ (k, _, b2, c2) =>
+          if (k % m == cc) (k, k % 90, b2, c2) else t
+        }
+        ()
+      } else if (pick < 80) { // row-level SQL DELETE (the rewrite form)
+        if (rows.size > 4) {
+          val m = 5 + r.nextInt(4); val cc = r.nextInt(m)
+          spark.sql(s"DELETE FROM $cat.w WHERE k % $m = $cc")
+          rows.filterInPlace { case (k, _, _, _) => k % m != cc }
+          ()
+        }
+      } else if (pick < 90) { // a NARROWING must be refused loudly, nothing committed
         val c = Seq("a", "b", "c")(r.nextInt(3))
         if (pos(c) > 0) {
           val vBefore = curV

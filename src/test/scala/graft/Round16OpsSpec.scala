@@ -74,6 +74,89 @@ class Round16OpsSpec extends AnyFunSuite {
     assert(r31.isNullAt(0) && r31.getSeq[String](1) == Seq.empty)
   }
 
+  test("row-level SQL on the type-widening plane (mixed physical epochs)") {
+    import org.apache.spark.sql.functions._
+    import graft.ops.{TypeWidening => TW, VersionedTable => VT}
+    val root = TestSpark.tmpDir("r16twdml")
+    val dir = s"$root/w"
+    // v1: SMALLINT epoch; v2: widen a -> INT (metadata-only); v3: INT epoch
+    TW.init(spark.range(0L, 10L).toDF("k")
+      .selectExpr("k", "CAST(k AS SMALLINT) AS a"), dir)
+    val cat = registerCat(root, "twdml")
+    spark.sql(s"ALTER TABLE $cat.w ALTER COLUMN a TYPE INT")
+    spark.sql(s"INSERT INTO $cat.w " +
+      "SELECT id AS k, CAST(id AS INT) AS a FROM range(10, 15)") // epoch append
+    assert(VT.currentVersion(spark, dir).contains(3L))
+    def sumA() = spark.sql(s"SELECT sum(a), count(*) FROM $cat.w").head
+    assert(sumA().getLong(0) == (0L until 15L).sum && sumA().getLong(1) == 15)
+    // UPDATE: the COW scan renders BOTH physical epochs (int16 + int32
+    // files) at the live manifest and the replacement commits as a typed
+    // rewrite — previously this plane refused row-level SQL outright
+    spark.sql(s"UPDATE $cat.w SET a = a + 100 WHERE k < 10")
+    assert(VT.currentVersion(spark, dir).contains(4L))
+    assert(sumA().getLong(0) == (0L until 15L).sum + 10 * 100)
+    // the rewrite ended the chain but kept the manifest: live schema INT,
+    // and the pre-rewrite versions still read under their OWN manifests
+    assert(spark.sql(s"SELECT a FROM $cat.w").schema("a").dataType ==
+      org.apache.spark.sql.types.IntegerType)
+    assert(TW.typesOf(spark, dir, 1L).toMap.apply("a") ==
+      org.apache.spark.sql.types.ShortType)
+    assert(TW.readVersion(spark, dir, 1L).agg(sum(col("a"))).head.getLong(0)
+      == (0L until 10L).sum)
+    // rewrite-form DELETE (no SupportsDelete on this plane)
+    spark.sql(s"DELETE FROM $cat.w WHERE a % 2 = 1")
+    val live = spark.sql(s"SELECT k, a FROM $cat.w").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).sorted
+    assert(live.forall(_._2 % 2 == 0) && live.nonEmpty)
+    // MERGE: matched update + unmatched insert through the typed rewrite
+    spark.sql("SELECT id AS k, CAST(id AS INT) AS a FROM range(14, 18)")
+      .createOrReplaceTempView("r16twsrc")
+    spark.sql(s"""MERGE INTO $cat.w t USING r16twsrc s ON t.k = s.k
+      |WHEN MATCHED THEN UPDATE SET a = s.a
+      |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    assert(spark.sql(s"SELECT count(*) FROM $cat.w WHERE k >= 14")
+      .head.getLong(0) == 4)
+    // the plane's own ops still compose AFTER row-level rewrites
+    spark.sql(s"ALTER TABLE $cat.w ALTER COLUMN a TYPE BIGINT")
+    spark.sql(s"INSERT INTO $cat.w SELECT 99L AS k, 99L AS a")
+    assert(spark.sql(s"SELECT a FROM $cat.w WHERE k = 99").head.getLong(0) == 99L)
+    // INSERT OVERWRITE = whole-snapshot typed rewrite at the manifest
+    spark.sql(s"INSERT OVERWRITE $cat.w SELECT 1L AS k, 7L AS a")
+    assert(spark.sql(s"SELECT k, a FROM $cat.w").collect().toSeq.map(r =>
+      (r.getLong(0), r.getLong(1))) == Seq((1L, 7L)))
+    // narrowing still refused after the whole lifecycle
+    assert(scala.util.Try(
+      spark.sql(s"ALTER TABLE $cat.w ALTER COLUMN a TYPE INT")).isFailure)
+  }
+
+  // found while wiring row-level SQL onto the widening plane: the catalog's
+  // typed branch resolved EVERY read — including `VERSION AS OF n` — via
+  // TypeWidening.read (the LIVE snapshot), so AS-OF on a typed table
+  // silently rendered live content under the live manifest. Wrong data,
+  // not an error; the typed API (TW.readVersion) was correct all along.
+  test("VERSION AS OF on a type-widening table renders THAT version") {
+    import org.apache.spark.sql.functions._
+    import graft.ops.{TypeWidening => TW}
+    val root = TestSpark.tmpDir("r16twasof")
+    val dir = s"$root/w"
+    TW.init(spark.range(0L, 8L).toDF("k")
+      .selectExpr("k", "CAST(k AS SMALLINT) AS a"), dir)
+    val cat = registerCat(root, "twasof")
+    spark.sql(s"ALTER TABLE $cat.w ALTER COLUMN a TYPE BIGINT")
+    spark.sql(s"INSERT INTO $cat.w SELECT 50L AS k, 50L AS a")
+    // v1 must render ITS OWN rows under ITS OWN (SMALLINT) manifest
+    val asOf1 = spark.sql(s"SELECT k, a FROM $cat.w VERSION AS OF 1")
+    assert(asOf1.schema("a").dataType ==
+      org.apache.spark.sql.types.ShortType,
+      s"v1 must render under the SMALLINT manifest, got ${asOf1.schema}")
+    assert(asOf1.count() == 8,
+      "v1 must hold only the pre-widen rows (the live snapshot has 9)")
+    assert(spark.sql(s"SELECT count(*) FROM $cat.w").head.getLong(0) == 9)
+    // and a pinned AS-OF table is read-only
+    assert(scala.util.Try(spark.sql(
+      s"UPDATE $cat.w VERSION AS OF 1 SET a = 0")).isFailure)
+  }
+
   test("log-layout SQL UPDATE rewrites array columns (GraftLogCowScan path)") {
     import org.apache.spark.sql.functions._
     val root = TestSpark.tmpDir("r16arrlog")
