@@ -197,6 +197,30 @@ class Round16OpsSpec extends AnyFunSuite {
     assert(CM.read(spark, dir).columns.contains("vec"))
   }
 
+  test("row-level SQL on a FEED-TRACKED table captures array pre/post images") {
+    import org.apache.spark.sql.functions._
+    import graft.ops.ChangeFeed
+    val root = TestSpark.tmpDir("r16arrcdf")
+    val dir = s"$root/t"
+    def df(rows: Seq[(Long, Seq[Double])]) = rows.toDF("k", "emb")
+    ChangeFeed.commit(df(Seq(1L -> Seq(1.0, 2.0), 2L -> Seq(3.0, 4.0))),
+      dir, Seq("k")) // v1, feed-tracked with recorded keys
+    val cat = registerCat(root, "arrcdf")
+    // the COW rewrite's capture diffs base vs replacement INCLUDING the
+    // array column — pre/post images must carry the vectors
+    spark.sql(s"UPDATE $cat.t SET emb = transform(emb, x -> x * 10d) WHERE k = 1")
+    val changes = ChangeFeed.tableChanges(spark, dir,
+      fromVersion = 1L, toVersion = 2L, keyCols = Seq("k"))
+      .select(col("k"), col("emb"), col(ChangeFeed.ChangeType)).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toList, r.getString(2)))
+      .toSeq
+    assert(changes.contains((1L, List(1.0, 2.0), "update_preimage")) &&
+      changes.contains((1L, List(10.0, 20.0), "update_postimage")),
+      s"array pre/post images must ride the capture: $changes")
+    assert(!changes.exists(_._1 == 2L),
+      s"the untouched row must not capture: $changes")
+  }
+
   test("CDF stream carries array columns (the row materializer's list path)") {
     import org.apache.spark.sql.functions._
     import graft.ops.{ChangeFeed, VersionedTable}
