@@ -222,13 +222,26 @@ object TypeWidening {
 
   /** Read `version` under ITS OWN manifest: each chained epoch cast UP from
     * its stored physical types — lossless by the widening-only invariant.
+    *
+    * Plan-cost shape (round 16, found by the 300-epoch StressMeta probe):
+    * one `spark.read.parquet` PER EPOCH costs a schema inference and a
+    * union-plan node each — 19 s of driver time at depth 300, minutes at
+    * four-digit depths. Epochs STORE at the manifest that was live when
+    * they were written, so every epoch sharing a manifest shares one
+    * multi-path read: the plan is one read + one cast per DISTINCT
+    * manifest in the chain (widens are rare; appends are many), unioned.
+    * Depth-300 with three widens plans as four reads, not 300.
     */
   def readVersion(spark: SparkSession, dir: String, version: Long): DataFrame = {
     val types = typesOf(spark, dir, version)
-    chain(spark, dir, version).map { v =>
-      spark.read.parquet(new Path(VersionedTable.verDir(dir, v), DataName).toString)
-        .select(types.map { case (n, t) => col(n).cast(t).as(n) }: _*)
-    }.reduce(_.unionByName(_))
+    val vs = chain(spark, dir, version)
+    vs.map(v => typesOf(spark, dir, v).map(_._2.catalogString) -> v)
+      .groupBy(_._1).values.toSeq.map(_.map(_._2))
+      .map { group =>
+        spark.read.parquet(group.map(v =>
+          new Path(VersionedTable.verDir(dir, v), DataName).toString): _*)
+          .select(types.map { case (n, t) => col(n).cast(t).as(n) }: _*)
+      }.reduce(_.unionByName(_))
   }
 
   /** Read the live snapshot under the live manifest. */

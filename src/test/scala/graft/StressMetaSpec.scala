@@ -163,6 +163,79 @@ class StressMetaSpec extends AnyFunSuite {
     assert(moves.isEmpty)
     assert(tReb < 45.0, f"rebalance planning took ${tReb}%.1f s")
   }
+  /** TYPE-WIDENING CHAIN at depth (round-16 continuation of the same
+    * scale question): the typed plane resolves a snapshot by walking the
+    * `_prev` chain — O(epochs) driver fs reads per PLAN. Daily appends
+    * between rewrites put real tables at hundreds of epochs, so this
+    * builds a 300-epoch chain out of metadata (per-version `_types` /
+    * `_prev` / `_SUCCESS` plus one byte-copied tiny data file each) and
+    * pins: the chain walk + read plan stays seconds at depth 300, the
+    * catalog resolves the same chain through SQL, and one
+    * `TypeWidening.rewrite` COLLAPSES the chain to depth 1 — the
+    * maintenance lever that bounds plan cost at 100 TB (chain depth =
+    * appends since the last rewrite, never table age).
+    */
+  test("300-epoch type-widening chain: plan cost bounded, rewrite collapses it") {
+    import graft.ops.{TypeWidening => TW, VersionedTable => VT}
+    val root = TestSpark.tmpDir("stresstw")
+    val dir = s"$root/w"
+    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // one real tiny file, byte-copied into every epoch
+    Seq((0L, 1)).toDF("k", "a").coalesce(1)
+      .write.mode("overwrite").parquet(s"$root/_seed")
+    val seed = fs.listStatus(new Path(s"$root/_seed"))
+      .map(_.getPath).find(_.getName.endsWith(".parquet")).get
+    val Depth = 300
+    (1 to Depth).foreach { v =>
+      val vd = VT.verDir(dir, v.toLong)
+      fs.mkdirs(new Path(vd, "data"))
+      org.apache.hadoop.fs.FileUtil.copy(fs, seed, fs,
+        new Path(s"$vd/data/part-0.parquet"), false,
+        spark.sparkContext.hadoopConfiguration)
+      def put(name: String, text: String): Unit = {
+        val out = fs.create(new Path(vd, name), true)
+        try out.write(text.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        finally out.close()
+      }
+      put("_types", "k=bigint\na=int")
+      if (v > 1) put("_prev", (v - 1).toString)
+      fs.create(new Path(vd, "_SUCCESS"), true).close()
+    }
+    // pointer to the head (flipPointer is package-private to ops; the
+    // highest complete version resolves identically without it)
+    val (df, tWalk) = timed(TW.read(spark, dir))
+    val (nFiles, tList) = timed(df.inputFiles.length)
+    info(f"chain walk (depth $Depth): ${tWalk}%.2f s; file listing: " +
+      f"${tList}%.2f s, $nFiles files")
+    assert(nFiles == Depth, s"every epoch contributes its file: $nFiles")
+    assert(tWalk + tList < 30.0,
+      f"a $Depth-epoch chain cost ${tWalk + tList}%.1f s to plan — " +
+        "the walk is no longer O(epochs) metadata")
+    // the same chain through the catalog SQL surface
+    val cat = s"graftstress${StressMetaSpec.catN.incrementAndGet()}"
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.source.GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.root", root)
+    val (cnt, tSql) = timed(
+      spark.sql(s"SELECT count(*) FROM $cat.w").head.getLong(0))
+    info(f"catalog count over the chain: ${tSql}%.2f s")
+    assert(cnt == Depth.toLong)
+    assert(tSql < 60.0)
+    // maintenance: ONE rewrite collapses the chain — the next plan walks
+    // a single version (coalesced: the rewrite keeps the caller's
+    // partitioning, and a 300-partition union would mint 300 tiny files)
+    TW.rewrite(TW.read(spark, dir).coalesce(4), dir)
+    val (df2, tAfter) = timed {
+      val d = TW.read(spark, dir); (d, d.inputFiles.length)
+    }
+    info(f"post-rewrite plan: ${tAfter}%.2f s, ${df2._2} file(s)")
+    assert(df2._2 < Depth / 2,
+      "the rewrite must materialize the chain into few files")
+    assert(tAfter < 10.0,
+      f"post-rewrite plan cost ${tAfter}%.1f s — the chain did not collapse")
+    // history intact: a mid-chain version still reads under its own chain
+    assert(TW.readVersion(spark, dir, 150L).count() == 150L)
+  }
 }
 
 object StressMetaSpec {
