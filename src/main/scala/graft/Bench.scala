@@ -127,14 +127,19 @@ object BenchGate {
     * `ratio 6.15 REGRESSION` on a numerator whose two streaming flags the
     * adjudication pass had already re-measured at 4.10/1.51 s (vs
     * 19.54/5.67 in-pass) — the gate rendered its verdict on numbers one
-    * field over from their own correction. Substitution is unconditional
-    * for adjudicated flags (isolatedS >= 0): a genuine regression's
-    * isolated number stays high, so a planted sleep still trips the
-    * adjudicated ratio.
+    * field over from their own correction. Substitution applies ONLY to
+    * flags whose verdict is `ambient-transient` (round-17 advisory fix):
+    * a flag CONFIRMED as a regression keeps its full in-pass wall in the
+    * numerator — the isolated re-run happens in a quiet warm JVM right
+    * after the pass, and substituting it unconditionally let a
+    * contention-reproducing regression adjudicate itself under the
+    * bucket bound. A planted sleep is verdicted `regression` (it
+    * survives isolation), so it rides at full weight and still trips.
     */
   def adjudicatedStreamingS(passS: Double, flags: Seq[Flag],
       isStreaming: String => Boolean): Double =
-    passS + flags.filter(f => isStreaming(f.name) && f.isolatedS >= 0)
+    passS + flags.filter(f => isStreaming(f.name) && f.isolatedS >= 0 &&
+        f.verdict == "ambient-transient")
       .map(f => f.isolatedS - f.passS).sum
 
   /** Mixed engine floor (round 16 #1, second clause): stateful starts pay
@@ -143,11 +148,28 @@ object BenchGate {
     * all-stateless denominator read ~0.28 s/start against a bucket whose
     * stateful majority floors at ~1 s/start — optimistically low floors
     * manufacture ratio breaches.
+    *
+    * Listener events are async: a start whose first stateful batch lands
+    * in the NEXT window's snapshot can make a delta Snap report
+    * statefulStarts > starts — the raw difference then goes negative and
+    * corrupts the floor. Both terms clamp (round-17 advisory fix).
     */
   def mixedFloor(starts: Long, statefulStarts: Long,
-      statelessFloorS: Double, statefulFloorS: Double): Double =
-    statefulStarts * statefulFloorS +
-      (starts - statefulStarts) * statelessFloorS
+      statelessFloorS: Double, statefulFloorS: Double): Double = {
+    val sf = math.min(statefulStarts, starts)
+    sf * statefulFloorS + math.max(0L, starts - sf) * statelessFloorS
+  }
+
+  /** The execution order of rep `rep` (1-based): odd reps run the
+    * catalog sorted, even reps REVERSED (round-17 #1). min-of-2 over two
+    * different execution orders absorbs a time-local ambient transient —
+    * a disturbance window that spans positions [k, k+w) of one order
+    * covers a DIFFERENT query set in the other, so no query (outside the
+    * unlucky center overlap) is inflated in both reps. Same-order reps
+    * handed every transient ~14 contiguous phantom flags per pass.
+    */
+  def repOrder[A](rep: Int, names: Seq[A]): Seq[A] =
+    if (rep % 2 == 1) names else names.reverse
 
   /** The transient signature (round-14 adjudication, made mechanical):
     * flags forming one lexicographically CONTIGUOUS run of the pass's
@@ -309,24 +331,37 @@ object Bench {
     // ask: a time-local ambient event shows as flags clustering in one
     // wall-clock window of the artifact, scattered flags are plan events.
     case class QRun(minS: Double, t0Ms: Long, stream: StreamMeter.Snap)
-    val results = SparkEntry.queries.toSeq.filter(kv => nameFilter(kv._1))
-      .sortBy(_._1).map { case (name, fn) =>
-        val t0Ms = System.currentTimeMillis()
-        val runs = (1 to reps).map { _ =>
-          val s0 = StreamMeter.snap()
-          val t = timedOnce(name, fn)
-          (t, StreamMeter.since(s0))
-        }
-        // cleanup BETWEEN QUERIES, not between reps, and OUTSIDE the timed
-        // window: cross-query block accumulation (the round-4 artifact
-        // corruption) is what must die; within-query rep-2 warmth is part
-        // of what min-of-N has always measured (state-store providers,
-        // checkpoint caches), and cooling it would re-base every streaming
-        // figure ~2x for no diagnostic gain.
-        cleanup()
-        val best = runs.minBy(_._1)
-        name -> QRun(best._1, t0Ms, best._2)
-      }
+    val catalog = SparkEntry.queries.toSeq.filter(kv => nameFilter(kv._1))
+      .sortBy(_._1)
+    // Reps run as FULL CATALOG PASSES, each in BenchGate.repOrder's order
+    // — rep 2 traverses REVERSED (round 17 #1). Same-order back-to-back
+    // reps let one time-local ambient window inflate BOTH reps of the
+    // same ~14 contiguous queries every driver pass (q117–q128 in r16,
+    // q122–q136 in r14), forcing a phantom-adjudication round-trip each
+    // time; across two different orders a transient window double-hits at
+    // most the few queries where the orders cross in time, and min-of-2
+    // absorbs the rest. cleanup() now runs after EVERY timed run (it used
+    // to run between queries, i.e. after both reps): with interleaving,
+    // cross-query block accumulation — the round-4 artifact corruption —
+    // would otherwise leak across every neighbor in both orders.
+    // Within-query rep-2 warmth is reduced to what survives a cleanup
+    // plus one catalog pass (on-disk checkpoint caches survive; pinned
+    // blocks don't), so BENCH_EXPECTED was re-based at this commit.
+    val runsByName = scala.collection.mutable.Map
+      .empty[String, List[(Double, StreamMeter.Snap)]]
+    val t0ByName = scala.collection.mutable.Map.empty[String, Long]
+    for (rep <- 1 to reps; (name, fn) <- BenchGate.repOrder(rep, catalog)) {
+      t0ByName.getOrElseUpdate(name, System.currentTimeMillis())
+      val s0 = StreamMeter.snap()
+      val t = timedOnce(name, fn)
+      runsByName(name) =
+        (t, StreamMeter.since(s0)) :: runsByName.getOrElse(name, Nil)
+      cleanup()
+    }
+    val results = catalog.map { case (name, _) =>
+      val best = runsByName(name).minBy(_._1)
+      name -> QRun(best._1, t0ByName(name), best._2)
+    }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v.minS }
       .mkString("{", ",", "}")
     val t0s = results.map { case (k, v) => s"\"" + k + "\":" + v.t0Ms }

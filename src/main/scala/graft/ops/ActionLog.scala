@@ -825,6 +825,20 @@ object ActionLog {
   private val Remove = """\{"a":"remove","p":"([^"]+)"\}""".r
   private val Txn = """\{"a":"txn","app":"([^"]+)","batch":(-?\d+)\}""".r
 
+  /** HANDOFF THRESHOLD for the driver-resident replay (round 17 #4):
+    * [[replayState]] (behind [[liveFiles]]/[[read]]/[[vacuum]]) holds one
+    * entry per live file on the driver — ~250 bytes each with map
+    * overhead, so 500k files ≈ 125 MB of driver heap PER PLAN plus
+    * seconds of replay. Above this bound the driver-resident path
+    * refuses loudly and names the distributed twins: [[stateDfAt]] /
+    * [[resolveDf]] resolve the same inventory as a Spark job (driver
+    * O(1)), pruning predicates apply engine-side, and callers collect
+    * only what survives — the million-file regime's only safe shape.
+    * The 1M-file StressMeta probe pins both halves: the refusal here,
+    * and resolveDf planning through the parquet checkpoint in seconds.
+    */
+  val DriverReplayMaxFiles: Int = 500000
+
   /** Full replay state: file → optional (lo, hi, rows) stats, plus the
     * replay accounting. Stats survive checkpoints (the checkpoint writes
     * stats-carrying add lines).
@@ -858,8 +872,19 @@ object ActionLog {
         txns(app) = math.max(txns.getOrElse(app, Long.MinValue), b.toLong); ()
       case l => sys.error(s"ActionLog: bad log line at $v: $l")
     }
+    // the handoff gate, BEFORE materializing a checkpoint-sized state on
+    // the driver: a parquet checkpoint knows its row count from footers
+    // (one cheap distributed count, no driver materialization)
+    def handoff(n: Long, what: String): Unit =
+      require(n <= DriverReplayMaxFiles,
+        s"ActionLog($dir): $what holds $n entries — beyond the " +
+          s"$DriverReplayMaxFiles-file driver-resident replay bound; " +
+          "resolve this table through stateDfAt/resolveDf (distributed, " +
+          "driver O(1)) and collect only the pruned survivors")
     ckptBase.foreach { cv =>
-      if (pCkpts.contains(cv)) // prefer the engine-parsed plane when both exist
+      if (pCkpts.contains(cv)) { // prefer the engine-parsed plane when both exist
+        handoff(readCkptParquetDf(spark, fs, pCkpts(cv)).count(),
+          s"parquet checkpoint $cv")
         readCkptParquetDf(spark, fs, pCkpts(cv)).collect().foreach { r =>
           r.getAs[String]("a") match {
             case "add" =>
@@ -875,8 +900,11 @@ object ActionLog {
               s"'$a' at ckpt-$cv")
           }
         }
-      else ckpts(cv).foreach(p =>
-        readLines(fs, p).foreach(applyLine(_, s"ckpt-$cv")))
+      } else {
+        ckpts(cv).foreach(p =>
+          readLines(fs, p).foreach(applyLine(_, s"ckpt-$cv")))
+        handoff(base.size.toLong, s"json checkpoint $cv")
+      }
     }
     val base0 = ckptBase.getOrElse(0L)
     val tail = versions(spark, dir).filter(v => v > base0 && v <= asOf)
@@ -910,6 +938,7 @@ object ActionLog {
           }
           idx += 1
       }
+      handoff(base.size.toLong, s"replayed state at v$v")
     }
     (base, replayed, ckptBase, txns.toMap)
   }

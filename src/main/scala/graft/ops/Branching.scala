@@ -203,13 +203,41 @@ object Branching {
     commitOnCaptured(patched.localCheckpoint(), dir, branch, keyCols)
   }
 
-  /** First commit on `main`. */
-  def init(df: DataFrame, dir: String): Long =
+  /** First commit on `main`.
+    *
+    * TW × branching (round 17 #3): the branch plane (`_c-NNNNNNNN`
+    * commit dirs + `_heads`) and the type-widening plane (`_v-N` epoch
+    * chains + `_types`) are DISJOINT storage layouts — initializing one
+    * inside a dir that already carries the other would leave two readers
+    * rendering different tables from the same path, each silently blind
+    * to the other's commits. Refused at the door in both directions
+    * (see [[TypeWidening.init]] for the mirror guard). Widening INSIDE a
+    * branch is already first-class the other way: a fork side may commit
+    * a widened frame and [[merge]] reconciles the drift (branchEvo).
+    */
+  def init(df: DataFrame, dir: String): Long = {
+    refuseTypedDir(df.sparkSession, dir, "init")
     commitDirs(df, dir, Seq.empty, "main")
+  }
 
   /** [[init]] with change capture (the feed's all-inserts base). */
-  def initCaptured(df: DataFrame, dir: String, keyCols: Seq[String]): Long =
+  def initCaptured(df: DataFrame, dir: String, keyCols: Seq[String]): Long = {
+    refuseTypedDir(df.sparkSession, dir, "initCaptured")
     commitDirs(df, dir, Seq.empty, "main", Some(keyCols))
+  }
+
+  private def refuseTypedDir(spark: SparkSession, dir: String,
+      op: String): Unit = {
+    val fs = fsOf(spark, dir)
+    val typedVersions = VersionedTable.listVersions(fs, dir)
+      .filter(v => fs.exists(
+        new Path(VersionedTable.verDir(dir, v), "_types")))
+    require(typedVersions.isEmpty,
+      s"Branching.$op($dir): this dir holds a type-widening table " +
+        s"(versions ${typedVersions.mkString(",")} carry _types) — the " +
+        "branch plane does not compose with the epoch-chain layout; " +
+        "branch a COPY, or keep the typed table on its own path")
+  }
 
   /** Commit `df` as the new head of `branch`. */
   def commitOn(df: DataFrame, dir: String, branch: String): Long = {

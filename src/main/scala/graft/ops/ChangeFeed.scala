@@ -248,10 +248,29 @@ object ChangeFeed {
       s"tableChanges($dir, $fromVersion, $toVersion): versions " +
         s"${((fromVersion + 1) to toVersion).diff(vs).mkString(",")} are " +
         "expired or missing — replay from a retained snapshot instead")
+    // TW × CDF (round 17 #3): a type-widening table chains its epochs
+    // under `data/` subdirs, so the flat-readVersion snapshotDiff would
+    // read nothing and render an empty feed — silently. Change rows are
+    // PINNED to the manifest of `toVersion`: each bounding snapshot reads
+    // under its own manifest (TypeWidening.readVersion) and casts UP to
+    // toVersion's types — lossless by the widening-only invariant
+    // (toVersion >= v and the manifest only ever widens), so the feed
+    // carries ONE deterministic schema no matter where the widens landed
+    // in the range. A metadata-only widen commit diffs empty, as it must.
+    val typed = fs.exists(new Path(
+      VersionedTable.verDir(dir, toVersion), "_types"))
+    def typedAt(v: Long): DataFrame = {
+      val types = TypeWidening.typesOf(spark, dir, toVersion)
+      TypeWidening.readVersion(spark, dir, v)
+        .select(types.map { case (n, t) => col(n).cast(t).as(n) }: _*)
+    }
     vs.map { v =>
       val cd = cdfDir(dir, v)
       val changes =
-        if (fs.exists(cd)) spark.read.parquet(cd.toString)
+        if (typed)
+          diff(if (v <= 1L) None else Some(typedAt(v - 1)), typedAt(v),
+            keyCols)
+        else if (fs.exists(cd)) spark.read.parquet(cd.toString)
         else if (fs.exists(markerPath(dir, v))) expandOverwrite(spark, dir, v)
         else snapshotDiff(spark, dir, v, keyCols)
       changes.withColumn(CommitVersion, lit(v))

@@ -176,6 +176,16 @@ object DeletionVectors {
     val cur = VersionedTable.currentVersion(spark, dir).getOrElse(
       sys.error(s"DeletionVectors.delete($dir): no complete snapshot"))
     val live = VersionedTable.verDir(dir, cur)
+    // TW × DV (round 17 #3): the type-widening plane chains epochs under
+    // `data/` subdirs and its reader never consults DV sidecars — a DV
+    // commit here would copy zero data files (the file loop below skips
+    // directories) and mask rows no typed read would ever honor. Refuse
+    // at the door; DELETE on a typed table is the COW rewrite, which the
+    // SQL surface routes automatically.
+    require(!fs.exists(new Path(live, "_types")),
+      s"DeletionVectors.delete($dir): this is a type-widening table — " +
+        "deletion vectors do not compose with the epoch-chain layout; " +
+        "DELETE takes the typed copy-on-write rewrite instead")
     // doomed = rows matching the predicate AMONG SURVIVORS (already-deleted
     // rows must not re-capture or re-count)
     val doomed = withIdentity(spark, dir, cur)

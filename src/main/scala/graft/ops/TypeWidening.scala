@@ -48,6 +48,12 @@ object TypeWidening {
     case (FloatType, DoubleType) => true
     case (d1: DecimalType, d2: DecimalType) =>
       d2.scale == d1.scale && d2.precision >= d1.precision
+    // Element-wise widening of an array column (the embedding-precision
+    // migration shape: array<float> -> array<double>). containsNull may
+    // only widen false -> true; the reverse would fabricate a non-null
+    // promise over history that may hold null elements.
+    case (ArrayType(fe, fn), ArrayType(te, tn)) =>
+      isWidening(fe, te) && (tn || !fn)
     case _ => false
   }
 
@@ -99,10 +105,20 @@ object TypeWidening {
     (cur, cur.getOrElse(0L) + 1L)
   }
 
-  /** Bootstrap: manifest = the frame's own schema. */
+  /** Bootstrap: manifest = the frame's own schema.
+    *
+    * Refuses a dir that already carries the BRANCH plane (`_heads`) —
+    * the two layouts render different tables from the same path and
+    * neither reader sees the other's commits (round 17 #3; mirror guard
+    * in [[Branching.init]]).
+    */
   def init(df: DataFrame, dir: String): Long = {
     val spark = df.sparkSession
     val fs = fsOf(spark, dir)
+    require(!fs.exists(new Path(dir, "_heads")),
+      s"TypeWidening.init($dir): this dir holds a branch-plane table " +
+        "(_heads exists) — the epoch-chain layout does not compose with " +
+        "the branch plane; keep the typed table on its own path")
     val (_, next) = nextVersion(spark, fs, dir)
     val vd = VersionedTable.verDir(dir, next)
     df.write.mode(SaveMode.Overwrite).parquet(new Path(vd, DataName).toString)
@@ -177,6 +193,15 @@ object TypeWidening {
     require(df.columns.toSeq == types.map(_._1),
       s"TypeWidening.rewrite($dir): columns ${df.columns.toSeq} != " +
         s"manifest ${types.map(_._1)}")
+    // Same admission check as append(): a frame arriving WIDER than the
+    // manifest must not be silently narrowed by the cast below — the SQL
+    // INSERT OVERWRITE path is shielded by Spark's store-assignment, but
+    // this public ops-API path was not (round-17 advisory fix).
+    df.schema.fields.zip(types).foreach { case (f, (n, t)) =>
+      require(isWidening(f.dataType, t),
+        s"TypeWidening.rewrite($dir): '$n' arrives as ${f.dataType.catalogString}, " +
+          s"wider than the manifest ${t.catalogString} — widen the table first")
+    }
     val stored = df.select(types.map { case (n, t) => col(n).cast(t).as(n) }: _*)
     val (_, next) = nextVersion(spark, fs, dir)
     val vd = VersionedTable.verDir(dir, next)
@@ -235,8 +260,14 @@ object TypeWidening {
   def readVersion(spark: SparkSession, dir: String, version: Long): DataFrame = {
     val types = typesOf(spark, dir, version)
     val vs = chain(spark, dir, version)
-    vs.map(v => typesOf(spark, dir, v).map(_._2.catalogString) -> v)
+    // Group key = the FULL manifest (names + types), and groups union in
+    // strict chain order — names/order are immutable on this plane today,
+    // but keying on types alone and iterating an unordered groupBy made
+    // output/inputFiles order run-dependent (round-17 advisory fix).
+    vs.map(v => typesOf(spark, dir, v)
+        .map { case (n, t) => s"$n=${t.catalogString}" }.mkString("\n") -> v)
       .groupBy(_._1).values.toSeq.map(_.map(_._2))
+      .sortBy(group => vs.indexOf(group.head))
       .map { group =>
         spark.read.parquet(group.map(v =>
           new Path(VersionedTable.verDir(dir, v), DataName).toString): _*)

@@ -1112,5 +1112,112 @@ object VectorQueries {
         |    (acc, x) -> acc + CAST(floor(x * 1000000d + 0.5d) AS LONG))
         |    AS checksum
         |FROM $cat.t""".stripMargin)
+    },
+
+    // ---------------------------------------------------------------- q324
+    // ARRAY ELEMENT WIDENING on the type-widening plane (round 17 #2):
+    // a training corpus migrating embedding precision runs
+    // `ALTER COLUMN embedding TYPE ARRAY<DOUBLE>` on an `array<float>`
+    // table — a METADATA-ONLY commit; the float epochs stay on disk as
+    // float (zero of the 100 TB rewritten) and the reader widens each
+    // element during decode. The lifecycle: float init → SQL array widen
+    // → INSERT INTO (a double epoch — the table now genuinely mixes
+    // float and double files) → UPDATE spanning both physical epochs →
+    // rewrite-form DELETE → MERGE from `VERSION AS OF 1` (rendered under
+    // its own FLOAT manifest) re-inserting deleted keys. Narrowing
+    // array<double>→array<float> is probed mid-flight and must refuse
+    // with no commit. All element arithmetic is float-exact-in-double
+    // (+0.5, ×2, negate, −1 — exact IEEE ops in both engines), and the
+    // output is the q322 integer checksum, so the hash compare is exact.
+    Q("q324_sql_array_widening",
+      """WITH base AS (SELECT vec_id, label,
+        |    CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |t1 AS (SELECT * FROM base
+        |  UNION ALL SELECT vec_id + 10000, label,
+        |    list_transform(v, x -> x + 0.5) FROM base WHERE vec_id < 50),
+        |t2 AS (SELECT vec_id, label, CASE WHEN vec_id % 5 = 0
+        |    THEN list_transform(v, x -> x * 2) ELSE v END AS v FROM t1),
+        |t3 AS (SELECT * FROM t2 WHERE vec_id % 9 <> 3),
+        |src AS (SELECT vec_id, CAST(-1 AS INTEGER) AS label,
+        |    list_transform(v, x -> -x) AS v FROM base
+        |  WHERE vec_id % 9 = 3 AND vec_id < 100
+        |  UNION ALL SELECT vec_id, CAST(-2 AS INTEGER),
+        |    list_transform(v, x -> x - 1) FROM base
+        |  WHERE vec_id >= 200 AND vec_id < 205),
+        |mm AS (SELECT t.vec_id, COALESCE(s.label, t.label) AS label,
+        |    COALESCE(s.v, t.v) AS v
+        |  FROM t3 t LEFT JOIN src s USING (vec_id)),
+        |ni AS (SELECT s.vec_id, s.label, s.v FROM src s
+        |  LEFT JOIN t3 t USING (vec_id) WHERE t.vec_id IS NULL),
+        |fin AS (SELECT * FROM mm UNION ALL SELECT * FROM ni)
+        |SELECT vec_id, label, CAST(len(v) AS INTEGER) AS n_elems,
+        |  CAST(list_sum(list_transform(v,
+        |    x -> CAST(floor(x * 1000000 + 0.5) AS BIGINT))) AS BIGINT)
+        |    AS checksum
+        |FROM fin""".stripMargin) { (s, dir) =>
+      import graft.ops.{TypeWidening => TW, VersionedTable => VT}
+      import org.apache.spark.sql.types._
+      val root = Q.scratch(s, dir, "q324")
+      val tdir = s"$root/w"
+      val base = Tables.load(s, dir, "embeddings")
+        .select(col("vec_id").cast("long").as("vec_id"), col("label"),
+          col("embedding").cast("array<float>").as("embedding"))
+      // key-local layout (the q313 discipline): a pruning bug in the COW
+      // scan changes the hash
+      TW.init(base.repartitionByRange(8, col("vec_id")), tdir) // v1: float
+      val cat = "graftq324_" + java.security.MessageDigest.getInstance("MD5")
+        .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(6)
+      s.conf.set(s"spark.sql.catalog.$cat",
+        classOf[graft.source.GraftCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.root", root)
+      // Spark's array-element grammar: the widen addresses `.element`
+      s.sql(s"ALTER TABLE $cat.w ALTER COLUMN embedding.element TYPE DOUBLE") // v2
+      require(VT.currentVersion(s, tdir).contains(2L),
+        "q324: the array widen must be one metadata-only commit")
+      require(TW.epochSchema(s, tdir, 1L)("embedding").dataType ==
+        ArrayType(FloatType, containsNull = true),
+        "q324: the v1 epoch must still store float32 elements physically")
+      s.sql(s"INSERT INTO $cat.w SELECT vec_id + 10000 AS vec_id, label, " +
+        s"transform(embedding, x -> x + 0.5d) AS embedding FROM $cat.w " +
+        "WHERE vec_id < 50") // v3: a DOUBLE epoch — mixed element widths
+      // UPDATE spans BOTH element-width epochs; one typed rewrite commit
+      s.sql(s"UPDATE $cat.w SET embedding = " +
+        "transform(embedding, x -> x * 2d) WHERE vec_id % 5 = 0") // v4
+      require(VT.currentVersion(s, tdir).contains(4L),
+        "q324: INSERT + UPDATE must be two commits")
+      // narrowing back to array<float> must refuse LOUDLY with no commit
+      require(scala.util.Try(s.sql(
+        s"ALTER TABLE $cat.w ALTER COLUMN embedding.element TYPE FLOAT"))
+        .isFailure && VT.currentVersion(s, tdir).contains(4L),
+        "q324: array<double> -> array<float> narrowing must be refused")
+      s.sql(s"DELETE FROM $cat.w WHERE vec_id % 9 = 3") // v5: rewrite form
+      // MERGE source reads VERSION AS OF 1 — rendered under its own
+      // FLOAT manifest (the r16 AS-OF-on-typed-tables bug surface)
+      s.sql(s"""SELECT vec_id, CAST(-1 AS INT) AS label,
+        |  transform(CAST(embedding AS ARRAY<DOUBLE>), x -> -x) AS embedding
+        |FROM $cat.w VERSION AS OF 1 WHERE vec_id % 9 = 3 AND vec_id < 100
+        |UNION ALL
+        |SELECT vec_id, CAST(-2 AS INT),
+        |  transform(CAST(embedding AS ARRAY<DOUBLE>), x -> x - 1d)
+        |FROM $cat.w VERSION AS OF 1
+        |WHERE vec_id >= 200 AND vec_id < 205""".stripMargin)
+        .createOrReplaceTempView("q324_src")
+      s.sql(s"""MERGE INTO $cat.w t USING q324_src s ON t.vec_id = s.vec_id
+        |WHEN MATCHED THEN UPDATE SET label = s.label,
+        |  embedding = s.embedding
+        |WHEN NOT MATCHED THEN INSERT *""".stripMargin) // v6
+      // time travel: v1 still renders under its own array<float> manifest
+      require(TW.typesOf(s, tdir, 1L).toMap.apply("embedding") ==
+        ArrayType(FloatType, containsNull = true),
+        "q324: the pre-widen manifest must survive the rewrites")
+      require(s.sql(s"SELECT count(*) FROM $cat.w VERSION AS OF 1")
+        .head.getLong(0) == base.count(),
+        "q324: the float version must still read in full")
+      s.sql(s"""SELECT vec_id, label,
+        |  size(embedding) AS n_elems,
+        |  aggregate(embedding, 0L,
+        |    (acc, x) -> acc + CAST(floor(x * 1000000d + 0.5d) AS LONG))
+        |    AS checksum
+        |FROM $cat.w""".stripMargin)
     })
 }

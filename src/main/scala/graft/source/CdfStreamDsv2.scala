@@ -642,13 +642,18 @@ private[source] class GraftColumnarReader(p: CdfFilePartition,
         slotToInner.get(i) match {
           case Some(j) =>
             val v = inner.column(j)
-            // arrays compare on ELEMENT type only: file vintages disagree
-            // on containsNull (Spark's native writer emits required
-            // elements for Seq[Double]; GroupWrite emits optional ones),
-            // and either nullability claim reads the other's values fine
+            // arrays relax the containsNull claim only in the SAFE
+            // direction: a file with required (non-null) elements reads
+            // fine into a nullable table element type, but a file whose
+            // elements are optional may hold actual null elements that a
+            // containsNull=false table type promises away — downstream
+            // operators would skip the null check and mis-read. That
+            // direction must take the row-based reader (round-17
+            // advisory fix; previously both directions were admitted).
             val ok = (v.dataType(), f.dataType) match {
-              case (org.apache.spark.sql.types.ArrayType(ea, _),
-                org.apache.spark.sql.types.ArrayType(eb, _)) => ea == eb
+              case (org.apache.spark.sql.types.ArrayType(ea, fileCn),
+                org.apache.spark.sql.types.ArrayType(eb, tableCn)) =>
+                ea == eb && (tableCn || !fileCn)
               case (a, b) => a == b
             }
             require(ok,

@@ -519,7 +519,28 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
       case u: TableChange.UpdateColumnType =>
         require(isTyped, s"GraftCatalog: $ident — ALTER COLUMN TYPE needs " +
           "the type-widening layout (enroll via TypeWidening.init)")
-        TW.widen(spark, dir, one(u.fieldNames()), u.newDataType()); ()
+        u.fieldNames().toSeq match {
+          case Seq(c) => TW.widen(spark, dir, c, u.newDataType()); ()
+          case Seq(c, "element") =>
+            // ALTER COLUMN c.element TYPE t — Spark's grammar for array
+            // element updates (round 17 #2: the embedding-precision
+            // migration). The manifest stores whole-column types, so the
+            // element step lifts to array widening, containsNull carried
+            // — TW.widen's matrix admits or refuses from there.
+            val from = TW.typesOf(spark, dir, cur)
+              .collectFirst { case (n, t) if n == c => t }
+              .getOrElse(sys.error(s"GraftCatalog: $ident — no column '$c'"))
+            val cn = from match {
+              case org.apache.spark.sql.types.ArrayType(_, n) => n
+              case other => sys.error(s"GraftCatalog: $ident — '$c' is " +
+                s"${other.catalogString}, not an array; drop '.element'")
+            }
+            TW.widen(spark, dir, c,
+              org.apache.spark.sql.types.ArrayType(u.newDataType(), cn))
+            ()
+          case other => sys.error(s"GraftCatalog: $ident — unsupported " +
+            s"nested ALTER COLUMN TYPE target ${other.mkString(".")}")
+        }
       case other => sys.error(
         s"GraftCatalog: $ident — unsupported ALTER: $other")
     }

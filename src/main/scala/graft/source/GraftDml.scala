@@ -242,7 +242,14 @@ private[source] class GraftRowLevelOperation(
     else Array.empty
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     scanBuilderFn(options)
-  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    // PLAN-TIME admission (round 17 #7): newWriteBuilder runs while
+    // Spark is still BUILDING the rewrite plan, so an unsupported column
+    // (map, struct, nested array) refuses the whole UPDATE/MERGE/DELETE
+    // here — with the column named — instead of dying in an executor
+    // task retry loop mid-scan. GroupBatchWrite re-checks as defense.
+    GroupWrite.validate(info.schema(),
+      s"GraftCatalog: row-level SQL on ${target.dir}")
     new WriteBuilder {
       override def build(): org.apache.spark.sql.connector.write.Write =
         new org.apache.spark.sql.connector.write.Write {
@@ -252,6 +259,7 @@ private[source] class GraftRowLevelOperation(
               () => replacedFiles)
         }
     }
+  }
 }
 
 /** A created-but-never-committed table (CREATE TABLE / the window inside

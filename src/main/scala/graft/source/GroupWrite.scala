@@ -29,6 +29,42 @@ import graft.ops.Occ
   */
 private[source] object GroupWrite {
 
+  /** Every type the Group writer + reader pair can round-trip — the
+    * single source of truth the PLAN-TIME gate below checks against.
+    */
+  def supported(dt: DataType): Boolean = dt match {
+    case LongType | IntegerType | ShortType | ByteType | DoubleType |
+      FloatType | BooleanType | StringType | DateType | TimestampType |
+      TimestampNTZType => true
+    case d: DecimalType => d.precision <= 18
+    case ArrayType(et, _) => et match {
+      case LongType | IntegerType | ShortType | ByteType | DoubleType |
+        FloatType | BooleanType | StringType => true
+      case _ => false
+    }
+    case _ => false
+  }
+
+  /** PLAN-TIME admission for the row-level write path (round 17 #7):
+    * without this, a map/struct/nested-array column died inside an
+    * executor task retry loop with a writer stack trace — the round-15
+    * SHORT/BYTE asymmetry lesson, generalized. Runs on the driver at
+    * write construction, so an unsupported column refuses the whole
+    * UPDATE/MERGE/DELETE with a message that names the column and the
+    * supported surface.
+    */
+  def validate(schema: StructType, context: String): Unit = {
+    val bad = schema.fields.filterNot(f => supported(f.dataType))
+    require(bad.isEmpty,
+      s"$context: column(s) " +
+        bad.map(f => s"${f.name}: ${f.dataType.catalogString}")
+          .mkString(", ") +
+        " are not supported by the row-level SQL write path (supported:" +
+        " integral/float/boolean/string/date/timestamp/decimal(<=18) and" +
+        " arrays of those primitives) — restructure the column, or write" +
+        " through append/overwrite instead of UPDATE/MERGE/DELETE")
+  }
+
   /** StructType → parquet MessageType, mirroring exactly the leaf types
     * the Group READER supports — a type the write path accepts but the
     * read path cannot decode would be a trap.
@@ -230,6 +266,11 @@ private[source] class GroupBatchWrite(target: DmlTarget, baseVersion: Long,
     writeSchema: StructType,
     replacedFiles: () => Option[Seq[String]] = () => None)
     extends BatchWrite {
+
+  // plan-time, driver-side: refuse unsupported column types BEFORE any
+  // task launches (round 17 #7)
+  GroupWrite.validate(writeSchema,
+    s"GraftCatalog: row-level write on ${target.dir}")
 
   private val stageName = "_stage-" + UUID.randomUUID().toString
   private val stageDir = s"${target.dir}/$stageName"

@@ -80,10 +80,12 @@ class BenchGateSpec extends AnyFunSuite {
     // an UNADJUDICATED flag (isolated -1, beyond the 16-cap) never substitutes
     val capped = Seq(Flag("q242_s", 19.54, 4.97, -1.0, "unadjudicated"))
     assert(adjudicatedStreamingS(82.1, capped, isStreaming) == 82.1)
-    // a confirmed regression substitutes its (still-high) isolated number:
-    // a planted sleep survives isolation, so the adjudicated ratio still trips
+    // a confirmed regression NEVER substitutes (r17 advisory): the quiet
+    // warm isolated re-run systematically under-reads contention cost, so
+    // a confirmed-regression flag rides its full in-pass wall — a planted
+    // sleep (verdicted regression) trips the bucket gate at full weight
     val planted = Seq(Flag("q242_s", 19.54, 4.97, 18.9, "regression"))
-    assert(adjudicatedStreamingS(82.1, planted, isStreaming) > 81.0)
+    assert(adjudicatedStreamingS(82.1, planted, isStreaming) == 82.1)
     // no streaming flags -> identity
     assert(adjudicatedStreamingS(82.1, Seq(flags(2)), isStreaming) == 82.1)
   }
@@ -93,6 +95,35 @@ class BenchGateSpec extends AnyFunSuite {
     assert(math.abs(mixedFloor(47, 20, 0.4, 1.05) -
       (20 * 1.05 + 27 * 0.4)) < 1e-9)
     assert(mixedFloor(0, 0, 0.4, 1.05) == 0.0)
+    // async listener skew: a delta Snap can report statefulStarts > starts
+    // (a start's first stateful batch landing in the next window) — both
+    // terms clamp instead of going negative (r17 advisory)
+    assert(mixedFloor(10, 12, 0.3, 1.5) == 10 * 1.5)
+    assert(mixedFloor(10, 12, 1.5, 0.3) == 10 * 0.3)
+  }
+
+  test("repOrder: reps traverse different orders; a time-local transient " +
+      "cannot double-hit min-of-2 (r17 #1)") {
+    val names = (0 until 40).map(i => f"q$i%02d")
+    assert(BenchGate.repOrder(1, names) == names)
+    assert(BenchGate.repOrder(2, names) == names.reverse)
+    assert(BenchGate.repOrder(2, names).toSet == names.toSet) // nothing dropped
+    assert(BenchGate.repOrder(3, names) == names)
+    // each rep is one catalog pass; a transient inflates whatever queries
+    // sit at execution positions [10, 20) of THAT rep's order
+    def passTimes(rep: Int): Map[String, Double] =
+      BenchGate.repOrder(rep, names).zipWithIndex.map { case (n, i) =>
+        n -> (if (i >= 10 && i < 20) 3.0 else 1.0)
+      }.toMap
+    // different orders put the window on disjoint query sets (forward:
+    // q10..q19; reversed: q20..q29) -> every query's min-of-2 recovers
+    // the true 1.0 — the aggregate is order-transient-independent
+    val mins = names.map(n => math.min(passTimes(1)(n), passTimes(2)(n)))
+    assert(mins.forall(_ == 1.0))
+    // the pre-r17 shape — rep 2 in the SAME order — baked the inflation
+    // into min-of-2 for all ten window queries (the ~14-flag phantom tax)
+    val baked = names.count(n => math.min(passTimes(1)(n), passTimes(1)(n)) == 3.0)
+    assert(baked == 10)
   }
 
   test("Flag.json carries both measurements and the verdict") {

@@ -1122,52 +1122,63 @@ class LifecycleFuzzSpec extends AnyFunSuite {
     // widening chains per column (k is the sort key, never widened).
     // 'a' walks the FULL integral chain from TINYINT (values capped at
     // 0..99 so every stage can store them); 'c' crosses the decimal
-    // INT32→INT64 physical boundary at precision 10.
+    // INT32→INT64 physical boundary at precision 10; 'e' (round 17 #2)
+    // is the embedding-precision migration — ARRAY<FLOAT>→ARRAY<DOUBLE>,
+    // element-wise widening, float epochs decoded under a double
+    // manifest (values kept whole so every stage stores them exactly).
     val chains = Map(
       "a" -> Vector("TINYINT", "SMALLINT", "INT", "BIGINT"),
       "b" -> Vector("FLOAT", "DOUBLE"),
-      "c" -> Vector("DECIMAL(6,2)", "DECIMAL(10,2)", "DECIMAL(14,2)"))
-    val pos = mutable.Map("a" -> 0, "b" -> 0, "c" -> 0)
-    type TRow = (Long, Long, Double, BigDecimal)
+      "c" -> Vector("DECIMAL(6,2)", "DECIMAL(10,2)", "DECIMAL(14,2)"),
+      "e" -> Vector("ARRAY<FLOAT>", "ARRAY<DOUBLE>"))
+    val cols = Seq("a", "b", "c", "e")
+    val pos = mutable.Map("a" -> 0, "b" -> 0, "c" -> 0, "e" -> 0)
+    type TRow = (Long, Long, Double, BigDecimal, Seq[Double])
     val rows = mutable.ArrayBuffer.empty[TRow]
     var nextKey = 0L
     def freshRows(n: Int): Seq[TRow] = (0 until n).map { _ =>
       val k = nextKey; nextKey += 1
       (k, r.nextInt(100).toLong, r.nextInt(1000).toDouble,
-        BigDecimal(r.nextInt(999999)) / 100)
+        BigDecimal(r.nextInt(999999)) / 100,
+        Seq.fill(2 + r.nextInt(3))(r.nextInt(1000).toDouble))
     }
     def toDf(rs: Seq[TRow]) = {
       val st = StructType(Seq(
         StructField("k", LongType, nullable = false),
         StructField("a", LongType, nullable = false),
         StructField("b", DoubleType, nullable = false),
-        StructField("c", DecimalType(20, 2), nullable = false)))
+        StructField("c", DecimalType(20, 2), nullable = false),
+        StructField("e", ArrayType(DoubleType), nullable = false)))
       val base = spark.createDataFrame(
         spark.sparkContext.parallelize(rs.map(t => org.apache.spark.sql.Row(
-          t._1, t._2, t._3, t._4.setScale(2).bigDecimal)), 1), st)
+          t._1, t._2, t._3, t._4.setScale(2).bigDecimal, t._5)), 1), st)
       base.select(col("k"),
         col("a").cast(chains("a")(pos("a")).toLowerCase),
         col("b").cast(chains("b")(pos("b")).toLowerCase),
-        col("c").cast(chains("c")(pos("c")).toLowerCase))
+        col("c").cast(chains("c")(pos("c")).toLowerCase),
+        col("e").cast(chains("e")(pos("e")).toLowerCase))
     }
     def canon(df: org.apache.spark.sql.DataFrame): Seq[TRow] =
       df.select(col("k"), col("a").cast("long"), col("b").cast("double"),
-        col("c").cast("decimal(20,2)")).collect()
+        col("c").cast("decimal(20,2)"), col("e").cast("array<double>"))
+        .collect()
         .map(rw => (rw.getLong(0), rw.getLong(1), rw.getDouble(2),
-          BigDecimal(rw.getDecimal(3)).setScale(2)))
+          BigDecimal(rw.getDecimal(3)).setScale(2),
+          rw.getSeq[Double](4).toList: Seq[Double]))
         .sortBy(_._1).toSeq
     def modelRows: Seq[TRow] =
-      rows.toSeq.map(t => (t._1, t._2, t._3, t._4.setScale(2))).sortBy(_._1)
+      rows.toSeq.map(t => (t._1, t._2, t._3, t._4.setScale(2),
+        t._5.toList: Seq[Double])).sortBy(_._1)
 
     val first = freshRows(12); rows ++= first
     TW.init(toDf(first), dir)
     val snaps = mutable.LinkedHashMap.empty[Long, (Map[String, Int], Seq[TRow])]
     def curV = VersionedTable.currentVersion(spark, dir).getOrElse(fail("no v"))
     def check(tag: String): Unit = {
-      val live = spark.sql(s"SELECT k, a, b, c FROM $cat.w")
-      val wantTypes = Seq("a", "b", "c").map(c =>
+      val live = spark.sql(s"SELECT k, a, b, c, e FROM $cat.w")
+      val wantTypes = cols.map(c =>
         org.apache.spark.sql.types.DataType.fromDDL(chains(c)(pos(c))))
-      val gotTypes = Seq("a", "b", "c").map(c => live.schema(c).dataType)
+      val gotTypes = cols.map(c => live.schema(c).dataType)
       assert(gotTypes == wantTypes,
         s"[tw/$seed] $tag: SQL schema $gotTypes, manifest wants $wantTypes")
       assert(canon(live) == modelRows,
@@ -1178,13 +1189,18 @@ class LifecycleFuzzSpec extends AnyFunSuite {
 
     for (i <- 1 to 12) {
       val pick = r.nextInt(100)
+      // array columns take Spark's element grammar: ALTER COLUMN e.element
+      def alterSql(c: String, ddl: String): String =
+        if (ddl.toUpperCase.startsWith("ARRAY<"))
+          s"ALTER TABLE $cat.w ALTER COLUMN $c.element TYPE " +
+            ddl.stripPrefix("ARRAY<").stripSuffix(">")
+        else s"ALTER TABLE $cat.w ALTER COLUMN $c TYPE $ddl"
       if (pick < 30) { // widen one step along a random column's chain
-        val open = Seq("a", "b", "c").filter(c => pos(c) < chains(c).size - 1)
+        val open = cols.filter(c => pos(c) < chains(c).size - 1)
         if (open.nonEmpty) {
           val c = open(r.nextInt(open.size))
           pos(c) += 1
-          spark.sql(
-            s"ALTER TABLE $cat.w ALTER COLUMN $c TYPE ${chains(c)(pos(c))}")
+          spark.sql(alterSql(c, chains(c)(pos(c))))
         }
       } else if (pick < 60) { // epoch append at the current manifest types
         val fresh = freshRows(2 + r.nextInt(4))
@@ -1193,27 +1209,30 @@ class LifecycleFuzzSpec extends AnyFunSuite {
         ()
       } else if (pick < 72) { // row-level SQL UPDATE (round 16): the COW
         // scan renders every physical epoch at the live manifest and the
-        // replacement commits as a typed rewrite (chain ended)
+        // replacement commits as a typed rewrite (chain ended). The array
+        // column updates element-wise in the same statement (r17 #2) —
+        // +1 on whole values stays float-exact at every chain stage.
         val m = 3 + r.nextInt(4); val cc = r.nextInt(m)
         spark.sql(s"UPDATE $cat.w SET a = CAST(k % 90 AS " +
-          s"${chains("a")(pos("a"))}) WHERE k % $m = $cc")
-        rows.mapInPlace { case t @ (k, _, b2, c2) =>
-          if (k % m == cc) (k, k % 90, b2, c2) else t
+          s"${chains("a")(pos("a"))}), e = CAST(transform(e, " +
+          s"x -> CAST(x AS DOUBLE) + 1.0d) AS ${chains("e")(pos("e"))}) " +
+          s"WHERE k % $m = $cc")
+        rows.mapInPlace { case t @ (k, _, b2, c2, e2) =>
+          if (k % m == cc) (k, k % 90, b2, c2, e2.map(_ + 1.0)) else t
         }
         ()
       } else if (pick < 80) { // row-level SQL DELETE (the rewrite form)
         if (rows.size > 4) {
           val m = 5 + r.nextInt(4); val cc = r.nextInt(m)
           spark.sql(s"DELETE FROM $cat.w WHERE k % $m = $cc")
-          rows.filterInPlace { case (k, _, _, _) => k % m != cc }
+          rows.filterInPlace { case (k, _, _, _, _) => k % m != cc }
           ()
         }
       } else if (pick < 90) { // a NARROWING must be refused loudly, nothing committed
-        val c = Seq("a", "b", "c")(r.nextInt(3))
+        val c = cols(r.nextInt(cols.size))
         if (pos(c) > 0) {
           val vBefore = curV
-          val res = scala.util.Try(spark.sql(
-            s"ALTER TABLE $cat.w ALTER COLUMN $c TYPE ${chains(c)(pos(c) - 1)}"))
+          val res = scala.util.Try(spark.sql(alterSql(c, chains(c)(pos(c) - 1))))
           assert(res.isFailure && curV == vBefore,
             s"[tw/$seed] op#$i: narrowing $c must be refused with no commit")
         }
@@ -1221,14 +1240,16 @@ class LifecycleFuzzSpec extends AnyFunSuite {
         // be refused with no commit (Delta's wider matrix has int→decimal
         // and date→timestamp; ours refuses — loudly, never a silent cast)
         val offChain = Map(
-          "a" -> Vector("DECIMAL(20,0)", "DOUBLE", "DATE"),
+          "a" -> Vector("DECIMAL(20,0)", "DOUBLE", "DATE",
+            "ARRAY<BIGINT>"), // scalar -> array: refused
           "b" -> Vector("DECIMAL(10,2)", "BIGINT", "TIMESTAMP"),
-          "c" -> Vector("DOUBLE", "BIGINT", "DECIMAL(14,4)")) // scale change: also refused
-        val c = Seq("a", "b", "c")(r.nextInt(3))
+          "c" -> Vector("DOUBLE", "BIGINT", "DECIMAL(14,4)"), // scale change: also refused
+          "e" -> Vector("ARRAY<DECIMAL(10,2)>", "ARRAY<STRING>",
+            "DOUBLE")) // cross-family elements / array -> scalar: refused
+        val c = cols(r.nextInt(cols.size))
         val to = offChain(c)(r.nextInt(offChain(c).size))
         val vBefore = curV
-        val res = scala.util.Try(spark.sql(
-          s"ALTER TABLE $cat.w ALTER COLUMN $c TYPE $to"))
+        val res = scala.util.Try(spark.sql(alterSql(c, to)))
         assert(res.isFailure && curV == vBefore,
           s"[tw/$seed] op#$i: cross-family $c->$to must be refused with no commit")
       }
@@ -1238,7 +1259,7 @@ class LifecycleFuzzSpec extends AnyFunSuite {
     // every version reads under ITS OWN manifest with its own rows
     snaps.foreach { case (v, (p, want)) =>
       val manifest = TW.typesOf(spark, dir, v).toMap
-      Seq("a", "b", "c").foreach { c =>
+      cols.foreach { c =>
         assert(manifest(c) ==
           org.apache.spark.sql.types.DataType.fromDDL(chains(c)(p(c))),
           s"[tw/$seed] v$v manifest for '$c' is ${manifest(c)}, " +
@@ -1246,6 +1267,210 @@ class LifecycleFuzzSpec extends AnyFunSuite {
       }
       assert(canon(TW.readVersion(spark, dir, v)) == want,
         s"[tw/$seed] version $v rows diverged under its own manifest")
+    }
+  }
+
+  /** TYPED-PLANE COMPOSITION fuzz (round 17 #3): the type-widening chain
+    * shares a catalog with the DV, CDF and branch planes — this campaign
+    * pins how each composes. CDF COMPOSES: `tableChanges` on a typed
+    * table renders every change row under the manifest of `toVersion`
+    * (each bounding snapshot read under its own manifest, cast UP —
+    * lossless by the widening-only invariant), model-checked after EVERY
+    * commit, including metadata-only widen commits which must diff
+    * EMPTY. DV and branching REFUSE loudly with no commit: a DV bitmap
+    * would mask rows no typed read consults, and the branch plane is a
+    * disjoint storage layout — both directions of the branch/typed
+    * collision are probed.
+    */
+  test("typed-plane composition: CDF pinned to toVersion manifest, " +
+      "DV/branch refused (seed 7707)") {
+    twCompositionCampaign(7707, assertCovered = true)
+  }
+
+  private def twCompositionCampaign(seed: Int,
+      assertCovered: Boolean = false): Unit = {
+    import graft.ops.{TypeWidening => TW, ChangeFeed => CF,
+      DeletionVectors => DV}
+    import org.apache.spark.sql.types._
+    val r = new Random(seed)
+    val root = TestSpark.tmpDir("fuzz_twcomp")
+    val dir = s"$root/t"
+    val cat = registerCat(root, s"twc$seed")
+    val aChain = Vector("SMALLINT", "INT", "BIGINT")
+    val eChain = Vector("ARRAY<FLOAT>", "ARRAY<DOUBLE>")
+    var aPos = 0; var ePos = 0
+    // model: k -> (a, e); whole values keep every widening cast exact
+    val live = mutable.SortedMap.empty[Long, (Long, Seq[Double])]
+    var nextKey = 0L
+    def fresh(n: Int): Seq[(Long, Long, Seq[Double])] = (0 until n).map { _ =>
+      val k = nextKey; nextKey += 1
+      (k, r.nextInt(90).toLong, Seq.fill(2)(r.nextInt(1000).toDouble))
+    }
+    def toDf(rs: Seq[(Long, Long, Seq[Double])]) =
+      rs.toDF("k", "a", "e").select(col("k"),
+        col("a").cast(aChain(aPos).toLowerCase).as("a"),
+        col("e").cast(eChain(ePos).toLowerCase).as("e"))
+    val first = fresh(8)
+    first.foreach { case (k, a, e) => live(k) = (a, e) }
+    TW.init(toDf(first), dir)
+    val snaps = mutable.LinkedHashMap[Long, Map[Long, (Long, Seq[Double])]](
+      1L -> live.toMap)
+    def curV = VersionedTable.currentVersion(spark, dir).getOrElse(fail("no v"))
+    val hits = mutable.Map.empty[String, Int].withDefaultValue(0)
+
+    type CRow = (Long, Long, String, Long, Seq[Double]) // version, k, type, a, e
+    def canonChanges(df: org.apache.spark.sql.DataFrame): Seq[CRow] =
+      df.select(col(CF.CommitVersion), col("k"), col(CF.ChangeType),
+        col("a").cast("long"), col("e").cast("array<double>")).collect()
+        .map(rw => (rw.getLong(0), rw.getLong(1), rw.getString(2),
+          rw.getLong(3), rw.getSeq[Double](4).toList: Seq[Double]))
+        .sortBy(t => (t._1, t._2, t._3)).toSeq
+    def expectedDelta(v: Long, old: Map[Long, (Long, Seq[Double])],
+        nw: Map[Long, (Long, Seq[Double])]): Seq[CRow] = {
+      val ins = (nw.keySet -- old.keySet).toSeq
+        .map(k => (v, k, "insert", nw(k)._1, nw(k)._2))
+      val del = (old.keySet -- nw.keySet).toSeq
+        .map(k => (v, k, "delete", old(k)._1, old(k)._2))
+      val upd = (old.keySet & nw.keySet).toSeq
+        .filter(k => old(k) != nw(k)).flatMap(k => Seq(
+          (v, k, "update_preimage", old(k)._1, old(k)._2),
+          (v, k, "update_postimage", nw(k)._1, nw(k)._2)))
+      (ins ++ del ++ upd).sortBy(t => (t._1, t._2, t._3))
+    }
+    def checkCommit(tag: String): Unit = {
+      val v = curV
+      val prev =
+        if (v <= 1L) Map.empty[Long, (Long, Seq[Double])] else snaps(v - 1)
+      snaps(v) = live.toMap
+      // live SQL read renders the manifest types over the model content
+      val got = spark.sql(s"SELECT k, a, e FROM $cat.t")
+      assert(got.schema("a").dataType == DataType.fromDDL(aChain(aPos)) &&
+        got.schema("e").dataType == DataType.fromDDL(eChain(ePos)),
+        s"[twcomp/$seed] $tag: live schema diverged from the manifest")
+      val gotRows = got.select(col("k"), col("a").cast("long"),
+        col("e").cast("array<double>")).collect()
+        .map(rw => rw.getLong(0) ->
+          (rw.getLong(1), rw.getSeq[Double](2).toList: Seq[Double]))
+        .sortBy(_._1).toSeq
+      assert(gotRows == live.toSeq.map { case (k, (a, e)) =>
+        k -> (a, e.toList: Seq[Double]) },
+        s"[twcomp/$seed] $tag: live read diverged from the model")
+      // per-commit CDF, pinned to toVersion's (= v's) manifest — a
+      // metadata-only widen must diff EMPTY under its own wider schema
+      val ch = CF.tableChanges(spark, dir, v - 1, v, Seq("k"))
+      assert(ch.schema("a").dataType == DataType.fromDDL(aChain(aPos)) &&
+        ch.schema("e").dataType == DataType.fromDDL(eChain(ePos)),
+        s"[twcomp/$seed] $tag: tableChanges must render toVersion's manifest")
+      assert(canonChanges(ch) == expectedDelta(v, prev, snaps(v)),
+        s"[twcomp/$seed] $tag: v$v change rows diverged from the model diff")
+    }
+    checkCommit("init")
+
+    for (i <- 1 to 12) {
+      val pick = r.nextInt(100)
+      if (pick < 22) { // metadata-only widen (SQL ALTER on the catalog)
+        val open = Seq("a", "e").filter(c =>
+          if (c == "a") aPos < aChain.size - 1 else ePos < eChain.size - 1)
+        if (open.nonEmpty) {
+          val c = open(r.nextInt(open.size))
+          if (c == "a") { aPos += 1
+            spark.sql(s"ALTER TABLE $cat.t ALTER COLUMN a TYPE ${aChain(aPos)}")
+          } else { ePos += 1
+            // Spark's grammar for array element updates: col.element
+            spark.sql(s"ALTER TABLE $cat.t ALTER COLUMN e.element TYPE " +
+              eChain(ePos).stripPrefix("ARRAY<").stripSuffix(">"))
+          }
+          hits("widen") += 1
+          checkCommit(s"op#$i widen")
+        }
+      } else if (pick < 50) { // epoch append at the live manifest types
+        val rs = fresh(2 + r.nextInt(3))
+        rs.foreach { case (k, a, e) => live(k) = (a, e) }
+        TW.append(toDf(rs), dir)
+        hits("append") += 1
+        checkCommit(s"op#$i append")
+      } else if (pick < 68) { // SQL UPDATE — COW across mixed epochs
+        val m = 3 + r.nextInt(3); val cc = r.nextInt(m)
+        spark.sql(s"UPDATE $cat.t SET a = CAST(k % 77 AS ${aChain(aPos)}), " +
+          s"e = CAST(transform(e, x -> CAST(x AS DOUBLE) + 1.0d) AS " +
+          s"${eChain(ePos)}) WHERE k % $m = $cc")
+        live.keys.toSeq.filter(_ % m == cc).foreach { k =>
+          val (_, e) = live(k); live(k) = (k % 77, e.map(_ + 1.0))
+        }
+        hits("update") += 1
+        checkCommit(s"op#$i update")
+      } else if (pick < 80) { // SQL DELETE — rewrite form on this plane
+        if (live.size > 4) {
+          val m = 4 + r.nextInt(3); val cc = r.nextInt(m)
+          spark.sql(s"DELETE FROM $cat.t WHERE k % $m = $cc")
+          live.keys.toSeq.filter(_ % m == cc).foreach(live.remove)
+          hits("delete") += 1
+          checkCommit(s"op#$i delete")
+        }
+      } else if (pick < 90) { // DV on a typed dir must refuse, no commit
+        val vBefore = curV
+        val res = scala.util.Try(DV.delete(spark, dir, col("k") % 3 === 0))
+        assert(res.isFailure && res.failed.get.getMessage
+          .contains("type-widening") && curV == vBefore,
+          s"[twcomp/$seed] op#$i: DV.delete must refuse a typed table loudly")
+        hits("dvRefuse") += 1
+      } else { // branch plane on a typed dir must refuse, nothing written
+        val res = scala.util.Try(graft.ops.Branching.init(toDf(fresh(1)), dir))
+        val res2 = scala.util.Try(
+          graft.ops.Branching.initCaptured(toDf(fresh(1)), dir, Seq("k")))
+        val fs = new org.apache.hadoop.fs.Path(dir)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        assert(res.isFailure && res2.isFailure &&
+          !fs.exists(new org.apache.hadoop.fs.Path(dir, "_heads")),
+          s"[twcomp/$seed] op#$i: Branching.init must refuse a typed dir")
+        hits("branchRefuse") += 1
+      }
+    }
+    // full-range feed: one deterministic schema (the live manifest) over
+    // every commit, equal to the concatenated model diffs
+    val allCh = CF.tableChanges(spark, dir, 1L, curV, Seq("k"))
+    assert(allCh.schema("a").dataType == DataType.fromDDL(aChain(aPos)) &&
+      allCh.schema("e").dataType == DataType.fromDDL(eChain(ePos)),
+      s"[twcomp/$seed] full-range feed must render the live manifest")
+    val versions = snaps.keys.toSeq.sorted
+    val wantAll = versions.zip(versions.tail).flatMap { case (p, v) =>
+      expectedDelta(v, snaps(p), snaps(v))
+    }.sortBy(t => (t._1, t._2, t._3))
+    assert(canonChanges(allCh) == wantAll,
+      s"[twcomp/$seed] full-range feed diverged from the model diffs")
+    // the refusal probes run once UNCONDITIONALLY (any seed covers them;
+    // the in-loop draws add mid-lifecycle interleavings on top):
+    locally { // DV on a typed dir
+      val vBefore = curV
+      val res = scala.util.Try(DV.delete(spark, dir, col("k") % 3 === 0))
+      assert(res.isFailure && res.failed.get.getMessage
+        .contains("type-widening") && curV == vBefore,
+        s"[twcomp/$seed] DV.delete must refuse a typed table loudly")
+      hits("dvRefuse") += 1
+    }
+    locally { // branch plane on a typed dir
+      val res = scala.util.Try(graft.ops.Branching.init(toDf(fresh(1)), dir))
+      val fs = new org.apache.hadoop.fs.Path(dir)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      assert(res.isFailure &&
+        !fs.exists(new org.apache.hadoop.fs.Path(dir, "_heads")),
+        s"[twcomp/$seed] Branching.init must refuse a typed dir")
+      hits("branchRefuse") += 1
+    }
+    // the mirror collision: TW.init into a branch-plane dir must refuse
+    val bdir = s"$root/b"
+    graft.ops.Branching.init(fresh(2).toDF("k", "a", "e"), bdir)
+    val mirror = scala.util.Try(TW.init(fresh(1).toDF("k", "a", "e"), bdir))
+    assert(mirror.isFailure &&
+      mirror.failed.get.getMessage.contains("branch-plane"),
+      s"[twcomp/$seed] TW.init must refuse a branch-plane dir loudly")
+    if (assertCovered) {
+      val want = Seq("widen", "append", "update", "delete", "dvRefuse",
+        "branchRefuse")
+      val missing = want.filter(hits(_) == 0)
+      assert(missing.isEmpty,
+        s"[twcomp/$seed] campaign must cover $want; missing $missing " +
+          s"(hits: $hits) — re-seed the pinned test")
     }
   }
 
@@ -1626,6 +1851,7 @@ class LifecycleFuzzSpec extends AnyFunSuite {
       branchEvoCampaign(6600 + s)
       dvIvfCampaign(5500 + s)
       arrayCampaign(4400 + s)
+      twCompositionCampaign(7700 + s)
     }
   }
 

@@ -1,0 +1,183 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Round-17 pins.
+  *
+  *  - ARRAY ELEMENT WIDENING (verdict #2): `isWidening` recurses through
+  *    ArrayType — `array<float> -> array<double>` is the embedding-
+  *    precision migration every training corpus hits; containsNull may
+  *    only widen false -> true; element narrowing refuses.
+  *  - `TypeWidening.rewrite` admission (advisory): the public ops-API
+  *    rewrite now mirrors append() — a frame WIDER than the manifest
+  *    refuses loudly instead of being silently narrowed by the cast.
+  *  - `readVersion` chain determinism (advisory): manifest groups key on
+  *    names + types and union in strict chain order.
+  *  - PLAN-TIME row-level gate (verdict #7): map/struct columns refuse
+  *    UPDATE/MERGE/DELETE while the plan is being built, naming the
+  *    column — not at executor task time mid-retry-loop.
+  *  - Columnar array nullability (advisory): the relaxed containsNull
+  *    check admits only the safe direction (file-required elements into
+  *    a nullable table type); a file that may hold null elements refuses
+  *    a containsNull=false table claim loudly.
+  */
+class Round17OpsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def registerCat(root: String, tag: String): String = {
+    val cat = s"graftr17$tag"
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.source.GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.root", root)
+    cat
+  }
+
+  test("isWidening: array element widening matrix") {
+    import graft.ops.TypeWidening.isWidening
+    def arr(et: DataType, cn: Boolean) = ArrayType(et, cn)
+    // the embedding-precision migration, both nullability flavors
+    assert(isWidening(arr(FloatType, true), arr(DoubleType, true)))
+    assert(isWidening(arr(FloatType, false), arr(DoubleType, true)))
+    assert(isWidening(arr(FloatType, false), arr(DoubleType, false)))
+    assert(isWidening(arr(IntegerType, true), arr(LongType, true)))
+    assert(isWidening(arr(ShortType, true), arr(LongType, true)))
+    // identity
+    assert(isWidening(arr(DoubleType, true), arr(DoubleType, true)))
+    // element narrowing refuses
+    assert(!isWidening(arr(DoubleType, true), arr(FloatType, true)))
+    assert(!isWidening(arr(LongType, true), arr(IntegerType, true)))
+    // containsNull may not narrow true -> false: history may hold null
+    // elements the new type would promise away
+    assert(!isWidening(arr(FloatType, true), arr(DoubleType, false)))
+    // cross-family / cross-shape refuse
+    assert(!isWidening(arr(IntegerType, true), arr(DoubleType, true)))
+    assert(!isWidening(IntegerType, arr(IntegerType, true)))
+    assert(!isWidening(arr(IntegerType, true), LongType))
+  }
+
+  test("TypeWidening.rewrite refuses a frame wider than the manifest") {
+    import graft.ops.{TypeWidening => TW}
+    val dir = TestSpark.tmpDir("r17rw") + "/t"
+    TW.init(Seq((1L, 10), (2L, 20)).toDF("k", "a")
+      .select(col("k"), col("a").cast("int").as("a")), dir)
+    // a LONG frame into an INT manifest: before the round-17 fix this
+    // was silently narrowed by a non-ANSI cast — the plane's loudest
+    // invariant violated on its public API path
+    val wide = Seq((3L, 5000000000L)).toDF("k", "a")
+    val res = scala.util.Try(TW.rewrite(wide, dir))
+    assert(res.isFailure &&
+      res.failed.get.getMessage.contains("widen the table first"))
+    assert(graft.ops.VersionedTable.currentVersion(spark, dir).contains(1L),
+      "the refused rewrite must not commit")
+    // at-manifest rewrite still lands
+    TW.rewrite(Seq((9L, 90)).toDF("k", "a")
+      .select(col("k"), col("a").cast("int").as("a")), dir)
+    assert(TW.read(spark, dir).collect().map(_.getLong(0)).toSeq == Seq(9L))
+  }
+
+  test("readVersion: one read per distinct manifest, unioned in chain order") {
+    import graft.ops.{TypeWidening => TW}
+    val dir = TestSpark.tmpDir("r17chain") + "/t"
+    def df(ks: Seq[Long], t: String) = ks.map(k => (k, k * 10))
+      .toDF("k", "a").select(col("k"), col("a").cast(t).as("a")).coalesce(1)
+    TW.init(df(Seq(0L, 1L), "int"), dir) // v1: int epoch
+    TW.widen(spark, dir, "a", LongType) // v2: metadata only
+    TW.append(df(Seq(2L, 3L), "bigint"), dir) // v3: long epoch
+    TW.append(df(Seq(4L, 5L), "bigint"), dir) // v4: long epoch
+    val r1 = TW.read(spark, dir)
+    // v3+v4 share a manifest -> ONE multi-path read; v1 is its own: the
+    // plan carries exactly two scan nodes for three data epochs
+    val scans = r1.queryExecution.executedPlan.collectLeaves().size
+    assert(scans == 2, s"3 epochs / 2 distinct manifests must plan 2 " +
+      s"reads, got $scans")
+    // strict chain order: with one partition per epoch and no shuffle,
+    // collect order follows the union order — oldest epoch first
+    val ks = r1.select("k").collect().map(_.getLong(0)).toSeq
+    assert(ks.take(2).sorted == Seq(0L, 1L) &&
+      ks.drop(2).sorted == Seq(2L, 3L, 4L, 5L),
+      s"chain must union oldest-manifest-group first, got $ks")
+    // deterministic: a second plan renders the identical file order
+    assert(TW.read(spark, dir).inputFiles.toSeq == r1.inputFiles.toSeq)
+  }
+
+  test("array widening end-to-end on the ops API: float epochs under a " +
+      "double manifest") {
+    import graft.ops.{TypeWidening => TW}
+    val dir = TestSpark.tmpDir("r17arrw") + "/t"
+    def df(ks: Seq[Long], t: String) = ks.map(k => (k, Seq(k * 1.0, k + 0.5)))
+      .toDF("k", "e").select(col("k"), col("e").cast(t).as("e"))
+    TW.init(df(Seq(0L, 1L), "array<float>"), dir) // v1: float elements
+    TW.widen(spark, dir, "e", ArrayType(DoubleType)) // v2: metadata only
+    TW.append(df(Seq(2L), "array<double>"), dir) // v3: double elements
+    // mixed element widths render as double, float values exactly
+    val got = TW.read(spark, dir).select("k", "e").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toList).toMap
+    assert(got == Map(0L -> List(0.0, 0.5), 1L -> List(1.0, 1.5),
+      2L -> List(2.0, 2.5)))
+    assert(TW.epochSchema(spark, dir, 1L)("e").dataType ==
+      ArrayType(FloatType, containsNull = true),
+      "the pre-widen epoch must still store float32 elements")
+    // narrowing back refuses with no commit
+    val res = scala.util.Try(TW.widen(spark, dir, "e", ArrayType(FloatType)))
+    assert(res.isFailure &&
+      graft.ops.VersionedTable.currentVersion(spark, dir).contains(3L))
+    // a double frame cannot append into a float manifest (pre-widen shape)
+    val dir2 = TestSpark.tmpDir("r17arrw2") + "/t"
+    TW.init(df(Seq(0L), "array<float>"), dir2)
+    assert(scala.util.Try(TW.append(df(Seq(1L), "array<double>"), dir2))
+      .isFailure, "array<double> into an array<float> manifest must refuse")
+  }
+
+  test("plan-time gate: map/struct columns refuse row-level SQL, naming " +
+      "the column") {
+    val root = TestSpark.tmpDir("r17gate")
+    val df = spark.range(0L, 10L).toDF("k")
+      .withColumn("m", map(lit("a"), col("k")))
+      .withColumn("s", struct(col("k").as("x"), lit("y").as("y")))
+      .withColumn("v", col("k") * 2)
+    graft.ops.VersionedTable.write(df, s"$root/t")
+    val cat = registerCat(root, "gate")
+    val res = scala.util.Try(
+      spark.sql(s"UPDATE $cat.t SET v = v + 1 WHERE k = 3"))
+    assert(res.isFailure, "row-level SQL on a map/struct table must refuse")
+    val msg = res.failed.get.getMessage
+    assert(msg.contains("row-level SQL") && msg.contains("m: map<") &&
+      msg.contains("s: struct<"),
+      s"the refusal must name the offending columns at plan time: $msg")
+    // the table itself stays live and unversioned by the refused op
+    assert(graft.ops.VersionedTable.currentVersion(spark, s"$root/t")
+      .contains(1L))
+  }
+
+  test("columnar array read: containsNull relaxes only in the safe " +
+      "direction") {
+    val root = TestSpark.tmpDir("r17cn")
+    // file A: REQUIRED elements (array() over non-null children)
+    spark.range(0L, 8L).toDF("k")
+      .select(col("k"), array(col("k").cast("double")).as("e"))
+      .coalesce(1).write.parquet(s"$root/req")
+    // file B: OPTIONAL elements, with actual nulls
+    spark.range(0L, 8L).toDF("k")
+      .select(col("k"),
+        array(when(col("k") % 2 === 0, col("k").cast("double"))).as("e"))
+      .coalesce(1).write.parquet(s"$root/opt")
+    def one(d: String): String = new java.io.File(d).listFiles()
+      .filter(f => f.getName.endsWith(".parquet")).head.getAbsolutePath
+    def schema(cn: Boolean) = StructType(Seq(
+      StructField("k", LongType),
+      StructField("e", ArrayType(DoubleType, containsNull = cn))))
+    // safe: required file elements into a nullable table claim
+    assert(graft.source.TestReaderHook.columnarRows(
+      schema(cn = true), Nil, one(s"$root/req")) == 8L)
+    // unsafe: a file whose elements MAY be null must not satisfy a
+    // containsNull=false table claim — refuse loudly (row reader's job)
+    val res = scala.util.Try(graft.source.TestReaderHook.columnarRows(
+      schema(cn = false), Nil, one(s"$root/opt")))
+    assert(res.isFailure &&
+      res.failed.get.getMessage.contains("row-based reader"),
+      s"nullable file elements under a non-null table claim must refuse")
+  }
+}

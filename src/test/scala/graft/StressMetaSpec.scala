@@ -236,6 +236,94 @@ class StressMetaSpec extends AnyFunSuite {
     // history intact: a mid-chain version still reads under its own chain
     assert(TW.readVersion(spark, dir, 150L).count() == 150L)
   }
+
+  /** THE MILLION-FILE REGIME (round 17 #4): q320's scaladoc names the
+    * scale killer — at a million files the DRIVER replay is unaffordable
+    * per plan, and the parquet-checkpoint plane's distributed resolution
+    * (`stateDfAt`/`resolveDf`) is the answer. This probe builds a
+    * 1,000,000-file state as a DISTRIBUTED parquet checkpoint (a Spark
+    * job writes it; the driver never holds the million rows) plus a tiny
+    * JSON tail, and pins BOTH halves of the contract:
+    *
+    *   - `resolveDf` resolves and prunes the million-file inventory as a
+    *     Spark job in bounded time with bounded driver-heap growth —
+    *     callers collect only the pruned survivors (here: one cell's
+    *     100 files of 1M);
+    *   - the driver-resident path (`liveFiles`) REFUSES the table loudly
+    *     at `ActionLog.DriverReplayMaxFiles`, naming the distributed
+    *     twins — instead of silently materializing a quarter-GB of
+    *     driver heap per plan (the documented handoff).
+    */
+  test("1M-file log: resolveDf plans through the parquet checkpoint; " +
+      "driver replay hands off") {
+    val root = TestSpark.tmpDir("stressmeta1m")
+    val dir = s"$root/huge"
+    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(new Path(s"$dir/_log"))
+    def put(name: String, text: String): Unit = {
+      val out = fs.create(new Path(s"$dir/_log/$name"), true)
+      try out.write(text.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+    }
+    // v1 exists as a one-line action file; its content is superseded by
+    // the same-version checkpoint that seeds every resolution
+    put("00000001.json",
+      """{"a":"add","p":"part-c0-0.parquet","lo":0,"hi":0,"n":100}""")
+    put("_statscol", "k")
+    val N = 1000000L
+    val PerCell = 100L
+    // the 1M-row checkpoint, written by a SPARK JOB (driver O(1)) in the
+    // stateDfAt column contract: one exact [cell, cell] band per file
+    spark.range(N).select(
+      lit("add").as("a"),
+      concat(lit("part-c"), (col("id") / PerCell).cast("long"), lit("-"),
+        (col("id") % PerCell).cast("long"), lit(".parquet")).as("p"),
+      (col("id") / PerCell).cast("long").as("lo"),
+      (col("id") / PerCell).cast("long").as("hi"),
+      lit(100L).as("n"),
+      lit(null).cast("string").as("app"),
+      lit(null).cast("long").as("batch"))
+      .coalesce(8)
+      .write.parquet(s"$dir/_log/00000001.checkpoint.parquet")
+    // a json tail on top of the checkpoint: 2 removes + 1 add at v2
+    put("00000002.json", Seq(
+      """{"a":"remove","p":"part-c0-0.parquet"}""",
+      """{"a":"remove","p":"part-c0-1.parquet"}""",
+      """{"a":"add","p":"part-fresh.parquet","lo":4242,"hi":4242,"n":5}""")
+      .mkString("\n"))
+
+    def usedHeap(): Long = {
+      System.gc(); System.gc()
+      Runtime.getRuntime.totalMemory - Runtime.getRuntime.freeMemory
+    }
+    // distributed resolution: full count, then a band-pruned collect
+    val heap0 = usedHeap()
+    val (total, tCount) = timed(ActionLog.resolveDf(spark, dir).count())
+    val (kept, tPrune) = timed(ActionLog.resolveDf(spark, dir)
+      .filter(col("lo") <= 4242L && col("hi") >= 4242L)
+      .collect())
+    val heap1 = usedHeap()
+    info(f"resolveDf(1M): count ${tCount}%.2f s, pruned collect " +
+      f"${tPrune}%.2f s -> ${kept.length} files, heap " +
+      f"+${(heap1 - heap0) / 1e6}%.0f MB")
+    assert(total == N - 2 + 1, s"checkpoint + tail must merge: $total")
+    assert(kept.length == PerCell + 1, // cell 4242's files + the tail add
+      s"band pruning over 1M files kept ${kept.length}")
+    assert(tCount + tPrune < 120.0,
+      f"distributed resolution cost ${tCount + tPrune}%.1f s at 1M files")
+    // the pruned collect is what the caller holds: ~100 rows, never 1M.
+    // Heap bound guards the DRIVER-O(1) claim (collect-the-world lands
+    // ~250 MB here); GC noise on a shared JVM keeps it deliberately loose.
+    assert(heap1 - heap0 < 192L * 1024 * 1024,
+      f"resolveDf retained ${(heap1 - heap0) / 1e6}%.0f MB on the driver")
+    // the driver-resident path hands off LOUDLY at the documented bound
+    val res = scala.util.Try(ActionLog.liveFiles(spark, dir))
+    assert(res.isFailure, "liveFiles over 1M files must refuse")
+    val msg = res.failed.get.getMessage
+    assert(msg.contains("resolveDf") &&
+      msg.contains(ActionLog.DriverReplayMaxFiles.toString),
+      s"the refusal must name the distributed twin and the bound: $msg")
+  }
 }
 
 object StressMetaSpec {
