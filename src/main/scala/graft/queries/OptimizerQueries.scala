@@ -3736,5 +3736,86 @@ object OptimizerQueries {
         .head.getLong(0) == base.count(),
         "q323: the pre-widen version must still read in full")
       s.sql(s"SELECT k, a, v FROM $cat.w")
+    },
+
+    // ---------------------------------------------------------------- q325
+    // STRUCT COLUMNS THROUGH ROW-LEVEL SQL (round 17 #7): a training
+    // corpus carries per-document metadata as a struct —
+    // struct<lang,src,n> riding each row — and that record must survive
+    // the whole DML lifecycle: a COW UPDATE that REBUILDS the struct
+    // (named_struct), a ranged DELETE through the deletion-vector plane
+    // (structs then read back through the DV-masked row scan), and a
+    // MERGE whose matched arm REPLACES the whole struct (never per-field
+    // coalescing — the oracle replays with a match flag for exactly that
+    // reason) plus unmatched struct inserts. GroupWrite emits the struct
+    // as a plain optional group (the shape Spark's native writer
+    // produces); the row materializer decodes it by child NAME. Output
+    // is the flattened projection, so the DuckDB replay never needs to
+    // build a struct at all.
+    Q("q325_sql_struct_dml",
+      """WITH base AS (SELECT doc_id, lang, source AS src,
+        |    n_chars AS n FROM documents),
+        |upd AS (SELECT doc_id,
+        |    CASE WHEN doc_id % 7 = 0 THEN upper(lang) ELSE lang END AS lang,
+        |    src,
+        |    CASE WHEN doc_id % 7 = 0 THEN n + 1000 ELSE n END AS n
+        |  FROM base),
+        |del AS (SELECT * FROM upd WHERE doc_id NOT BETWEEN 100 AND 140),
+        |srcm AS (SELECT doc_id, 'xx' AS lang, src, CAST(0 AS BIGINT) AS n
+        |    FROM base WHERE doc_id BETWEEN 200 AND 204
+        |  UNION ALL SELECT doc_id + 10000, lang, 'merged', n
+        |    FROM base WHERE doc_id < 5),
+        |mm AS (SELECT d.doc_id,
+        |    CASE WHEN s.doc_id IS NULL THEN d.lang ELSE s.lang END AS lang,
+        |    CASE WHEN s.doc_id IS NULL THEN d.src ELSE s.src END AS src,
+        |    CASE WHEN s.doc_id IS NULL THEN d.n ELSE s.n END AS n
+        |  FROM del d LEFT JOIN srcm s USING (doc_id)),
+        |ni AS (SELECT s.doc_id, s.lang, s.src, s.n FROM srcm s
+        |  LEFT JOIN del d USING (doc_id) WHERE d.doc_id IS NULL)
+        |SELECT doc_id, lang, src, n FROM mm
+        |UNION ALL SELECT doc_id, lang, src, n FROM ni""".stripMargin) {
+      (s, dir) =>
+      import graft.ops.{VersionedTable => VT}
+      val root = Q.scratch(s, dir, "q325")
+      val tdir = s"$root/t"
+      val base = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), struct(col("lang").as("lang"),
+          col("source").as("src"), col("n_chars").as("n")).as("meta"))
+      // key-local layout (the q313 discipline): a pruning bug in the COW
+      // scan changes the hash
+      VT.write(base.repartitionByRange(8, col("doc_id")), tdir) // v1
+      val cat = "graftq325_" + java.security.MessageDigest.getInstance("MD5")
+        .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(6)
+      s.conf.set(s"spark.sql.catalog.$cat",
+        classOf[graft.source.GraftCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.root", root)
+      s.conf.set(s"spark.sql.catalog.$cat.features", "deletion-vectors")
+      // COW UPDATE rebuilding the struct: streams through GroupWrite
+      s.sql(s"UPDATE $cat.t SET meta = named_struct(" +
+        "'lang', upper(meta.lang), 'src', meta.src, 'n', meta.n + 1000L) " +
+        "WHERE doc_id % 7 = 0") // v2
+      require(VT.currentVersion(s, tdir).contains(2L),
+        "q325: UPDATE must mint one version")
+      // ranged DELETE: the deletion-vector path — structs read back
+      // through the DV-masked row scan, zero data bytes rewritten
+      s.sql(s"DELETE FROM $cat.t WHERE doc_id >= 100 AND doc_id <= 140") // v3
+      require(graft.ops.DeletionVectors.vectors(s, tdir, 3L).count() > 0,
+        "q325: the ranged DELETE must land as deletion vectors")
+      // MERGE: matched arm REPLACES the whole struct; unmatched inserts
+      s.sql(s"""SELECT doc_id, named_struct('lang', 'xx', 'src', meta.src,
+        |  'n', 0L) AS meta
+        |FROM $cat.t VERSION AS OF 1 WHERE doc_id BETWEEN 200 AND 204
+        |UNION ALL
+        |SELECT doc_id + 10000, named_struct('lang', meta.lang,
+        |  'src', 'merged', 'n', meta.n)
+        |FROM $cat.t VERSION AS OF 1 WHERE doc_id < 5""".stripMargin)
+        .createOrReplaceTempView("q325_src")
+      s.sql(s"""MERGE INTO $cat.t t USING q325_src s ON t.doc_id = s.doc_id
+        |WHEN MATCHED THEN UPDATE SET meta = s.meta
+        |WHEN NOT MATCHED THEN INSERT *""".stripMargin) // v4
+      require(VT.currentVersion(s, tdir).contains(4L),
+        "q325: MERGE must mint one version")
+      s.sql(s"""SELECT doc_id, meta.lang AS lang, meta.src AS src,
+        |  meta.n AS n FROM $cat.t""".stripMargin)
     })
 }

@@ -465,6 +465,99 @@ private[source] class InternalRowReadSupport(schema: StructType,
                   new org.apache.spark.sql.catalyst.util.GenericArrayData(
                     buf.toArray)
               }: Converter
+            case Some(i) if schema.fields(i).dataType
+                .isInstanceOf[org.apache.spark.sql.types.StructType] =>
+              // STRUCT of scalars (round 17 #7): a plain optional group
+              // decoded into an InternalRow. Child slots map by NAME
+              // from the file group's field order — a file child nobody
+              // requested sinks to a no-op; a child that never fires
+              // stays null (parquet optional).
+              val st = schema.fields(i).dataType
+                .asInstanceOf[org.apache.spark.sql.types.StructType]
+              require(!pf.isPrimitive,
+                s"cdf stream: ${pf.getName} is ${st.catalogString} in the " +
+                  "table but primitive in the file")
+              val sgType = pf.asGroupType()
+              val out = new Array[Any](st.size)
+              val slotByName = st.fields.zipWithIndex
+                .map { case (cf, j) => cf.name -> j }.toMap
+              def childConv(cf: org.apache.parquet.schema.Type,
+                  j: Int): Converter = {
+                require(cf.isPrimitive,
+                  s"cdf stream: only structs of scalar primitives are " +
+                    s"supported: ${pf.getName}.${cf.getName}")
+                val cprim = cf.asPrimitiveType().getPrimitiveTypeName
+                st.fields(j).dataType match {
+                  case LongType => new PrimitiveConverter {
+                    override def addLong(v: Long): Unit = out(j) = Long.box(v)
+                    override def addInt(v: Int): Unit = out(j) = Long.box(v.toLong)
+                  }
+                  case IntegerType => new PrimitiveConverter {
+                    override def addInt(v: Int): Unit = out(j) = Int.box(v)
+                  }
+                  case ShortType => new PrimitiveConverter {
+                    override def addInt(v: Int): Unit = out(j) = Short.box(v.toShort)
+                  }
+                  case ByteType => new PrimitiveConverter {
+                    override def addInt(v: Int): Unit = out(j) = Byte.box(v.toByte)
+                  }
+                  case DoubleType => new PrimitiveConverter {
+                    override def addDouble(v: Double): Unit = out(j) = Double.box(v)
+                    override def addFloat(v: Float): Unit = out(j) = Double.box(v.toDouble)
+                  }
+                  case FloatType => new PrimitiveConverter {
+                    override def addFloat(v: Float): Unit = out(j) = Float.box(v)
+                  }
+                  case BooleanType => new PrimitiveConverter {
+                    override def addBoolean(v: Boolean): Unit = out(j) = Boolean.box(v)
+                  }
+                  case StringType => new PrimitiveConverter {
+                    override def addBinary(v: Binary): Unit =
+                      out(j) = UTF8String.fromBytes(v.getBytes)
+                  }
+                  case DateType => new PrimitiveConverter {
+                    override def addInt(v: Int): Unit = out(j) = Int.box(v)
+                  }
+                  case TimestampType | TimestampNTZType => new PrimitiveConverter {
+                    override def addLong(v: Long): Unit = out(j) = Long.box(v)
+                  }
+                  case d: DecimalType if d.precision <= 18 =>
+                    if (cprim == PINT32) new PrimitiveConverter {
+                      override def addInt(v: Int): Unit = out(j) =
+                        org.apache.spark.sql.types.Decimal.createUnsafe(
+                          v.toLong, d.precision, d.scale)
+                    } else new PrimitiveConverter {
+                      override def addLong(v: Long): Unit = out(j) =
+                        org.apache.spark.sql.types.Decimal.createUnsafe(
+                          v, d.precision, d.scale)
+                    }
+                  case other => sys.error(
+                    s"cdf stream: unsupported struct child type $other " +
+                      s"(${pf.getName}.${cf.getName})")
+                }
+              }
+              val children: Array[Converter] =
+                sgType.getFields.asScala.toArray.map { cf =>
+                  slotByName.get(cf.getName) match {
+                    case None => new PrimitiveConverter {
+                      override def addInt(v: Int): Unit = ()
+                      override def addLong(v: Long): Unit = ()
+                      override def addFloat(v: Float): Unit = ()
+                      override def addDouble(v: Double): Unit = ()
+                      override def addBoolean(v: Boolean): Unit = ()
+                      override def addBinary(v: Binary): Unit = ()
+                    }: Converter
+                    case Some(j) => childConv(cf, j)
+                  }
+                }
+              new GroupConverter {
+                override def getConverter(k: Int): Converter = children(k)
+                override def start(): Unit = {
+                  java.util.Arrays.fill(out.asInstanceOf[Array[Object]], null)
+                }
+                override def end(): Unit = current(i) =
+                  new GenericInternalRow(out.clone())
+              }: Converter
             case Some(i) =>
               val f = schema.fields(i)
               require(pf.isPrimitive,

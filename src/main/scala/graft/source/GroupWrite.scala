@@ -29,20 +29,30 @@ import graft.ops.Occ
   */
 private[source] object GroupWrite {
 
-  /** Every type the Group writer + reader pair can round-trip — the
-    * single source of truth the PLAN-TIME gate below checks against.
-    */
-  def supported(dt: DataType): Boolean = dt match {
+  /** Scalar leaf types the Group writer + reader pair can round-trip. */
+  private def scalarSupported(dt: DataType): Boolean = dt match {
     case LongType | IntegerType | ShortType | ByteType | DoubleType |
       FloatType | BooleanType | StringType | DateType | TimestampType |
       TimestampNTZType => true
     case d: DecimalType => d.precision <= 18
+    case _ => false
+  }
+
+  /** Every type the Group writer + reader pair can round-trip — the
+    * single source of truth the PLAN-TIME gate below checks against.
+    * Structs of scalar primitives (round 17 #7: the metadata-bearing
+    * training-record shape — source/license/quality riding each
+    * document) are first-class; deeper nesting (array<struct>,
+    * struct-in-struct, maps) is not.
+    */
+  def supported(dt: DataType): Boolean = dt match {
+    case st: StructType => st.fields.forall(f => scalarSupported(f.dataType))
     case ArrayType(et, _) => et match {
       case LongType | IntegerType | ShortType | ByteType | DoubleType |
         FloatType | BooleanType | StringType => true
       case _ => false
     }
-    case _ => false
+    case other => scalarSupported(other)
   }
 
   /** PLAN-TIME admission for the row-level write path (round 17 #7):
@@ -65,6 +75,46 @@ private[source] object GroupWrite {
         " through append/overwrite instead of UPDATE/MERGE/DELETE")
   }
 
+  /** One scalar leaf field. Narrow integrals ride INT32 physically with
+    * an intType width annotation — mirrors the read-side SMALLINT/
+    * TINYINT converters (round 15's type-widening-fuzz find); without
+    * these the write half of SQL UPDATE/MERGE/rewrite-DELETE on a
+    * pre-widen table died at executor task time while the read half
+    * succeeded.
+    */
+  private def scalarLeaf(name: String,
+      dt: DataType): org.apache.parquet.schema.Type = dt match {
+    case LongType => Types.optional(INT64).named(name)
+    case IntegerType => Types.optional(INT32).named(name)
+    case ShortType => Types.optional(INT32)
+      .as(LogicalTypeAnnotation.intType(16, true)).named(name)
+    case ByteType => Types.optional(INT32)
+      .as(LogicalTypeAnnotation.intType(8, true)).named(name)
+    case DoubleType => Types.optional(DOUBLE).named(name)
+    case FloatType => Types.optional(FLOAT).named(name)
+    case BooleanType => Types.optional(BOOLEAN).named(name)
+    case StringType => Types.optional(BINARY)
+      .as(LogicalTypeAnnotation.stringType()).named(name)
+    case DateType => Types.optional(INT32)
+      .as(LogicalTypeAnnotation.dateType()).named(name)
+    case TimestampType => Types.optional(INT64)
+      .as(LogicalTypeAnnotation.timestampType(true,
+        LogicalTypeAnnotation.TimeUnit.MICROS)).named(name)
+    case TimestampNTZType => Types.optional(INT64)
+      .as(LogicalTypeAnnotation.timestampType(false,
+        LogicalTypeAnnotation.TimeUnit.MICROS)).named(name)
+    case d: DecimalType if d.precision <= 9 =>
+      Types.optional(INT32)
+        .as(LogicalTypeAnnotation.decimalType(d.scale, d.precision))
+        .named(name)
+    case d: DecimalType if d.precision <= 18 =>
+      Types.optional(INT64)
+        .as(LogicalTypeAnnotation.decimalType(d.scale, d.precision))
+        .named(name)
+    case other => sys.error(
+      s"GroupWrite: unsupported scalar leaf type $other ($name)")
+  }
+
   /** StructType → parquet MessageType, mirroring exactly the leaf types
     * the Group READER supports — a type the write path accepts but the
     * read path cannot decode would be a trap.
@@ -73,38 +123,13 @@ private[source] object GroupWrite {
     val b = Types.buildMessage()
     schema.fields.foreach { f =>
       val t: org.apache.parquet.schema.Type = f.dataType match {
-        case LongType => Types.optional(INT64).named(f.name)
-        case IntegerType => Types.optional(INT32).named(f.name)
-        // narrow integrals ride INT32 physically with an intType width
-        // annotation — mirrors the read-side SMALLINT/TINYINT converters
-        // (round 15's type-widening-fuzz find); without these the write
-        // half of SQL UPDATE/MERGE/rewrite-DELETE on a pre-widen table
-        // died at executor task time while the read half succeeded
-        case ShortType => Types.optional(INT32)
-          .as(LogicalTypeAnnotation.intType(16, true)).named(f.name)
-        case ByteType => Types.optional(INT32)
-          .as(LogicalTypeAnnotation.intType(8, true)).named(f.name)
-        case DoubleType => Types.optional(DOUBLE).named(f.name)
-        case FloatType => Types.optional(FLOAT).named(f.name)
-        case BooleanType => Types.optional(BOOLEAN).named(f.name)
-        case StringType => Types.optional(BINARY)
-          .as(LogicalTypeAnnotation.stringType()).named(f.name)
-        case DateType => Types.optional(INT32)
-          .as(LogicalTypeAnnotation.dateType()).named(f.name)
-        case TimestampType => Types.optional(INT64)
-          .as(LogicalTypeAnnotation.timestampType(true,
-            LogicalTypeAnnotation.TimeUnit.MICROS)).named(f.name)
-        case TimestampNTZType => Types.optional(INT64)
-          .as(LogicalTypeAnnotation.timestampType(false,
-            LogicalTypeAnnotation.TimeUnit.MICROS)).named(f.name)
-        case d: DecimalType if d.precision <= 9 =>
-          Types.optional(INT32)
-            .as(LogicalTypeAnnotation.decimalType(d.scale, d.precision))
-            .named(f.name)
-        case d: DecimalType if d.precision <= 18 =>
-          Types.optional(INT64)
-            .as(LogicalTypeAnnotation.decimalType(d.scale, d.precision))
-            .named(f.name)
+        // STRUCT of scalars (round 17 #7): a plain optional group — the
+        // same shape Spark's native writer emits for nested structs
+        case st: StructType =>
+          val gb = Types.optionalGroup()
+          st.fields.foreach(cf => gb.addField(scalarLeaf(cf.name, cf.dataType)))
+          gb.named(f.name)
+        case dt if scalarSupported(dt) => scalarLeaf(f.name, dt)
         // ARRAY of primitive (round 16: embeddings are a first-class DML
         // surface) — the STANDARD 3-level list form, the same shape
         // Spark's native writer produces (writeLegacyFormat=false), so
@@ -213,6 +238,37 @@ private[source] class GroupDataWriterFactory(stageDir: String,
             case d: DecimalType if d.precision <= 18 =>
               g.add(f.name,
                 row.getDecimal(i, d.precision, d.scale).toUnscaledLong)
+            // STRUCT of scalars (round 17 #7): one child group, each
+            // non-null child added by name; a null child is simply
+            // absent (parquet optional)
+            case st: StructType =>
+              val sr = row.getStruct(i, st.size)
+              val sg = g.addGroup(f.name)
+              st.fields.zipWithIndex.foreach { case (cf, j) =>
+                if (!sr.isNullAt(j)) cf.dataType match {
+                  case LongType => sg.add(cf.name, sr.getLong(j))
+                  case IntegerType => sg.add(cf.name, sr.getInt(j))
+                  case ShortType => sg.add(cf.name, sr.getShort(j).toInt)
+                  case ByteType => sg.add(cf.name, sr.getByte(j).toInt)
+                  case DoubleType => sg.add(cf.name, sr.getDouble(j))
+                  case FloatType => sg.add(cf.name, sr.getFloat(j))
+                  case BooleanType => sg.add(cf.name, sr.getBoolean(j))
+                  case StringType => sg.add(cf.name,
+                    Binary.fromConstantByteArray(sr.getUTF8String(j).getBytes))
+                  case DateType => sg.add(cf.name, sr.getInt(j))
+                  case TimestampType | TimestampNTZType =>
+                    sg.add(cf.name, sr.getLong(j))
+                  case d: DecimalType if d.precision <= 9 =>
+                    sg.add(cf.name,
+                      sr.getDecimal(j, d.precision, d.scale).toUnscaledLong.toInt)
+                  case d: DecimalType if d.precision <= 18 =>
+                    sg.add(cf.name,
+                      sr.getDecimal(j, d.precision, d.scale).toUnscaledLong)
+                  case other => sys.error(
+                    s"GroupWrite: unsupported struct child type $other " +
+                      s"(${f.name}.${cf.name})")
+                }
+              }
             // ARRAY: one "list" group occurrence per element inside the
             // LIST wrapper; a null element is an occurrence with no
             // "element" value (the standard 3-level encoding)

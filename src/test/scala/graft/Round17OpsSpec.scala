@@ -131,18 +131,19 @@ class Round17OpsSpec extends AnyFunSuite {
       .isFailure, "array<double> into an array<float> manifest must refuse")
   }
 
-  test("plan-time gate: map/struct columns refuse row-level SQL, naming " +
-      "the column") {
+  test("plan-time gate: map / nested-struct columns refuse row-level " +
+      "SQL, naming the column") {
     val root = TestSpark.tmpDir("r17gate")
     val df = spark.range(0L, 10L).toDF("k")
       .withColumn("m", map(lit("a"), col("k")))
-      .withColumn("s", struct(col("k").as("x"), lit("y").as("y")))
+      // struct-of-struct: beyond the structs-of-scalars surface
+      .withColumn("s", struct(struct(col("k").as("kk")).as("inner")))
       .withColumn("v", col("k") * 2)
     graft.ops.VersionedTable.write(df, s"$root/t")
     val cat = registerCat(root, "gate")
     val res = scala.util.Try(
       spark.sql(s"UPDATE $cat.t SET v = v + 1 WHERE k = 3"))
-    assert(res.isFailure, "row-level SQL on a map/struct table must refuse")
+    assert(res.isFailure, "row-level SQL on a map/nested-struct table must refuse")
     val msg = res.failed.get.getMessage
     assert(msg.contains("row-level SQL") && msg.contains("m: map<") &&
       msg.contains("s: struct<"),
@@ -150,6 +151,54 @@ class Round17OpsSpec extends AnyFunSuite {
     // the table itself stays live and unversioned by the refused op
     assert(graft.ops.VersionedTable.currentVersion(spark, s"$root/t")
       .contains(1L))
+  }
+
+  test("struct-of-scalars columns run the full row-level SQL lifecycle") {
+    val root = TestSpark.tmpDir("r17struct")
+    val df = spark.range(0L, 30L).toDF("k")
+      .withColumn("meta", struct(
+        concat(lit("s"), col("k") % 3).as("src"),
+        (col("k") * 10).as("n"),
+        (col("k") % 2 === 0).as("ok")))
+    graft.ops.VersionedTable.write(df, s"$root/t")
+    val cat = registerCat(root, "sdml")
+    def sumN(): Long = spark.sql(
+      s"SELECT sum(meta.n) FROM $cat.t").head.getLong(0)
+    val base = (0L until 30L).map(_ * 10).sum
+    assert(sumN() == base) // row-path struct decode (plain SELECT)
+    // COW UPDATE rebuilding the struct streams it through GroupWrite
+    spark.sql(s"UPDATE $cat.t SET meta = named_struct('src', meta.src, " +
+      "'n', meta.n + 1000L, 'ok', NOT meta.ok) WHERE k < 5")
+    assert(sumN() == base + 5 * 1000)
+    assert(spark.sql(s"SELECT meta.ok FROM $cat.t WHERE k = 2")
+      .head.getBoolean(0) == false)
+    // DV DELETE: structs read back through the DV-masked row scan
+    spark.sql(s"DELETE FROM $cat.t WHERE k = 7")
+    assert(sumN() == base + 5 * 1000 - 70)
+    assert(graft.ops.DeletionVectors.vectors(spark, s"$root/t", 3L).count() > 0)
+    // MERGE: matched whole-struct replace + a NULL struct + inserts
+    spark.sql(s"""SELECT CAST(8 AS BIGINT) AS k,
+      |  named_struct('src', 'm', 'n', 1L, 'ok', true) AS meta
+      |UNION ALL SELECT CAST(9 AS BIGINT),
+      |  CAST(NULL AS STRUCT<src: STRING, n: BIGINT, ok: BOOLEAN>)
+      |UNION ALL SELECT CAST(40 AS BIGINT),
+      |  named_struct('src', CAST(NULL AS STRING), 'n', 2L, 'ok', false)
+      |""".stripMargin).createOrReplaceTempView("r17structsrc")
+    spark.sql(s"""MERGE INTO $cat.t t USING r17structsrc s ON t.k = s.k
+      |WHEN MATCHED THEN UPDATE SET meta = s.meta
+      |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    // k=9's struct is NULL (not a struct of nulls); k=40's src child is
+    // NULL inside a present struct — both distinctions must survive the
+    // GroupWrite + row-materializer round-trip
+    val rows = spark.sql(s"SELECT k, meta FROM $cat.t WHERE k IN (8, 9, 40)")
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) null else r.getStruct(1))).toMap
+    assert(rows(8).getString(0) == "m" && rows(8).getLong(1) == 1L)
+    assert(rows(9) == null, "a NULL struct must stay NULL, not struct-of-nulls")
+    assert(rows(40).isNullAt(0) && rows(40).getLong(1) == 2L,
+      "a NULL child inside a present struct must stay a present struct")
+    assert(sumN() == base + 5 * 1000 - 70 - 80 + 1 - 90 + 2,
+      "merge effects must land exactly (NULL struct's n reads NULL)")
   }
 
   test("columnar array read: containsNull relaxes only in the safe " +
