@@ -128,6 +128,30 @@ private[source] class CdfMicroBatchStream(path: String, schema: StructType,
 
   private def fs = new Path(path).getFileSystem(SharedHadoopConf.get)
 
+  // TW × CDF STREAM (round 17 #3): the stream plans each version's
+  // top-level data files, but a type-widening table chains its epochs
+  // under `data/` subdirs — the stream would see zero files and render a
+  // silently EMPTY feed forever. Refuse at construction; the batch
+  // surface (`ChangeFeed.tableChanges`) renders typed change rows under
+  // toVersion's manifest.
+  locally {
+    // defensive resolution: a not-yet-existing or pointer-less table is
+    // simply NOT typed (the stream legitimately starts before the first
+    // commit — q221's shape); only a resolvable typed head refuses
+    val typedLive = scala.util.Try {
+      val f = fs
+      VersionedTable.listVersions(f, path)
+        .filter(v => VersionedTable.complete(f, VersionedTable.verDir(path, v)))
+        .lastOption.exists(v =>
+          f.exists(new Path(VersionedTable.verDir(path, v), "_types")))
+    }.getOrElse(false)
+    require(!typedLive,
+      s"cdf stream($path): this is a type-widening table — the version " +
+        "stream does not compose with the epoch-chain layout; consume " +
+        "changes through ChangeFeed.tableChanges (batch), which renders " +
+        "them under the target version's manifest")
+  }
+
   /** The live committed version (pointer with highest-complete fallback —
     * the same resolution rule as [[VersionedTable.currentVersion]]).
     */

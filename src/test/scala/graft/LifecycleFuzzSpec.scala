@@ -1457,6 +1457,15 @@ class LifecycleFuzzSpec extends AnyFunSuite {
         s"[twcomp/$seed] Branching.init must refuse a typed dir")
       hits("branchRefuse") += 1
     }
+    locally { // the version STREAM on a typed dir refuses at construction
+      // (it plans top-level data files per version — a typed chain keeps
+      // them under data/, so the feed would render silently EMPTY)
+      val res = scala.util.Try(graft.source.TestReaderHook.cdfStreamCtor(
+        dir, toDf(fresh(1)).schema))
+      assert(res.isFailure &&
+        res.failed.get.getMessage.contains("type-widening"),
+        s"[twcomp/$seed] the CDF stream must refuse a typed dir loudly")
+    }
     // the mirror collision: TW.init into a branch-plane dir must refuse
     val bdir = s"$root/b"
     graft.ops.Branching.init(fresh(2).toDF("k", "a", "e"), bdir)

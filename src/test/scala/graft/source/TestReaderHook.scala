@@ -59,6 +59,15 @@ object TestReaderHook {
     }.sum
   }
 
+  /** Construct the CDF micro-batch stream on `path` — the observable for
+    * the typed-table refusal pin (construction must throw; a typed dir's
+    * epochs live under `data/` where the stream would plan zero files).
+    */
+  def cdfStreamCtor(path: String, schema: StructType): Unit = {
+    new CdfMicroBatchStream(path, schema, None, None, None)
+    ()
+  }
+
   /** Row-path read of one file with an evolution fill map: returns
     * (isNull, value) per row for the given string column — the observable
     * for the present-but-null fill pin (a stored NULL in a column the
