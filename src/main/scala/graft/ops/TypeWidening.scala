@@ -54,6 +54,18 @@ object TypeWidening {
     // promise over history that may hold null elements.
     case (ArrayType(fe, fn), ArrayType(te, tn)) =>
       isWidening(fe, te) && (tn || !fn)
+    // Field-wise widening of a struct column (same names, same order;
+    // each field widens by this matrix; field nullability may only
+    // widen false -> true). The identity case matters operationally:
+    // the manifest's catalogString round-trip renders every field
+    // nullable, while an arriving frame's struct literal is often
+    // non-null — without this case a struct passenger column refused
+    // its own append.
+    case (StructType(fa), StructType(fb)) =>
+      fa.length == fb.length && fa.zip(fb).forall { case (x, y) =>
+        x.name == y.name && isWidening(x.dataType, y.dataType) &&
+          (y.nullable || !x.nullable)
+      }
     case _ => false
   }
 

@@ -56,6 +56,19 @@ class Round17OpsSpec extends AnyFunSuite {
     assert(!isWidening(arr(IntegerType, true), arr(DoubleType, true)))
     assert(!isWidening(IntegerType, arr(IntegerType, true)))
     assert(!isWidening(arr(IntegerType, true), LongType))
+    // structs widen field-wise: identity-modulo-nullability (the
+    // manifest round-trip renders all-nullable), per-field widening,
+    // and refusals on narrowing / renames / arity changes
+    def st(fs: (String, DataType, Boolean)*) = StructType(fs.map {
+      case (n, t, nl) => StructField(n, t, nl) })
+    assert(isWidening(st(("n", LongType, false), ("s", StringType, false)),
+      st(("n", LongType, true), ("s", StringType, true))))
+    assert(isWidening(st(("n", IntegerType, true)), st(("n", LongType, true))))
+    assert(!isWidening(st(("n", LongType, true)), st(("n", IntegerType, true))))
+    assert(!isWidening(st(("n", LongType, true)), st(("n", LongType, false))))
+    assert(!isWidening(st(("n", LongType, true)), st(("m", LongType, true))))
+    assert(!isWidening(st(("n", LongType, true)),
+      st(("n", LongType, true), ("s", StringType, true))))
   }
 
   test("TypeWidening.rewrite refuses a frame wider than the manifest") {
@@ -199,6 +212,119 @@ class Round17OpsSpec extends AnyFunSuite {
       "a NULL child inside a present struct must stay a present struct")
     assert(sumN() == base + 5 * 1000 - 70 - 80 + 1 - 90 + 2,
       "merge effects must land exactly (NULL struct's n reads NULL)")
+  }
+
+  test("log-layout SQL UPDATE rewrites struct columns (GraftLogCowScan path)") {
+    val root = TestSpark.tmpDir("r17structlog")
+    val dir = s"$root/t"
+    graft.ops.ActionLog.append(
+      spark.range(0L, 20L).toDF("k")
+        .withColumn("meta", struct((col("k") * 10).as("n"),
+          concat(lit("s"), col("k") % 3).as("src"))).coalesce(2),
+      dir, Some("k"))
+    val cat = registerCat(root, "slog")
+    spark.sql(s"UPDATE $cat.t SET meta = named_struct('n', meta.n + 100L, " +
+      "'src', meta.src) WHERE k < 5")
+    val got = spark.sql(s"SELECT sum(meta.n) FROM $cat.t").head.getLong(0)
+    assert(got == (0L until 20L).map(_ * 10).sum + 5 * 100)
+    // the rewrite re-recorded stats (the r15 invariant, now over structs)
+    val live = graft.ops.ActionLog.liveFiles(spark, dir)
+    assert(live.nonEmpty && live.forall(_._2.isDefined),
+      s"log COW over structs must keep per-file stats: $live")
+  }
+
+  test("column-mapping rename over a struct column reads through the nameMap") {
+    import graft.ops.{ColumnMapping => CM}
+    val root = TestSpark.tmpDir("r17structmap")
+    val dir = s"$root/t"
+    CM.writeData(spark.range(0L, 10L).toDF("k")
+      .withColumn("meta", struct((col("k") * 2).as("n"))), dir)
+    val cat = registerCat(root, "smap")
+    spark.sql(s"ALTER TABLE $cat.t RENAME COLUMN meta TO info")
+    assert(spark.sql(s"SELECT sum(info.n) FROM $cat.t").head.getLong(0) ==
+      (0L until 10L).map(_ * 2).sum)
+    assert(CM.read(spark, dir).columns.contains("info"))
+  }
+
+  test("row-level SQL on a FEED-TRACKED table captures struct pre/post " +
+      "images") {
+    import graft.ops.ChangeFeed
+    val root = TestSpark.tmpDir("r17structcdf")
+    val dir = s"$root/t"
+    def df(rows: Seq[(Long, (Long, String))]) = rows
+      .map { case (k, (n, s)) => (k, n, s) }.toDF("k", "n", "src")
+      .select(col("k"), struct(col("n"), col("src")).as("meta"))
+    ChangeFeed.commit(df(Seq(1L -> (10L, "a"), 2L -> (20L, "b"))),
+      dir, Seq("k")) // v1, feed-tracked
+    val cat = registerCat(root, "scdf")
+    spark.sql(s"UPDATE $cat.t SET meta = named_struct('n', meta.n * 10L, " +
+      "'src', 'u') WHERE k = 1")
+    val changes = ChangeFeed.tableChanges(spark, dir, 1L, 2L, Seq("k"))
+      .select(col("k"), col("meta.n"), col("meta.src"),
+        col(ChangeFeed.ChangeType)).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getString(3)))
+      .toSeq
+    assert(changes.contains((1L, 10L, "a", "update_preimage")) &&
+      changes.contains((1L, 100L, "u", "update_postimage")),
+      s"struct pre/post images must ride the capture: $changes")
+    assert(!changes.exists(_._1 == 2L),
+      s"the untouched row must not capture: $changes")
+  }
+
+  test("CDF stream carries struct columns (the row materializer's " +
+      "struct path)") {
+    import graft.ops.{ChangeFeed, VersionedTable}
+    val root = TestSpark.tmpDir("r17structstream") + "/t"
+    def df(rows: Seq[(Long, Long, String)]) = rows.toDF("k", "n", "src")
+      .select(col("k"), struct(col("n"), col("src")).as("meta"))
+    VersionedTable.write(df(Seq((1L, 10L, "a"), (2L, 20L, "b"))), root)
+    ChangeFeed.commit(df(Seq((1L, 99L, "z"), (2L, 20L, "b"), (3L, 30L, "c"))),
+      root, Seq("k")) // v2: update k=1's struct, insert k=3
+    val got = collection.mutable.ArrayBuffer.empty[(Long, Long, String, String)]
+    val q = graft.source.CdfStream.read(spark, root, startingVersion = Some(1L))
+      .writeStream
+      .option("checkpointLocation", TestSpark.tmpDir("r17structstream-ckpt"))
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        b.select(col("k"), col("meta.n"), col("meta.src"),
+          col(ChangeFeed.ChangeType)).collect()
+          .foreach(r => got.synchronized {
+            got += ((r.getLong(0), r.getLong(1), r.getString(2), r.getString(3)))
+          })
+      }.start()
+    try q.processAllAvailable() finally q.stop()
+    val rows = got.toSeq
+    assert(rows.exists(r => r._1 == 1L && r._4 == "update_postimage" &&
+      r._2 == 99L && r._3 == "z"),
+      s"the post-image must carry the updated struct: $rows")
+    assert(rows.exists(r => r._1 == 3L && r._4 == "insert" && r._2 == 30L),
+      s"the insert must carry its struct: $rows")
+  }
+
+  test("struct passenger column rides the type-widening plane") {
+    import graft.ops.{TypeWidening => TW}
+    val root = TestSpark.tmpDir("r17structtw")
+    val dir = s"$root/w"
+    TW.init(spark.range(0L, 8L).toDF("k")
+      .selectExpr("k", "CAST(k AS SMALLINT) AS a",
+        "named_struct('n', k * 10, 'src', concat('s', k % 2)) AS meta"), dir)
+    val cat = registerCat(root, "stw")
+    spark.sql(s"ALTER TABLE $cat.w ALTER COLUMN a TYPE INT") // the sibling widens
+    spark.sql(s"INSERT INTO $cat.w SELECT 50L AS k, CAST(50 AS INT) AS a, " +
+      "named_struct('n', 500L, 'src', 'x') AS meta") // mixed epochs
+    // the struct rides both epochs unchanged through the widened read
+    assert(spark.sql(s"SELECT sum(meta.n) FROM $cat.w").head.getLong(0) ==
+      (0L until 8L).map(_ * 10).sum + 500)
+    // COW UPDATE across epochs rebuilds the struct through GroupWrite
+    spark.sql(s"UPDATE $cat.w SET meta = named_struct('n', meta.n + 1L, " +
+      "'src', meta.src) WHERE k < 3")
+    assert(spark.sql(s"SELECT sum(meta.n) FROM $cat.w").head.getLong(0) ==
+      (0L until 8L).map(_ * 10).sum + 500 + 3)
+    // no struct entry in the widening matrix: ALTERing it refuses loudly
+    assert(scala.util.Try(spark.sql(s"ALTER TABLE $cat.w ALTER COLUMN meta " +
+      "TYPE STRUCT<n: BIGINT, src: STRING, extra: BIGINT>")).isFailure)
+    // time travel: v1 renders the struct under the SMALLINT-era manifest
+    assert(spark.sql(s"SELECT meta.n FROM $cat.w VERSION AS OF 1 WHERE k = 2")
+      .head.getLong(0) == 20L)
   }
 
   test("columnar array read: containsNull relaxes only in the safe " +
