@@ -1457,6 +1457,16 @@ class LifecycleFuzzSpec extends AnyFunSuite {
         s"[twcomp/$seed] Branching.init must refuse a typed dir")
       hits("branchRefuse") += 1
     }
+    locally { // column-mapping mutations on a typed dir refuse loudly
+      // (readManifest demands the _schema manifest this layout lacks)
+      val vBefore = curV
+      val w = scala.util.Try(
+        graft.ops.ColumnMapping.writeData(toDf(fresh(1)), dir))
+      val rn = scala.util.Try(
+        graft.ops.ColumnMapping.rename(spark, dir, "a", "z"))
+      assert(w.isFailure && rn.isFailure && curV == vBefore,
+        s"[twcomp/$seed] column-mapping ops must refuse a typed dir")
+    }
     locally { // the version STREAM on a typed dir refuses at construction
       // (it plans top-level data files per version — a typed chain keeps
       // them under data/, so the feed would render silently EMPTY)
