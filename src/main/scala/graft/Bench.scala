@@ -202,6 +202,7 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
+      .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
       .config("spark.sql.streaming.streamingQueryListeners",
         classOf[StreamMeter].getName)
       .getOrCreate()

@@ -40,6 +40,7 @@ object StressMeta {
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", 4) // 1-row commits
       .config("spark.ui.enabled", "false")
+      .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     import spark.implicits._

@@ -880,26 +880,36 @@ object ActionLog {
         s"ActionLog($dir): $what holds $n entries — beyond the " +
           s"$DriverReplayMaxFiles-file driver-resident replay bound; " +
           "resolve this table through stateDfAt/resolveDf (distributed, " +
-          "driver O(1)) and collect only the pruned survivors")
+          "driver O(1)), checkpoint through checkpointParquet, and " +
+          "maintain through vacuumDistributed — all driver-bounded")
     ckptBase.foreach { cv =>
       if (pCkpts.contains(cv)) { // prefer the engine-parsed plane when both exist
-        handoff(readCkptParquetDf(spark, fs, pCkpts(cv)).count(),
-          s"parquet checkpoint $cv")
-        readCkptParquetDf(spark, fs, pCkpts(cv)).collect().foreach { r =>
-          r.getAs[String]("a") match {
-            case "add" =>
-              val st = if (r.isNullAt(r.fieldIndex("n"))) None
-                else Some((r.getAs[Long]("lo"), r.getAs[Long]("hi"),
-                  r.getAs[Long]("n")))
-              base.put(r.getAs[String]("p"), st); ()
-            case "txn" =>
-              val app = r.getAs[String]("app")
-              txns(app) = math.max(txns.getOrElse(app, Long.MinValue),
-                r.getAs[Long]("batch")); ()
-            case a => sys.error(s"ActionLog: bad parquet-checkpoint action " +
-              s"'$a' at ckpt-$cv")
+        // ONE plan over the checkpoint (round-17 advisory): cache before
+        // the gate count so the collect reuses the materialized rows
+        // instead of planning the parquet scan twice on the hot replay
+        // path; and count only "add" rows — txn high-water marks are
+        // O(apps), not files, and must not trip the FILE-count refusal.
+        val ckptDf = readCkptParquetDf(spark, fs, pCkpts(cv)).cache()
+        try {
+          handoff(ckptDf
+            .filter(org.apache.spark.sql.functions.col("a") === "add")
+            .count(), s"parquet checkpoint $cv")
+          ckptDf.collect().foreach { r =>
+            r.getAs[String]("a") match {
+              case "add" =>
+                val st = if (r.isNullAt(r.fieldIndex("n"))) None
+                  else Some((r.getAs[Long]("lo"), r.getAs[Long]("hi"),
+                    r.getAs[Long]("n")))
+                base.put(r.getAs[String]("p"), st); ()
+              case "txn" =>
+                val app = r.getAs[String]("app")
+                txns(app) = math.max(txns.getOrElse(app, Long.MinValue),
+                  r.getAs[Long]("batch")); ()
+              case a => sys.error(s"ActionLog: bad parquet-checkpoint action " +
+                s"'$a' at ckpt-$cv")
+            }
           }
-        }
+        } finally { ckptDf.unpersist(); () }
       } else {
         ckpts(cv).foreach(p =>
           readLines(fs, p).foreach(applyLine(_, s"ckpt-$cv")))
@@ -1086,6 +1096,19 @@ object ActionLog {
       .filter(st => st.isFile && !referenced.contains(st.getPath.getName) &&
         st.getModificationTime <= cutoff)
     victims.foreach(st => fs.delete(st.getPath, false))
+    val expired = sweepExpiredLog(fs, dir, vs, horizon)
+    (expired, victims.size)
+  }
+
+  /** Shared tail of both vacuum forms: drop expired per-version records,
+    * sweep sub-horizon checkpoint/compaction artifacts, and keep the
+    * `_last_checkpoint` hint at least at the horizon checkpoint (only
+    * when that checkpoint actually exists on either plane — a
+    * file-sweep-only pass may not have materialized one). Driver cost is
+    * O(log artifacts), never O(data files).
+    */
+  private def sweepExpiredLog(fs: FileSystem, dir: String, vs: Seq[Long],
+      horizon: Long): Int = {
     val expired = vs.filter(_ < horizon)
     expired.foreach(v => fs.delete(logPath(dir, v), false))
     val ld = new Path(s"$dir/$LogDir")
@@ -1105,14 +1128,102 @@ object ActionLog {
         case _ => ()
       }
     }
-    // keep the hint pointer at least at the horizon checkpoint (only
-    // when that checkpoint actually exists on either plane — a
-    // file-sweep-only pass may not have materialized one)
     if ((completeCheckpoints(fs, dir, horizon).contains(horizon) ||
       completeParquetCheckpoints(fs, dir, horizon).contains(horizon)) &&
       lastCkptHint(fs, dir).forall(_ < horizon))
       writeCkptHint(fs, dir, horizon)
-    (expired.size, victims.size)
+    expired.size
+  }
+
+  /** [[vacuum]]'s MILLION-FILE twin (round-17 verdict #3): above
+    * [[DriverReplayMaxFiles]] the driver-resident replay behind
+    * [[vacuum]] refuses, which left big tables readable
+    * ([[stateDfAt]]/[[resolveDf]]) but unmaintainable. Here the
+    * referenced set — the live inventory at the horizon ∪ every add
+    * logged after it (the same rule as [[vacuum]]) — is resolved as a
+    * Spark job, and the data-dir listing streams through it in bounded
+    * batches: each batch anti-joins engine-side and only its VICTIMS
+    * return to the driver, which hands them back to the executors for
+    * parallel deletion. Driver memory is O(listBatch + victims-per-
+    * batch), never O(table files); the horizon checkpoint is written on
+    * the parquet plane ([[checkpointParquet]]) so retained versions keep
+    * resolving after the expired records drop. Same grace-window
+    * concurrency contract as [[vacuum]].
+    */
+  def vacuumDistributed(spark: SparkSession, dir: String, keepVersions: Int,
+      graceMs: Long = DefaultVacuumGraceMs,
+      listBatch: Int = 200000): (Int, Long) = {
+    import org.apache.spark.sql.functions.{col, lit}
+    require(keepVersions >= 1, "vacuum must keep at least the live version")
+    require(listBatch >= 1, "vacuumDistributed: listBatch must be >= 1")
+    val fs = fsOf(spark, dir)
+    val vs = versions(spark, dir)
+    if (vs.isEmpty) return (0, 0L)
+    val horizon =
+      if (vs.size <= keepVersions) vs.head else vs.takeRight(keepVersions).head
+    // referenced = live set at the horizon ∪ every add after it — the
+    // tail's raw per-version files are VISIBLE paths (NNNNNNNN.json), so
+    // they text-read distributed exactly like stateDfAt's tail; ver is a
+    // placeholder (no last-action-wins here — ANY add after the horizon
+    // keeps the file, removes don't matter)
+    val tailPaths = vs.filter(_ > horizon).map(logPath(dir, _).toString)
+    val tailAdds: Option[DataFrame] =
+      if (tailPaths.isEmpty) None
+      else Some(parseActions(spark.read.text(tailPaths: _*)
+          .withColumn("ver", lit(0L)))
+        .filter(col("a") === "add").select(col("p")))
+    val referenced = (stateDfAt(spark, dir, horizon)
+        .filter(col("a") === "add").select(col("p")) +: tailAdds.toSeq)
+      .reduce(_.unionByName(_)).distinct().cache()
+    referenced.count() // materialize ONCE; every batch probe reuses it
+    try {
+      // checkpoint BEFORE cleanup, on the parquet plane — this path IS
+      // the scale plane, a JSON horizon checkpoint would re-seed the
+      // driver-resident replay it exists to replace
+      if (vs.size > keepVersions &&
+        !completeParquetCheckpoints(fs, dir, horizon).contains(horizon) &&
+        !completeCheckpoints(fs, dir, horizon).contains(horizon)) {
+        checkpointParquet(spark, dir, horizon); ()
+      }
+      val dataDir = new Path(s"$dir/$DataDir")
+      val cutoff = System.currentTimeMillis() - graceMs
+      val dataBase = dataDir.toString
+      val sconf =
+        new graft.source.SerializableConf(spark.sparkContext.hadoopConfiguration)
+      var victims = 0L
+      val batch = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
+      def flush(): Unit = if (batch.nonEmpty) {
+        import spark.implicits._
+        val cand = spark.createDataset(batch.toSeq).toDF("name", "mtime")
+          .filter(col("mtime") <= cutoff)
+        batch.clear()
+        val doomed = cand
+          .join(referenced, cand("name") === referenced("p"), "left_anti")
+          .select(col("name")).as[String].collect()
+        if (doomed.nonEmpty) {
+          // deletes run ON THE EXECUTORS (one object-store call each is
+          // the bottleneck at scale, not the driver loop that issues them)
+          spark.createDataset(doomed.toSeq)
+            .foreachPartition { (ps: Iterator[String]) =>
+              val f = new Path(dataBase).getFileSystem(sconf.value)
+              ps.foreach(n => f.delete(new Path(dataBase, n), false))
+            }
+          victims += doomed.length
+        }
+      }
+      if (fs.exists(dataDir)) {
+        val it = fs.listStatusIterator(dataDir)
+        while (it.hasNext) {
+          val st = it.next()
+          if (st.isFile) {
+            batch += ((st.getPath.getName, st.getModificationTime))
+            if (batch.size >= listBatch) flush()
+          }
+        }
+        flush()
+      }
+      (sweepExpiredLog(fs, dir, vs, horizon), victims)
+    } finally { referenced.unpersist(); () }
   }
 
   /** Commit ALREADY-STAGED part files as a REWRITE of the table (the

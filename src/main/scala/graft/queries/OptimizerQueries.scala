@@ -3817,5 +3817,247 @@ object OptimizerQueries {
         "q325: MERGE must mint one version")
       s.sql(s"""SELECT doc_id, meta.lang AS lang, meta.src AS src,
         |  meta.n AS n FROM $cat.t""".stripMargin)
+    },
+
+    // ---------------------------------------------------------------- q326
+    // ARRAY-OF-STRUCT THROUGH ROW-LEVEL SQL (round 18 #1): the canonical
+    // chat-training column — `turns array<struct<role,content>>` — run
+    // through the whole DML lifecycle: a COW UPDATE that transforms turn
+    // content INSIDE the array (transform + named_struct, null elements
+    // passed through untouched), a ranged DELETE on the deletion-vector
+    // plane (turns then read back through the DV-masked scan), and a
+    // MERGE whose matched arm REPLACES whole arrays and whose unmatched
+    // arm inserts pre-update arrays from `VERSION AS OF 1`. The layout
+    // pins every null flavor: a NULL array (conv%97), an EMPTY array
+    // (conv%89), a NULL ELEMENT inside the array (conv%10 on the 3-turn
+    // convs), and a NULL FIELD inside a struct (conv%83 content). Output
+    // is one row per conversation — (-1/NULL for the null array) plus an
+    // order-preserving signature over the turns — so the DuckDB replay
+    // runs on an EXPLODED scalar twin and never builds a struct.
+    Q("q326_sql_array_struct_dml",
+      """WITH docs AS (SELECT doc_id AS conv_id, text, lang, source
+        |    FROM documents),
+        |flags AS (SELECT conv_id, (conv_id % 97 = 0) AS is_null_arr,
+        |    (conv_id % 97 <> 0 AND conv_id % 89 = 0) AS is_empty
+        |  FROM docs),
+        |turns AS (
+        |  SELECT conv_id, 0 AS pos, 'user' AS role,
+        |      substr(text, 1, 40) AS content, FALSE AS nul FROM docs
+        |  UNION ALL
+        |  SELECT conv_id, 1, 'assistant',
+        |      CASE WHEN conv_id % 83 = 0 THEN NULL
+        |           ELSE upper(lang) || ':' || source END, FALSE FROM docs
+        |  UNION ALL
+        |  SELECT conv_id, 2, CAST(NULL AS VARCHAR),
+        |      CASE WHEN conv_id % 10 = 0 THEN NULL ELSE 'tail' END,
+        |      (conv_id % 10 = 0) FROM docs WHERE conv_id % 5 = 0),
+        |base AS (SELECT t.* FROM turns t JOIN flags f USING (conv_id)
+        |  WHERE NOT f.is_null_arr AND NOT f.is_empty),
+        |upd AS (SELECT conv_id, pos, role,
+        |    CASE WHEN conv_id % 7 = 0 AND NOT nul THEN content || '!'
+        |         ELSE content END AS content, nul
+        |  FROM base),
+        |del AS (SELECT * FROM upd WHERE conv_id NOT BETWEEN 100 AND 140),
+        |fdel AS (SELECT * FROM flags WHERE conv_id NOT BETWEEN 100 AND 140),
+        |mm AS (SELECT conv_id, pos, role, content, nul FROM del
+        |    WHERE conv_id NOT BETWEEN 200 AND 204
+        |  UNION ALL SELECT conv_id, 0, 'sys', 'reset', FALSE FROM docs
+        |    WHERE conv_id BETWEEN 200 AND 204),
+        |fmm AS (SELECT conv_id,
+        |    CASE WHEN conv_id BETWEEN 200 AND 204 THEN FALSE
+        |         ELSE is_null_arr END AS is_null_arr,
+        |    CASE WHEN conv_id BETWEEN 200 AND 204 THEN FALSE
+        |         ELSE is_empty END AS is_empty FROM fdel),
+        |allr AS (SELECT * FROM mm
+        |  UNION ALL SELECT conv_id + 10000, pos, role, content, nul
+        |    FROM base WHERE conv_id < 5),
+        |allf AS (SELECT * FROM fmm
+        |  UNION ALL SELECT conv_id + 10000, is_null_arr, is_empty
+        |    FROM flags WHERE conv_id < 5),
+        |sigs AS (SELECT conv_id, CAST(count(*) AS BIGINT) AS cnt,
+        |    string_agg(CASE WHEN nul THEN '<null>'
+        |        ELSE coalesce(role, '~') || ':' || coalesce(content, '~')
+        |        END, '|' ORDER BY pos) AS s
+        |  FROM allr GROUP BY conv_id)
+        |SELECT f.conv_id,
+        |  CASE WHEN f.is_null_arr THEN CAST(-1 AS BIGINT)
+        |       ELSE coalesce(a.cnt, 0) END AS n_turns,
+        |  CASE WHEN f.is_null_arr THEN CAST(NULL AS VARCHAR)
+        |       ELSE coalesce(a.s, '') END AS sig
+        |FROM allf f LEFT JOIN sigs a ON f.conv_id = a.conv_id""".stripMargin) {
+      (s, dir) =>
+      import graft.ops.{VersionedTable => VT}
+      val root = Q.scratch(s, dir, "q326")
+      val tdir = s"$root/t"
+      val turnT = "struct<role:string,content:string>"
+      val t0 = struct(lit("user").as("role"),
+        substring(col("conv_id_text"), 1, 40).as("content"))
+      val t1 = struct(lit("assistant").as("role"),
+        when(col("conv_id") % 83 === 0, lit(null).cast("string"))
+          .otherwise(concat(upper(col("lang")), lit(":"), col("source")))
+          .as("content"))
+      val t2 = when(col("conv_id") % 10 === 0, lit(null).cast(turnT))
+        .otherwise(struct(lit(null).cast("string").as("role"),
+          lit("tail").as("content")))
+      val base = Tables.load(s, dir, "documents")
+        .select(col("doc_id").as("conv_id"), col("text").as("conv_id_text"),
+          col("lang"), col("source"))
+        .select(col("conv_id"),
+          when(col("conv_id") % 97 === 0, lit(null).cast(s"array<$turnT>"))
+            .when(col("conv_id") % 89 === 0,
+              array().cast(s"array<$turnT>"))
+            .when(col("conv_id") % 5 === 0, array(t0, t1, t2))
+            .otherwise(array(t0, t1)).as("turns"))
+      // key-local layout (the q313 discipline): a pruning bug in the COW
+      // scan changes the hash
+      VT.write(base.repartitionByRange(8, col("conv_id")), tdir) // v1
+      val cat = "graftq326_" + java.security.MessageDigest.getInstance("MD5")
+        .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(6)
+      s.conf.set(s"spark.sql.catalog.$cat",
+        classOf[graft.source.GraftCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.root", root)
+      s.conf.set(s"spark.sql.catalog.$cat.features", "deletion-vectors")
+      // COW UPDATE inside the array: null ELEMENTS pass through as-is
+      // (the CASE keeps them NULL — named_struct over a null element
+      // would fabricate struct(null,null)); null CONTENT stays null
+      // (concat propagates)
+      s.sql(s"UPDATE $cat.t SET turns = transform(turns, x -> " +
+        "CASE WHEN x IS NULL THEN x ELSE named_struct('role', x.role, " +
+        "'content', concat(x.content, '!')) END) " +
+        "WHERE conv_id % 7 = 0") // v2
+      require(VT.currentVersion(s, tdir).contains(2L),
+        "q326: UPDATE must mint one version")
+      // ranged DELETE on the DV plane: zero data bytes rewritten, the
+      // arrays-of-structs read back through the DV-masked scan
+      s.sql(s"DELETE FROM $cat.t WHERE conv_id >= 100 AND conv_id <= 140") // v3
+      require(graft.ops.DeletionVectors.vectors(s, tdir, 3L).count() > 0,
+        "q326: the ranged DELETE must land as deletion vectors")
+      // MERGE: matched REPLACES whole arrays; unmatched inserts v1
+      // (pre-update) arrays — including conv 0's NULL array
+      s.sql(s"""SELECT conv_id, array(named_struct('role', 'sys',
+        |  'content', 'reset')) AS turns
+        |FROM $cat.t VERSION AS OF 1 WHERE conv_id BETWEEN 200 AND 204
+        |UNION ALL
+        |SELECT conv_id + 10000, turns FROM $cat.t VERSION AS OF 1
+        |WHERE conv_id < 5""".stripMargin)
+        .createOrReplaceTempView("q326_src")
+      s.sql(s"""MERGE INTO $cat.t t USING q326_src s ON t.conv_id = s.conv_id
+        |WHEN MATCHED THEN UPDATE SET turns = s.turns
+        |WHEN NOT MATCHED THEN INSERT *""".stripMargin) // v4
+      require(VT.currentVersion(s, tdir).contains(4L),
+        "q326: MERGE must mint one version")
+      val out = s.sql(s"""SELECT conv_id,
+        |  CASE WHEN turns IS NULL THEN CAST(-1 AS BIGINT)
+        |       ELSE CAST(size(turns) AS BIGINT) END AS n_turns,
+        |  CASE WHEN turns IS NULL THEN CAST(NULL AS STRING)
+        |       ELSE concat_ws('|', transform(turns, x ->
+        |         CASE WHEN x IS NULL THEN '<null>'
+        |              ELSE concat(coalesce(x.role, '~'), ':',
+        |                coalesce(x.content, '~')) END)) END AS sig
+        |FROM $cat.t""".stripMargin)
+      // layout pins, in-query: every null flavor must SURVIVE the
+      // lifecycle — a NULL array (conv%97 + the merged conv-10000 copy
+      // of conv 0), an empty array, a '<null>' element, a '~' field
+      locally {
+        val pins = out.groupBy()
+          .agg(sum(when(col("n_turns") === -1L, 1L).otherwise(0L)).as("nulls"),
+            sum(when(col("sig") === "", 1L).otherwise(0L)).as("empties"),
+            sum(when(col("sig").contains("<null>"), 1L).otherwise(0L)).as("nelem"),
+            sum(when(col("sig").contains("~"), 1L).otherwise(0L)).as("nfield"))
+          .head()
+        require(pins.getLong(0) >= 2 && pins.getLong(1) >= 1 &&
+          pins.getLong(2) >= 1 && pins.getLong(3) >= 1,
+          s"q326: a null flavor vanished in the lifecycle: $pins")
+      }
+      out
+    },
+
+    // ---------------------------------------------------------------- q327
+    // STRUCT-FIELD WIDENING THROUGH SQL DDL (round 18 #2): `ALTER TABLE w
+    // ALTER COLUMN meta.n TYPE BIGINT` — the metadata-counter migration on
+    // a record struct. The catalog lifts the field step to a WHOLE-COLUMN
+    // widen (mirroring the array `.element` lift): substitute the widened
+    // field, hand the full StructType to TypeWidening.widen, whose matrix
+    // admits field-wise widening — ONE metadata-only commit, zero data
+    // bytes rewritten. The lifecycle then spans BOTH physical epochs
+    // (int32-field files + int64-field files): an INSERT whose values
+    // exceed INT range proves the widen is real, an UPDATE rebuilding the
+    // struct and a DELETE on a struct field cross the epochs through one
+    // typed COW rewrite each, and a MERGE sources `VERSION AS OF 1` under
+    // its own pre-widen manifest (the r16 AS-OF regression guard, struct
+    // flavor). Output is the flattened projection.
+    Q("q327_sql_struct_widen",
+      """WITH base AS (SELECT s_suppkey AS k, s_name AS tag,
+        |    CAST(s_suppkey % 1000 AS BIGINT) AS n FROM supplier),
+        |ins AS (SELECT k + 100000 AS k, tag, n + 3000000000 AS n FROM base),
+        |all1 AS (SELECT * FROM base UNION ALL SELECT * FROM ins),
+        |upd AS (SELECT k,
+        |    CASE WHEN k % 3 = 0 THEN upper(tag) ELSE tag END AS tag,
+        |    CASE WHEN k % 3 = 0 THEN n + 5 ELSE n END AS n FROM all1),
+        |del AS (SELECT * FROM upd WHERE n % 2 = 0),
+        |srcm AS (SELECT k, 'zz' AS tag, CAST(-5 AS BIGINT) AS n
+        |    FROM base WHERE k < 10
+        |  UNION ALL SELECT k + 200000, tag, n FROM base WHERE k < 10),
+        |mm AS (SELECT d.k,
+        |    CASE WHEN s.k IS NULL THEN d.tag ELSE s.tag END AS tag,
+        |    CASE WHEN s.k IS NULL THEN d.n ELSE s.n END AS n
+        |  FROM del d LEFT JOIN srcm s USING (k)),
+        |ni AS (SELECT s.k, s.tag, s.n FROM srcm s
+        |  LEFT JOIN del d USING (k) WHERE d.k IS NULL)
+        |SELECT k, tag, n FROM mm
+        |UNION ALL SELECT k, tag, n FROM ni""".stripMargin) { (s, dir) =>
+      import graft.ops.{TypeWidening => TW, VersionedTable => VT}
+      val root = Q.scratch(s, dir, "q327")
+      val tdir = s"$root/w"
+      val base = Tables.load(s, dir, "supplier")
+        .select(col("s_suppkey").cast("long").as("k"),
+          struct(col("s_name").as("tag"),
+            (col("s_suppkey") % 1000).cast("int").as("n")).as("meta"))
+      TW.init(base, tdir) // v1: the INT-field epoch
+      val cat = "graftq327_" + java.security.MessageDigest.getInstance("MD5")
+        .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(6)
+      s.conf.set(s"spark.sql.catalog.$cat",
+        classOf[graft.source.GraftCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.root", root)
+      s.sql(s"ALTER TABLE $cat.w ALTER COLUMN meta.n TYPE BIGINT") // v2
+      require(VT.currentVersion(s, tdir).contains(2L),
+        "q327: the field widen must be ONE metadata-only commit")
+      require(TW.typesOf(s, tdir, 2L).toMap.apply("meta")
+        .asInstanceOf[org.apache.spark.sql.types.StructType]("n").dataType ==
+        org.apache.spark.sql.types.LongType,
+        "q327: the live manifest must carry meta.n as BIGINT")
+      // v3: a BIGINT-field epoch whose values exceed INT range — only a
+      // REAL widen can store them
+      s.sql(s"INSERT INTO $cat.w SELECT k + 100000 AS k, " +
+        s"named_struct('tag', meta.tag, 'n', meta.n + 3000000000L) AS meta " +
+        s"FROM $cat.w")
+      require(TW.epochSchema(s, tdir, 1L)("meta").dataType
+        .asInstanceOf[org.apache.spark.sql.types.StructType]("n").dataType ==
+        org.apache.spark.sql.types.IntegerType,
+        "q327: the v1 epoch must still store int32 physically")
+      // UPDATE and DELETE span BOTH physical epochs
+      s.sql(s"UPDATE $cat.w SET meta = named_struct('tag', " +
+        "upper(meta.tag), 'n', meta.n + 5) WHERE k % 3 = 0") // v4
+      s.sql(s"DELETE FROM $cat.w WHERE meta.n % 2 = 1") // v5
+      s.sql(s"""SELECT k, named_struct('tag', 'zz',
+        |  'n', CAST(-5 AS BIGINT)) AS meta
+        |FROM $cat.w VERSION AS OF 1 WHERE k < 10
+        |UNION ALL
+        |SELECT k + 200000, named_struct('tag', meta.tag,
+        |  'n', CAST(meta.n AS BIGINT))
+        |FROM $cat.w VERSION AS OF 1 WHERE k < 10""".stripMargin)
+        .createOrReplaceTempView("q327_src")
+      s.sql(s"""MERGE INTO $cat.w t USING q327_src s ON t.k = s.k
+        |WHEN MATCHED THEN UPDATE SET meta = s.meta
+        |WHEN NOT MATCHED THEN INSERT *""".stripMargin) // v6
+      // time travel: v1 renders under ITS OWN (INT-field) manifest
+      require(TW.typesOf(s, tdir, 1L).toMap.apply("meta")
+        .asInstanceOf[org.apache.spark.sql.types.StructType]("n").dataType ==
+        org.apache.spark.sql.types.IntegerType,
+        "q327: the pre-widen manifest must survive the rewrites")
+      require(s.sql(s"SELECT count(*) FROM $cat.w VERSION AS OF 1")
+        .head.getLong(0) == base.count(),
+        "q327: the pre-widen version must still read in full")
+      s.sql(s"SELECT k, meta.tag AS tag, meta.n AS n FROM $cat.w")
     })
 }

@@ -137,14 +137,21 @@ private[source] class CdfMicroBatchStream(path: String, schema: StructType,
   locally {
     // defensive resolution: a not-yet-existing or pointer-less table is
     // simply NOT typed (the stream legitimately starts before the first
-    // commit — q221's shape); only a resolvable typed head refuses
-    val typedLive = scala.util.Try {
+    // commit — q221's shape; listVersions already returns empty for a
+    // missing dir, FileNotFound covers a dir racing with its own
+    // creation). Any OTHER failure is a REAL IO error and surfaces HERE
+    // — a blanket Try previously classified it as "untyped" and
+    // deferred the failure to a later, more confusing point, or a
+    // transiently empty feed (round-17 advisory).
+    val typedLive = try {
       val f = fs
       VersionedTable.listVersions(f, path)
         .filter(v => VersionedTable.complete(f, VersionedTable.verDir(path, v)))
         .lastOption.exists(v =>
           f.exists(new Path(VersionedTable.verDir(path, v), "_types")))
-    }.getOrElse(false)
+    } catch {
+      case _: java.io.FileNotFoundException => false
+    }
     require(!typedLive,
       s"cdf stream($path): this is a type-widening table — the version " +
         "stream does not compose with the epoch-chain layout; consume " +
@@ -307,6 +314,32 @@ private[source] case class CdfFilePartition(version: Long, file: String,
   */
 object GraftMeta {
   val FileCol = "_file"
+
+  /** Normalize every array's containsNull to TRUE in a FOOTER-INFERRED
+    * table schema (round-17 advisory, the medium one): parquet infers
+    * containsNull from the file a schema happens to be read from, so a
+    * mixed-vintage table — native required-element files next to
+    * GroupWrite optional-element files — can infer `array<t>` with
+    * containsNull=false from one vintage and then hit the other at scan
+    * time. The columnar reader (rightly) refuses the unsafe direction
+    * (file optional → table non-null), and the row reader cannot decode
+    * nested columns at all, so the only correct table-level claim is the
+    * weaker one: elements MAY be null. Nullable-element is always safe
+    * for readers; it only forgoes a non-null promise the footer never
+    * had authority to make.
+    */
+  def relaxArrayNulls(schema: org.apache.spark.sql.types.StructType)
+      : org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types._
+    def relax(dt: DataType): DataType = dt match {
+      case ArrayType(et, _) => ArrayType(relax(et), containsNull = true)
+      case st: StructType =>
+        StructType(st.fields.map(f => f.copy(dataType = relax(f.dataType))))
+      case MapType(k, v, vn) => MapType(relax(k), relax(v), vn)
+      case other => other
+    }
+    relax(schema).asInstanceOf[StructType]
+  }
 }
 
 /** Decodes one parquet file DIRECTLY to [[InternalRow]]s — a custom
@@ -411,6 +444,87 @@ private[source] class InternalRowReadSupport(schema: StructType,
             !(f.name == graft.ops.ChangeFeed.ChangeType && tag != null) =>
             nameMap.getOrElse(f.name, f.name) -> i
         }.toMap
+        // STRUCT-of-scalars children: map the file group's children by
+        // NAME into an out-slot array — shared between struct COLUMNS
+        // (round 17 #7) and struct ARRAY ELEMENTS (round 18 #1). A file
+        // child nobody requested sinks to a no-op; a child that never
+        // fires stays null (parquet optional).
+        def structChildren(ownerName: String,
+            sgType: org.apache.parquet.schema.GroupType,
+            st: org.apache.spark.sql.types.StructType,
+            out: Array[Any]): Array[Converter] = {
+          import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName.{INT32 => PINT32}
+          val slotByName = st.fields.zipWithIndex
+            .map { case (cf, j) => cf.name -> j }.toMap
+          def childConv(cf: org.apache.parquet.schema.Type,
+              j: Int): Converter = {
+            require(cf.isPrimitive,
+              s"cdf stream: only structs of scalar primitives are " +
+                s"supported: $ownerName.${cf.getName}")
+            val cprim = cf.asPrimitiveType().getPrimitiveTypeName
+            st.fields(j).dataType match {
+              case LongType => new PrimitiveConverter {
+                override def addLong(v: Long): Unit = out(j) = Long.box(v)
+                override def addInt(v: Int): Unit = out(j) = Long.box(v.toLong)
+              }
+              case IntegerType => new PrimitiveConverter {
+                override def addInt(v: Int): Unit = out(j) = Int.box(v)
+              }
+              case ShortType => new PrimitiveConverter {
+                override def addInt(v: Int): Unit = out(j) = Short.box(v.toShort)
+              }
+              case ByteType => new PrimitiveConverter {
+                override def addInt(v: Int): Unit = out(j) = Byte.box(v.toByte)
+              }
+              case DoubleType => new PrimitiveConverter {
+                override def addDouble(v: Double): Unit = out(j) = Double.box(v)
+                override def addFloat(v: Float): Unit = out(j) = Double.box(v.toDouble)
+              }
+              case FloatType => new PrimitiveConverter {
+                override def addFloat(v: Float): Unit = out(j) = Float.box(v)
+              }
+              case BooleanType => new PrimitiveConverter {
+                override def addBoolean(v: Boolean): Unit = out(j) = Boolean.box(v)
+              }
+              case StringType => new PrimitiveConverter {
+                override def addBinary(v: Binary): Unit =
+                  out(j) = UTF8String.fromBytes(v.getBytes)
+              }
+              case DateType => new PrimitiveConverter {
+                override def addInt(v: Int): Unit = out(j) = Int.box(v)
+              }
+              case TimestampType | TimestampNTZType => new PrimitiveConverter {
+                override def addLong(v: Long): Unit = out(j) = Long.box(v)
+              }
+              case d: DecimalType if d.precision <= 18 =>
+                if (cprim == PINT32) new PrimitiveConverter {
+                  override def addInt(v: Int): Unit = out(j) =
+                    org.apache.spark.sql.types.Decimal.createUnsafe(
+                      v.toLong, d.precision, d.scale)
+                } else new PrimitiveConverter {
+                  override def addLong(v: Long): Unit = out(j) =
+                    org.apache.spark.sql.types.Decimal.createUnsafe(
+                      v, d.precision, d.scale)
+                }
+              case other => sys.error(
+                s"cdf stream: unsupported struct child type $other " +
+                  s"($ownerName.${cf.getName})")
+            }
+          }
+          sgType.getFields.asScala.toArray.map { cf =>
+            slotByName.get(cf.getName) match {
+              case None => new PrimitiveConverter {
+                override def addInt(v: Int): Unit = ()
+                override def addLong(v: Long): Unit = ()
+                override def addFloat(v: Float): Unit = ()
+                override def addDouble(v: Double): Unit = ()
+                override def addBoolean(v: Boolean): Unit = ()
+                override def addBinary(v: Binary): Unit = ()
+              }: Converter
+              case Some(j) => childConv(cf, j)
+            }
+          }
+        }
         projected.getFields.asScala.toArray.map { pf =>
           slotOf.get(pf.getName) match {
             case None => new PrimitiveConverter {
@@ -440,12 +554,18 @@ private[source] class InternalRowReadSupport(schema: StructType,
                 s"cdf stream: ${pf.getName} is not the standard 3-level " +
                   s"list shape: $lg")
               val rep = lg.getType(0).asGroupType()
-              require(rep.getFieldCount == 1 && rep.getType(0).isPrimitive,
-                s"cdf stream: ${pf.getName} carries a nested element " +
-                  s"type — only arrays of primitives are supported: $rep")
+              require(rep.getFieldCount == 1,
+                s"cdf stream: ${pf.getName} is not the standard 3-level " +
+                  s"list shape (element arity): $rep")
               val buf = scala.collection.mutable.ArrayBuffer.empty[Any]
               var sawElem = false
-              val elemConv: PrimitiveConverter = at.elementType match {
+              def primElem: org.apache.parquet.schema.PrimitiveType = {
+                require(rep.getType(0).isPrimitive,
+                  s"cdf stream: ${pf.getName} expects a primitive " +
+                    s"element but the file stores $rep")
+                rep.getType(0).asPrimitiveType()
+              }
+              val elemConv: Converter = at.elementType match {
                 case LongType => new PrimitiveConverter {
                   override def addLong(v: Long): Unit = { buf += Long.box(v); sawElem = true }
                   override def addInt(v: Int): Unit = { buf += Long.box(v.toLong); sawElem = true }
@@ -474,6 +594,50 @@ private[source] class InternalRowReadSupport(schema: StructType,
                     buf += UTF8String.fromBytes(v.getBytes); sawElem = true
                   }
                 }
+                // round 18 #4: the remaining scalar element families
+                case DateType => new PrimitiveConverter {
+                  override def addInt(v: Int): Unit = { buf += Int.box(v); sawElem = true }
+                }
+                case TimestampType | TimestampNTZType => new PrimitiveConverter {
+                  override def addLong(v: Long): Unit = { buf += Long.box(v); sawElem = true }
+                }
+                case d: DecimalType if d.precision <= 18 =>
+                  if (primElem.getPrimitiveTypeName == PINT32)
+                    new PrimitiveConverter {
+                      override def addInt(v: Int): Unit = {
+                        buf += org.apache.spark.sql.types.Decimal.createUnsafe(
+                          v.toLong, d.precision, d.scale)
+                        sawElem = true
+                      }
+                    }
+                  else new PrimitiveConverter {
+                    override def addLong(v: Long): Unit = {
+                      buf += org.apache.spark.sql.types.Decimal.createUnsafe(
+                        v, d.precision, d.scale)
+                      sawElem = true
+                    }
+                  }
+                // round 18 #1: STRUCT-of-scalars elements (the
+                // conversation-turn shape). The element group's start()
+                // fires only for a PRESENT element, so it marks sawElem;
+                // end() pushes the materialized row.
+                case st: org.apache.spark.sql.types.StructType =>
+                  require(!rep.getType(0).isPrimitive,
+                    s"cdf stream: ${pf.getName} is array<struct> in the " +
+                      s"table but stores a primitive element: $rep")
+                  val eg = rep.getType(0).asGroupType()
+                  val out = new Array[Any](st.size)
+                  val children =
+                    structChildren(s"${pf.getName}.element", eg, st, out)
+                  new GroupConverter {
+                    override def getConverter(k: Int): Converter = children(k)
+                    override def start(): Unit = {
+                      java.util.Arrays.fill(out.asInstanceOf[Array[Object]], null)
+                      sawElem = true
+                    }
+                    override def end(): Unit =
+                      buf += new GenericInternalRow(out.clone())
+                  }
                 case other => sys.error(
                   s"cdf stream: unsupported array element type $other (${pf.getName})")
               }
@@ -501,79 +665,9 @@ private[source] class InternalRowReadSupport(schema: StructType,
               require(!pf.isPrimitive,
                 s"cdf stream: ${pf.getName} is ${st.catalogString} in the " +
                   "table but primitive in the file")
-              val sgType = pf.asGroupType()
               val out = new Array[Any](st.size)
-              val slotByName = st.fields.zipWithIndex
-                .map { case (cf, j) => cf.name -> j }.toMap
-              def childConv(cf: org.apache.parquet.schema.Type,
-                  j: Int): Converter = {
-                require(cf.isPrimitive,
-                  s"cdf stream: only structs of scalar primitives are " +
-                    s"supported: ${pf.getName}.${cf.getName}")
-                val cprim = cf.asPrimitiveType().getPrimitiveTypeName
-                st.fields(j).dataType match {
-                  case LongType => new PrimitiveConverter {
-                    override def addLong(v: Long): Unit = out(j) = Long.box(v)
-                    override def addInt(v: Int): Unit = out(j) = Long.box(v.toLong)
-                  }
-                  case IntegerType => new PrimitiveConverter {
-                    override def addInt(v: Int): Unit = out(j) = Int.box(v)
-                  }
-                  case ShortType => new PrimitiveConverter {
-                    override def addInt(v: Int): Unit = out(j) = Short.box(v.toShort)
-                  }
-                  case ByteType => new PrimitiveConverter {
-                    override def addInt(v: Int): Unit = out(j) = Byte.box(v.toByte)
-                  }
-                  case DoubleType => new PrimitiveConverter {
-                    override def addDouble(v: Double): Unit = out(j) = Double.box(v)
-                    override def addFloat(v: Float): Unit = out(j) = Double.box(v.toDouble)
-                  }
-                  case FloatType => new PrimitiveConverter {
-                    override def addFloat(v: Float): Unit = out(j) = Float.box(v)
-                  }
-                  case BooleanType => new PrimitiveConverter {
-                    override def addBoolean(v: Boolean): Unit = out(j) = Boolean.box(v)
-                  }
-                  case StringType => new PrimitiveConverter {
-                    override def addBinary(v: Binary): Unit =
-                      out(j) = UTF8String.fromBytes(v.getBytes)
-                  }
-                  case DateType => new PrimitiveConverter {
-                    override def addInt(v: Int): Unit = out(j) = Int.box(v)
-                  }
-                  case TimestampType | TimestampNTZType => new PrimitiveConverter {
-                    override def addLong(v: Long): Unit = out(j) = Long.box(v)
-                  }
-                  case d: DecimalType if d.precision <= 18 =>
-                    if (cprim == PINT32) new PrimitiveConverter {
-                      override def addInt(v: Int): Unit = out(j) =
-                        org.apache.spark.sql.types.Decimal.createUnsafe(
-                          v.toLong, d.precision, d.scale)
-                    } else new PrimitiveConverter {
-                      override def addLong(v: Long): Unit = out(j) =
-                        org.apache.spark.sql.types.Decimal.createUnsafe(
-                          v, d.precision, d.scale)
-                    }
-                  case other => sys.error(
-                    s"cdf stream: unsupported struct child type $other " +
-                      s"(${pf.getName}.${cf.getName})")
-                }
-              }
               val children: Array[Converter] =
-                sgType.getFields.asScala.toArray.map { cf =>
-                  slotByName.get(cf.getName) match {
-                    case None => new PrimitiveConverter {
-                      override def addInt(v: Int): Unit = ()
-                      override def addLong(v: Long): Unit = ()
-                      override def addFloat(v: Float): Unit = ()
-                      override def addDouble(v: Double): Unit = ()
-                      override def addBoolean(v: Boolean): Unit = ()
-                      override def addBinary(v: Binary): Unit = ()
-                    }: Converter
-                    case Some(j) => childConv(cf, j)
-                  }
-                }
+                structChildren(pf.getName, pf.asGroupType(), st, out)
               new GroupConverter {
                 override def getConverter(k: Int): Converter = children(k)
                 override def start(): Unit = {
@@ -764,9 +858,12 @@ private[source] class GraftColumnarReader(p: CdfFilePartition,
             // fine into a nullable table element type, but a file whose
             // elements are optional may hold actual null elements that a
             // containsNull=false table type promises away — downstream
-            // operators would skip the null check and mis-read. That
-            // direction must take the row-based reader (round-17
-            // advisory fix; previously both directions were admitted).
+            // operators would skip the null check and mis-read. Catalog
+            // table schemas are normalized to containsNull=true at
+            // derivation (GraftMeta.relaxArrayNulls — round-18: the row
+            // reader cannot decode nested columns, so there was no
+            // fallback direction; mixed-vintage files hard-failed here),
+            // leaving this check as pure defense for hand-built schemas.
             val ok = (v.dataType(), f.dataType) match {
               case (org.apache.spark.sql.types.ArrayType(ea, fileCn),
                 org.apache.spark.sql.types.ArrayType(eb, tableCn)) =>
@@ -776,7 +873,9 @@ private[source] class GraftColumnarReader(p: CdfFilePartition,
             require(ok,
               s"GraftColumnarReader(${p.file}): column ${f.name} is " +
                 s"${v.dataType()} in the file but ${f.dataType} in the " +
-                "table — this flavor must use the row-based reader")
+                "table — derive the table schema through " +
+                "GraftMeta.relaxArrayNulls (nullable elements), the only " +
+                "claim a footer-inferred schema can honestly make")
             v
           case None =>
             val v = new ConstantColumnVector(Capacity, f.dataType)
@@ -826,18 +925,25 @@ private[source] class CdfReaderFactory(schema: StructType,
     * requested type to be one the column vectors carry natively (the
     * whole catalog surface today — the guard is for future types).
     */
-  override def supportColumnarReads(partition: InputPartition): Boolean =
-    columnar && schema.fields.forall(f => f.dataType match {
-      case LongType | IntegerType | DoubleType | FloatType | BooleanType |
-        StringType | DateType | TimestampType | TimestampNTZType => true
+  override def supportColumnarReads(partition: InputPartition): Boolean = {
+    def scalarOk(dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
+      case LongType | IntegerType | ShortType | ByteType | DoubleType |
+        FloatType | BooleanType | StringType | DateType | TimestampType |
+        TimestampNTZType => true
       case d: DecimalType if d.precision <= 18 => true
-      // arrays of primitives (round 16): Spark's vectorized reader
-      // decodes nested LIST columns natively — the requested file type
-      // passes through by name, so the batch path serves embeddings
+      case _ => false
+    }
+    columnar && schema.fields.forall(f => f.dataType match {
+      case dt if scalarOk(dt) => true
+      // arrays (round 16; element surface widened round 18 #1/#4):
+      // Spark's vectorized reader decodes nested LIST columns — incl.
+      // struct elements — natively via ParquetColumnVector; the
+      // requested file type passes through by name, so the batch path
+      // serves embeddings and conversation turns alike
       case org.apache.spark.sql.types.ArrayType(et, _) => et match {
-        case LongType | IntegerType | ShortType | ByteType | DoubleType |
-          FloatType | BooleanType | StringType => true
-        case _ => false
+        case st: org.apache.spark.sql.types.StructType =>
+          st.fields.forall(cf => scalarOk(cf.dataType))
+        case other => scalarOk(other)
       }
       case _ => false
     }) && fill.valuesIterator.forall {
@@ -850,6 +956,7 @@ private[source] class CdfReaderFactory(schema: StructType,
         _: org.apache.spark.sql.types.Decimal | _: Array[Byte] => true
       case _ => false
     }
+  }
 
   override def createColumnarReader(partition: InputPartition)
       : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] = {
@@ -891,8 +998,9 @@ object CdfStream {
     */
   def changeSchema(spark: SparkSession, tableDir: String): StructType =
     StructType(
-      spark.read.parquet(VersionedTable.liveDir(spark, tableDir)).schema.fields
-        .toSeq :+
+      GraftMeta.relaxArrayNulls(
+        spark.read.parquet(VersionedTable.liveDir(spark, tableDir)).schema)
+        .fields.toSeq :+
         StructField(graft.ops.ChangeFeed.ChangeType, StringType) :+
         StructField(graft.ops.ChangeFeed.CommitVersion, LongType, nullable = false))
 

@@ -81,7 +81,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     // branch refs are WRITABLE (INSERT INTO t@staging — the WAP write
     // step); commit-id time travel stays read-only history
     new GraftSqlTable(ident.toString + s"@$branch#$id", cd,
-      spark.read.parquet(cd).schema, dml = dmlFor(dir, s"branch:$branch"))
+      GraftMeta.relaxArrayNulls(spark.read.parquet(cd).schema), dml = dmlFor(dir, s"branch:$branch"))
   }
 
   private def commitTable(ident: Identifier, dir: String, id: Long,
@@ -89,7 +89,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     val spark = SparkSession.active
     val cd = s"$dir/_c-${"%08d".format(id)}"
     new GraftSqlTable(ident.toString + s"@$label#$id", cd,
-      spark.read.parquet(cd).schema)
+      GraftMeta.relaxArrayNulls(spark.read.parquet(cd).schema))
   }
 
   override def listTables(namespace: Array[String]): Array[Identifier] = {
@@ -195,7 +195,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
       val files = graft.ops.ActionLog.liveFiles(spark, dir)
       new GraftLogSqlTable(ident.toString, dir, files,
         graft.ops.ActionLog.statsColumn(spark, dir),
-        spark.read.parquet(s"$dir/data/${files.head._1}").schema,
+        GraftMeta.relaxArrayNulls(spark.read.parquet(s"$dir/data/${files.head._1}").schema),
         dml = dmlFor(dir, "log"),
         baseVersion = graft.ops.ActionLog.versions(spark, dir).last)
     }
@@ -248,7 +248,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
       new GraftLogSqlTable(ident.toString + s"@v$v", dir,
         files.map(f => f -> withStats.getOrElse(f, None)),
         graft.ops.ActionLog.statsColumn(spark, dir),
-        spark.read.parquet(s"$dir/data/${files.head}").schema)
+        GraftMeta.relaxArrayNulls(spark.read.parquet(s"$dir/data/${files.head}").schema))
     }
     else if (isBranched(spark, dir)) commitTable(ident, dir, version.toLong, "v")
     else versionTable(ident, dir, version.toLong)
@@ -291,7 +291,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
       import graft.ops.{ColumnMapping => CM}
       val m = CM.manifest(spark, dir, v)
       val dataDir = VersionedTable.verDir(dir, CM.dataVersion(spark, dir, v))
-      val phys = spark.read.parquet(dataDir.toString).schema
+      val phys =
+        GraftMeta.relaxArrayNulls(spark.read.parquet(dataDir.toString).schema)
       val dfl = CM.defaults(spark, dir, v)
       val fills = scala.collection.mutable.Map.empty[String, Any]
       val fields = m.map { f =>
@@ -342,11 +343,11 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
       // the O(files × bitmap) byte map.
       val vd = VersionedTable.verDir(dir, v).toString
       new GraftDvSqlTable(ident.toString + s"@v$v", vd,
-        spark.read.parquet(vd).schema, dml, baseVersion = v)
+        GraftMeta.relaxArrayNulls(spark.read.parquet(vd).schema), dml, baseVersion = v)
     } else {
       val vd = VersionedTable.verDir(dir, v).toString
       new GraftSqlTable(ident.toString + s"@v$v", vd,
-        spark.read.parquet(vd).schema, dml, baseVersion = v)
+        GraftMeta.relaxArrayNulls(spark.read.parquet(vd).schema), dml, baseVersion = v)
     }
   }
 
@@ -521,25 +522,44 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
           "the type-widening layout (enroll via TypeWidening.init)")
         u.fieldNames().toSeq match {
           case Seq(c) => TW.widen(spark, dir, c, u.newDataType()); ()
-          case Seq(c, "element") =>
-            // ALTER COLUMN c.element TYPE t — Spark's grammar for array
-            // element updates (round 17 #2: the embedding-precision
-            // migration). The manifest stores whole-column types, so the
-            // element step lifts to array widening, containsNull carried
-            // — TW.widen's matrix admits or refuses from there.
+          case Seq(c, sub) =>
+            // One nesting step: `c.element` on an array (round 17 #2:
+            // the embedding-precision migration — Spark's grammar for
+            // array element updates) or `c.<field>` on a struct
+            // (round 18 #2: widening a metadata counter inside the
+            // record struct). The manifest stores whole-column types,
+            // so both lift to a WHOLE-COLUMN widen: substitute the
+            // widened piece and hand the full new type to TW.widen,
+            // whose matrix admits element/field-wise widening and
+            // refuses narrowing/rename/arity from there.
             val from = TW.typesOf(spark, dir, cur)
               .collectFirst { case (n, t) if n == c => t }
               .getOrElse(sys.error(s"GraftCatalog: $ident — no column '$c'"))
-            val cn = from match {
-              case org.apache.spark.sql.types.ArrayType(_, n) => n
+            from match {
+              case org.apache.spark.sql.types.ArrayType(_, cn) =>
+                require(sub == "element", s"GraftCatalog: $ident — '$c' " +
+                  s"is an array; its only nested ALTER target is " +
+                  s"'$c.element', not '$c.$sub'")
+                TW.widen(spark, dir, c,
+                  org.apache.spark.sql.types.ArrayType(u.newDataType(), cn))
+                ()
+              case st: org.apache.spark.sql.types.StructType =>
+                require(st.fieldNames.contains(sub),
+                  s"GraftCatalog: $ident — struct column '$c' has no " +
+                    s"field '$sub' (fields: ${st.fieldNames.mkString(", ")})")
+                TW.widen(spark, dir, c, org.apache.spark.sql.types.StructType(
+                  st.fields.map(f =>
+                    if (f.name == sub) f.copy(dataType = u.newDataType())
+                    else f)))
+                ()
               case other => sys.error(s"GraftCatalog: $ident — '$c' is " +
-                s"${other.catalogString}, not an array; drop '.element'")
+                s"${other.catalogString}; nested ALTER COLUMN TYPE " +
+                "targets exist only on arrays (.element) and structs " +
+                "(.<field>)")
             }
-            TW.widen(spark, dir, c,
-              org.apache.spark.sql.types.ArrayType(u.newDataType(), cn))
-            ()
           case other => sys.error(s"GraftCatalog: $ident — unsupported " +
-            s"nested ALTER COLUMN TYPE target ${other.mkString(".")}")
+            s"nested ALTER COLUMN TYPE target ${other.mkString(".")} " +
+            "(one nesting step only)")
         }
       case other => sys.error(
         s"GraftCatalog: $ident — unsupported ALTER: $other")

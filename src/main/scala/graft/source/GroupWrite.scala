@@ -27,7 +27,7 @@ import graft.ops.Occ
   * Speculative duplicate attempts are resolved at commit: files not
   * named by a commit message are deleted before the stage goes live.
   */
-private[source] object GroupWrite {
+private[graft] object GroupWrite {
 
   /** Scalar leaf types the Group writer + reader pair can round-trip. */
   private def scalarSupported(dt: DataType): Boolean = dt match {
@@ -42,24 +42,30 @@ private[source] object GroupWrite {
     * single source of truth the PLAN-TIME gate below checks against.
     * Structs of scalar primitives (round 17 #7: the metadata-bearing
     * training-record shape — source/license/quality riding each
-    * document) are first-class; deeper nesting (array<struct>,
-    * struct-in-struct, maps) is not.
+    * document) are first-class; arrays carry every scalar PLUS structs
+    * of scalars (round 18 #1: `turns array<struct<role,content>>`, the
+    * canonical conversation-turn training column). Deeper nesting
+    * (struct-in-struct, array-in-array, maps) is not — maps refuse as
+    * PERMANENT POLICY (round 18 #5): a `map<k,v>` request-metadata
+    * column restructures losslessly into an exploded key/value side
+    * table, which shuffles, prunes, and widens like any other table,
+    * while a map column would need its own parquet MAP machinery on
+    * every plane for no query the exploded form can't answer.
     */
   def supported(dt: DataType): Boolean = dt match {
     case st: StructType => st.fields.forall(f => scalarSupported(f.dataType))
     case ArrayType(et, _) => et match {
-      case LongType | IntegerType | ShortType | ByteType | DoubleType |
-        FloatType | BooleanType | StringType => true
-      case _ => false
+      case st: StructType => st.fields.forall(f => scalarSupported(f.dataType))
+      case other => scalarSupported(other)
     }
     case other => scalarSupported(other)
   }
 
   /** PLAN-TIME admission for the row-level write path (round 17 #7):
-    * without this, a map/struct/nested-array column died inside an
-    * executor task retry loop with a writer stack trace — the round-15
-    * SHORT/BYTE asymmetry lesson, generalized. Runs on the driver at
-    * write construction, so an unsupported column refuses the whole
+    * without this, a map/nested column died inside an executor task
+    * retry loop with a writer stack trace — the round-15 SHORT/BYTE
+    * asymmetry lesson, generalized. Runs on the driver at write
+    * construction, so an unsupported column refuses the whole
     * UPDATE/MERGE/DELETE with a message that names the column and the
     * supported surface.
     */
@@ -69,10 +75,12 @@ private[source] object GroupWrite {
       s"$context: column(s) " +
         bad.map(f => s"${f.name}: ${f.dataType.catalogString}")
           .mkString(", ") +
-        " are not supported by the row-level SQL write path (supported:" +
-        " integral/float/boolean/string/date/timestamp/decimal(<=18) and" +
-        " arrays of those primitives) — restructure the column, or write" +
-        " through append/overwrite instead of UPDATE/MERGE/DELETE")
+        " are not supported by the row-level SQL write path (supported" +
+        " scalars: integral/float/boolean/string/date/timestamp/" +
+        "decimal(<=18); structs of those scalars; arrays of those" +
+        " scalars or of such structs). Maps restructure into an exploded" +
+        " key/value table; deeper nesting flattens — or write through" +
+        " append/overwrite instead of UPDATE/MERGE/DELETE")
   }
 
   /** One scalar leaf field. Narrow integrals ride INT32 physically with
@@ -115,6 +123,39 @@ private[source] object GroupWrite {
       s"GroupWrite: unsupported scalar leaf type $other ($name)")
   }
 
+  /** Add one struct's non-null fields to an already-created child group
+    * — shared between top-level struct columns and struct ARRAY ELEMENTS
+    * (round 18 #1); a null field is simply absent (parquet optional).
+    */
+  private[source] def addStructFields(
+      sg: org.apache.parquet.example.data.Group, st: StructType,
+      sr: InternalRow, ctx: String): Unit =
+    st.fields.zipWithIndex.foreach { case (cf, j) =>
+      if (!sr.isNullAt(j)) cf.dataType match {
+        case LongType => sg.add(cf.name, sr.getLong(j))
+        case IntegerType => sg.add(cf.name, sr.getInt(j))
+        case ShortType => sg.add(cf.name, sr.getShort(j).toInt)
+        case ByteType => sg.add(cf.name, sr.getByte(j).toInt)
+        case DoubleType => sg.add(cf.name, sr.getDouble(j))
+        case FloatType => sg.add(cf.name, sr.getFloat(j))
+        case BooleanType => sg.add(cf.name, sr.getBoolean(j))
+        case StringType => sg.add(cf.name,
+          Binary.fromConstantByteArray(sr.getUTF8String(j).getBytes))
+        case DateType => sg.add(cf.name, sr.getInt(j))
+        case TimestampType | TimestampNTZType =>
+          sg.add(cf.name, sr.getLong(j))
+        case d: DecimalType if d.precision <= 9 =>
+          sg.add(cf.name,
+            sr.getDecimal(j, d.precision, d.scale).toUnscaledLong.toInt)
+        case d: DecimalType if d.precision <= 18 =>
+          sg.add(cf.name,
+            sr.getDecimal(j, d.precision, d.scale).toUnscaledLong)
+        case other => sys.error(
+          s"GroupWrite: unsupported struct child type $other " +
+            s"($ctx.${cf.name})")
+      }
+    }
+
   /** StructType → parquet MessageType, mirroring exactly the leaf types
     * the Group READER supports — a type the write path accepts but the
     * read path cannot decode would be a trap.
@@ -130,29 +171,26 @@ private[source] object GroupWrite {
           st.fields.foreach(cf => gb.addField(scalarLeaf(cf.name, cf.dataType)))
           gb.named(f.name)
         case dt if scalarSupported(dt) => scalarLeaf(f.name, dt)
-        // ARRAY of primitive (round 16: embeddings are a first-class DML
-        // surface) — the STANDARD 3-level list form, the same shape
-        // Spark's native writer produces (writeLegacyFormat=false), so
-        // GroupWrite output and Spark output stay mutually readable:
+        // ARRAY (round 16: embeddings; round 18 #1/#4: every supported
+        // scalar element plus STRUCT-of-scalars elements, the
+        // conversation-turn shape) — the STANDARD 3-level list form, the
+        // same shape Spark's native writer produces
+        // (writeLegacyFormat=false), so GroupWrite output and Spark
+        // output stay mutually readable:
         //   optional group col (LIST) {
         //     repeated group list { optional <elem> element } }
         case ArrayType(et, _) =>
-          val lb = Types.optionalList()
-          (et match {
-            case LongType => lb.optionalElement(INT64)
-            case IntegerType => lb.optionalElement(INT32)
-            case ShortType => lb.optionalElement(INT32)
-              .as(LogicalTypeAnnotation.intType(16, true))
-            case ByteType => lb.optionalElement(INT32)
-              .as(LogicalTypeAnnotation.intType(8, true))
-            case DoubleType => lb.optionalElement(DOUBLE)
-            case FloatType => lb.optionalElement(FLOAT)
-            case BooleanType => lb.optionalElement(BOOLEAN)
-            case StringType => lb.optionalElement(BINARY)
-              .as(LogicalTypeAnnotation.stringType())
+          val elem: org.apache.parquet.schema.Type = et match {
+            case st: StructType =>
+              val gb = Types.optionalGroup()
+              st.fields.foreach(cf =>
+                gb.addField(scalarLeaf(cf.name, cf.dataType)))
+              gb.named("element")
+            case other if scalarSupported(other) => scalarLeaf("element", other)
             case other => sys.error(
               s"GroupWrite: unsupported array element type $other (${f.name})")
-          }).named(f.name)
+          }
+          Types.optionalList().element(elem).named(f.name)
         case other => sys.error(
           s"GroupWrite: unsupported column type $other (${f.name})")
       }
@@ -172,7 +210,7 @@ private[source] case class GroupCommitMsg(file: String)
   * `new Configuration()` on the executor silently drops every
   * session-set entry.
   */
-private[source] final class SerializableConf(
+private[graft] final class SerializableConf(
     @transient private var conf: Configuration) extends Serializable {
   def value: Configuration = conf
   private def writeObject(out: java.io.ObjectOutputStream): Unit = {
@@ -242,36 +280,13 @@ private[source] class GroupDataWriterFactory(stageDir: String,
             // non-null child added by name; a null child is simply
             // absent (parquet optional)
             case st: StructType =>
-              val sr = row.getStruct(i, st.size)
-              val sg = g.addGroup(f.name)
-              st.fields.zipWithIndex.foreach { case (cf, j) =>
-                if (!sr.isNullAt(j)) cf.dataType match {
-                  case LongType => sg.add(cf.name, sr.getLong(j))
-                  case IntegerType => sg.add(cf.name, sr.getInt(j))
-                  case ShortType => sg.add(cf.name, sr.getShort(j).toInt)
-                  case ByteType => sg.add(cf.name, sr.getByte(j).toInt)
-                  case DoubleType => sg.add(cf.name, sr.getDouble(j))
-                  case FloatType => sg.add(cf.name, sr.getFloat(j))
-                  case BooleanType => sg.add(cf.name, sr.getBoolean(j))
-                  case StringType => sg.add(cf.name,
-                    Binary.fromConstantByteArray(sr.getUTF8String(j).getBytes))
-                  case DateType => sg.add(cf.name, sr.getInt(j))
-                  case TimestampType | TimestampNTZType =>
-                    sg.add(cf.name, sr.getLong(j))
-                  case d: DecimalType if d.precision <= 9 =>
-                    sg.add(cf.name,
-                      sr.getDecimal(j, d.precision, d.scale).toUnscaledLong.toInt)
-                  case d: DecimalType if d.precision <= 18 =>
-                    sg.add(cf.name,
-                      sr.getDecimal(j, d.precision, d.scale).toUnscaledLong)
-                  case other => sys.error(
-                    s"GroupWrite: unsupported struct child type $other " +
-                      s"(${f.name}.${cf.name})")
-                }
-              }
+              GroupWrite.addStructFields(g.addGroup(f.name), st,
+                row.getStruct(i, st.size), f.name)
             // ARRAY: one "list" group occurrence per element inside the
             // LIST wrapper; a null element is an occurrence with no
-            // "element" value (the standard 3-level encoding)
+            // "element" value (the standard 3-level encoding). Elements
+            // span every supported scalar plus structs of scalars
+            // (round 18 #1/#4)
             case ArrayType(et, _) =>
               val arr = row.getArray(i)
               val lg = g.addGroup(f.name)
@@ -288,6 +303,19 @@ private[source] class GroupDataWriterFactory(stageDir: String,
                   case BooleanType => el.add("element", arr.getBoolean(j))
                   case StringType => el.add("element",
                     Binary.fromConstantByteArray(arr.getUTF8String(j).getBytes))
+                  case DateType => el.add("element", arr.getInt(j))
+                  case TimestampType | TimestampNTZType =>
+                    el.add("element", arr.getLong(j))
+                  case d: DecimalType if d.precision <= 9 =>
+                    el.add("element",
+                      arr.getDecimal(j, d.precision, d.scale)
+                        .toUnscaledLong.toInt)
+                  case d: DecimalType if d.precision <= 18 =>
+                    el.add("element",
+                      arr.getDecimal(j, d.precision, d.scale).toUnscaledLong)
+                  case st: StructType =>
+                    GroupWrite.addStructFields(el.addGroup("element"), st,
+                      arr.getStruct(j, st.size), s"${f.name}.element")
                   case other => sys.error(
                     s"GroupWrite: unsupported array element type $other (${f.name})")
                 }

@@ -1125,22 +1125,31 @@ class LifecycleFuzzSpec extends AnyFunSuite {
     // INT32→INT64 physical boundary at precision 10; 'e' (round 17 #2)
     // is the embedding-precision migration — ARRAY<FLOAT>→ARRAY<DOUBLE>,
     // element-wise widening, float epochs decoded under a double
-    // manifest (values kept whole so every stage stores them exactly).
+    // manifest (values kept whole so every stage stores them exactly);
+    // 'm' (round 18 #2) is the STRUCT chain — the metadata counter
+    // inside a record struct widened FIELD-WISE through the
+    // `ALTER COLUMN m.n TYPE t` DDL lift.
     val chains = Map(
       "a" -> Vector("TINYINT", "SMALLINT", "INT", "BIGINT"),
       "b" -> Vector("FLOAT", "DOUBLE"),
       "c" -> Vector("DECIMAL(6,2)", "DECIMAL(10,2)", "DECIMAL(14,2)"),
-      "e" -> Vector("ARRAY<FLOAT>", "ARRAY<DOUBLE>"))
-    val cols = Seq("a", "b", "c", "e")
-    val pos = mutable.Map("a" -> 0, "b" -> 0, "c" -> 0, "e" -> 0)
-    type TRow = (Long, Long, Double, BigDecimal, Seq[Double])
+      "e" -> Vector("ARRAY<FLOAT>", "ARRAY<DOUBLE>"),
+      "m" -> Vector("SMALLINT", "INT", "BIGINT")) // the m.n FIELD chain
+    // the DDL a stage renders as — struct stages wrap the field chain
+    def ddlOf(c: String, stage: Int): String =
+      if (c == "m") s"STRUCT<t: STRING, n: ${chains(c)(stage)}>"
+      else chains(c)(stage)
+    val cols = Seq("a", "b", "c", "e", "m")
+    val pos = mutable.Map("a" -> 0, "b" -> 0, "c" -> 0, "e" -> 0, "m" -> 0)
+    type TRow = (Long, Long, Double, BigDecimal, Seq[Double], (String, Long))
     val rows = mutable.ArrayBuffer.empty[TRow]
     var nextKey = 0L
     def freshRows(n: Int): Seq[TRow] = (0 until n).map { _ =>
       val k = nextKey; nextKey += 1
       (k, r.nextInt(100).toLong, r.nextInt(1000).toDouble,
         BigDecimal(r.nextInt(999999)) / 100,
-        Seq.fill(2 + r.nextInt(3))(r.nextInt(1000).toDouble))
+        Seq.fill(2 + r.nextInt(3))(r.nextInt(1000).toDouble),
+        (s"t${r.nextInt(5)}", r.nextInt(100).toLong))
     }
     def toDf(rs: Seq[TRow]) = {
       val st = StructType(Seq(
@@ -1148,36 +1157,42 @@ class LifecycleFuzzSpec extends AnyFunSuite {
         StructField("a", LongType, nullable = false),
         StructField("b", DoubleType, nullable = false),
         StructField("c", DecimalType(20, 2), nullable = false),
-        StructField("e", ArrayType(DoubleType), nullable = false)))
+        StructField("e", ArrayType(DoubleType), nullable = false),
+        StructField("m", StructType(Seq(
+          StructField("t", StringType), StructField("n", LongType))))))
       val base = spark.createDataFrame(
         spark.sparkContext.parallelize(rs.map(t => org.apache.spark.sql.Row(
-          t._1, t._2, t._3, t._4.setScale(2).bigDecimal, t._5)), 1), st)
+          t._1, t._2, t._3, t._4.setScale(2).bigDecimal, t._5,
+          org.apache.spark.sql.Row(t._6._1, t._6._2))), 1), st)
       base.select(col("k"),
         col("a").cast(chains("a")(pos("a")).toLowerCase),
         col("b").cast(chains("b")(pos("b")).toLowerCase),
         col("c").cast(chains("c")(pos("c")).toLowerCase),
-        col("e").cast(chains("e")(pos("e")).toLowerCase))
+        col("e").cast(chains("e")(pos("e")).toLowerCase),
+        col("m").cast(ddlOf("m", pos("m")).toLowerCase))
     }
     def canon(df: org.apache.spark.sql.DataFrame): Seq[TRow] =
       df.select(col("k"), col("a").cast("long"), col("b").cast("double"),
-        col("c").cast("decimal(20,2)"), col("e").cast("array<double>"))
+        col("c").cast("decimal(20,2)"), col("e").cast("array<double>"),
+        col("m").cast("struct<t:string,n:bigint>"))
         .collect()
         .map(rw => (rw.getLong(0), rw.getLong(1), rw.getDouble(2),
           BigDecimal(rw.getDecimal(3)).setScale(2),
-          rw.getSeq[Double](4).toList: Seq[Double]))
+          rw.getSeq[Double](4).toList: Seq[Double],
+          (rw.getStruct(5).getString(0), rw.getStruct(5).getLong(1))))
         .sortBy(_._1).toSeq
     def modelRows: Seq[TRow] =
       rows.toSeq.map(t => (t._1, t._2, t._3, t._4.setScale(2),
-        t._5.toList: Seq[Double])).sortBy(_._1)
+        t._5.toList: Seq[Double], t._6)).sortBy(_._1)
 
     val first = freshRows(12); rows ++= first
     TW.init(toDf(first), dir)
     val snaps = mutable.LinkedHashMap.empty[Long, (Map[String, Int], Seq[TRow])]
     def curV = VersionedTable.currentVersion(spark, dir).getOrElse(fail("no v"))
     def check(tag: String): Unit = {
-      val live = spark.sql(s"SELECT k, a, b, c, e FROM $cat.w")
+      val live = spark.sql(s"SELECT k, a, b, c, e, m FROM $cat.w")
       val wantTypes = cols.map(c =>
-        org.apache.spark.sql.types.DataType.fromDDL(chains(c)(pos(c))))
+        org.apache.spark.sql.types.DataType.fromDDL(ddlOf(c, pos(c))))
       val gotTypes = cols.map(c => live.schema(c).dataType)
       assert(gotTypes == wantTypes,
         s"[tw/$seed] $tag: SQL schema $gotTypes, manifest wants $wantTypes")
@@ -1189,9 +1204,13 @@ class LifecycleFuzzSpec extends AnyFunSuite {
 
     for (i <- 1 to 12) {
       val pick = r.nextInt(100)
-      // array columns take Spark's element grammar: ALTER COLUMN e.element
+      // array columns take Spark's element grammar (ALTER COLUMN
+      // e.element); the struct column's chain holds the FIELD type, so
+      // its DDL targets m.n (round 18 #2)
       def alterSql(c: String, ddl: String): String =
-        if (ddl.toUpperCase.startsWith("ARRAY<"))
+        if (c == "m")
+          s"ALTER TABLE $cat.w ALTER COLUMN $c.n TYPE $ddl"
+        else if (ddl.toUpperCase.startsWith("ARRAY<"))
           s"ALTER TABLE $cat.w ALTER COLUMN $c.element TYPE " +
             ddl.stripPrefix("ARRAY<").stripSuffix(">")
         else s"ALTER TABLE $cat.w ALTER COLUMN $c TYPE $ddl"
@@ -1215,17 +1234,22 @@ class LifecycleFuzzSpec extends AnyFunSuite {
         val m = 3 + r.nextInt(4); val cc = r.nextInt(m)
         spark.sql(s"UPDATE $cat.w SET a = CAST(k % 90 AS " +
           s"${chains("a")(pos("a"))}), e = CAST(transform(e, " +
-          s"x -> CAST(x AS DOUBLE) + 1.0d) AS ${chains("e")(pos("e"))}) " +
+          s"x -> CAST(x AS DOUBLE) + 1.0d) AS ${chains("e")(pos("e"))}), " +
+          s"m = named_struct('t', upper(m.t), 'n', " +
+          s"CAST(CAST(m.n AS BIGINT) % 97 AS ${chains("m")(pos("m"))})) " +
           s"WHERE k % $m = $cc")
-        rows.mapInPlace { case t @ (k, _, b2, c2, e2) =>
-          if (k % m == cc) (k, k % 90, b2, c2, e2.map(_ + 1.0)) else t
+        rows.mapInPlace { case t @ (k, _, b2, c2, e2, (mt, mn)) =>
+          if (k % m == cc)
+            (k, k % 90, b2, c2, e2.map(_ + 1.0),
+              (mt.toUpperCase, mn % 97))
+          else t
         }
         ()
       } else if (pick < 80) { // row-level SQL DELETE (the rewrite form)
         if (rows.size > 4) {
           val m = 5 + r.nextInt(4); val cc = r.nextInt(m)
           spark.sql(s"DELETE FROM $cat.w WHERE k % $m = $cc")
-          rows.filterInPlace { case (k, _, _, _, _) => k % m != cc }
+          rows.filterInPlace { case (k, _, _, _, _, _) => k % m != cc }
           ()
         }
       } else if (pick < 90) { // a NARROWING must be refused loudly, nothing committed
@@ -1245,7 +1269,8 @@ class LifecycleFuzzSpec extends AnyFunSuite {
           "b" -> Vector("DECIMAL(10,2)", "BIGINT", "TIMESTAMP"),
           "c" -> Vector("DOUBLE", "BIGINT", "DECIMAL(14,4)"), // scale change: also refused
           "e" -> Vector("ARRAY<DECIMAL(10,2)>", "ARRAY<STRING>",
-            "DOUBLE")) // cross-family elements / array -> scalar: refused
+            "DOUBLE"), // cross-family elements / array -> scalar: refused
+          "m" -> Vector("DOUBLE", "DATE", "STRING")) // field cross-family: refused
         val c = cols(r.nextInt(cols.size))
         val to = offChain(c)(r.nextInt(offChain(c).size))
         val vBefore = curV
@@ -1261,9 +1286,9 @@ class LifecycleFuzzSpec extends AnyFunSuite {
       val manifest = TW.typesOf(spark, dir, v).toMap
       cols.foreach { c =>
         assert(manifest(c) ==
-          org.apache.spark.sql.types.DataType.fromDDL(chains(c)(p(c))),
+          org.apache.spark.sql.types.DataType.fromDDL(ddlOf(c, p(c))),
           s"[tw/$seed] v$v manifest for '$c' is ${manifest(c)}, " +
-            s"recorded ${chains(c)(p(c))}")
+            s"recorded ${ddlOf(c, p(c))}")
       }
       assert(canon(TW.readVersion(spark, dir, v)) == want,
         s"[tw/$seed] version $v rows diverged under its own manifest")
@@ -1845,6 +1870,156 @@ class LifecycleFuzzSpec extends AnyFunSuite {
     }
   }
 
+  /** ARRAY-OF-STRUCT DML fuzz (round 18 #1: the conversation-turn column
+    * became first-class mid-round — new surface goes under fuzz the round
+    * it lands). Same discipline as [[arrayCampaign]], with the model
+    * holding turns as Seq[Option[(Option[String], Option[Long])]] so FIVE
+    * distinct states — NULL array, empty array, NULL element,
+    * struct-of-nulls element, and plain structs — must round-trip
+    * bit-exactly through UPDATE (transform + named_struct with null
+    * elements passed through), ranged DELETE (DV plane), modulo DELETE
+    * (rewrite form), MERGE and INSERT, across interleaved Spark-written
+    * and GroupWrite-rewritten files.
+    */
+  test("array-of-struct columns survive a seeded random SQL DML " +
+      "lifecycle (seed 2602)") {
+    turnsCampaign(2602)
+  }
+
+  private def turnsCampaign(seed: Int): Unit = {
+    val r = new Random(seed)
+    val root = TestSpark.tmpDir("fuzz_turns")
+    val dir = s"$root/t"
+    val cat = registerCat(root, s"turns$seed")
+    val turnT = "STRUCT<role: STRING, score: BIGINT>"
+    type Turn = Option[(Option[String], Option[Long])]
+    type Turns = Option[Seq[Turn]]
+    val model = mutable.SortedMap.empty[Long, (Turns, Option[String])]
+    def genTurn(): Turn =
+      if (r.nextInt(8) == 0) None // NULL element
+      else if (r.nextInt(8) == 0) Some((None, None)) // struct of nulls
+      else Some((
+        if (r.nextInt(6) == 0) None else Some(s"r${r.nextInt(4)}"),
+        if (r.nextInt(6) == 0) None else Some(r.nextInt(1000).toLong)))
+    def genTurns(): Turns = r.nextInt(10) match {
+      case 0 => None // NULL array
+      case 1 => Some(Seq.empty) // empty array
+      case _ => Some((0 until 1 + r.nextInt(4)).map(_ => genTurn()))
+    }
+    def turnSql(t: Turn): String = t match {
+      case None => s"CAST(NULL AS $turnT)"
+      case Some((ro, sc)) =>
+        val rv = ro.map(x => s"'$x'").getOrElse("CAST(NULL AS STRING)")
+        val sv = sc.map(x => s"${x}L").getOrElse("CAST(NULL AS BIGINT)")
+        s"named_struct('role', $rv, 'score', $sv)"
+    }
+    def turnsSql(e: Turns): String = e match {
+      case None => s"CAST(NULL AS ARRAY<$turnT>)"
+      case Some(xs) if xs.isEmpty => s"CAST(array() AS ARRAY<$turnT>)"
+      case Some(xs) => xs.map(turnSql).mkString("array(", ",", ")")
+    }
+    var nextKey = 0L
+    def freshRows(n: Int): Seq[(Long, Turns, Option[String])] =
+      (0 until n).map { _ =>
+        val k = nextKey; nextKey += 1
+        (k, genTurns(), genS(r))
+      }
+    def valuesSql(rows: Seq[(Long, Turns, Option[String])]): String =
+      rows.map { case (k, e, s0) =>
+        val sv = s0.map(x => s"'$x'").getOrElse("CAST(NULL AS STRING)")
+        s"(${k}L, ${turnsSql(e)}, $sv)"
+      }.mkString(", ")
+    def check(tag: String): Unit = {
+      val got = spark.sql(s"SELECT k, turns, tag FROM $cat.t").collect()
+        .map { row =>
+          val e: Turns =
+            if (row.isNullAt(1)) None
+            else Some(row.getSeq[org.apache.spark.sql.Row](1).map(t =>
+              Option(t).map(tr => (
+                Option(tr.getString(0)),
+                if (tr.isNullAt(1)) None else Some(tr.getLong(1))))))
+          (row.getLong(0), e, Option(row.getString(2)))
+        }.sortBy(_._1).toSeq
+      val want = model.toSeq.map { case (k, (e, s0)) => (k, e, s0) }
+      assert(got == want, s"[turns/$seed] $tag: content diverged\n" +
+        s"  only-live : ${got.diff(want).take(3)}\n" +
+        s"  only-model: ${want.diff(got).take(3)}")
+    }
+
+    val init = freshRows(20)
+    init.foreach { case (k, e, s0) => model(k) = (e, s0) }
+    VersionedTable.write(
+      spark.sql(s"SELECT * FROM VALUES ${valuesSql(init)} AS t(k, turns, tag)")
+        .repartitionByRange(3, col("k")), dir)
+    check("init")
+
+    for (i <- 1 to 14) {
+      val pick = r.nextInt(100)
+      val tag: String = if (pick < 20) { // turn transform UPDATE — null
+        // ELEMENTS pass through (named_struct over one would fabricate
+        // struct(null,null)); null scores stay null (+ propagates)
+        val m = 2 + r.nextInt(4); val c = r.nextInt(m)
+        val d = 1 + r.nextInt(9)
+        spark.sql(s"UPDATE $cat.t SET turns = transform(turns, x -> " +
+          "CASE WHEN x IS NULL THEN x ELSE named_struct('role', x.role, " +
+          s"'score', x.score + $d) END) WHERE k % $m = $c")
+        model.keys.toSeq.filter(k => k % m == c).foreach { k =>
+          val (e, s0) = model(k)
+          model(k) = (e.map(_.map(_.map { case (ro, sc) =>
+            (ro, sc.map(_ + d)) })), s0)
+        }
+        s"op#$i transform"
+      } else if (pick < 30) { // NULL a row's array / empty it
+        if (model.nonEmpty) {
+          val k = model.keys.toSeq(r.nextInt(model.size))
+          val toEmpty = r.nextBoolean()
+          spark.sql(s"UPDATE $cat.t SET turns = " +
+            (if (toEmpty) s"CAST(array() AS ARRAY<$turnT>)" else "NULL") +
+            s" WHERE k = $k")
+          val (_, s0) = model(k)
+          model(k) = (if (toEmpty) Some(Seq.empty) else None, s0)
+        }
+        s"op#$i null-out"
+      } else if (pick < 45) { // ranged DELETE -> deletion vectors
+        if (model.size > 4) {
+          val ks = model.keys.toSeq
+          val lo = ks(r.nextInt(ks.size))
+          val hi = lo + r.nextInt(5)
+          spark.sql(s"DELETE FROM $cat.t WHERE k >= $lo AND k <= $hi")
+          model.keys.toSeq.filter(k => k >= lo && k <= hi)
+            .foreach(model.remove)
+        }
+        s"op#$i dv-delete"
+      } else if (pick < 55) { // modulo DELETE -> the rewrite form
+        if (model.size > 6) {
+          val m = 5 + r.nextInt(4); val c = r.nextInt(m)
+          spark.sql(s"DELETE FROM $cat.t WHERE k % $m = $c AND size(turns) >= 0")
+          model.keys.toSeq
+            .filter(k => k % m == c && model(k)._1.isDefined)
+            .foreach(model.remove)
+        }
+        s"op#$i rewrite-delete"
+      } else if (pick < 80) { // MERGE: matched whole-array replace + inserts
+        val touch = r.shuffle(model.keys.toSeq).take(r.nextInt(3))
+        val fresh = freshRows(1 + r.nextInt(3))
+        val srcRows = touch.map(k => (k, genTurns(), genS(r))) ++ fresh
+        spark.sql(s"SELECT * FROM VALUES ${valuesSql(srcRows)} " +
+          "AS t(k, turns, tag)").createOrReplaceTempView("fuzz_turns_src")
+        spark.sql(s"""MERGE INTO $cat.t t USING fuzz_turns_src s ON t.k = s.k
+          |WHEN MATCHED THEN UPDATE SET turns = s.turns, tag = s.tag
+          |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+        srcRows.foreach { case (k, e, s0) => model(k) = (e, s0) }
+        s"op#$i merge +${fresh.size}"
+      } else { // INSERT INTO appends
+        val fresh = freshRows(1 + r.nextInt(3))
+        spark.sql(s"INSERT INTO $cat.t VALUES ${valuesSql(fresh)}")
+        fresh.foreach { case (k, e, s0) => model(k) = (e, s0) }
+        s"op#$i insert"
+      }
+      check(tag)
+    }
+  }
+
   /** Exploratory multi-seed sweep, cancelled unless GRAFT_FUZZ_SWEEP=n
     * is set: the pinned seeds above are regression guards; this is the
     * bug-HUNTING mode (run n fresh seeds of the three DML campaigns).
@@ -1871,6 +2046,7 @@ class LifecycleFuzzSpec extends AnyFunSuite {
       dvIvfCampaign(5500 + s)
       arrayCampaign(4400 + s)
       twCompositionCampaign(7700 + s)
+      turnsCampaign(2600 + s)
     }
   }
 

@@ -348,11 +348,13 @@ class Round17OpsSpec extends AnyFunSuite {
     assert(graft.source.TestReaderHook.columnarRows(
       schema(cn = true), Nil, one(s"$root/req")) == 8L)
     // unsafe: a file whose elements MAY be null must not satisfy a
-    // containsNull=false table claim — refuse loudly (row reader's job)
+    // containsNull=false table claim — refuse loudly, pointing at the
+    // honest schema derivation (catalog schemas are relaxArrayNulls-
+    // normalized since round 18, so only hand-built schemas get here)
     val res = scala.util.Try(graft.source.TestReaderHook.columnarRows(
       schema(cn = false), Nil, one(s"$root/opt")))
     assert(res.isFailure &&
-      res.failed.get.getMessage.contains("row-based reader"),
+      res.failed.get.getMessage.contains("relaxArrayNulls"),
       s"nullable file elements under a non-null table claim must refuse")
   }
 }

@@ -1,0 +1,228 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Round-18 pins.
+  *
+  *  - ARRAY-OF-STRUCT through row-level SQL (verdict #1): the
+  *    conversation-turn column — `turns array<struct<role,content>>` —
+  *    is first-class on the GroupWrite surface; deeper nesting still
+  *    refuses at PLAN time.
+  *  - ARRAY ELEMENT SURFACE (verdict #4): date / timestamp /
+  *    timestamp_ntz / decimal(<=18) elements round-trip the DML
+  *    lifecycle; decimal(>18) and nested elements refuse.
+  *  - STRUCT-FIELD WIDENING DDL (verdict #2): `ALTER COLUMN m.n TYPE t`
+  *    lifts to a whole-column widen; narrowing / unknown fields /
+  *    non-struct targets refuse with no commit.
+  *  - MAP POLICY (verdict #5): maps refuse row-level SQL as PERMANENT
+  *    POLICY, and the refusal message carries the restructuring guidance
+  *    (explode into a key/value table).
+  *  - DISTRIBUTED VACUUM (verdict #3): `vacuumDistributed` computes the
+  *    same (expired, victims) and leaves the same disk state as the
+  *    driver-resident `vacuum` on the same history.
+  */
+class Round18OpsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def registerCat(root: String, tag: String): String = {
+    val cat = s"graftr18$tag"
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.source.GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.root", root)
+    cat
+  }
+
+  test("GroupWrite.supported: the round-18 element/field matrix") {
+    import graft.source.GroupWrite.supported
+    def arr(et: DataType) = ArrayType(et)
+    val turn = StructType(Seq(StructField("role", StringType),
+      StructField("content", StringType)))
+    // round-18 admissions
+    assert(supported(arr(DateType)) && supported(arr(TimestampType)) &&
+      supported(arr(TimestampNTZType)) && supported(arr(DecimalType(12, 2))))
+    assert(supported(arr(turn)), "array<struct<scalars>> is the turn shape")
+    // refusals: over-wide decimals, nested elements, maps, deep structs
+    assert(!supported(arr(DecimalType(20, 2))))
+    assert(!supported(arr(arr(LongType))), "array<array> must refuse")
+    assert(!supported(arr(StructType(Seq(StructField("x", arr(LongType)))))),
+      "array<struct<..array..>> must refuse")
+    assert(!supported(MapType(StringType, StringType)))
+    assert(!supported(StructType(Seq(StructField("inner", turn)))),
+      "struct-of-struct must refuse")
+  }
+
+  test("map columns refuse row-level SQL with the restructuring guidance " +
+      "(permanent policy)") {
+    val root = TestSpark.tmpDir("r18map")
+    val df = spark.range(0L, 10L).toDF("k")
+      .withColumn("m", map(lit("a"), col("k").cast("string")))
+      .withColumn("v", col("k") * 2)
+    graft.ops.VersionedTable.write(df, s"$root/t")
+    val cat = registerCat(root, "map")
+    val res = scala.util.Try(
+      spark.sql(s"UPDATE $cat.t SET v = v + 1 WHERE k = 3"))
+    assert(res.isFailure, "row-level SQL on a map table must refuse")
+    val msg = res.failed.get.getMessage
+    assert(msg.contains("m: map<") && msg.contains("key/value table"),
+      s"the refusal must name the column AND the exploded-table guidance: $msg")
+    assert(graft.ops.VersionedTable.currentVersion(spark, s"$root/t")
+      .contains(1L), "the refused op must not commit")
+  }
+
+  test("deep nesting inside an array refuses at PLAN time, naming the column") {
+    val root = TestSpark.tmpDir("r18deep")
+    val df = spark.range(0L, 10L).toDF("k")
+      .withColumn("t", array(struct(col("k").as("n"),
+        array(col("k")).as("path")))) // struct child is itself an array
+      .withColumn("v", col("k") * 2)
+    graft.ops.VersionedTable.write(df, s"$root/t")
+    val cat = registerCat(root, "deep")
+    val res = scala.util.Try(
+      spark.sql(s"UPDATE $cat.t SET v = v + 1 WHERE k = 3"))
+    assert(res.isFailure)
+    val msg = res.failed.get.getMessage
+    assert(msg.contains("t: array<struct<") && msg.contains("row-level SQL"),
+      s"the plan-time gate must name the too-deep column: $msg")
+    assert(graft.ops.VersionedTable.currentVersion(spark, s"$root/t")
+      .contains(1L))
+  }
+
+  test("date / timestamp / decimal array elements run the DML lifecycle") {
+    val root = TestSpark.tmpDir("r18elems")
+    val df = spark.range(0L, 20L).toDF("k").select(col("k"),
+      array(date_add(lit(java.sql.Date.valueOf("2026-01-01")),
+        col("k").cast("int"))).as("ds"),
+      array(to_timestamp(lit("2026-01-01 00:00:00")) +
+        expr("make_interval(0,0,0,0,0,0,k)")).as("ts"),
+      array((col("k") * 100).cast("decimal(12,2)"),
+        lit(null).cast("decimal(12,2)")).as("dec"),
+      (col("k") * 2).as("v"))
+    graft.ops.VersionedTable.write(df, s"$root/t")
+    val cat = registerCat(root, "elems")
+    // UPDATE transforms every element family through GroupWrite
+    spark.sql(s"UPDATE $cat.t SET " +
+      "ds = transform(ds, x -> date_add(x, 7)), " +
+      "ts = transform(ts, x -> x + INTERVAL 1 MINUTE), " +
+      "dec = transform(dec, x -> x + CAST(0.25 AS DECIMAL(12,2))) " +
+      "WHERE k % 2 = 0")
+    // DV DELETE, then MERGE inserting fresh rows of every family
+    spark.sql(s"DELETE FROM $cat.t WHERE k >= 15 AND k <= 17")
+    spark.sql(s"""SELECT 100L AS k,
+      |  array(DATE'2030-06-01') AS ds,
+      |  array(TIMESTAMP'2030-06-01 12:00:00') AS ts,
+      |  array(CAST(9.75 AS DECIMAL(12,2))) AS dec, 0L AS v
+      |""".stripMargin).createOrReplaceTempView("r18_elem_src")
+    spark.sql(s"""MERGE INTO $cat.t t USING r18_elem_src s ON t.k = s.k
+      |WHEN MATCHED THEN UPDATE SET v = s.v
+      |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    val got = spark.sql(s"SELECT k, ds[0] AS d0, ts[0] AS t0, " +
+      s"dec[0] AS c0, get(dec, 1) AS c1 FROM $cat.t").collect()
+      .map(r => (r.getLong(0), r.getDate(1).toString,
+        r.getTimestamp(2).toString,
+        Option(r.getDecimal(3)).map(_.toPlainString),
+        Option(r.getDecimal(4)).map(_.toPlainString)))
+      .sortBy(_._1).toSeq
+    val want = ((0L until 20L).filterNot(k => k >= 15 && k <= 17).map { k =>
+      val shift = if (k % 2 == 0) 7 else 0
+      val d = java.time.LocalDate.of(2026, 1, 1).plusDays(k + shift)
+      val t = java.time.LocalDateTime.of(2026, 1, 1, 0, 0, 0)
+        .plusSeconds(k).plusMinutes(if (k % 2 == 0) 1 else 0)
+      val c = BigDecimal(k * 100) + (if (k % 2 == 0) BigDecimal("0.25")
+        else BigDecimal(0))
+      (k, d.toString,
+        java.sql.Timestamp.valueOf(t).toString,
+        Some(c.setScale(2).bigDecimal.toPlainString),
+        None: Option[String])
+    } :+ ((100L, "2030-06-01", "2030-06-01 12:00:00.0",
+      Some("9.75"), None: Option[String]))).sortBy(_._1)
+    assert(got == want, s"element families diverged:\n got ${got.take(4)}\n" +
+      s" want ${want.take(4)}")
+  }
+
+  test("struct-field widening DDL: narrowing / unknown field / non-struct " +
+      "targets refuse with no commit") {
+    import graft.ops.{TypeWidening => TW, VersionedTable => VT}
+    val root = TestSpark.tmpDir("r18sw")
+    val dir = s"$root/w"
+    val base = spark.range(0L, 10L).toDF("k")
+      .select(col("k"), struct(lit("x").as("t"),
+        col("k").cast("int").as("n")).as("m"), col("k").cast("long").as("v"))
+    TW.init(base, dir)
+    val cat = registerCat(root, "sw")
+    // the happy path: one metadata-only commit
+    spark.sql(s"ALTER TABLE $cat.w ALTER COLUMN m.n TYPE BIGINT")
+    assert(VT.currentVersion(spark, dir).contains(2L))
+    assert(spark.sql(s"SELECT sum(m.n) FROM $cat.w").head.getLong(0) == 45L)
+    def refused(sql: String, needle: String): Unit = {
+      val before = VT.currentVersion(spark, dir)
+      val res = scala.util.Try(spark.sql(sql))
+      assert(res.isFailure, s"must refuse: $sql")
+      assert(res.failed.get.getMessage.contains(needle),
+        s"refusal for [$sql] must mention '$needle': " +
+          res.failed.get.getMessage)
+      assert(VT.currentVersion(spark, dir) == before,
+        s"refused DDL must not commit: $sql")
+    }
+    // narrowing: Spark's OWN analyzer refuses BIGINT->INT on a resolved
+    // field before the catalog sees it; the matrix backstops the ops API
+    // (the rename probe below) and the unresolvable-field/odd-target
+    // shapes fail at analysis — every path must refuse with NO commit
+    refused(s"ALTER TABLE $cat.w ALTER COLUMN m.n TYPE INT", "m")
+    refused(s"ALTER TABLE $cat.w ALTER COLUMN m.zz TYPE BIGINT", "zz")
+    refused(s"ALTER TABLE $cat.w ALTER COLUMN v.n TYPE BIGINT", "v")
+    // field rename-by-arity cannot be expressed through the field DDL;
+    // the ops API refuses a renamed struct from the matrix
+    val renamed = StructType(Seq(StructField("tt", StringType),
+      StructField("n", LongType)))
+    val res = scala.util.Try(TW.widen(spark, dir, "m", renamed))
+    assert(res.isFailure &&
+      res.failed.get.getMessage.contains("not a lossless widening"),
+      "a field rename must refuse from the matrix")
+  }
+
+  test("vacuumDistributed matches the driver vacuum on the same history") {
+    import graft.ops.ActionLog
+    def build(dir: String): Unit = {
+      (1 to 3).foreach(i => ActionLog.append(
+        Seq((i.toLong, i * 10L)).toDF("k", "v").coalesce(1), dir, Some("k")))
+      // a rewrite BELOW the eventual horizon: v3's original file becomes
+      // unreferenced by every retained version — the victim
+      val target = ActionLog.resolve(spark, dir, 3L)._1
+        .diff(ActionLog.resolve(spark, dir, 2L)._1)
+      ActionLog.replaceFiles(spark, dir, // v4
+        Seq(target.head), Seq((3L, 999L)).toDF("k", "v").coalesce(1),
+        Some("k"))
+      (4 to 5).foreach(i => ActionLog.append( // v5, v6
+        Seq((i.toLong, i * 10L)).toDF("k", "v").coalesce(1), dir, Some("k")))
+      ()
+    }
+    val dirA = TestSpark.tmpDir("r18vacA") + "/t"
+    val dirB = TestSpark.tmpDir("r18vacB") + "/t"
+    build(dirA); build(dirB)
+    val (expA, vicA) = ActionLog.vacuum(spark, dirA, keepVersions = 2,
+      graceMs = 0L)
+    val (expB, vicB) = ActionLog.vacuumDistributed(spark, dirB,
+      keepVersions = 2, graceMs = 0L, listBatch = 2)
+    assert((expA.toLong, vicA.toLong) == (expB, vicB),
+      s"vacuum forms diverged: driver ($expA, $vicA) vs " +
+        s"distributed ($expB, $vicB)")
+    assert(vicB >= 1L, "the rewrite must have produced at least one victim")
+    def state(dir: String): (Seq[Long], Seq[(Long, Long)]) = (
+      ActionLog.versions(spark, dir),
+      ActionLog.read(spark, dir).as[(Long, Long)].collect().sorted.toSeq)
+    assert(state(dirA)._1 == state(dirB)._1, "retained versions diverged")
+    assert(state(dirA)._2 == state(dirB)._2, "live content diverged")
+    assert(state(dirB)._2 == Seq((1L, 10L), (2L, 20L), (3L, 999L),
+      (4L, 40L), (5L, 50L)))
+    // both forms leave the same number of physical data files
+    def nFiles(dir: String): Int = {
+      val p = new org.apache.hadoop.fs.Path(s"$dir/data")
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .listStatus(p).count(_.isFile)
+    }
+    assert(nFiles(dirA) == nFiles(dirB), "on-disk file counts diverged")
+  }
+}

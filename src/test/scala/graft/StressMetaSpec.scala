@@ -323,6 +323,50 @@ class StressMetaSpec extends AnyFunSuite {
     assert(msg.contains("resolveDf") &&
       msg.contains(ActionLog.DriverReplayMaxFiles.toString),
       s"the refusal must name the distributed twin and the bound: $msg")
+
+    // MAINTENANCE at the million-file regime (round 18 #3): the driver
+    // vacuum rides the refused replay — its refusal must now name the
+    // distributed twin — and vacuumDistributed must actually maintain
+    // the table: the referenced set resolves as a Spark job, the listing
+    // streams through it in batches, and only the victims return to the
+    // driver.
+    val vres = scala.util.Try(ActionLog.vacuum(spark, dir, 1, graceMs = 0L))
+    assert(vres.isFailure, "driver vacuum over 1M files must refuse")
+    assert(vres.failed.get.getMessage.contains("vacuumDistributed"),
+      s"the vacuum refusal must name the distributed twin: " +
+        vres.failed.get.getMessage)
+    // physical files: 2 UNREFERENCED (removed at v2), 1 orphan (never
+    // logged), 2 live — the sweep must delete exactly the first three
+    fs.mkdirs(new Path(s"$dir/data"))
+    Seq("part-c0-0.parquet", "part-c0-1.parquet", "part-orphan.parquet",
+      "part-fresh.parquet", "part-c4242-0.parquet").foreach { n =>
+      fs.create(new Path(s"$dir/data/$n"), true).close()
+    }
+    val heapV0 = usedHeap()
+    val ((vExpired, vVictims), tVac) = timed(
+      ActionLog.vacuumDistributed(spark, dir, 1, graceMs = 0L,
+        listBatch = 2)) // force multiple batches through the anti-join
+    val heapV1 = usedHeap()
+    info(f"vacuumDistributed(1M): ${tVac}%.2f s, expired $vExpired " +
+      f"version(s), $vVictims victim file(s), heap " +
+      f"+${(heapV1 - heapV0) / 1e6}%.0f MB")
+    assert(vVictims == 3L,
+      s"exactly the 2 unreferenced + 1 orphan must go: $vVictims")
+    assert(vExpired == 1, s"v1 must expire: $vExpired")
+    assert(fs.exists(new Path(s"$dir/data/part-fresh.parquet")) &&
+      fs.exists(new Path(s"$dir/data/part-c4242-0.parquet")),
+      "live files must survive the sweep")
+    assert(!fs.exists(new Path(s"$dir/data/part-orphan.parquet")),
+      "the orphan must be swept")
+    assert(tVac < 120.0, f"distributed vacuum cost ${tVac}%.1f s at 1M files")
+    // loose GC-noise bound, same discipline as the resolveDf pin: the
+    // referenced set is cached on the EXECUTOR plane and unpersisted
+    assert(heapV1 - heapV0 < 192L * 1024 * 1024,
+      f"vacuumDistributed retained ${(heapV1 - heapV0) / 1e6}%.0f MB")
+    // the table still resolves distributedly after maintenance, seeded
+    // from the horizon checkpoint the vacuum wrote on the parquet plane
+    assert(ActionLog.resolveDf(spark, dir).count() == N - 2 + 1,
+      "post-vacuum resolution must match the pre-vacuum live set")
   }
 }
 

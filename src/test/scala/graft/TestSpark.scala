@@ -11,6 +11,11 @@ object TestSpark {
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // standards-track timestamps (round 18): Spark's default INT96 is
+      // deprecated, refused by Spark's OWN reader inside LIST elements
+      // (array<timestamp> columns), and unreadable by the engine's
+      // row/Group readers, which speak annotated INT64 micros
+      .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
       .config("spark.sql.warehouse.dir",
         java.nio.file.Files.createTempDirectory("graft-wh").toString)
       .getOrCreate()

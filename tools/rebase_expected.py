@@ -7,11 +7,16 @@ NEW two-order pass structure):
 
     python3 tools/rebase_expected.py RUN1.json RUN2.json NOTE_APPENDIX
 
-Per query: expected = min over both runs' min-of-2 values and any
-isolated adjudication values those runs recorded (an in-pass wall
-inflated by a transient must not become the manifest). Queries present
-in only one run are taken from it. The old manifest's note is preserved
-with the appendix appended; sf and streaming_ratio_max carry over.
+Per query: expected = min over the runs' FULL-PASS values from runs
+where the query did NOT flag. Isolated adjudication values substitute
+ONLY when every run flagged the query (no clean full-pass measurement
+exists) — isolated re-runs happen in a quiet warm JVM that
+systematically under-reads contention cost (Bench.scala's round-17
+note), so an unconditional min over isolated values seeds
+unachievably-low baselines and manufactures recurring phantom flags
+(round-17 advisory). Queries present in only one run are taken from
+it. The old manifest's note is preserved with the appendix appended;
+sf and streaming_ratio_max carry over.
 """
 import json
 import sys
@@ -24,13 +29,20 @@ def main():
     run1, run2, appendix = sys.argv[1], sys.argv[2], sys.argv[3]
     old = load("BENCH_EXPECTED.json")
     runs = [load(run1), load(run2)]
-    qs = {}
+    clean, subst = {}, {}
     for r in runs:
         iso = {f["q"]: f["isolated_s"] for f in r.get("flags", [])
                if f.get("isolated_s", -1) >= 0}
         for name, v in r["queries"].items():
-            cand = min(v, iso.get(name, v))
-            qs[name] = min(qs.get(name, cand), cand)
+            if name in iso:
+                # this run's pass value is transient-inflated; its
+                # isolated value is the SUBSTITUTE, used only if no run
+                # measured the query clean
+                subst[name] = min(subst.get(name, iso[name]), iso[name])
+            else:
+                clean[name] = min(clean.get(name, v), v)
+    qs = dict(subst)
+    qs.update(clean)  # a clean full-pass value always wins
     out = {
         "sf": old["sf"],
         "note": old["note"] + " | " + appendix,
