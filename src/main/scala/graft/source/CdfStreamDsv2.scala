@@ -864,13 +864,26 @@ private[source] class GraftColumnarReader(p: CdfFilePartition,
             // reader cannot decode nested columns, so there was no
             // fallback direction; mixed-vintage files hard-failed here),
             // leaving this check as pure defense for hand-built schemas.
-            val ok = (v.dataType(), f.dataType) match {
-              case (org.apache.spark.sql.types.ArrayType(ea, fileCn),
-                org.apache.spark.sql.types.ArrayType(eb, tableCn)) =>
-                ea == eb && (tableCn || !fileCn)
-              case (a, b) => a == b
-            }
-            require(ok,
+            def ok(file: org.apache.spark.sql.types.DataType,
+                table: org.apache.spark.sql.types.DataType): Boolean =
+              (file, table) match {
+                case (org.apache.spark.sql.types.ArrayType(ea, fileCn),
+                  org.apache.spark.sql.types.ArrayType(eb, tableCn)) =>
+                  ok(ea, eb) && (tableCn || !fileCn)
+                // struct ELEMENT types recurse field-wise: a native-
+                // written file declares required fields for literal
+                // structs, the relaxed table claim says nullable — the
+                // weaker claim is always safe (round-18: struct element
+                // types compared with == hard-failed exactly there)
+                case (org.apache.spark.sql.types.StructType(fa),
+                  org.apache.spark.sql.types.StructType(fb)) =>
+                  fa.length == fb.length && fa.zip(fb).forall { case (x, y) =>
+                    x.name == y.name && ok(x.dataType, y.dataType) &&
+                      (y.nullable || !x.nullable)
+                  }
+                case (a, b) => a == b
+              }
+            require(ok(v.dataType(), f.dataType),
               s"GraftColumnarReader(${p.file}): column ${f.name} is " +
                 s"${v.dataType()} in the file but ${f.dataType} in the " +
                 "table — derive the table schema through " +

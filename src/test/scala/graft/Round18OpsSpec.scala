@@ -183,6 +183,103 @@ class Round18OpsSpec extends AnyFunSuite {
       "a field rename must refuse from the matrix")
   }
 
+  // ---- array-of-struct across every layout the structs got in r17 ----
+
+  private def turnsDf(rows: Seq[(Long, Seq[(String, Long)])]) = {
+    val flat = rows.flatMap { case (k, ts) =>
+      if (ts.isEmpty) Seq((k, null.asInstanceOf[String], 0L, true))
+      else ts.map { case (ro, sc) => (k, ro, sc, false) }
+    }
+    flat.toDF("k", "role", "score", "empty")
+      .groupBy(col("k"))
+      .agg(when(max(col("empty")), array().cast(
+        "array<struct<role:string,score:bigint>>"))
+        .otherwise(collect_list(struct(col("role"), col("score"))))
+        .as("turns"))
+  }
+
+  test("log-layout SQL UPDATE rewrites array-of-struct columns " +
+      "(GraftLogCowScan path)") {
+    val root = TestSpark.tmpDir("r18turnslog")
+    val dir = s"$root/t"
+    graft.ops.ActionLog.append(
+      spark.range(0L, 20L).toDF("k")
+        .withColumn("turns", array(
+          struct(lit("u").as("role"), (col("k") * 10).as("score")),
+          struct(lit("a").as("role"), (col("k") * 10 + 1).as("score"))))
+        .coalesce(2),
+      dir, Some("k"))
+    val cat = registerCat(root, "tlog")
+    spark.sql(s"UPDATE $cat.t SET turns = transform(turns, x -> " +
+      "named_struct('role', x.role, 'score', x.score + 1000L)) WHERE k < 5")
+    val got = spark.sql(
+      s"SELECT sum(aggregate(turns, 0L, (a, x) -> a + x.score)) FROM $cat.t")
+      .head.getLong(0)
+    val base = (0L until 20L).map(k => k * 10 + k * 10 + 1).sum
+    assert(got == base + 5 * 2 * 1000)
+    val live = graft.ops.ActionLog.liveFiles(spark, dir)
+    assert(live.nonEmpty && live.forall(_._2.isDefined),
+      s"log COW over arrays-of-structs must keep per-file stats: $live")
+  }
+
+  test("CDF stream carries array-of-struct columns (the row " +
+      "materializer's struct-element path)") {
+    import graft.ops.{ChangeFeed, VersionedTable}
+    val root = TestSpark.tmpDir("r18turnstream") + "/t"
+    VersionedTable.write(turnsDf(Seq(
+      1L -> Seq("u" -> 10L), 2L -> Seq("u" -> 20L, "a" -> 21L))), root)
+    ChangeFeed.commit(turnsDf(Seq(
+      1L -> Seq("u" -> 10L, "a" -> 99L), // k=1 gains a turn
+      2L -> Seq("u" -> 20L, "a" -> 21L),
+      3L -> Seq.empty)), // k=3 inserts an EMPTY array
+      root, Seq("k"))
+    val got = collection.mutable.ArrayBuffer.empty[(Long, Int, Long, String)]
+    val q = graft.source.CdfStream.read(spark, root, startingVersion = Some(1L))
+      .writeStream
+      .option("checkpointLocation", TestSpark.tmpDir("r18turnstream-ckpt"))
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        b.select(col("k"), size(col("turns")),
+          coalesce(expr("aggregate(turns, 0L, (a, x) -> a + x.score)"),
+            lit(-1L)), col(ChangeFeed.ChangeType)).collect()
+          .foreach(r => got.synchronized {
+            got += ((r.getLong(0), r.getInt(1), r.getLong(2), r.getString(3)))
+          })
+      }.start()
+    try q.processAllAvailable() finally q.stop()
+    val rows = got.toSeq
+    assert(rows.exists(r => r._1 == 1L && r._4 == "update_postimage" &&
+      r._2 == 2 && r._3 == 109L),
+      s"the post-image must carry the grown turn list: $rows")
+    assert(rows.exists(r => r._1 == 3L && r._4 == "insert" && r._2 == 0),
+      s"the insert must carry its EMPTY array distinctly: $rows")
+  }
+
+  test("array-of-struct passenger column rides the type-widening plane") {
+    import graft.ops.{TypeWidening => TW}
+    val root = TestSpark.tmpDir("r18turnstw")
+    val dir = s"$root/w"
+    val base = spark.range(0L, 10L).toDF("k")
+      .select(col("k"), col("k").cast("int").as("a"),
+        array(struct(lit("u").as("role"), col("k").as("score"))).as("turns"))
+    TW.init(base, dir)
+    val cat = registerCat(root, "ttw")
+    spark.sql(s"ALTER TABLE $cat.w ALTER COLUMN a TYPE BIGINT") // v2
+    // an epoch append AFTER the widen: the passenger crosses manifests
+    spark.sql(s"INSERT INTO $cat.w SELECT k + 100, CAST(a AS BIGINT), " +
+      s"turns FROM $cat.w")
+    // cross-epoch COW UPDATE transforming the passenger
+    spark.sql(s"UPDATE $cat.w SET turns = transform(turns, x -> " +
+      "named_struct('role', 'z', 'score', x.score + 1L)) WHERE k % 2 = 0")
+    val got = spark.sql(s"SELECT sum(aggregate(turns, 0L, " +
+      s"(acc, x) -> acc + x.score)) FROM $cat.w").head.getLong(0)
+    val want = (0L until 10L).flatMap(k => Seq(k, k))
+      .sum + (0L until 10L).count(_ % 2 == 0) * 2 // +1 per even-k turn, both copies
+    assert(got == want, s"passenger sum $got != $want")
+    // AS-OF still renders v1 under its own manifest with the passenger
+    assert(spark.sql(s"SELECT count(*) FROM $cat.w VERSION AS OF 1")
+      .head.getLong(0) == 10L)
+  }
+
   test("vacuumDistributed matches the driver vacuum on the same history") {
     import graft.ops.ActionLog
     def build(dir: String): Unit = {
