@@ -4059,5 +4059,73 @@ object OptimizerQueries {
         .head.getLong(0) == base.count(),
         "q327: the pre-widen version must still read in full")
       s.sql(s"SELECT k, meta.tag AS tag, meta.n AS n FROM $cat.w")
+    },
+
+    // ---------------------------------------------------------------- q328
+    // DISTRIBUTED VACUUM (round 18 #3) — q270's maintenance discipline at
+    // the shape the million-file regime needs: the referenced set (live
+    // at the horizon ∪ every later add) resolves as a SPARK JOB, the
+    // data-dir listing streams through it in bounded batches whose
+    // anti-join returns only VICTIMS to the driver, deletes run on the
+    // executors, and the horizon checkpoint lands on the PARQUET plane
+    // (the driver-JSON form would re-seed the replay this path exists to
+    // replace). Driver memory is O(batch + victims), never O(table) —
+    // the property the 1M-file StressMeta probe pins at scale; this
+    // entry pins BEHAVIORAL EQUIVALENCE with the driver-resident vacuum
+    // on one history: identical (expired, victims), identical retained
+    // content, retained as-of reads resolving from the horizon
+    // checkpoint, expired reads failing loudly, second pass a no-op.
+    Q("q328_log_vacuum_distributed",
+      """SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(l_orderkey) AS BIGINT) AS key_sum
+        |FROM lineitem WHERE l_orderkey % 4 < 3 GROUP BY 1""".stripMargin) { (s, dir) =>
+      import graft.ops.ActionLog
+      import scala.util.Try
+      val root = scratch(s, dir, "q328")
+      val li = Tables.load(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"))
+      def quarter(i: Int) = li.filter(col("l_orderkey") % 4 === i)
+      def build(table: String): Unit = {
+        ActionLog.append(quarter(0).coalesce(1), table) // v1
+        ActionLog.append(quarter(1).coalesce(1), table) // v2
+        ActionLog.rewrite(ActionLog.read(s, table), table, numFiles = 1) // v3
+        ActionLog.append(quarter(2).coalesce(1), table) // v4
+        ()
+      }
+      val tA = s"$root/driver"; val tB = s"$root/dist"
+      build(tA); build(tB)
+      val before = ActionLog.read(s, tB).localCheckpoint()
+      val (dA, delA) = ActionLog.vacuum(s, tA, keepVersions = 2, graceMs = 0L)
+      // listBatch = 2 forces MULTIPLE batches through the anti-join — the
+      // bounded-listing path, not a single-batch degenerate
+      val (dB, delB) = ActionLog.vacuumDistributed(s, tB, keepVersions = 2,
+        graceMs = 0L, listBatch = 2)
+      require((dA.toLong, delA.toLong) == ((dB.toLong, delB)),
+        s"q328: the two vacuum forms diverged: driver ($dA, $delA) vs " +
+          s"distributed ($dB, $delB)")
+      require(dB == 2L && delB == 2L,
+        s"q328: exactly the two pre-compaction originals must die, " +
+          s"got ($dB, $delB)")
+      val after = ActionLog.read(s, tB)
+      require(Q.sameMultiset(after, before),
+        "q328: distributed vacuum must not change live content")
+      // the horizon checkpoint landed on the PARQUET plane and seeds the
+      // retained as-of read, replaying only the post-horizon tail
+      val (_, replayed, ckpt) = ActionLog.resolve(s, tB, 4L)
+      require(ckpt.contains(3L) && replayed == 1,
+        s"q328: v4 must resolve from the horizon checkpoint " +
+          s"(base=$ckpt, replayed=$replayed)")
+      require(ActionLog.stateDfAt(s, tB, 4L)
+        .filter(col("a") === "add").count() ==
+        after.inputFiles.length.toLong,
+        "q328: the distributed plane must agree with the live file set")
+      require(Try(ActionLog.read(s, tB, asOf = 2L).count()).isFailure,
+        "q328: an expired as-of read must fail loudly")
+      require(ActionLog.vacuumDistributed(s, tB, keepVersions = 2,
+        graceMs = 0L) == ((0, 0L)),
+        "q328: a second distributed vacuum must be a no-op")
+      after.groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).cast("bigint").as("n"),
+          sum(col("l_orderkey")).cast("bigint").as("key_sum"))
     })
 }
