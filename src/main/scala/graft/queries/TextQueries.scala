@@ -1540,5 +1540,63 @@ object TextQueries {
           sum(col("w")).cast("bigint").as("clamped_chars"),
           sum(col("cl")).cast("bigint").as("n_lo"),
           sum(col("ch")).cast("bigint").as("n_hi"))
+    },
+
+    // ---------------------------------------------------------------- q329
+    // CHAT-TEMPLATE RENDERING + ALTERNATION GATING over the
+    // conversation-turn column (round 18: turns became first-class, so
+    // the ops a chat-training pipeline runs daily come with them):
+    // render each `turns array<struct<role,content>>` into ONE training
+    // string under a role-tag template, and gate on structural validity
+    // — roles must alternate user/assistant from 'user'. Everything is
+    // higher-order column functions (transform / zip_with / forall /
+    // concat_ws), fully codegen'd, zero UDFs, zero shuffles beyond the
+    // final projection — at 100 TB this renders per-partition at scan
+    // speed. The oracle replays on an EXPLODED (conv, pos) twin with
+    // string_agg ORDER BY pos, so array order is load-bearing on both
+    // sides. Invalid conversations (a doubled 'user' turn planted on
+    // conv%11) must gate FALSE, never silently render as training rows.
+    Q("q329_chat_template",
+      """WITH docs AS (SELECT doc_id AS conv_id, text FROM documents),
+        |n AS (SELECT conv_id, 2 + conv_id % 3 AS nt, text FROM docs),
+        |t AS (SELECT conv_id, nt, unnest(range(nt)) AS pos, text FROM n),
+        |turn AS (SELECT conv_id, nt, pos,
+        |    CASE WHEN conv_id % 11 = 0 AND pos = 1 THEN 'user'
+        |         WHEN pos % 2 = 0 THEN 'user' ELSE 'assistant' END AS role,
+        |    substr(text, CAST(1 + pos * 7 AS INT), 25) AS content
+        |  FROM t),
+        |agg AS (SELECT conv_id, CAST(max(nt) AS BIGINT) AS n_turns,
+        |    bool_and(role = CASE WHEN pos % 2 = 0 THEN 'user'
+        |      ELSE 'assistant' END) AS valid,
+        |    string_agg('<|' || role || '|>' || content, ''
+        |      ORDER BY pos) || '<|end|>' AS rendered
+        |  FROM turn GROUP BY conv_id)
+        |SELECT conv_id, n_turns, valid, rendered,
+        |  CAST(length(rendered) - length(replace(rendered, ' ', ''))
+        |    AS BIGINT) AS space_n
+        |FROM agg""".stripMargin) { (s, dir) =>
+      val docs = Tables.load(s, dir, "documents")
+        .select(col("doc_id").as("conv_id"), col("text"))
+        .withColumn("nt", (col("conv_id") % 3 + 2).cast("int"))
+      val withTurns = docs.withColumn("turns",
+        transform(sequence(lit(0), col("nt") - 1), i =>
+          struct(
+            when(col("conv_id") % 11 === 0 && i === 1, "user")
+              .when(i % 2 === 0, "user").otherwise("assistant").as("role"),
+            col("text").substr(i * 7 + 1, lit(25)).as("content"))))
+      withTurns.select(
+          col("conv_id"),
+          size(col("turns")).cast("bigint").as("n_turns"),
+          forall(zip_with(col("turns"),
+              sequence(lit(0), size(col("turns")) - 1),
+              (x, i) => x.getField("role") ===
+                when(i % 2 === 0, "user").otherwise("assistant")),
+            b => b).as("valid"),
+          concat(concat_ws("", transform(col("turns"), x =>
+              concat(lit("<|"), x.getField("role"), lit("|>"),
+                x.getField("content")))), lit("<|end|>")).as("rendered"))
+        .withColumn("space_n",
+          (length(col("rendered")) -
+            length(expr("replace(rendered, ' ', '')"))).cast("bigint"))
     })
 }
