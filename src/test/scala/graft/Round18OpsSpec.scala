@@ -308,6 +308,42 @@ class Round18OpsSpec extends AnyFunSuite {
       (0L until 100L).map(k => k + k + 1).sum)
   }
 
+  test("array<decimal> element widening via the DDL lift reads mixed " +
+      "INT32/INT64 physical epochs") {
+    import graft.ops.{TypeWidening => TW, VersionedTable => VT}
+    val root = TestSpark.tmpDir("r18decarr")
+    val dir = s"$root/w"
+    val base = spark.range(0L, 12L).toDF("k")
+      .select(col("k"), array((col("k") * 100).cast("decimal(6,2)"),
+        lit(null).cast("decimal(6,2)")).as("d"))
+    TW.init(base, dir) // v1: decimal(6,2) elements ride INT32 physically
+    val cat = registerCat(root, "decarr")
+    spark.sql(s"ALTER TABLE $cat.w ALTER COLUMN d.element TYPE DECIMAL(14,2)")
+    require(VT.currentVersion(spark, dir).contains(2L),
+      "the element widen must be one metadata-only commit")
+    // v3: an INT64-physical epoch whose values exceed decimal(6,2)
+    spark.sql(s"INSERT INTO $cat.w SELECT k + 100, " +
+      s"array(CAST(123456789012.34 AS DECIMAL(14,2)), " +
+      s"CAST(NULL AS DECIMAL(14,2))) FROM $cat.w")
+    // v4: a COW UPDATE crossing both physical epochs through GroupWrite
+    spark.sql(s"UPDATE $cat.w SET d = transform(d, x -> " +
+      s"x + CAST(0.25 AS DECIMAL(14,2))) WHERE k % 2 = 0")
+    val got = spark.sql(s"SELECT sum(aggregate(d, CAST(0 AS DECIMAL(20,2)), " +
+      s"(a, x) -> CAST(a + coalesce(x, CAST(0 AS DECIMAL(20,2))) " +
+      s"AS DECIMAL(20,2)))) FROM $cat.w").head.getDecimal(0)
+    val small = (0L until 12L).map(k => BigDecimal(k * 100)).sum
+    val big = BigDecimal("123456789012.34") * 12
+    val bumps = BigDecimal("0.25") *
+      ((0L until 12L).count(_ % 2 == 0) + (100L until 112L).count(_ % 2 == 0))
+    assert(BigDecimal(got) == small + big + bumps,
+      s"mixed-epoch decimal array sum: $got")
+    // v1 still renders under its own (6,2) manifest
+    assert(TW.typesOf(spark, dir, 1L).toMap.apply("d") ==
+      ArrayType(DecimalType(6, 2)), "the pre-widen manifest must survive")
+    assert(spark.sql(s"SELECT count(*) FROM $cat.w VERSION AS OF 1")
+      .head.getLong(0) == 12L)
+  }
+
   test("vacuumDistributed matches the driver vacuum on the same history") {
     import graft.ops.ActionLog
     def build(dir: String): Unit = {
