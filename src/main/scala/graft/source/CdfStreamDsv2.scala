@@ -678,8 +678,16 @@ private[source] class InternalRowReadSupport(schema: StructType,
               }: Converter
             case Some(i) =>
               val f = schema.fields(i)
+              // a nested file column whose TABLE type is scalar, or a
+              // shape outside the supported surface (maps land here —
+              // the round-18 policy): name the column and the remedy,
+              // this reader serves batch catalog scans too
               require(pf.isPrimitive,
-                s"cdf stream: unsupported nested column ${pf.getName}")
+                s"graft row reader: column ${pf.getName} is nested in " +
+                  s"the file but ${f.dataType.catalogString} in the " +
+                  "table — supported nesting is structs of scalars and " +
+                  "arrays of scalars/structs; maps restructure into an " +
+                  "exploded key/value table")
               val prim = pf.asPrimitiveType().getPrimitiveTypeName
               val c: Converter = f.dataType match {
                 case LongType if prim == PINT32 => new PrimitiveConverter {

@@ -308,6 +308,80 @@ class Round18OpsSpec extends AnyFunSuite {
       (0L until 100L).map(k => k + k + 1).sum)
   }
 
+  test("column-mapping rename over an array-of-struct column reads " +
+      "through the nameMap") {
+    import graft.ops.{ColumnMapping => CM}
+    val root = TestSpark.tmpDir("r18turnsmap")
+    val dir = s"$root/t"
+    CM.writeData(spark.range(0L, 10L).toDF("k")
+      .withColumn("turns", array(struct(lit("u").as("role"),
+        (col("k") * 2).as("score")))), dir)
+    val cat = registerCat(root, "tmap")
+    spark.sql(s"ALTER TABLE $cat.t RENAME COLUMN turns TO convo")
+    assert(spark.sql(s"SELECT sum(aggregate(convo, 0L, " +
+      s"(a, x) -> a + x.score)) FROM $cat.t").head.getLong(0) ==
+      (0L until 10L).map(_ * 2).sum)
+    assert(CM.read(spark, dir).columns.contains("convo"))
+  }
+
+  test("row-level SQL on a FEED-TRACKED table captures array-of-struct " +
+      "pre/post images") {
+    import graft.ops.ChangeFeed
+    val root = TestSpark.tmpDir("r18turnscdf")
+    val dir = s"$root/t"
+    def df(rows: Seq[(Long, Long)]) = rows.toDF("k", "s")
+      .select(col("k"), array(struct(lit("u").as("role"),
+        col("s").as("score"))).as("turns"))
+    ChangeFeed.commit(df(Seq(1L -> 10L, 2L -> 20L)), dir, Seq("k")) // v1
+    val cat = registerCat(root, "tcdf")
+    // the GroupBatchWrite _cdf capture path (not ChangeFeed.commit's):
+    // a row-level SQL UPDATE transforming turns on a tracked table
+    spark.sql(s"UPDATE $cat.t SET turns = transform(turns, x -> " +
+      "named_struct('role', 'a', 'score', x.score * 10L)) WHERE k = 1")
+    val changes = ChangeFeed.tableChanges(spark, dir, 1L, 2L, Seq("k"))
+      .select(col("k"), expr("aggregate(turns, 0L, (a, x) -> a + x.score)"),
+        col("turns")(0).getField("role"), col(ChangeFeed.ChangeType))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getString(3)))
+      .toSeq
+    assert(changes.contains((1L, 10L, "u", "update_preimage")) &&
+      changes.contains((1L, 100L, "a", "update_postimage")),
+      s"turn pre/post images must ride the capture: $changes")
+    assert(!changes.exists(_._1 == 2L),
+      s"the untouched row must not capture: $changes")
+  }
+
+  test("branch merge reconciles disjoint turn edits; a turn conflict " +
+      "fails loudly") {
+    import graft.ops.Branching
+    val root = TestSpark.tmpDir("r18turnsbr")
+    val dir = s"$root/t"
+    def df(vals: Map[Long, Long]) = vals.toSeq.toDF("k", "s")
+      .select(col("k"), array(struct(lit("u").as("role"),
+        col("s").as("score"))).as("turns"))
+    val base = Map(1L -> 10L, 2L -> 20L, 3L -> 30L)
+    Branching.init(df(base), dir)
+    Branching.branch(spark, dir, "main", "dev")
+    Branching.commitOn(df(base + (1L -> 11L)), dir, "dev")
+    Branching.commitOn(df(base + (2L -> 22L)), dir, "main")
+    val Branching.Merged(_) =
+      Branching.merge(spark, dir, "dev", "main", Seq("k")): @unchecked
+    val got = Branching.readBranch(spark, dir, "main")
+      .select(col("k"), col("turns")(0).getField("score"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 11L, 2L -> 22L, 3L -> 30L),
+      s"both sides' turn edits must land: $got")
+    // true conflict: the SAME key's turns edited differently on both sides
+    Branching.branch(spark, dir, "main", "exp")
+    Branching.commitOn(df(base + (1L -> 11L) + (2L -> 22L) + (3L -> 77L)),
+      dir, "exp")
+    Branching.commitOn(df(base + (1L -> 11L) + (2L -> 22L) + (3L -> 88L)),
+      dir, "main")
+    val res = scala.util.Try(
+      Branching.merge(spark, dir, "exp", "main", Seq("k")))
+    assert(res.isFailure, "a same-key turn conflict must refuse the merge")
+  }
+
   test("array<decimal> element widening via the DDL lift reads mixed " +
       "INT32/INT64 physical epochs") {
     import graft.ops.{TypeWidening => TW, VersionedTable => VT}
