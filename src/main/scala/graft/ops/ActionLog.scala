@@ -819,6 +819,103 @@ object ActionLog {
     (committed, targets, carried)
   }
 
+  /** The overlap-band TARGET SELECTION of [[optimizeClustered]] as a
+    * Spark job — (capped target file names, TOTAL overlapping count).
+    * The live inventory comes from [[resolveDf]] (driver O(1)); the
+    * transitive interval clustering is one global-ordered window pass
+    * (metadata scale: a million (p, lo, hi) rows is ~tens of MB through
+    * one task); only files in multi-file clusters come back, LARGEST
+    * clusters first (the worst pruning offenders), capped at `maxFiles`
+    * so one maintenance pass stays bounded however ugly the table —
+    * repeated passes converge because every rewrite produces
+    * range-disjoint replacements.
+    */
+  def clusterTargetsDf(spark: SparkSession, dir: String,
+      maxFiles: Int): (Seq[String], Long) = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val live = resolveDf(spark, dir)
+    require(live.filter(col("n").isNull).limit(1).count() == 0L,
+      s"ActionLog.clusterTargetsDf($dir): every live file needs stats")
+    val ord = Window.orderBy(col("lo"), col("hi"), col("p"))
+    val runHi = max(col("hi"))
+      .over(ord.rowsBetween(Window.unboundedPreceding, -1))
+    val withCid = live
+      .withColumn("newc",
+        when(runHi.isNull || col("lo") > runHi, 1L).otherwise(0L))
+      .withColumn("cid", sum(col("newc"))
+        .over(ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val clustered = withCid
+      .withColumn("csize", count(lit(1)).over(Window.partitionBy(col("cid"))))
+      .filter(col("csize") > 1)
+    val total = clustered.count()
+    // whole clusters, largest first, until the cap — a HALF-taken
+    // cluster would rewrite files into ranges that still overlap the
+    // left-behind half, so the cap rounds DOWN to cluster boundaries
+    // (but always admits at least the largest cluster)
+    val sizes = clustered.select(col("cid"), col("csize")).distinct()
+      .orderBy(col("csize").desc, col("cid")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    val keep = scala.collection.mutable.ArrayBuffer.empty[Long]
+    var budget = maxFiles.toLong
+    sizes.foreach { case (cid, sz) =>
+      if (sz <= budget || keep.isEmpty) { keep += cid; budget -= sz }
+    }
+    val targets = clustered
+      .filter(col("cid").isInCollection(keep.toSeq))
+      .select(col("p")).collect().map(_.getString(0)).toSeq
+    (targets, total)
+  }
+
+  /** [[optimizeClustered]]'s MILLION-FILE twin (the same handoff rule as
+    * [[vacuumDistributed]]): target selection runs engine-side
+    * ([[clusterTargetsDf]]) and the driver holds only the capped target
+    * list; the still-live commit check probes [[resolveDf]] instead of
+    * the driver replay. One pass rewrites at most `maxFilesPerPass`
+    * files (whole clusters, largest first); a fully-clustered table is a
+    * no-op with no commit. Returns (version or -1, rewritten files,
+    * TOTAL overlapping count including what the cap deferred — callers
+    * loop until rewritten covers it).
+    */
+  def optimizeClusteredDistributed(spark: SparkSession, dir: String,
+      maxFilesPerPass: Int = 10000,
+      hook: () => Unit = () => ()): (Long, Seq[String], Long) = {
+    import org.apache.spark.sql.functions.col
+    val c = statsColumn(spark, dir).getOrElse(sys.error(
+      s"ActionLog.optimizeClusteredDistributed($dir): no recorded stats " +
+        "column — clustering needs per-file key ranges"))
+    val (targets, total) = clusterTargetsDf(spark, dir, maxFilesPerPass)
+    if (targets.isEmpty) return (-1L, Seq.empty, total)
+    val fs = fsOf(spark, dir)
+    val content = spark.read
+      .parquet(targets.map(f => s"$dir/$DataDir/$f"): _*)
+      .repartitionByRange(targets.size, col(c))
+      .sortWithinPartitions(col(c))
+    val files = stageDataNamed(content, dir)
+    val lines = (targets.map(f => s"""{"a":"remove","p":"$f"}""") ++
+      addLines(spark, dir, files, Some(c))).mkString("\n")
+    hook()
+    var committed = -1L
+    var attempts = 0
+    while (committed < 0) {
+      attempts += 1
+      require(attempts <= 20,
+        s"ActionLog.optimizeClusteredDistributed($dir): livelocked")
+      // still-live probe on the DISTRIBUTED plane: count the targets in
+      // the current live inventory engine-side (the driver replay behind
+      // resolve() refuses at the very scale this path exists for)
+      import spark.implicits._
+      val stillLive = resolveDf(spark, dir)
+        .join(targets.toDF("p"), Seq("p"), "left_semi").count()
+      require(stillLive == targets.size.toLong,
+        s"ActionLog.optimizeClusteredDistributed($dir): a target file " +
+          "left the live set — concurrent rewrite conflict")
+      val v = versions(spark, dir).lastOption.getOrElse(0L) + 1L
+      if (tryClaim(fs, dir, v, lines)) committed = v
+    }
+    (committed, targets, total)
+  }
+
   private val Add = """\{"a":"add","p":"([^"]+)"\}""".r
   private val AddStats =
     """\{"a":"add","p":"([^"]+)","lo":(-?\d+),"hi":(-?\d+),"n":(\d+)\}""".r

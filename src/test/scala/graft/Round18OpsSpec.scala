@@ -418,6 +418,56 @@ class Round18OpsSpec extends AnyFunSuite {
       .head.getLong(0) == 12L)
   }
 
+  test("optimizeClusteredDistributed matches the driver form and " +
+      "converges under the per-pass cap") {
+    import graft.ops.ActionLog
+    // four appends whose key ranges all interleave: one 4-file cluster
+    def build(dir: String): Unit = (0 until 4).foreach { i =>
+      ActionLog.append((0L until 40L by 4L).map(j => (j + i, (j + i) * 10))
+        .toDF("k", "v").coalesce(1), dir, Some("k"))
+      ()
+    }
+    val dirA = TestSpark.tmpDir("r18optA") + "/t"
+    val dirB = TestSpark.tmpDir("r18optB") + "/t"
+    build(dirA); build(dirB)
+    val (vA, tgtA, carriedA) = ActionLog.optimizeClustered(spark, dirA)
+    val (vB, tgtB, totalB) = ActionLog.optimizeClusteredDistributed(
+      spark, dirB)
+    assert(vA > 0 && vB > 0)
+    assert(tgtA.size == 4 && tgtB.size == 4 && carriedA.isEmpty &&
+      totalB == 4L,
+      s"both forms must target the whole 4-file cluster: " +
+        s"driver ${tgtA.size}, distributed ${tgtB.size}/$totalB")
+    assert(graft.queries.Q.sameMultiset(ActionLog.read(spark, dirA),
+      ActionLog.read(spark, dirB)), "rewritten content diverged")
+    assert(ActionLog.clusterTargetsDf(spark, dirB, 100)._2 == 0L,
+      "the distributed rewrite must leave zero overlapping files")
+    // two DISJOINT 2-file clusters + a cap of 2: whole-cluster rounds,
+    // repeated passes converge to zero overlap
+    val dirC = TestSpark.tmpDir("r18optC") + "/t"
+    (0 until 2).foreach { i =>
+      ActionLog.append((0L until 20L by 2L).map(j => (j + i, j))
+        .toDF("k", "v").coalesce(1), dirC, Some("k"))
+      ActionLog.append((1000L until 1020L by 2L).map(j => (j + i, j))
+        .toDF("k", "v").coalesce(1), dirC, Some("k"))
+    }
+    val before = ActionLog.read(spark, dirC).localCheckpoint()
+    val (v1, t1, tot1) = ActionLog.optimizeClusteredDistributed(spark, dirC,
+      maxFilesPerPass = 2)
+    assert(v1 > 0 && t1.size == 2 && tot1 == 4L,
+      s"pass 1 must take ONE whole cluster of the two: ${t1.size}/$tot1")
+    val (v2, t2, tot2) = ActionLog.optimizeClusteredDistributed(spark, dirC,
+      maxFilesPerPass = 2)
+    assert(v2 > 0 && t2.size == 2 && tot2 == 2L,
+      s"pass 2 must take the deferred cluster: ${t2.size}/$tot2")
+    val (v3, t3, tot3) = ActionLog.optimizeClusteredDistributed(spark, dirC,
+      maxFilesPerPass = 2)
+    assert(v3 == -1L && t3.isEmpty && tot3 == 0L,
+      s"pass 3 must be a commit-free no-op: ($v3, ${t3.size}, $tot3)")
+    assert(graft.queries.Q.sameMultiset(ActionLog.read(spark, dirC), before),
+      "convergence must preserve content")
+  }
+
   test("vacuumDistributed matches the driver vacuum on the same history") {
     import graft.ops.ActionLog
     def build(dir: String): Unit = {

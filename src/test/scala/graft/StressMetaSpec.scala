@@ -367,6 +367,30 @@ class StressMetaSpec extends AnyFunSuite {
     // from the horizon checkpoint the vacuum wrote on the parquet plane
     assert(ActionLog.resolveDf(spark, dir).count() == N - 2 + 1,
       "post-vacuum resolution must match the pre-vacuum live set")
+
+    // RE-CLUSTERING planning at 1M files (round 18, the same handoff
+    // class as vacuum): every cell's 100 files share one [c, c] band, so
+    // ~every file overlaps — the engine-side window pass must cluster
+    // the million rows and hand the driver ONLY the capped target list
+    // (whole clusters, largest first), in bounded time and heap.
+    val heapC0 = usedHeap()
+    val ((targets, totalOverlap), tClu) = timed(
+      ActionLog.clusterTargetsDf(spark, dir, maxFiles = 500))
+    val heapC1 = usedHeap()
+    info(f"clusterTargetsDf(1M): ${tClu}%.2f s -> ${targets.size} capped " +
+      f"targets of $totalOverlap overlapping, heap " +
+      f"+${(heapC1 - heapC0) / 1e6}%.0f MB")
+    assert(totalOverlap > 900000L,
+      s"nearly every file shares a cell band: $totalOverlap")
+    // whole-cluster greedy under the 500 cap: cell 4242 holds 101 files
+    // (the tail add joins its band), cell 0 holds 98 (two removed), every
+    // other cell 100 — largest-first admits 101 + 100 + 100 + 100, skips
+    // further 100s (budget 99), then admits the trailing 98 = 499
+    assert(targets.size == 499,
+      s"the cap must round to WHOLE clusters, largest first: ${targets.size}")
+    assert(tClu < 120.0, f"1M-file cluster planning cost ${tClu}%.1f s")
+    assert(heapC1 - heapC0 < 192L * 1024 * 1024,
+      f"clusterTargetsDf retained ${(heapC1 - heapC0) / 1e6}%.0f MB")
   }
 }
 
