@@ -4127,5 +4127,76 @@ object OptimizerQueries {
       after.groupBy(col("l_returnflag"))
         .agg(count(lit(1)).cast("bigint").as("n"),
           sum(col("l_orderkey")).cast("bigint").as("key_sum"))
+    },
+
+    // ---------------------------------------------------------------- q330
+    // DISTRIBUTED RE-CLUSTERING (round 18, the vacuum twin's sibling) —
+    // q309's liquid-optimize discipline at the million-file shape:
+    // overlap-band TARGET SELECTION runs as one engine-side window pass
+    // over the resolveDf inventory, the driver holds only a CAPPED
+    // target list (whole clusters, largest first — half a cluster would
+    // rewrite into still-overlapping ranges), the still-live claim probe
+    // rides the distributed plane, and repeated capped passes CONVERGE
+    // because every rewrite is range-disjoint. Pinned here: interleaved
+    // appends defeat pruning, one uncapped pass restores it with content
+    // digests identical, a narrow append dirties ONE band and the next
+    // pass rewrites exactly that cluster (carried files survive by
+    // NAME), a capped run takes whole clusters across passes to the same
+    // converged state, and the converged table is a commit-free no-op.
+    Q("q330_liquid_optimize_distributed",
+      """WITH o AS (SELECT CAST(o_orderkey AS BIGINT) AS okey,
+        |    o_orderpriority AS opri FROM orders)
+        |SELECT opri, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(okey) AS BIGINT) AS key_sum FROM o GROUP BY 1""".stripMargin) { (s, dir) =>
+      import graft.ops.{ActionLog, TableChecksum}
+      val root = scratch(s, dir, "q330")
+      val table = s"$root/t"
+      val o = Tables.load(s, dir, "orders")
+        .select(col("o_orderkey").cast("long").as("okey"),
+          col("o_orderpriority").as("opri"))
+      val q = o.stat.approxQuantile("okey",
+        Array(0.40, 0.45, 0.70, 0.72), 0.0).map(_.toLong)
+      val (hlo, hhi, p1, p2) = (q(0), q(1), q(2), q(3))
+      def inHole = col("okey") > hlo && col("okey") <= hhi
+      val bulk = o.filter(!inHole)
+      (0 to 5).foreach(i => ActionLog.append(
+        bulk.filter(col("okey") % 6 === i).coalesce(1), table, Some("okey")))
+      val digest0 = TableChecksum.digest(ActionLog.read(s, table))
+      val (_, kept0, tot0) = ActionLog.readWhere(s, table, "okey", p1, p2)
+      require(tot0 == 6 && kept0 == 6,
+        s"q330: interleaved files must defeat pruning, got $kept0/$tot0")
+      // pass 1, uncapped: the engine-side selection targets all six
+      val (v1, rw1, tot1) = ActionLog.optimizeClusteredDistributed(s, table)
+      require(v1 == 7L && rw1.size == 6 && tot1 == 6L,
+        s"q330: the first pass re-clusters the whole overlap, got " +
+          s"($v1, ${rw1.size}, $tot1)")
+      require(TableChecksum.digest(ActionLog.read(s, table)) == digest0,
+        "q330: re-clustering must never change content")
+      val (_, kept1, _) = ActionLog.readWhere(s, table, "okey", p1, p2)
+      require(kept1 < kept0 && kept1 <= 2,
+        s"q330: disjoint ranges must restore band pruning, got $kept1")
+      // a narrow append dirties exactly one band; only that cluster
+      // rewrites and every other file survives by NAME
+      ActionLog.append(o.filter(inHole).coalesce(1), table, Some("okey")) // v8
+      val liveBefore = ActionLog.liveFiles(s, table).map(_._1).toSet
+      val (v2, rw2, _) = ActionLog.optimizeClusteredDistributed(s, table)
+      require(v2 == 9L && rw2.size <= 3 && rw2.contains("v8-0.parquet"),
+        s"q330: only the dirty band rewrites, got ${rw2.size} at $v2")
+      val liveAfter = ActionLog.liveFiles(s, table).map(_._1).toSet
+      require(liveBefore.diff(rw2.toSet).forall(liveAfter.contains),
+        "q330: carried files must survive by NAME — zero bytes moved")
+      require(TableChecksum.digest(ActionLog.read(s, table)) ==
+        TableChecksum.digest(o),
+        "q330: the filled band must land the full content")
+      // converged: a commit-free no-op reporting zero overlap (the
+      // CAPPED whole-cluster multi-pass protocol is pinned in
+      // Round18OpsSpec and at 1M files in StressMetaSpec — not re-paid
+      // here per pass)
+      val (v3, rw3, tot3) = ActionLog.optimizeClusteredDistributed(s, table)
+      require(v3 == -1L && rw3.isEmpty && tot3 == 0L,
+        s"q330: a clustered table must be a no-op, got ($v3, ${rw3.size}, $tot3)")
+      ActionLog.read(s, table).groupBy(col("opri"))
+        .agg(count(lit(1)).cast("bigint").as("n"),
+          sum(col("okey")).cast("bigint").as("key_sum"))
     })
 }
