@@ -31,7 +31,8 @@ import graft.ops.VersionedTable
   * dir is a VersionedTable. Executor reads go through the same parquet
   * Group decoder as the CDF/log streams.
   */
-class GraftCatalog extends TableCatalog with SupportsNamespaces {
+class GraftCatalog extends TableCatalog with SupportsNamespaces
+    with org.apache.spark.sql.connector.catalog.ProcedureCatalog {
 
   private var catName: String = _
   private var root: String = _
@@ -67,6 +68,18 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
   }
 
   private def tableDir(ident: Identifier): String = split(ident)._1
+
+  // the maintenance-procedure surface resolves table names and the
+  // snapshot-pin guard through these (GraftProcedures)
+  private[source] def dirOfParts(parts: Seq[String]): String =
+    (root +: parts).mkString("/")
+  private[source] def isSnapshotPinned: Boolean = snapshotCatalog.nonEmpty
+
+  override def loadProcedure(ident: Identifier)
+      : org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure =
+    GraftProcedures.load(this, ident)
+  override def listProcedures(namespace: Array[String]): Array[Identifier] =
+    GraftProcedures.list(namespace)
 
   private def isBranched(spark: SparkSession, dir: String): Boolean = {
     val p = new Path(s"$dir/_heads")

@@ -1,0 +1,163 @@
+package graft.source
+
+import java.util.Collections
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.Identifier
+import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter, UnboundProcedure}
+import org.apache.spark.sql.connector.read.{LocalScan, Scan}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** The catalog's MAINTENANCE surface as SQL stored procedures (Spark 4's
+  * `ProcedureCatalog` — the Iceberg `CALL catalog.system.proc(...)`
+  * shape): vacuum, re-clustering and checkpointing reachable from plain
+  * SQL, so an orchestrator needs no Scala entry point to keep a table
+  * healthy. Each procedure routes to the ops layer and RETURNS its
+  * accounting as rows (a `LocalScan` — the numbers a maintenance job
+  * logs). The `distributed` flag picks the million-file twins
+  * ([[graft.ops.ActionLog.vacuumDistributed]] /
+  * `optimizeClusteredDistributed`); the driver forms keep their own
+  * handoff refusals, so calling the wrong form at scale fails loudly
+  * with the pointer, never silently.
+  */
+private[source] object GraftProcedures {
+
+  val Namespace: Array[String] = Array("system")
+  val Names: Seq[String] = Seq("vacuum", "optimize", "checkpoint")
+
+  def list(namespace: Array[String]): Array[Identifier] =
+    if (namespace.sameElements(Namespace))
+      Names.map(n => Identifier.of(Namespace, n)).toArray
+    else Array.empty
+
+  def load(cat: GraftCatalog, ident: Identifier): UnboundProcedure = {
+    require(ident.namespace().sameElements(Namespace),
+      s"GraftCatalog ${cat.name()}: procedures live in the 'system' " +
+        s"namespace, not '${ident.namespace().mkString(".")}'")
+    ident.name().toLowerCase match {
+      case "vacuum" => VacuumProc(cat)
+      case "optimize" => OptimizeProc(cat)
+      case "checkpoint" => CheckpointProc(cat)
+      case other => sys.error(
+        s"GraftCatalog ${cat.name()}: unknown procedure 'system.$other' " +
+          s"(have: ${Names.mkString(", ")})")
+    }
+  }
+
+  private def in(name: String, dt: DataType): ProcedureParameter =
+    ProcedureParameter.in(name, dt).build()
+  private def inDefault(name: String, dt: DataType,
+      dflt: String): ProcedureParameter =
+    ProcedureParameter.in(name, dt).defaultValue(dflt).build()
+
+  private def result(schema: StructType, row: InternalRow)
+      : java.util.Iterator[Scan] =
+    Collections.singletonList[Scan](new LocalScan {
+      override def readSchema(): StructType = schema
+      override def rows(): Array[InternalRow] = Array(row)
+    }).iterator()
+
+  /** Every procedure acts on ONE table named relative to the catalog
+    * (`table => 'ns.t'`); a snapshot-pinned catalog is a read surface
+    * and refuses maintenance exactly like `alterTable`.
+    */
+  private def dirOf(cat: GraftCatalog, table: String): String = {
+    require(!cat.isSnapshotPinned,
+      s"GraftCatalog ${cat.name()}: a snapshot-pinned catalog is a read " +
+        "surface — run maintenance through the live catalog")
+    cat.dirOfParts(table.split("\\.").toSeq)
+  }
+
+  private abstract class Base(cat: GraftCatalog, procName: String)
+      extends UnboundProcedure with BoundProcedure {
+    override def name(): String = procName
+    override def bind(inputType: StructType): BoundProcedure = this
+    override def isDeterministic: Boolean = false
+  }
+
+  private case class VacuumProc(cat: GraftCatalog)
+      extends Base(cat, "vacuum") {
+    override def description(): String =
+      "drop expired versions and delete unreferenced data files; " +
+        "distributed => true runs the million-file twin"
+    override def parameters(): Array[ProcedureParameter] = Array(
+      in("table", StringType),
+      inDefault("keep", IntegerType, "2"),
+      inDefault("grace_ms", LongType,
+        graft.ops.ActionLog.DefaultVacuumGraceMs.toString),
+      inDefault("distributed", BooleanType, "false"))
+    private val out = StructType(Seq(
+      StructField("expired", LongType, nullable = false),
+      StructField("victims", LongType, nullable = false),
+      StructField("mode", StringType, nullable = false)))
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val spark = SparkSession.active
+      val dir = dirOf(cat, input.getUTF8String(0).toString)
+      val keep = input.getInt(1)
+      val grace = input.getLong(2)
+      val (expired, victims, mode) =
+        if (input.getBoolean(3)) {
+          val (e, v) = graft.ops.ActionLog.vacuumDistributed(spark, dir,
+            keep, grace)
+          (e.toLong, v, "distributed")
+        } else {
+          val (e, v) = graft.ops.ActionLog.vacuum(spark, dir, keep, grace)
+          (e.toLong, v.toLong, "driver")
+        }
+      result(out, new GenericInternalRow(Array[Any](expired, victims,
+        UTF8String.fromString(mode))))
+    }
+  }
+
+  private case class OptimizeProc(cat: GraftCatalog)
+      extends Base(cat, "optimize") {
+    override def description(): String =
+      "re-cluster overlapping stats bands into range-disjoint files; " +
+        "repeated capped passes converge; distributed => false keeps " +
+        "the driver-resident planner"
+    override def parameters(): Array[ProcedureParameter] = Array(
+      in("table", StringType),
+      inDefault("max_files", IntegerType, "10000"),
+      inDefault("distributed", BooleanType, "true"))
+    private val out = StructType(Seq(
+      StructField("version", LongType, nullable = false),
+      StructField("rewritten", LongType, nullable = false),
+      StructField("overlapping", LongType, nullable = false),
+      StructField("mode", StringType, nullable = false)))
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val spark = SparkSession.active
+      val dir = dirOf(cat, input.getUTF8String(0).toString)
+      val (v, rw, total, mode) =
+        if (input.getBoolean(2)) {
+          val (v0, rw0, t0) = graft.ops.ActionLog
+            .optimizeClusteredDistributed(spark, dir, input.getInt(1))
+          (v0, rw0.size.toLong, t0, "distributed")
+        } else {
+          val (v0, rw0, _) = graft.ops.ActionLog.optimizeClustered(spark, dir)
+          (v0, rw0.size.toLong, rw0.size.toLong, "driver")
+        }
+      result(out, new GenericInternalRow(Array[Any](v, rw, total,
+        UTF8String.fromString(mode))))
+    }
+  }
+
+  private case class CheckpointProc(cat: GraftCatalog)
+      extends Base(cat, "checkpoint") {
+    override def description(): String =
+      "materialize the live file set as a DISTRIBUTED parquet " +
+        "checkpoint, bounding every later replay to the tail"
+    override def parameters(): Array[ProcedureParameter] = Array(
+      in("table", StringType))
+    private val out = StructType(Seq(
+      StructField("version", LongType, nullable = false)))
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val spark = SparkSession.active
+      val dir = dirOf(cat, input.getUTF8String(0).toString)
+      result(out, new GenericInternalRow(Array[Any](
+        graft.ops.ActionLog.checkpointParquet(spark, dir))))
+    }
+  }
+}

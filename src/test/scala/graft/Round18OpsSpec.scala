@@ -418,6 +418,48 @@ class Round18OpsSpec extends AnyFunSuite {
       .head.getLong(0) == 12L)
   }
 
+  test("maintenance reaches SQL: CALL system.checkpoint / optimize / " +
+      "vacuum return their accounting") {
+    import graft.ops.ActionLog
+    val root = TestSpark.tmpDir("r18proc")
+    val dir = s"$root/t"
+    // overlapping appends + a rewrite below the horizon = optimize and
+    // vacuum both have real work
+    (0 until 3).foreach { i =>
+      ActionLog.append((0L until 30L by 3L).map(j => (j + i, j))
+        .toDF("k", "v").coalesce(1), dir, Some("k"))
+      ()
+    }
+    val cat = registerCat(root, "proc")
+    val before = ActionLog.read(spark, dir).localCheckpoint()
+    val ck = spark.sql(s"CALL $cat.system.checkpoint(table => 't')")
+      .head.getLong(0)
+    assert(ck == 3L, s"checkpoint must stamp the head version: $ck")
+    val opt = spark.sql(s"CALL $cat.system.optimize(table => 't')").head
+    assert(opt.getLong(0) == 4L && opt.getLong(1) == 3L &&
+      opt.getString(3) == "distributed",
+      s"optimize must rewrite the 3-file overlap cluster: $opt")
+    // keep=1: the horizon is the optimize commit itself, so the three
+    // replaced originals are unreferenced by every retained version
+    val vac = spark.sql(s"CALL $cat.system.vacuum(table => 't', " +
+      "keep => 1, grace_ms => CAST(0 AS BIGINT), distributed => true)").head
+    assert(vac.getLong(0) == 3L && vac.getLong(1) == 3L &&
+      vac.getString(2) == "distributed",
+      s"vacuum must expire v1-v3 and sweep the three originals: $vac")
+    assert(graft.queries.Q.sameMultiset(ActionLog.read(spark, dir), before),
+      "SQL maintenance must never change live content")
+    // discovery + refusal
+    assert(spark.sql(s"SHOW PROCEDURES IN $cat.system")
+      .select(col("procedure_name")).collect()
+      .map(_.getString(0)).toSet == Set("vacuum", "optimize", "checkpoint"))
+    // Spark wraps the catalog's refusal as FAILED_TO_LOAD_ROUTINE with
+    // the full routine path — refusal by name either way
+    val bad = scala.util.Try(spark.sql(s"CALL $cat.system.nope(table => 't')"))
+    assert(bad.isFailure && bad.failed.get.getMessage.contains("nope"),
+      s"an unknown procedure must refuse by name: " +
+        bad.failed.map(_.getMessage))
+  }
+
   test("optimizeClusteredDistributed matches the driver form and " +
       "converges under the per-pass cap") {
     import graft.ops.ActionLog
