@@ -4198,5 +4198,61 @@ object OptimizerQueries {
       ActionLog.read(s, table).groupBy(col("opri"))
         .agg(count(lit(1)).cast("bigint").as("n"),
           sum(col("okey")).cast("bigint").as("key_sum"))
+    },
+
+    // ---------------------------------------------------------------- q331
+    // MAINTENANCE FROM SQL (round 18 — Spark 4's ProcedureCatalog, the
+    // Iceberg `CALL catalog.system.proc(...)` shape): the whole
+    // checkpoint → optimize → vacuum maintenance cycle driven by THREE
+    // CALL statements, no Scala entry point — what an orchestrator's
+    // nightly job actually runs. Each call returns its accounting as
+    // rows and the cycle is CONTENT-PRESERVING by contract: the oracle
+    // is the plain content math, and in-query requires pin the
+    // accounting (checkpoint stamps the head; optimize rewrites exactly
+    // the interleaved cluster at the next version; vacuum expires every
+    // pre-horizon version and sweeps exactly the replaced originals).
+    Q("q331_sql_maintenance",
+      """WITH o AS (SELECT CAST(o_orderkey AS BIGINT) AS okey,
+        |    o_orderpriority AS opri FROM orders WHERE o_orderkey % 2 = 0)
+        |SELECT opri, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(okey) AS BIGINT) AS key_sum FROM o GROUP BY 1""".stripMargin) { (s, dir) =>
+      import graft.ops.{ActionLog, TableChecksum}
+      val root = scratch(s, dir, "q331")
+      val table = s"$root/t"
+      val o = Tables.load(s, dir, "orders")
+        .filter(col("o_orderkey") % 2 === 0)
+        .select(col("o_orderkey").cast("long").as("okey"),
+          col("o_orderpriority").as("opri"))
+      // four interleaved appends: one 4-file overlap cluster
+      (0 to 3).foreach(i => ActionLog.append(
+        o.filter(col("okey") % 8 === i * 2).coalesce(1), table, Some("okey")))
+      val cat = "graftq331_" + java.security.MessageDigest.getInstance("MD5")
+        .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(6)
+      s.conf.set(s"spark.sql.catalog.$cat",
+        classOf[graft.source.GraftCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.root", root)
+      val digest0 = TableChecksum.digest(ActionLog.read(s, table))
+      val ck = s.sql(s"CALL $cat.system.checkpoint(table => 't')")
+        .head.getLong(0)
+      require(ck == 4L, s"q331: checkpoint must stamp the head, got $ck")
+      val opt = s.sql(s"CALL $cat.system.optimize(table => 't')").head
+      require(opt.getLong(0) == 5L && opt.getLong(1) == 4L &&
+        opt.getLong(2) == 4L,
+        s"q331: optimize must rewrite the 4-file cluster at v5, got $opt")
+      // keep=1: the horizon is the optimize commit, so the four replaced
+      // originals are unreferenced and MUST be exactly the sweep
+      val vac = s.sql(s"CALL $cat.system.vacuum(table => 't', keep => 1, " +
+        "grace_ms => CAST(0 AS BIGINT), distributed => true)").head
+      require(vac.getLong(0) == 4L && vac.getLong(1) == 4L,
+        s"q331: vacuum must expire v1-v4 and sweep the 4 originals, got $vac")
+      require(TableChecksum.digest(ActionLog.read(s, table)) == digest0,
+        "q331: the maintenance cycle must never change content")
+      // converged: a second optimize is a commit-free no-op from SQL too
+      require(s.sql(s"CALL $cat.system.optimize(table => 't')")
+        .head.getLong(0) == -1L,
+        "q331: the re-clustered table must be a no-op")
+      ActionLog.read(s, table).groupBy(col("opri"))
+        .agg(count(lit(1)).cast("bigint").as("n"),
+          sum(col("okey")).cast("bigint").as("key_sum"))
     })
 }
