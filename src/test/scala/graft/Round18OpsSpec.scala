@@ -510,6 +510,33 @@ class Round18OpsSpec extends AnyFunSuite {
       "convergence must preserve content")
   }
 
+  test("distributed optimize commutes with a concurrent append " +
+      "(the q309 rule on the distributed claim loop)") {
+    import graft.ops.ActionLog
+    val dir = TestSpark.tmpDir("r18optcc") + "/t"
+    (0 until 3).foreach { i =>
+      ActionLog.append((0L until 30L by 3L).map(j => (j + i, j))
+        .toDF("k", "v").coalesce(1), dir, Some("k"))
+      ()
+    }
+    val before = ActionLog.read(spark, dir).localCheckpoint()
+    val extra = Seq((1000L, 1L), (1001L, 2L))
+    // the hook fires between staging and the claim loop: the append
+    // claims v4, the optimize must retry and land v5 with the appended
+    // file carried live — never clobbered, never double-counted
+    val (v, rw, _) = ActionLog.optimizeClusteredDistributed(spark, dir,
+      hook = () => {
+        ActionLog.append(extra.toDF("k", "v").coalesce(1), dir, Some("k"))
+        ()
+      })
+    assert(v == 5L, s"the optimize must claim AFTER the concurrent append: $v")
+    assert(rw.size == 3, s"only the pre-append cluster rewrites: ${rw.size}")
+    val after = ActionLog.read(spark, dir)
+    assert(graft.queries.Q.sameMultiset(after,
+      before.unionByName(extra.toDF("k", "v"))),
+      "the concurrent append must survive the optimize exactly once")
+  }
+
   test("vacuumDistributed matches the driver vacuum on the same history") {
     import graft.ops.ActionLog
     def build(dir: String): Unit = {
