@@ -26,7 +26,8 @@ import org.apache.spark.unsafe.types.UTF8String
 private[source] object GraftProcedures {
 
   val Namespace: Array[String] = Array("system")
-  val Names: Seq[String] = Seq("vacuum", "optimize", "checkpoint")
+  val Names: Seq[String] = Seq("vacuum", "optimize", "checkpoint",
+    "create_branch", "merge_branch")
 
   def list(namespace: Array[String]): Array[Identifier] =
     if (namespace.sameElements(Namespace))
@@ -41,6 +42,8 @@ private[source] object GraftProcedures {
       case "vacuum" => VacuumProc(cat)
       case "optimize" => OptimizeProc(cat)
       case "checkpoint" => CheckpointProc(cat)
+      case "create_branch" => CreateBranchProc(cat)
+      case "merge_branch" => MergeBranchProc(cat)
       case other => sys.error(
         s"GraftCatalog ${cat.name()}: unknown procedure 'system.$other' " +
           s"(have: ${Names.mkString(", ")})")
@@ -141,6 +144,64 @@ private[source] object GraftProcedures {
         }
       result(out, new GenericInternalRow(Array[Any](v, rw, total,
         UTF8String.fromString(mode))))
+    }
+  }
+
+  /** The WAP cycle's missing SQL halves (round 18): writes already reach
+    * a branch through `INSERT INTO t@staging`; forking the branch and
+    * PUBLISHING it (the keyed three-way merge — fast-forward when the
+    * target never moved, loud refusal on a true conflict) needed Scala.
+    */
+  private case class CreateBranchProc(cat: GraftCatalog)
+      extends Base(cat, "create_branch") {
+    override def description(): String =
+      "fork a new branch ref from an existing one (metadata-only)"
+    override def parameters(): Array[ProcedureParameter] = Array(
+      in("table", StringType),
+      in("name", StringType),
+      inDefault("from", StringType, "'main'"))
+    private val out = StructType(Seq(
+      StructField("head", LongType, nullable = false)))
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val spark = SparkSession.active
+      val dir = dirOf(cat, input.getUTF8String(0).toString)
+      result(out, new GenericInternalRow(Array[Any](
+        graft.ops.Branching.branch(spark, dir,
+          input.getUTF8String(2).toString,
+          input.getUTF8String(1).toString))))
+    }
+  }
+
+  private case class MergeBranchProc(cat: GraftCatalog)
+      extends Base(cat, "merge_branch") {
+    override def description(): String =
+      "publish a branch: keyed three-way merge into the target " +
+        "(fast-forward when the target never moved; a same-key conflict " +
+        "refuses loudly with both heads untouched)"
+    override def parameters(): Array[ProcedureParameter] = Array(
+      // required args must precede defaulted ones (Spark's binding rule)
+      in("table", StringType),
+      in("from_branch", StringType),
+      in("keys", StringType),
+      inDefault("into", StringType, "'main'"))
+    private val out = StructType(Seq(
+      StructField("outcome", StringType, nullable = false),
+      StructField("head", LongType, nullable = false)))
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val spark = SparkSession.active
+      val dir = dirOf(cat, input.getUTF8String(0).toString)
+      val keys = input.getUTF8String(2).toString
+        .split(",").map(_.trim).filter(_.nonEmpty).toSeq
+      require(keys.nonEmpty, "merge_branch: 'keys' must name at least " +
+        "one key column (comma-separated)")
+      val (tag, head) = graft.ops.Branching.merge(spark, dir,
+        input.getUTF8String(1).toString,
+        input.getUTF8String(3).toString, keys) match {
+        case graft.ops.Branching.FastForward(h) => ("fast-forward", h)
+        case graft.ops.Branching.Merged(h) => ("merged", h)
+      }
+      result(out, new GenericInternalRow(Array[Any](
+        UTF8String.fromString(tag), head)))
     }
   }
 

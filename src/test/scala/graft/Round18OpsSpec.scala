@@ -451,7 +451,8 @@ class Round18OpsSpec extends AnyFunSuite {
     // discovery + refusal
     assert(spark.sql(s"SHOW PROCEDURES IN $cat.system")
       .select(col("procedure_name")).collect()
-      .map(_.getString(0)).toSet == Set("vacuum", "optimize", "checkpoint"))
+      .map(_.getString(0)).toSet == Set("vacuum", "optimize", "checkpoint",
+        "create_branch", "merge_branch"))
     // Spark wraps the catalog's refusal as FAILED_TO_LOAD_ROUTINE with
     // the full routine path — refusal by name either way
     val bad = scala.util.Try(spark.sql(s"CALL $cat.system.nope(table => 't')"))
@@ -508,6 +509,38 @@ class Round18OpsSpec extends AnyFunSuite {
       s"pass 3 must be a commit-free no-op: ($v3, ${t3.size}, $tot3)")
     assert(graft.queries.Q.sameMultiset(ActionLog.read(spark, dirC), before),
       "convergence must preserve content")
+  }
+
+  test("the WAP cycle runs entirely in SQL: fork, write@branch, audit, " +
+      "publish") {
+    import graft.ops.Branching
+    val root = TestSpark.tmpDir("r18wap")
+    val dir = s"$root/t"
+    Branching.init(Seq((1L, 10L), (2L, 20L)).toDF("k", "v"), dir)
+    val cat = registerCat(root, "wap")
+    // fork
+    assert(spark.sql(s"CALL $cat.system.create_branch(table => 't', " +
+      "name => 'staging')").head.getLong(0) >= 1L)
+    // write to the branch ref (the existing t@branch SQL surface)
+    spark.sql(s"INSERT INTO $cat.`t@staging` VALUES (3L, 30L)")
+    // audit: the branch sees the staged row, main does not
+    assert(spark.sql(s"SELECT count(*) FROM $cat.`t@staging`")
+      .head.getLong(0) == 3L)
+    assert(spark.sql(s"SELECT count(*) FROM $cat.t").head.getLong(0) == 2L)
+    // publish: main never moved -> fast-forward
+    val ff = spark.sql(s"CALL $cat.system.merge_branch(table => 't', " +
+      "from_branch => 'staging', keys => 'k')").head
+    assert(ff.getString(0) == "fast-forward", s"publish outcome: $ff")
+    assert(spark.sql(s"SELECT sum(v) FROM $cat.t").head.getLong(0) == 60L)
+    // diverged sides -> a real keyed merge
+    spark.sql(s"CALL $cat.system.create_branch(table => 't', " +
+      "name => 'exp')")
+    spark.sql(s"INSERT INTO $cat.`t@exp` VALUES (4L, 40L)")
+    spark.sql(s"INSERT INTO $cat.t VALUES (5L, 50L)")
+    val m = spark.sql(s"CALL $cat.system.merge_branch(table => 't', " +
+      "from_branch => 'exp', keys => 'k')").head
+    assert(m.getString(0) == "merged", s"diverged publish outcome: $m")
+    assert(spark.sql(s"SELECT sum(v) FROM $cat.t").head.getLong(0) == 150L)
   }
 
   test("distributed optimize commutes with a concurrent append " +
