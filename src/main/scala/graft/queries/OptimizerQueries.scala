@@ -4254,5 +4254,69 @@ object OptimizerQueries {
       ActionLog.read(s, table).groupBy(col("opri"))
         .agg(count(lit(1)).cast("bigint").as("n"),
           sum(col("okey")).cast("bigint").as("key_sum"))
+    },
+
+    // ---------------------------------------------------------------- q332
+    // WRITE-AUDIT-PUBLISH IN SQL (round 18 — Iceberg's WAP pattern over
+    // the branch plane, now closed end-to-end in four statements): CALL
+    // system.create_branch forks a metadata-only ref, `INSERT INTO
+    // t@staging` lands the batch on the fork, the AUDIT reads the branch
+    // while main stays untouched (both require'd), and CALL
+    // system.merge_branch PUBLISHES — fast-forward when main never
+    // moved; when producer and consumer diverge, the keyed three-way
+    // merge reconciles both sides' disjoint effects. The final content
+    // is the algebraic union of base + both deltas = the whole orders
+    // table, which is exactly what the oracle replays.
+    Q("q332_sql_wap",
+      """WITH o AS (SELECT CAST(o_orderkey AS BIGINT) AS okey,
+        |    o_orderpriority AS opri FROM orders)
+        |SELECT opri, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(okey) AS BIGINT) AS key_sum FROM o GROUP BY 1""".stripMargin) { (s, dir) =>
+      import graft.ops.Branching
+      val root = scratch(s, dir, "q332")
+      val tdir = s"$root/t"
+      val o = Tables.load(s, dir, "orders")
+        .select(col("o_orderkey").cast("long").as("okey"),
+          col("o_orderpriority").as("opri"))
+      Branching.init(o.filter(col("okey") % 3 === 0), tdir)
+      val cat = "graftq332_" + java.security.MessageDigest.getInstance("MD5")
+        .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(6)
+      s.conf.set(s"spark.sql.catalog.$cat",
+        classOf[graft.source.GraftCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.root", root)
+      o.createOrReplaceTempView("q332_orders")
+      // WRITE: fork + land the batch on the fork
+      s.sql(s"CALL $cat.system.create_branch(table => 't', name => 'staging')")
+      s.sql(s"INSERT INTO $cat.`t@staging` " +
+        "SELECT okey, opri FROM q332_orders WHERE okey % 3 = 1")
+      // AUDIT: the branch sees the batch, main does not
+      val mainN = s.sql(s"SELECT count(*) FROM $cat.t").head.getLong(0)
+      val stagedN = s.sql(s"SELECT count(*) FROM $cat.`t@staging`")
+        .head.getLong(0)
+      require(stagedN > mainN,
+        s"q332: the audit must see the staged batch only on the fork " +
+          s"($stagedN vs $mainN)")
+      // PUBLISH: main never moved -> fast-forward, zero data written
+      val ff = s.sql(s"CALL $cat.system.merge_branch(table => 't', " +
+        "from_branch => 'staging', keys => 'okey')").head
+      require(ff.getString(0) == "fast-forward",
+        s"q332: an unmoved target must fast-forward, got $ff")
+      require(s.sql(s"SELECT count(*) FROM $cat.t").head.getLong(0) == stagedN,
+        "q332: the publish must land exactly the audited content")
+      // DIVERGED cycle: producer and consumer both move; the keyed
+      // three-way merge reconciles the disjoint effects
+      s.sql(s"CALL $cat.system.create_branch(table => 't', name => 'exp')")
+      s.sql(s"INSERT INTO $cat.`t@exp` " +
+        "SELECT okey, opri FROM q332_orders WHERE okey % 6 = 2")
+      s.sql(s"INSERT INTO $cat.t " +
+        "SELECT okey, opri FROM q332_orders WHERE okey % 6 = 5")
+      val m = s.sql(s"CALL $cat.system.merge_branch(table => 't', " +
+        "from_branch => 'exp', keys => 'okey')").head
+      require(m.getString(0) == "merged",
+        s"q332: diverged sides must take the three-way merge, got $m")
+      s.sql(s"SELECT okey, opri FROM $cat.t")
+        .groupBy(col("opri"))
+        .agg(count(lit(1)).cast("bigint").as("n"),
+          sum(col("okey")).cast("bigint").as("key_sum"))
     })
 }
