@@ -74,6 +74,28 @@ private[source] object GraftProcedures {
     cat.dirOfParts(table.split("\\.").toSeq)
   }
 
+  /** vacuum/optimize/checkpoint are LOG-layout operators; on a versioned
+    * table `ActionLog.versions` is simply empty, so without this guard a
+    * CALL would return a (0, 0) "success" having maintained NOTHING —
+    * the silent-no-op shape every refusal on this engine exists to kill.
+    */
+  private def requireLog(spark: SparkSession, dir: String,
+      proc: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/_log")
+    require(p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p),
+      s"system.$proc: $dir is not a log-structured table (no _log) — " +
+        "this procedure maintains the action-log layout; versioned " +
+        "snapshots carry whole-version dirs and need no file-level vacuum")
+  }
+
+  private def requireBranched(spark: SparkSession, dir: String,
+      proc: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/_heads")
+    require(p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p),
+      s"system.$proc: $dir is not a branched table (no _heads) — enroll " +
+        "it in the branch plane via Branching.init first")
+  }
+
   private abstract class Base(cat: GraftCatalog, procName: String)
       extends UnboundProcedure with BoundProcedure {
     override def name(): String = procName
@@ -99,6 +121,7 @@ private[source] object GraftProcedures {
     override def call(input: InternalRow): java.util.Iterator[Scan] = {
       val spark = SparkSession.active
       val dir = dirOf(cat, input.getUTF8String(0).toString)
+      requireLog(spark, dir, "vacuum")
       val keep = input.getInt(1)
       val grace = input.getLong(2)
       val (expired, victims, mode) =
@@ -133,6 +156,7 @@ private[source] object GraftProcedures {
     override def call(input: InternalRow): java.util.Iterator[Scan] = {
       val spark = SparkSession.active
       val dir = dirOf(cat, input.getUTF8String(0).toString)
+      requireLog(spark, dir, "optimize")
       val (v, rw, total, mode) =
         if (input.getBoolean(2)) {
           val (v0, rw0, t0) = graft.ops.ActionLog
@@ -165,6 +189,7 @@ private[source] object GraftProcedures {
     override def call(input: InternalRow): java.util.Iterator[Scan] = {
       val spark = SparkSession.active
       val dir = dirOf(cat, input.getUTF8String(0).toString)
+      requireBranched(spark, dir, "create_branch")
       result(out, new GenericInternalRow(Array[Any](
         graft.ops.Branching.branch(spark, dir,
           input.getUTF8String(2).toString,
@@ -190,6 +215,7 @@ private[source] object GraftProcedures {
     override def call(input: InternalRow): java.util.Iterator[Scan] = {
       val spark = SparkSession.active
       val dir = dirOf(cat, input.getUTF8String(0).toString)
+      requireBranched(spark, dir, "merge_branch")
       val keys = input.getUTF8String(2).toString
         .split(",").map(_.trim).filter(_.nonEmpty).toSeq
       require(keys.nonEmpty, "merge_branch: 'keys' must name at least " +
@@ -217,6 +243,7 @@ private[source] object GraftProcedures {
     override def call(input: InternalRow): java.util.Iterator[Scan] = {
       val spark = SparkSession.active
       val dir = dirOf(cat, input.getUTF8String(0).toString)
+      requireLog(spark, dir, "checkpoint")
       result(out, new GenericInternalRow(Array[Any](
         graft.ops.ActionLog.checkpointParquet(spark, dir))))
     }

@@ -459,6 +459,23 @@ class Round18OpsSpec extends AnyFunSuite {
     assert(bad.isFailure && bad.failed.get.getMessage.contains("nope"),
       s"an unknown procedure must refuse by name: " +
         bad.failed.map(_.getMessage))
+    // WRONG-LAYOUT calls refuse loudly, never silently no-op: vacuum on
+    // a VERSIONED table used to read as a (0, 0) "success"
+    val vroot = TestSpark.tmpDir("r18procv")
+    graft.ops.VersionedTable.write(
+      Seq((1L, 10L)).toDF("k", "v"), s"$vroot/t")
+    val vcat = registerCat(vroot, "procv")
+    val wrongV = scala.util.Try(
+      spark.sql(s"CALL $vcat.system.vacuum(table => 't')"))
+    assert(wrongV.isFailure &&
+      wrongV.failed.get.getMessage.contains("not a log-structured"),
+      s"vacuum on a versioned table must refuse by layout: " +
+        wrongV.failed.map(_.getMessage))
+    val wrongB = scala.util.Try(spark.sql(
+      s"CALL $vcat.system.create_branch(table => 't', name => 'x')"))
+    assert(wrongB.isFailure &&
+      wrongB.failed.get.getMessage.contains("not a branched"),
+      s"create_branch on an unbranched table must refuse by layout")
   }
 
   test("optimizeClusteredDistributed matches the driver form and " +
