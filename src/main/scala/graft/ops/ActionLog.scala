@@ -4,6 +4,7 @@ import java.nio.charset.StandardCharsets
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.parquet.schema.LogicalTypeAnnotation
 
 /** LOG-STRUCTURED TABLE — the Delta-log design proper, complementing
   * [[VersionedTable]]'s snapshot-per-version layout: data files are
@@ -415,68 +416,106 @@ object ActionLog {
   }
 
   /** Add-action lines for `files`, with write-time per-file stats when a
-    * stats column is named — ONE pass over the just-written delta,
-    * grouped by file.
+    * stats column is named — read from the staged files' parquet FOOTERS
+    * (round 18, guide §1.2/§6): min/max/rowcount for an integral column
+    * are exact in the footer's column-chunk statistics, so the stats
+    * pass costs O(delta files) metadata reads and ZERO Spark jobs. The
+    * previous form re-read the whole just-written delta as a distributed
+    * group-by-file aggregation — one full O(delta bytes) scan plus a job
+    * round-trip per commit, on the hottest path the table layer has
+    * (every append/rewrite/OCC/COW commit). Iceberg's write-side metrics
+    * collection reads the same footer source.
     */
   private def addLines(spark: SparkSession, dir: String, files: Seq[String],
       statsCol: Option[String]): Seq[String] = {
     statsCol.foreach(recordStatsColumn(spark, dir, _))
-    val stats: Map[String, (Long, Long, Long)] = statsCol match {
-      case None => Map.empty
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = fsOf(spark, dir)
+    statsCol match {
+      case None => files.map(f => s"""{"a":"add","p":"$f"}""")
       case Some(c) =>
-        import org.apache.spark.sql.functions._
-        val delta = spark.read.parquet(files.map(f => s"$dir/$DataDir/$f"): _*)
-        // Integral ONLY: min/max are recorded via cast("long") (truncation
-        // toward zero) and the catalog's pushdown tightens bounds with ±1
-        // integer arithmetic — for a double/decimal column those truncated
-        // bounds can PRUNE FILES THAT CONTAIN MATCHING ROWS (e.g. `> 5.5`
-        // tightened to lo-bound 6 skips a file whose values lie in
-        // (5.5, 6)). Refusing loudly here protects readWhere and every
-        // catalog scan downstream.
-        delta.schema(c).dataType match {
-          case org.apache.spark.sql.types.ByteType |
-            org.apache.spark.sql.types.ShortType |
-            org.apache.spark.sql.types.IntegerType |
-            org.apache.spark.sql.types.LongType => ()
-          case dt => sys.error(s"ActionLog($dir): stats column '$c' must " +
-            s"be integral (byte/short/int/long), got ${dt.simpleString} — " +
-            "truncated long bounds would make range pruning drop rows")
-        }
-        delta
-          .groupBy(element_at(split(input_file_name(), "/"), -1).as("f"))
-          .agg(min(col(c)).cast("long").as("lo"),
-            max(col(c)).cast("long").as("hi"),
-            count(lit(1)).as("n"))
-          .collect() // O(delta files) — bounded by the batch's part count
-          .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
-          .toMap
-    }
-    files.flatMap { f =>
-      stats.get(f) match {
-        case Some((lo, hi, n)) =>
-          Some(s"""{"a":"add","p":"$f","lo":$lo,"hi":$hi,"n":$n}""")
-        case None if statsCol.isDefined =>
-          // The stats pass groups the just-written delta by file, so a
-          // staged part missing from it can only hold ZERO rows (an
-          // empty write task — layouts with explicit partitioners
-          // produce them). Verify by footer and DROP it: an empty data
-          // file serves no reader and breaks the all-files-have-stats
-          // invariant that maintenance planning (e.g. IvfIndex
-          // rebalance) relies on. A non-empty stats-less file here is a
-          // bug, refused loudly.
+        files.flatMap { f =>
           val p = new Path(s"$dir/$DataDir/$f")
-          val fs = fsOf(spark, dir)
           val in = org.apache.parquet.hadoop.util.HadoopInputFile
-            .fromPath(p, spark.sparkContext.hadoopConfiguration)
+            .fromPath(p, conf)
           val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
-          val rows = try r.getRecordCount finally r.close()
-          require(rows == 0L,
-            s"ActionLog($dir): staged file $f holds $rows rows but the " +
-              "stats pass missed it — stats collection is broken")
-          fs.delete(p, false)
-          None
-        case None => Some(s"""{"a":"add","p":"$f"}""")
-      }
+          val (rows, st) = try {
+            val md = r.getFooter
+            val schema = md.getFileMetaData.getSchema
+            require(schema.containsField(c),
+              s"ActionLog($dir): stats column '$c' is absent from staged " +
+                s"file $f")
+            val field = schema.getType(schema.getFieldIndex(c))
+            // Integral ONLY: min/max are recorded via long truncation and
+            // the catalog's pushdown tightens bounds with ±1 integer
+            // arithmetic — for a double/decimal/date column those bounds
+            // can PRUNE FILES THAT CONTAIN MATCHING ROWS. Refusing loudly
+            // here protects readWhere and every catalog scan downstream.
+            // (Physically: INT32/INT64 with no annotation or a signed
+            // int annotation — date/decimal/timestamp share the physical
+            // type but carry their own annotations.)
+            val integral = field.isPrimitive && {
+              val pt = field.asPrimitiveType()
+              val ann = pt.getLogicalTypeAnnotation
+              (pt.getPrimitiveTypeName ==
+                org.apache.parquet.schema.PrimitiveType
+                  .PrimitiveTypeName.INT32 ||
+                pt.getPrimitiveTypeName ==
+                  org.apache.parquet.schema.PrimitiveType
+                    .PrimitiveTypeName.INT64) &&
+              (ann == null || (ann match {
+                case i: LogicalTypeAnnotation.IntLogicalTypeAnnotation =>
+                  i.isSigned
+                case _ => false
+              }))
+            }
+            require(integral, s"ActionLog($dir): stats column '$c' must " +
+              s"be integral (byte/short/int/long), got $field — " +
+              "truncated long bounds would make range pruning drop rows")
+            import scala.jdk.CollectionConverters._
+            var lo = Long.MaxValue
+            var hi = Long.MinValue
+            var nonNull = false
+            var statless = false
+            md.getBlocks.asScala.foreach { b =>
+              b.getColumns.asScala.find { cc =>
+                val path = cc.getPath.toArray
+                path.length == 1 && path(0) == c
+              } match {
+                case Some(cc) =>
+                  val s = cc.getStatistics
+                  if (s == null || s.isEmpty) statless = true
+                  else if (s.hasNonNullValue) {
+                    (s.genericGetMin, s.genericGetMax) match {
+                      case (mn: Number, mx: Number) =>
+                        lo = math.min(lo, mn.longValue)
+                        hi = math.max(hi, mx.longValue)
+                        nonNull = true
+                      case _ => statless = true
+                    }
+                  }
+                case None => statless = true
+              }
+            }
+            require(!statless,
+              s"ActionLog($dir): staged file $f carries no footer " +
+                s"statistics for '$c' — the writer must record them")
+            require(r.getRecordCount == 0L || nonNull,
+              s"ActionLog($dir): stats column '$c' is entirely NULL in " +
+                s"staged file $f — a NULL band cannot support range pruning")
+            (r.getRecordCount, (lo, hi))
+          } finally r.close()
+          if (rows == 0L) {
+            // An empty write task's file (layouts with explicit
+            // partitioners produce them): DROP it — an empty data file
+            // serves no reader and breaks the all-files-have-stats
+            // invariant that maintenance planning (e.g. IvfIndex
+            // rebalance) relies on.
+            fs.delete(p, false)
+            None
+          } else
+            Some(s"""{"a":"add","p":"$f","lo":${st._1},"hi":${st._2},"n":$rows}""")
+        }
     }
   }
 
