@@ -34,7 +34,8 @@ object Profile {
     spark.sparkContext.addSparkListener(new SparkListener {
       override def onJobStart(e: SparkListenerJobStart): Unit = if (record) {
         val site = Option(e.properties)
-          .flatMap(p => Option(p.getProperty("callSite.short"))).getOrElse("?")
+          .flatMap(p => Option(p.getProperty("callSite.short")))
+          .orElse(e.stageInfos.lastOption.map(_.name)).getOrElse("?")
         jobs.put(e.jobId,
           J(e.jobId, site, e.time, tasks = e.stageInfos.map(_.numTasks).sum))
         ()
@@ -68,14 +69,30 @@ object Profile {
         record = false
         cleanup()
         import scala.jdk.CollectionConverters._
-        val js = jobs.values.asScala.toSeq.sortBy(_.id)
+        val js = jobs.values.asScala.toSeq.sortBy(_.t0)
         val sumJ = js.map(j => math.max(0L, j.t1 - j.t0)).sum / 1e3
         println(f"\n===== $name: wall $wall%.2f s, ${js.size} jobs, " +
           f"job-time sum $sumJ%.2f s (gap ${wall - sumJ}%.2f s driver/planning)")
         js.groupBy(_.site).toSeq
           .map { case (s, g) =>
             (s, g.size, g.map(j => math.max(0L, j.t1 - j.t0)).sum / 1e3) }
-          .sortBy(-_._3)
+          .sortBy(-_._3).take(15)
+          .foreach { case (site, n, tot) =>
+            println(f"  $tot%7.2f s  x$n%-4d $site") }
+        // driver-side gaps: time between one job's end and the next job's
+        // start, attributed to the NEXT job's site (the driver plans a job
+        // before launching it)
+        var lastEnd = -1L
+        val gaps = js.map { j =>
+          val g = if (lastEnd < 0) 0L else math.max(0L, j.t0 - lastEnd)
+          lastEnd = math.max(lastEnd, j.t1)
+          (j.site, g)
+        }
+        println(f"  ---- gaps (driver work before each job), total " +
+          f"${gaps.map(_._2).sum / 1e3}%.2f s:")
+        gaps.groupBy(_._1).toSeq
+          .map { case (s, g) => (s, g.size, g.map(_._2).sum / 1e3) }
+          .sortBy(-_._3).take(15)
           .foreach { case (site, n, tot) =>
             println(f"  $tot%7.2f s  x$n%-4d $site") }
       }

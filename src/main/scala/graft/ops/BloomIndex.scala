@@ -32,12 +32,49 @@ object BloomIndex {
   private val SidecarName = "_bloom"
   private val Probes = 5 // with 10 bits/key ≈ 1 % false-positive rate
 
+  /** The largest per-file row count, from parquet FOOTERS (round 18,
+    * guide §1.2): sizing the filter used to cost a FULL extra pass over
+    * the data (`groupBy(file).count()`) before the real build pass —
+    * at 100 TB that doubles the index build's read volume for one
+    * number the footers already hold. O(files) metadata reads, no job.
+    */
+  private def footerMaxRows(spark: SparkSession, paths: Seq[Path]): Long = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    paths.map { p =>
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(p, conf)
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      try r.getRecordCount finally r.close()
+    }.foldLeft(0L)(math.max)
+  }
+
+  private def visibleFiles(spark: SparkSession, dir: Path): Seq[Path] =
+    dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .listStatus(dir).toSeq
+      .filter(st => st.isFile && !st.getPath.getName.startsWith("_") &&
+        !st.getPath.getName.startsWith("."))
+      .map(_.getPath)
+
+  /** Evaluate `xxhash64(value)` for literal probe values DRIVER-SIDE —
+    * the same engine hash expression, constant-folded locally instead of
+    * through a 1-row Spark job per probe batch. Non-foldable probe
+    * columns keep the job path.
+    */
+  private def literalHashes(spark: SparkSession,
+      values: Seq[org.apache.spark.sql.Column]): Seq[Long] = {
+    val exprs = values.map(v => new org.apache.spark.sql.catalyst.expressions
+      .XxHash64(Seq(org.apache.spark.sql.graftcol.toExpression(v))))
+    if (exprs.forall(e => e.resolved && e.foldable))
+      exprs.map(_.eval(null).asInstanceOf[Long])
+    else spark.range(1).select(values.map(v => xxhash64(v)): _*)
+      .head.toSeq.map(_.asInstanceOf[Long])
+  }
+
   /** Build the per-file index for `column` inside `dataDir`. */
   def writeIndex(spark: SparkSession, dataDir: String, column: String,
       bitsPerKey: Int = 10): Unit = {
     val data = spark.read.parquet(dataDir)
       .select(input_file_name().as("file"), xxhash64(col(column)).as("h"))
-    val maxRows = data.groupBy("file").count().agg(max("count")).head.getLong(0)
+    val maxRows = footerMaxRows(spark, visibleFiles(spark, new Path(dataDir)))
     val numBits = Bloom.sizeBits(maxRows, bitsPerKey)
     val build = udaf(new BloomBuild(numBits, Probes),
       org.apache.spark.sql.Encoders.scalaLong)
@@ -94,8 +131,8 @@ object BloomIndex {
         .parquet(missing.map(f => s"$tableDir/data/$f"): _*)
         .select(element_at(split(input_file_name(), "/"), -1).as("file"),
           xxhash64(col(column)).as("h"))
-      val maxRows = data.groupBy("file").count()
-        .agg(max("count")).head.getLong(0)
+      val maxRows = footerMaxRows(spark,
+        missing.map(f => new Path(s"$tableDir/data/$f")))
       val build = udaf(new BloomBuild(Bloom.sizeBits(maxRows, bitsPerKey), Probes),
         org.apache.spark.sql.Encoders.scalaLong)
       data.groupBy(col("file"))
@@ -128,8 +165,7 @@ object BloomIndex {
     val fs = side.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(side))
       return (values.map(_ => live), 0, live.size)
-    val hashes = spark.range(1).select(values.map(v => xxhash64(v)): _*)
-      .head.toSeq.map(_.asInstanceOf[Long])
+    val hashes = literalHashes(spark, values)
     if (live.size <= driverProbeMaxFiles(spark)) {
       // SMALL index: one plain collect beats an aggregation's extra
       // shuffle stage, and the driver memory is bounded by the threshold
@@ -216,8 +252,7 @@ object BloomIndex {
       else {
         val data = spark.read.parquet(rebuild.map(_.getPath.toString): _*)
           .select(input_file_name().as("file"), xxhash64(col(column)).as("h"))
-        val maxRows = data.groupBy("file").count()
-          .agg(max("count")).head.getLong(0)
+        val maxRows = footerMaxRows(spark, rebuild.map(_.getPath))
         val build = udaf(
           new BloomBuild(Bloom.sizeBits(maxRows, bitsPerKey), Probes),
           org.apache.spark.sql.Encoders.scalaLong)
@@ -240,8 +275,7 @@ object BloomIndex {
   def selectFilesAll(spark: SparkSession, dataDir: String,
       values: Seq[org.apache.spark.sql.Column]): (Seq[Seq[String]], Int) = {
     require(values.nonEmpty, "selectFilesAll: need at least one probe value")
-    val hashes = spark.range(1).select(values.map(v => xxhash64(v)): _*)
-      .head.toSeq.map(_.asInstanceOf[Long])
+    val hashes = literalHashes(spark, values)
     // sidecar size ≈ data-file count — one driver metadata listing
     val dd = new Path(dataDir)
     val fs = dd.getFileSystem(spark.sparkContext.hadoopConfiguration)

@@ -94,7 +94,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     // branch refs are WRITABLE (INSERT INTO t@staging — the WAP write
     // step); commit-id time travel stays read-only history
     new GraftSqlTable(ident.toString + s"@$branch#$id", cd,
-      GraftMeta.relaxArrayNulls(spark.read.parquet(cd).schema), dml = dmlFor(dir, s"branch:$branch"))
+      GraftMeta.footerSchema(spark, cd), dml = dmlFor(dir, s"branch:$branch"))
   }
 
   private def commitTable(ident: Identifier, dir: String, id: Long,
@@ -102,7 +102,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     val spark = SparkSession.active
     val cd = s"$dir/_c-${"%08d".format(id)}"
     new GraftSqlTable(ident.toString + s"@$label#$id", cd,
-      GraftMeta.relaxArrayNulls(spark.read.parquet(cd).schema))
+      GraftMeta.footerSchema(spark, cd))
   }
 
   override def listTables(namespace: Array[String]): Array[Identifier] = {
@@ -208,7 +208,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       val files = graft.ops.ActionLog.liveFiles(spark, dir)
       new GraftLogSqlTable(ident.toString, dir, files,
         graft.ops.ActionLog.statsColumn(spark, dir),
-        GraftMeta.relaxArrayNulls(spark.read.parquet(s"$dir/data/${files.head._1}").schema),
+        GraftMeta.footerSchema(spark, s"$dir/data/${files.head._1}"),
         dml = dmlFor(dir, "log"),
         baseVersion = graft.ops.ActionLog.versions(spark, dir).last)
     }
@@ -261,7 +261,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       new GraftLogSqlTable(ident.toString + s"@v$v", dir,
         files.map(f => f -> withStats.getOrElse(f, None)),
         graft.ops.ActionLog.statsColumn(spark, dir),
-        GraftMeta.relaxArrayNulls(spark.read.parquet(s"$dir/data/${files.head}").schema))
+        GraftMeta.footerSchema(spark, s"$dir/data/${files.head}"))
     }
     else if (isBranched(spark, dir)) commitTable(ident, dir, version.toLong, "v")
     else versionTable(ident, dir, version.toLong)
@@ -305,7 +305,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       val m = CM.manifest(spark, dir, v)
       val dataDir = VersionedTable.verDir(dir, CM.dataVersion(spark, dir, v))
       val phys =
-        GraftMeta.relaxArrayNulls(spark.read.parquet(dataDir.toString).schema)
+        GraftMeta.footerSchema(spark, dataDir.toString)
       val dfl = CM.defaults(spark, dir, v)
       val fills = scala.collection.mutable.Map.empty[String, Any]
       val fields = m.map { f =>
@@ -356,11 +356,11 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       // the O(files × bitmap) byte map.
       val vd = VersionedTable.verDir(dir, v).toString
       new GraftDvSqlTable(ident.toString + s"@v$v", vd,
-        GraftMeta.relaxArrayNulls(spark.read.parquet(vd).schema), dml, baseVersion = v)
+        GraftMeta.footerSchema(spark, vd), dml, baseVersion = v)
     } else {
       val vd = VersionedTable.verDir(dir, v).toString
       new GraftSqlTable(ident.toString + s"@v$v", vd,
-        GraftMeta.relaxArrayNulls(spark.read.parquet(vd).schema), dml, baseVersion = v)
+        GraftMeta.footerSchema(spark, vd), dml, baseVersion = v)
     }
   }
 
