@@ -79,6 +79,10 @@ object Profile {
           .sortBy(-_._3).take(15)
           .foreach { case (site, n, tot) =>
             println(f"  $tot%7.2f s  x$n%-4d $site") }
+        println("  ---- longest individual jobs:")
+        js.sortBy(j => -(j.t1 - j.t0)).take(10).foreach { j =>
+          println(f"  ${(j.t1 - j.t0) / 1e3}%7.2f s  job${j.id}%-4d " +
+            f"tasks=${j.tasks}%-5d ${j.site}") }
         // driver-side gaps: time between one job's end and the next job's
         // start, attributed to the NEXT job's site (the driver plans a job
         // before launching it)

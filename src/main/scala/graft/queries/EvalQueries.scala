@@ -816,12 +816,37 @@ object EvalQueries {
         .filter(col("cum") >= ceil(lit(qf) * col("n")).cast("long"))
         .agg(min(col("bin"))).head().getLong(0) * 2500.0
       // the guard: both estimates must bracket the EXACT sort-based
-      // percentiles — ONE holistic aggregation pass computes both. The
-      // guard is the dominant in-query cost and exists only to put the
-      // error contract on the scoreboard; production runs summaries+merge
-      // alone (sub-second here)
-      val exact = li.agg(expr("percentile(price, 0.5)"), expr("percentile(price, 0.9)")).head()
-      Seq(0.5 -> exact.getDouble(0), 0.9 -> exact.getDouble(1)).foreach { case (qf, ex) =>
+      // percentiles. Round-18 optimization (guide §1.2, measured 3.6 s of
+      // a 5.2 s query): Spark's holistic `percentile()` builds a
+      // value→count map per partition and merges + sorts it on ONE
+      // reducer — the exact shape that cannot scale and that dominated
+      // here. The same order statistics come from a TWO-LEVEL selection
+      // over the summary the query already maintains: the merged
+      // histogram's exact per-bin counts locate each rank's bin, and an
+      // in-bin top-k (parallel TakeOrdered over O(bin) rows, never
+      // O(table)) resolves the value; interpolation follows percentile()'s
+      // own `(hi-pos)*lower + (pos-lo)*higher` convention. Exactness is
+      // unchanged — these ARE the sort-based order statistics.
+      val nTotal = cum.agg(max(col("n"))).head().getLong(0)
+      val binsAsc = cum.select(col("bin"), (col("cum") - col("cnt")).as("before"),
+          col("cum")).orderBy(col("bin")).collect() // ≤ 61 rows
+      def valueAt(idx: Long): Double = {
+        val r = binsAsc.find(r => r.getLong(2) > idx).getOrElse(
+          sys.error(s"q176: rank $idx beyond histogram total"))
+        val off = idx - r.getLong(1) // 0-based within the bin
+        li.filter(bin === r.getLong(0)).select(col("price").cast("double").as("p"))
+          .orderBy(col("p")).limit(off.toInt + 1)
+          .agg(max(col("p"))).head().getDouble(0)
+      }
+      def exactPct(qf: Double): Double = {
+        val pos = qf * (nTotal - 1) // percentile()'s 0-based rank
+        val lo = math.floor(pos).toLong
+        val hi = math.ceil(pos).toLong
+        val vLo = valueAt(lo)
+        if (hi == lo) vLo
+        else (hi - pos) * vLo + (pos - lo) * valueAt(hi)
+      }
+      Seq(0.5 -> exactPct(0.5), 0.9 -> exactPct(0.9)).foreach { case (qf, ex) =>
         val est = estLo(qf)
         // two-bin bracket (round-4 ADVICE): Spark's percentile() linearly
         // interpolates between the two straddled order statistics; when
