@@ -11,6 +11,56 @@ object TextQueries {
   private def profileSql(words: Seq[String]): String =
     words.map(w => s"'$w'").mkString("(", ", ", ")")
 
+  /** BPE merge training over the COLLECTED top-V segmentation table
+    * (round 18, guide §1.2): the state is O(vocab · word-length) BY
+    * DESIGN — corpus size enters only through the (distributed) word
+    * counts — so the merge loop over a 200-row table is driver-scale
+    * micro-state, and running one shuffle job + one head() per step paid
+    * ~0.15 s of fixed scheduler cost per merge for microseconds of work
+    * (q196/q205 measured ~86 jobs, 2.7 s of inter-job driver gap). The
+    * loop now iterates in memory, bit-identically: adjacent pairs
+    * weighted by word count, winner total-ordered by (count desc, left,
+    * right) — ASCII-only symbols, so Scala string order ≡ Spark's binary
+    * UTF-8 order — and leftmost-greedy re-segmentation (if the
+    * accumulated tail is the merge's left symbol and the next symbol its
+    * right, splice; else append). This is how production tokenizer
+    * trainers are shaped: distributed corpus counts, in-memory merge
+    * loop. Returns (per-step merges with counts, final segmentation).
+    */
+  private def bpeTrainDriver(st0: Seq[(String, Long, Vector[String])],
+      nMerges: Int)
+      : (Seq[(Int, String, String, Long)], Seq[(String, Long, Vector[String])]) = {
+    def resegment(syms: Vector[String], a: String, b: String): Vector[String] = {
+      val out = scala.collection.mutable.ArrayBuffer.empty[String]
+      syms.foreach { x =>
+        if (out.nonEmpty && out.last == a && x == b)
+          out(out.length - 1) = a + b
+        else out += x
+      }
+      out.toVector
+    }
+    var st = st0
+    val merges = scala.collection.mutable
+      .ArrayBuffer.empty[(Int, String, String, Long)]
+    for (step <- 1 to nMerges) {
+      val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+      st.foreach { case (_, cnt, syms) =>
+        var i = 0
+        while (i + 1 < syms.length) {
+          val k = (syms(i), syms(i + 1))
+          counts(k) = counts.getOrElse(k, 0L) + cnt
+          i += 1
+        }
+      }
+      val ((ba, bb), bn) = counts.toSeq
+        .minBy { case ((a, b), n) => (-n, a, b) }
+      merges += ((step, ba, bb, bn))
+      if (step < nMerges)
+        st = st.map { case (w, c, syms) => (w, c, resegment(syms, ba, bb)) }
+    }
+    (merges.toSeq, st)
+  }
+
   val all: Seq[Q] = Seq(
 
     // ---------------------------------------------------------------- q28
@@ -710,40 +760,20 @@ object TextQueries {
         |UNION ALL SELECT CAST(2 AS INT), a, b, n FROM b2
         |UNION ALL SELECT CAST(3 AS INT), a, b, n FROM b3""".stripMargin) { (s, dir) =>
       import s.implicits._
-      val words = Tables.load(s, dir, "documents")
+      // the distributed half: corpus-scale token counts -> top-200 words;
+      // the merge loop itself runs driver-side over that O(vocab ·
+      // word-length) state (bpeTrainDriver — round-18 note there)
+      val st0 = Tables.load(s, dir, "documents")
         .select(explode(graft.dedup.MinHashLSH.tokensCol(col("text"))).as("term"))
         .select(lower(col("term")).as("word"))
         .filter(col("word").rlike("^[a-z]+$"))
         .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
         .orderBy(col("cnt").desc, col("word").asc).limit(200)
-      // chars, with split's trailing-empty artifact filtered (DuckDB's
-      // string_split(w, '') is clean; Spark's split keeps zero-width tails)
-      var st = words
-        .select(col("word"), col("cnt"),
-          filter(split(col("word"), ""), x => x =!= lit("")).as("syms"))
-        .localCheckpoint()
-      val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
-      for (step <- 1 to 3) {
-        val px = st.select(col("word"), col("cnt"),
-          posexplode(col("syms")).as(Seq("pos", "s")))
-        val pc = px.alias("x")
-          .join(px.alias("y"),
-            col("x.word") === col("y.word") && col("y.pos") === col("x.pos") + 1)
-          .groupBy(col("x.s").as("a"), col("y.s").as("b"))
-          .agg(sum(col("x.cnt")).cast("long").as("n"))
-        val best = pc.orderBy(col("n").desc, col("a").asc, col("b").asc).limit(1).head()
-        val (ba, bb, bn) = (best.getString(0), best.getString(1), best.getLong(2))
-        merges += ((step, ba, bb, bn))
-        // leftmost-greedy re-segmentation: same fold as the oracle's
-        val fold = aggregate(col("syms"), lit(""), (acc, x) =>
-          when(acc === "", x)
-            .otherwise(when(element_at(split(acc, " "), -1) === ba && x === bb,
-              concat(acc.substr(lit(1), length(acc) - lit(ba.length)), lit(ba + bb)))
-            .otherwise(concat(acc, lit(" "), x))))
-        st = st.select(col("word"), col("cnt"), split(fold, " ").as("syms"))
-          .localCheckpoint()
-      }
-      merges.toSeq.toDF("step", "left_sym", "right_sym", "pair_count")
+        .collect() // 200 rows — the trainer's whole state
+        .map(r => (r.getString(0), r.getLong(1),
+          r.getString(0).map(_.toString).toVector)).toSeq
+      val (merges, _) = bpeTrainDriver(st0, 3)
+      merges.toDF("step", "left_sym", "right_sym", "pair_count")
         .select(col("step").cast("int"), col("left_sym"), col("right_sym"),
           col("pair_count").cast("bigint"))
     },
@@ -797,41 +827,22 @@ object TextQueries {
     }) { (s, dir) =>
       import s.implicits._
       val nMerges = 20
-      val words = Tables.load(s, dir, "documents")
+      // distributed corpus counts -> driver-side merge loop over the
+      // 200-row segmentation state (bpeTrainDriver — round-18 note there)
+      val st0 = Tables.load(s, dir, "documents")
         .select(explode(graft.dedup.MinHashLSH.tokensCol(col("text"))).as("term"))
         .select(lower(col("term")).as("word"))
         .filter(col("word").rlike("^[a-z]+$"))
         .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
         .orderBy(col("cnt").desc, col("word").asc).limit(200)
-      var st = words
-        .select(col("word"), col("cnt"),
-          filter(split(col("word"), ""), x => x =!= lit("")).as("syms"))
-        .localCheckpoint()
-      val nChars = st.select(explode(col("syms")).as("s"))
-        .agg(countDistinct(col("s"))).head().getLong(0)
-      val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long, Long)]
-      for (step <- 1 to nMerges) {
-        val px = st.select(col("word"), col("cnt"),
-          posexplode(col("syms")).as(Seq("pos", "s")))
-        val pc = px.alias("x")
-          .join(px.alias("y"),
-            col("x.word") === col("y.word") && col("y.pos") === col("x.pos") + 1)
-          .groupBy(col("x.s").as("a"), col("y.s").as("b"))
-          .agg(sum(col("x.cnt")).cast("long").as("n"))
-        val best = pc.orderBy(col("n").desc, col("a").asc, col("b").asc).limit(1).head()
-        val (ba, bb, bn) = (best.getString(0), best.getString(1), best.getLong(2))
-        merges += ((step, ba, bb, bn, nChars + step))
-        if (step < nMerges) {
-          val fold = aggregate(col("syms"), lit(""), (acc, x) =>
-            when(acc === "", x)
-              .otherwise(when(element_at(split(acc, " "), -1) === ba && x === bb,
-                concat(acc.substr(lit(1), length(acc) - lit(ba.length)), lit(ba + bb)))
-              .otherwise(concat(acc, lit(" "), x))))
-          st = st.select(col("word"), col("cnt"), split(fold, " ").as("syms"))
-            .localCheckpoint()
-        }
-      }
-      merges.toSeq.toDF("step", "left_sym", "right_sym", "pair_count", "vocab_size")
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1),
+          r.getString(0).map(_.toString).toVector)).toSeq
+      val nChars = st0.flatMap(_._3).distinct.size.toLong
+      val (m0, _) = bpeTrainDriver(st0, nMerges)
+      val merges = m0.map { case (step, a, b, n) =>
+        (step, a, b, n, nChars + step) }
+      merges.toDF("step", "left_sym", "right_sym", "pair_count", "vocab_size")
         .select(col("step").cast("int"), col("left_sym"), col("right_sym"),
           col("pair_count").cast("bigint"), col("vocab_size").cast("bigint"))
     },
@@ -1231,35 +1242,22 @@ object TextQueries {
         explode(graft.dedup.MinHashLSH.tokensCol(col("text"))).as("term"))
         .select(col("lang"), lower(col("term")).as("w"))
         .withColumn("alpha", col("w").rlike("^[a-z]+$"))
-      // ---- train (q196's loop, merge pairs only) ----
-      var st = terms.filter(col("alpha")).groupBy(col("w").as("word"))
+      // ---- train: distributed corpus counts -> driver-side merge loop
+      // over the 200-row segmentation state (bpeTrainDriver, round-18)
+      val st0 = terms.filter(col("alpha")).groupBy(col("w").as("word"))
         .agg(count(lit(1)).as("cnt"))
         .orderBy(col("cnt").desc, col("word").asc).limit(200)
-        .select(col("word"), col("cnt"),
-          filter(split(col("word"), ""), x => x =!= lit("")).as("syms"))
-        .localCheckpoint()
-      val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1),
+          r.getString(0).map(_.toString).toVector)).toSeq
+      val merges = bpeTrainDriver(st0, nMerges)._1
+        .map { case (_, a, b, _) => (a, b) }
       def foldCol(ba: String, bb: String): org.apache.spark.sql.Column =
         split(aggregate(col("syms"), lit(""), (acc, x) =>
           when(acc === "", x)
             .otherwise(when(element_at(split(acc, " "), -1) === ba && x === bb,
               concat(acc.substr(lit(1), length(acc) - lit(ba.length)), lit(ba + bb)))
             .otherwise(concat(acc, lit(" "), x)))), " ")
-      for (step <- 1 to nMerges) {
-        val px = st.select(col("word"), col("cnt"),
-          posexplode(col("syms")).as(Seq("pos", "s")))
-        val best = px.alias("x")
-          .join(px.alias("y"),
-            col("x.word") === col("y.word") && col("y.pos") === col("x.pos") + 1)
-          .groupBy(col("x.s").as("a"), col("y.s").as("b"))
-          .agg(sum(col("x.cnt")).cast("long").as("n"))
-          .orderBy(col("n").desc, col("a").asc, col("b").asc).limit(1).head()
-        val (ba, bb) = (best.getString(0), best.getString(1))
-        merges += ((ba, bb))
-        if (step < nMerges)
-          st = st.select(col("word"), col("cnt"),
-            foldCol(ba, bb).as("syms")).localCheckpoint()
-      }
       // ---- encode: fold the DISTINCT word table through all merges ----
       var enc = terms.filter(col("alpha")).select(col("w").as("word")).distinct()
         .select(col("word"),
